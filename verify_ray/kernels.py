@@ -1,0 +1,793 @@
+"""Vectorized constraint kernels + the compiled validation plan.
+
+Each reference constraint check (a per-value predicate driven by the
+serde visitor — /root/reference/verify/src/impls/schemars/macros.rs and
+schema.rs) becomes a *per-batch vectorized kernel*: a function
+``pa.Table -> numpy bool mask`` (True = violation) built once at spec
+compile time, evaluated with ``pyarrow.compute`` / numpy over whole
+columns.  No kernel iterates Python rows; per-violation Python work
+happens only on the (rare) violating rows.
+
+Semantics parity notes (SURVEY.md §7):
+  * numeric bounds compare as f64, like the reference casts
+    (macros.rs:244-322);
+  * float enum membership uses ``abs(v - e) < f64 EPSILON``
+    (macros.rs:189);
+  * ``multiple_of`` is f64 ``%`` (fmod) != 0 (macros.rs:250-259);
+  * string lengths are unicode-char counts (Rust ``chars().count()``),
+    via ``pc.utf8_length``;
+  * ``pattern`` is an unanchored search, like Rust ``Regex::is_match``
+    (macros.rs:340), via ``pc.match_substring_regex``;
+  * NULL values never trip scalar kernels — nullability is governed
+    solely by ``non_null`` / ``required`` (K12, schema.rs:541-570);
+  * violations accumulate — one row can emit many violation rows
+    (``Errors`` + ``AddAssign``, errors.rs:411-415).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import errors as E
+from .errors import R
+
+F64_EPSILON = sys.float_info.epsilon  # core::f64::EPSILON
+
+MaskFn = Callable[[pa.Table], np.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# small helpers
+
+
+def _np_bool(arr) -> np.ndarray:
+    """Arrow boolean (Chunked)Array -> numpy bool, nulls -> False."""
+    if isinstance(arr, np.ndarray):
+        return arr
+    arr = pc.fill_null(arr, False)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False).astype(bool, copy=False)
+
+
+def _col(t: pa.Table, name: str):
+    return t.column(name)
+
+
+def _f64(col) -> np.ndarray:
+    """Column -> float64 numpy with NaN for nulls (bounds compare as f64,
+    mirroring the reference's ``$value as f64`` casts, macros.rs:244-322)."""
+    a = pc.cast(col, pa.float64())
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    return a.to_numpy(zero_copy_only=False)
+
+
+def _zeros(t: pa.Table) -> np.ndarray:
+    return np.zeros(t.num_rows, dtype=bool)
+
+
+def _list_lengths(col) -> np.ndarray:
+    """Per-row list lengths; null lists -> -1 (distinguishable from 0)."""
+    ln = pc.list_value_length(col)
+    ln = pc.fill_null(pc.cast(ln, pa.int64()), -1)
+    if isinstance(ln, pa.ChunkedArray):
+        ln = ln.combine_chunks()
+    return ln.to_numpy(zero_copy_only=False)
+
+
+def flatten_with_parents(col):
+    """List column -> (values, parent_row_idx, elem_idx_within_list).
+
+    Vectorized S1 machinery (reference validates elements one at a time,
+    schema.rs:708-717; we flatten the whole batch's list column once).
+    Null lists contribute zero elements.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = pc.list_flatten(col)
+    parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+    lengths = np.maximum(_list_lengths(col), 0)
+    starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+    elem_idx = np.arange(len(parents), dtype=np.int64) - starts[parents]
+    return values, parents, elem_idx
+
+
+# ---------------------------------------------------------------------------
+# rule containers
+
+
+@dataclass
+class RowRule:
+    """A row-level rule: mask True => emit one violation row with
+    span = ``span`` (usually the column name)."""
+
+    rule_id: str
+    column: str
+    span: str
+    message: str
+    mask_fn: MaskFn
+
+
+@dataclass
+class ElementRule:
+    """A list-element-level rule: returns (row_idx, elem_idx) of violating
+    elements => violation rows with span ``column.<elem_idx>`` (dotted keys
+    convention, reference span.rs:101-103 / serde.rs:166-174)."""
+
+    rule_id: str
+    column: str
+    message: str
+    fn: Callable[[pa.Table], tuple[np.ndarray, np.ndarray]]
+
+
+@dataclass
+class SchemaRule:
+    """A table-schema-level check run once per distinct input schema:
+    missing required columns (RequiredProperty, schema.rs:992-998), dtype
+    mismatches (InvalidType), unknown columns (additionalProperties:false
+    -> UnknownProperty, schema.rs:941-956), column-count bounds
+    (schema.rs:971-989).  Emits whole-table violations with doc_id ''."""
+
+    fn: Callable[[pa.Schema], list[tuple[str, str, str]]]  # -> (rule_id, span, message)
+
+
+# ---------------------------------------------------------------------------
+# leaf predicate -> "valid" mask (used by combinators) and natural rules
+
+
+def _leaf_valid_fn(node: dict, default_column: str) -> MaskFn:
+    """Compile a leaf predicate dict into a VALID mask fn (True = passes).
+
+    Nulls count as valid for every leaf except ``non_null`` — combinator
+    truth tables then match the row-rule null semantics.
+    """
+    colname = node.get("column", default_column)
+    checks: list[MaskFn] = []
+
+    def with_col(fn):
+        def wrapped(t: pa.Table) -> np.ndarray:
+            if colname not in t.column_names:
+                return np.ones(t.num_rows, dtype=bool)
+            return fn(_col(t, colname), t)
+
+        return wrapped
+
+    nullable_ok_rules = _leaf_violation_masks(node, colname)
+    for _rid, _msg, mask_fn in nullable_ok_rules:
+        checks.append(mask_fn)
+
+    def valid(t: pa.Table) -> np.ndarray:
+        out = np.ones(t.num_rows, dtype=bool)
+        for m in checks:
+            out &= ~m(t)
+        return out
+
+    # `is_null` is condition-only (no violation analogue): value IS null
+    if node.get("is_null"):
+        base = valid
+
+        def valid_isnull(t: pa.Table) -> np.ndarray:
+            if colname not in t.column_names:
+                return np.zeros(t.num_rows, dtype=bool)
+            return base(t) & _np_bool(pc.is_null(_col(t, colname)))
+
+        return valid_isnull
+    return valid
+
+
+def _leaf_violation_masks(node: dict, colname: str) -> list[tuple[str, str, MaskFn]]:
+    """Expand a leaf predicate dict into its natural kernel rules:
+    list of (rule_id, message, violation_mask_fn).  This single expansion
+    serves both top-level column constraints and combinator branches, so
+    rule ids/messages match the reference everywhere."""
+    out: list[tuple[str, str, MaskFn]] = []
+
+    def guard(fn):
+        def wrapped(t: pa.Table) -> np.ndarray:
+            if colname not in t.column_names:
+                return _zeros(t)
+            return fn(_col(t, colname), t)
+
+        return wrapped
+
+    # K12 non_null (null/required value, schema.rs:541-570, 992-998)
+    if node.get("non_null"):
+        out.append(
+            (R.NON_NULL, f'null value in non-null column "{colname}"',
+             guard(lambda c, t: _np_bool(pc.is_null(c)))))
+
+    # K3 check_enum (macros.rs:116-241)
+    if node.get("enum") is not None:
+        enum_vals = list(node["enum"])
+        msg = E.msg_invalid_enum(enum_vals)
+
+        def enum_mask(c, t, enum_vals=enum_vals):
+            if pa.types.is_floating(c.type):
+                # float arm: |v - e| < EPSILON (macros.rs:189)
+                v = _f64(c)
+                ok = np.zeros(len(v), dtype=bool)
+                for e in enum_vals:
+                    try:
+                        ef = float(e)
+                    except (TypeError, ValueError):
+                        continue
+                    ok |= np.abs(v - ef) < F64_EPSILON
+                return ~ok & ~np.isnan(v)
+            try:
+                vs = pa.array(enum_vals).cast(c.type)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                vs = pa.array([v for v in enum_vals if v is not None])
+                c = pc.cast(c, vs.type) if len(vs) else c
+            valid = pc.is_in(c, value_set=vs)
+            return ~_np_bool(valid) & ~_np_bool(pc.is_null(c))
+
+        out.append((R.INVALID_ENUM_VALUE, msg, guard(enum_mask)))
+
+    # K4 multiple_of (macros.rs:250-259): f64 fmod, m != 0 enforced at compile
+    if node.get("multiple_of") is not None:
+        m = float(node["multiple_of"])
+
+        def mult_mask(c, t, m=m):
+            v = _f64(c)
+            with np.errstate(invalid="ignore"):
+                bad = np.fmod(v, m) != 0.0
+            return bad & ~np.isnan(v)
+
+        out.append((R.NOT_MULTIPLE_OF, E.msg_not_multiple_of(m), guard(mult_mask)))
+
+    # K5-K8 numeric bounds (macros.rs:261-315); NaN-safe: comparisons with
+    # NaN are False so null/NaN rows never trip
+    for key, rid, exclusive, op in [
+        ("minimum", R.LESS_THAN_EXPECTED, False, np.less),
+        ("exclusive_minimum", R.LESS_THAN_EXPECTED, True, np.less_equal),
+        ("maximum", R.MORE_THAN_EXPECTED, False, np.greater),
+        ("exclusive_maximum", R.MORE_THAN_EXPECTED, True, np.greater_equal),
+    ]:
+        if node.get(key) is not None:
+            bound = float(node[key])
+            msg = (E.msg_less_than_expected(bound, exclusive)
+                   if rid == R.LESS_THAN_EXPECTED
+                   else E.msg_more_than_expected(bound, exclusive))
+
+            def bound_mask(c, t, bound=bound, op=op):
+                with np.errstate(invalid="ignore"):
+                    return op(_f64(c), bound)
+
+            out.append((rid, msg, guard(bound_mask)))
+
+    # K9 pattern (macros.rs:335-354): unanchored search
+    if node.get("pattern") is not None:
+        pat = node["pattern"]
+
+        def pat_mask(c, t, pat=pat):
+            ok = pc.match_substring_regex(c, pat)
+            return ~_np_bool(ok) & ~_np_bool(pc.is_null(c))
+
+        out.append((R.NO_PATTERN_MATCH, E.msg_no_pattern_match(pat), guard(pat_mask)))
+
+    # K10/K11 string length — unconditional (deviation from the reference's
+    # pattern-nesting quirk, macros.rs:335-376; SURVEY §7)
+    if node.get("max_length") is not None:
+        mx = int(node["max_length"])
+        out.append(
+            (R.TOO_LONG, E.msg_too_long(mx),
+             guard(lambda c, t, mx=mx: _np_bool(pc.greater(pc.utf8_length(c), mx)))))
+    if node.get("min_length") is not None:
+        mn = int(node["min_length"])
+        out.append(
+            (R.TOO_SHORT, E.msg_too_short(mn),
+             guard(lambda c, t, mn=mn: _np_bool(pc.less(pc.utf8_length(c), mn)))))
+
+    # S5/S6 item-count bounds (schema.rs:787-805)
+    if node.get("min_items") is not None:
+        mn = int(node["min_items"])
+        out.append(
+            (R.NOT_ENOUGH_ITEMS, E.msg_not_enough_items(mn),
+             guard(lambda c, t, mn=mn: (lambda ln: (ln >= 0) & (ln < mn))(_list_lengths(c)))))
+    if node.get("max_items") is not None:
+        mx = int(node["max_items"])
+        out.append(
+            (R.TOO_MANY_ITEMS, E.msg_too_many_items(mx),
+             guard(lambda c, t, mx=mx: _list_lengths(c) > mx)))
+
+    return out
+
+
+# ---------------------------------------------------------------------------
+# combinator compilation (C1-C5, validate_subschemas schema.rs:180-343)
+
+
+def compile_pred(node: dict, column: str, gate: Optional[MaskFn] = None) -> list[RowRule]:
+    """Compile a combinator/predicate tree into RowRules.
+
+    * leaf as root  -> its natural kernel rules (ids match the reference);
+    * ``all_of``    -> children compiled as roots (errors concatenated,
+                       schema.rs:188-197);
+    * ``any_of``    -> single ``none_valid`` rule (schema.rs:199-237);
+    * ``one_of``    -> ``none_valid`` (0 matched) + ``more_than_one_valid``
+                       (>1 matched) (schema.rs:239-292);
+    * ``not``       -> ``valid_not`` (schema.rs:316-333);
+    * ``if/then/else`` -> then/else subtrees compiled as roots, gated by
+                       the condition mask (schema.rs:294-314) — child rule
+                       ids survive, like the reference's propagated errors.
+
+    ``gate`` restricts all produced rules to rows where gate(t) is True.
+    """
+
+    def gated(mask_fn: MaskFn) -> MaskFn:
+        if gate is None:
+            return mask_fn
+        return lambda t, f=mask_fn: f(t) & gate(t)
+
+    node_keys = set(node) & {"all_of", "any_of", "one_of", "not", "if"}
+    rules: list[RowRule] = []
+    if not node_keys:  # leaf as root
+        colname = node.get("column", column)
+        for rid, msg, mask_fn in _leaf_violation_masks(node, colname):
+            rules.append(RowRule(rid, colname, colname, msg, gated(mask_fn)))
+        return rules
+
+    if "all_of" in node:
+        for sub in node["all_of"]:
+            rules.extend(compile_pred(sub, column, gate))
+    if "any_of" in node:
+        subs = [_pred_valid(s, column) for s in node["any_of"]]
+
+        def any_mask(t: pa.Table, subs=subs) -> np.ndarray:
+            bad = np.ones(t.num_rows, dtype=bool)
+            for v in subs:
+                bad &= ~v(t)
+            return bad
+
+        rules.append(RowRule(R.NONE_VALID, column, column,
+                             E.msg_none_valid(False), gated(any_mask)))
+    if "one_of" in node:
+        subs = [_pred_valid(s, column) for s in node["one_of"]]
+
+        def n_matched(t: pa.Table, subs=subs) -> np.ndarray:
+            n = np.zeros(t.num_rows, dtype=np.int32)
+            for v in subs:
+                n += v(t).astype(np.int32)
+            return n
+
+        rules.append(RowRule(R.NONE_VALID, column, column, E.msg_none_valid(True),
+                             gated(lambda t, f=n_matched: f(t) == 0)))
+        rules.append(RowRule(R.MORE_THAN_ONE_VALID, column, column,
+                             E.msg_more_than_one_valid(2),
+                             gated(lambda t, f=n_matched: f(t) > 1)))
+    if "not" in node:
+        sub = _pred_valid(node["not"], column)
+        rules.append(RowRule(R.VALID_NOT, column, column, E.msg_valid_not(),
+                             gated(lambda t, v=sub: v(t))))
+    if "if" in node:
+        cond = _pred_valid(node["if"], column)
+        if "then" in node:
+            then_gate: MaskFn = cond if gate is None else (
+                lambda t, c=cond, g=gate: c(t) & g(t))
+            rules.extend(compile_pred(node["then"], column, then_gate))
+        if "else" in node:
+            else_gate: MaskFn = (lambda t, c=cond: ~c(t)) if gate is None else (
+                lambda t, c=cond, g=gate: ~c(t) & g(t))
+            rules.extend(compile_pred(node["else"], column, else_gate))
+    return rules
+
+
+def _pred_valid(node: dict, column: str) -> MaskFn:
+    """Compile a predicate tree into a VALID mask fn (True = satisfied)."""
+    node_keys = set(node) & {"all_of", "any_of", "one_of", "not", "if"}
+    if not node_keys:
+        return _leaf_valid_fn(node, column)
+    parts: list[MaskFn] = []
+    if "all_of" in node:
+        subs = [_pred_valid(s, column) for s in node["all_of"]]
+
+        def all_valid(t, subs=subs):
+            out = np.ones(t.num_rows, dtype=bool)
+            for v in subs:
+                out &= v(t)
+            return out
+
+        parts.append(all_valid)
+    if "any_of" in node:
+        subs = [_pred_valid(s, column) for s in node["any_of"]]
+
+        def any_valid(t, subs=subs):
+            out = np.zeros(t.num_rows, dtype=bool)
+            for v in subs:
+                out |= v(t)
+            return out
+
+        parts.append(any_valid)
+    if "one_of" in node:
+        subs = [_pred_valid(s, column) for s in node["one_of"]]
+
+        def one_valid(t, subs=subs):
+            n = np.zeros(t.num_rows, dtype=np.int32)
+            for v in subs:
+                n += v(t).astype(np.int32)
+            return n == 1
+
+        parts.append(one_valid)
+    if "not" in node:
+        sub = _pred_valid(node["not"], column)
+        parts.append(lambda t, v=sub: ~v(t))
+    if "if" in node:
+        cond = _pred_valid(node["if"], column)
+        then_v = _pred_valid(node["then"], column) if "then" in node else None
+        else_v = _pred_valid(node["else"], column) if "else" in node else None
+
+        def ite_valid(t, cond=cond, then_v=then_v, else_v=else_v):
+            c = cond(t)
+            tv = then_v(t) if then_v else np.ones(t.num_rows, dtype=bool)
+            ev = else_v(t) if else_v else np.ones(t.num_rows, dtype=bool)
+            return np.where(c, tv, ev)
+
+        parts.append(ite_valid)
+
+    def combined(t):
+        out = np.ones(t.num_rows, dtype=bool)
+        for p in parts:
+            out &= p(t)
+        return out
+
+    return combined
+
+
+# ---------------------------------------------------------------------------
+# element rules (S1, S3, S4)
+
+
+def _element_rules(c) -> list[ElementRule]:
+    """Build element-level rules for one list-typed ColumnSpec."""
+    from .spec import ColumnSpec, parse_dtype  # noqa: F401 (type only)
+
+    rules: list[ElementRule] = []
+    name = c.name
+
+    # S1 element bounds / enum over the flattened values (schema.rs:708-717)
+    elem_checks: list[tuple[str, str, Callable]] = []
+    if c.element_min is not None:
+        b = float(c.element_min)
+        elem_checks.append((R.ELEMENT_OUT_OF_BOUNDS, E.msg_less_than_expected(b, False),
+                            lambda v, b=b: np.less(v, b, where=~np.isnan(v), out=np.zeros(len(v), bool))))
+    if c.element_exclusive_min is not None:
+        b = float(c.element_exclusive_min)
+        elem_checks.append((R.ELEMENT_OUT_OF_BOUNDS, E.msg_less_than_expected(b, True),
+                            lambda v, b=b: np.less_equal(v, b, where=~np.isnan(v), out=np.zeros(len(v), bool))))
+    if c.element_max is not None:
+        b = float(c.element_max)
+        elem_checks.append((R.ELEMENT_OUT_OF_BOUNDS, E.msg_more_than_expected(b, False),
+                            lambda v, b=b: np.greater(v, b, where=~np.isnan(v), out=np.zeros(len(v), bool))))
+    if c.element_exclusive_max is not None:
+        b = float(c.element_exclusive_max)
+        elem_checks.append((R.ELEMENT_OUT_OF_BOUNDS, E.msg_more_than_expected(b, True),
+                            lambda v, b=b: np.greater_equal(v, b, where=~np.isnan(v), out=np.zeros(len(v), bool))))
+    if c.element_enum is not None:
+        enum_vals = list(c.element_enum)
+        msg = E.msg_invalid_enum(enum_vals)
+
+        def enum_bad(values_np, flat=None, enum_vals=enum_vals):
+            bad = np.ones(len(values_np), dtype=bool)
+            for e in enum_vals:
+                bad &= values_np != e
+            return bad
+
+        elem_checks.append((R.INVALID_ENUM_VALUE, msg, enum_bad))
+
+    for rid, msg, badfn in elem_checks:
+        def elem_fn(t: pa.Table, name=name, badfn=badfn):
+            if name not in t.column_names:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            values, parents, elem_idx = flatten_with_parents(_col(t, name))
+            v = pc.cast(values, pa.float64()).to_numpy(zero_copy_only=False)
+            bad = badfn(v)
+            # null elements never trip bounds (K12 governs nulls)
+            bad &= ~np.isnan(v)
+            sel = np.flatnonzero(bad)
+            return parents[sel], elem_idx[sel]
+
+        rules.append(ElementRule(rid, name, msg, elem_fn))
+
+    # S3 unique_items, within-row (schema.rs:738-755).  Vectorized:
+    # sort values within each list (lexsort by (parent, value)) and flag
+    # adjacent equal pairs within the same parent.  We report the
+    # *duplicate* element's index, mirroring NotUnique{first, duplicate}.
+    if c.unique_items:
+        def uniq_fn(t: pa.Table, name=name):
+            if name not in t.column_names:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            values, parents, elem_idx = flatten_with_parents(_col(t, name))
+            if len(parents) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            v = values.to_numpy(zero_copy_only=False)
+            order = np.lexsort((v, parents))
+            sv, sp, se = v[order], parents[order], elem_idx[order]
+            dup = np.zeros(len(sv), dtype=bool)
+            dup[1:] = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
+            sel = np.flatnonzero(dup)
+            # report each duplicated (row) once per extra occurrence, at the
+            # duplicate's original element index
+            return sp[sel], se[sel]
+
+        rules.append(ElementRule(R.NOT_UNIQUE, name, E.msg_not_unique(), uniq_fn))
+
+    return rules
+
+
+def _contains_rule(c) -> Optional[RowRule]:
+    """S4 contains (schema.rs:698-706 + 773-784): at least one element
+    matches the leaf predicate, else ``must_contain`` at the row level."""
+    if c.contains is None:
+        return None
+    node = dict(c.contains)
+    name = c.name
+
+    def mask(t: pa.Table, node=node, name=name) -> np.ndarray:
+        if name not in t.column_names:
+            return _zeros(t)
+        col = _col(t, name)
+        values, parents, _ = flatten_with_parents(col)
+        # evaluate the leaf predicate on a one-column table of the values
+        vt = pa.table({name: values})
+        ok = _leaf_valid_fn(node, name)(vt)
+        sat = np.zeros(t.num_rows, dtype=bool)
+        np.logical_or.at(sat, parents[ok], True)
+        lengths = _list_lengths(col)
+        # null lists don't fail `contains` (no seq traversal happened)
+        return ~sat & (lengths >= 0)
+
+    return RowRule(R.MUST_CONTAIN, name, name, E.msg_must_contain(), mask)
+
+
+# ---------------------------------------------------------------------------
+# compiled plan
+
+
+@dataclass
+class RefCheck:
+    column: str
+    manifest: str  # logical manifest name; values supplied at run time
+
+
+@dataclass
+class CompiledPlan:
+    """The output of ConstraintSpec.compile(): everything the per-batch
+    validator and the wide stages need, pre-resolved."""
+
+    spec: object  # ConstraintSpec (avoid circular type import)
+    key: str
+    row_rules: list[RowRule]
+    element_rules: list[ElementRule]
+    expected_dtypes: dict[str, pa.DataType]
+    required_columns: list[str]
+    nonnull_required_columns: list[str]
+    unique_columns: list[str]
+    ref_checks: list[RefCheck]
+    drift: Optional[object]
+    allow_unknown_columns: bool
+    min_columns: Optional[int]
+    max_columns: Optional[int]
+    pattern_columns: dict = field(default_factory=dict)
+
+    # -- schema-level validation (once per distinct schema) ----------------
+
+    def schema_violations(self, schema: pa.Schema) -> list[tuple[str, str, str]]:
+        """Run M3/M5/M6/K2 schema-shape checks.  Returns (rule_id, span,
+        message) tuples; emitted as whole-table violations (doc_id='')."""
+        from .spec import dtype_compatible, parse_dtype
+
+        out: list[tuple[str, str, str]] = []
+        names = set(schema.names)
+        for col in self.required_columns:
+            if col not in names:
+                # RequiredProperty with empty span — matches the golden
+                # `() the required property "some_int" is missing`
+                # (examples/schemars_json.rs:75)
+                out.append((R.REQUIRED_PROPERTY, "", E.msg_required_property(col)))
+        for col, want in self.expected_dtypes.items():
+            if col in names:
+                got = schema.field(col).type
+                if not dtype_compatible(got, want):
+                    out.append((R.INVALID_TYPE, col,
+                                E.msg_invalid_type(str(want), str(got))))
+        declared = set(self.expected_dtypes) | set(self.required_columns) | {
+            c.name for c in self.spec.columns}
+        # M2 pattern_columns: a column matching a pattern is "known"
+        import re as _re
+
+        pat_res = [(_re.compile(p), sub) for p, sub in self.pattern_columns.items()]
+        if not self.allow_unknown_columns:
+            for n in schema.names:
+                if n not in declared and not any(p.search(n) for p, _ in pat_res):
+                    out.append((R.UNKNOWN_PROPERTY, n, E.msg_unknown_property()))
+        if self.min_columns is not None and len(schema.names) < self.min_columns:
+            out.append((R.NOT_ENOUGH_PROPERTIES, "",
+                        f"the object must have at least {self.min_columns} properties"))
+        if self.max_columns is not None and len(schema.names) > self.max_columns:
+            out.append((R.TOO_MANY_PROPERTIES, "",
+                        f"the object cannot have more than {self.max_columns} properties"))
+        return out
+
+    # -- per-batch validation ----------------------------------------------
+
+    def validate_batch(self, t: pa.Table) -> pa.Table:
+        """Run all row + element rules over one Arrow batch; return
+        violation rows (VIOLATION_SCHEMA minus partition_id)."""
+        key_col = _col(t, self.key) if self.key in t.column_names else None
+        if key_col is not None and not pa.types.is_string(key_col.type):
+            key_col = pc.cast(key_col, pa.string())
+        if isinstance(key_col, pa.ChunkedArray):
+            key_col = key_col.combine_chunks()
+
+        doc_ids: list[pa.Array] = []
+        rule_ids: list[str] = []
+        spans: list[str] = []
+        messages: list[str] = []
+        counts: list[int] = []
+
+        def emit(ids: pa.Array, rid: str, span_arr, msg: str):
+            doc_ids.append(ids)
+            n = len(ids)
+            rule_ids.append(rid)
+            spans.append(span_arr)
+            messages.append(msg)
+            counts.append(n)
+
+        const_spans: list[Optional[str]] = []
+        for rule in self.row_rules:
+            mask = rule.mask_fn(t)
+            idx = np.flatnonzero(mask)
+            if len(idx) == 0:
+                continue
+            ids = (key_col.take(pa.array(idx)) if key_col is not None
+                   else pa.array([""] * len(idx)))
+            emit(ids, rule.rule_id, None, rule.message)
+            const_spans.append(rule.span)
+        n_row_rules_emitted = len(counts)
+
+        elem_span_arrays: list[list[str]] = []
+        for rule in self.element_rules:
+            rows, elems = rule.fn(t)
+            if len(rows) == 0:
+                continue
+            ids = (key_col.take(pa.array(rows)) if key_col is not None
+                   else pa.array([""] * len(rows)))
+            emit(ids, rule.rule_id, None, rule.message)
+            elem_span_arrays.append([f"{rule.column}.{int(e)}" for e in elems])
+
+        if not counts:
+            return _empty_violations()
+
+        total = sum(counts)
+        rid_arr = _repeat_strings(rule_ids, counts)
+        msg_arr = _repeat_strings(messages, counts)
+        span_parts: list[pa.Array] = []
+        ei = 0
+        for i, n in enumerate(counts):
+            if i < n_row_rules_emitted:
+                span_parts.append(pa.array([const_spans[i]] * n, type=pa.string()))
+            else:
+                span_parts.append(pa.array(elem_span_arrays[ei], type=pa.string()))
+                ei += 1
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in doc_ids]).cast(pa.string()),
+                "rule_id": rid_arr,
+                "span": pa.concat_arrays(span_parts) if len(span_parts) > 1 else span_parts[0],
+                "message": msg_arr,
+            }
+        )
+
+
+def _repeat_strings(vals: list[str], counts: list[int]) -> pa.Array:
+    out = np.empty(sum(counts), dtype=object)
+    pos = 0
+    for v, n in zip(vals, counts):
+        out[pos:pos + n] = v
+        pos += n
+    return pa.array(out, type=pa.string())
+
+
+def _empty_violations() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([], type=pa.string()),
+            "rule_id": pa.array([], type=pa.string()),
+            "span": pa.array([], type=pa.string()),
+            "message": pa.array([], type=pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# plan compiler (called from ConstraintSpec.compile())
+
+
+def compile_plan(spec) -> CompiledPlan:
+    from .spec import parse_dtype
+
+    row_rules: list[RowRule] = []
+    element_rules: list[ElementRule] = []
+    expected: dict[str, pa.DataType] = {}
+    required: list[str] = []
+    nonnull_required: list[str] = []
+    unique_cols: list[str] = []
+    ref_checks: list[RefCheck] = []
+
+    for c in spec.columns:
+        if c.dtype is not None:
+            expected[c.name] = parse_dtype(c.dtype)
+        if c.element_dtype is not None and c.dtype is None:
+            expected[c.name] = pa.list_(parse_dtype(c.element_dtype))
+        if c.required:
+            required.append(c.name)
+        if c.non_null:
+            nonnull_required.append(c.name)
+
+        # scalar + list-length constraints via the shared leaf expansion
+        leaf = {
+            k: getattr(c, k)
+            for k in ("non_null", "enum", "minimum", "maximum", "exclusive_minimum",
+                      "exclusive_maximum", "multiple_of", "pattern", "min_length",
+                      "max_length", "min_items", "max_items")
+            if getattr(c, k) is not None and getattr(c, k) is not False
+        }
+        for rid, msg, mask_fn in _leaf_violation_masks(leaf, c.name):
+            row_rules.append(RowRule(rid, c.name, c.name, msg, mask_fn))
+
+        # cross-field: len(list) == other column (the n_tok consistency
+        # check; generalizes S5/S6 from constants to a column)
+        if c.len_equals is not None:
+            other = c.len_equals
+
+            def len_eq_mask(t: pa.Table, name=c.name, other=other) -> np.ndarray:
+                if name not in t.column_names or other not in t.column_names:
+                    return _zeros(t)
+                ln = _list_lengths(_col(t, name))
+                ov = _f64(_col(t, other))
+                with np.errstate(invalid="ignore"):
+                    return (ln >= 0) & ~np.isnan(ov) & (ln != ov)
+
+            row_rules.append(
+                RowRule(R.LEN_EQUALS_COLUMN, c.name, c.name,
+                        f'the array length must equal column "{other}"', len_eq_mask))
+
+        cr = _contains_rule(c)
+        if cr is not None:
+            row_rules.append(cr)
+        element_rules.extend(_element_rules(c))
+
+        for chk in c.checks:
+            row_rules.extend(compile_pred(chk, c.name))
+
+        if c.unique:
+            unique_cols.append(c.name)
+        if c.ref is not None:
+            ref_checks.append(RefCheck(column=c.name, manifest=c.ref))
+
+    # pattern_columns: constraints applied to every column matching the
+    # regex at compile time against *declared* columns; undeclared matches
+    # are resolved at read time in schema_violations (names are fixed).
+    return CompiledPlan(
+        spec=spec,
+        key=spec.key,
+        row_rules=row_rules,
+        element_rules=element_rules,
+        expected_dtypes=expected,
+        required_columns=required,
+        nonnull_required_columns=nonnull_required,
+        unique_columns=unique_cols,
+        ref_checks=ref_checks,
+        drift=spec.drift,
+        allow_unknown_columns=spec.allow_unknown_columns,
+        min_columns=spec.min_columns,
+        max_columns=spec.max_columns,
+        pattern_columns=dict(spec.pattern_columns),
+    )

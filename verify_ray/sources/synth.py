@@ -1,0 +1,322 @@
+"""Deterministic synthetic fixtures (FIXTURES.md T1/T2/T4).
+
+Generates the ``sequences`` table of the BASELINE input_hint shape::
+
+    doc_id: string        "doc-{i:012d}"
+    tokens: list<int32>   token ids in [0, VOCAB)
+    n_tok:  int32         == len(tokens) for clean rows
+    source: string        in {web, books, code, wiki}, skewed 70/15/10/5
+
+with exactly-tracked injected violations (~1% dirty rows, one class per
+dirty row) so tests know the expected violation set precisely.  All
+generation is seed=42 pure-function deterministic; nothing external.
+
+Violation classes mirror the reference error catalogue
+(/root/reference/verify/src/impls/schemars/errors.rs:62-144); the
+per-class expected rule_ids account for rule interactions (e.g. an
+out-of-range ``n_tok`` also breaks ``len_equals_column``) — the engine
+accumulates all of them, mirroring ``Errors`` + ``AddAssign``
+(errors.rs:411-415).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = 50_000
+SOURCES = ["web", "books", "code", "wiki"]
+SOURCE_WEIGHTS = [0.70, 0.15, 0.10, 0.05]
+DOC_ID_PATTERN = r"^doc-[0-9]{12}$"
+
+
+@dataclass
+class SynthResult:
+    files: list[str]
+    expected_violations: pa.Table  # (doc_id, rule_id, span, partition_id)
+    expected_verdicts: list[dict]
+    n_rows: int
+
+
+def default_spec_dict(max_n_tok: int = 2048, with_drift: bool = False,
+                      reference_stats: str | None = None) -> dict:
+    """The ConstraintSpec (as a dict) encoding every FIXTURES.md T1 rule."""
+    d = {
+        "table": "sequences",
+        "key": "doc_id",
+        "allow_unknown_columns": True,
+        "columns": {
+            "doc_id": {
+                "dtype": "string",
+                "non_null": True,
+                "pattern": DOC_ID_PATTERN,
+                "min_length": 4,
+                "max_length": 64,
+                "unique": True,
+            },
+            "tokens": {
+                "dtype": "list<int32>",
+                "non_null": True,
+                "element_min": 0,
+                "element_max": VOCAB - 1,
+                "len_equals": "n_tok",
+            },
+            "n_tok": {
+                "dtype": "int32",
+                "non_null": True,
+                "minimum": 1,
+                "maximum": max_n_tok,
+            },
+            "source": {
+                "dtype": "string",
+                "non_null": True,
+                "enum": SOURCES,
+                "ref": "source_manifest",
+            },
+        },
+    }
+    if with_drift:
+        d["drift"] = {
+            "group_by": "source",
+            "column": "n_tok",
+            "token_column": "tokens",
+            "reference_stats": reference_stats,
+        }
+    return d
+
+
+def make_sequences(
+    out_dir: str,
+    n_rows: int = 10_000,
+    n_files: int = 8,
+    seed: int = 42,
+    dirty_frac: float = 0.01,
+    max_n_tok: int = 256,
+    clean: bool = False,
+    drift_partition: int | None = None,
+    id_offset: int = 0,
+) -> SynthResult:
+    """Write ``n_files`` Parquet files of sequences under ``out_dir``.
+
+    ``clean=True`` → no injected violations (used for the reference-epoch
+    drift baseline, FIXTURES T3).  ``drift_partition=k`` shifts partition
+    k's ``code``-source rows to n_tok ∈ [0.85*max, max] *consistently*
+    (tokens match n_tok, all in-range) so only the drift check can flag it.
+    ``id_offset`` shifts the doc-id space (disjoint epochs).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    rows_per_file = [n_rows // n_files] * n_files
+    for i in range(n_rows % n_files):
+        rows_per_file[i] += 1
+
+    files: list[str] = []
+    exp_doc, exp_rule, exp_span, exp_part = [], [], [], []
+    verdicts: list[dict] = []
+    # choose cross-partition duplicate pairs up front (not_unique W1):
+    # duplicates must span partitions to prove the shuffle works
+    global_row = 0
+    dup_sources: dict[int, str] = {}
+
+    all_ids_by_part: list[np.ndarray] = []
+    start_of_part = np.cumsum([0] + rows_per_file)
+
+    n_dirty_total = 0
+    part_tables = []
+    for part in range(n_files):
+        n = rows_per_file[part]
+        ids = np.arange(start_of_part[part], start_of_part[part] + n) + id_offset
+        doc_id = np.array([f"doc-{i:012d}" for i in ids], dtype=object)
+        n_tok = rng.integers(1, max_n_tok // 2, size=n).astype(np.int32)
+        src_idx = rng.choice(len(SOURCES), size=n, p=SOURCE_WEIGHTS)
+        source = np.array([SOURCES[j] for j in src_idx], dtype=object)
+
+        if drift_partition is not None and part == drift_partition:
+            code_rows = np.flatnonzero(src_idx == 2)
+            n_tok[code_rows] = rng.integers(
+                int(max_n_tok * 0.85), max_n_tok + 1, size=len(code_rows)
+            ).astype(np.int32)
+
+        dirty_rows = []
+        if not clean and dirty_frac > 0:
+            n_dirty = max(8, int(n * dirty_frac))
+            dirty_rows = rng.choice(n, size=min(n_dirty, n), replace=False)
+        dirty_set = set(int(r) for r in dirty_rows)
+        n_dirty_total += len(dirty_set)
+
+        # token arrays are built AFTER n_tok mutations that change lengths,
+        # so len(tokens) == n_tok unless the injection targets len_equals
+        null_source_rows: list[int] = []
+        classes = {}
+        for k, r in enumerate(sorted(dirty_set)):
+            classes[r] = k % 8
+
+        len_delta = np.zeros(n, dtype=np.int64)
+        tok_corrupt: dict[int, int] = {}  # row -> bad token value
+        for r, cls in classes.items():
+            d = doc_id[r]
+            if cls == 0:  # duplicate doc_id: reuse a clean id from partition 0
+                victim = int(rng.integers(0, rows_per_file[0] // 2))
+                victim_id = f"doc-{victim + id_offset:012d}"
+                if part == 0:
+                    continue  # can't self-dup cleanly in part 0; skip
+                doc_id[r] = victim_id
+                exp_doc.append(victim_id); exp_rule.append("not_unique")
+                exp_span.append("doc_id"); exp_part.append(-1)  # global rule
+            elif cls == 1:  # n_tok below range (also breaks len_equals)
+                n_tok[r] = 0
+                exp_doc.append(d); exp_rule.append("less_than_expected")
+                exp_span.append("n_tok"); exp_part.append(part)
+                exp_doc.append(d); exp_rule.append("len_equals_column")
+                exp_span.append("tokens"); exp_part.append(part)
+            elif cls == 2:  # n_tok above range (also breaks len_equals)
+                n_tok[r] = max_n_tok + 100
+                exp_doc.append(d); exp_rule.append("more_than_expected")
+                exp_span.append("n_tok"); exp_part.append(part)
+                exp_doc.append(d); exp_rule.append("len_equals_column")
+                exp_span.append("tokens"); exp_part.append(part)
+            elif cls == 3:  # len mismatch only (n_tok stays in range)
+                len_delta[r] = 1  # tokens gets one extra element
+                exp_doc.append(d); exp_rule.append("len_equals_column")
+                exp_span.append("tokens"); exp_part.append(part)
+            elif cls == 4:  # null source
+                null_source_rows.append(r)
+                exp_doc.append(d); exp_rule.append("non_null")
+                exp_span.append("source"); exp_part.append(part)
+            elif cls == 5:  # unknown source (enum + referential)
+                source[r] = "unknown-src"
+                exp_doc.append(d); exp_rule.append("invalid_enum_value")
+                exp_span.append("source"); exp_part.append(part)
+                exp_doc.append(d); exp_rule.append("ref_missing")
+                exp_span.append("source"); exp_part.append(part)
+            elif cls == 6:  # token id out of bounds at a known position
+                pos = int(rng.integers(0, max(1, n_tok[r])))
+                tok_corrupt[r] = pos
+                exp_doc.append(d); exp_rule.append("element_out_of_bounds")
+                exp_span.append(f"tokens.{pos}"); exp_part.append(part)
+            elif cls == 7:  # doc_id pattern violation (length kept legal)
+                bad = f"DOC_{ids[r]:012d}"
+                doc_id[r] = bad
+                exp_doc.append(bad); exp_rule.append("no_pattern_match")
+                exp_span.append("doc_id"); exp_part.append(part)
+
+        lengths = np.maximum(n_tok.astype(np.int64), 0)
+        # rows whose n_tok was pushed out of range keep their ORIGINAL
+        # token count? No — FIXTURES says out-of-range n_tok rows simply
+        # mismatch; we give them a small real token array (length 5)
+        lengths[n_tok <= 0] = 5
+        lengths[n_tok > max_n_tok] = 5
+        lengths = lengths + len_delta
+        total = int(lengths.sum())
+        values = rng.integers(0, VOCAB, size=total, dtype=np.int32)
+        offsets = np.concatenate([[0], np.cumsum(lengths)])
+        for r, pos in tok_corrupt.items():
+            values[offsets[r] + pos] = VOCAB if (r % 2 == 0) else -1
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32())
+        )
+
+        src_arr = pa.array(
+            [None if i in set(null_source_rows) else s for i, s in enumerate(source)],
+            type=pa.string(),
+        )
+        table = pa.table(
+            {
+                "doc_id": pa.array(doc_id, type=pa.string()),
+                "tokens": tokens,
+                "n_tok": pa.array(n_tok, type=pa.int32()),
+                "source": src_arr,
+            }
+        )
+        path = os.path.join(out_dir, f"part-{part:05d}.parquet")
+        pq.write_table(table, path)
+        files.append(path)
+        part_tables.append(table)
+
+    expected = pa.table(
+        {
+            "doc_id": pa.array(exp_doc, type=pa.string()),
+            "rule_id": pa.array(exp_rule, type=pa.string()),
+            "span": pa.array(exp_span, type=pa.string()),
+            "partition_id": pa.array(exp_part, type=pa.int32()),
+        }
+    )
+    # per-partition verdicts (drift/global rules excluded: partition -1)
+    for part in range(n_files):
+        nv = int(np.sum(np.array(exp_part) == part)) if exp_part else 0
+        verdicts.append(
+            {
+                "partition_id": part,
+                "n_rows": rows_per_file[part],
+                "pass": nv == 0,
+            }
+        )
+    return SynthResult(
+        files=files,
+        expected_violations=expected,
+        expected_verdicts=verdicts,
+        n_rows=n_rows,
+    )
+
+
+def make_manifest(out_dir: str, max_n_tok: int = 2048) -> str:
+    """FIXTURES T2: the source_manifest broadcast small side."""
+    os.makedirs(out_dir, exist_ok=True)
+    t = pa.table(
+        {
+            "source": pa.array(SOURCES, type=pa.string()),
+            "license": pa.array(["cc", "propr", "mit", "cc-by"], type=pa.string()),
+            "max_n_tok": pa.array([max_n_tok] * 4, type=pa.int32()),
+        }
+    )
+    path = os.path.join(out_dir, "source_manifest.parquet")
+    pq.write_table(t, path)
+    return path
+
+
+def make_golden(out_dir: str) -> tuple[str, pa.Table]:
+    """FIXTURES T4: micro-fixture mirroring the reference golden example
+    (/root/reference/verify/examples/schemars_json.rs:50-75): a handful of
+    rows each breaking exactly one rule, plus one row breaking three at
+    once (AddAssign accumulation), plus the empty-span whole-table case."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows = {
+        "doc_id": ["doc-000000000001", "doc-000000000002", "doc-000000000003",
+                   "doc-000000000004", "bad"],
+        "n_tok": [3, 0, 3, 3, 3],
+        "source": ["web", "web", "nope", "web", None],
+    }
+    toks = [[1, 2, 3], [1, 2, 3], [1, 2, 3], [1, -7, 3], [1, 2, 3]]
+    t = pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], type=pa.string()),
+            "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+            "n_tok": pa.array(rows["n_tok"], type=pa.int32()),
+            "source": pa.array(rows["source"], type=pa.string()),
+        }
+    )
+    path = os.path.join(out_dir, "golden.parquet")
+    pq.write_table(t, path)
+    expected = pa.table(
+        {
+            "doc_id": pa.array(
+                ["doc-000000000002", "doc-000000000002", "doc-000000000003",
+                 "doc-000000000003", "doc-000000000004", "bad", "bad", "bad"],
+                type=pa.string()),
+            "rule_id": pa.array(
+                ["less_than_expected", "len_equals_column", "invalid_enum_value",
+                 "ref_missing", "element_out_of_bounds", "no_pattern_match",
+                 "too_short", "non_null"],
+                type=pa.string()),
+            "span": pa.array(
+                ["n_tok", "tokens", "source", "source", "tokens.1", "doc_id",
+                 "doc_id", "source"],
+                type=pa.string()),
+        }
+    )
+    return path, expected
