@@ -1,0 +1,112 @@
+"""End-to-end engine tests: synthetic table with injected violations of
+every rule class → exact expected violation rows + per-partition
+verdicts (SURVEY §5)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from verify_ray.engine import validate
+from verify_ray.spec import ConstraintSpec
+from verify_ray.sources.synth import default_spec_dict, make_golden
+
+
+def vset(table, with_part=False):
+    cols = ["doc_id", "rule_id", "span"] + (["partition_id"] if with_part else [])
+    return set(zip(*[table.column(c).to_pylist() for c in cols]))
+
+
+@pytest.fixture(scope="module")
+def report(ray_session, synth_dir):
+    spec = ConstraintSpec.from_dict(default_spec_dict(max_n_tok=256))
+    manifest = pq.read_table(synth_dir["manifest"])
+    return validate(synth_dir["dir"], spec, manifests={"source_manifest": manifest})
+
+
+def test_exact_violation_set(report, synth_dir):
+    got = vset(report.violations)
+    expected = vset(synth_dir["result"].expected_violations)
+    missing = expected - got
+    extra = got - expected
+    assert not missing, f"missing violations: {sorted(missing)[:10]}"
+    assert not extra, f"unexpected violations: {sorted(extra)[:10]}"
+
+
+def test_partition_lineage(report, synth_dir):
+    # every narrow violation carries the partition of its source file
+    exp = {(d, r, s): p for d, r, s, p in
+           vset(synth_dir["result"].expected_violations, with_part=True)}
+    for d, r, s, p in vset(report.violations, with_part=True):
+        if exp.get((d, r, s), -1) >= 0:
+            assert p == exp[(d, r, s)], (d, r, s)
+    # global rules (uniqueness) are partition -1
+    for d, r, s, p in vset(report.violations, with_part=True):
+        if r == "not_unique":
+            assert p == -1
+
+
+def test_verdicts(report, synth_dir):
+    vd = report.verdicts.set_index("partition_id")
+    for exp in synth_dir["result"].expected_verdicts:
+        row = vd.loc[exp["partition_id"]]
+        assert int(row.n_rows) == exp["n_rows"]
+        assert bool(row["pass"]) == exp["pass"]
+    assert report.summary["n_rows"] == synth_dir["result"].n_rows
+    assert not report.summary["pass"]
+
+
+def test_clean_table_passes(ray_session, tmp_path):
+    from verify_ray.sources.synth import make_sequences, make_manifest
+
+    d = str(tmp_path / "clean")
+    make_sequences(d, n_rows=1000, n_files=4, seed=7, clean=True)
+    manifest = pq.read_table(make_manifest(str(tmp_path)))
+    spec = ConstraintSpec.from_dict(default_spec_dict(max_n_tok=256))
+    rep = validate(d, spec, manifests={"source_manifest": manifest})
+    assert rep.ok, rep.violations.to_pylist()[:5]
+    assert rep.verdicts["pass"].all()
+    assert rep.summary["n_rows"] == 1000
+
+
+def test_golden_parity(ray_session, tmp_path):
+    """FIXTURES T4: the reference golden-example scenario translated to
+    the table domain (examples/schemars_json.rs:72-75), incl. one row
+    violating 3 rules at once (AddAssign accumulation)."""
+    path, expected = make_golden(str(tmp_path))
+    spec = ConstraintSpec.from_dict(default_spec_dict(max_n_tok=256))
+    rep = validate(path, spec, manifests={"source_manifest": ["web", "books", "code", "wiki"]})
+    assert vset(rep.violations) == vset(expected)
+    bad_rows = [r for r in rep.violations.to_pylist() if r["doc_id"] == "bad"]
+    assert len(bad_rows) == 3  # too_short + no_pattern_match + non_null
+
+
+def test_missing_manifest_raises(ray_session, synth_dir):
+    spec = ConstraintSpec.from_dict(default_spec_dict())
+    with pytest.raises(ValueError, match="source_manifest"):
+        validate(synth_dir["dir"], spec)
+
+
+def test_in_memory_dataset_source(ray_session):
+    import ray.data as rd
+
+    spec = ConstraintSpec.from_dict(
+        {"key": "doc_id", "columns": {"doc_id": {"dtype": "string", "unique": True},
+                                      "n": {"dtype": "int64", "minimum": 0}}}
+    )
+    ds = rd.from_arrow(pa.table({"doc_id": ["a", "b", "a"], "n": [1, -1, 2]}))
+    rep = validate(ds, spec)
+    got = {(r, s) for _, r, s in vset(rep.violations)}
+    assert got == {("less_than_expected", "n"), ("not_unique", "doc_id")}
+
+
+def test_schema_violation_required_column(ray_session, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(["a"])}), p)
+    spec = ConstraintSpec.from_dict(
+        {"key": "doc_id", "columns": {"doc_id": {"dtype": "string"},
+                                      "n_tok": {"dtype": "int32"}}}
+    )
+    rep = validate(p, spec)
+    rows = rep.violations.to_pylist()
+    assert any(r["rule_id"] == "required_property" and r["span"] == ""
+               and 'n_tok' in r["message"] for r in rows)

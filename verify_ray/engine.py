@@ -1,0 +1,218 @@
+"""The public driver API — the analogue of the reference's
+``Verifier::verify_value`` entry point
+(/root/reference/verify/src/impls/schemars/schema.rs:18-34, trait
+def lib.rs:191-206), generalized from "one value" to "one Dataset":
+
+    report = validate("/data/sequences", spec, manifests={...})
+
+Pipeline (SURVEY §3.4), all streaming with backpressure:
+
+    footer scan (schema + row counts; no data pages)     driver, cheap
+      → read_parquet(columns=<referenced only>)          prune at read
+      → map_batches(validator)        narrow kernels + broadcast ref rules
+      → groupby(key) over per-batch partial counts       W1 uniqueness
+      → union → violations; verdicts from counts         W4/W5
+
+``validate`` materializes the (small) violation set for interactive /
+test use.  For 100 TB runs use ``verify_ray.run`` which streams
+violations straight to partitioned Parquet with per-partition
+checkpoints and never collects them on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .errors import VIOLATION_SCHEMA
+from .kernels import CompiledPlan
+from .spec import ConstraintSpec
+from .sources.parquet import list_input_files, partition_map, scan_inputs
+from .stages.referential import make_ref_rule
+from .stages.unique import unique_violations
+from .stages.validate import make_batch_validator
+
+
+@dataclass
+class ValidationReport:
+    """W4/W5: violations as data + per-partition verdicts.
+
+    A partition passes iff it has zero violations — the mirror of
+    ``Errors::is_empty`` (reference errors.rs:354-356).  Global rules
+    (uniqueness, referential aggregates, drift) carry partition_id -1
+    and affect the run-level verdict, not per-partition ones.
+    """
+
+    violations: pa.Table
+    verdicts: pd.DataFrame
+    summary: dict = dc_field(default_factory=dict)
+
+    @property
+    def ok(self) -> bool:
+        return self.violations.num_rows == 0
+
+    def rule_counts(self) -> dict[str, int]:
+        if self.violations.num_rows == 0:
+            return {}
+        vc = self.violations.column("rule_id").to_pandas().value_counts()
+        return {str(k): int(v) for k, v in vc.items()}
+
+
+def _as_plan(spec_or_plan) -> CompiledPlan:
+    if isinstance(spec_or_plan, ConstraintSpec):
+        return spec_or_plan.compile()
+    if isinstance(spec_or_plan, dict):
+        return ConstraintSpec.from_dict(spec_or_plan).compile()
+    return spec_or_plan
+
+
+def build_violations_dataset(ds, plan: CompiledPlan, manifests=None,
+                             path_to_pid=None, batch_size=None,
+                             key_ds_factory=None):
+    """Lazy Dataset of ALL violation rows for ``ds`` (narrow pass +
+    uniqueness shuffle).  Shared by validate() and run().
+
+    ``key_ds_factory(col)`` supplies the dataset for the uniqueness
+    pass; for Parquet inputs it re-reads ONLY the key column (a few
+    bytes/row) instead of dragging the token lists through a second
+    scan."""
+    rules = list(plan.row_rules)
+    for rc in plan.ref_checks:
+        if manifests is None or rc.manifest not in manifests:
+            raise ValueError(
+                f'spec references manifest "{rc.manifest}" for column '
+                f'"{rc.column}" but no manifest was supplied'
+            )
+        rules.append(make_ref_rule(rc.column, manifests[rc.manifest], rc.manifest))
+    narrow_plan = CompiledPlan(
+        **{**plan.__dict__, "row_rules": rules}
+    )
+    validator = make_batch_validator(narrow_plan, path_to_pid)
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    violations = ds.map_batches(validator, **kwargs)
+    for col in plan.unique_columns:
+        key_ds = key_ds_factory(col) if key_ds_factory is not None else ds
+        violations = violations.union(unique_violations(key_ds, col))
+    return violations
+
+
+def validate(source, spec_or_plan, manifests=None, batch_size=None,
+             drift_reference=None) -> ValidationReport:
+    """Validate Parquet files (path/dir/list) or a ray Dataset.
+
+    Returns a materialized report — use only when the violation volume
+    fits in driver memory (tests, interactive exploration, small runs).
+    """
+    import ray
+    import ray.data as rd
+
+    plan = _as_plan(spec_or_plan)
+
+    schema_viols: list[tuple[str, str, str, int]] = []
+    path_to_pid = None
+    row_counts: dict[int, int] = {}
+    if isinstance(source, (str, list, tuple)):
+        files = list_input_files(source)
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {source!r}")
+        path_to_pid = partition_map(files)
+        row_counts, schemas = scan_inputs(files)
+        seen: dict[int, list[int]] = {}
+        for pid, sch in schemas.items():
+            seen.setdefault(hash(tuple(zip(sch.names, map(str, sch.types)))), []).append(pid)
+        for pids in seen.values():
+            for rid, span, msg in plan.schema_violations(schemas[pids[0]]):
+                for pid in pids:
+                    schema_viols.append((rid, span, msg, pid))
+        cols = [c for c in plan.referenced_columns
+                if c in schemas[0].names] if schemas else plan.referenced_columns
+        ds = rd.read_parquet(files, columns=cols or None, include_paths=True)
+        key_ds_factory = lambda col: rd.read_parquet(files, columns=[col])  # noqa: E731
+    else:
+        ds = source
+        key_ds_factory = None
+        sch = pa.schema(
+            [(n, t) for n, t in zip(ds.schema().names, ds.schema().types)]
+        )
+        for rid, span, msg in plan.schema_violations(sch):
+            schema_viols.append((rid, span, msg, -2))
+        n = ds.count()
+        row_counts = {-2: n}
+
+    violations_ds = build_violations_dataset(
+        ds, plan, manifests=manifests, path_to_pid=path_to_pid,
+        batch_size=batch_size, key_ds_factory=key_ds_factory
+    )
+    refs = violations_ds.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows > 0]
+    if tables:
+        vt = pa.concat_tables([t.cast(VIOLATION_SCHEMA) for t in tables])
+    else:
+        vt = VIOLATION_SCHEMA.empty_table()
+
+    if schema_viols:
+        sv = pa.table(
+            {
+                "doc_id": pa.array([""] * len(schema_viols), type=pa.string()),
+                "rule_id": pa.array([r for r, _, _, _ in schema_viols], type=pa.string()),
+                "span": pa.array([s for _, s, _, _ in schema_viols], type=pa.string()),
+                "message": pa.array([m for _, _, m, _ in schema_viols], type=pa.string()),
+                "partition_id": pa.array(
+                    np.array([p for _, _, _, p in schema_viols], dtype=np.int32)),
+            }
+        )
+        vt = pa.concat_tables([vt, sv])
+
+    # drift (W3) — needs a reference-epoch stats table
+    if plan.drift is not None and drift_reference is not None:
+        from .stages.drift import drift_violations
+
+        dv = drift_violations(ds, plan.drift, drift_reference)
+        if dv.num_rows:
+            vt = pa.concat_tables([vt, dv.cast(VIOLATION_SCHEMA)])
+
+    verdicts = build_verdicts(vt, row_counts)
+    summary = {
+        "n_rows": int(sum(row_counts.values())),
+        "n_partitions": len(row_counts),
+        "n_violations": int(vt.num_rows),
+        "pass": vt.num_rows == 0,
+        "spec_hash": plan.spec.spec_hash() if hasattr(plan.spec, "spec_hash") else None,
+    }
+    return ValidationReport(violations=vt, verdicts=verdicts, summary=summary)
+
+
+def build_verdicts(violations: pa.Table, row_counts: dict[int, int]) -> pd.DataFrame:
+    """Per-partition verdict rows (W4).  Partition -1 / -2 (global /
+    unknown-lineage) violations are excluded from per-partition verdicts
+    but reported in the summary."""
+    vdf = violations.select(["partition_id", "rule_id"]).to_pandas()
+    per_part = vdf[vdf.partition_id >= 0].groupby("partition_id")
+    counts = per_part.size() if len(vdf) else pd.Series(dtype=int)
+    rule_counts = (
+        per_part.rule_id.value_counts() if len(vdf) else pd.Series(dtype=int)
+    )
+    rows = []
+    for pid in sorted(row_counts):
+        nv = int(counts.get(pid, 0)) if pid >= 0 else 0
+        rc = {}
+        if nv:
+            rc = {k[1]: int(v) for k, v in rule_counts.items() if k[0] == pid}
+        rows.append(
+            {
+                "partition_id": pid,
+                "n_rows": int(row_counts[pid]),
+                "n_violations": nv,
+                "pass": nv == 0,
+                "rule_counts": json.dumps(rc, sort_keys=True),
+            }
+        )
+    return pd.DataFrame(
+        rows, columns=["partition_id", "n_rows", "n_violations", "pass", "rule_counts"]
+    )

@@ -575,6 +575,9 @@ class CompiledPlan:
     min_columns: Optional[int]
     max_columns: Optional[int]
     pattern_columns: dict = field(default_factory=dict)
+    # every column any rule touches — the read-time projection (prune at
+    # the read: only these columns leave storage)
+    referenced_columns: list[str] = field(default_factory=list)
 
     # -- schema-level validation (once per distinct schema) ----------------
 
@@ -772,6 +775,20 @@ def compile_plan(spec) -> CompiledPlan:
         if c.ref is not None:
             ref_checks.append(RefCheck(column=c.name, manifest=c.ref))
 
+    # the read-time projection: every column any rule touches
+    referenced: set[str] = {spec.key}
+    for c in spec.columns:
+        referenced.add(c.name)
+        if c.len_equals:
+            referenced.add(c.len_equals)
+        for chk in c.checks:
+            _collect_pred_columns(chk, c.name, referenced)
+    if spec.drift is not None:
+        referenced.add(spec.drift.group_by)
+        referenced.add(spec.drift.column)
+        if spec.drift.token_column:
+            referenced.add(spec.drift.token_column)
+
     # pattern_columns: constraints applied to every column matching the
     # regex at compile time against *declared* columns; undeclared matches
     # are resolved at read time in schema_violations (names are fixed).
@@ -790,4 +807,25 @@ def compile_plan(spec) -> CompiledPlan:
         min_columns=spec.min_columns,
         max_columns=spec.max_columns,
         pattern_columns=dict(spec.pattern_columns),
+        referenced_columns=sorted(referenced),
     )
+
+
+def _collect_pred_columns(node, default_column: str, out: set[str]) -> None:
+    if not isinstance(node, dict):
+        return
+    if set(node) & _PRED_LEAF_KEYS_FOR_COLS:
+        out.add(node.get("column", default_column))
+    for k in ("all_of", "any_of", "one_of"):
+        for sub in node.get(k, []) or []:
+            _collect_pred_columns(sub, default_column, out)
+    for k in ("not", "if", "then", "else"):
+        if k in node:
+            _collect_pred_columns(node[k], default_column, out)
+
+
+_PRED_LEAF_KEYS_FOR_COLS = frozenset(
+    {"column", "enum", "minimum", "maximum", "exclusive_minimum",
+     "exclusive_maximum", "multiple_of", "pattern", "min_length",
+     "max_length", "non_null", "is_null", "min_items", "max_items"}
+)

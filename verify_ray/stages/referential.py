@@ -1,0 +1,80 @@
+"""W2 — referential checks against a broadcast manifest.
+
+Scale-up of the reference's enum-membership + ``$ref`` dictionary
+lookup (/root/reference/verify/src/impls/schemars/macros.rs:212-240,
+schema.rs:124-150): every value of a column must exist in a small
+manifest table (anti-join semantics: non-matches are violations).
+
+The manifest is the SMALL side, so there is no shuffle and no second
+pass over the data: the check compiles into an extra vectorized
+RowRule (``pc.is_in`` per batch) that runs inside the single narrow
+validation pass.  Large manifests are broadcast via ``ray.put`` once
+and fetched from the local object store inside each task; small ones
+ride the task closure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..errors import R
+from ..kernels import RowRule, _np_bool
+
+# manifests up to this many keys are embedded in the task closure;
+# larger ones go through ray.put broadcast
+EMBED_MAX_KEYS = 100_000
+
+
+def manifest_key_array(manifest, key_column: str | None = None) -> pa.Array:
+    """Normalize a manifest (pa.Table / pandas / list / set) into the
+    Arrow array of its keys."""
+    if isinstance(manifest, pa.Table):
+        col = manifest.column(key_column or manifest.column_names[0])
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if hasattr(manifest, "to_numpy") and hasattr(manifest, "columns"):  # pandas
+        return pa.array(manifest[key_column or manifest.columns[0]])
+    return pa.array(sorted(manifest))
+
+
+def make_ref_rule(column: str, manifest, manifest_name: str,
+                  broadcast: bool = True) -> RowRule:
+    """Build the referential RowRule for one column.
+
+    ``manifest`` may be a pa.Table / pandas DF / iterable of keys, or an
+    already-created ``ray.ObjectRef`` to a key array.
+    """
+    import ray
+
+    keys_or_ref = manifest
+    if not isinstance(manifest, ray.ObjectRef):
+        keys = manifest_key_array(manifest)
+        if broadcast and len(keys) > EMBED_MAX_KEYS and ray.is_initialized():
+            keys_or_ref = ray.put(keys)
+        else:
+            keys_or_ref = keys
+
+    def mask(t: pa.Table) -> np.ndarray:
+        if column not in t.column_names:
+            return np.zeros(t.num_rows, dtype=bool)
+        keys = keys_or_ref
+        if isinstance(keys, ray.ObjectRef):
+            keys = ray.get(keys)  # local object-store hit after first fetch
+        col = t.column(column)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if not col.type.equals(keys.type):
+            try:
+                col = pc.cast(col, keys.type)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                return np.zeros(t.num_rows, dtype=bool)
+        missing = pc.and_(pc.invert(pc.is_in(col, value_set=keys)), pc.is_valid(col))
+        return _np_bool(missing)
+
+    return RowRule(
+        rule_id=R.REF_MISSING,
+        column=column,
+        span=column,
+        message=f'value not found in manifest "{manifest_name}"',
+        mask_fn=mask,
+    )
