@@ -1,0 +1,78 @@
+"""W3 drift end-to-end: clean epoch → reference stats; shifted partition
+flags its source, clean sources stay quiet (FIXTURES T1/T3)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from verify_ray.spec import ConstraintSpec, DriftSpec
+from verify_ray.sources.synth import default_spec_dict, make_manifest, make_sequences
+
+
+@pytest.fixture(scope="module")
+def drift_setup(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("drift")
+    ref_dir = str(d / "reference_epoch")
+    cur_dir = str(d / "current_epoch")
+    # clean reference epoch; disjoint id space
+    make_sequences(ref_dir, n_rows=8000, n_files=4, seed=100, clean=True)
+    # current epoch: clean rows but partition 1's `code` rows shifted hard
+    make_sequences(cur_dir, n_rows=8000, n_files=4, seed=101, clean=True,
+                   drift_partition=1, id_offset=1_000_000)
+    drift = DriftSpec(group_by="source", column="n_tok", token_column="tokens",
+                      min_rows=50)
+    from verify_ray.stages.drift import make_reference_stats
+
+    stats_path = str(d / "reference_stats.parquet")
+    make_reference_stats(ref_dir, drift, out_path=stats_path)
+    return {"ref": ref_dir, "cur": cur_dir, "stats": stats_path, "drift": drift,
+            "root": str(d)}
+
+
+def test_reference_stats_shape(drift_setup):
+    t = pq.read_table(drift_setup["stats"])
+    assert t.column_names == ["source", "n_tok_quantiles", "token_freq_topk",
+                              "row_count"]
+    assert sorted(t.column("source").to_pylist()) == ["books", "code", "web", "wiki"]
+    assert sum(t.column("row_count").to_pylist()) == 8000
+
+
+def test_drift_flags_shifted_source_only(ray_session, drift_setup):
+    import ray.data as rd
+
+    from verify_ray.stages.drift import drift_violations
+
+    ds = rd.read_parquet(drift_setup["cur"] + "/")
+    dv = drift_violations(ds, drift_setup["drift"], drift_setup["stats"])
+    rows = dv.to_pylist()
+    flagged = {r["doc_id"] for r in rows}
+    assert "code" in flagged, rows
+    assert flagged <= {"code"}, f"clean sources flagged: {rows}"
+    assert all(r["rule_id"] == "drift" for r in rows)
+    assert any(r["span"] == "source.code.n_tok" for r in rows)
+
+
+def test_clean_epoch_self_check_quiet(ray_session, drift_setup):
+    import ray.data as rd
+
+    from verify_ray.stages.drift import drift_violations
+
+    ds = rd.read_parquet(drift_setup["ref"] + "/")
+    dv = drift_violations(ds, drift_setup["drift"], drift_setup["stats"])
+    assert dv.num_rows == 0, dv.to_pylist()
+
+
+def test_engine_integration_with_drift(ray_session, drift_setup):
+    from verify_ray.engine import validate
+
+    spec_d = default_spec_dict(max_n_tok=256, with_drift=True)
+    spec_d["drift"]["min_rows"] = 50
+    spec = ConstraintSpec.from_dict(spec_d)
+    manifest = pq.read_table(make_manifest(drift_setup["root"]))
+    rep = validate(drift_setup["cur"], spec,
+                   manifests={"source_manifest": manifest},
+                   drift_reference=drift_setup["stats"])
+    drift_rows = [r for r in rep.violations.to_pylist() if r["rule_id"] == "drift"]
+    assert drift_rows and all(r["doc_id"] == "code" for r in drift_rows)
+    assert all(r["partition_id"] == -1 for r in drift_rows)
+    # drift (global) must not fail per-partition verdicts
+    assert rep.verdicts["pass"].all()

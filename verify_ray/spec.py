@@ -138,7 +138,10 @@ class DriftSpec:
     reference_stats: Optional[str] = None  # path to reference_stats parquet
     quantiles: tuple = (0.05, 0.25, 0.5, 0.75, 0.95)
     max_rel_err: float = 0.25  # tolerated relative error per quantile
+    min_abs_err: float = 8.0   # breaches below this absolute diff never flag
+                               # (suppresses small-group sampling noise)
     topk: int = 20
+    topk_l1_max: float = 0.25  # max L1 distance over reference top-k freqs
     min_rows: int = 100  # groups smaller than this are not drift-checked
 
 

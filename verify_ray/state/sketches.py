@@ -1,0 +1,252 @@
+"""Mergeable streaming sketches for distribution-drift checks (W3).
+
+The reference only checks scalar membership/bounds
+(/root/reference/verify-macros/../macros.rs K3-K8); drift checks
+generalize "value within expected set/range" to "distribution within
+expected shape" (SURVEY §2.6 W3).  Everything here is:
+
+  * **mergeable** — ``a.merge(b)`` is associative+commutative, so Ray
+    can combine per-batch partials in any tree order;
+  * **vectorized** — numpy adds whole columns, no Python loops;
+  * **deterministic** — fixed hash seeds, no RNG at runtime;
+  * **bounded** — O(KB) per sketch regardless of input size.
+
+Sketches: a log-spaced ``HistogramSketch`` for quantiles (plays the
+t-digest role with deterministic merge), a ``CountMinSketch`` for
+token frequencies, and a ``TokenFreqSketch`` combining count-min with
+an exact candidate set for heavy hitters.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+
+import numpy as np
+
+
+class HistogramSketch:
+    """Log-spaced fixed-bin histogram over [0, max_value].
+
+    Quantile error is bounded by bin width (relative error ≈
+    ``exp(log1p(max)/bins) - 1``, ~4% for max=2^21 and 384 bins), and
+    unlike t-digest the merge is exact: same edges, add counts.
+    """
+
+    __slots__ = ("max_value", "bins", "counts", "n", "total")
+
+    def __init__(self, max_value: float = 2**21, bins: int = 384):
+        self.max_value = float(max_value)
+        self.bins = int(bins)
+        self.counts = np.zeros(bins, dtype=np.int64)
+        self.n = 0
+        self.total = 0.0
+
+    def _edges(self) -> np.ndarray:
+        return np.expm1(
+            np.linspace(0.0, np.log1p(self.max_value), self.bins + 1)
+        )
+
+    def add(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        v = np.clip(v, 0.0, self.max_value)
+        pos = np.log1p(v) * (self.bins / np.log1p(self.max_value))
+        idx = np.minimum(pos.astype(np.int64), self.bins - 1)
+        if weights is None:
+            np.add.at(self.counts, idx, 1)
+            self.n += len(v)
+            self.total += float(v.sum())
+        else:
+            w = np.asarray(weights, dtype=np.int64)
+            np.add.at(self.counts, idx, w)
+            self.n += int(w.sum())
+            self.total += float((v * w).sum())
+
+    def merge(self, other: "HistogramSketch") -> "HistogramSketch":
+        assert self.bins == other.bins and self.max_value == other.max_value
+        self.counts += other.counts
+        self.n += other.n
+        self.total += other.total
+        return self
+
+    def quantile(self, q) -> np.ndarray:
+        """Interpolated quantile estimate(s) for q in [0, 1]."""
+        qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        if self.n == 0:
+            return np.full(len(qs), np.nan)
+        cum = np.cumsum(self.counts)
+        targets = qs * self.n
+        bin_idx = np.searchsorted(cum, targets, side="left")
+        bin_idx = np.minimum(bin_idx, self.bins - 1)
+        edges = self._edges()
+        lo, hi = edges[bin_idx], edges[bin_idx + 1]
+        prev = np.where(bin_idx > 0, cum[np.maximum(bin_idx - 1, 0)], 0)
+        within = self.counts[bin_idx]
+        frac = np.where(within > 0, (targets - prev) / np.maximum(within, 1), 0.5)
+        return lo + np.clip(frac, 0, 1) * (hi - lo)
+
+    def mean(self) -> float:
+        return self.total / self.n if self.n else float("nan")
+
+
+class CountMinSketch:
+    """Deterministic count-min over non-negative int keys.
+
+    depth×width int64 counters; hashes are classic multiply-shift:
+    ``h_d(x) = (a_d * x) >> (64 - log2(width))`` in wrapping uint64
+    arithmetic with fixed odd multipliers from a seeded RNG, so two
+    independently constructed sketches with the same shape merge
+    correctly.  Width must be a power of two.  Point estimate = min
+    over rows (classic CM upper bound).
+    """
+
+    __slots__ = ("depth", "width", "table", "n", "_a", "_shift")
+
+    def __init__(self, depth: int = 4, width: int = 8192, seed: int = 0x5EED):
+        assert width & (width - 1) == 0, "width must be a power of two"
+        self.depth = depth
+        self.width = width
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        self.n = 0
+        rng = np.random.RandomState(seed)
+        self._a = (rng.randint(1, 2**62, size=depth).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+        self._shift = np.uint64(64 - int(np.log2(width)))
+
+    def _rows(self, keys: np.ndarray) -> np.ndarray:
+        k = keys.astype(np.uint64)
+        out = np.empty((self.depth, len(keys)), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for d in range(self.depth):
+                out[d] = ((self._a[d] * k) >> self._shift).astype(np.int64)
+        return out
+
+    def add(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
+        keys = np.asarray(keys)
+        if len(keys) == 0:
+            return
+        # pre-aggregate duplicates so np.add.at touches each key once
+        uniq, inv = np.unique(keys, return_inverse=True)
+        if counts is None:
+            c = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        else:
+            c = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(c, inv, np.asarray(counts, dtype=np.int64))
+        rows = self._rows(uniq)
+        for d in range(self.depth):
+            np.add.at(self.table[d], rows[d], c)
+        self.n += int(c.sum())
+
+    def estimate(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=np.int64)
+        rows = self._rows(keys)
+        est = self.table[0][rows[0]]
+        for d in range(1, self.depth):
+            est = np.minimum(est, self.table[d][rows[d]])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert self.depth == other.depth and self.width == other.width
+        self.table += other.table
+        self.n += other.n
+        return self
+
+
+class TokenFreqSketch:
+    """Heavy-hitter token frequencies: count-min for counts + a bounded
+    exact candidate set (tokens seen in any batch's top slice) so top-k
+    queries don't need to enumerate the key space."""
+
+    __slots__ = ("cm", "candidates", "max_candidates")
+
+    def __init__(self, depth: int = 4, width: int = 8192, max_candidates: int = 4096):
+        self.cm = CountMinSketch(depth=depth, width=width)
+        self.candidates: dict[int, int] = {}
+        self.max_candidates = max_candidates
+
+    def add(self, tokens: np.ndarray) -> None:
+        tokens = np.asarray(tokens)
+        if len(tokens) == 0:
+            return
+        uniq, counts = np.unique(tokens, return_counts=True)
+        self.cm.add(uniq, counts)
+        # keep the batch's heaviest keys as candidates
+        if len(uniq) > self.max_candidates // 4:
+            top = np.argsort(counts)[-(self.max_candidates // 4):]
+            uniq, counts = uniq[top], counts[top]
+        for t, c in zip(uniq.tolist(), counts.tolist()):
+            self.candidates[t] = self.candidates.get(t, 0) + int(c)
+        self._prune()
+
+    def _prune(self) -> None:
+        if len(self.candidates) > self.max_candidates:
+            items = sorted(self.candidates.items(), key=lambda kv: -kv[1])
+            self.candidates = dict(items[: self.max_candidates])
+
+    def merge(self, other: "TokenFreqSketch") -> "TokenFreqSketch":
+        self.cm.merge(other.cm)
+        for t, c in other.candidates.items():
+            self.candidates[t] = self.candidates.get(t, 0) + c
+        self._prune()
+        return self
+
+    def topk(self, k: int) -> list[tuple[int, float]]:
+        """Top-k (token, relative_freq) by count-min estimate over the
+        candidate union; frequencies relative to total token count."""
+        if not self.candidates or self.cm.n == 0:
+            return []
+        keys = np.fromiter(self.candidates.keys(), dtype=np.int64)
+        est = self.cm.estimate(keys)
+        order = np.argsort(-est, kind="stable")[:k]
+        total = float(self.cm.n)
+        return [(int(keys[i]), float(est[i]) / total) for i in order]
+
+
+class GroupedSketch:
+    """Per-group (source) sketch bundle: quantile histogram over one
+    numeric column + token-frequency sketch over a list column."""
+
+    __slots__ = ("hist", "tokens", "rows")
+
+    def __init__(self, max_value: float = 2**21):
+        self.hist = HistogramSketch(max_value=max_value)
+        self.tokens = TokenFreqSketch()
+        self.rows = 0
+
+    def merge(self, other: "GroupedSketch") -> "GroupedSketch":
+        self.hist.merge(other.hist)
+        self.tokens.merge(other.tokens)
+        self.rows += other.rows
+        return self
+
+    def to_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        pickle.dump(
+            {
+                "hist": (self.hist.max_value, self.hist.bins, self.hist.counts,
+                         self.hist.n, self.hist.total),
+                "cm": (self.tokens.cm.table, self.tokens.cm.n),
+                "cand": self.tokens.candidates,
+                "rows": self.rows,
+            },
+            buf, protocol=pickle.HIGHEST_PROTOCOL,
+        )
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "GroupedSketch":
+        d = pickle.loads(b)
+        g = cls(max_value=d["hist"][0])
+        g.hist.bins = d["hist"][1]
+        g.hist.counts = d["hist"][2]
+        g.hist.n = d["hist"][3]
+        g.hist.total = d["hist"][4]
+        g.tokens.cm.table = d["cm"][0]
+        g.tokens.cm.n = d["cm"][1]
+        g.tokens.candidates = d["cand"]
+        g.rows = d["rows"]
+        return g
