@@ -1,0 +1,115 @@
+"""Resumable runner tests: streaming sinks, checkpoints, resume-skips,
+spec-hash invalidation (SURVEY §4/§5)."""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from verify_ray.run import run
+from verify_ray.sources.synth import default_spec_dict
+
+
+@pytest.fixture(scope="module")
+def run_out(ray_session, synth_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("runout"))
+    manifest = pq.read_table(synth_dir["manifest"])
+    report = run(
+        default_spec_dict(max_n_tok=256),
+        synth_dir["dir"],
+        out,
+        manifests={"source_manifest": manifest},
+        group_size=3,  # 8 files -> 3 groups
+    )
+    return {"out": out, "report": report, "manifest": manifest}
+
+
+def test_report_and_layout(run_out, synth_dir):
+    rep = run_out["report"]
+    assert rep["n_rows"] == synth_dir["result"].n_rows
+    assert rep["groups_total"] == 3 and rep["groups_ran"] == 3
+    assert not rep["pass"]
+    out = run_out["out"]
+    assert os.path.exists(os.path.join(out, "report.json"))
+    assert os.path.exists(os.path.join(out, "verdicts.parquet"))
+    assert len(glob.glob(os.path.join(out, "groups", "*", "kind=v", "*.parquet"))) >= 3
+    assert len(glob.glob(os.path.join(out, "checkpoints", "*.json"))) == 3
+
+
+def test_violations_match_expected(run_out, synth_dir):
+    out = run_out["out"]
+    vfiles = glob.glob(os.path.join(out, "groups", "*", "kind=v", "*.parquet"))
+    import pyarrow as pa
+
+    vt = pa.concat_tables([pq.read_table(f) for f in vfiles])
+    got = set(zip(vt.column("doc_id").to_pylist(),
+                  vt.column("rule_id").to_pylist(),
+                  vt.column("span").to_pylist()))
+    gfiles = glob.glob(os.path.join(out, "violations_global", "unique", "*.parquet"))
+    gt = pa.concat_tables([pq.read_table(f) for f in gfiles])
+    got |= set(zip(gt.column("doc_id").to_pylist(),
+                   gt.column("rule_id").to_pylist(),
+                   gt.column("span").to_pylist()))
+    exp = synth_dir["result"].expected_violations
+    expected = set(zip(exp.column("doc_id").to_pylist(),
+                       exp.column("rule_id").to_pylist(),
+                       exp.column("span").to_pylist()))
+    assert got == expected
+
+
+def test_verdicts_parquet(run_out, synth_dir):
+    vd = pq.read_table(os.path.join(run_out["out"], "verdicts.parquet")).to_pandas()
+    vd = vd.set_index("partition_id")
+    for exp in synth_dir["result"].expected_verdicts:
+        assert bool(vd.loc[exp["partition_id"]]["pass"]) == exp["pass"]
+        assert int(vd.loc[exp["partition_id"]]["n_rows"]) == exp["n_rows"]
+
+
+def test_resume_skips_completed(run_out, synth_dir):
+    rep2 = run(
+        default_spec_dict(max_n_tok=256),
+        synth_dir["dir"],
+        run_out["out"],
+        manifests={"source_manifest": run_out["manifest"]},
+        group_size=3,
+    )
+    assert rep2["groups_ran"] == 0
+    assert rep2["groups_resumed"] == 3
+    # outputs unchanged and still correct
+    assert rep2["n_violations_narrow"] == run_out["report"]["n_violations_narrow"]
+    assert rep2["n_violations_global"] == run_out["report"]["n_violations_global"]
+
+
+def test_partial_run_resumes(ray_session, synth_dir, tmp_path, run_out):
+    """Simulate a crash after one group: drop two checkpoints, re-run,
+    only the missing groups execute; final outputs identical."""
+    import shutil
+
+    out = str(tmp_path / "partial")
+    shutil.copytree(run_out["out"], out)
+    for gid in (1, 2):
+        os.remove(os.path.join(out, "checkpoints", f"group-{gid:06d}.json"))
+    rep = run(
+        default_spec_dict(max_n_tok=256),
+        synth_dir["dir"],
+        out,
+        manifests={"source_manifest": run_out["manifest"]},
+        group_size=3,
+    )
+    assert rep["groups_ran"] == 2 and rep["groups_resumed"] == 1
+    assert rep["n_violations_narrow"] == run_out["report"]["n_violations_narrow"]
+
+
+def test_spec_change_invalidates_resume(ray_session, synth_dir, run_out, tmp_path):
+    import shutil
+
+    out = str(tmp_path / "specchange")
+    shutil.copytree(run_out["out"], out)
+    spec = default_spec_dict(max_n_tok=256)
+    spec["columns"]["n_tok"]["maximum"] = 64  # stricter spec (synth n_tok < 128)
+    rep = run(spec, synth_dir["dir"], out,
+              manifests={"source_manifest": run_out["manifest"]}, group_size=3)
+    assert rep["groups_ran"] == 3  # nothing resumed
+    assert rep["n_violations_narrow"] > run_out["report"]["n_violations_narrow"]

@@ -1,0 +1,386 @@
+"""The scalable, resumable validation runner (W5) + CLI.
+
+Unlike ``engine.validate`` (which materializes the report for
+interactive use), ``run()`` is the 100 TB path:
+
+  * inputs are processed in **partition groups** of G files; each group
+    is one streaming Dataset pipeline (G sized so a group still saturates
+    the cluster), and each finished group writes an atomic checkpoint —
+    ``--resume`` skips finished groups, so a killed run loses at most
+    one group;
+  * the narrow pass is **single-read**: one ``map_batches`` over the
+    projected columns emits violation rows AND per-batch uniqueness
+    partial counts AND drift sketch partials in one unified stream,
+    hive-partitioned by kind at the sink
+    (``kind=v`` violations / ``kind=c`` key counts / ``kind=s`` sketches)
+    — the token column is read exactly once;
+  * violations stream straight to Parquet — they NEVER collect on the
+    driver;
+  * the final phase runs only over the small partials: uniqueness =
+    ``groupby(key).sum`` over pre-aggregated ``(key, cnt)`` rows (the
+    shuffle moves one row per distinct key per batch, never raw rows —
+    pre-aggregation is the skew/hot-key handling), drift = sketch-blob
+    merge, verdicts = per-partition counts from the violation columns.
+
+CLI::
+
+    python -m verify_ray.run --spec specs/sequences.yaml \
+        --input /data/sequences --output /tmp/out \
+        --manifest source_manifest=/data/manifest.parquet \
+        [--drift-reference stats.parquet] [--resume] [--group-size 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .engine import build_verdicts
+from .errors import VIOLATION_SCHEMA
+from .kernels import CompiledPlan
+from .spec import ConstraintSpec
+from .sources.parquet import list_input_files, scan_inputs
+from .stages.referential import make_ref_rule
+from .stages.validate import make_batch_validator
+from .state import checkpoint as ckpt
+
+RAW_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("doc_id", pa.string()),
+        ("rule_id", pa.string()),
+        ("span", pa.string()),
+        ("message", pa.string()),
+        ("partition_id", pa.int32()),
+        ("cnt", pa.int64()),
+        ("sketch", pa.binary()),
+    ]
+)
+
+
+def _make_combined_fn(plan: CompiledPlan, path_to_pid, drift):
+    """One pass, three outputs: violations + unique-key partial counts +
+    sketch partials, as a unified mixed-kind table."""
+    validator = make_batch_validator(plan, path_to_pid)
+    unique_cols = list(plan.unique_columns)
+    sketch_fn = None
+    if drift is not None:
+        from .stages.drift import _make_partials_fn
+
+        sketch_fn = _make_partials_fn(drift)
+
+    n_str = pa.array([], type=pa.string())
+
+    def pad(t: pa.Table, kind: str, cnt=None, sketch=None) -> pa.Table:
+        n = t.num_rows
+        null_str = pa.nulls(n, pa.string())
+        return pa.table(
+            {
+                "kind": pa.array([kind] * n, type=pa.string()),
+                "doc_id": t.column("doc_id") if "doc_id" in t.column_names else null_str,
+                "rule_id": t.column("rule_id") if "rule_id" in t.column_names else null_str,
+                "span": t.column("span") if "span" in t.column_names else null_str,
+                "message": t.column("message") if "message" in t.column_names else null_str,
+                "partition_id": (t.column("partition_id")
+                                 if "partition_id" in t.column_names
+                                 else pa.nulls(n, pa.int32())),
+                "cnt": cnt if cnt is not None else pa.nulls(n, pa.int64()),
+                "sketch": sketch if sketch is not None else pa.nulls(n, pa.binary()),
+            }
+        )
+
+    def combined(batch: pa.Table) -> pa.Table:
+        parts = [pad(validator(batch), "v")]
+        if "path" in batch.column_names:
+            batch = batch.drop_columns(["path"])
+        for col in unique_cols:
+            c = batch.column(col)
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            vc = pc.value_counts(c)
+            vals, cnts = vc.field("values"), vc.field("counts")
+            mask = pc.is_valid(vals)
+            kt = pa.table({"doc_id": pc.cast(vals.filter(mask), pa.string())})
+            parts.append(pad(kt, "c", cnt=pc.cast(cnts.filter(mask), pa.int64())))
+        if sketch_fn is not None:
+            st = sketch_fn(batch)
+            gt = pa.table({"doc_id": st.column("group")})
+            parts.append(pad(gt, "s", sketch=st.column("sketch")))
+        return pa.concat_tables([p.cast(RAW_SCHEMA) for p in parts])
+
+    return combined
+
+
+def run(
+    spec,
+    input_path,
+    output_dir: str,
+    manifests: dict | None = None,
+    drift_reference: str | None = None,
+    group_size: int = 64,
+    resume: bool = True,
+    batch_size: int | None = None,
+) -> dict:
+    """Execute the full resumable pipeline; returns the run report dict."""
+    import ray.data as rd
+
+    if isinstance(spec, str):
+        spec = ConstraintSpec.from_yaml(spec)
+    if isinstance(spec, dict):
+        spec = ConstraintSpec.from_dict(spec)
+    plan = spec.compile()
+    spec_hash = spec.spec_hash()
+
+    files = list_input_files(input_path)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path!r}")
+    path_to_pid = {f: i for i, f in enumerate(files)}
+    row_counts, schemas = scan_inputs(files)
+
+    groups: dict[int, list[str]] = {}
+    for i in range(0, len(files), group_size):
+        groups[i // group_size] = files[i: i + group_size]
+
+    os.makedirs(output_dir, exist_ok=True)
+    done = ckpt.completed_groups(output_dir, spec_hash, groups) if resume else set()
+
+    # schema-level violations (footer-only; recorded in the report)
+    schema_viols = []
+    for pid, sch in schemas.items():
+        for rid, span, msg in plan.schema_violations(sch):
+            schema_viols.append(
+                {"doc_id": "", "rule_id": rid, "span": span, "message": msg,
+                 "partition_id": pid}
+            )
+
+    # referential rules ride the narrow pass
+    rules = list(plan.row_rules)
+    for rc in plan.ref_checks:
+        if manifests is None or rc.manifest not in manifests:
+            raise ValueError(f'manifest "{rc.manifest}" required but not supplied')
+        rules.append(make_ref_rule(rc.column, manifests[rc.manifest], rc.manifest))
+    narrow_plan = CompiledPlan(**{**plan.__dict__, "row_rules": rules})
+
+    cols = [c for c in plan.referenced_columns if c in schemas[0].names]
+    t0 = time.time()
+    ran = []
+    for gid in sorted(groups):
+        if gid in done:
+            continue
+        gfiles = groups[gid]
+        gdir = os.path.join(output_dir, "groups", f"g={gid:06d}")
+        ds = rd.read_parquet(gfiles, columns=cols, include_paths=True)
+        combined = _make_combined_fn(narrow_plan, path_to_pid, plan.drift)
+        kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+        if batch_size is not None:
+            kwargs["batch_size"] = batch_size
+        out = ds.map_batches(combined, **kwargs)
+        out.write_parquet(gdir, partition_cols=["kind"], mode="overwrite")
+        payload = {
+            "spec_hash": spec_hash,
+            "group_id": gid,
+            "files": gfiles,
+            "row_counts": {str(path_to_pid[f]): row_counts[path_to_pid[f]]
+                           for f in gfiles},
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        ckpt.write_checkpoint(output_dir, gid, payload)
+        ran.append(gid)
+
+    # ---- final phase: small-data wide ops over the partials ----
+    report = _finalize(
+        output_dir, plan, groups, row_counts, schema_viols, drift_reference
+    )
+    report["spec_hash"] = spec_hash
+    report["groups_total"] = len(groups)
+    report["groups_ran"] = len(ran)
+    report["groups_resumed"] = len(done)
+    report["wall_sec"] = round(time.time() - t0, 3)
+    with open(os.path.join(output_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
+    return report
+
+
+def _finalize(output_dir, plan, groups, row_counts, schema_viols,
+              drift_reference) -> dict:
+    import glob as _glob
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .errors import R, msg_not_unique
+
+    global_dir = os.path.join(output_dir, "violations_global")
+    os.makedirs(global_dir, exist_ok=True)
+
+    # W1 uniqueness over the pre-aggregated (key, cnt) partials
+    count_files = sorted(_glob.glob(
+        os.path.join(output_dir, "groups", "*", "kind=c", "*.parquet")))
+    n_global = 0
+    if count_files and plan.unique_columns:
+        col = plan.unique_columns[0]
+        partials = rd.read_parquet(count_files, columns=["doc_id", "cnt"])
+        totals = partials.groupby("doc_id").aggregate(Sum("cnt", alias_name="cnt"))
+
+        def to_viol(t: pa.Table) -> pa.Table:
+            dup = t.filter(pc.greater(t.column("cnt"), 1))
+            n = dup.num_rows
+            return pa.table(
+                {
+                    "doc_id": pc.cast(dup.column("doc_id"), pa.string()),
+                    "rule_id": pa.array([R.NOT_UNIQUE] * n, type=pa.string()),
+                    "span": pa.array([col] * n, type=pa.string()),
+                    "message": pa.array(
+                        [f"{msg_not_unique()} ({c} occurrences)"
+                         for c in dup.column("cnt").to_pylist()], type=pa.string()),
+                    "partition_id": pa.array(np.full(n, -1, dtype=np.int32)),
+                }
+            )
+
+        gv = totals.map_batches(to_viol, batch_format="pyarrow")
+        gv.write_parquet(os.path.join(global_dir, "unique"), mode="overwrite")
+        n_global += sum(
+            pq.read_metadata(f).num_rows
+            for f in _glob.glob(os.path.join(global_dir, "unique", "*.parquet")))
+
+    # W3 drift over the sketch partials
+    drift_rows = []
+    sketch_files = sorted(_glob.glob(
+        os.path.join(output_dir, "groups", "*", "kind=s", "*.parquet")))
+    if sketch_files and plan.drift is not None and drift_reference is not None:
+        from .stages.drift import _merge_block
+        from .state.sketches import GroupedSketch
+
+        sk = rd.read_parquet(sketch_files, columns=["doc_id", "sketch"])
+        sk = sk.map_batches(
+            lambda t: _merge_block(t.rename_columns(["group", "sketch"])),
+            batch_format="pyarrow", batch_size=4096)
+        merged: dict[str, GroupedSketch] = {}
+        for b in sk.iter_batches(batch_format="pyarrow"):
+            for g, blob in zip(b.column("group").to_pylist(),
+                               b.column("sketch").to_pylist()):
+                s = GroupedSketch.from_bytes(blob)
+                merged[g] = merged[g].merge(s) if g in merged else s
+        from .stages.drift import _compare_sketches
+
+        drift_rows = _compare_sketches(merged, plan.drift, drift_reference)
+        if drift_rows:
+
+            pq.write_table(
+                pa.Table.from_pylist(drift_rows, schema=VIOLATION_SCHEMA),
+                os.path.join(global_dir, "drift.parquet"))
+        n_global += len(drift_rows)
+
+    # W4 verdicts from the per-partition violation counts
+    viol_files = sorted(_glob.glob(
+        os.path.join(output_dir, "groups", "*", "kind=v", "*.parquet")))
+    if viol_files:
+        vrows = rd.read_parquet(
+            viol_files, columns=["partition_id", "rule_id"]).take_all()
+        vt = pa.table(
+            {
+                "partition_id": pa.array(
+                    [r["partition_id"] for r in vrows], type=pa.int32()),
+                "rule_id": pa.array(
+                    [r["rule_id"] for r in vrows], type=pa.string()),
+            }
+        )
+    else:
+        vt = pa.table({"partition_id": pa.array([], type=pa.int32()),
+                       "rule_id": pa.array([], type=pa.string())})
+    for sv in schema_viols:
+        vt = pa.concat_tables([vt, pa.table(
+            {"partition_id": pa.array([sv["partition_id"]], type=pa.int32()),
+             "rule_id": pa.array([sv["rule_id"]], type=pa.string())})])
+    verdicts = build_verdicts(
+        vt.append_column("doc_id", pa.nulls(vt.num_rows, pa.string()))
+          .append_column("span", pa.nulls(vt.num_rows, pa.string()))
+          .append_column("message", pa.nulls(vt.num_rows, pa.string())),
+        row_counts,
+    )
+    pq.write_table(pa.Table.from_pandas(verdicts, preserve_index=False),
+                   os.path.join(output_dir, "verdicts.parquet"))
+    n_narrow = int(vt.num_rows)
+    return {
+        "n_rows": int(sum(row_counts.values())),
+        "n_partitions": len(row_counts),
+        "n_violations_narrow": n_narrow,
+        "n_violations_global": int(n_global),
+        "pass": n_narrow == 0 and n_global == 0,
+        "verdicts_path": os.path.join(output_dir, "verdicts.parquet"),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="verify_ray.run", description=__doc__)
+    p.add_argument("--spec", required=False)
+    p.add_argument("--input", required=False)
+    p.add_argument("--output", required=False)
+    p.add_argument("--manifest", action="append", default=[],
+                   help="name=path.parquet (repeatable)")
+    p.add_argument("--drift-reference")
+    p.add_argument("--group-size", type=int, default=64)
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
+    p.add_argument("--smoke", action="store_true",
+                   help="self-contained smoke run on synthetic data under /tmp")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    try:
+        if args.smoke:
+            import tempfile
+
+            import pyarrow.parquet as _pq
+
+            from .sources.synth import default_spec_dict, make_manifest, make_sequences
+
+            base = tempfile.mkdtemp(prefix="verify_ray_smoke_")
+            make_sequences(os.path.join(base, "seq"), n_rows=20_000, n_files=8)
+            mpath = make_manifest(base)
+            report = run(
+                default_spec_dict(max_n_tok=256),
+                os.path.join(base, "seq"),
+                os.path.join(base, "out"),
+                manifests={"source_manifest": _pq.read_table(mpath)},
+                group_size=3,
+            )
+        else:
+            if not (args.spec and args.input and args.output):
+                p.error("--spec/--input/--output required (or --smoke)")
+            manifests = {}
+            import pyarrow.parquet as _pq
+
+            for m in args.manifest:
+                name, path = m.split("=", 1)
+                manifests[name] = _pq.read_table(path)
+            report = run(
+                args.spec, args.input, args.output,
+                manifests=manifests or None,
+                drift_reference=args.drift_reference,
+                group_size=args.group_size,
+                resume=not args.no_resume,
+                batch_size=args.batch_size,
+            )
+        print(json.dumps(report, indent=2, sort_keys=True))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -258,6 +258,8 @@ class ConstraintSpec:
         if os.path.exists(path_or_text):
             with open(path_or_text) as f:
                 text = f.read()
+        elif path_or_text.endswith((".yaml", ".yml", ".json")) and "\n" not in path_or_text:
+            raise FileNotFoundError(f"spec file not found: {path_or_text}")
         return cls.from_dict(yaml.safe_load(text))
 
     def to_dict(self) -> dict:

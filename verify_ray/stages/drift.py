@@ -159,10 +159,28 @@ def drift_violations(ds, drift, reference) -> pa.Table:
     """Compare measured per-group sketches vs reference stats.
 
     * quantile check: relative error per requested quantile vs the
-      reference's stored grid; any breach > max_rel_err flags;
+      reference's stored grid; any breach > max_rel_err (and above the
+      absolute noise floor) flags;
     * token-frequency check: L1 distance between the reference top-k
       relative frequencies and the measured estimates for those tokens.
     """
+    measured = compute_group_sketches(ds, drift)
+    rows = _compare_sketches(measured, drift, reference)
+    n = len(rows)
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.string()),
+            "rule_id": pa.array([R.DRIFT] * n, type=pa.string()),
+            "span": pa.array([r["span"] for r in rows], type=pa.string()),
+            "message": pa.array([r["message"] for r in rows], type=pa.string()),
+            "partition_id": pa.array(np.full(n, -1, dtype=np.int32)),
+        }
+    )
+
+
+def _compare_sketches(measured: dict, drift, reference) -> list[dict]:
+    """Shared comparison core: measured sketches vs a reference stats
+    table (path or pa.Table) -> violation row dicts."""
     import pyarrow.parquet as pq
 
     if isinstance(reference, str):
@@ -170,7 +188,6 @@ def drift_violations(ds, drift, reference) -> pa.Table:
     ref = {
         r["source"]: r for r in reference.to_pylist()
     }
-    measured = compute_group_sketches(ds, drift)
     qs = list(drift.quantiles)
 
     doc, span, msg = [], [], []
@@ -211,13 +228,8 @@ def drift_violations(ds, drift, reference) -> pa.Table:
                     msg.append(
                         f"token-frequency drift: L1 distance {l1:.3f} over "
                         f"reference top-{len(toks)} exceeds {drift.topk_l1_max}")
-    n = len(doc)
-    return pa.table(
-        {
-            "doc_id": pa.array(doc, type=pa.string()),
-            "rule_id": pa.array([R.DRIFT] * n, type=pa.string()),
-            "span": pa.array(span, type=pa.string()),
-            "message": pa.array(msg, type=pa.string()),
-            "partition_id": pa.array(np.full(n, -1, dtype=np.int32)),
-        }
-    )
+    return [
+        {"doc_id": d, "rule_id": R.DRIFT, "span": s, "message": m,
+         "partition_id": -1}
+        for d, s, m in zip(doc, span, msg)
+    ]
