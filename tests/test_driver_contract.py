@@ -1,0 +1,116 @@
+"""Mimics the driver's correctness gate: every queries() entry runs at
+sf0.01; entries with an oracle_sql() are compared against DuckDB
+(sorted columns + rows, exact values); rows-only entries must return a
+stable non-erroring result."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    return importlib.import_module("__ray_entry__")
+
+
+@pytest.fixture(scope="module")
+def ducks():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+ORACLE_NAMES = None
+
+
+def _oracle_names(entry_mod):
+    return sorted(entry_mod.oracle_sql())
+
+
+def test_entry_smoke(entry_mod):
+    res = entry_mod.entry()
+    df = to_df(res)
+    assert list(df.columns) == ["doc_id", "rule_id", "span"]
+    assert len(df) >= 0
+
+
+def test_queries_cover_oracles(entry_mod):
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+
+
+@pytest.mark.parametrize("name", [
+    "validate_documents", "validate_orders", "validate_lineitem",
+    "validate_events", "stats_docs_by_lang", "pricing_summary",
+    "events_window_day", "top_customers", "revenue_by_segment",
+    "events_orphan_users", "dedup_exact", "text_token_count",
+    "text_fingerprint", "ann_topk", "embedding_near_dup", "media_metadata",
+])
+def test_query_matches_oracle(entry_mod, ducks, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    mine = normalize(to_df(q(SF_DIR)))
+    orc = normalize(ducks.execute(sql).fetchdf())
+    assert list(mine.columns) == list(orc.columns), (
+        f"column mismatch: {list(mine.columns)} vs {list(orc.columns)}")
+    assert len(mine) == len(orc), f"row count {len(mine)} vs {len(orc)}"
+    for c in mine.columns:
+        a, b = mine[c].to_numpy(), orc[c].to_numpy()
+        if np.issubdtype(mine[c].dtype, np.floating):
+            assert np.allclose(a.astype(float), b.astype(float),
+                               rtol=0, atol=1e-9), f"{name}.{c}"
+        else:
+            neq = a != b
+            assert not neq.any(), (
+                f"{name}.{c}: first diffs {list(zip(a[neq][:5], b[neq][:5]))}")
+
+
+@pytest.mark.parametrize("name", [
+    "sequences_validate", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "embedding_near_dup_lsh", "text_langid",
+    "text_quality", "ann_topk_lsh",
+])
+def test_rows_only_queries_run(entry_mod, name):
+    res = to_df(entry_mod.queries()[name](SF_DIR))
+    assert res is not None
+    assert len(res.columns) > 0
+
+
+def test_near_dup_pipelines_find_planted_dups(entry_mod):
+    """The planted mutated copies must surface as near-dup pairs."""
+    for name in ("dedup_minhash_lsh", "dedup_simhash"):
+        df = to_df(entry_mod.queries()[name](SF_DIR))
+        pairs = set(zip(df.doc_a.astype(int), df.doc_b.astype(int)))
+        planted = sum((a + 1_000_000 == b) for a, b in pairs)
+        assert planted >= 15, f"{name}: only {planted}/20 planted dups found"

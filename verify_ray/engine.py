@@ -135,7 +135,13 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
         ds = rd.read_parquet(files, columns=cols or None, include_paths=True)
         key_ds_factory = lambda col: rd.read_parquet(files, columns=[col])  # noqa: E731
     else:
-        ds = source
+        # In-memory Dataset source: the violations DAG consumes the input
+        # several times (narrow pass + per-column uniqueness).  Without a
+        # path source each consumer would RE-EXECUTE the upstream pipeline
+        # — including any actor pools, whose concurrent duplicate pools
+        # can starve a small cluster.  Materialize once; this path is the
+        # interactive/small-data API (run() is the streaming path).
+        ds = source.materialize()
         key_ds_factory = None
         sch = pa.schema(
             [(n, t) for n, t in zip(ds.schema().names, ds.schema().types)]

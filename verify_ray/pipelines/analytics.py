@@ -1,0 +1,206 @@
+"""Analytics operators over the testdata tables: grouped column stats,
+pricing-summary aggregate, tumbling-window event aggregates, top-k, and
+broadcast joins.
+
+Aggregation discipline: every groupby here is preceded by a per-batch
+partial aggregation (combine inside ``map_batches``), so the shuffle
+moves one row per (key, batch) instead of raw rows — the map-side
+combiner pattern.  Means are derived from (sum, count) partials so the
+result is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _partial_group_agg(keys: list[str], aggs: dict[str, list[str]]):
+    """Per-batch combiner: group within the batch and emit partial
+    sum/count/min/max rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = []
+        for col, ops in aggs.items():
+            for op in ops:
+                if op == "sum":
+                    cols.append((col, "sum"))
+                elif op == "count":
+                    cols.append((col, "count"))
+                elif op == "min":
+                    cols.append((col, "min"))
+                elif op == "max":
+                    cols.append((col, "max"))
+                elif op == "mean":  # decomposed: sum + count
+                    cols.append((col, "sum"))
+                    cols.append((col, "count"))
+        cols = list(dict.fromkeys(cols))
+        gb = batch.group_by(keys)
+        return gb.aggregate(cols)
+
+    return partial
+
+
+def grouped_stats(ds, keys: list[str], aggs: dict[str, list[str]],
+                  batch_size: int = 65536) -> pd.DataFrame:
+    """Exact grouped stats via partial-aggregate + final merge.
+
+    Returns columns named ``{col}_{op}`` (mean derived exactly from
+    sum/count at the end).
+    """
+    partial = _partial_group_agg(keys, aggs)
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size).to_pandas()
+    gb = partials.groupby(keys, as_index=False)
+    out = gb.agg({
+        c: ("sum" if c.endswith(("_sum", "_count")) else
+            "min" if c.endswith("_min") else "max")
+        for c in partials.columns if c not in keys
+    })
+    for col, ops in aggs.items():
+        if "mean" in ops:
+            out[f"{col}_mean"] = out[f"{col}_sum"] / out[f"{col}_count"]
+            if "sum" not in ops:
+                out = out.drop(columns=[f"{col}_sum"])
+            if "count" not in ops:
+                out = out.drop(columns=[f"{col}_count"])
+    return out.sort_values(keys).reset_index(drop=True)
+
+
+def pricing_summary(ds) -> pd.DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem (exercises the
+    full partial-agg path with computed columns)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        charge = pc.multiply(disc_price,
+                             pc.add(pa.scalar(1.0), batch["l_tax"]))
+        t = batch.select(["l_returnflag", "l_linestatus", "l_quantity",
+                          "l_extendedprice", "l_discount"])
+        t = t.append_column("disc_price", disc_price)
+        t = t.append_column("charge", charge)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("charge", "sum"),
+             ("l_discount", "sum"), ("l_quantity", "count")])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = partials.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+    out = pd.DataFrame({
+        "l_returnflag": g.l_returnflag,
+        "l_linestatus": g.l_linestatus,
+        "sum_qty": g.l_quantity_sum,
+        "sum_base_price": np.round(g.l_extendedprice_sum, 2),
+        "sum_disc_price": np.round(g.disc_price_sum, 2),
+        "sum_charge": np.round(g.charge_sum, 2),
+        "avg_qty": np.round(g.l_quantity_sum / g.l_quantity_count, 6),
+        "avg_price": np.round(g.l_extendedprice_sum / g.l_quantity_count, 6),
+        "avg_disc": np.round(g.l_discount_sum / g.l_quantity_count, 6),
+        "count_order": g.l_quantity_count,
+    })
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def windowed_events(ds, window: str = "day") -> pd.DataFrame:
+    """Tumbling-window aggregate per event_type: Ray Data has no
+    event-time windows, so the window key is computed per batch
+    (vectorized timestamp floor) and the aggregate is an ordinary
+    partial-agg + groupby over (event_type, window_start)."""
+    unit = {"hour": "hour", "day": "day"}[window]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ws = pc.floor_temporal(batch["ts"], unit=unit)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "window_start": ws,
+            "value": batch["value"],
+        })
+        return t.group_by(["event_type", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = partials.groupby(["event_type", "window_start"], as_index=False).sum()
+    out = pd.DataFrame({
+        "event_type": g.event_type,
+        "window_start": g.window_start,
+        "n_events": g.value_count.astype("int64"),
+        "sum_value": np.round(g.value_sum, 6),
+    })
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def top_customers(orders_ds, k: int = 10) -> pd.DataFrame:
+    """Top-k customers by total order value: partial-agg per batch,
+    merge, exact top-k on the (small) per-key totals."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["o_custkey", "o_totalprice"]).group_by(
+            ["o_custkey"]).aggregate([("o_totalprice", "sum"),
+                                      ("o_totalprice", "count")])
+
+    partials = orders_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("o_custkey", as_index=False).sum()
+    g["total_value"] = np.round(g.o_totalprice_sum, 2)
+    g["n_orders"] = g.o_totalprice_count.astype("int64")
+    g = g.sort_values(["total_value", "o_custkey"],
+                      ascending=[False, True]).head(k)
+    return g[["o_custkey", "n_orders", "total_value"]].reset_index(drop=True)
+
+
+def revenue_by_segment(orders_ds, customer_table: pa.Table) -> pd.DataFrame:
+    """Broadcast join: customer (small side) is shipped once via
+    ray.put; each orders batch maps custkey -> mktsegment with a numpy
+    searchsorted lookup, partial-aggregates, and only (segment, sums)
+    rows move."""
+    import ray
+
+    cust = customer_table.select(["c_custkey", "c_mktsegment"])
+    keys = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    segs = np.asarray(cust.column("c_mktsegment").to_pylist(), dtype=object)[order]
+    keys = keys[order]
+    ref = ray.put((keys, segs))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k, s = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k, ck)
+        pos = np.clip(pos, 0, len(k) - 1)
+        seg = np.where(k[pos] == ck, s[pos], None)
+        t = pa.table({
+            "c_mktsegment": pa.array(seg, type=pa.string()),
+            "o_totalprice": batch["o_totalprice"],
+        })
+        return t.group_by(["c_mktsegment"]).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")])
+
+    partials = orders_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("c_mktsegment", as_index=False, dropna=False).sum()
+    out = pd.DataFrame({
+        "c_mktsegment": g.c_mktsegment,
+        "n_orders": g.o_totalprice_count.astype("int64"),
+        "revenue": np.round(g.o_totalprice_sum, 2),
+    })
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def anti_join_keys(ds, column: str, present_keys) -> pd.DataFrame:
+    """Distinct values of ``column`` absent from ``present_keys``
+    (broadcast anti-join / referential-orphans check)."""
+    import ray
+
+    keys = np.asarray(sorted(present_keys))
+    ref = ray.put(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        v = batch[column].to_numpy(zero_copy_only=False)
+        missing = v[~np.isin(v, k)]
+        return pa.table({column: pa.array(np.unique(missing))})
+
+    out = ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    return (out.drop_duplicates().sort_values(column).reset_index(drop=True))

@@ -1,0 +1,328 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Shuffle discipline for every variant: raw documents are never shuffled.
+Each stage first reduces a document to a tiny signature (hash /
+minhash band / simhash bucket) inside ``map_batches``, and only the
+signature rows go through the groupby — the classic
+shingle→minhash→band→bucket-groupby shape.
+
+All hashing is deterministic (fixed seeds), so results are stable
+across runs and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-partition + per-group first)
+
+
+def _content_hash_batch(batch: pa.Table, content_col: str, id_col: str) -> pa.Table:
+    texts = batch[content_col].to_pylist()
+    h = [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+         for t in texts]
+    return pa.table({id_col: batch[id_col],
+                     "content_hash": pa.array(h, type=pa.string())})
+
+
+def exact_dedup_groups(ds, content_col: str = "text", id_col: str = "doc_id"):
+    """(content_hash, keep_id, n): one row per distinct content, with the
+    smallest id as the canonical survivor.  The shuffle moves only
+    (id, md5) pairs."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.select_columns([id_col, content_col]).map_batches(
+        lambda b: _content_hash_batch(b, content_col, id_col),
+        batch_format="pyarrow")
+    return (
+        hashed.groupby("content_hash")
+        .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="n"))
+    )
+
+
+def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id"):
+    """Dataset filtered to one (first-by-id) row per distinct content."""
+    groups = exact_dedup_groups(ds, content_col, id_col)
+    keep = {r["keep_id"] for r in groups.iter_rows()}
+
+    def filt(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, list(keep))
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# shingling + vectorized 64-bit rolling hashes
+
+_SHINGLE_BASE = np.uint64(1099511628211)  # FNV prime
+
+
+def _char_shingle_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-char-shingle hashes for a batch, vectorized: one polynomial
+    pass of k numpy ops over EVERY window of the batch at once.
+
+    Returns (hashes, parent_doc_index); docs shorter than k contribute
+    their whole text as one shingle.
+    """
+    bufs, parents = [], []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(b) < k:
+            b = np.pad(b, (0, k - len(b)), constant_values=0)
+        bufs.append(b)
+        parents.append(np.full(len(b) - k + 1, i, dtype=np.int64))
+    if not bufs:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    flat = np.concatenate(bufs).astype(np.uint64)
+    par = np.concatenate(parents)
+    # window starts: positions where a full window fits within one doc
+    lengths = np.array([len(b) for b in bufs], dtype=np.int64)
+    starts_per_doc = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+    win_starts = np.concatenate(
+        [np.arange(s, s + L - k + 1) for s, L in zip(starts_per_doc, lengths)])
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(win_starts), dtype=np.uint64)
+        for j in range(k):
+            h = h * _SHINGLE_BASE + flat[win_starts + j]
+    return h, par
+
+
+def _word_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Word-unigram 64-bit hashes + parent doc index (for simhash and
+    word-shingle Jaccard)."""
+    words, parents = [], []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        ws = t.split()
+        words.extend(ws)
+        parents.append(np.full(len(ws), i, dtype=np.int64))
+    if not words:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    par = np.concatenate(parents)
+    uniq, inverse = np.unique(np.array(words, dtype=object), return_inverse=True)
+    uh = np.array(
+        [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in uniq],
+        dtype=np.uint64)
+    return uh[inverse], par
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+_MH_PRIME = np.uint64(0xFFFFFFFFFFFFFFC5)  # not used in mod; multiply-shift below
+
+
+def _minhash_params(num_perm: int, seed: int = 0xC0FFEE):
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(1, 2**62, size=num_perm).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 2**62, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures_batch(batch: pa.Table, text_col: str, id_col: str,
+                             num_perm: int, shingle_k: int) -> tuple[np.ndarray, pa.Array]:
+    """(signatures[num_docs, num_perm], ids) for one batch."""
+    texts = batch[text_col].to_pylist()
+    h, par = _char_shingle_hashes(texts, shingle_k)
+    a, b = _minhash_params(num_perm)
+    n_docs = batch.num_rows
+    sig = np.full((n_docs, num_perm), _MASK64, dtype=np.uint64)
+    if len(h):
+        with np.errstate(over="ignore"):
+            for p in range(num_perm):
+                hp = a[p] * h + b[p]
+                np.minimum.at(sig[:, p], par, hp)
+    return sig, batch[id_col]
+
+
+def _band_rows(sig: np.ndarray, ids, bands: int) -> pa.Table:
+    """Signature matrix -> (bucket, doc_id, sig_blob) LSH rows."""
+    n_docs, num_perm = sig.shape
+    rpb = num_perm // bands
+    with np.errstate(over="ignore"):
+        band_hash = np.zeros((n_docs, bands), dtype=np.uint64)
+        # hash each band's rows together (vectorized over docs)
+        for bidx in range(bands):
+            cols = sig[:, bidx * rpb:(bidx + 1) * rpb]
+            h = np.zeros(n_docs, dtype=np.uint64)
+            for r in range(rpb):
+                h = h * np.uint64(1099511628211) + cols[:, r]
+            band_hash[:, bidx] = h
+    bucket = (band_hash ^ (np.arange(bands, dtype=np.uint64) << np.uint64(56))).astype(np.uint64)
+    ids_np = np.repeat(np.asarray(ids.to_pylist(), dtype=object), bands)
+    blobs = [sig[i].tobytes() for i in range(n_docs) for _ in range(bands)]
+    return pa.table(
+        {
+            "bucket": pa.array(bucket.reshape(-1), type=pa.uint64()),
+            "doc_id": pa.array(ids_np),
+            "sig": pa.array(blobs, type=pa.binary()),
+        }
+    )
+
+
+def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                      threshold: float = 0.7):
+    """Near-duplicate candidate pairs via MinHash-LSH, verified by
+    signature-estimated Jaccard >= threshold.
+
+    shingle→minhash→band→bucket groupby: the shuffle carries one
+    (bucket, id, 512B signature) row per doc per band.  Pair expansion
+    happens per bucket in map_groups; the estimated Jaccard (fraction of
+    equal signature rows) filters false bucket collisions.
+    """
+    import pandas as pd
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        sig, ids = minhash_signatures_batch(batch, text_col, id_col,
+                                            num_perm, shingle_k)
+        return _band_rows(sig, ids, bands)
+
+    band_ds = ds.select_columns([id_col, text_col]).map_batches(
+        to_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_est": []})
+        g = g.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        ids = g["doc_id"].to_numpy()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]],
+                             "jaccard_est": est[keep]})
+
+    pairs = band_ds.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas()
+    # same pair can surface from several bands — dedup (pair set is
+    # threshold-sparse/output-sized, so driver-side is fine)
+    if pairs.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_est": []})
+    return (pairs.drop_duplicates(subset=["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """64-bit SimHash over word-unigram hashes (count-weighted)."""
+    texts = batch[text_col].to_pylist()
+    wh, par = _word_hashes(texts)
+    n_docs = batch.num_rows
+    acc = np.zeros((n_docs, 64), dtype=np.int64)
+    if len(wh):
+        bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64) * 2 - 1
+        np.add.at(acc, par, bits)
+    sh = (acc > 0).astype(np.uint64)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    for b in range(64):
+        out |= sh[:, b] << np.uint64(b)
+    return pa.table({id_col: batch[id_col],
+                     "simhash": pa.array(out, type=pa.uint64())})
+
+
+def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, band_bits: int = 16):
+    """Near-dup pairs by SimHash: bucket on each of the 4 16-bit bands
+    (two sketches within hamming<=3 agree on >=1 band by pigeonhole),
+    verify hamming distance within buckets."""
+    import pandas as pd
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        t = simhash_batch(batch, text_col, id_col)
+        sh = t.column("simhash").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col)
+        nb = 64 // band_bits
+        parts = []
+        for bidx in range(nb):
+            band = (sh >> np.uint64(bidx * band_bits)) & np.uint64((1 << band_bits) - 1)
+            bucket = band | (np.uint64(bidx) << np.uint64(60))
+            parts.append(pa.table({
+                "bucket": pa.array(bucket, type=pa.uint64()),
+                "doc_id": ids,
+                "simhash": pa.array(sh, type=pa.uint64()),
+            }))
+        return pa.concat_tables(parts)
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        to_rows, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        g = g.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        ids = g["doc_id"].to_numpy()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]],
+                             "hamming": ham[keep].astype(np.int64)})
+
+    pairs = rows.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+    return (pairs.drop_duplicates(subset=["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard verification for candidate pairs
+
+
+def ngram_jaccard_pairs(ds, candidate_pairs, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3):
+    """Exact word-n-gram Jaccard for a (small) candidate pair set: the
+    verify step after LSH.  Texts of candidate docs are fetched via a
+    broadcast id-filter (semi-join), shingle sets compared exactly."""
+    import ray
+
+    cand = candidate_pairs
+    if hasattr(cand, "to_pandas"):
+        cand = cand.to_pandas()
+    wanted = set(cand["doc_a"]) | set(cand["doc_b"])
+    wanted_ref = ray.put(wanted)
+
+    def fetch(b: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(np.isin(ids, list(w))))
+
+    docs = {r[id_col]: r[text_col]
+            for r in ds.select_columns([id_col, text_col])
+                       .map_batches(fetch, batch_format="pyarrow").iter_rows()}
+
+    def shingles(t: str) -> set:
+        ws = t.split()
+        return {tuple(ws[i:i + n]) for i in range(max(1, len(ws) - n + 1))}
+
+    out = {"doc_a": [], "doc_b": [], "jaccard": []}
+    for _, row in cand.iterrows():
+        sa, sb = shingles(docs[row["doc_a"]]), shingles(docs[row["doc_b"]])
+        union = len(sa | sb)
+        out["doc_a"].append(row["doc_a"])
+        out["doc_b"].append(row["doc_b"])
+        out["jaccard"].append(len(sa & sb) / union if union else 0.0)
+    import pandas as pd
+
+    return pd.DataFrame(out)

@@ -1,0 +1,235 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``ann_topk`` — brute-force cosine top-k baseline: the query matrix is
+  broadcast once (``ray.put``), each batch does one numpy matmul and
+  emits only its local top-k per query; the driver merges the tiny
+  per-batch candidate sets.  Exact (it's a full scan), and the scan is
+  embarrassingly parallel — the scale cost is one pass over the data
+  per query batch, not per query.
+* ``lsh_ann_topk`` — the scale path: random-hyperplane LSH buckets
+  (deterministic seed); only buckets matching a query's signature are
+  scanned.  Approximate; recall grows with the number of tables.
+* ``embedding_near_dup_*`` — near-duplicate pairs by cosine >= tau:
+  exact (broadcast, O(n^2/blocks)) and LSH-bucketed variants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    col = batch[emb_col]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // max(1, batch.num_rows)
+    return flat.reshape(batch.num_rows, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(nrm, 1e-12)
+
+
+def ann_topk(ds, queries: np.ndarray, k: int = 10, emb_col: str = "embedding",
+             id_col: str = "vec_id", query_ids=None):
+    """Exact cosine top-k for each query row.  Returns a pandas DataFrame
+    (query_id, vec_id, sim) sorted by (query_id, -sim, vec_id).
+
+    One broadcast of the normalized query matrix; each batch emits at
+    most k rows per query, so the driver-side merge handles
+    O(n_batches * |Q| * k) tiny rows regardless of dataset size.
+    """
+    import pandas as pd
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = list(query_ids) if query_ids is not None else list(range(len(q)))
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        emb = _normalize(_emb_matrix(batch, emb_col))
+        sims = emb @ qm.T  # (rows, nq)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        kk = min(k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for j in range(qm.shape[0]):
+            part = np.argpartition(-sims[:, j], kk - 1)[:kk]
+            out_q.extend([j] * kk)
+            out_id.extend(ids[part].tolist())
+            out_s.extend(sims[part, j].tolist())
+        return pa.table({"qi": pa.array(out_q, type=pa.int32()),
+                         "vec_id": pa.array(out_id),
+                         "sim": pa.array(out_s, type=pa.float64())})
+
+    cand = ds.select_columns([id_col, emb_col]).map_batches(
+        local_topk, batch_format="pyarrow").to_pandas()
+    out = []
+    for j, qid in enumerate(qids):
+        g = cand[cand.qi == j].sort_values(["sim", "vec_id"],
+                                           ascending=[False, True]).head(k)
+        out.append(pd.DataFrame({"query_id": qid, "vec_id": g.vec_id.to_numpy(),
+                                 "sim": np.round(g.sim.to_numpy(), 6)}))
+    return (pd.concat(out, ignore_index=True)
+            .sort_values(["query_id", "sim", "vec_id"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True))
+
+
+def _hyperplanes(dim: int, bits: int, table: int, seed: int = 0xA11CE) -> np.ndarray:
+    rng = np.random.RandomState(seed + 7919 * table)
+    return rng.standard_normal((bits, dim))
+
+
+def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    out = np.zeros(len(m), dtype=np.uint64)
+    for b in range(planes.shape[0]):
+        out |= bits[:, b].astype(np.uint64) << np.uint64(b)
+    return out
+
+
+def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, emb_col: str = "embedding",
+                 id_col: str = "vec_id", query_ids=None, bits: int = 8,
+                 tables: int = 4):
+    """Approximate top-k: scan only batches' rows whose LSH signature (in
+    any of ``tables`` hyperplane tables) matches the query's.  Same
+    output shape as ann_topk."""
+    import pandas as pd
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = list(query_ids) if query_ids is not None else list(range(len(q)))
+    dim = q.shape[1]
+    planes = [_hyperplanes(dim, bits, t) for t in range(tables)]
+    q_sigs = np.stack([_signatures(q, p) for p in planes])  # (tables, nq)
+    q_ref = ray.put((q, q_sigs, planes))
+
+    def local(batch: pa.Table) -> pa.Table:
+        qm, qs, pl = ray.get(q_ref)
+        emb = _normalize(_emb_matrix(batch, emb_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.stack([_signatures(emb, p) for p in pl])  # (tables, rows)
+        out_q, out_id, out_s = [], [], []
+        for j in range(qm.shape[0]):
+            cand_mask = (sigs == qs[:, j][:, None]).any(axis=0)
+            if not cand_mask.any():
+                continue
+            sims = emb[cand_mask] @ qm[j]
+            cids = ids[cand_mask]
+            kk = min(k, len(cids))
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([j] * kk)
+            out_id.extend(cids[part].tolist())
+            out_s.extend(sims[part].tolist())
+        return pa.table({"qi": pa.array(out_q, type=pa.int32()),
+                         "vec_id": pa.array(out_id),
+                         "sim": pa.array(out_s, type=pa.float64())})
+
+    cand = ds.select_columns([id_col, emb_col]).map_batches(
+        local, batch_format="pyarrow").to_pandas()
+    out = []
+    for j, qid in enumerate(qids):
+        g = cand[cand.qi == j].sort_values(["sim", "vec_id"],
+                                           ascending=[False, True]).head(k)
+        out.append(pd.DataFrame({"query_id": qid, "vec_id": g.vec_id.to_numpy(),
+                                 "sim": np.round(g.sim.to_numpy(), 6)}))
+    if not out:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+    return (pd.concat(out, ignore_index=True)
+            .sort_values(["query_id", "sim", "vec_id"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True))
+
+
+def embedding_near_dup_exact(ds, tau: float = 0.95, emb_col: str = "embedding",
+                             id_col: str = "vec_id"):
+    """All pairs (a < b) with cosine >= tau — exact.
+
+    The matrix is materialized once via ``ray.put`` (the 'small side');
+    each batch compares its rows against the full broadcast matrix and
+    keeps only pairs where the batch row's id is the smaller one.  Use
+    the LSH variant when n x dim no longer fits one object."""
+    import pandas as pd
+    import ray
+
+    rows = ds.select_columns([id_col, emb_col]).to_pandas()
+    ids = rows[id_col].to_numpy()
+    m = _normalize(np.stack(rows[emb_col].to_numpy()).astype(np.float64))
+    ref = ray.put((ids, m))
+
+    import ray.data as rd
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(ref)
+        emb = _normalize(_emb_matrix(batch, emb_col))
+        bids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = emb @ all_m.T
+        ai, bj = np.nonzero(sims >= tau)
+        keep = bids[ai] < all_ids[bj]
+        return pa.table({
+            "doc_a": pa.array(bids[ai[keep]]),
+            "doc_b": pa.array(all_ids[bj[keep]]),
+            "sim": pa.array(np.round(sims[ai[keep], bj[keep]], 6),
+                            type=pa.float64()),
+        })
+
+    res = ds.select_columns([id_col, emb_col]).map_batches(
+        pairs, batch_format="pyarrow").to_pandas()
+    return res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def embedding_near_dup_lsh(ds, tau: float = 0.95, emb_col: str = "embedding",
+                           id_col: str = "vec_id", bits: int = 10,
+                           tables: int = 6):
+    """Near-dup pairs via hyperplane-LSH buckets: map_batches emits
+    (bucket, id, vec) rows per table, groupby(bucket) compares within
+    buckets only.  Scale path for the exact variant."""
+    import pandas as pd
+
+    planes = None
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        nonlocal planes
+        emb = _normalize(_emb_matrix(batch, emb_col))
+        if planes is None:
+            planes = [_hyperplanes(emb.shape[1], bits, t) for t in range(tables)]
+        ids = batch[id_col]
+        parts = []
+        for t, p in enumerate(planes):
+            sig = _signatures(emb, p) | (np.uint64(t) << np.uint64(56))
+            parts.append(pa.table({
+                "bucket": pa.array(sig, type=pa.uint64()),
+                "vec_id": ids,
+                "vec": pa.array(list(emb), type=pa.list_(pa.float64())),
+            }))
+        return pa.concat_tables(parts)
+
+    rows = ds.select_columns([id_col, emb_col]).map_batches(
+        to_rows, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "sim": []})
+        g = g.drop_duplicates(subset=["vec_id"]).sort_values("vec_id")
+        m = np.stack(g["vec"].to_numpy())
+        ids = g["vec_id"].to_numpy()
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= tau
+        return pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]],
+                             "sim": np.round(sims[ia[keep], ib[keep]], 6)})
+
+    pairs = rows.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas()
+    # cross-table duplicates collapse here; the pair set is output-sized
+    # (threshold-sparse), so a driver-side dedup is fine — switch to a
+    # groupby((doc_a,doc_b)) stage if pairs ever rival the input size
+    if pairs.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "sim": pd.Series(dtype="float64")})
+    return (pairs.drop_duplicates(subset=["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))

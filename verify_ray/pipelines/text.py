@@ -1,0 +1,166 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID, document fingerprinting (training-data
+pipeline components; SURVEY-mandated beyond-reference operators).
+
+All stages are vectorized ``map_batches`` transforms; the per-word work
+runs over the UNIQUE words of each batch (``np.unique`` + inverse
+mapping), never per occurrence.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = frozenset(
+    "the a an and of to in is it for on with as at by from or be this that".split()
+)
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_tok): whitespace token count, vectorized via Arrow
+    split + list_value_length."""
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(batch[text_col]), r"\s+")
+    n = pc.list_value_length(toks)
+    return pa.table({id_col: batch[id_col], "n_tok": pc.cast(n, pa.int64())})
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Quality heuristics per document: token count, mean word length,
+    stopword ratio, distinct-word ratio, and a combined score."""
+    text = batch[text_col]
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    words = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    wl = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.float64)
+
+    n_rows = batch.num_rows
+    sum_wl = np.zeros(n_rows)
+    np.add.at(sum_wl, parents, wl)
+    mean_wl = sum_wl / np.maximum(n_tok, 1)
+
+    warr = words.to_numpy(zero_copy_only=False)
+    uniq, inverse = np.unique(warr, return_inverse=True)
+    is_stop_u = np.isin(uniq, list(STOPWORDS))
+    stops = np.zeros(n_rows)
+    np.add.at(stops, parents, is_stop_u[inverse].astype(np.float64))
+    stop_ratio = stops / np.maximum(n_tok, 1)
+
+    # distinct ratio: distinct words per doc / n_tok, via unique of
+    # (parent, word_code) pairs
+    pairs = parents.astype(np.int64) * len(uniq) + inverse
+    distinct_pairs = np.unique(pairs)
+    dcounts = np.zeros(n_rows)
+    np.add.at(dcounts, (distinct_pairs // len(uniq)).astype(np.int64), 1.0)
+    distinct_ratio = dcounts / np.maximum(n_tok, 1)
+
+    score = (
+        np.clip(n_tok / 64.0, 0, 1) * 0.3
+        + np.clip((mean_wl - 1.0) / 6.0, 0, 1) * 0.2
+        + (1.0 - np.clip(stop_ratio * 2.0, 0, 1)) * 0.2
+        + distinct_ratio * 0.3
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tok": pa.array(n_tok),
+            "mean_word_len": pa.array(np.round(mean_wl, 6)),
+            "stop_ratio": pa.array(np.round(stop_ratio, 6)),
+            "distinct_ratio": pa.array(np.round(distinct_ratio, 6)),
+            "quality": pa.array(np.round(score, 6)),
+        }
+    )
+
+
+# character-trigram profiles per language (deterministic heuristic;
+# tiny — this is a stand-in for a real langid model, loaded once per
+# actor in LangIdModel.__init__)
+_LANG_HINTS = {
+    "en": ["the", "ing", "ion", " th", "and", " of", " to"],
+    "de": ["der", "sch", "ung", "ein", "ich", " un", "die"],
+    "fr": ["les", "ent", " de", "que", "ion", " le", "des"],
+    "es": [" de", "los", "ión", "que", " la", "ent", "ado"],
+    "zh": ["的", "了", "是", "在", "我", "不", "有"],
+}
+
+
+class LangIdModel:
+    """Actor-pool language-ID stage: profile table built once per actor
+    (the stateful-stage pattern: setup in __init__, work in __call__)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self.langs = sorted(_LANG_HINTS)
+        self.hints = {lang: list(h) for lang, h in _LANG_HINTS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        scores = np.zeros((batch.num_rows, len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            for hint in self.hints[lang]:
+                c = pc.count_substring(text, hint)
+                scores[:, j] += (c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                                 else c).to_numpy(zero_copy_only=False)
+        best = np.argmax(scores, axis=1)
+        conf = scores[np.arange(len(best)), best]
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[conf == 0] = "und"
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "lang_pred": pa.array(pred, type=pa.string()),
+                "lang_hits": pa.array(conf),
+            }
+        )
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, fingerprint): md5 hex of the document text (content
+    address for exact dedup / caching), plus a 64-bit rolling hash."""
+    texts = batch[text_col].to_pylist()
+    md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+            for t in texts]
+    rolls = [_rolling64(t) if t is not None else None for t in texts]
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "fingerprint": pa.array(md5s, type=pa.string()),
+            "rolling_hash": pa.array(rolls, type=pa.uint64()),
+        }
+    )
+
+
+def _rolling64(s: str, base: int = 1315423911) -> int:
+    h = 0
+    for b in s.encode("utf-8"):
+        h = (h * base + b) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def token_counts(ds, text_col="text", id_col="doc_id"):
+    return ds.map_batches(
+        lambda b: token_count_batch(b, text_col, id_col), batch_format="pyarrow")
+
+
+def quality_scores(ds, text_col="text", id_col="doc_id"):
+    return ds.map_batches(
+        lambda b: quality_score_batch(b, text_col, id_col), batch_format="pyarrow")
+
+
+def lang_id(ds, text_col="text", id_col="doc_id", concurrency=4):
+    return ds.map_batches(
+        LangIdModel, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
+def fingerprints(ds, text_col="text", id_col="doc_id"):
+    return ds.map_batches(
+        lambda b: fingerprint_batch(b, text_col, id_col), batch_format="pyarrow")

@@ -1,0 +1,215 @@
+"""Validation pipelines over the testdata tables, designed so every
+violation the engine emits is reproducible by an ANSI-SQL oracle
+(UNION ALL of per-rule SELECTs) — the driver's correctness gate runs
+both sides and hash-compares.
+
+Thresholds are deliberately inside the data ranges so each rule
+produces non-trivial row sets (the raw testdata is clean).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..engine import validate
+from ..spec import ConstraintSpec
+
+DOCUMENTS_SPEC = {
+    "table": "documents",
+    "key": "doc_id",
+    "columns": {
+        "doc_id": {"dtype": "int64", "non_null": True, "unique": True},
+        "text": {"dtype": "string", "non_null": True},
+        "lang": {"dtype": "string", "non_null": True,
+                 "enum": ["en", "de", "fr", "es"]},  # flags zh
+        "source": {"dtype": "string", "non_null": True,
+                   "pattern": "^src[0-9]$"},          # flags src10..src19
+        "n_chars": {"dtype": "int64", "minimum": 100, "maximum": 500},
+    },
+}
+
+ORDERS_SPEC = {
+    "table": "orders",
+    "key": "o_orderkey",
+    "columns": {
+        "o_orderkey": {"dtype": "int64", "non_null": True, "unique": True},
+        "o_custkey": {"dtype": "int64", "non_null": True, "ref": "customer"},
+        "o_orderstatus": {"dtype": "string", "enum": ["O", "F"]},  # flags P
+        "o_totalprice": {"dtype": "float64", "exclusive_minimum": 0,
+                         "maximum": 300000},
+        "o_orderpriority": {"dtype": "string", "min_length": 5, "max_length": 15},
+    },
+}
+
+LINEITEM_SPEC = {
+    "table": "lineitem",
+    "key": "l_orderkey",
+    "columns": {
+        "l_orderkey": {"dtype": "int64", "non_null": True},
+        "l_linenumber": {"dtype": "int32", "minimum": 1, "maximum": 4},
+        "l_quantity": {"dtype": "float64", "minimum": 1, "maximum": 45,
+                       "multiple_of": 1},
+        "l_discount": {"dtype": "float64", "minimum": 0, "maximum": 0.08},
+        "l_tax": {"dtype": "float64", "minimum": 0, "maximum": 0.06},
+    },
+}
+
+# conditional (if/then/else combinator) over events: purchases must have
+# value >= 5, everything else >= 0 — C4 if/then/else with a cross-column
+# condition (reference schema.rs:294-314)
+EVENTS_SPEC = {
+    "table": "events",
+    "key": "event_id",
+    "columns": {
+        "event_id": {"dtype": "int64", "non_null": True, "unique": True},
+        "event_type": {"dtype": "string", "non_null": True,
+                       "enum": ["click", "view", "purchase", "signup", "error"]},
+        "value": {
+            "dtype": "float64",
+            "checks": [{
+                "if": {"column": "event_type", "enum": ["purchase"]},
+                "then": {"minimum": 5},
+                "else": {"minimum": 0},
+            }],
+        },
+    },
+}
+
+
+def _viol_result(report) -> pd.DataFrame:
+    t = report.violations.select(["doc_id", "rule_id", "span"])
+    return (t.to_pandas()
+            .sort_values(["doc_id", "rule_id", "span"])
+            .reset_index(drop=True))
+
+
+def validate_documents(sf_dir: str) -> pd.DataFrame:
+    spec = ConstraintSpec.from_dict(DOCUMENTS_SPEC)
+    rep = validate(f"{sf_dir}/documents.parquet", spec)
+    return _viol_result(rep)
+
+
+def validate_orders(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    spec = ConstraintSpec.from_dict(ORDERS_SPEC)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    rep = validate(f"{sf_dir}/orders.parquet", spec,
+                   manifests={"customer": cust})
+    return _viol_result(rep)
+
+
+def validate_lineitem(sf_dir: str) -> pd.DataFrame:
+    spec = ConstraintSpec.from_dict(LINEITEM_SPEC)
+    rep = validate(f"{sf_dir}/lineitem.parquet", spec)
+    return _viol_result(rep)
+
+
+def validate_events(sf_dir: str) -> pd.DataFrame:
+    spec = ConstraintSpec.from_dict(EVENTS_SPEC)
+    rep = validate(f"{sf_dir}/events.parquet", spec)
+    return _viol_result(rep)
+
+
+# ---------------------------------------------------------------------------
+# matching DuckDB oracles (doc_id CAST to VARCHAR to match the engine's
+# string key column)
+
+DOCUMENTS_ORACLE = """
+WITH v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'invalid_enum_value' AS rule_id,
+         'lang' AS span
+    FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'no_pattern_match', 'source'
+    FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'less_than_expected', 'n_chars'
+    FROM documents WHERE n_chars < 100
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'more_than_expected', 'n_chars'
+    FROM documents WHERE n_chars > 500
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'not_unique', 'doc_id'
+    FROM (SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1)
+)
+SELECT * FROM v ORDER BY doc_id, rule_id, span
+"""
+
+ORDERS_ORACLE = """
+WITH v AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS doc_id, 'ref_missing' AS rule_id,
+         'o_custkey' AS span
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR), 'invalid_enum_value', 'o_orderstatus'
+    FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR), 'less_than_expected', 'o_totalprice'
+    FROM orders WHERE o_totalprice <= 0
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR), 'more_than_expected', 'o_totalprice'
+    FROM orders WHERE o_totalprice > 300000
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR), 'too_short', 'o_orderpriority'
+    FROM orders WHERE length(o_orderpriority) < 5
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR), 'too_long', 'o_orderpriority'
+    FROM orders WHERE length(o_orderpriority) > 15
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR), 'not_unique', 'o_orderkey'
+    FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+)
+SELECT * FROM v ORDER BY doc_id, rule_id, span
+"""
+
+LINEITEM_ORACLE = """
+WITH v AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS doc_id, 'less_than_expected' AS rule_id,
+         'l_linenumber' AS span FROM lineitem WHERE l_linenumber < 1
+  UNION ALL
+  SELECT CAST(l_orderkey AS VARCHAR), 'more_than_expected', 'l_linenumber'
+    FROM lineitem WHERE l_linenumber > 4
+  UNION ALL
+  SELECT CAST(l_orderkey AS VARCHAR), 'less_than_expected', 'l_quantity'
+    FROM lineitem WHERE l_quantity < 1
+  UNION ALL
+  SELECT CAST(l_orderkey AS VARCHAR), 'more_than_expected', 'l_quantity'
+    FROM lineitem WHERE l_quantity > 45
+  UNION ALL
+  SELECT CAST(l_orderkey AS VARCHAR), 'not_multiple_of', 'l_quantity'
+    FROM lineitem WHERE fmod(l_quantity, 1.0) != 0
+  UNION ALL
+  SELECT CAST(l_orderkey AS VARCHAR), 'less_than_expected', 'l_discount'
+    FROM lineitem WHERE l_discount < 0
+  UNION ALL
+  SELECT CAST(l_orderkey AS VARCHAR), 'more_than_expected', 'l_discount'
+    FROM lineitem WHERE l_discount > 0.08
+  UNION ALL
+  SELECT CAST(l_orderkey AS VARCHAR), 'less_than_expected', 'l_tax'
+    FROM lineitem WHERE l_tax < 0
+  UNION ALL
+  SELECT CAST(l_orderkey AS VARCHAR), 'more_than_expected', 'l_tax'
+    FROM lineitem WHERE l_tax > 0.06
+)
+SELECT * FROM v ORDER BY doc_id, rule_id, span
+"""
+
+EVENTS_ORACLE = """
+WITH v AS (
+  SELECT CAST(event_id AS VARCHAR) AS doc_id, 'invalid_enum_value' AS rule_id,
+         'event_type' AS span
+    FROM events WHERE event_type IS NOT NULL
+     AND event_type NOT IN ('click','view','purchase','signup','error')
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'less_than_expected', 'value'
+    FROM events
+   WHERE (event_type = 'purchase' AND value < 5)
+      OR (event_type != 'purchase' AND value < 0)
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'not_unique', 'event_id'
+    FROM (SELECT event_id FROM events GROUP BY event_id HAVING COUNT(*) > 1)
+)
+SELECT * FROM v ORDER BY doc_id, rule_id, span
+"""
