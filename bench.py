@@ -1,0 +1,163 @@
+"""Benchmark harness.
+
+Headline metric (the north rule): sequences/sec through the FULL
+validation pipeline (all constraint classes: narrow kernels +
+referential broadcast + global-uniqueness shuffle + drift sketches) on
+a deterministic synthetic sequences table of the BASELINE input_hint
+shape, sized by sf.  Secondary: wall seconds for representative
+operator pipelines over $GRAFT_SF_DIR.
+
+    python bench.py              # one JSON line, env GRAFT_SF_DIR / RAY_GRAFT_CPUS
+    python bench.py --scaling    # N=8 vs 4N=32 CPUs in fresh processes + efficiency
+
+The synthetic input is generated once per (sf, size) and cached under
+/tmp/verify_ray_bench, so repeated runs measure compute, not generation;
+a warm-up read primes the page cache before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = "/tmp/verify_ray_bench"
+
+# synthetic sequences size by sf (rows); ~64 tokens/row mean
+_ROWS_BY_SF = {"0.001": 20_000, "0.01": 200_000, "0.1": 2_000_000}
+
+
+def _sf_tag() -> str:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    return base.replace("sf", "") if base.startswith("sf") else "0.1"
+
+
+def ensure_synth(sf_tag: str) -> tuple[str, str, int]:
+    """Generate (once) and cache the bench sequences table + manifest."""
+    from verify_ray.sources.synth import make_manifest, make_sequences
+
+    n_rows = _ROWS_BY_SF.get(sf_tag, 2_000_000)
+    seq_dir = os.path.join(CACHE, f"sf{sf_tag}", "sequences")
+    marker = os.path.join(seq_dir, ".complete")
+    manifest = os.path.join(CACHE, f"sf{sf_tag}", "source_manifest.parquet")
+    # enough files that every CPU gets several read/validate tasks
+    n_files = max(32, n_rows // 31_250)
+    tag = f"{n_rows}:{n_files}"
+    if not (os.path.exists(marker) and open(marker).read() == tag):
+        import shutil
+
+        shutil.rmtree(seq_dir, ignore_errors=True)
+        make_sequences(seq_dir, n_rows=n_rows, n_files=n_files, seed=42,
+                       max_n_tok=256)
+        make_manifest(os.path.dirname(manifest), max_n_tok=256)
+        with open(marker, "w") as f:
+            f.write(tag)
+    return seq_dir, manifest, n_rows
+
+
+def bench_validate_sequences(seq_dir: str, manifest_path: str) -> float:
+    """Full validation pipeline wall time (streaming, violations consumed
+    via count — no driver materialization of the input)."""
+    import pyarrow.parquet as pq
+
+    from verify_ray.engine import validate
+    from verify_ray.spec import ConstraintSpec
+    from verify_ray.sources.synth import default_spec_dict
+
+    spec = ConstraintSpec.from_dict(default_spec_dict(max_n_tok=256))
+    manifest = pq.read_table(manifest_path)
+    t0 = time.time()
+    rep = validate(seq_dir, spec, manifests={"source_manifest": manifest})
+    assert rep.violations.num_rows > 0
+    return time.time() - t0
+
+
+def bench_queries() -> dict[str, float]:
+    """Representative operator pipelines over the testdata tables."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry
+
+    q = entry.queries()
+    names = ["pricing_summary", "events_window_day", "dedup_exact",
+             "text_token_count", "dedup_minhash_lsh", "ann_topk",
+             "validate_lineitem", "sequences_validate"]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        q[name](SF_DIR)
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def warm_page_cache(path: str) -> None:
+    import glob
+
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+
+def main() -> None:
+    import ray
+
+    sf_tag = _sf_tag()
+    seq_dir, manifest, n_rows = ensure_synth(sf_tag)
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    try:
+        warm_page_cache(seq_dir)
+        headline = bench_validate_sequences(seq_dir, manifest)
+        queries = bench_queries()
+        result = {
+            "metric": "full-pipeline validation wall time over "
+                      f"{n_rows} synthetic sequences",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "rows_per_sec": round(n_rows / headline),
+            "queries": queries,
+            "sf": float(sf_tag),
+            "num_cpus": NUM_CPUS,
+        }
+        print(json.dumps(result))
+    finally:
+        ray.shutdown()
+
+
+def scaling() -> None:
+    """North-rule scaling evidence: same input, fresh processes at
+    num_cpus=8 and num_cpus=32; efficiency = (T8/T32)/4."""
+    ensure_synth(_sf_tag())  # generate outside the timed runs
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    print(json.dumps({
+        "sec_8": t_lo, "sec_32": t_hi,
+        "rows_per_sec_8": lo["rows_per_sec"], "rows_per_sec_32": hi["rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -96,9 +96,12 @@ def build_violations_dataset(ds, plan: CompiledPlan, manifests=None,
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
     violations = ds.map_batches(validator, **kwargs)
-    for col in plan.unique_columns:
-        key_ds = key_ds_factory(col) if key_ds_factory is not None else ds
-        violations = violations.union(unique_violations(key_ds, col))
+    if key_ds_factory is None:
+        # in-memory source: uniqueness via the Dataset groupby path
+        for col in plan.unique_columns:
+            violations = violations.union(unique_violations(ds, col))
+    # file sources handle uniqueness via the fast hash exchange in
+    # validate()/run() — see stages/unique.find_duplicate_keys
     return violations
 
 
@@ -157,6 +160,16 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
     )
     refs = violations_ds.to_arrow_refs()
     tables = [t for t in ray.get(refs) if t.num_rows > 0]
+    if key_ds_factory is not None and plan.unique_columns:
+        # W1 for file sources: explicit hash exchange over ONLY the key
+        # column (stages/unique.py) — no Dataset-groupby overhead, no
+        # second full-column scan
+        from .stages.unique import unique_violations_from_files
+
+        for col in plan.unique_columns:
+            uv = unique_violations_from_files(files, col)
+            if uv.num_rows:
+                tables.append(uv)
     if tables:
         vt = pa.concat_tables([t.cast(VIOLATION_SCHEMA) for t in tables])
     else:

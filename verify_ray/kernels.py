@@ -89,14 +89,50 @@ def flatten_with_parents(col):
     schema.rs:708-717; we flatten the whole batch's list column once).
     Null lists contribute zero elements.
     """
+    values, parents, starts = _flatten3(col)
+    elem_idx = np.arange(len(parents), dtype=np.int64) - starts[parents]
+    return values, parents, elem_idx
+
+
+def _flatten3(col):
+    """(values, parents, starts): the shared flatten; element indices are
+    derived lazily only for violating positions (they're rare)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     values = pc.list_flatten(col)
     parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
     lengths = np.maximum(_list_lengths(col), 0)
     starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
-    elem_idx = np.arange(len(parents), dtype=np.int64) - starts[parents]
-    return values, parents, elem_idx
+    return values, parents, starts
+
+
+def _flat_cached(t: pa.Table, name: str, cache: dict):
+    """Per-validate_batch memo: flatten each list column at most once no
+    matter how many element rules touch it."""
+    hit = cache.get(name)
+    if hit is None:
+        hit = _flatten3(_col(t, name))
+        cache[name] = hit
+    return hit
+
+
+def _flat_numeric(t: pa.Table, name: str, cache: dict):
+    """(numeric ndarray, parents, starts, nan_mask|None) with a zero-copy
+    fast path for null-free integer/float values."""
+    key = name + "\x00num"
+    hit = cache.get(key)
+    if hit is None:
+        values, parents, starts = _flat_cached(t, name, cache)
+        if values.null_count == 0 and (
+                pa.types.is_integer(values.type) or pa.types.is_floating(values.type)):
+            v = values.to_numpy(zero_copy_only=True)
+            nan = None if pa.types.is_integer(values.type) else np.isnan(v)
+        else:
+            v = pc.cast(values, pa.float64()).to_numpy(zero_copy_only=False)
+            nan = np.isnan(v)
+        hit = (v, parents, starts, nan)
+        cache[key] = hit
+    return hit
 
 
 # ---------------------------------------------------------------------------
@@ -117,14 +153,16 @@ class RowRule:
 
 @dataclass
 class ElementRule:
-    """A list-element-level rule: returns (row_idx, elem_idx) of violating
-    elements => violation rows with span ``column.<elem_idx>`` (dotted keys
-    convention, reference span.rs:101-103 / serde.rs:166-174)."""
+    """A list-element-level rule: ``fn(table, flat_cache)`` returns
+    (row_idx, elem_idx) of violating elements => violation rows with span
+    ``column.<elem_idx>`` (dotted keys convention, reference
+    span.rs:101-103 / serde.rs:166-174).  ``flat_cache`` memoizes the
+    flattened list column across all element rules of one batch."""
 
     rule_id: str
     column: str
     message: str
-    fn: Callable[[pa.Table], tuple[np.ndarray, np.ndarray]]
+    fn: Callable[[pa.Table, dict], tuple[np.ndarray, np.ndarray]]
 
 
 @dataclass
@@ -453,45 +491,48 @@ def _element_rules(c) -> list[ElementRule]:
 
     # S1 element bounds / enum over the flattened values (schema.rs:708-717)
     elem_checks: list[tuple[str, str, Callable]] = []
-    if c.element_min is not None:
-        b = float(c.element_min)
-        elem_checks.append((R.ELEMENT_OUT_OF_BOUNDS, E.msg_less_than_expected(b, False),
-                            lambda v, b=b: np.less(v, b, where=~np.isnan(v), out=np.zeros(len(v), bool))))
-    if c.element_exclusive_min is not None:
-        b = float(c.element_exclusive_min)
-        elem_checks.append((R.ELEMENT_OUT_OF_BOUNDS, E.msg_less_than_expected(b, True),
-                            lambda v, b=b: np.less_equal(v, b, where=~np.isnan(v), out=np.zeros(len(v), bool))))
-    if c.element_max is not None:
-        b = float(c.element_max)
-        elem_checks.append((R.ELEMENT_OUT_OF_BOUNDS, E.msg_more_than_expected(b, False),
-                            lambda v, b=b: np.greater(v, b, where=~np.isnan(v), out=np.zeros(len(v), bool))))
-    if c.element_exclusive_max is not None:
-        b = float(c.element_exclusive_max)
-        elem_checks.append((R.ELEMENT_OUT_OF_BOUNDS, E.msg_more_than_expected(b, True),
-                            lambda v, b=b: np.greater_equal(v, b, where=~np.isnan(v), out=np.zeros(len(v), bool))))
+    for attr, rid_, excl, op in [
+        ("element_min", R.ELEMENT_OUT_OF_BOUNDS, False, np.less),
+        ("element_exclusive_min", R.ELEMENT_OUT_OF_BOUNDS, True, np.less_equal),
+        ("element_max", R.ELEMENT_OUT_OF_BOUNDS, False, np.greater),
+        ("element_exclusive_max", R.ELEMENT_OUT_OF_BOUNDS, True, np.greater_equal),
+    ]:
+        bval = getattr(c, attr)
+        if bval is None:
+            continue
+        b = float(bval)
+        msg = (E.msg_less_than_expected(b, excl) if op in (np.less, np.less_equal)
+               else E.msg_more_than_expected(b, excl))
+        elem_checks.append((rid_, msg, lambda v, b=b, op=op: op(v, b)))
     if c.element_enum is not None:
         enum_vals = list(c.element_enum)
         msg = E.msg_invalid_enum(enum_vals)
 
-        def enum_bad(values_np, flat=None, enum_vals=enum_vals):
-            bad = np.ones(len(values_np), dtype=bool)
+        def enum_bad(v, enum_vals=enum_vals):
+            bad = np.ones(len(v), dtype=bool)
             for e in enum_vals:
-                bad &= values_np != e
+                bad &= v != e
             return bad
 
         elem_checks.append((R.INVALID_ENUM_VALUE, msg, enum_bad))
 
     for rid, msg, badfn in elem_checks:
-        def elem_fn(t: pa.Table, name=name, badfn=badfn):
+        def elem_fn(t: pa.Table, cache: dict, name=name, badfn=badfn):
             if name not in t.column_names:
                 return np.empty(0, np.int64), np.empty(0, np.int64)
-            values, parents, elem_idx = flatten_with_parents(_col(t, name))
-            v = pc.cast(values, pa.float64()).to_numpy(zero_copy_only=False)
-            bad = badfn(v)
-            # null elements never trip bounds (K12 governs nulls)
-            bad &= ~np.isnan(v)
+            v, parents, starts, nan = _flat_numeric(t, name, cache)
+            # bounds compare against the value's native dtype where
+            # possible (zero-copy int fast path); null/NaN elements never
+            # trip bounds (K12 governs nulls)
+            with np.errstate(invalid="ignore"):
+                bad = badfn(v)
+            if nan is not None:
+                bad &= ~nan
             sel = np.flatnonzero(bad)
-            return parents[sel], elem_idx[sel]
+            if len(sel) == 0:
+                return sel, sel
+            par = parents[sel]
+            return par, sel - starts[par]
 
         rules.append(ElementRule(rid, name, msg, elem_fn))
 
@@ -500,21 +541,23 @@ def _element_rules(c) -> list[ElementRule]:
     # adjacent equal pairs within the same parent.  We report the
     # *duplicate* element's index, mirroring NotUnique{first, duplicate}.
     if c.unique_items:
-        def uniq_fn(t: pa.Table, name=name):
+        def uniq_fn(t: pa.Table, cache: dict, name=name):
             if name not in t.column_names:
                 return np.empty(0, np.int64), np.empty(0, np.int64)
-            values, parents, elem_idx = flatten_with_parents(_col(t, name))
+            values, parents, starts = _flat_cached(t, name, cache)
             if len(parents) == 0:
                 return np.empty(0, np.int64), np.empty(0, np.int64)
             v = values.to_numpy(zero_copy_only=False)
             order = np.lexsort((v, parents))
-            sv, sp, se = v[order], parents[order], elem_idx[order]
+            sv, sp = v[order], parents[order]
             dup = np.zeros(len(sv), dtype=bool)
             dup[1:] = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
             sel = np.flatnonzero(dup)
-            # report each duplicated (row) once per extra occurrence, at the
-            # duplicate's original element index
-            return sp[sel], se[sel]
+            # report each duplicated (row) once per extra occurrence, at
+            # the duplicate's original element index
+            flat = order[sel]
+            par = parents[flat]
+            return par, flat - starts[par]
 
         rules.append(ElementRule(R.NOT_UNIQUE, name, E.msg_not_unique(), uniq_fn))
 
@@ -656,8 +699,9 @@ class CompiledPlan:
         n_row_rules_emitted = len(counts)
 
         elem_span_arrays: list[list[str]] = []
+        flat_cache: dict = {}
         for rule in self.element_rules:
-            rows, elems = rule.fn(t)
+            rows, elems = rule.fn(t, flat_cache)
             if len(rows) == 0:
                 continue
             ids = (key_col.take(pa.array(rows)) if key_col is not None

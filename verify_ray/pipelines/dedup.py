@@ -135,17 +135,27 @@ def _minhash_params(num_perm: int, seed: int = 0xC0FFEE):
 
 def minhash_signatures_batch(batch: pa.Table, text_col: str, id_col: str,
                              num_perm: int, shingle_k: int) -> tuple[np.ndarray, pa.Array]:
-    """(signatures[num_docs, num_perm], ids) for one batch."""
+    """(signatures[num_docs, num_perm], ids) for one batch.
+
+    Shingle hashes arrive grouped by doc (flatten order), so each
+    permutation is two vectorized ops + one ``np.minimum.reduceat``
+    over doc boundaries — no scatter writes.
+    """
     texts = batch[text_col].to_pylist()
     h, par = _char_shingle_hashes(texts, shingle_k)
     a, b = _minhash_params(num_perm)
     n_docs = batch.num_rows
     sig = np.full((n_docs, num_perm), _MASK64, dtype=np.uint64)
     if len(h):
+        # segment starts per doc present in `par` (docs with no shingles
+        # keep the sentinel signature)
+        change = np.concatenate([[True], par[1:] != par[:-1]])
+        starts = np.flatnonzero(change)
+        doc_of_seg = par[starts]
         with np.errstate(over="ignore"):
             for p in range(num_perm):
                 hp = a[p] * h + b[p]
-                np.minimum.at(sig[:, p], par, hp)
+                sig[doc_of_seg, p] = np.minimum.reduceat(hp, starts)
     return sig, batch[id_col]
 
 
@@ -195,26 +205,71 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     band_ds = ds.select_columns([id_col, text_col]).map_batches(
         to_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_est": []})
-        g = g.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
-        ids = g["doc_id"].to_numpy()
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = _pairs_in_fine_buckets(
+            g, lambda sub: _sig_pairs(sub, threshold))
+        return out if out is not None else pd.DataFrame(
+            {"doc_a": [], "doc_b": [], "jaccard_est": []})
+
+    def _sig_pairs(sub: pd.DataFrame, threshold: float) -> pd.DataFrame:
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sub["sig"]])
+        ids = sub["doc_id"].to_numpy()
         ia, ib = np.triu_indices(len(ids), k=1)
         est = (sigs[ia] == sigs[ib]).mean(axis=1)
         keep = est >= threshold
         return pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]],
                              "jaccard_est": est[keep]})
 
-    pairs = band_ds.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
-    # same pair can surface from several bands — dedup (pair set is
-    # threshold-sparse/output-sized, so driver-side is fine)
+    pairs = _grouped_coarse(band_ds, coarse_pairs)
     if pairs.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_est": []})
     return (pairs.drop_duplicates(subset=["doc_a", "doc_b"])
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# coarse-bucket machinery shared by the LSH pipelines
+#
+# A naive groupby(fine_bucket).map_groups pays per-group overhead for
+# ~docs×bands groups, nearly all singletons.  Instead: shuffle by a
+# COARSE bucket (fine % N_COARSE → ≤N_COARSE groups), then resolve fine
+# buckets vectorized inside each group and expand pairs only for the
+# (rare) multi-member fine buckets.
+
+N_COARSE = 64
+
+
+def _grouped_coarse(rows_ds, fn) -> pd.DataFrame:
+    def add_coarse(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "coarse", pa.array((b % np.uint64(N_COARSE)).astype(np.int64)))
+
+    return (rows_ds.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("coarse").map_groups(fn, batch_format="pandas")
+            .to_pandas())
+
+
+def _pairs_in_fine_buckets(g: pd.DataFrame, pair_fn):
+    """Within one coarse group: find fine buckets with >=2 distinct docs
+    (vectorized) and run pair_fn only on those."""
+    if len(g) < 2:
+        return None
+    order = np.argsort(g["bucket"].to_numpy(), kind="stable")
+    g = g.iloc[order]
+    b = g["bucket"].to_numpy()
+    starts = np.flatnonzero(np.concatenate([[True], b[1:] != b[:-1]]))
+    ends = np.concatenate([starts[1:], [len(b)]])
+    parts = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        sub = g.iloc[s:e].drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
+        if len(sub) >= 2:
+            parts.append(pair_fn(sub))
+    if not parts:
+        return None
+    return pd.concat(parts, ignore_index=True)
 
 
 # ---------------------------------------------------------------------------
@@ -265,12 +320,9 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     rows = ds.select_columns([id_col, text_col]).map_batches(
         to_rows, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        g = g.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
-        sh = g["simhash"].to_numpy().astype(np.uint64)
-        ids = g["doc_id"].to_numpy()
+    def ham_pairs(sub: pd.DataFrame) -> pd.DataFrame:
+        sh = sub["simhash"].to_numpy().astype(np.uint64)
+        ids = sub["doc_id"].to_numpy()
         ia, ib = np.triu_indices(len(ids), k=1)
         x = sh[ia] ^ sh[ib]
         ham = np.array([bin(int(v)).count("1") for v in x])
@@ -278,8 +330,12 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]],
                              "hamming": ham[keep].astype(np.int64)})
 
-    pairs = rows.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = _pairs_in_fine_buckets(g, ham_pairs)
+        return out if out is not None else pd.DataFrame(
+            {"doc_a": [], "doc_b": [], "hamming": []})
+
+    pairs = _grouped_coarse(rows, coarse_pairs)
     if pairs.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
     return (pairs.drop_duplicates(subset=["doc_a", "doc_b"])

@@ -219,35 +219,26 @@ def _finalize(output_dir, plan, groups, row_counts, schema_viols,
     global_dir = os.path.join(output_dir, "violations_global")
     os.makedirs(global_dir, exist_ok=True)
 
-    # W1 uniqueness over the pre-aggregated (key, cnt) partials
+    # W1 uniqueness over the pre-aggregated (key, cnt) partials, via the
+    # explicit hash exchange (stages/unique.find_duplicate_keys)
     count_files = sorted(_glob.glob(
         os.path.join(output_dir, "groups", "*", "kind=c", "*.parquet")))
     n_global = 0
     if count_files and plan.unique_columns:
+        import ray
+
+        from .stages.unique import dup_table_to_violations, find_duplicate_keys
+
         col = plan.unique_columns[0]
-        partials = rd.read_parquet(count_files, columns=["doc_id", "cnt"])
-        totals = partials.groupby("doc_id").aggregate(Sum("cnt", alias_name="cnt"))
-
-        def to_viol(t: pa.Table) -> pa.Table:
-            dup = t.filter(pc.greater(t.column("cnt"), 1))
-            n = dup.num_rows
-            return pa.table(
-                {
-                    "doc_id": pc.cast(dup.column("doc_id"), pa.string()),
-                    "rule_id": pa.array([R.NOT_UNIQUE] * n, type=pa.string()),
-                    "span": pa.array([col] * n, type=pa.string()),
-                    "message": pa.array(
-                        [f"{msg_not_unique()} ({c} occurrences)"
-                         for c in dup.column("cnt").to_pylist()], type=pa.string()),
-                    "partition_id": pa.array(np.full(n, -1, dtype=np.int32)),
-                }
-            )
-
-        gv = totals.map_batches(to_viol, batch_format="pyarrow")
-        gv.write_parquet(os.path.join(global_dir, "unique"), mode="overwrite")
-        n_global += sum(
-            pq.read_metadata(f).num_rows
-            for f in _glob.glob(os.path.join(global_dir, "unique", "*.parquet")))
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        fgroups = [count_files[i:i + 8] for i in range(0, len(count_files), 8)]
+        dups = find_duplicate_keys(fgroups, "doc_id",
+                                   num_buckets=max(4, min(64, cpus)),
+                                   cnt_column="cnt")
+        uv = dup_table_to_violations(dups.rename_columns([col, "cnt"]), col)
+        os.makedirs(os.path.join(global_dir, "unique"), exist_ok=True)
+        pq.write_table(uv, os.path.join(global_dir, "unique", "dups.parquet"))
+        n_global += uv.num_rows
 
     # W3 drift over the sketch partials
     drift_rows = []

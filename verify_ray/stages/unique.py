@@ -38,6 +38,120 @@ def _partial_counts(column: str):
     return partial
 
 
+def _bucket_of(keys_arr: pa.Array, num_buckets: int) -> np.ndarray:
+    """Deterministic vectorized key->bucket (pandas siphash, C speed)."""
+    import pandas as pd
+
+    h = pd.util.hash_array(keys_arr.to_numpy(zero_copy_only=False))
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def find_duplicate_keys(file_groups: list[list[str]], column: str,
+                        num_buckets: int, cnt_column: str | None = None) -> pa.Table:
+    """(key, cnt) table of keys with global count > 1, via an explicit
+    MapReduce-style hash exchange with raw Ray tasks.
+
+    This is the one stage where we drop below the Dataset API: Ray
+    Data's sort-based ``groupby().aggregate()`` costs seconds of fixed
+    overhead per run and sorts ALL keys, while duplicate detection only
+    needs hash co-location.  Shape:
+
+      map task (per ≤files_per_task files): read ONLY the key column
+        (+ optional pre-aggregated cnt), per-task value-count partials,
+        split into ``num_buckets`` hash buckets → num_buckets returns;
+      merge task (per bucket): concat its pieces, one C++ hash
+        aggregate (pa.TableGroupBy), keep count > 1.
+
+    Partitioning assumptions (documented per SURVEY §2.6): bucket =
+    siphash(key) % B; B must be sized so total_keys/B fits a worker
+    (B grows with the cluster); skew is absorbed by the per-task
+    value-count pre-aggregation — a hot key contributes ≤1 row per map
+    task regardless of its multiplicity.
+    """
+    import ray
+
+    B = num_buckets
+
+    @ray.remote(num_returns=B)
+    def map_task(paths: list[str]):
+        import pyarrow.parquet as _pq
+
+        cols = [column] + ([cnt_column] if cnt_column else [])
+        t = pa.concat_tables([_pq.read_table(p, columns=cols) for p in paths])
+        if cnt_column:
+            g = t.group_by(column).aggregate([(cnt_column, "sum")])
+            keys, cnts = g.column(column), g.column(f"{cnt_column}_sum")
+        else:
+            col = t.column(column)
+            vc = pc.value_counts(col.combine_chunks()
+                                 if isinstance(col, pa.ChunkedArray) else col)
+            keys, cnts = vc.field("values"), pc.cast(vc.field("counts"), pa.int64())
+        mask = pc.is_valid(keys)
+        keys, cnts = keys.filter(mask), cnts.filter(mask)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        part = pa.table({column: keys, "cnt": cnts})
+        bk = _bucket_of(keys, B)
+        out = []
+        for b in range(B):
+            sel = np.flatnonzero(bk == b)
+            out.append(part.take(pa.array(sel)) if len(sel) else part.slice(0, 0))
+        return tuple(out) if B > 1 else out[0]
+
+    @ray.remote
+    def merge_task(*pieces):
+        t = pa.concat_tables(pieces)
+        if t.num_rows == 0:
+            return t
+        g = t.group_by(column).aggregate([("cnt", "sum")])
+        dup = g.filter(pc.greater(g.column("cnt_sum"), 1))
+        return pa.table({column: dup.column(column),
+                         "cnt": dup.column("cnt_sum")})
+
+    refs = [map_task.remote(grp) for grp in file_groups]
+    if B == 1:
+        refs = [[r] for r in refs]
+    merged = [merge_task.remote(*[refs[m][b] for m in range(len(refs))])
+              for b in range(B)]
+    tables = [t for t in ray.get(merged) if t.num_rows]
+    if not tables:
+        return pa.table({column: pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+    return pa.concat_tables(tables)
+
+
+def dup_table_to_violations(dups: pa.Table, column: str) -> pa.Table:
+    keys = pc.cast(dups.column(column), pa.string())
+    n = dups.num_rows
+    msg = msg_not_unique()
+    return pa.table(
+        {
+            "doc_id": keys,
+            "rule_id": pa.array([R.NOT_UNIQUE] * n, type=pa.string()),
+            "span": pa.array([column] * n, type=pa.string()),
+            "message": pa.array(
+                [f"{msg} ({c} occurrences)"
+                 for c in dups.column("cnt").to_pylist()], type=pa.string()),
+            "partition_id": pa.array(np.full(n, -1, dtype=np.int32)),
+        }
+    )
+
+
+def unique_violations_from_files(files: list[str], column: str,
+                                 num_buckets: int | None = None,
+                                 files_per_task: int = 8) -> pa.Table:
+    """not_unique violations for a parquet file set (fast exchange)."""
+    import ray
+
+    if num_buckets is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_buckets = max(4, min(64, cpus))
+    groups = [files[i:i + files_per_task]
+              for i in range(0, len(files), files_per_task)]
+    dups = find_duplicate_keys(groups, column, num_buckets)
+    return dup_table_to_violations(dups, column)
+
+
 def unique_violations(ds, column: str, batch_size: int = 65536):
     """Dataset of not_unique violation rows (one per duplicated key)."""
     from ray.data.aggregate import Sum
