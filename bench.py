@@ -27,8 +27,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE = "/tmp/verify_ray_bench"
 
-# synthetic sequences size by sf (rows); ~64 tokens/row mean
-_ROWS_BY_SF = {"0.001": 20_000, "0.01": 200_000, "0.1": 2_000_000}
+# synthetic sequences size by sf (rows); ~64 tokens/row mean.  Sized so
+# the 32-CPU run has real work per core (scaling measurements need the
+# pipeline, not fixed overhead, to dominate).
+_ROWS_BY_SF = {"0.001": 50_000, "0.01": 500_000, "0.1": 8_000_000}
 
 
 def _sf_tag() -> str:
@@ -116,6 +118,12 @@ def main() -> None:
     ctx.enable_progress_bars = False
     try:
         warm_page_cache(seq_dir)
+        # spawn the worker pool before timing (measures the pipeline,
+        # not Ray process startup — identical warmup at every CPU count)
+        import ray.data as rd
+
+        rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8).map_batches(
+            lambda b: b).count()
         headline = bench_validate_sequences(seq_dir, manifest)
         queries = bench_queries()
         result = {

@@ -1,0 +1,145 @@
+"""Property-based row-level oracle (SURVEY §5): a deliberately naive
+pure-Python per-row validator mirroring the reference semantics, compared
+against the vectorized engine on randomized tables.
+
+The oracle walks one row at a time like the reference's serde visitor
+(/root/reference/verify/src/serde.rs:241-267) and accumulates every
+violation; the engine must produce the identical (row, rule_id, span)
+multiset for every generated table.
+"""
+
+import math
+import re
+import sys
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from verify_ray.spec import ColumnSpec, ConstraintSpec
+
+F64_EPS = sys.float_info.epsilon
+
+
+def oracle_row(row: dict, cols: list[ColumnSpec]) -> list[tuple[str, str]]:
+    """Naive per-row validation -> [(rule_id, span)]; mirrors the
+    reference kernels' semantics one value at a time."""
+    out = []
+    for c in cols:
+        v = row.get(c.name)
+        if v is None:
+            if c.non_null:
+                out.append(("non_null", c.name))
+            continue
+        if isinstance(v, list):
+            if c.min_items is not None and len(v) < c.min_items:
+                out.append(("not_enough_items", c.name))
+            if c.max_items is not None and len(v) > c.max_items:
+                out.append(("too_many_items", c.name))
+            if c.len_equals is not None:
+                other = row.get(c.len_equals)
+                if other is not None and len(v) != other:
+                    out.append(("len_equals_column", c.name))
+            for i, e in enumerate(v):
+                if e is None:
+                    continue
+                if c.element_min is not None and e < c.element_min:
+                    out.append(("element_out_of_bounds", f"{c.name}.{i}"))
+                if c.element_max is not None and e > c.element_max:
+                    out.append(("element_out_of_bounds", f"{c.name}.{i}"))
+            if c.unique_items:
+                seen = {}
+                for i, e in enumerate(v):
+                    if e in seen:
+                        out.append(("not_unique", f"{c.name}.{i}"))
+                    else:
+                        seen[e] = i
+            if c.contains is not None:
+                lo = c.contains.get("minimum")
+                if not any(e is not None and e >= lo for e in v):
+                    out.append(("must_contain", c.name))
+            continue
+        if isinstance(v, str):
+            if c.pattern is not None and not re.search(c.pattern, v):
+                out.append(("no_pattern_match", c.name))
+            if c.max_length is not None and len(v) > c.max_length:
+                out.append(("too_long", c.name))
+            if c.min_length is not None and len(v) < c.min_length:
+                out.append(("too_short", c.name))
+            if c.enum is not None and v not in c.enum:
+                out.append(("invalid_enum_value", c.name))
+            continue
+        # numeric — f64 comparisons like the reference casts
+        f = float(v)
+        if c.enum is not None:
+            if isinstance(v, float):
+                ok = any(abs(f - float(e)) < F64_EPS for e in c.enum)
+            else:
+                ok = any(v == e for e in c.enum
+                         if not isinstance(e, float) or float(e).is_integer())
+            if not ok:
+                out.append(("invalid_enum_value", c.name))
+        if c.multiple_of is not None and math.fmod(f, c.multiple_of) != 0.0:
+            out.append(("not_multiple_of", c.name))
+        if c.minimum is not None and f < c.minimum:
+            out.append(("less_than_expected", c.name))
+        if c.exclusive_minimum is not None and f <= c.exclusive_minimum:
+            out.append(("less_than_expected", c.name))
+        if c.maximum is not None and f > c.maximum:
+            out.append(("more_than_expected", c.name))
+        if c.exclusive_maximum is not None and f >= c.exclusive_maximum:
+            out.append(("more_than_expected", c.name))
+    return out
+
+
+SPEC = ConstraintSpec(
+    key="id",
+    columns=[
+        ColumnSpec(name="id", dtype="string"),
+        ColumnSpec(name="s", dtype="string", non_null=True, pattern="^a+b$",
+                   min_length=2, max_length=4, enum=["ab", "aab", "zz", "aaaab"]),
+        ColumnSpec(name="n", dtype="int64", minimum=-5, exclusive_maximum=10,
+                   multiple_of=2, enum=[-4, -2, 0, 2, 4, 6, 8, 11]),
+        ColumnSpec(name="f", dtype="float64", exclusive_minimum=0.0,
+                   maximum=1.0),
+        ColumnSpec(name="xs", dtype="list<int64>", min_items=1, max_items=4,
+                   element_min=0, element_max=9, unique_items=True,
+                   contains={"minimum": 5}, len_equals="n"),
+    ],
+)
+PLAN = SPEC.compile()
+
+
+row_strategy = st.fixed_dictionaries({
+    "s": st.one_of(st.none(), st.sampled_from(
+        ["ab", "aab", "aaab", "aaaab", "zz", "b", "a", "xaby", ""])),
+    "n": st.one_of(st.none(), st.integers(min_value=-8, max_value=13)),
+    "f": st.one_of(st.none(),
+                   st.floats(min_value=-0.5, max_value=1.5,
+                             allow_nan=False, width=64)),
+    "xs": st.one_of(st.none(), st.lists(
+        st.integers(min_value=-2, max_value=11), max_size=6)),
+})
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(row_strategy, min_size=1, max_size=25))
+def test_engine_matches_row_oracle(rows):
+    for i, r in enumerate(rows):
+        r["id"] = f"r{i:04d}"
+    table = pa.table({
+        "id": pa.array([r["id"] for r in rows], type=pa.string()),
+        "s": pa.array([r["s"] for r in rows], type=pa.string()),
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+        "f": pa.array([r["f"] for r in rows], type=pa.float64()),
+        "xs": pa.array([r["xs"] for r in rows], type=pa.list_(pa.int64())),
+    })
+    got = PLAN.validate_batch(table)
+    got_set = sorted(zip(got["doc_id"].to_pylist(), got["rule_id"].to_pylist(),
+                         got["span"].to_pylist()))
+    exp = []
+    for r in rows:
+        for rid, span in oracle_row(r, SPEC.columns):
+            exp.append((r["id"], rid, span))
+    assert got_set == sorted(exp)

@@ -561,6 +561,62 @@ def _element_rules(c) -> list[ElementRule]:
 
         rules.append(ElementRule(R.NOT_UNIQUE, name, E.msg_not_unique(), uniq_fn))
 
+    # S2 tuple-wise items + additional_items (schema.rs:718-734):
+    # element i validated against items_tuple[i]; overflow elements
+    # against additional_items (False = Never, SchemaRef::Bool false)
+    if c.items_tuple is not None:
+        n_pos = len(c.items_tuple)
+
+        def position_values(t: pa.Table, cache: dict, i: int, name=name):
+            """(value_table, row_indices) for element position i."""
+            values, parents, starts = _flat_cached(t, name, cache)
+            lengths = np.maximum(_list_lengths(_col(t, name)), 0)
+            rows = np.flatnonzero(lengths > i)
+            flat = starts[rows] + i
+            vt = pa.table({name: values.take(pa.array(flat))})
+            return vt, rows
+
+        for i, node in enumerate(c.items_tuple):
+            for rid, msg, mask_fn in _leaf_violation_masks(dict(node), name):
+                def pos_fn(t: pa.Table, cache: dict, i=i, mask_fn=mask_fn):
+                    if name not in t.column_names:
+                        return np.empty(0, np.int64), np.empty(0, np.int64)
+                    vt, rows = position_values(t, cache, i)
+                    bad = mask_fn(vt)
+                    sel = np.flatnonzero(bad)
+                    return rows[sel], np.full(len(sel), i, dtype=np.int64)
+
+                rules.append(ElementRule(rid, name, msg, pos_fn))
+
+        if c.additional_items is False:
+            def overflow_never(t: pa.Table, cache: dict, name=name, n_pos=n_pos):
+                if name not in t.column_names:
+                    return np.empty(0, np.int64), np.empty(0, np.int64)
+                _, parents, starts = _flat_cached(t, name, cache)
+                flat = np.arange(len(parents), dtype=np.int64)
+                elem = flat - starts[parents]
+                sel = np.flatnonzero(elem >= n_pos)
+                return parents[sel], elem[sel]
+
+            rules.append(ElementRule(R.NEVER, name, E.msg_never(), overflow_never))
+        elif isinstance(c.additional_items, dict):
+            for rid, msg, mask_fn in _leaf_violation_masks(
+                    dict(c.additional_items), name):
+                def overflow_fn(t: pa.Table, cache: dict, name=name,
+                                n_pos=n_pos, mask_fn=mask_fn):
+                    if name not in t.column_names:
+                        return np.empty(0, np.int64), np.empty(0, np.int64)
+                    values, parents, starts = _flat_cached(t, name, cache)
+                    flat = np.arange(len(parents), dtype=np.int64)
+                    elem = flat - starts[parents]
+                    over = np.flatnonzero(elem >= n_pos)
+                    vt = pa.table({name: values.take(pa.array(over))})
+                    bad = mask_fn(vt)
+                    sel = over[np.flatnonzero(bad)]
+                    return parents[sel], elem[sel]
+
+                rules.append(ElementRule(rid, name, msg, overflow_fn))
+
     return rules
 
 
@@ -621,6 +677,8 @@ class CompiledPlan:
     # every column any rule touches — the read-time projection (prune at
     # the read: only these columns leave storage)
     referenced_columns: list[str] = field(default_factory=list)
+    # D5 span-format hook: (column, elem_idx=None) -> str; None = dotted
+    span_format: Optional[Callable] = None
 
     # -- schema-level validation (once per distinct schema) ----------------
 
@@ -695,7 +753,8 @@ class CompiledPlan:
             ids = (key_col.take(pa.array(idx)) if key_col is not None
                    else pa.array([""] * len(idx)))
             emit(ids, rule.rule_id, None, rule.message)
-            const_spans.append(rule.span)
+            const_spans.append(self.span_format(rule.column)
+                               if self.span_format else rule.span)
         n_row_rules_emitted = len(counts)
 
         elem_span_arrays: list[list[str]] = []
@@ -707,7 +766,12 @@ class CompiledPlan:
             ids = (key_col.take(pa.array(rows)) if key_col is not None
                    else pa.array([""] * len(rows)))
             emit(ids, rule.rule_id, None, rule.message)
-            elem_span_arrays.append([f"{rule.column}.{int(e)}" for e in elems])
+            if self.span_format:
+                elem_span_arrays.append(
+                    [self.span_format(rule.column, int(e)) for e in elems])
+            else:
+                elem_span_arrays.append(
+                    [f"{rule.column}.{int(e)}" for e in elems])
 
         if not counts:
             return _empty_violations()
@@ -757,7 +821,7 @@ def _empty_violations() -> pa.Table:
 # plan compiler (called from ConstraintSpec.compile())
 
 
-def compile_plan(spec) -> CompiledPlan:
+def compile_plan(spec, span_format=None) -> CompiledPlan:
     from .spec import parse_dtype
 
     row_rules: list[RowRule] = []
@@ -814,6 +878,12 @@ def compile_plan(spec) -> CompiledPlan:
         for chk in c.checks:
             row_rules.extend(compile_pred(chk, c.name))
 
+        # D6 custom registered rules
+        if getattr(c, "custom", None):
+            from .extend import build_custom_rules
+
+            row_rules.extend(build_custom_rules(c))
+
         if c.unique:
             unique_cols.append(c.name)
         if c.ref is not None:
@@ -852,6 +922,7 @@ def compile_plan(spec) -> CompiledPlan:
         max_columns=spec.max_columns,
         pattern_columns=dict(spec.pattern_columns),
         referenced_columns=sorted(referenced),
+        span_format=span_format,
     )
 
 

@@ -177,12 +177,19 @@ class ColumnSpec:
     element_exclusive_max: Optional[float] = None
     element_enum: Optional[list] = None
     contains: Optional[dict] = None        # S4 (schema.rs:698-706) — leaf pred on elements
+    # S2 tuple-wise items (schema.rs:718-734): element i validated against
+    # items_tuple[i]; overflow elements against additional_items (a leaf
+    # dict, or False = "never valid", mirroring SchemaRef::Bool false)
+    items_tuple: Optional[list] = None
+    additional_items: Optional[object] = None
     len_equals: Optional[str] = None       # cross-field: len(list) == other column
     # table-scope wide ops (SURVEY §2.6)
     unique: bool = False                   # W1 global uniqueness (shuffle)
     ref: Optional[str] = None              # W2 referential: manifest table name
     # combinator tree(s) attached to this column (C1-C5)
     checks: list = field(default_factory=list)
+    # D6 custom registered rules: [{rule: name, ...params}]
+    custom: list = field(default_factory=list)
 
 
 @dataclass
@@ -278,12 +285,16 @@ class ConstraintSpec:
 
     # -- compilation --------------------------------------------------------
 
-    def compile(self) -> "CompiledPlan":
+    def compile(self, span_format=None) -> "CompiledPlan":
         """Validate the spec and build the kernel plan.
 
         Mirrors RootSchema::verify (reference verify.rs:9-171): ALL
         problems are accumulated and raised together; nothing touches
         data until the spec is clean.
+
+        ``span_format(column, elem_idx=None) -> str`` customizes span
+        rendering (D5 Spans hook, reference serde.rs:63-95); default is
+        the dotted-keys convention.
         """
         from . import kernels  # local import: kernels imports nothing from here at module top
 
@@ -335,6 +346,26 @@ class ConstraintSpec:
                 _validate_pred(c.contains, f"{p}.contains", problems, leaf_only=True)
             for i, chk in enumerate(c.checks):
                 _validate_pred(chk, f"{p}.checks[{i}]", problems)
+            if c.items_tuple is not None:
+                for i, node in enumerate(c.items_tuple):
+                    _validate_pred(node, f"{p}.items_tuple[{i}]", problems,
+                                   leaf_only=True)
+            if c.additional_items is not None and c.additional_items is not False:
+                if c.items_tuple is None:
+                    problems.append(f"{p}.additional_items: requires items_tuple")
+                else:
+                    _validate_pred(c.additional_items, f"{p}.additional_items",
+                                   problems, leaf_only=True)
+            for i, entry in enumerate(c.custom):
+                from .extend import get_rule, registered_rules
+
+                if not isinstance(entry, dict) or "rule" not in entry:
+                    problems.append(f"{p}.custom[{i}]: must be a mapping with a "
+                                    f'"rule" key')
+                elif get_rule(entry["rule"]) is None:
+                    problems.append(
+                        f'{p}.custom[{i}]: unknown rule "{entry["rule"]}" '
+                        f"(registered: {registered_rules()})")
         for pat in self.pattern_columns:
             try:
                 re.compile(pat)
@@ -347,7 +378,7 @@ class ConstraintSpec:
                 problems.append(f'drift.column: column "{self.drift.column}" is not declared')
         if problems:
             raise SpecError(problems)
-        return kernels.compile_plan(self)
+        return kernels.compile_plan(self, span_format=span_format)
 
 
 def _resolve_refs(node: Any, definitions: dict, problems: list[str], path: str) -> Any:
