@@ -203,6 +203,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_orders": vq.validate_orders,
         "validate_lineitem": vq.validate_lineitem,
         "validate_events": vq.validate_events,
+        "validate_part": vq.validate_part,
+        "events_sessionize": lambda sf: __import__(
+            "verify_ray.pipelines.sessions", fromlist=["sessionize"]
+        ).sessionize(_read(sf, "events"), gap_minutes=30),
         # analytics
         "stats_docs_by_lang": stats_docs_by_lang,
         "pricing_summary": lambda sf: __import__(
@@ -239,6 +243,11 @@ def oracle_sql() -> dict[str, str]:
         "validate_orders": vq.ORDERS_ORACLE,
         "validate_lineitem": vq.LINEITEM_ORACLE,
         "validate_events": vq.EVENTS_ORACLE,
+        "validate_part": vq.PART_ORACLE,
+        "events_sessionize": __import__(
+            "verify_ray.pipelines.sessions",
+            fromlist=["SESSIONS_ORACLE_TEMPLATE"]
+        ).SESSIONS_ORACLE_TEMPLATE.format(gap_minutes=30),
         "stats_docs_by_lang": """
             SELECT lang, COUNT(*) AS n_docs,
                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,

@@ -72,7 +72,8 @@ def test_queries_cover_oracles(entry_mod):
 
 @pytest.mark.parametrize("name", [
     "validate_documents", "validate_orders", "validate_lineitem",
-    "validate_events", "stats_docs_by_lang", "pricing_summary",
+    "validate_events", "validate_part", "events_sessionize",
+    "stats_docs_by_lang", "pricing_summary",
     "events_window_day", "top_customers", "revenue_by_segment",
     "events_orphan_users", "dedup_exact", "text_token_count",
     "text_fingerprint", "ann_topk", "embedding_near_dup", "media_metadata",

@@ -21,8 +21,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional
 
-import numpy as np
-import pyarrow as pa
 
 from .errors import SpecError
 from .spec import ColumnSpec, ConstraintSpec

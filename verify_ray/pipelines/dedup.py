@@ -17,7 +17,6 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 

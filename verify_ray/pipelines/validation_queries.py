@@ -10,7 +10,6 @@ produces non-trivial row sets (the raw testdata is clean).
 from __future__ import annotations
 
 import pandas as pd
-import pyarrow as pa
 
 from ..engine import validate
 from ..spec import ConstraintSpec
@@ -75,6 +74,49 @@ EVENTS_SPEC = {
         },
     },
 }
+
+
+# combinator coverage (C2 anyOf / C3 oneOf) over part:
+#   p_size must be small OR large (anyOf) — mid-range flags none_valid;
+#   p_retailprice oneOf two overlapping minimums — >=1500 matches both
+#   (more_than_one_valid), <900 matches neither (none_valid exclusive)
+PART_SPEC = {
+    "table": "part",
+    "key": "p_partkey",
+    "columns": {
+        "p_partkey": {"dtype": "int64", "non_null": True, "unique": True},
+        "p_size": {"dtype": "int32",
+                   "checks": [{"any_of": [{"maximum": 10}, {"minimum": 40}]}]},
+        "p_retailprice": {"dtype": "float64",
+                          "checks": [{"one_of": [{"minimum": 900},
+                                                 {"minimum": 1500}]}]},
+    },
+}
+
+
+def validate_part(sf_dir: str) -> pd.DataFrame:
+    spec = ConstraintSpec.from_dict(PART_SPEC)
+    rep = validate(f"{sf_dir}/part.parquet", spec)
+    return _viol_result(rep)
+
+
+PART_ORACLE = """
+WITH v AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS doc_id, 'none_valid' AS rule_id,
+         'p_size' AS span
+    FROM part WHERE p_size > 10 AND p_size < 40
+  UNION ALL
+  SELECT CAST(p_partkey AS VARCHAR), 'none_valid', 'p_retailprice'
+    FROM part WHERE p_retailprice < 900
+  UNION ALL
+  SELECT CAST(p_partkey AS VARCHAR), 'more_than_one_valid', 'p_retailprice'
+    FROM part WHERE p_retailprice >= 1500
+  UNION ALL
+  SELECT CAST(p_partkey AS VARCHAR), 'not_unique', 'p_partkey'
+    FROM (SELECT p_partkey FROM part GROUP BY p_partkey HAVING COUNT(*) > 1)
+)
+SELECT * FROM v ORDER BY doc_id, rule_id, span
+"""
 
 
 def _viol_result(report) -> pd.DataFrame:

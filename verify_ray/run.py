@@ -37,7 +37,6 @@ import json
 import os
 import time
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -76,7 +75,6 @@ def _make_combined_fn(plan: CompiledPlan, path_to_pid, drift):
 
         sketch_fn = _make_partials_fn(drift)
 
-    n_str = pa.array([], type=pa.string())
 
     def pad(t: pa.Table, kind: str, cnt=None, sketch=None) -> pa.Table:
         n = t.num_rows
@@ -212,9 +210,6 @@ def _finalize(output_dir, plan, groups, row_counts, schema_viols,
     import glob as _glob
 
     import ray.data as rd
-    from ray.data.aggregate import Sum
-
-    from .errors import R, msg_not_unique
 
     global_dir = os.path.join(output_dir, "violations_global")
     os.makedirs(global_dir, exist_ok=True)

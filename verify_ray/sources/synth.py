@@ -21,7 +21,6 @@ accumulates all of them, mirroring ``Errors`` + ``AddAssign``
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass
 
@@ -131,7 +130,9 @@ def make_sequences(
     for part in range(n_files):
         n = rows_per_file[part]
         ids = np.arange(start_of_part[part], start_of_part[part] + n) + id_offset
-        doc_id = np.array([f"doc-{i:012d}" for i in ids], dtype=object)
+        # vectorized f"doc-{i:012d}" (32M f-strings would dominate gen time)
+        doc_id = np.char.add("doc-", np.char.zfill(ids.astype("U12"), 12)
+                             ).astype(object)
         n_tok = rng.integers(1, max_n_tok // 2, size=n).astype(np.int32)
         src_idx = rng.choice(len(SOURCES), size=n, p=SOURCE_WEIGHTS)
         source = np.array([SOURCES[j] for j in src_idx], dtype=object)
