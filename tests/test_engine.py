@@ -110,3 +110,58 @@ def test_schema_violation_required_column(ray_session, tmp_path):
     rows = rep.violations.to_pylist()
     assert any(r["rule_id"] == "required_property" and r["span"] == ""
                and 'n_tok' in r["message"] for r in rows)
+
+
+def test_pattern_columns_constraints(ray_session, tmp_path):
+    """M2: constraints applied to columns matched by name regex
+    (schema.rs:914-939) — resolved once at read time, first match wins."""
+    p = str(tmp_path / "pc.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(["a", "b"]),
+        "score_x": pa.array([0.5, 2.0]),
+        "score_y": pa.array([-1.0, 0.3]),
+        "other": pa.array([99.0, 99.0]),
+    }), p)
+    spec = ConstraintSpec.from_dict({
+        "key": "doc_id",
+        "columns": {"doc_id": {"dtype": "string"}},
+        "pattern_columns": {"^score_": {"minimum": 0, "maximum": 1}},
+    })
+    rep = validate(p, spec)
+    got = {(d, r, s) for d, r, s in zip(
+        rep.violations.column("doc_id").to_pylist(),
+        rep.violations.column("rule_id").to_pylist(),
+        rep.violations.column("span").to_pylist())}
+    assert got == {("b", "more_than_expected", "score_x"),
+                   ("a", "less_than_expected", "score_y")}
+
+
+def test_run_with_drift(ray_session, tmp_path):
+    """run()'s finalize drift path over the kind=s sketch partials."""
+    from verify_ray.run import run as engine_run
+    from verify_ray.sources.synth import (default_spec_dict, make_manifest,
+                                          make_sequences)
+    from verify_ray.spec import DriftSpec
+    from verify_ray.stages.drift import make_reference_stats
+
+    ref_dir = str(tmp_path / "ref")
+    cur_dir = str(tmp_path / "cur")
+    make_sequences(ref_dir, n_rows=4000, n_files=4, seed=200, clean=True)
+    make_sequences(cur_dir, n_rows=4000, n_files=4, seed=201, clean=True,
+                   drift_partition=2, id_offset=500_000)
+    drift = DriftSpec(group_by="source", column="n_tok", token_column="tokens",
+                      min_rows=50)
+    stats = str(tmp_path / "stats.parquet")
+    make_reference_stats(ref_dir, drift, out_path=stats)
+    spec_d = default_spec_dict(max_n_tok=256, with_drift=True)
+    spec_d["drift"]["min_rows"] = 50
+    manifest = pq.read_table(make_manifest(str(tmp_path)))
+    rep = engine_run(spec_d, cur_dir, str(tmp_path / "out"),
+                     manifests={"source_manifest": manifest},
+                     drift_reference=stats, group_size=2)
+    assert rep["n_violations_global"] >= 1  # the drifted source flags
+    import glob as g
+    drift_files = g.glob(str(tmp_path / "out" / "violations_global" / "drift.parquet"))
+    assert drift_files
+    dv = pq.read_table(drift_files[0])
+    assert "code" in set(dv.column("doc_id").to_pylist())

@@ -236,3 +236,20 @@ def test_flatten_with_parents_alignment():
     assert values.to_pylist() == [1, 2, 3, 4, 5, 6]
     assert parents.tolist() == [0, 1, 1, 3, 3, 3]
     assert elem.tolist() == [0, 0, 1, 0, 1, 2]
+
+
+def test_never_column():
+    # K1 bool schema `false` (not_bool_schema, macros.rs:6-24)
+    plan = plan_for(never=True)
+    v = violations(plan, tbl([1, None], xtype=pa.int32()))
+    assert v == [("r0", "never", "x"), ("r1", "never", "x")]
+
+
+def test_column_name_pattern():
+    # M4 property_names (schema.rs:874-883)
+    plan = ConstraintSpec(key="id",
+                          columns=[ColumnSpec(name="id", dtype="string")],
+                          column_name_pattern=r"^[a-z_]+$").compile()
+    sv = plan.schema_violations(pa.schema([("id", pa.string()),
+                                           ("BadName", pa.int32())]))
+    assert [(r, s) for r, s, _ in sv] == [("no_pattern_match", "BadName")]

@@ -133,8 +133,9 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
             for rid, span, msg in plan.schema_violations(schemas[pids[0]]):
                 for pid in pids:
                     schema_viols.append((rid, span, msg, pid))
-        cols = [c for c in plan.referenced_columns
-                if c in schemas[0].names] if schemas else plan.referenced_columns
+        pat_rules = plan.pattern_column_rules(schemas[0]) if schemas else []
+        cols = [c for c in plan.referenced_columns if c in schemas[0].names]
+        cols += sorted({r.column for r in pat_rules} - set(cols))
         ds = rd.read_parquet(files, columns=cols or None, include_paths=True)
         key_ds_factory = lambda col: rd.read_parquet(files, columns=[col])  # noqa: E731
     else:
@@ -151,9 +152,13 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
         )
         for rid, span, msg in plan.schema_violations(sch):
             schema_viols.append((rid, span, msg, -2))
+        pat_rules = plan.pattern_column_rules(sch)
         n = ds.count()
         row_counts = {-2: n}
 
+    if pat_rules:
+        plan = CompiledPlan(
+            **{**plan.__dict__, "row_rules": plan.row_rules + pat_rules})
     violations_ds = build_violations_dataset(
         ds, plan, manifests=manifests, path_to_pid=path_to_pid,
         batch_size=batch_size, key_ds_factory=key_ds_factory

@@ -679,6 +679,8 @@ class CompiledPlan:
     referenced_columns: list[str] = field(default_factory=list)
     # D5 span-format hook: (column, elem_idx=None) -> str; None = dotted
     span_format: Optional[Callable] = None
+    # M4 property_names analogue: regex every column name must match
+    column_name_pattern: Optional[str] = None
 
     # -- schema-level validation (once per distinct schema) ----------------
 
@@ -711,12 +713,42 @@ class CompiledPlan:
             for n in schema.names:
                 if n not in declared and not any(p.search(n) for p, _ in pat_res):
                     out.append((R.UNKNOWN_PROPERTY, n, E.msg_unknown_property()))
+        if self.column_name_pattern is not None:
+            # M4 property_names (schema.rs:874-883): every column NAME
+            # must match; the schema is fixed so this is a per-read check
+            cre = _re.compile(self.column_name_pattern)
+            for n in schema.names:
+                if not cre.search(n):
+                    out.append((R.NO_PATTERN_MATCH, n,
+                                f'the column name must match the pattern '
+                                f'"{self.column_name_pattern}"'))
         if self.min_columns is not None and len(schema.names) < self.min_columns:
             out.append((R.NOT_ENOUGH_PROPERTIES, "",
                         f"the object must have at least {self.min_columns} properties"))
         if self.max_columns is not None and len(schema.names) > self.max_columns:
             out.append((R.TOO_MANY_PROPERTIES, "",
                         f"the object cannot have more than {self.max_columns} properties"))
+        return out
+
+    def pattern_column_rules(self, schema: pa.Schema) -> list[RowRule]:
+        """M2 pattern_properties analogue (schema.rs:914-939): expand each
+        pattern_columns entry against the ACTUAL column names once (the
+        schema is fixed, so this resolves at read time, never per row).
+        First matching pattern wins per column, like the reference's
+        first-match dispatch (schema.rs:926)."""
+        import re as _re
+
+        out: list[RowRule] = []
+        declared = {c.name for c in self.spec.columns}
+        pats = [(_re.compile(p), sub) for p, sub in self.pattern_columns.items()]
+        for name in schema.names:
+            if name in declared:
+                continue
+            for pat, sub in pats:
+                if pat.search(name):
+                    for rid, msg, mask_fn in _leaf_violation_masks(dict(sub), name):
+                        out.append(RowRule(rid, name, name, msg, mask_fn))
+                    break
         return out
 
     # -- per-batch validation ----------------------------------------------
@@ -833,6 +865,12 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
     ref_checks: list[RefCheck] = []
 
     for c in spec.columns:
+        # K1 `false` schema (not_bool_schema, macros.rs:6-24): nothing is
+        # ever valid here — every row of the column violates
+        if getattr(c, "never", False):
+            row_rules.append(RowRule(
+                R.NEVER, c.name, c.name, E.msg_never(),
+                lambda t, name=c.name: np.ones(t.num_rows, dtype=bool)))
         if c.dtype is not None:
             expected[c.name] = parse_dtype(c.dtype)
         if c.element_dtype is not None and c.dtype is None:
@@ -923,6 +961,7 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
         pattern_columns=dict(spec.pattern_columns),
         referenced_columns=sorted(referenced),
         span_format=span_format,
+        column_name_pattern=getattr(spec, "column_name_pattern", None),
     )
 
 

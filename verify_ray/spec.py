@@ -155,6 +155,9 @@ class ColumnSpec:
     dtype: Optional[str] = None            # K2 check_type (macros.rs:26-114)
     required: bool = True                  # M5 required (schema.rs:992-998)
     non_null: bool = False                 # K12 null/required value
+    # K1 boolean schema `false` (not_bool_schema, macros.rs:6-24): no
+    # value is ever valid in this column — every non-null row violates
+    never: bool = False
     enum: Optional[list] = None            # K3 check_enum (macros.rs:116-241)
     minimum: Optional[float] = None        # K5 (macros.rs:261-273)
     maximum: Optional[float] = None        # K7 (macros.rs:289-301)
@@ -204,6 +207,9 @@ class ConstraintSpec:
     # M6 min/max_properties analogue (column counts, checked at read)
     min_columns: Optional[int] = None
     max_columns: Optional[int] = None
+    # M4 property_names analogue (schema.rs:874-883): every column NAME
+    # must match this regex (checked once against the fixed schema)
+    column_name_pattern: Optional[str] = None
     # M2 pattern_properties analogue: regex -> constraint dict, resolved
     # against actual column names at compile/read time (schema is fixed,
     # so resolved once — mirrors schema.rs:914-939 without per-row work)
@@ -249,6 +255,7 @@ class ConstraintSpec:
             allow_unknown_columns=d.get("allow_unknown_columns", True),
             min_columns=d.get("min_columns"),
             max_columns=d.get("max_columns"),
+            column_name_pattern=d.get("column_name_pattern"),
             pattern_columns=d.get("pattern_columns", {}) or {},
             definitions=definitions,
             drift=drift,
@@ -371,6 +378,13 @@ class ConstraintSpec:
                 re.compile(pat)
             except re.error as e:
                 problems.append(f'pattern_columns: invalid regex pattern "{pat}": {e}')
+        if self.column_name_pattern is not None:
+            try:
+                re.compile(self.column_name_pattern)
+            except re.error as e:
+                problems.append(
+                    f'column_name_pattern: invalid regex pattern '
+                    f'"{self.column_name_pattern}": {e}')
         if self.drift is not None:
             if self.drift.group_by not in names:
                 problems.append(f'drift.group_by: column "{self.drift.group_by}" is not declared')
