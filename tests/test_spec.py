@@ -99,3 +99,18 @@ def test_bad_predicate_tree_rejected():
     d["columns"]["n_tok"]["checks"] = [{"then": {"minimum": 1}}]
     with pytest.raises(SpecError, match="without 'if'"):
         ConstraintSpec.from_dict(d).compile()
+
+
+def test_spec_fixture_files():
+    """The shipped spec fixtures: the real one compiles; the broken ones
+    fail listing every problem (FIXTURES.md spec fixtures)."""
+    spec = ConstraintSpec.from_yaml("specs/sequences.yaml")
+    plan = spec.compile()
+    assert plan.unique_columns == ["doc_id"]
+    assert plan.drift is not None
+    with pytest.raises(SpecError, match="invalid regex"):
+        ConstraintSpec.from_yaml("specs/broken_regex.yaml").compile()
+    with pytest.raises(SpecError) as ei:
+        ConstraintSpec.from_yaml("specs/broken_ref.yaml").compile()
+    assert "missing local definition" in str(ei.value)
+    assert "external reference" in str(ei.value)
