@@ -154,6 +154,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return analytics.anti_join_keys(
             _read(sf, "events", columns=["user_id"]), "user_id", present)
 
+    def profile_docs(sf):
+        from verify_ray.pipelines.profile import profile
+
+        prof = profile(_read(sf, "documents"))
+        return prof[["column", "n", "nulls", "min", "max", "n_distinct"]]
+
     def media_meta(sf):
         df = (multimodal.media_features(_read(sf, "documents",
                                               columns=["doc_id", "text"]))
@@ -223,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann,
         "embedding_near_dup": near_dup_embeddings,
         "media_metadata": media_meta,
+        "profile_documents": profile_docs,
         # rows-only
         "sequences_validate": flagship,
         "dedup_minhash_lsh": minhash,
@@ -320,6 +327,27 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
             ORDER BY doc_a, doc_b
+        """,
+        "profile_documents": """
+            SELECT 'doc_id' AS "column", COUNT(*) AS n,
+                   COUNT(*) - COUNT(doc_id) AS nulls,
+                   CAST(MIN(doc_id) AS DOUBLE) AS "min",
+                   CAST(MAX(doc_id) AS DOUBLE) AS "max",
+                   COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), NULL, NULL,
+                   COUNT(DISTINCT lang) FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+                   CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+                   COUNT(DISTINCT n_chars) FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), NULL, NULL,
+                   COUNT(DISTINCT source) FROM documents
+            UNION ALL
+            SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), NULL, NULL,
+                   COUNT(DISTINCT text) FROM documents
+            ORDER BY "column"
         """,
         "media_metadata": """
             SELECT doc_id,

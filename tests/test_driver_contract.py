@@ -77,6 +77,7 @@ def test_queries_cover_oracles(entry_mod):
     "events_window_day", "top_customers", "revenue_by_segment",
     "events_orphan_users", "dedup_exact", "text_token_count",
     "text_fingerprint", "ann_topk", "embedding_near_dup", "media_metadata",
+    "profile_documents",
 ])
 def test_query_matches_oracle(entry_mod, ducks, name):
     q = entry_mod.queries()[name]
@@ -90,7 +91,7 @@ def test_query_matches_oracle(entry_mod, ducks, name):
         a, b = mine[c].to_numpy(), orc[c].to_numpy()
         if np.issubdtype(mine[c].dtype, np.floating):
             assert np.allclose(a.astype(float), b.astype(float),
-                               rtol=0, atol=1e-9), f"{name}.{c}"
+                               rtol=0, atol=1e-9, equal_nan=True), f"{name}.{c}"
         else:
             neq = a != b
             assert not neq.any(), (

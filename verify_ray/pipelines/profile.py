@@ -1,0 +1,139 @@
+"""Data profiling: per-column statistics and spec inference.
+
+``profile()`` computes per-column stats (count / nulls / min / max /
+approx-distinct) in one pass of per-batch partials — the data-side
+complement of the validation engine.  ``infer_spec()`` turns a profile
+into a ConstraintSpec, the data-driven analogue of the reference's
+``schema_for!(Self)`` derive (verify-macros/src/lib.rs:352-389): where
+the reference derives the schema from the TYPE, a table engine derives
+it from observed data (dtype, observed bounds, low-cardinality enums,
+null-ness) for a human to tighten.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..spec import ColumnSpec, ConstraintSpec
+
+# cap for exact distinct tracking per column per batch; above it the
+# column is reported as high-cardinality (distinct = -1 in the profile)
+DISTINCT_CAP = 10_000
+
+
+def _profile_batch(batch: pa.Table) -> pa.Table:
+    rows = []
+    for name in batch.column_names:
+        col = batch.column(name)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(col)
+        nulls = col.null_count
+        vmin = vmax = None
+        distinct_vals = None
+        t = col.type
+        if pa.types.is_integer(t) or pa.types.is_floating(t):
+            mm = pc.min_max(col)
+            vmin = (None if mm["min"].as_py() is None
+                    else float(mm["min"].as_py()))
+            vmax = (None if mm["max"].as_py() is None
+                    else float(mm["max"].as_py()))
+        if (pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_integer(t)):
+            u = pc.unique(col.drop_null())
+            if len(u) <= DISTINCT_CAP:
+                distinct_vals = u
+        rows.append({
+            "column": name,
+            "dtype": str(t),
+            "n": n,
+            "nulls": nulls,
+            "min": vmin,
+            "max": vmax,
+            "distinct_sample": (
+                None if distinct_vals is None
+                else pa.ListArray.from_arrays([0, len(distinct_vals)],
+                                              distinct_vals.cast(pa.string()))
+                      .to_pylist()[0]),
+        })
+    return pa.Table.from_pylist(rows)
+
+
+def profile(ds) -> pd.DataFrame:
+    """(column, dtype, n, nulls, min, max, n_distinct) per column.
+
+    One map_batches pass emits a tiny partial per (column, batch); the
+    merge is driver-side over n_batches × n_columns rows.  n_distinct is
+    exact up to DISTINCT_CAP per column, else -1 (use a sketch for
+    high-cardinality columns at scale).
+    """
+    partials = ds.map_batches(_profile_batch, batch_format="pyarrow").to_pandas()
+    out = []
+    for name, g in partials.groupby("column", sort=True):
+        distinct = -1
+        if g["distinct_sample"].notna().all():
+            uniq = set()
+            overflow = False
+            for s in g["distinct_sample"]:
+                uniq.update(s)
+                if len(uniq) > DISTINCT_CAP:
+                    overflow = True
+                    break
+            distinct = -1 if overflow else len(uniq)
+        out.append({
+            "column": name,
+            "dtype": g["dtype"].iloc[0],
+            "n": int(g["n"].sum()),
+            "nulls": int(g["nulls"].sum()),
+            "min": None if g["min"].isna().all() else float(g["min"].min()),
+            "max": None if g["max"].isna().all() else float(g["max"].max()),
+            "n_distinct": distinct,
+        })
+    return pd.DataFrame(out).sort_values("column").reset_index(drop=True)
+
+
+def infer_spec(ds, key: str, enum_max: int = 16,
+               table: str = "inferred") -> ConstraintSpec:
+    """Build a ConstraintSpec from observed data (derive-from-data).
+
+    dtype from the schema; ``non_null`` where no nulls were observed;
+    numeric bounds from observed min/max; ``enum`` for low-cardinality
+    string columns (≤ enum_max distinct values).  Intentionally
+    conservative — a starting point a human tightens, exactly like a
+    derived schema.
+    """
+    prof = profile(ds)
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    cols = []
+    for _, r in prof.iterrows():
+        t = types[r["column"]]
+        c = ColumnSpec(name=r["column"])
+        try:
+            from ..spec import parse_dtype  # noqa: F401
+
+            c.dtype = str(t) if not pa.types.is_list(t) else f"list<{t.value_type}>"
+            # normalize to our dtype names; fall back to None if unknown
+            from ..spec import parse_dtype as _pd
+
+            _pd(c.dtype)
+        except KeyError:
+            c.dtype = None
+        if r["nulls"] == 0:
+            c.non_null = True
+        if r["min"] is not None and (pa.types.is_integer(t)
+                                     or pa.types.is_floating(t)):
+            c.minimum = r["min"]
+            c.maximum = r["max"]
+        if (0 <= r["n_distinct"] <= enum_max
+                and (pa.types.is_string(t) or pa.types.is_large_string(t))):
+            vals = pc.unique(
+                pa.concat_tables(
+                    [b.select([r["column"]])
+                     for b in ds.iter_batches(batch_format="pyarrow")]
+                ).column(r["column"]).combine_chunks().drop_null())
+            c.enum = sorted(vals.to_pylist())
+        cols.append(c)
+    return ConstraintSpec(key=key, columns=cols, table=table)
