@@ -146,6 +146,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cust = pq.read_table(f"{sf}/customer.parquet")
         return analytics.revenue_by_segment(_read(sf, "orders"), cust)
 
+    def region_revenue(sf):
+        return analytics.revenue_by_region(
+            _read(sf, "orders"),
+            pq.read_table(f"{sf}/customer.parquet"),
+            pq.read_table(f"{sf}/nation.parquet"),
+            pq.read_table(f"{sf}/region.parquet"))
+
     def events_orphan_users(sf):
         # present-set restricted to custkey < 100 so the anti-join is
         # non-trivial (testdata user_ids all exist in customer)
@@ -221,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_day": events_window,
         "top_customers": topcust,
         "revenue_by_segment": segment_revenue,
+        "revenue_by_region": region_revenue,
         "events_orphan_users": events_orphan_users,
         # dedup / similarity / text / multimodal
         "dedup_exact": dedup_exact,
@@ -290,6 +298,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o.o_totalprice), 2) AS revenue
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+        """,
+        "revenue_by_region": """
+            SELECT r.r_name, COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 2) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name ORDER BY r.r_name
         """,
         "events_orphan_users": """
             SELECT DISTINCT user_id FROM events

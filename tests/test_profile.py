@@ -44,3 +44,13 @@ def test_infer_spec_roundtrip(docs_ds):
     assert by_name["doc_id"].non_null
     rep = validate("/root/testdata/sf0.001/documents.parquet", spec.compile())
     assert rep.ok, rep.violations.to_pylist()[:5]
+
+
+def test_profile_hll_approx(docs_ds):
+    from verify_ray.pipelines.profile import profile
+
+    prof = profile(docs_ds).set_index("column")
+    for col in ("lang", "doc_id", "text"):
+        exact, approx = prof.loc[col, "n_distinct"], prof.loc[col, "n_distinct_approx"]
+        assert approx is not None
+        assert abs(approx - exact) / max(exact, 1) < 0.05, (col, exact, approx)

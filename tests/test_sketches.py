@@ -73,3 +73,28 @@ def test_grouped_sketch_roundtrip_and_merge():
     assert g1b.rows == 5
     assert g1b.hist.n == 5
     assert g1b.tokens.cm.estimate(np.array([7]))[0] == 3
+
+
+def test_hyperloglog_accuracy_and_merge():
+    from verify_ray.state.sketches import HyperLogLog
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 500_000, 300_000)
+    b = rng.integers(250_000, 750_000, 300_000)
+    h1, h2, hall = HyperLogLog(), HyperLogLog(), HyperLogLog()
+    h1.add(a); h2.add(b); hall.add(np.concatenate([a, b]))
+    h1.merge(h2)
+    assert np.array_equal(h1.registers, hall.registers)  # merge == bulk
+    true = len(np.unique(np.concatenate([a, b])))
+    est = h1.estimate()
+    assert abs(est - true) / true < 0.05, (est, true)
+
+
+def test_hyperloglog_strings_and_small_range():
+    from verify_ray.state.sketches import HyperLogLog
+
+    h = HyperLogLog()
+    h.add(np.array([f"k{i}" for i in range(300)], dtype=object))
+    h.add(np.array([f"k{i}" for i in range(300)], dtype=object))  # dups
+    est = h.estimate()
+    assert abs(est - 300) / 300 < 0.05, est

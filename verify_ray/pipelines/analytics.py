@@ -187,6 +187,53 @@ def revenue_by_segment(orders_ds, customer_table: pa.Table) -> pd.DataFrame:
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def revenue_by_region(orders_ds, customer: pa.Table, nation: pa.Table,
+                      region: pa.Table) -> pd.DataFrame:
+    """Q5-shaped multi-hop join: orders → customer → nation → region,
+    aggregated to revenue per region.
+
+    All dimension hops are composed DRIVER-SIDE into one small
+    custkey→region_name lookup (customer ⋈ nation ⋈ region are tiny),
+    broadcast once; the fact table then does a single vectorized
+    searchsorted per batch and ships only (region, partial sums).  A
+    chain of per-batch joins would re-walk three lookups per row;
+    pre-composing the dimensions is the broadcast-join analogue of
+    join reordering.
+    """
+    import ray
+
+    cust = customer.select(["c_custkey", "c_nationkey"]).to_pandas()
+    nat = nation.select(["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = region.select(["r_regionkey", "r_name"]).to_pandas()
+    dim = (cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+               .merge(reg, left_on="n_regionkey", right_on="r_regionkey"))
+    keys = dim["c_custkey"].to_numpy()
+    order = np.argsort(keys)
+    keys = keys[order]
+    names = dim["r_name"].to_numpy(dtype=object)[order]
+    ref = ray.put((keys, names))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k, nm = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(k, ck), 0, len(k) - 1)
+        rname = np.where(k[pos] == ck, nm[pos], None)
+        t = pa.table({"r_name": pa.array(rname, type=pa.string()),
+                      "o_totalprice": batch["o_totalprice"]})
+        return t.group_by(["r_name"]).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")])
+
+    partials = orders_ds.select_columns(["o_custkey", "o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    g = partials.groupby("r_name", as_index=False, dropna=False).sum()
+    out = pd.DataFrame({
+        "r_name": g.r_name,
+        "n_orders": g.o_totalprice_count.astype("int64"),
+        "revenue": np.round(g.o_totalprice_sum, 2),
+    })
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
 def anti_join_keys(ds, column: str, present_keys) -> pd.DataFrame:
     """Distinct values of ``column`` absent from ``present_keys``
     (broadcast anti-join / referential-orphans check)."""

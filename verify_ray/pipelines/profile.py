@@ -40,11 +40,18 @@ def _profile_batch(batch: pa.Table) -> pa.Table:
                     else float(mm["min"].as_py()))
             vmax = (None if mm["max"].as_py() is None
                     else float(mm["max"].as_py()))
+        hll_blob = None
         if (pa.types.is_string(t) or pa.types.is_large_string(t)
                 or pa.types.is_integer(t)):
             u = pc.unique(col.drop_null())
             if len(u) <= DISTINCT_CAP:
                 distinct_vals = u
+            # HLL runs regardless: the scale path when exact overflows
+            from ..state.sketches import HyperLogLog
+
+            hll = HyperLogLog()
+            hll.add(u.to_numpy(zero_copy_only=False))
+            hll_blob = hll.registers.tobytes()
         rows.append({
             "column": name,
             "dtype": str(t),
@@ -57,6 +64,7 @@ def _profile_batch(batch: pa.Table) -> pa.Table:
                 else pa.ListArray.from_arrays([0, len(distinct_vals)],
                                               distinct_vals.cast(pa.string()))
                       .to_pylist()[0]),
+            "hll": hll_blob,
         })
     return pa.Table.from_pylist(rows)
 
@@ -82,6 +90,17 @@ def profile(ds) -> pd.DataFrame:
                     overflow = True
                     break
             distinct = -1 if overflow else len(uniq)
+        approx = None
+        blobs = [b for b in g["hll"] if b is not None]
+        if blobs:
+            from ..state.sketches import HyperLogLog
+
+            hll = HyperLogLog()
+            for b in blobs:
+                other = HyperLogLog()
+                other.registers = np.frombuffer(b, dtype=np.uint8).copy()
+                hll.merge(other)
+            approx = int(round(hll.estimate()))
         out.append({
             "column": name,
             "dtype": g["dtype"].iloc[0],
@@ -90,6 +109,7 @@ def profile(ds) -> pd.DataFrame:
             "min": None if g["min"].isna().all() else float(g["min"].min()),
             "max": None if g["max"].isna().all() else float(g["max"].max()),
             "n_distinct": distinct,
+            "n_distinct_approx": approx,
         })
     return pd.DataFrame(out).sort_values("column").reset_index(drop=True)
 

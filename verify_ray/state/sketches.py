@@ -206,6 +206,71 @@ class TokenFreqSketch:
         return [(int(keys[i]), float(est[i]) / total) for i in order]
 
 
+class HyperLogLog:
+    """Approximate distinct counting (HLL with 2^p registers).
+
+    Standard estimator with small-range linear counting; deterministic
+    multiply-shift hashing; merge = register-wise max.  Used by the
+    profiler when a column's cardinality exceeds the exact cap.
+    """
+
+    __slots__ = ("p", "m", "registers", "_a")
+
+    def __init__(self, p: int = 12, seed: int = 0xD157):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+        rng = np.random.RandomState(seed)
+        self._a = (np.uint64(rng.randint(1, 2**62)) << np.uint64(1)) | np.uint64(1)
+
+    def _hash(self, values: np.ndarray) -> np.ndarray:
+        if values.dtype.kind in "OUS":  # strings -> stable 64-bit via pandas
+            import pandas as pd
+
+            h = pd.util.hash_array(values.astype(object))
+        else:
+            # splitmix64-style finalizer: HLL needs full avalanche (the
+            # rank uses mid/low bits, which a bare multiply leaves biased)
+            with np.errstate(over="ignore"):
+                h = values.astype(np.uint64) * self._a
+                h ^= h >> np.uint64(33)
+                h *= np.uint64(0xFF51AFD7ED558CCD)
+                h ^= h >> np.uint64(29)
+                h *= np.uint64(0xC4CEB9FE1A85EC53)
+                h ^= h >> np.uint64(32)
+        return h.astype(np.uint64)
+
+    def add(self, values: np.ndarray) -> None:
+        values = np.asarray(values)
+        if len(values) == 0:
+            return
+        h = self._hash(values)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of the remaining bits + 1, vectorized via
+        # float64 exponent extraction (exact for the leading-zero count)
+        rest_f = rest.astype(np.float64)
+        with np.errstate(divide="ignore"):
+            lz = 63 - np.floor(np.log2(rest_f)).astype(np.int64)
+        rank = np.clip(lz + 1, 1, 64 - self.p).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        raw = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if raw <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting
+        return raw
+
+
 class GroupedSketch:
     """Per-group (source) sketch bundle: quantile histogram over one
     numeric column + token-frequency sketch over a list column."""
