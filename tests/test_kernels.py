@@ -253,3 +253,17 @@ def test_column_name_pattern():
     sv = plan.schema_violations(pa.schema([("id", pa.string()),
                                            ("BadName", pa.int32())]))
     assert [(r, s) for r, s, _ in sv] == [("no_pattern_match", "BadName")]
+
+
+def test_element_enum_on_string_lists():
+    # regression: element_enum must not route through the numeric cast
+    plan = plan_for(element_enum=["a", "b"])
+    t = tbl([["a", "x"], ["b"], None], xtype=pa.list_(pa.string()))
+    v = violations(plan, t)
+    assert v == [("r0", "invalid_enum_value", "x.1")]
+
+
+def test_element_enum_on_int_lists():
+    plan = plan_for(element_enum=[1, 2])
+    v = violations(plan, list_tbl([[1, 9], [2]]))
+    assert v == [("r0", "invalid_enum_value", "x.1")]

@@ -31,7 +31,8 @@ import pyarrow as pa
 from .errors import VIOLATION_SCHEMA
 from .kernels import CompiledPlan
 from .spec import ConstraintSpec
-from .sources.parquet import list_input_files, partition_map, scan_inputs
+from .sources.parquet import (list_input_files, partition_map, scan_inputs,
+                              union_schema)
 from .stages.referential import make_ref_rule
 from .stages.unique import unique_violations
 from .stages.validate import make_batch_validator
@@ -72,14 +73,13 @@ def _as_plan(spec_or_plan) -> CompiledPlan:
 
 def build_violations_dataset(ds, plan: CompiledPlan, manifests=None,
                              path_to_pid=None, batch_size=None,
-                             key_ds_factory=None):
-    """Lazy Dataset of ALL violation rows for ``ds`` (narrow pass +
-    uniqueness shuffle).  Shared by validate() and run().
+                             file_source: bool = False):
+    """Lazy Dataset of narrow-pass violation rows for ``ds``.
 
-    ``key_ds_factory(col)`` supplies the dataset for the uniqueness
-    pass; for Parquet inputs it re-reads ONLY the key column (a few
-    bytes/row) instead of dragging the token lists through a second
-    scan."""
+    Uniqueness: for in-memory sources it joins the DAG here (Dataset
+    groupby path); for file sources the caller runs the fast hash
+    exchange over ONLY the key column afterwards (see
+    stages/unique.unique_violations_from_files)."""
     rules = list(plan.row_rules)
     for rc in plan.ref_checks:
         if manifests is None or rc.manifest not in manifests:
@@ -96,12 +96,10 @@ def build_violations_dataset(ds, plan: CompiledPlan, manifests=None,
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
     violations = ds.map_batches(validator, **kwargs)
-    if key_ds_factory is None:
+    if not file_source:
         # in-memory source: uniqueness via the Dataset groupby path
         for col in plan.unique_columns:
             violations = violations.union(unique_violations(ds, col))
-    # file sources handle uniqueness via the fast hash exchange in
-    # validate()/run() — see stages/unique.find_duplicate_keys
     return violations
 
 
@@ -133,11 +131,12 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
             for rid, span, msg in plan.schema_violations(schemas[pids[0]]):
                 for pid in pids:
                     schema_viols.append((rid, span, msg, pid))
-        pat_rules = plan.pattern_column_rules(schemas[0]) if schemas else []
-        cols = [c for c in plan.referenced_columns if c in schemas[0].names]
+        usch = union_schema(schemas)
+        pat_rules = plan.pattern_column_rules(usch)
+        cols = [c for c in plan.referenced_columns if c in usch.names]
         cols += sorted({r.column for r in pat_rules} - set(cols))
         ds = rd.read_parquet(files, columns=cols or None, include_paths=True)
-        key_ds_factory = lambda col: rd.read_parquet(files, columns=[col])  # noqa: E731
+        file_source = True
     else:
         # In-memory Dataset source: the violations DAG consumes the input
         # several times (narrow pass + per-column uniqueness).  Without a
@@ -146,7 +145,7 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
         # can starve a small cluster.  Materialize once; this path is the
         # interactive/small-data API (run() is the streaming path).
         ds = source.materialize()
-        key_ds_factory = None
+        file_source = False
         sch = pa.schema(
             [(n, t) for n, t in zip(ds.schema().names, ds.schema().types)]
         )
@@ -161,11 +160,11 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
             **{**plan.__dict__, "row_rules": plan.row_rules + pat_rules})
     violations_ds = build_violations_dataset(
         ds, plan, manifests=manifests, path_to_pid=path_to_pid,
-        batch_size=batch_size, key_ds_factory=key_ds_factory
+        batch_size=batch_size, file_source=file_source
     )
     refs = violations_ds.to_arrow_refs()
     tables = [t for t in ray.get(refs) if t.num_rows > 0]
-    if key_ds_factory is not None and plan.unique_columns:
+    if file_source and plan.unique_columns:
         # W1 for file sources: explicit hash exchange over ONLY the key
         # column (stages/unique.py) — no Dataset-groupby overhead, no
         # second full-column scan
@@ -213,21 +212,26 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
 
 
 def build_verdicts(violations: pa.Table, row_counts: dict[int, int]) -> pd.DataFrame:
-    """Per-partition verdict rows (W4).  Partition -1 / -2 (global /
-    unknown-lineage) violations are excluded from per-partition verdicts
-    but reported in the summary."""
+    """Per-partition verdict rows (W4) from a violations table."""
     vdf = violations.select(["partition_id", "rule_id"]).to_pandas()
-    per_part = vdf[vdf.partition_id >= 0].groupby("partition_id")
-    counts = per_part.size() if len(vdf) else pd.Series(dtype=int)
-    rule_counts = (
-        per_part.rule_id.value_counts() if len(vdf) else pd.Series(dtype=int)
-    )
+    counts = (vdf.groupby(["partition_id", "rule_id"]).size()
+              .rename("cnt").reset_index())
+    return build_verdicts_from_counts(counts, row_counts)
+
+
+def build_verdicts_from_counts(counts: pd.DataFrame,
+                               row_counts: dict[int, int]) -> pd.DataFrame:
+    """Per-partition verdicts from pre-aggregated (partition_id, rule_id,
+    cnt) rows — the scalable path (violations never materialize on the
+    driver).  Partition -1 / -2 (global / unknown-lineage) violations are
+    excluded from per-partition verdicts but counted in the summary."""
+    per = counts[counts.partition_id >= 0] if len(counts) else counts
     rows = []
     for pid in sorted(row_counts):
-        nv = int(counts.get(pid, 0)) if pid >= 0 else 0
-        rc = {}
-        if nv:
-            rc = {k[1]: int(v) for k, v in rule_counts.items() if k[0] == pid}
+        g = per[per.partition_id == pid] if len(per) else per
+        nv = int(g["cnt"].sum()) if len(g) else 0
+        rc = ({str(r.rule_id): int(r.cnt) for r in g.itertuples()}
+              if nv else {})
         rows.append(
             {
                 "partition_id": pid,

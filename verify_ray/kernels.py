@@ -189,14 +189,6 @@ def _leaf_valid_fn(node: dict, default_column: str) -> MaskFn:
     colname = node.get("column", default_column)
     checks: list[MaskFn] = []
 
-    def with_col(fn):
-        def wrapped(t: pa.Table) -> np.ndarray:
-            if colname not in t.column_names:
-                return np.ones(t.num_rows, dtype=bool)
-            return fn(_col(t, colname), t)
-
-        return wrapped
-
     nullable_ok_rules = _leaf_violation_masks(node, colname)
     for _rid, _msg, mask_fn in nullable_ok_rules:
         checks.append(mask_fn)
@@ -504,17 +496,33 @@ def _element_rules(c) -> list[ElementRule]:
         msg = (E.msg_less_than_expected(b, excl) if op in (np.less, np.less_equal)
                else E.msg_more_than_expected(b, excl))
         elem_checks.append((rid_, msg, lambda v, b=b, op=op: op(v, b)))
+    # element_enum works on the RAW values (strings or numbers) via
+    # pc.is_in — never through the numeric-cast fast path, which would
+    # blow up on list<string> columns
     if c.element_enum is not None:
         enum_vals = list(c.element_enum)
         msg = E.msg_invalid_enum(enum_vals)
 
-        def enum_bad(v, enum_vals=enum_vals):
-            bad = np.ones(len(v), dtype=bool)
-            for e in enum_vals:
-                bad &= v != e
-            return bad
+        def enum_elem_fn(t: pa.Table, cache: dict, name=name,
+                         enum_vals=enum_vals):
+            if name not in t.column_names:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            values, parents, starts = _flat_cached(t, name, cache)
+            if len(parents) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            try:
+                vs = pa.array(enum_vals).cast(values.type)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                vs = pa.array([v for v in enum_vals if v is not None])
+            ok = pc.is_in(values, value_set=vs)
+            bad = ~_np_bool(ok) & _np_bool(pc.is_valid(values))
+            sel = np.flatnonzero(bad)
+            if len(sel) == 0:
+                return sel, sel
+            par = parents[sel]
+            return par, sel - starts[par]
 
-        elem_checks.append((R.INVALID_ENUM_VALUE, msg, enum_bad))
+        rules.append(ElementRule(R.INVALID_ENUM_VALUE, name, msg, enum_elem_fn))
 
     for rid, msg, badfn in elem_checks:
         def elem_fn(t: pa.Table, cache: dict, name=name, badfn=badfn):

@@ -58,6 +58,20 @@ def partition_row_counts(files: list[str]) -> dict[int, int]:
     return {i: pq.read_metadata(f).num_rows for i, f in enumerate(files)}
 
 
+def union_schema(schemas) -> "pq.lib.Schema":
+    """Union of field names across (possibly heterogeneous) per-file
+    schemas; first occurrence wins the type.  Projection / pattern-column
+    resolution must use this, not schemas[0], or columns present only in
+    later files would silently skip their checks."""
+    import pyarrow as pa
+
+    fields = {}
+    for s in (schemas.values() if isinstance(schemas, dict) else schemas):
+        for f in s:
+            fields.setdefault(f.name, f)
+    return pa.schema(list(fields.values()))
+
+
 def read_with_lineage(files: list[str], columns: list[str] | None = None,
                       concurrency: int | None = None):
     """ray.data.read_parquet with a ``path`` column for lineage.

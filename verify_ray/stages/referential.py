@@ -67,7 +67,10 @@ def make_ref_rule(column: str, manifest, manifest_name: str,
             try:
                 col = pc.cast(col, keys.type)
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                return np.zeros(t.num_rows, dtype=bool)
+                # the column cannot be compared to the manifest keys at
+                # all — no value can match, so every non-null value is
+                # missing (silent pass would hide a schema mismatch)
+                return _np_bool(pc.is_valid(col))
         missing = pc.and_(pc.invert(pc.is_in(col, value_set=keys)), pc.is_valid(col))
         return _np_bool(missing)
 

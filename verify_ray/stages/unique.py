@@ -47,7 +47,8 @@ def _bucket_of(keys_arr: pa.Array, num_buckets: int) -> np.ndarray:
 
 
 def find_duplicate_keys(file_groups: list[list[str]], column: str,
-                        num_buckets: int, cnt_column: str | None = None) -> pa.Table:
+                        num_buckets: int, cnt_column: str | None = None,
+                        where: tuple | None = None) -> pa.Table:
     """(key, cnt) table of keys with global count > 1, via an explicit
     MapReduce-style hash exchange with raw Ray tasks.
 
@@ -77,7 +78,12 @@ def find_duplicate_keys(file_groups: list[list[str]], column: str,
         import pyarrow.parquet as _pq
 
         cols = [column] + ([cnt_column] if cnt_column else [])
+        if where is not None:
+            cols.append(where[0])
         t = pa.concat_tables([_pq.read_table(p, columns=cols) for p in paths])
+        if where is not None:
+            t = t.filter(pc.equal(t.column(where[0]), where[1]))
+            t = t.drop_columns([where[0]])
         if cnt_column:
             g = t.group_by(column).aggregate([(cnt_column, "sum")])
             keys, cnts = g.column(column), g.column(f"{cnt_column}_sum")
