@@ -203,6 +203,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           columns=["doc_id", "text"]))
                 .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
+    def token_topk(sf):
+        # per-source heavy-hitter token ids over the tokenized sequences
+        # (count-min + candidate set; deterministic)
+        from verify_ray.pipelines.tokenize import tokenize_documents
+        from verify_ray.spec import DriftSpec
+        from verify_ray.stages.drift import compute_group_sketches
+
+        docs = _read(sf, "documents", columns=["doc_id", "text", "source"])
+        seqs = tokenize_documents(docs, concurrency=2).materialize()
+        drift = DriftSpec(group_by="source", column="n_tok",
+                          token_column="tokens")
+        sketches = compute_group_sketches(seqs, drift)
+        rows = []
+        for src in sorted(sketches):
+            for rank, (tok, freq) in enumerate(sketches[src].tokens.topk(10)):
+                rows.append({"source": src, "rank": rank, "token": tok,
+                             "freq": round(freq, 6)})
+        return pd.DataFrame(rows)
+
     def lsh_ann(sf):
         emb = pq.read_table(f"{sf}/embeddings.parquet")
         qmat = np.stack(emb.column("embedding").to_pylist()[:5]).astype(np.float64)
@@ -247,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": langid,
         "text_quality": quality,
         "ann_topk_lsh": lsh_ann,
+        "token_topk_by_source": token_topk,
     }
 
 
