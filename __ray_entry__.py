@@ -109,6 +109,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = g.to_pandas().sort_values("content_hash").reset_index(drop=True)
         return df[["content_hash", "keep_id", "n"]]
 
+    def dedup_exact_dups(sf):
+        # documents ∪ id-shifted copy: every text is an exact-dup group
+        # of 2; both sides construct the union identically
+        import ray.data as rd
+
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        shifted = pa.table({
+            "doc_id": pa.array([i + 1_000_000 for i in
+                                t.column("doc_id").to_pylist()], type=pa.int64()),
+            "text": t.column("text"),
+        })
+        ds = rd.from_arrow(pa.concat_tables([t, shifted]))
+        g = dedup.exact_dedup_groups(ds)
+        df = g.to_pandas().sort_values("content_hash").reset_index(drop=True)
+        return df[["content_hash", "keep_id", "n"]]
+
+    def dedup_groups(sf):
+        # transitive near-dup components from minhash candidate pairs
+        pairs = dedup.minhash_lsh_pairs(_docs_with_near_dups(sf), threshold=0.6)
+        return dedup.connected_components(pairs)
+
     def token_count(sf):
         return (text.token_counts(_read(sf, "documents",
                                         columns=["doc_id", "text"]))
@@ -251,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orphan_users": events_orphan_users,
         # dedup / similarity / text / multimodal
         "dedup_exact": dedup_exact,
+        "dedup_exact_dups": dedup_exact_dups,
+        "dedup_groups": dedup_groups,
         "text_token_count": token_count,
         "text_fingerprint": fingerprint,
         "ann_topk": ann,
@@ -338,6 +361,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
                    COUNT(*) AS n
             FROM documents GROUP BY md5(text) ORDER BY content_hash
+        """,
+        "dedup_exact_dups": """
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+            )
+            SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n
+            FROM docs2 GROUP BY md5(text) ORDER BY content_hash
         """,
         "text_token_count": """
             SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok

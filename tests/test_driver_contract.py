@@ -75,7 +75,8 @@ def test_queries_cover_oracles(entry_mod):
     "validate_events", "validate_part", "events_sessionize",
     "stats_docs_by_lang", "pricing_summary",
     "events_window_day", "top_customers", "revenue_by_segment",
-    "revenue_by_region", "events_orphan_users", "dedup_exact", "text_token_count",
+    "revenue_by_region", "events_orphan_users", "dedup_exact",
+    "dedup_exact_dups", "text_token_count",
     "text_fingerprint", "ann_topk", "embedding_near_dup", "media_metadata",
     "profile_documents",
 ])
@@ -101,6 +102,7 @@ def test_query_matches_oracle(entry_mod, ducks, name):
 @pytest.mark.parametrize("name", [
     "sequences_validate", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "embedding_near_dup_lsh", "text_langid", "token_topk_by_source",
+    "dedup_groups",
     "text_quality", "ann_topk_lsh",
 ])
 def test_rows_only_queries_run(entry_mod, name):
@@ -116,3 +118,15 @@ def test_near_dup_pipelines_find_planted_dups(entry_mod):
         pairs = set(zip(df.doc_a.astype(int), df.doc_b.astype(int)))
         planted = sum((a + 1_000_000 == b) for a, b in pairs)
         assert planted >= 15, f"{name}: only {planted}/20 planted dups found"
+
+
+def test_connected_components_transitive():
+    import pandas as pd
+
+    from verify_ray.pipelines.dedup import connected_components
+
+    pairs = pd.DataFrame({"doc_a": [1, 2, 10], "doc_b": [2, 3, 11]})
+    cc = connected_components(pairs).set_index("doc_id")["group_id"]
+    assert cc[1] == cc[2] == cc[3]
+    assert cc[10] == cc[11]
+    assert cc[1] != cc[10]

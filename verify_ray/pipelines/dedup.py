@@ -61,6 +61,34 @@ def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def connected_components(pairs: pd.DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b") -> pd.DataFrame:
+    """Transitive near-dup groups from a candidate pair list:
+    (doc_id, group_id) with group_id = min id of the component.
+
+    Pairs are threshold-sparse (output-sized), so a driver-side
+    union-find is appropriate; when the pair set itself is huge, iterate
+    min-label propagation with groupby instead (each round:
+    label[x] = min(label[x], min(label[neighbors])) until fixpoint).
+    """
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs[a_col], pairs[b_col]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[hi] = lo
+    members = sorted(set(pairs[a_col]) | set(pairs[b_col]), key=str)
+    return pd.DataFrame({"doc_id": members,
+                         "group_id": [find(m) for m in members]})
+
+
 # ---------------------------------------------------------------------------
 # shingling + vectorized 64-bit rolling hashes
 
