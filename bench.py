@@ -98,7 +98,9 @@ def bench_queries() -> dict[str, float]:
     q = entry.queries()
     names = ["pricing_summary", "events_window_day", "dedup_exact",
              "text_token_count", "dedup_minhash_lsh", "ann_topk",
-             "validate_lineitem", "sequences_validate"]
+             "validate_lineitem", "sequences_validate",
+             "events_sessionize", "profile_documents", "validate_documents",
+             "embedding_near_dup"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -165,3 +165,35 @@ def test_run_with_drift(ray_session, tmp_path):
     assert drift_files
     dv = pq.read_table(drift_files[0])
     assert "code" in set(dv.column("doc_id").to_pylist())
+
+
+def test_ref_bound_per_group(ray_session, tmp_path):
+    """FIXTURES T2 max_n_tok: per-source bound drawn from manifest DATA
+    (join-driven rule) — rows exceeding THEIR source's bound flag."""
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d", "e"]),
+        "n_tok": pa.array([100, 600, 100, 2100, 50], type=pa.int32()),
+        "source": pa.array(["web", "web", "code", "code", "mystery"]),
+    }), p)
+    manifest = pa.table({
+        "source": pa.array(["web", "code"]),
+        "max_n_tok": pa.array([500, 2048], type=pa.int32()),
+    })
+    spec = ConstraintSpec.from_dict({
+        "key": "doc_id",
+        "columns": {
+            "doc_id": {"dtype": "string"},
+            "source": {"dtype": "string"},
+            "n_tok": {"dtype": "int32",
+                      "ref_bound": {"manifest": "m", "key": "source",
+                                    "bound_column": "max_n_tok", "op": "le"}},
+        },
+    })
+    rep = validate(p, spec, manifests={"m": manifest})
+    got = {(d, r) for d, r, _ in zip(rep.violations.column("doc_id").to_pylist(),
+                                     rep.violations.column("rule_id").to_pylist(),
+                                     rep.violations.column("span").to_pylist())}
+    # b: 600 > web's 500; d: 2100 > code's 2048; e passes (unknown source
+    # — tagged_allow parity, ref-missing is a separate rule)
+    assert got == {("b", "more_than_expected"), ("d", "more_than_expected")}

@@ -33,7 +33,7 @@ from .kernels import CompiledPlan
 from .spec import ConstraintSpec
 from .sources.parquet import (list_input_files, partition_map, scan_inputs,
                               union_schema)
-from .stages.referential import make_ref_rule
+from .stages.referential import rule_for_ref_check
 from .stages.unique import unique_violations
 from .stages.validate import make_batch_validator
 
@@ -82,12 +82,7 @@ def build_violations_dataset(ds, plan: CompiledPlan, manifests=None,
     stages/unique.unique_violations_from_files)."""
     rules = list(plan.row_rules)
     for rc in plan.ref_checks:
-        if manifests is None or rc.manifest not in manifests:
-            raise ValueError(
-                f'spec references manifest "{rc.manifest}" for column '
-                f'"{rc.column}" but no manifest was supplied'
-            )
-        rules.append(make_ref_rule(rc.column, manifests[rc.manifest], rc.manifest))
+        rules.append(rule_for_ref_check(rc, manifests))
     narrow_plan = CompiledPlan(
         **{**plan.__dict__, "row_rules": rules}
     )

@@ -661,6 +661,10 @@ def _contains_rule(c) -> Optional[RowRule]:
 class RefCheck:
     column: str
     manifest: str  # logical manifest name; values supplied at run time
+    # per-group bound variant (None = membership check):
+    key: Optional[str] = None
+    bound_column: Optional[str] = None
+    op: str = "le"
 
 
 @dataclass
@@ -934,6 +938,11 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
             unique_cols.append(c.name)
         if c.ref is not None:
             ref_checks.append(RefCheck(column=c.name, manifest=c.ref))
+        if getattr(c, "ref_bound", None):
+            rb = c.ref_bound
+            ref_checks.append(RefCheck(
+                column=c.name, manifest=rb["manifest"], key=rb["key"],
+                bound_column=rb["bound_column"], op=rb.get("op", "le")))
 
     # the read-time projection: every column any rule touches
     referenced: set[str] = {spec.key}
@@ -948,6 +957,9 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
         referenced.add(spec.drift.column)
         if spec.drift.token_column:
             referenced.add(spec.drift.token_column)
+    for rc in ref_checks:
+        if rc.key:
+            referenced.add(rc.key)
 
     # pattern_columns: constraints applied to every column matching the
     # regex at compile time against *declared* columns; undeclared matches

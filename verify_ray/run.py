@@ -46,7 +46,7 @@ from .errors import VIOLATION_SCHEMA
 from .kernels import CompiledPlan
 from .spec import ConstraintSpec
 from .sources.parquet import list_input_files, scan_inputs
-from .stages.referential import make_ref_rule
+from .stages.referential import rule_for_ref_check
 from .stages.validate import make_batch_validator
 from .state import checkpoint as ckpt
 
@@ -167,9 +167,7 @@ def run(
     usch = union_schema(schemas)
     rules = list(plan.row_rules)
     for rc in plan.ref_checks:
-        if manifests is None or rc.manifest not in manifests:
-            raise ValueError(f'manifest "{rc.manifest}" required but not supplied')
-        rules.append(make_ref_rule(rc.column, manifests[rc.manifest], rc.manifest))
+        rules.append(rule_for_ref_check(rc, manifests))
     pat_rules = plan.pattern_column_rules(usch)
     rules.extend(pat_rules)
     narrow_plan = CompiledPlan(**{**plan.__dict__, "row_rules": rules})

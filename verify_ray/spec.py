@@ -189,6 +189,9 @@ class ColumnSpec:
     # table-scope wide ops (SURVEY §2.6)
     unique: bool = False                   # W1 global uniqueness (shuffle)
     ref: Optional[str] = None              # W2 referential: manifest table name
+    # W2+ per-group bound from manifest data (FIXTURES T2 max_n_tok):
+    # {manifest: name, key: key_column, bound_column: col, op: le|lt|ge|gt}
+    ref_bound: Optional[dict] = None
     # combinator tree(s) attached to this column (C1-C5)
     checks: list = field(default_factory=list)
     # D6 custom registered rules: [{rule: name, ...params}]
@@ -363,6 +366,16 @@ class ConstraintSpec:
                 else:
                     _validate_pred(c.additional_items, f"{p}.additional_items",
                                    problems, leaf_only=True)
+            if c.ref_bound is not None:
+                rb = c.ref_bound
+                missing = {"manifest", "key", "bound_column"} - set(rb)
+                if missing:
+                    problems.append(f"{p}.ref_bound: missing keys {sorted(missing)}")
+                if rb.get("key") is not None and rb["key"] not in names:
+                    problems.append(
+                        f'{p}.ref_bound.key: column "{rb["key"]}" is not declared')
+                if rb.get("op", "le") not in ("le", "lt", "ge", "gt"):
+                    problems.append(f'{p}.ref_bound.op: must be le|lt|ge|gt')
             for i, entry in enumerate(c.custom):
                 from .extend import get_rule, registered_rules
 

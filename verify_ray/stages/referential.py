@@ -81,3 +81,77 @@ def make_ref_rule(column: str, manifest, manifest_name: str,
         message=f'value not found in manifest "{manifest_name}"',
         mask_fn=mask,
     )
+
+
+def rule_for_ref_check(rc, manifests: dict) -> RowRule:
+    """Dispatch a compiled RefCheck to its rule: membership (ref) or
+    per-group bound (ref_bound)."""
+    if rc.manifest not in (manifests or {}):
+        raise ValueError(
+            f'spec references manifest "{rc.manifest}" for column '
+            f'"{rc.column}" but no manifest was supplied')
+    m = manifests[rc.manifest]
+    if rc.key is None:
+        return make_ref_rule(rc.column, m, rc.manifest)
+    return make_ref_bound_rule(rc.column, rc.key, m, rc.bound_column,
+                               rc.manifest, op=rc.op)
+
+
+def make_ref_bound_rule(value_column: str, key_column: str, manifest,
+                        bound_column: str, manifest_name: str,
+                        op: str = "le") -> RowRule:
+    """Per-group bound from manifest data (FIXTURES T2 ``max_n_tok``):
+    ``row[value_column] <op> manifest[row[key_column]][bound_column]``.
+
+    A join-driven generalisation of the scalar bound kernels: the bound
+    varies per key.  The (key → bound) map is broadcast once; per batch
+    a vectorized searchsorted resolves each row's bound, then one numpy
+    comparison.  Rows whose key is absent from the manifest PASS
+    (ref_missing covers those — tagged_allow parity)."""
+    import ray
+
+    if isinstance(manifest, pa.Table):
+        keys_arr = manifest.column(key_column).to_pylist()
+        bounds_arr = manifest.column(bound_column).to_pylist()
+    else:  # pandas
+        keys_arr = list(manifest[key_column])
+        bounds_arr = list(manifest[bound_column])
+    order = np.argsort(np.asarray(keys_arr, dtype=object).astype(str))
+    skeys = np.asarray(keys_arr, dtype=object)[order].astype(str)
+    sbounds = np.asarray(bounds_arr, dtype=np.float64)[order]
+    payload = (skeys, sbounds)
+    ref = ray.put(payload) if ray.is_initialized() and len(skeys) > 10_000 else payload
+
+    cmp = {"le": np.greater, "lt": np.greater_equal,
+           "ge": np.less, "gt": np.less_equal}[op]
+    word = {"le": "at most", "lt": "less than",
+            "ge": "at least", "gt": "more than"}[op]
+
+    def mask(t: pa.Table) -> np.ndarray:
+        if value_column not in t.column_names or key_column not in t.column_names:
+            return np.zeros(t.num_rows, dtype=bool)
+        data = ref
+        if isinstance(data, ray.ObjectRef):
+            data = ray.get(data)
+        k, b = data
+        keys = t.column(key_column)
+        keys = (keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+                else keys)
+        kv = keys.to_numpy(zero_copy_only=False).astype(str)
+        pos = np.clip(np.searchsorted(k, kv), 0, len(k) - 1)
+        matched = k[pos] == kv
+        bounds = np.where(matched, b[pos], np.nan)
+        vals = pc.cast(t.column(value_column), pa.float64())
+        v = (vals.combine_chunks() if isinstance(vals, pa.ChunkedArray)
+             else vals).to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            return cmp(v, bounds) & matched & ~np.isnan(v)
+
+    return RowRule(
+        rule_id=R.MORE_THAN_EXPECTED if op in ("le", "lt") else R.LESS_THAN_EXPECTED,
+        column=value_column,
+        span=value_column,
+        message=(f'the value is expected to be {word} the per-"{key_column}" '
+                 f'bound "{bound_column}" from manifest "{manifest_name}"'),
+        mask_fn=mask,
+    )
