@@ -87,8 +87,8 @@ def _docs_with_near_dups(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from verify_ray.pipelines import analytics, dedup, similarity, text
-    from verify_ray.pipelines import multimodal
+    from verify_ray.pipelines import (analytics, dedup, multimodal, sessions,
+                                      similarity, text)
     from verify_ray.pipelines import validation_queries as vq
 
     def stats_docs_by_lang(sf):
@@ -257,14 +257,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_lineitem": vq.validate_lineitem,
         "validate_events": vq.validate_events,
         "validate_part": vq.validate_part,
-        "events_sessionize": lambda sf: __import__(
-            "verify_ray.pipelines.sessions", fromlist=["sessionize"]
-        ).sessionize(_read(sf, "events"), gap_minutes=30),
+        "events_sessionize": lambda sf: sessions.sessionize(
+            _read(sf, "events"), gap_minutes=30),
         # analytics
         "stats_docs_by_lang": stats_docs_by_lang,
-        "pricing_summary": lambda sf: __import__(
-            "verify_ray.pipelines.analytics", fromlist=["pricing_summary"]
-        ).pricing_summary(_read(sf, "lineitem")),
+        "pricing_summary": lambda sf: analytics.pricing_summary(
+            _read(sf, "lineitem")),
         "events_window_day": events_window,
         "top_customers": topcust,
         "revenue_by_segment": segment_revenue,
@@ -293,6 +291,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _sessions_oracle() -> str:
+    from verify_ray.pipelines.sessions import SESSIONS_ORACLE_TEMPLATE
+
+    return SESSIONS_ORACLE_TEMPLATE.format(gap_minutes=30)
+
+
 def oracle_sql() -> dict[str, str]:
     from verify_ray.pipelines import validation_queries as vq
 
@@ -302,10 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_lineitem": vq.LINEITEM_ORACLE,
         "validate_events": vq.EVENTS_ORACLE,
         "validate_part": vq.PART_ORACLE,
-        "events_sessionize": __import__(
-            "verify_ray.pipelines.sessions",
-            fromlist=["SESSIONS_ORACLE_TEMPLATE"]
-        ).SESSIONS_ORACLE_TEMPLATE.format(gap_minutes=30),
+        "events_sessionize": _sessions_oracle(),
         "stats_docs_by_lang": """
             SELECT lang, COUNT(*) AS n_docs,
                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,

@@ -56,6 +56,14 @@ def _np_bool(arr) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False).astype(bool, copy=False)
 
 
+def as_array(col) -> pa.Array:
+    """(Chunked)Array -> contiguous Array (the ubiquitous combine-chunks
+    dance, in one place)."""
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
 def _col(t: pa.Table, name: str):
     return t.column(name)
 
@@ -833,7 +841,7 @@ class CompiledPlan:
                 ei += 1
         return pa.table(
             {
-                "doc_id": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in doc_ids]).cast(pa.string()),
+                "doc_id": pa.concat_arrays([as_array(a) for a in doc_ids]).cast(pa.string()),
                 "rule_id": rid_arr,
                 "span": pa.concat_arrays(span_parts) if len(span_parts) > 1 else span_parts[0],
                 "message": msg_arr,
@@ -986,9 +994,11 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
 
 
 def _collect_pred_columns(node, default_column: str, out: set[str]) -> None:
+    from .spec import _PRED_LEAF_KEYS  # single source of truth
+
     if not isinstance(node, dict):
         return
-    if set(node) & _PRED_LEAF_KEYS_FOR_COLS:
+    if set(node) & _PRED_LEAF_KEYS:
         out.add(node.get("column", default_column))
     for k in ("all_of", "any_of", "one_of"):
         for sub in node.get(k, []) or []:
@@ -996,10 +1006,3 @@ def _collect_pred_columns(node, default_column: str, out: set[str]) -> None:
     for k in ("not", "if", "then", "else"):
         if k in node:
             _collect_pred_columns(node[k], default_column, out)
-
-
-_PRED_LEAF_KEYS_FOR_COLS = frozenset(
-    {"column", "enum", "minimum", "maximum", "exclusive_minimum",
-     "exclusive_maximum", "multiple_of", "pattern", "min_length",
-     "max_length", "non_null", "is_null", "min_items", "max_items"}
-)

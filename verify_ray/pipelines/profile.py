@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..kernels import as_array
 from ..spec import ColumnSpec, ConstraintSpec
 
 # cap for exact distinct tracking per column per batch; above it the
@@ -28,7 +29,7 @@ def _profile_batch(batch: pa.Table) -> pa.Table:
     rows = []
     for name in batch.column_names:
         col = batch.column(name)
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        col = as_array(col)
         n = len(col)
         nulls = col.null_count
         vmin = vmax = None
@@ -131,14 +132,11 @@ def infer_spec(ds, key: str, enum_max: int = 16,
     for _, r in prof.iterrows():
         t = types[r["column"]]
         c = ColumnSpec(name=r["column"])
+        from ..spec import parse_dtype
+
+        c.dtype = str(t) if not pa.types.is_list(t) else f"list<{t.value_type}>"
         try:
-            from ..spec import parse_dtype  # noqa: F401
-
-            c.dtype = str(t) if not pa.types.is_list(t) else f"list<{t.value_type}>"
-            # normalize to our dtype names; fall back to None if unknown
-            from ..spec import parse_dtype as _pd
-
-            _pd(c.dtype)
+            parse_dtype(c.dtype)  # keep only dtype names our spec knows
         except KeyError:
             c.dtype = None
         if r["nulls"] == 0:

@@ -18,10 +18,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..kernels import as_array
+
 
 def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
     col = batch[emb_col]
-    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    col = as_array(col)
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     dim = len(flat) // max(1, batch.num_rows)
     return flat.reshape(batch.num_rows, dim)
@@ -66,12 +68,22 @@ def ann_topk(ds, queries: np.ndarray, k: int = 10, emb_col: str = "embedding",
 
     cand = ds.select_columns([id_col, emb_col]).map_batches(
         local_topk, batch_format="pyarrow").to_pandas()
+    return _merge_local_topk(cand, qids, k)
+
+
+def _merge_local_topk(cand, qids, k):
+    """Driver-side merge of per-batch top-k candidates (shared by the
+    exact and LSH ANN variants)."""
+    import pandas as pd
+
     out = []
     for j, qid in enumerate(qids):
         g = cand[cand.qi == j].sort_values(["sim", "vec_id"],
                                            ascending=[False, True]).head(k)
         out.append(pd.DataFrame({"query_id": qid, "vec_id": g.vec_id.to_numpy(),
                                  "sim": np.round(g.sim.to_numpy(), 6)}))
+    if not out:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
     return (pd.concat(out, ignore_index=True)
             .sort_values(["query_id", "sim", "vec_id"],
                          ascending=[True, False, True])
@@ -130,18 +142,7 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, emb_col: str = "embedding
 
     cand = ds.select_columns([id_col, emb_col]).map_batches(
         local, batch_format="pyarrow").to_pandas()
-    out = []
-    for j, qid in enumerate(qids):
-        g = cand[cand.qi == j].sort_values(["sim", "vec_id"],
-                                           ascending=[False, True]).head(k)
-        out.append(pd.DataFrame({"query_id": qid, "vec_id": g.vec_id.to_numpy(),
-                                 "sim": np.round(g.sim.to_numpy(), 6)}))
-    if not out:
-        return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
-    return (pd.concat(out, ignore_index=True)
-            .sort_values(["query_id", "sim", "vec_id"],
-                         ascending=[True, False, True])
-            .reset_index(drop=True))
+    return _merge_local_topk(cand, qids, k)
 
 
 def embedding_near_dup_exact(ds, tau: float = 0.95, emb_col: str = "embedding",

@@ -15,6 +15,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..kernels import as_array
+
 STOPWORDS = frozenset(
     "the a an and of to in is it for on with as at by from or be this that".split()
 )
@@ -35,7 +37,7 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text",
     stopword ratio, distinct-word ratio, and a combined score."""
     text = batch[text_col]
     toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
-    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    toks = as_array(toks)
     n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     words = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
@@ -106,8 +108,7 @@ class LangIdModel:
         for j, lang in enumerate(self.langs):
             for hint in self.hints[lang]:
                 c = pc.count_substring(text, hint)
-                scores[:, j] += (c.combine_chunks() if isinstance(c, pa.ChunkedArray)
-                                 else c).to_numpy(zero_copy_only=False)
+                scores[:, j] += (as_array(c)).to_numpy(zero_copy_only=False)
         best = np.argmax(scores, axis=1)
         conf = scores[np.arange(len(best)), best]
         pred = np.array(self.langs, dtype=object)[best]

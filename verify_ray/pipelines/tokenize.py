@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..kernels import as_array
+
 VOCAB = 50_000
 
 
@@ -52,7 +54,7 @@ class Tokenizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
             pc.utf8_trim_whitespace(batch[self.text_col]), r"\s+")
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        toks = as_array(toks)
         words = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
         lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         token_ids = self._ids_for(words) if len(words) else np.empty(0, np.int32)

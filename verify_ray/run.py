@@ -43,7 +43,7 @@ import pyarrow.parquet as pq
 
 from .engine import build_verdicts_from_counts
 from .errors import VIOLATION_SCHEMA
-from .kernels import CompiledPlan
+from .kernels import as_array, CompiledPlan
 from .spec import ConstraintSpec
 from .sources.parquet import list_input_files, scan_inputs
 from .stages.referential import rule_for_ref_check
@@ -100,7 +100,7 @@ def _make_combined_fn(plan: CompiledPlan, path_to_pid, drift):
             batch = batch.drop_columns(["path"])
         for col in unique_cols:
             c = batch.column(col)
-            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            c = as_array(c)
             vc = pc.value_counts(c)
             vals, cnts = vc.field("values"), vc.field("counts")
             mask = pc.is_valid(vals)

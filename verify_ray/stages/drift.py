@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..errors import R
-from ..kernels import flatten_with_parents
+from ..kernels import as_array, flatten_with_parents
 from ..state.sketches import GroupedSketch
 
 PARTIAL_SCHEMA = pa.schema(
@@ -45,12 +45,12 @@ def _make_partials_fn(drift):
 
     def partials(batch: pa.Table) -> pa.Table:
         gcol = batch.column(group_col)
-        gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) else gcol
+        gcol = as_array(gcol)
         enc = pc.dictionary_encode(gcol)
         codes = enc.indices.to_numpy(zero_copy_only=False)
         groups = enc.dictionary.to_pylist()
         vals = pc.cast(batch.column(value_col), pa.float64())
-        vals_np = (vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+        vals_np = (as_array(vals)
                    ).to_numpy(zero_copy_only=False)
         tok_np = parents = None
         if token_col and token_col in batch.column_names:

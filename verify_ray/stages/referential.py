@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..errors import R
-from ..kernels import RowRule, _np_bool
+from ..kernels import as_array, RowRule, _np_bool
 
 # manifests up to this many keys are embedded in the task closure;
 # larger ones go through ray.put broadcast
@@ -32,7 +32,7 @@ def manifest_key_array(manifest, key_column: str | None = None) -> pa.Array:
     Arrow array of its keys."""
     if isinstance(manifest, pa.Table):
         col = manifest.column(key_column or manifest.column_names[0])
-        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return as_array(col)
     if hasattr(manifest, "to_numpy") and hasattr(manifest, "columns"):  # pandas
         return pa.array(manifest[key_column or manifest.columns[0]])
     return pa.array(sorted(manifest))
@@ -62,7 +62,7 @@ def make_ref_rule(column: str, manifest, manifest_name: str,
         if isinstance(keys, ray.ObjectRef):
             keys = ray.get(keys)  # local object-store hit after first fetch
         col = t.column(column)
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        col = as_array(col)
         if not col.type.equals(keys.type):
             try:
                 col = pc.cast(col, keys.type)
@@ -135,15 +135,13 @@ def make_ref_bound_rule(value_column: str, key_column: str, manifest,
             data = ray.get(data)
         k, b = data
         keys = t.column(key_column)
-        keys = (keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
-                else keys)
+        keys = (as_array(keys))
         kv = keys.to_numpy(zero_copy_only=False).astype(str)
         pos = np.clip(np.searchsorted(k, kv), 0, len(k) - 1)
         matched = k[pos] == kv
         bounds = np.where(matched, b[pos], np.nan)
         vals = pc.cast(t.column(value_column), pa.float64())
-        v = (vals.combine_chunks() if isinstance(vals, pa.ChunkedArray)
-             else vals).to_numpy(zero_copy_only=False)
+        v = (as_array(vals)).to_numpy(zero_copy_only=False)
         with np.errstate(invalid="ignore"):
             return cmp(v, bounds) & matched & ~np.isnan(v)
 

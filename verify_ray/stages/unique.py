@@ -21,13 +21,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..kernels import as_array
+
 from ..errors import R, msg_not_unique
 
 
 def _partial_counts(column: str):
     def partial(batch: pa.Table) -> pa.Table:
         col = batch.column(column)
-        vc = pc.value_counts(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        vc = pc.value_counts(as_array(col))
         values = vc.field("values")
         counts = vc.field("counts")
         # drop null keys — nullability is the non_null rule's business
