@@ -143,3 +143,91 @@ def test_engine_matches_row_oracle(rows):
         for rid, span in oracle_row(r, SPEC.columns):
             exp.append((r["id"], rid, span))
     assert got_set == sorted(exp)
+
+
+# ---------------------------------------------------------------------------
+# combinator property test: anyOf/oneOf/not/if-then-else vs a naive
+# per-row evaluator (validate_subschemas semantics, schema.rs:180-343)
+
+COMBO_SPEC = ConstraintSpec(
+    key="id",
+    columns=[
+        ColumnSpec(name="id", dtype="string"),
+        ColumnSpec(name="src", dtype="string"),
+        ColumnSpec(
+            name="v", dtype="int64",
+            checks=[
+                {"any_of": [{"maximum": 0}, {"minimum": 10}]},
+                {"one_of": [{"minimum": 0}, {"minimum": 5}]},
+                {"not": {"enum": [7]}},
+                {"if": {"column": "src", "enum": ["a"]},
+                 "then": {"maximum": 3},
+                 "else": {"maximum": 8}},
+            ],
+        ),
+    ],
+)
+COMBO_PLAN = COMBO_SPEC.compile()
+
+
+def leaf_ok(v, node):
+    """Naive leaf evaluation; null is valid (engine convention)."""
+    if v is None:
+        return True
+    if "enum" in node:
+        return v in node["enum"]
+    if "minimum" in node:
+        return v >= node["minimum"]
+    if "maximum" in node:
+        return v <= node["maximum"]
+    raise AssertionError(node)
+
+
+def combo_oracle_row(row):
+    out = []
+    v, src = row["v"], row["src"]
+    if v is None:
+        return out  # K12 policy: nulls never trip combinators
+    # any_of
+    if not (leaf_ok(v, {"maximum": 0}) or leaf_ok(v, {"minimum": 10})):
+        out.append("none_valid")
+    # one_of
+    n = int(leaf_ok(v, {"minimum": 0})) + int(leaf_ok(v, {"minimum": 5}))
+    if n == 0:
+        out.append("none_valid")
+    elif n > 1:
+        out.append("more_than_one_valid")
+    # not
+    if v is not None and v == 7:
+        out.append("valid_not")
+    # if/then/else with cross-column condition: null src -> condition
+    # "src in [a]" is False (null counts valid for enum... engine treats
+    # null as satisfying the leaf -> condition True!)
+    cond = (src is None) or (src == "a")
+    branch = {"maximum": 3} if cond else {"maximum": 8}
+    if not leaf_ok(v, branch):
+        out.append("more_than_expected")
+    return sorted(out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.fixed_dictionaries({
+    "src": st.one_of(st.none(), st.sampled_from(["a", "b"])),
+    "v": st.one_of(st.none(), st.integers(min_value=-3, max_value=12)),
+}), min_size=1, max_size=20))
+def test_combinators_match_row_oracle(rows):
+    for i, r in enumerate(rows):
+        r["id"] = f"r{i:04d}"
+    table = pa.table({
+        "id": pa.array([r["id"] for r in rows], type=pa.string()),
+        "src": pa.array([r["src"] for r in rows], type=pa.string()),
+        "v": pa.array([r["v"] for r in rows], type=pa.int64()),
+    })
+    got = COMBO_PLAN.validate_batch(table)
+    got_map = {}
+    for d, rid in zip(got["doc_id"].to_pylist(), got["rule_id"].to_pylist()):
+        got_map.setdefault(d, []).append(rid)
+    for r in rows:
+        exp = combo_oracle_row(r)
+        assert sorted(got_map.get(r["id"], [])) == exp, (r, exp,
+                                                        got_map.get(r["id"]))

@@ -364,6 +364,19 @@ def compile_pred(node: dict, column: str, gate: Optional[MaskFn] = None) -> list
             return mask_fn
         return lambda t, f=mask_fn: f(t) & gate(t)
 
+    def nonnull_gated(mask_fn: MaskFn) -> MaskFn:
+        """NULL values never trip combinators (K12 policy: nullability is
+        solely non_null's business) — without this, `not X` and
+        overlapping `one_of` branches would fire on every null row,
+        since nulls count as valid for every leaf."""
+        def wrapped(t: pa.Table, f=mask_fn) -> np.ndarray:
+            m = f(t)
+            if column in t.column_names:
+                m = m & _np_bool(pc.is_valid(_col(t, column)))
+            return m
+
+        return gated(wrapped)
+
     node_keys = set(node) & {"all_of", "any_of", "one_of", "not", "if"}
     rules: list[RowRule] = []
     if not node_keys:  # leaf as root
@@ -385,7 +398,7 @@ def compile_pred(node: dict, column: str, gate: Optional[MaskFn] = None) -> list
             return bad
 
         rules.append(RowRule(R.NONE_VALID, column, column,
-                             E.msg_none_valid(False), gated(any_mask)))
+                             E.msg_none_valid(False), nonnull_gated(any_mask)))
     if "one_of" in node:
         subs = [_pred_valid(s, column) for s in node["one_of"]]
 
@@ -396,14 +409,14 @@ def compile_pred(node: dict, column: str, gate: Optional[MaskFn] = None) -> list
             return n
 
         rules.append(RowRule(R.NONE_VALID, column, column, E.msg_none_valid(True),
-                             gated(lambda t, f=n_matched: f(t) == 0)))
+                             nonnull_gated(lambda t, f=n_matched: f(t) == 0)))
         rules.append(RowRule(R.MORE_THAN_ONE_VALID, column, column,
                              E.msg_more_than_one_valid(2),
-                             gated(lambda t, f=n_matched: f(t) > 1)))
+                             nonnull_gated(lambda t, f=n_matched: f(t) > 1)))
     if "not" in node:
         sub = _pred_valid(node["not"], column)
         rules.append(RowRule(R.VALID_NOT, column, column, E.msg_valid_not(),
-                             gated(lambda t, v=sub: v(t))))
+                             nonnull_gated(lambda t, v=sub: v(t))))
     if "if" in node:
         cond = _pred_valid(node["if"], column)
         if "then" in node:
