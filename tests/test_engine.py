@@ -197,3 +197,19 @@ def test_ref_bound_per_group(ray_session, tmp_path):
     # b: 600 > web's 500; d: 2100 > code's 2048; e passes (unknown source
     # — tagged_allow parity, ref-missing is a separate rule)
     assert got == {("b", "more_than_expected"), ("d", "more_than_expected")}
+
+
+def test_format_errors_reference_style(ray_session, tmp_path):
+    """Printout parity with the reference's `(span) message` loop
+    (examples/schemars_json.rs:63-71)."""
+    from verify_ray import verify_value
+
+    path, _ = make_golden(str(tmp_path / "g2"))
+    spec = ConstraintSpec.from_dict(default_spec_dict(max_n_tok=256))
+    rep = verify_value(path, spec,
+                       manifests={"source_manifest": ["web", "books", "code", "wiki"]})
+    lines = rep.format_errors()
+    assert any(l.startswith("doc-000000000002: (n_tok) the value is expected "
+                            "to be at least 1") for l in lines)
+    assert any("(tokens.1)" in l and "at least 0" in l for l in lines)
+    assert any('the string must match the pattern' in l for l in lines)

@@ -19,6 +19,16 @@ from .errors import R, SpecError, VIOLATION_SCHEMA, VERDICT_SCHEMA
 from .spec import ColumnSpec, ConstraintSpec, DriftSpec
 from .kernels import CompiledPlan
 
+
+def verify_value(source, spec, **kwargs):
+    """Reference-API-flavoured alias for :func:`verify_ray.engine.validate`
+    (``Verifier::verify_value``, /root/reference/verify/src/lib.rs:191-206):
+    validate one dataset against one spec, get the accumulated errors."""
+    from .engine import validate
+
+    return validate(source, spec, **kwargs)
+
+
 __all__ = [
     "R",
     "SpecError",
@@ -28,6 +38,7 @@ __all__ = [
     "ConstraintSpec",
     "DriftSpec",
     "CompiledPlan",
+    "verify_value",
 ]
 
 __version__ = "0.1.0"

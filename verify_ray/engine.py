@@ -62,6 +62,17 @@ class ValidationReport:
         vc = self.violations.column("rule_id").to_pandas().value_counts()
         return {str(k): int(v) for k, v in vc.items()}
 
+    def format_errors(self, limit: int = 100) -> list[str]:
+        """Render violations the way the reference prints them —
+        ``(span) message`` with the doc id prefixed (the reference's
+        loop: ``println!("({span}) {err}")``,
+        /root/reference/verify/examples/schemars_json.rs:63-71)."""
+        out = []
+        for r in self.violations.slice(0, limit).to_pylist():
+            prefix = f"{r['doc_id']}: " if r["doc_id"] else ""
+            out.append(f"{prefix}({r['span']}) {r['message']}")
+        return out
+
 
 def _as_plan(spec_or_plan) -> CompiledPlan:
     if isinstance(spec_or_plan, ConstraintSpec):
