@@ -222,10 +222,10 @@ def make_sequences(
             pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32())
         )
 
-        src_arr = pa.array(
-            [None if i in set(null_source_rows) else s for i, s in enumerate(source)],
-            type=pa.string(),
-        )
+        null_mask = np.zeros(n, dtype=bool)
+        if null_source_rows:
+            null_mask[np.asarray(null_source_rows)] = True
+        src_arr = pa.array(source, type=pa.string(), mask=null_mask)
         table = pa.table(
             {
                 "doc_id": pa.array(doc_id, type=pa.string()),
