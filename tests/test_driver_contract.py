@@ -130,3 +130,18 @@ def test_connected_components_transitive():
     assert cc[1] == cc[2] == cc[3]
     assert cc[10] == cc[11]
     assert cc[1] != cc[10]
+
+
+def test_flagship_deterministic_across_runs(entry_mod):
+    """Verdicts/violations must not depend on execution order
+    (SURVEY §7: keyed on lineage, never on scheduling)."""
+    a = to_df(entry_mod.queries()["sequences_validate"](SF_DIR))
+    b = to_df(entry_mod.queries()["sequences_validate"](SF_DIR))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_minhash_deterministic(entry_mod):
+    a = to_df(entry_mod.queries()["dedup_minhash_lsh"](SF_DIR))
+    b = to_df(entry_mod.queries()["dedup_minhash_lsh"](SF_DIR))
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True))

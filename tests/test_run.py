@@ -113,3 +113,15 @@ def test_spec_change_invalidates_resume(ray_session, synth_dir, run_out, tmp_pat
               manifests={"source_manifest": run_out["manifest"]}, group_size=3)
     assert rep["groups_ran"] == 3  # nothing resumed
     assert rep["n_violations_narrow"] > run_out["report"]["n_violations_narrow"]
+
+
+def test_run_with_batch_size(ray_session, synth_dir, tmp_path):
+    rep = run(
+        default_spec_dict(max_n_tok=256),
+        synth_dir["dir"],
+        str(tmp_path / "bs"),
+        manifests={"source_manifest": pq.read_table(synth_dir["manifest"])},
+        group_size=4,
+        batch_size=128,
+    )
+    assert rep["n_violations_narrow"] > 0 and not rep["pass"]
