@@ -267,3 +267,22 @@ def test_element_enum_on_int_lists():
     plan = plan_for(element_enum=[1, 2])
     v = violations(plan, list_tbl([[1, 9], [2]]))
     assert v == [("r0", "invalid_enum_value", "x.1")]
+
+
+def test_wrong_dtype_reports_not_crashes():
+    """A kernel that cannot run on the actual dtype yields one
+    unsupported_value row per column (UnsupportedValue parity,
+    errors.rs:149-152) — never an exception mid-run."""
+    plan = ConstraintSpec.from_dict({
+        "key": "id",
+        "columns": {"id": {"dtype": "string"},
+                    "x": {"dtype": "string", "pattern": "^a"},
+                    "y": {"dtype": "list<int32>", "element_min": 0}},
+    }).compile()
+    t = pa.table({"id": pa.array(["r0"]), "x": pa.array([5]),
+                  "y": pa.array([3])})
+    v = plan.validate_batch(t)
+    got = {(r, s) for _, r, s in zip(v["doc_id"].to_pylist(),
+                                     v["rule_id"].to_pylist(),
+                                     v["span"].to_pylist())}
+    assert got == {("unsupported_value", "x"), ("unsupported_value", "y")}

@@ -797,61 +797,75 @@ class CompiledPlan:
 
         doc_ids: list[pa.Array] = []
         rule_ids: list[str] = []
-        spans: list[str] = []
         messages: list[str] = []
         counts: list[int] = []
+        # per-emit span spec: a constant string (row-level) or a list of
+        # per-violation strings (element-level)
+        span_specs: list[object] = []
 
-        def emit(ids: pa.Array, rid: str, span_arr, msg: str):
+        def emit(ids: pa.Array, rid: str, span_spec, msg: str):
             doc_ids.append(ids)
-            n = len(ids)
             rule_ids.append(rid)
-            spans.append(span_arr)
+            span_specs.append(span_spec)
             messages.append(msg)
-            counts.append(n)
+            counts.append(len(ids))
 
-        const_spans: list[Optional[str]] = []
+        kernel_errors: list[tuple[str, str]] = []
         for rule in self.row_rules:
-            mask = rule.mask_fn(t)
+            try:
+                mask = rule.mask_fn(t)
+            except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
+                    pa.ArrowTypeError) as e:
+                # a kernel cannot run on this column's actual dtype —
+                # report it as data (UnsupportedValue, reference
+                # errors.rs:149-152), never abort the run.  The
+                # schema-level check reports the dtype mismatch itself.
+                kernel_errors.append((rule.column, f"{rule.rule_id}: {e}"))
+                continue
             idx = np.flatnonzero(mask)
             if len(idx) == 0:
                 continue
             ids = (key_col.take(pa.array(idx)) if key_col is not None
                    else pa.array([""] * len(idx)))
-            emit(ids, rule.rule_id, None, rule.message)
-            const_spans.append(self.span_format(rule.column)
-                               if self.span_format else rule.span)
-        n_row_rules_emitted = len(counts)
+            emit(ids, rule.rule_id,
+                 self.span_format(rule.column) if self.span_format else rule.span,
+                 rule.message)
 
-        elem_span_arrays: list[list[str]] = []
         flat_cache: dict = {}
         for rule in self.element_rules:
-            rows, elems = rule.fn(t, flat_cache)
+            try:
+                rows, elems = rule.fn(t, flat_cache)
+            except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
+                    pa.ArrowTypeError) as e:
+                kernel_errors.append((rule.column, f"{rule.rule_id}: {e}"))
+                continue
             if len(rows) == 0:
                 continue
             ids = (key_col.take(pa.array(rows)) if key_col is not None
                    else pa.array([""] * len(rows)))
-            emit(ids, rule.rule_id, None, rule.message)
             if self.span_format:
-                elem_span_arrays.append(
-                    [self.span_format(rule.column, int(e)) for e in elems])
+                espans = [self.span_format(rule.column, int(e)) for e in elems]
             else:
-                elem_span_arrays.append(
-                    [f"{rule.column}.{int(e)}" for e in elems])
+                espans = [f"{rule.column}.{int(e)}" for e in elems]
+            emit(ids, rule.rule_id, espans, rule.message)
+
+        # dedup kernel-error reports per column; one row each, doc_id ''
+        for col_name, detail in dict(kernel_errors).items():
+            emit(pa.array([""], type=pa.string()), R.UNSUPPORTED_VALUE, col_name,
+                 f"unsupported value: kernel cannot run on column "
+                 f'"{col_name}" ({detail})')
 
         if not counts:
             return _empty_violations()
 
-        total = sum(counts)
         rid_arr = _repeat_strings(rule_ids, counts)
         msg_arr = _repeat_strings(messages, counts)
         span_parts: list[pa.Array] = []
-        ei = 0
-        for i, n in enumerate(counts):
-            if i < n_row_rules_emitted:
-                span_parts.append(pa.array([const_spans[i]] * n, type=pa.string()))
+        for spec_, n in zip(span_specs, counts):
+            if isinstance(spec_, list):
+                span_parts.append(pa.array(spec_, type=pa.string()))
             else:
-                span_parts.append(pa.array(elem_span_arrays[ei], type=pa.string()))
-                ei += 1
+                span_parts.append(pa.array([spec_] * n, type=pa.string()))
         return pa.table(
             {
                 "doc_id": pa.concat_arrays([as_array(a) for a in doc_ids]).cast(pa.string()),
