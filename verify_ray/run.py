@@ -328,6 +328,10 @@ def main(argv=None):
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
     p.add_argument("--smoke", action="store_true",
                    help="self-contained smoke run on synthetic data under /tmp")
+    p.add_argument("--make-reference-stats", metavar="OUT_PARQUET",
+                   help="instead of validating, compute the drift "
+                        "reference-epoch stats table from --input (requires "
+                        "a --spec with a drift section) and write it here")
     args = p.parse_args(argv)
 
     import ray
@@ -340,6 +344,20 @@ def main(argv=None):
     DataContext.get_current().enable_progress_bars = False
 
     try:
+        if args.make_reference_stats:
+            if not (args.spec and args.input):
+                p.error("--make-reference-stats requires --spec and --input")
+            spec = ConstraintSpec.from_yaml(args.spec)
+            if spec.drift is None:
+                p.error("the spec has no drift section")
+            from .stages.drift import make_reference_stats
+
+            t = make_reference_stats(args.input, spec.drift,
+                                     out_path=args.make_reference_stats)
+            print(json.dumps({"reference_stats": args.make_reference_stats,
+                              "groups": t.num_rows,
+                              "rows": int(sum(t.column("row_count").to_pylist()))}))
+            return
         if args.smoke:
             import tempfile
 
