@@ -213,3 +213,26 @@ def test_format_errors_reference_style(ray_session, tmp_path):
                             "to be at least 1") for l in lines)
     assert any("(tokens.1)" in l and "at least 0" in l for l in lines)
     assert any('the string must match the pattern' in l for l in lines)
+
+
+def test_heterogeneous_file_schemas(ray_session, tmp_path):
+    """regression (review #5): a column present only in LATER files must
+    still get its row-level checks; the file missing it gets
+    required_property."""
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(["a1", "a2"])}), p1)
+    pq.write_table(pa.table({"doc_id": pa.array(["b1", "b2"]),
+                             "score": pa.array([0.5, 7.0])}), p2)
+    spec = ConstraintSpec.from_dict({
+        "key": "doc_id",
+        "columns": {"doc_id": {"dtype": "string"},
+                    "score": {"dtype": "float64", "maximum": 1.0}},
+    })
+    rep = validate([p1, p2], spec)
+    rows = rep.violations.to_pylist()
+    # the file that HAS score gets the bound check on its rows
+    assert any(r["doc_id"] == "b2" and r["rule_id"] == "more_than_expected"
+               for r in rows), rows
+    # the file missing score gets required_property for ITS partition only
+    req = [r for r in rows if r["rule_id"] == "required_property"]
+    assert len(req) == 1 and req[0]["partition_id"] == 0

@@ -141,7 +141,9 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
         pat_rules = plan.pattern_column_rules(usch)
         cols = [c for c in plan.referenced_columns if c in usch.names]
         cols += sorted({r.column for r in pat_rules} - set(cols))
-        ds = rd.read_parquet(files, columns=cols or None, include_paths=True)
+        from .sources.parquet import read_projected
+
+        ds = read_projected(files, schemas, cols)
         file_source = True
     else:
         # In-memory Dataset source: the violations DAG consumes the input

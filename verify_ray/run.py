@@ -181,7 +181,10 @@ def run(
             continue
         gfiles = groups[gid]
         gdir = os.path.join(output_dir, "groups", f"g={gid:06d}")
-        ds = rd.read_parquet(gfiles, columns=cols, include_paths=True)
+        from .sources.parquet import read_projected
+
+        gschemas = {i: schemas[path_to_pid[f]] for i, f in enumerate(gfiles)}
+        ds = read_projected(gfiles, gschemas, cols)
         combined = _make_combined_fn(narrow_plan, path_to_pid, plan.drift)
         kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
         if batch_size is not None:

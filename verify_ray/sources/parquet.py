@@ -72,6 +72,43 @@ def union_schema(schemas) -> "pq.lib.Schema":
     return pa.schema(list(fields.values()))
 
 
+def schema_fingerprint(schema) -> int:
+    return hash(tuple(zip(schema.names, map(str, schema.types))))
+
+
+def read_projected(files: list[str], schemas_by_pid: dict, columns: list[str],
+                   include_paths: bool = True):
+    """read_parquet with a projection over possibly HETEROGENEOUS files.
+
+    Ray's reader rejects a ``columns`` list containing names absent from
+    a file, so files are grouped by schema fingerprint, each group reads
+    only the applicable subset of ``columns``, and the datasets union.
+    The per-batch validator tolerates missing columns, so mixed-schema
+    blocks flow through one pipeline.
+    """
+    import ray.data as rd
+
+    by_fp: dict[int, list[int]] = {}
+    for pid, sch in schemas_by_pid.items():
+        by_fp.setdefault(schema_fingerprint(sch), []).append(pid)
+    if len(by_fp) == 1:
+        cols = [c for c in columns
+                if c in next(iter(schemas_by_pid.values())).names]
+        return rd.read_parquet(files, columns=cols or None,
+                               include_paths=include_paths)
+    parts = []
+    for pids in by_fp.values():
+        gfiles = [files[p] for p in sorted(pids)]
+        names = set(schemas_by_pid[pids[0]].names)
+        gcols = [c for c in columns if c in names]
+        parts.append(rd.read_parquet(gfiles, columns=gcols or None,
+                                     include_paths=include_paths))
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
 def read_with_lineage(files: list[str], columns: list[str] | None = None,
                       concurrency: int | None = None):
     """ray.data.read_parquet with a ``path`` column for lineage.
