@@ -117,7 +117,6 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
     fits in driver memory (tests, interactive exploration, small runs).
     """
     import ray
-    import ray.data as rd
 
     plan = _as_plan(spec_or_plan)
 
@@ -179,7 +178,12 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
         from .stages.unique import unique_violations_from_files
 
         for col in plan.unique_columns:
-            uv = unique_violations_from_files(files, col)
+            # heterogeneous inputs: only scan files that HAVE the column
+            ufiles = [files[p] for p in sorted(schemas)
+                      if col in schemas[p].names]
+            if not ufiles:
+                continue
+            uv = unique_violations_from_files(ufiles, col)
             if uv.num_rows:
                 tables.append(uv)
     if tables:
