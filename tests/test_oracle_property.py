@@ -231,3 +231,65 @@ def test_combinators_match_row_oracle(rows):
         exp = combo_oracle_row(r)
         assert sorted(got_map.get(r["id"], [])) == exp, (r, exp,
                                                         got_map.get(r["id"]))
+
+
+# ---------------------------------------------------------------------------
+# S2 items_tuple / additional_items property test
+
+TUPLE_SPEC = ConstraintSpec(
+    key="id",
+    columns=[
+        ColumnSpec(name="id", dtype="string"),
+        ColumnSpec(name="xs", dtype="list<int64>",
+                   items_tuple=[{"minimum": 10}, {"maximum": 5}],
+                   additional_items={"minimum": 0}),
+        ColumnSpec(name="ys", dtype="list<int64>",
+                   items_tuple=[{"minimum": 0}], additional_items=False),
+    ],
+)
+TUPLE_PLAN = TUPLE_SPEC.compile()
+
+
+def tuple_oracle_row(row):
+    out = []
+    xs, ys = row["xs"], row["ys"]
+    if xs is not None:
+        for i, e in enumerate(xs):
+            if e is None:
+                continue
+            if i == 0 and e < 10:
+                out.append(("less_than_expected", f"xs.{i}"))
+            elif i == 1 and e > 5:
+                out.append(("more_than_expected", f"xs.{i}"))
+            elif i >= 2 and e < 0:
+                out.append(("less_than_expected", f"xs.{i}"))
+    if ys is not None:
+        for i, e in enumerate(ys):
+            if i == 0 and e is not None and e < 0:
+                out.append(("less_than_expected", f"ys.{i}"))
+            elif i >= 1:
+                out.append(("never", f"ys.{i}"))
+    return sorted(out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.fixed_dictionaries({
+    "xs": st.one_of(st.none(), st.lists(
+        st.integers(min_value=-3, max_value=12), max_size=5)),
+    "ys": st.one_of(st.none(), st.lists(
+        st.integers(min_value=-2, max_value=3), max_size=4)),
+}), min_size=1, max_size=15))
+def test_items_tuple_matches_row_oracle(rows):
+    for i, r in enumerate(rows):
+        r["id"] = f"r{i:04d}"
+    table = pa.table({
+        "id": pa.array([r["id"] for r in rows], type=pa.string()),
+        "xs": pa.array([r["xs"] for r in rows], type=pa.list_(pa.int64())),
+        "ys": pa.array([r["ys"] for r in rows], type=pa.list_(pa.int64())),
+    })
+    got = TUPLE_PLAN.validate_batch(table)
+    got_set = sorted(zip(got["doc_id"].to_pylist(), got["rule_id"].to_pylist(),
+                         got["span"].to_pylist()))
+    exp = sorted((r["id"], rid, span)
+                 for r in rows for rid, span in tuple_oracle_row(r))
+    assert got_set == exp
