@@ -125,3 +125,19 @@ def test_run_with_batch_size(ray_session, synth_dir, tmp_path):
         batch_size=128,
     )
     assert rep["n_violations_narrow"] > 0 and not rep["pass"]
+
+
+def test_run_heterogeneous_schemas(ray_session, tmp_path):
+    """read_projected path through run(): files with different schemas in
+    one checkpoint group validate without crashing."""
+    import pyarrow as pa
+
+    p1, p2 = str(tmp_path / "h1.parquet"), str(tmp_path / "h2.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(["a1"])}), p1)
+    pq.write_table(pa.table({"doc_id": pa.array(["b1"]),
+                             "score": pa.array([9.0])}), p2)
+    rep = run({"key": "doc_id",
+               "columns": {"doc_id": {"dtype": "string"},
+                           "score": {"dtype": "float64", "maximum": 1.0}}},
+              [p1, p2], str(tmp_path / "out"), group_size=2)
+    assert rep["n_violations_narrow"] >= 2  # required_property + bound
