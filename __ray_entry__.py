@@ -182,6 +182,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return analytics.anti_join_keys(
             _read(sf, "events", columns=["user_id"]), "user_id", present)
 
+    def infer_docs_spec(sf):
+        # derive-from-data (D2 analogue): inferred spec rendered as rows
+        from verify_ray.pipelines.profile import infer_spec
+
+        spec = infer_spec(_read(sf, "documents"), key="doc_id")
+        rows = [{
+            "column": c.name, "dtype": c.dtype or "",
+            "non_null": bool(c.non_null),
+            "minimum": float(c.minimum) if c.minimum is not None else None,
+            "maximum": float(c.maximum) if c.maximum is not None else None,
+            "enum": ",".join(c.enum) if c.enum else "",
+        } for c in sorted(spec.columns, key=lambda c: c.name)]
+        return pd.DataFrame(rows)
+
     def profile_docs(sf):
         from verify_ray.pipelines.profile import profile
 
@@ -288,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": quality,
         "ann_topk_lsh": lsh_ann,
         "token_topk_by_source": token_topk,
+        "infer_documents_spec": infer_docs_spec,
     }
 
 

@@ -102,7 +102,7 @@ def test_query_matches_oracle(entry_mod, ducks, name):
 @pytest.mark.parametrize("name", [
     "sequences_validate", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "embedding_near_dup_lsh", "text_langid", "token_topk_by_source",
-    "dedup_groups",
+    "dedup_groups", "infer_documents_spec",
     "text_quality", "ann_topk_lsh",
 ])
 def test_rows_only_queries_run(entry_mod, name):
