@@ -236,3 +236,60 @@ def test_heterogeneous_file_schemas(ray_session, tmp_path):
     # the file missing score gets required_property for ITS partition only
     req = [r for r in rows if r["rule_id"] == "required_property"]
     assert len(req) == 1 and req[0]["partition_id"] == 0
+
+
+def test_run_heterogeneous_with_unique_and_drift(ray_session, tmp_path):
+    """regression (review 2): run() with unique+drift over files lacking
+    those columns must not crash."""
+    from verify_ray.run import run as engine_run
+
+    p1, p2 = str(tmp_path / "u1.parquet"), str(tmp_path / "u2.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(["a", "b"]),
+                             "n_tok": pa.array([5, 6], type=pa.int32()),
+                             "source": pa.array(["web", "web"])}), p1)
+    pq.write_table(pa.table({"other": pa.array([1])}), p2)
+    spec = {"key": "doc_id",
+            "columns": {"doc_id": {"dtype": "string", "unique": True},
+                        "n_tok": {"dtype": "int32"},
+                        "source": {"dtype": "string"}},
+            "drift": {"group_by": "source", "column": "n_tok",
+                      "token_column": None}}
+    rep = engine_run(spec, [p1, p2], str(tmp_path / "out"), group_size=2)
+    assert rep["n_violations_narrow"] >= 3  # required_property ×3 for p2
+
+
+def test_ref_bound_numeric_key_cross_dtype(ray_session, tmp_path):
+    """regression (review 3): int64 manifest keys must match float64 data
+    keys numerically (5 == 5.0), and an empty manifest must not crash."""
+    p = str(tmp_path / "rb.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(["a", "b"]),
+        "grp": pa.array([5.0, 6.0], type=pa.float64()),
+        "val": pa.array([100, 100], type=pa.int64()),
+    }), p)
+    manifest = pa.table({"grp": pa.array([5], type=pa.int64()),
+                         "cap": pa.array([50], type=pa.int64())})
+    spec = ConstraintSpec.from_dict({
+        "key": "doc_id",
+        "columns": {"doc_id": {"dtype": "string"},
+                    "grp": {"dtype": "float64"},
+                    "val": {"ref_bound": {"manifest": "m", "key": "grp",
+                                          "bound_column": "cap"}}},
+    })
+    rep = validate(p, spec, manifests={"m": manifest})
+    got = {(d, r) for d, r in zip(rep.violations.column("doc_id").to_pylist(),
+                                  rep.violations.column("rule_id").to_pylist())}
+    assert ("a", "more_than_expected") in got   # 100 > cap 50 for grp 5
+    assert not any(d == "b" for d, _ in got)    # grp 6 not in manifest → pass
+    # empty manifest: no crash, no violations
+    rep2 = validate(p, spec, manifests={"m": manifest.slice(0, 0)})
+    assert rep2.ok
+
+
+def test_connected_components_min_id_ints():
+    import pandas as pd
+
+    from verify_ray.pipelines.dedup import connected_components
+
+    cc = connected_components(pd.DataFrame({"doc_a": [10], "doc_b": [2]}))
+    assert set(cc.group_id) == {2}  # numeric min, not lexicographic '10'

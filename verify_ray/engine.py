@@ -31,8 +31,8 @@ import pyarrow as pa
 from .errors import VIOLATION_SCHEMA
 from .kernels import CompiledPlan
 from .spec import ConstraintSpec
-from .sources.parquet import (list_input_files, partition_map, scan_inputs,
-                              union_schema)
+from .sources.parquet import (list_input_files, partition_map,
+                              scan_inputs, schema_fingerprint, union_schema)
 from .stages.referential import rule_for_ref_check
 from .stages.unique import unique_violations
 from .stages.validate import make_batch_validator
@@ -131,7 +131,7 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
         row_counts, schemas = scan_inputs(files)
         seen: dict[int, list[int]] = {}
         for pid, sch in schemas.items():
-            seen.setdefault(hash(tuple(zip(sch.names, map(str, sch.types)))), []).append(pid)
+            seen.setdefault(schema_fingerprint(sch), []).append(pid)
         for pids in seen.values():
             for rid, span, msg in plan.schema_violations(schemas[pids[0]]):
                 for pid in pids:

@@ -79,10 +79,16 @@ def connected_components(pairs: pd.DataFrame, a_col: str = "doc_a",
             x = parent[x]
         return x
 
+    def smaller(a, b):
+        try:
+            return (a, b) if a <= b else (b, a)
+        except TypeError:  # mixed-type ids: fall back to string order
+            return (a, b) if str(a) <= str(b) else (b, a)
+
     for a, b in zip(pairs[a_col], pairs[b_col]):
         ra, rb = find(a), find(b)
         if ra != rb:
-            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            lo, hi = smaller(ra, rb)
             parent[hi] = lo
     members = sorted(set(pairs[a_col]) | set(pairs[b_col]), key=str)
     return pd.DataFrame({"doc_id": members,

@@ -99,6 +99,8 @@ def _make_combined_fn(plan: CompiledPlan, path_to_pid, drift):
         if "path" in batch.column_names:
             batch = batch.drop_columns(["path"])
         for col in unique_cols:
+            if col not in batch.column_names:
+                continue  # heterogeneous inputs: file lacks this column
             c = batch.column(col)
             c = as_array(c)
             vc = pc.value_counts(c)

@@ -44,6 +44,11 @@ def _make_partials_fn(drift):
     group_col, value_col, token_col = drift.group_by, drift.column, drift.token_column
 
     def partials(batch: pa.Table) -> pa.Table:
+        if (group_col not in batch.column_names
+                or value_col not in batch.column_names):
+            # heterogeneous inputs: this file lacks the drift columns
+            return pa.table({"group": pa.array([], type=pa.string()),
+                             "sketch": pa.array([], type=pa.binary())})
         gcol = batch.column(group_col)
         gcol = as_array(gcol)
         enc = pc.dictionary_encode(gcol)

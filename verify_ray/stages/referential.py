@@ -116,10 +116,19 @@ def make_ref_bound_rule(value_column: str, key_column: str, manifest,
     else:  # pandas
         keys_arr = list(manifest[key_column])
         bounds_arr = list(manifest[bound_column])
-    order = np.argsort(np.asarray(keys_arr, dtype=object).astype(str))
-    skeys = np.asarray(keys_arr, dtype=object)[order].astype(str)
+    # numeric manifest keys match numerically (an int64 manifest must
+    # match a float64 data column: 5 == 5.0); everything else matches as
+    # strings
+    numeric_keys = all(isinstance(k, (int, float)) and not isinstance(k, bool)
+                       for k in keys_arr) and len(keys_arr) > 0
+    if numeric_keys:
+        karr = np.asarray(keys_arr, dtype=np.float64)
+    else:
+        karr = np.asarray(keys_arr, dtype=object).astype(str)
+    order = np.argsort(karr)
+    skeys = karr[order]
     sbounds = np.asarray(bounds_arr, dtype=np.float64)[order]
-    payload = (skeys, sbounds)
+    payload = (skeys, sbounds, numeric_keys)
     ref = ray.put(payload) if ray.is_initialized() and len(skeys) > 10_000 else payload
 
     cmp = {"le": np.greater, "lt": np.greater_equal,
@@ -133,12 +142,20 @@ def make_ref_bound_rule(value_column: str, key_column: str, manifest,
         data = ref
         if isinstance(data, ray.ObjectRef):
             data = ray.get(data)
-        k, b = data
-        keys = t.column(key_column)
-        keys = (as_array(keys))
-        kv = keys.to_numpy(zero_copy_only=False).astype(str)
+        k, b, numeric = data
+        if len(k) == 0:
+            return np.zeros(t.num_rows, dtype=bool)
+        keys = as_array(t.column(key_column))
+        if numeric:
+            try:
+                kv = pc.cast(keys, pa.float64()).to_numpy(zero_copy_only=False)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                return np.zeros(t.num_rows, dtype=bool)
+        else:
+            kv = keys.to_numpy(zero_copy_only=False).astype(str)
         pos = np.clip(np.searchsorted(k, kv), 0, len(k) - 1)
-        matched = k[pos] == kv
+        with np.errstate(invalid="ignore"):
+            matched = k[pos] == kv
         bounds = np.where(matched, b[pos], np.nan)
         vals = pc.cast(t.column(value_column), pa.float64())
         v = (as_array(vals)).to_numpy(zero_copy_only=False)
