@@ -1,0 +1,110 @@
+"""Randomized spec → SQL differential test.
+
+Hypothesis generates random ConstraintSpecs over the real ``documents``
+table; each spec is mechanically compiled BOTH ways — into the engine's
+kernel plan AND into an equivalent DuckDB UNION-ALL oracle — and the
+two violation sets must match exactly.  This generalizes the fixed
+driver oracles to the whole scalar-rule space (bounds, exclusive
+bounds, multiple_of, enum, lengths, patterns, non-null).
+
+Runs pure validate_batch (no Ray) so hundreds of cases are cheap.
+"""
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from verify_ray.spec import ConstraintSpec
+
+TABLE_PATH = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def env():
+    t = pq.read_table(TABLE_PATH)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{TABLE_PATH}')")
+    return {"table": t, "con": con}
+
+
+# -- rule pools (values chosen to straddle the real data ranges) -----------
+
+INT_RULES = {
+    "minimum": [0, 60, 100, 300, 600],
+    "maximum": [50, 100, 400, 1000],
+    "exclusive_minimum": [48, 99, 553],
+    "exclusive_maximum": [49, 200, 554],
+    "multiple_of": [2, 3, 7],
+}
+STR_RULES = {
+    "enum": [["en", "de"], ["en", "fr", "es", "zh"], ["nope"]],
+    "min_length": [1, 2, 3],
+    "max_length": [1, 2, 5],
+    "pattern": ["^e", "n", "^[a-z]{2}$", "z"],
+}
+
+
+def sql_for_rule(col: str, kind: str, val) -> tuple[str, str]:
+    """(rule_id, WHERE-clause selecting violating rows) — the mechanical
+    spec→SQL compiler mirroring each kernel's semantics."""
+    if kind == "minimum":
+        return "less_than_expected", f"{col} < {val}"
+    if kind == "maximum":
+        return "more_than_expected", f"{col} > {val}"
+    if kind == "exclusive_minimum":
+        return "less_than_expected", f"{col} <= {val}"
+    if kind == "exclusive_maximum":
+        return "more_than_expected", f"{col} >= {val}"
+    if kind == "multiple_of":
+        return "not_multiple_of", f"fmod({col}, {val}) != 0"
+    if kind == "enum":
+        vals = ", ".join(f"'{v}'" for v in val)
+        return "invalid_enum_value", f"{col} IS NOT NULL AND {col} NOT IN ({vals})"
+    if kind == "min_length":
+        return "too_short", f"length({col}) < {val}"
+    if kind == "max_length":
+        return "too_long", f"length({col}) > {val}"
+    if kind == "pattern":
+        return "no_pattern_match", (f"{col} IS NOT NULL AND "
+                                    f"NOT regexp_matches({col}, '{val}')")
+    raise AssertionError(kind)
+
+
+int_col_strategy = st.fixed_dictionaries(
+    {}, optional={k: st.sampled_from(v) for k, v in INT_RULES.items()})
+str_col_strategy = st.fixed_dictionaries(
+    {}, optional={k: st.sampled_from(v) for k, v in STR_RULES.items()})
+
+
+@settings(max_examples=300, deadline=None)
+@given(n_chars=int_col_strategy, lang=str_col_strategy, source=str_col_strategy)
+def test_random_spec_matches_sql(env, n_chars, lang, source):
+    cols = {"doc_id": {"dtype": "int64"}}
+    parts = []
+    for col, rules in (("n_chars", n_chars), ("lang", lang),
+                       ("source", source)):
+        cdict = dict(rules)
+        # drop contradictory bound pairs the compiler rejects
+        for lo, hi in (("minimum", "maximum"),
+                       ("min_length", "max_length")):
+            if lo in cdict and hi in cdict and cdict[lo] > cdict[hi]:
+                del cdict[hi]
+        cols[col] = cdict
+        for kind, val in cdict.items():
+            rid, where = sql_for_rule(col, kind, val)
+            parts.append(
+                f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, '{rid}' AS rule_id,"
+                f" '{col}' AS span FROM documents WHERE {where}")
+    plan = ConstraintSpec.from_dict({"key": "doc_id", "columns": cols}).compile()
+    got = plan.validate_batch(env["table"])
+    got_set = sorted(zip(got["doc_id"].to_pylist(), got["rule_id"].to_pylist(),
+                         got["span"].to_pylist()))
+    if parts:
+        exp = sorted(map(tuple, env["con"].execute(
+            " UNION ALL ".join(parts)).fetchall()))
+    else:
+        exp = []
+    assert got_set == exp
