@@ -78,14 +78,50 @@ int_col_strategy = st.fixed_dictionaries(
 str_col_strategy = st.fixed_dictionaries(
     {}, optional={k: st.sampled_from(v) for k, v in STR_RULES.items()})
 
+# combinator leaves: (spec-leaf, SQL VALID condition template)
+_COMBO_LEAVES = [
+    ({"minimum": 100}, "{c} >= 100"),
+    ({"maximum": 200}, "{c} <= 200"),
+    ({"minimum": 400}, "{c} >= 400"),
+    ({"maximum": 60}, "{c} <= 60"),
+]
+combo_strategy = st.one_of(
+    st.none(),
+    st.tuples(st.sampled_from(["any_of", "one_of"]),
+              st.sets(st.sampled_from(range(4)), min_size=2, max_size=3)),
+)
+
+
+def combo_sql(col: str, kind: str, leaves) -> list[str]:
+    """SQL SELECTs for the violating rows of an any_of/one_of combinator
+    (non-null gated, matching the engine's K12 policy)."""
+    valids = [_COMBO_LEAVES[i][1].format(c=col) for i in sorted(leaves)]
+    base = (f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, '{{rid}}' AS rule_id, "
+            f"'{col}' AS span FROM documents WHERE {col} IS NOT NULL AND ")
+    if kind == "any_of":
+        cond = " AND ".join(f"NOT ({v})" for v in valids)
+        return [base.format(rid="none_valid") + f"({cond})"]
+    matched = " + ".join(f"(CASE WHEN {v} THEN 1 ELSE 0 END)" for v in valids)
+    return [base.format(rid="none_valid") + f"({matched}) = 0",
+            base.format(rid="more_than_one_valid") + f"({matched}) > 1"]
+
 
 @settings(max_examples=300, deadline=None)
-@given(n_chars=int_col_strategy, lang=str_col_strategy, source=str_col_strategy)
-def test_random_spec_matches_sql(env, n_chars, lang, source):
+@given(n_chars=int_col_strategy, lang=str_col_strategy,
+       source=str_col_strategy, combo=combo_strategy)
+def test_random_spec_matches_sql(env, n_chars, lang, source, combo):
     cols = {"doc_id": {"dtype": "int64"}}
     parts = []
+    if combo is not None:
+        kind, leaves = combo
+        cols["n_chars"] = {
+            "checks": [{kind: [_COMBO_LEAVES[i][0] for i in sorted(leaves)]}]}
+        parts.extend(combo_sql("n_chars", kind, leaves))
+        n_chars = {}  # combinator owns the column this round
     for col, rules in (("n_chars", n_chars), ("lang", lang),
                        ("source", source)):
+        if col in cols and col != "doc_id" and cols[col]:
+            continue  # combinator slot already set
         cdict = dict(rules)
         # drop contradictory bound pairs the compiler rejects
         for lo, hi in (("minimum", "maximum"),
