@@ -279,6 +279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "lineitem")),
         "events_window_day": events_window,
         "top_customers": topcust,
+        "top_lineitems": lambda sf: analytics.top_lineitems(
+            _read(sf, "lineitem")),
         "revenue_by_segment": segment_revenue,
         "revenue_by_region": region_revenue,
         "events_orphan_users": events_orphan_users,
@@ -345,6 +347,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('day', ts) AS window_start,
                    COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_lineitems": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(l_extendedprice, 2) AS l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+            LIMIT 20
         """,
         "top_customers": """
             SELECT o_custkey, COUNT(*) AS n_orders,

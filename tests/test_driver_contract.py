@@ -74,7 +74,7 @@ def test_queries_cover_oracles(entry_mod):
     "validate_documents", "validate_orders", "validate_lineitem",
     "validate_events", "validate_part", "events_sessionize",
     "stats_docs_by_lang", "pricing_summary",
-    "events_window_day", "top_customers", "revenue_by_segment",
+    "events_window_day", "top_customers", "top_lineitems", "revenue_by_segment",
     "revenue_by_region", "events_orphan_users", "dedup_exact",
     "dedup_exact_dups", "text_token_count",
     "text_fingerprint", "ann_topk", "embedding_near_dup", "media_metadata",

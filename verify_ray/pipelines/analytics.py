@@ -234,6 +234,19 @@ def revenue_by_region(orders_ds, customer: pa.Table, nation: pa.Table,
     return out.sort_values("r_name").reset_index(drop=True)
 
 
+def top_lineitems(ds, n: int = 20) -> pd.DataFrame:
+    """Top-N rows by price via ``Dataset.sort`` + ``limit`` (the
+    distributed range-partitioned sort; deterministic multi-key
+    tiebreak so results are scheduling-independent)."""
+    out = (ds.select_columns(["l_orderkey", "l_linenumber", "l_extendedprice"])
+           .sort(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                 descending=[True, False, False])
+           .limit(n)
+           .to_pandas())
+    out["l_extendedprice"] = np.round(out["l_extendedprice"], 2)
+    return out
+
+
 def anti_join_keys(ds, column: str, present_keys) -> pd.DataFrame:
     """Distinct values of ``column`` absent from ``present_keys``
     (broadcast anti-join / referential-orphans check)."""
