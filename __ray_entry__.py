@@ -103,6 +103,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "avg_chars": np.round(out.n_chars_mean, 6),
         })
 
+    def stats_by_lang_source(sf):
+        out = analytics.grouped_stats(
+            _read(sf, "documents", columns=["lang", "source", "n_chars"]),
+            keys=["lang", "source"], aggs={"n_chars": ["count", "mean"]})
+        return pd.DataFrame({
+            "lang": out.lang, "source": out.source,
+            "n_docs": out.n_chars_count.astype("int64"),
+            "avg_chars": np.round(out.n_chars_mean, 6),
+        })
+
     def dedup_exact(sf):
         g = dedup.exact_dedup_groups(_read(sf, "documents",
                                            columns=["doc_id", "text"]))
@@ -275,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events"), gap_minutes=30),
         # analytics
         "stats_docs_by_lang": stats_docs_by_lang,
+        "stats_by_lang_source": stats_by_lang_source,
         "pricing_summary": lambda sf: analytics.pricing_summary(
             _read(sf, "lineitem")),
         "events_window_day": events_window,
@@ -329,6 +340,11 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
                    ROUND(AVG(n_chars), 6) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "stats_by_lang_source": """
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   ROUND(AVG(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang, source ORDER BY lang, source
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -87,7 +87,7 @@ _COMBO_LEAVES = [
 ]
 combo_strategy = st.one_of(
     st.none(),
-    st.tuples(st.sampled_from(["any_of", "one_of"]),
+    st.tuples(st.sampled_from(["any_of", "one_of", "not", "if"]),
               st.sets(st.sampled_from(range(4)), min_size=2, max_size=3)),
 )
 
@@ -101,6 +101,21 @@ def combo_sql(col: str, kind: str, leaves) -> list[str]:
     if kind == "any_of":
         cond = " AND ".join(f"NOT ({v})" for v in valids)
         return [base.format(rid="none_valid") + f"({cond})"]
+    if kind == "not":
+        # engine compiles not{all_of-like leaf} per leaf? no: `not` takes
+        # ONE subtree — we wrap the leaves in all_of, so the not matches
+        # when ALL leaves hold
+        cond = " AND ".join(f"({v})" for v in valids)
+        return [base.format(rid="valid_not") + f"({cond})"]
+    if kind == "if":
+        # if leaves[0] then leaves[1]: the gated child keeps its natural
+        # rule id (reference propagates branch errors)
+        idx = sorted(leaves)
+        cond_v, then_v = valids[0], valids[1]
+        then_rid = ("less_than_expected"
+                    if "minimum" in _COMBO_LEAVES[idx[1]][0]
+                    else "more_than_expected")
+        return [base.format(rid=then_rid) + f"({cond_v}) AND NOT ({then_v})"]
     matched = " + ".join(f"(CASE WHEN {v} THEN 1 ELSE 0 END)" for v in valids)
     return [base.format(rid="none_valid") + f"({matched}) = 0",
             base.format(rid="more_than_one_valid") + f"({matched}) > 1"]
@@ -114,8 +129,15 @@ def test_random_spec_matches_sql(env, n_chars, lang, source, combo):
     parts = []
     if combo is not None:
         kind, leaves = combo
-        cols["n_chars"] = {
-            "checks": [{kind: [_COMBO_LEAVES[i][0] for i in sorted(leaves)]}]}
+        idx = sorted(leaves)
+        nodes = [_COMBO_LEAVES[i][0] for i in idx]
+        if kind == "not":
+            check = {"not": {"all_of": nodes}}
+        elif kind == "if":
+            check = {"if": nodes[0], "then": nodes[1]}
+        else:
+            check = {kind: nodes}
+        cols["n_chars"] = {"checks": [check]}
         parts.extend(combo_sql("n_chars", kind, leaves))
         n_chars = {}  # combinator owns the column this round
     for col, rules in (("n_chars", n_chars), ("lang", lang),
