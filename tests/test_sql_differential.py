@@ -166,3 +166,72 @@ def test_random_spec_matches_sql(env, n_chars, lang, source, combo):
     else:
         exp = []
     assert got_set == exp
+
+
+# ---------------------------------------------------------------------------
+# list-op differential: per-element bounds + item counts over the real
+# embeddings table (engine spans `embedding.<i>` vs DuckDB
+# unnest + generate_subscripts)
+
+ELEM_RULES = {
+    "element_min": [-0.42, -0.35, -0.3],
+    "element_max": [0.3, 0.35, 0.42],
+}
+ITEM_RULES = {"min_items": [60, 64, 65], "max_items": [63, 64, 70]}
+
+
+@pytest.fixture(scope="module")
+def emb_env():
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/embeddings.parquet')")
+    return {"table": t, "con": con}
+
+
+@settings(max_examples=60, deadline=None)
+@given(rules=st.fixed_dictionaries({}, optional={
+    **{k: st.sampled_from(v) for k, v in ELEM_RULES.items()},
+    **{k: st.sampled_from(v) for k, v in ITEM_RULES.items()},
+}))
+def test_list_ops_match_sql(emb_env, rules):
+    rules = dict(rules)
+    if ("min_items" in rules and "max_items" in rules
+            and rules["min_items"] > rules["max_items"]):
+        del rules["max_items"]  # the compiler rejects inverted bounds
+    plan = ConstraintSpec.from_dict({
+        "key": "vec_id",
+        "columns": {"vec_id": {"dtype": "int64"},
+                    "embedding": dict(rules)},
+    }).compile()
+    got = plan.validate_batch(emb_env["table"])
+    got_set = sorted(zip(got["doc_id"].to_pylist(), got["rule_id"].to_pylist(),
+                         got["span"].to_pylist()))
+    parts = []
+    for kind, val in rules.items():
+        if kind == "element_min":
+            parts.append(f"""
+              SELECT CAST(vec_id AS VARCHAR) AS doc_id,
+                     'element_out_of_bounds' AS rule_id,
+                     'embedding.' || CAST(i - 1 AS VARCHAR) AS span
+              FROM (SELECT vec_id, unnest(embedding) AS e,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings) WHERE e < {val}""")
+        elif kind == "element_max":
+            parts.append(f"""
+              SELECT CAST(vec_id AS VARCHAR), 'element_out_of_bounds',
+                     'embedding.' || CAST(i - 1 AS VARCHAR)
+              FROM (SELECT vec_id, unnest(embedding) AS e,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings) WHERE e > {val}""")
+        elif kind == "min_items":
+            parts.append(f"""
+              SELECT CAST(vec_id AS VARCHAR), 'not_enough_items', 'embedding'
+              FROM embeddings WHERE len(embedding) < {val}""")
+        elif kind == "max_items":
+            parts.append(f"""
+              SELECT CAST(vec_id AS VARCHAR), 'too_many_items', 'embedding'
+              FROM embeddings WHERE len(embedding) > {val}""")
+    exp = (sorted(map(tuple, emb_env["con"].execute(
+        " UNION ALL ".join(parts)).fetchall())) if parts else [])
+    assert got_set == exp
