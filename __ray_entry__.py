@@ -227,6 +227,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def simhash(sf):
         return dedup.simhash_pairs(_docs_with_near_dups(sf), max_hamming=6)
 
+    def ngram_jaccard_planted(sf):
+        # exact word-3-gram Jaccard for the deterministic planted pairs
+        # (doc, doc+1M with ' extra tail' appended) — SQL-checkable
+        ds = _docs_with_near_dups(sf)
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+        ids = t.column("doc_id").to_pylist()[:20]
+        cand = pd.DataFrame({"doc_a": ids,
+                             "doc_b": [i + 1_000_000 for i in ids]})
+        out = dedup.ngram_jaccard_pairs(ds, cand)
+        out["jaccard"] = np.round(out["jaccard"], 6)
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
     def ngram_jaccard(sf):
         ds = _docs_with_near_dups(sf)
         cand = dedup.minhash_lsh_pairs(ds, threshold=0.5)
@@ -299,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact,
         "dedup_exact_dups": dedup_exact_dups,
         "dedup_groups": dedup_groups,
+        "dedup_ngram_jaccard_planted": ngram_jaccard_planted,
         "text_token_count": token_count,
         "text_fingerprint": fingerprint,
         "ann_topk": ann,
@@ -412,6 +425,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
                    COUNT(*) AS n
             FROM docs2 GROUP BY md5(text) ORDER BY content_hash
+        """,
+        "dedup_ngram_jaccard_planted": """
+            WITH docs2(doc_id, text) AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 20
+              UNION ALL
+              SELECT doc_id + 1000000, text || ' extra tail'
+              FROM documents WHERE doc_id < 20
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len(w) - 1, 2)),
+                         i -> list_aggregate(w[i:i+2], 'string_agg', ' '))) AS s
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs2)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+            ORDER BY doc_a
         """,
         "text_token_count": """
             SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok

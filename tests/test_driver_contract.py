@@ -78,6 +78,7 @@ def test_queries_cover_oracles(entry_mod):
     "revenue_by_region", "events_orphan_users", "dedup_exact",
     "dedup_exact_dups", "text_token_count",
     "text_fingerprint", "ann_topk", "embedding_near_dup", "media_metadata",
+    "dedup_ngram_jaccard_planted",
     "profile_documents",
 ])
 def test_query_matches_oracle(entry_mod, ducks, name):
