@@ -1,0 +1,169 @@
+"""Regression tests for the round-2 fix batch (ADVICE.md + VERDICT.md):
+
+* unique_items never aborts on null / mixed-type list elements (the
+  documented NULL policy: nulls never trip kernels, runs never abort);
+* NotUnique carries the {first, duplicate} span pair
+  (reference errors.rs:119-122, schema.rs:738-755) for both the
+  within-row S3 kernel and the global W1 exchange;
+* more_than_one_valid reports the ACTUAL matched count
+  (errors.rs:284-288), not a hardcoded 2;
+* in-memory (-2 partition) verdicts never report a false pass;
+* ngram_jaccard_pairs skips candidate pairs whose docs are absent.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from verify_ray.engine import build_verdicts_from_counts
+from verify_ray.spec import ColumnSpec, ConstraintSpec
+
+
+def plan_for(**col_kwargs):
+    name = col_kwargs.pop("name", "x")
+    cols = [ColumnSpec(name="id", dtype="string"),
+            ColumnSpec(name=name, **col_kwargs)]
+    return ConstraintSpec(key="id", columns=cols).compile()
+
+
+def list_tbl(rows, vtype=pa.string()):
+    return pa.table({
+        "id": pa.array([f"r{i}" for i in range(len(rows))], type=pa.string()),
+        "x": pa.array(rows, type=pa.list_(vtype)),
+    })
+
+
+# ---- ADVICE high: null elements must not abort unique_items ---------------
+
+def test_unique_items_null_string_elements_no_abort():
+    plan = plan_for(unique_items=True)
+    t = list_tbl([["x", None, "x"], [None, None], ["a", "b"]])
+    v = plan.validate_batch(t)
+    rows = sorted(zip(v["doc_id"].to_pylist(), v["rule_id"].to_pylist(),
+                      v["span"].to_pylist()))
+    # the duplicate "x" IS still detected; the null elements are ignored
+    # (nullability is non_null's business), and nothing aborts
+    assert rows == [("r0", "not_unique", "x.2")]
+
+
+def test_unique_items_all_null_elements():
+    plan = plan_for(unique_items=True)
+    v = plan.validate_batch(list_tbl([[None, None, None]]))
+    assert v.num_rows == 0
+
+
+# ---- VERDICT #8: NotUnique{first, duplicate} span pair --------------------
+
+def test_not_unique_span_pair_within_row():
+    plan = plan_for(unique_items=True)
+    t = list_tbl([["a", "b", "a", "a"], ["c", "d"]])
+    v = plan.validate_batch(t)
+    got = sorted(zip(v["span"].to_pylist(), v["first_span"].to_pylist()))
+    # duplicates at elements 2 and 3, first occurrence at element 0
+    assert got == [("x.2", "x.0"), ("x.3", "x.0")]
+
+
+def test_not_unique_first_span_null_for_other_rules():
+    plan = plan_for(minimum=5, name="x")
+    t = pa.table({"id": pa.array(["a"]), "x": pa.array([1], type=pa.int64())})
+    v = plan.validate_batch(t)
+    assert v["first_span"].to_pylist() == [None]
+
+
+def test_global_unique_first_partition(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from verify_ray.engine import validate
+
+    # key 7 first appears in file 0, again in file 2
+    for i, ids in enumerate([[7, 1], [2, 3], [7, 4]]):
+        pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64())}),
+                       str(tmp_path / f"part-{i}.parquet"))
+    spec = ConstraintSpec.from_dict({
+        "table": "t", "key": "doc_id",
+        "columns": {"doc_id": {"dtype": "int64", "unique": True}},
+    })
+    rep = validate(str(tmp_path), spec)
+    nu = rep.violations.filter(
+        pa.compute.equal(rep.violations["rule_id"], "not_unique"))
+    assert nu.num_rows == 1
+    assert nu["doc_id"].to_pylist() == ["7"]
+    assert nu["first_span"].to_pylist() == ["partition=0"]
+
+
+# ---- ADVICE low: more_than_one_valid actual match count -------------------
+
+def test_more_than_one_valid_actual_count():
+    plan = plan_for(checks=[{"one_of": [{"minimum": 0}, {"minimum": 10},
+                                        {"minimum": 100}]}])
+    t = pa.table({"id": pa.array(["a", "b", "c"]),
+                  "x": pa.array([5, 50, 500], type=pa.int64())})
+    v = plan.validate_batch(t)
+    msgs = dict(zip(v["doc_id"].to_pylist(), v["message"].to_pylist()))
+    assert "but 2 schemas matched" in msgs["b"]
+    assert "but 3 schemas matched" in msgs["c"]
+    assert "a" not in msgs  # exactly one match passes
+
+
+# ---- ADVICE medium: no false pass=True verdict for partition -2 -----------
+
+def test_inmemory_partition_verdict_not_false_pass():
+    counts = pd.DataFrame(
+        {"partition_id": [-2], "rule_id": ["non_null"], "cnt": [5]})
+    verdicts = build_verdicts_from_counts(counts, {-2: 100})
+    assert len(verdicts) == 1
+    row = verdicts.iloc[0]
+    assert row["partition_id"] == -2
+    assert row["n_violations"] == 5
+    assert not row["pass"]
+
+
+def test_global_minus1_still_excluded_from_partition_verdicts():
+    counts = pd.DataFrame(
+        {"partition_id": [-1, 0], "rule_id": ["not_unique", "non_null"],
+         "cnt": [3, 2]})
+    verdicts = build_verdicts_from_counts(counts, {0: 10, 1: 10})
+    by_pid = verdicts.set_index("partition_id")
+    assert by_pid.loc[0, "n_violations"] == 2 and not by_pid.loc[0, "pass"]
+    assert by_pid.loc[1, "n_violations"] == 0 and by_pid.loc[1, "pass"]
+
+
+def test_inmemory_validate_verdict_matches_report(ray_session):
+    import ray.data as rd
+
+    from verify_ray.engine import validate
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "n": pa.array([1, -5, 2], type=pa.int64()),
+    }))
+    spec = ConstraintSpec.from_dict({
+        "table": "t", "key": "doc_id",
+        "columns": {"doc_id": {"dtype": "string"},
+                    "n": {"dtype": "int64", "minimum": 0}},
+    })
+    rep = validate(ds, spec)
+    assert not rep.ok and rep.summary["n_violations"] == 1
+    # the dataset's own (-2) verdict row must agree with the report
+    assert len(rep.verdicts) == 1
+    assert not rep.verdicts.iloc[0]["pass"]
+    assert rep.verdicts.iloc[0]["n_violations"] == 1
+
+
+# ---- ADVICE low: ngram_jaccard_pairs missing-doc guard --------------------
+
+def test_ngram_jaccard_missing_doc_skipped(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["the quick brown fox jumps",
+                          "the quick brown fox leaps"]),
+    }))
+    cand = pd.DataFrame({"doc_a": [1, 1], "doc_b": [2, 999]})
+    out = ngram_jaccard_pairs(ds, cand)
+    assert list(out["doc_b"]) == [2]  # pair with missing doc 999 skipped
+    assert 0 < out["jaccard"].iloc[0] < 1

@@ -141,3 +141,31 @@ def test_run_heterogeneous_schemas(ray_session, tmp_path):
                            "score": {"dtype": "float64", "maximum": 1.0}}},
               [p1, p2], str(tmp_path / "out"), group_size=2)
     assert rep["n_violations_narrow"] >= 2  # required_property + bound
+
+
+def test_stale_group_dirs_not_merged(ray_session, tmp_path):
+    """A reused output dir with leftover g=... directories from a prior
+    run (different file set / --group-size) must not leak stale partials
+    into uniqueness or verdicts (ADVICE.md run.py:233)."""
+    import pyarrow as pa
+
+    files = []
+    for i in range(4):
+        p = str(tmp_path / f"f{i}.parquet")
+        # every file repeats key 100+i -> within-file dup per file
+        pq.write_table(pa.table({
+            "doc_id": pa.array([100 + i, 100 + i, i], type=pa.int64())}), p)
+        files.append(p)
+    spec = {"key": "doc_id",
+            "columns": {"doc_id": {"dtype": "int64", "unique": True}}}
+    out = str(tmp_path / "out")
+
+    # run 1: 4 files, group_size=1 -> groups g=0..3
+    rep1 = run(spec, files, out, group_size=1, resume=False)
+    assert rep1["n_violations_global"] == 4
+
+    # run 2: only 2 files, group_size=2 -> a single group g=0; stale
+    # g=000001..3 dirs remain on disk but must be ignored
+    rep2 = run(spec, files[:2], out, group_size=2, resume=False)
+    assert rep2["n_violations_global"] == 2
+    assert rep2["n_rows"] == 6

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .errors import VIOLATION_SCHEMA
+from .errors import VIOLATION_SCHEMA, conform_violations
 from .kernels import CompiledPlan
 from .spec import ConstraintSpec
 from .sources.parquet import (list_input_files, partition_map,
@@ -183,11 +183,12 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
                       if col in schemas[p].names]
             if not ufiles:
                 continue
-            uv = unique_violations_from_files(ufiles, col)
+            uv = unique_violations_from_files(
+                ufiles, col, path_pids={f: path_to_pid[f] for f in ufiles})
             if uv.num_rows:
                 tables.append(uv)
     if tables:
-        vt = pa.concat_tables([t.cast(VIOLATION_SCHEMA) for t in tables])
+        vt = pa.concat_tables([conform_violations(t) for t in tables])
     else:
         vt = VIOLATION_SCHEMA.empty_table()
 
@@ -202,7 +203,7 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
                     np.array([p for _, _, _, p in schema_viols], dtype=np.int32)),
             }
         )
-        vt = pa.concat_tables([vt, sv])
+        vt = pa.concat_tables([vt, conform_violations(sv)])
 
     # drift (W3) — needs a reference-epoch stats table
     if plan.drift is not None and drift_reference is not None:
@@ -210,7 +211,7 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
 
         dv = drift_violations(ds, plan.drift, drift_reference)
         if dv.num_rows:
-            vt = pa.concat_tables([vt, dv.cast(VIOLATION_SCHEMA)])
+            vt = pa.concat_tables([vt, conform_violations(dv)])
 
     verdicts = build_verdicts(vt, row_counts)
     summary = {
@@ -235,9 +236,13 @@ def build_verdicts_from_counts(counts: pd.DataFrame,
                                row_counts: dict[int, int]) -> pd.DataFrame:
     """Per-partition verdicts from pre-aggregated (partition_id, rule_id,
     cnt) rows — the scalable path (violations never materialize on the
-    driver).  Partition -1 / -2 (global / unknown-lineage) violations are
-    excluded from per-partition verdicts but counted in the summary."""
-    per = counts[counts.partition_id >= 0] if len(counts) else counts
+    driver).  Partition -1 (global rules) is excluded from per-partition
+    verdicts but counted in the summary.  -2 (in-memory dataset) counts
+    ARE attributed when the caller tracks a -2 partition (row_counts has
+    the key) — it is the dataset's own partition, and dropping its
+    counts would emit a false ``pass=True`` verdict row."""
+    per = (counts[counts.partition_id.isin(list(row_counts))]
+           if len(counts) else counts)
     rows = []
     for pid in sorted(row_counts):
         g = per[per.partition_id == pid] if len(per) else per

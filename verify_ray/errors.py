@@ -171,10 +171,28 @@ VIOLATION_SCHEMA = pa.schema(
         ("doc_id", pa.string()),
         ("rule_id", pa.string()),
         ("span", pa.string()),
+        # NotUnique{first, duplicate} span pair (errors.rs:119-122,
+        # schema.rs:738-755): `span` is the duplicate occurrence,
+        # `first_span` the first-seen one (element index for S3, input
+        # partition for W1).  Null for every other rule.
+        ("first_span", pa.string()),
         ("message", pa.string()),
         ("partition_id", pa.int32()),
     ]
 )
+
+
+def conform_violations(t: pa.Table) -> pa.Table:
+    """Reorder ``t``'s columns to VIOLATION_SCHEMA, adding any missing
+    ones (e.g. ``first_span``) as nulls — lets violation producers that
+    have no span-pair information stay oblivious to the column."""
+    cols = []
+    for f in VIOLATION_SCHEMA:
+        if f.name in t.column_names:
+            cols.append(t.column(f.name).cast(f.type))
+        else:
+            cols.append(pa.nulls(t.num_rows, f.type))
+    return pa.table(dict(zip(VIOLATION_SCHEMA.names, cols)))
 
 VERDICT_SCHEMA = pa.schema(
     [

@@ -157,6 +157,11 @@ class RowRule:
     span: str
     message: str
     mask_fn: MaskFn
+    # optional per-violation message builder: (table, violating_row_idx)
+    # -> list[str]; used where the reference Display interpolates a
+    # per-value quantity (e.g. MoreThanOneValid's matched count,
+    # errors.rs:284-288)
+    message_fn: Optional[Callable[[pa.Table, np.ndarray], list]] = None
 
 
 @dataclass
@@ -410,9 +415,18 @@ def compile_pred(node: dict, column: str, gate: Optional[MaskFn] = None) -> list
 
         rules.append(RowRule(R.NONE_VALID, column, column, E.msg_none_valid(True),
                              nonnull_gated(lambda t, f=n_matched: f(t) == 0)))
+
+        def mtov_messages(t: pa.Table, idx: np.ndarray,
+                          f=n_matched) -> list:
+            # per-row actual matched count, mirroring the reference
+            # Display (`{} schemas matched`, errors.rs:284-288)
+            n = f(t)[idx]
+            return [E.msg_more_than_one_valid(int(k)) for k in n]
+
         rules.append(RowRule(R.MORE_THAN_ONE_VALID, column, column,
                              E.msg_more_than_one_valid(2),
-                             nonnull_gated(lambda t, f=n_matched: f(t) > 1)))
+                             nonnull_gated(lambda t, f=n_matched: f(t) > 1),
+                             message_fn=mtov_messages))
     if "not" in node:
         sub = _pred_valid(node["not"], column)
         rules.append(RowRule(R.VALID_NOT, column, column, E.msg_valid_not(),
@@ -571,22 +585,43 @@ def _element_rules(c) -> list[ElementRule]:
     # *duplicate* element's index, mirroring NotUnique{first, duplicate}.
     if c.unique_items:
         def uniq_fn(t: pa.Table, cache: dict, name=name):
+            empty = (np.empty(0, np.int64),) * 3
             if name not in t.column_names:
-                return np.empty(0, np.int64), np.empty(0, np.int64)
+                return empty
             values, parents, starts = _flat_cached(t, name, cache)
             if len(parents) == 0:
-                return np.empty(0, np.int64), np.empty(0, np.int64)
-            v = values.to_numpy(zero_copy_only=False)
-            order = np.lexsort((v, parents))
-            sv, sp = v[order], parents[order]
+                return empty
+            # NULL policy: null elements never participate in uniqueness
+            # (nullability is non_null's business) — and an object array
+            # with None would break lexsort's comparisons
+            if values.null_count:
+                valid = pc.is_valid(values).to_numpy(zero_copy_only=False)
+                keep = np.flatnonzero(valid)
+                if len(keep) == 0:
+                    return empty
+                v = values.take(pa.array(keep)).to_numpy(zero_copy_only=False)
+                flat_ids, par_ids = keep, parents[keep]
+            else:
+                v = values.to_numpy(zero_copy_only=False)
+                flat_ids = np.arange(len(parents), dtype=np.int64)
+                par_ids = parents
+            order = np.lexsort((v, par_ids))
+            sv, sp = v[order], par_ids[order]
             dup = np.zeros(len(sv), dtype=bool)
             dup[1:] = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
             sel = np.flatnonzero(dup)
+            if len(sel) == 0:
+                return empty
             # report each duplicated (row) once per extra occurrence, at
-            # the duplicate's original element index
-            flat = order[sel]
+            # the duplicate's original element index; also carry the
+            # FIRST occurrence's element index — the NotUnique{first,
+            # duplicate} span pair (errors.rs:119-122, schema.rs:738-755)
+            run_id = np.cumsum(~dup) - 1          # equal-value run per parent
+            run_first = np.flatnonzero(~dup)       # sorted idx of run heads
+            flat = flat_ids[order[sel]]
+            first_flat = flat_ids[order[run_first[run_id[sel]]]]
             par = parents[flat]
-            return par, flat - starts[par]
+            return par, flat - starts[par], first_flat - starts[par]
 
         rules.append(ElementRule(R.NOT_UNIQUE, name, E.msg_not_unique(), uniq_fn))
 
@@ -797,25 +832,31 @@ class CompiledPlan:
 
         doc_ids: list[pa.Array] = []
         rule_ids: list[str] = []
-        messages: list[str] = []
+        messages: list[object] = []   # constant str or per-violation list
         counts: list[int] = []
         # per-emit span spec: a constant string (row-level) or a list of
         # per-violation strings (element-level)
         span_specs: list[object] = []
+        first_specs: list[object] = []  # None (null) or per-violation list
 
-        def emit(ids: pa.Array, rid: str, span_spec, msg: str):
+        def emit(ids: pa.Array, rid: str, span_spec, msg, firsts=None):
             doc_ids.append(ids)
             rule_ids.append(rid)
             span_specs.append(span_spec)
             messages.append(msg)
+            first_specs.append(firsts)
             counts.append(len(ids))
 
+        # TypeError guards against object-dtype comparisons numpy can't
+        # do (e.g. mixed-type list elements) — degrade to data, never
+        # abort the run (the documented NULL/robustness policy)
+        KERNEL_ERRORS = (pa.ArrowNotImplementedError, pa.ArrowInvalid,
+                         pa.ArrowTypeError, TypeError)
         kernel_errors: list[tuple[str, str]] = []
         for rule in self.row_rules:
             try:
                 mask = rule.mask_fn(t)
-            except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
-                    pa.ArrowTypeError) as e:
+            except KERNEL_ERRORS as e:
                 # a kernel cannot run on this column's actual dtype —
                 # report it as data (UnsupportedValue, reference
                 # errors.rs:149-152), never abort the run.  The
@@ -827,27 +868,34 @@ class CompiledPlan:
                 continue
             ids = (key_col.take(pa.array(idx)) if key_col is not None
                    else pa.array([""] * len(idx)))
+            msg = (rule.message_fn(t, idx) if rule.message_fn is not None
+                   else rule.message)
             emit(ids, rule.rule_id,
                  self.span_format(rule.column) if self.span_format else rule.span,
-                 rule.message)
+                 msg)
 
         flat_cache: dict = {}
         for rule in self.element_rules:
             try:
-                rows, elems = rule.fn(t, flat_cache)
-            except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
-                    pa.ArrowTypeError) as e:
+                res = rule.fn(t, flat_cache)
+            except KERNEL_ERRORS as e:
                 kernel_errors.append((rule.column, f"{rule.rule_id}: {e}"))
                 continue
+            rows, elems = res[0], res[1]
+            firsts = res[2] if len(res) > 2 else None
             if len(rows) == 0:
                 continue
             ids = (key_col.take(pa.array(rows)) if key_col is not None
                    else pa.array([""] * len(rows)))
             if self.span_format:
                 espans = [self.span_format(rule.column, int(e)) for e in elems]
+                fspans = ([self.span_format(rule.column, int(e)) for e in firsts]
+                          if firsts is not None else None)
             else:
                 espans = [f"{rule.column}.{int(e)}" for e in elems]
-            emit(ids, rule.rule_id, espans, rule.message)
+                fspans = ([f"{rule.column}.{int(e)}" for e in firsts]
+                          if firsts is not None else None)
+            emit(ids, rule.rule_id, espans, rule.message, firsts=fspans)
 
         # dedup kernel-error reports per column; one row each, doc_id ''
         for col_name, detail in dict(kernel_errors).items():
@@ -859,19 +907,25 @@ class CompiledPlan:
             return _empty_violations()
 
         rid_arr = _repeat_strings(rule_ids, counts)
-        msg_arr = _repeat_strings(messages, counts)
-        span_parts: list[pa.Array] = []
-        for spec_, n in zip(span_specs, counts):
-            if isinstance(spec_, list):
-                span_parts.append(pa.array(spec_, type=pa.string()))
-            else:
-                span_parts.append(pa.array([spec_] * n, type=pa.string()))
+
+        def spec_arrays(specs: list[object], nullable=False) -> pa.Array:
+            parts: list[pa.Array] = []
+            for spec_, n in zip(specs, counts):
+                if isinstance(spec_, list):
+                    parts.append(pa.array(spec_, type=pa.string()))
+                elif spec_ is None and nullable:
+                    parts.append(pa.nulls(n, pa.string()))
+                else:
+                    parts.append(pa.array([spec_] * n, type=pa.string()))
+            return pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
+
         return pa.table(
             {
                 "doc_id": pa.concat_arrays([as_array(a) for a in doc_ids]).cast(pa.string()),
                 "rule_id": rid_arr,
-                "span": pa.concat_arrays(span_parts) if len(span_parts) > 1 else span_parts[0],
-                "message": msg_arr,
+                "span": spec_arrays(span_specs),
+                "first_span": spec_arrays(first_specs, nullable=True),
+                "message": spec_arrays(messages),
             }
         )
 
@@ -891,6 +945,7 @@ def _empty_violations() -> pa.Table:
             "doc_id": pa.array([], type=pa.string()),
             "rule_id": pa.array([], type=pa.string()),
             "span": pa.array([], type=pa.string()),
+            "first_span": pa.array([], type=pa.string()),
             "message": pa.array([], type=pa.string()),
         }
     )

@@ -407,7 +407,12 @@ def ngram_jaccard_pairs(ds, candidate_pairs, text_col: str = "text",
 
     out = {"doc_a": [], "doc_b": [], "jaccard": []}
     for _, row in cand.iterrows():
-        sa, sb = shingles(docs[row["doc_a"]]), shingles(docs[row["doc_b"]])
+        ta, tb = docs.get(row["doc_a"]), docs.get(row["doc_b"])
+        if ta is None or tb is None:
+            # candidate references a doc absent from the dataset — skip
+            # rather than abort (stale candidate sets are data, not bugs)
+            continue
+        sa, sb = shingles(ta), shingles(tb)
         union = len(sa | sb)
         out["doc_a"].append(row["doc_a"])
         out["doc_b"].append(row["doc_b"])

@@ -56,6 +56,7 @@ RAW_SCHEMA = pa.schema(
         ("doc_id", pa.string()),
         ("rule_id", pa.string()),
         ("span", pa.string()),
+        ("first_span", pa.string()),
         ("message", pa.string()),
         ("partition_id", pa.int32()),
         ("cnt", pa.int64()),
@@ -85,6 +86,8 @@ def _make_combined_fn(plan: CompiledPlan, path_to_pid, drift):
                 "doc_id": t.column("doc_id") if "doc_id" in t.column_names else null_str,
                 "rule_id": t.column("rule_id") if "rule_id" in t.column_names else null_str,
                 "span": t.column("span") if "span" in t.column_names else null_str,
+                "first_span": (t.column("first_span")
+                               if "first_span" in t.column_names else null_str),
                 "message": t.column("message") if "message" in t.column_names else null_str,
                 "partition_id": (t.column("partition_id")
                                  if "partition_id" in t.column_names
@@ -227,10 +230,21 @@ def _finalize(output_dir, plan, groups, row_counts, schema_viols,
     global_dir = os.path.join(output_dir, "violations_global")
     os.makedirs(global_dir, exist_ok=True)
 
+    def _group_files(kind: str) -> list[str]:
+        # glob ONLY this run's group ids — a reused output dir can hold
+        # stale g=... directories from a previous run with a different
+        # file set / --group-size; merging those silently corrupts
+        # uniqueness, drift, and verdicts
+        out = []
+        for gid in sorted(groups):
+            out.extend(_glob.glob(os.path.join(
+                output_dir, "groups", f"g={gid:06d}",
+                f"kind={kind}", "*.parquet")))
+        return sorted(out)
+
     # W1 uniqueness over the pre-aggregated (key, cnt) partials, via the
     # explicit hash exchange (stages/unique.find_duplicate_keys)
-    count_files = sorted(_glob.glob(
-        os.path.join(output_dir, "groups", "*", "kind=c", "*.parquet")))
+    count_files = _group_files("c")
     n_global = 0
     if count_files and plan.unique_columns:
         import ray
@@ -253,8 +267,7 @@ def _finalize(output_dir, plan, groups, row_counts, schema_viols,
 
     # W3 drift over the sketch partials
     drift_rows = []
-    sketch_files = sorted(_glob.glob(
-        os.path.join(output_dir, "groups", "*", "kind=s", "*.parquet")))
+    sketch_files = _group_files("s")
     if sketch_files and plan.drift is not None and drift_reference is not None:
         from .stages.drift import _merge_block
         from .state.sketches import GroupedSketch
@@ -283,8 +296,7 @@ def _finalize(output_dir, plan, groups, row_counts, schema_viols,
     # can be huge, so counts are pre-aggregated per batch inside
     # map_batches; only (partition_id, rule_id, cnt) partials reach the
     # driver — never the violation rows themselves.
-    viol_files = sorted(_glob.glob(
-        os.path.join(output_dir, "groups", "*", "kind=v", "*.parquet")))
+    viol_files = _group_files("v")
     import pandas as pd
 
     if viol_files:

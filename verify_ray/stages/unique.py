@@ -50,7 +50,8 @@ def _bucket_of(keys_arr: pa.Array, num_buckets: int) -> np.ndarray:
 
 def find_duplicate_keys(file_groups: list[list[str]], column: str,
                         num_buckets: int, cnt_column: str | None = None,
-                        where: tuple | None = None) -> pa.Table:
+                        where: tuple | None = None,
+                        path_pids: dict[str, int] | None = None) -> pa.Table:
     """(key, cnt) table of keys with global count > 1, via an explicit
     MapReduce-style hash exchange with raw Ray tasks.
 
@@ -82,23 +83,53 @@ def find_duplicate_keys(file_groups: list[list[str]], column: str,
         cols = [column] + ([cnt_column] if cnt_column else [])
         if where is not None:
             cols.append(where[0])
-        t = pa.concat_tables([_pq.read_table(p, columns=cols) for p in paths])
-        if where is not None:
-            t = t.filter(pc.equal(t.column(where[0]), where[1]))
-            t = t.drop_columns([where[0]])
+        per_file = path_pids is not None and not cnt_column
+        if not per_file:
+            t = pa.concat_tables(
+                [_pq.read_table(p, columns=cols) for p in paths])
+            if where is not None:
+                t = t.filter(pc.equal(t.column(where[0]), where[1]))
+                t = t.drop_columns([where[0]])
         if cnt_column:
             g = t.group_by(column).aggregate([(cnt_column, "sum")])
             keys, cnts = g.column(column), g.column(f"{cnt_column}_sum")
+            firsts = None
+        elif per_file:
+            # track the FIRST-seen input partition per key (min pid) for
+            # the NotUnique{first, duplicate} span pair
+            # (errors.rs:119-122): per-file value_counts tagged with the
+            # file's pid, then one hash aggregate (cnt sum, pid min)
+            pieces = []
+            for p in paths:
+                ft = _pq.read_table(p, columns=[column])
+                col = ft.column(column).combine_chunks()
+                fvc = pc.value_counts(col)
+                fk = fvc.field("values")
+                fc = pc.cast(fvc.field("counts"), pa.int64())
+                m = pc.is_valid(fk)
+                fk, fc = fk.filter(m), fc.filter(m)
+                pieces.append(pa.table({
+                    column: fk, "cnt": fc,
+                    "first_pid": pa.array(
+                        np.full(len(fk), path_pids.get(p, -1), dtype=np.int32)),
+                }))
+            agg = pa.concat_tables(pieces).group_by(column).aggregate(
+                [("cnt", "sum"), ("first_pid", "min")])
+            keys = agg.column(column)
+            cnts, firsts = agg.column("cnt_sum"), agg.column("first_pid_min")
         else:
             col = t.column(column)
             vc = pc.value_counts(col.combine_chunks()
                                  if isinstance(col, pa.ChunkedArray) else col)
             keys, cnts = vc.field("values"), pc.cast(vc.field("counts"), pa.int64())
-        mask = pc.is_valid(keys)
-        keys, cnts = keys.filter(mask), cnts.filter(mask)
+            firsts = None
+        if firsts is None:
+            mask = pc.is_valid(keys)
+            keys, cnts = keys.filter(mask), cnts.filter(mask)
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
-        part = pa.table({column: keys, "cnt": cnts})
+        part = (pa.table({column: keys, "cnt": cnts, "first_pid": firsts})
+                if firsts is not None else pa.table({column: keys, "cnt": cnts}))
         bk = _bucket_of(keys, B)
         out = []
         for b in range(B):
@@ -111,10 +142,15 @@ def find_duplicate_keys(file_groups: list[list[str]], column: str,
         t = pa.concat_tables(pieces)
         if t.num_rows == 0:
             return t
-        g = t.group_by(column).aggregate([("cnt", "sum")])
+        aggs = [("cnt", "sum")]
+        if "first_pid" in t.column_names:
+            aggs.append(("first_pid", "min"))
+        g = t.group_by(column).aggregate(aggs)
         dup = g.filter(pc.greater(g.column("cnt_sum"), 1))
-        return pa.table({column: dup.column(column),
-                         "cnt": dup.column("cnt_sum")})
+        out = {column: dup.column(column), "cnt": dup.column("cnt_sum")}
+        if "first_pid" in t.column_names:
+            out["first_pid"] = dup.column("first_pid_min")
+        return pa.table(out)
 
     refs = [map_task.remote(grp) for grp in file_groups]
     if B == 1:
@@ -132,11 +168,20 @@ def dup_table_to_violations(dups: pa.Table, column: str) -> pa.Table:
     keys = pc.cast(dups.column(column), pa.string())
     n = dups.num_rows
     msg = msg_not_unique()
+    # first_span carries the first-seen input partition when the
+    # exchange tracked it — the W1 half of NotUnique{first, duplicate}
+    if "first_pid" in dups.column_names:
+        first = pa.array([f"partition={p}"
+                          for p in dups.column("first_pid").to_pylist()],
+                         type=pa.string())
+    else:
+        first = pa.nulls(n, pa.string())
     return pa.table(
         {
             "doc_id": keys,
             "rule_id": pa.array([R.NOT_UNIQUE] * n, type=pa.string()),
             "span": pa.array([column] * n, type=pa.string()),
+            "first_span": first,
             "message": pa.array(
                 [f"{msg} ({c} occurrences)"
                  for c in dups.column("cnt").to_pylist()], type=pa.string()),
@@ -147,7 +192,9 @@ def dup_table_to_violations(dups: pa.Table, column: str) -> pa.Table:
 
 def unique_violations_from_files(files: list[str], column: str,
                                  num_buckets: int | None = None,
-                                 files_per_task: int = 8) -> pa.Table:
+                                 files_per_task: int = 8,
+                                 path_pids: dict[str, int] | None = None
+                                 ) -> pa.Table:
     """not_unique violations for a parquet file set (fast exchange)."""
     import ray
 
@@ -156,7 +203,8 @@ def unique_violations_from_files(files: list[str], column: str,
         num_buckets = max(4, min(64, cpus))
     groups = [files[i:i + files_per_task]
               for i in range(0, len(files), files_per_task)]
-    dups = find_duplicate_keys(groups, column, num_buckets)
+    dups = find_duplicate_keys(groups, column, num_buckets,
+                               path_pids=path_pids)
     return dup_table_to_violations(dups, column)
 
 
