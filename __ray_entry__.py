@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_lineitem": vq.validate_lineitem,
         "validate_events": vq.validate_events,
         "validate_part": vq.validate_part,
+        "validate_nested": vq.validate_nested,
         "events_sessionize": lambda sf: sessions.sessionize(
             _read(sf, "events"), gap_minutes=30),
         # analytics
@@ -347,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_lineitem": vq.LINEITEM_ORACLE,
         "validate_events": vq.EVENTS_ORACLE,
         "validate_part": vq.PART_ORACLE,
+        "validate_nested": vq.NESTED_ORACLE,
         "events_sessionize": _sessions_oracle(),
         "stats_docs_by_lang": """
             SELECT lang, COUNT(*) AS n_docs,

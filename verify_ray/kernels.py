@@ -65,7 +65,45 @@ def as_array(col) -> pa.Array:
 
 
 def _col(t: pa.Table, name: str):
-    return t.column(name)
+    """Column accessor, path-aware: ``a.b.c`` descends struct fields via
+    ``pc.struct_field`` (vectorized; null parents yield null children) —
+    the columnar analogue of the reference's recursive map traversal
+    (serde.rs:836-840,992-996).  A literal column named ``a.b`` wins
+    over path interpretation."""
+    if name in t.column_names:
+        return t.column(name)
+    parts = name.split(".")
+    arr = as_array(t.column(parts[0]))
+    for p in parts[1:]:
+        arr = pc.struct_field(arr, p)
+    return arr
+
+
+def _schema_type_at(schema: pa.Schema, name: str):
+    """Resolve a dotted path against a Schema; None if absent."""
+    if name in schema.names:
+        return schema.field(name).type
+    parts = name.split(".")
+    if parts[0] not in schema.names:
+        return None
+    typ = schema.field(parts[0]).type
+    for p in parts[1:]:
+        if not pa.types.is_struct(typ):
+            return None
+        idx = typ.get_field_index(p)
+        if idx < 0:
+            return None
+        typ = typ.field(idx).type
+    return typ
+
+
+def _has_col(t: pa.Table, name: str) -> bool:
+    """Presence check, path-aware (see _col)."""
+    if name in t.column_names:
+        return True
+    if "." not in name:
+        return False
+    return _schema_type_at(t.schema, name) is not None
 
 
 def _f64(col) -> np.ndarray:
@@ -217,7 +255,7 @@ def _leaf_valid_fn(node: dict, default_column: str) -> MaskFn:
         base = valid
 
         def valid_isnull(t: pa.Table) -> np.ndarray:
-            if colname not in t.column_names:
+            if not _has_col(t, colname):
                 return np.zeros(t.num_rows, dtype=bool)
             return base(t) & _np_bool(pc.is_null(_col(t, colname)))
 
@@ -234,9 +272,17 @@ def _leaf_violation_masks(node: dict, colname: str) -> list[tuple[str, str, Mask
 
     def guard(fn):
         def wrapped(t: pa.Table) -> np.ndarray:
-            if colname not in t.column_names:
+            if not _has_col(t, colname):
                 return _zeros(t)
-            return fn(_col(t, colname), t)
+            m = fn(_col(t, colname), t)
+            if "." in colname and colname not in t.column_names:
+                # nested field: a null parent struct means its children
+                # are not traversed (the reference never descends into an
+                # absent map, serde.rs:992-996) — gate every child rule,
+                # including non_null, on parent validity
+                parent = colname.rsplit(".", 1)[0]
+                m = m & _np_bool(pc.is_valid(_col(t, parent)))
+            return m
 
         return wrapped
 
@@ -376,7 +422,7 @@ def compile_pred(node: dict, column: str, gate: Optional[MaskFn] = None) -> list
         since nulls count as valid for every leaf."""
         def wrapped(t: pa.Table, f=mask_fn) -> np.ndarray:
             m = f(t)
-            if column in t.column_names:
+            if _has_col(t, column):
                 m = m & _np_bool(pc.is_valid(_col(t, column)))
             return m
 
@@ -540,7 +586,7 @@ def _element_rules(c) -> list[ElementRule]:
 
         def enum_elem_fn(t: pa.Table, cache: dict, name=name,
                          enum_vals=enum_vals):
-            if name not in t.column_names:
+            if not _has_col(t, name):
                 return np.empty(0, np.int64), np.empty(0, np.int64)
             values, parents, starts = _flat_cached(t, name, cache)
             if len(parents) == 0:
@@ -561,7 +607,7 @@ def _element_rules(c) -> list[ElementRule]:
 
     for rid, msg, badfn in elem_checks:
         def elem_fn(t: pa.Table, cache: dict, name=name, badfn=badfn):
-            if name not in t.column_names:
+            if not _has_col(t, name):
                 return np.empty(0, np.int64), np.empty(0, np.int64)
             v, parents, starts, nan = _flat_numeric(t, name, cache)
             # bounds compare against the value's native dtype where
@@ -586,7 +632,7 @@ def _element_rules(c) -> list[ElementRule]:
     if c.unique_items:
         def uniq_fn(t: pa.Table, cache: dict, name=name):
             empty = (np.empty(0, np.int64),) * 3
-            if name not in t.column_names:
+            if not _has_col(t, name):
                 return empty
             values, parents, starts = _flat_cached(t, name, cache)
             if len(parents) == 0:
@@ -643,7 +689,7 @@ def _element_rules(c) -> list[ElementRule]:
         for i, node in enumerate(c.items_tuple):
             for rid, msg, mask_fn in _leaf_violation_masks(dict(node), name):
                 def pos_fn(t: pa.Table, cache: dict, i=i, mask_fn=mask_fn):
-                    if name not in t.column_names:
+                    if not _has_col(t, name):
                         return np.empty(0, np.int64), np.empty(0, np.int64)
                     vt, rows = position_values(t, cache, i)
                     bad = mask_fn(vt)
@@ -654,7 +700,7 @@ def _element_rules(c) -> list[ElementRule]:
 
         if c.additional_items is False:
             def overflow_never(t: pa.Table, cache: dict, name=name, n_pos=n_pos):
-                if name not in t.column_names:
+                if not _has_col(t, name):
                     return np.empty(0, np.int64), np.empty(0, np.int64)
                 _, parents, starts = _flat_cached(t, name, cache)
                 flat = np.arange(len(parents), dtype=np.int64)
@@ -668,7 +714,7 @@ def _element_rules(c) -> list[ElementRule]:
                     dict(c.additional_items), name):
                 def overflow_fn(t: pa.Table, cache: dict, name=name,
                                 n_pos=n_pos, mask_fn=mask_fn):
-                    if name not in t.column_names:
+                    if not _has_col(t, name):
                         return np.empty(0, np.int64), np.empty(0, np.int64)
                     values, parents, starts = _flat_cached(t, name, cache)
                     flat = np.arange(len(parents), dtype=np.int64)
@@ -693,7 +739,7 @@ def _contains_rule(c) -> Optional[RowRule]:
     name = c.name
 
     def mask(t: pa.Table, node=node, name=name) -> np.ndarray:
-        if name not in t.column_names:
+        if not _has_col(t, name):
             return _zeros(t)
         col = _col(t, name)
         values, parents, _ = flatten_with_parents(col)
@@ -749,6 +795,9 @@ class CompiledPlan:
     span_format: Optional[Callable] = None
     # M4 property_names analogue: regex every column name must match
     column_name_pattern: Optional[str] = None
+    # M1/M3 struct columns: dotted path -> {"strict": bool,
+    # "declared": [field names]} for the nested schema-shape checks
+    struct_specs: dict = field(default_factory=dict)
 
     # -- schema-level validation (once per distinct schema) ----------------
 
@@ -760,17 +809,41 @@ class CompiledPlan:
         out: list[tuple[str, str, str]] = []
         names = set(schema.names)
         for col in self.required_columns:
-            if col not in names:
+            if "." in col and col not in names:
+                # nested required field (M5 within a struct,
+                # schema.rs:992-998): flagged only when the PARENT struct
+                # exists — a missing parent reports once, at its own level
+                parent, child = col.rsplit(".", 1)
+                ptyp = _schema_type_at(schema, parent)
+                if (ptyp is not None and pa.types.is_struct(ptyp)
+                        and ptyp.get_field_index(child) < 0):
+                    out.append((R.REQUIRED_PROPERTY, parent,
+                                E.msg_required_property(child)))
+            elif col not in names:
                 # RequiredProperty with empty span — matches the golden
                 # `() the required property "some_int" is missing`
                 # (examples/schemars_json.rs:75)
                 out.append((R.REQUIRED_PROPERTY, "", E.msg_required_property(col)))
         for col, want in self.expected_dtypes.items():
-            if col in names:
-                got = schema.field(col).type
-                if not dtype_compatible(got, want):
-                    out.append((R.INVALID_TYPE, col,
-                                E.msg_invalid_type(str(want), str(got))))
+            got = _schema_type_at(schema, col)
+            if got is not None and not dtype_compatible(got, want):
+                out.append((R.INVALID_TYPE, col,
+                            E.msg_invalid_type(str(want), str(got))))
+        # M1 struct shape + M3 additional_properties inside structs
+        for path, info in self.struct_specs.items():
+            got = _schema_type_at(schema, path)
+            if got is None:
+                continue
+            if not pa.types.is_struct(got):
+                out.append((R.INVALID_TYPE, path,
+                            E.msg_invalid_type("struct", str(got))))
+                continue
+            if info.get("strict"):
+                declared = set(info.get("declared", ()))
+                for f in got:
+                    if f.name not in declared:
+                        out.append((R.UNKNOWN_PROPERTY, f"{path}.{f.name}",
+                                    E.msg_unknown_property()))
         declared = set(self.expected_dtypes) | set(self.required_columns) | {
             c.name for c in self.spec.columns}
         # M2 pattern_columns: a column matching a pattern is "known"
@@ -956,7 +1029,7 @@ def _empty_violations() -> pa.Table:
 
 
 def compile_plan(spec, span_format=None) -> CompiledPlan:
-    from .spec import parse_dtype
+    from .spec import expand_all_columns, parse_dtype
 
     row_rules: list[RowRule] = []
     element_rules: list[ElementRule] = []
@@ -965,8 +1038,20 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
     nonnull_required: list[str] = []
     unique_cols: list[str] = []
     ref_checks: list[RefCheck] = []
+    struct_specs: dict[str, dict] = {}
 
-    for c in spec.columns:
+    # M1 struct recursion (schema.rs:900-912): expand ``fields`` trees
+    # into dotted-path child columns; every kernel below then works on
+    # nested paths exactly as on flat columns (via the path-aware _col)
+    cols = expand_all_columns(spec.columns)
+    for c in cols:
+        if c.fields:
+            struct_specs[c.name] = {
+                "strict": not getattr(c, "allow_unknown_fields", True),
+                "declared": list(c.fields.keys()),
+            }
+
+    for c in cols:
         # K1 `false` schema (not_bool_schema, macros.rs:6-24): nothing is
         # ever valid here — every row of the column violates
         if getattr(c, "never", False):
@@ -999,7 +1084,7 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
             other = c.len_equals
 
             def len_eq_mask(t: pa.Table, name=c.name, other=other) -> np.ndarray:
-                if name not in t.column_names or other not in t.column_names:
+                if not _has_col(t, name) or not _has_col(t, other):
                     return _zeros(t)
                 ln = _list_lengths(_col(t, name))
                 ov = _f64(_col(t, other))
@@ -1034,14 +1119,17 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
                 column=c.name, manifest=rb["manifest"], key=rb["key"],
                 bound_column=rb["bound_column"], op=rb.get("op", "le")))
 
-    # the read-time projection: every column any rule touches
+    # the read-time projection: every column any rule touches; nested
+    # paths project their ROOT column (Parquet readers prune at the
+    # top-level column granularity)
     referenced: set[str] = {spec.key}
-    for c in spec.columns:
+    for c in cols:
         referenced.add(c.name)
         if c.len_equals:
             referenced.add(c.len_equals)
         for chk in c.checks:
             _collect_pred_columns(chk, c.name, referenced)
+    referenced = {n.split(".")[0] for n in referenced}
     if spec.drift is not None:
         referenced.add(spec.drift.group_by)
         referenced.add(spec.drift.column)
@@ -1072,6 +1160,7 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
         referenced_columns=sorted(referenced),
         span_format=span_format,
         column_name_pattern=getattr(spec, "column_name_pattern", None),
+        struct_specs=struct_specs,
     )
 
 

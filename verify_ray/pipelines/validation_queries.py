@@ -119,6 +119,68 @@ SELECT * FROM v ORDER BY doc_id, rule_id, span
 """
 
 
+# M1 nested struct validation (schema.rs:900-912): documents columns
+# packed into a struct column on the Ray side (pc.make_struct is
+# zero-copy — the children ARE the original arrays), then validated
+# through the recursive `fields` spec with dotted spans.  The oracle
+# re-states the same conditions on the flat columns.
+NESTED_SPEC = {
+    "table": "documents_nested",
+    "key": "doc_id",
+    "columns": {
+        "doc_id": {"dtype": "int64", "non_null": True},
+        "meta": {
+            "non_null": True,
+            "fields": {
+                "lang": {"dtype": "string",
+                         "enum": ["en", "de", "fr", "es"]},     # flags zh
+                "n_chars": {"dtype": "int64", "minimum": 100, "maximum": 500},
+                "source": {"dtype": "string", "pattern": "^src[0-9]$"},
+            },
+        },
+    },
+}
+
+
+def validate_nested(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def pack(t: pa.Table) -> pa.Table:
+        meta = pc.make_struct(
+            t.column("lang").combine_chunks(),
+            t.column("n_chars").combine_chunks(),
+            t.column("source").combine_chunks(),
+            field_names=["lang", "n_chars", "source"])
+        return pa.table({"doc_id": t.column("doc_id"), "meta": meta})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars", "source"])
+    nested = ds.map_batches(pack, batch_format="pyarrow")
+    rep = validate(nested, ConstraintSpec.from_dict(NESTED_SPEC))
+    return _viol_result(rep)
+
+
+NESTED_ORACLE = """
+WITH v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'invalid_enum_value' AS rule_id,
+         'meta.lang' AS span
+    FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'less_than_expected', 'meta.n_chars'
+    FROM documents WHERE n_chars < 100
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'more_than_expected', 'meta.n_chars'
+    FROM documents WHERE n_chars > 500
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'no_pattern_match', 'meta.source'
+    FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')
+)
+SELECT * FROM v ORDER BY doc_id, rule_id, span
+"""
+
+
 def _viol_result(report) -> pd.DataFrame:
     t = report.violations.select(["doc_id", "rule_id", "span"])
     return (t.to_pandas()

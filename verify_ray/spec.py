@@ -196,6 +196,62 @@ class ColumnSpec:
     checks: list = field(default_factory=list)
     # D6 custom registered rules: [{rule: name, ...params}]
     custom: list = field(default_factory=list)
+    # M1 recursive properties on struct columns (schema.rs:900-912 via
+    # the serde map traversal serde.rs:836-840,992-996): sub-field name
+    # -> nested column-spec dict (arbitrary depth).  Compiles into rules
+    # over dotted paths (``some_inner.inner_value``), spans rendered in
+    # the reference's dotted-keys convention (span.rs:101-103).
+    fields: Optional[dict] = None
+    # M3 additional_properties for THIS struct's sub-fields: False flags
+    # undeclared struct fields as unknown_property (schema.rs:941-956)
+    allow_unknown_fields: bool = True
+
+
+def expand_struct_children(c: ColumnSpec,
+                           problems: Optional[list] = None) -> list[ColumnSpec]:
+    """One level of M1 struct recursion: each entry of ``c.fields``
+    becomes a child ColumnSpec named ``parent.child`` (the dotted-path
+    convention, reference span.rs:101-103).  Children may themselves
+    carry ``fields`` — callers recurse.  Unknown constraint keys are
+    reported into ``problems`` (or raised when problems is None)."""
+    out: list[ColumnSpec] = []
+    if not c.fields:
+        return out
+    known = set(ColumnSpec.__dataclass_fields__)
+    local: list[str] = []
+    for fname, fdict in c.fields.items():
+        if not isinstance(fdict, dict):
+            local.append(f"columns.{c.name}.fields.{fname}: must be a mapping")
+            continue
+        fdict = dict(fdict)
+        fdict.pop("name", None)
+        unknown = [k for k in fdict if k not in known]
+        if unknown:
+            local.append(
+                f"columns.{c.name}.fields.{fname}: unknown constraint keys {unknown}")
+        out.append(ColumnSpec(
+            name=f"{c.name}.{fname}",
+            **{k: v for k, v in fdict.items() if k in known}))
+    if local:
+        if problems is None:
+            raise SpecError(local)
+        problems.extend(local)
+    return out
+
+
+def expand_all_columns(columns: list[ColumnSpec],
+                       problems: Optional[list] = None) -> list[ColumnSpec]:
+    """Flatten the struct-field tree depth-first: the returned list has
+    every declared path (parents keep their ``fields`` for the
+    schema-shape checks; children get dotted names)."""
+    out: list[ColumnSpec] = []
+    stack = list(reversed(columns))
+    while stack:
+        c = stack.pop()
+        out.append(c)
+        for child in reversed(expand_struct_children(c, problems)):
+            stack.append(child)
+    return out
 
 
 @dataclass
@@ -309,14 +365,17 @@ class ConstraintSpec:
         from . import kernels  # local import: kernels imports nothing from here at module top
 
         problems: list[str] = []
-        names = [c.name for c in self.columns]
+        # M1: expand struct ``fields`` into dotted-path child columns so
+        # every nested path is validated exactly like a top-level column
+        expanded = expand_all_columns(self.columns, problems)
+        names = [c.name for c in expanded]
         dupes = {n for n in names if names.count(n) > 1}
         for n in sorted(dupes):
             problems.append(f"columns.{n}: declared more than once")
         if self.key not in names:
             problems.append(f'key column "{self.key}" is not declared in columns')
 
-        for c in self.columns:
+        for c in expanded:
             p = f"columns.{c.name}"
             if c.dtype is not None:
                 try:
