@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_events": vq.validate_events,
         "validate_part": vq.validate_part,
         "validate_nested": vq.validate_nested,
+        "validate_tagged": vq.validate_tagged,
         "events_sessionize": lambda sf: sessions.sessionize(
             _read(sf, "events"), gap_minutes=30),
         # analytics
@@ -349,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_events": vq.EVENTS_ORACLE,
         "validate_part": vq.PART_ORACLE,
         "validate_nested": vq.NESTED_ORACLE,
+        "validate_tagged": vq.TAGGED_ORACLE,
         "events_sessionize": _sessions_oracle(),
         "stats_docs_by_lang": """
             SELECT lang, COUNT(*) AS n_docs,

@@ -72,7 +72,8 @@ def test_queries_cover_oracles(entry_mod):
 
 @pytest.mark.parametrize("name", [
     "validate_documents", "validate_orders", "validate_lineitem",
-    "validate_events", "validate_part", "events_sessionize",
+    "validate_events", "validate_part", "validate_nested",
+    "validate_tagged", "events_sessionize",
     "stats_docs_by_lang", "stats_by_lang_source", "pricing_summary",
     "events_window_day", "top_customers", "top_lineitems", "revenue_by_segment",
     "revenue_by_region", "events_orphan_users", "dedup_exact",

@@ -1028,6 +1028,120 @@ def _empty_violations() -> pa.Table:
 # plan compiler (called from ConstraintSpec.compile())
 
 
+def _build_column_rules(c) -> tuple[list[RowRule], list[ElementRule]]:
+    """All ROW-LEVEL rules one ColumnSpec generates (K1/K3-K13, S1-S6,
+    C1-C5, D6 custom).  Shared by the main column loop and the M8
+    tagged-dispatch variant compiler (which gates the result on the
+    discriminant)."""
+    row_rules: list[RowRule] = []
+    element_rules: list[ElementRule] = []
+
+    # K1 `false` schema (not_bool_schema, macros.rs:6-24): nothing is
+    # ever valid here — every row of the column violates
+    if getattr(c, "never", False):
+        row_rules.append(RowRule(
+            R.NEVER, c.name, c.name, E.msg_never(),
+            lambda t, name=c.name: np.ones(t.num_rows, dtype=bool)))
+
+    # scalar + list-length constraints via the shared leaf expansion
+    leaf = {
+        k: getattr(c, k)
+        for k in ("non_null", "enum", "minimum", "maximum", "exclusive_minimum",
+                  "exclusive_maximum", "multiple_of", "pattern", "min_length",
+                  "max_length", "min_items", "max_items")
+        if getattr(c, k) is not None and getattr(c, k) is not False
+    }
+    for rid, msg, mask_fn in _leaf_violation_masks(leaf, c.name):
+        row_rules.append(RowRule(rid, c.name, c.name, msg, mask_fn))
+
+    # cross-field: len(list) == other column (the n_tok consistency
+    # check; generalizes S5/S6 from constants to a column)
+    if c.len_equals is not None:
+        other = c.len_equals
+
+        def len_eq_mask(t: pa.Table, name=c.name, other=other) -> np.ndarray:
+            if not _has_col(t, name) or not _has_col(t, other):
+                return _zeros(t)
+            ln = _list_lengths(_col(t, name))
+            ov = _f64(_col(t, other))
+            with np.errstate(invalid="ignore"):
+                return (ln >= 0) & ~np.isnan(ov) & (ln != ov)
+
+        row_rules.append(
+            RowRule(R.LEN_EQUALS_COLUMN, c.name, c.name,
+                    f'the array length must equal column "{other}"', len_eq_mask))
+
+    cr = _contains_rule(c)
+    if cr is not None:
+        row_rules.append(cr)
+    element_rules.extend(_element_rules(c))
+
+    for chk in c.checks:
+        row_rules.extend(compile_pred(chk, c.name))
+
+    # D6 custom registered rules
+    if getattr(c, "custom", None):
+        from .extend import build_custom_rules
+
+        row_rules.extend(build_custom_rules(c))
+
+    return row_rules, element_rules
+
+
+def _tag_gate(tag_column: str, value) -> MaskFn:
+    """Row mask: discriminant column == this variant's tag.  Null or
+    unknown tags match NO variant — everything under them is accepted,
+    the reference's tagged_allow permissiveness (schema.rs:658;
+    short-circuits at schema.rs:685-687 etc.)."""
+    def gate(t: pa.Table) -> np.ndarray:
+        if not _has_col(t, tag_column):
+            return _zeros(t)
+        return _np_bool(pc.equal(_col(t, tag_column), value))
+
+    return gate
+
+
+def compile_tagged(tagged: list) -> tuple[list[RowRule], list[ElementRule]]:
+    """M8 external-tag dispatch (schema.rs:614-660): each entry is
+    ``{tag: column, variants: {tag_value: {columns: {...}}}}``.  A
+    variant's column rule-set applies only to rows whose discriminant
+    equals the variant's tag; rows with unknown/null tags pass every
+    variant untouched."""
+    from .spec import ColumnSpec, expand_all_columns
+
+    row_rules: list[RowRule] = []
+    element_rules: list[ElementRule] = []
+    known = set(ColumnSpec.__dataclass_fields__)
+    for entry in tagged or []:
+        tag_col = entry["tag"]
+        for value, vspec in entry.get("variants", {}).items():
+            gate = _tag_gate(tag_col, value)
+            vcols = []
+            for name, cdict in (vspec.get("columns") or {}).items():
+                cdict = {k: v for k, v in dict(cdict).items() if k in known}
+                cdict.pop("name", None)
+                vcols.append(ColumnSpec(name=name, **cdict))
+            for c in expand_all_columns(vcols):
+                rr, er = _build_column_rules(c)
+                for r in rr:
+                    row_rules.append(RowRule(
+                        r.rule_id, r.column, r.span, r.message,
+                        (lambda t, f=r.mask_fn, g=gate: f(t) & g(t)),
+                        message_fn=r.message_fn))
+                for e in er:
+                    def gated_elem(t: pa.Table, cache: dict, f=e.fn, g=gate):
+                        res = f(t, cache)
+                        rows = res[0]
+                        if len(rows) == 0:
+                            return res
+                        keep = g(t)[rows]
+                        return tuple(a[keep] for a in res)
+
+                    element_rules.append(ElementRule(
+                        e.rule_id, e.column, e.message, gated_elem))
+    return row_rules, element_rules
+
+
 def compile_plan(spec, span_format=None) -> CompiledPlan:
     from .spec import expand_all_columns, parse_dtype
 
@@ -1052,12 +1166,6 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
             }
 
     for c in cols:
-        # K1 `false` schema (not_bool_schema, macros.rs:6-24): nothing is
-        # ever valid here — every row of the column violates
-        if getattr(c, "never", False):
-            row_rules.append(RowRule(
-                R.NEVER, c.name, c.name, E.msg_never(),
-                lambda t, name=c.name: np.ones(t.num_rows, dtype=bool)))
         if c.dtype is not None:
             expected[c.name] = parse_dtype(c.dtype)
         if c.element_dtype is not None and c.dtype is None:
@@ -1067,47 +1175,9 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
         if c.non_null:
             nonnull_required.append(c.name)
 
-        # scalar + list-length constraints via the shared leaf expansion
-        leaf = {
-            k: getattr(c, k)
-            for k in ("non_null", "enum", "minimum", "maximum", "exclusive_minimum",
-                      "exclusive_maximum", "multiple_of", "pattern", "min_length",
-                      "max_length", "min_items", "max_items")
-            if getattr(c, k) is not None and getattr(c, k) is not False
-        }
-        for rid, msg, mask_fn in _leaf_violation_masks(leaf, c.name):
-            row_rules.append(RowRule(rid, c.name, c.name, msg, mask_fn))
-
-        # cross-field: len(list) == other column (the n_tok consistency
-        # check; generalizes S5/S6 from constants to a column)
-        if c.len_equals is not None:
-            other = c.len_equals
-
-            def len_eq_mask(t: pa.Table, name=c.name, other=other) -> np.ndarray:
-                if not _has_col(t, name) or not _has_col(t, other):
-                    return _zeros(t)
-                ln = _list_lengths(_col(t, name))
-                ov = _f64(_col(t, other))
-                with np.errstate(invalid="ignore"):
-                    return (ln >= 0) & ~np.isnan(ov) & (ln != ov)
-
-            row_rules.append(
-                RowRule(R.LEN_EQUALS_COLUMN, c.name, c.name,
-                        f'the array length must equal column "{other}"', len_eq_mask))
-
-        cr = _contains_rule(c)
-        if cr is not None:
-            row_rules.append(cr)
-        element_rules.extend(_element_rules(c))
-
-        for chk in c.checks:
-            row_rules.extend(compile_pred(chk, c.name))
-
-        # D6 custom registered rules
-        if getattr(c, "custom", None):
-            from .extend import build_custom_rules
-
-            row_rules.extend(build_custom_rules(c))
+        rr, er = _build_column_rules(c)
+        row_rules.extend(rr)
+        element_rules.extend(er)
 
         if c.unique:
             unique_cols.append(c.name)
@@ -1119,6 +1189,13 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
                 column=c.name, manifest=rb["manifest"], key=rb["key"],
                 bound_column=rb["bound_column"], op=rb.get("op", "le")))
 
+    # M8 tagged-union dispatch (schema.rs:614-660)
+    tagged = getattr(spec, "tagged", None)
+    if tagged:
+        rr, er = compile_tagged(tagged)
+        row_rules.extend(rr)
+        element_rules.extend(er)
+
     # the read-time projection: every column any rule touches; nested
     # paths project their ROOT column (Parquet readers prune at the
     # top-level column granularity)
@@ -1129,6 +1206,13 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
             referenced.add(c.len_equals)
         for chk in c.checks:
             _collect_pred_columns(chk, c.name, referenced)
+    for entry in tagged or []:
+        referenced.add(entry["tag"])
+        for vspec in entry.get("variants", {}).values():
+            for name, cdict in (vspec.get("columns") or {}).items():
+                referenced.add(name)
+                for chk in (cdict.get("checks") or []):
+                    _collect_pred_columns(chk, name, referenced)
     referenced = {n.split(".")[0] for n in referenced}
     if spec.drift is not None:
         referenced.add(spec.drift.group_by)

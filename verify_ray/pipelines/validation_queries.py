@@ -119,6 +119,67 @@ SELECT * FROM v ORDER BY doc_id, rule_id, span
 """
 
 
+# M8 true tagged-union dispatch (schema.rs:614-660): per-variant column
+# rule-sets keyed on event_type; rows with tags matching no variant
+# (view/error here) pass everything — tagged_allow (schema.rs:658).
+TAGGED_SPEC = {
+    "table": "events",
+    "key": "event_id",
+    "columns": {
+        "event_id": {"dtype": "int64", "non_null": True},
+        "event_type": {"dtype": "string"},
+        "value": {"dtype": "float64"},
+        "user_id": {"dtype": "int64"},
+    },
+    "tagged": [{
+        "tag": "event_type",
+        "variants": {
+            "purchase": {"columns": {
+                "value": {"minimum": 5, "maximum": 400},
+                "user_id": {"non_null": True, "minimum": 1},
+            }},
+            "signup": {"columns": {
+                "value": {"maximum": 1},
+            }},
+            "click": {"columns": {
+                "value": {"minimum": 0},
+            }},
+        },
+    }],
+}
+
+
+def validate_tagged(sf_dir: str) -> pd.DataFrame:
+    spec = ConstraintSpec.from_dict(TAGGED_SPEC)
+    rep = validate(f"{sf_dir}/events.parquet", spec)
+    return _viol_result(rep)
+
+
+TAGGED_ORACLE = """
+WITH v AS (
+  SELECT CAST(event_id AS VARCHAR) AS doc_id, 'less_than_expected' AS rule_id,
+         'value' AS span
+    FROM events WHERE event_type = 'purchase' AND value < 5
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'more_than_expected', 'value'
+    FROM events WHERE event_type = 'purchase' AND value > 400
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'non_null', 'user_id'
+    FROM events WHERE event_type = 'purchase' AND user_id IS NULL
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'less_than_expected', 'user_id'
+    FROM events WHERE event_type = 'purchase' AND user_id < 1
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'more_than_expected', 'value'
+    FROM events WHERE event_type = 'signup' AND value > 1
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'less_than_expected', 'value'
+    FROM events WHERE event_type = 'click' AND value < 0
+)
+SELECT * FROM v ORDER BY doc_id, rule_id, span
+"""
+
+
 # M1 nested struct validation (schema.rs:900-912): documents columns
 # packed into a struct column on the Ray side (pc.make_struct is
 # zero-copy — the children ARE the original arrays), then validated

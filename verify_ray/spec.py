@@ -275,6 +275,12 @@ class ConstraintSpec:
     pattern_columns: dict = field(default_factory=dict)
     definitions: dict = field(default_factory=dict)   # C6 $ref targets
     drift: Optional[DriftSpec] = None
+    # M8 external-tag dispatch (schema.rs:614-660): entries of
+    # ``{tag: <column>, variants: {<tag_value>: {columns: {...}}}}`` —
+    # a variant's whole column rule-set applies only to rows whose
+    # discriminant equals the tag; unknown/null tags pass everything
+    # (tagged_allow, schema.rs:658)
+    tagged: list = field(default_factory=list)
     version: str = "1"
 
     # -- loading ------------------------------------------------------------
@@ -302,6 +308,8 @@ class ConstraintSpec:
             if unknown:
                 problems.append(f"columns.{name}: unknown constraint keys {unknown}")
             columns.append(ColumnSpec(name=name, **{k: v for k, v in cdict.items() if k in known}))
+        tagged = _resolve_refs(d.get("tagged", []) or [], definitions,
+                               problems, path="tagged")
         if problems:
             raise SpecError(problems)
         drift = d.get("drift")
@@ -318,6 +326,7 @@ class ConstraintSpec:
             pattern_columns=d.get("pattern_columns", {}) or {},
             definitions=definitions,
             drift=drift,
+            tagged=tagged,
             version=str(d.get("version", "1")),
         )
 
@@ -462,6 +471,45 @@ class ConstraintSpec:
                 problems.append(f'drift.group_by: column "{self.drift.group_by}" is not declared')
             if self.drift.column not in names:
                 problems.append(f'drift.column: column "{self.drift.column}" is not declared')
+        # M8 tagged dispatch: structural + per-variant-column validation
+        known_keys = set(ColumnSpec.__dataclass_fields__)
+        for i, entry in enumerate(self.tagged or []):
+            p = f"tagged[{i}]"
+            if not isinstance(entry, dict) or "tag" not in entry:
+                problems.append(f"{p}: must be a mapping with a 'tag' key")
+                continue
+            if entry["tag"] not in names:
+                problems.append(f'{p}.tag: column "{entry["tag"]}" is not declared')
+            variants = entry.get("variants")
+            if not isinstance(variants, dict) or not variants:
+                problems.append(f"{p}.variants: must be a non-empty mapping")
+                continue
+            for val, vspec in variants.items():
+                vp = f"{p}.variants.{val}"
+                if not isinstance(vspec, dict) or not isinstance(
+                        vspec.get("columns"), dict):
+                    problems.append(
+                        f"{vp}: must be a mapping with a 'columns' mapping")
+                    continue
+                for cname, cdict in vspec["columns"].items():
+                    cp = f"{vp}.columns.{cname}"
+                    if not isinstance(cdict, dict):
+                        problems.append(f"{cp}: must be a mapping")
+                        continue
+                    unknown = [k for k in cdict
+                               if k not in known_keys and k != "name"]
+                    if unknown:
+                        problems.append(
+                            f"{cp}: unknown constraint keys {unknown}")
+                    if cdict.get("pattern") is not None:
+                        try:
+                            re.compile(cdict["pattern"])
+                        except re.error as e:
+                            problems.append(
+                                f'{cp}.pattern: invalid regex pattern '
+                                f'"{cdict["pattern"]}": {e}')
+                    for j, chk in enumerate(cdict.get("checks") or []):
+                        _validate_pred(chk, f"{cp}.checks[{j}]", problems)
         if problems:
             raise SpecError(problems)
         return kernels.compile_plan(self, span_format=span_format)
