@@ -136,9 +136,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df[["content_hash", "keep_id", "n"]]
 
     def dedup_groups(sf):
-        # transitive near-dup components from minhash candidate pairs
-        pairs = dedup.minhash_lsh_pairs(_docs_with_near_dups(sf), threshold=0.6)
-        return dedup.connected_components(pairs)
+        # transitive near-dup components over exact-verified pairs
+        # (LSH candidates -> exact word-3-gram Jaccard >= 0.5)
+        ds = _docs_with_near_dups(sf)
+        cand = dedup.minhash_lsh_pairs(ds, threshold=0.2)
+        ver = dedup.ngram_jaccard_pairs(ds, cand[["doc_a", "doc_b"]])
+        cc = dedup.connected_components(ver[ver.jaccard >= 0.5])
+        return cc.astype({"doc_id": "int64", "group_id": "int64"})
 
     def token_count(sf):
         return (text.token_counts(_read(sf, "documents",
@@ -219,13 +223,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df[["doc_id", "media_type", "n_bytes", "checksum"]]
                 .sort_values("doc_id").reset_index(drop=True))
 
-    # ---- rows-only (non-SQL-expressible) ----
-
     def minhash(sf):
-        return dedup.minhash_lsh_pairs(_docs_with_near_dups(sf), threshold=0.6)
+        # signature-estimated threshold 0.6; the oracle enumerates the
+        # full exact word-3-gram Jaccard >= 0.5 truth set in SQL —
+        # recall AND precision of the whole LSH pipeline are the
+        # checked quantity (id sets; est values are sketch-internal)
+        out = dedup.minhash_lsh_pairs(_docs_with_near_dups(sf), threshold=0.6)
+        return (out[["doc_a", "doc_b"]]
+                .astype({"doc_a": "int64", "doc_b": "int64"}))
 
     def simhash(sf):
-        return dedup.simhash_pairs(_docs_with_near_dups(sf), max_hamming=6)
+        # the oracle recomputes SimHash itself in SQL (md5 word hashes,
+        # bit-majority, 16-bit band blocking, hamming<=6) — exact parity
+        out = dedup.simhash_pairs(_docs_with_near_dups(sf), max_hamming=6)
+        return out.astype({"doc_a": "int64", "doc_b": "int64",
+                           "hamming": "int64"})
 
     def ngram_jaccard_planted(sf):
         # exact word-3-gram Jaccard for the deterministic planted pairs
@@ -240,11 +252,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
     def ngram_jaccard(sf):
+        # LSH candidates (lenient est 0.2) -> exact verify >= 0.5; the
+        # oracle recomputes the full truth set incl. jaccard VALUES
         ds = _docs_with_near_dups(sf)
-        cand = dedup.minhash_lsh_pairs(ds, threshold=0.5)
-        out = dedup.ngram_jaccard_pairs(ds, cand)
+        cand = dedup.minhash_lsh_pairs(ds, threshold=0.2)
+        out = dedup.ngram_jaccard_pairs(ds, cand[["doc_a", "doc_b"]])
+        out = out[out.jaccard >= 0.5].copy()
         out["jaccard"] = np.round(out["jaccard"], 6)
-        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        return (out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+                .astype({"doc_a": "int64", "doc_b": "int64"}))
 
     def near_dup_lsh(sf):
         return similarity.embedding_near_dup_lsh(_read(sf, "embeddings"),
@@ -256,28 +272,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
     def quality(sf):
-        return (text.quality_scores(_read(sf, "documents",
-                                          columns=["doc_id", "text"]))
-                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # compared surface = the integer feature columns (exact, no
+        # float-rounding policy in play); ratios/score derive from them
+        df = (text.quality_scores(_read(sf, "documents",
+                                        columns=["doc_id", "text"]))
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        return df[["doc_id", "n_tok", "sum_word_len", "n_stop", "n_distinct"]]
 
     def token_topk(sf):
-        # per-source heavy-hitter token ids over the tokenized sequences
-        # (count-min + candidate set; deterministic)
+        # EXACT per-source token top-k (map-side combining; merge space
+        # bounded by sources × vocab) — the md5 token ids are
+        # reproduced in the SQL oracle
         from verify_ray.pipelines.tokenize import tokenize_documents
-        from verify_ray.spec import DriftSpec
-        from verify_ray.stages.drift import compute_group_sketches
 
         docs = _read(sf, "documents", columns=["doc_id", "text", "source"])
-        seqs = tokenize_documents(docs, concurrency=2).materialize()
-        drift = DriftSpec(group_by="source", column="n_tok",
-                          token_column="tokens")
-        sketches = compute_group_sketches(seqs, drift)
-        rows = []
-        for src in sorted(sketches):
-            for rank, (tok, freq) in enumerate(sketches[src].tokens.topk(10)):
-                rows.append({"source": src, "rank": rank, "token": tok,
-                             "freq": round(freq, 6)})
-        return pd.DataFrame(rows)
+        seqs = tokenize_documents(docs, concurrency=2)
+        return analytics.token_topk_by_source(seqs, k=10)
 
     def lsh_ann(sf):
         emb = pq.read_table(f"{sf}/embeddings.parquet")
@@ -320,17 +330,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": near_dup_embeddings,
         "media_metadata": media_meta,
         "profile_documents": profile_docs,
-        # rows-only
         "sequences_validate": flagship,
         "dedup_minhash_lsh": minhash,
         "dedup_simhash": simhash,
         "dedup_ngram_jaccard": ngram_jaccard,
-        "embedding_near_dup_lsh": near_dup_lsh,
         "text_langid": langid,
         "text_quality": quality,
-        "ann_topk_lsh": lsh_ann,
         "token_topk_by_source": token_topk,
         "infer_documents_spec": infer_docs_spec,
+        # rows-only (LSH ANN recall is parameter-dependent; no exact
+        # SQL-predictable output — exact variants above ARE oracled)
+        "embedding_near_dup_lsh": near_dup_lsh,
+        "ann_topk_lsh": lsh_ann,
     }
 
 
@@ -338,6 +349,219 @@ def _sessions_oracle() -> str:
     from verify_ray.pipelines.sessions import SESSIONS_ORACLE_TEMPLATE
 
     return SESSIONS_ORACLE_TEMPLATE.format(gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# dedup / text oracles.  The near-dup truth set is computed IN SQL from
+# first principles (word-3-gram Jaccard over documents ∪ the planted
+# mutated copies), so the LSH pipelines' recall AND precision are the
+# checked quantities — not just the planted pairs.
+
+# documents ∪ planted near-dup copies (mirrors _docs_with_near_dups:
+# first 20 docs, id+1M, ' extra tail' appended; doc_id is 0..n-1 sorted)
+_ALL_DOCS_CTE = """
+all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra tail'
+  FROM documents WHERE doc_id < 20
+)"""
+
+# exact word-3-gram Jaccard >= 0.5 pairs over all_docs
+_NEAR_PAIRS_CTE = _ALL_DOCS_CTE + """,
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM all_docs
+), grams AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)]) AS gs
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.gs, b.gs)) AS inter,
+         len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS uni
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+), near AS (
+  SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+  FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
+)"""
+
+MINHASH_ORACLE = ("WITH " + _NEAR_PAIRS_CTE
+                  + "\nSELECT doc_a, doc_b FROM near ORDER BY doc_a, doc_b")
+
+NGRAM_JACCARD_ORACLE = ("WITH " + _NEAR_PAIRS_CTE
+                        + "\nSELECT doc_a, doc_b, jaccard FROM near "
+                          "ORDER BY doc_a, doc_b")
+
+# connected components over the near pairs: min-label reachability via
+# a recursive CTE (small graphs — pair sets are output-sized)
+DEDUP_GROUPS_ORACLE = ("WITH RECURSIVE " + _NEAR_PAIRS_CTE + """,
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM near
+  UNION ALL SELECT doc_b, doc_a FROM near
+), walk(node, lab) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT w.node, e.d FROM walk w JOIN edges e ON e.s = w.lab
+)
+SELECT node AS doc_id, least(node, MIN(lab)) AS group_id
+FROM walk GROUP BY node ORDER BY doc_id""")
+
+# SimHash recomputed from first principles in SQL: per-occurrence md5
+# word hashes -> 64 bit-majority votes -> 16-bit band blocking ->
+# hamming <= 6 (mirrors dedup.simhash_batch/simhash_pairs exactly)
+SIMHASH_ORACLE = ("WITH " + _ALL_DOCS_CTE + """,
+words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM all_docs
+), wh AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS h
+  FROM words
+), bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM wh CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+), sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN acc > 0
+                       THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+                       ELSE 0 END) AS UBIGINT) AS s
+  FROM bits GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, xor(a.s, b.s) AS x
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+   AND ((a.s & 65535) = (b.s & 65535)
+     OR ((a.s >> 16) & 65535) = ((b.s >> 16) & 65535)
+     OR ((a.s >> 32) & 65535) = ((b.s >> 32) & 65535)
+     OR ((a.s >> 48) & 65535) = ((b.s >> 48) & 65535))
+)
+SELECT doc_a, doc_b, CAST(bit_count(x) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(x) <= 6 ORDER BY doc_a, doc_b""")
+
+# whitespace-trim matching pyarrow's utf8_trim_whitespace
+_TRIMMED = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+
+QUALITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_TRIMMED}, '\\s+') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tok,
+       CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+            AS BIGINT) AS sum_word_len,
+       CAST(len(list_filter(ws, w -> w IN ({{stops}}))) AS BIGINT) AS n_stop,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+FROM toks ORDER BY doc_id
+"""
+
+TOKEN_TOPK_ORACLE = f"""
+WITH words AS (
+  SELECT source,
+         unnest(regexp_split_to_array({_TRIMMED}, '\\s+')) AS w
+  FROM documents
+), tok AS (
+  SELECT source,
+         CAST(CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) % 50000
+              AS BIGINT) AS token
+  FROM words
+), counts AS (
+  SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY source, token
+), tot AS (
+  SELECT source, SUM(cnt) AS tot FROM counts GROUP BY source
+), ranked AS (
+  SELECT c.source, c.token, c.cnt, t.tot,
+         ROW_NUMBER() OVER (PARTITION BY c.source
+                            ORDER BY c.cnt DESC, c.token ASC) - 1 AS rank
+  FROM counts c JOIN tot t USING (source)
+)
+SELECT source, CAST(rank AS BIGINT) AS rank, token,
+       CAST(cnt AS BIGINT) AS cnt, CAST(tot AS BIGINT) AS tot
+FROM ranked WHERE rank < 10 ORDER BY source, rank
+"""
+
+SEQUENCES_ORACLE = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         len(regexp_split_to_array({_TRIMMED}, '\\s+')) AS n_tok
+  FROM documents
+), v AS (
+  SELECT doc_id, 'less_than_expected' AS rule_id, 'n_tok' AS span
+    FROM toks WHERE n_tok < 20
+  UNION ALL
+  SELECT doc_id, 'more_than_expected', 'n_tok' FROM toks WHERE n_tok > 200
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'not_unique', 'doc_id'
+    FROM (SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1)
+)
+SELECT * FROM v ORDER BY doc_id, rule_id, span
+"""
+
+
+def _quality_oracle() -> str:
+    from verify_ray.pipelines.text import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return QUALITY_ORACLE.format(stops=stops)
+
+
+def _langid_oracle() -> str:
+    """Restate LangIdModel's deterministic scoring in SQL: per-language
+    hint-substring occurrence counts, argmax with first-index (sorted
+    language) tie-break, 'und' when every score is zero."""
+    from verify_ray.pipelines.text import _LANG_HINTS
+
+    langs = sorted(_LANG_HINTS)
+    score_cols = []
+    for lang in langs:
+        parts = [
+            f"(length(text) - length(replace(text, '{h}', ''))) // {len(h)}"
+            for h in _LANG_HINTS[lang]]
+        score_cols.append(f"({' + '.join(parts)}) AS s_{lang}")
+    best = f"greatest({', '.join('s_' + l for l in langs)})"
+    pred = "CASE WHEN {best} = 0 THEN 'und' ".format(best=best)
+    for lang in langs:
+        pred += f"WHEN s_{lang} >= {best} THEN '{lang}' "
+    pred += "END"
+    return f"""
+WITH scores AS (
+  SELECT doc_id, {', '.join(score_cols)} FROM documents
+)
+SELECT doc_id, {pred} AS lang_pred, CAST({best} AS BIGINT) AS lang_hits
+FROM scores ORDER BY doc_id
+"""
+
+
+INFER_SPEC_ORACLE = """
+SELECT * FROM (
+  SELECT 'doc_id' AS "column", 'int64' AS dtype,
+         COUNT(*) = COUNT(doc_id) AS non_null,
+         CAST(MIN(doc_id) AS DOUBLE) AS minimum,
+         CAST(MAX(doc_id) AS DOUBLE) AS maximum, '' AS enum
+  FROM documents
+  UNION ALL
+  SELECT 'lang', 'string', COUNT(*) = COUNT(lang), NULL, NULL,
+         CASE WHEN COUNT(DISTINCT lang) <= 16
+              THEN string_agg(DISTINCT lang, ',' ORDER BY lang) ELSE '' END
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', 'int64', COUNT(*) = COUNT(n_chars),
+         CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE), ''
+  FROM documents
+  UNION ALL
+  SELECT 'source', 'string', COUNT(*) = COUNT(source), NULL, NULL,
+         CASE WHEN COUNT(DISTINCT source) <= 16
+              THEN string_agg(DISTINCT source, ',' ORDER BY source) ELSE '' END
+  FROM documents
+  UNION ALL
+  SELECT 'text', 'string', COUNT(*) = COUNT(text), NULL, NULL,
+         CASE WHEN COUNT(DISTINCT text) <= 16
+              THEN string_agg(DISTINCT text, ',' ORDER BY text) ELSE '' END
+  FROM documents
+) ORDER BY "column"
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -457,6 +681,15 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
         """,
+        "sequences_validate": SEQUENCES_ORACLE,
+        "dedup_minhash_lsh": MINHASH_ORACLE,
+        "dedup_simhash": SIMHASH_ORACLE,
+        "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,
+        "dedup_groups": DEDUP_GROUPS_ORACLE,
+        "text_langid": _langid_oracle(),
+        "text_quality": _quality_oracle(),
+        "token_topk_by_source": TOKEN_TOPK_ORACLE,
+        "infer_documents_spec": INFER_SPEC_ORACLE,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                          FROM embeddings WHERE vec_id < 5),

@@ -81,6 +81,9 @@ def test_queries_cover_oracles(entry_mod):
     "text_fingerprint", "ann_topk", "embedding_near_dup", "media_metadata",
     "dedup_ngram_jaccard_planted",
     "profile_documents",
+    "sequences_validate", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_groups", "text_langid", "text_quality",
+    "token_topk_by_source", "infer_documents_spec",
 ])
 def test_query_matches_oracle(entry_mod, ducks, name):
     q = entry_mod.queries()[name]
@@ -102,10 +105,7 @@ def test_query_matches_oracle(entry_mod, ducks, name):
 
 
 @pytest.mark.parametrize("name", [
-    "sequences_validate", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "embedding_near_dup_lsh", "text_langid", "token_topk_by_source",
-    "dedup_groups", "infer_documents_spec",
-    "text_quality", "ann_topk_lsh",
+    "embedding_near_dup_lsh", "ann_topk_lsh",
 ])
 def test_rows_only_queries_run(entry_mod, name):
     res = to_df(entry_mod.queries()[name](SF_DIR))

@@ -264,3 +264,52 @@ def anti_join_keys(ds, column: str, present_keys) -> pd.DataFrame:
     out = ds.select_columns([column]).map_batches(
         partial, batch_format="pyarrow").to_pandas()
     return (out.drop_duplicates().sort_values(column).reset_index(drop=True))
+
+
+def token_topk_by_source(ds, k: int = 10, source_col: str = "source",
+                         token_col: str = "tokens") -> pd.DataFrame:
+    """EXACT per-source token top-k: (source, rank, token, cnt, tot).
+
+    Map-side combining: each batch flattens its token lists and runs ONE
+    C++ hash aggregate into (source, token, cnt) partials; the driver
+    merge is bounded by n_sources × vocab rows — independent of dataset
+    row count (vocab caps the distinct-key space), so this scales to
+    arbitrary input sizes without a wide shuffle.  Counts and per-source
+    totals are integers (freq = cnt/tot derivable downstream).
+
+    Tie policy: rank by (cnt DESC, token ASC) — matches the SQL oracle's
+    ROW_NUMBER ordering.
+    """
+    import pyarrow.compute as pc
+
+    from ..kernels import as_array
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = as_array(t.column(token_col))
+        src = as_array(t.column(source_col))
+        parents = pc.list_parent_indices(toks)
+        st = pa.table({"source": src.take(parents),
+                       "token": pc.list_flatten(toks)})
+        g = st.group_by(["source", "token"]).aggregate([("token", "count")])
+        return g.rename_columns(["source", "token", "cnt"])
+
+    parts = ds.select_columns([source_col, token_col]).map_batches(
+        partial, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        list(parts.iter_batches(batch_format="pyarrow")))
+    if merged.num_rows == 0:
+        return pd.DataFrame({"source": [], "rank": [], "token": [],
+                             "cnt": [], "tot": []})
+    g = merged.group_by(["source", "token"]).aggregate([("cnt", "sum")])
+    df = g.to_pandas().rename(columns={"cnt_sum": "cnt"})
+    df["tot"] = df.groupby("source")["cnt"].transform("sum")
+    df = df.sort_values(["source", "cnt", "token"],
+                        ascending=[True, False, True], kind="stable")
+    df["rank"] = df.groupby("source").cumcount()
+    df = df[df["rank"] < k]
+    out = df[["source", "rank", "token", "cnt", "tot"]].reset_index(drop=True)
+    out["token"] = out["token"].astype("int64")
+    out["cnt"] = out["cnt"].astype("int64")
+    out["tot"] = out["tot"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out

@@ -192,72 +192,122 @@ def minhash_signatures_batch(batch: pa.Table, text_col: str, id_col: str,
     return sig, batch[id_col]
 
 
-def _band_rows(sig: np.ndarray, ids, bands: int) -> pa.Table:
-    """Signature matrix -> (bucket, doc_id, sig_blob) LSH rows."""
+def _band_buckets(sig: np.ndarray, bands: int) -> np.ndarray:
+    """Signature matrix -> per-doc band bucket ids [n_docs, bands].
+    Each band's rows hash together (vectorized over docs); the band
+    index is XORed into the top byte so bands never collide."""
     n_docs, num_perm = sig.shape
     rpb = num_perm // bands
     with np.errstate(over="ignore"):
         band_hash = np.zeros((n_docs, bands), dtype=np.uint64)
-        # hash each band's rows together (vectorized over docs)
         for bidx in range(bands):
             cols = sig[:, bidx * rpb:(bidx + 1) * rpb]
             h = np.zeros(n_docs, dtype=np.uint64)
             for r in range(rpb):
                 h = h * np.uint64(1099511628211) + cols[:, r]
             band_hash[:, bidx] = h
-    bucket = (band_hash ^ (np.arange(bands, dtype=np.uint64) << np.uint64(56))).astype(np.uint64)
-    ids_np = np.repeat(np.asarray(ids.to_pylist(), dtype=object), bands)
-    blobs = [sig[i].tobytes() for i in range(n_docs) for _ in range(bands)]
-    return pa.table(
-        {
-            "bucket": pa.array(bucket.reshape(-1), type=pa.uint64()),
-            "doc_id": pa.array(ids_np),
-            "sig": pa.array(blobs, type=pa.binary()),
-        }
-    )
+    return band_hash ^ (np.arange(bands, dtype=np.uint64) << np.uint64(56))
+
+
+def _signatures_for(ds, wanted_ids, text_col: str, id_col: str,
+                    num_perm: int, shingle_k: int) -> dict:
+    """{doc_id: signature} for a sparse id set: a full streaming pass
+    that FILTERS first (broadcast id set, np.isin per batch) and hashes
+    only the surviving docs — nothing but the candidates' signatures
+    ever reaches the driver."""
+    import ray
+
+    wanted_ref = ray.put(np.asarray(sorted(wanted_ids), dtype=object))
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(np.isin(ids, w))
+        if len(sel) == 0:
+            return pa.table({id_col: pa.array([], type=batch[id_col].type),
+                             "sig": pa.array([], type=pa.binary())})
+        sub = batch.take(pa.array(sel))
+        sig, out_ids = minhash_signatures_batch(sub, text_col, id_col,
+                                                num_perm, shingle_k)
+        return pa.table({id_col: out_ids,
+                         "sig": pa.array([sig[i].tobytes()
+                                          for i in range(len(sub))],
+                                         type=pa.binary())})
+
+    out: dict = {}
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
+        sig_batch, batch_format="pyarrow")
+    for b in sigs.iter_batches(batch_format="pyarrow"):
+        for i, blob in zip(b[id_col].to_pylist(), b["sig"].to_pylist()):
+            out[i] = np.frombuffer(blob, dtype=np.uint64)
+    return out
 
 
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
-                      threshold: float = 0.7):
-    """Near-duplicate candidate pairs via MinHash-LSH, verified by
+                      threshold: float = 0.7, rows_per_group: int = 200_000):
+    """Near-duplicate pairs via MinHash-LSH, verified by
     signature-estimated Jaccard >= threshold.
 
-    shingle→minhash→band→bucket groupby: the shuffle carries one
-    (bucket, id, 512B signature) row per doc per band.  Pair expansion
-    happens per bucket in map_groups; the estimated Jaccard (fraction of
-    equal signature rows) filters false bucket collisions.
+    Scale shape (shingle→minhash→band→bucket→candidate→verify):
+
+    * the shuffle carries ONLY ``(bucket: u64, doc_id)`` rows — one per
+      doc per band, no signature payload (a signature would multiply
+      shuffle bytes by ``bands``);
+    * coarse-group count is sized from the DATA
+      (``n_docs × bands / rows_per_group``), so per-task memory is
+      bounded by a constant regardless of dataset size;
+    * bucket-collision candidates are verified in a second streaming
+      pass that recomputes signatures only for candidate docs
+      (candidate sets are output-sized / sparse by construction).
     """
     import pandas as pd
 
     def to_bands(batch: pa.Table) -> pa.Table:
         sig, ids = minhash_signatures_batch(batch, text_col, id_col,
                                             num_perm, shingle_k)
-        return _band_rows(sig, ids, bands)
+        buckets = _band_buckets(sig, bands)
+        ids_np = np.repeat(np.asarray(ids.to_pylist(), dtype=object), bands)
+        return pa.table({
+            "bucket": pa.array(buckets.reshape(-1), type=pa.uint64()),
+            "doc_id": pa.array(ids_np),
+        })
 
+    n_docs = ds.count()
+    num_coarse = _coarse_count(n_docs * bands, rows_per_group)
     band_ds = ds.select_columns([id_col, text_col]).map_batches(
         to_bands, batch_format="pyarrow")
 
-    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = _pairs_in_fine_buckets(
-            g, lambda sub: _sig_pairs(sub, threshold))
-        return out if out is not None else pd.DataFrame(
-            {"doc_a": [], "doc_b": [], "jaccard_est": []})
-
-    def _sig_pairs(sub: pd.DataFrame, threshold: float) -> pd.DataFrame:
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sub["sig"]])
+    def cand_pairs(sub: pd.DataFrame) -> pd.DataFrame:
         ids = sub["doc_id"].to_numpy()
         ia, ib = np.triu_indices(len(ids), k=1)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
-        keep = est >= threshold
-        return pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]],
-                             "jaccard_est": est[keep]})
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
-    pairs = _grouped_coarse(band_ds, coarse_pairs)
-    if pairs.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_est": []})
-    return (pairs.drop_duplicates(subset=["doc_a", "doc_b"])
-            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = _pairs_in_fine_buckets(g, cand_pairs)
+        return out if out is not None else pd.DataFrame(
+            {"doc_a": [], "doc_b": []})
+
+    cand = _grouped_coarse(band_ds, coarse_pairs, num_coarse)
+    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_est": []})
+    if cand.empty:
+        return empty
+    cand = cand.drop_duplicates(subset=["doc_a", "doc_b"])
+
+    # verify: signatures only for candidate docs, est = fraction of
+    # equal signature rows
+    sigs = _signatures_for(ds, set(cand["doc_a"]) | set(cand["doc_b"]),
+                           text_col, id_col, num_perm, shingle_k)
+    a = np.stack([sigs[x] for x in cand["doc_a"]])
+    b = np.stack([sigs[x] for x in cand["doc_b"]])
+    est = (a == b).mean(axis=1)
+    keep = est >= threshold
+    out = pd.DataFrame({"doc_a": cand["doc_a"].to_numpy()[keep],
+                        "doc_b": cand["doc_b"].to_numpy()[keep],
+                        "jaccard_est": est[keep]})
+    if out.empty:
+        return empty
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -265,18 +315,24 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 #
 # A naive groupby(fine_bucket).map_groups pays per-group overhead for
 # ~docs×bands groups, nearly all singletons.  Instead: shuffle by a
-# COARSE bucket (fine % N_COARSE → ≤N_COARSE groups), then resolve fine
-# buckets vectorized inside each group and expand pairs only for the
-# (rare) multi-member fine buckets.
+# COARSE bucket (fine % num_coarse), then resolve fine buckets
+# vectorized inside each group and expand pairs only for the (rare)
+# multi-member fine buckets.  num_coarse is sized from the DATA so
+# per-group rows stay ~rows_per_group no matter the dataset size
+# (the same sizing discipline as stages/unique.py's hash exchange).
 
-N_COARSE = 64
+MIN_COARSE = 64
 
 
-def _grouped_coarse(rows_ds, fn) -> pd.DataFrame:
+def _coarse_count(total_rows: int, rows_per_group: int) -> int:
+    return max(MIN_COARSE, int(np.ceil(total_rows / max(rows_per_group, 1))))
+
+
+def _grouped_coarse(rows_ds, fn, num_coarse: int = MIN_COARSE) -> pd.DataFrame:
     def add_coarse(t: pa.Table) -> pa.Table:
         b = t.column("bucket").to_numpy(zero_copy_only=False)
         return t.append_column(
-            "coarse", pa.array((b % np.uint64(N_COARSE)).astype(np.int64)))
+            "coarse", pa.array((b % np.uint64(num_coarse)).astype(np.int64)))
 
     return (rows_ds.map_batches(add_coarse, batch_format="pyarrow")
             .groupby("coarse").map_groups(fn, batch_format="pandas")
@@ -328,10 +384,14 @@ def simhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
 
 
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, band_bits: int = 16):
+                  max_hamming: int = 3, band_bits: int = 16,
+                  rows_per_group: int = 200_000):
     """Near-dup pairs by SimHash: bucket on each of the 4 16-bit bands
     (two sketches within hamming<=3 agree on >=1 band by pigeonhole),
-    verify hamming distance within buckets."""
+    verify hamming distance within buckets.  Coarse-group count sized
+    from the data (see _coarse_count); the shuffle rows carry only
+    (bucket, doc_id, simhash:u64) — the 8-byte sketch rides along since
+    it IS the verification payload."""
     import pandas as pd
 
     def to_rows(batch: pa.Table) -> pa.Table:
@@ -368,7 +428,10 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return out if out is not None else pd.DataFrame(
             {"doc_a": [], "doc_b": [], "hamming": []})
 
-    pairs = _grouped_coarse(rows, coarse_pairs)
+    n_docs = ds.count()
+    nb = 64 // band_bits
+    pairs = _grouped_coarse(rows, coarse_pairs,
+                            _coarse_count(n_docs * nb, rows_per_group))
     if pairs.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
     return (pairs.drop_duplicates(subset=["doc_a", "doc_b"])

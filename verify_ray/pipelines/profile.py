@@ -70,13 +70,17 @@ def _profile_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
-def profile(ds) -> pd.DataFrame:
+def profile(ds, _collect_distinct: dict | None = None) -> pd.DataFrame:
     """(column, dtype, n, nulls, min, max, n_distinct) per column.
 
     One map_batches pass emits a tiny partial per (column, batch); the
     merge is driver-side over n_batches × n_columns rows.  n_distinct is
     exact up to DISTINCT_CAP per column, else -1 (use a sketch for
     high-cardinality columns at scale).
+
+    ``_collect_distinct``: pass a dict to ALSO receive each
+    non-overflowing column's distinct value set (as strings) — lets
+    infer_spec derive enums without a second dataset scan.
     """
     partials = ds.map_batches(_profile_batch, batch_format="pyarrow").to_pandas()
     out = []
@@ -91,6 +95,8 @@ def profile(ds) -> pd.DataFrame:
                     overflow = True
                     break
             distinct = -1 if overflow else len(uniq)
+            if not overflow and _collect_distinct is not None:
+                _collect_distinct[name] = uniq
         approx = None
         blobs = [b for b in g["hll"] if b is not None]
         if blobs:
@@ -125,7 +131,8 @@ def infer_spec(ds, key: str, enum_max: int = 16,
     conservative — a starting point a human tightens, exactly like a
     derived schema.
     """
-    prof = profile(ds)
+    distinct_sets: dict = {}
+    prof = profile(ds, _collect_distinct=distinct_sets)
     sch = ds.schema()
     types = dict(zip(sch.names, sch.types))
     cols = []
@@ -147,11 +154,8 @@ def infer_spec(ds, key: str, enum_max: int = 16,
             c.maximum = r["max"]
         if (0 <= r["n_distinct"] <= enum_max
                 and (pa.types.is_string(t) or pa.types.is_large_string(t))):
-            vals = pc.unique(
-                pa.concat_tables(
-                    [b.select([r["column"]])
-                     for b in ds.iter_batches(batch_format="pyarrow")]
-                ).column(r["column"]).combine_chunks().drop_null())
-            c.enum = sorted(vals.to_pylist())
+            # enum values come from the profile pass's own distinct
+            # collection — no re-scan of the dataset per enum column
+            c.enum = sorted(distinct_sets.get(r["column"], ()))
         cols.append(c)
     return ConstraintSpec(key=key, columns=cols, table=table)

@@ -69,10 +69,16 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text",
         + (1.0 - np.clip(stop_ratio * 2.0, 0, 1)) * 0.2
         + distinct_ratio * 0.3
     )
+    # integer feature columns are exact (no float rounding policy in
+    # play) — the SQL-oracle-checked surface; the ratios/score derive
+    # from them deterministically
     return pa.table(
         {
             id_col: batch[id_col],
             "n_tok": pa.array(n_tok),
+            "sum_word_len": pa.array(sum_wl.astype(np.int64)),
+            "n_stop": pa.array(stops.astype(np.int64)),
+            "n_distinct": pa.array(dcounts.astype(np.int64)),
             "mean_word_len": pa.array(np.round(mean_wl, 6)),
             "stop_ratio": pa.array(np.round(stop_ratio, 6)),
             "distinct_ratio": pa.array(np.round(distinct_ratio, 6)),
@@ -129,7 +135,7 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
     texts = batch[text_col].to_pylist()
     md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
             for t in texts]
-    rolls = [_rolling64(t) if t is not None else None for t in texts]
+    rolls = _rolling64_batch(texts)
     return pa.table(
         {
             id_col: batch[id_col],
@@ -139,7 +145,48 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
     )
 
 
+_ROLL_BASE = np.uint64(1315423911)
+
+
+def _rolling64_batch(texts: list) -> list:
+    """Polynomial 64-bit hash of each text, vectorized: ONE numpy
+    Horner pass over the concatenated bytes of the whole batch using
+    precomputed base powers (h = sum b_i * base^(n-1-i) mod 2^64) —
+    no per-byte Python loop."""
+    enc = [t.encode("utf-8") if t is not None else None for t in texts]
+    lengths = [len(b) for b in enc if b is not None]
+    if not lengths:
+        return [None] * len(texts)
+    max_len = max(lengths)
+    # powers[i] = base^i (wrapping uint64)
+    powers = np.empty(max_len, dtype=np.uint64)
+    if max_len:
+        powers[0] = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for i in range(1, max_len):
+                powers[i] = powers[i - 1] * _ROLL_BASE
+    out: list = []
+    flat = np.frombuffer(b"".join(b for b in enc if b is not None),
+                         dtype=np.uint8).astype(np.uint64)
+    pos = 0
+    with np.errstate(over="ignore"):
+        for b in enc:
+            if b is None:
+                out.append(None)
+                continue
+            n = len(b)
+            seg = flat[pos:pos + n]
+            pos += n
+            # h = Σ seg[i] * base^(n-1-i): one vectorized dot (mod 2^64)
+            h = np.uint64(0) if n == 0 else np.sum(
+                seg * powers[n - 1::-1], dtype=np.uint64)
+            out.append(int(h))
+    return out
+
+
 def _rolling64(s: str, base: int = 1315423911) -> int:
+    """Scalar reference implementation (tests compare the vectorized
+    batch path against this)."""
     h = 0
     for b in s.encode("utf-8"):
         h = (h * base + b) & 0xFFFFFFFFFFFFFFFF

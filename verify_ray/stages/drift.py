@@ -97,6 +97,10 @@ def _merge_block(batch: pa.Table) -> pa.Table:
 def compute_group_sketches(ds, drift) -> dict[str, GroupedSketch]:
     """Per-group GroupedSketch over the whole dataset (streaming)."""
     cols = [c for c in {drift.group_by, drift.column, drift.token_column} if c]
+    # project to only the sketched columns: an unprojected caller must
+    # not stream every column through the sketch stage
+    if all(c in ds.schema().names for c in cols):
+        ds = ds.select_columns(cols)
     partials = ds.map_batches(
         _make_partials_fn(drift), batch_format="pyarrow", zero_copy_batch=True
     )

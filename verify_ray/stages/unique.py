@@ -228,6 +228,8 @@ def unique_violations(ds, column: str, batch_size: int = 65536):
                 "doc_id": keys,
                 "rule_id": pa.array([R.NOT_UNIQUE] * n, type=pa.string()),
                 "span": pa.array([column] * n, type=pa.string()),
+                # no lineage in the Dataset-groupby path -> no first span
+                "first_span": pa.nulls(n, pa.string()),
                 "message": pa.array(
                     [f"{msg} ({c} occurrences)" for c in cnts], type=pa.string()
                 ),
