@@ -144,6 +144,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cc = dedup.connected_components(ver[ver.jaccard >= 0.5])
         return cc.astype({"doc_id": "int64", "group_id": "int64"})
 
+    def dedup_exact_filter(sf):
+        # survivors via the DISTRIBUTED filter path (broadcast_limit=0
+        # forces the content-hash join; no driver keep-set anywhere)
+        ds = _read(sf, "documents", columns=["doc_id", "text"])
+        surv = dedup.exact_dedup(ds, broadcast_limit=0)
+        ids = []
+        for b in surv.iter_batches(batch_format="pyarrow"):
+            ids.extend(b["doc_id"].to_pylist())
+        return pd.DataFrame({"doc_id": sorted(ids)})
+
     def token_count(sf):
         return (text.token_counts(_read(sf, "documents",
                                         columns=["doc_id", "text"]))
@@ -322,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup / similarity / text / multimodal
         "dedup_exact": dedup_exact,
         "dedup_exact_dups": dedup_exact_dups,
+        "dedup_exact_filter": dedup_exact_filter,
         "dedup_groups": dedup_groups,
         "dedup_ngram_jaccard_planted": ngram_jaccard_planted,
         "text_token_count": token_count,
@@ -680,6 +691,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact_filter": """
+            SELECT MIN(doc_id) AS doc_id FROM documents
+            GROUP BY text ORDER BY doc_id
         """,
         "sequences_validate": SEQUENCES_ORACLE,
         "dedup_minhash_lsh": MINHASH_ORACLE,

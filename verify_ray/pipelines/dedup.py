@@ -48,17 +48,64 @@ def exact_dedup_groups(ds, content_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id"):
-    """Dataset filtered to one (first-by-id) row per distinct content."""
+def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id",
+                broadcast_limit: int = 2_000_000,
+                num_partitions: int | None = None):
+    """Dataset filtered to one (first-by-id) row per distinct content.
+
+    Two scale regimes, chosen by the input row count (an upper bound on
+    the winner-set size):
+
+    * small (≤ broadcast_limit): winner ids broadcast ONCE via
+      ``ray.put`` as a SORTED numpy array; each batch filters with
+      ``np.searchsorted`` — no driver set rebuilt per batch;
+    * large: fully distributed — rows tagged with their content hash
+      hash-JOIN the ``(content_hash, keep_id)`` winner table
+      (``Dataset.join``); a row survives iff its id equals its group's
+      ``keep_id``.  Nothing ever materializes on the driver; the only
+      full-row movement is the join's own hash exchange.
+    """
+    import ray
+
     groups = exact_dedup_groups(ds, content_col, id_col)
-    keep = {r["keep_id"] for r in groups.iter_rows()}
+    n_rows = ds.count()
+    if n_rows <= broadcast_limit:
+        keep_parts = [b["keep_id"].to_numpy(zero_copy_only=False)
+                      for b in groups.iter_batches(batch_format="pyarrow")]
+        keep = np.sort(np.concatenate(keep_parts)) if keep_parts else np.array([])
+        keep_ref = ray.put(keep)
 
-    def filt(b: pa.Table) -> pa.Table:
+        def filt(b: pa.Table) -> pa.Table:
+            k = ray.get(keep_ref)
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            if len(k) == 0:
+                return b.slice(0, 0)
+            pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
+            return b.filter(pa.array(k[pos] == ids))
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    # distributed path: hash-join rows to their group's winner id
+    if num_partitions is None:
+        num_partitions = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "content_hash",
+            _content_hash_batch(b, content_col, id_col).column("content_hash"))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    winners = groups.select_columns(["content_hash", "keep_id"])
+    joined = hashed.join(winners, "inner", num_partitions,
+                         on=("content_hash",))
+
+    def keep_winner(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, list(keep))
-        return b.filter(pa.array(mask))
+        keep_ids = b["keep_id"].to_numpy(zero_copy_only=False)
+        out = b.filter(pa.array(ids == keep_ids))
+        return out.drop_columns(["content_hash", "keep_id"])
 
-    return ds.map_batches(filt, batch_format="pyarrow")
+    return joined.map_batches(keep_winner, batch_format="pyarrow")
 
 
 def connected_components(pairs: pd.DataFrame, a_col: str = "doc_a",

@@ -1,49 +1,77 @@
 """Sessionization: gap-based session windows over the events log.
 
 Ray Data has no event-time window/watermark machinery, so sessions are
-computed with the documented batch-engine pattern (ray_guide): treat
-events as a keyed log, ``groupby(user_id)`` to co-locate each user's
-events, sort by ``ts`` within the group, and derive session boundaries
-where the gap exceeds the threshold.  The ordering assumption is
-per-group only — no global sort.
+computed with the batch-engine pattern: hash-partition events into
+user-keyed BUCKETS (bucket count sized from the data), and inside each
+bucket sort once by (user, ts) and derive every user's session
+boundaries in one vectorized diff/cumsum/reduceat pass.  There is NO
+per-user group dispatch — at 10^9 users a ``groupby(user).map_groups``
+would pay Ray's sort-groupby plus a pandas call per user; here the
+per-task unit is a whole bucket (~``rows_per_bucket`` events), and the
+bucket count grows with the data.
 
-The shuffle moves (user_id, ts, value) triples, not whole rows; the
-group fn is vectorized pandas (diff/cumsum), not per-event Python.
+The shuffle moves (user_id, ts, value) triples only, never whole rows.
+The partitioning assumption: all events of one user land in one bucket
+(hash co-location); order inside the bucket is established locally.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def sessionize(events_ds, gap_minutes: float = 30.0,
                user_col: str = "user_id", ts_col: str = "ts",
-               value_col: str = "value") -> pd.DataFrame:
+               value_col: str = "value",
+               rows_per_bucket: int = 2_000_000) -> pd.DataFrame:
     """One row per session: (user_id, session_start, n_events, sum_value,
     duration_sec)."""
-    gap = pd.Timedelta(minutes=gap_minutes)
+    gap_us = np.timedelta64(int(gap_minutes * 60 * 1_000_000), "us")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        ts = g[ts_col]
-        new_session = ts.diff() > gap
-        sid = new_session.cumsum()
-        out = g.groupby(sid).agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n_events=(ts_col, "size"),
-            sum_value=(value_col, "sum"),
-        )
-        out[user_col] = g[user_col].iloc[0]
-        out["duration_sec"] = (
-            (out.session_end - out.session_start).dt.total_seconds())
-        return out[[user_col, "session_start", "n_events", "sum_value",
-                    "duration_sec"]]
+    n_rows = events_ds.count()
+    import ray
+
+    min_parallel = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    num_buckets = max(min_parallel,
+                      int(np.ceil(n_rows / max(rows_per_bucket, 1))))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t.column(user_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(uid)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE sort + one vectorized boundary pass for ALL users in the
+        # bucket: new session at each user change or gap breach; session
+        # aggregates via reduceat over the boundary index
+        g = g.sort_values([user_col, ts_col], kind="stable")
+        uid = g[user_col].to_numpy()
+        ts = g[ts_col].to_numpy()
+        val = np.nan_to_num(
+            g[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap_breach = np.concatenate([[False], (ts[1:] - ts[:-1]) > gap_us])
+        new_session = new_user | gap_breach
+        starts = np.flatnonzero(new_session)
+        ends = np.concatenate([starts[1:], [len(ts)]]) - 1
+        out = pd.DataFrame({
+            user_col: uid[starts],
+            "session_start": ts[starts],
+            "n_events": (ends - starts + 1).astype(np.int64),
+            "sum_value": np.add.reduceat(val, starts),
+            "duration_sec":
+                (ts[ends] - ts[starts]).astype("timedelta64[us]")
+                .astype(np.int64) / 1e6,
+        })
+        return out
 
     res = (events_ds.select_columns([user_col, ts_col, value_col])
-           .groupby(user_col)
-           .map_groups(per_user, batch_format="pandas")
+           .map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(bucket_sessions, batch_format="pandas")
            .to_pandas())
     res["sum_value"] = np.round(res["sum_value"], 6)
     return (res.sort_values([user_col, "session_start"])
