@@ -376,14 +376,21 @@ def _coarse_count(total_rows: int, rows_per_group: int) -> int:
 
 
 def _grouped_coarse(rows_ds, fn, num_coarse: int = MIN_COARSE) -> pd.DataFrame:
-    def add_coarse(t: pa.Table) -> pa.Table:
-        b = t.column("bucket").to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "coarse", pa.array((b % np.uint64(num_coarse)).astype(np.int64)))
+    """Route band rows to coarse groups with the sort-free hash
+    exchange (stages/exchange.py) — Ray's sort-based groupby would pay
+    a full sort + seconds of fixed overhead for co-location the hash
+    already provides.  ``fn`` is the pandas per-group function."""
+    from ..stages.exchange import grouped_exchange
 
-    return (rows_ds.map_batches(add_coarse, batch_format="pyarrow")
-            .groupby("coarse").map_groups(fn, batch_format="pandas")
-            .to_pandas())
+    def group_fn(t: pa.Table) -> pa.Table:
+        out = fn(t.to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    res = grouped_exchange(rows_ds, "bucket", num_coarse, group_fn,
+                           drop_bucket=False)
+    if res is None:
+        return pd.DataFrame()
+    return res.to_pandas()
 
 
 def _pairs_in_fine_buckets(g: pd.DataFrame, pair_fn):

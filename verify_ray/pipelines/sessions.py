@@ -68,11 +68,17 @@ def sessionize(events_ds, gap_minutes: float = 30.0,
         })
         return out
 
-    res = (events_ds.select_columns([user_col, ts_col, value_col])
-           .map_batches(add_bucket, batch_format="pyarrow")
-           .groupby("bucket")
-           .map_groups(bucket_sessions, batch_format="pandas")
-           .to_pandas())
+    from ..stages.exchange import grouped_exchange
+
+    bucketed = (events_ds.select_columns([user_col, ts_col, value_col])
+                .map_batches(add_bucket, batch_format="pyarrow"))
+    res = grouped_exchange(
+        bucketed, "bucket", num_buckets,
+        lambda t: pa.Table.from_pandas(bucket_sessions(t.to_pandas()),
+                                       preserve_index=False))
+    res = (res.to_pandas() if res is not None
+           else pd.DataFrame(columns=[user_col, "session_start", "n_events",
+                                      "sum_value", "duration_sec"]))
     res["sum_value"] = np.round(res["sum_value"], 6)
     return (res.sort_values([user_col, "session_start"])
             .reset_index(drop=True))
