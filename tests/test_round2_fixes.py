@@ -212,3 +212,34 @@ def test_sessionize_boundaries(ray_session):
     assert list(u1.sum_value) == [3.0, 4.0]
     assert list(u1.duration_sec) == [600.0, 0.0]
     assert out[out.user_id == 2].n_events.iloc[0] == 1
+
+
+# ---- VERDICT #9: distributed components == union-find ---------------------
+
+def test_distributed_components_match_union_find(ray_session):
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 400, size=300)
+    b = rng.randint(0, 400, size=300)
+    pairs = pd.DataFrame({"doc_a": np.minimum(a, b),
+                          "doc_b": np.maximum(a, b)})
+    pairs = pairs[pairs.doc_a != pairs.doc_b].drop_duplicates()
+
+    from verify_ray.pipelines.dedup import (connected_components,
+                                            connected_components_distributed)
+
+    uf = connected_components(pairs).sort_values("doc_id").reset_index(drop=True)
+    lp = connected_components_distributed(pairs)
+    lp = lp.sort_values("doc_id").reset_index(drop=True)
+    assert list(uf.doc_id) == list(lp.doc_id)
+    assert list(uf.group_id) == list(lp.group_id)
+
+
+def test_distributed_components_chain(ray_session):
+    # a long chain exercises multi-round propagation
+    pairs = pd.DataFrame({"doc_a": list(range(0, 30)),
+                          "doc_b": list(range(1, 31))})
+    from verify_ray.pipelines.dedup import connected_components_distributed
+
+    lp = connected_components_distributed(pairs)
+    assert set(lp.group_id) == {0}
+    assert len(lp) == 31

@@ -142,6 +142,147 @@ def connected_components(pairs: pd.DataFrame, a_col: str = "doc_a",
                          "group_id": [find(m) for m in members]})
 
 
+def connected_components_distributed(pairs, a_col: str = "doc_a",
+                                     b_col: str = "doc_b",
+                                     max_iters: int = 50,
+                                     num_buckets: int | None = None) -> pd.DataFrame:
+    """(doc_id, group_id) by DISTRIBUTED min-label propagation — the
+    scale path for pair sets that exceed driver memory (the union-find
+    in ``connected_components`` is driver-side and output-sized).
+
+    Each round every node adopts the minimum label among itself and its
+    neighbors (one lookup exchange + one min-combine exchange), then a
+    POINTER-JUMP round (``lab(x) <- lab(lab(x))``) collapses label
+    chains exponentially — rounds ~ log(diameter), not diameter.  All
+    joins/groupbys run on the sort-free hash exchange
+    (stages/exchange.py); label tables live in the object store
+    (``grouped_exchange_ds``), never on the driver, until the final
+    output.  Convergence: labels are monotone non-increasing, so an
+    unchanged global label sum IS the fixpoint.
+
+    Partitioning assumptions: integer node ids; bucket = hash(node) %
+    B, B sized to the cluster (grow with graph size); a huge-degree
+    node's edges land in one bucket — acceptable because the lookup
+    payload is 24 bytes/row.
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange_ds
+
+    if isinstance(pairs, pd.DataFrame):
+        pairs = rd.from_pandas(pairs[[a_col, b_col]])
+    B = num_buckets or max(8, int(ray.cluster_resources().get("CPU", 8)))
+    LAB = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+
+    def h(arr: np.ndarray) -> pa.Array:
+        hv = pd.util.hash_array(arr.astype(np.int64, copy=False))
+        return pa.array((hv % np.uint64(B)).astype(np.int64))
+
+    def _np(col) -> np.ndarray:
+        return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        a, b = _np(t.column(a_col)), _np(t.column(b_col))
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "bucket": h(src), "key": pa.array(src), "out": pa.array(dst),
+            "lab": pa.nulls(len(src), pa.int64()),
+        })
+
+    def tag_directory(t: pa.Table) -> pa.Table:
+        k = _np(t.column("node"))
+        return pa.table({
+            "bucket": h(k), "key": pa.array(k),
+            "out": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "lab": t.column("lab").cast(pa.int64()),
+        })
+
+    def tag_jump_queries(t: pa.Table) -> pa.Table:
+        lab = _np(t.column("lab"))
+        return pa.table({
+            "bucket": h(lab), "key": pa.array(lab),
+            "out": t.column("node").cast(pa.int64()),
+            "lab": pa.nulls(len(lab), pa.int64()),
+        })
+
+    def lookup_fn(t: pa.Table) -> pa.Table:
+        """Within a bucket: rows with non-null lab are the directory
+        (key -> lab); null-lab rows are queries — emit (node=out,
+        lab=directory[key]) for each query, vectorized searchsorted."""
+        is_dir = pc.is_valid(t.column("lab")).to_numpy(zero_copy_only=False)
+        keys = _np(t.column("key"))
+        labs = _np(pc.fill_null(t.column("lab"), -1))
+        outs = _np(t.column("out"))
+        dk, dv = keys[is_dir], labs[is_dir]
+        qk, qo = keys[~is_dir], outs[~is_dir]
+        if len(dk) == 0 or len(qk) == 0:
+            return LAB.empty_table()
+        order = np.argsort(dk, kind="stable")
+        dk, dv = dk[order], dv[order]
+        pos = np.clip(np.searchsorted(dk, qk), 0, len(dk) - 1)
+        found = dk[pos] == qk
+        return pa.table({"node": pa.array(qo[found]),
+                         "lab": pa.array(dv[pos[found]])})
+
+    def combine_fn(t: pa.Table) -> pa.Table:
+        g = t.group_by("node").aggregate([("lab", "min")])
+        return g.rename_columns(["node", "lab"])
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", h(_np(t.column("node"))))
+
+    def combine(ds) -> "rd.Dataset":
+        return grouped_exchange_ds(
+            ds.map_batches(with_bucket, batch_format="pyarrow"),
+            "bucket", B, combine_fn, LAB)
+
+    edges_tagged = pairs.map_batches(tag_edges,
+                                     batch_format="pyarrow").materialize()
+
+    # initial label = min(self, neighbors): rows (node, neighbor|self)
+    def init_rows(t: pa.Table) -> pa.Table:
+        a, b = _np(t.column(a_col)), _np(t.column(b_col))
+        node = np.concatenate([a, b, a, b])
+        lab = np.concatenate([b, a, a, b])
+        return pa.table({"node": pa.array(node), "lab": pa.array(lab)})
+
+    labels = combine(pairs.map_batches(init_rows, batch_format="pyarrow"))
+
+    def label_sum(ds) -> int:
+        total = 0
+        parts = ds.map_batches(
+            lambda t: pa.table(
+                {"s": pa.array([int(pc.sum(t.column("lab")).as_py() or 0)])}),
+            batch_format="pyarrow")
+        for bt in parts.iter_batches(batch_format="pyarrow"):
+            total += int(pc.sum(bt.column("s")).as_py() or 0)
+        return total
+
+    prev = None
+    for _ in range(max_iters):
+        dir_rows = labels.map_batches(tag_directory, batch_format="pyarrow")
+        msgs = grouped_exchange_ds(edges_tagged.union(dir_rows),
+                                   "bucket", B, lookup_fn, LAB)
+        labels = combine(msgs.union(labels))
+        # pointer jump: lab(x) <- lab(lab(x))
+        dir_rows = labels.map_batches(tag_directory, batch_format="pyarrow")
+        jq = labels.map_batches(tag_jump_queries, batch_format="pyarrow")
+        jmsgs = grouped_exchange_ds(jq.union(dir_rows),
+                                    "bucket", B, lookup_fn, LAB)
+        labels = combine(jmsgs.union(labels))
+        cur = label_sum(labels)
+        if prev is not None and cur == prev:
+            break
+        prev = cur
+
+    out = labels.to_pandas().rename(columns={"node": "doc_id",
+                                             "lab": "group_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # shingling + vectorized 64-bit rolling hashes
 

@@ -23,22 +23,22 @@ import numpy as np
 import pyarrow as pa
 
 
-def grouped_exchange(ds, bucket_col: str, num_buckets: int, group_fn,
-                     drop_bucket: bool = True) -> pa.Table:
-    """Apply ``group_fn(pa.Table) -> pa.Table`` to each hash bucket's
-    rows; returns the concatenated results (driver-side — results are
-    expected to be output-sized; stream-write inside group_fn for huge
-    outputs).
-
-    ``bucket_col`` must be an integer column; rows are routed by
-    ``bucket % num_buckets``.
-    """
+def _exchange_refs(ds, bucket_col: str, num_buckets: int, group_fn,
+                   drop_bucket: bool, empty_result) -> list:
+    """Shared machinery: returns one merged-result ObjectRef per bucket
+    (results stay in the object store)."""
     import ray
 
     B = int(num_buckets)
 
     @ray.remote(num_returns=B)
     def split_task(t: pa.Table):
+        if t.num_rows == 0 or bucket_col not in t.column_names:
+            # Ray Data passes empty blocks through map_batches without
+            # calling the fn, so an upstream empty block can arrive
+            # with a pre-map schema (no bucket column) — route nothing
+            empty = pa.table({})
+            return tuple([empty] * B) if B > 1 else empty
         b = t.column(bucket_col).to_numpy(zero_copy_only=False)
         bk = (b.astype(np.uint64) % np.uint64(B)).astype(np.int64)
         out = []
@@ -53,15 +53,47 @@ def grouped_exchange(ds, bucket_col: str, num_buckets: int, group_fn,
         if drop_bucket and bucket_col in t.column_names:
             t = t.drop_columns([bucket_col])
         if t.num_rows == 0:
-            return None
-        return group_fn(t)
+            return empty_result
+        out = group_fn(t)
+        return out if out is not None else empty_result
 
     refs = [split_task.remote(block) for block in ds.to_arrow_refs()]
     if B == 1:
         refs = [[r] for r in refs]
-    merged = [merge_task.remote(*[refs[m][b] for m in range(len(refs))])
-              for b in range(B)]
+    return [merge_task.remote(*[refs[m][b] for m in range(len(refs))])
+            for b in range(B)]
+
+
+def grouped_exchange(ds, bucket_col: str, num_buckets: int, group_fn,
+                     drop_bucket: bool = True) -> pa.Table:
+    """Apply ``group_fn(pa.Table) -> pa.Table`` to each hash bucket's
+    rows; returns the concatenated results (driver-side — results are
+    expected to be output-sized; use grouped_exchange_ds to keep huge
+    results distributed).
+
+    ``bucket_col`` must be an integer column; rows are routed by
+    ``bucket % num_buckets``.
+    """
+    import ray
+
+    merged = _exchange_refs(ds, bucket_col, num_buckets, group_fn,
+                            drop_bucket, empty_result=None)
     tables = [t for t in ray.get(merged) if t is not None and t.num_rows]
     if not tables:
         return None
     return pa.concat_tables(tables, promote_options="default")
+
+
+def grouped_exchange_ds(ds, bucket_col: str, num_buckets: int, group_fn,
+                        empty_schema: pa.Schema, drop_bucket: bool = True):
+    """Like grouped_exchange, but the per-bucket results STAY in the
+    object store and come back as a new ``ray.data.Dataset``
+    (``from_arrow_refs``) — nothing lands on the driver.  The required
+    ``empty_schema`` gives empty buckets a typed empty table so the
+    resulting Dataset has a stable schema."""
+    import ray.data as rd
+
+    merged = _exchange_refs(ds, bucket_col, num_buckets, group_fn,
+                            drop_bucket,
+                            empty_result=empty_schema.empty_table())
+    return rd.from_arrow_refs(merged)
