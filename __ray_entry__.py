@@ -273,8 +273,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .astype({"doc_a": "int64", "doc_b": "int64"}))
 
     def near_dup_lsh(sf):
-        return similarity.embedding_near_dup_lsh(_read(sf, "embeddings"),
-                                                 tau=0.4)
+        # high-recall LSH params (bits=4, tables=32): the DuckDB exact
+        # cosine oracle checks the id-set — recall AND precision of the
+        # bucketed path (sim values dropped: DuckDB computes float32)
+        out = similarity.embedding_near_dup_lsh(_read(sf, "embeddings"),
+                                                tau=0.4, bits=4, tables=32)
+        return out[["doc_a", "doc_b"]].astype({"doc_a": "int64",
+                                               "doc_b": "int64"})
 
     def langid(sf):
         return (text.lang_id(_read(sf, "documents", columns=["doc_id", "text"]),
@@ -349,9 +354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": quality,
         "token_topk_by_source": token_topk,
         "infer_documents_spec": infer_docs_spec,
-        # rows-only (LSH ANN recall is parameter-dependent; no exact
-        # SQL-predictable output — exact variants above ARE oracled)
         "embedding_near_dup_lsh": near_dup_lsh,
+        # rows-only (LSH ANN top-k recall is parameter-dependent; no
+        # exact SQL-predictable output — the exact ann_topk IS oracled)
         "ann_topk_lsh": lsh_ann,
     }
 
@@ -719,6 +724,12 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rk <= 10 ORDER BY query_id, sim_raw DESC, vec_id
         """,
         "embedding_near_dup": """
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ORDER BY doc_a, doc_b
+        """,
+        "embedding_near_dup_lsh": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4

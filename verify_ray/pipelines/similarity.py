@@ -184,53 +184,103 @@ def embedding_near_dup_exact(ds, tau: float = 0.95, emb_col: str = "embedding",
 
 def embedding_near_dup_lsh(ds, tau: float = 0.95, emb_col: str = "embedding",
                            id_col: str = "vec_id", bits: int = 10,
-                           tables: int = 6):
-    """Near-dup pairs via hyperplane-LSH buckets: map_batches emits
-    (bucket, id, vec) rows per table, groupby(bucket) compares within
-    buckets only.  Scale path for the exact variant."""
-    import pandas as pd
+                           tables: int = 6, rows_per_group: int = 200_000):
+    """Near-dup pairs via hyperplane-LSH buckets — the scale path for
+    the exact variant.  Same candidate-then-verify shape as
+    ``dedup.minhash_lsh_pairs``:
 
-    planes = None
+    * the exchange carries ONLY ``(bucket: u64, vec_id)`` rows — one
+      per row per table, never the vector itself (a ``dim × 8B``
+      payload per band row would multiply shuffle bytes by ``tables``);
+    * coarse-group count sized from the data; candidate pairs are the
+      multi-member fine buckets;
+    * candidates verified exactly in a second streaming pass that
+      fetches only the candidate ids' vectors (broadcast id filter).
+
+    Recall tuning: P(pair found) = 1-(1-p^bits)^tables with
+    p = 1 - angle/pi.  Lower ``bits`` / higher ``tables`` raises recall
+    AND bucket sizes — ``bits`` should grow with log2(n_rows) to keep
+    buckets bounded.
+    """
+    import pandas as pd
+    import ray
+
+    from .dedup import _coarse_count, _pairs_in_fine_buckets
+    from ..stages.exchange import grouped_exchange
+
+    planes_cache: list = []
+
+    def get_planes(dim: int):
+        if not planes_cache:
+            planes_cache.append(
+                [_hyperplanes(dim, bits, t) for t in range(tables)])
+        return planes_cache[0]
 
     def to_rows(batch: pa.Table) -> pa.Table:
-        nonlocal planes
         emb = _normalize(_emb_matrix(batch, emb_col))
-        if planes is None:
-            planes = [_hyperplanes(emb.shape[1], bits, t) for t in range(tables)]
+        planes = get_planes(emb.shape[1])
         ids = batch[id_col]
         parts = []
         for t, p in enumerate(planes):
             sig = _signatures(emb, p) | (np.uint64(t) << np.uint64(56))
             parts.append(pa.table({
                 "bucket": pa.array(sig, type=pa.uint64()),
-                "vec_id": ids,
-                "vec": pa.array(list(emb), type=pa.list_(pa.float64())),
+                "doc_id": ids,
             }))
         return pa.concat_tables(parts)
 
+    n_rows = ds.count()
+    num_coarse = _coarse_count(n_rows * tables, rows_per_group)
     rows = ds.select_columns([id_col, emb_col]).map_batches(
         to_rows, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "sim": []})
-        g = g.drop_duplicates(subset=["vec_id"]).sort_values("vec_id")
-        m = np.stack(g["vec"].to_numpy())
-        ids = g["vec_id"].to_numpy()
-        sims = m @ m.T
+    def cand_pairs(sub: pd.DataFrame) -> pd.DataFrame:
+        ids = sub["doc_id"].to_numpy()
         ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= tau
-        return pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]],
-                             "sim": np.round(sims[ia[keep], ib[keep]], 6)})
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
-    pairs = rows.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
-    # cross-table duplicates collapse here; the pair set is output-sized
-    # (threshold-sparse), so a driver-side dedup is fine — switch to a
-    # groupby((doc_a,doc_b)) stage if pairs ever rival the input size
-    if pairs.empty:
-        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                             "doc_b": pd.Series(dtype="int64"),
-                             "sim": pd.Series(dtype="float64")})
-    return (pairs.drop_duplicates(subset=["doc_a", "doc_b"])
-            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    def coarse_fn(t: pa.Table) -> pa.Table:
+        out = _pairs_in_fine_buckets(t.to_pandas(), cand_pairs)
+        if out is None:
+            out = pd.DataFrame({"doc_a": [], "doc_b": []})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cand = grouped_exchange(rows, "bucket", num_coarse, coarse_fn,
+                            drop_bucket=False)
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "sim": pd.Series(dtype="float64")})
+    if cand is None or cand.num_rows == 0:
+        return empty
+    cand = cand.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"])
+
+    # verify pass: vectors only for candidate ids
+    wanted = np.asarray(sorted(set(cand["doc_a"]) | set(cand["doc_b"])))
+    wanted_ref = ray.put(wanted)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(np.isin(ids, w))
+        return batch.take(pa.array(sel)) if len(sel) else batch.slice(0, 0)
+
+    vecs: dict = {}
+    fetched = ds.select_columns([id_col, emb_col]).map_batches(
+        fetch, batch_format="pyarrow")
+    for b in fetched.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        m = _normalize(_emb_matrix(b, emb_col))
+        for i, vid in enumerate(b[id_col].to_pylist()):
+            vecs[vid] = m[i]
+
+    a = np.stack([vecs[x] for x in cand["doc_a"]])
+    b = np.stack([vecs[x] for x in cand["doc_b"]])
+    sims = np.einsum("ij,ij->i", a, b)
+    keep = sims >= tau
+    out = pd.DataFrame({"doc_a": cand["doc_a"].to_numpy()[keep],
+                        "doc_b": cand["doc_b"].to_numpy()[keep],
+                        "sim": np.round(sims[keep], 6)})
+    if out.empty:
+        return empty
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
