@@ -235,3 +235,111 @@ def test_list_ops_match_sql(emb_env, rules):
     exp = (sorted(map(tuple, emb_env["con"].execute(
         " UNION ALL ".join(parts)).fetchall())) if parts else [])
     assert got_set == exp
+
+
+# ---------------------------------------------------------------------------
+# nested-struct differential (M1): the same random scalar rule space,
+# applied through a struct column packed from the flat documents columns
+# — engine spans `meta.<field>` vs flat-column SQL
+
+
+@pytest.fixture(scope="module")
+def nested_env(env):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = env["table"]
+    meta = pc.make_struct(
+        t.column("lang").combine_chunks(),
+        t.column("n_chars").combine_chunks(),
+        field_names=["lang", "n_chars"])
+    packed = pa.table({"doc_id": t.column("doc_id"), "meta": meta})
+    return {"table": packed, "con": env["con"]}
+
+
+@settings(max_examples=100, deadline=None)
+@given(lang=str_col_strategy, n_chars=int_col_strategy)
+def test_nested_struct_matches_sql(nested_env, lang, n_chars):
+    fields = {}
+    parts = []
+    for col, rules in (("lang", lang), ("n_chars", n_chars)):
+        cdict = dict(rules)
+        for lo, hi in (("minimum", "maximum"), ("min_length", "max_length")):
+            if lo in cdict and hi in cdict and cdict[lo] > cdict[hi]:
+                del cdict[hi]
+        if cdict:
+            fields[col] = cdict
+        for kind, val in cdict.items():
+            rid, where = sql_for_rule(col, kind, val)
+            parts.append(
+                f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, '{rid}' AS rule_id,"
+                f" 'meta.{col}' AS span FROM documents WHERE {where}")
+    plan = ConstraintSpec.from_dict({
+        "key": "doc_id",
+        "columns": {"doc_id": {"dtype": "int64"},
+                    "meta": {"fields": fields} if fields else {}},
+    }).compile()
+    got = plan.validate_batch(nested_env["table"])
+    got_set = sorted(zip(got["doc_id"].to_pylist(), got["rule_id"].to_pylist(),
+                         got["span"].to_pylist()))
+    exp = (sorted(map(tuple, nested_env["con"].execute(
+        " UNION ALL ".join(parts)).fetchall())) if parts else [])
+    assert got_set == exp
+
+
+# ---------------------------------------------------------------------------
+# tagged-dispatch differential (M8): random per-variant rule sets on
+# events.value keyed by event_type — engine gates vs SQL CASE filters
+
+EVENTS_PATH = "/root/testdata/sf0.001/events.parquet"
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+VALUE_RULES = {"minimum": [0.0, 5.0, 100.0], "maximum": [1.0, 50.0, 400.0]}
+
+
+@pytest.fixture(scope="module")
+def events_env():
+    t = pq.read_table(EVENTS_PATH)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM read_parquet('{EVENTS_PATH}')")
+    return {"table": t, "con": con}
+
+
+@settings(max_examples=100, deadline=None)
+@given(variants=st.dictionaries(
+    st.sampled_from(EVENT_TYPES),
+    st.fixed_dictionaries(
+        {}, optional={k: st.sampled_from(v) for k, v in VALUE_RULES.items()}),
+    min_size=1, max_size=3))
+def test_tagged_dispatch_matches_sql(events_env, variants):
+    parts = []
+    vspecs = {}
+    for tag, rules in variants.items():
+        cdict = dict(rules)
+        if ("minimum" in cdict and "maximum" in cdict
+                and cdict["minimum"] > cdict["maximum"]):
+            del cdict["maximum"]
+        if not cdict:
+            continue
+        vspecs[tag] = {"columns": {"value": cdict}}
+        for kind, val in cdict.items():
+            rid, where = sql_for_rule("value", kind, val)
+            parts.append(
+                f"SELECT CAST(event_id AS VARCHAR) AS doc_id, '{rid}' AS "
+                f"rule_id, 'value' AS span FROM events "
+                f"WHERE event_type = '{tag}' AND ({where})")
+    spec = {
+        "key": "event_id",
+        "columns": {"event_id": {"dtype": "int64"},
+                    "event_type": {"dtype": "string"},
+                    "value": {"dtype": "float64"}},
+    }
+    if vspecs:
+        spec["tagged"] = [{"tag": "event_type", "variants": vspecs}]
+    plan = ConstraintSpec.from_dict(spec).compile()
+    got = plan.validate_batch(events_env["table"])
+    got_set = sorted(zip(got["doc_id"].to_pylist(), got["rule_id"].to_pylist(),
+                         got["span"].to_pylist()))
+    exp = (sorted(map(tuple, events_env["con"].execute(
+        " UNION ALL ".join(parts)).fetchall())) if parts else [])
+    assert got_set == exp
