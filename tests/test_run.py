@@ -169,3 +169,24 @@ def test_stale_group_dirs_not_merged(ray_session, tmp_path):
     rep2 = run(spec, files[:2], out, group_size=2, resume=False)
     assert rep2["n_violations_global"] == 2
     assert rep2["n_rows"] == 6
+
+
+def test_streaming_w1_first_span(ray_session, tmp_path):
+    """The streaming run's NotUnique violations carry the first-seen
+    partition (errors.rs:119-122 parity through the kind=c partials)."""
+    import pyarrow as pa
+
+    # key 77 first in file 0, again in file 2; key 5 only in file 1
+    for i, ids in enumerate([[77, 1], [5, 5], [77, 3]]):
+        pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64())}),
+                       str(tmp_path / f"f{i}.parquet"))
+    spec = {"key": "doc_id",
+            "columns": {"doc_id": {"dtype": "int64", "unique": True}}}
+    out = str(tmp_path / "out")
+    rep = run(spec, [str(tmp_path / f"f{i}.parquet") for i in range(3)],
+              out, group_size=1, resume=False)
+    assert rep["n_violations_global"] == 2
+    dups = pq.read_table(os.path.join(out, "violations_global", "unique",
+                                      "dups-doc_id.parquet"))
+    rows = {r["doc_id"]: r["first_span"] for r in dups.to_pylist()}
+    assert rows == {"77": "partition=0", "5": "partition=1"}

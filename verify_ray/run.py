@@ -97,24 +97,51 @@ def _make_combined_fn(plan: CompiledPlan, path_to_pid, drift):
             }
         )
 
-    def combined(batch: pa.Table) -> pa.Table:
-        parts = [pad(validator(batch), "v")]
-        if "path" in batch.column_names:
-            batch = batch.drop_columns(["path"])
+    def key_partials(sub: pa.Table, pid: int) -> list[pa.Table]:
+        """Per-(file, key) count partials, stamped with the file's pid —
+        finalize min-aggregates it into the NotUnique first-seen span."""
+        import numpy as np
+
+        out = []
         for col in unique_cols:
-            if col not in batch.column_names:
+            if col not in sub.column_names:
                 continue  # heterogeneous inputs: file lacks this column
-            c = batch.column(col)
-            c = as_array(c)
-            vc = pc.value_counts(c)
+            vc = pc.value_counts(as_array(sub.column(col)))
             vals, cnts = vc.field("values"), vc.field("counts")
             mask = pc.is_valid(vals)
             keys = pc.cast(vals.filter(mask), pa.string())
             # span carries the COLUMN the partial belongs to, so finalize
             # can separate multi-unique-column streams
-            kt = pa.table({"doc_id": keys,
-                           "span": pa.array([col] * len(keys), type=pa.string())})
-            parts.append(pad(kt, "c", cnt=pc.cast(cnts.filter(mask), pa.int64())))
+            kt = pa.table({
+                "doc_id": keys,
+                "span": pa.array([col] * len(keys), type=pa.string()),
+                "partition_id": pa.array(
+                    np.full(len(keys), pid, dtype=np.int32)),
+            })
+            out.append(pad(kt, "c", cnt=pc.cast(cnts.filter(mask), pa.int64())))
+        return out
+
+    def combined(batch: pa.Table) -> pa.Table:
+        parts = [pad(validator(batch), "v")]
+        # split by source file so count partials carry exact lineage
+        if "path" in batch.column_names and path_to_pid is not None:
+            paths = pc.dictionary_encode(batch.column("path").combine_chunks())
+            batch = batch.drop_columns(["path"])
+            dict_vals = paths.dictionary.to_pylist() if len(paths) else []
+            if len(dict_vals) <= 1:
+                pid = path_to_pid.get(dict_vals[0], -2) if dict_vals else -2
+                subs = [(batch, pid)]
+            else:
+                idx = paths.indices
+                subs = [(batch.filter(pc.equal(idx, code)),
+                         path_to_pid.get(pv, -2))
+                        for code, pv in enumerate(dict_vals)]
+        else:
+            if "path" in batch.column_names:
+                batch = batch.drop_columns(["path"])
+            subs = [(batch, -2)]
+        for sub, pid in subs:
+            parts.extend(key_partials(sub, pid))
         if sketch_fn is not None:
             st = sketch_fn(batch)
             gt = pa.table({"doc_id": st.column("group")})
@@ -259,8 +286,11 @@ def _finalize(output_dir, plan, groups, row_counts, schema_viols,
         for col in plan.unique_columns:
             dups = find_duplicate_keys(fgroups, "doc_id",
                                        num_buckets=max(4, min(64, cpus)),
-                                       cnt_column="cnt", where=("span", col))
-            uv = dup_table_to_violations(dups.rename_columns([col, "cnt"]), col)
+                                       cnt_column="cnt", where=("span", col),
+                                       first_pid_column="partition_id")
+            names = ([col, "cnt", "first_pid"] if dups.num_columns == 3
+                     else [col, "cnt"])
+            uv = dup_table_to_violations(dups.rename_columns(names), col)
             pq.write_table(uv, os.path.join(global_dir, "unique",
                                             f"dups-{col}.parquet"))
             n_global += uv.num_rows

@@ -51,7 +51,8 @@ def _bucket_of(keys_arr: pa.Array, num_buckets: int) -> np.ndarray:
 def find_duplicate_keys(file_groups: list[list[str]], column: str,
                         num_buckets: int, cnt_column: str | None = None,
                         where: tuple | None = None,
-                        path_pids: dict[str, int] | None = None) -> pa.Table:
+                        path_pids: dict[str, int] | None = None,
+                        first_pid_column: str | None = None) -> pa.Table:
     """(key, cnt) table of keys with global count > 1, via an explicit
     MapReduce-style hash exchange with raw Ray tasks.
 
@@ -81,6 +82,8 @@ def find_duplicate_keys(file_groups: list[list[str]], column: str,
         import pyarrow.parquet as _pq
 
         cols = [column] + ([cnt_column] if cnt_column else [])
+        if first_pid_column:
+            cols.append(first_pid_column)
         if where is not None:
             cols.append(where[0])
         per_file = path_pids is not None and not cnt_column
@@ -91,9 +94,17 @@ def find_duplicate_keys(file_groups: list[list[str]], column: str,
                 t = t.filter(pc.equal(t.column(where[0]), where[1]))
                 t = t.drop_columns([where[0]])
         if cnt_column:
-            g = t.group_by(column).aggregate([(cnt_column, "sum")])
+            aggs = [(cnt_column, "sum")]
+            if first_pid_column and first_pid_column in t.column_names:
+                aggs.append((first_pid_column, "min"))
+            g = t.group_by(column).aggregate(aggs)
             keys, cnts = g.column(column), g.column(f"{cnt_column}_sum")
-            firsts = None
+            firsts = (g.column(f"{first_pid_column}_min")
+                      if len(aggs) > 1 else None)
+            if firsts is not None:
+                mask = pc.is_valid(keys)
+                keys = keys.filter(mask)
+                cnts, firsts = cnts.filter(mask), firsts.filter(mask)
         elif per_file:
             # track the FIRST-seen input partition per key (min pid) for
             # the NotUnique{first, duplicate} span pair
