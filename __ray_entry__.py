@@ -226,6 +226,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         prof = profile(_read(sf, "documents"))
         return prof[["column", "n", "nulls", "min", "max", "n_distinct"]]
 
+    def media_frames(sf):
+        # one-to-many frame sampling over opaque payloads; the oracle
+        # recomputes the frame grid from utf-8 byte lengths in SQL
+        # (checksums dropped: md5-of-blob-slice is not SQL-portable)
+        df = (multimodal.media_frames(
+                  _read(sf, "documents", columns=["doc_id", "text"]),
+                  frame_bytes=256, every=4)
+              .to_pandas())
+        return (df[["doc_id", "frame_idx", "frame_n_bytes"]]
+                .sort_values(["doc_id", "frame_idx"]).reset_index(drop=True))
+
     def media_meta(sf):
         df = (multimodal.media_features(_read(sf, "documents",
                                               columns=["doc_id", "text"]))
@@ -358,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann,
         "embedding_near_dup": near_dup_embeddings,
         "media_metadata": media_meta,
+        "media_frame_sample": media_frames,
         "profile_documents": profile_docs,
         "sequences_validate": flagship,
         "dedup_minhash_lsh": minhash,
@@ -782,6 +794,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), NULL, NULL,
                    COUNT(DISTINCT text) FROM documents
             ORDER BY "column"
+        """,
+        "media_frame_sample": """
+            WITH d AS (
+              SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+              WHERE text IS NOT NULL
+            ), f AS (
+              SELECT doc_id, n,
+                     unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT), 4))
+                       AS frame_idx
+              FROM d
+            )
+            SELECT doc_id, frame_idx,
+                   least(256, n - frame_idx * 256) AS frame_n_bytes
+            FROM f ORDER BY doc_id, frame_idx
         """,
         "media_metadata": """
             SELECT doc_id,

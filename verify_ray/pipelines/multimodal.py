@@ -113,3 +113,109 @@ def media_features(ds, content_col: str = "text", id_col: str = "doc_id",
     return payloads.map_batches(
         StubImageDecoder, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency)
+
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("frame_idx", pa.int64()),       # frame number within the payload
+        ("frame_n_bytes", pa.int64()),
+        ("frame_checksum", pa.string()),
+    ]
+)
+
+
+class StubFrameSampler:
+    """Actor-pool frame-sampling stage (one payload -> many frame rows).
+
+    Treats the opaque payload as a fixed-frame-size "video": frame i is
+    bytes [i*frame_bytes, (i+1)*frame_bytes); every ``every``-th frame
+    is emitted as its own row.  The CHUNKING is the real plumbing under
+    test (one-to-many row expansion, byte-sized batching); a real
+    deployment replaces the byte slicing with an ffmpeg/pyav frame
+    iterator in ``_frames_of`` and keeps everything else.
+    """
+
+    def __init__(self, frame_bytes: int = 256, every: int = 4):
+        self.frame_bytes = frame_bytes
+        self.every = every
+
+    def _frames_of(self, payload: bytes):
+        # STUB decode boundary: byte-sliced pseudo-frames
+        for i in range(0, -(-len(payload) // self.frame_bytes), self.every):
+            yield i, payload[i * self.frame_bytes:(i + 1) * self.frame_bytes]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, sizes, cks = [], [], [], []
+        for doc_id, payload in zip(batch["doc_id"].to_pylist(),
+                                   batch["payload"].to_pylist()):
+            if payload is None:
+                continue
+            for i, frame in self._frames_of(payload):
+                ids.append(doc_id)
+                idxs.append(i)
+                sizes.append(len(frame))
+                cks.append(hashlib.md5(frame).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "frame_idx": pa.array(idxs, type=pa.int64()),
+            "frame_n_bytes": pa.array(sizes, type=pa.int64()),
+            "frame_checksum": pa.array(cks, type=pa.string()),
+        })
+
+
+class StubResizer:
+    """Actor-pool resize stage: payload -> fixed-size payload.
+
+    STUB transform = truncate-or-zero-pad to ``target_bytes`` (a real
+    deployment swaps in PIL/libvips resize); schema, sizing and
+    determinism are the tested surface.
+    """
+
+    def __init__(self, target_bytes: int = 512):
+        self.target_bytes = target_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch["payload"].to_pylist():
+            if p is None:
+                out.append(None)
+            elif len(p) >= self.target_bytes:
+                out.append(p[: self.target_bytes])
+            else:
+                out.append(p + b"\x00" * (self.target_bytes - len(p)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_type": batch["media_type"],
+            "payload": pa.array(out, type=pa.binary()),
+            "n_bytes": pa.array(
+                [len(p) if p is not None else 0 for p in out],
+                type=pa.int64()),
+        })
+
+
+def media_frames(ds, content_col: str = "text", id_col: str = "doc_id",
+                 frame_bytes: int = 256, every: int = 4,
+                 concurrency=2, batch_size: int = 512):
+    """documents -> payloads -> sampled frame rows (actor pool)."""
+    payloads = ds.map_batches(
+        lambda b: to_payload_batch(b, content_col, id_col),
+        batch_format="pyarrow")
+    return payloads.map_batches(
+        StubFrameSampler,
+        fn_constructor_kwargs={"frame_bytes": frame_bytes, "every": every},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def media_resized(ds, content_col: str = "text", id_col: str = "doc_id",
+                  target_bytes: int = 512, concurrency=2,
+                  batch_size: int = 512):
+    """documents -> payloads -> resized payloads (actor pool)."""
+    payloads = ds.map_batches(
+        lambda b: to_payload_batch(b, content_col, id_col),
+        batch_format="pyarrow")
+    return payloads.map_batches(
+        StubResizer, fn_constructor_kwargs={"target_bytes": target_bytes},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
