@@ -100,7 +100,9 @@ def bench_queries() -> dict[str, float]:
              "text_token_count", "dedup_minhash_lsh", "ann_topk",
              "validate_lineitem", "sequences_validate",
              "events_sessionize", "profile_documents", "validate_documents",
-             "embedding_near_dup"]
+             "embedding_near_dup", "validate_nested", "validate_tagged",
+             "token_topk_by_source", "dedup_exact_filter",
+             "embedding_near_dup_lsh", "ann_topk_ivf"]
     out = {}
     for name in names:
         t0 = time.time()
