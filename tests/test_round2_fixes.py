@@ -243,3 +243,21 @@ def test_distributed_components_chain(ray_session):
     lp = connected_components_distributed(pairs)
     assert set(lp.group_id) == {0}
     assert len(lp) == 31
+
+
+# ---- schema-metadata title interpolation (errors.rs:289-315) --------------
+
+def test_not_title_interpolated():
+    plan = plan_for(checks=[{"not": {"minimum": 10, "title": "BigNumber"}}])
+    t = pa.table({"id": pa.array(["a"]), "x": pa.array([50], type=pa.int64())})
+    v = plan.validate_batch(t)
+    assert v["message"].to_pylist() == ['the value must not be a "BigNumber"']
+
+
+def test_contains_title_interpolated():
+    plan = plan_for(contains={"minimum": 100, "title": "LargeValue"})
+    t = pa.table({"id": pa.array(["a"]),
+                  "x": pa.array([[1, 2]], type=pa.list_(pa.int64()))})
+    v = plan.validate_batch(t)
+    assert v["message"].to_pylist() == [
+        'at least one of the items in the array must be "LargeValue"']

@@ -139,7 +139,10 @@ def msg_more_than_one_valid(matched: int) -> str:
     return f"expected exactly one schema to match, but {matched} schemas matched"
 
 
-def msg_valid_not() -> str:
+def msg_valid_not(title: str | None = None) -> str:
+    # titled sub-schema interpolation mirrors errors.rs:289-296
+    if title:
+        return f'the value must not be a "{title}"'
     return 'the value is disallowed by a "not" schema'
 
 
@@ -147,7 +150,10 @@ def msg_not_unique() -> str:
     return "all items in the array must be unique"
 
 
-def msg_must_contain() -> str:
+def msg_must_contain(title: str | None = None) -> str:
+    # titled schema interpolation mirrors errors.rs:301-315
+    if title:
+        return f'at least one of the items in the array must be "{title}"'
     return "at least one of the items in the array must match the given schema"
 
 

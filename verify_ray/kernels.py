@@ -475,7 +475,10 @@ def compile_pred(node: dict, column: str, gate: Optional[MaskFn] = None) -> list
                              message_fn=mtov_messages))
     if "not" in node:
         sub = _pred_valid(node["not"], column)
-        rules.append(RowRule(R.VALID_NOT, column, column, E.msg_valid_not(),
+        title = (node["not"].get("title")
+                 if isinstance(node["not"], dict) else None)
+        rules.append(RowRule(R.VALID_NOT, column, column,
+                             E.msg_valid_not(title),
                              nonnull_gated(lambda t, v=sub: v(t))))
     if "if" in node:
         cond = _pred_valid(node["if"], column)
@@ -752,7 +755,8 @@ def _contains_rule(c) -> Optional[RowRule]:
         # null lists don't fail `contains` (no seq traversal happened)
         return ~sat & (lengths >= 0)
 
-    return RowRule(R.MUST_CONTAIN, name, name, E.msg_must_contain(), mask)
+    return RowRule(R.MUST_CONTAIN, name, name,
+                   E.msg_must_contain(node.get("title")), mask)
 
 
 # ---------------------------------------------------------------------------

@@ -117,6 +117,11 @@ _PRED_LEAF_KEYS = frozenset(
         "is_null",
         "min_items",
         "max_items",
+        # schema metadata (reference Metadata title/description,
+        # errors.rs:11-21): no kernel; interpolated into not/contains
+        # Display messages (errors.rs:289-315)
+        "title",
+        "description",
     }
 )
 _PRED_NODE_KEYS = frozenset({"all_of", "any_of", "one_of", "not", "if", "then", "else"})
