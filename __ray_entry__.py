@@ -284,11 +284,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .astype({"doc_a": "int64", "doc_b": "int64"}))
 
     def near_dup_lsh(sf):
-        # high-recall LSH params (bits=4, tables=32): the DuckDB exact
+        # high-recall LSH (auto-sized bits, 32 tables): the DuckDB exact
         # cosine oracle checks the id-set — recall AND precision of the
         # bucketed path (sim values dropped: DuckDB computes float32)
         out = similarity.embedding_near_dup_lsh(_read(sf, "embeddings"),
-                                                tau=0.4, bits=4, tables=32)
+                                                tau=0.4, tables=32)
         return out[["doc_a", "doc_b"]].astype({"doc_a": "int64",
                                                "doc_b": "int64"})
 

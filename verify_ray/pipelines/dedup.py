@@ -85,9 +85,12 @@ def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id",
 
         return ds.map_batches(filt, batch_format="pyarrow")
 
-    # distributed path: hash-join rows to their group's winner id
+    # distributed path: hash-join rows to their group's winner id.
+    # Partition count grows with the data but shrinks for small inputs
+    # (each hash-shuffle partition carries fixed actor/task overhead)
     if num_partitions is None:
-        num_partitions = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = int(np.clip(np.ceil(n_rows / 500_000), 8, cpus * 2))
 
     def add_hash(b: pa.Table) -> pa.Table:
         return b.append_column(

@@ -183,8 +183,9 @@ def embedding_near_dup_exact(ds, tau: float = 0.95, emb_col: str = "embedding",
 
 
 def embedding_near_dup_lsh(ds, tau: float = 0.95, emb_col: str = "embedding",
-                           id_col: str = "vec_id", bits: int = 10,
-                           tables: int = 6, rows_per_group: int = 200_000):
+                           id_col: str = "vec_id", bits: int | None = None,
+                           tables: int = 6, rows_per_group: int = 200_000,
+                           target_bucket: int = 32):
     """Near-dup pairs via hyperplane-LSH buckets — the scale path for
     the exact variant.  Same candidate-then-verify shape as
     ``dedup.minhash_lsh_pairs``:
@@ -199,8 +200,11 @@ def embedding_near_dup_lsh(ds, tau: float = 0.95, emb_col: str = "embedding",
 
     Recall tuning: P(pair found) = 1-(1-p^bits)^tables with
     p = 1 - angle/pi.  Lower ``bits`` / higher ``tables`` raises recall
-    AND bucket sizes — ``bits`` should grow with log2(n_rows) to keep
-    buckets bounded.
+    AND bucket sizes.  ``bits=None`` auto-sizes to
+    ``log2(n / target_bucket)`` (clamped to [4, 16]) so expected bucket
+    occupancy — and therefore per-bucket candidate-pair volume — stays
+    CONSTANT as the dataset grows; without this the all-pairs expansion
+    inside a bucket is O((n / 2^bits)^2) and explodes quadratically.
     """
     import pandas as pd
     import ray
@@ -230,6 +234,9 @@ def embedding_near_dup_lsh(ds, tau: float = 0.95, emb_col: str = "embedding",
         return pa.concat_tables(parts)
 
     n_rows = ds.count()
+    if bits is None:
+        bits = int(np.clip(np.ceil(np.log2(max(n_rows, 1) / target_bucket)),
+                           4, 16))
     num_coarse = _coarse_count(n_rows * tables, rows_per_group)
     rows = ds.select_columns([id_col, emb_col]).map_batches(
         to_rows, batch_format="pyarrow")
@@ -254,8 +261,14 @@ def embedding_near_dup_lsh(ds, tau: float = 0.95, emb_col: str = "embedding",
         return empty
     cand = cand.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"])
 
-    # verify pass: vectors only for candidate ids
-    wanted = np.asarray(sorted(set(cand["doc_a"]) | set(cand["doc_b"])))
+    # verify pass: vectors only for candidate ids, gathered into ONE
+    # matrix indexed by searchsorted position (no per-pair Python work).
+    # Candidate volume is bounded per bucket (~target_bucket^2/2 pairs)
+    # so it grows LINEARLY with n; if even that outgrows the driver,
+    # run this verification itself through grouped_exchange keyed on
+    # hash(doc_a).
+    wanted = np.unique(np.concatenate([cand["doc_a"].to_numpy(),
+                                       cand["doc_b"].to_numpy()]))
     wanted_ref = ray.put(wanted)
 
     def fetch(batch: pa.Table) -> pa.Table:
@@ -264,19 +277,23 @@ def embedding_near_dup_lsh(ds, tau: float = 0.95, emb_col: str = "embedding",
         sel = np.flatnonzero(np.isin(ids, w))
         return batch.take(pa.array(sel)) if len(sel) else batch.slice(0, 0)
 
-    vecs: dict = {}
+    V = None
     fetched = ds.select_columns([id_col, emb_col]).map_batches(
         fetch, batch_format="pyarrow")
-    for b in fetched.iter_batches(batch_format="pyarrow"):
-        if b.num_rows == 0:
+    for bt in fetched.iter_batches(batch_format="pyarrow"):
+        if bt.num_rows == 0:
             continue
-        m = _normalize(_emb_matrix(b, emb_col))
-        for i, vid in enumerate(b[id_col].to_pylist()):
-            vecs[vid] = m[i]
+        m = _normalize(_emb_matrix(bt, emb_col))
+        if V is None:
+            V = np.zeros((len(wanted), m.shape[1]))
+        pos = np.searchsorted(wanted, bt[id_col].to_numpy(zero_copy_only=False))
+        V[pos] = m
+    if V is None:
+        return empty
 
-    a = np.stack([vecs[x] for x in cand["doc_a"]])
-    b = np.stack([vecs[x] for x in cand["doc_b"]])
-    sims = np.einsum("ij,ij->i", a, b)
+    ai = np.searchsorted(wanted, cand["doc_a"].to_numpy())
+    bi = np.searchsorted(wanted, cand["doc_b"].to_numpy())
+    sims = np.einsum("ij,ij->i", V[ai], V[bi])
     keep = sims >= tau
     out = pd.DataFrame({"doc_a": cand["doc_a"].to_numpy()[keep],
                         "doc_b": cand["doc_b"].to_numpy()[keep],
