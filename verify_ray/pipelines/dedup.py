@@ -469,13 +469,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     band_ds = ds.select_columns([id_col, text_col]).map_batches(
         to_bands, batch_format="pyarrow")
 
-    def cand_pairs(sub: pd.DataFrame) -> pd.DataFrame:
-        ids = sub["doc_id"].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
-
     def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = _pairs_in_fine_buckets(g, cand_pairs)
+        out = _pairs_in_fine_buckets(g)
         return out if out is not None else pd.DataFrame(
             {"doc_a": [], "doc_b": []})
 
@@ -537,26 +532,56 @@ def _grouped_coarse(rows_ds, fn, num_coarse: int = MIN_COARSE) -> pd.DataFrame:
     return res.to_pandas()
 
 
-def _pairs_in_fine_buckets(g: pd.DataFrame, pair_fn):
-    """Within one coarse group: find fine buckets with >=2 distinct docs
-    (vectorized) and run pair_fn only on those."""
+def _bucket_pair_indices(bucket_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(ia, ib) global positions of every within-bucket pair of a
+    bucket-sorted array — the all-pairs expansion without any per-bucket
+    pandas work (triu index templates cached per bucket size)."""
+    change = np.concatenate([[True], bucket_sorted[1:] != bucket_sorted[:-1]])
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.append(starts, len(bucket_sorted)))
+    cache: dict[int, tuple] = {}
+    ia_parts, ib_parts = [], []
+    for s, m in zip(starts, sizes):
+        if m < 2:
+            continue
+        t = cache.get(m)
+        if t is None:
+            t = np.triu_indices(int(m), k=1)
+            cache[m] = t
+        ia_parts.append(t[0] + s)
+        ib_parts.append(t[1] + s)
+    if not ia_parts:
+        e = np.empty(0, np.int64)
+        return e, e
+    return np.concatenate(ia_parts), np.concatenate(ib_parts)
+
+
+def _pairs_in_fine_buckets(g: pd.DataFrame, pair_fn=None, extra_cols=()):
+    """Within one coarse group: all pairs of distinct docs sharing a fine
+    bucket, fully vectorized (one dedup + one lexsort + cached-triu
+    expansion).  Returns a DataFrame (doc_a, doc_b, *extra pairs) —
+    ``extra_cols`` values come back as ``<col>_a``/``<col>_b``.
+
+    ``pair_fn`` is accepted for backward compatibility and ignored (the
+    old per-bucket-callback protocol); filtering now happens on the
+    returned frame.
+    """
     if len(g) < 2:
         return None
-    order = np.argsort(g["bucket"].to_numpy(), kind="stable")
-    g = g.iloc[order]
+    g = g.drop_duplicates(subset=["bucket", "doc_id"])
     b = g["bucket"].to_numpy()
-    starts = np.flatnonzero(np.concatenate([[True], b[1:] != b[:-1]]))
-    ends = np.concatenate([starts[1:], [len(b)]])
-    parts = []
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
-        sub = g.iloc[s:e].drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
-        if len(sub) >= 2:
-            parts.append(pair_fn(sub))
-    if not parts:
+    ids = g["doc_id"].to_numpy()
+    order = np.lexsort((ids, b))
+    b, ids = b[order], ids[order]
+    ia, ib = _bucket_pair_indices(b)
+    if len(ia) == 0:
         return None
-    return pd.concat(parts, ignore_index=True)
+    out = {"doc_a": ids[ia], "doc_b": ids[ib]}
+    for col in extra_cols:
+        v = g[col].to_numpy()[order]
+        out[f"{col}_a"] = v[ia]
+        out[f"{col}_b"] = v[ib]
+    return pd.DataFrame(out)
 
 
 # ---------------------------------------------------------------------------
@@ -611,20 +636,23 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     rows = ds.select_columns([id_col, text_col]).map_batches(
         to_rows, batch_format="pyarrow")
 
-    def ham_pairs(sub: pd.DataFrame) -> pd.DataFrame:
-        sh = sub["simhash"].to_numpy().astype(np.uint64)
-        ids = sub["doc_id"].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = sh[ia] ^ sh[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]],
-                             "hamming": ham[keep].astype(np.int64)})
-
     def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = _pairs_in_fine_buckets(g, ham_pairs)
-        return out if out is not None else pd.DataFrame(
-            {"doc_a": [], "doc_b": [], "hamming": []})
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        out = _pairs_in_fine_buckets(g, extra_cols=("simhash",))
+        if out is None:
+            return empty
+        x = np.ascontiguousarray(
+            out["simhash_a"].to_numpy().astype(np.uint64)
+            ^ out["simhash_b"].to_numpy().astype(np.uint64))
+        # vectorized popcount: unpack the 8 bytes of each u64
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"doc_a": out["doc_a"].to_numpy()[keep],
+                             "doc_b": out["doc_b"].to_numpy()[keep],
+                             "hamming": ham[keep]})
 
     n_docs = ds.count()
     nb = 64 // band_bits

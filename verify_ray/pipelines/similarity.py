@@ -241,13 +241,8 @@ def embedding_near_dup_lsh(ds, tau: float = 0.95, emb_col: str = "embedding",
     rows = ds.select_columns([id_col, emb_col]).map_batches(
         to_rows, batch_format="pyarrow")
 
-    def cand_pairs(sub: pd.DataFrame) -> pd.DataFrame:
-        ids = sub["doc_id"].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
-
     def coarse_fn(t: pa.Table) -> pa.Table:
-        out = _pairs_in_fine_buckets(t.to_pandas(), cand_pairs)
+        out = _pairs_in_fine_buckets(t.to_pandas())
         if out is None:
             out = pd.DataFrame({"doc_a": [], "doc_b": []})
         return pa.Table.from_pandas(out, preserve_index=False)
