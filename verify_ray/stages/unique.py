@@ -109,7 +109,10 @@ def find_duplicate_keys(file_groups: list[list[str]], column: str,
             # track the FIRST-seen input partition per key (min pid) for
             # the NotUnique{first, duplicate} span pair
             # (errors.rs:119-122): per-file value_counts tagged with the
-            # file's pid, then one hash aggregate (cnt sum, pid min)
+            # file's pid.  The per-file partials ship straight to the
+            # buckets (a key appears at most files-per-task times per
+            # map task) — re-aggregating here would hash every key a
+            # second time for almost no row reduction
             pieces = []
             for p in paths:
                 ft = _pq.read_table(p, columns=[column])
@@ -124,10 +127,9 @@ def find_duplicate_keys(file_groups: list[list[str]], column: str,
                     "first_pid": pa.array(
                         np.full(len(fk), path_pids.get(p, -1), dtype=np.int32)),
                 }))
-            agg = pa.concat_tables(pieces).group_by(column).aggregate(
-                [("cnt", "sum"), ("first_pid", "min")])
+            agg = pa.concat_tables(pieces).combine_chunks()
             keys = agg.column(column)
-            cnts, firsts = agg.column("cnt_sum"), agg.column("first_pid_min")
+            cnts, firsts = agg.column("cnt"), agg.column("first_pid")
         else:
             col = t.column(column)
             vc = pc.value_counts(col.combine_chunks()
@@ -203,15 +205,18 @@ def dup_table_to_violations(dups: pa.Table, column: str) -> pa.Table:
 
 def unique_violations_from_files(files: list[str], column: str,
                                  num_buckets: int | None = None,
-                                 files_per_task: int = 8,
+                                 files_per_task: int | None = None,
                                  path_pids: dict[str, int] | None = None
                                  ) -> pa.Table:
     """not_unique violations for a parquet file set (fast exchange)."""
     import ray
 
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     if num_buckets is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
         num_buckets = max(4, min(64, cpus))
+    if files_per_task is None:
+        # ~2 map tasks per CPU so the scan saturates the cluster
+        files_per_task = max(1, len(files) // (2 * cpus))
     groups = [files[i:i + files_per_task]
               for i in range(0, len(files), files_per_task)]
     dups = find_duplicate_keys(groups, column, num_buckets,
