@@ -114,3 +114,14 @@ def test_spec_fixture_files():
         ConstraintSpec.from_yaml("specs/broken_ref.yaml").compile()
     assert "missing local definition" in str(ei.value)
     assert "external reference" in str(ei.value)
+
+
+def test_nested_events_example_spec_compiles():
+    from verify_ray.spec import ConstraintSpec
+
+    plan = ConstraintSpec.from_yaml("specs/nested_events.yaml").compile()
+    assert "meta.client.version" in [r.column for r in plan.row_rules]
+    assert plan.struct_specs["meta"]["strict"]
+    # tagged variant rules compiled and gated
+    assert any(r.rule_id == "less_than_expected" and r.column == "value"
+               for r in plan.row_rules)
