@@ -76,3 +76,34 @@ def test_engine_integration_with_drift(ray_session, drift_setup):
     assert all(r["partition_id"] == -1 for r in drift_rows)
     # drift (global) must not fail per-partition verdicts
     assert rep.verdicts["pass"].all()
+
+
+def test_ks_check_flags_shape_shift(ray_session):
+    """KS vs the reference quantile grid catches a distribution shift;
+    identical data stays quiet."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from verify_ray.spec import DriftSpec
+    from verify_ray.stages.drift import drift_violations, make_reference_stats
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(50, 150, size=4000)
+
+    def ds_of(vals):
+        return rd.from_arrow(pa.table({
+            "source": pa.array(["s0"] * len(vals)),
+            "n_tok": pa.array(vals, type=pa.int32()),
+        }))
+
+    drift = DriftSpec(group_by="source", column="n_tok", token_column=None,
+                      ks_max=0.2, max_rel_err=10.0)  # isolate the KS arm
+    ref = make_reference_stats(ds_of(base), drift)
+
+    same = drift_violations(ds_of(base), drift, ref)
+    assert same.num_rows == 0
+
+    shifted = drift_violations(ds_of(base + 120), drift, ref)
+    msgs = shifted["message"].to_pylist()
+    assert any("KS statistic" in m for m in msgs)

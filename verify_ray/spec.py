@@ -148,6 +148,11 @@ class DriftSpec:
     topk: int = 20
     topk_l1_max: float = 0.25  # max L1 distance over reference top-k freqs
     min_rows: int = 100  # groups smaller than this are not drift-checked
+    # optional KS-style check: max |measured_cdf(v_q) - q| over the
+    # reference quantile grid (None = disabled).  Catches shape changes
+    # the per-quantile relative-error check can miss (e.g. mass moving
+    # between quantile anchors).
+    ks_max: Optional[float] = None
 
 
 @dataclass

@@ -223,6 +223,19 @@ def _compare_sketches(measured: dict, drift, reference) -> list[dict]:
                 doc.append(gname)
                 span.append(f"{drift.group_by}.{gname}.{drift.column}")
                 msg.append(f"distribution drift on {drift.column}: {detail}")
+        ks_max = getattr(drift, "ks_max", None)
+        if ks_max is not None and len(rq) == len(qs):
+            # KS statistic against the reference grid: the measured CDF
+            # evaluated at the reference's quantile VALUES should
+            # return (approximately) the grid probabilities
+            mcdf = sk.hist.cdf(rq)
+            ks = float(np.nanmax(np.abs(mcdf - np.asarray(qs))))
+            if ks > ks_max:
+                doc.append(gname)
+                span.append(f"{drift.group_by}.{gname}.{drift.column}")
+                msg.append(
+                    f"distribution drift on {drift.column}: KS statistic "
+                    f"{ks:.3f} vs reference quantile grid exceeds {ks_max}")
         ref_topk = ref[gname].get("token_freq_topk") or []
         if ref_topk and drift.token_column:
             toks = np.array([d["token"] for d in ref_topk], dtype=np.int64)

@@ -88,6 +88,21 @@ class HistogramSketch:
         frac = np.where(within > 0, (targets - prev) / np.maximum(within, 1), 0.5)
         return lo + np.clip(frac, 0, 1) * (hi - lo)
 
+    def cdf(self, values) -> np.ndarray:
+        """Approximate P(X <= v) for each v (interpolated within the
+        bin) — the KS-side complement of ``quantile``."""
+        vs = np.atleast_1d(np.asarray(values, dtype=np.float64))
+        if self.n == 0:
+            return np.full(len(vs), np.nan)
+        edges = self._edges()
+        v = np.clip(vs, 0.0, self.max_value)
+        pos = np.log1p(v) * (self.bins / np.log1p(self.max_value))
+        idx = np.minimum(pos.astype(np.int64), self.bins - 1)
+        cum = np.concatenate([[0], np.cumsum(self.counts)])
+        lo, hi = edges[idx], edges[idx + 1]
+        frac = np.where(hi > lo, (v - lo) / np.maximum(hi - lo, 1e-12), 1.0)
+        return (cum[idx] + np.clip(frac, 0, 1) * self.counts[idx]) / self.n
+
     def mean(self) -> float:
         return self.total / self.n if self.n else float("nan")
 
