@@ -184,6 +184,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_window(sf):
         return analytics.windowed_events(_read(sf, "events"), window="day")
 
+    def events_hopping(sf):
+        return analytics.hopping_window_events(_read(sf, "events"),
+                                               width_hours=24, slide_hours=6)
+
     def topcust(sf):
         return analytics.top_customers(_read(sf, "orders"), k=10)
 
@@ -352,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": lambda sf: analytics.pricing_summary(
             _read(sf, "lineitem")),
         "events_window_day": events_window,
+        "events_window_hopping": events_hopping,
         "top_customers": topcust,
         "top_lineitems": lambda sf: analytics.top_lineitems(
             _read(sf, "lineitem")),
@@ -646,6 +651,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('day', ts) AS window_start,
                    COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_window_hopping": """
+            WITH k AS (SELECT unnest(range(4)) AS k),
+                 w AS (
+                   SELECT time_bucket(INTERVAL '6 hours', ts)
+                          - k.k * INTERVAL '6 hours' AS ws, value
+                   FROM events CROSS JOIN k
+                 )
+            SELECT ws, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM w GROUP BY ws ORDER BY ws
         """,
         "top_lineitems": """
             SELECT l_orderkey, l_linenumber,

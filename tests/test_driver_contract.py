@@ -75,7 +75,8 @@ def test_queries_cover_oracles(entry_mod):
     "validate_events", "validate_part", "validate_nested",
     "validate_tagged", "events_sessionize",
     "stats_docs_by_lang", "stats_by_lang_source", "pricing_summary",
-    "events_window_day", "top_customers", "top_lineitems", "revenue_by_segment",
+    "events_window_day", "events_window_hopping", "top_customers",
+    "top_lineitems", "revenue_by_segment",
     "revenue_by_region", "events_orphan_users", "dedup_exact",
     "dedup_exact_dups", "text_token_count",
     "text_fingerprint", "ann_topk", "embedding_near_dup", "media_metadata",

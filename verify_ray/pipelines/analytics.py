@@ -313,3 +313,51 @@ def token_topk_by_source(ds, k: int = 10, source_col: str = "source",
     out["tot"] = out["tot"].astype("int64")
     out["rank"] = out["rank"].astype("int64")
     return out
+
+
+def hopping_window_events(ds, width_hours: int = 24, slide_hours: int = 6,
+                          ts_col: str = "ts", value_col: str = "value"
+                          ) -> pd.DataFrame:
+    """Overlapping (hopping) windows: every event lands in
+    ``width/slide`` windows; per-batch partial aggregation keys on the
+    window start, so only (window_start, cnt, sum) partials leave the
+    map stage — the merge space is bounded by the time range / slide,
+    independent of event volume.
+
+    Window starts are epoch-aligned multiples of ``slide_hours`` (the
+    same boundaries DuckDB's ``time_bucket`` produces for hour
+    intervals).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    assert width_hours % slide_hours == 0
+    k_windows = width_hours // slide_hours
+    slide_us = np.int64(slide_hours) * 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        val = np.nan_to_num(pc.cast(t.column(value_col), pa.float64())
+                            .to_numpy(zero_copy_only=False))
+        base = (ts // slide_us) * slide_us
+        ws = np.concatenate([base - k * slide_us for k in range(k_windows)])
+        v = np.tile(val, k_windows)
+        pt = pa.table({"ws": pa.array(ws), "v": pa.array(v)})
+        g = pt.group_by("ws").aggregate([("v", "count"), ("v", "sum")])
+        return g.rename_columns(["ws", "cnt", "sv"])
+
+    parts = (ds.select_columns([ts_col, value_col])
+             .map_batches(partial, batch_format="pyarrow"))
+    merged = pa.concat_tables(list(parts.iter_batches(batch_format="pyarrow")))
+    if merged.num_rows == 0:
+        return pd.DataFrame({"ws": [], "n_events": [], "sum_value": []})
+    g = merged.group_by("ws").aggregate([("cnt", "sum"), ("sv", "sum")])
+    df = g.to_pandas().rename(columns={"cnt_sum": "n_events",
+                                       "sv_sum": "sum_value"})
+    df["ws"] = pd.to_datetime(df["ws"], unit="us")
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_value"] = np.round(df["sum_value"], 6)
+    return (df[["ws", "n_events", "sum_value"]]
+            .sort_values("ws").reset_index(drop=True))
