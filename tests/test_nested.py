@@ -308,3 +308,21 @@ def test_end_to_end_nested_parquet(ray_session, tmp_path):
                      rep.violations["span"].to_pylist()))
     assert got == [("d2", "invalid_enum_value", "meta.lang"),
                    ("d2", "more_than_expected", "meta.score")]
+
+
+def test_nested_key_column():
+    """The violation key may itself live inside a struct."""
+    spec = {
+        "key": "meta.id",
+        "columns": {
+            "meta": {"fields": {"id": {"dtype": "string"}}},
+            "n": {"dtype": "int64", "minimum": 0},
+        },
+    }
+    typ = pa.struct([("id", pa.string())])
+    t = pa.table({
+        "meta": pa.array([{"id": "k1"}, {"id": "k2"}], type=typ),
+        "n": pa.array([1, -5], type=pa.int64()),
+    })
+    v = _plan(spec).validate_batch(t)
+    assert v["doc_id"].to_pylist() == ["k2"]

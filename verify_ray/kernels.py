@@ -901,7 +901,7 @@ class CompiledPlan:
     def validate_batch(self, t: pa.Table) -> pa.Table:
         """Run all row + element rules over one Arrow batch; return
         violation rows (VIOLATION_SCHEMA minus partition_id)."""
-        key_col = _col(t, self.key) if self.key in t.column_names else None
+        key_col = _col(t, self.key) if _has_col(t, self.key) else None
         if key_col is not None and not pa.types.is_string(key_col.type):
             key_col = pc.cast(key_col, pa.string())
         if isinstance(key_col, pa.ChunkedArray):
