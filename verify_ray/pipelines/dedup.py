@@ -690,22 +690,28 @@ def ngram_jaccard_pairs(ds, candidate_pairs, text_col: str = "text",
             for r in ds.select_columns([id_col, text_col])
                        .map_batches(fetch, batch_format="pyarrow").iter_rows()}
 
-    def shingles(t: str) -> set:
+    def shingles(t: str) -> frozenset:
         ws = t.split()
-        return {tuple(ws[i:i + n]) for i in range(max(1, len(ws) - n + 1))}
+        return frozenset(tuple(ws[i:i + n])
+                         for i in range(max(1, len(ws) - n + 1)))
+
+    # each doc appears in many candidate pairs — build its shingle set
+    # exactly once
+    sets = {did: shingles(txt) for did, txt in docs.items()
+            if txt is not None}
 
     out = {"doc_a": [], "doc_b": [], "jaccard": []}
-    for _, row in cand.iterrows():
-        ta, tb = docs.get(row["doc_a"]), docs.get(row["doc_b"])
-        if ta is None or tb is None:
+    for a, b in zip(cand["doc_a"].tolist(), cand["doc_b"].tolist()):
+        sa, sb = sets.get(a), sets.get(b)
+        if sa is None or sb is None:
             # candidate references a doc absent from the dataset — skip
             # rather than abort (stale candidate sets are data, not bugs)
             continue
-        sa, sb = shingles(ta), shingles(tb)
-        union = len(sa | sb)
-        out["doc_a"].append(row["doc_a"])
-        out["doc_b"].append(row["doc_b"])
-        out["jaccard"].append(len(sa & sb) / union if union else 0.0)
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        out["doc_a"].append(a)
+        out["doc_b"].append(b)
+        out["jaccard"].append(inter / union if union else 0.0)
     import pandas as pd
 
     return pd.DataFrame(out)
