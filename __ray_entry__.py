@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_part": vq.validate_part,
         "validate_nested": vq.validate_nested,
         "validate_tagged": vq.validate_tagged,
+        "validate_supplier": vq.validate_supplier,
         "events_sessionize": lambda sf: sessions.sessionize(
             _read(sf, "events"), gap_minutes=30),
         # analytics
@@ -622,6 +623,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_part": vq.PART_ORACLE,
         "validate_nested": vq.NESTED_ORACLE,
         "validate_tagged": vq.TAGGED_ORACLE,
+        "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
         "stats_docs_by_lang": """
             SELECT lang, COUNT(*) AS n_docs,

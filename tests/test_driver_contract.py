@@ -73,7 +73,7 @@ def test_queries_cover_oracles(entry_mod):
 @pytest.mark.parametrize("name", [
     "validate_documents", "validate_orders", "validate_lineitem",
     "validate_events", "validate_part", "validate_nested",
-    "validate_tagged", "events_sessionize",
+    "validate_tagged", "validate_supplier", "events_sessionize",
     "stats_docs_by_lang", "stats_by_lang_source", "pricing_summary",
     "events_window_day", "events_window_hopping", "top_customers",
     "top_lineitems", "revenue_by_segment",

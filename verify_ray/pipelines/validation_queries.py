@@ -119,6 +119,56 @@ SELECT * FROM v ORDER BY doc_id, rule_id, span
 """
 
 
+# supplier: referential check against the nation manifest (W2) plus
+# bounds/pattern — covers the last otherwise-unused testdata table
+SUPPLIER_SPEC = {
+    "table": "supplier",
+    "key": "s_suppkey",
+    "columns": {
+        "s_suppkey": {"dtype": "int64", "non_null": True, "unique": True},
+        "s_name": {"dtype": "string", "non_null": True,
+                   "pattern": "^Supplier#"},
+        "s_nationkey": {"dtype": "int32", "ref": "nation"},
+        "s_acctbal": {"dtype": "float64", "minimum": 0, "maximum": 9000},
+    },
+}
+
+
+def validate_supplier(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    spec = ConstraintSpec.from_dict(SUPPLIER_SPEC)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    rep = validate(f"{sf_dir}/supplier.parquet", spec,
+                   manifests={"nation": nat})
+    return _viol_result(rep)
+
+
+SUPPLIER_ORACLE = """
+WITH v AS (
+  SELECT CAST(s_suppkey AS VARCHAR) AS doc_id, 'ref_missing' AS rule_id,
+         's_nationkey' AS span
+    FROM supplier
+   WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+  UNION ALL
+  SELECT CAST(s_suppkey AS VARCHAR), 'no_pattern_match', 's_name'
+    FROM supplier WHERE s_name IS NOT NULL
+     AND NOT regexp_matches(s_name, '^Supplier#')
+  UNION ALL
+  SELECT CAST(s_suppkey AS VARCHAR), 'less_than_expected', 's_acctbal'
+    FROM supplier WHERE s_acctbal < 0
+  UNION ALL
+  SELECT CAST(s_suppkey AS VARCHAR), 'more_than_expected', 's_acctbal'
+    FROM supplier WHERE s_acctbal > 9000
+  UNION ALL
+  SELECT CAST(s_suppkey AS VARCHAR), 'not_unique', 's_suppkey'
+    FROM (SELECT s_suppkey FROM supplier GROUP BY s_suppkey
+          HAVING COUNT(*) > 1)
+)
+SELECT * FROM v ORDER BY doc_id, rule_id, span
+"""
+
+
 # M8 true tagged-union dispatch (schema.rs:614-660): per-variant column
 # rule-sets keyed on event_type; rows with tags matching no variant
 # (view/error here) pass everything — tagged_allow (schema.rs:658).
