@@ -177,10 +177,13 @@ def validate(source, spec_or_plan, manifests=None, batch_size=None,
         # second full-column scan
         from .stages.unique import unique_violations_from_files
 
+        from .kernels import _schema_type_at
+
         for col in plan.unique_columns:
             # heterogeneous inputs: only scan files that HAVE the column
+            # (path-aware — the unique key may be a nested struct field)
             ufiles = [files[p] for p in sorted(schemas)
-                      if col in schemas[p].names]
+                      if _schema_type_at(schemas[p], col) is not None]
             if not ufiles:
                 continue
             uv = unique_violations_from_files(

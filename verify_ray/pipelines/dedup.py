@@ -108,7 +108,31 @@ def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id",
         out = b.filter(pa.array(ids == keep_ids))
         return out.drop_columns(["content_hash", "keep_id"])
 
-    return joined.map_batches(keep_winner, batch_format="pyarrow")
+    survivors = joined.map_batches(keep_winner, batch_format="pyarrow")
+
+    # null content forms its own group (SQL GROUP-BY-NULL semantics,
+    # matching the broadcast path's groupby) — but an inner hash join
+    # DROPS null keys, so its single winner is restored out-of-band
+    import pyarrow.compute as _pc
+
+    null_keep = None
+    null_groups = groups.map_batches(
+        lambda t: t.filter(_pc.is_null(t["content_hash"])),
+        batch_format="pyarrow")
+    for b in null_groups.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            null_keep = b["keep_id"][0].as_py()
+            break
+    if null_keep is not None:
+        def keep_null_row(b: pa.Table, k=null_keep) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            is_null = _pc.is_null(b[content_col]).to_numpy(
+                zero_copy_only=False)
+            return b.filter(pa.array(is_null & (ids == k)))
+
+        survivors = survivors.union(
+            ds.map_batches(keep_null_row, batch_format="pyarrow"))
+    return survivors
 
 
 def connected_components(pairs: pd.DataFrame, a_col: str = "doc_a",

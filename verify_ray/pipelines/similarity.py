@@ -313,6 +313,8 @@ def ivf_train_centroids(ds, n_centroids: int = 64, emb_col: str = "embedding",
         _normalize(_emb_matrix(b, emb_col))
         for b in sample.iter_batches(batch_format="pyarrow") if b.num_rows
     ]
+    if not parts:
+        return np.zeros((0, 1))
     m = np.concatenate(parts, axis=0)
     rng = np.random.RandomState(seed)
     k = min(n_centroids, len(m))
@@ -347,6 +349,11 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, nprobe: int = 8,
     qids = list(query_ids) if query_ids is not None else list(range(len(q)))
     if centroids is None:
         centroids = ivf_train_centroids(ds, n_centroids, emb_col)
+    if len(centroids) == 0:
+        import pandas as pd
+
+        return _merge_local_topk(
+            pd.DataFrame({"qi": [], "vec_id": [], "sim": []}), qids, k)
     nprobe = min(nprobe, len(centroids))
     # per-query probe set: the nprobe nearest centroids
     qc = q @ centroids.T

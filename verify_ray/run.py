@@ -47,7 +47,6 @@ from .kernels import as_array, CompiledPlan
 from .spec import ConstraintSpec
 from .sources.parquet import list_input_files, scan_inputs
 from .stages.referential import rule_for_ref_check
-from .stages.validate import make_batch_validator
 from .state import checkpoint as ckpt
 
 RAW_SCHEMA = pa.schema(
@@ -67,8 +66,11 @@ RAW_SCHEMA = pa.schema(
 
 def _make_combined_fn(plan: CompiledPlan, path_to_pid, drift):
     """One pass, three outputs: violations + unique-key partial counts +
-    sketch partials, as a unified mixed-kind table."""
-    validator = make_batch_validator(plan, path_to_pid)
+    sketch partials, as a unified mixed-kind table.  The per-file
+    lineage split happens ONCE (stages/validate.split_by_path) and
+    feeds both the validator and the key partials."""
+    from .stages.validate import split_by_path, stamp_partition
+
     unique_cols = list(plan.unique_columns)
     sketch_fn = None
     if drift is not None:
@@ -102,11 +104,13 @@ def _make_combined_fn(plan: CompiledPlan, path_to_pid, drift):
         finalize min-aggregates it into the NotUnique first-seen span."""
         import numpy as np
 
+        from .kernels import _col, _has_col
+
         out = []
         for col in unique_cols:
-            if col not in sub.column_names:
+            if not _has_col(sub, col):
                 continue  # heterogeneous inputs: file lacks this column
-            vc = pc.value_counts(as_array(sub.column(col)))
+            vc = pc.value_counts(as_array(_col(sub, col)))
             vals, cnts = vc.field("values"), vc.field("counts")
             mask = pc.is_valid(vals)
             keys = pc.cast(vals.filter(mask), pa.string())
@@ -122,28 +126,17 @@ def _make_combined_fn(plan: CompiledPlan, path_to_pid, drift):
         return out
 
     def combined(batch: pa.Table) -> pa.Table:
-        parts = [pad(validator(batch), "v")]
-        # split by source file so count partials carry exact lineage
-        if "path" in batch.column_names and path_to_pid is not None:
-            paths = pc.dictionary_encode(batch.column("path").combine_chunks())
-            batch = batch.drop_columns(["path"])
-            dict_vals = paths.dictionary.to_pylist() if len(paths) else []
-            if len(dict_vals) <= 1:
-                pid = path_to_pid.get(dict_vals[0], -2) if dict_vals else -2
-                subs = [(batch, pid)]
-            else:
-                idx = paths.indices
-                subs = [(batch.filter(pc.equal(idx, code)),
-                         path_to_pid.get(pv, -2))
-                        for code, pv in enumerate(dict_vals)]
-        else:
-            if "path" in batch.column_names:
-                batch = batch.drop_columns(["path"])
-            subs = [(batch, -2)]
+        # ONE per-file lineage split feeds validation AND key partials
+        subs = split_by_path(batch, path_to_pid)
+        parts = []
         for sub, pid in subs:
+            parts.append(pad(stamp_partition(plan.validate_batch(sub), pid),
+                             "v"))
             parts.extend(key_partials(sub, pid))
         if sketch_fn is not None:
-            st = sketch_fn(batch)
+            whole = (subs[0][0] if len(subs) == 1 else
+                     pa.concat_tables([s for s, _ in subs]))
+            st = sketch_fn(whole)
             gt = pa.table({"doc_id": st.column("group")})
             parts.append(pad(gt, "s", sketch=st.column("sketch")))
         return pa.concat_tables([p.cast(RAW_SCHEMA) for p in parts])

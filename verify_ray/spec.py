@@ -511,6 +511,20 @@ class ConstraintSpec:
                     if unknown:
                         problems.append(
                             f"{cp}: unknown constraint keys {unknown}")
+                    # variants gate ROW-LEVEL rules only; schema-level /
+                    # table-scope constraints cannot vary by tag —
+                    # rejecting them here prevents silent no-ops
+                    schema_level = [k for k in ("dtype", "unique", "ref",
+                                                "ref_bound", "required",
+                                                "element_dtype",
+                                                "allow_unknown_fields")
+                                    if k in cdict]
+                    if schema_level:
+                        problems.append(
+                            f"{cp}: {schema_level} are schema-level/"
+                            f"table-scope constraints and cannot be "
+                            f"per-variant (variants gate row-level "
+                            f"rules only)")
                     if cdict.get("pattern") is not None:
                         try:
                             re.compile(cdict["pattern"])

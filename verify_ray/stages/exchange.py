@@ -58,6 +58,8 @@ def _exchange_refs(ds, bucket_col: str, num_buckets: int, group_fn,
         return out if out is not None else empty_result
 
     refs = [split_task.remote(block) for block in ds.to_arrow_refs()]
+    if not refs:
+        return []  # dataset produced zero blocks — nothing to exchange
     if B == 1:
         refs = [[r] for r in refs]
     return [merge_task.remote(*[refs[m][b] for m in range(len(refs))])
@@ -96,4 +98,6 @@ def grouped_exchange_ds(ds, bucket_col: str, num_buckets: int, group_fn,
     merged = _exchange_refs(ds, bucket_col, num_buckets, group_fn,
                             drop_bucket,
                             empty_result=empty_schema.empty_table())
+    if not merged:
+        return rd.from_arrow(empty_schema.empty_table())
     return rd.from_arrow_refs(merged)

@@ -26,10 +26,17 @@ from ..kernels import as_array
 from ..errors import R, msg_not_unique
 
 
+def _extract_key(t: pa.Table, column: str):
+    """Key array for ``column``, path-aware: ``meta.x`` descends struct
+    fields (the W1 key may be a nested field — M1/W1 composition)."""
+    from ..kernels import _col
+
+    return as_array(_col(t, column))
+
+
 def _partial_counts(column: str):
     def partial(batch: pa.Table) -> pa.Table:
-        col = batch.column(column)
-        vc = pc.value_counts(as_array(col))
+        vc = pc.value_counts(_extract_key(batch, column))
         values = vc.field("values")
         counts = vc.field("counts")
         # drop null keys — nullability is the non_null rule's business
@@ -81,19 +88,29 @@ def find_duplicate_keys(file_groups: list[list[str]], column: str,
     def map_task(paths: list[str]):
         import pyarrow.parquet as _pq
 
-        cols = [column] + ([cnt_column] if cnt_column else [])
-        if first_pid_column:
-            cols.append(first_pid_column)
-        if where is not None:
-            cols.append(where[0])
+        def read_for_key(p: str, extra: list[str]) -> pa.Table:
+            """Read only the key's ROOT column (+ available extras):
+            the key may be a nested path (``meta.x``), and files from
+            older engine versions may lack optional columns — project
+            by what the footer actually has, never crash on absence."""
+            names = set(_pq.ParquetFile(p).schema_arrow.names)
+            wanted = []
+            for c in [column] + extra:
+                root = c if c in names else c.split(".")[0]
+                if root in names and root not in wanted:
+                    wanted.append(root)
+            return _pq.read_table(p, columns=wanted or None)
+
         per_file = path_pids is not None and not cnt_column
-        if not per_file:
-            t = pa.concat_tables(
-                [_pq.read_table(p, columns=cols) for p in paths])
+        if cnt_column:
+            extra = [cnt_column] + ([first_pid_column] if first_pid_column else [])
+            if where is not None:
+                extra.append(where[0])
+            t = pa.concat_tables([read_for_key(p, extra) for p in paths],
+                                 promote_options="default")
             if where is not None:
                 t = t.filter(pc.equal(t.column(where[0]), where[1]))
                 t = t.drop_columns([where[0]])
-        if cnt_column:
             aggs = [(cnt_column, "sum")]
             if first_pid_column and first_pid_column in t.column_names:
                 aggs.append((first_pid_column, "min"))
@@ -115,9 +132,8 @@ def find_duplicate_keys(file_groups: list[list[str]], column: str,
             # second time for almost no row reduction
             pieces = []
             for p in paths:
-                ft = _pq.read_table(p, columns=[column])
-                col = ft.column(column).combine_chunks()
-                fvc = pc.value_counts(col)
+                ft = read_for_key(p, [])
+                fvc = pc.value_counts(_extract_key(ft, column))
                 fk = fvc.field("values")
                 fc = pc.cast(fvc.field("counts"), pa.int64())
                 m = pc.is_valid(fk)
@@ -131,9 +147,9 @@ def find_duplicate_keys(file_groups: list[list[str]], column: str,
             keys = agg.column(column)
             cnts, firsts = agg.column("cnt"), agg.column("first_pid")
         else:
-            col = t.column(column)
-            vc = pc.value_counts(col.combine_chunks()
-                                 if isinstance(col, pa.ChunkedArray) else col)
+            t = pa.concat_tables([read_for_key(p, []) for p in paths],
+                                 promote_options="default")
+            vc = pc.value_counts(_extract_key(t, column))
             keys, cnts = vc.field("values"), pc.cast(vc.field("counts"), pa.int64())
             firsts = None
         if firsts is None:
@@ -184,9 +200,10 @@ def dup_table_to_violations(dups: pa.Table, column: str) -> pa.Table:
     # first_span carries the first-seen input partition when the
     # exchange tracked it — the W1 half of NotUnique{first, duplicate}
     if "first_pid" in dups.column_names:
-        first = pa.array([f"partition={p}"
-                          for p in dups.column("first_pid").to_pylist()],
-                         type=pa.string())
+        first = pa.array(
+            [f"partition={p}" if p is not None else None
+             for p in dups.column("first_pid").to_pylist()],
+            type=pa.string())
     else:
         first = pa.nulls(n, pa.string())
     return pa.table(
@@ -225,10 +242,13 @@ def unique_violations_from_files(files: list[str], column: str,
 
 
 def unique_violations(ds, column: str, batch_size: int = 65536):
-    """Dataset of not_unique violation rows (one per duplicated key)."""
+    """Dataset of not_unique violation rows (one per duplicated key).
+    ``column`` may be a nested path (``meta.x``) — the projection keeps
+    its root column."""
     from ray.data.aggregate import Sum
 
-    partials = ds.select_columns([column]).map_batches(
+    root = column.split(".")[0] if column not in ds.schema().names else column
+    partials = ds.select_columns([root]).map_batches(
         _partial_counts(column), batch_format="pyarrow", batch_size=batch_size
     )
     totals = partials.groupby(column).aggregate(Sum("cnt", alias_name="cnt"))
