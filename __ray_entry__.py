@@ -154,6 +154,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ids.extend(b["doc_id"].to_pylist())
         return pd.DataFrame({"doc_id": sorted(ids)})
 
+    def sample_docs(sf):
+        # deterministic content-addressed 30% sample keyed on doc_id —
+        # the md5-bucket decision is reproduced exactly in SQL
+        from verify_ray.pipelines.sample import hash_sample
+
+        ds = hash_sample(_read(sf, "documents", columns=["doc_id", "source"]),
+                         rate=0.3)
+        df = ds.to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    def sample_stratified(sf):
+        from verify_ray.pipelines.sample import stratified_hash_sample
+
+        ds = stratified_hash_sample(
+            _read(sf, "documents", columns=["doc_id", "source"]),
+            rates={"src0": 0.1, "src1": 0.5}, default_rate=0.9)
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def text_norm(sf):
+        df = (text.normalize_texts(_read(sf, "documents",
+                                         columns=["doc_id", "text"]))
+              .to_pandas())
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def token_count(sf):
         return (text.token_counts(_read(sf, "documents",
                                         columns=["doc_id", "text"]))
@@ -372,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard_planted": ngram_jaccard_planted,
         "text_token_count": token_count,
         "text_fingerprint": fingerprint,
+        "text_normalize": text_norm,
+        "sample_documents": sample_docs,
+        "sample_stratified": sample_stratified,
         "ann_topk": ann,
         "embedding_near_dup": near_dup_embeddings,
         "media_metadata": media_meta,
@@ -528,6 +555,31 @@ WITH words AS (
 SELECT source, CAST(rank AS BIGINT) AS rank, token,
        CAST(cnt AS BIGINT) AS cnt, CAST(tot AS BIGINT) AS tot
 FROM ranked WHERE rank < 10 ORDER BY source, rank
+"""
+
+# md5-derived sampling bucket, identical to pipelines/sample.py
+_BUCKET = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) "
+           "AS UBIGINT) % 10000")
+
+SAMPLE_ORACLE = f"""
+SELECT doc_id, source FROM documents
+WHERE {_BUCKET} < 3000 ORDER BY doc_id
+"""
+
+SAMPLE_STRATIFIED_ORACLE = f"""
+SELECT doc_id, source FROM documents
+WHERE {_BUCKET} < CASE source WHEN 'src0' THEN 1000
+                              WHEN 'src1' THEN 5000
+                              ELSE 9000 END
+ORDER BY doc_id
+"""
+
+TEXT_NORMALIZE_ORACLE = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text),
+                                          '[^a-z0-9\\s]+', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS text_norm
+FROM documents ORDER BY doc_id
 """
 
 SEQUENCES_ORACLE = f"""
@@ -746,6 +798,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY text ORDER BY doc_id
         """,
         "sequences_validate": SEQUENCES_ORACLE,
+        "sample_documents": SAMPLE_ORACLE,
+        "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
+        "text_normalize": TEXT_NORMALIZE_ORACLE,
         "dedup_minhash_lsh": MINHASH_ORACLE,
         "dedup_simhash": SIMHASH_ORACLE,
         "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,

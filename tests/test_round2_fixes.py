@@ -261,3 +261,26 @@ def test_contains_title_interpolated():
     v = plan.validate_batch(t)
     assert v["message"].to_pylist() == [
         'at least one of the items in the array must be "LargeValue"']
+
+
+# ---- deterministic hash sampling properties -------------------------------
+
+def test_hash_sample_nested_and_deterministic(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.sample import hash_sample
+
+    t = pa.table({"doc_id": pa.array(list(range(2000)), type=pa.int64())})
+    ds = rd.from_arrow(t)
+
+    def ids(rate):
+        out = []
+        for b in hash_sample(ds, rate).iter_batches(batch_format="pyarrow"):
+            out.extend(b["doc_id"].to_pylist())
+        return set(out)
+
+    s10, s30 = ids(0.1), ids(0.3)
+    assert s10 == ids(0.1)             # deterministic
+    assert s10 <= s30                  # nested samples
+    assert 0.05 < len(s10) / 2000 < 0.15
+    assert 0.25 < len(s30) / 2000 < 0.35

@@ -212,3 +212,23 @@ def lang_id(ds, text_col="text", id_col="doc_id", concurrency=4):
 def fingerprints(ds, text_col="text", id_col="doc_id"):
     return ds.map_batches(
         lambda b: fingerprint_batch(b, text_col, id_col), batch_format="pyarrow")
+
+
+def normalize_batch(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Canonical text normalization (training-data preprocessing):
+    lowercase, strip non-alphanumerics to spaces, collapse whitespace,
+    trim.  Pure RE2 kernels (pyarrow.compute), so the exact transform
+    is reproducible in DuckDB's RE2 regexp_replace — oracle-checkable.
+    """
+    t = pc.utf8_lower(batch[text_col])
+    t = pc.replace_substring_regex(t, r"[^a-z0-9\s]+", " ")
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    return pa.table({id_col: batch[id_col], "text_norm": t})
+
+
+def normalize_texts(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: normalize_batch(b, text_col, id_col),
+        batch_format="pyarrow")
