@@ -178,6 +178,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
               .to_pandas())
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def pack_seqs(sf):
+        # sequence packing: per-source doc-concatenated 512-token
+        # examples; the oracle recomputes example boundaries and token
+        # checksums from first principles (md5 token ids + ROW_NUMBER)
+        from verify_ray.pipelines.pack import pack_sequences
+        from verify_ray.pipelines.tokenize import tokenize_documents
+
+        docs = _read(sf, "documents", columns=["doc_id", "text", "source"])
+        seqs = tokenize_documents(docs, concurrency=2)
+        out = pack_sequences(seqs, seq_len=512)
+        return out[["source", "example_id", "n_tokens", "token_sum"]].astype(
+            {"example_id": "int64", "n_tokens": "int64", "token_sum": "int64"})
+
     def token_count(sf):
         return (text.token_counts(_read(sf, "documents",
                                         columns=["doc_id", "text"]))
@@ -397,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_count": token_count,
         "text_fingerprint": fingerprint,
         "text_normalize": text_norm,
+        "pack_sequences": pack_seqs,
         "sample_documents": sample_docs,
         "sample_stratified": sample_stratified,
         "ann_topk": ann,
@@ -580,6 +594,31 @@ SELECT doc_id,
                                           '[^a-z0-9\\s]+', ' ', 'g'),
                            '\\s+', ' ', 'g')) AS text_norm
 FROM documents ORDER BY doc_id
+"""
+
+PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT source, doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS wi
+  FROM (SELECT source, doc_id,
+               regexp_split_to_array({_TRIMMED}, '\\s+') AS ws
+        FROM documents)
+), ids AS (
+  SELECT source, doc_id, wi,
+         CAST(CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) % 50000
+              AS BIGINT) AS token
+  FROM toks
+), posed AS (
+  -- the sequences table's doc_id is a STRING (tokenizer output), so
+  -- packing order is lexicographic on the key
+  SELECT source, token,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY CAST(doc_id AS VARCHAR), wi) - 1
+           AS pos
+  FROM ids
+)
+SELECT source, CAST(pos // 512 AS BIGINT) AS example_id,
+       COUNT(*) AS n_tokens, CAST(SUM(token) AS BIGINT) AS token_sum
+FROM posed GROUP BY source, example_id ORDER BY source, example_id
 """
 
 SEQUENCES_ORACLE = f"""
@@ -801,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": SAMPLE_ORACLE,
         "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
         "text_normalize": TEXT_NORMALIZE_ORACLE,
+        "pack_sequences": PACK_ORACLE,
         "dedup_minhash_lsh": MINHASH_ORACLE,
         "dedup_simhash": SIMHASH_ORACLE,
         "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,

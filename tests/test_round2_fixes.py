@@ -284,3 +284,26 @@ def test_hash_sample_nested_and_deterministic(ray_session):
     assert s10 <= s30                  # nested samples
     assert 0.05 < len(s10) / 2000 < 0.15
     assert 0.25 < len(s30) / 2000 < 0.35
+
+
+# ---- sequence packing semantics -------------------------------------------
+
+def test_pack_sequences_layout(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.pack import pack_sequences
+
+    t = pa.table({
+        "source": pa.array(["a", "a", "a", "b"]),
+        "doc_id": pa.array(["1", "2", "3", "9"]),
+        "tokens": pa.array([[1, 2, 3], [4, 5], [6], [7, 8]],
+                           type=pa.list_(pa.int32())),
+    })
+    out = pack_sequences(rd.from_arrow(t), seq_len=4)
+    a = out[out.source == "a"].reset_index(drop=True)
+    # stream 1,2,3,4,5,6 -> examples [1,2,3,4], [5,6]
+    assert list(a.example_id) == [0, 1]
+    assert list(a.n_tokens) == [4, 2]
+    assert list(a.token_sum) == [10, 11]
+    b = out[out.source == "b"]
+    assert list(b.n_tokens) == [2] and list(b.token_sum) == [15]
