@@ -446,6 +446,14 @@ def _sessions_oracle() -> str:
 # mutated copies), so the LSH pipelines' recall AND precision are the
 # checked quantities — not just the planted pairs.
 
+# the md5-first-8-bytes-big-endian hash (tokenize.word_token_id) as a
+# DuckDB expression — the ONE definition every oracle interpolates
+def _md5_u64(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 16)) AS UBIGINT)"
+
+
+_TOKEN_ID = f"CAST({_md5_u64('w')} % 50000 AS BIGINT)"
+
 # documents ∪ planted near-dup copies (mirrors _docs_with_near_dups:
 # first 20 docs, id+1M, ' extra tail' appended; doc_id is 0..n-1 sorted)
 _ALL_DOCS_CTE = """
@@ -499,13 +507,13 @@ FROM walk GROUP BY node ORDER BY doc_id""")
 # SimHash recomputed from first principles in SQL: per-occurrence md5
 # word hashes -> 64 bit-majority votes -> 16-bit band blocking ->
 # hamming <= 6 (mirrors dedup.simhash_batch/simhash_pairs exactly)
-SIMHASH_ORACLE = ("WITH " + _ALL_DOCS_CTE + """,
+SIMHASH_ORACLE = ("WITH " + _ALL_DOCS_CTE + f""",
 words AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
   FROM all_docs
 ), wh AS (
   SELECT doc_id,
-         CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS h
+         {_md5_u64('w')} AS h
   FROM words
 ), bits AS (
   SELECT doc_id, b.bit,
@@ -552,9 +560,7 @@ WITH words AS (
          unnest(regexp_split_to_array({_TRIMMED}, '\\s+')) AS w
   FROM documents
 ), tok AS (
-  SELECT source,
-         CAST(CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) % 50000
-              AS BIGINT) AS token
+  SELECT source, {_TOKEN_ID} AS token
   FROM words
 ), counts AS (
   SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY source, token
@@ -572,8 +578,7 @@ FROM ranked WHERE rank < 10 ORDER BY source, rank
 """
 
 # md5-derived sampling bucket, identical to pipelines/sample.py
-_BUCKET = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) "
-           "AS UBIGINT) % 10000")
+_BUCKET = f"{_md5_u64('CAST(doc_id AS VARCHAR)')} % 10000"
 
 SAMPLE_ORACLE = f"""
 SELECT doc_id, source FROM documents
@@ -603,9 +608,7 @@ WITH toks AS (
                regexp_split_to_array({_TRIMMED}, '\\s+') AS ws
         FROM documents)
 ), ids AS (
-  SELECT source, doc_id, wi,
-         CAST(CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) % 50000
-              AS BIGINT) AS token
+  SELECT source, doc_id, wi, {_TOKEN_ID} AS token
   FROM toks
 ), posed AS (
   -- the sequences table's doc_id is a STRING (tokenizer output), so

@@ -307,3 +307,24 @@ def test_pack_sequences_layout(ray_session):
     assert list(a.token_sum) == [10, 11]
     b = out[out.source == "b"]
     assert list(b.n_tokens) == [2] and list(b.token_sum) == [15]
+
+
+def test_pack_sequences_empty_and_null_groups(ray_session):
+    """Latent-crash regressions: zero-token groups and null token lists
+    must not break the packing layout."""
+    import ray.data as rd
+
+    from verify_ray.pipelines.pack import pack_sequences
+
+    t = pa.table({
+        "source": pa.array(["a", "b", "b", "c"]),
+        "doc_id": pa.array(["1", "2", "3", "4"]),
+        "tokens": pa.array([[], [1, 2], None, [3]],
+                           type=pa.list_(pa.int32())),
+    })
+    out = pack_sequences(rd.from_arrow(t), seq_len=4)
+    got = {(r.source, r.example_id): (r.n_tokens, r.token_sum)
+           for r in out.itertuples()}
+    # 'a' contributes nothing; 'b' packs [1,2] (null list = no tokens);
+    # 'c' packs [3]
+    assert got == {("b", 0): (2, 3), ("c", 0): (1, 3)}

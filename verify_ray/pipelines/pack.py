@@ -55,28 +55,35 @@ def pack_sequences(seqs_ds, seq_len: int = 512, group_col: str = "source",
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
-        lengths = pc.list_value_length(toks).to_numpy(
+        # null token lists contribute zero tokens (flatten skips them)
+        lengths = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        # token-level group labels + within-group positions
-        tok_group = np.repeat(np.arange(len(groups)), lengths)
+        # per-row flat-stream starts; within-group position = flat pos
+        # minus the flat start of the group's FIRST row (cumsum-based,
+        # so rows/groups with zero tokens never shift the indexing)
+        row_starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
         row_group_change = np.concatenate(
             [[True], groups[1:] != groups[:-1]])
         grp_id_per_row = np.cumsum(row_group_change) - 1
-        tok_grp = grp_id_per_row[tok_group]
-        # global position minus the group's start position
+        grp_first_start = row_starts[np.flatnonzero(row_group_change)]
+        tok_row = np.repeat(np.arange(len(groups)), lengths)
         pos = np.arange(len(flat), dtype=np.int64)
-        grp_starts = np.concatenate(
-            [[0], np.flatnonzero(np.diff(tok_grp)) + 1]) if len(flat) else []
-        within = (pos - np.asarray(grp_starts)[tok_grp]) if len(flat) else pos
+        within = pos - grp_first_start[grp_id_per_row[tok_row]]
+        tok_grp = grp_id_per_row[tok_row]
         ex = within // seq_len
+        if len(flat) == 0:
+            return pa.table({
+                group_col: pa.array([], type=t.schema.field(group_col).type),
+                "example_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "token_sum": pa.array([], type=pa.int64()),
+            })
         # examples are contiguous runs of (grp, ex): reduceat aggregates
         change = np.concatenate([[True], (tok_grp[1:] != tok_grp[:-1])
-                                 | (ex[1:] != ex[:-1])]) if len(flat) else \
-            np.array([], dtype=bool)
+                                 | (ex[1:] != ex[:-1])])
         starts = np.flatnonzero(change)
         n_tok = np.diff(np.append(starts, len(flat)))
-        sums = np.add.reduceat(flat.astype(np.int64), starts) if len(starts) \
-            else np.array([], dtype=np.int64)
+        sums = np.add.reduceat(flat.astype(np.int64), starts)
         grp_names = groups[row_group_change]
         return pa.table({
             group_col: pa.array(grp_names[tok_grp[starts]]),

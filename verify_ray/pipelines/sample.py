@@ -17,8 +17,6 @@ driver oracle checks the exact surviving row set.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -27,14 +25,15 @@ GRANULARITY = 10_000
 
 
 def _hash_buckets(keys: list) -> np.ndarray:
-    """md5-derived bucket in [0, GRANULARITY) per key (None -> -1)."""
+    """md5-derived bucket in [0, GRANULARITY) per key (None -> -1).
+
+    Delegates to tokenize.word_token_id — the SINGLE authoritative
+    md5-first-8-bytes-big-endian hash that every SQL oracle mirrors."""
+    from .tokenize import word_token_id
+
     out = np.empty(len(keys), dtype=np.int64)
     for i, k in enumerate(keys):
-        if k is None:
-            out[i] = -1
-        else:
-            h = hashlib.md5(str(k).encode("utf-8")).digest()[:8]
-            out[i] = int.from_bytes(h, "big") % GRANULARITY
+        out[i] = -1 if k is None else word_token_id(str(k), GRANULARITY)
     return out
 
 
