@@ -141,8 +141,13 @@ def main() -> None:
         rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8).map_batches(
             lambda b: b).count()
         # best of two runs: the first touches cold plasma pages / page
-        # cache; the second is the steady state a long-running job sees
-        runs = [bench_validate_sequences(seq_dir, manifest) for _ in range(2)]
+        # cache; the second is the steady state a long-running job sees.
+        # At 1-2 CPUs a single run suffices (runs are minutes long, so
+        # per-run noise is proportionally small and two runs can blow
+        # the driver's time budget in slow machine phases)
+        n_runs = 1 if NUM_CPUS <= 2 else 2
+        runs = [bench_validate_sequences(seq_dir, manifest)
+                for _ in range(n_runs)]
         headline = min(runs)
         queries = ({} if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")
                    else bench_queries())
