@@ -190,3 +190,52 @@ def test_streaming_w1_first_span(ray_session, tmp_path):
                                       "dups-doc_id.parquet"))
     rows = {r["doc_id"]: r["first_span"] for r in dups.to_pylist()}
     assert rows == {"77": "partition=0", "5": "partition=1"}
+
+
+def test_run_nested_and_tagged_spec(ray_session, tmp_path):
+    """The streaming (100 TB) path handles struct fields and tagged
+    dispatch like the interactive path."""
+    import pyarrow as pa
+
+    typ = pa.struct([("lang", pa.string()), ("score", pa.float64())])
+    for i in range(2):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([i * 2, i * 2 + 1], type=pa.int64()),
+            "kind": pa.array(["purchase", "browse"]),
+            "value": pa.array([1.0, -50.0]),
+            "meta": pa.array([{"lang": "xx", "score": 0.5},
+                              {"lang": "en", "score": 2.0}], type=typ),
+        }), str(tmp_path / f"f{i}.parquet"))
+    spec = {
+        "key": "doc_id",
+        "columns": {
+            "doc_id": {"dtype": "int64", "unique": True},
+            "kind": {"dtype": "string"},
+            "value": {"dtype": "float64"},
+            "meta": {"fields": {
+                "lang": {"enum": ["en", "de"]},
+                "score": {"maximum": 1.0},
+            }},
+        },
+        "tagged": [{"tag": "kind", "variants": {
+            "purchase": {"columns": {"value": {"minimum": 5}}},
+        }}],
+    }
+    out = str(tmp_path / "out")
+    rep = run(spec, [str(tmp_path / f"f{i}.parquet") for i in range(2)],
+              out, group_size=1, resume=False)
+    files = glob.glob(os.path.join(out, "groups", "*", "kind=v", "*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    got = sorted(zip(t["doc_id"].to_pylist(), t["rule_id"].to_pylist(),
+                     t["span"].to_pylist()))
+    # per file: doc even -> nested enum (xx) + tagged purchase value<5;
+    # doc odd -> nested score>1.0 (browse passes tagged)
+    assert got == [
+        ("0", "invalid_enum_value", "meta.lang"),
+        ("0", "less_than_expected", "value"),
+        ("1", "more_than_expected", "meta.score"),
+        ("2", "invalid_enum_value", "meta.lang"),
+        ("2", "less_than_expected", "value"),
+        ("3", "more_than_expected", "meta.score"),
+    ]
+    assert rep["n_violations_narrow"] == 6
