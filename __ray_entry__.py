@@ -483,6 +483,15 @@ toks AS (
   FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
 )"""
 
+# SEPARATION ASSUMPTION (ADVICE r2): this oracle asserts EXACT set
+# equality between the probabilistic MinHash-LSH pipeline and the exact
+# word-3-gram Jaccard>=0.5 truth set.  That only holds because the
+# seed-42 testdata is well separated: planted near-dup pairs sit far
+# above 0.5 and all background pairs far below, so the signature
+# estimate (LSH threshold 0.6, then exact verify at 0.5) can't flip a
+# pair across the boundary.  If the generator's parameters or the
+# LSH config change, a failure here may be statistical, not a code bug
+# — check pair Jaccards near 0.5 before debugging the pipeline.
 MINHASH_ORACLE = ("WITH " + _NEAR_PAIRS_CTE
                   + "\nSELECT doc_a, doc_b FROM near ORDER BY doc_a, doc_b")
 

@@ -1,0 +1,63 @@
+"""Round-3 regression tests for the ADVICE r2 fixes."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_hopping_window_unit_safe(ray_session):
+    """hopping_window_events must normalize timestamps to microseconds:
+    a timestamp[ns] input (the pandas default) previously produced
+    garbage window boundaries because the int64 cast yields ns ticks
+    while the arithmetic assumes us."""
+    import ray
+
+    from verify_ray.pipelines.analytics import hopping_window_events
+
+    ts = pd.to_datetime(["2024-01-01 00:30:00", "2024-01-01 07:00:00",
+                         "2024-01-01 13:15:00"])
+    df = pd.DataFrame({"ts": ts, "value": [1.0, 2.0, 4.0]})
+    assert df["ts"].dtype == "datetime64[ns]"  # the trap being tested
+
+    out_ns = hopping_window_events(ray.data.from_pandas(df).materialize(),
+                                   width_hours=24, slide_hours=6)
+    df_us = df.copy()
+    df_us["ts"] = df_us["ts"].astype("datetime64[us]")
+    out_us = hopping_window_events(ray.data.from_pandas(df_us).materialize(),
+                                   width_hours=24, slide_hours=6)
+    pd.testing.assert_frame_equal(out_ns, out_us)
+    # each event lands in 24/6 = 4 windows; earliest window containing
+    # the 00:30 event starts 18h earlier, at 06:00 the previous day
+    assert out_ns["ws"].min() == pd.Timestamp("2023-12-31 06:00:00")
+    assert out_ns["n_events"].sum() == 3 * 4
+
+
+def test_unique_unknown_lineage_null_first_span(ray_session, tmp_path):
+    """Files absent from path_pids must yield a NULL first_span, not the
+    bogus 'partition=-1' — and must not beat a real pid in the min."""
+    from verify_ray.stages.unique import (dup_table_to_violations,
+                                          find_duplicate_keys)
+
+    p1, p2, p3 = (str(tmp_path / f"{n}.parquet") for n in "abc")
+    pq.write_table(pa.table({"doc_id": ["dup1", "x"]}), p1)
+    pq.write_table(pa.table({"doc_id": ["dup1", "dup2"]}), p2)
+    pq.write_table(pa.table({"doc_id": ["dup2", "y"]}), p3)
+
+    # p1 has no pid (unknown lineage); p2=5, p3=7
+    dups = find_duplicate_keys([[p1], [p2], [p3]], "doc_id", num_buckets=2,
+                               path_pids={p2: 5, p3: 7})
+    v = dup_table_to_violations(dups, "doc_id")
+    spans = {r["doc_id"]: r["first_span"] for r in v.to_pylist()}
+    # dup1 first seen in p1 (unknown) and p2 (pid 5): real pid wins
+    assert spans["dup1"] == "partition=5"
+    # dup2 seen only in known files: min(5, 7) = 5
+    assert spans["dup2"] == "partition=5"
+
+    # all-unknown lineage -> null first_span
+    dups2 = find_duplicate_keys([[p1], [p2]], "doc_id", num_buckets=1,
+                                path_pids={})
+    v2 = dup_table_to_violations(dups2, "doc_id")
+    rows = {r["doc_id"]: r for r in v2.to_pylist()}
+    assert rows["dup1"]["first_span"] is None
+    assert "partition=-1" not in str(v2.to_pylist())

@@ -337,8 +337,11 @@ def hopping_window_events(ds, width_hours: int = 24, slide_hours: int = 6,
     slide_us = np.int64(slide_hours) * 3_600_000_000
 
     def partial(t: pa.Table) -> pa.Table:
-        ts = pc.cast(t.column(ts_col), pa.int64()).to_numpy(
-            zero_copy_only=False)
+        # Normalize to microseconds first: a bare int64 cast yields ticks
+        # in the column's NATIVE unit (ns for pandas-born data), which
+        # would silently break the us-based window arithmetic below.
+        ts = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
         val = np.nan_to_num(pc.cast(t.column(value_col), pa.float64())
                             .to_numpy(zero_copy_only=False))
         base = (ts // slide_us) * slide_us

@@ -98,6 +98,10 @@ def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id",
             _content_hash_batch(b, content_col, id_col).column("content_hash"))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    # two consumers below (join winners + null-group scan): materialize
+    # once so the hash+groupby pipeline doesn't execute twice
+    # (CLAUDE.md multi-consumer guidance)
+    groups = groups.materialize()
     winners = groups.select_columns(["content_hash", "keep_id"])
     joined = hashed.join(winners, "inner", num_partitions,
                          on=("content_hash",))

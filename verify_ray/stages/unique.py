@@ -138,10 +138,14 @@ def find_duplicate_keys(file_groups: list[list[str]], column: str,
                 fc = pc.cast(fvc.field("counts"), pa.int64())
                 m = pc.is_valid(fk)
                 fk, fc = fk.filter(m), fc.filter(m)
+                # unknown lineage -> null pid (NOT -1: Arrow's min
+                # aggregate skips nulls, so a real pid still wins, and
+                # an all-unknown key yields a null first_span instead of
+                # the bogus 'partition=-1')
+                pid = path_pids.get(p)
                 pieces.append(pa.table({
                     column: fk, "cnt": fc,
-                    "first_pid": pa.array(
-                        np.full(len(fk), path_pids.get(p, -1), dtype=np.int32)),
+                    "first_pid": pa.array([pid] * len(fk), type=pa.int32()),
                 }))
             agg = pa.concat_tables(pieces).combine_chunks()
             keys = agg.column(column)
