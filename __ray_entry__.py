@@ -357,11 +357,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return analytics.token_topk_by_source(seqs, k=10)
 
     def lsh_ann(sf):
+        # exhaustive multi-probe configuration (probe_hamming = bits):
+        # every row is a candidate, so the LSH scan is exact BY
+        # CONSTRUCTION and SQL-oracleable — the same trick as IVF's
+        # full-probe.  The default probe_hamming=0 approximate path is
+        # covered by pytest recall-monotonicity tests
+        # (test_similarity_ivf.py::test_lsh_recall_monotone_*).
         emb = pq.read_table(f"{sf}/embeddings.parquet")
         qmat = np.stack(emb.column("embedding").to_pylist()[:5]).astype(np.float64)
         qids = emb.column("vec_id").to_pylist()[:5]
-        return similarity.lsh_ann_topk(_read(sf, "embeddings"), qmat, k=10,
-                                       query_ids=qids)
+        out = similarity.lsh_ann_topk(_read(sf, "embeddings"), qmat, k=10,
+                                      bits=8, tables=1, probe_hamming=8,
+                                      query_ids=qids)
+        return out[["query_id", "vec_id"]]
 
     def ivf_ann(sf):
         # full-probe configuration (nprobe = n_centroids) is exact by
@@ -428,8 +436,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "infer_documents_spec": infer_docs_spec,
         "embedding_near_dup_lsh": near_dup_lsh,
         "ann_topk_ivf": ivf_ann,
-        # rows-only (LSH ANN top-k recall is parameter-dependent; no
-        # exact SQL-predictable output — the exact ann_topk IS oracled)
         "ann_topk_lsh": lsh_ann,
     }
 
@@ -862,6 +868,19 @@ def oracle_sql() -> dict[str, str]:
         "token_topk_by_source": TOKEN_TOPK_ORACLE,
         "infer_documents_spec": INFER_SPEC_ORACLE,
         "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                         FROM embeddings WHERE vec_id < 5),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(q.qe, e.embedding) AS sim_raw
+                         FROM q CROSS JOIN embeddings e),
+                 r AS (SELECT query_id, vec_id, sim_raw,
+                              ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim_raw DESC, vec_id) AS rk
+                         FROM s)
+            SELECT query_id, vec_id
+            FROM r WHERE rk <= 10 ORDER BY query_id, sim_raw DESC, vec_id
+        """,
+        "ann_topk_lsh": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                          FROM embeddings WHERE vec_id < 5),
                  s AS (SELECT q.query_id, e.vec_id,

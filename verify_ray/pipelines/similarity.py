@@ -103,12 +103,28 @@ def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return out
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 arrays (numpy<2 has no
+    bitwise_count): view as bytes, unpack bits, sum per word."""
+    b = np.unpackbits(x.view(np.uint8).reshape(x.shape + (8,)), axis=-1)
+    return b.sum(axis=-1).astype(np.int64)
+
+
 def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, emb_col: str = "embedding",
                  id_col: str = "vec_id", query_ids=None, bits: int = 8,
-                 tables: int = 4):
+                 tables: int = 4, probe_hamming: int = 0):
     """Approximate top-k: scan only batches' rows whose LSH signature (in
-    any of ``tables`` hyperplane tables) matches the query's.  Same
-    output shape as ann_topk."""
+    any of ``tables`` hyperplane tables) is within ``probe_hamming``
+    bits of the query's.  Same output shape as ann_topk.
+
+    ``probe_hamming`` is multi-probe LSH: probing nearby buckets raises
+    recall without extra tables (each +1 of radius multiplies the probed
+    volume by ~bits).  ``probe_hamming >= bits`` makes every row a
+    candidate — the scan degrades to exact brute force BY CONSTRUCTION,
+    which is the oracleable configuration (the same trick as IVF's
+    full-probe): it exercises the real signature + Hamming machinery
+    while having a SQL-predictable exact answer.
+    """
     import pandas as pd
     import ray
 
@@ -126,7 +142,11 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, emb_col: str = "embedding
         sigs = np.stack([_signatures(emb, p) for p in pl])  # (tables, rows)
         out_q, out_id, out_s = [], [], []
         for j in range(qm.shape[0]):
-            cand_mask = (sigs == qs[:, j][:, None]).any(axis=0)
+            if probe_hamming > 0:
+                dist = _popcount64(np.bitwise_xor(sigs, qs[:, j][:, None]))
+                cand_mask = (dist <= probe_hamming).any(axis=0)
+            else:
+                cand_mask = (sigs == qs[:, j][:, None]).any(axis=0)
             if not cand_mask.any():
                 continue
             sims = emb[cand_mask] @ qm[j]
