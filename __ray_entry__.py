@@ -593,7 +593,9 @@ FROM ranked WHERE rank < 10 ORDER BY source, rank
 """
 
 # md5-derived sampling bucket, identical to pipelines/sample.py
-_BUCKET = f"{_md5_u64('CAST(doc_id AS VARCHAR)')} % 10000"
+# (little-endian first-8-bytes = md5_number_upper; see sample.py
+# docstring for why this differs from word_token_id's big-endian form)
+_BUCKET = "md5_number_upper(CAST(doc_id AS VARCHAR)) % 10000"
 
 SAMPLE_ORACLE = f"""
 SELECT doc_id, source FROM documents

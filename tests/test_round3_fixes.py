@@ -61,3 +61,35 @@ def test_unique_unknown_lineage_null_first_span(ray_session, tmp_path):
     rows = {r["doc_id"]: r for r in v2.to_pylist()}
     assert rows["dup1"]["first_span"] is None
     assert "partition=-1" not in str(v2.to_pylist())
+
+
+def test_hash_buckets_vectorized_speed_and_parity():
+    """The DuckDB-vectorized sampling hash must agree with the
+    pure-Python little-endian md5 definition and clearly beat it on a
+    high-cardinality batch (VERDICT r2 item 4)."""
+    import hashlib
+    import time
+
+    from verify_ray.pipelines.sample import GRANULARITY, _hash_buckets
+
+    keys = [f"doc-{i:012d}" for i in range(100_000)] + [None]
+    arr = pa.array(keys, type=pa.string())
+
+    t0 = time.time()
+    fast = _hash_buckets(arr)
+    t_fast = time.time() - t0
+
+    t0 = time.time()
+    slow = np.array(
+        [-1 if k is None else
+         int.from_bytes(hashlib.md5(k.encode()).digest()[:8], "little")
+         % GRANULARITY for k in keys], dtype=np.int64)
+    t_slow = time.time() - t0
+
+    assert np.array_equal(fast, slow)
+    assert fast[-1] == -1  # null key -> never sampled
+    # warm path (connection cached) for the timing claim
+    t0 = time.time()
+    _hash_buckets(arr)
+    t_warm = time.time() - t0
+    assert t_warm * 2.5 < t_slow, (t_warm, t_slow)
