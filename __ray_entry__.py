@@ -325,11 +325,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .astype({"doc_a": "int64", "doc_b": "int64"}))
 
     def near_dup_lsh(sf):
-        # high-recall LSH (auto-sized bits, 32 tables): the DuckDB exact
-        # cosine oracle checks the id-set — recall AND precision of the
-        # bucketed path (sim values dropped: DuckDB computes float32)
+        # tau=0.4 sits BELOW the banded-LSH feasibility boundary (true
+        # pairs are ~6e-4 above the threshold in this data — no
+        # separation), so plan_lsh_bands returns None and the pipeline
+        # routes to the distributed blocked exact scan, logged.  The
+        # DuckDB exact cosine oracle therefore checks the router AND
+        # the blocked scan exactly (sim values dropped: DuckDB computes
+        # float32).  The genuine banded path is oracle-checked by
+        # tests/test_similarity_lsh_pairs.py at high tau.
         out = similarity.embedding_near_dup_lsh(_read(sf, "embeddings"),
-                                                tau=0.4, tables=32)
+                                                tau=0.4)
         return out[["doc_a", "doc_b"]].astype({"doc_a": "int64",
                                                "doc_b": "int64"})
 

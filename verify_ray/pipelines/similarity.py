@@ -202,119 +202,234 @@ def embedding_near_dup_exact(ds, tau: float = 0.95, emb_col: str = "embedding",
     return res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def embedding_near_dup_lsh(ds, tau: float = 0.95, emb_col: str = "embedding",
-                           id_col: str = "vec_id", bits: int | None = None,
-                           tables: int = 6, rows_per_group: int = 200_000,
-                           target_bucket: int = 32):
-    """Near-dup pairs via hyperplane-LSH buckets — the scale path for
-    the exact variant.  Same candidate-then-verify shape as
-    ``dedup.minhash_lsh_pairs``:
+def plan_lsh_bands(n_rows: int, tau: float, target_bucket: int = 64,
+                   recall_target: float = 0.995, w_min: int = 4,
+                   w_max: int = 16, max_bands: int = 16):
+    """Tau-aware banded-LSH feasibility plan (VERDICT r2 item 1).
 
-    * the exchange carries ONLY ``(bucket: u64, vec_id)`` rows — one
-      per row per table, never the vector itself (a ``dim × 8B``
-      payload per band row would multiply shuffle bytes by ``tables``);
-    * coarse-group count sized from the data; candidate pairs are the
-      multi-member fine buckets;
-    * candidates verified exactly in a second streaming pass that
-      fetches only the candidate ids' vectors (broadcast id filter).
+    One signature per vector, split into ``bands`` chunks of ``w``
+    hyperplane bits; a pair is a candidate iff it agrees exactly on
+    some band, so recall at cosine tau is ``1 - (1 - p^w)^bands`` with
+    ``p = 1 - arccos(tau)/pi`` the per-bit collision probability
+    (standard MinHash-style banding analysis, applied to hyperplane
+    bits).
 
-    Recall tuning: P(pair found) = 1-(1-p^bits)^tables with
-    p = 1 - angle/pi.  Lower ``bits`` / higher ``tables`` raises recall
-    AND bucket sizes.  ``bits=None`` auto-sizes to
-    ``log2(n / target_bucket)`` (clamped to [4, 16]) so expected bucket
-    occupancy — and therefore per-bucket candidate-pair volume — stays
-    CONSTANT as the dataset grows; without this the all-pairs expansion
-    inside a bucket is O((n / 2^bits)^2) and explodes quadratically.
+    ``w`` is first sized from the data (``log2(n / target_bucket)``,
+    constant expected bucket occupancy as n grows), then walked DOWN
+    until a band count ``<= max_bands`` reaches ``recall_target`` —
+    wider bands mean fewer false candidates, so the widest feasible w
+    wins.  Returns ``(w, bands, predicted_recall)`` or ``None`` when
+    even ``w_min`` needs more than ``max_bands`` bands (tau too low:
+    p^w_min is so small that reaching the recall target needs a
+    near-all-pairs candidate volume — the caller must use the exact
+    scan instead).
+    """
+    import math
+
+    p = 1.0 - float(np.arccos(np.clip(tau, -1.0, 1.0))) / np.pi
+    if p <= 0:
+        return None
+    w_data = int(np.clip(np.ceil(np.log2(max(n_rows, 2) / target_bucket)),
+                         w_min, w_max))
+    for w in range(w_data, w_min - 1, -1):
+        pw = p ** w
+        if pw >= 1.0:
+            return w, 1, 1.0
+        bands = math.ceil(math.log1p(-recall_target) / math.log1p(-pw))
+        if bands <= max_bands:
+            recall = 1.0 - (1.0 - pw) ** bands
+            return w, bands, recall
+    return None
+
+
+def blocked_exact_pairs(ds, tau: float, emb_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Distributed all-pairs cosine >= tau via block-pair tasks.
+
+    The narrow (id, embedding) projection is materialized ONCE; each
+    Ray task normalizes two blocks and runs one f64 matmul, returning
+    only the matching pairs (output-sized).  O(n^2 / blocks^2) flops
+    per task with zero per-row Python — this is the correct degenerate
+    route when LSH cannot prune (see plan_lsh_bands), and the scale
+    path for the broadcast-limited ``embedding_near_dup_exact``.
     """
     import pandas as pd
     import ray
 
-    from .dedup import _coarse_count, _pairs_in_fine_buckets
-    from ..stages.exchange import grouped_exchange
-
-    planes_cache: list = []
-
-    def get_planes(dim: int):
-        if not planes_cache:
-            planes_cache.append(
-                [_hyperplanes(dim, bits, t) for t in range(tables)])
-        return planes_cache[0]
-
-    def to_rows(batch: pa.Table) -> pa.Table:
-        emb = _normalize(_emb_matrix(batch, emb_col))
-        planes = get_planes(emb.shape[1])
-        ids = batch[id_col]
-        parts = []
-        for t, p in enumerate(planes):
-            sig = _signatures(emb, p) | (np.uint64(t) << np.uint64(56))
-            parts.append(pa.table({
-                "bucket": pa.array(sig, type=pa.uint64()),
-                "doc_id": ids,
-            }))
-        return pa.concat_tables(parts)
-
-    n_rows = ds.count()
-    if bits is None:
-        bits = int(np.clip(np.ceil(np.log2(max(n_rows, 1) / target_bucket)),
-                           4, 16))
-    num_coarse = _coarse_count(n_rows * tables, rows_per_group)
-    rows = ds.select_columns([id_col, emb_col]).map_batches(
-        to_rows, batch_format="pyarrow")
-
-    def coarse_fn(t: pa.Table) -> pa.Table:
-        out = _pairs_in_fine_buckets(t.to_pandas())
-        if out is None:
-            out = pd.DataFrame({"doc_a": [], "doc_b": []})
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    cand = grouped_exchange(rows, "bucket", num_coarse, coarse_fn,
-                            drop_bucket=False)
     empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                           "doc_b": pd.Series(dtype="int64"),
                           "sim": pd.Series(dtype="float64")})
-    if cand is None or cand.num_rows == 0:
-        return empty
-    cand = cand.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"])
-
-    # verify pass: vectors only for candidate ids, gathered into ONE
-    # matrix indexed by searchsorted position (no per-pair Python work).
-    # Candidate volume is bounded per bucket (~target_bucket^2/2 pairs)
-    # so it grows LINEARLY with n; if even that outgrows the driver,
-    # run this verification itself through grouped_exchange keyed on
-    # hash(doc_a).
-    wanted = np.unique(np.concatenate([cand["doc_a"].to_numpy(),
-                                       cand["doc_b"].to_numpy()]))
-    wanted_ref = ray.put(wanted)
-
-    def fetch(batch: pa.Table) -> pa.Table:
-        w = ray.get(wanted_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sel = np.flatnonzero(np.isin(ids, w))
-        return batch.take(pa.array(sel)) if len(sel) else batch.slice(0, 0)
-
-    V = None
-    fetched = ds.select_columns([id_col, emb_col]).map_batches(
-        fetch, batch_format="pyarrow")
-    for bt in fetched.iter_batches(batch_format="pyarrow"):
-        if bt.num_rows == 0:
-            continue
-        m = _normalize(_emb_matrix(bt, emb_col))
-        if V is None:
-            V = np.zeros((len(wanted), m.shape[1]))
-        pos = np.searchsorted(wanted, bt[id_col].to_numpy(zero_copy_only=False))
-        V[pos] = m
-    if V is None:
+    # to_arrow_refs executes the narrow projection once and pins the
+    # blocks in the object store — no driver copy, no extra pass
+    refs = ds.select_columns([id_col, emb_col]).to_arrow_refs()
+    if not refs:
         return empty
 
-    ai = np.searchsorted(wanted, cand["doc_a"].to_numpy())
-    bi = np.searchsorted(wanted, cand["doc_b"].to_numpy())
-    sims = np.einsum("ij,ij->i", V[ai], V[bi])
-    keep = sims >= tau
-    out = pd.DataFrame({"doc_a": cand["doc_a"].to_numpy()[keep],
-                        "doc_b": cand["doc_b"].to_numpy()[keep],
-                        "sim": np.round(sims[keep], 6)})
-    if out.empty:
+    @ray.remote
+    def prep(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        return (t[id_col].to_numpy(zero_copy_only=False),
+                _normalize(_emb_matrix(t, emb_col)))
+
+    preps = [prep.remote(r) for r in refs]
+
+    @ray.remote
+    def cross(pi, pj, same: bool):
+        if pi is None or pj is None:
+            return None
+        (ia, Ma), (ib, Mb) = pi, pj
+        S = Ma @ Mb.T
+        if same:
+            S[np.tril_indices(len(ia))] = -2.0  # self + one orientation
+        r, c = np.nonzero(S >= tau)
+        if len(r) == 0:
+            return None
+        a, b, s = ia[r], ib[c], S[r, c]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        keep = a2 != b2  # same id in two blocks: not a pair
+        return pa.table({"doc_a": pa.array(a2[keep]),
+                         "doc_b": pa.array(b2[keep]),
+                         "sim": pa.array(np.round(s[keep], 6),
+                                         type=pa.float64())})
+
+    tasks = [cross.remote(preps[i], preps[j], i == j)
+             for i in range(len(preps)) for j in range(i, len(preps))]
+    parts = [t for t in ray.get(tasks) if t is not None and t.num_rows]
+    if not parts:
         return empty
+    out = (pa.concat_tables(parts).to_pandas()
+           .drop_duplicates(subset=["doc_a", "doc_b"]))
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def embedding_near_dup_lsh(ds, tau: float = 0.95, emb_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           rows_per_group: int = 200_000,
+                           target_bucket: int = 64,
+                           recall_target: float = 0.995,
+                           max_bands: int = 16):
+    """Near-dup pairs via banded hyperplane signatures — the scale path
+    for the exact variant, redesigned per VERDICT r2 item 1 (the old
+    independent-tables form emitted near-all-pairs 32x over and was
+    25x slower than the exact scan at bench parameters):
+
+    * ONE signature per vector (``bands × w`` bits, tau-aware sizing —
+      see ``plan_lsh_bands``); a pair is a candidate iff some band
+      matches exactly, and (w, bands) are solved from the banding
+      recall formula so recall >= recall_target at cosine tau by
+      design, not by blindly stacking tables;
+    * each vector emits ``bands`` rows of ``(band-bucket: u64, id,
+      normalized f32 vector)`` — carrying the vector costs the same
+      shuffle bytes as the old 32 id-only tables (dim×4B ≈ 32×8B at
+      dim 64) and buys IN-EXCHANGE exact verification: each merge task
+      verifies its buckets with one einsum, so no candidate frame, no
+      signature dict and no second fetch pass ever reach the driver;
+      only verified (output-sized) pairs do;
+    * when no feasible plan exists (tau so low that bucket collisions
+      approach all-pairs — e.g. the oracle's tau=0.4, where true pairs
+      sit ~6e-4 above the threshold), the candidate set would be the
+      full pair set anyway: route to ``blocked_exact_pairs`` and log
+      the degeneration instead of simulating LSH at 25x the cost.
+    """
+    import logging
+
+    import pandas as pd
+
+    from .dedup import _bucket_pair_indices, _coarse_count
+    from ..stages.exchange import grouped_exchange
+
+    log = logging.getLogger("verify_ray.similarity")
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "sim": pd.Series(dtype="float64")})
+
+    n_rows = ds.count()
+    if n_rows < 2:
+        return empty
+    plan = plan_lsh_bands(n_rows, tau, target_bucket, recall_target,
+                          max_bands=max_bands)
+    if plan is None:
+        log.warning(
+            "embedding_near_dup_lsh: no feasible band plan at tau=%.3f "
+            "(per-bit collision p=%.3f): candidate volume would approach "
+            "all pairs — routing to blocked_exact_pairs", tau,
+            1.0 - float(np.arccos(tau)) / np.pi)
+        return blocked_exact_pairs(ds, tau, emb_col, id_col)
+    w, bands, recall = plan
+    bits = w * bands
+    log.info(
+        "embedding_near_dup_lsh: w=%d bands=%d (bits=%d) predicted "
+        "recall=%.4f expected candidate fraction/pair=%.2e",
+        w, bands, bits, recall, bands * 0.5 ** w)
+
+    plane_cache: list = []
+
+    def planes_for(dim: int) -> np.ndarray:
+        if not plane_cache:
+            plane_cache.append(_hyperplanes(dim, bits, 0))
+        return plane_cache[0]
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_emb_matrix(batch, emb_col)).astype(np.float32)
+        dim = emb.shape[1]
+        sig_bits = (emb @ planes_for(dim).T.astype(np.float32)) > 0
+        ids = batch[id_col]
+        parts = []
+        for band in range(bands):
+            chunk = sig_bits[:, band * w:(band + 1) * w]
+            val = np.zeros(len(emb), dtype=np.uint64)
+            for b in range(w):
+                val |= chunk[:, b].astype(np.uint64) << np.uint64(b)
+            bucket = val | (np.uint64(band) << np.uint64(48))
+            parts.append(pa.table({
+                "bucket": pa.array(bucket, type=pa.uint64()),
+                "doc_id": ids,
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(emb.ravel(), type=pa.float32()), dim),
+            }))
+        return pa.concat_tables(parts)
+
+    rows = ds.select_columns([id_col, emb_col]).map_batches(
+        to_rows, batch_format="pyarrow")
+    num_coarse = _coarse_count(n_rows * bands, rows_per_group)
+
+    def verify_group(t: pa.Table) -> pa.Table:
+        # dedup (bucket, doc_id), bucket-sort, expand within-bucket
+        # pairs, verify ALL of them with one einsum — nothing leaves
+        # this task except pairs that actually pass tau
+        df_key = pd.DataFrame({
+            "bucket": t.column("bucket").to_numpy(zero_copy_only=False),
+            "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False)})
+        keep_idx = (~df_key.duplicated()).to_numpy().nonzero()[0]
+        t = t.take(pa.array(keep_idx))
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        vec = as_array(t.column("vec"))
+        dim = vec.type.list_size
+        V = vec.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+        order = np.lexsort((ids, b))
+        b, ids, V = b[order], ids[order], V[order]
+        ia, ib = _bucket_pair_indices(b)
+        if len(ia) == 0:
+            return None
+        sims = np.einsum("ij,ij->i", V[ia].astype(np.float64),
+                         V[ib].astype(np.float64))
+        keep = sims >= tau
+        if not keep.any():
+            return None
+        out = pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]],
+                            "sim": np.round(sims[keep], 6)})
+        out = out.drop_duplicates(subset=["doc_a", "doc_b"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    res = grouped_exchange(rows, "bucket", num_coarse, verify_group,
+                           drop_bucket=False)
+    if res is None or res.num_rows == 0:
+        return empty
+    out = res.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"])
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
