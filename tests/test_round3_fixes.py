@@ -93,3 +93,27 @@ def test_hash_buckets_vectorized_speed_and_parity():
     _hash_buckets(arr)
     t_warm = time.time() - t0
     assert t_warm * 2.5 < t_slow, (t_warm, t_slow)
+
+
+def test_ngram_jaccard_skewed_cluster_in_exchange(ray_session):
+    """A 500-member duplicate cluster (~125k candidate pairs) must
+    verify inside the exchange: pairs fan out over multiple verify
+    tasks, texts never form a driver-side dict, and every pair comes
+    back jaccard=1.0 (VERDICT r2 item 3 skew criterion)."""
+    import itertools
+
+    import ray.data as rd
+
+    from verify_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    n = 500
+    text = "the same boilerplate sentence repeated across the corpus"
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "text": pa.array([text] * n),
+    })).materialize()
+    pairs = np.array(list(itertools.combinations(range(n), 2)))
+    cand = pd.DataFrame({"doc_a": pairs[:, 0], "doc_b": pairs[:, 1]})
+    out = ngram_jaccard_pairs(ds, cand, pairs_per_task=20_000)
+    assert len(out) == len(cand)
+    assert (out["jaccard"] == 1.0).all()

@@ -696,50 +696,143 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 # exact n-gram Jaccard verification for candidate pairs
 
 
+_FNV = np.uint64(1099511628211)
+_NGRAM_SEED = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _doc_ngram_hash_sets(texts: list, n: int) -> list:
+    """Per-doc sorted-unique uint64 word-n-gram hash arrays (None text
+    -> None).  Word hashing is ONE pd.util.hash_array call over every
+    word of every doc; per-doc n-gram combination is a vectorized
+    Horner pass over the windows.  Semantics mirror the old
+    frozenset-of-tuples exactly (docs shorter than n words contribute a
+    single truncated shingle; an empty text contributes the empty
+    shingle), modulo the negligible 64-bit collision probability.
+    """
+    import pandas as pd
+
+    words_per_doc = [None if t is None else t.split() for t in texts]
+    all_words = [w for ws in words_per_doc if ws is not None for w in ws]
+    if all_words:
+        wh_all = pd.util.hash_array(
+            np.asarray(all_words, dtype=object)).astype(np.uint64)
+    else:
+        wh_all = np.empty(0, dtype=np.uint64)
+    out, pos = [], 0
+    with np.errstate(over="ignore"):
+        for ws in words_per_doc:
+            if ws is None:
+                out.append(None)
+                continue
+            L = len(ws)
+            wh = wh_all[pos:pos + L]
+            pos += L
+            if L >= n:
+                h = np.full(L - n + 1, _NGRAM_SEED, dtype=np.uint64)
+                for j in range(n):
+                    h = h * _FNV + wh[j:j + L - n + 1]
+            else:  # one truncated shingle (L==0: the empty shingle)
+                acc = _NGRAM_SEED
+                for j in range(L):
+                    acc = acc * _FNV + wh[j]
+                h = np.array([acc], dtype=np.uint64)
+            out.append(np.unique(h))
+    return out
+
+
 def ngram_jaccard_pairs(ds, candidate_pairs, text_col: str = "text",
-                        id_col: str = "doc_id", n: int = 3):
-    """Exact word-n-gram Jaccard for a (small) candidate pair set: the
-    verify step after LSH.  Texts of candidate docs are fetched via a
-    broadcast id-filter (semi-join), shingle sets compared exactly."""
+                        id_col: str = "doc_id", n: int = 3,
+                        pairs_per_task: int = 20_000,
+                        max_tasks: int = 256):
+    """Exact word-n-gram Jaccard for a candidate pair set: the verify
+    step after LSH — computed INSIDE the exchange (VERDICT r2 item 3).
+
+    Shape: pairs are hash-partitioned by ``doc_a`` into verify tasks
+    (all pairs of a hot near-dup cluster member land together, so a
+    skewed cluster saturates tasks, not the driver); each doc's TEXT is
+    routed only to the tasks that reference it via a broadcast
+    id->task-set map (id-sized, never text-sized); each task hashes its
+    docs' shingles once (vectorized Horner over word hashes) and
+    intersects per pair with ``np.intersect1d``.  The driver holds only
+    the candidate id pairs (the function's own input) and the verified
+    output — no ``{doc_id: text}`` dict, no per-pair Python set ops.
+    """
+    import pandas as pd
     import ray
+
+    from ..stages.exchange import grouped_exchange
 
     cand = candidate_pairs
     if hasattr(cand, "to_pandas"):
         cand = cand.to_pandas()
-    wanted = set(cand["doc_a"]) | set(cand["doc_b"])
-    wanted_ref = ray.put(wanted)
+    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    if len(cand) == 0:
+        return empty
+    cand = cand[["doc_a", "doc_b"]].reset_index(drop=True)
 
-    def fetch(b: pa.Table) -> pa.Table:
-        w = ray.get(wanted_ref)
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(np.isin(ids, list(w))))
+    B = int(np.clip(int(np.ceil(len(cand) / pairs_per_task)), 1, max_tasks))
+    pb = (pd.util.hash_array(cand["doc_a"].to_numpy())
+          % np.uint64(B)).astype(np.int64)
 
-    docs = {r[id_col]: r[text_col]
-            for r in ds.select_columns([id_col, text_col])
-                       .map_batches(fetch, batch_format="pyarrow").iter_rows()}
+    # per-task pair tables pinned in the object store; id -> task list
+    pair_refs = {}
+    need: dict = {}
+    for b, grp in cand.groupby(pb):
+        pair_refs[int(b)] = ray.put(grp.reset_index(drop=True))
+        for did in pd.unique(pd.concat([grp["doc_a"], grp["doc_b"]],
+                                       ignore_index=True)):
+            need.setdefault(did, []).append(int(b))
+    need_ref = ray.put(need)
 
-    def shingles(t: str) -> frozenset:
-        ws = t.split()
-        return frozenset(tuple(ws[i:i + n])
-                         for i in range(max(1, len(ws) - n + 1)))
+    def emit_texts(batch: pa.Table) -> pa.Table:
+        nd = ray.get(need_ref)
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        ob, oi, ot = [], [], []
+        for did, txt in zip(ids, texts):
+            tasks = nd.get(did)
+            if tasks is None:
+                continue
+            for b in tasks:
+                ob.append(b)
+                oi.append(did)
+                ot.append(txt)
+        return pa.table({"bucket": pa.array(ob, type=pa.uint64()),
+                         "did": pa.array(oi),
+                         "txt": pa.array(ot, type=pa.string())})
 
-    # each doc appears in many candidate pairs — build its shingle set
-    # exactly once
-    sets = {did: shingles(txt) for did, txt in docs.items()
-            if txt is not None}
+    text_rows = ds.select_columns([id_col, text_col]).map_batches(
+        emit_texts, batch_format="pyarrow")
 
-    out = {"doc_a": [], "doc_b": [], "jaccard": []}
-    for a, b in zip(cand["doc_a"].tolist(), cand["doc_b"].tolist()):
-        sa, sb = sets.get(a), sets.get(b)
-        if sa is None or sb is None:
-            # candidate references a doc absent from the dataset — skip
-            # rather than abort (stale candidate sets are data, not bugs)
-            continue
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        out["doc_a"].append(a)
-        out["doc_b"].append(b)
-        out["jaccard"].append(inter / union if union else 0.0)
-    import pandas as pd
+    def verify(t: pa.Table) -> pa.Table:
+        b = int(t.column("bucket")[0].as_py()) % B
+        pairs = ray.get(pair_refs[b])
+        ids = t.column("did").to_pylist()
+        texts = t.column("txt").to_pylist()
+        uniq: dict = {}
+        for did, txt in zip(ids, texts):
+            if did not in uniq:
+                uniq[did] = txt
+        keys = list(uniq)
+        sets = dict(zip(keys, _doc_ngram_hash_sets(
+            [uniq[k] for k in keys], n)))
+        oa, ob_, oj = [], [], []
+        for a_, b_ in zip(pairs["doc_a"].tolist(), pairs["doc_b"].tolist()):
+            sa, sb = sets.get(a_), sets.get(b_)
+            if sa is None or sb is None:
+                # candidate references a doc absent from the dataset —
+                # skip rather than abort (stale candidates are data)
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            oa.append(a_)
+            ob_.append(b_)
+            oj.append(inter / union if union else 0.0)
+        return pa.table({"doc_a": pa.array(oa), "doc_b": pa.array(ob_),
+                         "jaccard": pa.array(oj, type=pa.float64())})
 
-    return pd.DataFrame(out)
+    res = grouped_exchange(text_rows, "bucket", B, verify,
+                           drop_bucket=False)
+    if res is None or res.num_rows == 0:
+        return empty
+    return res.to_pandas()
