@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_events": vq.validate_events,
         "validate_part": vq.validate_part,
         "validate_nested": vq.validate_nested,
+        "validate_map_column": vq.validate_map_column,
         "validate_tagged": vq.validate_tagged,
         "validate_supplier": vq.validate_supplier,
         "events_sessionize": lambda sf: sessions.sessionize(
@@ -738,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_events": vq.EVENTS_ORACLE,
         "validate_part": vq.PART_ORACLE,
         "validate_nested": vq.NESTED_ORACLE,
+        "validate_map_column": vq.MAP_ORACLE,
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),

@@ -343,3 +343,54 @@ def test_tagged_dispatch_matches_sql(events_env, variants):
     exp = (sorted(map(tuple, events_env["con"].execute(
         " UNION ALL ".join(parts)).fetchall())) if parts else [])
     assert got_set == exp
+
+
+# ---------------------------------------------------------------------------
+# map-column differential (M2/M4 per-row): random value schemas over a
+# map<string,string> built from documents — engine per-entry dispatch
+# vs SQL on the base columns
+
+
+@pytest.fixture(scope="module")
+def map_env(env):
+    import pyarrow as pa
+
+    t = env["table"]
+    rows = [[("lang", lg), ("src", s)]
+            for lg, s in zip(t.column("lang").to_pylist(),
+                             t.column("source").to_pylist())]
+    packed = pa.table({
+        "doc_id": t.column("doc_id"),
+        "attrs": pa.array(rows, type=pa.map_(pa.string(), pa.string())),
+    })
+    return {"table": packed, "con": env["con"]}
+
+
+@settings(max_examples=60, deadline=None)
+@given(lang=str_col_strategy, src=str_col_strategy)
+def test_map_values_match_sql(map_env, lang, src):
+    values = {}
+    parts = []
+    for key, col, rules in (("lang", "lang", lang), ("src", "source", src)):
+        cdict = dict(rules)
+        if ("min_length" in cdict and "max_length" in cdict
+                and cdict["min_length"] > cdict["max_length"]):
+            del cdict["max_length"]
+        if cdict:
+            values[key] = cdict
+        for kind, val in cdict.items():
+            rid, where = sql_for_rule(col, kind, val)
+            parts.append(
+                f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, '{rid}' AS rule_id,"
+                f" 'attrs.{key}' AS span FROM documents WHERE {where}")
+    plan = ConstraintSpec.from_dict({
+        "key": "doc_id",
+        "columns": {"doc_id": {"dtype": "int64"},
+                    "attrs": {"map": {"values": values}} if values else {}},
+    }).compile()
+    got = plan.validate_batch(map_env["table"])
+    got_set = sorted(zip(got["doc_id"].to_pylist(), got["rule_id"].to_pylist(),
+                         got["span"].to_pylist()))
+    exp = (sorted(map(tuple, map_env["con"].execute(
+        " UNION ALL ".join(parts)).fetchall())) if parts else [])
+    assert got_set == exp

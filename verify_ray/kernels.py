@@ -217,6 +217,21 @@ class ElementRule:
 
 
 @dataclass
+class MapRule:
+    """A map-ENTRY-level rule for ``pa.map_(string, T)`` columns:
+    ``fn(table, cache)`` returns (row_idx, key_strings) of violating
+    entries => violation rows with span ``column.<key>`` (dotted-keys
+    convention, span.rs:101-103; runtime analogue of the reference's
+    per-entry map traversal schema.rs:834-956).  ``cache`` memoizes the
+    flattened map column across all map rules of one batch."""
+
+    rule_id: str
+    column: str
+    message: str
+    fn: Callable[[pa.Table, dict], tuple[np.ndarray, list]]
+
+
+@dataclass
 class SchemaRule:
     """A table-schema-level check run once per distinct input schema:
     missing required columns (RequiredProperty, schema.rs:992-998), dtype
@@ -802,6 +817,9 @@ class CompiledPlan:
     # M1/M3 struct columns: dotted path -> {"strict": bool,
     # "declared": [field names]} for the nested schema-shape checks
     struct_specs: dict = field(default_factory=dict)
+    # per-row map-column validation (schema.rs:834-989 runtime analogue)
+    map_rules: list = field(default_factory=list)
+    map_columns: list = field(default_factory=list)
 
     # -- schema-level validation (once per distinct schema) ----------------
 
@@ -848,6 +866,19 @@ class CompiledPlan:
                     if f.name not in declared:
                         out.append((R.UNKNOWN_PROPERTY, f"{path}.{f.name}",
                                     E.msg_unknown_property()))
+        # map columns: must BE maps with string keys (the KeyNotString
+        # arm, schema.rs:834-852 / errors.rs:157 — Arrow key types are
+        # schema-fixed, so this is a per-read check, not per-row)
+        for col in self.map_columns:
+            got = _schema_type_at(schema, col)
+            if got is None:
+                continue
+            if not pa.types.is_map(got):
+                out.append((R.INVALID_TYPE, col,
+                            E.msg_invalid_type("map", str(got))))
+            elif not pa.types.is_string(got.key_type):
+                out.append((R.UNSUPPORTED_VALUE, col,
+                            "map key must be a string"))
         declared = set(self.expected_dtypes) | set(self.required_columns) | {
             c.name for c in self.spec.columns}
         # M2 pattern_columns: a column matching a pattern is "known"
@@ -974,6 +1005,28 @@ class CompiledPlan:
                           if firsts is not None else None)
             emit(ids, rule.rule_id, espans, rule.message, firsts=fspans)
 
+        map_cache: dict = {}
+        for rule in self.map_rules:
+            try:
+                rows, keys = rule.fn(t, map_cache)
+            except KERNEL_ERRORS as e:
+                kernel_errors.append((rule.column, f"{rule.rule_id}: {e}"))
+                continue
+            if len(rows) == 0:
+                continue
+            ids = (key_col.take(pa.array(rows)) if key_col is not None
+                   else pa.array([""] * len(rows)))
+            # string map keys ride the span_format hook like element
+            # indices do (span ``col.<key>``); None -> row-level span
+            if self.span_format:
+                spans = [self.span_format(rule.column)
+                         if k is None else self.span_format(rule.column, k)
+                         for k in keys]
+            else:
+                spans = [rule.column if k is None else f"{rule.column}.{k}"
+                         for k in keys]
+            emit(ids, rule.rule_id, spans, rule.message)
+
         # dedup kernel-error reports per column; one row each, doc_id ''
         for col_name, detail in dict(kernel_errors).items():
             emit(pa.array([""], type=pa.string()), R.UNSUPPORTED_VALUE, col_name,
@@ -1030,6 +1083,158 @@ def _empty_violations() -> pa.Table:
 
 # ---------------------------------------------------------------------------
 # plan compiler (called from ConstraintSpec.compile())
+
+
+def _map_parts(t: pa.Table, col: str, cache: dict):
+    """Flattened view of a map column: (keys, items, counts, valid,
+    parents), window-corrected for sliced arrays and memoized per
+    batch.  ``parents[i]`` is the row index of flat entry i."""
+    ck = ("__map__", col)
+    if ck not in cache:
+        arr = as_array(_col(t, col))
+        off = arr.offsets.to_numpy().astype(np.int64)
+        lo, hi = (int(off[0]), int(off[-1])) if len(off) else (0, 0)
+        keys = arr.keys.slice(lo, hi - lo)
+        items = arr.items.slice(lo, hi - lo)
+        counts = np.diff(off - lo) if len(off) else np.empty(0, np.int64)
+        valid = _np_bool(pc.is_valid(arr))
+        parents = np.repeat(np.arange(len(arr)), counts)
+        cache[ck] = (keys, items, counts, valid, parents)
+    return cache[ck]
+
+
+def _map_dispatch(t: pa.Table, col: str, cache: dict, exact_keys: tuple,
+                  patterns: tuple) -> dict:
+    """Per-entry value-schema dispatch selectors, first-match semantics
+    mirroring the reference (properties, then the first matching
+    pattern_properties regex, then additional_properties —
+    schema.rs:898-956).  Memoized per batch."""
+    ck = ("__mapdisp__", col, exact_keys, patterns)
+    if ck not in cache:
+        keys, _items, _counts, _valid, _parents = _map_parts(t, col, cache)
+        ks = pc.cast(keys, pa.string())
+        matched = np.zeros(len(ks), dtype=bool)
+        sel: dict = {}
+        for k in exact_keys:
+            mk = _np_bool(pc.equal(ks, k)) & ~matched
+            sel[("exact", k)] = mk
+            matched |= mk
+        for pat in patterns:
+            mk = _np_bool(pc.match_substring_regex(ks, pat)) & ~matched
+            sel[("pattern", pat)] = mk
+            matched |= mk
+        sel["unmatched"] = ~matched
+        cache[ck] = sel
+    return cache[ck]
+
+
+def _build_map_rules(c) -> list[MapRule]:
+    """PER-ROW runtime validation of a ``pa.map_(string, T)`` column —
+    the map analogue of the reference's object traversal: key schema
+    (property_names, schema.rs:874-883), per-row property-count bounds
+    (schema.rs:971-989), per-row required keys (schema.rs:992-998), and
+    value-schema dispatch (properties / pattern_properties /
+    additional_properties, schema.rs:898-956).  Entry violations carry
+    span ``col.<key>``; row-level ones (counts, required) span ``col``.
+    """
+    m = dict(c.map)
+    col = c.name
+    rules: list[MapRule] = []
+    EMPTY = (np.empty(0, dtype=np.int64), [])
+
+    def guard(fn):
+        def wrapped(t: pa.Table, cache: dict):
+            if not _has_col(t, col):
+                return EMPTY
+            typ = _schema_type_at(t.schema, col)
+            if typ is None or not pa.types.is_map(typ):
+                return EMPTY  # schema_violations reports the dtype
+            return fn(t, cache)
+
+        return wrapped
+
+    def key_strings(keys, idx: np.ndarray) -> list:
+        return pc.cast(keys.take(pa.array(idx)), pa.string()).to_pylist()
+
+    # property_names analogue: leaf schema over every KEY
+    if m.get("key_schema") is not None:
+        for rid, msg, mask_fn in _leaf_violation_masks(
+                dict(m["key_schema"]), "__k"):
+            def key_fn(t, cache, mask_fn=mask_fn):
+                keys, _i, _c, _v, parents = _map_parts(t, col, cache)
+                bad = mask_fn(pa.table({"__k": keys}))
+                idx = np.flatnonzero(bad)
+                return parents[idx], key_strings(keys, idx)
+
+            rules.append(MapRule(rid, col, msg, guard(key_fn)))
+
+    # per-row property-count bounds (row-level span: the map cell)
+    for bkey, rid, cmp_, msg in [
+        ("min_properties", R.NOT_ENOUGH_PROPERTIES, np.less, None),
+        ("max_properties", R.TOO_MANY_PROPERTIES, np.greater, None),
+    ]:
+        if m.get(bkey) is None:
+            continue
+        bound = int(m[bkey])
+        msg = (f"the object must have at least {bound} properties"
+               if bkey == "min_properties"
+               else f"the object cannot have more than {bound} properties")
+
+        def cnt_fn(t, cache, bound=bound, cmp_=cmp_):
+            _k, _i, counts, valid, _p = _map_parts(t, col, cache)
+            rows = np.flatnonzero(valid & cmp_(counts, bound))
+            return rows, [None] * len(rows)
+
+        rules.append(MapRule(rid, col, msg, guard(cnt_fn)))
+
+    # per-row required keys
+    for rk in m.get("required_keys") or []:
+        def req_fn(t, cache, rk=rk):
+            keys, _i, _c, valid, parents = _map_parts(t, col, cache)
+            ks = pc.cast(keys, pa.string())
+            has = np.zeros(t.num_rows, dtype=bool)
+            hit = parents[np.flatnonzero(_np_bool(pc.equal(ks, rk)))]
+            has[hit] = True
+            rows = np.flatnonzero(valid & ~has)
+            return rows, [None] * len(rows)
+
+        rules.append(MapRule(R.REQUIRED_PROPERTY, col,
+                             E.msg_required_property(rk), guard(req_fn)))
+
+    # value-schema dispatch
+    exact = tuple((m.get("values") or {}).keys())
+    pats = tuple((m.get("pattern_values") or {}).keys())
+    have_dispatch = exact or pats or m.get("additional") is not None
+
+    def value_rules(node: dict, sel_key):
+        for rid, msg, mask_fn in _leaf_violation_masks(dict(node), "__v"):
+            def val_fn(t, cache, mask_fn=mask_fn, sel_key=sel_key):
+                keys, items, _c, _v, parents = _map_parts(t, col, cache)
+                sel = _map_dispatch(t, col, cache, exact, pats)[sel_key]
+                bad = mask_fn(pa.table({"__v": items})) & sel
+                idx = np.flatnonzero(bad)
+                return parents[idx], key_strings(keys, idx)
+
+            rules.append(MapRule(rid, col, msg, guard(val_fn)))
+
+    for k, node in (m.get("values") or {}).items():
+        value_rules(node, ("exact", k))
+    for p, node in (m.get("pattern_values") or {}).items():
+        value_rules(node, ("pattern", p))
+    add = m.get("additional")
+    if add is False:
+        def unk_fn(t, cache):
+            keys, _i, _c, _v, parents = _map_parts(t, col, cache)
+            sel = _map_dispatch(t, col, cache, exact, pats)["unmatched"]
+            idx = np.flatnonzero(sel)
+            return parents[idx], key_strings(keys, idx)
+
+        rules.append(MapRule(R.UNKNOWN_PROPERTY, col,
+                             E.msg_unknown_property(), guard(unk_fn)))
+    elif isinstance(add, dict):
+        value_rules(add, "unmatched")
+
+    return rules
 
 
 def _build_column_rules(c) -> tuple[list[RowRule], list[ElementRule]]:
@@ -1157,6 +1362,8 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
     unique_cols: list[str] = []
     ref_checks: list[RefCheck] = []
     struct_specs: dict[str, dict] = {}
+    map_rules: list[MapRule] = []
+    map_columns: list[str] = []
 
     # M1 struct recursion (schema.rs:900-912): expand ``fields`` trees
     # into dotted-path child columns; every kernel below then works on
@@ -1182,6 +1389,9 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
         rr, er = _build_column_rules(c)
         row_rules.extend(rr)
         element_rules.extend(er)
+        if getattr(c, "map", None):
+            map_rules.extend(_build_map_rules(c))
+            map_columns.append(c.name)
 
         if c.unique:
             unique_cols.append(c.name)
@@ -1249,6 +1459,8 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
         span_format=span_format,
         column_name_pattern=getattr(spec, "column_name_pattern", None),
         struct_specs=struct_specs,
+        map_rules=map_rules,
+        map_columns=map_columns,
     )
 
 

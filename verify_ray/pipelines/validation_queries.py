@@ -292,6 +292,98 @@ SELECT * FROM v ORDER BY doc_id, rule_id, span
 """
 
 
+MAP_SPEC = {
+    "key": "doc_id",
+    "columns": {
+        "doc_id": {"dtype": "string"},
+        "attrs": {"map": {
+            "key_schema": {"pattern": "^[a-z_]+$"},
+            "required_keys": ["src"],
+            "max_properties": 2,
+            "values": {
+                "lang": {"enum": ["en", "de", "fr", "es"]},
+                "src": {"pattern": "^src[0-9]$"},
+            },
+            "additional": False,
+        }},
+    },
+}
+
+
+def validate_map_column(sf_dir: str) -> pd.DataFrame:
+    """Per-row map validation (schema.rs:834-989 runtime analogue): a
+    map<string,string> column derived deterministically from documents
+    — ("lang", lang) always; ("src", source) iff n_chars >= 100;
+    ("Xtra", "y") iff n_chars > 480 — exercises key_schema,
+    required_keys, max_properties, exact-key value dispatch and
+    additional:False, each reproduced in SQL via map_from_entries /
+    map_keys."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def pack(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").to_pylist()
+        srcs = t.column("source").to_pylist()
+        ncs = t.column("n_chars").to_pylist()
+        rows = []
+        for lg, s, nc in zip(langs, srcs, ncs):
+            entries = [("lang", lg)]
+            if nc is not None and nc >= 100:
+                entries.append(("src", s))
+            if nc is not None and nc > 480:
+                entries.append(("Xtra", "y"))
+            rows.append(entries)
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.string()),
+            "attrs": pa.array(rows, type=pa.map_(pa.string(), pa.string())),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source", "n_chars"])
+    mapped = ds.map_batches(pack, batch_format="pyarrow")
+    rep = validate(mapped, ConstraintSpec.from_dict(MAP_SPEC))
+    return _viol_result(rep)
+
+
+MAP_ORACLE = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         map_from_entries(list_concat(list_concat(
+           [{'k': 'lang', 'v': lang}],
+           CASE WHEN n_chars >= 100 THEN [{'k': 'src', 'v': source}]
+                ELSE [] END),
+           CASE WHEN n_chars > 480 THEN [{'k': 'Xtra', 'v': 'y'}]
+                ELSE [] END)) AS attrs
+  FROM documents
+), ks AS (
+  SELECT doc_id, unnest(map_keys(attrs)) AS k FROM m
+), v AS (
+  SELECT doc_id, 'no_pattern_match' AS rule_id, 'attrs.' || k AS span
+    FROM ks WHERE NOT regexp_matches(k, '^[a-z_]+$')
+  UNION ALL
+  SELECT doc_id, 'unknown_property', 'attrs.' || k
+    FROM ks WHERE k NOT IN ('lang', 'src')
+  UNION ALL
+  SELECT doc_id, 'required_property', 'attrs'
+    FROM m WHERE NOT list_contains(map_keys(attrs), 'src')
+  UNION ALL
+  SELECT doc_id, 'too_many_properties', 'attrs'
+    FROM m WHERE len(map_keys(attrs)) > 2
+  UNION ALL
+  SELECT doc_id, 'invalid_enum_value', 'attrs.lang'
+    FROM m WHERE attrs['lang'][1] IS NOT NULL
+            AND attrs['lang'][1] NOT IN ('en', 'de', 'fr', 'es')
+  UNION ALL
+  SELECT doc_id, 'no_pattern_match', 'attrs.src'
+    FROM m WHERE attrs['src'][1] IS NOT NULL
+            AND NOT regexp_matches(attrs['src'][1], '^src[0-9]$')
+)
+SELECT * FROM v ORDER BY doc_id, rule_id, span
+"""
+
+
 def _viol_result(report) -> pd.DataFrame:
     t = report.violations.select(["doc_id", "rule_id", "span"])
     return (t.to_pandas()

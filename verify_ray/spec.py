@@ -212,6 +212,20 @@ class ColumnSpec:
     # over dotted paths (``some_inner.inner_value``), spans rendered in
     # the reference's dotted-keys convention (span.rs:101-103).
     fields: Optional[dict] = None
+    # M2/M4/M5/M6 PER-ROW map validation for pa.map_(string, T) columns
+    # (reference validates arbitrary maps at runtime: property_names
+    # over real keys schema.rs:874-883, per-value property counts
+    # schema.rs:971-989, string-key enforcement schema.rs:834-852,
+    # properties/pattern_properties/additional dispatch per value
+    # schema.rs:898-956).  Keys:
+    #   key_schema: leaf pred dict applied to every KEY (property_names)
+    #   min_properties / max_properties: per-row entry-count bounds
+    #   required_keys: [k, ...] each row must contain these keys
+    #   values: {key: leaf pred dict}  exact-key value schemas
+    #   pattern_values: {regex: leaf pred dict}  first-match dispatch
+    #   additional: False (unknown_property) | leaf pred dict
+    # Violation spans are ``col.<key>`` (dotted-keys, span.rs:101-103).
+    map: Optional[dict] = None
     # M3 additional_properties for THIS struct's sub-fields: False flags
     # undeclared struct fields as unknown_property (schema.rs:941-956)
     allow_unknown_fields: bool = True
@@ -444,6 +458,57 @@ class ConstraintSpec:
                 else:
                     _validate_pred(c.additional_items, f"{p}.additional_items",
                                    problems, leaf_only=True)
+            if c.map is not None:
+                mp = f"{p}.map"
+                if not isinstance(c.map, dict):
+                    problems.append(f"{mp}: must be a mapping")
+                else:
+                    known_map = {"key_schema", "min_properties",
+                                 "max_properties", "required_keys",
+                                 "values", "pattern_values", "additional"}
+                    unknown = [k for k in c.map if k not in known_map]
+                    if unknown:
+                        problems.append(f"{mp}: unknown keys {unknown}")
+                    if c.map.get("key_schema") is not None:
+                        _validate_pred(c.map["key_schema"],
+                                       f"{mp}.key_schema", problems,
+                                       leaf_only=True)
+                    for bkey in ("min_properties", "max_properties"):
+                        v = c.map.get(bkey)
+                        if v is not None and (not isinstance(v, int) or v < 0):
+                            problems.append(
+                                f"{mp}.{bkey}: must be a non-negative integer")
+                    mn, mx = (c.map.get("min_properties"),
+                              c.map.get("max_properties"))
+                    if mn is not None and mx is not None and mn > mx:
+                        problems.append(
+                            f"{mp}: min_properties {mn} > max_properties {mx}")
+                    rk = c.map.get("required_keys")
+                    if rk is not None and (not isinstance(rk, list) or any(
+                            not isinstance(k, str) for k in rk)):
+                        problems.append(
+                            f"{mp}.required_keys: must be a list of strings")
+                    for sect in ("values", "pattern_values"):
+                        sub = c.map.get(sect)
+                        if sub is None:
+                            continue
+                        if not isinstance(sub, dict):
+                            problems.append(f"{mp}.{sect}: must be a mapping")
+                            continue
+                        for k, node in sub.items():
+                            if sect == "pattern_values":
+                                try:
+                                    re.compile(k)
+                                except re.error as e:
+                                    problems.append(
+                                        f'{mp}.pattern_values: invalid regex '
+                                        f'pattern "{k}": {e}')
+                            _validate_pred(node, f"{mp}.{sect}.{k}",
+                                           problems, leaf_only=True)
+                    add = c.map.get("additional")
+                    if add is not None and add is not False:
+                        _validate_pred(add, f"{mp}.additional", problems,
+                                       leaf_only=True)
             if c.ref_bound is not None:
                 rb = c.ref_bound
                 missing = {"manifest", "key", "bound_column"} - set(rb)
