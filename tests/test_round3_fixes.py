@@ -117,3 +117,59 @@ def test_ngram_jaccard_skewed_cluster_in_exchange(ray_session):
     out = ngram_jaccard_pairs(ds, cand, pairs_per_task=20_000)
     assert len(out) == len(cand)
     assert (out["jaccard"] == 1.0).all()
+
+
+# ---- VERDICT r2 item 7: anyOf/oneOf child-error detail ---------------------
+
+def test_any_of_detail_names_failing_branches():
+    """NoneValid child-error payload (errors.rs:106-110 parity): the
+    detail JSON names each branch (title or index) with the child rules
+    it fails — extending the golden-example scenario with a one_of."""
+    import json
+
+    from verify_ray import ConstraintSpec
+
+    plan = ConstraintSpec.from_dict({
+        "key": "doc_id",
+        "columns": {
+            "doc_id": {"dtype": "string"},
+            "n": {"dtype": "int64", "checks": [{"any_of": [
+                {"title": "SmallValue", "maximum": 10},
+                {"minimum": 100},      # untitled -> "branch 1"
+            ]}]},
+        },
+    }).compile()
+    t = pa.table({"doc_id": pa.array(["a", "b"]),
+                  "n": pa.array([5, 50], type=pa.int64())})
+    v = plan.validate_batch(t).to_pylist()
+    assert len(v) == 1
+    row = v[0]
+    assert (row["doc_id"], row["rule_id"]) == ("b", "none_valid")
+    d = json.loads(row["detail"])
+    names = [b["schema"] for b in d["branches"]]
+    assert names == ["SmallValue", "branch 1"]
+    assert d["branches"][0]["errors"][0]["rule_id"] == "more_than_expected"
+    assert d["branches"][1]["errors"][0]["rule_id"] == "less_than_expected"
+    # passing rows carry no detail rows at all
+    assert [r for r in v if r["doc_id"] == "a"] == []
+
+
+def test_one_of_more_than_one_valid_detail_lists_matched():
+    import json
+
+    from verify_ray import ConstraintSpec
+
+    plan = ConstraintSpec.from_dict({
+        "key": "doc_id",
+        "columns": {
+            "doc_id": {"dtype": "string"},
+            "n": {"dtype": "int64", "checks": [{"one_of": [
+                {"title": "Low", "maximum": 100},
+                {"title": "High", "minimum": 50},
+            ]}]},
+        },
+    }).compile()
+    t = pa.table({"doc_id": pa.array(["x"]), "n": pa.array([75])})
+    v = plan.validate_batch(t).to_pylist()
+    assert v[0]["rule_id"] == "more_than_one_valid"
+    assert json.loads(v[0]["detail"]) == {"matched": ["Low", "High"]}

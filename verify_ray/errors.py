@@ -183,6 +183,10 @@ VIOLATION_SCHEMA = pa.schema(
         # partition for W1).  Null for every other rule.
         ("first_span", pa.string()),
         ("message", pa.string()),
+        # anyOf/oneOf child-error payload (NoneValid{schemas, errors} /
+        # MoreThanOneValid{matched}, errors.rs:106-113): JSON naming
+        # each branch and its failing child rules.  Null elsewhere.
+        ("detail", pa.string()),
         ("partition_id", pa.int32()),
     ]
 )

@@ -200,6 +200,10 @@ class RowRule:
     # per-value quantity (e.g. MoreThanOneValid's matched count,
     # errors.rs:284-288)
     message_fn: Optional[Callable[[pa.Table, np.ndarray], list]] = None
+    # optional per-violation detail JSON builder (same signature):
+    # anyOf/oneOf child-error payloads (NoneValid{schemas, errors},
+    # errors.rs:106-110) — evaluated only on violating rows
+    detail_fn: Optional[Callable[[pa.Table, np.ndarray], list]] = None
 
 
 @dataclass
@@ -408,6 +412,47 @@ def _leaf_violation_masks(node: dict, colname: str) -> list[tuple[str, str, Mask
 # combinator compilation (C1-C5, validate_subschemas schema.rs:180-343)
 
 
+def _branch_detail_fn(branches: list, column: str):
+    """Child-error payload builder for anyOf/oneOf NoneValid
+    (errors.rs:106-110 parity): per violating row, a JSON object naming
+    each branch (its ``title`` or index) with the child rules it fails.
+    Branch rules are compiled once; masks are evaluated lazily and only
+    when violations actually exist in a batch."""
+    import json as _json
+
+    compiled: list = []  # lazy: avoid recursion work for clean specs
+
+    def detail(t: pa.Table, idx: np.ndarray) -> list:
+        if not compiled:
+            compiled.append([
+                ((s.get("title") if isinstance(s, dict) else None)
+                 or f"branch {j}",
+                 compile_pred(s, column))
+                for j, s in enumerate(branches)])
+        per_branch = []
+        for name, rules_j in compiled[0]:
+            errs = []
+            for r in rules_j:
+                try:
+                    m = r.mask_fn(t)[idx]
+                except Exception:
+                    continue
+                errs.append((r.rule_id, r.message, m))
+            per_branch.append((name, errs))
+        out = []
+        for i in range(len(idx)):
+            bs = []
+            for name, errs in per_branch:
+                es = [{"rule_id": rid,
+                       "message": msg if isinstance(msg, str) else str(msg)}
+                      for rid, msg, m in errs if bool(m[i])]
+                bs.append({"schema": name, "errors": es})
+            out.append(_json.dumps({"branches": bs}))
+        return out
+
+    return detail
+
+
 def compile_pred(node: dict, column: str, gate: Optional[MaskFn] = None) -> list[RowRule]:
     """Compile a combinator/predicate tree into RowRules.
 
@@ -464,7 +509,9 @@ def compile_pred(node: dict, column: str, gate: Optional[MaskFn] = None) -> list
             return bad
 
         rules.append(RowRule(R.NONE_VALID, column, column,
-                             E.msg_none_valid(False), nonnull_gated(any_mask)))
+                             E.msg_none_valid(False), nonnull_gated(any_mask),
+                             detail_fn=_branch_detail_fn(node["any_of"],
+                                                         column)))
     if "one_of" in node:
         subs = [_pred_valid(s, column) for s in node["one_of"]]
 
@@ -475,7 +522,9 @@ def compile_pred(node: dict, column: str, gate: Optional[MaskFn] = None) -> list
             return n
 
         rules.append(RowRule(R.NONE_VALID, column, column, E.msg_none_valid(True),
-                             nonnull_gated(lambda t, f=n_matched: f(t) == 0)))
+                             nonnull_gated(lambda t, f=n_matched: f(t) == 0),
+                             detail_fn=_branch_detail_fn(node["one_of"],
+                                                         column)))
 
         def mtov_messages(t: pa.Table, idx: np.ndarray,
                           f=n_matched) -> list:
@@ -484,10 +533,24 @@ def compile_pred(node: dict, column: str, gate: Optional[MaskFn] = None) -> list
             n = f(t)[idx]
             return [E.msg_more_than_one_valid(int(k)) for k in n]
 
+        def mtov_detail(t: pa.Table, idx: np.ndarray, subs=subs,
+                        branches=node["one_of"]) -> list:
+            # MoreThanOneValid{matched} (errors.rs:113): which branches
+            # matched, by title (or index when untitled)
+            import json as _json
+
+            names = [(s.get("title") if isinstance(s, dict) else None)
+                     or f"branch {j}" for j, s in enumerate(branches)]
+            vm = [v(t)[idx] for v in subs]
+            return [_json.dumps({"matched": [names[j] for j in range(len(vm))
+                                             if bool(vm[j][i])]})
+                    for i in range(len(idx))]
+
         rules.append(RowRule(R.MORE_THAN_ONE_VALID, column, column,
                              E.msg_more_than_one_valid(2),
                              nonnull_gated(lambda t, f=n_matched: f(t) > 1),
-                             message_fn=mtov_messages))
+                             message_fn=mtov_messages,
+                             detail_fn=mtov_detail))
     if "not" in node:
         sub = _pred_valid(node["not"], column)
         title = (node["not"].get("title")
@@ -946,13 +1009,16 @@ class CompiledPlan:
         # per-violation strings (element-level)
         span_specs: list[object] = []
         first_specs: list[object] = []  # None (null) or per-violation list
+        detail_specs: list[object] = []  # None (null) or per-violation list
 
-        def emit(ids: pa.Array, rid: str, span_spec, msg, firsts=None):
+        def emit(ids: pa.Array, rid: str, span_spec, msg, firsts=None,
+                 details=None):
             doc_ids.append(ids)
             rule_ids.append(rid)
             span_specs.append(span_spec)
             messages.append(msg)
             first_specs.append(firsts)
+            detail_specs.append(details)
             counts.append(len(ids))
 
         # TypeError guards against object-dtype comparisons numpy can't
@@ -978,9 +1044,11 @@ class CompiledPlan:
                    else pa.array([""] * len(idx)))
             msg = (rule.message_fn(t, idx) if rule.message_fn is not None
                    else rule.message)
+            det = (rule.detail_fn(t, idx) if rule.detail_fn is not None
+                   else None)
             emit(ids, rule.rule_id,
                  self.span_format(rule.column) if self.span_format else rule.span,
-                 msg)
+                 msg, details=det)
 
         flat_cache: dict = {}
         for rule in self.element_rules:
@@ -1056,6 +1124,7 @@ class CompiledPlan:
                 "span": spec_arrays(span_specs),
                 "first_span": spec_arrays(first_specs, nullable=True),
                 "message": spec_arrays(messages),
+                "detail": spec_arrays(detail_specs, nullable=True),
             }
         )
 
@@ -1077,6 +1146,7 @@ def _empty_violations() -> pa.Table:
             "span": pa.array([], type=pa.string()),
             "first_span": pa.array([], type=pa.string()),
             "message": pa.array([], type=pa.string()),
+            "detail": pa.array([], type=pa.string()),
         }
     )
 
