@@ -20,9 +20,19 @@ import pyarrow.parquet as pq
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import os
+
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    kw = {}
+    # block sizing: Ray defaults to ~2x CPUs blocks regardless of input
+    # size, so a 1MB table becomes 64 near-empty blocks and every
+    # downstream stage pays 64 task launches (~0.5s of pure overhead).
+    # Cap tiny tables at 8 blocks; large inputs keep the default.
+    if os.path.getsize(path) < 32 * 1024 * 1024:
+        kw["override_num_blocks"] = 8
+    return rd.read_parquet(path, columns=columns, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -60,7 +60,9 @@ def ensure_synth(sf_tag: str) -> tuple[str, str, int]:
     # enough files that every CPU gets a few read/validate tasks, but
     # big enough (~125k rows / 32MB) that per-task overhead amortizes
     n_files = min(128, max(32, n_rows // 125_000))
-    tag = f"{n_rows}:{n_files}"
+    # v3: read-oriented parquet layout (zstd-1, 4MB pages; see
+    # synth.make_sequences) — bump to invalidate older-layout caches
+    tag = f"{n_rows}:{n_files}:v3"
     if not (os.path.exists(marker) and open(marker).read() == tag):
         import shutil
 

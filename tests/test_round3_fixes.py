@@ -173,3 +173,56 @@ def test_one_of_more_than_one_valid_detail_lists_matched():
     v = plan.validate_batch(t).to_pylist()
     assert v[0]["rule_id"] == "more_than_one_valid"
     assert json.loads(v[0]["detail"]) == {"matched": ["Low", "High"]}
+
+
+def test_streaming_run_emits_w1_first_span(ray_session, tmp_path):
+    """The streaming run() path must carry lineage into NotUnique
+    first_span (kind=c partials are pid-stamped; finalize min-aggregates
+    them) — locks in the NOTES_r2 rough edge as fixed."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from verify_ray.run import run
+    from verify_ray.sources.synth import (default_spec_dict, make_manifest,
+                                          make_sequences)
+
+    base = str(tmp_path)
+    make_sequences(os.path.join(base, "seq"), n_rows=5_000, n_files=4)
+    mpath = make_manifest(base)
+    run(default_spec_dict(max_n_tok=256), os.path.join(base, "seq"),
+        os.path.join(base, "out"),
+        manifests={"source_manifest": pq2.read_table(mpath)}, group_size=2)
+    files = glob.glob(os.path.join(base, "out", "violations_global",
+                                   "unique", "*.parquet"))
+    assert files
+    spans = []
+    for f in files:
+        spans.extend(pq2.read_table(f).column("first_span").to_pylist())
+    assert spans and all(s is not None and s.startswith("partition=")
+                         for s in spans)
+
+
+def test_minhash_verify_in_exchange_multi_task(ray_session):
+    """MinHash verification now runs inside the exchange: force several
+    verify tasks (pairs_per_task=2) and check estimates survive task
+    partitioning; pairs referencing absent docs are skipped."""
+    import ray.data as rd
+
+    from verify_ray.pipelines.dedup import _verify_minhash_exchange
+
+    texts = {i: f"document number {i} with shared boilerplate text "
+                f"{'x' * (i % 3)}" for i in range(8)}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), type=pa.int64()),
+        "text": pa.array(list(texts.values())),
+    })).materialize()
+    cand = pd.DataFrame({"doc_a": [0, 1, 2, 3, 0],
+                         "doc_b": [4, 5, 6, 7, 999]})  # 999 absent
+    out = _verify_minhash_exchange(ds, cand, "text", "doc_id",
+                                   num_perm=32, shingle_k=5, threshold=0.0,
+                                   pairs_per_task=2)
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert got == {(0, 4), (1, 5), (2, 6), (3, 7)}  # absent-doc pair skipped
+    assert ((out["jaccard_est"] >= 0) & (out["jaccard_est"] <= 1)).all()

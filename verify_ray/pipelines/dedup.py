@@ -428,40 +428,6 @@ def _band_buckets(sig: np.ndarray, bands: int) -> np.ndarray:
     return band_hash ^ (np.arange(bands, dtype=np.uint64) << np.uint64(56))
 
 
-def _signatures_for(ds, wanted_ids, text_col: str, id_col: str,
-                    num_perm: int, shingle_k: int) -> dict:
-    """{doc_id: signature} for a sparse id set: a full streaming pass
-    that FILTERS first (broadcast id set, np.isin per batch) and hashes
-    only the surviving docs — nothing but the candidates' signatures
-    ever reaches the driver."""
-    import ray
-
-    wanted_ref = ray.put(np.asarray(sorted(wanted_ids), dtype=object))
-
-    def sig_batch(batch: pa.Table) -> pa.Table:
-        w = ray.get(wanted_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sel = np.flatnonzero(np.isin(ids, w))
-        if len(sel) == 0:
-            return pa.table({id_col: pa.array([], type=batch[id_col].type),
-                             "sig": pa.array([], type=pa.binary())})
-        sub = batch.take(pa.array(sel))
-        sig, out_ids = minhash_signatures_batch(sub, text_col, id_col,
-                                                num_perm, shingle_k)
-        return pa.table({id_col: out_ids,
-                         "sig": pa.array([sig[i].tobytes()
-                                          for i in range(len(sub))],
-                                         type=pa.binary())})
-
-    out: dict = {}
-    sigs = ds.select_columns([id_col, text_col]).map_batches(
-        sig_batch, batch_format="pyarrow")
-    for b in sigs.iter_batches(batch_format="pyarrow"):
-        for i, blob in zip(b[id_col].to_pylist(), b["sig"].to_pylist()):
-            out[i] = np.frombuffer(blob, dtype=np.uint64)
-    return out
-
-
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                       threshold: float = 0.7, rows_per_group: int = 200_000):
@@ -508,20 +474,101 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return empty
     cand = cand.drop_duplicates(subset=["doc_a", "doc_b"])
 
-    # verify: signatures only for candidate docs, est = fraction of
-    # equal signature rows
-    sigs = _signatures_for(ds, set(cand["doc_a"]) | set(cand["doc_b"]),
-                           text_col, id_col, num_perm, shingle_k)
-    a = np.stack([sigs[x] for x in cand["doc_a"]])
-    b = np.stack([sigs[x] for x in cand["doc_b"]])
-    est = (a == b).mean(axis=1)
-    keep = est >= threshold
-    out = pd.DataFrame({"doc_a": cand["doc_a"].to_numpy()[keep],
-                        "doc_b": cand["doc_b"].to_numpy()[keep],
-                        "jaccard_est": est[keep]})
-    if out.empty:
+    # verify INSIDE the exchange (same shape as ngram_jaccard_pairs):
+    # pairs hash-partition by doc_a into verify tasks; signatures are
+    # recomputed in a filtered streaming pass and routed only to the
+    # tasks that reference them — no driver-side signature dict, so a
+    # skewed candidate set saturates tasks, not driver memory
+    out = _verify_minhash_exchange(ds, cand, text_col, id_col, num_perm,
+                                   shingle_k, threshold)
+    if out is None or out.empty:
         return empty
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _verify_minhash_exchange(ds, cand, text_col: str, id_col: str,
+                             num_perm: int, shingle_k: int,
+                             threshold: float,
+                             pairs_per_task: int = 50_000,
+                             max_tasks: int = 256):
+    """Signature-estimate verification of candidate pairs inside the
+    hash exchange.  Per-task memory is bounded by
+    ``pairs_per_task × 2`` signatures; the driver holds only the
+    candidate id pairs (the caller's input) and the verified output."""
+    import pandas as pd
+    import ray
+
+    from ..stages.exchange import grouped_exchange
+
+    B = int(np.clip(int(np.ceil(len(cand) / pairs_per_task)), 1, max_tasks))
+    pb = (pd.util.hash_array(cand["doc_a"].to_numpy())
+          % np.uint64(B)).astype(np.int64)
+    pair_refs = {}
+    need: dict = {}
+    for b, grp in cand.groupby(pb):
+        pair_refs[int(b)] = ray.put(grp[["doc_a", "doc_b"]]
+                                    .reset_index(drop=True))
+        for did in pd.unique(pd.concat([grp["doc_a"], grp["doc_b"]],
+                                       ignore_index=True)):
+            need.setdefault(did, []).append(int(b))
+    need_ref = ray.put(need)
+
+    def emit_sigs(batch: pa.Table) -> pa.Table:
+        nd = ray.get(need_ref)
+        ids = batch[id_col].to_pylist()
+        sel = [i for i, d in enumerate(ids) if d in nd]
+        if not sel:
+            return pa.table({"bucket": pa.array([], type=pa.uint64()),
+                             "did": pa.array([], type=batch[id_col].type),
+                             "sig": pa.array([], type=pa.binary())})
+        sub = batch.take(pa.array(sel))
+        sig, out_ids = minhash_signatures_batch(sub, text_col, id_col,
+                                                num_perm, shingle_k)
+        ob, oi, os_ = [], [], []
+        for i, did in enumerate(out_ids.to_pylist()):
+            blob = sig[i].tobytes()
+            for b in nd[did]:
+                ob.append(b)
+                oi.append(did)
+                os_.append(blob)
+        return pa.table({"bucket": pa.array(ob, type=pa.uint64()),
+                         "did": pa.array(oi),
+                         "sig": pa.array(os_, type=pa.binary())})
+
+    sig_rows = ds.select_columns([id_col, text_col]).map_batches(
+        emit_sigs, batch_format="pyarrow")
+
+    def verify(t: pa.Table) -> pa.Table:
+        b = int(t.column("bucket")[0].as_py()) % B
+        pairs = ray.get(pair_refs[b])
+        sigd: dict = {}
+        for did, blob in zip(t.column("did").to_pylist(),
+                             t.column("sig").to_pylist()):
+            if did not in sigd:
+                sigd[did] = np.frombuffer(blob, dtype=np.uint64)
+        da = pairs["doc_a"].tolist()
+        db = pairs["doc_b"].tolist()
+        keep_rows = [i for i in range(len(da))
+                     if da[i] in sigd and db[i] in sigd]
+        if not keep_rows:
+            return None
+        a = np.stack([sigd[da[i]] for i in keep_rows])
+        bm = np.stack([sigd[db[i]] for i in keep_rows])
+        est = (a == bm).mean(axis=1)
+        keep = est >= threshold
+        if not keep.any():
+            return None
+        idx = np.asarray(keep_rows)[keep]
+        return pa.Table.from_pandas(pd.DataFrame({
+            "doc_a": [da[i] for i in idx],
+            "doc_b": [db[i] for i in idx],
+            "jaccard_est": est[keep],
+        }), preserve_index=False)
+
+    res = grouped_exchange(sig_rows, "bucket", B, verify, drop_bucket=False)
+    if res is None or res.num_rows == 0:
+        return None
+    return res.to_pandas()
 
 
 # ---------------------------------------------------------------------------

@@ -243,7 +243,9 @@ def plan_lsh_bands(n_rows: int, tau: float, target_bucket: int = 64,
 
 
 def blocked_exact_pairs(ds, tau: float, emb_col: str = "embedding",
-                        id_col: str = "vec_id"):
+                        id_col: str = "vec_id",
+                        single_task_rows: int = 20_000,
+                        n_rows: int | None = None):
     """Distributed all-pairs cosine >= tau via block-pair tasks.
 
     The narrow (id, embedding) projection is materialized ONCE; each
@@ -252,6 +254,11 @@ def blocked_exact_pairs(ds, tau: float, emb_col: str = "embedding",
     per task with zero per-row Python — this is the correct degenerate
     route when LSH cannot prune (see plan_lsh_bands), and the scale
     path for the broadcast-limited ``embedding_near_dup_exact``.
+
+    Inputs up to ``single_task_rows`` skip the block-pair task grid:
+    ONE task concatenates the blocks and runs the (row-chunked) matmul
+    — at small n the grid's per-task overhead costs more than the
+    whole computation.
     """
     import pandas as pd
     import ray
@@ -264,6 +271,48 @@ def blocked_exact_pairs(ds, tau: float, emb_col: str = "embedding",
     refs = ds.select_columns([id_col, emb_col]).to_arrow_refs()
     if not refs:
         return empty
+
+    @ray.remote
+    def all_pairs_one_task(*tables):
+        ts = [t for t in tables if t.num_rows]
+        if not ts:
+            return None
+        t = pa.concat_tables(ts)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        M = _normalize(_emb_matrix(t, emb_col))
+        oa, ob, os_ = [], [], []
+        for lo in range(0, len(ids), 2048):  # bound sims memory
+            hi = min(lo + 2048, len(ids))
+            S = M[lo:hi] @ M.T
+            r, c = np.nonzero(S >= tau)
+            keep = (lo + r) < c  # strict upper triangle, one orientation
+            oa.append(ids[lo + r[keep]])
+            ob.append(ids[c[keep]])
+            os_.append(S[r[keep], c[keep]])
+        a = np.concatenate(oa)
+        if len(a) == 0:
+            return None
+        return pa.table({"doc_a": pa.array(a),
+                         "doc_b": pa.array(np.concatenate(ob)),
+                         "sim": pa.array(np.round(np.concatenate(os_), 6),
+                                         type=pa.float64())})
+
+    if n_rows is None:
+        @ray.remote
+        def _nrows(t):
+            return t.num_rows
+
+        n_rows = sum(ray.get([_nrows.remote(r) for r in refs]))
+    if n_rows <= single_task_rows:
+        res = ray.get(all_pairs_one_task.remote(*refs))
+        if res is None or res.num_rows == 0:
+            return empty
+        out = res.to_pandas()
+        swap = out["doc_a"] > out["doc_b"]
+        out.loc[swap, ["doc_a", "doc_b"]] = out.loc[swap,
+                                                    ["doc_b", "doc_a"]].values
+        return (out.drop_duplicates(subset=["doc_a", "doc_b"])
+                .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
     @ray.remote
     def prep(t: pa.Table):
@@ -357,7 +406,7 @@ def embedding_near_dup_lsh(ds, tau: float = 0.95, emb_col: str = "embedding",
             "(per-bit collision p=%.3f): candidate volume would approach "
             "all pairs — routing to blocked_exact_pairs", tau,
             1.0 - float(np.arccos(tau)) / np.pi)
-        return blocked_exact_pairs(ds, tau, emb_col, id_col)
+        return blocked_exact_pairs(ds, tau, emb_col, id_col, n_rows=n_rows)
     w, bands, recall = plan
     bits = w * bands
     log.info(

@@ -235,7 +235,17 @@ def make_sequences(
             }
         )
         path = os.path.join(out_dir, f"part-{part:05d}.parquet")
-        pq.write_table(table, path)
+        # read-oriented layout (VERDICT r2 item 8), chosen by interleaved
+        # same-window A/B of the FULL pipeline at 32 CPUs: zstd level 1
+        # + 4MB data pages beats the snappy default ~1.2-1.35x (11.5 vs
+        # 15.6 s; 10.7 vs 12.3 s), while UNCOMPRESSED — despite a 1.5x
+        # faster single-thread decode — LOSES at full parallelism
+        # (13.5 vs 11.0 s): with 32 concurrent readers this machine is
+        # memory-bandwidth-bound, so the smallest on-disk bytes with
+        # cheap decompression wins, not the cheapest per-core decode.
+        pq.write_table(table, path, compression="zstd",
+                       compression_level=1,
+                       data_page_size=4 * 1024 * 1024)
         files.append(path)
         part_tables.append(table)
 
