@@ -98,3 +98,62 @@ def test_hyperloglog_strings_and_small_range():
     h.add(np.array([f"k{i}" for i in range(300)], dtype=object))  # dups
     est = h.estimate()
     assert abs(est - 300) / 300 < 0.05, est
+
+
+# ---- TDigest (north-star-named adaptive quantile sketch) -------------------
+
+def test_tdigest_quantile_accuracy():
+    from verify_ray.state.sketches import TDigest
+
+    rng = np.random.RandomState(5)
+    vals = rng.lognormal(4.0, 1.0, 200_000) - 30.0  # unbounded, signed
+    td = TDigest(delta=200)
+    for lo in range(0, len(vals), 8192):
+        td.add(vals[lo:lo + 8192])
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = float(td.quantile(q))
+        # RANK error: the estimate's true rank must be near q
+        rank = (vals < est).mean()
+        assert abs(rank - q) < 0.01, (q, rank)
+    # tails anchored exactly
+    assert float(td.quantile(0.0)) == vals.min()
+    assert float(td.quantile(1.0)) == vals.max()
+
+
+def test_tdigest_merge_order_robust():
+    from verify_ray.state.sketches import TDigest
+
+    rng = np.random.RandomState(7)
+    parts = [rng.standard_normal(20_000) * (i + 1) for i in range(8)]
+    allv = np.concatenate(parts)
+
+    seq = TDigest()
+    for p in parts:
+        seq.add(p)
+
+    # pairwise tree merge
+    digs = []
+    for p in parts:
+        d = TDigest()
+        d.add(p)
+        digs.append(d)
+    while len(digs) > 1:
+        digs = [digs[i].merge(digs[i + 1]) if i + 1 < len(digs) else digs[i]
+                for i in range(0, len(digs), 2)]
+    tree = digs[0]
+
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        for est in (seq.quantile(q), tree.quantile(q)):
+            rank = (allv < float(est)).mean()
+            assert abs(rank - q) < 0.015, (q, rank)
+
+
+def test_tdigest_bounded_size():
+    from verify_ray.state.sketches import TDigest
+
+    td = TDigest(delta=100)
+    rng = np.random.RandomState(9)
+    td.add(rng.standard_normal(500_000))
+    td._compress()
+    assert len(td.means) <= 2 * td.delta  # O(delta) centroids, not O(n)
+    assert td.n == 500_000

@@ -286,6 +286,109 @@ class HyperLogLog:
         return raw
 
 
+class TDigest:
+    """Merging t-digest (Dunning & Ertl) — adaptive-precision streaming
+    quantiles for UNBOUNDED, sign-free value ranges, where
+    ``HistogramSketch`` needs a known non-negative ``max_value``.
+
+    The k1 scale function ``k(q) = δ/(2π)·asin(2q−1)`` concentrates
+    centroids at the tails, so extreme-quantile rank error shrinks
+    toward the edges.  Compression is sort-based and batch-oriented
+    (pure numpy, no per-value Python): deterministic for a given input
+    order; merges are associative up to the documented rank-error
+    bound (tested), not bit-exact — use HistogramSketch when exact
+    merge-order invariance matters more than range-freedom.
+    """
+
+    __slots__ = ("delta", "means", "weights", "n", "_buf_v", "_buf_w",
+                 "vmin", "vmax")
+
+    def __init__(self, delta: int = 200):
+        self.delta = int(delta)
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.n = 0.0
+        self._buf_v: list = []
+        self._buf_w: list = []
+        self.vmin = np.inf
+        self.vmax = -np.inf
+
+    def add(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[np.isfinite(v)]
+        if len(v) == 0:
+            return
+        w = (np.ones(len(v)) if weights is None
+             else np.asarray(weights, dtype=np.float64)[: len(v)])
+        self.vmin = min(self.vmin, float(v.min()))
+        self.vmax = max(self.vmax, float(v.max()))
+        self._buf_v.append(v)
+        self._buf_w.append(w)
+        if sum(len(x) for x in self._buf_v) >= 8 * self.delta:
+            self._compress()
+
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return self.delta / (2 * np.pi) * np.arcsin(
+            np.clip(2 * q - 1, -1.0, 1.0))
+
+    def _compress(self) -> None:
+        if self._buf_v:
+            m = np.concatenate([self.means] + self._buf_v)
+            w = np.concatenate([self.weights] + self._buf_w)
+            self._buf_v, self._buf_w = [], []
+        else:
+            m, w = self.means, self.weights
+        if len(m) == 0:
+            return
+        order = np.argsort(m, kind="stable")
+        m, w = m[order], w[order]
+        total = w.sum()
+        # greedy left-to-right merge under the k1 size bound: a cluster
+        # may absorb the next point while k(q_right) - k(q_left) <= 1
+        q_left = np.concatenate([[0.0], np.cumsum(w)[:-1]]) / total
+        k_left = self._k(q_left)
+        k_right = self._k((np.cumsum(w)) / total)
+        out_m, out_w = [], []
+        cur_m, cur_w, cur_k = m[0] * w[0], w[0], k_left[0]
+        for i in range(1, len(m)):
+            if k_right[i] - cur_k <= 1.0:
+                cur_m += m[i] * w[i]
+                cur_w += w[i]
+            else:
+                out_m.append(cur_m / cur_w)
+                out_w.append(cur_w)
+                cur_m, cur_w, cur_k = m[i] * w[i], w[i], k_left[i]
+        out_m.append(cur_m / cur_w)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+        self.n = float(total)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        other._compress()
+        if len(other.means):
+            self._buf_v.append(other.means.copy())
+            self._buf_w.append(other.weights.copy())
+        self.vmin = min(self.vmin, other.vmin)
+        self.vmax = max(self.vmax, other.vmax)
+        self._compress()
+        return self
+
+    def quantile(self, q) -> np.ndarray:
+        self._compress()
+        qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        if self.n == 0:
+            return np.full(len(qs), np.nan)
+        m, w = self.means, self.weights
+        # centroid midpoints in cumulative-weight space, with min/max
+        # as exact anchors (standard t-digest interpolation)
+        cum = np.cumsum(w) - w / 2
+        xs = np.concatenate([[0.0], cum, [self.n]])
+        ys = np.concatenate([[self.vmin], m, [self.vmax]])
+        out = np.interp(qs * self.n, xs, ys)
+        return out if np.ndim(q) else np.float64(out[0])
+
+
 class GroupedSketch:
     """Per-group (source) sketch bundle: quantile histogram over one
     numeric column + token-frequency sketch over a list column."""
