@@ -90,7 +90,11 @@ def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id",
     # (each hash-shuffle partition carries fixed actor/task overhead)
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = int(np.clip(np.ceil(n_rows / 500_000), 8, cpus * 2))
+        # floor of 2 (not 8): each hash-shuffle partition carries fixed
+        # actor/task overhead that dominates on small inputs (measured
+        # ~1.4-2.3 s at 5k docs either way, slight edge to 2); the count
+        # still grows to cpus*2 with the data
+        num_partitions = int(np.clip(np.ceil(n_rows / 500_000), 2, cpus * 2))
 
     def add_hash(b: pa.Table) -> pa.Table:
         return b.append_column(
