@@ -123,6 +123,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "avg_chars": np.round(out.n_chars_mean, 6),
         })
 
+    def stats_quantiles(sf):
+        # EXACT per-group discrete quantiles via value counting (the
+        # scalable exact-quantile pattern for integer columns; the
+        # shuffle carries (group, value, cnt) partials only) — matches
+        # DuckDB quantile_disc exactly, so values hash-compare
+        out = analytics.grouped_exact_quantiles(
+            _read(sf, "documents", columns=["lang", "n_chars"]),
+            "lang", "n_chars", qs=(0.25, 0.5, 0.75))
+        return out.astype({"n": "int64", "q25": "int64",
+                           "q50": "int64", "q75": "int64"})
+
     def dedup_exact(sf):
         g = dedup.exact_dedup_groups(_read(sf, "documents",
                                            columns=["doc_id", "text"]))
@@ -415,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analytics
         "stats_docs_by_lang": stats_docs_by_lang,
         "stats_by_lang_source": stats_by_lang_source,
+        "stats_quantiles_by_lang": stats_quantiles,
         "pricing_summary": lambda sf: analytics.pricing_summary(
             _read(sf, "lineitem")),
         "events_window_day": events_window,
@@ -763,6 +775,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, COUNT(*) AS n_docs,
                    ROUND(AVG(n_chars), 6) AS avg_chars
             FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+        "stats_quantiles_by_lang": """
+            SELECT lang, COUNT(n_chars) AS n,
+                   quantile_disc(n_chars, 0.25) AS q25,
+                   quantile_disc(n_chars, 0.5) AS q50,
+                   quantile_disc(n_chars, 0.75) AS q75
+            FROM documents WHERE n_chars IS NOT NULL
+            GROUP BY lang ORDER BY lang
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

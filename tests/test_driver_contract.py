@@ -87,7 +87,8 @@ def test_queries_cover_oracles(entry_mod):
     "token_topk_by_source", "infer_documents_spec", "dedup_exact_filter",
     "embedding_near_dup_lsh", "ann_topk_ivf", "media_frame_sample",
     "sample_documents", "sample_stratified", "text_normalize",
-    "pack_sequences",
+    "pack_sequences", "validate_map_column", "ann_topk_lsh",
+    "stats_quantiles_by_lang",
 ])
 def test_query_matches_oracle(entry_mod, ducks, name):
     q = entry_mod.queries()[name]

@@ -226,3 +226,36 @@ def test_minhash_verify_in_exchange_multi_task(ray_session):
     got = set(zip(out["doc_a"], out["doc_b"]))
     assert got == {(0, 4), (1, 5), (2, 6), (3, 7)}  # absent-doc pair skipped
     assert ((out["jaccard_est"] >= 0) & (out["jaccard_est"] <= 1)).all()
+
+
+def test_grouped_exact_quantiles_matches_quantile_disc(ray_session):
+    """Counting-based exact quantiles must reproduce DuckDB
+    quantile_disc, incl. a null GROUP (SQL GROUP BY semantics) and
+    null values excluded."""
+    import duckdb
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import grouped_exact_quantiles
+
+    rng = np.random.RandomState(13)
+    langs = rng.choice(["en", "de", None], 3000, p=[0.5, 0.3, 0.2])
+    vals = rng.randint(0, 400, 3000).astype("float64")
+    vals[::17] = np.nan  # null values
+    t = pa.table({"lang": pa.array(langs.tolist(), type=pa.string()),
+                  "n_chars": pa.array([None if np.isnan(v) else int(v)
+                                       for v in vals], type=pa.int64())})
+    ds = rd.from_arrow(t).materialize()
+    out = grouped_exact_quantiles(ds, "lang", "n_chars", qs=(0.1, 0.5, 0.9))
+    con = duckdb.connect()
+    ora = con.execute("""
+        SELECT lang, COUNT(n_chars) AS n,
+               quantile_disc(n_chars, 0.1) AS q10,
+               quantile_disc(n_chars, 0.5) AS q50,
+               quantile_disc(n_chars, 0.9) AS q90
+        FROM t WHERE n_chars IS NOT NULL GROUP BY lang ORDER BY lang
+    """).df()
+    a = (out.fillna("NULL").astype(str)
+         .sort_values("lang").reset_index(drop=True))
+    b = (ora.fillna("NULL").astype(str)
+         .sort_values("lang").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])

@@ -315,6 +315,56 @@ def token_topk_by_source(ds, k: int = 10, source_col: str = "source",
     return out
 
 
+def grouped_exact_quantiles(ds, group_col: str, value_col: str,
+                            qs: tuple = (0.25, 0.5, 0.75),
+                            batch_size: int = 65536) -> pd.DataFrame:
+    """EXACT per-group discrete quantiles via value counting — the
+    scalable exact-quantile pattern for integer / discretized columns:
+    each batch collapses to ``(group, value, cnt)`` partials, so the
+    data that leaves the map stage is bounded by
+    ``groups × distinct_values`` regardless of row count (for
+    continuous columns with unbounded cardinality use
+    ``state.sketches.TDigest`` instead — approximate but O(δ)).
+
+    Quantile definition matches DuckDB ``quantile_disc``: the value at
+    0-based sorted index ``max(0, ceil(q·n) − 1)`` (nulls excluded
+    from values; a null GROUP is its own group, SQL GROUP BY
+    semantics).  Output: ``group_col, n, q25, q50, ...`` columns.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, value_col])
+        t = t.filter(pc.is_valid(t.column(value_col)))
+        g = t.group_by([group_col, value_col]).aggregate([(value_col, "count")])
+        return g.rename_columns([group_col, value_col, "cnt"])
+
+    parts = (ds.select_columns([group_col, value_col])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=batch_size))
+    merged = pa.concat_tables(list(parts.iter_batches(batch_format="pyarrow")))
+    qcols = [f"q{int(round(q * 100))}" for q in qs]
+    if merged.num_rows == 0:
+        return pd.DataFrame({group_col: [], "n": [],
+                             **{c: [] for c in qcols}})
+    g = (merged.group_by([group_col, value_col]).aggregate([("cnt", "sum")])
+         .rename_columns([group_col, value_col, "cnt"]).to_pandas())
+    g = g.sort_values([group_col, value_col], kind="stable",
+                      na_position="first").reset_index(drop=True)
+    out_rows = []
+    for grp, sub in g.groupby(group_col, dropna=False, sort=False):
+        vals = sub[value_col].to_numpy()
+        cnts = sub["cnt"].to_numpy()
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        row = {group_col: grp, "n": n}
+        for q, qc in zip(qs, qcols):
+            pos = max(0, int(np.ceil(q * n)) - 1)  # quantile_disc index
+            row[qc] = vals[np.searchsorted(cum, pos + 1)]
+        out_rows.append(row)
+    out = pd.DataFrame(out_rows)
+    return (out.sort_values(group_col, na_position="first")
+            .reset_index(drop=True))
+
+
 def hopping_window_events(ds, width_hours: int = 24, slide_hours: int = 6,
                           ts_col: str = "ts", value_col: str = "value"
                           ) -> pd.DataFrame:
