@@ -107,3 +107,41 @@ def test_ks_check_flags_shape_shift(ray_session):
     shifted = drift_violations(ds_of(base + 120), drift, ref)
     msgs = shifted["message"].to_pylist()
     assert any("KS statistic" in m for m in msgs)
+
+
+def test_drift_with_tdigest_sketch(ray_session, drift_setup):
+    """The tdigest quantile-sketch family must detect the same shifted
+    source (and stay quiet on the clean epoch) through the same
+    streaming partial/merge/serialize machinery."""
+    import ray.data as rd
+
+    from verify_ray.stages.drift import drift_violations, make_reference_stats
+
+    drift = DriftSpec(group_by="source", column="n_tok",
+                      token_column="tokens", min_rows=50,
+                      quantile_sketch="tdigest")
+    stats = str(drift_setup["root"] + "/reference_stats_tdigest.parquet")
+    make_reference_stats(drift_setup["ref"], drift, out_path=stats)
+
+    cur = rd.read_parquet(drift_setup["cur"] + "/")
+    dv = drift_violations(cur, drift, stats)
+    flagged = {r["doc_id"] for r in dv.to_pylist()}
+    assert flagged == {"code"}, dv.to_pylist()
+
+    ref = rd.read_parquet(drift_setup["ref"] + "/")
+    assert drift_violations(ref, drift, stats).num_rows == 0
+
+
+def test_drift_spec_rejects_unknown_sketch():
+    from verify_ray.spec import SpecError
+
+    with pytest.raises(SpecError) as ei:
+        ConstraintSpec.from_dict({
+            "key": "doc_id",
+            "columns": {"doc_id": {"dtype": "string"},
+                        "source": {"dtype": "string"},
+                        "n_tok": {"dtype": "int32"}},
+            "drift": {"group_by": "source", "column": "n_tok",
+                      "quantile_sketch": "bogus"},
+        }).compile()
+    assert "quantile_sketch" in str(ei.value)

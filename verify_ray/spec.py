@@ -153,6 +153,11 @@ class DriftSpec:
     # the per-quantile relative-error check can miss (e.g. mass moving
     # between quantile anchors).
     ks_max: Optional[float] = None
+    # quantile sketch family: "histogram" (log-spaced fixed bins —
+    # exact merge, needs non-negative values under ~2^21) or "tdigest"
+    # (adaptive centroids — unbounded/signed ranges, tail-accurate,
+    # merge associative up to the rank-error bound).
+    quantile_sketch: str = "histogram"
 
 
 @dataclass
@@ -546,6 +551,10 @@ class ConstraintSpec:
                 problems.append(f'drift.group_by: column "{self.drift.group_by}" is not declared')
             if self.drift.column not in names:
                 problems.append(f'drift.column: column "{self.drift.column}" is not declared')
+            if self.drift.quantile_sketch not in ("histogram", "tdigest"):
+                problems.append(
+                    f'drift.quantile_sketch: must be "histogram" or '
+                    f'"tdigest", got "{self.drift.quantile_sketch}"')
         # M8 tagged dispatch: structural + per-variant-column validation
         known_keys = set(ColumnSpec.__dataclass_fields__)
         for i, entry in enumerate(self.tagged or []):

@@ -66,7 +66,8 @@ def _make_partials_fn(drift):
             if gname is None:
                 continue
             mask = codes == code
-            g = GroupedSketch()
+            g = GroupedSketch(quantile_sketch=getattr(
+                drift, "quantile_sketch", "histogram"))
             g.hist.add(vals_np[mask])
             g.rows = int(mask.sum())
             if tok_np is not None:

@@ -388,15 +388,37 @@ class TDigest:
         out = np.interp(qs * self.n, xs, ys)
         return out if np.ndim(q) else np.float64(out[0])
 
+    def cdf(self, values) -> np.ndarray:
+        """P(X <= v) — inverse of the quantile interpolation (used by
+        the drift KS check)."""
+        self._compress()
+        vs = np.atleast_1d(np.asarray(values, dtype=np.float64))
+        if self.n == 0:
+            return np.full(len(vs), np.nan)
+        cum = np.cumsum(self.weights) - self.weights / 2
+        xs = np.concatenate([[0.0], cum, [self.n]])
+        ys = np.concatenate([[self.vmin], self.means, [self.vmax]])
+        out = np.interp(vs, ys, xs) / self.n
+        return out if np.ndim(values) else np.float64(out[0])
+
 
 class GroupedSketch:
-    """Per-group (source) sketch bundle: quantile histogram over one
-    numeric column + token-frequency sketch over a list column."""
+    """Per-group (source) sketch bundle: a quantile sketch over one
+    numeric column + token-frequency sketch over a list column.
 
-    __slots__ = ("hist", "tokens", "rows")
+    ``quantile_sketch`` picks the family: "histogram" (default —
+    exact merge, bounded non-negative domain) or "tdigest" (unbounded
+    / signed ranges, tail-adaptive); both expose add/merge/quantile/
+    cdf, so the drift stage is agnostic (attr stays named ``hist``).
+    """
 
-    def __init__(self, max_value: float = 2**21):
-        self.hist = HistogramSketch(max_value=max_value)
+    __slots__ = ("hist", "tokens", "rows", "kind")
+
+    def __init__(self, max_value: float = 2**21,
+                 quantile_sketch: str = "histogram"):
+        self.kind = quantile_sketch
+        self.hist = (TDigest() if quantile_sketch == "tdigest"
+                     else HistogramSketch(max_value=max_value))
         self.tokens = TokenFreqSketch()
         self.rows = 0
 
@@ -408,10 +430,17 @@ class GroupedSketch:
 
     def to_bytes(self) -> bytes:
         buf = io.BytesIO()
+        if self.kind == "tdigest":
+            self.hist._compress()
+            h = ("tdigest", self.hist.delta, self.hist.means,
+                 self.hist.weights, self.hist.n, self.hist.vmin,
+                 self.hist.vmax)
+        else:
+            h = (self.hist.max_value, self.hist.bins, self.hist.counts,
+                 self.hist.n, self.hist.total)
         pickle.dump(
             {
-                "hist": (self.hist.max_value, self.hist.bins, self.hist.counts,
-                         self.hist.n, self.hist.total),
+                "hist": h,
                 "cm": (self.tokens.cm.table, self.tokens.cm.n),
                 "cand": self.tokens.candidates,
                 "rows": self.rows,
@@ -423,6 +452,15 @@ class GroupedSketch:
     @classmethod
     def from_bytes(cls, b: bytes) -> "GroupedSketch":
         d = pickle.loads(b)
+        if d["hist"][0] == "tdigest":
+            g = cls(quantile_sketch="tdigest")
+            (_tag, g.hist.delta, g.hist.means, g.hist.weights, g.hist.n,
+             g.hist.vmin, g.hist.vmax) = d["hist"]
+            g.tokens.cm.table = d["cm"][0]
+            g.tokens.cm.n = d["cm"][1]
+            g.tokens.candidates = d["cand"]
+            g.rows = d["rows"]
+            return g
         g = cls(max_value=d["hist"][0])
         g.hist.bins = d["hist"][1]
         g.hist.counts = d["hist"][2]
