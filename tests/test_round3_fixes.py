@@ -259,3 +259,15 @@ def test_grouped_exact_quantiles_matches_quantile_disc(ray_session):
     b = (ora.fillna("NULL").astype(str)
          .sort_values("lang").reset_index(drop=True))
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_md5_hex_vectorized_parity():
+    import hashlib
+
+    from verify_ray.functions.hashing import md5_hex
+
+    texts = ["hello", None, "", "unicode-é-漢", "x" * 10_000]
+    got = md5_hex(pa.array(texts, type=pa.string())).to_pylist()
+    exp = [None if t is None else hashlib.md5(t.encode("utf-8")).hexdigest()
+           for t in texts]
+    assert got == exp

@@ -26,11 +26,10 @@ _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _content_hash_batch(batch: pa.Table, content_col: str, id_col: str) -> pa.Table:
-    texts = batch[content_col].to_pylist()
-    h = [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
-         for t in texts]
+    from ..functions.hashing import md5_hex
+
     return pa.table({id_col: batch[id_col],
-                     "content_hash": pa.array(h, type=pa.string())})
+                     "content_hash": md5_hex(batch[content_col])})
 
 
 def exact_dedup_groups(ds, content_col: str = "text", id_col: str = "doc_id"):

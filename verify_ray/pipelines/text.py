@@ -9,7 +9,6 @@ mapping), never per occurrence.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -132,14 +131,14 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
                       id_col: str = "doc_id") -> pa.Table:
     """(doc_id, fingerprint): md5 hex of the document text (content
     address for exact dedup / caching), plus a 64-bit rolling hash."""
+    from ..functions.hashing import md5_hex
+
     texts = batch[text_col].to_pylist()
-    md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
-            for t in texts]
     rolls = _rolling64_batch(texts)
     return pa.table(
         {
             id_col: batch[id_col],
-            "fingerprint": pa.array(md5s, type=pa.string()),
+            "fingerprint": md5_hex(batch[text_col]),
             "rolling_hash": pa.array(rolls, type=pa.uint64()),
         }
     )
