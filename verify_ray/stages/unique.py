@@ -55,12 +55,16 @@ def _bucket_of(keys_arr: pa.Array, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
-def find_duplicate_keys(file_groups: list[list[str]], column: str,
-                        num_buckets: int, cnt_column: str | None = None,
-                        where: tuple | None = None,
-                        path_pids: dict[str, int] | None = None,
-                        first_pid_column: str | None = None) -> pa.Table:
-    """(key, cnt) table of keys with global count > 1, via an explicit
+def launch_duplicate_keys(file_groups: list[list[str]], column: str,
+                          num_buckets: int, cnt_column: str | None = None,
+                          where: tuple | None = None,
+                          path_pids: dict[str, int] | None = None,
+                          first_pid_column: str | None = None) -> list:
+    """LAUNCH the duplicate-key hash exchange (non-blocking): returns
+    per-bucket ObjectRefs for ``collect_duplicate_keys``.  Use
+    ``find_duplicate_keys`` for the synchronous form.
+
+    (key, cnt) of keys with global count > 1, via an explicit
     MapReduce-style hash exchange with raw Ray tasks.
 
     This is the one stage where we drop below the Dataset API: Ray
@@ -190,6 +194,23 @@ def find_duplicate_keys(file_groups: list[list[str]], column: str,
         refs = [[r] for r in refs]
     merged = [merge_task.remote(*[refs[m][b] for m in range(len(refs))])
               for b in range(B)]
+    return merged
+
+
+def find_duplicate_keys(file_groups: list[list[str]], column: str,
+                        num_buckets: int, **kw) -> pa.Table:
+    """Synchronous launch + collect (see launch_duplicate_keys)."""
+    return collect_duplicate_keys(
+        launch_duplicate_keys(file_groups, column, num_buckets, **kw), column)
+
+
+def collect_duplicate_keys(merged, column: str) -> pa.Table:
+    """Block on a ``find_duplicate_keys`` launch and concat the per-
+    bucket results.  Split from the launch so callers can overlap the
+    exchange with other independent pipeline stages (engine.validate
+    runs it concurrently with the narrow kernel pass)."""
+    import ray
+
     tables = [t for t in ray.get(merged) if t.num_rows]
     if not tables:
         return pa.table({column: pa.array([], type=pa.string()),
@@ -224,12 +245,13 @@ def dup_table_to_violations(dups: pa.Table, column: str) -> pa.Table:
     )
 
 
-def unique_violations_from_files(files: list[str], column: str,
-                                 num_buckets: int | None = None,
-                                 files_per_task: int | None = None,
-                                 path_pids: dict[str, int] | None = None
-                                 ) -> pa.Table:
-    """not_unique violations for a parquet file set (fast exchange)."""
+def launch_unique_violations_from_files(files: list[str], column: str,
+                                        num_buckets: int | None = None,
+                                        files_per_task: int | None = None,
+                                        path_pids: dict[str, int] | None = None
+                                        ) -> list:
+    """Non-blocking launch of the file-set uniqueness exchange; finish
+    with ``collect_duplicate_keys`` + ``dup_table_to_violations``."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -240,9 +262,20 @@ def unique_violations_from_files(files: list[str], column: str,
         files_per_task = max(1, len(files) // (2 * cpus))
     groups = [files[i:i + files_per_task]
               for i in range(0, len(files), files_per_task)]
-    dups = find_duplicate_keys(groups, column, num_buckets,
-                               path_pids=path_pids)
-    return dup_table_to_violations(dups, column)
+    return launch_duplicate_keys(groups, column, num_buckets,
+                                 path_pids=path_pids)
+
+
+def unique_violations_from_files(files: list[str], column: str,
+                                 num_buckets: int | None = None,
+                                 files_per_task: int | None = None,
+                                 path_pids: dict[str, int] | None = None
+                                 ) -> pa.Table:
+    """not_unique violations for a parquet file set (fast exchange)."""
+    merged = launch_unique_violations_from_files(
+        files, column, num_buckets, files_per_task, path_pids)
+    return dup_table_to_violations(
+        collect_duplicate_keys(merged, column), column)
 
 
 def unique_violations(ds, column: str, batch_size: int = 65536):
