@@ -96,6 +96,27 @@ def _docs_with_near_dups(sf_dir: str):
     return rd.from_arrow(pa.concat_tables([t.select(["doc_id", "text"]), mutated]))
 
 
+def _docs_with_pii(sf_dir: str):
+    """documents ∪ copies of the first 30 with deterministic PII-shaped
+    suffixes (email, IPv4, card number) — the redaction query's input;
+    the oracle reproduces the same injection in SQL."""
+    import ray.data as rd
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    head = t.slice(0, 30)
+    ids = head.column("doc_id").to_pylist()
+    texts = head.column("text").to_pylist()
+    injected = pa.table({
+        "doc_id": pa.array([i + 2_000_000 for i in ids], type=pa.int64()),
+        "text": pa.array(
+            [f"{x} contact user{i}@example.com from 10.0.{i % 256}.{i % 100}"
+             f" card 4111111111111111" for i, x in zip(ids, texts)],
+            type=pa.string()),
+    })
+    return rd.from_arrow(pa.concat_tables([t, injected]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from verify_ray.pipelines import (analytics, dedup, multimodal, sessions,
                                       similarity, text)
@@ -198,6 +219,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          columns=["doc_id", "text"]))
               .to_pandas())
         return df.sort_values("doc_id").reset_index(drop=True)
+
+    def text_repetition(sf):
+        return (text.repetition_signals(_read(sf, "documents",
+                                              columns=["doc_id", "text"]))
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    def text_redact(sf):
+        # documents ∪ deterministic PII-injected copies of the first 30
+        # (the raw corpus carries no PII — the injected rows make the
+        # redaction non-trivial; the oracle mirrors the injection)
+        ds = _docs_with_pii(sf)
+        return (text.redact(ds).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    def decontaminate_docs(sf):
+        # benchmark = raw docs 0..19; targets = everything else in the
+        # near-dup union (the planted copies of docs 0..19 share long
+        # spans with the benchmark — guaranteed positives)
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from verify_ray.pipelines.contamination import decontaminate
+
+        t = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        head = t.slice(0, 20)
+        mutated = pa.table({
+            "doc_id": pa.array([i + 1_000_000 for i in
+                                head.column("doc_id").to_pylist()],
+                               type=pa.int64()),
+            "text": pa.array([x + " extra tail" for x in
+                              head.column("text").to_pylist()],
+                             type=pa.string()),
+        })
+        union = pa.concat_tables([t, mutated])
+        bench = union.filter(pc.less(union.column("doc_id"), 20))
+        target = union.filter(pc.greater_equal(union.column("doc_id"), 20))
+        out = decontaminate(rd.from_arrow(target), rd.from_arrow(bench), n=8)
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
+    def text_boilerplate(sf):
+        from verify_ray.pipelines.contamination import common_ngram_stats
+
+        out = common_ngram_stats(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            n=3, min_docs=5)
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
 
     def pack_seqs(sf):
         # sequence packing: per-source doc-concatenated 512-token
@@ -446,6 +516,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_count": token_count,
         "text_fingerprint": fingerprint,
         "text_normalize": text_norm,
+        "text_repetition": text_repetition,
+        "text_redact": text_redact,
+        "text_boilerplate": text_boilerplate,
+        "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "sample_documents": sample_docs,
         "sample_stratified": sample_stratified,
@@ -644,6 +718,116 @@ SELECT doc_id,
                                           '[^a-z0-9\\s]+', ' ', 'g'),
                            '\\s+', ' ', 'g')) AS text_norm
 FROM documents ORDER BY doc_id
+"""
+
+TEXT_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY doc_id, w
+), agg AS (
+  SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_cnt,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_word_cnt
+  FROM wc GROUP BY doc_id
+), bg AS (
+  SELECT doc_id,
+         [ws[i] || ' ' || ws[i+1] FOR i IN range(1, greatest(len(ws)-1, 0)+1)]
+           AS bs
+  FROM toks
+), bc AS (
+  SELECT doc_id, max(c) AS top_bigram_cnt
+  FROM (SELECT doc_id, b, count(*) AS c
+        FROM (SELECT doc_id, unnest(bs) AS b FROM bg) GROUP BY doc_id, b)
+  GROUP BY doc_id
+)
+SELECT agg.doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(top_word_cnt AS BIGINT) AS top_word_cnt,
+       CAST(dup_word_cnt AS BIGINT) AS dup_word_cnt,
+       CAST(COALESCE(top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt
+FROM agg LEFT JOIN bc ON agg.doc_id = bc.doc_id ORDER BY agg.doc_id
+"""
+
+# mirrors _docs_with_pii + text.DEFAULT_PII_PATTERNS applied IN ORDER
+# (count on the already-redacted text, like redact_batch)
+TEXT_REDACT_ORACLE = r"""
+WITH pii_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' card 4111111111111111'
+  FROM documents WHERE doc_id < 30
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '[EMAIL]', 'g') AS t
+  FROM pii_docs
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+         regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '[IPV4]', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t, '\b\d{13,19}\b')) AS n_longnum,
+         regexp_replace(t, '\b\d{13,19}\b', '[LONGNUM]', 'g')
+           AS text_redacted
+  FROM s2
+)
+SELECT doc_id, n_email, n_ipv4, n_longnum, text_redacted
+FROM s3 ORDER BY doc_id
+"""
+
+# benchmark = raw docs 0..19; targets = near-dup union \ benchmark;
+# flag docs sharing >= 1 distinct word-8-gram with the benchmark
+DECONTAMINATE_ORACLE = "WITH " + _ALL_DOCS_CTE + r""",
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM all_docs
+), grams AS (
+  SELECT doc_id,
+         list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '
+                        ||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]
+                        FOR i IN range(1, greatest(len(ws)-7, 0)+1)]) AS gs
+  FROM toks
+), bl AS (
+  SELECT list(DISTINCT g) AS b
+  FROM (SELECT unnest(gs) AS g FROM grams WHERE doc_id < 20)
+)
+SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+       CAST(len(list_intersect(gs, b)) AS BIGINT) AS n_overlap
+FROM grams, bl
+WHERE doc_id >= 20 AND len(list_intersect(gs, b)) > 0
+ORDER BY doc_id
+"""
+
+# per-gram document frequency over distinct word-3-grams; boilerplate
+# threshold min_docs=5 (sized from the sf corpus: ~150 grams at sf0.01)
+TEXT_BOILERPLATE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                        FOR i IN range(1, greatest(len(ws)-2, 0)+1)]) AS gs
+  FROM toks
+), df AS (
+  SELECT g, count(*) AS c
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams) GROUP BY g
+), bl AS (
+  SELECT coalesce(list(g), []) AS b FROM df WHERE c >= 5
+)
+SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+       CAST(len(list_intersect(gs, b)) AS BIGINT) AS n_boiler
+FROM grams, bl ORDER BY doc_id
 """
 
 PACK_ORACLE = f"""
@@ -897,6 +1081,10 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": SAMPLE_ORACLE,
         "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
         "text_normalize": TEXT_NORMALIZE_ORACLE,
+        "text_repetition": TEXT_REPETITION_ORACLE,
+        "text_redact": TEXT_REDACT_ORACLE,
+        "text_boilerplate": TEXT_BOILERPLATE_ORACLE,
+        "decontaminate": DECONTAMINATE_ORACLE,
         "pack_sequences": PACK_ORACLE,
         "dedup_minhash_lsh": MINHASH_ORACLE,
         "dedup_simhash": SIMHASH_ORACLE,

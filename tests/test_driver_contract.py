@@ -88,7 +88,8 @@ def test_queries_cover_oracles(entry_mod):
     "embedding_near_dup_lsh", "ann_topk_ivf", "media_frame_sample",
     "sample_documents", "sample_stratified", "text_normalize",
     "pack_sequences", "validate_map_column", "ann_topk_lsh",
-    "stats_quantiles_by_lang",
+    "stats_quantiles_by_lang", "text_repetition", "text_redact",
+    "text_boilerplate", "decontaminate",
 ])
 def test_query_matches_oracle(entry_mod, ducks, name):
     q = entry_mod.queries()[name]

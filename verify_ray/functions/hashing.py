@@ -7,12 +7,20 @@ SQL oracles use, so parity is by construction.  Falls back to hashlib
 with identical semantics when duckdb is unavailable.  This is the hot
 100-TB content-hash path: a per-row Python ``hashlib`` loop here costs
 ~2 µs/row (VERDICT r2 flagged the same pattern in sampling).
+
+``md5_u64le`` is the 64-bit form of the same contract: the first 8 md5
+bytes read LITTLE-endian as uint64 — exactly DuckDB's
+``md5_number_upper`` — used where only a shuffle/membership key is
+needed (gram hashing in contamination/boilerplate) so the shuffle
+carries 8 bytes per gram instead of the gram string, while SQL oracles
+keep exact parity via ``md5_number_upper(g)``.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -38,3 +46,32 @@ def md5_hex(col) -> pa.Array:
     kt = pa.table({"t": col})
     return _DUCK.execute("SELECT md5(t) AS h FROM kt").arrow() \
         .column("h").combine_chunks()
+
+
+def md5_u64le(col) -> np.ndarray:
+    """First 8 md5 bytes LITTLE-endian as uint64 per value (DuckDB
+    ``md5_number_upper`` parity).  Nulls are not supported — callers
+    hash unique non-null keys (np.unique + inverse).  Vectorized via
+    the per-worker DuckDB connection; hashlib fallback is identical.
+    """
+    global _DUCK
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        col = pa.array(col, type=pa.string())
+    if not pa.types.is_string(col.type):
+        col = pc.cast(col, pa.string())
+    try:
+        import duckdb
+    except ImportError:
+        return np.array(
+            [int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8],
+                            "little") for t in col.to_pylist()],
+            dtype=np.uint64)
+    if _DUCK is None:
+        _DUCK = duckdb.connect()
+        _DUCK.execute("SET threads=1")
+    kt = pa.table({"t": col})
+    out = _DUCK.execute("SELECT md5_number_upper(t) AS h FROM kt").arrow()
+    return out.column("h").combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.uint64)

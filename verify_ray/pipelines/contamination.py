@@ -1,0 +1,198 @@
+"""Benchmark decontamination and inter-document boilerplate n-gram
+frequency — the two cross-document n-gram operators a training-data
+pipeline runs besides near-dup dedup:
+
+- ``decontaminate``: flag training documents sharing any word n-gram
+  (n=8 by convention, e.g. GPT-3 appendix C / PaLM decontamination)
+  with a held-out benchmark set.  The benchmark gram set is SMALL by
+  definition (eval suites are tiny next to the corpus), so it is
+  broadcast once via ``ray.put`` and each batch does one sorted-array
+  ``np.searchsorted`` membership pass — no shuffle at all; the 100 TB
+  side streams.
+
+- ``common_ngram_stats``: per-gram document frequency (how many
+  distinct docs contain each 3-gram), used for boilerplate detection
+  (RefinedWeb / C4-style "repeated spans across the corpus").  Doc
+  frequency is computed with map-side distinct partials (a doc lives
+  in exactly one batch, so per-batch distinct counts sum to the global
+  doc frequency) through the sort-free hash exchange, then the
+  ≥min_docs survivor set — output-sized, boilerplate grams are rare by
+  construction at a high threshold — is broadcast back for the per-doc
+  counting pass.  Shuffle payload is (u64 gram hash, int32 count),
+  never gram strings.
+
+Gram identity is the first-8-bytes-little-endian md5 of the
+space-joined gram string (``functions.hashing.md5_u64le`` — DuckDB
+``md5_number_upper`` parity), so SQL oracles reproduce membership
+exactly; a 64-bit collision over ~10^6 distinct grams has probability
+~10^-7 and the corpus is fixed, so oracle equality is stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import md5_u64le
+from ..kernels import as_array
+
+
+def _doc_gram_hashes(batch: pa.Table, n: int, text_col: str):
+    """Per-row DISTINCT word-n-gram hashes.
+
+    Returns ``(row_idx, gram_hash)`` — both np arrays, one entry per
+    distinct (row, gram) pair — plus ``n_grams`` (distinct-gram count
+    per row).  Vectorized: Arrow split/flatten, element-wise join for
+    gram strings, md5 over the batch's UNIQUE grams only.
+    Docs shorter than n words contribute no grams (SQL mirrors with an
+    empty list comprehension).
+    """
+    n_rows = batch.num_rows
+    toks = as_array(pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch[text_col]), r"\s+"))
+    words = as_array(pc.list_flatten(toks))
+    parents = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    m = len(parents)
+    empty = (np.empty(0, np.int64), np.empty(0, np.uint64),
+             np.zeros(n_rows, np.int64))
+    if m < n:
+        return empty
+    ok = parents[: m - n + 1] == parents[n - 1:]
+    idx = np.nonzero(ok)[0]
+    if not len(idx):
+        return empty
+    parts = [words.take(pa.array(idx + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    gdoc = parents[idx]
+    garr = grams.to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(garr, return_inverse=True)
+    gh = md5_u64le(pa.array(uniq, type=pa.string()))[inv]
+    # distinct (row, hash) pairs
+    order = np.lexsort((gh, gdoc))
+    gdoc, gh = gdoc[order], gh[order]
+    keep = np.ones(len(gdoc), dtype=bool)
+    keep[1:] = (gdoc[1:] != gdoc[:-1]) | (gh[1:] != gh[:-1])
+    gdoc, gh = gdoc[keep], gh[keep]
+    n_grams = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(n_grams, gdoc, 1)
+    return gdoc, gh, n_grams
+
+
+def benchmark_gram_set(bench_ds, n: int = 8, text_col: str = "text") -> np.ndarray:
+    """Distinct gram hashes of the benchmark set as a SORTED uint64
+    array (driver-side — the benchmark is small by definition)."""
+    import ray
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        _, gh, _ = _doc_gram_hashes(b, n, text_col)
+        return pa.table({"h": pa.array(np.unique(gh), type=pa.uint64())})
+
+    parts = ray.get(bench_ds.map_batches(
+        per_batch, batch_format="pyarrow").to_arrow_refs())
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    allh = pa.concat_tables(parts).column("h").to_numpy(zero_copy_only=False)
+    return np.unique(allh.astype(np.uint64))
+
+
+def decontaminate(docs_ds, bench_ds, n: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Flag documents sharing ≥1 distinct word-n-gram with the
+    benchmark set.  Returns a Dataset of
+    ``(doc_id, n_grams, n_overlap)`` for flagged docs only
+    (``n_overlap`` = count of the doc's distinct grams present in the
+    benchmark).  The benchmark grams are broadcast once; the corpus
+    side is a single streaming membership pass.
+    """
+    import ray
+
+    bench_ref = ray.put(benchmark_gram_set(bench_ds, n, text_col))
+
+    def flag(b: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        gdoc, gh, n_grams = _doc_gram_hashes(b, n, text_col)
+        n_overlap = np.zeros(b.num_rows, dtype=np.int64)
+        if len(gh) and len(bench):
+            pos = np.searchsorted(bench, gh)
+            pos[pos == len(bench)] = 0
+            hit = bench[pos] == gh
+            np.add.at(n_overlap, gdoc[hit], 1)
+        mask = n_overlap > 0
+        return pa.table({
+            id_col: as_array(b[id_col]).filter(pa.array(mask)),
+            "n_grams": pa.array(n_grams[mask]),
+            "n_overlap": pa.array(n_overlap[mask]),
+        })
+
+    return docs_ds.map_batches(flag, batch_format="pyarrow")
+
+
+def boilerplate_gram_set(docs_ds, n: int = 3, min_docs: int = 20,
+                         text_col: str = "text",
+                         num_buckets: int = 64) -> np.ndarray:
+    """SORTED uint64 hashes of grams appearing in ≥ min_docs distinct
+    documents.  Map-side distinct partials (per-batch distinct-doc
+    counts per gram) summed per gram through the hash exchange; only
+    the survivor set — output-sized at a boilerplate-grade threshold —
+    returns to the driver."""
+    from ..stages.exchange import grouped_exchange
+
+    def partials(b: pa.Table) -> pa.Table:
+        _, gh, _ = _doc_gram_hashes(b, n, text_col)
+        u, c = np.unique(gh, return_counts=True)
+        return pa.table({"h": pa.array(u, type=pa.uint64()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    part_ds = docs_ds.map_batches(partials, batch_format="pyarrow")
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(h, return_inverse=True)
+        tot = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, inv, c)
+        keep = tot >= min_docs
+        return pa.table({"h": pa.array(u[keep], type=pa.uint64())})
+
+    out = grouped_exchange(part_ds, "h", num_buckets, reduce_bucket,
+                           drop_bucket=False)
+    if out is None or not out.num_rows:
+        return np.empty(0, dtype=np.uint64)
+    return np.sort(out.column("h").to_numpy(
+        zero_copy_only=False).astype(np.uint64))
+
+
+def common_ngram_stats(docs_ds, n: int = 3, min_docs: int = 20,
+                       text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document boilerplate exposure: ``(doc_id, n_grams,
+    n_boiler)`` over ALL docs, where ``n_boiler`` counts the doc's
+    distinct n-grams whose corpus document-frequency ≥ min_docs.
+
+    Two passes over the corpus: the df exchange fully executes before
+    the membership pass starts (sequential consumers — no concurrent
+    actor-pool starvation, so no materialize needed; parquet-backed
+    inputs re-scan with column pruning)."""
+    import ray
+
+    boiler_ref = ray.put(boilerplate_gram_set(
+        docs_ds, n, min_docs, text_col))
+
+    def stats(b: pa.Table) -> pa.Table:
+        boiler = ray.get(boiler_ref)
+        gdoc, gh, n_grams = _doc_gram_hashes(b, n, text_col)
+        n_boiler = np.zeros(b.num_rows, dtype=np.int64)
+        if len(gh) and len(boiler):
+            pos = np.searchsorted(boiler, gh)
+            pos[pos == len(boiler)] = 0
+            hit = boiler[pos] == gh
+            np.add.at(n_boiler, gdoc[hit], 1)
+        return pa.table({
+            id_col: b[id_col],
+            "n_grams": pa.array(n_grams),
+            "n_boiler": pa.array(n_boiler),
+        })
+
+    return docs_ds.map_batches(stats, batch_format="pyarrow")

@@ -231,3 +231,104 @@ def normalize_texts(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(
         lambda b: normalize_batch(b, text_col, id_col),
         batch_format="pyarrow")
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", repetition filters): whitespace-token
+    count, count of the most frequent word, total occurrences of
+    words that repeat (the duplicate-word-fraction numerator), and the
+    count of the most frequent adjacent-word bigram.
+
+    Integer feature columns only (the float fractions derive from them
+    deterministically downstream) — the SQL-oracle-checked surface,
+    per the repo's float-rounding policy.  Fully vectorized: per-doc
+    counting via np.unique over (doc, word-code) keys; no per-row
+    Python.  Assumes non-null text (the documents corpus contract;
+    same as quality_score_batch).
+    """
+    text = batch[text_col]
+    toks = as_array(pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+"))
+    n_rows = batch.num_rows
+    n_words = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    words = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    warr = words.to_numpy(zero_copy_only=False)
+    uniq, codes = np.unique(warr, return_inverse=True)
+    U = np.int64(max(len(uniq), 1))
+
+    # per-(doc, word) occurrence counts
+    pair = parents * U + codes
+    upair, pcounts = np.unique(pair, return_counts=True)
+    pdoc = (upair // U).astype(np.int64)
+    top_word = np.zeros(n_rows, dtype=np.int64)
+    np.maximum.at(top_word, pdoc, pcounts)
+    dup_words = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(dup_words, pdoc, np.where(pcounts >= 2, pcounts, 0))
+
+    # adjacent bigrams within a doc.  Key arithmetic assumes
+    # n_rows * U^2 < 2^63: U is bounded by the batch's word
+    # occurrences (batch_size x words/doc, ~10^6), so U^2 * 4096
+    # stays ~10^16 — well inside int64.
+    top_bigram = np.zeros(n_rows, dtype=np.int64)
+    if len(parents) > 1:
+        adj = parents[:-1] == parents[1:]
+        bparent = parents[:-1][adj]
+        bkey = (bparent * (U * U)
+                + codes[:-1][adj].astype(np.int64) * U + codes[1:][adj])
+        ub, bcounts = np.unique(bkey, return_counts=True)
+        np.maximum.at(top_bigram, (ub // (U * U)).astype(np.int64), bcounts)
+
+    return pa.table({
+        id_col: batch[id_col],
+        "n_words": pa.array(n_words),
+        "top_word_cnt": pa.array(top_word),
+        "dup_word_cnt": pa.array(dup_words),
+        "top_bigram_cnt": pa.array(top_bigram),
+    })
+
+
+def repetition_signals(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: repetition_batch(b, text_col, id_col),
+        batch_format="pyarrow")
+
+
+# label -> RE2 pattern.  Both pyarrow.compute and DuckDB use RE2, so
+# the redaction transform is reproducible verbatim in the SQL oracle.
+DEFAULT_PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("longnum", r"\b\d{13,19}\b"),
+]
+
+
+def redact_batch(batch: pa.Table, patterns=None, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """PII-style regex redaction: each (label, pattern) is applied IN
+    ORDER — count non-overlapping matches, then replace them all with
+    ``[LABEL]`` — so later patterns see earlier redactions (an email's
+    digits can't double-match a number pattern).  Emits one
+    ``n_<label>`` int column per pattern plus the final
+    ``text_redacted``.  Pure RE2 kernels; the oracle chains DuckDB
+    ``regexp_extract_all`` / ``regexp_replace(..., 'g')`` identically.
+    """
+    if patterns is None:
+        patterns = DEFAULT_PII_PATTERNS
+    t = batch[text_col]
+    cols: dict = {id_col: batch[id_col]}
+    for label, pat in patterns:
+        cols[f"n_{label}"] = pc.cast(
+            as_array(pc.count_substring_regex(t, pat)), pa.int64())
+        t = pc.replace_substring_regex(t, pat, f"[{label.upper()}]")
+    cols["text_redacted"] = t
+    return pa.table(cols)
+
+
+def redact(ds, patterns=None, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: redact_batch(b, patterns, text_col, id_col),
+        batch_format="pyarrow")
