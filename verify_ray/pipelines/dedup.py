@@ -574,6 +574,183 @@ def _verify_minhash_exchange(ds, cand, text_col: str, id_col: str,
     return res.to_pandas()
 
 
+def minhash_lsh_pairs_resident(ds, text_col: str = "text",
+                               id_col: str = "doc_id",
+                               num_perm: int = 64, bands: int = 16,
+                               shingle_k: int = 5, threshold: float = 0.7,
+                               rows_per_group: int = 100_000,
+                               pairs_per_task: int = 50_000,
+                               max_tasks: int = 256) -> pd.DataFrame:
+    """MinHash-LSH near-dup pairs with a FULLY dataset-resident
+    candidate path — the scale successor to ``minhash_lsh_pairs``
+    (VERDICT r2 / NOTES_r3: the default path holds the candidate-pair
+    frame and a doc→task need-map on the driver; candidate-sized, which
+    a pathologically skewed corpus can blow up).  Here nothing
+    candidate-sized ever lands on the driver — only the verified
+    OUTPUT pairs do:
+
+    1. band rows ``(bucket u64, doc_id)`` → coarse hash exchange →
+       candidate pair rows, kept in the object store
+       (``grouped_exchange_ds``);
+    2. signatures for ALL docs stream through a doc-keyed exchange
+       together with both orientations of each pair row; each group
+       task attaches the signature to the pair rows that reference its
+       docs.  Shipping every doc's signature costs
+       ``num_perm × 8 B ≈ 512 B``/doc — the same order as the band
+       rows themselves (``bands × 16 B``), so this replaces the
+       driver need-map at constant factor, not asymptotic, cost;
+    3. a pair-keyed exchange brings the two attached sides of each
+       pair together, dedups band-collision duplicates in-task, and
+       verifies ``signature-estimated Jaccard ≥ threshold``.
+
+    Returns the same frame as ``minhash_lsh_pairs`` (equivalence is
+    tested).  The three-exchange shape trades ~2 extra shuffles of
+    signature-sized rows for O(1) driver memory; prefer it when the
+    candidate volume is unknown or the corpus is skew-prone.
+    """
+    import ray  # noqa: F401 (exchange machinery uses the session)
+
+    from ..stages.exchange import grouped_exchange, grouped_exchange_ds
+
+    idt = ds.schema().base_schema.field(id_col).type \
+        if hasattr(ds.schema(), "base_schema") else ds.schema().field(id_col).type
+
+    def _hash_ids(arr: np.ndarray) -> np.ndarray:
+        return pd.util.hash_array(arr).astype(np.uint64)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        sig, ids = minhash_signatures_batch(batch, text_col, id_col,
+                                            num_perm, shingle_k)
+        buckets = _band_buckets(sig, bands)
+        ids_np = np.repeat(np.asarray(ids.to_pylist(), dtype=object), bands)
+        return pa.table({
+            "bucket": pa.array(buckets.reshape(-1), type=pa.uint64()),
+            "doc_id": pa.array(ids_np, type=idt),
+        })
+
+    n_docs = ds.count()
+    num_coarse = _coarse_count(n_docs * bands, rows_per_group)
+    band_ds = ds.select_columns([id_col, text_col]).map_batches(
+        to_bands, batch_format="pyarrow")
+
+    pair_schema = pa.schema([("doc_a", idt), ("doc_b", idt)])
+
+    def coarse_group(t: pa.Table) -> pa.Table:
+        out = _pairs_in_fine_buckets(t.to_pandas())
+        if out is None:
+            return pair_schema.empty_table()
+        return pa.table({"doc_a": pa.array(out["doc_a"], type=idt),
+                         "doc_b": pa.array(out["doc_b"], type=idt)})
+
+    cand_ds = grouped_exchange_ds(band_ds, "bucket", num_coarse,
+                                  coarse_group, pair_schema,
+                                  drop_bucket=False)
+    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_est": []})
+    n_cand = cand_ds.count()
+    if n_cand == 0:
+        return empty
+
+    # exchange-2 row schema: key, pair/sig payload.  side 0/1 = pair
+    # row keyed by doc_a/doc_b; side 2 = signature row (a = doc id).
+    row_schema = pa.schema([("k", pa.uint64()), ("a", idt), ("b", idt),
+                            ("side", pa.int8()), ("sig", pa.binary())])
+
+    def pair_sides(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        n = len(a)
+        return pa.table({
+            "k": pa.array(np.concatenate([_hash_ids(a), _hash_ids(b)]),
+                          type=pa.uint64()),
+            "a": pa.array(np.concatenate([a, a]), type=idt),
+            "b": pa.array(np.concatenate([b, b]), type=idt),
+            "side": pa.array(np.repeat(np.array([0, 1], np.int8), n)),
+            "sig": pa.array([None] * (2 * n), type=pa.binary()),
+        })
+
+    def sig_rows_fn(batch: pa.Table) -> pa.Table:
+        sig, ids = minhash_signatures_batch(batch, text_col, id_col,
+                                            num_perm, shingle_k)
+        # same numpy dtype as the pair side — pd.util.hash_array hashes
+        # int64 and object arrays differently, and the doc-keyed
+        # exchange only works if both sides agree
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(_hash_ids(ids_np), type=pa.uint64()),
+            "a": pa.array(ids_np, type=idt),
+            "b": pa.array([None] * len(ids_np), type=idt),
+            "side": pa.array(np.full(len(ids_np), 2, np.int8)),
+            "sig": pa.array([s.tobytes() for s in sig], type=pa.binary()),
+        })
+
+    doc_rows = cand_ds.map_batches(pair_sides, batch_format="pyarrow").union(
+        ds.select_columns([id_col, text_col]).map_batches(
+            sig_rows_fn, batch_format="pyarrow"))
+
+    _P = np.uint64(0x9E3779B97F4A7C15)  # pair-key mix constant
+
+    def _pair_key(ha: np.ndarray, hb: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (ha * _P) ^ hb
+
+    attach_schema = pa.schema([("k2", pa.uint64()), ("a", idt), ("b", idt),
+                               ("side", pa.int8()), ("sig", pa.binary())])
+
+    def attach(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        sigs = df[df["side"] == 2].drop_duplicates(subset=["a"])
+        sigd = dict(zip(sigs["a"], sigs["sig"]))
+        prs = df[df["side"] != 2]
+        if not len(prs) or not sigd:
+            return attach_schema.empty_table()
+        keydoc = prs["a"].where(prs["side"] == 0, prs["b"])
+        blob = keydoc.map(sigd)
+        ok = blob.notna()
+        prs, blob = prs[ok], blob[ok]
+        if not len(prs):
+            return attach_schema.empty_table()
+        a = prs["a"].to_numpy()
+        b = prs["b"].to_numpy()
+        return pa.table({
+            "k2": pa.array(_pair_key(_hash_ids(a), _hash_ids(b)),
+                           type=pa.uint64()),
+            "a": pa.array(a, type=idt),
+            "b": pa.array(b, type=idt),
+            "side": pa.array(prs["side"].to_numpy().astype(np.int8)),
+            "sig": pa.array(blob.tolist(), type=pa.binary()),
+        })
+
+    B_doc = _coarse_count(2 * n_cand + n_docs, rows_per_group)
+    attached = grouped_exchange_ds(doc_rows, "k", B_doc, attach,
+                                   attach_schema)
+
+    def verify(t: pa.Table) -> pa.Table | None:
+        df = t.to_pandas().drop_duplicates(subset=["a", "b", "side"])
+        s0 = df[df["side"] == 0][["a", "b", "sig"]]
+        s1 = df[df["side"] == 1][["a", "b", "sig"]]
+        m = s0.merge(s1, on=["a", "b"], suffixes=("_a", "_b"))
+        if not len(m):
+            return None
+        sa = np.stack([np.frombuffer(x, dtype=np.uint64) for x in m["sig_a"]])
+        sb = np.stack([np.frombuffer(x, dtype=np.uint64) for x in m["sig_b"]])
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        if not keep.any():
+            return None
+        return pa.table({
+            "doc_a": pa.array(m["a"].to_numpy()[keep], type=idt),
+            "doc_b": pa.array(m["b"].to_numpy()[keep], type=idt),
+            "jaccard_est": pa.array(est[keep]),
+        })
+
+    B_pair = int(np.clip(int(np.ceil(n_cand / pairs_per_task)), 1, max_tasks))
+    res = grouped_exchange(attached, "k2", B_pair, verify)
+    if res is None or res.num_rows == 0:
+        return empty
+    return (res.to_pandas().sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # coarse-bucket machinery shared by the LSH pipelines
 #
