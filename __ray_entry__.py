@@ -309,6 +309,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                   tau=0.4)
         return out[["doc_a", "doc_b"]]
 
+    def semantic_dedup(sf):
+        # SemDeDup over embeddings ∪ perturbed copies of the first 20
+        # (vec_id + 1M, first coordinate + 0.01 — near-identical
+        # vectors, sim ≈ 0.9999).  SEPARATION ASSUMPTION (same class
+        # as MINHASH_ORACLE's): at tau=0.9 the planted pairs sit at
+        # ~0.9999 and the densest background pair at 0.513, so (a) the
+        # float32/float64 cosine difference can't flip a pair and (b)
+        # a near-identical copy always lands in its original's k-means
+        # cluster — the n_clusters=8 run is exact on THIS data, which
+        # is what the oracle checks; cluster-bounded recall in general
+        # is covered by tests/test_semantic_dedup.py.
+        import ray.data as rd
+
+        emb = pq.read_table(f"{sf}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        head = emb.slice(0, 20)
+        vecs = head.column("embedding").to_pylist()
+        pert = [[v[0] + 0.01] + v[1:] for v in vecs]
+        mutated = pa.table({
+            "vec_id": pa.array([i + 1_000_000 for i in
+                                head.column("vec_id").to_pylist()],
+                               type=pa.int64()),
+            "embedding": pa.array(pert, type=emb.schema.field(
+                "embedding").type),
+        })
+        union = rd.from_arrow(pa.concat_tables([emb, mutated]))
+        out = similarity.semantic_dedup_pairs(union, tau=0.9, n_clusters=8)
+        return out[["doc_a", "doc_b"]].astype({"doc_a": "int64",
+                                               "doc_b": "int64"})
+
     def events_window(sf):
         return analytics.windowed_events(_read(sf, "events"), window="day")
 
@@ -525,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": sample_stratified,
         "ann_topk": ann,
         "embedding_near_dup": near_dup_embeddings,
+        "semantic_dedup": semantic_dedup,
         "media_metadata": media_meta,
         "media_frame_sample": media_frames,
         "profile_documents": profile_docs,
@@ -1137,6 +1168,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ORDER BY doc_a, doc_b
+        """,
+        "semantic_dedup": """
+            WITH all_vecs AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_concat([embedding[1] + 0.01], embedding[2:])
+              FROM embeddings WHERE vec_id < 20
+            )
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
             ORDER BY doc_a, doc_b
         """,
         "embedding_near_dup_lsh": """

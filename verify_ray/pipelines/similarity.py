@@ -513,6 +513,101 @@ def ivf_train_centroids(ds, n_centroids: int = 64, emb_col: str = "embedding",
     return cent
 
 
+def semantic_dedup_pairs(ds, tau: float = 0.9, n_clusters: int = 64,
+                         emb_col: str = "embedding", id_col: str = "vec_id",
+                         centroids: np.ndarray | None = None,
+                         rows_per_group: int = 200_000):
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embedding space, then find
+    cosine-similar pairs WITHIN each cluster only.
+
+    Scale shape: the quantizer is trained on a bounded sample and
+    broadcast (``ivf_train_centroids`` — model-sized); each batch does
+    one assignment matmul and emits ``(cluster, id, normalized f32
+    vector)`` rows; the cluster-keyed hash exchange brings each
+    cluster together and verifies with one blocked matmul per task.
+    Total pairwise work drops from O(n²) to O(Σ|cluster|²) ≈ O(n²/k) —
+    the SemDeDup trade: cross-cluster pairs are missed BY DESIGN
+    (recall is cluster-bounded; precision is exact because every
+    emitted pair is verified by true cosine).  ``n_clusters=1``
+    degrades to the exact all-pairs scan — the oracleable
+    configuration, same trick as IVF's full-probe oracle.
+
+    Returns (doc_a, doc_b, sim) with doc_a < doc_b, sim rounded to 6.
+    """
+    import pandas as pd
+    import ray
+
+    from ..stages.exchange import grouped_exchange
+    from .dedup import _coarse_count
+
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "sim": pd.Series(dtype="float64")})
+    n_rows = ds.count()
+    if n_rows < 2:
+        return empty
+    if centroids is None:
+        centroids = ivf_train_centroids(ds, n_clusters, emb_col)
+    if len(centroids) == 0:
+        return empty
+    cent_ref = ray.put(centroids)
+
+    def assign_rows(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        emb = _normalize(_emb_matrix(batch, emb_col)).astype(np.float32)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cl = np.argmax(emb @ cent.T.astype(np.float32), axis=1)
+        return pa.table({
+            "bucket": pa.array(cl.astype(np.uint64), type=pa.uint64()),
+            "vid": pa.array(ids),
+            "vec": pa.array(list(emb), type=pa.list_(pa.float32())),
+        })
+
+    rows = ds.select_columns([id_col, emb_col]).map_batches(
+        assign_rows, batch_format="pyarrow")
+
+    def cluster_pairs(t: pa.Table) -> pa.Table | None:
+        # one task may hold several clusters (bucket % B routing);
+        # verify within each actual cluster id separately
+        cl = t.column("bucket").to_numpy(zero_copy_only=False)
+        ids = t.column("vid").to_numpy(zero_copy_only=False)
+        vec = np.asarray(t.column("vec").to_pylist(), dtype=np.float32)
+        order = np.argsort(cl, kind="stable")
+        cl, ids, vec = cl[order], ids[order], vec[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], cl[1:] != cl[:-1]]))
+        ends = np.append(starts[1:], len(cl))
+        parts = []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            S = vec[s:e] @ vec[s:e].T
+            S[np.tril_indices(m)] = -2.0
+            r, c = np.nonzero(S >= tau)
+            if not len(r):
+                continue
+            a, b = ids[s + r], ids[s + c]
+            swap = a > b
+            parts.append(pa.table({
+                "doc_a": pa.array(np.where(swap, b, a)),
+                "doc_b": pa.array(np.where(swap, a, b)),
+                "sim": pa.array(np.round(S[r, c].astype(np.float64), 6)),
+            }))
+        if not parts:
+            return None
+        return pa.concat_tables(parts)
+
+    B = _coarse_count(n_rows, rows_per_group)
+    res = grouped_exchange(rows, "bucket", min(B, max(len(centroids), 1)),
+                           cluster_pairs, drop_bucket=False)
+    if res is None or res.num_rows == 0:
+        return empty
+    return (res.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
 def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, nprobe: int = 8,
                  centroids: np.ndarray | None = None, n_centroids: int = 64,
                  emb_col: str = "embedding", id_col: str = "vec_id",
