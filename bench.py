@@ -104,7 +104,9 @@ def bench_queries() -> dict[str, float]:
              "events_sessionize", "profile_documents", "validate_documents",
              "embedding_near_dup", "validate_nested", "validate_tagged",
              "token_topk_by_source", "dedup_exact_filter",
-             "embedding_near_dup_lsh", "ann_topk_ivf"]
+             "embedding_near_dup_lsh", "ann_topk_ivf",
+             "text_repetition", "text_redact", "text_boilerplate",
+             "decontaminate", "semantic_dedup"]
     out = {}
     for name in names:
         t0 = time.time()
