@@ -214,6 +214,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rates={"src0": 0.1, "src1": 0.5}, default_rate=0.9)
         return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
+    def sample_token_budget(sf):
+        # budgeted mixture selection: keep docs per source in md5
+        # priority order until the char budget is hit (src2 budget
+        # exceeds the group total, so the whole group survives)
+        from verify_ray.pipelines.sample import token_budget_sample
+
+        ds = token_budget_sample(
+            _read(sf, "documents",
+                  columns=["doc_id", "source", "n_chars"]),
+            budgets={"src0": 4000, "src1": 2000, "src2": 100000},
+            weight_col="n_chars")
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
     def text_norm(sf):
         df = (text.normalize_texts(_read(sf, "documents",
                                          columns=["doc_id", "text"]))
@@ -553,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": pack_seqs,
         "sample_documents": sample_docs,
         "sample_stratified": sample_stratified,
+        "sample_token_budget": sample_token_budget,
         "ann_topk": ann,
         "embedding_near_dup": near_dup_embeddings,
         "semantic_dedup": semantic_dedup,
@@ -740,6 +754,26 @@ SELECT doc_id, source FROM documents
 WHERE {_BUCKET} < CASE source WHEN 'src0' THEN 1000
                               WHEN 'src1' THEN 5000
                               ELSE 9000 END
+ORDER BY doc_id
+"""
+
+# budgeted selection = the window-function form of sample.py's
+# token_budget_sample (cumulative weight BEFORE the row, in
+# (md5_number_upper(key), key) priority order, < the group budget)
+SAMPLE_TOKEN_BUDGET_ORACLE = """
+WITH sel AS (
+  SELECT doc_id, source, n_chars,
+         COALESCE(SUM(n_chars) OVER (
+             PARTITION BY source
+             ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)),
+                      CAST(doc_id AS VARCHAR)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS before_w
+  FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+SELECT doc_id, source, n_chars FROM sel
+WHERE before_w < CASE source WHEN 'src0' THEN 4000
+                             WHEN 'src1' THEN 2000
+                             ELSE 100000 END
 ORDER BY doc_id
 """
 
@@ -1111,6 +1145,7 @@ def oracle_sql() -> dict[str, str]:
         "sequences_validate": SEQUENCES_ORACLE,
         "sample_documents": SAMPLE_ORACLE,
         "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
+        "sample_token_budget": SAMPLE_TOKEN_BUDGET_ORACLE,
         "text_normalize": TEXT_NORMALIZE_ORACLE,
         "text_repetition": TEXT_REPETITION_ORACLE,
         "text_redact": TEXT_REDACT_ORACLE,

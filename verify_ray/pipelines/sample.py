@@ -93,3 +93,148 @@ def stratified_hash_sample(ds, rates: dict, group_col: str = "source",
         return b.filter(pa.array((bk >= 0) & (bk < thr)))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture selection
+
+
+_COARSE_SHIFT = 50  # 2^14 = 16,384 ordered h-ranges
+
+
+def token_budget_sample(ds, budgets: dict, weight_col: str = "n_tok",
+                        group_col: str = "source", key_col: str = "doc_id",
+                        coarse_shift: int = _COARSE_SHIFT):
+    """Deterministic per-group BUDGETED selection — the mixture
+    re-weighting step of a training-data pipeline ("take 30 B tokens of
+    web, 5 B of code, ..."): within each group, keep documents in md5
+    priority order (``h = md5_number_upper(key)``, ties by key) until
+    the group's cumulative ``weight_col`` reaches its budget; a doc is
+    kept iff the cumulative weight BEFORE it is < budget.  Selection
+    depends only on key bytes — stable across runs, engines,
+    parallelism, and (like ``hash_sample``) NESTED: raising a budget
+    only ever adds documents.  Groups absent from ``budgets`` are
+    dropped; null keys are never selected.
+
+    Scale shape — NO global sort.  The priority order is resolved at
+    coarse h-range granularity first (``h >> 50``: 16,384 ordered
+    ranges), which needs only per-(group, range) weight sums:
+
+    1. one streaming pass builds those partials (map-side combine; the
+       reduced frame is ≤ groups × 16,384 rows, driver-sized);
+    2. the driver finds each group's BOUNDARY range b* (where the
+       running total crosses the budget) and the exact weight offset
+       before it;
+    3. kept output = rows with ``h-range < b*`` (pure streaming
+       filter) ∪ the boundary range's rows — expected |group|/16,384
+       of the data — resolved exactly (sort by (h, key) + cumsum from
+       the offset).  At larger corpora, widen the shift so the
+       boundary slice stays driver-sized, or route it through
+       ``stages.exchange`` per group.
+
+    SQL-oracle parity: the kept set equals the window-function form
+    ``SUM(w) OVER (PARTITION BY g ORDER BY md5_number_upper(k), k
+    ROWS UNBOUNDED PRECEDING EXCLUDING CURRENT ROW) < budget``.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.hashing import md5_u64le
+
+    def _prep(b: pa.Table):
+        """(valid-rows table, h, coarse-range) for budgeted groups."""
+        keys = pc.cast(b[key_col], pa.string())
+        gmask = pa.array(pd.Series(b[group_col].to_pylist())
+                         .isin(set(budgets)).to_numpy())
+        valid = pc.and_(pc.is_valid(keys), gmask)
+        sub = b.filter(valid)
+        if sub.num_rows == 0:
+            return sub, np.empty(0, np.uint64), np.empty(0, np.int64)
+        h = md5_u64le(pc.cast(sub[key_col], pa.string()))
+        return sub, h, (h >> np.uint64(coarse_shift)).astype(np.int64)
+
+    def partials(b: pa.Table) -> pa.Table:
+        sub, h, cb = _prep(b)
+        if sub.num_rows == 0:
+            return pa.table({"g": pa.array([], type=pa.string()),
+                             "cb": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int64())})
+        df = pd.DataFrame({
+            "g": sub[group_col].to_pylist(), "cb": cb,
+            "w": sub[weight_col].to_numpy(zero_copy_only=False)})
+        agg = df.groupby(["g", "cb"], as_index=False)["w"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    part = (ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+            .groupby(["g", "cb"], as_index=False)["w"].sum())
+
+    # per group: boundary range + exact offset before it
+    bstar: dict = {}    # group -> boundary coarse range (None = keep all)
+    offset: dict = {}   # group -> weight before the boundary range
+    for g, gdf in part.groupby("g"):
+        gdf = gdf.sort_values("cb")
+        cum = gdf["w"].cumsum()
+        budget = budgets[g]
+        if budget <= 0:
+            bstar[g], offset[g] = -1, 0   # nothing kept
+        elif cum.iloc[-1] <= budget:
+            bstar[g], offset[g] = None, 0  # whole group kept
+        else:
+            i = int(np.searchsorted(cum.to_numpy(), budget, side="left"))
+            # cum[i] >= budget: range i is the boundary
+            bstar[g] = int(gdf["cb"].iloc[i])
+            offset[g] = int(cum.iloc[i - 1]) if i else 0
+    for g in budgets:
+        if g not in bstar:           # group absent from the data
+            bstar[g], offset[g] = -1, 0
+
+    FULL = np.iinfo(np.int64).max
+    thr_map = {g: (FULL if b is None else b) for g, b in bstar.items()}
+
+    def _thr(sub: pa.Table) -> np.ndarray:
+        return (pd.Series(sub[group_col].to_pylist()).map(thr_map)
+                .to_numpy(dtype=np.int64))
+
+    def keep_full(b: pa.Table) -> pa.Table:
+        sub, h, cb = _prep(b)
+        if sub.num_rows == 0:
+            return sub
+        return sub.filter(pa.array(cb < _thr(sub)))
+
+    def boundary_rows(b: pa.Table) -> pa.Table:
+        sub, h, cb = _prep(b)
+        if sub.num_rows == 0:
+            return sub.append_column("_h", pa.array([], type=pa.uint64()))
+        m = cb == _thr(sub)   # FULL sentinel never equals a real range
+        return (sub.filter(pa.array(m))
+                .append_column("_h", pa.array(h[m], type=pa.uint64())))
+
+    kept_ds = ds.map_batches(keep_full, batch_format="pyarrow")
+
+    # boundary slice: expected |data| / 2^(64-shift) rows — resolved
+    # exactly on the driver (Arrow-native so the union keeps the exact
+    # input schema)
+    import ray
+
+    bts = [t for t in ray.get(
+        ds.map_batches(boundary_rows, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    if bts:
+        bnd = pa.concat_tables(bts, promote_options="default")
+        df = pd.DataFrame({
+            "g": bnd[group_col].to_pylist(),
+            "k": pc.cast(bnd[key_col], pa.string()).to_pylist(),
+            "h": bnd["_h"].to_numpy(zero_copy_only=False),
+            "w": bnd[weight_col].to_numpy(zero_copy_only=False),
+        })
+        keep_idx = []
+        for g, gdf in df.groupby("g"):
+            gdf = gdf.sort_values(["h", "k"])
+            before = offset[g] + gdf["w"].cumsum() - gdf["w"]
+            keep_idx.extend(gdf.index[before < budgets[g]].tolist())
+        if keep_idx:
+            mask = np.zeros(len(df), dtype=bool)
+            mask[np.asarray(keep_idx)] = True
+            sel = bnd.filter(pa.array(mask)).drop_columns(["_h"])
+            kept_ds = kept_ds.union(rd.from_arrow(sel))
+    return kept_ds
