@@ -214,6 +214,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rates={"src0": 0.1, "src1": 0.5}, default_rate=0.9)
         return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
+    def text_perplexity(sf):
+        # bigram-LM quality scoring (CCNet-style), self-trained on the
+        # corpus; the oracle compares the integer count features that
+        # drive the perplexity (float columns covered by pytest vs a
+        # scalar reference — SQL float-sum order is unspecified)
+        from verify_ray.pipelines.lm import bigram_perplexity
+
+        df = bigram_perplexity(
+            _read(sf, "documents", columns=["doc_id", "text"])).to_pandas()
+        return (df[["doc_id", "n_tok", "n_big", "sum_big_cnt",
+                    "sum_ctx_cnt", "n_oov_big"]]
+                .sort_values("doc_id").reset_index(drop=True))
+
     def sample_token_budget(sf):
         # budgeted mixture selection: keep docs per source in md5
         # priority order until the char budget is hit (src2 budget
@@ -567,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": sample_docs,
         "sample_stratified": sample_stratified,
         "sample_token_budget": sample_token_budget,
+        "text_perplexity": text_perplexity,
         "ann_topk": ann,
         "embedding_near_dup": near_dup_embeddings,
         "semantic_dedup": semantic_dedup,
@@ -755,6 +769,43 @@ WHERE {_BUCKET} < CASE source WHEN 'src0' THEN 1000
                               WHEN 'src1' THEN 5000
                               ELSE 9000 END
 ORDER BY doc_id
+"""
+
+# integer features of lm.bigram_perplexity (self-trained, bigram
+# min_count=2): counts by string GROUP BY = the engine's 64-bit md5
+# gram-hash counts (collision odds ~1e-7, corpus fixed; lm.py docstring)
+TEXT_PERPLEXITY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+),
+words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+c1 AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+big AS (
+  SELECT t.doc_id, t.ws[i.i] AS v, t.ws[i.i + 1] AS w
+  FROM toks t,
+       LATERAL (SELECT unnest(generate_series(1, len(t.ws) - 1)) AS i) i
+),
+c2k AS (SELECT v, w, count(*) AS c FROM big GROUP BY v, w
+        HAVING count(*) >= 2),
+feat AS (
+  SELECT b.doc_id,
+         count(*) AS n_big,
+         sum(COALESCE(k.c, 0)) AS sum_big_cnt,
+         sum(c1.c) AS sum_ctx_cnt,
+         sum(CASE WHEN k.c IS NULL THEN 1 ELSE 0 END) AS n_oov_big
+  FROM big b
+  LEFT JOIN c2k k ON b.v = k.v AND b.w = k.w
+  JOIN c1 ON b.v = c1.w
+  GROUP BY b.doc_id
+)
+SELECT t.doc_id, len(t.ws) AS n_tok,
+       COALESCE(f.n_big, 0) AS n_big,
+       COALESCE(f.sum_big_cnt, 0) AS sum_big_cnt,
+       COALESCE(f.sum_ctx_cnt, 0) AS sum_ctx_cnt,
+       COALESCE(f.n_oov_big, 0) AS n_oov_big
+FROM toks t LEFT JOIN feat f USING (doc_id)
+ORDER BY t.doc_id
 """
 
 # budgeted selection = the window-function form of sample.py's
@@ -1146,6 +1197,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": SAMPLE_ORACLE,
         "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
         "sample_token_budget": SAMPLE_TOKEN_BUDGET_ORACLE,
+        "text_perplexity": TEXT_PERPLEXITY_ORACLE,
         "text_normalize": TEXT_NORMALIZE_ORACLE,
         "text_repetition": TEXT_REPETITION_ORACLE,
         "text_redact": TEXT_REDACT_ORACLE,
