@@ -214,6 +214,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rates={"src0": 0.1, "src1": 0.5}, default_rate=0.9)
         return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
+    def shard_layout_q(sf):
+        # deterministic corpus shuffle -> 8 training shards with
+        # within-shard positions (one exchange, no global sort)
+        from verify_ray.pipelines.shuffle import shard_layout
+
+        df = shard_layout(
+            _read(sf, "documents", columns=["doc_id", "source"]),
+            n_shards=8).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def text_perplexity(sf):
         # bigram-LM quality scoring (CCNet-style), self-trained on the
         # corpus; the oracle compares the integer count features that
@@ -581,6 +591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": sample_stratified,
         "sample_token_budget": sample_token_budget,
         "text_perplexity": text_perplexity,
+        "corpus_shard_layout": shard_layout_q,
         "ann_topk": ann,
         "embedding_near_dup": near_dup_embeddings,
         "semantic_dedup": semantic_dedup,
@@ -769,6 +780,20 @@ WHERE {_BUCKET} < CASE source WHEN 'src0' THEN 1000
                               WHEN 'src1' THEN 5000
                               ELSE 9000 END
 ORDER BY doc_id
+"""
+
+# shuffle.shard_layout = shard by md5, rank by (md5, key) in-shard
+SHARD_LAYOUT_ORACLE = """
+WITH k AS (
+  SELECT doc_id, source,
+         md5_number_upper(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 8 AS BIGINT)
+           AS shard
+  FROM documents)
+SELECT doc_id, source, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                ORDER BY h, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS pos
+FROM k ORDER BY doc_id
 """
 
 # integer features of lm.bigram_perplexity (self-trained, bigram
@@ -1198,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
         "sample_token_budget": SAMPLE_TOKEN_BUDGET_ORACLE,
         "text_perplexity": TEXT_PERPLEXITY_ORACLE,
+        "corpus_shard_layout": SHARD_LAYOUT_ORACLE,
         "text_normalize": TEXT_NORMALIZE_ORACLE,
         "text_repetition": TEXT_REPETITION_ORACLE,
         "text_redact": TEXT_REDACT_ORACLE,

@@ -1,0 +1,75 @@
+"""Deterministic corpus shuffle → training shard layout.
+
+The last step of a training-data pipeline is a GLOBAL pseudo-random
+shuffle of the corpus written as N shards (so data loaders stream
+shards sequentially yet see a well-mixed order).  ``Dataset.
+random_shuffle`` gives a nondeterministic all-to-all; this operator
+instead derives the entire layout from key bytes:
+
+    shard(k) = md5_number_upper(k) % n_shards
+    pos(k)   = rank of (md5_number_upper(k), k) within the shard
+
+— reproducible across runs/engines/parallelism (re-running a failed
+job yields byte-identical shards, so shard files are independently
+resumable), and md5 makes the order uncorrelated with any input
+attribute, which is exactly what "shuffled" means operationally.
+
+Scale shape: one streaming pass attaches ``(shard, h)``; the sort-free
+hash exchange co-locates each shard in one merge task, which does a
+single ``np.lexsort`` over that shard only — there is NO global sort,
+and shard size = corpus / n_shards is the per-task memory bound (size
+``n_shards`` so a shard fits a worker: at 100 TB with 4 GB shards,
+n_shards ≈ 25,000 — the two-level tree exchange keeps the ref fan-out
+O(M×√B), stages/exchange.py).  Results stay in the object store
+(``grouped_exchange_ds``), one block per shard, ready for
+``write_parquet`` as one file per shard.
+
+SQL parity: ``ROW_NUMBER() OVER (PARTITION BY shard ORDER BY
+md5_number_upper(k), k) - 1`` (exact — h is compared as UBIGINT on
+both sides; ties broken by the key string, codepoint order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import md5_u64le
+
+
+def shard_layout(ds, n_shards: int, key_col: str = "doc_id"):
+    """Dataset with ``shard`` (int64) and ``pos`` (int64, 0-based rank
+    within the shard) columns appended; rows with null keys are
+    dropped (they have no deterministic place).  One exchange, no
+    global sort; each output block is one complete shard."""
+    from ..stages.exchange import grouped_exchange_ds
+
+    def add_keys(b: pa.Table) -> pa.Table:
+        keys = pc.cast(b[key_col], pa.string())
+        sub = b.filter(pc.is_valid(keys))
+        if sub.num_rows == 0:
+            return (sub.append_column("shard", pa.array([], pa.int64()))
+                    .append_column("_h", pa.array([], pa.uint64())))
+        h = md5_u64le(pc.cast(sub[key_col], pa.string()))
+        return (sub.append_column(
+                    "shard", pa.array((h % n_shards).astype(np.int64)))
+                .append_column("_h", pa.array(h, type=pa.uint64())))
+
+    keyed = ds.map_batches(add_keys, batch_format="pyarrow")
+
+    def per_shard(t: pa.Table) -> pa.Table:
+        h = t.column("_h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = np.asarray(
+            pc.cast(t[key_col], pa.string()).to_numpy(zero_copy_only=False),
+            dtype=object)
+        order = np.lexsort((k, h))
+        t = t.take(pa.array(order)).drop_columns(["_h"])
+        return t.append_column(
+            "pos", pa.array(np.arange(t.num_rows, dtype=np.int64)))
+
+    schema = add_keys(
+        ds.schema().base_schema.empty_table()).drop_columns(["_h"]).schema
+    schema = schema.append(pa.field("pos", pa.int64()))
+    return grouped_exchange_ds(keyed, "shard", n_shards, per_shard,
+                               empty_schema=schema, drop_bucket=False)
