@@ -214,6 +214,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rates={"src0": 0.1, "src1": 0.5}, default_rate=0.9)
         return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
+    def text_tfidf(sf):
+        # per-doc top-5 salient terms by integer-scaled tf-idf
+        from verify_ray.pipelines.tfidf import tfidf_topk
+
+        df = tfidf_topk(_read(sf, "documents", columns=["doc_id", "text"]),
+                        k=5).to_pandas()
+        return df.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
     def shard_layout_q(sf):
         # deterministic corpus shuffle -> 8 training shards with
         # within-shard positions (one exchange, no global sort)
@@ -592,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_token_budget": sample_token_budget,
         "text_perplexity": text_perplexity,
         "corpus_shard_layout": shard_layout_q,
+        "text_tfidf_topk": text_tfidf,
         "ann_topk": ann,
         "embedding_near_dup": near_dup_embeddings,
         "semantic_dedup": semantic_dedup,
@@ -780,6 +789,28 @@ WHERE {_BUCKET} < CASE source WHEN 'src0' THEN 1000
                               WHEN 'src1' THEN 5000
                               ELSE 9000 END
 ORDER BY doc_id
+"""
+
+# tfidf.tfidf_topk: integer-scaled score tf * ((1e6*N) // df) — exact
+# in int64 on both engines (float ln-idf ranking is last-ULP fragile)
+TFIDF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents),
+words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w AS term, tf.tf,
+         tf.tf * ((1000000 * n.n) // df.df) AS score
+  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, tf, score, rank FROM ranked
+WHERE rank <= 5 ORDER BY doc_id, rank
 """
 
 # shuffle.shard_layout = shard by md5, rank by (md5, key) in-shard
@@ -1224,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_token_budget": SAMPLE_TOKEN_BUDGET_ORACLE,
         "text_perplexity": TEXT_PERPLEXITY_ORACLE,
         "corpus_shard_layout": SHARD_LAYOUT_ORACLE,
+        "text_tfidf_topk": TFIDF_ORACLE,
         "text_normalize": TEXT_NORMALIZE_ORACLE,
         "text_repetition": TEXT_REPETITION_ORACLE,
         "text_redact": TEXT_REDACT_ORACLE,
