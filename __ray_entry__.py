@@ -222,6 +222,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         k=5).to_pandas()
         return df.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
+    def asof_orders(sf):
+        # point-in-time enrichment: each event -> the user's latest
+        # order at event time (ties on (cust, date) -> max orderkey)
+        from verify_ray.pipelines.joins import asof_join
+
+        ev = _read(sf, "events", columns=["event_id", "user_id", "ts"])
+        orr = _read(sf, "orders",
+                    columns=["o_orderkey", "o_custkey",
+                             "o_orderdate", "o_totalprice"])
+        ds = asof_join(ev, orr, key="user_id", ts="ts",
+                       right_values=["o_orderkey", "o_totalprice"],
+                       right_key="o_custkey", right_ts="o_orderdate",
+                       tiebreak="o_orderkey")
+        df = ds.to_pandas()[["event_id", "user_id",
+                             "o_orderkey", "o_totalprice"]]
+        return df.sort_values("event_id").reset_index(drop=True)
+
     def shard_layout_q(sf):
         # deterministic corpus shuffle -> 8 training shards with
         # within-shard positions (one exchange, no global sort)
@@ -601,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_perplexity": text_perplexity,
         "corpus_shard_layout": shard_layout_q,
         "text_tfidf_topk": text_tfidf,
+        "asof_events_orders": asof_orders,
         "ann_topk": ann,
         "embedding_near_dup": near_dup_embeddings,
         "semantic_dedup": semantic_dedup,
@@ -811,6 +829,24 @@ ranked AS (
   FROM scored)
 SELECT doc_id, term, tf, score, rank FROM ranked
 WHERE rank <= 5 ORDER BY doc_id, rank
+"""
+
+# joins.asof_join backward-inclusive: latest order at or before the
+# event, per user.  DuckDB's native ASOF JOIN is the oracle; the right
+# side is pre-deduped per (cust, date) to max orderkey so both engines
+# resolve same-date ties identically (the pipeline's tiebreak=o_orderkey
+# contract).
+ASOF_ORACLE = """
+WITH r1 AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                     ORDER BY o_orderkey DESC) AS rn
+        FROM orders)
+  WHERE rn = 1)
+SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+FROM events e ASOF LEFT JOIN r1 r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+ORDER BY e.event_id
 """
 
 # shuffle.shard_layout = shard by md5, rank by (md5, key) in-shard
@@ -1256,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         "text_perplexity": TEXT_PERPLEXITY_ORACLE,
         "corpus_shard_layout": SHARD_LAYOUT_ORACLE,
         "text_tfidf_topk": TFIDF_ORACLE,
+        "asof_events_orders": ASOF_ORACLE,
         "text_normalize": TEXT_NORMALIZE_ORACLE,
         "text_repetition": TEXT_REPETITION_ORACLE,
         "text_redact": TEXT_REDACT_ORACLE,

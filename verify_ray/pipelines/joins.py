@@ -1,0 +1,182 @@
+"""Distributed as-of join — attach to each left row the temporally
+nearest right row of the same key (backward: latest ``right_ts <=
+left_ts``; forward: earliest ``right_ts >= left_ts``).  The classic
+point-in-time enrichment (events -> latest prior order / quote /
+feature snapshot) that Ray Data's equality ``Dataset.join`` cannot
+express.
+
+Distributed shape: both sides are projected to a shared tagged schema
+(left payload + right payload, null-filled across sides) and routed
+through ONE sort-free hash exchange keyed on the join key — each
+bucket holds every left and right row of its keys, so the merge is
+local.  Per bucket, one ``np.lexsort`` over (key-code, ts, tiebreak)
+interleaves both sides with right rows ordered before the left rows
+they may match; a single ``np.maximum.accumulate`` over right-row
+positions then yields each left row's candidate in O(n) — no per-key
+or per-row Python loop.  Results stay in the object store
+(``grouped_exchange_ds``); the output is left-row-sized.
+
+Semantics (match pandas ``merge_asof(allow_exact_matches=True)``):
+inclusive on ts equality; right rows tied on (key, ts) resolve to the
+greatest ``tiebreak`` value (callers that need cross-engine
+determinism must pass ``tiebreak`` or pre-dedupe the right side);
+``tolerance`` (µs) drops matches farther than the window, like
+``merge_asof(tolerance=...)``.
+
+Partitioning assumption (SURVEY §2.6): one key's rows must fit a
+merge task.  ``num_buckets`` spreads distinct keys, not rows of one
+key — salt a pathological hot key upstream if a single key's history
+outgrows a worker.
+
+At 100 TB: shuffle payload is (key, ts, tiebreak, projected payload)
+— pass ``right_values`` as the minimal column set; the exchange
+carries no full right rows beyond it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import md5_u64le
+from ..kernels import as_array
+
+_I64MAX = np.iinfo(np.int64).max
+
+
+def _ts_i64(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Normalize any timestamp unit (or integer) to int64 microseconds
+    (the hopping-window ts-unit lesson: never trust the native unit).
+    Nulls survive — the merge gates them out of matching."""
+    col = as_array(col)
+    if pa.types.is_timestamp(col.type):
+        col = pc.cast(col, pa.timestamp("us"))
+    return pc.cast(col, pa.int64())
+
+
+def _key_arrays(col) -> tuple[pa.Array, np.ndarray]:
+    """(normalized key array for equality, uint64 bucket source).
+    Null keys bucket to hash(0/"") — harmless, the merge drops them
+    from matching (SQL semantics: NULL equals nothing)."""
+    arr = as_array(col)
+    if pa.types.is_integer(arr.type):
+        arr = pc.cast(arr, pa.int64())
+        bk = pc.fill_null(arr, 0).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+    else:
+        arr = pc.cast(arr, pa.string())
+        bk = md5_u64le(pc.fill_null(arr, ""))
+    return arr, bk
+
+
+def asof_join(left_ds, right_ds, key: str, ts: str,
+              right_values: list[str], right_key: str | None = None,
+              right_ts: str | None = None, tiebreak: str | None = None,
+              direction: str = "backward", tolerance: int | None = None,
+              num_buckets: int = 64):
+    """Dataset of every left row's columns + ``right_values`` from its
+    as-of match (nulls when no right row qualifies)."""
+    import ray.data as rd
+
+    from ..stages.exchange import grouped_exchange_ds
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    rkey = right_key or key
+    rts = right_ts or ts
+    sign = 1 if direction == "backward" else -1
+
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    left_cols = list(l_schema.names)
+    clash = set(left_cols) & set(right_values)
+    if clash:
+        raise ValueError(f"right_values collide with left columns: {clash}")
+
+    key_type = (pa.int64() if pa.types.is_integer(l_types[key])
+                else pa.string())
+
+    def _tag(b: pa.Table, is_left: bool) -> pa.Table:
+        n = b.num_rows
+        k_arr, bk = _key_arrays(b[key if is_left else rkey])
+        tsv = pc.multiply_checked(
+            _ts_i64(b[ts if is_left else rts]), np.int64(sign))
+        if is_left:
+            tb = np.full(n, _I64MAX, dtype=np.int64)
+        elif tiebreak is not None:
+            tb = pc.cast(as_array(b[tiebreak]),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            tb = np.zeros(n, dtype=np.int64)
+        cols = {"__b": pa.array(bk, type=pa.uint64()),
+                "__k": pc.cast(k_arr, key_type),
+                "__ts": tsv, "__tb": pa.array(tb),
+                "__side": pa.array(
+                    np.full(n, np.int8(1 if is_left else 0)))}
+        for c in left_cols:
+            cols[c] = b[c] if is_left else pa.nulls(n, l_types[c])
+        for c in right_values:
+            cols[c] = pa.nulls(n, r_types[c]) if is_left else b[c]
+        return pa.table(cols)
+
+    tagged = (left_ds.map_batches(lambda b: _tag(b, True),
+                                  batch_format="pyarrow")
+              .union(right_ds.map_batches(lambda b: _tag(b, False),
+                                          batch_format="pyarrow")))
+
+    out_schema = pa.schema(
+        [(c, l_types[c]) for c in left_cols]
+        + [(c, r_types[c]) for c in right_values])
+
+    def merge(t: pa.Table) -> pa.Table:
+        # null key / null ts rows never match: drop right ones, emit
+        # left ones with null right columns (appended at the end)
+        bad = pc.or_(pc.is_null(t.column("__k")),
+                     pc.is_null(t.column("__ts"))).to_numpy(
+                         zero_copy_only=False)
+        bad_left = t.filter(pa.array(
+            bad & (t.column("__side").to_numpy(zero_copy_only=False) == 1)))
+        if bad.any():
+            t = t.filter(pa.array(~bad))
+        parts = []
+        if t.num_rows:
+            side = t.column("__side").to_numpy(zero_copy_only=False)
+            kv = t.column("__k").to_numpy(zero_copy_only=False)
+            _, codes = np.unique(kv, return_inverse=True)
+            tsv = t.column("__ts").to_numpy(zero_copy_only=False)
+            tb = t.column("__tb").to_numpy(zero_copy_only=False)
+            # right rows sort before left rows at equal (key, ts)
+            # because left __tb is INT64MAX; right (key, ts) ties end
+            # on max __tb
+            order = np.lexsort((tb, tsv, codes))
+            s_codes = codes[order]
+            is_right = side[order] == 0
+            runmax = np.maximum.accumulate(
+                np.where(is_right, np.arange(len(order)), -1))
+            lpos = np.flatnonzero(~is_right)
+            cand = np.maximum(runmax[lpos], 0)
+            ok = runmax[lpos] >= 0
+            ok &= s_codes[cand] == s_codes[lpos]
+            if tolerance is not None:
+                sts = tsv[order]
+                ok &= (sts[lpos] - sts[cand]) <= tolerance
+            ridx = pa.array(order[cand], mask=~ok)
+            lidx = pa.array(order[lpos])
+            cols = {c: t.column(c).take(lidx) for c in left_cols}
+            for c in right_values:
+                cols[c] = t.column(c).take(ridx)
+            parts.append(pa.table(cols).cast(out_schema))
+        if bad_left.num_rows:
+            cols = {c: bad_left.column(c) for c in left_cols}
+            for c in right_values:
+                cols[c] = pa.nulls(bad_left.num_rows, r_types[c])
+            parts.append(pa.table(cols).cast(out_schema))
+        if not parts:
+            return None
+        return pa.concat_tables(parts)
+
+    return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
+                               empty_schema=out_schema)
