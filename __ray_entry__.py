@@ -239,6 +239,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "o_orderkey", "o_totalprice"]]
         return df.sort_values("event_id").reset_index(drop=True)
 
+    def top_quality_q(sf):
+        # exact top-100 docs by distinct-word count, histogram
+        # threshold + boundary-tie resolution — no global sort
+        from verify_ray.pipelines.select import top_k_by_score
+        from verify_ray.pipelines.text import quality_scores
+
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+
+        def as_score(b):
+            return pa.table({"doc_id": b["doc_id"],
+                             "score": b["n_distinct"]})
+
+        scored = (quality_scores(docs)
+                  .map_batches(as_score, batch_format="pyarrow")
+                  .materialize())  # multi-consumer (CLAUDE.md)
+        df = top_k_by_score(scored, k=100).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    def token_quantiles_q(sf):
+        # exact corpus token-count quantiles from the value histogram
+        from verify_ray.pipelines.select import exact_quantiles
+        from verify_ray.pipelines.text import token_counts
+
+        t = exact_quantiles(
+            token_counts(_read(sf, "documents",
+                               columns=["doc_id", "text"])),
+            "n_tok", [100, 250, 500, 750, 900, 990])
+        return t.to_pandas()
+
+    def chunk_q(sf):
+        # sliding 32-word windows, stride 24 (8-word overlap)
+        from verify_ray.pipelines.chunk import chunk_documents
+
+        df = chunk_documents(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            window=32, stride=24).to_pandas()
+        return (df.sort_values(["doc_id", "chunk_id"])
+                .reset_index(drop=True))
+
     def shard_layout_q(sf):
         # deterministic corpus shuffle -> 8 training shards with
         # within-shard positions (one exchange, no global sort)
@@ -619,6 +658,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_shard_layout": shard_layout_q,
         "text_tfidf_topk": text_tfidf,
         "asof_events_orders": asof_orders,
+        "select_top_quality": top_quality_q,
+        "stats_token_quantiles": token_quantiles_q,
+        "chunk_documents": chunk_q,
         "ann_topk": ann,
         "embedding_near_dup": near_dup_embeddings,
         "semantic_dedup": semantic_dedup,
@@ -847,6 +889,55 @@ SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
 FROM events e ASOF LEFT JOIN r1 r
   ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
 ORDER BY e.event_id
+"""
+
+# select.top_k_by_score: exact top-k by (score desc, id asc); score =
+# distinct whitespace-word count (integer — the repo's integer-oracle
+# policy; quality_score_batch's n_distinct)
+TOP_QUALITY_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents),
+s AS (SELECT doc_id, count(DISTINCT w) AS score FROM w GROUP BY doc_id),
+r AS (SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM s)
+SELECT doc_id, score FROM r WHERE rn <= 100 ORDER BY doc_id
+"""
+
+# select.exact_quantiles: quantile q‰ = smallest v with
+# cum_count(<= v) >= (q*n + 999) // 1000 — integer rank arithmetic on
+# both engines (float q*n/1000 + ceil flips on last-ULP ties)
+TOKEN_QUANTILES_ORACLE = r"""
+WITH v AS (
+  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS val
+  FROM documents),
+c AS (SELECT val, count(*) AS cnt FROM v GROUP BY val),
+cum AS (SELECT val, sum(cnt) OVER (ORDER BY val) AS cc FROM c),
+n AS (SELECT count(*) AS n FROM v),
+qs(q) AS (VALUES (100), (250), (500), (750), (900), (990))
+SELECT CAST(qs.q AS BIGINT) AS q, CAST(min(cum.val) AS BIGINT) AS value
+FROM cum, n, qs
+WHERE cum.cc >= (qs.q * n.n + 999) // 1000
+GROUP BY qs.q ORDER BY q
+"""
+
+# chunk.chunk_documents window=32 stride=24: chunk c covers 1-based
+# word positions [c*24+1, min(c*24+32, n)]; generate_series mirrors
+# the ceil(n/stride) chunk count exactly (split('') == [''] -> n>=1)
+CHUNK_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents),
+s AS (SELECT doc_id, ws,
+             unnest(generate_series(1, len(ws), 24)) AS st
+      FROM toks)
+SELECT doc_id,
+       (st - 1) // 24 AS chunk_id,
+       least(st + 31, len(ws)) - st + 1 AS n_words,
+       array_to_string(list_slice(ws, st, least(st + 31, len(ws))), ' ')
+         AS chunk_text
+FROM s ORDER BY doc_id, chunk_id
 """
 
 # shuffle.shard_layout = shard by md5, rank by (md5, key) in-shard
@@ -1293,6 +1384,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shard_layout": SHARD_LAYOUT_ORACLE,
         "text_tfidf_topk": TFIDF_ORACLE,
         "asof_events_orders": ASOF_ORACLE,
+        "select_top_quality": TOP_QUALITY_ORACLE,
+        "stats_token_quantiles": TOKEN_QUANTILES_ORACLE,
+        "chunk_documents": CHUNK_ORACLE,
         "text_normalize": TEXT_NORMALIZE_ORACLE,
         "text_repetition": TEXT_REPETITION_ORACLE,
         "text_redact": TEXT_REDACT_ORACLE,
