@@ -16,6 +16,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
@@ -238,6 +239,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = ds.to_pandas()[["event_id", "user_id",
                              "o_orderkey", "o_totalprice"]]
         return df.sort_values("event_id").reset_index(drop=True)
+
+    def range_events_q(sf):
+        # interval join: error events inside the 1-day window opened
+        # by each purchase of the same user
+        from verify_ray.pipelines.joins import range_join
+
+        day_us = 86_400_000_000
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id", "ts", "event_type"])
+
+        def points_fn(b):
+            t = b.filter(pc.equal(b["event_type"], "error"))
+            return pa.table({"err_event_id": t["event_id"],
+                             "user_id": t["user_id"], "ts": t["ts"]})
+
+        def iv_fn(b):
+            t = b.filter(pc.equal(b["event_type"], "purchase"))
+            s = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+            return pa.table({"purch_event_id": t["event_id"],
+                             "u": t["user_id"], "w_start": s,
+                             "w_end": pc.add(s, day_us)})
+
+        pts = ev.map_batches(points_fn, batch_format="pyarrow")
+        ivs = ev.map_batches(iv_fn, batch_format="pyarrow")
+        ds = range_join(pts, ivs, key="user_id", point_ts="ts",
+                        interval_start="w_start", interval_end="w_end",
+                        point_values=["err_event_id", "user_id"],
+                        interval_values=["purch_event_id"],
+                        right_key="u", max_span=day_us)
+        return (ds.to_pandas()
+                .sort_values(["err_event_id", "purch_event_id"])
+                .reset_index(drop=True))
 
     def top_quality_q(sf):
         # exact top-100 docs by distinct-word count, histogram
@@ -658,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_shard_layout": shard_layout_q,
         "text_tfidf_topk": text_tfidf,
         "asof_events_orders": asof_orders,
+        "range_join_events": range_events_q,
         "select_top_quality": top_quality_q,
         "stats_token_quantiles": token_quantiles_q,
         "chunk_documents": chunk_q,
@@ -889,6 +923,17 @@ SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
 FROM events e ASOF LEFT JOIN r1 r
   ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
 ORDER BY e.event_id
+"""
+
+# joins.range_join: inclusive [start, end] interval containment per
+# key; the window is purchase ts + 1 day
+RANGE_JOIN_ORACLE = """
+SELECT r.event_id AS err_event_id, r.user_id AS user_id,
+       p.event_id AS purch_event_id
+FROM events r JOIN events p ON r.user_id = p.user_id
+WHERE r.event_type = 'error' AND p.event_type = 'purchase'
+  AND r.ts >= p.ts AND r.ts <= p.ts + INTERVAL 1 DAY
+ORDER BY err_event_id, purch_event_id
 """
 
 # select.top_k_by_score: exact top-k by (score desc, id asc); score =
@@ -1384,6 +1429,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shard_layout": SHARD_LAYOUT_ORACLE,
         "text_tfidf_topk": TFIDF_ORACLE,
         "asof_events_orders": ASOF_ORACLE,
+        "range_join_events": RANGE_JOIN_ORACLE,
         "select_top_quality": TOP_QUALITY_ORACLE,
         "stats_token_quantiles": TOKEN_QUANTILES_ORACLE,
         "chunk_documents": CHUNK_ORACLE,

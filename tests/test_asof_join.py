@@ -94,6 +94,55 @@ def test_null_keys_never_match(ray_session):
     assert pd.isna(out.loc[out.lid == 1, "val"].item())
 
 
+def _range_ref(points, intervals):
+    rows = []
+    for _, p in points.iterrows():
+        for _, iv in intervals.iterrows():
+            if (p.k == iv.k and not pd.isna(iv.e)
+                    and iv.s <= p.ts <= iv.e):
+                rows.append((p.pid, iv.iid))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("max_span", [None, 30])
+def test_range_join_differential(ray_session, max_span):
+    from verify_ray.pipelines.joins import range_join
+
+    rng = np.random.RandomState(7)
+    n_p, n_i = 300, 200
+    points = pd.DataFrame({
+        "k": rng.randint(0, 6, n_p).astype(np.int64),
+        "ts": rng.randint(0, 500, n_p).astype(np.int64),
+        "pid": np.arange(n_p, dtype=np.int64)})
+    s = rng.randint(0, 500, n_i).astype(np.int64)
+    intervals = pd.DataFrame({
+        "k": rng.randint(0, 6, n_i).astype(np.int64),
+        "s": s, "e": s + rng.randint(0, 31, n_i),
+        "iid": np.arange(n_i, dtype=np.int64)})
+    intervals.loc[5, "e"] = None  # null end: never matches
+    out = range_join(
+        _ds(points), _ds(intervals), key="k", point_ts="ts",
+        interval_start="s", interval_end="e",
+        point_values=["pid"], interval_values=["iid"],
+        max_span=max_span, num_buckets=8).to_pandas()
+    got = sorted(zip(out.pid.astype(np.int64), out.iid.astype(np.int64)))
+    assert got == _range_ref(points, intervals)
+
+
+def test_range_join_driver_oracle(ray_session):
+    duckdb = __import__("duckdb")
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    mine = e.queries()["range_join_events"](sf).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = con.execute(e.oracle_sql()["range_join_events"]).df()
+    pd.testing.assert_frame_equal(
+        mine.astype("int64"), orc.astype("int64"))
+
+
 def test_driver_query_matches_duckdb_asof(ray_session):
     duckdb = __import__("duckdb")
     import __ray_entry__ as e

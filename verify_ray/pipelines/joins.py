@@ -70,6 +70,137 @@ def _key_arrays(col) -> tuple[pa.Array, np.ndarray]:
     return arr, bk
 
 
+def range_join(point_ds, interval_ds, key: str, point_ts: str,
+               interval_start: str, interval_end: str,
+               point_values: list[str], interval_values: list[str],
+               right_key: str | None = None, max_span: int | None = None,
+               num_buckets: int = 64):
+    """Distributed interval (range) join: every (point, interval) pair
+    with equal keys and ``start <= ts <= end`` — inner-join pairs of
+    ``point_values`` + ``interval_values`` columns.
+
+    Same exchange shape as :func:`asof_join` (one hash exchange on the
+    key; both sides tagged into a shared schema).  Per bucket the
+    matching is fully vectorized: intervals sort once by (key, start);
+    each point's candidate slice [lo, hi) falls out of ONE merged
+    lexsort of interval starts and point timestamps (hi = intervals
+    with (key, start) <= (key, ts), computed as merged-rank minus
+    point-rank — no per-point slicing), candidates are enumerated with
+    the repeat/arange pattern and filtered on ``end >= ts``.
+
+    Enumerated candidates = intervals starting at-or-before the point
+    (long-expired ones included) — pass ``max_span`` (µs; the max
+    interval length) to tighten ``lo`` to ``start >= ts - max_span``
+    so candidate volume ≈ true pair volume.  Pairs are output-sized;
+    like any range join, a hot key with overlapping everything is
+    quadratic — that is the query's property, not the operator's.
+    """
+    from ..stages.exchange import grouped_exchange_ds
+
+    p_schema, i_schema = point_ds.schema(), interval_ds.schema()
+    p_types = dict(zip(p_schema.names, p_schema.types))
+    i_types = dict(zip(i_schema.names, i_schema.types))
+    clash = set(point_values) & set(interval_values)
+    if clash:
+        raise ValueError(f"point/interval output columns collide: {clash}")
+    rkey = right_key or key
+    key_type = (pa.int64() if pa.types.is_integer(p_types[key])
+                else pa.string())
+
+    def _tag(b: pa.Table, is_point: bool) -> pa.Table:
+        n = b.num_rows
+        k_arr, bk = _key_arrays(b[key if is_point else rkey])
+        s = _ts_i64(b[point_ts if is_point else interval_start])
+        e = (pa.nulls(n, pa.int64()) if is_point
+             else _ts_i64(b[interval_end]))
+        cols = {"__b": pa.array(bk, type=pa.uint64()),
+                "__k": pc.cast(k_arr, key_type), "__s": s, "__e": e,
+                "__side": pa.array(np.full(n, np.int8(1 if is_point
+                                                      else 0)))}
+        for c in point_values:
+            cols[c] = b[c] if is_point else pa.nulls(n, p_types[c])
+        for c in interval_values:
+            cols[c] = pa.nulls(n, i_types[c]) if is_point else b[c]
+        return pa.table(cols)
+
+    tagged = (point_ds.map_batches(lambda b: _tag(b, True),
+                                   batch_format="pyarrow")
+              .union(interval_ds.map_batches(lambda b: _tag(b, False),
+                                             batch_format="pyarrow")))
+    out_schema = pa.schema(
+        [(c, p_types[c]) for c in point_values]
+        + [(c, i_types[c]) for c in interval_values])
+
+    def merge(t: pa.Table) -> pa.Table:
+        side_np = t.column("__side").to_numpy(zero_copy_only=False)
+        good = pc.and_(pc.is_valid(t.column("__k")),
+                       pc.is_valid(t.column("__s"))).to_numpy(
+                           zero_copy_only=False)
+        # null-end INTERVALS can't match (SQL: NULL compares false)
+        good &= (side_np == 1) | pc.is_valid(
+            t.column("__e")).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(good))
+        if not t.num_rows:
+            return None
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        kv = t.column("__k").to_numpy(zero_copy_only=False)
+        _, codes = np.unique(kv, return_inverse=True)
+        sv = t.column("__s").to_numpy(zero_copy_only=False)
+        isel = np.flatnonzero(side == 0)
+        psel = np.flatnonzero(side == 1)
+        if not len(isel) or not len(psel):
+            return None
+        ev = pc.fill_null(t.column("__e"), np.int64(0)).to_numpy(
+            zero_copy_only=False)
+        icode, istart = codes[isel], sv[isel]
+        oi = np.lexsort((istart, icode))
+        icode, istart = icode[oi], istart[oi]
+        iend = ev[isel][oi].astype(np.int64)
+        iorig = isel[oi]
+        pcode, pts = codes[psel], sv[psel]
+        m, np_ = len(isel), len(psel)
+
+        def rank_points(values: np.ndarray, pts_first: bool) -> np.ndarray:
+            """#intervals with (code, start) < / <= (code_p, value_p):
+            merged lexsort; at ties, points before intervals gives
+            strict <, after gives <=."""
+            allc = np.concatenate([icode, pcode])
+            alls = np.concatenate([istart, values])
+            flag = np.concatenate([
+                np.full(m, 1 if pts_first else 0, np.int8),
+                np.full(np_, 0 if pts_first else 1, np.int8)])
+            mo = np.lexsort((flag, alls, allc))
+            prank = np.flatnonzero(mo >= m)
+            out = np.empty(np_, dtype=np.int64)
+            out[mo[prank] - m] = prank - np.arange(np_)
+            return out
+
+        hi = rank_points(pts, pts_first=False)
+        if max_span is not None:
+            lo = rank_points(pts - max_span, pts_first=True)
+        else:
+            lo = np.searchsorted(icode, pcode, side="left")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return None
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rep = np.repeat(np.arange(np_), counts)
+        cand = np.arange(total) - np.repeat(first, counts) \
+            + np.repeat(lo, counts)
+        keep = iend[cand] >= pts[rep]
+        cand, rep = cand[keep], rep[keep]
+        pidx = pa.array(psel[rep])
+        iidx = pa.array(iorig[cand])
+        cols = {c: t.column(c).take(pidx) for c in point_values}
+        for c in interval_values:
+            cols[c] = t.column(c).take(iidx)
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
+                               empty_schema=out_schema)
+
+
 def asof_join(left_ds, right_ds, key: str, ts: str,
               right_values: list[str], right_key: str | None = None,
               right_ts: str | None = None, tiebreak: str | None = None,
