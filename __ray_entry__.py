@@ -240,6 +240,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "o_orderkey", "o_totalprice"]]
         return df.sort_values("event_id").reset_index(drop=True)
 
+    def corpus_prep_q(sf):
+        # the full training-corpus composition: quality filter -> exact
+        # dedup -> decontaminate -> chunk, one streaming pipeline; the
+        # input plants exact dups (docs 20..39) and near dups sharing
+        # 8-grams with the benchmark (docs 0..19) so every stage acts
+        import ray.data as rd
+
+        from verify_ray.pipelines.corpus_prep import corpus_prep
+
+        t = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        mid = t.filter(pc.and_(pc.greater_equal(t.column("doc_id"), 20),
+                               pc.less(t.column("doc_id"), 40)))
+        exact_copies = pa.table({
+            "doc_id": pc.add(mid.column("doc_id"), 2_000_000),
+            "text": mid.column("text")})
+        head = t.slice(0, 20)
+        near_copies = pa.table({
+            "doc_id": pc.add(head.column("doc_id"), 1_000_000),
+            "text": pc.binary_join_element_wise(
+                head.column("text"), " extra tail", "")})
+        corpus = rd.from_arrow(
+            pa.concat_tables([t, exact_copies, near_copies]))
+        bench = rd.from_arrow(head)
+        out = corpus_prep(corpus, bench, min_distinct=18,
+                          ngram=8, window=64, stride=64)
+        return (out.to_pandas().sort_values(["doc_id", "chunk_id"])
+                .reset_index(drop=True))
+
     def range_events_q(sf):
         # interval join: error events inside the 1-day window opened
         # by each purchase of the same user
@@ -692,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf_topk": text_tfidf,
         "asof_events_orders": asof_orders,
         "range_join_events": range_events_q,
+        "corpus_prep": corpus_prep_q,
         "select_top_quality": top_quality_q,
         "stats_token_quantiles": token_quantiles_q,
         "chunk_documents": chunk_q,
@@ -923,6 +953,51 @@ SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
 FROM events e ASOF LEFT JOIN r1 r
   ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
 ORDER BY e.event_id
+"""
+
+# corpus_prep.corpus_prep — the whole four-stage pipeline as one SQL:
+# distinct-word floor -> min-id dedup per text -> drop docs sharing a
+# word-8-gram with benchmark docs 0..19 -> 64-word chunks
+CORPUS_PREP_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents
+  WHERE doc_id >= 20 AND doc_id < 40
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra tail'
+  FROM documents WHERE doc_id < 20
+),
+toks AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM corpus),
+q AS (SELECT * FROM toks WHERE len(list_distinct(ws)) >= 18),
+dd AS (
+  SELECT doc_id, ws FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+                                 ORDER BY doc_id) AS rn
+    FROM q) WHERE rn = 1),
+bl AS (
+  SELECT list(DISTINCT g) AS b FROM (
+    SELECT unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '
+                   ||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]
+                   FOR i IN range(1, greatest(len(ws)-7, 0)+1)]) AS g
+    FROM toks WHERE doc_id < 20)),
+clean AS (
+  SELECT doc_id, ws FROM dd, bl
+  WHERE len(list_intersect(
+          [ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '
+           ||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]
+           FOR i IN range(1, greatest(len(ws)-7, 0)+1)], b)) = 0),
+s AS (SELECT doc_id, ws,
+             unnest(generate_series(1, len(ws), 64)) AS st
+      FROM clean)
+SELECT doc_id, (st - 1) // 64 AS chunk_id,
+       least(st + 63, len(ws)) - st + 1 AS n_words,
+       array_to_string(list_slice(ws, st, least(st + 63, len(ws))), ' ')
+         AS chunk_text
+FROM s ORDER BY doc_id, chunk_id
 """
 
 # joins.range_join: inclusive [start, end] interval containment per
@@ -1430,6 +1505,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_topk": TFIDF_ORACLE,
         "asof_events_orders": ASOF_ORACLE,
         "range_join_events": RANGE_JOIN_ORACLE,
+        "corpus_prep": CORPUS_PREP_ORACLE,
         "select_top_quality": TOP_QUALITY_ORACLE,
         "stats_token_quantiles": TOKEN_QUANTILES_ORACLE,
         "chunk_documents": CHUNK_ORACLE,

@@ -106,7 +106,9 @@ def bench_queries() -> dict[str, float]:
              "token_topk_by_source", "dedup_exact_filter",
              "embedding_near_dup_lsh", "ann_topk_ivf",
              "text_repetition", "text_redact", "text_boilerplate",
-             "decontaminate", "semantic_dedup"]
+             "decontaminate", "semantic_dedup", "text_tfidf_topk",
+             "asof_events_orders", "range_join_events",
+             "select_top_quality", "chunk_documents"]
     out = {}
     for name in names:
         t0 = time.time()
