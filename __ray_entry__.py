@@ -301,6 +301,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .sort_values(["err_event_id", "purch_event_id"])
                 .reset_index(drop=True))
 
+    def rolling_q(sf):
+        # per-event trailing 1-hour window per user: count + int sum
+        from verify_ray.pipelines.rolling import rolling_window_agg
+
+        ev = _read(sf, "events", columns=["event_id", "user_id", "ts"])
+        ds = rolling_window_agg(ev, key="user_id", ts="ts",
+                                span_us=3_600_000_000,
+                                sum_cols=["event_id"])
+        df = ds.to_pandas()[["event_id", "user_id",
+                             "w_count", "w_sum_event_id"]]
+        return df.sort_values("event_id").reset_index(drop=True)
+
     def top_quality_q(sf):
         # exact top-100 docs by distinct-word count, histogram
         # threshold + boundary-tie resolution — no global sort
@@ -721,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf_topk": text_tfidf,
         "asof_events_orders": asof_orders,
         "range_join_events": range_events_q,
+        "events_rolling_1h": rolling_q,
         "corpus_prep": corpus_prep_q,
         "select_top_quality": top_quality_q,
         "stats_token_quantiles": token_quantiles_q,
@@ -1009,6 +1022,18 @@ FROM events r JOIN events p ON r.user_id = p.user_id
 WHERE r.event_type = 'error' AND p.event_type = 'purchase'
   AND r.ts >= p.ts AND r.ts <= p.ts + INTERVAL 1 DAY
 ORDER BY err_event_id, purch_event_id
+"""
+
+# rolling.rolling_window_agg: per-row trailing RANGE frame (peers of
+# an equal ts included — SQL RANGE semantics)
+ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS w_count,
+       CAST(sum(event_id) OVER w AS BIGINT) AS w_sum_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
 """
 
 # select.top_k_by_score: exact top-k by (score desc, id asc); score =
@@ -1505,6 +1530,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_topk": TFIDF_ORACLE,
         "asof_events_orders": ASOF_ORACLE,
         "range_join_events": RANGE_JOIN_ORACLE,
+        "events_rolling_1h": ROLLING_ORACLE,
         "corpus_prep": CORPUS_PREP_ORACLE,
         "select_top_quality": TOP_QUALITY_ORACLE,
         "stats_token_quantiles": TOKEN_QUANTILES_ORACLE,

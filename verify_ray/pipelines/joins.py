@@ -45,6 +45,27 @@ from ..kernels import as_array
 _I64MAX = np.iinfo(np.int64).max
 
 
+def rank_into(dcode: np.ndarray, dval: np.ndarray,
+              qcode: np.ndarray, qval: np.ndarray,
+              queries_first: bool) -> np.ndarray:
+    """For each query (qcode, qval): how many data rows (dcode, dval)
+    sort strictly before it (``queries_first=True`` → strict ``<``) or
+    at-or-before it (``False`` → ``<=``), under (code, value) order.
+    One merged lexsort — no per-query slicing.  Data must already be
+    sorted by (code, value); queries need not be."""
+    m, n = len(dcode), len(qcode)
+    allc = np.concatenate([dcode, qcode])
+    allv = np.concatenate([dval, qval])
+    flag = np.concatenate([
+        np.full(m, 1 if queries_first else 0, np.int8),
+        np.full(n, 0 if queries_first else 1, np.int8)])
+    mo = np.lexsort((flag, allv, allc))
+    qrank = np.flatnonzero(mo >= m)
+    out = np.empty(n, dtype=np.int64)
+    out[mo[qrank] - m] = qrank - np.arange(n)
+    return out
+
+
 def _ts_i64(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Normalize any timestamp unit (or integer) to int64 microseconds
     (the hopping-window ts-unit lesson: never trust the native unit).
@@ -160,24 +181,10 @@ def range_join(point_ds, interval_ds, key: str, point_ts: str,
         pcode, pts = codes[psel], sv[psel]
         m, np_ = len(isel), len(psel)
 
-        def rank_points(values: np.ndarray, pts_first: bool) -> np.ndarray:
-            """#intervals with (code, start) < / <= (code_p, value_p):
-            merged lexsort; at ties, points before intervals gives
-            strict <, after gives <=."""
-            allc = np.concatenate([icode, pcode])
-            alls = np.concatenate([istart, values])
-            flag = np.concatenate([
-                np.full(m, 1 if pts_first else 0, np.int8),
-                np.full(np_, 0 if pts_first else 1, np.int8)])
-            mo = np.lexsort((flag, alls, allc))
-            prank = np.flatnonzero(mo >= m)
-            out = np.empty(np_, dtype=np.int64)
-            out[mo[prank] - m] = prank - np.arange(np_)
-            return out
-
-        hi = rank_points(pts, pts_first=False)
+        hi = rank_into(icode, istart, pcode, pts, queries_first=False)
         if max_span is not None:
-            lo = rank_points(pts - max_span, pts_first=True)
+            lo = rank_into(icode, istart, pcode, pts - max_span,
+                           queries_first=True)
         else:
             lo = np.searchsorted(icode, pcode, side="left")
         counts = hi - lo

@@ -1,0 +1,98 @@
+"""Per-row sliding-window aggregates over event time — for every row,
+count/sum over the same key's rows in ``[ts - span, ts]`` (the SQL
+``RANGE BETWEEN <span> PRECEDING AND CURRENT ROW`` frame, peers of an
+equal timestamp included) — rate counters, rolling exposure, velocity
+features.
+
+Complements the fixed-grid windows in ``analytics``
+(tumbling/hopping): those bucket rows into shared windows; this
+evaluates one window PER ROW, which no groupby can express.
+
+Distributed shape: one hash exchange on the key (all of a key's rows
+meet in one bucket), then per bucket ONE lexsort by (key, ts) and two
+:func:`joins.rank_into` merged-rank passes give every row's window
+bounds [lo, hi); counts are ``hi - lo`` and sums come off a padded
+prefix-sum — O(n log n) per bucket, no per-row or per-key Python.
+
+Sum columns must be integers: float sums are order-dependent at the
+last ULP, which breaks cross-engine oracle equality (CLAUDE.md
+integer-oracle policy).  Null keys form their own group, matching SQL
+window ``PARTITION BY`` semantics (NULLs are one partition — unlike
+join keys, which never match).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .joins import _key_arrays, _ts_i64, rank_into
+
+
+def rolling_window_agg(ds, key: str, ts: str, span_us: int,
+                       sum_cols: list[str] | None = None,
+                       num_buckets: int = 64):
+    """Input columns + ``w_count`` (+ ``w_sum_<col>`` per sum_col),
+    each computed over the row's trailing ``span_us`` window within
+    its key."""
+    from ..stages.exchange import grouped_exchange_ds
+
+    sum_cols = list(sum_cols or [])
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    in_cols = list(schema.names)
+    for c in sum_cols:
+        if not pa.types.is_integer(types[c]):
+            raise ValueError(f"sum column {c} must be integer "
+                             "(float sums break oracle equality)")
+
+    def tag(b: pa.Table) -> pa.Table:
+        _, bk = _key_arrays(b[key])
+        cols = {"__b": pa.array(bk, type=pa.uint64()),
+                "__ts": _ts_i64(b[ts])}
+        for c in in_cols:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [(c, types[c]) for c in in_cols]
+        + [("w_count", pa.int64())]
+        + [(f"w_sum_{c}", pa.int64()) for c in sum_cols])
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        karr = t.column(key)
+        null_k = pc.is_null(karr).to_numpy(zero_copy_only=False)
+        if null_k.any():
+            fill = 0 if pa.types.is_integer(karr.type) else ""
+            kv = pc.fill_null(pc.cast(
+                karr, pa.int64() if pa.types.is_integer(karr.type)
+                else pa.string()), fill).to_numpy(zero_copy_only=False)
+        else:
+            kv = karr.to_numpy(zero_copy_only=False)
+        _, codes = np.unique(kv, return_inverse=True)
+        if null_k.any():  # SQL: NULLs are one window partition
+            codes = np.where(null_k, codes.max() + 1, codes)
+        tsv = pc.fill_null(t.column("__ts"), np.int64(0)).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((tsv, codes))
+        sc, st = codes[order], tsv[order]
+        hi = rank_into(sc, st, sc, st, queries_first=False)
+        lo = rank_into(sc, st, sc, st - span_us, queries_first=True)
+        cols = {c: t.column(c) for c in in_cols}
+        cnt = np.empty(n, dtype=np.int64)
+        cnt[order] = hi - lo
+        cols["w_count"] = pa.array(cnt)
+        for c in sum_cols:
+            v = pc.fill_null(t.column(c), np.int64(0)).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ps = np.concatenate([[0], np.cumsum(v[order])])
+            s = np.empty(n, dtype=np.int64)
+            s[order] = ps[hi] - ps[lo]
+            cols[f"w_sum_{c}"] = pa.array(s)
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
+                               empty_schema=out_schema)
