@@ -108,7 +108,8 @@ def bench_queries() -> dict[str, float]:
              "text_repetition", "text_redact", "text_boilerplate",
              "decontaminate", "semantic_dedup", "text_tfidf_topk",
              "asof_events_orders", "range_join_events",
-             "select_top_quality", "chunk_documents"]
+             "select_top_quality", "chunk_documents",
+             "events_rolling_1h", "corpus_prep"]
     out = {}
     for name in names:
         t0 = time.time()
