@@ -443,6 +443,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values("doc_id")
                 .reset_index(drop=True))
 
+    def dedup_token_spans_q(sf):
+        # Lee-et-al-style duplicated token spans (k=8 windows, any
+        # window occurring >=2 times corpus-wide, maximal merged
+        # spans) over the tokenized near-dup union — the planted
+        # copies guarantee long shared prefixes to find
+        from verify_ray.pipelines.spans import duplicate_token_spans
+        from verify_ray.pipelines.tokenize import tokenize_documents
+
+        ds = _docs_with_near_dups(sf)
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "source", pa.array(["s"] * t.num_rows, type=pa.string())),
+            batch_format="pyarrow")
+        seqs = tokenize_documents(ds, concurrency=2)
+        out = duplicate_token_spans(seqs, k=8, min_count=2)
+        df = (out.to_pandas()
+              .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+        return df.astype({"span_start": "int64", "span_end": "int64",
+                          "n_windows": "int64"})
+
     def pack_seqs(sf):
         # sequence packing: per-source doc-concatenated 512-token
         # examples; the oracle recomputes example boundaries and token
@@ -723,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": text_repetition,
         "text_redact": text_redact,
         "text_boilerplate": text_boilerplate,
+        "dedup_token_spans": dedup_token_spans_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "sample_documents": sample_docs,
@@ -1233,6 +1254,44 @@ FROM s3 ORDER BY doc_id
 
 # benchmark = raw docs 0..19; targets = near-dup union \ benchmark;
 # flag docs sharing >= 1 distinct word-8-gram with the benchmark
+# spans.duplicate_token_spans: window identity = space-joined decimal
+# token ids (md5-mod-50000, _TOKEN_ID), k=8, total multiplicity >= 2;
+# spans merge while consecutive hit starts differ by <= k (engine
+# break rule starts[i]-starts[i-1] > k == SQL NOT(diff <= 8))
+DUP_SPANS_ORACLE = f"""
+WITH {_ALL_DOCS_CTE.strip()},
+toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(ws) AS w,
+         generate_subscripts(ws, 1) AS wi
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM all_docs)),
+arr AS (
+  SELECT doc_id, list({_TOKEN_ID} ORDER BY wi) AS ids
+  FROM toks GROUP BY doc_id),
+g AS (
+  SELECT doc_id, ids, unnest(generate_series(1, len(ids) - 7)) AS st
+  FROM arr WHERE len(ids) >= 8),
+grams AS (
+  SELECT doc_id, st,
+         array_to_string(list_slice(ids, st, st + 7), ' ') AS gr
+  FROM g),
+dup AS (SELECT gr FROM grams GROUP BY gr HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, st FROM grams WHERE gr IN (SELECT gr FROM dup)),
+mk AS (
+  SELECT doc_id, st,
+         CASE WHEN st - lag(st) OVER (PARTITION BY doc_id ORDER BY st) <= 8
+              THEN 0 ELSE 1 END AS brk
+  FROM hits),
+sp AS (SELECT doc_id, st,
+              SUM(brk) OVER (PARTITION BY doc_id ORDER BY st) AS sid
+       FROM mk)
+SELECT doc_id, CAST(MIN(st) - 1 AS BIGINT) AS span_start,
+       CAST(MAX(st) + 7 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM sp GROUP BY doc_id, sid
+ORDER BY doc_id, span_start
+"""
+
 DECONTAMINATE_ORACLE = "WITH " + _ALL_DOCS_CTE + r""",
 toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM all_docs
@@ -1540,6 +1599,7 @@ def oracle_sql() -> dict[str, str]:
         "text_redact": TEXT_REDACT_ORACLE,
         "text_boilerplate": TEXT_BOILERPLATE_ORACLE,
         "decontaminate": DECONTAMINATE_ORACLE,
+        "dedup_token_spans": DUP_SPANS_ORACLE,
         "pack_sequences": PACK_ORACLE,
         "dedup_minhash_lsh": MINHASH_ORACLE,
         "dedup_simhash": SIMHASH_ORACLE,
