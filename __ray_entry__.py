@@ -463,6 +463,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df.astype({"span_start": "int64", "span_end": "int64",
                           "n_windows": "int64"})
 
+    def token_pairs_q(sf):
+        # BPE merge-candidate scan: top-50 adjacent token pairs by
+        # corpus frequency over the tokenized documents
+        from verify_ray.pipelines.tokenize import (token_pair_topk,
+                                                   tokenize_documents)
+
+        docs = _read(sf, "documents", columns=["doc_id", "text", "source"])
+        seqs = tokenize_documents(docs, concurrency=2)
+        out = token_pair_topk(seqs, k=50)
+        return out.astype({"tok_a": "int64", "tok_b": "int64",
+                           "cnt": "int64"})
+
     def pack_seqs(sf):
         # sequence packing: per-source doc-concatenated 512-token
         # examples; the oracle recomputes example boundaries and token
@@ -744,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_redact": text_redact,
         "text_boilerplate": text_boilerplate,
         "dedup_token_spans": dedup_token_spans_q,
+        "token_pair_topk": token_pairs_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "sample_documents": sample_docs,
@@ -1333,6 +1346,24 @@ SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
 FROM grams, bl ORDER BY doc_id
 """
 
+# tokenize.token_pair_topk: BPE merge-candidate counts; the (cnt
+# DESC, tok_a, tok_b) total order makes the k-cutoff deterministic
+TOKEN_PAIRS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS wi
+  FROM (SELECT doc_id, regexp_split_to_array({_TRIMMED}, '\\s+') AS ws
+        FROM documents)),
+ids AS (SELECT doc_id, wi, {_TOKEN_ID} AS token FROM toks),
+pairs AS (
+  SELECT token AS a,
+         lead(token) OVER (PARTITION BY doc_id ORDER BY wi) AS b
+  FROM ids)
+SELECT CAST(a AS BIGINT) AS tok_a, CAST(b AS BIGINT) AS tok_b,
+       COUNT(*) AS cnt
+FROM pairs WHERE b IS NOT NULL
+GROUP BY a, b ORDER BY cnt DESC, tok_a, tok_b LIMIT 50
+"""
+
 PACK_ORACLE = f"""
 WITH toks AS (
   SELECT source, doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS wi
@@ -1600,6 +1631,7 @@ def oracle_sql() -> dict[str, str]:
         "text_boilerplate": TEXT_BOILERPLATE_ORACLE,
         "decontaminate": DECONTAMINATE_ORACLE,
         "dedup_token_spans": DUP_SPANS_ORACLE,
+        "token_pair_topk": TOKEN_PAIRS_ORACLE,
         "pack_sequences": PACK_ORACLE,
         "dedup_minhash_lsh": MINHASH_ORACLE,
         "dedup_simhash": SIMHASH_ORACLE,

@@ -80,3 +80,78 @@ def tokenize_documents(ds, vocab: int = VOCAB, concurrency=4, batch_size: int = 
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def token_pair_topk(seqs_ds, k: int = 50, min_count: int = 1,
+                    token_col: str = "tokens", num_buckets: int = 64):
+    """Top-``k`` adjacent token pairs by corpus frequency — the merge-
+    candidate scan at the heart of BPE vocabulary induction (Sennrich
+    et al. 2016, "Neural Machine Translation of Rare Words with
+    Subword Units": each merge step promotes the most frequent
+    adjacent symbol pair).  One distributed scan = one BPE iteration's
+    counting phase; callers re-run after applying a merge.
+
+    Returns a pandas DataFrame ``(tok_a, tok_b, cnt)`` ordered by
+    ``(cnt DESC, tok_a, tok_b)`` — a deterministic total order, so the
+    k-cutoff is reproducible (SQL ``LIMIT k`` parity).
+
+    Scale shape: per-batch partial counts (``np.unique`` over packed
+    ``(a<<32)|b`` keys — map-side combine), reduced per key through
+    the sort-free hash exchange; each merge task emits only its
+    bucket-local top-``k`` (global top-k ⊆ union of per-bucket top-k,
+    because every key aggregates in exactly one bucket), so the driver
+    sees ≤ ``num_buckets × k`` rows.  Shuffle payload is
+    ``(u64 key, int64 count)`` — vocabulary²-bounded, token-payload
+    free.
+    """
+    from ..stages.exchange import grouped_exchange
+
+    def partials(b: pa.Table) -> pa.Table:
+        toks = as_array(b[token_col])
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"h": pa.array([], type=pa.uint64()),
+                          "c": pa.array([], type=pa.int64())})
+        if len(parents) < 2:
+            return empty
+        flat = pc.list_flatten(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ok = parents[:-1] == parents[1:]
+        if not ok.any():
+            return empty
+        key = ((flat[:-1][ok] << 32) | flat[1:][ok]).astype(np.uint64)
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"h": pa.array(u, type=pa.uint64()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    part_ds = seqs_ds.map_batches(partials, batch_format="pyarrow")
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(h, return_inverse=True)
+        tot = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, inv, c)
+        keep = tot >= min_count
+        u, tot = u[keep], tot[keep]
+        # bucket-local top-k by (cnt desc, key asc); key asc == (a, b)
+        # asc because the pack is order-preserving for non-negative ids
+        order = np.lexsort((u, -tot))[:k]
+        return pa.table({"h": pa.array(u[order], type=pa.uint64()),
+                         "c": pa.array(tot[order])})
+
+    out = grouped_exchange(part_ds, "h", num_buckets, reduce_bucket,
+                           drop_bucket=False)
+    import pandas as pd
+
+    if out is None or not out.num_rows:
+        return pd.DataFrame({"tok_a": pd.Series([], dtype="int64"),
+                             "tok_b": pd.Series([], dtype="int64"),
+                             "cnt": pd.Series([], dtype="int64")})
+    h = out.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = out.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((h, -c))[:k]
+    h, c = h[order], c[order]
+    return pd.DataFrame({"tok_a": (h >> 32).astype(np.int64),
+                         "tok_b": (h & 0xFFFFFFFF).astype(np.int64),
+                         "cnt": c})
