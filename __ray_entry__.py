@@ -463,6 +463,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df.astype({"span_start": "int64", "span_end": "int64",
                           "n_windows": "int64"})
 
+    def bm25_q(sf):
+        # broadcast-query BM25 retrieval (integer-exact variant)
+        from verify_ray.pipelines.retrieval import bm25_topk
+
+        out = bm25_topk(_read(sf, "documents", columns=["doc_id", "text"]),
+                        terms=["merge", "fast", "window", "dup"], k=20)
+        return out.astype({"n_match": "int64", "dl": "int64",
+                           "score": "int64"})
+
     def token_pairs_q(sf):
         # BPE merge-candidate scan: top-50 adjacent token pairs by
         # corpus frequency over the tokenized documents
@@ -757,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_boilerplate": text_boilerplate,
         "dedup_token_spans": dedup_token_spans_q,
         "token_pair_topk": token_pairs_q,
+        "bm25_topk": bm25_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "sample_documents": sample_docs,
@@ -1346,6 +1356,37 @@ SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
 FROM grams, bl ORDER BY doc_id
 """
 
+# retrieval.bm25_topk: integer-exact BM25 variant (idf kept rational
+# x1000 instead of log; dl/avgdl quantized to tenths) — see
+# retrieval.py docstring for the k1=1.2/b=0.75 derivation
+BM25_ORACLE = f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         regexp_split_to_array({_TRIMMED}, '\\s+') AS ws
+  FROM documents),
+stats AS (SELECT COUNT(*) AS d, SUM(len(ws)) AS a FROM docs),
+terms(term) AS (VALUES ('dup'), ('fast'), ('merge'), ('window')),
+df AS (
+  SELECT term,
+         (SELECT COUNT(*) FROM docs WHERE list_contains(ws, term)) AS df
+  FROM terms),
+tok AS (SELECT doc_id, unnest(ws) AS w, len(ws) AS dl FROM docs),
+tf AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM tok WHERE w IN (SELECT term FROM terms) GROUP BY doc_id, w),
+scored AS (
+  SELECT tf.doc_id, COUNT(*) AS n_match, MIN(tf.dl) AS dl,
+         SUM( ((1000 * (2 * (s.d - df.df) + 1)) // (2 * df.df + 1))
+              * ((220000 * tf.tf) //
+                 (100 * tf.tf + 30 + 9 * ((10 * tf.dl * s.d) // s.a))) )
+           AS score
+  FROM tf JOIN df USING (term), stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, CAST(n_match AS BIGINT) AS n_match,
+       CAST(dl AS BIGINT) AS dl, CAST(score AS BIGINT) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 20
+"""
+
 # tokenize.token_pair_topk: BPE merge-candidate counts; the (cnt
 # DESC, tok_a, tok_b) total order makes the k-cutoff deterministic
 TOKEN_PAIRS_ORACLE = f"""
@@ -1632,6 +1673,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": DECONTAMINATE_ORACLE,
         "dedup_token_spans": DUP_SPANS_ORACLE,
         "token_pair_topk": TOKEN_PAIRS_ORACLE,
+        "bm25_topk": BM25_ORACLE,
         "pack_sequences": PACK_ORACLE,
         "dedup_minhash_lsh": MINHASH_ORACLE,
         "dedup_simhash": SIMHASH_ORACLE,

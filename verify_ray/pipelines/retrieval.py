@@ -1,0 +1,164 @@
+"""BM25 keyword retrieval over the document corpus (Robertson &
+Sparck Jones probabilistic relevance; the Okapi BM25 ranking function,
+Robertson et al. TREC-3).  The query side of a training-data pipeline:
+"find the documents most relevant to these terms" for curriculum
+selection, targeted decontamination, or corpus QA.
+
+Two streaming passes, zero shuffle (the classic broadcast-query
+retrieval shape):
+
+1. **Stats pass**: per-batch partials of corpus size ``D``, total
+   token count ``A`` and per-term document frequency ``df`` (a doc
+   lives in exactly one batch, so per-batch distinct-doc counts sum
+   exactly).  Partials are |terms|+2 integers per batch — the driver
+   reduction is output-sized.
+2. **Score pass**: the (tiny) term table is shipped in the task
+   closure; each batch computes per-(row, term) ``tf`` with one
+   sorted ``searchsorted`` pass over the flattened words, scores
+   matched rows, and emits its local top-``k``; the driver merges
+   ``batches × k`` candidate rows (the ann_topk pattern,
+   similarity.py).
+
+Integer-exact scoring (the repo's float-rounding policy — CLAUDE.md):
+with ``L = (10*dl*D) // A`` (the doc/average length ratio quantized
+to tenths) and SCALE = 1000,
+
+    tf_norm = (220_000 * tf) // (100*tf + 30 + 9*L)
+      -- == SCALE * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+         at k1=1.2, b=0.75, with dl/avgdl -> L/10
+    idf_int = (1000 * (2*(D-df) + 1)) // (2*df + 1)
+      -- RSJ idf ((D-df+0.5)/(df+0.5)) kept as a RATIONAL x1000
+         instead of its log — a documented BM25 variant: strictly
+         positive and monotone decreasing in df (like Lucene's
+         log(1+...) clamped idf), so single-term rankings are
+         identical to Lucene-style BM25; multi-term sums weight
+         rare terms more strongly than the log form
+    score   = sum over matched terms of idf_int * tf_norm
+
+Every step is int64 (magnitudes bounded: idf_int <= 2000*D+1000,
+tf_norm <= 2200, L <= 10*dl*D/A), so the DuckDB oracle reproduces the
+exact ranking with ``//`` arithmetic; the conventional log-idf float
+score is asserted against a scalar reference in pytest instead.
+Tokenization is whitespace (``\\s+``) splitting of trimmed text —
+DuckDB ``regexp_split_to_array`` parity, empty text => [''].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..kernels import as_array
+
+SCALE = 1000
+
+
+def _batch_words(batch: pa.Table, text_col: str):
+    """(parents, words_np, dl) for a batch — whitespace tokens."""
+    toks = as_array(pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch[text_col]), r"\s+"))
+    words = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    dl = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return parents, words, dl
+
+
+def _tf_matrix(parents, words, terms_sorted, n_rows):
+    """Dense (n_rows x n_terms) int64 term-frequency matrix."""
+    tf = np.zeros((n_rows, len(terms_sorted)), dtype=np.int64)
+    if len(words) and len(terms_sorted):
+        pos = np.searchsorted(terms_sorted, words)
+        pos[pos == len(terms_sorted)] = 0
+        hit = terms_sorted[pos] == words
+        np.add.at(tf, (parents[hit], pos[hit]), 1)
+    return tf
+
+
+def corpus_term_stats(docs_ds, terms: list[str], text_col: str = "text"):
+    """(D, A, df) — corpus doc count, total token count, and per-term
+    document frequency aligned with sorted(terms)."""
+    terms_sorted = np.array(sorted(terms), dtype=object)
+
+    def partials(b: pa.Table) -> pa.Table:
+        parents, words, dl = _batch_words(b, text_col)
+        tf = _tf_matrix(parents, words, terms_sorted, b.num_rows)
+        return pa.table({
+            "D": pa.array([b.num_rows], type=pa.int64()),
+            "A": pa.array([int(dl.sum())], type=pa.int64()),
+            "df": pa.array([(tf > 0).sum(axis=0).astype(np.int64)],
+                           type=pa.list_(pa.int64())),
+        })
+
+    parts = docs_ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    D = int(parts.D.sum())
+    A = int(parts.A.sum())
+    df = np.sum(np.stack(parts.df.to_numpy()), axis=0).astype(np.int64) \
+        if len(parts) else np.zeros(len(terms_sorted), dtype=np.int64)
+    return D, A, dict(zip(terms_sorted.tolist(), df.tolist()))
+
+
+def bm25_topk(docs_ds, terms: list[str], k: int = 20,
+              text_col: str = "text", id_col: str = "doc_id",
+              stats: tuple | None = None) -> pd.DataFrame:
+    """Top-``k`` documents by the integer BM25 score, ordered by
+    ``(score DESC, doc_id ASC)``.  Returns ``(doc_id, n_match, dl,
+    score)``; only documents matching ≥1 term are candidates.
+    ``stats`` lets callers reuse a precomputed ``corpus_term_stats``
+    (e.g. scoring a stream against a fixed reference corpus)."""
+    terms_sorted = np.array(sorted(set(terms)), dtype=object)
+    if stats is None:
+        stats = corpus_term_stats(docs_ds, terms_sorted.tolist(), text_col)
+    D, A, df_map = stats
+    df = np.array([df_map[t] for t in terms_sorted.tolist()], dtype=np.int64)
+    idf = (SCALE * (2 * (D - df) + 1)) // (2 * df + 1)
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        parents, words, dl = _batch_words(b, text_col)
+        tf = _tf_matrix(parents, words, terms_sorted, b.num_rows)
+        n_match = (tf > 0).sum(axis=1).astype(np.int64)
+        L = (10 * dl * D) // max(A, 1)
+        denom = 100 * tf + 30 + 9 * L[:, None]
+        tf_norm = (220 * SCALE * tf) // denom
+        tf_norm[tf == 0] = 0
+        score = (tf_norm * idf[None, :]).sum(axis=1)
+        keep = n_match > 0
+        idxs = np.flatnonzero(keep)
+        # batch-local top-k on (score desc, doc_id asc)
+        ids = pc.cast(b[id_col], pa.string()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids[idxs].astype(object), -score[idxs]))[:k]
+        sel = idxs[order]
+        return pa.table({
+            "doc_id": pa.array(ids[sel], type=pa.string()),
+            "n_match": pa.array(n_match[sel]),
+            "dl": pa.array(dl[sel]),
+            "score": pa.array(score[sel]),
+        })
+
+    cand = docs_ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                             "n_match": pd.Series([], dtype="int64"),
+                             "dl": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="int64")})
+    cand = cand.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(k)
+    return cand.reset_index(drop=True)
+
+
+def bm25_float_score(tf: int, df: int, dl: int, D: int, A: int,
+                     k1: float = 1.2, b: float = 0.75) -> float:
+    """Lucene-style BM25 for one (term, doc) — log(1+x) idf, always
+    positive (raw RSJ log-idf goes negative at df > D/2 and would
+    invert rankings) — the pytest reference for the integer variant's
+    fidelity tests."""
+    import math
+
+    if tf == 0:
+        return 0.0
+    avgdl = A / D
+    idf = math.log(1.0 + (D - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
