@@ -463,6 +463,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df.astype({"span_start": "int64", "span_end": "int64",
                           "n_windows": "int64"})
 
+    def drift_hist_q(sf):
+        # W3's deterministic member: exact two-epoch histogram drift
+        # report (even-doc_id half vs odd-doc_id half of documents)
+        from verify_ray.pipelines.analytics import histogram_drift
+
+        docs = _read(sf, "documents", columns=["doc_id", "lang", "n_chars"])
+
+        def half(parity):
+            def f(t: pa.Table) -> pa.Table:
+                ids = pc.cast(t["doc_id"], pa.int64())
+                return t.filter(pc.equal(
+                    pc.bit_wise_and(ids, 1), parity))
+            return f
+
+        cur = docs.map_batches(half(0), batch_format="pyarrow")
+        ref = docs.map_batches(half(1), batch_format="pyarrow")
+        return histogram_drift(cur, ref, "lang", "n_chars",
+                               lo=0, hi=400, n_bins=16)
+
     def bm25_q(sf):
         # broadcast-query BM25 retrieval (integer-exact variant)
         from verify_ray.pipelines.retrieval import bm25_topk
@@ -767,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_token_spans": dedup_token_spans_q,
         "token_pair_topk": token_pairs_q,
         "bm25_topk": bm25_q,
+        "drift_histogram": drift_hist_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "sample_documents": sample_docs,
@@ -1356,6 +1376,27 @@ SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
 FROM grams, bl ORDER BY doc_id
 """
 
+# analytics.histogram_drift: bucket = min(max(v-lo,0)*n_bins//(hi-lo),
+# n_bins-1) with (lo, hi, n_bins) = (0, 400, 16); epochs = doc_id
+# parity halves of documents
+DRIFT_HIST_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang AS grp,
+         least(greatest(n_chars, 0) * 16 // 400, 15) AS bucket
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+c AS (SELECT grp, bucket, COUNT(*) AS n_cur FROM b
+      WHERE doc_id % 2 = 0 GROUP BY grp, bucket),
+r AS (SELECT grp, bucket, COUNT(*) AS n_ref FROM b
+      WHERE doc_id % 2 = 1 GROUP BY grp, bucket)
+SELECT coalesce(c.grp, r.grp) AS "group",
+       CAST(coalesce(c.bucket, r.bucket) AS BIGINT) AS bucket,
+       CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur,
+       CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+       CAST(abs(coalesce(n_cur, 0) - coalesce(n_ref, 0)) AS BIGINT) AS diff
+FROM c FULL OUTER JOIN r ON c.grp = r.grp AND c.bucket = r.bucket
+ORDER BY "group", bucket
+"""
+
 # retrieval.bm25_topk: integer-exact BM25 variant (idf kept rational
 # x1000 instead of log; dl/avgdl quantized to tenths) — see
 # retrieval.py docstring for the k1=1.2/b=0.75 derivation
@@ -1674,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_token_spans": DUP_SPANS_ORACLE,
         "token_pair_topk": TOKEN_PAIRS_ORACLE,
         "bm25_topk": BM25_ORACLE,
+        "drift_histogram": DRIFT_HIST_ORACLE,
         "pack_sequences": PACK_ORACLE,
         "dedup_minhash_lsh": MINHASH_ORACLE,
         "dedup_simhash": SIMHASH_ORACLE,

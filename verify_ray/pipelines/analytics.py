@@ -414,3 +414,70 @@ def hopping_window_events(ds, width_hours: int = 24, slide_hours: int = 6,
     df["sum_value"] = np.round(df["sum_value"], 6)
     return (df[["ws", "n_events", "sum_value"]]
             .sort_values("ws").reset_index(drop=True))
+
+
+def grouped_histogram(ds, group_col: str, value_col: str, lo: int,
+                      hi: int, n_bins: int,
+                      batch_size: int = 65536) -> pd.DataFrame:
+    """EXACT per-group integer histogram: ``(group, bucket, cnt)``.
+
+    Bucketing contract (all-integer, SQL-reproducible):
+    ``bucket = min(max(v - lo, 0) * n_bins // (hi - lo), n_bins - 1)``
+    — values below ``lo`` clamp into bucket 0, values at/above ``hi``
+    into the last bucket, so every non-null value lands somewhere.
+    Combiner pattern: per-batch counts (one row per (group, bucket)
+    per batch) are the only thing shuffled; the final merge is
+    output-sized (groups × n_bins).  Null groups and null values are
+    dropped (SQL GROUP BY/WHERE parity).
+    """
+    span = hi - lo
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[group_col]),
+                             pc.is_valid(t[value_col])))
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], type=pa.string()),
+                             "bucket": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        v = pc.cast(t[value_col], pa.int64()).to_numpy(zero_copy_only=False)
+        b = np.minimum(np.maximum(v - lo, 0) * n_bins // span, n_bins - 1)
+        pt = pa.table({"g": pc.cast(t[group_col], pa.string()),
+                       "bucket": pa.array(b.astype(np.int64))})
+        g = pt.group_by(["g", "bucket"]).aggregate([("bucket", "count")])
+        return g.rename_columns(["g", "bucket", "cnt"])
+
+    parts = (ds.select_columns([group_col, value_col])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=batch_size).to_pandas())
+    if parts.empty:
+        return pd.DataFrame({"group": pd.Series([], dtype=object),
+                             "bucket": pd.Series([], dtype="int64"),
+                             "cnt": pd.Series([], dtype="int64")})
+    out = (parts.groupby(["g", "bucket"], as_index=False)["cnt"].sum()
+           .rename(columns={"g": "group"}))
+    return out.astype({"bucket": "int64", "cnt": "int64"})
+
+
+def histogram_drift(cur_ds, ref_ds, group_col: str, value_col: str,
+                    lo: int, hi: int, n_bins: int) -> pd.DataFrame:
+    """Two-epoch drift report with EXACT counts — the deterministic
+    member of the W3 drift family (the sketch path in stages/drift.py
+    trades exactness for bounded state; this one is for when both
+    epochs are cheap to scan or already projected).
+
+    Returns one row per (group, bucket) present in EITHER epoch:
+    ``(group, bucket, n_cur, n_ref, diff)`` with ``diff =
+    |n_cur - n_ref|``; callers threshold on ``diff`` / total to flag.
+    Bucket grid must be shared, so the contract fixes (lo, hi, n_bins)
+    up front rather than deriving them from either epoch's data.
+    """
+    cur = grouped_histogram(cur_ds, group_col, value_col, lo, hi, n_bins)
+    ref = grouped_histogram(ref_ds, group_col, value_col, lo, hi, n_bins)
+    m = cur.merge(ref, on=["group", "bucket"], how="outer",
+                  suffixes=("_cur", "_ref")).fillna(0)
+    m = m.rename(columns={"cnt_cur": "n_cur", "cnt_ref": "n_ref"})
+    m["diff"] = (m.n_cur - m.n_ref).abs()
+    m = m.astype({"bucket": "int64", "n_cur": "int64", "n_ref": "int64",
+                  "diff": "int64"})
+    return (m[["group", "bucket", "n_cur", "n_ref", "diff"]]
+            .sort_values(["group", "bucket"]).reset_index(drop=True))
