@@ -463,6 +463,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df.astype({"span_start": "int64", "span_end": "int64",
                           "n_windows": "int64"})
 
+    def percentile_rank_q(sf):
+        # within-language exact percentile position of n_chars
+        from verify_ray.pipelines.select import grouped_percentile_rank
+
+        out = grouped_percentile_rank(
+            _read(sf, "documents", columns=["doc_id", "lang", "n_chars"]),
+            group_col="lang", score_col="n_chars")
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True)
+                .astype({"score": "int64", "n_less": "int64",
+                         "n_group": "int64"}))
+
+    def dataset_diff_q(sf):
+        # incremental-ingest delta: ref = documents; cur = documents
+        # minus ids %97==0, texts of ids %101==0 modified (+' v2'),
+        # plus 15 new docs (id+3M) — mirrored exactly in SQL
+        import ray.data as rd
+
+        from verify_ray.pipelines.diff import dataset_diff
+
+        def to_cur(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            keep = ids % 97 != 0
+            t2 = t.filter(pa.array(keep))
+            mod = ids[keep] % 101 == 0
+            txt = t2.column("text").combine_chunks() \
+                if isinstance(t2.column("text"), pa.ChunkedArray) \
+                else t2.column("text")
+            new_txt = pc.if_else(
+                pa.array(mod),
+                pc.binary_join_element_wise(txt, " v2", ""), txt)
+            return pa.table({"doc_id": t2["doc_id"], "text": new_txt})
+
+        head = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text"])
+        head = head.filter(pc.less(head.column("doc_id"), 15))
+        added = pa.table({
+            "doc_id": pc.add(head.column("doc_id"), 3_000_000),
+            "text": head.column("text")})
+
+        ref = _read(sf, "documents", columns=["doc_id", "text"])
+        cur = (_read(sf, "documents", columns=["doc_id", "text"])
+               .map_batches(to_cur, batch_format="pyarrow")
+               .union(rd.from_arrow(added)))
+        return dataset_diff(cur, ref)
+
     def drift_hist_q(sf):
         # W3's deterministic member: exact two-epoch histogram drift
         # report (even-doc_id half vs odd-doc_id half of documents)
@@ -787,6 +834,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pair_topk": token_pairs_q,
         "bm25_topk": bm25_q,
         "drift_histogram": drift_hist_q,
+        "dataset_diff": dataset_diff_q,
+        "percentile_rank": percentile_rank_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "sample_documents": sample_docs,
@@ -1376,6 +1425,42 @@ SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
 FROM grams, bl ORDER BY doc_id
 """
 
+# select.grouped_percentile_rank: n_less == RANK()-1 (strict-smaller
+# count), n_group == group size; null lang/n_chars rows dropped
+PERCENTILE_RANK_ORACLE = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang AS "group",
+       CAST(n_chars AS BIGINT) AS score,
+       CAST(RANK() OVER (PARTITION BY lang ORDER BY n_chars) - 1
+            AS BIGINT) AS n_less,
+       CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_group
+FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+ORDER BY CAST(doc_id AS VARCHAR)
+"""
+
+# diff.dataset_diff: content fingerprints are DuckDB md5() (shared
+# md5_hex kernel); epochs constructed identically on both sides
+DATASET_DIFF_ORACLE = """
+WITH ref AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, md5(text) AS h FROM documents),
+cur0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 101 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0),
+cur AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, md5(text) AS h FROM cur0
+  UNION ALL
+  SELECT CAST(doc_id + 3000000 AS VARCHAR), md5(text)
+  FROM documents WHERE doc_id < 15),
+j AS (
+  SELECT coalesce(c.id, r.id) AS doc_id,
+         CASE WHEN r.id IS NULL THEN 'added'
+              WHEN c.id IS NULL THEN 'removed'
+              WHEN c.h <> r.h THEN 'changed' END AS status
+  FROM cur c FULL OUTER JOIN ref r ON c.id = r.id)
+SELECT doc_id, status FROM j WHERE status IS NOT NULL
+ORDER BY doc_id, status
+"""
+
 # analytics.histogram_drift: bucket = min(max(v-lo,0)*n_bins//(hi-lo),
 # n_bins-1) with (lo, hi, n_bins) = (0, 400, 16); epochs = doc_id
 # parity halves of documents
@@ -1716,6 +1801,8 @@ def oracle_sql() -> dict[str, str]:
         "token_pair_topk": TOKEN_PAIRS_ORACLE,
         "bm25_topk": BM25_ORACLE,
         "drift_histogram": DRIFT_HIST_ORACLE,
+        "dataset_diff": DATASET_DIFF_ORACLE,
+        "percentile_rank": PERCENTILE_RANK_ORACLE,
         "pack_sequences": PACK_ORACLE,
         "dedup_minhash_lsh": MINHASH_ORACLE,
         "dedup_simhash": SIMHASH_ORACLE,

@@ -109,7 +109,9 @@ def bench_queries() -> dict[str, float]:
              "decontaminate", "semantic_dedup", "text_tfidf_topk",
              "asof_events_orders", "range_join_events",
              "select_top_quality", "chunk_documents",
-             "events_rolling_1h", "corpus_prep"]
+             "events_rolling_1h", "corpus_prep",
+             "dedup_token_spans", "token_pair_topk", "bm25_topk",
+             "drift_histogram"]
     out = {}
     for name in names:
         t0 = time.time()

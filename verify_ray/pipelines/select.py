@@ -103,6 +103,86 @@ def top_k_by_score(scored_ds, k: int, score_col: str = "score",
     return scored_ds.map_batches(final, batch_format="pyarrow")
 
 
+def grouped_percentile_rank(ds, group_col: str, score_col: str,
+                            id_col: str = "doc_id"):
+    """Per-row EXACT within-group percentile position over an integer
+    score — the primitive behind per-source quality thresholds ("keep
+    the best 30% of each source", the CCNet perplexity-bucket move):
+    emits ``(id, group, score, n_less, n_group)`` where ``n_less`` =
+    rows in the group with a strictly smaller score (SQL ``RANK() - 1``)
+    and ``n_group`` = group size; ``n_less / (n_group - 1)`` is
+    percent_rank, kept as integers per repo float policy.  Rows with a
+    null group or score are dropped (SQL window/WHERE parity).
+
+    Scale shape: pass 1 reduces the corpus to (group, score, count)
+    partials — bounded by groups × distinct integer scores, the same
+    driver-cardinality assumption as ``value_counts`` above; the merged
+    per-group cumulative histogram is broadcast once via ``ray.put``;
+    pass 2 is one streaming ``searchsorted`` per batch.  Zero shuffles.
+    """
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[score_col])))
+        if b.num_rows == 0:
+            return pa.table({"g": pa.array([], type=pa.string()),
+                             "v": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        g = pc.cast(b[group_col], pa.string()).to_numpy(zero_copy_only=False)
+        v = pc.cast(b[score_col], pa.int64()).to_numpy(zero_copy_only=False)
+        gu, ginv = np.unique(g.astype(object), return_inverse=True)
+        # distinct (group, score) counts via one lexsort (pair-unique)
+        order = np.lexsort((v, ginv))
+        gs, vs = ginv[order], v[order]
+        new = np.ones(len(gs), dtype=bool)
+        new[1:] = (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])
+        idx = np.flatnonzero(new)
+        cnt = np.diff(np.append(idx, len(gs)))
+        return pa.table({"g": pa.array(gu[gs[idx]], type=pa.string()),
+                         "v": pa.array(vs[idx]),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    hist: dict = {}
+    if len(parts):
+        agg = parts.groupby(["g", "v"], as_index=False)["c"].sum()
+        for gname, sub in agg.groupby("g"):
+            sub = sub.sort_values("v")
+            v = sub.v.to_numpy(np.int64)
+            c = sub.c.to_numpy(np.int64)
+            below = np.concatenate([[0], np.cumsum(c)[:-1]])
+            hist[gname] = (v, below, int(c.sum()))
+    hist_ref = ray.put(hist)
+
+    def rank(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = ray.get(hist_ref)
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[score_col])))
+        g = pc.cast(b[group_col], pa.string()).to_numpy(zero_copy_only=False)
+        v = pc.cast(b[score_col], pa.int64()).to_numpy(zero_copy_only=False)
+        n_less = np.zeros(len(v), dtype=np.int64)
+        n_group = np.zeros(len(v), dtype=np.int64)
+        for gname in np.unique(g.astype(object)):
+            vals, below, total = h[gname]
+            sel = g == gname
+            n_less[sel] = below[np.searchsorted(vals, v[sel])]
+            n_group[sel] = total
+        return pa.table({
+            "doc_id": pc.cast(b[id_col], pa.string()),
+            "group": pa.array(g, type=pa.string()),
+            "score": pa.array(v),
+            "n_less": pa.array(n_less),
+            "n_group": pa.array(n_group),
+        })
+
+    return ds.map_batches(rank, batch_format="pyarrow")
+
+
 def exact_quantiles(ds, col: str, qs_permille: list[int]
                     ) -> pa.Table:
     """Exact quantiles of an integer column: ``(q, value)`` rows where
