@@ -456,7 +456,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.append_column(
                 "source", pa.array(["s"] * t.num_rows, type=pa.string())),
             batch_format="pyarrow")
-        seqs = tokenize_documents(ds, concurrency=2)
+        # materialize: the span op consumes seqs twice (count pass +
+        # mark pass) — without this the tokenizer actor pool runs the
+        # whole corpus through twice (CLAUDE.md multi-consumer rule)
+        seqs = tokenize_documents(ds, concurrency=4).materialize()
         out = duplicate_token_spans(seqs, k=8, min_count=2)
         df = (out.to_pandas()
               .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
