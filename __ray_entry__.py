@@ -443,12 +443,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values("doc_id")
                 .reset_index(drop=True))
 
-    def dedup_token_spans_q(sf):
-        # Lee-et-al-style duplicated token spans (k=8 windows, any
-        # window occurring >=2 times corpus-wide, maximal merged
-        # spans) over the tokenized near-dup union — the planted
-        # copies guarantee long shared prefixes to find
-        from verify_ray.pipelines.spans import duplicate_token_spans
+    def _near_dup_seqs(sf):
+        # tokenized near-dup union, materialized: the span ops consume
+        # seqs twice (count pass + mark pass) — without this the
+        # tokenizer actor pool runs the whole corpus through twice
+        # (CLAUDE.md multi-consumer rule)
         from verify_ray.pipelines.tokenize import tokenize_documents
 
         ds = _docs_with_near_dups(sf)
@@ -456,15 +455,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.append_column(
                 "source", pa.array(["s"] * t.num_rows, type=pa.string())),
             batch_format="pyarrow")
-        # materialize: the span op consumes seqs twice (count pass +
-        # mark pass) — without this the tokenizer actor pool runs the
-        # whole corpus through twice (CLAUDE.md multi-consumer rule)
-        seqs = tokenize_documents(ds, concurrency=4).materialize()
-        out = duplicate_token_spans(seqs, k=8, min_count=2)
+        return tokenize_documents(ds, concurrency=4).materialize()
+
+    def dedup_token_spans_q(sf):
+        # Lee-et-al-style duplicated token spans (k=8 windows, any
+        # window occurring >=2 times corpus-wide, maximal merged
+        # spans) over the tokenized near-dup union — the planted
+        # copies guarantee long shared prefixes to find
+        from verify_ray.pipelines.spans import duplicate_token_spans
+
+        out = duplicate_token_spans(_near_dup_seqs(sf), k=8, min_count=2)
         df = (out.to_pandas()
               .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
         return df.astype({"span_start": "int64", "span_end": "int64",
                           "n_windows": "int64"})
+
+    def remove_spans_q(sf):
+        # the removal half: cleaned-sequence integer invariants
+        from verify_ray.pipelines.spans import remove_duplicate_spans
+
+        out = remove_duplicate_spans(_near_dup_seqs(sf), k=8, min_count=2)
+        df = (out.select_columns(["doc_id", "n_tok", "n_removed",
+                                  "token_sum"]).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        return df.astype({"n_tok": "int64", "n_removed": "int64",
+                          "token_sum": "int64"})
 
     def percentile_rank_q(sf):
         # within-language exact percentile position of n_chars
@@ -834,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_redact": text_redact,
         "text_boilerplate": text_boilerplate,
         "dedup_token_spans": dedup_token_spans_q,
+        "dedup_token_spans_removed": remove_spans_q,
         "token_pair_topk": token_pairs_q,
         "bm25_topk": bm25_q,
         "drift_histogram": drift_hist_q,
@@ -1349,11 +1365,10 @@ FROM s3 ORDER BY doc_id
 
 # benchmark = raw docs 0..19; targets = near-dup union \ benchmark;
 # flag docs sharing >= 1 distinct word-8-gram with the benchmark
-# spans.duplicate_token_spans: window identity = space-joined decimal
-# token ids (md5-mod-50000, _TOKEN_ID), k=8, total multiplicity >= 2;
-# spans merge while consecutive hit starts differ by <= k (engine
-# break rule starts[i]-starts[i-1] > k == SQL NOT(diff <= 8))
-DUP_SPANS_ORACLE = f"""
+# spans.*: window identity = space-joined decimal token ids
+# (md5-mod-50000, _TOKEN_ID), k=8, total multiplicity >= 2 — shared
+# gram/dup/hit CTE chain for the detection and removal oracles
+_TOKEN_GRAMS_CTES = f"""
 WITH {_ALL_DOCS_CTE.strip()},
 toks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(ws) AS w,
@@ -1371,7 +1386,11 @@ grams AS (
          array_to_string(list_slice(ids, st, st + 7), ' ') AS gr
   FROM g),
 dup AS (SELECT gr FROM grams GROUP BY gr HAVING COUNT(*) >= 2),
-hits AS (SELECT doc_id, st FROM grams WHERE gr IN (SELECT gr FROM dup)),
+hits AS (SELECT doc_id, st FROM grams WHERE gr IN (SELECT gr FROM dup))"""
+
+# spans merge while consecutive hit starts differ by <= k (engine
+# break rule starts[i]-starts[i-1] > k == SQL NOT(diff <= 8))
+DUP_SPANS_ORACLE = _TOKEN_GRAMS_CTES + """,
 mk AS (
   SELECT doc_id, st,
          CASE WHEN st - lag(st) OVER (PARTITION BY doc_id ORDER BY st) <= 8
@@ -1385,6 +1404,29 @@ SELECT doc_id, CAST(MIN(st) - 1 AS BIGINT) AS span_start,
        CAST(COUNT(*) AS BIGINT) AS n_windows
 FROM sp GROUP BY doc_id, sid
 ORDER BY doc_id, span_start
+"""
+
+# spans.remove_duplicate_spans: position p (1-based) is excised iff
+# some duplicated window [st, st+7] covers it; integer invariants
+# (n_tok, n_removed, token_sum) over the kept positions
+REMOVE_SPANS_ORACLE = _TOKEN_GRAMS_CTES + """,
+cov AS (
+  SELECT DISTINCT doc_id, st + u.o AS p
+  FROM hits, unnest(generate_series(0, 7)) AS u(o)),
+tok2 AS (
+  SELECT doc_id, unnest(ids) AS token,
+         generate_subscripts(ids, 1) AS p
+  FROM arr),
+kc AS (
+  SELECT t.doc_id, COUNT(*) AS n, SUM(t.token) AS s
+  FROM tok2 t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+  WHERE c.p IS NULL GROUP BY t.doc_id)
+SELECT a.doc_id,
+       CAST(coalesce(kc.n, 0) AS BIGINT) AS n_tok,
+       CAST(len(a.ids) - coalesce(kc.n, 0) AS BIGINT) AS n_removed,
+       CAST(coalesce(kc.s, 0) AS BIGINT) AS token_sum
+FROM arr a LEFT JOIN kc ON a.doc_id = kc.doc_id
+ORDER BY a.doc_id
 """
 
 DECONTAMINATE_ORACLE = "WITH " + _ALL_DOCS_CTE + r""",
@@ -1801,6 +1843,7 @@ def oracle_sql() -> dict[str, str]:
         "text_boilerplate": TEXT_BOILERPLATE_ORACLE,
         "decontaminate": DECONTAMINATE_ORACLE,
         "dedup_token_spans": DUP_SPANS_ORACLE,
+        "dedup_token_spans_removed": REMOVE_SPANS_ORACLE,
         "token_pair_topk": TOKEN_PAIRS_ORACLE,
         "bm25_topk": BM25_ORACLE,
         "drift_histogram": DRIFT_HIST_ORACLE,

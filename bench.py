@@ -111,7 +111,8 @@ def bench_queries() -> dict[str, float]:
              "select_top_quality", "chunk_documents",
              "events_rolling_1h", "corpus_prep",
              "dedup_token_spans", "token_pair_topk", "bm25_topk",
-             "drift_histogram", "dataset_diff", "percentile_rank"]
+             "drift_histogram", "dataset_diff", "percentile_rank",
+             "dedup_token_spans_removed"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -144,6 +144,72 @@ def test_driver_dedup_token_spans_oracle():
                                   check_dtype=False)
 
 
+def _brute_clean(token_lists, k, min_count):
+    from collections import Counter
+
+    cnt = Counter()
+    for toks in token_lists:
+        for i in range(len(toks) - k + 1):
+            cnt[tuple(toks[i:i + k])] += 1
+    out = []
+    for toks in token_lists:
+        covered = [False] * len(toks)
+        for i in range(len(toks) - k + 1):
+            if cnt[tuple(toks[i:i + k])] >= min_count:
+                for j in range(i, i + k):
+                    covered[j] = True
+        kept = [t for t, c in zip(toks, covered) if not c]
+        out.append(kept)
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_remove_duplicate_spans_matches_brute(ray_session, blocks):
+    from verify_ray.pipelines.spans import remove_duplicate_spans
+
+    rng = np.random.default_rng(13)
+    docs = [rng.integers(0, 8, size=rng.integers(0, 30)).tolist()
+            for _ in range(50)]
+    ds = _seqs_ds(docs, blocks=blocks)
+    got = (remove_duplicate_spans(ds, k=3).to_pandas()
+           .sort_values("doc_id", key=lambda s: s.str[1:].astype(int))
+           .reset_index(drop=True))
+    want = _brute_clean(docs, 3, 2)
+    for i, kept in enumerate(want):
+        row = got.iloc[i]
+        assert list(row.tokens) == kept
+        assert row.n_tok == len(kept)
+        assert row.n_removed == len(docs[i]) - len(kept)
+        assert row.token_sum == sum(kept)
+
+
+def test_remove_spans_no_duplicates_is_identity(ray_session):
+    from verify_ray.pipelines.spans import remove_duplicate_spans
+
+    docs = [list(range(i * 50, i * 50 + 10)) for i in range(5)]
+    got = remove_duplicate_spans(_seqs_ds(docs), k=3).to_pandas()
+    assert got.n_removed.sum() == 0
+    assert got.n_tok.tolist() == [10] * 5
+
+
+def test_driver_remove_spans_oracle():
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    mine = e.queries()["dedup_token_spans_removed"](sf).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = con.execute(e.oracle_sql()["dedup_token_spans_removed"]).df()
+    assert mine.n_removed.sum() > 0  # planted copies get excised
+    ints = {c: "int64" for c in ["n_tok", "n_removed", "token_sum"]}
+    pd.testing.assert_frame_equal(mine.astype(ints), orc.astype(ints),
+                                  check_dtype=False)
+
+
 def test_duplicated_window_set_multiplicity():
     ds = _seqs_ds([[1, 2, 3, 1, 2, 3], [7, 8, 9]])
     dup = duplicated_window_set(ds, k=3, min_count=2)

@@ -138,6 +138,70 @@ def _merge_spans(rows: np.ndarray, starts: np.ndarray, k: int):
             np.diff(np.append(bounds, len(rows))).astype(np.int64))
 
 
+def remove_duplicate_spans(seqs_ds, k: int = 8, min_count: int = 2,
+                           token_col: str = "tokens",
+                           id_col: str = "doc_id",
+                           num_buckets: int = 64):
+    """The removal half of Lee et al. exact-substring dedup: drop every
+    token position covered by a duplicated width-``k`` window and emit
+    the cleaned sequences.  Returns a Dataset with columns
+    ``(doc_id, tokens, n_tok, n_removed, token_sum)`` where ``tokens``
+    is the cleaned array, ``n_removed`` counts excised positions, and
+    ``token_sum`` is the cleaned array's checksum (the SQL-comparable
+    integer invariant).  Same two-pass shape as
+    ``duplicate_token_spans`` — the mark pass just converts hit
+    windows to a position mask instead of merged span rows.
+    """
+    import ray
+
+    dup_ref = ray.put(duplicated_window_set(
+        seqs_ds, k, min_count, token_col, num_buckets))
+
+    def clean(b: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        rows, starts, h = window_hashes(b, k, token_col)
+        toks = as_array(b[token_col])
+        flat = pc.list_flatten(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lengths = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_first = np.zeros(b.num_rows + 1, dtype=np.int64)
+        np.cumsum(lengths, out=row_first[1:])
+        covered = np.zeros(len(flat) + 1, dtype=np.int64)
+        if len(h) and len(dup):
+            pos = np.searchsorted(dup, h)
+            pos[pos == len(dup)] = 0
+            hit = dup[pos] == h
+            # mark covered [start, start+k) per hit window via a
+            # difference array (vectorized interval stabbing)
+            g0 = row_first[rows[hit]] + starts[hit]
+            np.add.at(covered, g0, 1)
+            np.add.at(covered, g0 + k, -1)
+        keep = np.cumsum(covered[:-1]) == 0
+        kept = flat[keep]
+        # rebuild list offsets from per-row kept counts
+        kept_per_row = np.zeros(b.num_rows, dtype=np.int64)
+        if len(flat):
+            owner = np.repeat(np.arange(b.num_rows), lengths)
+            np.add.at(kept_per_row, owner[keep], 1)
+        offsets = np.concatenate([[0], np.cumsum(kept_per_row)])
+        token_sum = np.zeros(b.num_rows, dtype=np.int64)
+        if len(kept):
+            np.add.at(token_sum, np.repeat(np.arange(b.num_rows),
+                                           kept_per_row), kept)
+        return pa.table({
+            "doc_id": pc.cast(b[id_col], pa.string()),
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int64()),
+                pa.array(kept.astype(np.int32), type=pa.int32())),
+            "n_tok": pa.array(kept_per_row),
+            "n_removed": pa.array(lengths - kept_per_row),
+            "token_sum": pa.array(token_sum),
+        })
+
+    return seqs_ds.map_batches(clean, batch_format="pyarrow")
+
+
 def duplicate_token_spans(seqs_ds, k: int = 8, min_count: int = 2,
                           token_col: str = "tokens",
                           id_col: str = "doc_id",
