@@ -581,6 +581,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["source", "example_id", "n_tokens", "token_sum"]].astype(
             {"example_id": "int64", "n_tokens": "int64", "token_sum": "int64"})
 
+    def pack_seqs_streaming(sf):
+        # two-phase packer: same layout contract as pack_sequences
+        # (same oracle), but no task ever holds a whole group
+        from verify_ray.pipelines.pack import pack_sequences_streaming
+        from verify_ray.pipelines.tokenize import tokenize_documents
+
+        docs = _read(sf, "documents", columns=["doc_id", "text", "source"])
+        seqs = tokenize_documents(docs, concurrency=2).materialize()
+        out = pack_sequences_streaming(seqs, seq_len=512)
+        return out[["source", "example_id", "n_tokens", "token_sum"]].astype(
+            {"example_id": "int64", "n_tokens": "int64",
+             "token_sum": "int64"})
+
     def token_count(sf):
         return (text.token_counts(_read(sf, "documents",
                                         columns=["doc_id", "text"]))
@@ -857,6 +870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_rank": percentile_rank_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
+        "pack_sequences_streaming": pack_seqs_streaming,
         "sample_documents": sample_docs,
         "sample_stratified": sample_stratified,
         "sample_token_budget": sample_token_budget,
@@ -1850,6 +1864,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_diff": DATASET_DIFF_ORACLE,
         "percentile_rank": PERCENTILE_RANK_ORACLE,
         "pack_sequences": PACK_ORACLE,
+        "pack_sequences_streaming": PACK_ORACLE,
         "dedup_minhash_lsh": MINHASH_ORACLE,
         "dedup_simhash": SIMHASH_ORACLE,
         "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,

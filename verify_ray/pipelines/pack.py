@@ -14,10 +14,10 @@ Scale shape: rows are hash-exchanged by group (only (group, doc_id,
 tokens) move), and each merge task lays out its groups' streams in one
 vectorized pass (sort → flatten → integer divide).  Partitioning
 assumption: one group's token stream fits a merge task.  For groups
-beyond that, use the two-phase variant: (1) per-doc token counts →
-per-group prefix offsets (a tiny groupby), (2) a second map pass tags
-every doc with its global token offset, so each task can emit its
-docs' example spans independently — no single-task group materialization.
+beyond that, ``pack_sequences_streaming`` below implements the
+two-phase variant — metadata-only offset exchange, doc-keyed attach,
+example-keyed reduce — with NO single-task group materialization
+(equivalence-tested against this one-pass layout).
 """
 
 from __future__ import annotations
@@ -100,3 +100,187 @@ def pack_sequences(seqs_ds, seq_len: int = 512, group_col: str = "source",
                              "n_tokens": [], "token_sum": []})
     return (out.to_pandas()
             .sort_values([group_col, "example_id"]).reset_index(drop=True))
+
+
+def pack_sequences_streaming(seqs_ds, seq_len: int = 512,
+                             group_col: str = "source",
+                             id_col: str = "doc_id",
+                             token_col: str = "tokens",
+                             num_buckets: int | None = None) -> pd.DataFrame:
+    """The two-phase layout the module docstring promises for groups
+    too large for one merge task: NO task ever materializes a group's
+    full token stream, so the memory bound is bucket-of-docs, not
+    group.  Output is identical to ``pack_sequences`` (equivalence-
+    tested).
+
+    1. **Offsets** (metadata only): ``(group, doc_id, n_tok)`` rows —
+       24 bytes/doc, not tokens — are group-co-located through the
+       hash exchange; each task sorts its groups by ``doc_id`` and
+       emits every doc's global token offset (exclusive prefix sum).
+    2. **Attach + contribute**: offsets and token rows meet in a
+       doc-keyed exchange (uniform hash, so buckets stay balanced even
+       when one group dominates); each task computes, per doc,
+       which examples [offset//L .. (offset+n-1)//L] it overlaps and
+       their (count, sum) contributions in one vectorized pass.
+    3. **Example reduce**: contributions are summed per (group,
+       example) through a final exchange — an example receives pieces
+       from at most a few docs, so this shuffle is output-sized.
+    """
+    import ray
+
+    from ..stages.exchange import grouped_exchange
+
+    if num_buckets is None:
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    narrow = seqs_ds.select_columns([group_col, id_col, token_col])
+
+    # ---- phase 1: per-doc global offsets (metadata-only exchange)
+    def meta(t: pa.Table) -> pa.Table:
+        toks = t.column(token_col)
+        n = pc.fill_null(pc.list_value_length(toks), 0)
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(g.astype(object))
+        return pa.table({
+            "g": pc.cast(t[group_col], pa.string()),
+            "id": pc.cast(t[id_col], pa.string()),
+            "n": pc.cast(n, pa.int64()),
+            "bucket": pa.array((h % np.uint64(num_buckets))
+                               .astype(np.int64)),
+        })
+
+    def offsets_task(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("g", "ascending"),
+                                            ("id", "ascending")])
+        t = t.take(idx)
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        newg = np.concatenate([[True], g[1:] != g[:-1]])
+        cum = np.cumsum(n) - n  # exclusive prefix
+        # restart the prefix at each group's first row
+        base = np.maximum.accumulate(np.where(newg, cum, -1))
+        off = cum - base
+        return pa.table({"id": t["id"], "off": pa.array(off)})
+
+    from ..stages.exchange import grouped_exchange_ds
+
+    off_schema = pa.schema([("id", pa.string()), ("off", pa.int64())])
+    offs_ds = grouped_exchange_ds(
+        narrow.map_batches(meta, batch_format="pyarrow"),
+        "bucket", num_buckets, offsets_task, empty_schema=off_schema)
+
+    # ---- phase 2: offsets and token rows MEET in a doc-keyed
+    # exchange (both sides hash the id as an object-dtype string —
+    # CLAUDE.md dtype-hash rule); no doc-count-sized broadcast
+    tok_type = pa.list_(pa.int32())
+
+    def _docbucket(ids_np) -> pa.Array:
+        h = pd.util.hash_array(ids_np.astype(object))
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+    def tag_offs(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id": t["id"],
+            "g": pa.nulls(t.num_rows, type=pa.string()),
+            "tokens": pa.nulls(t.num_rows, type=tok_type),
+            "off": t["off"],
+            "tag": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "bucket": _docbucket(ids),
+        })
+
+    def tag_seqs(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.string())
+        toks = t.column(token_col)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return pa.table({
+            "id": ids,
+            "g": pc.cast(t[group_col], pa.string()),
+            "tokens": pc.cast(toks, tok_type),
+            "off": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            "tag": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "bucket": _docbucket(ids.to_numpy(zero_copy_only=False)),
+        })
+
+    tagged = (offs_ds.map_batches(tag_offs, batch_format="pyarrow")
+              .union(narrow.map_batches(tag_seqs, batch_format="pyarrow")))
+
+    def contribute(t: pa.Table) -> pa.Table:
+        empty = pa.table({"g": pa.array([], type=pa.string()),
+                          "ex": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64()),
+                          "s": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "tag" not in t.column_names:
+            return empty
+        tags = t.column("tag").to_numpy(zero_copy_only=False)
+        ot = t.filter(pa.array(tags == 0))
+        st_ = t.filter(pa.array(tags == 1))
+        if st_.num_rows == 0:
+            return empty
+        off_ids = ot.column("id").to_numpy(zero_copy_only=False)
+        ordo = np.argsort(off_ids.astype(object))
+        ids_sorted = off_ids[ordo]
+        off_sorted = ot.column("off").to_numpy(
+            zero_copy_only=False)[ordo]
+        ids = st_.column("id").to_numpy(zero_copy_only=False)
+        toks = st_.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lengths = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if not len(flat):
+            return empty
+        pos = np.searchsorted(ids_sorted, ids.astype(object))
+        doc_off = off_sorted[pos]
+        row_starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+        tok_row = np.repeat(np.arange(st_.num_rows), lengths)
+        within = np.arange(len(flat), dtype=np.int64) - row_starts[tok_row]
+        gpos = np.repeat(doc_off, lengths) + within
+        ex = gpos // seq_len
+        gcol = st_.column("g").to_numpy(zero_copy_only=False)
+        gu, ginv = np.unique(gcol.astype(object), return_inverse=True)
+        tg = ginv[tok_row]
+        o = np.lexsort((ex, tg))
+        tg, ex, fl = tg[o], ex[o], flat[o]
+        new = np.concatenate([[True], (tg[1:] != tg[:-1])
+                              | (ex[1:] != ex[:-1])])
+        st2 = np.flatnonzero(new)
+        return pa.table({
+            "g": pa.array(gu[tg[st2]], type=pa.string()),
+            "ex": pa.array(ex[st2]),
+            "cnt": pa.array(np.diff(np.append(st2, len(fl)))
+                            .astype(np.int64)),
+            "s": pa.array(np.add.reduceat(fl, st2)),
+        })
+
+    part_schema = pa.schema([("g", pa.string()), ("ex", pa.int64()),
+                             ("cnt", pa.int64()), ("s", pa.int64())])
+    parts = grouped_exchange_ds(tagged, "bucket", num_buckets, contribute,
+                                empty_schema=part_schema)
+
+    # ---- phase 3: example-keyed reduce (output-sized shuffle)
+    def key_part(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        e = t.column("ex").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = pd.util.hash_array(g.astype(object)) + e
+        return t.append_column("bucket", pa.array(
+            (h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def reduce_task(t: pa.Table) -> pa.Table:
+        df = t.select(["g", "ex", "cnt", "s"]).to_pandas()
+        out = df.groupby(["g", "ex"], as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = grouped_exchange(parts.map_batches(key_part,
+                                             batch_format="pyarrow"),
+                           "bucket", num_buckets, reduce_task)
+    if out is None or not out.num_rows:
+        return pd.DataFrame({group_col: [], "example_id": [],
+                             "n_tokens": [], "token_sum": []})
+    df = out.to_pandas().rename(columns={
+        "g": group_col, "ex": "example_id", "cnt": "n_tokens",
+        "s": "token_sum"})
+    return (df.sort_values([group_col, "example_id"])
+            .reset_index(drop=True))
