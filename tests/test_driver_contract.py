@@ -65,9 +65,13 @@ def test_entry_smoke(entry_mod):
 
 
 def test_queries_cover_oracles(entry_mod):
+    # as of round 3 the rows-only set is EMPTY: every queries() entry
+    # must carry a DuckDB oracle (and vice versa)
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    assert set(o) <= set(q)
+    assert set(o) == set(q), (
+        f"unoracled: {sorted(set(q) - set(o))}; "
+        f"dangling oracles: {sorted(set(o) - set(q))}")
 
 
 @pytest.mark.parametrize("name", [

@@ -210,6 +210,26 @@ def test_driver_remove_spans_oracle():
                                   check_dtype=False)
 
 
+def test_skew_heavy_duplicate_cluster(ray_session):
+    # 300 identical 60-token docs + unique fillers: the duplicated
+    # window set stays DISTINCT-window-sized (57 hashes, not 300x57),
+    # and every copy reports one full-cover span
+    from verify_ray.pipelines.spans import (duplicate_token_spans,
+                                            duplicated_window_set)
+
+    base = list(range(1000, 1060))
+    docs = [base] * 300 + [list(range(i * 100, i * 100 + 20))
+                           for i in range(2000, 2040)]
+    ds = _seqs_ds(docs, ids=[f"d{i}" for i in range(len(docs))], blocks=8)
+    dup = duplicated_window_set(ds, k=4, min_count=2)
+    assert len(dup) == 60 - 4 + 1  # distinct-window-sized broadcast
+    out = duplicate_token_spans(ds, k=4, min_count=2).to_pandas()
+    clones = out[out.doc_id.str[1:].astype(int) < 300]
+    assert len(clones) == 300
+    assert (clones.span_start == 0).all()
+    assert (clones.span_end == 60).all()
+
+
 def test_duplicated_window_set_multiplicity():
     ds = _seqs_ds([[1, 2, 3, 1, 2, 3], [7, 8, 9]])
     dup = duplicated_window_set(ds, k=3, min_count=2)
