@@ -528,6 +528,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                .union(rd.from_arrow(added)))
         return dataset_diff(cur, ref)
 
+    def source_overlap_q(sf):
+        # cross-source leakage: distinct shared word-3-grams per
+        # source pair
+        from verify_ray.pipelines.contamination import source_overlap
+
+        return source_overlap(
+            _read(sf, "documents", columns=["source", "text"]), n=3)
+
     def drift_hist_q(sf):
         # W3's deterministic member: exact two-epoch histogram drift
         # report (even-doc_id half vs odd-doc_id half of documents)
@@ -867,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25_q,
         "drift_histogram": drift_hist_q,
         "dataset_diff": dataset_diff_q,
+        "source_overlap": source_overlap_q,
         "percentile_rank": percentile_rank_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
@@ -1496,6 +1505,24 @@ FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
 ORDER BY CAST(doc_id AS VARCHAR)
 """
 
+# contamination.source_overlap: per-source DISTINCT word-3-gram sets,
+# pair counts over the gram join; engine compares md5-u64 hashes
+# (documented collision-odds contract)
+SOURCE_OVERLAP_ORACLE = r"""
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents),
+grams AS (
+  SELECT source,
+         unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)])) AS gr
+  FROM toks),
+g AS (SELECT DISTINCT source, gr FROM grams WHERE gr IS NOT NULL)
+SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+FROM g a JOIN g b ON a.gr = b.gr AND a.source < b.source
+GROUP BY src_a, src_b ORDER BY src_a, src_b
+"""
+
 # diff.dataset_diff: content fingerprints are DuckDB md5() (shared
 # md5_hex kernel); epochs constructed identically on both sides
 DATASET_DIFF_ORACLE = """
@@ -1862,6 +1889,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": BM25_ORACLE,
         "drift_histogram": DRIFT_HIST_ORACLE,
         "dataset_diff": DATASET_DIFF_ORACLE,
+        "source_overlap": SOURCE_OVERLAP_ORACLE,
         "percentile_rank": PERCENTILE_RANK_ORACLE,
         "pack_sequences": PACK_ORACLE,
         "pack_sequences_streaming": PACK_ORACLE,

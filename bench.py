@@ -112,7 +112,8 @@ def bench_queries() -> dict[str, float]:
              "events_rolling_1h", "corpus_prep",
              "dedup_token_spans", "token_pair_topk", "bm25_topk",
              "drift_histogram", "dataset_diff", "percentile_rank",
-             "dedup_token_spans_removed"]
+             "dedup_token_spans_removed", "source_overlap",
+             "pack_sequences_streaming"]
     out = {}
     for name in names:
         t0 = time.time()

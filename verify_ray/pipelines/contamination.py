@@ -196,3 +196,76 @@ def common_ngram_stats(docs_ds, n: int = 3, min_docs: int = 20,
         })
 
     return docs_ds.map_batches(stats, batch_format="pyarrow")
+
+
+def source_overlap(docs_ds, n: int = 3, text_col: str = "text",
+                   group_col: str = "source", num_buckets: int = 64):
+    """Cross-source leakage matrix: for every pair of sources, the
+    number of DISTINCT word-n-grams present in both — the corpus-QA
+    view that catches one source republishing another (mirror sites,
+    syndication, benchmark text leaking into a crawl slice).
+
+    Scale shape: per-batch distinct ``(source, gram-hash)`` pairs go
+    through the gram-keyed hash exchange (payload: u64 + dictionary-
+    encoded source, never gram strings); each merge task dedups its
+    grams' (gram, source) rows and expands per-gram source pairs with
+    the cached-triu pattern (``dedup._bucket_pair_indices``), emitting
+    partial per-pair counts.  Driver data is source-pair-sized
+    (|sources|² rows at most).  Gram identity is the md5-u64le hash —
+    same collision-odds contract as the other gram operators here.
+    """
+    import pandas as pd
+
+    from .dedup import _bucket_pair_indices
+    from ..stages.exchange import grouped_exchange
+
+    def partials(b: pa.Table) -> pa.Table:
+        gdoc, gh, _ = _doc_gram_hashes(b, n, text_col)
+        src = pc.cast(b[group_col], pa.string()).to_numpy(
+            zero_copy_only=False)
+        s_per = src[gdoc].astype(object)
+        if not len(gh):
+            return pa.table({"h": pa.array([], type=pa.uint64()),
+                             "src": pa.array([], type=pa.string())})
+        order = np.lexsort((s_per, gh))
+        hs, ss = gh[order], s_per[order]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+        return pa.table({"h": pa.array(hs[keep], type=pa.uint64()),
+                         "src": pa.array(ss[keep], type=pa.string())})
+
+    part_ds = docs_ds.map_batches(partials, batch_format="pyarrow")
+
+    def per_gram(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        src = t.column("src").to_numpy(zero_copy_only=False).astype(object)
+        if not len(h):
+            return pa.table({"src_a": pa.array([], type=pa.string()),
+                             "src_b": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        order = np.lexsort((src, h))
+        h, src = h[order], src[order]
+        keep = np.ones(len(h), dtype=bool)
+        keep[1:] = (h[1:] != h[:-1]) | (src[1:] != src[:-1])
+        h, src = h[keep], src[keep]
+        ia, ib = _bucket_pair_indices(h)
+        if not len(ia):
+            return pa.table({"src_a": pa.array([], type=pa.string()),
+                             "src_b": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        df = pd.DataFrame({"src_a": src[ia], "src_b": src[ib]})
+        agg = df.groupby(["src_a", "src_b"], as_index=False).size()
+        return pa.table({"src_a": pa.array(agg.src_a, type=pa.string()),
+                         "src_b": pa.array(agg.src_b, type=pa.string()),
+                         "c": pa.array(agg["size"].to_numpy(np.int64))})
+
+    out = grouped_exchange(part_ds, "h", num_buckets, per_gram,
+                           drop_bucket=False)
+    if out is None or not out.num_rows:
+        return pd.DataFrame({"src_a": pd.Series([], dtype=object),
+                             "src_b": pd.Series([], dtype=object),
+                             "n_shared": pd.Series([], dtype="int64")})
+    df = (out.to_pandas().groupby(["src_a", "src_b"], as_index=False)["c"]
+          .sum().rename(columns={"c": "n_shared"}))
+    return (df.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+            .astype({"n_shared": "int64"}))
