@@ -528,6 +528,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                .union(rd.from_arrow(added)))
         return dataset_diff(cur, ref)
 
+    def cdc_chunks_q(sf):
+        # content-defined chunking: boundary after word wi iff
+        # md5(4-gram ending there) % 16 == 0
+        from verify_ray.pipelines.chunk import content_defined_chunks
+
+        out = content_defined_chunks(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            w=4, mod=16)
+        return (out.to_pandas()
+                .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+                .astype({"chunk_id": "int64", "n_words": "int64",
+                         "checksum": "int64"}))
+
     def source_overlap_q(sf):
         # cross-source leakage: distinct shared word-3-grams per
         # source pair
@@ -876,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_histogram": drift_hist_q,
         "dataset_diff": dataset_diff_q,
         "source_overlap": source_overlap_q,
+        "cdc_chunks": cdc_chunks_q,
         "percentile_rank": percentile_rank_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
@@ -1505,6 +1519,33 @@ FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
 ORDER BY CAST(doc_id AS VARCHAR)
 """
 
+# chunk.content_defined_chunks: boundary after word wi (1-based) iff
+# wi >= 4 and md5_number_upper(4-gram ending at wi) % 16 == 0;
+# checksum = sum of md5_number_upper(word) % 50000 per chunk
+CDC_CHUNK_ORACLE = r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(ws) AS w,
+         generate_subscripts(ws, 1) AS wi, ws
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents)),
+b AS (
+  SELECT doc_id, wi, w,
+         CASE WHEN wi >= 4 AND md5_number_upper(
+                array_to_string(list_slice(ws, wi - 3, wi), ' ')) % 16 = 0
+              THEN 1 ELSE 0 END AS brk
+  FROM toks),
+c AS (
+  SELECT doc_id, wi, w,
+         coalesce(SUM(brk) OVER (PARTITION BY doc_id ORDER BY wi
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id
+  FROM b)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(md5_number_upper(w) % 50000) AS BIGINT) AS checksum
+FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id
+"""
+
 # contamination.source_overlap: per-source DISTINCT word-3-gram sets,
 # pair counts over the gram join; engine compares md5-u64 hashes
 # (documented collision-odds contract)
@@ -1890,6 +1931,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_histogram": DRIFT_HIST_ORACLE,
         "dataset_diff": DATASET_DIFF_ORACLE,
         "source_overlap": SOURCE_OVERLAP_ORACLE,
+        "cdc_chunks": CDC_CHUNK_ORACLE,
         "percentile_rank": PERCENTILE_RANK_ORACLE,
         "pack_sequences": PACK_ORACLE,
         "pack_sequences_streaming": PACK_ORACLE,
