@@ -528,6 +528,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
                .union(rd.from_arrow(added)))
         return dataset_diff(cur, ref)
 
+    def validate_delta_q(sf):
+        # scoped revalidation — the incremental-ingest composition the
+        # north rule's resumable runs exist for: dataset_diff names the
+        # added/changed docs, and ONLY those re-enter the validation
+        # engine (the 100 TB unchanged remainder is never re-scanned)
+        import ray
+        import ray.data as rd
+
+        from verify_ray.engine import validate
+        from verify_ray.pipelines.diff import dataset_diff
+        from verify_ray.pipelines.validation_queries import (DOCUMENTS_SPEC,
+                                                             _viol_result)
+        from verify_ray.spec import ConstraintSpec
+
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+        def to_cur(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            keep = ids % 97 != 0
+            t2 = t.filter(pa.array(keep))
+            mod = ids[keep] % 101 == 0
+            txt = t2.column("text").combine_chunks() \
+                if isinstance(t2.column("text"), pa.ChunkedArray) \
+                else t2.column("text")
+            new_txt = pc.if_else(
+                pa.array(mod),
+                pc.binary_join_element_wise(txt, " v2", ""), txt)
+            return t2.set_column(t2.column_names.index("text"),
+                                 "text", new_txt)
+
+        head = pq.read_table(f"{sf}/documents.parquet", columns=cols)
+        head = head.filter(pc.less(head.column("doc_id"), 15))
+        added = head.set_column(
+            head.column_names.index("doc_id"), "doc_id",
+            pc.add(head.column("doc_id"), 3_000_000))
+
+        def cur_ds():
+            return (_read(sf, "documents", columns=cols)
+                    .map_batches(to_cur, batch_format="pyarrow")
+                    .union(rd.from_arrow(added)))
+
+        ref = _read(sf, "documents", columns=["doc_id", "text"])
+        delta = dataset_diff(cur_ds(), ref)
+        ids = np.sort(delta[delta.status != "removed"]
+                      .doc_id.to_numpy(object))
+        ids_ref = ray.put(ids)
+
+        def only_delta(t: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            s = pc.cast(t["doc_id"], pa.string()).to_numpy(
+                zero_copy_only=False).astype(object)
+            if not len(want):
+                return t.slice(0, 0)
+            pos = np.searchsorted(want, s)
+            pos[pos == len(want)] = 0
+            return t.filter(pa.array(want[pos] == s))
+
+        sub = cur_ds().map_batches(only_delta,
+                                   batch_format="pyarrow").materialize()
+        rep = validate(sub, ConstraintSpec.from_dict(DOCUMENTS_SPEC))
+        return _viol_result(rep)
+
     def cdc_chunks_q(sf):
         # content-defined chunking: boundary after word wi iff
         # md5(4-gram ending there) % 16 == 0
@@ -890,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_diff": dataset_diff_q,
         "source_overlap": source_overlap_q,
         "cdc_chunks": cdc_chunks_q,
+        "validate_delta": validate_delta_q,
         "percentile_rank": percentile_rank_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
@@ -1519,6 +1583,39 @@ FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
 ORDER BY CAST(doc_id AS VARCHAR)
 """
 
+# validate_delta: the DOCUMENTS_ORACLE rule arms applied to exactly
+# the delta set (changed = %101 of the %97-surviving half, text+' v2';
+# added = first 15 docs re-keyed +3M); removed docs are not in cur so
+# nothing validates them
+VALIDATE_DELTA_ORACLE = """
+WITH cur AS (
+  SELECT doc_id, text || ' v2' AS text, lang, source, n_chars
+  FROM documents WHERE doc_id % 97 <> 0 AND doc_id % 101 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 15),
+v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'invalid_enum_value' AS rule_id, 'lang' AS span
+    FROM cur WHERE lang IS NOT NULL
+                   AND lang NOT IN ('en', 'de', 'fr', 'es')
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'no_pattern_match', 'source'
+    FROM cur WHERE source IS NOT NULL
+                   AND NOT regexp_matches(source, '^src[0-9]$')
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'less_than_expected', 'n_chars'
+    FROM cur WHERE n_chars < 100
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'more_than_expected', 'n_chars'
+    FROM cur WHERE n_chars > 500
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'not_unique', 'doc_id'
+    FROM (SELECT doc_id FROM cur GROUP BY doc_id HAVING COUNT(*) > 1)
+)
+SELECT * FROM v ORDER BY doc_id, rule_id, span
+"""
+
 # chunk.content_defined_chunks: boundary after word wi (1-based) iff
 # wi >= 4 and md5_number_upper(4-gram ending at wi) % 16 == 0;
 # checksum = sum of md5_number_upper(word) % 50000 per chunk
@@ -1932,6 +2029,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_diff": DATASET_DIFF_ORACLE,
         "source_overlap": SOURCE_OVERLAP_ORACLE,
         "cdc_chunks": CDC_CHUNK_ORACLE,
+        "validate_delta": VALIDATE_DELTA_ORACLE,
         "percentile_rank": PERCENTILE_RANK_ORACLE,
         "pack_sequences": PACK_ORACLE,
         "pack_sequences_streaming": PACK_ORACLE,

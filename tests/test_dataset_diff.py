@@ -56,6 +56,25 @@ def test_diff_randomized_vs_brute(ray_session):
     assert set(map(tuple, out.itertuples(index=False))) == want
 
 
+def test_driver_validate_delta_oracle(ray_session):
+    """Scoped revalidation: diff names the delta, only the delta is
+    validated, violations match the SQL arms applied to the delta."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    mine = e.queries()["validate_delta"](sf).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = con.execute(e.oracle_sql()["validate_delta"]).df()
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    # and the delta is a strict subset of a full validation's scope
+    full = e.queries()["validate_documents"](sf)
+    assert len(mine) <= len(full)
+
+
 def test_driver_dataset_diff_oracle(ray_session):
     import duckdb
 
