@@ -301,6 +301,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .sort_values(["err_event_id", "purch_event_id"])
                 .reset_index(drop=True))
 
+    def hash_join_li_orders(sf):
+        # generic big-big shuffle equi-join (neither side broadcast):
+        # every lineitem row picks up its order's customer + priority
+        from verify_ray.pipelines.joins import hash_join
+
+        li = _read(sf, "lineitem", columns=["l_orderkey", "l_linenumber"])
+        orr = _read(sf, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+        ds = hash_join(li, orr, key="l_orderkey",
+                       left_values=["l_orderkey", "l_linenumber"],
+                       right_values=["o_custkey", "o_orderpriority"],
+                       right_key="o_orderkey", num_buckets=32)
+        return (ds.to_pandas()
+                .sort_values(["l_orderkey", "l_linenumber"])
+                .reset_index(drop=True))
+
+    def hash_join_events_cust(sf):
+        # left join with SQL null semantics: events -> customer
+        # dimension; orphan users surface once with null c_* columns
+        from verify_ray.pipelines.joins import hash_join
+
+        ev = _read(sf, "events", columns=["event_id", "user_id"])
+        cust = _read(sf, "customer",
+                     columns=["c_custkey", "c_name", "c_mktsegment"])
+        ds = hash_join(ev, cust, key="user_id",
+                       left_values=["event_id", "user_id"],
+                       right_values=["c_name", "c_mktsegment"],
+                       right_key="c_custkey", how="left", num_buckets=32)
+        return (ds.to_pandas().sort_values("event_id")
+                .reset_index(drop=True))
+
     def rolling_q(sf):
         # per-event trailing 1-hour window per user: count + int sum
         from verify_ray.pipelines.rolling import rolling_window_agg
@@ -966,6 +997,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf_topk": text_tfidf,
         "asof_events_orders": asof_orders,
         "range_join_events": range_events_q,
+        "hash_join_lineitem_orders": hash_join_li_orders,
+        "hash_join_events_customers": hash_join_events_cust,
         "events_rolling_1h": rolling_q,
         "corpus_prep": corpus_prep_q,
         "select_top_quality": top_quality_q,
@@ -1255,6 +1288,21 @@ FROM events r JOIN events p ON r.user_id = p.user_id
 WHERE r.event_type = 'error' AND p.event_type = 'purchase'
   AND r.ts >= p.ts AND r.ts <= p.ts + INTERVAL 1 DAY
 ORDER BY err_event_id, purch_event_id
+"""
+
+# joins.hash_join: big-big shuffle equi-join, SQL inner / left
+# semantics (null keys match nothing; unmatched lefts once with null
+# right columns)
+HASH_JOIN_LI_ORACLE = """
+SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderpriority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+ORDER BY l_orderkey, l_linenumber
+"""
+
+HASH_JOIN_EVENTS_ORACLE = """
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY event_id
 """
 
 # rolling.rolling_window_agg: per-row trailing RANGE frame (peers of
@@ -2011,6 +2059,8 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_topk": TFIDF_ORACLE,
         "asof_events_orders": ASOF_ORACLE,
         "range_join_events": RANGE_JOIN_ORACLE,
+        "hash_join_lineitem_orders": HASH_JOIN_LI_ORACLE,
+        "hash_join_events_customers": HASH_JOIN_EVENTS_ORACLE,
         "events_rolling_1h": ROLLING_ORACLE,
         "corpus_prep": CORPUS_PREP_ORACLE,
         "select_top_quality": TOP_QUALITY_ORACLE,

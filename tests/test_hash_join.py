@@ -1,0 +1,132 @@
+"""hash_join (big-big shuffle equi-join) vs DuckDB differential —
+inner/left, many-to-many enumeration, null keys (SQL: match nothing),
+string keys, empty-match schema stability, and the driver oracles.
+
+DuckDB (not pandas.merge) is the reference because pandas merge treats
+NaN keys as equal — the opposite of SQL NULL semantics.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def _run(left, right, **kw):
+    from verify_ray.pipelines.joins import hash_join
+
+    return hash_join(_ds(left), _ds(right), **kw).to_pandas()
+
+
+def _duck(left, right, sql):
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    return con.execute(sql).df()
+
+
+def _canon(df, cols):
+    out = df[cols].copy()
+    for c in cols:
+        if out[c].dtype == object:
+            out[c] = out[c].astype("string")
+        else:
+            out[c] = out[c].astype("float64")
+    return out.sort_values(cols, kind="stable").reset_index(drop=True)
+
+
+def _rand_frames(seed, n_left=500, n_right=400, n_keys=12):
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame({
+        "k": pd.array(rng.randint(0, n_keys, n_left), dtype="Int64"),
+        "lid": np.arange(n_left, dtype=np.int64)})
+    right = pd.DataFrame({
+        "rk": pd.array(rng.randint(0, n_keys, n_right), dtype="Int64"),
+        "val": rng.randint(0, 10_000, n_right).astype(np.int64)})
+    # sprinkle nulls on both sides: SQL says they match NOTHING
+    left.loc[left.index % 17 == 0, "k"] = None
+    right.loc[right.index % 13 == 0, "rk"] = None
+    return left, right
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_differential_vs_duckdb(ray_session, how):
+    left, right = _rand_frames(seed=3 if how == "inner" else 4)
+    got = _run(left, right, key="k", left_values=["k", "lid"],
+               right_values=["val"], right_key="rk", how=how,
+               num_buckets=8)
+    join_kw = "JOIN" if how == "inner" else "LEFT JOIN"
+    exp = _duck(left, right,
+                f"SELECT l.k, l.lid, r.val FROM l {join_kw} r "
+                f"ON l.k = r.rk")
+    cols = ["k", "lid", "val"]
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(_canon(got, cols), _canon(exp, cols))
+
+
+def test_many_to_many_enumerates_cross_product(ray_session):
+    left = pd.DataFrame({"k": [1, 1, 2], "lid": [0, 1, 2]})
+    right = pd.DataFrame({"k": [1, 1, 1, 3], "val": [10, 20, 30, 99]})
+    got = _run(left, right, key="k", left_values=["lid"],
+               right_values=["val"], num_buckets=4)
+    # lid 0 and 1 each match all three k=1 right rows; lid 2 matches none
+    pairs = sorted(zip(got.lid.astype(int), got.val.astype(int)))
+    assert pairs == [(0, 10), (0, 20), (0, 30), (1, 10), (1, 20), (1, 30)]
+
+
+def test_string_keys_with_nulls(ray_session):
+    left = pd.DataFrame({"k": ["a", None, "b", "c"], "lid": [0, 1, 2, 3]})
+    right = pd.DataFrame({"k": ["a", None, "c"], "val": [1, 2, 3]})
+    got = _run(left, right, key="k", left_values=["k", "lid"],
+               right_values=["val"], how="left", num_buckets=4)
+    assert len(got) == 4
+    by = got.set_index("lid")
+    assert by.loc[0, "val"] == 1
+    assert pd.isna(by.loc[1, "val"])  # null key: no match, still emitted
+    assert pd.isna(by.loc[2, "val"])  # unmatched key
+    assert by.loc[3, "val"] == 3
+
+
+def test_disjoint_keys_inner_is_empty_with_schema(ray_session):
+    from verify_ray.pipelines.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 2], "lid": [0, 1]})
+    right = pd.DataFrame({"k": [3, 4], "val": [9, 9]})
+    out = hash_join(_ds(left), _ds(right), key="k", left_values=["lid"],
+                    right_values=["val"], num_buckets=4)
+    # Dataset-level schema is the contract (Ray's to_pandas drops
+    # columns when every block is empty)
+    assert out.schema().names == ["lid", "val"]
+    assert out.count() == 0
+
+
+def test_output_name_collision_raises(ray_session):
+    left = pd.DataFrame({"k": [1], "v": [0]})
+    right = pd.DataFrame({"k": [1], "v": [1]})
+    with pytest.raises(ValueError, match="collide"):
+        _run(left, right, key="k", left_values=["v"], right_values=["v"])
+
+
+@pytest.mark.parametrize("name,tables", [
+    ("hash_join_lineitem_orders", ("lineitem", "orders")),
+    ("hash_join_events_customers", ("events", "customer")),
+])
+def test_driver_query_matches_oracle(ray_session, name, tables):
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    mine = e.queries()[name](sf).reset_index(drop=True)
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    orc = con.execute(e.oracle_sql()[name]).df()
+    cols = list(orc.columns)
+    assert list(mine.columns) == cols
+    pd.testing.assert_frame_equal(_canon(mine, cols), _canon(orc, cols))

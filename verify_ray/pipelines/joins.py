@@ -91,6 +91,124 @@ def _key_arrays(col) -> tuple[pa.Array, np.ndarray]:
     return arr, bk
 
 
+def hash_join(left_ds, right_ds, key: str, left_values: list[str],
+              right_values: list[str], right_key: str | None = None,
+              how: str = "inner", num_buckets: int = 64):
+    """Distributed big-big hash equi-join — the generic shuffle join
+    for when NEITHER side fits a broadcast (the broadcast pattern in
+    ``analytics.revenue_by_*`` stays the right tool for small
+    dimensions).  ``how`` = ``inner`` | ``left``; many-to-many keys
+    enumerate the full cross product per key, like SQL.
+
+    Distributed shape: both sides projected to a shared tagged schema
+    and routed through ONE sort-free hash exchange on the key — each
+    merge task holds every left and right row of its keys and matches
+    locally: right rows sort once by key code, each left row's
+    candidate slice [lo, hi) comes from two ``np.searchsorted`` calls,
+    pairs enumerate with the repeat/arange pattern (no per-key loop).
+    Built on ``stages/exchange`` rather than ``ray.data.Dataset.join``
+    because the exchange composes under iteration (CLAUDE.md: Ray
+    Data's join breaks when its input derives from a prior join) and
+    carries only the projected payload columns.
+
+    SQL semantics: NULL keys match nothing; with ``how="left"`` they
+    (and any unmatched left row) surface once with null right columns.
+
+    Partitioning assumption (SURVEY §2.6): one key's rows must fit a
+    merge task; salt pathological hot keys upstream.  At 100 TB pass
+    the minimal ``left_values``/``right_values`` — the exchange ships
+    exactly those columns plus the key.
+    """
+    from ..stages.exchange import grouped_exchange_ds
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left: {how}")
+    rkey = right_key or key
+    l_schema, r_schema = left_ds.schema(), right_ds.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    clash = set(left_values) & set(right_values)
+    if clash:
+        raise ValueError(f"left/right output columns collide: {clash}")
+    key_type = (pa.int64() if pa.types.is_integer(l_types[key])
+                else pa.string())
+
+    def _tag(b: pa.Table, is_left: bool) -> pa.Table:
+        n = b.num_rows
+        k_arr, bk = _key_arrays(b[key if is_left else rkey])
+        cols = {"__b": pa.array(bk, type=pa.uint64()),
+                "__k": pc.cast(k_arr, key_type),
+                "__side": pa.array(np.full(n, np.int8(1 if is_left
+                                                      else 0)))}
+        for c in left_values:
+            cols[c] = b[c] if is_left else pa.nulls(n, l_types[c])
+        for c in right_values:
+            cols[c] = pa.nulls(n, r_types[c]) if is_left else b[c]
+        return pa.table(cols)
+
+    tagged = (left_ds.map_batches(lambda b: _tag(b, True),
+                                  batch_format="pyarrow")
+              .union(right_ds.map_batches(lambda b: _tag(b, False),
+                                          batch_format="pyarrow")))
+    out_schema = pa.schema(
+        [(c, l_types[c]) for c in left_values]
+        + [(c, r_types[c]) for c in right_values])
+
+    def merge(t: pa.Table) -> pa.Table:
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        k_col = t.column("__k")
+        valid = pc.is_valid(k_col).to_numpy(zero_copy_only=False)
+        # fill nulls BEFORE to_numpy: None in an object array breaks
+        # np.unique's sort, and int64-with-null converts to float64
+        # (precision loss past 2^53).  Sentinel collisions are harmless
+        # — invalid rows never enter lsel/rsel.
+        fill = 0 if pa.types.is_integer(k_col.type) else ""
+        kv = pc.fill_null(k_col, fill).to_numpy(zero_copy_only=False)
+        _, codes = np.unique(kv, return_inverse=True)
+        lsel = np.flatnonzero((side == 1) & valid)
+        rsel = np.flatnonzero((side == 0) & valid)
+        parts = []
+        rep = cand = np.empty(0, np.int64)
+        counts = np.zeros(len(lsel), np.int64)
+        if len(lsel) and len(rsel):
+            rcode = codes[rsel]
+            ro = np.argsort(rcode, kind="stable")
+            rcode, rorig = rcode[ro], rsel[ro]
+            lcode = codes[lsel]
+            lo = np.searchsorted(rcode, lcode, side="left")
+            hi = np.searchsorted(rcode, lcode, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total:
+                first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                rep = np.repeat(np.arange(len(lsel)), counts)
+                cand = (np.arange(total) - np.repeat(first, counts)
+                        + np.repeat(lo, counts))
+                lidx = pa.array(lsel[rep])
+                ridx = pa.array(rorig[cand])
+                cols = {c: t.column(c).take(lidx) for c in left_values}
+                for c in right_values:
+                    cols[c] = t.column(c).take(ridx)
+                parts.append(pa.table(cols).cast(out_schema))
+        if how == "left":
+            # unmatched valid-key lefts + null-key lefts, null right side
+            unmatched = np.concatenate(
+                [lsel[counts == 0] if len(lsel) else lsel,
+                 np.flatnonzero((side == 1) & ~valid)])
+            if len(unmatched):
+                lidx = pa.array(np.sort(unmatched))
+                cols = {c: t.column(c).take(lidx) for c in left_values}
+                for c in right_values:
+                    cols[c] = pa.nulls(len(unmatched), r_types[c])
+                parts.append(pa.table(cols).cast(out_schema))
+        if not parts:
+            return None
+        return pa.concat_tables(parts)
+
+    return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
+                               empty_schema=out_schema)
+
+
 def range_join(point_ds, interval_ds, key: str, point_ts: str,
                interval_start: str, interval_end: str,
                point_values: list[str], interval_values: list[str],
