@@ -332,6 +332,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (ds.to_pandas().sort_values("event_id")
                 .reset_index(drop=True))
 
+    def hash_join_cust_events_full(sf):
+        # full outer join: customers with no events AND orphan events
+        # both surface once, the other side null
+        from verify_ray.pipelines.joins import hash_join
+
+        cust = _read(sf, "customer", columns=["c_custkey", "c_name"])
+        ev = _read(sf, "events", columns=["event_id", "user_id"])
+        ds = hash_join(cust, ev, key="c_custkey",
+                       left_values=["c_custkey", "c_name"],
+                       right_values=["event_id", "user_id"],
+                       right_key="user_id", how="full", num_buckets=32)
+        return (ds.to_pandas()
+                .sort_values(["c_custkey", "event_id"])
+                .reset_index(drop=True))
+
     def rolling_q(sf):
         # per-event trailing 1-hour window per user: count + int sum
         from verify_ray.pipelines.rolling import rolling_window_agg
@@ -999,6 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": range_events_q,
         "hash_join_lineitem_orders": hash_join_li_orders,
         "hash_join_events_customers": hash_join_events_cust,
+        "hash_join_customers_events_full": hash_join_cust_events_full,
         "events_rolling_1h": rolling_q,
         "corpus_prep": corpus_prep_q,
         "select_top_quality": top_quality_q,
@@ -1303,6 +1319,12 @@ HASH_JOIN_EVENTS_ORACLE = """
 SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 ORDER BY event_id
+"""
+
+HASH_JOIN_FULL_ORACLE = """
+SELECT c.c_custkey, c.c_name, e.event_id, e.user_id
+FROM customer c FULL JOIN events e ON c.c_custkey = e.user_id
+ORDER BY c_custkey, event_id
 """
 
 # rolling.rolling_window_agg: per-row trailing RANGE frame (peers of
@@ -2061,6 +2083,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": RANGE_JOIN_ORACLE,
         "hash_join_lineitem_orders": HASH_JOIN_LI_ORACLE,
         "hash_join_events_customers": HASH_JOIN_EVENTS_ORACLE,
+        "hash_join_customers_events_full": HASH_JOIN_FULL_ORACLE,
         "events_rolling_1h": ROLLING_ORACLE,
         "corpus_prep": CORPUS_PREP_ORACLE,
         "select_top_quality": TOP_QUALITY_ORACLE,

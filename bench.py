@@ -113,7 +113,8 @@ def bench_queries() -> dict[str, float]:
              "dedup_token_spans", "token_pair_topk", "bm25_topk",
              "drift_histogram", "dataset_diff", "percentile_rank",
              "dedup_token_spans_removed", "source_overlap",
-             "pack_sequences_streaming", "cdc_chunks"]
+             "pack_sequences_streaming", "cdc_chunks",
+             "hash_join_lineitem_orders", "hash_join_events_customers"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -56,13 +56,14 @@ def _rand_frames(seed, n_left=500, n_right=400, n_keys=12):
     return left, right
 
 
-@pytest.mark.parametrize("how", ["inner", "left"])
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full"])
 def test_differential_vs_duckdb(ray_session, how):
-    left, right = _rand_frames(seed=3 if how == "inner" else 4)
+    left, right = _rand_frames(seed=hash(how) % 97)
     got = _run(left, right, key="k", left_values=["k", "lid"],
                right_values=["val"], right_key="rk", how=how,
                num_buckets=8)
-    join_kw = "JOIN" if how == "inner" else "LEFT JOIN"
+    join_kw = {"inner": "JOIN", "left": "LEFT JOIN",
+               "right": "RIGHT JOIN", "full": "FULL JOIN"}[how]
     exp = _duck(left, right,
                 f"SELECT l.k, l.lid, r.val FROM l {join_kw} r "
                 f"ON l.k = r.rk")
@@ -114,9 +115,24 @@ def test_output_name_collision_raises(ray_session):
         _run(left, right, key="k", left_values=["v"], right_values=["v"])
 
 
+def test_full_outer_emits_null_key_rows_both_sides(ray_session):
+    left = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                         "lid": [0, 1]})
+    right = pd.DataFrame({"k": pd.array([2, None], dtype="Int64"),
+                          "val": [20, 99]})
+    got = _run(left, right, key="k", left_values=["lid"],
+               right_values=["val"], how="full", num_buckets=4)
+    # no key matches: all four rows surface exactly once, half-null
+    assert len(got) == 4
+    assert sorted(got.lid.dropna().astype(int)) == [0, 1]
+    assert sorted(got.val.dropna().astype(int)) == [20, 99]
+    assert int(got.lid.isna().sum()) == 2 and int(got.val.isna().sum()) == 2
+
+
 @pytest.mark.parametrize("name,tables", [
     ("hash_join_lineitem_orders", ("lineitem", "orders")),
     ("hash_join_events_customers", ("events", "customer")),
+    ("hash_join_customers_events_full", ("events", "customer")),
 ])
 def test_driver_query_matches_oracle(ray_session, name, tables):
     import __ray_entry__ as e

@@ -97,8 +97,9 @@ def hash_join(left_ds, right_ds, key: str, left_values: list[str],
     """Distributed big-big hash equi-join — the generic shuffle join
     for when NEITHER side fits a broadcast (the broadcast pattern in
     ``analytics.revenue_by_*`` stays the right tool for small
-    dimensions).  ``how`` = ``inner`` | ``left``; many-to-many keys
-    enumerate the full cross product per key, like SQL.
+    dimensions).  ``how`` = ``inner`` | ``left`` | ``right`` | ``full``;
+    many-to-many keys enumerate the full cross product per key, like
+    SQL.
 
     Distributed shape: both sides projected to a shared tagged schema
     and routed through ONE sort-free hash exchange on the key — each
@@ -111,8 +112,9 @@ def hash_join(left_ds, right_ds, key: str, left_values: list[str],
     Data's join breaks when its input derives from a prior join) and
     carries only the projected payload columns.
 
-    SQL semantics: NULL keys match nothing; with ``how="left"`` they
-    (and any unmatched left row) surface once with null right columns.
+    SQL semantics: NULL keys match nothing; outer modes surface
+    unmatched rows (including null-key rows of the preserved side)
+    once, with the other side's columns null.
 
     Partitioning assumption (SURVEY §2.6): one key's rows must fit a
     merge task; salt pathological hot keys upstream.  At 100 TB pass
@@ -121,8 +123,8 @@ def hash_join(left_ds, right_ds, key: str, left_values: list[str],
     """
     from ..stages.exchange import grouped_exchange_ds
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left: {how}")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"how must be inner|left|right|full: {how}")
     rkey = right_key or key
     l_schema, r_schema = left_ds.schema(), right_ds.schema()
     l_types = dict(zip(l_schema.names, l_schema.types))
@@ -168,8 +170,9 @@ def hash_join(left_ds, right_ds, key: str, left_values: list[str],
         lsel = np.flatnonzero((side == 1) & valid)
         rsel = np.flatnonzero((side == 0) & valid)
         parts = []
-        rep = cand = np.empty(0, np.int64)
         counts = np.zeros(len(lsel), np.int64)
+        rorig = rsel  # sorted-right order once matching runs
+        rmatched = np.zeros(len(rsel), bool)  # aligned with rorig
         if len(lsel) and len(rsel):
             rcode = codes[rsel]
             ro = np.argsort(rcode, kind="stable")
@@ -186,11 +189,12 @@ def hash_join(left_ds, right_ds, key: str, left_values: list[str],
                         + np.repeat(lo, counts))
                 lidx = pa.array(lsel[rep])
                 ridx = pa.array(rorig[cand])
+                rmatched[cand] = True
                 cols = {c: t.column(c).take(lidx) for c in left_values}
                 for c in right_values:
                     cols[c] = t.column(c).take(ridx)
                 parts.append(pa.table(cols).cast(out_schema))
-        if how == "left":
+        if how in ("left", "full"):
             # unmatched valid-key lefts + null-key lefts, null right side
             unmatched = np.concatenate(
                 [lsel[counts == 0] if len(lsel) else lsel,
@@ -200,6 +204,18 @@ def hash_join(left_ds, right_ds, key: str, left_values: list[str],
                 cols = {c: t.column(c).take(lidx) for c in left_values}
                 for c in right_values:
                     cols[c] = pa.nulls(len(unmatched), r_types[c])
+                parts.append(pa.table(cols).cast(out_schema))
+        if how in ("right", "full"):
+            # unmatched valid-key rights + null-key rights, null left side
+            unmatched = np.concatenate(
+                [rorig[~rmatched],
+                 np.flatnonzero((side == 0) & ~valid)])
+            if len(unmatched):
+                ridx = pa.array(np.sort(unmatched))
+                cols = {c: pa.nulls(len(unmatched), l_types[c])
+                        for c in left_values}
+                for c in right_values:
+                    cols[c] = t.column(c).take(ridx)
                 parts.append(pa.table(cols).cast(out_schema))
         if not parts:
             return None
