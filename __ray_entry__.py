@@ -332,6 +332,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (ds.to_pandas().sort_values("event_id")
                 .reset_index(drop=True))
 
+    def docs_per_source_cap(sf):
+        # web-corpus "domain cap": at most 7 documents per
+        # (source, lang) cell, first-k by doc_id (deterministic)
+        from verify_ray.pipelines.select import grouped_head
+
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "source", "lang"])
+        ds = grouped_head(docs, ["source", "lang"], k=7,
+                          order_col="doc_id",
+                          values=["doc_id", "source", "lang"],
+                          num_buckets=16)
+        return (ds.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
     def hash_join_cust_events_full(sf):
         # full outer join: customers with no events AND orphan events
         # both surface once, the other side null
@@ -1015,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_lineitem_orders": hash_join_li_orders,
         "hash_join_events_customers": hash_join_events_cust,
         "hash_join_customers_events_full": hash_join_cust_events_full,
+        "docs_per_source_cap": docs_per_source_cap,
         "events_rolling_1h": rolling_q,
         "corpus_prep": corpus_prep_q,
         "select_top_quality": top_quality_q,
@@ -1325,6 +1340,19 @@ HASH_JOIN_FULL_ORACLE = """
 SELECT c.c_custkey, c.c_name, e.event_id, e.user_id
 FROM customer c FULL JOIN events e ON c.c_custkey = e.user_id
 ORDER BY c_custkey, event_id
+"""
+
+# select.grouped_head: per-group first-k row cap (the per-domain
+# document quota); order_col unique within group => deterministic
+GROUPED_HEAD_ORACLE = """
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY doc_id) AS rn
+  FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    AND lang IS NOT NULL)
+WHERE rn <= 7 ORDER BY doc_id
 """
 
 # rolling.rolling_window_agg: per-row trailing RANGE frame (peers of
@@ -2084,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_join_lineitem_orders": HASH_JOIN_LI_ORACLE,
         "hash_join_events_customers": HASH_JOIN_EVENTS_ORACLE,
         "hash_join_customers_events_full": HASH_JOIN_FULL_ORACLE,
+        "docs_per_source_cap": GROUPED_HEAD_ORACLE,
         "events_rolling_1h": ROLLING_ORACLE,
         "corpus_prep": CORPUS_PREP_ORACLE,
         "select_top_quality": TOP_QUALITY_ORACLE,

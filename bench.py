@@ -114,7 +114,8 @@ def bench_queries() -> dict[str, float]:
              "drift_histogram", "dataset_diff", "percentile_rank",
              "dedup_token_spans_removed", "source_overlap",
              "pack_sequences_streaming", "cdc_chunks",
-             "hash_join_lineitem_orders", "hash_join_events_customers"]
+             "hash_join_lineitem_orders", "hash_join_events_customers",
+             "docs_per_source_cap"]
     out = {}
     for name in names:
         t0 = time.time()

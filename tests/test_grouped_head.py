@@ -1,0 +1,82 @@
+"""grouped_head (per-group first-k cap) vs DuckDB ROW_NUMBER
+differential — multi-column groups, nulls dropped, k larger than a
+group, timestamp order columns, and the driver oracle."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def _run(df, **kw):
+    from verify_ray.pipelines.select import grouped_head
+
+    out = grouped_head(_ds(df), **kw).to_pandas()
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+def test_differential_vs_duckdb(ray_session):
+    rng = np.random.RandomState(11)
+    n = 800
+    df = pd.DataFrame({
+        "g1": rng.choice(["a", "b", "c", None], n),
+        "g2": pd.array(rng.randint(0, 4, n), dtype="Int64"),
+        "rid": np.arange(n, dtype=np.int64),  # unique order col
+        "payload": rng.randint(0, 100, n).astype(np.int64)})
+    df.loc[df.index % 19 == 0, "g2"] = None
+    got = _run(df, group_cols=["g1", "g2"], k=5, order_col="rid",
+               values=["rid", "g1", "payload"], num_buckets=8)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT rid, g1, payload FROM (
+          SELECT rid, g1, payload,
+                 ROW_NUMBER() OVER (PARTITION BY g1, g2
+                                    ORDER BY rid) AS rn
+          FROM t WHERE g1 IS NOT NULL AND g2 IS NOT NULL
+            AND rid IS NOT NULL)
+        WHERE rn <= 5
+    """).df().sort_values(["rid", "g1", "payload"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"rid": "int64", "payload": "int64"}), exp,
+        check_dtype=False)
+
+
+def test_k_exceeds_group_size_keeps_all(ray_session):
+    df = pd.DataFrame({"g": ["x", "x", "y"], "rid": [2, 1, 3]})
+    got = _run(df, group_cols=["g"], k=10, order_col="rid",
+               values=["rid", "g"], num_buckets=4)
+    assert len(got) == 3
+
+
+def test_timestamp_order_column(ray_session):
+    ts = pd.to_datetime(["2024-01-03", "2024-01-01", "2024-01-02",
+                         "2024-01-04"])
+    df = pd.DataFrame({"g": ["x", "x", "x", "y"], "ts": ts,
+                       "rid": [0, 1, 2, 3]})
+    got = _run(df, group_cols=["g"], k=2, order_col="ts",
+               values=["rid"], num_buckets=4)
+    # x keeps its two earliest (rid 1, 2); y keeps its only row
+    assert sorted(got.rid.astype(int)) == [1, 2, 3]
+
+
+def test_driver_query_matches_oracle(ray_session):
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    mine = e.queries()["docs_per_source_cap"](sf).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = con.execute(e.oracle_sql()["docs_per_source_cap"]).df()
+    assert list(mine.columns) == list(orc.columns)
+    pd.testing.assert_frame_equal(
+        mine.astype({"doc_id": "int64"}),
+        orc.astype({"doc_id": "int64"}), check_dtype=False)

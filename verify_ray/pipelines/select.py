@@ -183,6 +183,79 @@ def grouped_percentile_rank(ds, group_col: str, score_col: str,
     return ds.map_batches(rank, batch_format="pyarrow")
 
 
+def grouped_head(ds, group_cols: list[str], k: int, order_col: str,
+                 values: list[str], num_buckets: int = 64):
+    """Per-group row cap — keep the FIRST ``k`` rows of every group
+    under ``order_col`` ascending (SQL ``ROW_NUMBER() OVER (PARTITION
+    BY group ORDER BY order) <= k``).  The web-corpus "domain cap": no
+    single domain/source may contribute more than k documents to the
+    training mix (the C4/Dolma per-host quota move).
+
+    Distributed shape: one sort-free hash exchange on the combined
+    group key; each merge task holds whole groups, ranks them with a
+    single ``np.lexsort`` + boundary ``repeat`` pass (no per-group
+    loop), and filters to rank < k.  Results stay in the object store.
+
+    Determinism contract: ``order_col`` must be unique within a group
+    (an id, a hash) — ties would make the survivor set engine-
+    dependent.  Rows with a null group or order column are dropped
+    (SQL window/WHERE parity, same policy as grouped_percentile_rank).
+
+    Partitioning assumption (SURVEY §2.6): one group's rows must fit a
+    merge task — exactly the k-bounded output makes this cheap to
+    salt: a hot group can be pre-capped per input block (any block-
+    local first-k superset preserves the global first-k).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..kernels import as_array
+    from ..stages.exchange import grouped_exchange_ds
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    out_schema = pa.schema([(c, types[c]) for c in values])
+
+    def tag(b: pa.Table) -> pa.Table:
+        mask = pc.is_valid(b[order_col])
+        for g in group_cols:
+            mask = pc.and_(mask, pc.is_valid(b[g]))
+        b = b.filter(mask)
+        key = pc.cast(as_array(b[group_cols[0]]), pa.string())
+        for g in group_cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(as_array(b[g]), pa.string()), "\x1f")
+        o = as_array(b[order_col])
+        if pa.types.is_timestamp(o.type):
+            o = pc.cast(o, pa.timestamp("us"))
+        o = pc.cast(o, pa.int64() if (pa.types.is_integer(o.type)
+                                      or pa.types.is_timestamp(o.type))
+                    else pa.string())
+        cols = {"__b": pa.array(md5_u64le(key), type=pa.uint64()),
+                "__g": key, "__o": o}
+        for c in values:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    def head(t: pa.Table) -> pa.Table:
+        g = t.column("__g").to_numpy(zero_copy_only=False)
+        _, gc = np.unique(g, return_inverse=True)
+        o = t.column("__o").to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, gc))
+        gs = gc[order]
+        new = np.ones(len(gs), dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        start = np.flatnonzero(new)
+        counts = np.diff(np.append(start, len(gs)))
+        rank = np.arange(len(gs)) - np.repeat(start, counts)
+        keep = np.sort(order[rank < k])
+        return t.select(values).take(pa.array(keep))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets, head,
+                               empty_schema=out_schema)
+
+
 def exact_quantiles(ds, col: str, qs_permille: list[int]
                     ) -> pa.Table:
     """Exact quantiles of an integer column: ``(q, value)`` rows where
