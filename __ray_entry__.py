@@ -187,6 +187,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cc = dedup.connected_components(ver[ver.jaccard >= 0.5])
         return cc.astype({"doc_id": "int64", "group_id": "int64"})
 
+    def dedup_canonical(sf):
+        # keep-best per near-dup cluster: detection (LSH candidates ->
+        # exact verify -> components) then quality argmax (distinct-
+        # word count, ties -> min doc_id); non-members pass through.
+        # The planted "+ extra tail" copies WIN (two more distinct
+        # words), so survival is quality-based, not arrival-order.
+        ds = _docs_with_near_dups(sf)
+        cand = dedup.minhash_lsh_pairs(ds, threshold=0.2)
+        ver = dedup.ngram_jaccard_pairs(ds, cand[["doc_a", "doc_b"]])
+        cc = dedup.connected_components(ver[ver.jaccard >= 0.5])
+        out = dedup.canonical_filter(ds, cc)
+        df = out.to_pandas()[["doc_id"]].astype({"doc_id": "int64"})
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def dedup_exact_filter(sf):
         # survivors via the DISTRIBUTED filter path (broadcast_limit=0
         # forces the content-hash join; no driver keep-set anywhere)
@@ -998,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_dups": dedup_exact_dups,
         "dedup_exact_filter": dedup_exact_filter,
         "dedup_groups": dedup_groups,
+        "dedup_canonical": dedup_canonical,
         "dedup_ngram_jaccard_planted": ngram_jaccard_planted,
         "text_token_count": token_count,
         "text_fingerprint": fingerprint,
@@ -1133,6 +1148,34 @@ edges AS (
 )
 SELECT node AS doc_id, least(node, MIN(lab)) AS group_id
 FROM walk GROUP BY node ORDER BY doc_id""")
+
+# dedup.canonical_filter: keep-best per near-dup component — same
+# group CTE as DEDUP_GROUPS_ORACLE, survivors = argmax distinct-word
+# count (ties -> min doc_id); docs outside every group pass through
+DEDUP_CANONICAL_ORACLE = ("WITH RECURSIVE " + _NEAR_PAIRS_CTE + """,
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM near
+  UNION ALL SELECT doc_b, doc_a FROM near
+), walk(node, lab) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT w.node, e.d FROM walk w JOIN edges e ON e.s = w.lab
+), grp AS (
+  SELECT node AS doc_id, least(node, MIN(lab)) AS group_id
+  FROM walk GROUP BY node
+), scored AS (
+  SELECT g.group_id, g.doc_id,
+         len(list_distinct(regexp_split_to_array(trim(d.text), '\\s+')))
+           AS s
+  FROM grp g JOIN all_docs d ON d.doc_id = g.doc_id
+), losers AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY group_id
+                     ORDER BY s DESC, doc_id) AS rn
+    FROM scored) WHERE rn > 1)
+SELECT doc_id FROM all_docs
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY doc_id""")
 
 # SimHash recomputed from first principles in SQL: per-occurrence md5
 # word hashes -> 64 bit-majority votes -> 16-bit band blocking ->
@@ -2139,6 +2182,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SIMHASH_ORACLE,
         "dedup_ngram_jaccard": NGRAM_JACCARD_ORACLE,
         "dedup_groups": DEDUP_GROUPS_ORACLE,
+        "dedup_canonical": DEDUP_CANONICAL_ORACLE,
         "text_langid": _langid_oracle(),
         "text_quality": _quality_oracle(),
         "token_topk_by_source": TOKEN_TOPK_ORACLE,

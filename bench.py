@@ -115,7 +115,7 @@ def bench_queries() -> dict[str, float]:
              "dedup_token_spans_removed", "source_overlap",
              "pack_sequences_streaming", "cdc_chunks",
              "hash_join_lineitem_orders", "hash_join_events_customers",
-             "docs_per_source_cap"]
+             "docs_per_source_cap", "dedup_canonical"]
     out = {}
     for name in names:
         t0 = time.time()

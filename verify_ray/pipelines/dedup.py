@@ -1063,3 +1063,94 @@ def ngram_jaccard_pairs(ds, candidate_pairs, text_col: str = "text",
     if res is None or res.num_rows == 0:
         return empty
     return res.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# canonical-representative selection (keep-best per near-dup cluster)
+
+
+def _distinct_word_count(batch: pa.Table, text_col: str) -> np.ndarray:
+    """Vectorized distinct-whitespace-word count per row — the default
+    canonical score (SQL parity:
+    ``len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))``)."""
+    import pyarrow.compute as pc
+
+    from ..kernels import as_array
+
+    toks = as_array(pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch[text_col]), r"\s+"))
+    words = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    _, codes = np.unique(words, return_inverse=True)
+    pair = parents.astype(np.int64) * (codes.max() + 1 if len(codes)
+                                       else 1) + codes
+    out = np.zeros(batch.num_rows, dtype=np.int64)
+    if len(pair):
+        upair = np.unique(pair)
+        np.add.at(out, (upair // (codes.max() + 1)).astype(np.int64), 1)
+    return out
+
+
+def canonical_filter(ds, groups: pd.DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", score_fn=None):
+    """Keep ONE representative per near-duplicate group — the highest
+    integer score, ties to the smallest id; documents outside every
+    group pass through untouched.  The standard completion of fuzzy
+    dedup (the keep-best move): detection (minhash/simhash/ngram →
+    ``connected_components``) decides WHICH documents collide; this
+    decides WHO survives on quality rather than arrival order.
+
+    ``groups``: (doc_id, group_id) membership frame — duplicate-
+    membership-sized, i.e. small relative to the corpus by the
+    definition of deduplication (same size class the detection
+    pipelines already materialize).  ``score_fn(batch) ->
+    np.ndarray[int64]`` scores a batch of member rows; the default is
+    the distinct-word count (integer by repo float policy).
+
+    Distributed shape (nothing corpus-sized on the driver, zero
+    shuffles): member ids broadcast once via ``ray.put``; one
+    streaming pass scores ONLY member rows (membership-sized result);
+    per-group argmax resolves on the membership frame; the loser id
+    set broadcasts back and one streaming filter drops those rows.
+    """
+    import ray
+
+    if score_fn is None:
+        def score_fn(b):
+            return _distinct_word_count(b, text_col)
+
+    if len(groups) == 0:
+        return ds
+    member = np.sort(groups[id_col].to_numpy(np.int64))
+    member_ref = ray.put(member)
+
+    def score_members(b: pa.Table) -> pa.Table:
+        mem = ray.get(member_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(mem, ids)
+        pos[pos == len(mem)] = 0
+        sel = b.filter(pa.array(mem[pos] == ids))
+        if sel.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.int64())})
+        return pa.table({id_col: sel[id_col],
+                         "score": pa.array(score_fn(sel))})
+
+    scored = (ds.map_batches(score_members, batch_format="pyarrow")
+              .to_pandas())
+    mem = groups.merge(scored, on=id_col, how="inner")
+    mem = mem.sort_values(["group_id", "score", id_col],
+                          ascending=[True, False, True], kind="stable")
+    losers = mem[mem.duplicated("group_id")][id_col].to_numpy(np.int64)
+    losers_ref = ray.put(np.sort(losers))
+
+    def drop_losers(b: pa.Table) -> pa.Table:
+        lose = ray.get(losers_ref)
+        if len(lose) == 0:
+            return b
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(lose, ids)
+        pos[pos == len(lose)] = 0
+        return b.filter(pa.array(lose[pos] != ids))
+
+    return ds.map_batches(drop_losers, batch_format="pyarrow")
