@@ -346,6 +346,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (ds.to_pandas().sort_values("event_id")
                 .reset_index(drop=True))
 
+    def users_per_event_type(sf):
+        # exact COUNT(DISTINCT): distinct users per event type via
+        # map-side distinct pairs + pair-keyed exchange (nothing
+        # row-count-sized shuffled)
+        from verify_ray.pipelines.analytics import grouped_count_distinct
+
+        ev = _read(sf, "events", columns=["event_type", "user_id"])
+        df = grouped_count_distinct(ev, "event_type", "user_id")
+        return df.rename(columns={"n": "n_users"})
+
     def docs_per_source_cap(sf):
         # web-corpus "domain cap": at most 7 documents per
         # (source, lang) cell, first-k by doc_id (deterministic)
@@ -1045,6 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_events_customers": hash_join_events_cust,
         "hash_join_customers_events_full": hash_join_cust_events_full,
         "docs_per_source_cap": docs_per_source_cap,
+        "users_per_event_type": users_per_event_type,
         "events_rolling_1h": rolling_q,
         "corpus_prep": corpus_prep_q,
         "select_top_quality": top_quality_q,
@@ -2156,6 +2167,11 @@ def oracle_sql() -> dict[str, str]:
         "hash_join_events_customers": HASH_JOIN_EVENTS_ORACLE,
         "hash_join_customers_events_full": HASH_JOIN_FULL_ORACLE,
         "docs_per_source_cap": GROUPED_HEAD_ORACLE,
+        "users_per_event_type": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "events_rolling_1h": ROLLING_ORACLE,
         "corpus_prep": CORPUS_PREP_ORACLE,
         "select_top_quality": TOP_QUALITY_ORACLE,

@@ -115,7 +115,8 @@ def bench_queries() -> dict[str, float]:
              "dedup_token_spans_removed", "source_overlap",
              "pack_sequences_streaming", "cdc_chunks",
              "hash_join_lineitem_orders", "hash_join_events_customers",
-             "docs_per_source_cap", "dedup_canonical"]
+             "docs_per_source_cap", "dedup_canonical",
+             "users_per_event_type"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -1,0 +1,56 @@
+"""grouped_count_distinct vs DuckDB COUNT(DISTINCT) — null values
+ignored, null group its own group, and the driver oracle."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_differential_vs_duckdb(ray_session):
+    from verify_ray.pipelines.analytics import grouped_count_distinct
+
+    rng = np.random.RandomState(5)
+    n = 2000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", None], n),
+        "v": pd.array(rng.randint(0, 40, n), dtype="Int64")})
+    df.loc[df.index % 11 == 0, "v"] = None
+    got = grouped_count_distinct(_ds(df), "g", "v", num_buckets=8)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT g, CAST(COUNT(DISTINCT v) AS BIGINT) AS n FROM t "
+        "GROUP BY g ORDER BY g NULLS LAST").df()
+    assert got.n.tolist() == exp.n.tolist()
+    assert got.g.fillna("<null>").tolist() == exp.g.fillna("<null>").tolist()
+
+
+def test_repeats_collapse_map_side(ray_session):
+    from verify_ray.pipelines.analytics import grouped_count_distinct
+
+    df = pd.DataFrame({"g": ["x"] * 1000 + ["y"] * 10,
+                       "v": [1] * 1000 + list(range(10))})
+    got = grouped_count_distinct(_ds(df), "g", "v", num_buckets=4)
+    assert got.set_index("g").n.to_dict() == {"x": 1, "y": 10}
+
+
+def test_driver_query_matches_oracle(ray_session):
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    mine = e.queries()["users_per_event_type"](sf).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = con.execute(e.oracle_sql()["users_per_event_type"]).df()
+    assert list(mine.columns) == list(orc.columns)
+    pd.testing.assert_frame_equal(
+        mine.astype({"n_users": "int64"}),
+        orc.astype({"n_users": "int64"}), check_dtype=False)

@@ -481,3 +481,76 @@ def histogram_drift(cur_ds, ref_ds, group_col: str, value_col: str,
                   "diff": "int64"})
     return (m[["group", "bucket", "n_cur", "n_ref", "diff"]]
             .sort_values(["group", "bucket"]).reset_index(drop=True))
+
+
+def grouped_count_distinct(ds, group_col: str, value_col: str,
+                           num_buckets: int = 64) -> pd.DataFrame:
+    """Exact ``COUNT(DISTINCT value)`` per group — the cardinality
+    query (distinct users per segment, distinct domains per language)
+    whose naive form shuffles every row.
+
+    Scale shape: each input block first collapses to its DISTINCT
+    (group, value) pairs (``np.unique`` map-side — repeated values
+    never leave the block), the surviving pairs route through one
+    hash exchange keyed on the pair (each distinct pair lands in
+    exactly ONE bucket), each bucket de-dups once more and emits
+    group-cardinality-sized ``(group, n)`` partials, and the driver
+    sums partials per group.  Nothing row-count-sized is shuffled or
+    materialized; the exchange carries distinct pairs only.
+
+    Nulls: null VALUES are ignored (SQL ``COUNT(DISTINCT)``); a null
+    GROUP is its own group (SQL ``GROUP BY``), encoded via a validity
+    flag so no string sentinel can collide.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    SEP = "\x1f"
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..kernels import as_array
+
+        b = b.filter(pc.is_valid(b[value_col]))
+        if b.num_rows == 0:
+            return pa.table({"g": pa.array([], type=pa.string()),
+                             "gnull": pa.array([], type=pa.bool_()),
+                             "comb": pa.array([], type=pa.string()),
+                             "bucket": pa.array([], type=pa.uint64())})
+        g = as_array(pc.fill_null(pc.cast(b[group_col], pa.string()), ""))
+        gnull = as_array(pc.is_null(b[group_col]))
+        v = as_array(pc.cast(b[value_col], pa.string()))
+        nflag = pc.if_else(gnull, pa.scalar("1"), pa.scalar("0"))
+        comb = as_array(pc.binary_join_element_wise(nflag, g, v, SEP))
+        _, idx = np.unique(comb.to_numpy(zero_copy_only=False),
+                           return_index=True)
+        take = pa.array(np.sort(idx))
+        comb_u = comb.take(take)
+        return pa.table({
+            "g": g.take(take),
+            "gnull": gnull.take(take),
+            "comb": comb_u,
+            "bucket": pa.array(md5_u64le(comb_u), type=pa.uint64())})
+
+    def count_bucket(t: pa.Table) -> pa.Table:
+        carr = t.column("comb").to_numpy(zero_copy_only=False)
+        _, idx = np.unique(carr, return_index=True)
+        g = t.column("g").to_numpy(zero_copy_only=False)[idx]
+        gn = t.column("gnull").to_numpy(zero_copy_only=False)[idx]
+        key = np.char.add(gn.astype("U1"), g.astype(str))
+        gu, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "gnull": pa.array([k[0] == "T" for k in gu]),
+            "g": pa.array([k[1:] for k in gu], type=pa.string()),
+            "n": pa.array(counts.astype(np.int64))})
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    res = grouped_exchange(pairs, "bucket", num_buckets, count_bucket)
+    if res is None:
+        return pd.DataFrame({group_col: pd.Series(dtype="string"),
+                             "n": pd.Series(dtype="int64")})
+    df = res.to_pandas().groupby(["gnull", "g"], as_index=False)["n"].sum()
+    out = pd.DataFrame({
+        group_col: df.apply(lambda r: None if r.gnull else r.g, axis=1),
+        "n": df.n.astype(np.int64)})
+    return (out.sort_values(group_col, na_position="last")
+            .reset_index(drop=True))
