@@ -346,6 +346,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (ds.to_pandas().sort_values("event_id")
                 .reset_index(drop=True))
 
+    def split_docs(sf):
+        # deterministic 80/10/10 train/val/test assignment keyed on
+        # doc_id (same md5-bucket contract as hash_sample -> nested)
+        from verify_ray.pipelines.sample import split_assign
+
+        ds = split_assign(_read(sf, "documents", columns=["doc_id"]),
+                          {"train": 0.8, "val": 0.1, "test": 0.1})
+        return (ds.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
+    def vocab_encode_q(sf):
+        # learned frequency vocabulary (top-256 words, rank ids) ->
+        # OOV-aware positional re-encode; checksum = sum(pos * id)
+        # proves the full encoding without shipping list columns
+        from verify_ray.pipelines.tokenize import (build_vocab,
+                                                   encode_with_vocab)
+
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+        vocab = build_vocab(docs, size=256)
+        out = encode_with_vocab(
+            _read(sf, "documents", columns=["doc_id", "text"]), vocab)
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
     def users_per_event_type(sf):
         # exact COUNT(DISTINCT): distinct users per event type via
         # map-side distinct pairs + pair-keyed exchange (nothing
@@ -1056,6 +1080,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_customers_events_full": hash_join_cust_events_full,
         "docs_per_source_cap": docs_per_source_cap,
         "users_per_event_type": users_per_event_type,
+        "split_documents": split_docs,
+        "vocab_encode": vocab_encode_q,
         "events_rolling_1h": rolling_q,
         "corpus_prep": corpus_prep_q,
         "select_top_quality": top_quality_q,
@@ -1394,6 +1420,46 @@ HASH_JOIN_FULL_ORACLE = """
 SELECT c.c_custkey, c.c_name, e.event_id, e.user_id
 FROM customer c FULL JOIN events e ON c.c_custkey = e.user_id
 ORDER BY c_custkey, event_id
+"""
+
+# sample.split_assign: contiguous md5-bucket ranges in fraction order
+SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             md5_number_upper(CAST(doc_id AS VARCHAR)) % 10000 AS b
+      FROM documents)
+ORDER BY doc_id
+"""
+
+# tokenize.build_vocab + encode_with_vocab: top-256 words under the
+# (count DESC, word ASC) total order get rank ids 1..256, OOV -> 0;
+# checksum = sum of 1-based position * id proves the positional
+# encoding (parallel unnests zip in DuckDB)
+VOCAB_ENCODE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents),
+words AS (
+  SELECT doc_id, unnest(ws) AS w,
+         unnest(range(1, len(ws) + 1)) AS pos
+  FROM toks),
+counts AS (
+  SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+vocab AS (
+  SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS id
+  FROM counts ORDER BY c DESC, w LIMIT 256)
+SELECT t.doc_id,
+       CAST(len(t.ws) AS BIGINT) AS n_tok,
+       CAST(COUNT(*) FILTER (WHERE v.id IS NULL) AS BIGINT) AS n_oov,
+       CAST(COALESCE(SUM(wd.pos * COALESCE(v.id, 0)), 0) AS BIGINT)
+         AS checksum
+FROM toks t
+JOIN words wd ON wd.doc_id = t.doc_id
+LEFT JOIN vocab v ON v.w = wd.w
+GROUP BY t.doc_id, len(t.ws)
+ORDER BY t.doc_id
 """
 
 # select.grouped_head: per-group first-k row cap (the per-domain
@@ -2172,6 +2238,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "split_documents": SPLIT_ORACLE,
+        "vocab_encode": VOCAB_ENCODE_ORACLE,
         "events_rolling_1h": ROLLING_ORACLE,
         "corpus_prep": CORPUS_PREP_ORACLE,
         "select_top_quality": TOP_QUALITY_ORACLE,

@@ -238,3 +238,39 @@ def token_budget_sample(ds, budgets: dict, weight_col: str = "n_tok",
             sel = bnd.filter(pa.array(mask)).drop_columns(["_h"])
             kept_ds = kept_ds.union(rd.from_arrow(sel))
     return kept_ds
+
+
+def split_assign(ds, fractions: dict, key_col: str = "doc_id",
+                 out_col: str = "split"):
+    """Deterministic named train/val/test split: each row gets the
+    label whose cumulative md5-bucket range its key falls into
+    (``fractions`` iteration order defines contiguous ranges:
+    train [0, f1·G), val [f1·G, (f1+f2)·G), ...).  Same bucket
+    function as ``hash_sample`` — so a 10% ``hash_sample`` is a
+    subset of an 80% train split, assignments are stable across runs
+    / engines / parallelism, and adding a later epoch of data never
+    reshuffles existing rows between splits (the property file-level
+    random splits lack).  Null keys get a null label.
+
+    Fractions must cover [0, 1]; with G=10,000 granularity a fraction
+    resolves to ``int(round(f·G))`` buckets, exactly as the SQL oracle
+    states it.
+    """
+    names = list(fractions)
+    cum = np.cumsum([int(round(f * GRANULARITY))
+                     for f in fractions.values()])
+    if cum[-1] != GRANULARITY:
+        raise ValueError(
+            f"fractions must sum to 1 (got bucket total {cum[-1]})")
+
+    def add(b: pa.Table) -> pa.Table:
+        bk = _hash_buckets(pc.cast(b[key_col], pa.string()))
+        idx = np.clip(np.searchsorted(cum, bk, side="right"),
+                      0, len(names) - 1)
+        lab = np.empty(len(bk), dtype=object)
+        for i, nm in enumerate(names):
+            lab[idx == i] = nm
+        lab[bk < 0] = None
+        return b.append_column(out_col, pa.array(lab, type=pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow")

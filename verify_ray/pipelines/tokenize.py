@@ -155,3 +155,95 @@ def token_pair_topk(seqs_ds, k: int = 50, min_count: int = 1,
     return pd.DataFrame({"tok_a": (h >> 32).astype(np.int64),
                          "tok_b": (h & 0xFFFFFFFF).astype(np.int64),
                          "cnt": c})
+
+
+# ---------------------------------------------------------------------------
+# learned vocabulary: global top-N words -> rank ids, OOV-aware encode
+
+
+def _split_words(batch: pa.Table, text_col: str):
+    """(flattened words ndarray, per-row parent indices, row lengths)
+    under the repo's whitespace contract (SQL parity:
+    ``regexp_split_to_array(trim(text), '\\s+')``)."""
+    toks = as_array(pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch[text_col]), r"\s+"))
+    words = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return words, parents, lens
+
+
+def build_vocab(ds, size: int, text_col: str = "text") -> pa.Table:
+    """Frequency vocabulary: the global top-``size`` words ranked by
+    (count DESC, word ASC) get ids 1..size; id 0 is reserved for OOV.
+    Returns a (word, id, count) table.
+
+    Scale shape: each block collapses to its own (word, count)
+    partials map-side (``np.unique`` — corpus word REPETITION never
+    leaves the block); the driver merge is bounded by the corpus
+    VOCABULARY size, the standard assumption for word-level vocab
+    builds (tens of millions of distinct words fit a driver; for
+    unbounded keys use ``token_pair_topk``'s bucket-local-top-k
+    exchange instead).
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        words, _, _ = _split_words(b, text_col)
+        u, c = np.unique(words, return_counts=True)
+        return pa.table({"word": pa.array(u, type=pa.string()),
+                         "count": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("word", as_index=False)["count"].sum()
+    w = agg.word.to_numpy(object)
+    c = agg["count"].to_numpy(np.int64)
+    order = np.lexsort((w, -c))[:size]  # count DESC, word ASC
+    return pa.table({
+        "word": pa.array(w[order], type=pa.string()),
+        "id": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        "count": pa.array(c[order])})
+
+
+def encode_with_vocab(ds, vocab: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Re-encode documents against a learned vocabulary: per document
+    emit ``n_tok``, ``n_oov`` (words outside the vocab → id 0) and an
+    order-sensitive integer ``checksum`` = Σ position·id (1-based) —
+    the integer invariant that proves the full positional encoding
+    without shipping list columns (same contract as pack_sequences).
+
+    The vocab broadcasts once via ``ray.put``; the per-batch lookup is
+    one ``np.searchsorted`` against the sorted word array (no Python
+    loop, no per-batch re-ship).
+    """
+    import ray
+
+    wsort = np.argsort(vocab.column("word").to_numpy(zero_copy_only=False))
+    words_sorted = vocab.column("word").to_numpy(zero_copy_only=False)[wsort]
+    ids_sorted = vocab.column("id").to_numpy(zero_copy_only=False)[wsort]
+    vocab_ref = ray.put((words_sorted, ids_sorted))
+
+    def encode(b: pa.Table) -> pa.Table:
+        vw, vi = ray.get(vocab_ref)
+        words, parents, lens = _split_words(b, text_col)
+        ids = np.zeros(len(words), dtype=np.int64)
+        if len(vw) and len(words):
+            pos = np.searchsorted(vw, words)
+            pos[pos == len(vw)] = 0
+            hit = vw[pos] == words
+            ids[hit] = vi[pos[hit]]
+        # 1-based position within each row: global arange minus the
+        # row's start offset
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        posn = np.arange(len(words), dtype=np.int64) - starts[parents] + 1
+        checksum = np.zeros(b.num_rows, dtype=np.int64)
+        np.add.at(checksum, parents, posn * ids)
+        n_oov = np.zeros(b.num_rows, dtype=np.int64)
+        np.add.at(n_oov, parents, (ids == 0).astype(np.int64))
+        return pa.table({
+            id_col: b[id_col],
+            "n_tok": pa.array(lens),
+            "n_oov": pa.array(n_oov),
+            "checksum": pa.array(checksum)})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
