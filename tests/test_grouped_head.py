@@ -67,6 +67,23 @@ def test_timestamp_order_column(ray_session):
     assert sorted(got.rid.astype(int)) == [1, 2, 3]
 
 
+def test_hot_group_across_many_blocks(ray_session):
+    # one 10k-row group scattered over 16 blocks: the map-side pre-cap
+    # ships at most k rows per block, and the global first-k survives
+    import ray.data as rd
+
+    from verify_ray.pipelines.select import grouped_head
+
+    rng = np.random.RandomState(2)
+    rid = rng.permutation(10_000).astype(np.int64)  # shuffled order col
+    t = pa.table({"g": pa.array(["hot"] * 10_000),
+                  "rid": pa.array(rid)})
+    ds = rd.from_arrow(t).repartition(16)
+    out = grouped_head(ds, ["g"], k=3, order_col="rid",
+                       values=["rid"], num_buckets=4).to_pandas()
+    assert sorted(out.rid.astype(int)) == [0, 1, 2]
+
+
 def test_driver_query_matches_oracle(ray_session):
     import __ray_entry__ as e
 

@@ -202,9 +202,12 @@ def grouped_head(ds, group_cols: list[str], k: int, order_col: str,
     (SQL window/WHERE parity, same policy as grouped_percentile_rank).
 
     Partitioning assumption (SURVEY §2.6): one group's rows must fit a
-    merge task — exactly the k-bounded output makes this cheap to
-    salt: a hot group can be pre-capped per input block (any block-
-    local first-k superset preserves the global first-k).
+    merge task.  That is guaranteed here by a map-side PRE-CAP: each
+    input block keeps at most k rows per group before the shuffle
+    (the block-local first-k is always a superset of each block's
+    contribution to the global first-k), so a merge task holds at most
+    ``k × blocks`` rows per group and the shuffle ships at most
+    ``k × groups`` rows per block — a hot group cannot flood a bucket.
     """
     import pyarrow.compute as pc
 
@@ -215,6 +218,19 @@ def grouped_head(ds, group_cols: list[str], k: int, order_col: str,
     schema = ds.schema()
     types = dict(zip(schema.names, schema.types))
     out_schema = pa.schema([(c, types[c]) for c in values])
+
+    def _first_k(gkey: np.ndarray, oval: np.ndarray) -> np.ndarray:
+        """Sorted row indices of each group's first k under order asc
+        — one lexsort + boundary-repeat rank pass, no per-group loop."""
+        _, gc = np.unique(gkey, return_inverse=True)
+        order = np.lexsort((oval, gc))
+        gs = gc[order]
+        new = np.ones(len(gs), dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        start = np.flatnonzero(new)
+        counts = np.diff(np.append(start, len(gs)))
+        rank = np.arange(len(gs)) - np.repeat(start, counts)
+        return np.sort(order[rank < k])
 
     def tag(b: pa.Table) -> pa.Table:
         mask = pc.is_valid(b[order_col])
@@ -235,20 +251,18 @@ def grouped_head(ds, group_cols: list[str], k: int, order_col: str,
                 "__g": key, "__o": o}
         for c in values:
             cols[c] = b[c]
-        return pa.table(cols)
+        t = pa.table(cols)
+        if t.num_rows == 0:
+            return t
+        # map-side pre-cap: the block's first-k per group bounds what
+        # leaves this block at k rows per group
+        keep = _first_k(key.to_numpy(zero_copy_only=False),
+                        o.to_numpy(zero_copy_only=False))
+        return t.take(pa.array(keep)) if len(keep) < t.num_rows else t
 
     def head(t: pa.Table) -> pa.Table:
-        g = t.column("__g").to_numpy(zero_copy_only=False)
-        _, gc = np.unique(g, return_inverse=True)
-        o = t.column("__o").to_numpy(zero_copy_only=False)
-        order = np.lexsort((o, gc))
-        gs = gc[order]
-        new = np.ones(len(gs), dtype=bool)
-        new[1:] = gs[1:] != gs[:-1]
-        start = np.flatnonzero(new)
-        counts = np.diff(np.append(start, len(gs)))
-        rank = np.arange(len(gs)) - np.repeat(start, counts)
-        keep = np.sort(order[rank < k])
+        keep = _first_k(t.column("__g").to_numpy(zero_copy_only=False),
+                        t.column("__o").to_numpy(zero_copy_only=False))
         return t.select(values).take(pa.array(keep))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
