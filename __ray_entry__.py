@@ -394,6 +394,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (ds.to_pandas().sort_values("doc_id")
                 .reset_index(drop=True))
 
+    def broadcast_join_orders(sf):
+        # generic zero-shuffle dimension attach: orders (fact stream)
+        # + customer table broadcast once via ray.put
+        from verify_ray.pipelines.joins import broadcast_join
+
+        orr = _read(sf, "orders", columns=["o_orderkey", "o_custkey"])
+        cust = pq.read_table(f"{sf}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+        ds = broadcast_join(orr, cust, key="o_custkey",
+                            values=["c_mktsegment"],
+                            right_key="c_custkey", how="left")
+        return (ds.to_pandas().sort_values("o_orderkey")
+                .reset_index(drop=True))
+
     def hash_join_cust_events_full(sf):
         # full outer join: customers with no events AND orphan events
         # both surface once, the other side null
@@ -1078,6 +1092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_lineitem_orders": hash_join_li_orders,
         "hash_join_events_customers": hash_join_events_cust,
         "hash_join_customers_events_full": hash_join_cust_events_full,
+        "broadcast_join_orders": broadcast_join_orders,
         "docs_per_source_cap": docs_per_source_cap,
         "users_per_event_type": users_per_event_type,
         "split_documents": split_docs,
@@ -2232,6 +2247,12 @@ def oracle_sql() -> dict[str, str]:
         "hash_join_lineitem_orders": HASH_JOIN_LI_ORACLE,
         "hash_join_events_customers": HASH_JOIN_EVENTS_ORACLE,
         "hash_join_customers_events_full": HASH_JOIN_FULL_ORACLE,
+        "broadcast_join_orders": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+            FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey
+            ORDER BY o_orderkey
+        """,
         "docs_per_source_cap": GROUPED_HEAD_ORACLE,
         "users_per_event_type": """
             SELECT event_type,

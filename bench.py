@@ -116,7 +116,8 @@ def bench_queries() -> dict[str, float]:
              "pack_sequences_streaming", "cdc_chunks",
              "hash_join_lineitem_orders", "hash_join_events_customers",
              "docs_per_source_cap", "dedup_canonical",
-             "users_per_event_type", "split_documents", "vocab_encode"]
+             "users_per_event_type", "split_documents", "vocab_encode",
+             "broadcast_join_orders"]
     out = {}
     for name in names:
         t0 = time.time()

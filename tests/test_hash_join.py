@@ -146,3 +146,68 @@ def test_driver_query_matches_oracle(ray_session, name, tables):
     cols = list(orc.columns)
     assert list(mine.columns) == cols
     pd.testing.assert_frame_equal(_canon(mine, cols), _canon(orc, cols))
+
+
+def test_composite_key_differential(ray_session):
+    rng = np.random.RandomState(21)
+    n = 600
+    left = pd.DataFrame({
+        "k1": rng.choice(["a", "b", "c"], n),
+        "k2": pd.array(rng.randint(0, 5, n), dtype="Int64"),
+        "lid": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({
+        "r1": rng.choice(["a", "b", "c", "d"], 300),
+        "r2": pd.array(rng.randint(0, 5, 300), dtype="Int64"),
+        "val": np.arange(300, dtype=np.int64)})
+    left.loc[left.index % 13 == 0, "k2"] = None
+    got = _run(left, right, key=["k1", "k2"], right_key=["r1", "r2"],
+               left_values=["lid"], right_values=["val"], how="left",
+               num_buckets=8)
+    exp = _duck(left, right,
+                "SELECT l.lid, r.val FROM l LEFT JOIN r "
+                "ON l.k1 = r.r1 AND l.k2 = r.r2")
+    cols = ["lid", "val"]
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(_canon(got, cols), _canon(exp, cols))
+
+
+def test_composite_key_arity_mismatch_raises(ray_session):
+    left = pd.DataFrame({"k1": ["a"], "k2": [1], "lid": [0]})
+    right = pd.DataFrame({"r1": ["a"], "val": [1]})
+    with pytest.raises(ValueError, match="arity"):
+        _run(left, right, key=["k1", "k2"], right_key="r1",
+             left_values=["lid"], right_values=["val"])
+
+
+def test_broadcast_join_differential(ray_session):
+    from verify_ray.pipelines.joins import broadcast_join
+
+    rng = np.random.RandomState(9)
+    fact = pd.DataFrame({
+        "k": pd.array(rng.randint(0, 30, 500), dtype="Int64"),
+        "fid": np.arange(500, dtype=np.int64)})
+    fact.loc[fact.index % 17 == 0, "k"] = None
+    dim = pa.table({"dk": pa.array(np.arange(0, 20), type=pa.int64()),
+                    "name": pa.array([f"n{i}" for i in range(20)])})
+    for how in ("left", "inner"):
+        got = (broadcast_join(_ds(fact), dim, key="k",
+                              values=["name"], right_key="dk", how=how)
+               .to_pandas())
+        join_kw = "LEFT JOIN" if how == "left" else "JOIN"
+        exp = _duck(fact, dim.to_pandas().rename(columns={}),
+                    f"SELECT l.k, l.fid, r.name FROM l {join_kw} r "
+                    f"ON l.k = r.dk")
+        cols = ["k", "fid", "name"]
+        assert len(got) == len(exp), how
+        pd.testing.assert_frame_equal(_canon(got, cols),
+                                      _canon(exp, cols))
+
+
+def test_broadcast_join_rejects_duplicate_dimension_keys(ray_session):
+    from verify_ray.pipelines.joins import broadcast_join
+
+    fact = pd.DataFrame({"k": [1], "fid": [0]})
+    dim = pa.table({"k": pa.array([1, 1], type=pa.int64()),
+                    "name": ["a", "b"]})
+    with pytest.raises(ValueError, match="not unique"):
+        broadcast_join(_ds(fact), dim, key="k", values=["name"])

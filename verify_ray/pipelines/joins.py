@@ -91,15 +91,17 @@ def _key_arrays(col) -> tuple[pa.Array, np.ndarray]:
     return arr, bk
 
 
-def hash_join(left_ds, right_ds, key: str, left_values: list[str],
-              right_values: list[str], right_key: str | None = None,
+def hash_join(left_ds, right_ds, key: str | list[str],
+              left_values: list[str], right_values: list[str],
+              right_key: str | list[str] | None = None,
               how: str = "inner", num_buckets: int = 64):
     """Distributed big-big hash equi-join — the generic shuffle join
     for when NEITHER side fits a broadcast (the broadcast pattern in
     ``analytics.revenue_by_*`` stays the right tool for small
     dimensions).  ``how`` = ``inner`` | ``left`` | ``right`` | ``full``;
     many-to-many keys enumerate the full cross product per key, like
-    SQL.
+    SQL.  ``key`` / ``right_key`` may be lists for composite joins
+    (matched on the ``\\x1f``-joined string form).
 
     Distributed shape: both sides projected to a shared tagged schema
     and routed through ONE sort-free hash exchange on the key — each
@@ -125,19 +127,36 @@ def hash_join(left_ds, right_ds, key: str, left_values: list[str],
 
     if how not in ("inner", "left", "right", "full"):
         raise ValueError(f"how must be inner|left|right|full: {how}")
-    rkey = right_key or key
+    lkeys = [key] if isinstance(key, str) else list(key)
+    rkeys = (lkeys if right_key is None else
+             [right_key] if isinstance(right_key, str) else list(right_key))
+    if len(rkeys) != len(lkeys):
+        raise ValueError(f"key arity mismatch: {lkeys} vs {rkeys}")
     l_schema, r_schema = left_ds.schema(), right_ds.schema()
     l_types = dict(zip(l_schema.names, l_schema.types))
     r_types = dict(zip(r_schema.names, r_schema.types))
     clash = set(left_values) & set(right_values)
     if clash:
         raise ValueError(f"left/right output columns collide: {clash}")
-    key_type = (pa.int64() if pa.types.is_integer(l_types[key])
+    # composite keys join on the \x1f-joined string form (null in ANY
+    # component -> null key -> matches nothing, SQL semantics); a
+    # single key keeps its native int64/string equality
+    key_type = (pa.int64()
+                if len(lkeys) == 1 and pa.types.is_integer(l_types[lkeys[0]])
                 else pa.string())
+
+    def _key_of(b: pa.Table, keys: list[str]):
+        if len(keys) == 1:
+            return _key_arrays(b[keys[0]])
+        arr = pc.cast(as_array(b[keys[0]]), pa.string())
+        for kk in keys[1:]:
+            arr = pc.binary_join_element_wise(
+                arr, pc.cast(as_array(b[kk]), pa.string()), "\x1f")
+        return arr, md5_u64le(pc.fill_null(arr, ""))
 
     def _tag(b: pa.Table, is_left: bool) -> pa.Table:
         n = b.num_rows
-        k_arr, bk = _key_arrays(b[key if is_left else rkey])
+        k_arr, bk = _key_of(b, lkeys if is_left else rkeys)
         cols = {"__b": pa.array(bk, type=pa.uint64()),
                 "__k": pc.cast(k_arr, key_type),
                 "__side": pa.array(np.full(n, np.int8(1 if is_left
@@ -452,3 +471,68 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
 
     return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
                                empty_schema=out_schema)
+
+
+def broadcast_join(ds, small: pa.Table, key: str, values: list[str],
+                   right_key: str | None = None, how: str = "left"):
+    """Generic broadcast equi-join — the zero-shuffle path for
+    attaching a DIMENSION table (one that fits a worker's heap) to a
+    big fact stream: the small side is normalized to (sorted keys,
+    payload) and ``ray.put`` ONCE; every batch does one
+    ``np.searchsorted`` lookup.  This generalizes the hand-built
+    broadcast joins in ``analytics.revenue_by_*``; use ``hash_join``
+    when both sides are big or keys are many-to-many.
+
+    Contract: ``right_key`` must be UNIQUE in ``small`` (dimension-
+    table semantics; raises otherwise), so the output is exactly
+    left-row-sized for ``how="left"`` and a subset for ``"inner"``.
+    Null keys match nothing (SQL).
+    """
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left: {how}")
+    rkey = right_key or key
+    k_col = small.column(rkey)
+    is_int = pa.types.is_integer(k_col.type)
+    keys_np = (pc.cast(as_array(k_col), pa.int64() if is_int
+                       else pa.string())
+               .to_numpy(zero_copy_only=False))
+    if pc.any(pc.is_null(k_col)).as_py():
+        raise ValueError("small-side join keys contain nulls")
+    if len(np.unique(keys_np)) != len(keys_np):
+        raise ValueError(f"small-side key {rkey!r} is not unique — "
+                         "dimension-table contract; use hash_join")
+    order = np.argsort(keys_np)
+    payload = small.select(values).take(pa.array(order))
+    side_ref = ray.put((keys_np[order], payload))
+    v_types = {c: payload.schema.field(c).type for c in values}
+
+    def attach(b: pa.Table) -> pa.Table:
+        skeys, pay = ray.get(side_ref)
+        k = as_array(b[key])
+        k = pc.cast(k, pa.int64() if is_int else pa.string())
+        valid = pc.is_valid(k).to_numpy(zero_copy_only=False)
+        kv = pc.fill_null(k, 0 if is_int else "").to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(skeys, kv)
+        pos[pos == len(skeys)] = 0
+        hit = (valid & (skeys[pos] == kv) if len(skeys)
+               else np.zeros(len(kv), dtype=bool))
+        if how == "inner":
+            sel = np.flatnonzero(hit)
+            out = b.take(pa.array(sel))
+            for c in values:
+                out = out.append_column(
+                    c, pay.column(c).take(pa.array(pos[sel])))
+            return out
+        out = b
+        idx = np.where(hit, pos, 0)
+        for c in values:
+            col = pay.column(c).take(pa.array(idx)).combine_chunks()
+            col = pc.if_else(pa.array(hit), col,
+                             pa.scalar(None, type=v_types[c]))
+            out = out.append_column(c, col)
+        return out
+
+    return ds.map_batches(attach, batch_format="pyarrow")
