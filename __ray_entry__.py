@@ -423,6 +423,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .sort_values(["c_custkey", "event_id"])
                 .reset_index(drop=True))
 
+    def conversion_q(sf):
+        # operator COMPOSITION: signup -> purchase conversion within
+        # 7 days = range_join (purchases inside each signup's window)
+        # piped into an exact per-type distinct-converter count
+        from verify_ray.pipelines.analytics import grouped_count_distinct
+        from verify_ray.pipelines.joins import range_join
+
+        week_us = 7 * 86_400_000_000
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id", "ts", "event_type"])
+
+        def points_fn(b):
+            t = b.filter(pc.equal(b["event_type"], "purchase"))
+            return pa.table({"p_event_id": t["event_id"],
+                             "user_id": t["user_id"], "ts": t["ts"]})
+
+        def iv_fn(b):
+            t = b.filter(pc.equal(b["event_type"], "signup"))
+            s = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+            return pa.table({"s_event_id": t["event_id"],
+                             "u": t["user_id"], "w_start": s,
+                             "w_end": pc.add(s, week_us)})
+
+        pts = ev.map_batches(points_fn, batch_format="pyarrow")
+        ivs = ev.map_batches(iv_fn, batch_format="pyarrow")
+        joined = range_join(pts, ivs, key="user_id", point_ts="ts",
+                            interval_start="w_start",
+                            interval_end="w_end",
+                            point_values=["p_event_id", "user_id"],
+                            interval_values=["s_event_id"],
+                            right_key="u", max_span=week_us)
+        joined = joined.add_column(
+            "kind", lambda b: ["converted"] * len(b))
+        df = grouped_count_distinct(joined, "kind", "user_id")
+        return df.rename(columns={"n": "n_users"})
+
     def rolling_q(sf):
         # per-event trailing 1-hour window per user: count + int sum
         from verify_ray.pipelines.rolling import rolling_window_agg
@@ -1093,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_events_customers": hash_join_events_cust,
         "hash_join_customers_events_full": hash_join_cust_events_full,
         "broadcast_join_orders": broadcast_join_orders,
+        "signup_conversion": conversion_q,
         "docs_per_source_cap": docs_per_source_cap,
         "users_per_event_type": users_per_event_type,
         "split_documents": split_docs,
@@ -2252,6 +2289,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN customer c
               ON o.o_custkey = c.c_custkey
             ORDER BY o_orderkey
+        """,
+        "signup_conversion": """
+            SELECT 'converted' AS kind,
+                   CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+            FROM events p JOIN events s ON p.user_id = s.user_id
+            WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+              AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
         """,
         "docs_per_source_cap": GROUPED_HEAD_ORACLE,
         "users_per_event_type": """

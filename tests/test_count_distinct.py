@@ -54,3 +54,20 @@ def test_driver_query_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         mine.astype({"n_users": "int64"}),
         orc.astype({"n_users": "int64"}), check_dtype=False)
+
+
+def test_poisoned_duckdb_connection_recovers(ray_session):
+    # a Ray task cancelled mid-execute leaves the per-worker cached
+    # DuckDB connection unusable; the next call must rebuild it
+    import hashlib
+
+    import duckdb
+
+    import verify_ray.functions.hashing as H
+
+    H._DUCK = duckdb.connect()
+    H._DUCK.execute("SET threads=1")
+    H._DUCK.close()  # poison
+    out = H.md5_u64le(pa.array(["a"]))
+    assert out[0] == np.uint64(int.from_bytes(
+        hashlib.md5(b"a").digest()[:8], "little"))

@@ -27,6 +27,33 @@ import pyarrow.compute as pc
 _DUCK = None  # per-worker-process cached connection (workers are reused)
 
 
+def _duck_query(sql: str, kt: pa.Table) -> pa.Table:
+    """Run one query on the cached per-worker connection, rebuilding it
+    once if a PREVIOUS task was cancelled mid-execute: Ray delivers the
+    cancel as KeyboardInterrupt inside duckdb, which leaves the cached
+    connection with an 'unsuccessful or closed pending query result'
+    that poisons every later task on the reused worker."""
+    global _DUCK
+    import duckdb
+
+    for attempt in (0, 1):
+        if _DUCK is None:
+            _DUCK = duckdb.connect()
+            _DUCK.execute("SET threads=1")
+        try:
+            return _DUCK.execute(sql).arrow()
+        except duckdb.Error:
+            # covers InvalidInputException (pending query left by the
+            # cancel) and ConnectionException (connection closed)
+            if attempt:
+                raise
+            try:
+                _DUCK.close()
+            except Exception:
+                pass
+            _DUCK = None
+
+
 def md5_hex(col) -> pa.Array:
     """md5 hex digest per value of a string array (null -> null)."""
     global _DUCK
@@ -40,12 +67,9 @@ def md5_hex(col) -> pa.Array:
         return pa.array(
             [None if t is None else hashlib.md5(t.encode("utf-8")).hexdigest()
              for t in col.to_pylist()], type=pa.string())
-    if _DUCK is None:
-        _DUCK = duckdb.connect()
-        _DUCK.execute("SET threads=1")
     kt = pa.table({"t": col})
-    return _DUCK.execute("SELECT md5(t) AS h FROM kt").arrow() \
-        .column("h").combine_chunks()
+    return (_duck_query("SELECT md5(t) AS h FROM kt", kt)
+            .column("h").combine_chunks())
 
 
 def md5_u64le(col) -> np.ndarray:
@@ -68,10 +92,7 @@ def md5_u64le(col) -> np.ndarray:
             [int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8],
                             "little") for t in col.to_pylist()],
             dtype=np.uint64)
-    if _DUCK is None:
-        _DUCK = duckdb.connect()
-        _DUCK.execute("SET threads=1")
     kt = pa.table({"t": col})
-    out = _DUCK.execute("SELECT md5_number_upper(t) AS h FROM kt").arrow()
+    out = _duck_query("SELECT md5_number_upper(t) AS h FROM kt", kt)
     return out.column("h").combine_chunks().to_numpy(
         zero_copy_only=False).astype(np.uint64)

@@ -31,8 +31,6 @@ import pyarrow.compute as pc
 
 GRANULARITY = 10_000
 
-_DUCK = None  # per-worker-process cached connection (workers are reused)
-
 
 def _hash_buckets(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """md5-derived bucket in [0, GRANULARITY) per key (null -> -1).
@@ -42,11 +40,10 @@ def _hash_buckets(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
     Falls back to a pure-Python md5 loop with identical semantics if
     duckdb is unavailable.
     """
-    global _DUCK
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
     try:
-        import duckdb
+        import duckdb  # noqa: F401
     except ImportError:
         out = np.empty(len(keys), dtype=np.int64)
         for i, k in enumerate(keys.to_pylist()):
@@ -54,13 +51,12 @@ def _hash_buckets(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
                       int.from_bytes(hashlib.md5(str(k).encode()).digest()[:8],
                                      "little") % GRANULARITY)
         return out
-    if _DUCK is None:
-        _DUCK = duckdb.connect()
-        _DUCK.execute("SET threads=1")  # never oversubscribe a Ray worker
-    kt = pa.table({"k": keys})
-    r = _DUCK.execute(
-        f"SELECT CAST(COALESCE(md5_number_upper(k) % {GRANULARITY}, -1)"
-        " AS BIGINT) AS b FROM kt").arrow()
+    from ..functions.hashing import _duck_query
+
+    kt = pa.table({"t": keys})
+    r = _duck_query(
+        f"SELECT CAST(COALESCE(md5_number_upper(t) % {GRANULARITY}, -1)"
+        " AS BIGINT) AS b FROM kt", kt)
     return r.column("b").to_numpy(zero_copy_only=False)
 
 
