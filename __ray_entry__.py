@@ -394,6 +394,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (ds.to_pandas().sort_values("doc_id")
                 .reset_index(drop=True))
 
+    def orphan_events_anti(sf):
+        # big-big ANTI join (SQL NOT EXISTS): events whose user is not
+        # among customers with custkey < 10 — a present-set restriction
+        # like events_orphan_users (testdata is referentially complete,
+        # and sf0.001 only has users 0..14), but event-level and
+        # through the shuffle join
+        from verify_ray.pipelines.joins import hash_join
+
+        ev = _read(sf, "events", columns=["event_id", "user_id"])
+        cust = (_read(sf, "customer", columns=["c_custkey"])
+                .map_batches(lambda b: b.filter(
+                    pc.less(b["c_custkey"], 10)),
+                    batch_format="pyarrow"))
+        ds = hash_join(ev, cust, key="user_id",
+                       left_values=["event_id", "user_id"],
+                       right_values=[], right_key="c_custkey",
+                       how="anti", num_buckets=32)
+        return (ds.to_pandas().sort_values("event_id")
+                .reset_index(drop=True))
+
+    def customers_with_events_semi(sf):
+        # big-big SEMI join (SQL EXISTS): customers that produced at
+        # least one event, emitted once each
+        from verify_ray.pipelines.joins import hash_join
+
+        cust = _read(sf, "customer", columns=["c_custkey", "c_name"])
+        ev = _read(sf, "events", columns=["user_id"])
+        ds = hash_join(cust, ev, key="c_custkey",
+                       left_values=["c_custkey", "c_name"],
+                       right_values=[], right_key="user_id",
+                       how="semi", num_buckets=32)
+        return (ds.to_pandas().sort_values("c_custkey")
+                .reset_index(drop=True))
+
     def broadcast_join_orders(sf):
         # generic zero-shuffle dimension attach: orders (fact stream)
         # + customer table broadcast once via ray.put
@@ -1129,6 +1163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_events_customers": hash_join_events_cust,
         "hash_join_customers_events_full": hash_join_cust_events_full,
         "broadcast_join_orders": broadcast_join_orders,
+        "orphan_events_anti": orphan_events_anti,
+        "customers_with_events_semi": customers_with_events_semi,
         "signup_conversion": conversion_q,
         "docs_per_source_cap": docs_per_source_cap,
         "users_per_event_type": users_per_event_type,
@@ -2289,6 +2325,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN customer c
               ON o.o_custkey = c.c_custkey
             ORDER BY o_orderkey
+        """,
+        "orphan_events_anti": """
+            SELECT event_id, user_id FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id
+                                AND c.c_custkey < 10)
+            ORDER BY event_id
+        """,
+        "customers_with_events_semi": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM events e
+                          WHERE e.user_id = c.c_custkey)
+            ORDER BY c_custkey
         """,
         "signup_conversion": """
             SELECT 'converted' AS kind,

@@ -117,7 +117,8 @@ def bench_queries() -> dict[str, float]:
              "hash_join_lineitem_orders", "hash_join_events_customers",
              "docs_per_source_cap", "dedup_canonical",
              "users_per_event_type", "split_documents", "vocab_encode",
-             "broadcast_join_orders", "signup_conversion"]
+             "broadcast_join_orders", "signup_conversion",
+             "orphan_events_anti", "customers_with_events_semi"]
     out = {}
     for name in names:
         t0 = time.time()

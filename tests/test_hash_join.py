@@ -133,6 +133,8 @@ def test_full_outer_emits_null_key_rows_both_sides(ray_session):
     ("hash_join_lineitem_orders", ("lineitem", "orders")),
     ("hash_join_events_customers", ("events", "customer")),
     ("hash_join_customers_events_full", ("events", "customer")),
+    ("orphan_events_anti", ("events", "customer")),
+    ("customers_with_events_semi", ("events", "customer")),
 ])
 def test_driver_query_matches_oracle(ray_session, name, tables):
     import __ray_entry__ as e
@@ -211,3 +213,40 @@ def test_broadcast_join_rejects_duplicate_dimension_keys(ray_session):
                     "name": ["a", "b"]})
     with pytest.raises(ValueError, match="not unique"):
         broadcast_join(_ds(fact), dim, key="k", values=["name"])
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_semi_anti_differential(ray_session, how):
+    left, right = _rand_frames(seed=31 if how == "semi" else 32)
+    got = _run(left, right, key="k", left_values=["k", "lid"],
+               right_values=[], right_key="rk", how=how, num_buckets=8)
+    pred = "EXISTS" if how == "semi" else "NOT EXISTS"
+    exp = _duck(left, right,
+                f"SELECT l.k, l.lid FROM l WHERE {pred} "
+                f"(SELECT 1 FROM r WHERE r.rk = l.k)")
+    cols = ["k", "lid"]
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(_canon(got, cols), _canon(exp, cols))
+
+
+def test_semi_anti_null_key_vs_zero_key(ray_session):
+    # a null right key must NOT shadow (or be shadowed by) a real 0 key
+    # in the map-side distinct pass
+    left = pd.DataFrame({"k": pd.array([0, 1, None], dtype="Int64"),
+                         "lid": [0, 1, 2]})
+    right = pd.DataFrame({"k": pd.array([None, 0], dtype="Int64")})
+    semi = _run(left, right, key="k", left_values=["lid"],
+                right_values=[], how="semi", num_buckets=4)
+    assert sorted(semi.lid.astype(int)) == [0]  # k=0 matches
+    anti = _run(left, right, key="k", left_values=["lid"],
+                right_values=[], how="anti", num_buckets=4)
+    # k=1 unmatched; null-key left row qualifies for NOT EXISTS
+    assert sorted(anti.lid.astype(int)) == [1, 2]
+
+
+def test_semi_anti_reject_right_values(ray_session):
+    left = pd.DataFrame({"k": [1], "lid": [0]})
+    right = pd.DataFrame({"k": [1], "v": [9]})
+    with pytest.raises(ValueError, match="left columns only"):
+        _run(left, right, key="k", left_values=["lid"],
+             right_values=["v"], how="semi")

@@ -98,10 +98,13 @@ def hash_join(left_ds, right_ds, key: str | list[str],
     """Distributed big-big hash equi-join — the generic shuffle join
     for when NEITHER side fits a broadcast (the broadcast pattern in
     ``analytics.revenue_by_*`` stays the right tool for small
-    dimensions).  ``how`` = ``inner`` | ``left`` | ``right`` | ``full``;
-    many-to-many keys enumerate the full cross product per key, like
-    SQL.  ``key`` / ``right_key`` may be lists for composite joins
-    (matched on the ``\\x1f``-joined string form).
+    dimensions).  ``how`` = ``inner`` | ``left`` | ``right`` | ``full``
+    | ``semi`` | ``anti``; many-to-many keys enumerate the full cross
+    product per key, like SQL.  ``semi``/``anti`` are EXISTS / NOT
+    EXISTS (left columns only, each left row at most once; the right
+    side ships DISTINCT KEYS only — map-side deduped).  ``key`` /
+    ``right_key`` may be lists for composite joins (matched on the
+    ``\\x1f``-joined string form).
 
     Distributed shape: both sides projected to a shared tagged schema
     and routed through ONE sort-free hash exchange on the key — each
@@ -125,8 +128,12 @@ def hash_join(left_ds, right_ds, key: str | list[str],
     """
     from ..stages.exchange import grouped_exchange_ds
 
-    if how not in ("inner", "left", "right", "full"):
-        raise ValueError(f"how must be inner|left|right|full: {how}")
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
+        raise ValueError(
+            f"how must be inner|left|right|full|semi|anti: {how}")
+    if how in ("semi", "anti") and right_values:
+        raise ValueError("semi/anti joins emit left columns only — "
+                         "pass right_values=[]")
     lkeys = [key] if isinstance(key, str) else list(key)
     rkeys = (lkeys if right_key is None else
              [right_key] if isinstance(right_key, str) else list(right_key))
@@ -155,8 +162,22 @@ def hash_join(left_ds, right_ds, key: str | list[str],
         return arr, md5_u64le(pc.fill_null(arr, ""))
 
     def _tag(b: pa.Table, is_left: bool) -> pa.Table:
-        n = b.num_rows
         k_arr, bk = _key_of(b, lkeys if is_left else rkeys)
+        if not is_left and how in ("semi", "anti"):
+            # membership only needs each right key ONCE per block —
+            # map-side dedup bounds the shuffle at distinct keys; null
+            # right keys never match, drop them outright (also avoids
+            # the fill-null sentinel colliding with a real 0/"" key)
+            keyed = pc.cast(k_arr, key_type)
+            sel = np.flatnonzero(
+                pc.is_valid(keyed).to_numpy(zero_copy_only=False))
+            kv = keyed.take(pa.array(sel)).to_numpy(zero_copy_only=False)
+            _, idx = np.unique(kv, return_index=True)
+            pick = np.sort(sel[idx])
+            k_arr = keyed.take(pa.array(pick))
+            bk = bk[pick]
+            b = b.take(pa.array(pick))
+        n = b.num_rows
         cols = {"__b": pa.array(bk, type=pa.uint64()),
                 "__k": pc.cast(k_arr, key_type),
                 "__side": pa.array(np.full(n, np.int8(1 if is_left
@@ -201,7 +222,7 @@ def hash_join(left_ds, right_ds, key: str | list[str],
             hi = np.searchsorted(rcode, lcode, side="right")
             counts = hi - lo
             total = int(counts.sum())
-            if total:
+            if total and how not in ("semi", "anti"):
                 first = np.concatenate([[0], np.cumsum(counts)[:-1]])
                 rep = np.repeat(np.arange(len(lsel)), counts)
                 cand = (np.arange(total) - np.repeat(first, counts)
@@ -213,6 +234,19 @@ def hash_join(left_ds, right_ds, key: str | list[str],
                 for c in right_values:
                     cols[c] = t.column(c).take(ridx)
                 parts.append(pa.table(cols).cast(out_schema))
+        if how in ("semi", "anti"):
+            if how == "semi":  # EXISTS: lefts with a match, once each
+                sel = lsel[counts > 0] if len(lsel) else lsel
+            else:  # NOT EXISTS: no match — null-key lefts qualify too
+                sel = np.concatenate(
+                    [lsel[counts == 0] if len(lsel) else lsel,
+                     np.flatnonzero((side == 1) & ~valid)])
+            if not len(sel):
+                return None
+            lidx = pa.array(np.sort(sel))
+            return pa.table(
+                {c: t.column(c).take(lidx) for c in left_values}
+            ).cast(out_schema)
         if how in ("left", "full"):
             # unmatched valid-key lefts + null-key lefts, null right side
             unmatched = np.concatenate(
