@@ -370,6 +370,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values("doc_id")
                 .reset_index(drop=True))
 
+    def hot_user_event_pairs(sf):
+        # composite GROUP BY ... HAVING: (user, event_type) pairs with
+        # >= 15 events — duplicate detection / hot-key diagnostic
+        from verify_ray.pipelines.analytics import grouped_having_count
+
+        ev = _read(sf, "events", columns=["user_id", "event_type"])
+        ds = grouped_having_count(ev, ["user_id", "event_type"],
+                                  min_count=15, num_buckets=16)
+        return (ds.to_pandas()
+                .sort_values(["user_id", "event_type"])
+                .reset_index(drop=True))
+
     def users_per_event_type(sf):
         # exact COUNT(DISTINCT): distinct users per event type via
         # map-side distinct pairs + pair-keyed exchange (nothing
@@ -1168,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_conversion": conversion_q,
         "docs_per_source_cap": docs_per_source_cap,
         "users_per_event_type": users_per_event_type,
+        "hot_user_event_pairs": hot_user_event_pairs,
         "split_documents": split_docs,
         "vocab_encode": vocab_encode_q,
         "events_rolling_1h": rolling_q,
@@ -2351,6 +2364,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "hot_user_event_pairs": """
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type
+            HAVING COUNT(*) >= 15 ORDER BY user_id, event_type
         """,
         "split_documents": SPLIT_ORACLE,
         "vocab_encode": VOCAB_ENCODE_ORACLE,

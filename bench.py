@@ -118,7 +118,8 @@ def bench_queries() -> dict[str, float]:
              "docs_per_source_cap", "dedup_canonical",
              "users_per_event_type", "split_documents", "vocab_encode",
              "broadcast_join_orders", "signup_conversion",
-             "orphan_events_anti", "customers_with_events_semi"]
+             "orphan_events_anti", "customers_with_events_semi",
+             "hot_user_event_pairs"]
     out = {}
     for name in names:
         t0 = time.time()

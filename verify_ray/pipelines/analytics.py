@@ -554,3 +554,71 @@ def grouped_count_distinct(ds, group_col: str, value_col: str,
         "n": df.n.astype(np.int64)})
     return (out.sort_values(group_col, na_position="last")
             .reset_index(drop=True))
+
+
+def grouped_having_count(ds, group_cols: list[str], min_count: int = 2,
+                         num_buckets: int = 64):
+    """Multi-column ``GROUP BY ... HAVING COUNT(*) >= k`` — composite
+    duplicate detection ("these (a, b) pairs occur more than once")
+    and the HOT-KEY diagnostic for sizing shuffles (which keys would
+    flood a join/exchange bucket).  Returns a Dataset of the group
+    columns + ``n``.
+
+    Scale shape: each block collapses to its distinct combined keys
+    with partial counts (``np.unique`` map-side — a hot key leaves
+    each block as ONE row no matter its multiplicity), partials route
+    through a key-hashed exchange, buckets sum and filter.  Null group
+    values are kept as their own group (SQL GROUP BY), encoded with a
+    per-column validity flag so no string sentinel collides.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..kernels import as_array
+    from ..stages.exchange import grouped_exchange_ds
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    out_schema = pa.schema([(c, types[c]) for c in group_cols]
+                           + [("n", pa.int64())])
+
+    def _ckey(b: pa.Table):
+        arr = None
+        for g in group_cols:
+            col = as_array(b[g])
+            flag = pc.if_else(pc.is_null(col), pa.scalar("1"),
+                              pa.scalar("0"))
+            s = pc.binary_join_element_wise(
+                flag, pc.fill_null(pc.cast(col, pa.string()), ""), "\x1e")
+            arr = s if arr is None else pc.binary_join_element_wise(
+                arr, s, "\x1f")
+        return as_array(arr)
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = _ckey(b)
+        _, idx, cnt = np.unique(key.to_numpy(zero_copy_only=False),
+                                return_index=True, return_counts=True)
+        take = pa.array(idx)
+        key_u = key.take(take)
+        cols = {"__key": key_u,
+                "__b": pa.array(md5_u64le(key_u), type=pa.uint64()),
+                "n": pa.array(cnt.astype(np.int64))}
+        for g in group_cols:
+            cols[g] = as_array(b[g]).take(take)
+        return pa.table(cols)
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        karr = t.column("__key").to_numpy(zero_copy_only=False)
+        u, idx, inv = np.unique(karr, return_index=True,
+                                return_inverse=True)
+        tot = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, inv, t.column("n").to_numpy(zero_copy_only=False))
+        keep = tot >= min_count
+        if not keep.any():
+            return None
+        sel = pa.array(idx[keep])
+        cols = {g: t.column(g).take(sel) for g in group_cols}
+        cols["n"] = pa.array(tot[keep])
+        return pa.table(cols).cast(out_schema)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_exchange_ds(parts, "__b", num_buckets, reduce_bucket,
+                               empty_schema=out_schema)
