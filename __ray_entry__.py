@@ -392,6 +392,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = grouped_count_distinct(ev, "event_type", "user_id")
         return df.rename(columns={"n": "n_users"})
 
+    def docs_sample_per_lang(sf):
+        # deterministic "5 random docs per lang": md5-priority rank
+        # within group, first 5 survive — stable and nested in k
+        from verify_ray.pipelines.select import grouped_sample_k
+
+        docs = _read(sf, "documents", columns=["doc_id", "lang"])
+        ds = grouped_sample_k(docs, ["lang"], k=5, key_col="doc_id",
+                              values=["doc_id", "lang"], num_buckets=8)
+        return (ds.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
     def docs_per_source_cap(sf):
         # web-corpus "domain cap": at most 7 documents per
         # (source, lang) cell, first-k by doc_id (deterministic)
@@ -1179,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_events_semi": customers_with_events_semi,
         "signup_conversion": conversion_q,
         "docs_per_source_cap": docs_per_source_cap,
+        "docs_sample_per_lang": docs_sample_per_lang,
         "users_per_event_type": users_per_event_type,
         "hot_user_event_pairs": hot_user_event_pairs,
         "split_documents": split_docs,
@@ -2364,6 +2376,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "docs_sample_per_lang": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                       md5_number_upper(CAST(doc_id AS VARCHAR)),
+                       doc_id) AS rn
+              FROM documents
+              WHERE doc_id IS NOT NULL AND lang IS NOT NULL)
+            WHERE rn <= 5 ORDER BY doc_id
         """,
         "hot_user_event_pairs": """
             SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n

@@ -97,3 +97,29 @@ def test_driver_query_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         mine.astype({"doc_id": "int64"}),
         orc.astype({"doc_id": "int64"}), check_dtype=False)
+
+
+def test_grouped_sample_k_nested_and_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as e
+    from verify_ray.pipelines.select import grouped_sample_k
+
+    sf = "/root/testdata/sf0.001"
+    mine = (e.queries()["docs_sample_per_lang"](sf)
+            .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = con.execute(e.oracle_sql()["docs_sample_per_lang"]).df()
+    assert mine.doc_id.tolist() == orc.doc_id.tolist()
+    assert mine.lang.tolist() == orc.lang.tolist()
+    # nesting: the k=3 sample is a subset of the k=5 sample
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(f"{sf}/documents.parquet",
+                       columns=["doc_id", "lang"])
+    small = (grouped_sample_k(rd.from_arrow(t), ["lang"], k=3)
+             .to_pandas())
+    assert set(small.doc_id).issubset(set(mine.doc_id))

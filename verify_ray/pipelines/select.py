@@ -286,3 +286,38 @@ def exact_quantiles(ds, col: str, qs_permille: list[int]
             out_v.append(int(vals[min(i, len(vals) - 1)]))
     return pa.table({"q": pa.array(out_q, type=pa.int64()),
                      "value": pa.array(out_v, type=pa.int64())})
+
+
+def grouped_sample_k(ds, group_cols: list[str], k: int,
+                     key_col: str = "doc_id",
+                     values: list[str] | None = None,
+                     num_buckets: int = 64):
+    """Deterministic per-group k-sample — "k random docs per source"
+    with the repo's content-addressed stability guarantees: rows are
+    ranked within their group by the md5 priority of their key
+    (``md5_number_upper(key)``, ties by key) and the first k survive.
+    Because the priority is a pure function of the key, the sample is
+    stable across runs/engines/parallelism and NESTED in k (k=5 ⊆
+    k=10), and it reuses ``grouped_head``'s exchange + map-side
+    pre-cap unchanged — the priority column is just a different order
+    key.  SQL parity: ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY
+    md5_number_upper(CAST(key AS VARCHAR)), key) <= k``.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+
+    vals = values if values is not None else [key_col] + group_cols
+
+    def add_priority(b: pa.Table) -> pa.Table:
+        keys = pc.cast(b[key_col], pa.string())
+        pri = md5_u64le(pc.fill_null(keys, ""))
+        # order-preserving u64 -> i64 remap (xor the sign bit, then
+        # reinterpret) so grouped_head's int64 order column ranks
+        # exactly like DuckDB's UBIGINT md5_number_upper order
+        as_i64 = (pri ^ np.uint64(1 << 63)).view(np.int64)
+        return b.append_column("__pri", pa.array(as_i64))
+
+    tagged = ds.map_batches(add_priority, batch_format="pyarrow")
+    return grouped_head(tagged, group_cols, k, order_col="__pri",
+                        values=vals, num_buckets=num_buckets)
