@@ -20,13 +20,17 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, filter=None):
+    """Projected (and optionally predicate-pushed) parquet read:
+    ``columns`` prunes at the scan; ``filter`` (a pyarrow expression)
+    prunes row groups BEFORE rows leave storage — at 100 TB a
+    post-read filter pays full scan bandwidth for rows it discards."""
     import os
 
     import ray.data as rd
 
     path = f"{sf_dir}/{table}.parquet"
-    kw = {}
+    kw = {} if filter is None else {"filter": filter}
     # block sizing: Ray defaults to ~2x CPUs blocks regardless of input
     # size, so a 1MB table becomes 64 near-empty blocks and every
     # downstream stage pays 64 task launches (~0.5s of pure overhead).
@@ -289,23 +293,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from verify_ray.pipelines.joins import range_join
 
         day_us = 86_400_000_000
-        ev = _read(sf, "events",
-                   columns=["event_id", "user_id", "ts", "event_type"])
+        # predicate pushed to the scan: only error/purchase row groups
+        # leave storage (the post-read filter would pay full bandwidth)
+        errs = _read(sf, "events", columns=["event_id", "user_id", "ts"],
+                     filter=(pc.field("event_type") == "error"))
+        purch = _read(sf, "events",
+                      columns=["event_id", "user_id", "ts"],
+                      filter=(pc.field("event_type") == "purchase"))
 
-        def points_fn(b):
-            t = b.filter(pc.equal(b["event_type"], "error"))
+        def points_fn(t):
             return pa.table({"err_event_id": t["event_id"],
                              "user_id": t["user_id"], "ts": t["ts"]})
 
-        def iv_fn(b):
-            t = b.filter(pc.equal(b["event_type"], "purchase"))
+        def iv_fn(t):
             s = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
             return pa.table({"purch_event_id": t["event_id"],
                              "u": t["user_id"], "w_start": s,
                              "w_end": pc.add(s, day_us)})
 
-        pts = ev.map_batches(points_fn, batch_format="pyarrow")
-        ivs = ev.map_batches(iv_fn, batch_format="pyarrow")
+        pts = errs.map_batches(points_fn, batch_format="pyarrow")
+        ivs = purch.map_batches(iv_fn, batch_format="pyarrow")
         ds = range_join(pts, ivs, key="user_id", point_ts="ts",
                         interval_start="w_start", interval_end="w_end",
                         point_values=["err_event_id", "user_id"],
@@ -426,10 +433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from verify_ray.pipelines.joins import hash_join
 
         ev = _read(sf, "events", columns=["event_id", "user_id"])
-        cust = (_read(sf, "customer", columns=["c_custkey"])
-                .map_batches(lambda b: b.filter(
-                    pc.less(b["c_custkey"], 10)),
-                    batch_format="pyarrow"))
+        cust = _read(sf, "customer", columns=["c_custkey"],
+                     filter=(pc.field("c_custkey") < 10))
         ds = hash_join(ev, cust, key="user_id",
                        left_values=["event_id", "user_id"],
                        right_values=[], right_key="c_custkey",
@@ -488,23 +493,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from verify_ray.pipelines.joins import range_join
 
         week_us = 7 * 86_400_000_000
-        ev = _read(sf, "events",
-                   columns=["event_id", "user_id", "ts", "event_type"])
+        purch = _read(sf, "events",
+                      columns=["event_id", "user_id", "ts"],
+                      filter=(pc.field("event_type") == "purchase"))
+        sign = _read(sf, "events", columns=["event_id", "user_id", "ts"],
+                     filter=(pc.field("event_type") == "signup"))
 
-        def points_fn(b):
-            t = b.filter(pc.equal(b["event_type"], "purchase"))
+        def points_fn(t):
             return pa.table({"p_event_id": t["event_id"],
                              "user_id": t["user_id"], "ts": t["ts"]})
 
-        def iv_fn(b):
-            t = b.filter(pc.equal(b["event_type"], "signup"))
+        def iv_fn(t):
             s = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
             return pa.table({"s_event_id": t["event_id"],
                              "u": t["user_id"], "w_start": s,
                              "w_end": pc.add(s, week_us)})
 
-        pts = ev.map_batches(points_fn, batch_format="pyarrow")
-        ivs = ev.map_batches(iv_fn, batch_format="pyarrow")
+        pts = purch.map_batches(points_fn, batch_format="pyarrow")
+        ivs = sign.map_batches(iv_fn, batch_format="pyarrow")
         joined = range_join(pts, ivs, key="user_id", point_ts="ts",
                             interval_start="w_start",
                             interval_end="w_end",
