@@ -82,10 +82,18 @@ def stratified_hash_sample(ds, rates: dict, group_col: str = "source",
     default_thr = int(round(default_rate * GRANULARITY))
 
     def filt(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
         bk = _hash_buckets(pc.cast(b[key_col], pa.string()))
-        groups = b[group_col].to_pylist()
-        thr = np.fromiter((thresholds.get(g, default_thr) for g in groups),
-                          dtype=np.int64, count=len(groups))
+        # per-group threshold via factorize: Python touches only the
+        # batch's UNIQUE groups, not every row (100-TB sampling path)
+        codes, uniques = pd.factorize(
+            pd.Series(b[group_col].to_numpy(zero_copy_only=False)),
+            use_na_sentinel=False)
+        thr_u = np.fromiter(
+            (thresholds.get(u, default_thr) for u in uniques),
+            dtype=np.int64, count=len(uniques))
+        thr = thr_u[codes]
         return b.filter(pa.array((bk >= 0) & (bk < thr)))
 
     return ds.map_batches(filt, batch_format="pyarrow")
