@@ -520,6 +520,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         joined = joined.add_column(
             "kind", lambda b: ["converted"] * len(b))
         df = grouped_count_distinct(joined, "kind", "user_id")
+        if len(df) == 0:
+            # SQL's ungrouped aggregate always yields one row — match
+            # it when there are zero conversions
+            df = pd.DataFrame({"kind": ["converted"], "n": [0]})
         return df.rename(columns={"n": "n_users"})
 
     def rolling_q(sf):

@@ -123,3 +123,23 @@ def test_grouped_sample_k_nested_and_oracle(ray_session):
     small = (grouped_sample_k(rd.from_arrow(t), ["lang"], k=3)
              .to_pandas())
     assert set(small.doc_id).issubset(set(mine.doc_id))
+
+
+def test_float_order_column_rejected(ray_session):
+    from verify_ray.pipelines.select import grouped_head
+
+    df = pd.DataFrame({"g": ["x", "x"], "score": [2.0, 10.0],
+                       "rid": [0, 1]})
+    with pytest.raises(Exception, match="unsupported"):
+        grouped_head(_ds(df), ["g"], k=1, order_col="score",
+                     values=["rid"], num_buckets=2).to_pandas()
+
+
+def test_sample_k_drops_null_keys(ray_session):
+    from verify_ray.pipelines.select import grouped_sample_k
+
+    df = pd.DataFrame({"doc_id": pd.array([1, 2, None, None],
+                                          dtype="Int64"),
+                       "lang": ["en"] * 4})
+    out = grouped_sample_k(_ds(df), ["lang"], k=10).to_pandas()
+    assert sorted(out.doc_id.astype(int)) == [1, 2]

@@ -250,3 +250,15 @@ def test_semi_anti_reject_right_values(ray_session):
     with pytest.raises(ValueError, match="left columns only"):
         _run(left, right, key="k", left_values=["lid"],
              right_values=["v"], how="semi")
+
+
+def test_mixed_int_string_key_types_bucket_together(ray_session):
+    # int left key joined to digit-string right key: both sides must
+    # bucket under the SHARED key type or matches silently vanish
+    left = pd.DataFrame({"k": pd.array([1, 2, 3], dtype="Int64"),
+                         "lid": [0, 1, 2]})
+    right = pd.DataFrame({"k": ["1", "3", "9"], "val": [10, 30, 90]})
+    got = _run(left, right, key="k", left_values=["lid"],
+               right_values=["val"], num_buckets=8)
+    assert sorted(zip(got.lid.astype(int), got.val.astype(int))) == \
+        [(0, 10), (2, 30)]

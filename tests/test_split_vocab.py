@@ -87,3 +87,17 @@ def test_driver_query_matches_oracle(ray_session, name, table):
         else:
             assert np.array_equal(mine[c].to_numpy(np.int64),
                                   orc[c].to_numpy(np.int64)), c
+
+
+def test_encode_null_text_does_not_poison_block(ray_session):
+    from verify_ray.pipelines.tokenize import (build_vocab,
+                                               encode_with_vocab)
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a b", None, "a a"]})
+    vocab = build_vocab(_ds(df.dropna()), size=2)
+    enc = (encode_with_vocab(_ds(df), vocab).to_pandas()
+           .set_index("doc_id"))
+    assert 2 not in enc.index  # null text dropped
+    # rows AFTER the null keep exact offsets: doc 3 = a a -> 1*1 + 2*1
+    assert enc.loc[3, "checksum"] == 3 and enc.loc[3, "n_tok"] == 2

@@ -1072,15 +1072,12 @@ def ngram_jaccard_pairs(ds, candidate_pairs, text_col: str = "text",
 def _distinct_word_count(batch: pa.Table, text_col: str) -> np.ndarray:
     """Vectorized distinct-whitespace-word count per row — the default
     canonical score (SQL parity:
-    ``len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))``)."""
-    import pyarrow.compute as pc
+    ``len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))``).
+    Splitting shares tokenize._split_words so the whitespace contract
+    lives in ONE place."""
+    from .tokenize import _split_words
 
-    from ..kernels import as_array
-
-    toks = as_array(pc.split_pattern_regex(
-        pc.utf8_trim_whitespace(batch[text_col]), r"\s+"))
-    words = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
-    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    words, parents, _ = _split_words(batch, text_col)
     _, codes = np.unique(words, return_inverse=True)
     pair = parents.astype(np.int64) * (codes.max() + 1 if len(codes)
                                        else 1) + codes
@@ -1125,11 +1122,12 @@ def canonical_filter(ds, groups: pd.DataFrame, id_col: str = "doc_id",
     member_ref = ray.put(member)
 
     def score_members(b: pa.Table) -> pa.Table:
+        from ..functions.lookup import sorted_lookup
+
         mem = ray.get(member_ref)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(mem, ids)
-        pos[pos == len(mem)] = 0
-        sel = b.filter(pa.array(mem[pos] == ids))
+        hit, _ = sorted_lookup(mem, ids)
+        sel = b.filter(pa.array(hit))
         if sel.num_rows == 0:
             return pa.table({id_col: pa.array([], type=pa.int64()),
                              "score": pa.array([], type=pa.int64())})
@@ -1145,12 +1143,13 @@ def canonical_filter(ds, groups: pd.DataFrame, id_col: str = "doc_id",
     losers_ref = ray.put(np.sort(losers))
 
     def drop_losers(b: pa.Table) -> pa.Table:
+        from ..functions.lookup import sorted_lookup
+
         lose = ray.get(losers_ref)
         if len(lose) == 0:
             return b
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(lose, ids)
-        pos[pos == len(lose)] = 0
-        return b.filter(pa.array(lose[pos] != ids))
+        hit, _ = sorted_lookup(lose, ids)
+        return b.filter(pa.array(~hit))
 
     return ds.map_batches(drop_losers, batch_format="pyarrow")

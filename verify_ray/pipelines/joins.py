@@ -154,7 +154,12 @@ def hash_join(left_ds, right_ds, key: str | list[str],
 
     def _key_of(b: pa.Table, keys: list[str]):
         if len(keys) == 1:
-            return _key_arrays(b[keys[0]])
+            # bucket by the SHARED key_type, not the side's native
+            # type: an int left key joined to a digit-string right key
+            # must hash identically on both sides (raw value for int64,
+            # md5 for string) or matching keys land in different
+            # buckets and the join silently returns nothing
+            return _key_arrays(pc.cast(as_array(b[keys[0]]), key_type))
         arr = pc.cast(as_array(b[keys[0]]), pa.string())
         for kk in keys[1:]:
             arr = pc.binary_join_element_wise(
@@ -546,13 +551,13 @@ def broadcast_join(ds, small: pa.Table, key: str, values: list[str],
         skeys, pay = ray.get(side_ref)
         k = as_array(b[key])
         k = pc.cast(k, pa.int64() if is_int else pa.string())
+        from ..functions.lookup import sorted_lookup
+
         valid = pc.is_valid(k).to_numpy(zero_copy_only=False)
         kv = pc.fill_null(k, 0 if is_int else "").to_numpy(
             zero_copy_only=False)
-        pos = np.searchsorted(skeys, kv)
-        pos[pos == len(skeys)] = 0
-        hit = (valid & (skeys[pos] == kv) if len(skeys)
-               else np.zeros(len(kv), dtype=bool))
+        in_dim, pos = sorted_lookup(skeys, kv)
+        hit = valid & in_dim
         if how == "inner":
             sel = np.flatnonzero(hit)
             out = b.take(pa.array(sel))

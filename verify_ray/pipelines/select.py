@@ -244,9 +244,18 @@ def grouped_head(ds, group_cols: list[str], k: int, order_col: str,
         o = as_array(b[order_col])
         if pa.types.is_timestamp(o.type):
             o = pc.cast(o, pa.timestamp("us"))
-        o = pc.cast(o, pa.int64() if (pa.types.is_integer(o.type)
-                                      or pa.types.is_timestamp(o.type))
-                    else pa.string())
+        if pa.types.is_integer(o.type) or pa.types.is_timestamp(o.type):
+            o = pc.cast(o, pa.int64())
+        elif pa.types.is_string(o.type) or pa.types.is_large_string(
+                o.type):
+            pass  # lexicographic order is the contract for strings
+        else:
+            # a float (or other) order column cast to string would rank
+            # lexicographically ("10.0" < "2.0") and silently keep the
+            # wrong rows — refuse instead (repo policy: integer scores)
+            raise ValueError(
+                f"grouped_head order_col {order_col!r} has unsupported "
+                f"type {o.type}; use int, timestamp, or string")
         cols = {"__b": pa.array(md5_u64le(key), type=pa.uint64()),
                 "__g": key, "__o": o}
         for c in values:
@@ -301,7 +310,12 @@ def grouped_sample_k(ds, group_cols: list[str], k: int,
     k=10), and it reuses ``grouped_head``'s exchange + map-side
     pre-cap unchanged — the priority column is just a different order
     key.  SQL parity: ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY
-    md5_number_upper(CAST(key AS VARCHAR)), key) <= k``.
+    md5_number_upper(CAST(key AS VARCHAR))) <= k``.
+
+    Contract: ``key_col`` values must be unique and non-null — null
+    keys are dropped (they have no md5 priority; SQL parity filters
+    them), and an md5 collision between two keys (~n²/2⁶⁴) would
+    tie-break arbitrarily rather than "by key".
     """
     import pyarrow.compute as pc
 
@@ -310,8 +324,9 @@ def grouped_sample_k(ds, group_cols: list[str], k: int,
     vals = values if values is not None else [key_col] + group_cols
 
     def add_priority(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[key_col]))  # null keys: no priority
         keys = pc.cast(b[key_col], pa.string())
-        pri = md5_u64le(pc.fill_null(keys, ""))
+        pri = md5_u64le(keys)
         # order-preserving u64 -> i64 remap (xor the sign bit, then
         # reinterpret) so grouped_head's int64 order column ranks
         # exactly like DuckDB's UBIGINT md5_number_upper order

@@ -224,13 +224,17 @@ def encode_with_vocab(ds, vocab: pa.Table, text_col: str = "text",
     vocab_ref = ray.put((words_sorted, ids_sorted))
 
     def encode(b: pa.Table) -> pa.Table:
+        # null text rows are dropped (SQL WHERE text IS NOT NULL
+        # parity) — a null's list length is NaN, and NaN -> int64
+        # would poison the cumsum start offsets of every LATER row
+        b = b.filter(pc.is_valid(b[text_col]))
         vw, vi = ray.get(vocab_ref)
         words, parents, lens = _split_words(b, text_col)
+        from ..functions.lookup import sorted_lookup
+
         ids = np.zeros(len(words), dtype=np.int64)
-        if len(vw) and len(words):
-            pos = np.searchsorted(vw, words)
-            pos[pos == len(vw)] = 0
-            hit = vw[pos] == words
+        if len(words):
+            hit, pos = sorted_lookup(vw, words)
             ids[hit] = vi[pos[hit]]
         # 1-based position within each row: global arange minus the
         # row's start offset
