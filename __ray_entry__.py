@@ -485,6 +485,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .sort_values(["c_custkey", "event_id"])
                 .reset_index(drop=True))
 
+    def funnel_q(sf):
+        # 3-step funnel: signup -> click -> purchase, each step within
+        # 7 days of the previous step's matched event
+        from verify_ray.pipelines.sessions import funnel_counts
+
+        ev = _read(sf, "events",
+                   columns=["user_id", "ts", "event_type"])
+        return funnel_counts(ev, ["signup", "click", "purchase"],
+                             within_us=7 * 86_400_000_000)
+
     def conversion_q(sf):
         # operator COMPOSITION: signup -> purchase conversion within
         # 7 days = range_join (purchases inside each signup's window)
@@ -1199,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orphan_events_anti": orphan_events_anti,
         "customers_with_events_semi": customers_with_events_semi,
         "signup_conversion": conversion_q,
+        "events_funnel": funnel_q,
         "docs_per_source_cap": docs_per_source_cap,
         "docs_sample_per_lang": docs_sample_per_lang,
         "users_per_event_type": users_per_event_type,
@@ -2373,6 +2384,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM events e
                           WHERE e.user_id = c.c_custkey)
             ORDER BY c_custkey
+        """,
+        "events_funnel": """
+            WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+                 s1 AS (SELECT e.user_id, MIN(e.ts) AS t
+                        FROM events e JOIN s0 USING (user_id)
+                        WHERE e.event_type = 'click' AND e.ts >= s0.t
+                          AND e.ts <= s0.t + INTERVAL 7 DAY
+                        GROUP BY e.user_id),
+                 s2 AS (SELECT e.user_id, MIN(e.ts) AS t
+                        FROM events e JOIN s1 USING (user_id)
+                        WHERE e.event_type = 'purchase' AND e.ts >= s1.t
+                          AND e.ts <= s1.t + INTERVAL 7 DAY
+                        GROUP BY e.user_id)
+            SELECT 0 AS step_idx, 'signup' AS step,
+                   CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+            UNION ALL SELECT 1, 'click', COUNT(*) FROM s1
+            UNION ALL SELECT 2, 'purchase', COUNT(*) FROM s2
+            ORDER BY step_idx
         """,
         "signup_conversion": """
             SELECT 'converted' AS kind,

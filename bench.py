@@ -119,7 +119,8 @@ def bench_queries() -> dict[str, float]:
              "users_per_event_type", "split_documents", "vocab_encode",
              "broadcast_join_orders", "signup_conversion",
              "orphan_events_anti", "customers_with_events_semi",
-             "hot_user_event_pairs", "docs_sample_per_lang"]
+             "hot_user_event_pairs", "docs_sample_per_lang",
+             "events_funnel"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -106,3 +106,107 @@ SELECT user_id, MIN(ts) AS session_start,
 FROM sessions GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
+
+
+def funnel_counts(events_ds, steps: list[str], within_us: int,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  rows_per_bucket: int = 2_000_000) -> pd.DataFrame:
+    """K-step conversion funnel — how many users progress through
+    ``steps`` where each step must occur within ``within_us`` of the
+    PREVIOUS step's matched event:
+
+        t0(u) = MIN(ts | type = steps[0])
+        ti(u) = MIN(ts | type = steps[i],
+                    t_{i-1}(u) <= ts <= t_{i-1}(u) + within_us)
+
+    Returns (step_idx, step, n_users) rows in step order (a user counts
+    for step i iff ti(u) exists).
+
+    Distributed shape: only events whose type IS a funnel step ship,
+    as (user int64, ts int64, step int8) triples, through the same
+    user-keyed bucket exchange as ``sessionize``.  Inside a bucket each
+    step level resolves for ALL users at once: step-i events sort once
+    by (user, ts) and every surviving user's threshold finds its first
+    at-or-after event via ``joins.rank_into`` (one merged lexsort) —
+    no per-user dispatch, no per-step shuffle.  Integer user ids only
+    (the rank primitive compares codes numerically).
+    """
+    import ray
+
+    from ..stages.exchange import grouped_exchange
+    from .joins import _ts_i64, rank_into
+
+    n_rows = events_ds.count()
+    min_parallel = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    num_buckets = max(min_parallel,
+                      int(np.ceil(n_rows / max(rows_per_bucket, 1))))
+
+    def tag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(b[type_col],
+                        value_set=pa.array(steps, type=pa.string()))
+        mask = pc.and_(mask, pc.is_valid(b[user_col]))
+        mask = pc.and_(mask, pc.is_valid(b[ts_col]))
+        t = b.filter(mask)
+        uid = pc.cast(t[user_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        si = (pc.index_in(t[type_col],
+                          value_set=pa.array(steps, type=pa.string()))
+              .to_numpy(zero_copy_only=False).astype(np.int8))
+        h = pd.util.hash_array(uid)
+        return pa.table({
+            "bucket": pa.array((h % np.uint64(num_buckets))
+                               .astype(np.int64)),
+            "u": pa.array(uid),
+            "t": _ts_i64(t[ts_col]),
+            "s": pa.array(si)})
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        sidx = t.column("s").to_numpy(zero_copy_only=False)
+        counts = np.zeros(len(steps), dtype=np.int64)
+        m0 = sidx == 0
+        if m0.any():
+            u0, t0v = u[m0], ts[m0]
+            o = np.lexsort((t0v, u0))
+            u0, t0v = u0[o], t0v[o]
+            first = np.ones(len(u0), dtype=bool)
+            first[1:] = u0[1:] != u0[:-1]
+            cur_u, cur_t = u0[first], t0v[first]
+            counts[0] = len(cur_u)
+            for i in range(1, len(steps)):
+                if not len(cur_u):
+                    break
+                mi = sidx == i
+                ui, ti_ = u[mi], ts[mi]
+                oi = np.lexsort((ti_, ui))
+                ui, ti_ = ui[oi], ti_[oi]
+                if not len(ui):
+                    break
+                idx = rank_into(ui, ti_, cur_u, cur_t,
+                                queries_first=True)
+                ok = idx < len(ui)
+                at = np.minimum(idx, len(ui) - 1)
+                good = ok & (ui[at] == cur_u) & \
+                    (ti_[at] <= cur_t + within_us)
+                cur_u, cur_t = cur_u[good], ti_[at][good]
+                counts[i] = len(cur_u)
+        return pa.table({"si": pa.array(np.arange(len(steps),
+                                                  dtype=np.int64)),
+                         "n": pa.array(counts)})
+
+    tagged = (events_ds.select_columns([user_col, ts_col, type_col])
+              .map_batches(tag, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "bucket", num_buckets, bucket_counts)
+    if res is None:
+        totals = np.zeros(len(steps), dtype=np.int64)
+    else:
+        df = res.to_pandas().groupby("si")["n"].sum()
+        totals = df.reindex(range(len(steps)), fill_value=0).to_numpy()
+    return pd.DataFrame({
+        "step_idx": np.arange(len(steps), dtype=np.int64),
+        "step": steps,
+        "n_users": totals.astype(np.int64)})
