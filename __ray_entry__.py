@@ -485,6 +485,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .sort_values(["c_custkey", "event_id"])
                 .reset_index(drop=True))
 
+    def cohort_retention_q(sf):
+        # classic cohort retention matrix, composed ENTIRELY from
+        # existing operators: per-user first-event week (grouped_head
+        # k=1) -> big-big hash_join back onto the event stream ->
+        # exact distinct-user count per (cohort_week, active_week).
+        # Weeks are integer epoch-microsecond divisions (exact on both
+        # engines; date_trunc week-start conventions never enter).
+        from verify_ray.pipelines.analytics import grouped_count_distinct
+        from verify_ray.pipelines.joins import hash_join
+        from verify_ray.pipelines.select import grouped_head
+
+        week_us = 7 * 86_400_000_000
+        ev = _read(sf, "events", columns=["user_id", "ts"])
+
+        def to_us(b):
+            return pa.table({
+                "user_id": b["user_id"],
+                "ts_us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                                 pa.int64())})
+
+        ev_us = ev.map_batches(to_us, batch_format="pyarrow")
+        first = grouped_head(ev_us, ["user_id"], k=1, order_col="ts_us",
+                             values=["user_id", "ts_us"], num_buckets=16)
+        first = first.map_batches(
+            lambda b: pa.table({
+                "u": b["user_id"],
+                "cohort_w": pc.divide(b["ts_us"],
+                                      pa.scalar(week_us))}),
+            batch_format="pyarrow")
+        joined = hash_join(ev_us, first, key="user_id",
+                           left_values=["user_id", "ts_us"],
+                           right_values=["cohort_w"], right_key="u",
+                           num_buckets=16)
+
+        def pair_key(b):
+            aw = pc.divide(b["ts_us"], pa.scalar(week_us))
+            key = pc.binary_join_element_wise(
+                pc.cast(b["cohort_w"], pa.string()),
+                pc.cast(aw, pa.string()), ":")
+            return pa.table({"pair": key, "user_id": b["user_id"]})
+
+        pairs = joined.map_batches(pair_key, batch_format="pyarrow")
+        df = grouped_count_distinct(pairs, "pair", "user_id",
+                                    num_buckets=16)
+        parts = df["pair"].str.split(":", expand=True).astype("int64")
+        out = pd.DataFrame({"cohort_week": parts[0],
+                            "active_week": parts[1],
+                            "n_users": df.n.astype("int64")})
+        return (out.sort_values(["cohort_week", "active_week"])
+                .reset_index(drop=True))
+
     def funnel_q(sf):
         # 3-step funnel: signup -> click -> purchase, each step within
         # 7 days of the previous step's matched event
@@ -1210,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_events_semi": customers_with_events_semi,
         "signup_conversion": conversion_q,
         "events_funnel": funnel_q,
+        "cohort_retention": cohort_retention_q,
         "docs_per_source_cap": docs_per_source_cap,
         "docs_sample_per_lang": docs_sample_per_lang,
         "users_per_event_type": users_per_event_type,
@@ -2384,6 +2436,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM events e
                           WHERE e.user_id = c.c_custkey)
             ORDER BY c_custkey
+        """,
+        "cohort_retention": """
+            WITH f AS (SELECT user_id,
+                              MIN(epoch_us(ts)) // 604800000000 AS cw
+                       FROM events GROUP BY user_id),
+                 j AS (SELECT e.user_id, f.cw,
+                              epoch_us(e.ts) // 604800000000 AS aw
+                       FROM events e JOIN f USING (user_id))
+            SELECT cw AS cohort_week, aw AS active_week,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM j GROUP BY cw, aw ORDER BY cohort_week, active_week
         """,
         "events_funnel": """
             WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events

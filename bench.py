@@ -120,7 +120,7 @@ def bench_queries() -> dict[str, float]:
              "broadcast_join_orders", "signup_conversion",
              "orphan_events_anti", "customers_with_events_semi",
              "hot_user_event_pairs", "docs_sample_per_lang",
-             "events_funnel"]
+             "events_funnel", "cohort_retention"]
     out = {}
     for name in names:
         t0 = time.time()

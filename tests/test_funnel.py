@@ -69,3 +69,17 @@ def test_driver_query_matches_oracle(ray_session):
         # funnel must be non-trivial and monotone non-increasing
         n = mine.n_users.to_numpy()
         assert n[0] > 0 and np.all(np.diff(n) <= 0)
+
+
+def test_cohort_retention_matches_oracle(ray_session):
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    mine = e.queries()["cohort_retention"](sf).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = con.execute(e.oracle_sql()["cohort_retention"]).df()
+    assert list(mine.columns) == list(orc.columns)
+    assert np.array_equal(mine.values.astype("int64"),
+                          orc.values.astype("int64"))
