@@ -78,3 +78,31 @@ def test_duckdb_window_parity(ray_session):
                     AS BIGINT) AS pos
         FROM k ORDER BY doc_id""").df().astype("int64")
     pd.testing.assert_frame_equal(out, sql)
+
+
+def test_epoch_readers_disjoint_and_complete(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from verify_ray.pipelines.shuffle import epoch_readers
+
+    ds = rd.from_arrow(pa.table({
+        "x": pa.array(range(1000), type=pa.int64())})).repartition(8)
+    readers = epoch_readers(ds, 3)
+    # streaming_split readers BARRIER across consumers: they must be
+    # consumed CONCURRENTLY (sequential consumption deadlocks)
+    import threading
+
+    chunks = [[] for _ in readers]
+
+    def drain(i, r):
+        for b in r.iter_batches(batch_format="pyarrow"):
+            chunks[i].extend(b["x"].to_pylist())
+
+    threads = [threading.Thread(target=drain, args=(i, r))
+               for i, r in enumerate(readers)]
+    [t.start() for t in threads]
+    [t.join(timeout=120) for t in threads]
+    assert all(not t.is_alive() for t in threads)
+    seen = [x for c in chunks for x in c]
+    assert sorted(seen) == list(range(1000))  # disjoint AND complete

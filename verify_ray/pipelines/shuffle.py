@@ -73,3 +73,28 @@ def shard_layout(ds, n_shards: int, key_col: str = "doc_id"):
     schema = schema.append(pa.field("pos", pa.int64()))
     return grouped_exchange_ds(keyed, "shard", n_shards, per_shard,
                                empty_schema=schema, drop_bucket=False)
+
+
+def epoch_readers(ds, n_consumers: int, equal: bool = False,
+                  locality_hints=None):
+    """Split a (typically ``shard_layout``-ordered) Dataset into
+    ``n_consumers`` disjoint streaming iterators — the Ray-native
+    training-ingest fan-out: each trainer worker consumes ONE reader
+    with backpressure, no worker sees another's rows, and together
+    they cover the dataset exactly once per epoch.
+
+    Thin, deliberate wrapper over ``Dataset.streaming_split`` so the
+    ingest contract is pinned here: ``equal=False`` preserves every
+    row (the correctness default — the last reader may get fewer);
+    ``equal=True`` equalizes per-consumer row counts by DROPPING the
+    remainder, which data-parallel trainers need for synchronized
+    step counts — choose it explicitly.  Pass ``locality_hints``
+    (actor handles) so each split prefers blocks co-located with its
+    consumer at multi-node scale.
+
+    CONSUMPTION CONTRACT: the readers barrier on each other — every
+    reader must be consumed CONCURRENTLY (one per trainer worker /
+    thread).  Draining them sequentially in one thread deadlocks.
+    """
+    return ds.streaming_split(n_consumers, equal=equal,
+                              locality_hints=locality_hints)
