@@ -779,6 +779,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .astype({"score": "int64", "n_less": "int64",
                          "n_group": "int64"}))
 
+    def global_rank_q(sf):
+        # corpus-wide exact ROW_NUMBER() OVER (ORDER BY n_chars,
+        # doc_id) with NO global sort: a value-count pass fixes every
+        # score's global base offset, then a score-keyed exchange
+        # ranks each score class internally — curriculum ordering /
+        # reproducible corpus ordering primitive
+        from verify_ray.pipelines.select import global_rank
+
+        docs = _read(sf, "documents", columns=["doc_id", "n_chars"])
+        out = global_rank(docs, "n_chars", "doc_id",
+                          values=["doc_id", "n_chars"], num_buckets=16)
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
+    def user_histories_q(sf):
+        # per-user ordered event-type sequence (SASRec-style training
+        # rows): one lexsort + zero-copy ListArray + binary_join per
+        # bucket; SQL parity = string_agg(... ORDER BY ts, event_id)
+        from verify_ray.pipelines.sessions import user_histories
+
+        out = user_histories(_read(sf, "events"))
+        return (out.to_pandas().sort_values("user_id")
+                .reset_index(drop=True))
+
+    def resample_mix_q(sf):
+        # domain-reweighting: down-sample each lang to its target
+        # mixture count (md5-priority survivors; exact integer
+        # arithmetic restated in the oracle)
+        from verify_ray.pipelines.sample import resample_to_mix
+
+        docs = _read(sf, "documents", columns=["doc_id", "lang"])
+        out = resample_to_mix(docs, _MIX_WEIGHTS, _MIX_TOTAL,
+                              group_col="lang", num_buckets=8)
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
     def dataset_diff_q(sf):
         # incremental-ingest delta: ref = documents; cur = documents
         # minus ids %97==0, texts of ids %101==0 modified (+' v2'),
@@ -1242,6 +1278,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": cdc_chunks_q,
         "validate_delta": validate_delta_q,
         "percentile_rank": percentile_rank_q,
+        "docs_global_rank": global_rank_q,
+        "user_histories": user_histories_q,
+        "resample_mix": resample_mix_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "pack_sequences_streaming": pack_seqs_streaming,
@@ -1977,6 +2016,46 @@ FROM grams, bl ORDER BY doc_id
 
 # select.grouped_percentile_rank: n_less == RANK()-1 (strict-smaller
 # count), n_group == group size; null lang/n_chars rows dropped
+GLOBAL_RANK_ORACLE = """
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+         AS rank
+FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+ORDER BY doc_id
+"""
+
+USER_HISTORIES_ORACLE = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS history
+FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  AND event_id IS NOT NULL AND event_type IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+# mixture-resampling parameters shared by the query and its oracle —
+# k_g = LEAST(count_g, w_g * TOTAL // W_SUM), survivors by md5 priority
+_MIX_WEIGHTS = {"en": 1, "de": 2, "fr": 3, "zh": 1, "es": 1}
+_MIX_TOTAL = 150
+_MIX_W_SUM = sum(_MIX_WEIGHTS.values())
+RESAMPLE_MIX_ORACLE = f"""
+WITH w(lang, wt) AS (VALUES {", ".join(
+    f"('{g}', {w})" for g, w in _MIX_WEIGHTS.items())}),
+tgt AS (SELECT d.lang,
+               LEAST(COUNT(*), w.wt * {_MIX_TOTAL} // {_MIX_W_SUM}) AS k
+        FROM documents d JOIN w ON d.lang = w.lang
+        GROUP BY d.lang, w.wt),
+r AS (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rn
+      FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL)
+SELECT r.doc_id, r.lang FROM r JOIN tgt ON r.lang = tgt.lang
+WHERE rn <= tgt.k ORDER BY doc_id
+"""
+
 PERCENTILE_RANK_ORACLE = """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang AS "group",
        CAST(n_chars AS BIGINT) AS score,
@@ -2517,6 +2596,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": CDC_CHUNK_ORACLE,
         "validate_delta": VALIDATE_DELTA_ORACLE,
         "percentile_rank": PERCENTILE_RANK_ORACLE,
+        "docs_global_rank": GLOBAL_RANK_ORACLE,
+        "user_histories": USER_HISTORIES_ORACLE,
+        "resample_mix": RESAMPLE_MIX_ORACLE,
         "pack_sequences": PACK_ORACLE,
         "pack_sequences_streaming": PACK_ORACLE,
         "dedup_minhash_lsh": MINHASH_ORACLE,

@@ -94,6 +94,7 @@ def test_queries_cover_oracles(entry_mod):
     "pack_sequences", "validate_map_column", "ann_topk_lsh",
     "stats_quantiles_by_lang", "text_repetition", "text_redact",
     "text_boilerplate", "decontaminate", "semantic_dedup",
+    "docs_global_rank", "user_histories", "resample_mix",
 ])
 def test_query_matches_oracle(entry_mod, ducks, name):
     q = entry_mod.queries()[name]

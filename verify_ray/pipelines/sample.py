@@ -278,3 +278,67 @@ def split_assign(ds, fractions: dict, key_col: str = "doc_id",
         return b.append_column(out_col, pa.array(lab, type=pa.string()))
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def resample_to_mix(ds, weights: dict, total: int,
+                    group_col: str = "lang", key_col: str = "doc_id",
+                    values: list[str] | None = None,
+                    num_buckets: int = 64):
+    """Deterministic mixture resampling — down-sample each group to an
+    EXACT document count derived from target mixture weights (the
+    domain-reweighting move behind The Pile / DoReMi-style mixes:
+    "make the training mix 3 parts fr, 2 parts de, 1 part each
+    en/zh/es").  Per group::
+
+        k_g = min(count_g, weights[g] * total // sum(weights))
+
+    Groups absent from ``weights`` are dropped.  When a group is
+    SMALLER than its target, all of it survives and the realized mix
+    deviates — by design (no upsampling; detect the shortfall by
+    comparing output group counts to targets).
+
+    Within a group the k_g survivors are the md5-priority sample
+    (``select.grouped_sample_k``), so the output is stable across
+    runs/engines/parallelism and nested: raising ``total`` only ADDS
+    documents to every group's selection.
+
+    Distributed shape: one value-counting pass reduces the corpus to
+    driver-side (group → count) pairs; the per-group caps then ride
+    the ``grouped_head`` exchange (map-side pre-cap at max k_g — the
+    shuffle ships at most ``k_max`` rows per group per block).  SQL
+    parity: ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY
+    md5_number_upper(CAST(key AS VARCHAR)), key) <= k_g`` with k_g
+    restated by the same integer arithmetic.
+    """
+    from .select import grouped_sample_k
+
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    w_sum = sum(weights.values())
+    if w_sum <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative with a positive sum")
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[key_col])))
+        codes, uniq = pd.factorize(
+            pd.Series(pc.cast(b[group_col], pa.string())
+                      .to_numpy(zero_copy_only=False)))
+        cnt = np.bincount(codes[codes >= 0], minlength=len(uniq))
+        return pa.table({"g": pa.array(uniq, type=pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = (ds.map_batches(count_partial, batch_format="pyarrow")
+             .to_pandas())
+    counts = (parts.groupby("g")["c"].sum().to_dict() if len(parts)
+              else {})
+    k_by_group = {
+        g: min(int(counts.get(g, 0)), w * total // w_sum)
+        for g, w in weights.items() if g in counts}
+
+    vals = values if values is not None else [key_col, group_col]
+    return grouped_sample_k(ds, [group_col], k_by_group,
+                            key_col=key_col, values=vals,
+                            num_buckets=num_buckets)

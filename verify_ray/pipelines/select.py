@@ -183,7 +183,7 @@ def grouped_percentile_rank(ds, group_col: str, score_col: str,
     return ds.map_batches(rank, batch_format="pyarrow")
 
 
-def grouped_head(ds, group_cols: list[str], k: int, order_col: str,
+def grouped_head(ds, group_cols: list[str], k: int | dict, order_col: str,
                  values: list[str], num_buckets: int = 64):
     """Per-group row cap — keep the FIRST ``k`` rows of every group
     under ``order_col`` ascending (SQL ``ROW_NUMBER() OVER (PARTITION
@@ -208,6 +208,13 @@ def grouped_head(ds, group_cols: list[str], k: int, order_col: str,
     contribution to the global first-k), so a merge task holds at most
     ``k × blocks`` rows per group and the shuffle ships at most
     ``k × groups`` rows per block — a hot group cannot flood a bucket.
+
+    ``k`` may be a dict mapping group keys to PER-GROUP caps (the
+    mixture-resampling form; multi-column groups key by the
+    "\\x1f"-joined string form of the group values).  Groups absent
+    from the dict are dropped (cap 0); the map-side pre-cap then uses
+    ``max(k.values())`` as its bound, and Python touches only each
+    task's UNIQUE group keys for the cap lookup.
     """
     import pyarrow.compute as pc
 
@@ -219,10 +226,21 @@ def grouped_head(ds, group_cols: list[str], k: int, order_col: str,
     types = dict(zip(schema.names, schema.types))
     out_schema = pa.schema([(c, types[c]) for c in values])
 
-    def _first_k(gkey: np.ndarray, oval: np.ndarray) -> np.ndarray:
+    k_map = None
+    if isinstance(k, dict):
+        k_map = k
+        k_cap = max(k_map.values(), default=0)
+    else:
+        k_cap = k
+
+    def _first_k(gkey: np.ndarray, oval: np.ndarray,
+                 per_group: bool = False) -> np.ndarray:
         """Sorted row indices of each group's first k under order asc
-        — one lexsort + boundary-repeat rank pass, no per-group loop."""
-        _, gc = np.unique(gkey, return_inverse=True)
+        — one lexsort + boundary-repeat rank pass, no per-group loop.
+        The map-side pre-cap always uses the scalar bound ``k_cap``
+        (a superset of any per-group cap); the merge pass applies the
+        per-group dict when ``per_group``."""
+        gu, gc = np.unique(gkey, return_inverse=True)
         order = np.lexsort((oval, gc))
         gs = gc[order]
         new = np.ones(len(gs), dtype=bool)
@@ -230,7 +248,11 @@ def grouped_head(ds, group_cols: list[str], k: int, order_col: str,
         start = np.flatnonzero(new)
         counts = np.diff(np.append(start, len(gs)))
         rank = np.arange(len(gs)) - np.repeat(start, counts)
-        return np.sort(order[rank < k])
+        if per_group and k_map is not None:
+            kvec = np.fromiter((k_map.get(g, 0) for g in gu),
+                               dtype=np.int64, count=len(gu))
+            return np.sort(order[rank < kvec[gs]])
+        return np.sort(order[rank < k_cap])
 
     def tag(b: pa.Table) -> pa.Table:
         mask = pc.is_valid(b[order_col])
@@ -271,7 +293,8 @@ def grouped_head(ds, group_cols: list[str], k: int, order_col: str,
 
     def head(t: pa.Table) -> pa.Table:
         keep = _first_k(t.column("__g").to_numpy(zero_copy_only=False),
-                        t.column("__o").to_numpy(zero_copy_only=False))
+                        t.column("__o").to_numpy(zero_copy_only=False),
+                        per_group=True)
         return t.select(values).take(pa.array(keep))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
@@ -297,7 +320,7 @@ def exact_quantiles(ds, col: str, qs_permille: list[int]
                      "value": pa.array(out_v, type=pa.int64())})
 
 
-def grouped_sample_k(ds, group_cols: list[str], k: int,
+def grouped_sample_k(ds, group_cols: list[str], k: int | dict,
                      key_col: str = "doc_id",
                      values: list[str] | None = None,
                      num_buckets: int = 64):
@@ -336,3 +359,86 @@ def grouped_sample_k(ds, group_cols: list[str], k: int,
     tagged = ds.map_batches(add_priority, batch_format="pyarrow")
     return grouped_head(tagged, group_cols, k, order_col="__pri",
                         values=vals, num_buckets=num_buckets)
+
+
+def global_rank(ds, score_col: str, id_col: str,
+                values: list[str] | None = None,
+                num_buckets: int = 64):
+    """Exact global ``ROW_NUMBER() OVER (ORDER BY score, id)`` WITHOUT
+    a global sort — the "rank the whole corpus" primitive behind
+    curriculum ordering (easy-docs-first training), score-ordered
+    sharding, and reproducible corpus ordering.  Emits ``values...`` +
+    an int64 ``rank`` column (1-based, dense over the surviving rows).
+
+    Two narrow passes instead of an all-to-all sort of everything:
+
+    1. a value-counting pass reduces the corpus to driver-side
+       (score → count) pairs (``value_counts`` above); the exclusive
+       prefix sum gives every score value its global BASE offset —
+       the number of rows with a strictly smaller score;
+    2. rows ship only the projected columns through a score-keyed hash
+       exchange, so all rows sharing a score value meet in one merge
+       task; one ``np.lexsort`` + boundary-repeat pass ranks each
+       score class internally by id, and
+       ``rank = base[score] + within_rank + 1``.
+
+    Scale assumptions (SURVEY §2.6): distinct-score cardinality fits
+    the driver (integer scores by repo policy), and one score class's
+    rows fit a merge task — at a pathological tie (half the corpus
+    scores 42) pre-salt the score with a deterministic id hash, which
+    keeps ranks exact within the salted order.
+
+    Rows with a null score or id are dropped (the SQL oracle filters
+    the same rows; SQL's ROW_NUMBER would rank NULLs last — scope
+    documented rather than emulated).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..kernels import as_array
+    from ..stages.exchange import grouped_exchange_ds
+
+    vals_list = values if values is not None else [id_col, score_col]
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    out_schema = pa.schema([(c, types[c]) for c in vals_list]
+                           + [("rank", pa.int64())])
+
+    svals, counts = value_counts(
+        ds.map_batches(
+            lambda b: b.filter(pc.and_(pc.is_valid(b[score_col]),
+                                       pc.is_valid(b[id_col]))),
+            batch_format="pyarrow"),
+        score_col)
+    base = np.concatenate([[0], np.cumsum(counts)[:-1]]) \
+        if len(svals) else np.empty(0, np.int64)
+    base_ref = ray.put((svals, base))
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[score_col]),
+                             pc.is_valid(b[id_col])))
+        s = pc.cast(as_array(b[score_col]), pa.int64())
+        cols = {"__s": s}
+        for c in vals_list:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    def rank_bucket(t: pa.Table) -> pa.Table:
+        sv, bs = ray.get(base_ref)
+        s = t.column("__s").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, s))
+        ss = s[order]
+        new = np.ones(len(ss), dtype=bool)
+        new[1:] = ss[1:] != ss[:-1]
+        start = np.flatnonzero(new)
+        cnt = np.diff(np.append(start, len(ss)))
+        within = np.arange(len(ss)) - np.repeat(start, cnt)
+        rank = bs[np.searchsorted(sv, ss)] + within + 1
+        out = t.select(vals_list).take(pa.array(order))
+        return out.append_column("rank", pa.array(rank, type=pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__s", num_buckets, rank_bucket,
+                               empty_schema=out_schema,
+                               drop_bucket=False)

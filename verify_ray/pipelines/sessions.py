@@ -210,3 +210,90 @@ def funnel_counts(events_ds, steps: list[str], within_us: int,
         "step_idx": np.arange(len(steps), dtype=np.int64),
         "step": steps,
         "n_users": totals.astype(np.int64)})
+
+
+def user_histories(events_ds, user_col: str = "user_id",
+                   ts_col: str = "ts", type_col: str = "event_type",
+                   id_col: str = "event_id", sep: str = ",",
+                   rows_per_bucket: int = 2_000_000):
+    """Ordered per-user event-sequence construction — the training-data
+    layout for sequential recommenders / user-behavior LMs (SASRec-
+    style): one row per user with the user's full event-type sequence
+    in (ts, event_id) order joined by ``sep``, plus integer invariants
+    (n_events, first/last event time in epoch µs).
+
+    SQL parity: ``string_agg(event_type, sep ORDER BY ts, event_id)``
+    per user.  Rows with a null user, ts, event id, or type are dropped
+    (string_agg skips NULL elements but COUNT(*) would not — filtering
+    keeps every output column consistent between engines).
+
+    Distributed shape: the same user-keyed bucket exchange as
+    ``sessionize`` — the shuffle carries (user, ts µs, event_id, type)
+    only; inside a bucket ONE ``np.lexsort`` orders all users' events,
+    boundary offsets turn the sorted type column into a ListArray with
+    zero copies, and ``pc.binary_join`` emits every user's history in
+    one vectorized kernel.  No per-user dispatch; results stay in the
+    object store (``grouped_exchange_ds``).  Scale assumption (SURVEY
+    §2.6): one user's events fit a merge task — enforce upstream with
+    a per-user event cap (``select.grouped_head``) for adversarial
+    users.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.exchange import grouped_exchange_ds
+    from .joins import _ts_i64
+
+    n_rows = events_ds.count()
+    min_parallel = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    num_buckets = max(min_parallel,
+                      int(np.ceil(n_rows / max(rows_per_bucket, 1))))
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_events", pa.int64()),
+        ("first_us", pa.int64()), ("last_us", pa.int64()),
+        ("history", pa.string())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        mask = pc.is_valid(b[user_col])
+        for c in (ts_col, id_col, type_col):
+            mask = pc.and_(mask, pc.is_valid(b[c]))
+        t = b.filter(mask)
+        uid = pc.cast(t[user_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        h = pd.util.hash_array(uid)
+        return pa.table({
+            "bucket": pa.array((h % np.uint64(num_buckets))
+                               .astype(np.int64)),
+            "u": pa.array(uid),
+            "t": _ts_i64(t[ts_col]),
+            "i": pc.cast(t[id_col], pa.int64()),
+            "e": pc.cast(t[type_col], pa.string())})
+
+    def bucket_histories(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        eid = t.column("i").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        new = np.ones(len(us), dtype=bool)
+        new[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(new)
+        offsets = np.append(starts, len(us)).astype(np.int64)
+        ev = t.column("e").combine_chunks().take(pa.array(order))
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets), ev)
+        hist = pc.binary_join(lists, sep)
+        ends = offsets[1:] - 1
+        return pa.table({
+            "user_id": pa.array(us[starts]),
+            "n_events": pa.array(np.diff(offsets)),
+            "first_us": pa.array(tss[starts]),
+            "last_us": pa.array(tss[ends]),
+            "history": hist})
+
+    tagged = (events_ds
+              .select_columns([user_col, ts_col, id_col, type_col])
+              .map_batches(tag, batch_format="pyarrow"))
+    return grouped_exchange_ds(tagged, "bucket", num_buckets,
+                               bucket_histories,
+                               empty_schema=out_schema)
