@@ -1215,6 +1215,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       query_ids=qids)
         return out[["query_id", "vec_id"]]
 
+    def knn_join_q(sf):
+        # dataset-to-dataset exact KNN join (every 50th vector is a
+        # query row): query matrix chunks live in the object store,
+        # scoring actors fetch once, per-query top-k resolves in a
+        # query-keyed exchange — nothing query-count-sized on the
+        # driver (contrast ann_topk's broadcast+driver-merge shape)
+        def pick_queries(b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 50 == 0))
+
+        emb = _read(sf, "embeddings")
+        q = emb.map_batches(pick_queries, batch_format="pyarrow")
+        out = similarity.knn_join(q, emb, k=10, num_buckets=8)
+        return (out.to_pandas()[["query_id", "vec_id"]]
+                .sort_values(["query_id", "vec_id"])
+                .reset_index(drop=True))
+
     def ivf_ann(sf):
         # full-probe configuration (nprobe = n_centroids) is exact by
         # construction — the oracle checks that the IVF quantizer /
@@ -1329,6 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": near_dup_lsh,
         "ann_topk_ivf": ivf_ann,
         "ann_topk_lsh": lsh_ann,
+        "knn_join_embeddings": knn_join_q,
     }
 
 
@@ -2599,6 +2617,20 @@ def oracle_sql() -> dict[str, str]:
         "docs_global_rank": GLOBAL_RANK_ORACLE,
         "user_histories": USER_HISTORIES_ORACLE,
         "resample_mix": RESAMPLE_MIX_ORACLE,
+        "knn_join_embeddings": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                         FROM embeddings WHERE vec_id % 50 = 0),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(q.qe, e.embedding)
+                                AS sim_raw
+                         FROM q CROSS JOIN embeddings e),
+                 r AS (SELECT query_id, vec_id,
+                              ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim_raw DESC, vec_id) AS rk
+                         FROM s)
+            SELECT query_id, vec_id
+            FROM r WHERE rk <= 10 ORDER BY query_id, vec_id
+        """,
         "pack_sequences": PACK_ORACLE,
         "pack_sequences_streaming": PACK_ORACLE,
         "dedup_minhash_lsh": MINHASH_ORACLE,

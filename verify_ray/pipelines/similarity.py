@@ -663,3 +663,129 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, nprobe: int = 8,
     cand = ds.select_columns([id_col, emb_col]).map_batches(
         local, batch_format="pyarrow").to_pandas()
     return _merge_local_topk(cand, qids, k)
+
+
+def knn_join(query_ds, base_ds, k: int = 10,
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             query_emb_col: str | None = None,
+             query_id_col: str | None = None,
+             num_buckets: int = 32, concurrency: int = 4):
+    """Dataset-to-dataset exact cosine k-nearest-neighbor join: for
+    EVERY row of ``query_ds``, the top-k most-similar rows of
+    ``base_ds``.  Unlike ``ann_topk`` (broadcast query MATRIX,
+    driver-side merge — right for a handful of probe queries), both
+    sides here are Datasets and nothing query-count-sized touches the
+    driver — the retrieval-index build / cross-corpus linking shape
+    ("for every doc in corpus A, its nearest neighbors in corpus B").
+
+    Shape (block-nested-loop join, one pass over the base):
+
+    1. query blocks are normalized into (matrix, ids) chunks that STAY
+       in the object store; each scoring ACTOR fetches them once in
+       ``__init__`` (shared object-store buffers, not per-batch
+       re-ships);
+    2. one streaming pass over ``base_ds``: each base batch computes
+       one matmul per query chunk and emits at most k candidate rows
+       per query (vectorized ``argpartition`` over ALL queries at
+       once — no per-query Python loop);
+    3. candidates (query_id, vec_id, sim) route through a query-keyed
+       hash exchange; each merge task resolves its queries' global
+       top-k with one lexsort + boundary-rank pass.
+
+    Candidate volume is O(base_blocks × |Q| × k) narrow rows — the
+    exchange, not the driver, absorbs it.  Scale assumption (SURVEY
+    §2.6): the normalized query matrix fits the cluster object store
+    (|Q| × dim × 8 bytes; 10⁸ queries at dim 256 ≈ 200 GB — shard the
+    query side and run per-shard joins beyond that).
+
+    Ties: (sim DESC, vec_id ASC), the ann_topk oracle convention.
+    Returns a Dataset (query_id, vec_id, sim).
+    """
+    import pandas as pd
+    import ray
+
+    from ..stages.exchange import grouped_exchange_ds
+
+    query_emb_col = query_emb_col or emb_col
+    query_id_col = query_id_col or id_col
+
+    @ray.remote
+    def prep_chunk(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        m = _normalize(_emb_matrix(t, query_emb_col))
+        ids = t.column(query_id_col).to_numpy(zero_copy_only=False)
+        return m, np.asarray(ids, dtype=np.int64)
+
+    chunk_refs = [
+        prep_chunk.remote(r) for r in
+        query_ds.select_columns([query_id_col, query_emb_col])
+        .to_arrow_refs()]
+
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            ("vec_id", pa.int64()),
+                            ("sim", pa.float64())])
+
+    class _Score:
+        def __init__(self):
+            self.chunks = [c for c in ray.get(chunk_refs)
+                           if c is not None]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or not self.chunks:
+                return out_schema.empty_table()
+            emb = _normalize(_emb_matrix(batch, emb_col))
+            ids = np.asarray(
+                batch.column(id_col).to_numpy(zero_copy_only=False),
+                dtype=np.int64)
+            out = []
+            kk = min(k, len(ids))
+            for qm, qids in self.chunks:
+                sims = emb @ qm.T  # (rows, nq)
+                if kk < len(ids):
+                    part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                else:
+                    part = np.tile(np.arange(len(ids))[:, None],
+                                   (1, qm.shape[0]))
+                qcol = np.repeat(qids[None, :], part.shape[0], axis=0)
+                out.append(pa.table({
+                    "query_id": pa.array(qcol.ravel(order="F")),
+                    "vec_id": pa.array(ids[part].ravel(order="F")),
+                    "sim": pa.array(
+                        np.take_along_axis(sims, part, axis=0)
+                        .ravel(order="F"))}))
+            return pa.concat_tables(out)
+
+    cand = (base_ds.select_columns([id_col, emb_col])
+            .map_batches(_Score, batch_format="pyarrow",
+                         concurrency=concurrency))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        q = t.column("query_id").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(q, dtype=np.int64))
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        q = t.column("query_id").to_numpy(zero_copy_only=False)
+        s = t.column("sim").to_numpy(zero_copy_only=False)
+        v = t.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s, q))
+        qs = q[order]
+        new = np.ones(len(qs), dtype=bool)
+        new[1:] = qs[1:] != qs[:-1]
+        start = np.flatnonzero(new)
+        cnt = np.diff(np.append(start, len(qs)))
+        rank = np.arange(len(qs)) - np.repeat(start, cnt)
+        keep = np.sort(order[rank < k])
+        out = t.take(pa.array(keep))
+        return pa.table({
+            "query_id": out.column("query_id"),
+            "vec_id": out.column("vec_id"),
+            "sim": pa.array(np.round(
+                out.column("sim").to_numpy(zero_copy_only=False), 6))})
+
+    bucketed = cand.map_batches(add_bucket, batch_format="pyarrow")
+    return grouped_exchange_ds(bucketed, "__b", num_buckets,
+                               merge_topk, empty_schema=out_schema)
