@@ -815,6 +815,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values("doc_id")
                 .reset_index(drop=True))
 
+    def latest_events_q(sf):
+        # CDC/log compaction: each user's newest event (ts DESC, tie
+        # by event_id DESC) — one row per key survives the exchange;
+        # map-side pre-cap ships at most one row per key per block
+        from verify_ray.pipelines.select import latest_by_key
+
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id", "ts", "event_type"])
+        out = latest_by_key(ev, ["user_id"], version_col="ts",
+                            id_col="event_id",
+                            values=["user_id", "event_id", "event_type"],
+                            num_buckets=16)
+        return (out.to_pandas().sort_values("user_id")
+                .reset_index(drop=True))
+
+    def pivot_weekday_q(sf):
+        # event_type × weekday activity matrix (weekday = epoch-day
+        # mod 7: pure integer convention, no engine dow() mismatch)
+        from verify_ray.pipelines.analytics import pivot_counts
+
+        def add_wd(b: pa.Table) -> pa.Table:
+            ts = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            wd = (ts // 86_400_000_000) % 7
+            return b.append_column(
+                "wd", pc.cast(pa.array(wd), pa.string()))
+
+        ev = (_read(sf, "events", columns=["event_type", "ts"])
+              .map_batches(add_wd, batch_format="pyarrow"))
+        return pivot_counts(ev, "event_type", "wd",
+                            [str(i) for i in range(7)])
+
     def dataset_diff_q(sf):
         # incremental-ingest delta: ref = documents; cur = documents
         # minus ids %97==0, texts of ids %101==0 modified (+' v2'),
@@ -1298,6 +1330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_global_rank": global_rank_q,
         "user_histories": user_histories_q,
         "resample_mix": resample_mix_q,
+        "latest_event_per_user": latest_events_q,
+        "events_pivot_weekday": pivot_weekday_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "pack_sequences_streaming": pack_seqs_streaming,
@@ -2074,6 +2108,22 @@ SELECT r.doc_id, r.lang FROM r JOIN tgt ON r.lang = tgt.lang
 WHERE rn <= tgt.k ORDER BY doc_id
 """
 
+LATEST_EVENT_ORACLE = """
+SELECT user_id, event_id, event_type
+FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""
+
+PIVOT_WEEKDAY_ORACLE = "SELECT event_type, " + ", ".join(
+    f"CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 7 = {i} "
+    f"THEN 1 ELSE 0 END) AS BIGINT) AS n_{i}" for i in range(7)) + """
+FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
 PERCENTILE_RANK_ORACLE = """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang AS "group",
        CAST(n_chars AS BIGINT) AS score,
@@ -2617,6 +2667,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_global_rank": GLOBAL_RANK_ORACLE,
         "user_histories": USER_HISTORIES_ORACLE,
         "resample_mix": RESAMPLE_MIX_ORACLE,
+        "latest_event_per_user": LATEST_EVENT_ORACLE,
+        "events_pivot_weekday": PIVOT_WEEKDAY_ORACLE,
         "knn_join_embeddings": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                          FROM embeddings WHERE vec_id % 50 = 0),

@@ -95,7 +95,8 @@ def test_queries_cover_oracles(entry_mod):
     "stats_quantiles_by_lang", "text_repetition", "text_redact",
     "text_boilerplate", "decontaminate", "semantic_dedup",
     "docs_global_rank", "user_histories", "resample_mix",
-    "knn_join_embeddings",
+    "knn_join_embeddings", "latest_event_per_user",
+    "events_pivot_weekday",
 ])
 def test_query_matches_oracle(entry_mod, ducks, name):
     q = entry_mod.queries()[name]

@@ -483,6 +483,54 @@ def histogram_drift(cur_ds, ref_ds, group_col: str, value_col: str,
             .sort_values(["group", "bucket"]).reset_index(drop=True))
 
 
+def pivot_counts(ds, row_col: str, cat_col: str,
+                 categories: list[str], prefix: str = "n_"
+                 ) -> pd.DataFrame:
+    """Wide contingency matrix — one row per ``row_col`` value, one
+    int64 count column per entry of ``categories`` (SQL conditional
+    aggregation ``SUM(CASE WHEN cat = c THEN 1 ELSE 0 END)``): the
+    activity-matrix / confusion-matrix shape (event type × weekday,
+    lang × split, label × predicted-label).
+
+    Scale shape: each batch reduces to a (distinct rows × categories)
+    integer partial via one factorize + ``np.add.at`` — zero shuffles;
+    the driver merges partials bounded by distinct ``row_col`` values
+    × len(categories), independent of row count.  The category list
+    is FIXED by the caller (the oracle needs literal columns anyway);
+    values outside it and null rows/categories are ignored.
+    """
+    import pyarrow.compute as pc
+
+    cat_arr = pa.array(categories, type=pa.string())
+    ncat = len(categories)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[row_col]),
+                             pc.is_valid(b[cat_col])))
+        cidx = pc.index_in(pc.cast(b[cat_col], pa.string()),
+                           value_set=cat_arr)
+        keep = pc.is_valid(cidx)
+        b = b.filter(keep)
+        ci = cidx.filter(keep).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(
+            pd.Series(pc.cast(b[row_col], pa.string())
+                      .to_numpy(zero_copy_only=False)))
+        mat = np.zeros((len(uniq), ncat), dtype=np.int64)
+        np.add.at(mat, (codes, ci.astype(np.int64)), 1)
+        cols = {row_col: pa.array(uniq, type=pa.string())}
+        for j, c in enumerate(categories):
+            cols[f"{prefix}{c}"] = pa.array(mat[:, j])
+        return pa.table(cols)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cnames = [f"{prefix}{c}" for c in categories]
+    if not len(parts):
+        return pd.DataFrame(columns=[row_col] + cnames)
+    out = (parts.groupby(row_col, as_index=False)[cnames].sum()
+           .sort_values(row_col).reset_index(drop=True))
+    return out.astype({c: "int64" for c in cnames})
+
+
 def grouped_count_distinct(ds, group_col: str, value_col: str,
                            num_buckets: int = 64) -> pd.DataFrame:
     """Exact ``COUNT(DISTINCT value)`` per group — the cardinality

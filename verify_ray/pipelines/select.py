@@ -361,6 +361,84 @@ def grouped_sample_k(ds, group_cols: list[str], k: int | dict,
                         values=vals, num_buckets=num_buckets)
 
 
+def latest_by_key(ds, key_cols: list[str], version_col: str,
+                  id_col: str, values: list[str],
+                  num_buckets: int = 64):
+    """Latest-record compaction — keep each key's newest row, the
+    upsert/CDC-ingest primitive (SQL ``QUALIFY ROW_NUMBER() OVER
+    (PARTITION BY key ORDER BY version DESC, id DESC) = 1``): a
+    changelog of (key, version, payload) rows compacts to one current
+    row per key.  Ties on ``version`` break by the LARGEST ``id``
+    (both int64/timestamp), so replays are deterministic.
+
+    Same exchange + map-side pre-cap shape as ``grouped_head`` (each
+    input block ships at most ONE row per key, so a hot key cannot
+    flood a bucket), but ranked descending on (version, id) — two
+    order columns, which grouped_head's single packed order key cannot
+    express without overflow.  Null key/version/id rows drop (SQL
+    window parity).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..kernels import as_array
+    from ..stages.exchange import grouped_exchange_ds
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    out_schema = pa.schema([(c, types[c]) for c in values])
+
+    def _latest(gkey: np.ndarray, ver: np.ndarray,
+                ids: np.ndarray) -> np.ndarray:
+        """Row indices of each key's (version, id)-max row — one
+        lexsort descending via negation, boundary pass, no loop."""
+        _, gc = np.unique(gkey, return_inverse=True)
+        order = np.lexsort((-ids, -ver, gc))
+        gs = gc[order]
+        new = np.ones(len(gs), dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        return np.sort(order[np.flatnonzero(new)])
+
+    def _i64(col) -> pa.Array:
+        a = as_array(col)
+        if pa.types.is_timestamp(a.type):
+            a = pc.cast(a, pa.timestamp("us"))
+        return pc.cast(a, pa.int64())
+
+    def tag(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(b[version_col]),
+                       pc.is_valid(b[id_col]))
+        for g in key_cols:
+            mask = pc.and_(mask, pc.is_valid(b[g]))
+        b = b.filter(mask)
+        key = pc.cast(as_array(b[key_cols[0]]), pa.string())
+        for g in key_cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(as_array(b[g]), pa.string()), "\x1f")
+        cols = {"__b": pa.array(md5_u64le(key), type=pa.uint64()),
+                "__g": key, "__v": _i64(b[version_col]),
+                "__i": _i64(b[id_col])}
+        for c in values:
+            cols[c] = b[c]
+        t = pa.table(cols)
+        if t.num_rows == 0:
+            return t
+        keep = _latest(key.to_numpy(zero_copy_only=False),
+                       t.column("__v").to_numpy(zero_copy_only=False),
+                       t.column("__i").to_numpy(zero_copy_only=False))
+        return t.take(pa.array(keep)) if len(keep) < t.num_rows else t
+
+    def compact(t: pa.Table) -> pa.Table:
+        keep = _latest(t.column("__g").to_numpy(zero_copy_only=False),
+                       t.column("__v").to_numpy(zero_copy_only=False),
+                       t.column("__i").to_numpy(zero_copy_only=False))
+        return t.select(values).take(pa.array(keep))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets, compact,
+                               empty_schema=out_schema)
+
+
 def global_rank(ds, score_col: str, id_col: str,
                 values: list[str] | None = None,
                 num_buckets: int = 64):
