@@ -815,6 +815,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values("doc_id")
                 .reset_index(drop=True))
 
+    def sorted_shards_q(sf):
+        # exact range-partitioned distributed sort: shard i = value
+        # range [s_i, s_{i+1}) internally sorted by (n_chars, doc_id);
+        # the compared surface is the per-shard audit — row count,
+        # min/max value, and an ORDER-sensitive checksum
+        # SUM(pos * doc_id) that any misordering would break
+        from verify_ray.pipelines.shuffle import sort_by_range
+
+        docs = _read(sf, "documents", columns=["doc_id", "n_chars"])
+        out = sort_by_range(docs, "n_chars", "doc_id", n_shards=8)
+
+        def audit(b: pa.Table) -> pa.Table:
+            s = b.column("shard_id").to_numpy(zero_copy_only=False)
+            v = b.column("n_chars").to_numpy(zero_copy_only=False)
+            i = b.column("doc_id").to_numpy(zero_copy_only=False)
+            p = b.column("pos").to_numpy(zero_copy_only=False)
+            su, inv = np.unique(s, return_inverse=True)
+            n = np.bincount(inv)
+            mn = np.full(len(su), np.iinfo(np.int64).max)
+            mx = np.full(len(su), np.iinfo(np.int64).min)
+            np.minimum.at(mn, inv, v)
+            np.maximum.at(mx, inv, v)
+            osum = np.zeros(len(su), dtype=np.int64)
+            np.add.at(osum, inv, p * i)
+            return pa.table({
+                "shard_id": pa.array(su.astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+                "min_v": pa.array(mn), "max_v": pa.array(mx),
+                "ord_sum": pa.array(osum)})
+
+        parts = (out.map_batches(audit, batch_format="pyarrow")
+                 .to_pandas())
+        agg = (parts.groupby("shard_id", as_index=False)
+               .agg(n=("n", "sum"), min_v=("min_v", "min"),
+                    max_v=("max_v", "max"), ord_sum=("ord_sum", "sum"))
+               .sort_values("shard_id").reset_index(drop=True))
+        return agg.astype({"shard_id": "int64", "n": "int64",
+                           "min_v": "int64", "max_v": "int64",
+                           "ord_sum": "int64"})
+
     def latest_events_q(sf):
         # CDC/log compaction: each user's newest event (ts DESC, tie
         # by event_id DESC) — one row per key survives the exchange;
@@ -1332,6 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_mix": resample_mix_q,
         "latest_event_per_user": latest_events_q,
         "events_pivot_weekday": pivot_weekday_q,
+        "sorted_range_shards": sorted_shards_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "pack_sequences_streaming": pack_seqs_streaming,
@@ -2108,6 +2149,35 @@ SELECT r.doc_id, r.lang FROM r JOIN tgt ON r.lang = tgt.lang
 WHERE rn <= tgt.k ORDER BY doc_id
 """
 
+# shuffle.sort_by_range: splitter i = smallest value whose cumulative
+# count reaches ceil(i*n/8); shard = count of splitters <= value;
+# ord_sum = SUM(rank-within-shard * doc_id) proves in-shard ORDER
+SORTED_RANGE_ORACLE = """
+WITH v AS (SELECT n_chars AS val, doc_id FROM documents
+           WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+     tot AS (SELECT COUNT(*) AS n FROM v),
+     cum AS (SELECT val, SUM(COUNT(*)) OVER (ORDER BY val) AS c
+             FROM v GROUP BY val),
+     sp AS (SELECT gs.i,
+                   (SELECT MIN(val) FROM cum, tot
+                    WHERE c >= (gs.i * tot.n + 7) // 8) AS s
+            FROM generate_series(1, 7) gs(i)),
+     sh AS (SELECT doc_id, val,
+                   (SELECT COUNT(*) FROM sp WHERE s <= val)
+                     AS shard_id
+            FROM v),
+     r AS (SELECT shard_id, val, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY shard_id
+                                     ORDER BY val, doc_id) AS rn
+           FROM sh)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(val) AS BIGINT) AS min_v,
+       CAST(MAX(val) AS BIGINT) AS max_v,
+       CAST(SUM(rn * doc_id) AS BIGINT) AS ord_sum
+FROM r GROUP BY shard_id ORDER BY shard_id
+"""
+
 LATEST_EVENT_ORACLE = """
 SELECT user_id, event_id, event_type
 FROM events
@@ -2669,6 +2739,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_mix": RESAMPLE_MIX_ORACLE,
         "latest_event_per_user": LATEST_EVENT_ORACLE,
         "events_pivot_weekday": PIVOT_WEEKDAY_ORACLE,
+        "sorted_range_shards": SORTED_RANGE_ORACLE,
         "knn_join_embeddings": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                          FROM embeddings WHERE vec_id % 50 = 0),

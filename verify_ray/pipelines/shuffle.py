@@ -98,3 +98,84 @@ def epoch_readers(ds, n_consumers: int, equal: bool = False,
     """
     return ds.streaming_split(n_consumers, equal=equal,
                               locality_hints=locality_hints)
+
+
+def sort_by_range(ds, value_col: str, id_col: str, n_shards: int,
+                  values: list[str] | None = None):
+    """Exact distributed sort by (value, id) via RANGE partitioning —
+    the classic external-sort shape, with no all-to-all ``ds.sort``:
+    shard i holds the value range [s_i, s_{i+1}) and is internally
+    sorted, so concatenating shards 0..n-1 in order IS the total
+    order (sorted-output writer / merge-join preparation).  Emits
+    ``values...`` + ``shard_id`` (int64) + ``pos`` (int64, 1-based
+    rank within the shard); one output block per shard, ready for
+    ``sinks.write_sharded`` one-file-per-shard.
+
+    Splitters are EXACT order statistics, not samples: a value-count
+    pass reduces the corpus to driver-side (value → count) pairs
+    (integer values by repo policy) and splitter i = the smallest
+    value whose cumulative count reaches ``ceil(i·n / n_shards)`` —
+    so shards are balanced up to value-tie granularity, and the rule
+    is restated verbatim in the SQL oracle (no sampling
+    nondeterminism).  Rows route by ``searchsorted(splitters, v,
+    side='right')`` (= count of splitters ≤ v), each shard sorts its
+    own rows with one lexsort.  All rows sharing one value land in
+    one shard — a value held by >1/n_shards of the corpus skews that
+    shard; pre-salt such scores upstream if shard balance matters
+    more than value contiguity.
+
+    Null value/id rows are dropped (no place in the order; SQL
+    parity filters the same rows).
+    """
+    from ..kernels import as_array
+    from ..stages.exchange import grouped_exchange_ds
+    from .select import value_counts
+
+    vals_list = values if values is not None else [id_col, value_col]
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    out_schema = pa.schema([(c, types[c]) for c in vals_list]
+                           + [("shard_id", pa.int64()),
+                              ("pos", pa.int64())])
+
+    def drop_nulls(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(pc.is_valid(b[value_col]),
+                                pc.is_valid(b[id_col])))
+
+    sv, counts = value_counts(
+        ds.map_batches(drop_nulls, batch_format="pyarrow"), value_col)
+    splitters = np.empty(0, dtype=np.int64)
+    if len(sv) and n_shards > 1:
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        ranks = np.array([(i * n + n_shards - 1) // n_shards
+                          for i in range(1, n_shards)])
+        idx = np.minimum(np.searchsorted(cum, ranks), len(sv) - 1)
+        splitters = sv[idx]
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = drop_nulls(b)
+        v = pc.cast(as_array(b[value_col]), pa.int64())
+        shard = np.searchsorted(
+            splitters, v.to_numpy(zero_copy_only=False), side="right")
+        cols = {"__shard": pa.array(shard.astype(np.int64)), "__v": v}
+        for c in vals_list:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    def sort_shard(t: pa.Table) -> pa.Table:
+        v = t.column("__v").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, v))
+        shard = t.column("__shard").to_numpy(zero_copy_only=False)
+        out = t.select(vals_list).take(pa.array(order))
+        return (out.append_column(
+                    "shard_id", pa.array(shard[order]))
+                .append_column(
+                    "pos", pa.array(np.arange(1, t.num_rows + 1,
+                                              dtype=np.int64))))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__shard", max(n_shards, 1),
+                               sort_shard, empty_schema=out_schema,
+                               drop_bucket=False)
