@@ -815,6 +815,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values("doc_id")
                 .reset_index(drop=True))
 
+    def events_json_q(sf):
+        # typed-field extraction from the JSON payload column (events ∪
+        # injected malformed/empty/string-typed rows): the engine runs
+        # the ORACLE'S OWN expression through the per-worker DuckDB
+        # kernel, so CAST/TRY_CAST semantics match by construction
+        import ray.data as rd
+
+        from verify_ray.functions.jsonx import parse_json_fields
+
+        t = pq.read_table(f"{sf}/events.parquet",
+                          columns=["event_id", "props"])
+        head = t.filter(pc.less(t.column("event_id"), 20))
+        ids = head.column("event_id").to_pylist()
+        inj = pa.table({
+            "event_id": pc.add(head.column("event_id"), 10_000_000),
+            "props": pa.array(
+                ["not json" if i % 3 == 0 else
+                 "{}" if i % 3 == 1 else '{"k": "12"}' for i in ids],
+                type=pa.string())})
+        ds = (_read(sf, "events", columns=["event_id", "props"])
+              .union(rd.from_arrow(inj)))
+        out = parse_json_fields(ds, "props", int_fields={"k": "$.k"})
+        return (out.select_columns(["event_id", "k"]).to_pandas()
+                .sort_values("event_id").reset_index(drop=True))
+
     def sorted_shards_q(sf):
         # exact range-partitioned distributed sort: shard i = value
         # range [s_i, s_{i+1}) internally sorted by (n_chars, doc_id);
@@ -1373,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": latest_events_q,
         "events_pivot_weekday": pivot_weekday_q,
         "sorted_range_shards": sorted_shards_q,
+        "events_json_extract": events_json_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "pack_sequences_streaming": pack_seqs_streaming,
@@ -2149,6 +2175,23 @@ SELECT r.doc_id, r.lang FROM r JOIN tgt ON r.lang = tgt.lang
 WHERE rn <= tgt.k ORDER BY doc_id
 """
 
+# functions.jsonx: the engine executes THIS expression per batch via
+# the per-worker DuckDB kernel — parity by construction
+EVENTS_JSON_ORACLE = """
+WITH inj AS (
+  SELECT event_id + 10000000 AS event_id,
+         CASE WHEN event_id % 3 = 0 THEN 'not json'
+              WHEN event_id % 3 = 1 THEN '{}'
+              ELSE '{"k": "12"}' END AS props
+  FROM events WHERE event_id < 20),
+ uni AS (SELECT event_id, props FROM events
+         UNION ALL SELECT event_id, props FROM inj)
+SELECT event_id,
+       CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS BIGINT)
+         AS k
+FROM uni ORDER BY event_id
+"""
+
 # shuffle.sort_by_range: splitter i = smallest value whose cumulative
 # count reaches ceil(i*n/8); shard = count of splitters <= value;
 # ord_sum = SUM(rank-within-shard * doc_id) proves in-shard ORDER
@@ -2740,6 +2783,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_event_per_user": LATEST_EVENT_ORACLE,
         "events_pivot_weekday": PIVOT_WEEKDAY_ORACLE,
         "sorted_range_shards": SORTED_RANGE_ORACLE,
+        "events_json_extract": EVENTS_JSON_ORACLE,
         "knn_join_embeddings": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                          FROM embeddings WHERE vec_id % 50 = 0),

@@ -120,7 +120,10 @@ def bench_queries() -> dict[str, float]:
              "broadcast_join_orders", "signup_conversion",
              "orphan_events_anti", "customers_with_events_semi",
              "hot_user_event_pairs", "docs_sample_per_lang",
-             "events_funnel", "cohort_retention"]
+             "events_funnel", "cohort_retention",
+             "docs_global_rank", "user_histories", "resample_mix",
+             "knn_join_embeddings", "latest_event_per_user",
+             "events_pivot_weekday", "sorted_range_shards"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -97,6 +97,7 @@ def test_queries_cover_oracles(entry_mod):
     "docs_global_rank", "user_histories", "resample_mix",
     "knn_join_embeddings", "latest_event_per_user",
     "events_pivot_weekday", "sorted_range_shards",
+    "events_json_extract",
 ])
 def test_query_matches_oracle(entry_mod, ducks, name):
     q = entry_mod.queries()[name]
