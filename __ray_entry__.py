@@ -815,6 +815,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values("doc_id")
                 .reset_index(drop=True))
 
+    def postings_q(sf):
+        # inverted-index materialization: per-term df + full ordered
+        # posting list (min_df=5 prunes the hapax tail in-task)
+        from verify_ray.pipelines.retrieval import build_postings
+
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+        out = build_postings(docs, min_df=5, num_buckets=16)
+        return (out.to_pandas().sort_values("word")
+                .reset_index(drop=True))
+
+    def quality_filter_q(sf):
+        # CCNet-style per-group threshold as a streaming FILTER: keep
+        # each lang's bottom 400‰ by n_chars (strict-rank boundary
+        # rule, all-integer — ties share a fate)
+        from verify_ray.pipelines.select import percentile_filter
+
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "lang", "n_chars"])
+        out = percentile_filter(docs, "lang", "n_chars",
+                                keep_permille=400)
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
+    def mix_build_q(sf):
+        # END-TO-END training-mix construction as ONE pipeline vs ONE
+        # SQL oracle (the corpus_prep pattern for the sampling stack):
+        # per-lang quality filter (bottom 600 permille by n_chars) ->
+        # mixture resampling to target weights -> deterministic
+        # train/val split -> md5 shard layout of the train split.
+        # Four operators, one shuffle (the resample exchange) + the
+        # shard-layout exchange; everything else streams.
+        from verify_ray.pipelines.sample import (resample_to_mix,
+                                                 split_assign)
+        from verify_ray.pipelines.select import percentile_filter
+        from verify_ray.pipelines.shuffle import shard_layout
+
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "lang", "n_chars"])
+        kept = percentile_filter(docs, "lang", "n_chars",
+                                 keep_permille=600)
+        mixed = resample_to_mix(kept, _MIX_WEIGHTS, 200,
+                                group_col="lang",
+                                values=["doc_id", "lang"],
+                                num_buckets=8)
+        split = split_assign(mixed, {"train": 0.8, "val": 0.2})
+        train = split.map_batches(
+            lambda b: b.filter(pc.equal(b["split"], "train")),
+            batch_format="pyarrow")
+        laid = shard_layout(train, n_shards=4)
+        df = laid.to_pandas()[["doc_id", "lang", "split", "shard",
+                               "pos"]]
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def events_json_q(sf):
         # typed-field extraction from the JSON payload column (events ∪
         # injected malformed/empty/string-typed rows): the engine runs
@@ -1399,6 +1452,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_weekday": pivot_weekday_q,
         "sorted_range_shards": sorted_shards_q,
         "events_json_extract": events_json_q,
+        "postings_index": postings_q,
+        "quality_filter_per_lang": quality_filter_q,
+        "training_mix_build": mix_build_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "pack_sequences_streaming": pack_seqs_streaming,
@@ -2175,6 +2231,76 @@ SELECT r.doc_id, r.lang FROM r JOIN tgt ON r.lang = tgt.lang
 WHERE rn <= tgt.k ORDER BY doc_id
 """
 
+# retrieval.build_postings: distinct (word, doc) pairs -> per-term df
+# + ordered posting list; whitespace contract = _split_words
+POSTINGS_ORACLE = r"""
+WITH w AS (SELECT DISTINCT d.doc_id, u.w
+           FROM documents d,
+                unnest(regexp_split_to_array(trim(d.text), '\s+'))
+                  AS u(w)
+           WHERE d.text IS NOT NULL AND d.doc_id IS NOT NULL)
+SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         AS postings,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_sum
+FROM w GROUP BY w HAVING COUNT(*) >= 5 ORDER BY word
+"""
+
+# select.percentile_filter: strict-rank rule (RANK()-1)*1000 < p*n
+QUALITY_FILTER_ORACLE = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         RANK() OVER (PARTITION BY lang ORDER BY n_chars) - 1
+           AS n_less,
+         COUNT(*) OVER (PARTITION BY lang) AS n_group
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL)
+WHERE n_less * 1000 < 400 * n_group ORDER BY doc_id
+"""
+
+# the full sampling stack as one SQL chain: percentile filter ->
+# mixture targets (LEAST + md5-priority ROW_NUMBER) -> split CASE ->
+# shard layout ROW_NUMBER — every stage's rule identical to its
+# standalone oracle
+TRAINING_MIX_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           RANK() OVER (PARTITION BY lang ORDER BY n_chars) - 1
+             AS n_less,
+           COUNT(*) OVER (PARTITION BY lang) AS n_group
+    FROM documents
+    WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+      AND doc_id IS NOT NULL)
+  WHERE n_less * 1000 < 600 * n_group),
+ w(lang, wt) AS (VALUES {", ".join(
+    f"('{g}', {wv})" for g, wv in _MIX_WEIGHTS.items())}),
+ tgt AS (SELECT f.lang, LEAST(COUNT(*), w.wt * 200 // {_MIX_W_SUM})
+           AS k
+         FROM f JOIN w ON f.lang = w.lang GROUP BY f.lang, w.wt),
+ r AS (SELECT doc_id, lang,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)),
+                         doc_id) AS rn
+       FROM f),
+ m AS (SELECT r.doc_id, r.lang FROM r
+       JOIN tgt ON r.lang = tgt.lang WHERE rn <= tgt.k),
+ s AS (SELECT doc_id, lang,
+              CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR))
+                        % 10000 < 8000
+                   THEN 'train' ELSE 'val' END AS split
+       FROM m),
+ t AS (SELECT doc_id, lang, split,
+              md5_number_upper(CAST(doc_id AS VARCHAR)) AS h,
+              CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 4
+                   AS BIGINT) AS shard
+       FROM s WHERE split = 'train')
+SELECT doc_id, lang, split, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+              ORDER BY h, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT)
+         AS pos
+FROM t ORDER BY doc_id
+"""
+
 # functions.jsonx: the engine executes THIS expression per batch via
 # the per-worker DuckDB kernel — parity by construction
 EVENTS_JSON_ORACLE = """
@@ -2784,6 +2910,9 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot_weekday": PIVOT_WEEKDAY_ORACLE,
         "sorted_range_shards": SORTED_RANGE_ORACLE,
         "events_json_extract": EVENTS_JSON_ORACLE,
+        "postings_index": POSTINGS_ORACLE,
+        "quality_filter_per_lang": QUALITY_FILTER_ORACLE,
+        "training_mix_build": TRAINING_MIX_ORACLE,
         "knn_join_embeddings": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                          FROM embeddings WHERE vec_id % 50 = 0),

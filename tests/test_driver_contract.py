@@ -97,7 +97,8 @@ def test_queries_cover_oracles(entry_mod):
     "docs_global_rank", "user_histories", "resample_mix",
     "knn_join_embeddings", "latest_event_per_user",
     "events_pivot_weekday", "sorted_range_shards",
-    "events_json_extract",
+    "events_json_extract", "postings_index", "quality_filter_per_lang",
+    "training_mix_build",
 ])
 def test_query_matches_oracle(entry_mod, ducks, name):
     q = entry_mod.queries()[name]

@@ -162,3 +162,89 @@ def bm25_float_score(tf: int, df: int, dl: int, D: int, A: int,
     avgdl = A / D
     idf = math.log(1.0 + (D - df + 0.5) / (df + 0.5))
     return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def build_postings(ds, text_col: str = "text", id_col: str = "doc_id",
+                   min_df: int = 2, num_buckets: int = 32):
+    """Inverted-index materialization: one row per term with its
+    document frequency and FULL ordered posting list — the artifact a
+    search/retrieval service serves, and the exact-count complement to
+    ``bm25_topk``'s broadcast-query scoring.  Emits (word, df,
+    postings, doc_sum) where ``postings`` is the comma-joined doc ids
+    in ascending order (SQL ``string_agg(... ORDER BY doc_id)``
+    parity) and ``doc_sum`` is an integer invariant of the list.
+
+    Scale shape: each block collapses to DISTINCT (word, doc) pairs
+    map-side (one lexsort — within-doc word repetition never leaves
+    the block); pairs route through a word-keyed hash exchange, and
+    each merge task builds its words' posting lists with one lexsort +
+    zero-copy ListArray offsets + ``binary_join`` (the
+    ``user_histories`` pattern).  ``min_df`` prunes the hapax tail
+    INSIDE the merge tasks, so the output Dataset is the index, not
+    the corpus.  Scale assumption (SURVEY §2.6): one term's posting
+    list fits a merge task — at web scale a stop-word's list is
+    corpus-sized, so feed stop-filtered text or cap df upstream
+    (`contamination.common_ngram_stats` finds the offenders).
+
+    Whitespace tokenization contract (``tokenize._split_words``):
+    ``regexp_split_to_array(trim(text), '\\s+')``.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange_ds
+    from .tokenize import _split_words
+
+    out_schema = pa.schema([
+        ("word", pa.string()), ("df", pa.int64()),
+        ("postings", pa.string()), ("doc_sum", pa.int64())])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[text_col]),
+                             pc.is_valid(b[id_col])))
+        if b.num_rows == 0:
+            return pa.table({"__b": pa.array([], type=pa.uint64()),
+                             "w": pa.array([], type=pa.string()),
+                             "d": pa.array([], type=pa.int64())})
+        words, parents, _ = _split_words(b, text_col)
+        docs = pc.cast(as_array(b[id_col]), pa.int64()).to_numpy(
+            zero_copy_only=False)[parents]
+        # block-local distinct (word, doc) via one lexsort
+        order = np.lexsort((docs, words))
+        ws, ds_ = words[order], docs[order]
+        keep = np.ones(len(ws), dtype=bool)
+        keep[1:] = (ws[1:] != ws[:-1]) | (ds_[1:] != ds_[:-1])
+        ws, ds_ = ws[keep], ds_[keep]
+        wa = pa.array(ws, type=pa.string())
+        return pa.table({
+            "__b": pa.array(md5_u64le(wa), type=pa.uint64()),
+            "w": wa, "d": pa.array(ds_)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, w))
+        ws, ds_ = w[order], d[order]
+        # cross-block duplicates: same (word, doc) from >1 block
+        keep = np.ones(len(ws), dtype=bool)
+        keep[1:] = (ws[1:] != ws[:-1]) | (ds_[1:] != ds_[:-1])
+        ws, ds_ = ws[keep], ds_[keep]
+        new = np.ones(len(ws), dtype=bool)
+        new[1:] = ws[1:] != ws[:-1]
+        starts = np.flatnonzero(new)
+        offsets = np.append(starts, len(ws)).astype(np.int64)
+        df = np.diff(offsets)
+        doc_strs = pc.cast(pa.array(ds_), pa.string())
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets),
+                                              doc_strs)
+        postings = pc.binary_join(lists, ",")
+        doc_sum = np.add.reduceat(ds_, starts) if len(starts) \
+            else np.empty(0, np.int64)
+        sel = df >= min_df
+        return pa.table({
+            "word": pa.array(ws[starts], type=pa.string()),
+            "df": pa.array(df),
+            "postings": postings,
+            "doc_sum": pa.array(doc_sum)}).filter(pa.array(sel))
+
+    tagged = ds.map_batches(pairs, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
+                               empty_schema=out_schema)

@@ -103,28 +103,17 @@ def top_k_by_score(scored_ds, k: int, score_col: str = "score",
     return scored_ds.map_batches(final, batch_format="pyarrow")
 
 
-def grouped_percentile_rank(ds, group_col: str, score_col: str,
-                            id_col: str = "doc_id"):
-    """Per-row EXACT within-group percentile position over an integer
-    score — the primitive behind per-source quality thresholds ("keep
-    the best 30% of each source", the CCNet perplexity-bucket move):
-    emits ``(id, group, score, n_less, n_group)`` where ``n_less`` =
-    rows in the group with a strictly smaller score (SQL ``RANK() - 1``)
-    and ``n_group`` = group size; ``n_less / (n_group - 1)`` is
-    percent_rank, kept as integers per repo float policy.  Rows with a
-    null group or score are dropped (SQL window/WHERE parity).
-
-    Scale shape: pass 1 reduces the corpus to (group, score, count)
-    partials — bounded by groups × distinct integer scores, the same
-    driver-cardinality assumption as ``value_counts`` above; the merged
-    per-group cumulative histogram is broadcast once via ``ray.put``;
-    pass 2 is one streaming ``searchsorted`` per batch.  Zero shuffles.
-    """
+def _group_cum_hists(ds, group_col: str, score_col: str):
+    """Broadcast handle to ``{group: (sorted scores, strictly-below
+    counts, group total)}`` — the shared per-group cumulative histogram
+    behind ``grouped_percentile_rank`` and ``percentile_filter``.
+    Built from (group, score, count) partials (one lexsort pair-unique
+    per batch); driver data is bounded by groups × distinct integer
+    scores.  Null group/score rows are excluded."""
+    import pyarrow.compute as pc
     import ray
 
     def partial(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         b = b.filter(pc.and_(pc.is_valid(b[group_col]),
                              pc.is_valid(b[score_col])))
         if b.num_rows == 0:
@@ -155,7 +144,29 @@ def grouped_percentile_rank(ds, group_col: str, score_col: str,
             c = sub.c.to_numpy(np.int64)
             below = np.concatenate([[0], np.cumsum(c)[:-1]])
             hist[gname] = (v, below, int(c.sum()))
-    hist_ref = ray.put(hist)
+    return ray.put(hist)
+
+
+def grouped_percentile_rank(ds, group_col: str, score_col: str,
+                            id_col: str = "doc_id"):
+    """Per-row EXACT within-group percentile position over an integer
+    score — the primitive behind per-source quality thresholds ("keep
+    the best 30% of each source", the CCNet perplexity-bucket move):
+    emits ``(id, group, score, n_less, n_group)`` where ``n_less`` =
+    rows in the group with a strictly smaller score (SQL ``RANK() - 1``)
+    and ``n_group`` = group size; ``n_less / (n_group - 1)`` is
+    percent_rank, kept as integers per repo float policy.  Rows with a
+    null group or score are dropped (SQL window/WHERE parity).
+
+    Scale shape: pass 1 reduces the corpus to (group, score, count)
+    partials — bounded by groups × distinct integer scores, the same
+    driver-cardinality assumption as ``value_counts`` above; the merged
+    per-group cumulative histogram is broadcast once via ``ray.put``;
+    pass 2 is one streaming ``searchsorted`` per batch.  Zero shuffles.
+    """
+    import ray
+
+    hist_ref = _group_cum_hists(ds, group_col, score_col)
 
     def rank(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -181,6 +192,51 @@ def grouped_percentile_rank(ds, group_col: str, score_col: str,
         })
 
     return ds.map_batches(rank, batch_format="pyarrow")
+
+
+def percentile_filter(ds, group_col: str, score_col: str,
+                      keep_permille: int):
+    """Keep each group's BOTTOM ``keep_permille``‰ by score — the
+    CCNet per-source threshold move ("keep the 300‰ of every source
+    with the lowest perplexity") as a streaming FILTER that passes the
+    original rows through.  Strict-rank rule, all-integer:
+
+        keep row ⇔ n_less · 1000 < keep_permille · n_group
+
+    (``n_less`` = strictly-smaller scores in the group, SQL
+    ``RANK()-1``), so boundary ties share a fate — the survivor set
+    can never depend on engine iteration order.  For "best = highest
+    score", negate the score upstream.  Null group/score rows drop.
+
+    Scale shape: the same broadcast per-group cumulative histogram as
+    ``grouped_percentile_rank`` (driver data bounded by groups ×
+    distinct integer scores), then one streaming searchsorted filter
+    pass.  Zero shuffles.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    hist_ref = _group_cum_hists(ds, group_col, score_col)
+
+    def filt(b: pa.Table) -> pa.Table:
+        h = ray.get(hist_ref)
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[score_col])))
+        if b.num_rows == 0:
+            return b
+        g = pc.cast(b[group_col], pa.string()).to_numpy(
+            zero_copy_only=False)
+        v = pc.cast(b[score_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = np.zeros(len(v), dtype=bool)
+        for gname in np.unique(g.astype(object)):
+            vals, below, total = h[gname]
+            sel = g == gname
+            n_less = below[np.searchsorted(vals, v[sel])]
+            keep[sel] = n_less * 1000 < keep_permille * total
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
 
 
 def grouped_head(ds, group_cols: list[str], k: int | dict, order_col: str,
