@@ -868,6 +868,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                "pos"]]
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def langid_confusion_q(sf):
+        # model-quality confusion matrix as a pure 3-op composition:
+        # lang_id (actor pool) -> hash_join back to the true lang ->
+        # pivot_counts; oracle reuses the langid prediction SQL
+        from verify_ray.pipelines.analytics import pivot_counts
+        from verify_ray.pipelines.joins import hash_join
+        from verify_ray.pipelines.text import _LANG_HINTS, lang_id
+
+        pred = lang_id(_read(sf, "documents",
+                             columns=["doc_id", "text"]),
+                       concurrency=2)
+        docs = _read(sf, "documents", columns=["doc_id", "lang"])
+        joined = hash_join(pred, docs, key="doc_id",
+                           left_values=["lang_pred"],
+                           right_values=["lang"], how="inner",
+                           num_buckets=8)
+        cats = sorted(_LANG_HINTS) + ["und"]
+        return pivot_counts(joined, "lang", "lang_pred", cats)
+
+    def rollup_q(sf):
+        # counts by (lang, source), by lang, and overall in ONE scan
+        from verify_ray.pipelines.analytics import rollup_counts
+
+        docs = _read(sf, "documents", columns=["lang", "source"])
+        return rollup_counts(docs, ["lang", "source"])
+
     def events_json_q(sf):
         # typed-field extraction from the JSON payload column (events ∪
         # injected malformed/empty/string-typed rows): the engine runs
@@ -1455,6 +1481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_index": postings_q,
         "quality_filter_per_lang": quality_filter_q,
         "training_mix_build": mix_build_q,
+        "langid_confusion": langid_confusion_q,
+        "docs_rollup_counts": rollup_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "pack_sequences_streaming": pack_seqs_streaming,
@@ -2593,10 +2621,11 @@ def _quality_oracle() -> str:
     return QUALITY_ORACLE.format(stops=stops)
 
 
-def _langid_oracle() -> str:
-    """Restate LangIdModel's deterministic scoring in SQL: per-language
-    hint-substring occurrence counts, argmax with first-index (sorted
-    language) tie-break, 'und' when every score is zero."""
+def _langid_parts():
+    """Shared SQL fragments restating LangIdModel's deterministic
+    scoring: per-language hint-substring occurrence counts, argmax
+    with first-index (sorted language) tie-break, 'und' when every
+    score is zero."""
     from verify_ray.pipelines.text import _LANG_HINTS
 
     langs = sorted(_LANG_HINTS)
@@ -2611,12 +2640,35 @@ def _langid_oracle() -> str:
     for lang in langs:
         pred += f"WHEN s_{lang} >= {best} THEN '{lang}' "
     pred += "END"
+    return langs, score_cols, best, pred
+
+
+def _langid_oracle() -> str:
+    langs, score_cols, best, pred = _langid_parts()
     return f"""
 WITH scores AS (
   SELECT doc_id, {', '.join(score_cols)} FROM documents
 )
 SELECT doc_id, {pred} AS lang_pred, CAST({best} AS BIGINT) AS lang_hits
 FROM scores ORDER BY doc_id
+"""
+
+
+def _langid_confusion_oracle() -> str:
+    """Confusion matrix true lang × predicted lang via the same
+    prediction expression, pivoted with conditional SUMs."""
+    langs, score_cols, best, pred = _langid_parts()
+    cats = langs + ["und"]
+    conds = ", ".join(
+        f"CAST(SUM(CASE WHEN lang_pred = '{c}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{c}" for c in cats)
+    return f"""
+WITH scores AS (
+  SELECT lang, {', '.join(score_cols)} FROM documents
+  WHERE lang IS NOT NULL
+),
+p AS (SELECT lang, {pred} AS lang_pred FROM scores)
+SELECT lang, {conds} FROM p GROUP BY lang ORDER BY lang
 """
 
 
@@ -2913,6 +2965,14 @@ def oracle_sql() -> dict[str, str]:
         "postings_index": POSTINGS_ORACLE,
         "quality_filter_per_lang": QUALITY_FILTER_ORACLE,
         "training_mix_build": TRAINING_MIX_ORACLE,
+        "langid_confusion": _langid_confusion_oracle(),
+        "docs_rollup_counts": """
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY ROLLUP (lang, source)
+            ORDER BY lang NULLS LAST, source NULLS LAST
+        """,
         "knn_join_embeddings": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                          FROM embeddings WHERE vec_id % 50 = 0),

@@ -65,6 +65,22 @@ def test_pivot_counts(ray_session):
                                                    "n_b": "int64"}))
 
 
+def test_rollup_counts_levels(ray_session):
+    from verify_ray.pipelines.analytics import rollup_counts
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "y", None, "x"]),
+        "b": pa.array(["p", "q", "p", "p", "p"])})
+    out = rollup_counts(_ds(t, 2), ["a", "b"])
+    # null-a row dropped; finest: (x,p)=2,(x,q)=1,(y,p)=1;
+    # subtotals: (x,None)=3,(y,None)=1; grand: (None,None)=4
+    rows = {(r.a, r.b): r.n for r in out.itertuples()}
+    assert rows[("x", "p")] == 2 and rows[("x", "q")] == 1
+    assert rows[("x", None)] == 3 and rows[("y", None)] == 1
+    assert rows[(None, None)] == 4
+    assert len(out) == 6
+
+
 def test_pivot_counts_empty(ray_session):
     from verify_ray.pipelines.analytics import pivot_counts
 

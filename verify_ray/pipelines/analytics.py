@@ -531,6 +531,64 @@ def pivot_counts(ds, row_col: str, cat_col: str,
     return out.astype({c: "int64" for c in cnames})
 
 
+def rollup_counts(ds, cols: list[str]) -> pd.DataFrame:
+    """Hierarchical ROLLUP counts — one row per prefix level of
+    ``cols`` (SQL ``GROUP BY ROLLUP (c1, c2, ...)``): the finest
+    grouping, every prefix subtotal, and the grand total, with NULL
+    marking each rolled-up column.  The one-pass answer to "counts by
+    (lang, source), by lang, and overall" without three scans.
+
+    Rows with a NULL in any grouping column are dropped first — SQL's
+    ROLLUP output cannot distinguish a data NULL from a rollup marker,
+    so the engine refuses the ambiguity (same policy as the grouped
+    operators; the oracle filters identically).
+
+    Scale shape: each batch reduces to finest-level (c1..ck, count)
+    partials (one factorize over the combined key); the driver merge
+    is bounded by finest-group cardinality and derives every coarser
+    level from it — subtotals never touch the data again.
+    """
+    import pyarrow.compute as pc
+
+    SEP = "\x1f"
+
+    def partial(b: pa.Table) -> pa.Table:
+        mask = pc.is_valid(b[cols[0]])
+        for c in cols[1:]:
+            mask = pc.and_(mask, pc.is_valid(b[c]))
+        b = b.filter(mask)
+        key = pc.cast(b[cols[0]], pa.string())
+        for c in cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(b[c], pa.string()), SEP)
+        codes, uniq = pd.factorize(
+            pd.Series(key.to_numpy(zero_copy_only=False)))
+        cnt = np.bincount(codes, minlength=len(uniq))
+        return pa.table({"k": pa.array(uniq, type=pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(columns=cols + ["n"])
+    fin = parts.groupby("k", as_index=False)["c"].sum()
+    split = fin["k"].str.split(SEP, expand=True)
+    split.columns = cols
+    fin = pd.concat([split, fin["c"].rename("n")], axis=1)
+
+    levels = [fin]
+    for depth in range(len(cols) - 1, -1, -1):
+        keep = cols[:depth]
+        sub = (fin.groupby(keep, as_index=False)["n"].sum() if keep
+               else pd.DataFrame({"n": [fin["n"].sum()]}))
+        for c in cols[depth:]:
+            sub[c] = None
+        levels.append(sub[cols + ["n"]])
+    out = pd.concat(levels, ignore_index=True)
+    return (out.astype({"n": "int64"})
+            .sort_values(cols, na_position="last")
+            .reset_index(drop=True))
+
+
 def grouped_count_distinct(ds, group_col: str, value_col: str,
                            num_buckets: int = 64) -> pd.DataFrame:
     """Exact ``COUNT(DISTINCT value)`` per group — the cardinality
