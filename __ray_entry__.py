@@ -976,15 +976,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def pivot_weekday_q(sf):
         # event_type × weekday activity matrix (weekday = epoch-day
-        # mod 7: pure integer convention, no engine dow() mismatch)
+        # mod 7: pure integer convention, no engine dow() mismatch).
+        # Scoped to ts >= epoch: numpy floors negative division while
+        # DuckDB // truncates toward zero, so pre-epoch timestamps
+        # would bin differently — both sides filter them out
         from verify_ray.pipelines.analytics import pivot_counts
 
         def add_wd(b: pa.Table) -> pa.Table:
             ts = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
                          pa.int64()).to_numpy(zero_copy_only=False)
             wd = (ts // 86_400_000_000) % 7
-            return b.append_column(
-                "wd", pc.cast(pa.array(wd), pa.string()))
+            wd_s = pc.cast(pa.array(wd), pa.string())
+            return (b.append_column("wd", wd_s)
+                    .filter(pa.array(ts >= 0)))
 
         ev = (_read(sf, "events", columns=["event_type", "ts"])
               .map_batches(add_wd, batch_format="pyarrow"))
@@ -2297,19 +2301,22 @@ WITH f AS (
              AS n_less,
            COUNT(*) OVER (PARTITION BY lang) AS n_group
     FROM documents
-    WHERE lang IS NOT NULL AND n_chars IS NOT NULL
-      AND doc_id IS NOT NULL)
+    WHERE lang IS NOT NULL AND n_chars IS NOT NULL)
   WHERE n_less * 1000 < 600 * n_group),
+ -- the engine's percentile filter keeps null-doc_id rows in its
+ -- histogram (it only needs lang/n_chars); ids drop at the RESAMPLE
+ -- stage — so the id filter sits AFTER the window, not before
+ f2 AS (SELECT doc_id, lang FROM f WHERE doc_id IS NOT NULL),
  w(lang, wt) AS (VALUES {", ".join(
     f"('{g}', {wv})" for g, wv in _MIX_WEIGHTS.items())}),
- tgt AS (SELECT f.lang, LEAST(COUNT(*), w.wt * 200 // {_MIX_W_SUM})
+ tgt AS (SELECT f2.lang, LEAST(COUNT(*), w.wt * 200 // {_MIX_W_SUM})
            AS k
-         FROM f JOIN w ON f.lang = w.lang GROUP BY f.lang, w.wt),
+         FROM f2 JOIN w ON f2.lang = w.lang GROUP BY f2.lang, w.wt),
  r AS (SELECT doc_id, lang,
               ROW_NUMBER() OVER (PARTITION BY lang
                 ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)),
                          doc_id) AS rn
-       FROM f),
+       FROM f2),
  m AS (SELECT r.doc_id, r.lang FROM r
        JOIN tgt ON r.lang = tgt.lang WHERE rn <= tgt.k),
  s AS (SELECT doc_id, lang,
@@ -2388,6 +2395,7 @@ PIVOT_WEEKDAY_ORACLE = "SELECT event_type, " + ", ".join(
     f"CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 7 = {i} "
     f"THEN 1 ELSE 0 END) AS BIGINT) AS n_{i}" for i in range(7)) + """
 FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  AND epoch_us(ts) >= 0
 GROUP BY event_type ORDER BY event_type
 """
 

@@ -569,7 +569,11 @@ def rollup_counts(ds, cols: list[str]) -> pd.DataFrame:
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if not len(parts):
-        return pd.DataFrame(columns=cols + ["n"])
+        # SQL ROLLUP over an empty (or fully filtered) input still
+        # emits the grand-total row (NULL, ..., 0)
+        out = pd.DataFrame({c: [None] for c in cols})
+        out["n"] = np.int64(0)
+        return out
     fin = parts.groupby("k", as_index=False)["c"].sum()
     split = fin["k"].str.split(SEP, expand=True)
     split.columns = cols

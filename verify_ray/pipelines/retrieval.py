@@ -213,10 +213,20 @@ def build_postings(ds, text_col: str = "text", id_col: str = "doc_id",
         keep = np.ones(len(ws), dtype=bool)
         keep[1:] = (ws[1:] != ws[:-1]) | (ds_[1:] != ds_[:-1])
         ws, ds_ = ws[keep], ds_[keep]
-        wa = pa.array(ws, type=pa.string())
+        # hash each UNIQUE word once and repeat by its pair count —
+        # ws is word-sorted, so word boundaries are one diff away
+        # (md5_u64le's documented calling convention)
+        wnew = np.ones(len(ws), dtype=bool)
+        wnew[1:] = ws[1:] != ws[:-1]
+        wstarts = np.flatnonzero(wnew)
+        wcounts = np.diff(np.append(wstarts, len(ws)))
+        h_uniq = md5_u64le(pa.array(ws[wstarts], type=pa.string())) \
+            if len(wstarts) else np.empty(0, np.uint64)
         return pa.table({
-            "__b": pa.array(md5_u64le(wa), type=pa.uint64()),
-            "w": wa, "d": pa.array(ds_)})
+            "__b": pa.array(np.repeat(h_uniq, wcounts),
+                            type=pa.uint64()),
+            "w": pa.array(ws, type=pa.string()),
+            "d": pa.array(ds_)})
 
     def merge(t: pa.Table) -> pa.Table:
         w = t.column("w").to_numpy(zero_copy_only=False)

@@ -317,6 +317,16 @@ def resample_to_mix(ds, weights: dict, total: int,
     w_sum = sum(weights.values())
     if w_sum <= 0 or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative with a positive sum")
+    # group values are matched by their STRING form throughout the
+    # grouped machinery (grouped_head keys per-group caps that way), so
+    # normalize weight keys — {1: 3} on an int64 group column would
+    # otherwise silently match nothing and return an empty dataset
+    weights = {str(g): w for g, w in weights.items()}
+    # the input is consumed twice (count pass + sample pass); pin it so
+    # a lazy upstream (a filter chain, a join) does not re-execute —
+    # the mix input is normally a filtered fraction of the corpus, so
+    # object-store residency is the cheaper side of the trade
+    ds = ds.materialize()
 
     def count_partial(b: pa.Table) -> pa.Table:
         import pandas as pd

@@ -266,8 +266,10 @@ def grouped_head(ds, group_cols: list[str], k: int | dict, order_col: str,
     ``k × groups`` rows per block — a hot group cannot flood a bucket.
 
     ``k`` may be a dict mapping group keys to PER-GROUP caps (the
-    mixture-resampling form; multi-column groups key by the
-    "\\x1f"-joined string form of the group values).  Groups absent
+    mixture-resampling form).  Dict keys are ALWAYS the STRING form
+    of the group value — a single int64 group column keys as "7", not
+    7; multi-column groups as the "\\x1f"-joined strings (the tag
+    stage string-casts every group column).  Groups absent
     from the dict are dropped (cap 0); the map-side pre-cap then uses
     ``max(k.values())`` as its bound, and Python touches only each
     task's UNIQUE group keys for the cap lookup.
@@ -533,6 +535,10 @@ def global_rank(ds, score_col: str, id_col: str,
     from ..stages.exchange import grouped_exchange_ds
 
     vals_list = values if values is not None else [id_col, score_col]
+    if id_col not in vals_list:
+        raise ValueError(
+            f"values must include id_col {id_col!r} (the merge tasks "
+            f"rank by it)")
     schema = ds.schema()
     types = dict(zip(schema.names, schema.types))
     out_schema = pa.schema([(c, types[c]) for c in vals_list]

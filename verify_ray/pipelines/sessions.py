@@ -249,23 +249,38 @@ def user_histories(events_ds, user_col: str = "user_id",
     num_buckets = max(min_parallel,
                       int(np.ceil(n_rows / max(rows_per_bucket, 1))))
 
+    schema = events_ds.schema()
+    utype = dict(zip(schema.names, schema.types))[user_col]
+    int_user = (pa.types.is_integer(utype)
+                or pa.types.is_timestamp(utype))
+
     out_schema = pa.schema([
-        ("user_id", pa.int64()), ("n_events", pa.int64()),
+        (user_col, pa.int64() if int_user else pa.string()),
+        ("n_events", pa.int64()),
         ("first_us", pa.int64()), ("last_us", pa.int64()),
         ("history", pa.string())])
 
     def tag(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_u64le
+
         mask = pc.is_valid(b[user_col])
         for c in (ts_col, id_col, type_col):
             mask = pc.and_(mask, pc.is_valid(b[c]))
         t = b.filter(mask)
-        uid = pc.cast(t[user_col], pa.int64()).to_numpy(
-            zero_copy_only=False)
-        h = pd.util.hash_array(uid)
+        if int_user:
+            ua = pc.cast(t[user_col], pa.int64())
+            h = pd.util.hash_array(
+                ua.to_numpy(zero_copy_only=False))
+        else:
+            # non-integer user keys bucket by md5 of the string form
+            # (sessionize's integer hash_array would raise on objects)
+            ua = pc.cast(t[user_col], pa.string())
+            h = md5_u64le(ua) if t.num_rows else \
+                np.empty(0, np.uint64)
         return pa.table({
             "bucket": pa.array((h % np.uint64(num_buckets))
                                .astype(np.int64)),
-            "u": pa.array(uid),
+            "u": ua,
             "t": _ts_i64(t[ts_col]),
             "i": pc.cast(t[id_col], pa.int64()),
             "e": pc.cast(t[type_col], pa.string())})
@@ -285,7 +300,8 @@ def user_histories(events_ds, user_col: str = "user_id",
         hist = pc.binary_join(lists, sep)
         ends = offsets[1:] - 1
         return pa.table({
-            "user_id": pa.array(us[starts]),
+            user_col: pa.array(us[starts],
+                               type=out_schema.field(user_col).type),
             "n_events": pa.array(np.diff(offsets)),
             "first_us": pa.array(tss[starts]),
             "last_us": pa.array(tss[ends]),

@@ -132,6 +132,10 @@ def sort_by_range(ds, value_col: str, id_col: str, n_shards: int,
     from .select import value_counts
 
     vals_list = values if values is not None else [id_col, value_col]
+    if id_col not in vals_list:
+        raise ValueError(
+            f"values must include id_col {id_col!r} (the shard tasks "
+            f"sort by it)")
     schema = ds.schema()
     types = dict(zip(schema.names, schema.types))
     out_schema = pa.schema([(c, types[c]) for c in vals_list]

@@ -738,15 +738,18 @@ def knn_join(query_ds, base_ds, k: int = 10,
             ids = np.asarray(
                 batch.column(id_col).to_numpy(zero_copy_only=False),
                 dtype=np.int64)
+            # pre-sort the batch by id so a STABLE sort on -sim yields
+            # the documented (sim DESC, vec_id ASC) order — a bare
+            # argpartition prunes exact sim ties (duplicate
+            # embeddings) arbitrarily, and the dropped tie could be
+            # the id the oracle's ROW_NUMBER keeps
+            id_order = np.argsort(ids, kind="stable")
+            emb, ids = emb[id_order], ids[id_order]
             out = []
             kk = min(k, len(ids))
             for qm, qids in self.chunks:
                 sims = emb @ qm.T  # (rows, nq)
-                if kk < len(ids):
-                    part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-                else:
-                    part = np.tile(np.arange(len(ids))[:, None],
-                                   (1, qm.shape[0]))
+                part = np.argsort(-sims, axis=0, kind="stable")[:kk]
                 qcol = np.repeat(qids[None, :], part.shape[0], axis=0)
                 out.append(pa.table({
                     "query_id": pa.array(qcol.ravel(order="F")),
