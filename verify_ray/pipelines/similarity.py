@@ -721,6 +721,17 @@ def knn_join(query_ds, base_ds, k: int = 10,
         prep_chunk.remote(r) for r in
         query_ds.select_columns([query_id_col, query_emb_col])
         .to_arrow_refs()]
+    # DEADLOCK GUARD: the prep tasks must COMPLETE before the scoring
+    # actor pool spins up — actors reserve CPUs while blocking in
+    # __init__ on ray.get(chunk_refs), and if the pool holds every
+    # CPU the prep tasks can never schedule (observed as a real
+    # 4-actor/4-CPU hang in the test fixture; race-dependent, since
+    # prep tasks submitted to an idle cluster usually win)
+    ray.wait(chunk_refs, num_returns=len(chunk_refs))
+    # leave at least one CPU for the task stages up- and downstream of
+    # the actor pool (the exchange's split/merge, the read itself)
+    avail = int(ray.cluster_resources().get("CPU", 8))
+    concurrency = max(1, min(concurrency, avail - 1))
 
     out_schema = pa.schema([("query_id", pa.int64()),
                             ("vec_id", pa.int64()),
