@@ -58,7 +58,7 @@ def ann_topk(ds, queries: np.ndarray, k: int = 10, emb_col: str = "embedding",
         kk = min(k, len(ids))
         out_q, out_id, out_s = [], [], []
         for j in range(qm.shape[0]):
-            part = np.argpartition(-sims[:, j], kk - 1)[:kk]
+            part = _topk_by_sim_id(sims[:, j], ids, kk)
             out_q.extend([j] * kk)
             out_id.extend(ids[part].tolist())
             out_s.extend(sims[part, j].tolist())
@@ -69,6 +69,16 @@ def ann_topk(ds, queries: np.ndarray, k: int = 10, emb_col: str = "embedding",
     cand = ds.select_columns([id_col, emb_col]).map_batches(
         local_topk, batch_format="pyarrow").to_pandas()
     return _merge_local_topk(cand, qids, k)
+
+
+def _topk_by_sim_id(sims: np.ndarray, ids: np.ndarray,
+                    kk: int) -> np.ndarray:
+    """Indices of the local top-kk by (sim DESC, id ASC).  A bare
+    ``argpartition`` prunes exact sim ties (duplicate embeddings)
+    arbitrarily, possibly dropping the tied id the deterministic
+    global merge would keep — one lexsort keeps the tie rule exact
+    end to end."""
+    return np.lexsort((ids, -sims))[:kk]
 
 
 def _merge_local_topk(cand, qids, k):
@@ -152,7 +162,7 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, emb_col: str = "embedding
             sims = emb[cand_mask] @ qm[j]
             cids = ids[cand_mask]
             kk = min(k, len(cids))
-            part = np.argpartition(-sims, kk - 1)[:kk]
+            part = _topk_by_sim_id(sims, cids, kk)
             out_q.extend([j] * kk)
             out_id.extend(cids[part].tolist())
             out_s.extend(sims[part].tolist())
@@ -652,7 +662,7 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, nprobe: int = 8,
             sims = emb[cand_mask] @ qm[j]
             cids = ids[cand_mask]
             kk = min(k, len(cids))
-            part = np.argpartition(-sims, kk - 1)[:kk]
+            part = _topk_by_sim_id(sims, cids, kk)
             out_q.extend([j] * kk)
             out_id.extend(cids[part].tolist())
             out_s.extend(sims[part].tolist())
@@ -686,8 +696,9 @@ def knn_join(query_ds, base_ds, k: int = 10,
        re-ships);
     2. one streaming pass over ``base_ds``: each base batch computes
        one matmul per query chunk and emits at most k candidate rows
-       per query (vectorized ``argpartition`` over ALL queries at
-       once — no per-query Python loop);
+       per query (one stable argsort over ALL queries at once on the
+       id-pre-sorted batch — no per-query Python loop, ties kept by
+       smallest id);
     3. candidates (query_id, vec_id, sim) route through a query-keyed
        hash exchange; each merge task resolves its queries' global
        top-k with one lexsort + boundary-rank pass.
