@@ -868,6 +868,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                "pos"]]
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def keyed_scan_q(sf):
+        # per-user sequential scan: inter-arrival gap (LAG) + running
+        # total (SUM OVER) in one lexsort+cumsum pass per bucket
+        from verify_ray.pipelines.rolling import keyed_scan
+
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id", "ts"])
+        out = keyed_scan(ev, "user_id", "ts", "event_id", "event_id",
+                         num_buckets=16)
+        return (out.to_pandas().sort_values("id")
+                .reset_index(drop=True))
+
     def langid_confusion_q(sf):
         # model-quality confusion matrix as a pure 3-op composition:
         # lang_id (actor pool) -> hash_join back to the true lang ->
@@ -1487,6 +1499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mix_build": mix_build_q,
         "langid_confusion": langid_confusion_q,
         "docs_rollup_counts": rollup_q,
+        "events_keyed_scan": keyed_scan_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "pack_sequences_streaming": pack_seqs_streaming,
@@ -2974,6 +2987,17 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_per_lang": QUALITY_FILTER_ORACLE,
         "training_mix_build": TRAINING_MIX_ORACLE,
         "langid_confusion": _langid_confusion_oracle(),
+        "events_keyed_scan": """
+            SELECT event_id AS id, user_id AS "key",
+                   CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                        AS BIGINT) AS gap_us,
+                   CAST(SUM(event_id) OVER w AS BIGINT) AS run_sum
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_id IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY id
+        """,
         "docs_rollup_counts": """
             SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
             FROM documents

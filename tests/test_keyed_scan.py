@@ -1,0 +1,62 @@
+"""rolling.keyed_scan: per-key LAG gap + running sum."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(tbl: pa.Table, blocks: int = 3):
+    import ray.data as rd
+
+    n = tbl.num_rows
+    step = max(1, n // blocks) if n else 1
+    return rd.from_arrow([tbl.slice(i, step) for i in range(0, n, step)]
+                         if n else tbl)
+
+
+def test_keyed_scan_small(ray_session):
+    from verify_ray.pipelines.rolling import keyed_scan
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, None], type=pa.int64()),
+        "ts": pa.array([100, 50, 200, 30, 10], type=pa.timestamp("us")),
+        "i": pa.array([10, 11, 12, 20, 30], type=pa.int64()),
+        "v": pa.array([5, 3, 2, 7, 9], type=pa.int64())})
+    out = (keyed_scan(_ds(t, 2), "k", "ts", "i", "v", num_buckets=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # key 1 in ts order: (50,i11,v3) (100,i10,v5) (200,i12,v2)
+    by_id = out.set_index("id")
+    assert np.isnan(by_id.loc[11, "gap_us"])
+    assert by_id.loc[10, "gap_us"] == 50
+    assert by_id.loc[12, "gap_us"] == 100
+    assert by_id.loc[11, "run_sum"] == 3
+    assert by_id.loc[10, "run_sum"] == 8
+    assert by_id.loc[12, "run_sum"] == 10
+    assert by_id.loc[20, "run_sum"] == 7
+    assert 30 not in by_id.index  # null key drops
+
+
+def test_keyed_scan_matches_pandas(ray_session):
+    from verify_ray.pipelines.rolling import keyed_scan
+
+    rng = np.random.default_rng(9)
+    n = 400
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 25, n).astype(np.int64)),
+        "ts": pa.array(rng.integers(0, 50, n).astype(np.int64)
+                       .astype("datetime64[us]")),
+        "i": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.integers(0, 9, n).astype(np.int64))})
+    out = (keyed_scan(_ds(t, 5), "k", "ts", "i", "v", num_buckets=8)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    df = (t.to_pandas()
+          .assign(ts_us=lambda d: d["ts"].astype(np.int64))
+          .sort_values(["k", "ts_us", "i"], kind="stable"))
+    df["gap_us"] = df.groupby("k")["ts_us"].diff()
+    df["run_sum"] = df.groupby("k")["v"].cumsum()
+    ref = (df.rename(columns={"i": "id"}).sort_values("id")
+           .reset_index(drop=True))
+    assert out["run_sum"].tolist() == ref["run_sum"].tolist()
+    pd.testing.assert_series_equal(out["gap_us"].astype("float64"),
+                                   ref["gap_us"].astype("float64"),
+                                   check_names=False)

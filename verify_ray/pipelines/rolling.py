@@ -96,3 +96,86 @@ def rolling_window_agg(ds, key: str, ts: str, span_us: int,
 
     return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
                                empty_schema=out_schema)
+
+
+def keyed_scan(ds, key: str, ts: str, id_col: str, value_col: str,
+               num_buckets: int = 64):
+    """Ordered per-key sequential scan — for every row, the gap to the
+    key's PREVIOUS event (SQL ``ts - LAG(ts) OVER (PARTITION BY key
+    ORDER BY ts, id)``; null for the key's first row) and the running
+    total of ``value_col`` up to and including the row (``SUM(value)
+    OVER`` the same window).  The feature-engineering staple behind
+    inter-arrival-time features, cumulative exposure, and per-entity
+    counters.
+
+    Complements ``rolling_window_agg`` (bounded trailing RANGE frame):
+    this is the UNBOUNDED-preceding / adjacent-row class, resolved per
+    key with one lexsort + one cumsum — the reset-at-key-boundary
+    running sum is the global cumsum minus each key's starting offset
+    (no per-key loop).
+
+    ``value_col`` must be integer (the repo's integer-oracle policy:
+    float running sums are order-dependent at the last ULP).  The
+    (ts, id) order must be unique per key — ``id_col`` a unique id —
+    so SQL's default RANGE frame equals the ROWS frame and the oracle
+    needs no frame clause.  Rows with a null key, ts, or id drop.
+
+    Shuffle carries (key, ts µs, id, value) only; one hash exchange,
+    results stay in the object store.
+    """
+    from ..stages.exchange import grouped_exchange_ds
+
+    out_schema = pa.schema([
+        ("id", pa.int64()), ("key", pa.int64()),
+        ("gap_us", pa.int64()), ("run_sum", pa.int64())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        mask = pc.is_valid(b[key])
+        for c in (ts, id_col, value_col):
+            mask = pc.and_(mask, pc.is_valid(b[c]))
+        t = b.filter(mask)
+        k = pc.cast(t[key], pa.int64()).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(k)
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "k": pa.array(k),
+            "t": _ts_i64(t[ts]),
+            "i": pc.cast(t[id_col], pa.int64()),
+            "v": pc.cast(t[value_col], pa.int64())})
+
+    def scan(tb: pa.Table) -> pa.Table:
+        k = tb.column("k").to_numpy(zero_copy_only=False)
+        t = tb.column("t").to_numpy(zero_copy_only=False)
+        i = tb.column("i").to_numpy(zero_copy_only=False)
+        v = tb.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, k))
+        ks, ts_, is_, vs = k[order], t[order], i[order], v[order]
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        # gap to previous row of the same key; first row of a key: null
+        gap = np.empty(len(ts_), dtype=np.int64)
+        gap[1:] = ts_[1:] - ts_[:-1]
+        gap[0] = 0
+        gap_valid = ~new
+        # running sum resets at key boundaries: global cumsum minus
+        # the key's starting offset (boundary-repeat, no per-key loop)
+        cum = np.cumsum(vs)
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(ks)))
+        base = np.repeat(cum[starts] - vs[starts], counts)
+        run = cum - base
+        gap_arr = pc.if_else(pa.array(gap_valid),
+                             pa.array(gap, type=pa.int64()),
+                             pa.scalar(None, pa.int64()))
+        return pa.table({
+            "id": pa.array(is_),
+            "key": pa.array(ks),
+            "gap_us": gap_arr,
+            "run_sum": pa.array(run)})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets, scan,
+                               empty_schema=out_schema)
