@@ -868,6 +868,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                "pos"]]
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def pagerank_q(sf):
+        # integer fixed-point PageRank over a deterministic link graph
+        # derived from events (src = user, dst = synthetic target);
+        # 3 iterations, each = rank→edge join + dst-keyed sum exchange
+        # + node left-join — nothing node-count-sized on the driver
+        from verify_ray.pipelines.graph import pagerank_int
+
+        ev = _read(sf, "events", columns=["event_id", "user_id"])
+
+        def to_edges(b: pa.Table) -> pa.Table:
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            e = pc.cast(b["event_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "src": pa.array(u),
+                "dst": pa.array((u * 3 + e % 97) % 150)})
+
+        edges = ev.map_batches(to_edges, batch_format="pyarrow")
+        out = pagerank_int(edges, iters=3, num_buckets=8)
+        return (out.to_pandas().sort_values("node")
+                .reset_index(drop=True))
+
     def keyed_scan_q(sf):
         # per-user sequential scan: inter-arrival gap (LAG) + running
         # total (SUM OVER) in one lexsort+cumsum pass per bucket
@@ -1500,6 +1523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": langid_confusion_q,
         "docs_rollup_counts": rollup_q,
         "events_keyed_scan": keyed_scan_q,
+        "graph_pagerank": pagerank_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "pack_sequences_streaming": pack_seqs_streaming,
@@ -2349,6 +2373,37 @@ SELECT doc_id, lang, split, shard,
 FROM t ORDER BY doc_id
 """
 
+def _pagerank_oracle(iters: int = 3, damping: int = 850,
+                     scale: int = 1_000_000) -> str:
+    """Chained-CTE restatement of graph.pagerank_int's integer
+    recurrence — one CTE per iteration; // losses and the
+    no-dangling-redistribution rule are identical by construction."""
+    base = (1000 - damping) * scale // 1000
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""r{i} AS (
+  SELECT n.node, {base} + {damping} * COALESCE(s.c, 0) // 1000 AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // o.deg) AS c
+    FROM edges e JOIN r{i - 1} p ON e.src = p.node
+                 JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst) s ON n.node = s.node)""")
+    return f"""
+WITH ev AS (SELECT user_id, event_id FROM events
+            WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+ edges AS (SELECT user_id AS src,
+                  (user_id * 3 + event_id % 97) % 150 AS dst
+           FROM ev),
+ outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+ nodes AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges)),
+ r0 AS (SELECT node, {scale} AS r FROM nodes),
+ {",".join(steps)}
+SELECT node, CAST(r AS BIGINT) AS rank FROM r{iters} ORDER BY node
+"""
+
+
 # functions.jsonx: the engine executes THIS expression per batch via
 # the per-worker DuckDB kernel — parity by construction
 EVENTS_JSON_ORACLE = """
@@ -2987,6 +3042,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_per_lang": QUALITY_FILTER_ORACLE,
         "training_mix_build": TRAINING_MIX_ORACLE,
         "langid_confusion": _langid_confusion_oracle(),
+        "graph_pagerank": _pagerank_oracle(),
         "events_keyed_scan": """
             SELECT event_id AS id, user_id AS "key",
                    CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w)

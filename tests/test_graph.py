@@ -1,0 +1,71 @@
+"""graph.pagerank_int: integer fixed-point PageRank."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _edges(src, dst, blocks: int = 2):
+    import ray.data as rd
+
+    t = pa.table({"src": pa.array(src, type=pa.int64()),
+                  "dst": pa.array(dst, type=pa.int64())})
+    n = t.num_rows
+    step = max(1, n // blocks)
+    return rd.from_arrow([t.slice(i, step) for i in range(0, n, step)])
+
+
+def _reference(src, dst, iters=3, damping=850, scale=1_000_000):
+    src, dst = np.asarray(src), np.asarray(dst)
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = {}
+    for s in src:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: scale for n in nodes}
+    base = (1000 - damping) * scale // 1000
+    for _ in range(iters):
+        c = {n: 0 for n in nodes}
+        for s, d in zip(src, dst):
+            c[d] += rank[s] // deg[s]
+        rank = {n: base + damping * c[n] // 1000 for n in nodes}
+    return rank, idx
+
+
+def test_pagerank_matches_integer_reference(ray_session):
+    from verify_ray.pipelines.graph import pagerank_int
+
+    rng = np.random.default_rng(21)
+    m = 300
+    src = rng.integers(0, 40, m).astype(np.int64)
+    dst = rng.integers(0, 40, m).astype(np.int64)
+    out = (pagerank_int(_edges(src, dst, 4), iters=3, num_buckets=4)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    ref, _ = _reference(src, dst)
+    assert out["rank"].tolist() == [ref[n] for n in out["node"]]
+    assert len(out) == len(ref)
+
+
+def test_pagerank_dangling_and_sink(ray_session):
+    from verify_ray.pipelines.graph import pagerank_int
+
+    # 0 -> 1 -> 2 (2 is dangling: its mass is NOT redistributed)
+    out = (pagerank_int(_edges([0, 1], [1, 2], 1), iters=2,
+                        num_buckets=2)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    ref, _ = _reference([0, 1], [1, 2], iters=2)
+    assert out["rank"].tolist() == [ref[0], ref[1], ref[2]]
+    # the sink accumulated more than the source
+    assert ref[2] > ref[0]
+
+
+def test_distinct_nodes_and_null_edges(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.graph import pagerank_int
+
+    t = pa.table({"src": pa.array([1, None, 2], type=pa.int64()),
+                  "dst": pa.array([2, 3, None], type=pa.int64())})
+    out = (pagerank_int(rd.from_arrow(t), iters=1, num_buckets=2)
+           .to_pandas())
+    # only the (1 -> 2) edge survives; nodes = {1, 2}
+    assert sorted(out["node"]) == [1, 2]
