@@ -868,6 +868,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                "pos"]]
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def fuzzy_join_q(sf):
+        # record linkage: doc titles vs single-char-mutated copies of
+        # every 5th doc — multi-pass blocking (prefix-8 OR suffix-8)
+        # finds each pair through whichever block the mutation missed;
+        # integer char-3-gram Jaccard >= 700 permille verifies
+        import ray.data as rd
+
+        from verify_ray.pipelines.joins import fuzzy_join
+
+        t = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        title = pc.utf8_lower(
+            pc.utf8_slice_codeunits(t.column("text"), 0, 40))
+        left = pa.table({"lid": t.column("doc_id"), "k": title})
+        ids = left.column("lid").to_pylist()
+        titles = title.to_pylist()
+        rids, rks = [], []
+        for i, s in zip(ids, titles):
+            if i % 5 != 0 or s is None:
+                continue
+            p = 3 + (i % 36)  # 1-based mutation position in [3, 38]
+            rids.append(i + 7_000_000)
+            rks.append(s[:p - 1] + "x" + s[p:])
+        right = pa.table({
+            "rid": pa.array(rids, type=pa.int64()),
+            "k": pa.array(rks, type=pa.string())})
+        out = fuzzy_join(rd.from_arrow(left), rd.from_arrow(right),
+                         left_id="lid", right_id="rid", key="k",
+                         tau_permille=700, num_buckets=8)
+        return (out.to_pandas().sort_values(["lid", "rid"])
+                .reset_index(drop=True))
+
     def pagerank_q(sf):
         # integer fixed-point PageRank over a deterministic link graph
         # derived from events (src = user, dst = synthetic target);
@@ -1524,6 +1556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup_counts": rollup_q,
         "events_keyed_scan": keyed_scan_q,
         "graph_pagerank": pagerank_q,
+        "fuzzy_join_titles": fuzzy_join_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "pack_sequences_streaming": pack_seqs_streaming,
@@ -3043,6 +3076,47 @@ def oracle_sql() -> dict[str, str]:
         "training_mix_build": TRAINING_MIX_ORACLE,
         "langid_confusion": _langid_confusion_oracle(),
         "graph_pagerank": _pagerank_oracle(),
+        "fuzzy_join_titles": """
+WITH l AS (SELECT doc_id AS lid, lower(substr(text, 1, 40)) AS lk
+           FROM documents
+           WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+ r AS (SELECT lid + 7000000 AS rid,
+              substr(lk, 1, 2 + (lid % 36)) || 'x' ||
+                substr(lk, 4 + (lid % 36)) AS rk
+       FROM l WHERE lid % 5 = 0),
+ lb AS (SELECT lid, lk, 'P' || chr(31) || substr(lk, 1, 8) AS bv
+        FROM l
+        UNION ALL
+        SELECT lid, lk, 'S' || chr(31) ||
+               CASE WHEN length(lk) >= 8
+                    THEN substr(lk, length(lk) - 7) ELSE lk END
+        FROM l),
+ rb AS (SELECT rid, rk, 'P' || chr(31) || substr(rk, 1, 8) AS bv
+        FROM r
+        UNION ALL
+        SELECT rid, rk, 'S' || chr(31) ||
+               CASE WHEN length(rk) >= 8
+                    THEN substr(rk, length(rk) - 7) ELSE rk END
+        FROM r),
+ cand AS (SELECT DISTINCT lb.lid, rb.rid, lb.lk, rb.rk
+          FROM lb JOIN rb ON lb.bv = rb.bv),
+ g AS (SELECT lid, rid,
+         list_distinct([substr(lk, i, 3)
+                        for i in generate_series(1, length(lk) - 2)])
+           AS gl,
+         list_distinct([substr(rk, i, 3)
+                        for i in generate_series(1, length(rk) - 2)])
+           AS gr
+       FROM cand),
+ j AS (SELECT lid, rid,
+              CAST(len(list_intersect(gl, gr)) AS BIGINT) AS inter,
+              CAST(len(gl) + len(gr) - len(list_intersect(gl, gr))
+                   AS BIGINT) AS uni
+       FROM g)
+SELECT lid, rid, inter, uni FROM j
+WHERE uni > 0 AND inter * 1000 >= 700 * uni
+ORDER BY lid, rid
+        """,
         "events_keyed_scan": """
             SELECT event_id AS id, user_id AS "key",
                    CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w)

@@ -99,7 +99,7 @@ def test_queries_cover_oracles(entry_mod):
     "events_pivot_weekday", "sorted_range_shards",
     "events_json_extract", "postings_index", "quality_filter_per_lang",
     "training_mix_build", "langid_confusion", "docs_rollup_counts",
-    "events_keyed_scan", "graph_pagerank",
+    "events_keyed_scan", "graph_pagerank", "fuzzy_join_titles",
 ])
 def test_query_matches_oracle(entry_mod, ducks, name):
     q = entry_mod.queries()[name]

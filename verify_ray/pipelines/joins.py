@@ -575,3 +575,146 @@ def broadcast_join(ds, small: pa.Table, key: str, values: list[str],
         return out
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def fuzzy_join(left_ds, right_ds, left_id: str, right_id: str,
+               key: str = "title", tau_permille: int = 700,
+               block_len: int = 8, num_buckets: int = 32):
+    """Record linkage / entity resolution: approximate string join —
+    emit (lid, rid, inter, uni) for cross-side pairs whose KEYS have
+    character-3-gram Jaccard ``inter/uni >= tau_permille/1000``
+    (integer comparison ``inter*1000 >= tau*uni`` — no float
+    thresholds).  The dedup-across-catalogs / crawl-entity-merge
+    operation an equi-join cannot express.
+
+    Two-stage exchange shape (no all-pairs scan):
+
+    1. MULTI-PASS BLOCKING: each key emits two block values — its
+       first and last ``block_len`` characters — and candidates are
+       cross-side pairs sharing EITHER block (a single point mutation
+       can corrupt one block but not both; the classic multi-blocker
+       recall trick).  Blocks co-locate through a hash exchange;
+       per-bucket pair enumeration uses the searchsorted
+       repeat/arange pattern.
+    2. PAIR EXCHANGE: candidates route by pair hash for global
+       dedup (the same pair can surface via both blockers), then
+       verify IN-TASK: distinct 3-gram codepoint codes per unique
+       key (memoized; c0·2^42+c1·2^21+c2 — bijective with the
+       oracle's substr grams), ``np.intersect1d`` per pair.
+
+    Recall contract: a true pair is found iff it shares a full
+    prefix- or suffix-block — edits touching BOTH ends escape
+    blocking (documented; add mid-key blocks for higher recall).
+    Null ids/keys drop.  Keys shorter than 3 characters have no
+    grams and never match.
+
+    Scale assumption (SURVEY §2.6): one block value's rows fit a
+    merge task — a degenerate corpus where thousands of records share
+    one prefix makes that block quadratic; raise ``block_len`` or
+    pre-salt.  Shuffle carries (block/pair hash, id, key) only.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange_ds
+
+    out_schema = pa.schema([
+        ("lid", pa.int64()), ("rid", pa.int64()),
+        ("inter", pa.int64()), ("uni", pa.int64())])
+
+    def tag_side(side: str, id_col: str):
+        def tag(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b[id_col]),
+                                 pc.is_valid(b[key])))
+            ids = pc.cast(b[id_col], pa.int64())
+            k = pc.cast(b[key], pa.string())
+            pre = pc.utf8_slice_codeunits(k, 0, block_len)
+            rev = pc.utf8_reverse(k)
+            suf = pc.utf8_reverse(
+                pc.utf8_slice_codeunits(rev, 0, block_len))
+            parts = []
+            for tag_ch, blk in (("P", pre), ("S", suf)):
+                bv = pc.binary_join_element_wise(
+                    pa.array([tag_ch] * b.num_rows, type=pa.string()),
+                    blk, "\x1f")
+                parts.append(pa.table({
+                    "__b": pa.array(md5_u64le(bv), type=pa.uint64()),
+                    "bv": bv,
+                    "side": pa.array([side] * b.num_rows,
+                                     type=pa.string()),
+                    "id": ids, "k": k}))
+            return pa.concat_tables(parts)
+        return tag
+
+    def pairs_in_block(t: pa.Table) -> pa.Table:
+        bv = t.column("bv").to_numpy(zero_copy_only=False)
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        ks = t.column("k").to_numpy(zero_copy_only=False)
+        is_l = side == "L"
+        lmask, rmask = is_l, ~is_l
+        lb, rb = bv[lmask], bv[rmask]
+        lo_ = np.argsort(lb, kind="stable")
+        lbs = lb[lo_]
+        lids, lks = ids[lmask][lo_], ks[lmask][lo_]
+        lo = np.searchsorted(lbs, rb, side="left")
+        hi = np.searchsorted(lbs, rb, side="right")
+        cnt = hi - lo
+        ridx = np.repeat(np.arange(len(rb)), cnt)
+        lidx = (np.repeat(lo, cnt)
+                + (np.arange(cnt.sum()) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt)))
+        rids, rks = ids[rmask][ridx], ks[rmask][ridx]
+        pair_key = pc.binary_join_element_wise(
+            pc.cast(pa.array(lids[lidx]), pa.string()),
+            pc.cast(pa.array(rids), pa.string()), "\x1f")
+        return pa.table({
+            "__p": pa.array(md5_u64le(pair_key), type=pa.uint64()),
+            "lid": pa.array(lids[lidx]), "rid": pa.array(rids),
+            "lk": pa.array(lks[lidx], type=pa.string()),
+            "rk": pa.array(rks, type=pa.string())})
+
+    def _grams(s: str) -> np.ndarray:
+        if len(s) < 3:
+            return np.empty(0, np.int64)
+        c = np.array([ord(ch) for ch in s], dtype=np.int64)
+        codes = (c[:-2] << 42) + (c[1:-1] << 21) + c[2:]
+        return np.unique(codes)
+
+    def verify(t: pa.Table) -> pa.Table:
+        df = t.select(["lid", "rid", "lk", "rk"]).to_pandas()
+        df = df.drop_duplicates(["lid", "rid"])
+        if not len(df):
+            return out_schema.empty_table()
+        memo: dict = {}
+        for s in pd.unique(pd.concat([df["lk"], df["rk"]])):
+            memo[s] = _grams(s)
+        inter = np.empty(len(df), dtype=np.int64)
+        uni = np.empty(len(df), dtype=np.int64)
+        for j, (a, b) in enumerate(zip(df["lk"], df["rk"])):
+            ga, gb = memo[a], memo[b]
+            i = len(np.intersect1d(ga, gb, assume_unique=True))
+            inter[j] = i
+            uni[j] = len(ga) + len(gb) - i
+        keep = (uni > 0) & (inter * 1000 >= tau_permille * uni)
+        return pa.table({
+            "lid": pa.array(df["lid"].to_numpy(np.int64)[keep]),
+            "rid": pa.array(df["rid"].to_numpy(np.int64)[keep]),
+            "inter": pa.array(inter[keep]),
+            "uni": pa.array(uni[keep])})
+
+    import ray.data  # noqa: F401  (union requires initialized context)
+
+    tagged = (left_ds.map_batches(tag_side("L", left_id),
+                                  batch_format="pyarrow")
+              .union(right_ds.map_batches(tag_side("R", right_id),
+                                          batch_format="pyarrow")))
+    cand_schema = pa.schema([
+        ("__p", pa.uint64()), ("lid", pa.int64()),
+        ("rid", pa.int64()), ("lk", pa.string()),
+        ("rk", pa.string())])
+    cands = grouped_exchange_ds(tagged, "__b", num_buckets,
+                                pairs_in_block,
+                                empty_schema=cand_schema)
+    return grouped_exchange_ds(cands, "__p", num_buckets, verify,
+                               empty_schema=out_schema)
