@@ -123,7 +123,12 @@ def bench_queries() -> dict[str, float]:
              "events_funnel", "cohort_retention",
              "docs_global_rank", "user_histories", "resample_mix",
              "knn_join_embeddings", "latest_event_per_user",
-             "events_pivot_weekday", "sorted_range_shards"]
+             "events_pivot_weekday", "sorted_range_shards",
+             "events_json_extract", "postings_index",
+             "quality_filter_per_lang", "training_mix_build",
+             "langid_confusion", "docs_rollup_counts",
+             "events_keyed_scan", "graph_pagerank",
+             "fuzzy_join_titles"]
     out = {}
     for name in names:
         t0 = time.time()
