@@ -886,7 +886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         titles = title.to_pylist()
         rids, rks = [], []
         for i, s in zip(ids, titles):
-            if i % 5 != 0 or s is None:
+            if i is None or s is None or i % 5 != 0:
                 continue
             p = 3 + (i % 36)  # 1-based mutation position in [3, 38]
             rids.append(i + 7_000_000)
@@ -910,6 +910,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf, "events", columns=["event_id", "user_id"])
 
         def to_edges(b: pa.Table) -> pa.Table:
+            # drop nulls BEFORE to_numpy: a null int64 degrades the
+            # array to float64-with-NaN, which survives pagerank's
+            # own null filter as a VALID NaN (oracle filters nulls)
+            b = b.filter(pc.and_(pc.is_valid(b["user_id"]),
+                                 pc.is_valid(b["event_id"])))
             u = pc.cast(b["user_id"], pa.int64()).to_numpy(
                 zero_copy_only=False)
             e = pc.cast(b["event_id"], pa.int64()).to_numpy(

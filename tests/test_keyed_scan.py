@@ -36,6 +36,38 @@ def test_keyed_scan_small(ray_session):
     assert 30 not in by_id.index  # null key drops
 
 
+def test_keyed_scan_null_value_keeps_row(ray_session):
+    # review fix: a null VALUE contributes 0 but the row keeps its
+    # place in the order (dropping it would corrupt the next gap)
+    from verify_ray.pipelines.rolling import keyed_scan
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1], type=pa.int64()),
+        "ts": pa.array([10, 20, 30], type=pa.timestamp("us")),
+        "i": pa.array([1, 2, 3], type=pa.int64()),
+        "v": pa.array([5, None, 2], type=pa.int64())})
+    out = (keyed_scan(_ds(t, 1), "k", "ts", "i", "v", num_buckets=2)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["id"].tolist() == [1, 2, 3]  # null-v row survives
+    assert out.loc[2, "gap_us"] == 10  # gap vs row 2, not row 1
+    assert out["run_sum"].tolist() == [5, 5, 7]
+
+
+def test_keyed_scan_string_keys(ray_session):
+    # review fix: string keys bucket by md5 (was: hard int64 cast)
+    from verify_ray.pipelines.rolling import keyed_scan
+
+    t = pa.table({
+        "k": pa.array(["b", "a", "b"], type=pa.string()),
+        "ts": pa.array([10, 5, 30], type=pa.timestamp("us")),
+        "i": pa.array([1, 2, 3], type=pa.int64()),
+        "v": pa.array([1, 2, 4], type=pa.int64())})
+    out = (keyed_scan(_ds(t, 1), "k", "ts", "i", "v", num_buckets=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["key"].tolist() == ["b", "a", "b"]
+    assert out["run_sum"].tolist() == [1, 2, 5]
+
+
 def test_keyed_scan_matches_pandas(ray_session):
     from verify_ray.pipelines.rolling import keyed_scan
 

@@ -115,36 +115,43 @@ def keyed_scan(ds, key: str, ts: str, id_col: str, value_col: str,
     (no per-key loop).
 
     ``value_col`` must be integer (the repo's integer-oracle policy:
-    float running sums are order-dependent at the last ULP).  The
-    (ts, id) order must be unique per key — ``id_col`` a unique id —
-    so SQL's default RANGE frame equals the ROWS frame and the oracle
-    needs no frame clause.  Rows with a null key, ts, or id drop.
+    float running sums are order-dependent at the last ULP); a NULL
+    value contributes 0 to the running sum but the row KEEPS its place
+    in the order (SQL's SUM skips nulls — the one divergence is an
+    all-null prefix, where SQL yields NULL and this yields 0,
+    documented rather than emulated).  The (ts, id) order must be
+    unique per key — ``id_col`` a unique id — so SQL's default RANGE
+    frame equals the ROWS frame and the oracle needs no frame clause.
+    Rows with a null key, ts, or id drop.  Integer OR string keys
+    (string keys bucket by md5 like ``rolling_window_agg``).
 
     Shuffle carries (key, ts µs, id, value) only; one hash exchange,
     results stay in the object store.
     """
     from ..stages.exchange import grouped_exchange_ds
 
+    schema = ds.schema()
+    ktype = dict(zip(schema.names, schema.types))[key]
+    int_key = (pa.types.is_integer(ktype)
+               or pa.types.is_timestamp(ktype))
     out_schema = pa.schema([
-        ("id", pa.int64()), ("key", pa.int64()),
+        ("id", pa.int64()),
+        ("key", pa.int64() if int_key else pa.string()),
         ("gap_us", pa.int64()), ("run_sum", pa.int64())])
 
     def tag(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
         mask = pc.is_valid(b[key])
-        for c in (ts, id_col, value_col):
+        for c in (ts, id_col):
             mask = pc.and_(mask, pc.is_valid(b[c]))
         t = b.filter(mask)
-        k = pc.cast(t[key], pa.int64()).to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(k)
+        karr, bk = _key_arrays(t[key])
         return pa.table({
-            "__b": pa.array((h % np.uint64(num_buckets))
+            "__b": pa.array((bk % np.uint64(num_buckets))
                             .astype(np.int64)),
-            "k": pa.array(k),
+            "k": karr,
             "t": _ts_i64(t[ts]),
             "i": pc.cast(t[id_col], pa.int64()),
-            "v": pc.cast(t[value_col], pa.int64())})
+            "v": pc.fill_null(pc.cast(t[value_col], pa.int64()), 0)})
 
     def scan(tb: pa.Table) -> pa.Table:
         k = tb.column("k").to_numpy(zero_copy_only=False)
@@ -172,7 +179,7 @@ def keyed_scan(ds, key: str, ts: str, id_col: str, value_col: str,
                              pa.scalar(None, pa.int64()))
         return pa.table({
             "id": pa.array(is_),
-            "key": pa.array(ks),
+            "key": pa.array(ks, type=out_schema.field("key").type),
             "gap_us": gap_arr,
             "run_sum": pa.array(run)})
 

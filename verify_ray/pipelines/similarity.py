@@ -76,9 +76,14 @@ def _topk_by_sim_id(sims: np.ndarray, ids: np.ndarray,
     """Indices of the local top-kk by (sim DESC, id ASC).  A bare
     ``argpartition`` prunes exact sim ties (duplicate embeddings)
     arbitrarily, possibly dropping the tied id the deterministic
-    global merge would keep — one lexsort keeps the tie rule exact
-    end to end."""
-    return np.lexsort((ids, -sims))[:kk]
+    global merge would keep.  Cost stays near-linear: partition finds
+    the kk-th sim, then only the rows AT or above that threshold
+    (kk + boundary ties) pay the tie-resolving lexsort."""
+    if kk >= len(sims):
+        return np.lexsort((ids, -sims))
+    thr = -np.partition(-sims, kk - 1)[kk - 1]
+    cand = np.flatnonzero(sims >= thr)
+    return cand[np.lexsort((ids[cand], -sims[cand]))[:kk]]
 
 
 def _merge_local_topk(cand, qids, k):
