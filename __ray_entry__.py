@@ -868,6 +868,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                "pos"]]
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def rolling_distinct_q(sf):
+        # behavioral-variety feature: distinct event types per user in
+        # the trailing 1h RANGE frame — one prefix-sum pass per
+        # category (small-cardinality contract)
+        from verify_ray.pipelines.rolling import rolling_window_agg
+
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id", "ts", "event_type"])
+        out = rolling_window_agg(ev, "user_id", "ts",
+                                 span_us=3_600_000_000,
+                                 distinct_cols=["event_type"],
+                                 num_buckets=16)
+        df = (out.select_columns(
+                  ["event_id", "w_count", "w_distinct_event_type"])
+              .to_pandas().sort_values("event_id")
+              .reset_index(drop=True))
+        return df.astype({"w_count": "int64",
+                          "w_distinct_event_type": "int64"})
+
     def fuzzy_join_q(sf):
         # record linkage: doc titles vs single-char-mutated copies of
         # every 5th doc — multi-pass blocking (prefix-8 OR suffix-8)
@@ -1562,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_keyed_scan": keyed_scan_q,
         "graph_pagerank": pagerank_q,
         "fuzzy_join_titles": fuzzy_join_q,
+        "events_rolling_distinct": rolling_distinct_q,
         "decontaminate": decontaminate_docs,
         "pack_sequences": pack_seqs,
         "pack_sequences_streaming": pack_seqs_streaming,
@@ -3081,6 +3101,17 @@ def oracle_sql() -> dict[str, str]:
         "training_mix_build": TRAINING_MIX_ORACLE,
         "langid_confusion": _langid_confusion_oracle(),
         "graph_pagerank": _pagerank_oracle(),
+        "events_rolling_distinct": """
+            SELECT event_id, CAST(COUNT(*) OVER w AS BIGINT)
+                     AS w_count,
+                   CAST(COUNT(DISTINCT event_type) OVER w AS BIGINT)
+                     AS w_distinct_event_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+            ORDER BY event_id
+        """,
         "fuzzy_join_titles": """
 WITH l AS (SELECT doc_id AS lid, lower(substr(text, 1, 40)) AS lk
            FROM documents

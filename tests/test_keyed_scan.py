@@ -68,6 +68,50 @@ def test_keyed_scan_string_keys(ray_session):
     assert out["run_sum"].tolist() == [1, 2, 5]
 
 
+def test_rolling_distinct_small(ray_session):
+    import duckdb
+
+    from verify_ray.pipelines.rolling import rolling_window_agg
+
+    rng = np.random.default_rng(17)
+    n = 300
+    df = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "k": pa.array(rng.integers(0, 10, n).astype(np.int64)),
+        "ts": pa.array(rng.integers(0, 100, n).astype(np.int64)
+                       .astype("datetime64[us]")),
+        "c": pa.array(rng.choice(["a", "b", "c", None], n))})
+    out = (rolling_window_agg(_ds(df, 4), "k", "ts", span_us=20,
+                              distinct_cols=["c"], num_buckets=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    pdf = df.to_pandas()
+    ref = duckdb.sql("""
+        SELECT id, CAST(COUNT(DISTINCT c) OVER w AS BIGINT) AS d
+        FROM pdf WINDOW w AS (PARTITION BY k ORDER BY ts
+            RANGE BETWEEN INTERVAL 20 MICROSECONDS PRECEDING
+                  AND CURRENT ROW)
+        ORDER BY id""").df()
+    assert out["w_distinct_c"].tolist() == ref["d"].tolist()
+
+
+def test_rolling_distinct_max_card_guard(ray_session):
+    import pytest
+
+    from verify_ray.pipelines.rolling import rolling_window_agg
+
+    n = 100
+    t = pa.table({
+        "k": pa.array(np.zeros(n, dtype=np.int64)),
+        "ts": pa.array(np.arange(n, dtype=np.int64)
+                       .astype("datetime64[us]")),
+        "c": pa.array([f"v{i}" for i in range(n)])})
+    ds = _ds(t, 1)
+    with pytest.raises(Exception, match="max_card"):
+        rolling_window_agg(ds, "k", "ts", span_us=10,
+                           distinct_cols=["c"], max_card=8,
+                           num_buckets=2).to_pandas()
+
+
 def test_keyed_scan_matches_pandas(ray_session):
     from verify_ray.pipelines.rolling import keyed_scan
 

@@ -32,13 +32,25 @@ from .joins import _key_arrays, _ts_i64, rank_into
 
 def rolling_window_agg(ds, key: str, ts: str, span_us: int,
                        sum_cols: list[str] | None = None,
+                       distinct_cols: list[str] | None = None,
+                       max_card: int = 64,
                        num_buckets: int = 64):
-    """Input columns + ``w_count`` (+ ``w_sum_<col>`` per sum_col),
-    each computed over the row's trailing ``span_us`` window within
-    its key."""
+    """Input columns + ``w_count`` (+ ``w_sum_<col>`` per sum_col,
+    ``w_distinct_<col>`` per distinct_col), each computed over the
+    row's trailing ``span_us`` window within its key.
+
+    ``distinct_cols`` = per-row ``COUNT(DISTINCT col) OVER`` the same
+    RANGE frame (NULL elements skipped, SQL semantics) — behavioral
+    variety features ("distinct event types this user touched in the
+    last hour").  Computed with one prefix-sum pass PER CATEGORY
+    VALUE, so the column must be SMALL-CARDINALITY (event types,
+    langs, status codes); a merge task seeing more than ``max_card``
+    distinct values raises rather than silently paying O(card × n).
+    """
     from ..stages.exchange import grouped_exchange_ds
 
     sum_cols = list(sum_cols or [])
+    distinct_cols = list(distinct_cols or [])
     schema = ds.schema()
     types = dict(zip(schema.names, schema.types))
     in_cols = list(schema.names)
@@ -59,7 +71,8 @@ def rolling_window_agg(ds, key: str, ts: str, span_us: int,
     out_schema = pa.schema(
         [(c, types[c]) for c in in_cols]
         + [("w_count", pa.int64())]
-        + [(f"w_sum_{c}", pa.int64()) for c in sum_cols])
+        + [(f"w_sum_{c}", pa.int64()) for c in sum_cols]
+        + [(f"w_distinct_{c}", pa.int64()) for c in distinct_cols])
 
     def merge(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -92,6 +105,26 @@ def rolling_window_agg(ds, key: str, ts: str, span_us: int,
             s = np.empty(n, dtype=np.int64)
             s[order] = ps[hi] - ps[lo]
             cols[f"w_sum_{c}"] = pa.array(s)
+        for c in distinct_cols:
+            darr = t.column(c)
+            dnull = pc.is_null(darr).to_numpy(zero_copy_only=False)
+            dstr = pc.fill_null(pc.cast(darr, pa.string()), "") \
+                .to_numpy(zero_copy_only=False)
+            valid_sorted = ~dnull[order]
+            cats, cinv = np.unique(dstr[order], return_inverse=True)
+            if len(cats) > max_card:
+                raise ValueError(
+                    f"rolling distinct column {c!r} has {len(cats)} "
+                    f"distinct values in one task (max_card="
+                    f"{max_card}) — use a sketch or raise max_card")
+            dist_sorted = np.zeros(n, dtype=np.int64)
+            for ci in range(len(cats)):
+                ind = ((cinv == ci) & valid_sorted).astype(np.int64)
+                ps = np.concatenate([[0], np.cumsum(ind)])
+                dist_sorted += (ps[hi] - ps[lo] > 0)
+            d = np.empty(n, dtype=np.int64)
+            d[order] = dist_sorted
+            cols[f"w_distinct_{c}"] = pa.array(d)
         return pa.table(cols).cast(out_schema)
 
     return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
