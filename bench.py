@@ -128,7 +128,7 @@ def bench_queries() -> dict[str, float]:
              "quality_filter_per_lang", "training_mix_build",
              "langid_confusion", "docs_rollup_counts",
              "events_keyed_scan", "graph_pagerank",
-             "fuzzy_join_titles"]
+             "fuzzy_join_titles", "events_rolling_distinct"]
     out = {}
     for name in names:
         t0 = time.time()
