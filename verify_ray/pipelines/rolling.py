@@ -111,15 +111,22 @@ def rolling_window_agg(ds, key: str, ts: str, span_us: int,
             dstr = pc.fill_null(pc.cast(darr, pa.string()), "") \
                 .to_numpy(zero_copy_only=False)
             valid_sorted = ~dnull[order]
-            cats, cinv = np.unique(dstr[order], return_inverse=True)
+            vals_sorted = dstr[order]
+            # categories over VALID values only — the null fill ("")
+            # must neither count toward max_card nor collide with a
+            # genuine empty-string category
+            cats, cinv_valid = np.unique(vals_sorted[valid_sorted],
+                                         return_inverse=True)
             if len(cats) > max_card:
                 raise ValueError(
                     f"rolling distinct column {c!r} has {len(cats)} "
                     f"distinct values in one task (max_card="
                     f"{max_card}) — use a sketch or raise max_card")
+            cinv = np.full(n, -1, dtype=np.int64)  # -1 = null sentinel
+            cinv[valid_sorted] = cinv_valid
             dist_sorted = np.zeros(n, dtype=np.int64)
             for ci in range(len(cats)):
-                ind = ((cinv == ci) & valid_sorted).astype(np.int64)
+                ind = (cinv == ci).astype(np.int64)
                 ps = np.concatenate([[0], np.cumsum(ind)])
                 dist_sorted += (ps[hi] - ps[lo] > 0)
             d = np.empty(n, dtype=np.int64)

@@ -163,6 +163,9 @@ def grouped_percentile_rank(ds, group_col: str, score_col: str,
     driver-cardinality assumption as ``value_counts`` above; the merged
     per-group cumulative histogram is broadcast once via ``ray.put``;
     pass 2 is one streaming ``searchsorted`` per batch.  Zero shuffles.
+
+    ``ds`` must be materialized-or-rescannable (consumed twice — see
+    ``percentile_filter``).
     """
     import ray
 
@@ -212,6 +215,10 @@ def percentile_filter(ds, group_col: str, score_col: str,
     ``grouped_percentile_rank`` (driver data bounded by groups ×
     distinct integer scores), then one streaming searchsorted filter
     pass.  Zero shuffles.
+
+    ``ds`` must be materialized-or-rescannable (it is consumed twice:
+    histogram pass + streaming filter pass) — an expensive lazy
+    upstream chain re-executes; ``.materialize()`` it first.
     """
     import pyarrow.compute as pc
     import ray
@@ -527,6 +534,10 @@ def global_rank(ds, score_col: str, id_col: str,
     Rows with a null score or id are dropped (the SQL oracle filters
     the same rows; SQL's ROW_NUMBER would rank NULLs last — scope
     documented rather than emulated).
+
+    ``ds`` must be materialized-or-rescannable (consumed twice:
+    value-count pass + exchange pass) — ``.materialize()`` an
+    expensive lazy upstream first.
     """
     import pyarrow.compute as pc
     import ray

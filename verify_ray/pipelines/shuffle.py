@@ -126,6 +126,10 @@ def sort_by_range(ds, value_col: str, id_col: str, n_shards: int,
 
     Null value/id rows are dropped (no place in the order; SQL
     parity filters the same rows).
+
+    ``ds`` must be materialized-or-rescannable (consumed twice:
+    value-count pass + exchange pass) — ``.materialize()`` an
+    expensive lazy upstream first.
     """
     from ..kernels import as_array
     from ..stages.exchange import grouped_exchange_ds
