@@ -1,0 +1,66 @@
+"""Round-4 size-based auto-routing (VERDICT r3 #2): the scale-safe
+dedup paths become the default above a driver budget, with equivalence
+at both regimes under one API."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _near_dup_table(n_clusters: int = 6, copies: int = 3) -> pa.Table:
+    rng = np.random.default_rng(7)
+    ids, texts = [], []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    for c in range(n_clusters):
+        base = " ".join(rng.choice(words, 30))
+        for j in range(copies):
+            ids.append(f"d{c:03d}_{j}")
+            texts.append(base if j == 0 else base + f" tail{j}")
+    return pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+
+def test_minhash_auto_routes_to_resident_above_budget(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.dedup import minhash_lsh_pairs
+
+    t = _near_dup_table()
+    ds = rd.from_arrow(t)
+    small = minhash_lsh_pairs(ds, threshold=0.6)  # driver path
+    # budget 0 forces every candidate over the budget -> resident path
+    big = minhash_lsh_pairs(rd.from_arrow(t), threshold=0.6,
+                            driver_budget_pairs=0)
+    key = ["doc_a", "doc_b"]
+    a = small.sort_values(key).reset_index(drop=True)
+    b = big.sort_values(key).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a[key], b[key])
+    np.testing.assert_allclose(a["jaccard_est"], b["jaccard_est"])
+
+
+def test_connected_components_auto_routes_distributed(ray_session):
+    from verify_ray.pipelines.dedup import connected_components
+
+    pairs = pd.DataFrame({
+        "doc_a": np.array([1, 2, 10, 11, 20], dtype=np.int64),
+        "doc_b": np.array([2, 3, 11, 12, 21], dtype=np.int64)})
+    uf = (connected_components(pairs)
+          .sort_values("doc_id").reset_index(drop=True))
+    lp = (connected_components(pairs, pair_budget=2)  # force distributed
+          .sort_values("doc_id").reset_index(drop=True))
+    assert uf["doc_id"].tolist() == lp["doc_id"].tolist()
+    assert uf["group_id"].tolist() == lp["group_id"].tolist()
+
+
+def test_connected_components_non_integer_over_budget_raises():
+    from verify_ray.pipelines.dedup import connected_components
+
+    pairs = pd.DataFrame({"doc_a": ["a", "b", "c"],
+                          "doc_b": ["b", "c", "d"]})
+    with pytest.raises(ValueError, match="driver budget"):
+        connected_components(pairs, pair_budget=1)
+    # under budget, string ids still work on the driver path
+    out = connected_components(pairs)
+    assert set(out["group_id"]) == {"a"}

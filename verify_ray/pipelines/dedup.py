@@ -143,15 +143,31 @@ def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id",
 
 
 def connected_components(pairs: pd.DataFrame, a_col: str = "doc_a",
-                         b_col: str = "doc_b") -> pd.DataFrame:
+                         b_col: str = "doc_b",
+                         pair_budget: int = 2_000_000) -> pd.DataFrame:
     """Transitive near-dup groups from a candidate pair list:
     (doc_id, group_id) with group_id = min id of the component.
 
     Pairs are threshold-sparse (output-sized), so a driver-side
-    union-find is appropriate; when the pair set itself is huge, iterate
-    min-label propagation with groupby instead (each round:
-    label[x] = min(label[x], min(label[neighbors])) until fixpoint).
+    union-find is the low-latency default; above ``pair_budget`` pairs
+    with integer node ids the call auto-routes to
+    ``connected_components_distributed`` (min-label propagation +
+    pointer jumping in the hash exchange — same (doc_id, min-id
+    group_id) output, equivalence-tested), so a huge pair set never
+    builds a driver-side parent dict (VERDICT r3 #2).  Non-integer ids
+    above the budget raise: map ids to int64 upstream (the distributed
+    path's partitioning contract) rather than silently blowing the
+    driver.
     """
+    if len(pairs) > pair_budget:
+        if (pd.api.types.is_integer_dtype(pairs[a_col])
+                and pd.api.types.is_integer_dtype(pairs[b_col])):
+            return connected_components_distributed(pairs, a_col, b_col)
+        raise ValueError(
+            f"connected_components: {len(pairs)} pairs exceeds the "
+            f"driver budget ({pair_budget}) and ids are not integer — "
+            f"map ids to int64 and use "
+            f"connected_components_distributed, or raise pair_budget")
     parent: dict = {}
 
     def find(x):
@@ -433,7 +449,8 @@ def _band_buckets(sig: np.ndarray, bands: int) -> np.ndarray:
 
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
-                      threshold: float = 0.7, rows_per_group: int = 200_000):
+                      threshold: float = 0.7, rows_per_group: int = 200_000,
+                      driver_budget_pairs: int = 2_000_000):
     """Near-duplicate pairs via MinHash-LSH, verified by
     signature-estimated Jaccard >= threshold.
 
@@ -445,43 +462,40 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     * coarse-group count is sized from the DATA
       (``n_docs × bands / rows_per_group``), so per-task memory is
       bounded by a constant regardless of dataset size;
-    * bucket-collision candidates are verified in a second streaming
-      pass that recomputes signatures only for candidate docs
-      (candidate sets are output-sized / sparse by construction).
+    * candidates are built IN THE OBJECT STORE and counted there;
+      size-based routing then picks the verify path (VERDICT r3 #2 —
+      the scale-safe path must be the default, not opt-in):
+
+      - ``n_cand <= driver_budget_pairs``: the candidate frame comes
+        to the driver and verification runs in ONE doc_a-keyed
+        exchange (signatures recomputed only for candidate docs) —
+        the low-latency small/medium-corpus path;
+      - ``n_cand > driver_budget_pairs``: the fully dataset-resident
+        three-exchange path (see ``minhash_lsh_pairs_resident``) —
+        nothing candidate-sized ever lands on the driver, only the
+        verified output pairs do.
+
+    Both paths return the identical frame (equivalence-tested).
     """
-    import pandas as pd
-
-    def to_bands(batch: pa.Table) -> pa.Table:
-        sig, ids = minhash_signatures_batch(batch, text_col, id_col,
-                                            num_perm, shingle_k)
-        buckets = _band_buckets(sig, bands)
-        ids_np = np.repeat(np.asarray(ids.to_pylist(), dtype=object), bands)
-        return pa.table({
-            "bucket": pa.array(buckets.reshape(-1), type=pa.uint64()),
-            "doc_id": pa.array(ids_np),
-        })
-
-    n_docs = ds.count()
-    num_coarse = _coarse_count(n_docs * bands, rows_per_group)
-    band_ds = ds.select_columns([id_col, text_col]).map_batches(
-        to_bands, batch_format="pyarrow")
-
-    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = _pairs_in_fine_buckets(g)
-        return out if out is not None else pd.DataFrame(
-            {"doc_a": [], "doc_b": []})
-
-    cand = _grouped_coarse(band_ds, coarse_pairs, num_coarse)
+    cand_ds, n_docs, idt = _band_candidates_ds(
+        ds, text_col, id_col, num_perm, bands, shingle_k, rows_per_group)
     empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_est": []})
-    if cand.empty:
+    n_cand = cand_ds.count()
+    if n_cand == 0:
         return empty
-    cand = cand.drop_duplicates(subset=["doc_a", "doc_b"])
+    if n_cand > driver_budget_pairs:
+        return _verify_minhash_resident(
+            ds, cand_ds, n_cand, n_docs, idt, text_col, id_col,
+            num_perm, shingle_k, threshold, rows_per_group)
 
-    # verify INSIDE the exchange (same shape as ngram_jaccard_pairs):
-    # pairs hash-partition by doc_a into verify tasks; signatures are
+    # small/medium candidate volume: pull the (output-sized) candidate
+    # frame, dedup band-collision duplicates once, verify INSIDE the
+    # exchange (same shape as ngram_jaccard_pairs): pairs
+    # hash-partition by doc_a into verify tasks; signatures are
     # recomputed in a filtered streaming pass and routed only to the
-    # tasks that reference them — no driver-side signature dict, so a
-    # skewed candidate set saturates tasks, not driver memory
+    # tasks that reference them
+    cand = cand_ds.to_pandas()
+    cand = cand.drop_duplicates(subset=["doc_a", "doc_b"])
     out = _verify_minhash_exchange(ds, cand, text_col, id_col, num_perm,
                                    shingle_k, threshold)
     if out is None or out.empty:
@@ -574,49 +588,19 @@ def _verify_minhash_exchange(ds, cand, text_col: str, id_col: str,
     return res.to_pandas()
 
 
-def minhash_lsh_pairs_resident(ds, text_col: str = "text",
-                               id_col: str = "doc_id",
-                               num_perm: int = 64, bands: int = 16,
-                               shingle_k: int = 5, threshold: float = 0.7,
-                               rows_per_group: int = 100_000,
-                               pairs_per_task: int = 50_000,
-                               max_tasks: int = 256) -> pd.DataFrame:
-    """MinHash-LSH near-dup pairs with a FULLY dataset-resident
-    candidate path — the scale successor to ``minhash_lsh_pairs``
-    (VERDICT r2 / NOTES_r3: the default path holds the candidate-pair
-    frame and a doc→task need-map on the driver; candidate-sized, which
-    a pathologically skewed corpus can blow up).  Here nothing
-    candidate-sized ever lands on the driver — only the verified
-    OUTPUT pairs do:
-
-    1. band rows ``(bucket u64, doc_id)`` → coarse hash exchange →
-       candidate pair rows, kept in the object store
-       (``grouped_exchange_ds``);
-    2. signatures for ALL docs stream through a doc-keyed exchange
-       together with both orientations of each pair row; each group
-       task attaches the signature to the pair rows that reference its
-       docs.  Shipping every doc's signature costs
-       ``num_perm × 8 B ≈ 512 B``/doc — the same order as the band
-       rows themselves (``bands × 16 B``), so this replaces the
-       driver need-map at constant factor, not asymptotic, cost;
-    3. a pair-keyed exchange brings the two attached sides of each
-       pair together, dedups band-collision duplicates in-task, and
-       verifies ``signature-estimated Jaccard ≥ threshold``.
-
-    Returns the same frame as ``minhash_lsh_pairs`` (equivalence is
-    tested).  The three-exchange shape trades ~2 extra shuffles of
-    signature-sized rows for O(1) driver memory; prefer it when the
-    candidate volume is unknown or the corpus is skew-prone.
-    """
-    import ray  # noqa: F401 (exchange machinery uses the session)
-
-    from ..stages.exchange import grouped_exchange, grouped_exchange_ds
+def _band_candidates_ds(ds, text_col: str, id_col: str, num_perm: int,
+                        bands: int, shingle_k: int, rows_per_group: int):
+    """Candidate-pair Dataset (``doc_a, doc_b``, band-collision
+    duplicates included) built entirely in the object store: band rows
+    ``(bucket u64, doc_id)`` → coarse hash exchange → within-fine-bucket
+    pair expansion.  Returns ``(cand_ds, n_docs, id_type)``; the
+    candidate blocks are materialized refs, so counting then consuming
+    the Dataset does not recompute.  Shared step 1 of both
+    ``minhash_lsh_pairs`` verify paths."""
+    from ..stages.exchange import grouped_exchange_ds
 
     idt = ds.schema().base_schema.field(id_col).type \
         if hasattr(ds.schema(), "base_schema") else ds.schema().field(id_col).type
-
-    def _hash_ids(arr: np.ndarray) -> np.ndarray:
-        return pd.util.hash_array(arr).astype(np.uint64)
 
     def to_bands(batch: pa.Table) -> pa.Table:
         sig, ids = minhash_signatures_batch(batch, text_col, id_col,
@@ -645,10 +629,68 @@ def minhash_lsh_pairs_resident(ds, text_col: str = "text",
     cand_ds = grouped_exchange_ds(band_ds, "bucket", num_coarse,
                                   coarse_group, pair_schema,
                                   drop_bucket=False)
+    return cand_ds, n_docs, idt
+
+
+def minhash_lsh_pairs_resident(ds, text_col: str = "text",
+                               id_col: str = "doc_id",
+                               num_perm: int = 64, bands: int = 16,
+                               shingle_k: int = 5, threshold: float = 0.7,
+                               rows_per_group: int = 100_000,
+                               pairs_per_task: int = 50_000,
+                               max_tasks: int = 256) -> pd.DataFrame:
+    """MinHash-LSH near-dup pairs with a FULLY dataset-resident
+    candidate path — nothing candidate-sized ever lands on the driver;
+    only the verified OUTPUT pairs do:
+
+    1. band rows ``(bucket u64, doc_id)`` → coarse hash exchange →
+       candidate pair rows, kept in the object store
+       (``grouped_exchange_ds``);
+    2. signatures for ALL docs stream through a doc-keyed exchange
+       together with both orientations of each pair row; each group
+       task attaches the signature to the pair rows that reference its
+       docs.  Shipping every doc's signature costs
+       ``num_perm × 8 B ≈ 512 B``/doc — the same order as the band
+       rows themselves (``bands × 16 B``), so this replaces the
+       driver need-map at constant factor, not asymptotic, cost;
+    3. a pair-keyed exchange brings the two attached sides of each
+       pair together, dedups band-collision duplicates in-task, and
+       verifies ``signature-estimated Jaccard ≥ threshold``.
+
+    Returns the same frame as ``minhash_lsh_pairs`` (equivalence is
+    tested).  Since round 4 this path is no longer opt-in:
+    ``minhash_lsh_pairs`` auto-routes here when the candidate count
+    exceeds its driver budget (VERDICT r3 #2); call this directly to
+    force the O(1)-driver shape regardless of size.
+    """
+    cand_ds, n_docs, idt = _band_candidates_ds(
+        ds, text_col, id_col, num_perm, bands, shingle_k, rows_per_group)
     empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_est": []})
     n_cand = cand_ds.count()
     if n_cand == 0:
         return empty
+    return _verify_minhash_resident(
+        ds, cand_ds, n_cand, n_docs, idt, text_col, id_col, num_perm,
+        shingle_k, threshold, rows_per_group, pairs_per_task, max_tasks)
+
+
+def _verify_minhash_resident(ds, cand_ds, n_cand: int, n_docs: int, idt,
+                             text_col: str, id_col: str, num_perm: int,
+                             shingle_k: int, threshold: float,
+                             rows_per_group: int = 100_000,
+                             pairs_per_task: int = 50_000,
+                             max_tasks: int = 256) -> pd.DataFrame:
+    """Steps 2-3 of the dataset-resident verify (see
+    ``minhash_lsh_pairs_resident``): doc-keyed signature-attach
+    exchange, then pair-keyed dedup+verify exchange."""
+    import ray  # noqa: F401 (exchange machinery uses the session)
+
+    from ..stages.exchange import grouped_exchange, grouped_exchange_ds
+
+    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_est": []})
+
+    def _hash_ids(arr: np.ndarray) -> np.ndarray:
+        return pd.util.hash_array(arr).astype(np.uint64)
 
     # exchange-2 row schema: key, pair/sig payload.  side 0/1 = pair
     # row keyed by doc_a/doc_b; side 2 = signature row (a = doc id).
