@@ -139,6 +139,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "avg_chars": np.round(out.n_chars_mean, 6),
         })
 
+    def events_user_stats(sf):
+        # per-user stats over events: user_id-cardinality key, run with
+        # partial_budget=0 to pin the cardinality-guarded EXCHANGE
+        # merge (VERDICT r3 #3) under a DuckDB oracle — the driver-side
+        # merge path is covered by stats_docs_by_lang
+        out = analytics.grouped_stats(
+            _read(sf, "events", columns=["user_id", "event_id"]),
+            keys=["user_id"], aggs={"event_id": ["count", "min", "max"]},
+            partial_budget=0)
+        return pd.DataFrame({
+            "user_id": out.user_id.astype("int64"),
+            "n_events": out.event_id_count.astype("int64"),
+            "min_event": out.event_id_min.astype("int64"),
+            "max_event": out.event_id_max.astype("int64"),
+        })
+
     def stats_by_lang_source(sf):
         out = analytics.grouped_stats(
             _read(sf, "documents", columns=["lang", "source", "n_chars"]),
@@ -1531,6 +1547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events"), gap_minutes=30),
         # analytics
         "stats_docs_by_lang": stats_docs_by_lang,
+        "events_user_stats": events_user_stats,
         "stats_by_lang_source": stats_by_lang_source,
         "stats_quantiles_by_lang": stats_quantiles,
         "pricing_summary": lambda sf: analytics.pricing_summary(
@@ -2855,6 +2872,13 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
                    ROUND(AVG(n_chars), 6) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "events_user_stats": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   MIN(event_id) AS min_event, MAX(event_id) AS max_event
+            FROM events
+            WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
         "stats_by_lang_source": """
             SELECT lang, source, COUNT(*) AS n_docs,

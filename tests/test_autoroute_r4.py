@@ -64,3 +64,46 @@ def test_connected_components_non_integer_over_budget_raises():
     # under budget, string ids still work on the driver path
     out = connected_components(pairs)
     assert set(out["group_id"]) == {"a"}
+
+
+def test_grouped_stats_exchange_equals_driver_merge(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import grouped_stats
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 400, n).astype(np.int64)),
+        "v": pa.array(rng.integers(-50, 50, n).astype(np.int64))})
+    ds = rd.from_arrow([t.slice(i, 1000) for i in range(0, n, 1000)])
+    driver = grouped_stats(ds, ["k"], {"v": ["count", "min", "max", "mean"]})
+    exch = grouped_stats(
+        rd.from_arrow([t.slice(i, 1000) for i in range(0, n, 1000)]),
+        ["k"], {"v": ["count", "min", "max", "mean"]}, partial_budget=0)
+    pd.testing.assert_frame_equal(
+        driver.reset_index(drop=True),
+        exch[driver.columns].reset_index(drop=True), check_dtype=False)
+
+
+def test_windowed_events_exchange_equals_driver_merge(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import windowed_events
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    t = pa.table({
+        "event_type": pa.array(rng.choice(["a", "b"], n)),
+        "ts": pa.array((rng.integers(0, 5, n) * 86_400_000_000
+                        + rng.integers(0, 1000, n))
+                       .astype("datetime64[us]")),
+        "value": pa.array(rng.integers(0, 10, n).astype(np.float64))})
+    ds = rd.from_arrow([t.slice(i, 500) for i in range(0, n, 500)])
+    driver = windowed_events(ds, "day")
+    exch = windowed_events(
+        rd.from_arrow([t.slice(i, 500) for i in range(0, n, 500)]),
+        "day", partial_budget=0)
+    pd.testing.assert_frame_equal(
+        driver.reset_index(drop=True),
+        exch[driver.columns].reset_index(drop=True), check_dtype=False)

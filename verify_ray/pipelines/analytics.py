@@ -43,22 +43,89 @@ def _partial_group_agg(keys: list[str], aggs: dict[str, list[str]]):
     return partial
 
 
+# above this many partial rows (≈ groups × blocks) the driver-side
+# final merge reroutes through the hash exchange — an enum-cardinality
+# key (lang, source) never comes close; a user_id-cardinality key does
+GROUP_PARTIAL_BUDGET = 1_000_000
+
+
+def _merge_partials(parts_ds, keys: list[str], col_ops: dict[str, str],
+                    partial_budget: int = GROUP_PARTIAL_BUDGET,
+                    num_buckets: int | None = None) -> pd.DataFrame:
+    """Final merge of per-batch partial-agg rows, cardinality-guarded
+    (VERDICT r3 #3): at enum-sized key cardinality the (groups ×
+    blocks) partial rows come to the driver and merge in one pandas
+    groupby; above ``partial_budget`` partial rows the merge reroutes
+    through the hash exchange — each bucket task merges its groups and
+    only final result rows (one per group) reach the driver.
+
+    ``parts_ds`` must be materialized-or-rescannable (counted, then
+    consumed).  ``col_ops``: partial column → final combine op
+    ('sum' | 'min' | 'max').
+    """
+    names = parts_ds.schema().names
+
+    def _merge_df(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False).agg(col_ops)
+
+    n_partials = parts_ds.count()
+    if n_partials == 0:
+        # Ray's to_pandas on all-empty-blocks loses column names —
+        # build the empty frame from the schema
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in names})
+    if n_partials <= partial_budget:
+        return _merge_df(parts_ds.to_pandas())
+
+    import ray
+
+    from ..stages.exchange import grouped_exchange
+
+    B = num_buckets or max(
+        8, int(ray.cluster_resources().get("CPU", 8)))
+    SEP = "\x1f"
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[keys[0]], pa.string())
+        for c in keys[1:]:
+            k = pc.binary_join_element_wise(
+                k, pc.cast(t[c], pa.string()), SEP)
+        hv = pd.util.hash_array(
+            k.to_numpy(zero_copy_only=False).astype(object))
+        return t.append_column(
+            "__b", pa.array((hv % np.uint64(B)).astype(np.int64)))
+
+    def merge_fn(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_merge_df(t.to_pandas()),
+                                    preserve_index=False)
+
+    res = grouped_exchange(
+        parts_ds.map_batches(tag, batch_format="pyarrow"),
+        "__b", B, merge_fn)
+    if res is None:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in names})
+    return res.to_pandas()
+
+
 def grouped_stats(ds, keys: list[str], aggs: dict[str, list[str]],
-                  batch_size: int = 65536) -> pd.DataFrame:
+                  batch_size: int = 65536,
+                  partial_budget: int = GROUP_PARTIAL_BUDGET
+                  ) -> pd.DataFrame:
     """Exact grouped stats via partial-aggregate + final merge.
 
     Returns columns named ``{col}_{op}`` (mean derived exactly from
-    sum/count at the end).
+    sum/count at the end).  The final merge is cardinality-guarded
+    (see ``_merge_partials``): high-cardinality keys merge in the hash
+    exchange, so only one row per group ever reaches the driver.
     """
     partial = _partial_group_agg(keys, aggs)
-    partials = ds.map_batches(partial, batch_format="pyarrow",
-                              batch_size=batch_size).to_pandas()
-    gb = partials.groupby(keys, as_index=False)
-    out = gb.agg({
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size).materialize()
+    col_ops = {
         c: ("sum" if c.endswith(("_sum", "_count")) else
             "min" if c.endswith("_min") else "max")
-        for c in partials.columns if c not in keys
-    })
+        for c in parts_ds.schema().names if c not in keys
+    }
+    out = _merge_partials(parts_ds, keys, col_ops, partial_budget)
     for col, ops in aggs.items():
         if "mean" in ops:
             out[f"{col}_mean"] = out[f"{col}_sum"] / out[f"{col}_count"]
@@ -104,11 +171,14 @@ def pricing_summary(ds) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
-def windowed_events(ds, window: str = "day") -> pd.DataFrame:
+def windowed_events(ds, window: str = "day",
+                    partial_budget: int = GROUP_PARTIAL_BUDGET
+                    ) -> pd.DataFrame:
     """Tumbling-window aggregate per event_type: Ray Data has no
     event-time windows, so the window key is computed per batch
     (vectorized timestamp floor) and the aggregate is an ordinary
-    partial-agg + groupby over (event_type, window_start)."""
+    partial-agg + groupby over (event_type, window_start).  Final
+    merge is cardinality-guarded (``_merge_partials``)."""
     unit = {"hour": "hour", "day": "day"}[window]
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -121,8 +191,12 @@ def windowed_events(ds, window: str = "day") -> pd.DataFrame:
         return t.group_by(["event_type", "window_start"]).aggregate(
             [("value", "sum"), ("value", "count")])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    g = partials.groupby(["event_type", "window_start"], as_index=False).sum()
+    keys = ["event_type", "window_start"]
+    parts_ds = ds.map_batches(partial,
+                              batch_format="pyarrow").materialize()
+    g = _merge_partials(parts_ds, keys,
+                        {"value_sum": "sum", "value_count": "sum"},
+                        partial_budget)
     out = pd.DataFrame({
         "event_type": g.event_type,
         "window_start": g.window_start,
