@@ -107,3 +107,45 @@ def test_windowed_events_exchange_equals_driver_merge(ray_session):
     pd.testing.assert_frame_equal(
         driver.reset_index(drop=True),
         exch[driver.columns].reset_index(drop=True), check_dtype=False)
+
+
+def test_top_k_tie_bomb_exchange(ray_session):
+    # >=10^6 rows at ONE score (VERDICT r3 #4): the tie class must
+    # resolve in the exchange, never landing whole on the driver
+    import ray.data as rd
+
+    from verify_ray.pipelines.select import top_k_by_score
+
+    n = 1_000_000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "score": pa.array(np.full(n, 42, dtype=np.int64))})
+    ds = rd.from_arrow([t.slice(i, 125_000) for i in range(0, n, 125_000)]
+                       ).materialize()
+    out = (top_k_by_score(ds, k=100, tie_budget=1000)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # ties break by smallest id: exactly ids 0..99
+    assert out["doc_id"].tolist() == list(range(100))
+
+
+def test_top_k_tie_exchange_equals_driver_path(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.select import top_k_by_score
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    t = pa.table({
+        "doc_id": pa.array(rng.permutation(n).astype(np.int64)),
+        "score": pa.array(rng.integers(0, 5, n).astype(np.int64))})
+
+    def _ds():
+        return rd.from_arrow([t.slice(i, 4000) for i in range(0, n, 4000)]
+                             ).materialize()
+
+    a = (top_k_by_score(_ds(), k=777)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (top_k_by_score(_ds(), k=777, tie_budget=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(a) == len(b) == 777
+    pd.testing.assert_frame_equal(a, b)

@@ -56,12 +56,21 @@ def value_counts(ds, col: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def top_k_by_score(scored_ds, k: int, score_col: str = "score",
-                   id_col: str = "doc_id"):
+                   id_col: str = "doc_id", tie_budget: int = 1_000_000):
     """Exactly ``min(k, n)`` rows of ``scored_ds`` — the top k by
     (score desc, id asc) — as a Dataset, no global sort.
 
     ``scored_ds`` must be materialized-or-rescannable (it is consumed
-    up to three times: histogram, boundary ties, final filter)."""
+    up to three times: histogram, boundary ties, final filter).
+
+    Boundary ties: when fewer than ``tie_budget`` rows share the
+    threshold score, their ids come to the driver in one pass; a
+    larger tie class (a coarse integer score can put a large fraction
+    of the corpus at one value — VERDICT r3 #4) resolves in the hash
+    exchange instead: each block pre-caps to its ``need`` smallest
+    ids, bucket tasks cap again, and the driver only ever holds
+    O(buckets × need) = O(k) ids — the same order as the broadcast
+    keep-set it must hold anyway."""
     import ray
 
     vals, counts = value_counts(scored_ds, score_col)
@@ -77,13 +86,18 @@ def top_k_by_score(scored_ds, k: int, score_col: str = "score",
 
     keep_ref = None
     if need < int(counts[qual[-1]]):  # boundary tie needs resolving
-        def ties(b: pa.Table) -> pa.Table:
-            s = b.column(score_col).to_numpy(zero_copy_only=False)
-            return b.select([id_col]).filter(pa.array(s == thr))
+        if int(counts[qual[-1]]) > tie_budget:
+            keep = _tie_smallest_ids_exchange(scored_ds, score_col,
+                                              id_col, thr, need)
+            keep_ref = ray.put(keep)
+        else:
+            def ties(b: pa.Table) -> pa.Table:
+                s = b.column(score_col).to_numpy(zero_copy_only=False)
+                return b.select([id_col]).filter(pa.array(s == thr))
 
-        tie_ids = (scored_ds.map_batches(ties, batch_format="pyarrow")
-                   .to_pandas()[id_col].to_numpy())
-        keep_ref = ray.put(np.sort(tie_ids)[:need])
+            tie_ids = (scored_ds.map_batches(ties, batch_format="pyarrow")
+                       .to_pandas()[id_col].to_numpy())
+            keep_ref = ray.put(np.sort(tie_ids)[:need])
 
     def final(b: pa.Table) -> pa.Table:
         s = b.column(score_col).to_numpy(zero_copy_only=False)
@@ -101,6 +115,46 @@ def top_k_by_score(scored_ds, k: int, score_col: str = "score",
         return b.filter(pa.array(mask))
 
     return scored_ds.map_batches(final, batch_format="pyarrow")
+
+
+def _tie_smallest_ids_exchange(scored_ds, score_col: str, id_col: str,
+                               thr: int, need: int,
+                               num_buckets: int | None = None
+                               ) -> np.ndarray:
+    """The ``need`` smallest ids among rows with ``score == thr``,
+    resolved without materializing the tie class on the driver: every
+    block caps its tie rows to its own ``need`` smallest ids (map-side
+    cap — a tie-bomb block ships at most ``need`` ids), an id-hash
+    exchange caps each bucket to ``need`` again, and the driver merges
+    ``buckets × need`` ids (the global smallest ``need`` is a subset
+    of the per-bucket smallest ``need``)."""
+    import ray
+    import pandas as pd
+
+    from ..stages.exchange import grouped_exchange
+
+    B = num_buckets or max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def ties_capped(b: pa.Table) -> pa.Table:
+        s = b.column(score_col).to_numpy(zero_copy_only=False)
+        ids = (b.select([id_col]).filter(pa.array(s == thr))
+               .column(id_col).to_numpy(zero_copy_only=False))
+        ids = np.sort(ids)[:need]
+        hv = pd.util.hash_array(ids) % np.uint64(B)
+        return pa.table({"__b": pa.array(hv.astype(np.int64)),
+                         id_col: pa.array(ids)})
+
+    def bucket_cap(t: pa.Table) -> pa.Table:
+        ids = np.sort(t.column(id_col).to_numpy(zero_copy_only=False))
+        return pa.table({id_col: pa.array(ids[:need])})
+
+    res = grouped_exchange(
+        scored_ds.map_batches(ties_capped, batch_format="pyarrow"),
+        "__b", B, bucket_cap)
+    if res is None or res.num_rows == 0:
+        return np.array([], dtype=object)
+    ids = res.column(id_col).to_numpy(zero_copy_only=False)
+    return np.sort(ids)[:need]
 
 
 def _group_cum_hists(ds, group_col: str, score_col: str):
