@@ -679,10 +679,13 @@ def _verify_minhash_resident(ds, cand_ds, n_cand: int, n_docs: int, idt,
                              shingle_k: int, threshold: float,
                              rows_per_group: int = 100_000,
                              pairs_per_task: int = 50_000,
-                             max_tasks: int = 256) -> pd.DataFrame:
+                             max_tasks: int = 256,
+                             as_dataset: bool = False):
     """Steps 2-3 of the dataset-resident verify (see
     ``minhash_lsh_pairs_resident``): doc-keyed signature-attach
-    exchange, then pair-keyed dedup+verify exchange."""
+    exchange, then pair-keyed dedup+verify exchange.  With
+    ``as_dataset=True`` the verified pairs stay in the object store
+    and return as a Dataset (``minhash_lsh_pairs_ds``)."""
     import ray  # noqa: F401 (exchange machinery uses the session)
 
     from ..stages.exchange import grouped_exchange, grouped_exchange_ds
@@ -786,11 +789,49 @@ def _verify_minhash_resident(ds, cand_ds, n_cand: int, n_docs: int, idt,
         })
 
     B_pair = int(np.clip(int(np.ceil(n_cand / pairs_per_task)), 1, max_tasks))
+    if as_dataset:
+        out_schema = pa.schema([("doc_a", idt), ("doc_b", idt),
+                                ("jaccard_est", pa.float64())])
+        return grouped_exchange_ds(attached, "k2", B_pair, verify,
+                                   out_schema)
     res = grouped_exchange(attached, "k2", B_pair, verify)
     if res is None or res.num_rows == 0:
         return empty
     return (res.to_pandas().sort_values(["doc_a", "doc_b"])
             .reset_index(drop=True))
+
+
+def minhash_lsh_pairs_ds(ds, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         num_perm: int = 64, bands: int = 16,
+                         shingle_k: int = 5, threshold: float = 0.7,
+                         rows_per_group: int = 100_000,
+                         pairs_per_task: int = 50_000,
+                         max_tasks: int = 256):
+    """``minhash_lsh_pairs`` with STREAMING-SINK output (VERDICT r3
+    #6): the verified pairs come back as a ``ray.data.Dataset`` whose
+    blocks stay in the object store, so at 100 TB even an output pair
+    set that dwarfs driver memory writes straight to parquet —
+    ``sinks.write_sharded({"pairs": lambda: minhash_lsh_pairs_ds(...)},
+    out_dir)`` — with no driver concat anywhere in the chain (the
+    candidate path is the resident three-exchange shape throughout).
+
+    Unsorted (parquet sinks don't need the DataFrame variants'
+    deterministic sort; sort after read where an oracle requires it).
+    """
+    cand_ds, n_docs, idt = _band_candidates_ds(
+        ds, text_col, id_col, num_perm, bands, shingle_k, rows_per_group)
+    n_cand = cand_ds.count()
+    if n_cand == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema(
+            [("doc_a", idt), ("doc_b", idt),
+             ("jaccard_est", pa.float64())]).empty_table())
+    return _verify_minhash_resident(
+        ds, cand_ds, n_cand, n_docs, idt, text_col, id_col, num_perm,
+        shingle_k, threshold, rows_per_group, pairs_per_task, max_tasks,
+        as_dataset=True)
 
 
 # ---------------------------------------------------------------------------
