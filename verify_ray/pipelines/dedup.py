@@ -742,27 +742,39 @@ def _verify_minhash_resident(ds, cand_ds, n_cand: int, n_docs: int, idt,
                                ("side", pa.int8()), ("sig", pa.binary())])
 
     def attach(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        sigs = df[df["side"] == 2].drop_duplicates(subset=["a"])
-        sigd = dict(zip(sigs["a"], sigs["sig"]))
-        prs = df[df["side"] != 2]
-        if not len(prs) or not sigd:
+        # numpy-on-Arrow (house idiom — no pandas round-trip).  Filter
+        # BEFORE column extraction: pair rows have null b on sig rows
+        # and vice versa; splitting first keeps int64 ids exact
+        # (a column with nulls would round-trip through float64)
+        import pyarrow.compute as pc
+
+        side_col = t.column("side")
+        sig_rows = t.filter(pc.equal(side_col, 2))
+        pair_rows = t.filter(pc.not_equal(side_col, 2))
+        if pair_rows.num_rows == 0 or sig_rows.num_rows == 0:
             return attach_schema.empty_table()
-        keydoc = prs["a"].where(prs["side"] == 0, prs["b"])
-        blob = keydoc.map(sigd)
-        ok = blob.notna()
-        prs, blob = prs[ok], blob[ok]
-        if not len(prs):
+        dk = sig_rows.column("a").to_numpy(zero_copy_only=False)
+        dv = sig_rows.column("sig").to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk, dv = dk[order], dv[order]
+        first = np.concatenate([[True], dk[1:] != dk[:-1]])
+        dk, dv = dk[first], dv[first]
+        a = pair_rows.column("a").to_numpy(zero_copy_only=False)
+        b = pair_rows.column("b").to_numpy(zero_copy_only=False)
+        side = pair_rows.column("side").to_numpy(zero_copy_only=False)
+        keydoc = np.where(side == 0, a, b)
+        pos = np.clip(np.searchsorted(dk, keydoc), 0, len(dk) - 1)
+        found = dk[pos] == keydoc
+        if not found.any():
             return attach_schema.empty_table()
-        a = prs["a"].to_numpy()
-        b = prs["b"].to_numpy()
+        a, b, side = a[found], b[found], side[found]
         return pa.table({
             "k2": pa.array(_pair_key(_hash_ids(a), _hash_ids(b)),
                            type=pa.uint64()),
             "a": pa.array(a, type=idt),
             "b": pa.array(b, type=idt),
-            "side": pa.array(prs["side"].to_numpy().astype(np.int8)),
-            "sig": pa.array(blob.tolist(), type=pa.binary()),
+            "side": pa.array(side.astype(np.int8)),
+            "sig": pa.array(list(dv[pos[found]]), type=pa.binary()),
         })
 
     B_doc = _coarse_count(2 * n_cand + n_docs, rows_per_group)
@@ -770,21 +782,44 @@ def _verify_minhash_resident(ds, cand_ds, n_cand: int, n_docs: int, idt,
                                    attach_schema)
 
     def verify(t: pa.Table) -> pa.Table | None:
-        df = t.to_pandas().drop_duplicates(subset=["a", "b", "side"])
-        s0 = df[df["side"] == 0][["a", "b", "sig"]]
-        s1 = df[df["side"] == 1][["a", "b", "sig"]]
-        m = s0.merge(s1, on=["a", "b"], suffixes=("_a", "_b"))
-        if not len(m):
+        # numpy-on-Arrow pair merge: dedup (pair, side) band-collision
+        # duplicates with one lexsort over a composite string key, then
+        # intersect the two (unique, sorted) sides by searchsorted
+        import pyarrow.compute as pc
+
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("a"), pa.string()),
+            pc.cast(t.column("b"), pa.string()),
+            "\x1f").to_numpy(zero_copy_only=False)
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        sig = t.column("sig").to_numpy(zero_copy_only=False)
+        idx = np.arange(t.num_rows)
+        order = np.lexsort((key, side))
+        ks, ss, ii = key[order], side[order], idx[order]
+        first = np.concatenate(
+            [[True], (ks[1:] != ks[:-1]) | (ss[1:] != ss[:-1])])
+        ks, ss, ii = ks[first], ss[first], ii[first]
+        k0, i0 = ks[ss == 0], ii[ss == 0]
+        k1, i1 = ks[ss == 1], ii[ss == 1]
+        if not len(k0) or not len(k1):
             return None
-        sa = np.stack([np.frombuffer(x, dtype=np.uint64) for x in m["sig_a"]])
-        sb = np.stack([np.frombuffer(x, dtype=np.uint64) for x in m["sig_b"]])
+        pos = np.clip(np.searchsorted(k1, k0), 0, len(k1) - 1)
+        found = k1[pos] == k0
+        if not found.any():
+            return None
+        sel0, sel1 = i0[found], i1[pos[found]]
+        sa = np.stack([np.frombuffer(sig[i], dtype=np.uint64)
+                       for i in sel0])
+        sb = np.stack([np.frombuffer(sig[i], dtype=np.uint64)
+                       for i in sel1])
         est = (sa == sb).mean(axis=1)
         keep = est >= threshold
         if not keep.any():
             return None
+        take = pa.array(sel0[keep])
         return pa.table({
-            "doc_a": pa.array(m["a"].to_numpy()[keep], type=idt),
-            "doc_b": pa.array(m["b"].to_numpy()[keep], type=idt),
+            "doc_a": t.column("a").take(take),
+            "doc_b": t.column("b").take(take),
             "jaccard_est": pa.array(est[keep]),
         })
 

@@ -43,39 +43,40 @@ def sessionize(events_ds, gap_minutes: float = 30.0,
         return t.append_column(
             "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
 
-    def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        # ONE sort + one vectorized boundary pass for ALL users in the
-        # bucket: new session at each user change or gap breach; session
-        # aggregates via reduceat over the boundary index
-        g = g.sort_values([user_col, ts_col], kind="stable")
-        uid = g[user_col].to_numpy()
-        ts = g[ts_col].to_numpy()
-        val = np.nan_to_num(
-            g[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+    def bucket_sessions(t: pa.Table) -> pa.Table:
+        # ONE lexsort + one vectorized boundary pass for ALL users in
+        # the bucket (numpy-on-Arrow — no pandas round-trip): new
+        # session at each user change or gap breach; session aggregates
+        # via reduceat over the boundary index
+        uid = t.column(user_col).to_numpy(zero_copy_only=False)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False)
+        val = np.nan_to_num(t.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64))
+        order = np.lexsort((ts, uid))
+        uid, ts, val = uid[order], ts[order], val[order]
         new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
         gap_breach = np.concatenate([[False], (ts[1:] - ts[:-1]) > gap_us])
         new_session = new_user | gap_breach
         starts = np.flatnonzero(new_session)
         ends = np.concatenate([starts[1:], [len(ts)]]) - 1
-        out = pd.DataFrame({
-            user_col: uid[starts],
-            "session_start": ts[starts],
-            "n_events": (ends - starts + 1).astype(np.int64),
-            "sum_value": np.add.reduceat(val, starts),
-            "duration_sec":
+        return pa.table({
+            user_col: pa.array(uid[starts]),
+            "session_start": pa.array(ts[starts]),
+            "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+            "sum_value": pa.array(np.add.reduceat(val, starts)
+                                  if len(starts) else
+                                  np.empty(0, np.float64)),
+            "duration_sec": pa.array(
                 (ts[ends] - ts[starts]).astype("timedelta64[us]")
-                .astype(np.int64) / 1e6,
+                .astype(np.int64) / 1e6),
         })
-        return out
 
     from ..stages.exchange import grouped_exchange
 
     bucketed = (events_ds.select_columns([user_col, ts_col, value_col])
                 .map_batches(add_bucket, batch_format="pyarrow"))
-    res = grouped_exchange(
-        bucketed, "bucket", num_buckets,
-        lambda t: pa.Table.from_pandas(bucket_sessions(t.to_pandas()),
-                                       preserve_index=False))
+    res = grouped_exchange(bucketed, "bucket", num_buckets,
+                           bucket_sessions)
     res = (res.to_pandas() if res is not None
            else pd.DataFrame(columns=[user_col, "session_start", "n_events",
                                       "sum_value", "duration_sec"]))
