@@ -1411,6 +1411,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df[["doc_id", "media_type", "n_bytes", "checksum"]]
                 .sort_values("doc_id").reset_index(drop=True))
 
+    def docs_topk_per_lang(sf):
+        from verify_ray.pipelines.select import grouped_topk
+
+        out = grouped_topk(
+            _read(sf, "documents", columns=["doc_id", "lang", "n_chars"]),
+            group_cols=["lang"], k=5, score_col="n_chars",
+            id_col="doc_id", values=["doc_id", "lang", "n_chars"])
+        return (out.to_pandas()
+                .sort_values(["lang", "n_chars", "doc_id"],
+                             ascending=[True, False, True])
+                .reset_index(drop=True))
+
     def media_decode(sf):
         # REAL decode (pure-Python PNG/WAV, PIL-guarded): payloads are
         # real media bytes synthesized from (doc_id, n_chars) with
@@ -1647,6 +1659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_metadata": media_meta,
         "media_frame_sample": media_frames,
         "media_decode_stats": media_decode,
+        "docs_topk_per_lang": docs_topk_per_lang,
         "profile_documents": profile_docs,
         "sequences_validate": flagship,
         "dedup_minhash_lsh": minhash,
@@ -3330,6 +3343,16 @@ ORDER BY lid, rid
             SELECT doc_id, frame_idx,
                    least(256, n - frame_idx * 256) AS frame_n_bytes
             FROM f ORDER BY doc_id, frame_idx
+        """,
+        "docs_topk_per_lang": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                AND doc_id IS NOT NULL) t
+            WHERE rn <= 5 ORDER BY lang, n_chars DESC, doc_id
         """,
         "media_decode_stats": """
             WITH d AS (SELECT doc_id, n_chars FROM documents

@@ -101,7 +101,7 @@ def test_queries_cover_oracles(entry_mod):
     "training_mix_build", "langid_confusion", "docs_rollup_counts",
     "events_keyed_scan", "graph_pagerank", "fuzzy_join_titles",
     "events_rolling_distinct", "events_user_stats",
-    "media_decode_stats",
+    "media_decode_stats", "docs_topk_per_lang",
 ])
 def test_query_matches_oracle(entry_mod, ducks, name):
     q = entry_mod.queries()[name]

@@ -1,0 +1,78 @@
+"""Round-4 new operators: grouped_topk, HyperLogLog approx distinct,
+Bloom-filter decontamination."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(tbl: pa.Table, blocks: int = 4):
+    import ray.data as rd
+
+    n = tbl.num_rows
+    step = max(1, n // blocks) if n else 1
+    return rd.from_arrow([tbl.slice(i, step) for i in range(0, n, step)]
+                         if n else tbl)
+
+
+def test_grouped_topk_matches_window_sql(ray_session):
+    from verify_ray.pipelines.select import grouped_topk
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c", None], n)),
+        "s": pa.array(rng.integers(0, 40, n).astype(np.int64)),  # many ties
+        "i": pa.array(rng.permutation(n).astype(np.int64))})
+    out = (grouped_topk(_ds(t, 6), ["g"], 7, "s", "i", ["g", "s", "i"],
+                        num_buckets=4)
+           .to_pandas().sort_values(["g", "s", "i"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+    pdf = t.to_pandas()
+    ref = duckdb.sql("""
+        SELECT g, s, i FROM (
+          SELECT g, s, i, ROW_NUMBER() OVER (PARTITION BY g
+              ORDER BY s DESC, i) AS rn
+          FROM pdf WHERE g IS NOT NULL) t
+        WHERE rn <= 7 ORDER BY g, s DESC, i""").df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_grouped_topk_hot_group_precap(ray_session):
+    # one group holds 90% of rows across many blocks: the pre-cap must
+    # bound the shuffle and the answer must stay exact
+    from verify_ray.pipelines.select import grouped_topk
+
+    rng = np.random.default_rng(8)
+    n = 20_000
+    g = np.where(rng.random(n) < 0.9, "hot", "cold")
+    t = pa.table({
+        "g": pa.array(g),
+        "s": pa.array(rng.integers(0, 10, n).astype(np.int64)),
+        "i": pa.array(np.arange(n, dtype=np.int64))})
+    out = (grouped_topk(_ds(t, 16), ["g"], 3, "s", "i", ["g", "s", "i"],
+                        num_buckets=8)
+           .to_pandas().sort_values(["g", "s", "i"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+    pdf = t.to_pandas()
+    ref = duckdb.sql("""
+        SELECT g, s, i FROM (
+          SELECT g, s, i, ROW_NUMBER() OVER (PARTITION BY g
+              ORDER BY s DESC, i) AS rn FROM pdf) t
+        WHERE rn <= 3 ORDER BY g, s DESC, i""").df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_grouped_topk_rejects_float_score(ray_session):
+    import pytest
+
+    from verify_ray.pipelines.select import grouped_topk
+
+    t = pa.table({"g": pa.array(["a"]), "s": pa.array([1.5]),
+                  "i": pa.array([1], type=pa.int64())})
+    with pytest.raises(Exception, match="integer"):
+        grouped_topk(_ds(t, 1), ["g"], 2, "s", "i",
+                     ["g", "s", "i"]).to_pandas()

@@ -421,6 +421,91 @@ def grouped_head(ds, group_cols: list[str], k: int | dict, order_col: str,
                                empty_schema=out_schema)
 
 
+def grouped_topk(ds, group_cols: list[str], k: int, score_col: str,
+                 id_col: str, values: list[str], num_buckets: int = 64):
+    """Per-group ORDERED top-k — keep each group's best ``k`` rows by
+    (score desc, id asc): SQL ``ROW_NUMBER() OVER (PARTITION BY group
+    ORDER BY score DESC, id) <= k``.  The "best N documents per
+    language/source" selection move; complements ``grouped_head``
+    (first-k under one unique order column — arrival order) and
+    ``top_k_by_score`` (global top-k): this one ranks within groups
+    under the engine's standard tie rule, so duplicate scores are
+    deterministic.
+
+    Distributed shape (same as ``grouped_head``): a map-side PRE-CAP
+    keeps at most k rows per group per block (the block-local top-k is
+    a superset of the block's contribution to the global top-k), one
+    sort-free hash exchange on the combined group key co-locates whole
+    groups, and each merge task ranks with a single ``np.lexsort`` +
+    boundary-repeat pass.  Shuffle ships ≤ k×groups rows per block; a
+    merge task holds ≤ k×blocks rows per group.  Results stay in the
+    object store.
+
+    ``score_col`` must be integer (repo float policy); ``id_col``
+    unique (the tie-breaker).  Null group/score/id rows drop (SQL
+    window/WHERE parity).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..kernels import as_array
+    from ..stages.exchange import grouped_exchange_ds
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    out_schema = pa.schema([(c, types[c]) for c in values])
+
+    def _top_k(gkey: np.ndarray, score: np.ndarray,
+               ids: np.ndarray) -> np.ndarray:
+        gu, gc = np.unique(gkey, return_inverse=True)
+        order = np.lexsort((ids, -score, gc))
+        gs = gc[order]
+        new = np.ones(len(gs), dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        start = np.flatnonzero(new)
+        counts = np.diff(np.append(start, len(gs)))
+        rank = np.arange(len(gs)) - np.repeat(start, counts)
+        return np.sort(order[rank < k])
+
+    def tag(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(b[score_col]), pc.is_valid(b[id_col]))
+        for g in group_cols:
+            mask = pc.and_(mask, pc.is_valid(b[g]))
+        b = b.filter(mask)
+        key = pc.cast(as_array(b[group_cols[0]]), pa.string())
+        for g in group_cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(as_array(b[g]), pa.string()), "\x1f")
+        s = as_array(b[score_col])
+        if not pa.types.is_integer(s.type):
+            raise ValueError(
+                f"grouped_topk score_col {score_col!r} must be integer "
+                f"(repo float policy), got {s.type}")
+        cols = {"__b": pa.array(md5_u64le(key), type=pa.uint64()),
+                "__g": key,
+                "__s": pc.cast(s, pa.int64()),
+                "__i": as_array(b[id_col])}
+        for c in values:
+            cols[c] = b[c]
+        t = pa.table(cols)
+        if t.num_rows == 0:
+            return t
+        keep = _top_k(key.to_numpy(zero_copy_only=False),
+                      cols["__s"].to_numpy(zero_copy_only=False),
+                      cols["__i"].to_numpy(zero_copy_only=False))
+        return t.take(pa.array(keep)) if len(keep) < t.num_rows else t
+
+    def top(t: pa.Table) -> pa.Table:
+        keep = _top_k(t.column("__g").to_numpy(zero_copy_only=False),
+                      t.column("__s").to_numpy(zero_copy_only=False),
+                      t.column("__i").to_numpy(zero_copy_only=False))
+        return t.select(values).take(pa.array(keep))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets, top,
+                               empty_schema=out_schema)
+
+
 def exact_quantiles(ds, col: str, qs_permille: list[int]
                     ) -> pa.Table:
     """Exact quantiles of an integer column: ``(q, value)`` rows where
