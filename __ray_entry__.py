@@ -1411,6 +1411,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df[["doc_id", "media_type", "n_bytes", "checksum"]]
                 .sort_values("doc_id").reset_index(drop=True))
 
+    def approx_distinct_users(sf):
+        # HLL sketch state with EXACT md5 parity (see
+        # analytics.approx_count_distinct): the oracle rebuilds every
+        # register in SQL; 'est' is float-derived and pytest-checked
+        # instead (tests/test_r4_operators.py)
+        out = analytics.approx_count_distinct(
+            _read(sf, "events", columns=["event_type", "user_id"]),
+            "event_type", "user_id", p=12)
+        return (out[["g", "n_nonzero", "reg_sum", "reg_checksum"]]
+                .rename(columns={"g": "event_type"})
+                .sort_values("event_type").reset_index(drop=True))
+
     def docs_topk_per_lang(sf):
         from verify_ray.pipelines.select import grouped_topk
 
@@ -1660,6 +1672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": media_frames,
         "media_decode_stats": media_decode,
         "docs_topk_per_lang": docs_topk_per_lang,
+        "approx_distinct_users": approx_distinct_users,
         "profile_documents": profile_docs,
         "sequences_validate": flagship,
         "dedup_minhash_lsh": minhash,
@@ -3343,6 +3356,38 @@ ORDER BY lid, rid
             SELECT doc_id, frame_idx,
                    least(256, n - frame_idx * 256) AS frame_n_bytes
             FROM f ORDER BY doc_id, frame_idx
+        """,
+        "approx_distinct_users": """
+            -- rebuild the HLL register file: h = md5_number_upper,
+            -- idx = top 12 bits, rank = 52 - floor(log2(w)) (w=0 -> 53)
+            -- with a +/-1 log2 correction so bit lengths are exact
+            WITH v AS (SELECT DISTINCT event_type,
+                              CAST(user_id AS VARCHAR) AS s
+                       FROM events
+                       WHERE event_type IS NOT NULL
+                         AND user_id IS NOT NULL),
+            h AS (SELECT event_type, md5_number_upper(s) AS h FROM v),
+            b AS (SELECT event_type,
+                         CAST(h // 4503599627370496 AS BIGINT) AS idx,
+                         CAST(h % 4503599627370496 AS BIGINT) AS w
+                  FROM h),
+            r AS (SELECT event_type, idx,
+                    CASE WHEN w = 0 THEN 53
+                         ELSE 52 - (CASE
+                           WHEN POWER(2, CAST(FLOOR(LOG2(w)) AS BIGINT)
+                                         + 1) <= w
+                             THEN CAST(FLOOR(LOG2(w)) AS BIGINT) + 1
+                           WHEN POWER(2, CAST(FLOOR(LOG2(w)) AS BIGINT))
+                                > w
+                             THEN CAST(FLOOR(LOG2(w)) AS BIGINT) - 1
+                           ELSE CAST(FLOOR(LOG2(w)) AS BIGINT) END)
+                    END AS rank FROM b),
+            regs AS (SELECT event_type, idx, MAX(rank) AS r
+                     FROM r GROUP BY event_type, idx)
+            SELECT event_type, COUNT(*) AS n_nonzero,
+                   CAST(SUM(r) AS BIGINT) AS reg_sum,
+                   CAST(SUM(r * (idx + 1)) AS BIGINT) AS reg_checksum
+            FROM regs GROUP BY event_type ORDER BY event_type
         """,
         "docs_topk_per_lang": """
             SELECT doc_id, lang, n_chars FROM (

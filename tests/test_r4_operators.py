@@ -76,3 +76,34 @@ def test_grouped_topk_rejects_float_score(ray_session):
     with pytest.raises(Exception, match="integer"):
         grouped_topk(_ds(t, 1), ["g"], 2, "s", "i",
                      ["g", "s", "i"]).to_pandas()
+
+
+def test_approx_count_distinct_accuracy(ray_session):
+    # p=12 -> ~1.6% expected relative error; assert within 5%
+    from verify_ray.pipelines.analytics import approx_count_distinct
+
+    rng = np.random.default_rng(31)
+    n = 200_000
+    t = pa.table({
+        "g": pa.array(rng.choice(["x", "y"], n)),
+        "v": pa.array(rng.integers(0, 30_000, n).astype(np.int64))})
+    out = approx_count_distinct(_ds(t, 8), "g", "v", p=12)
+    pdf = t.to_pandas()
+    exact = pdf.groupby("g")["v"].nunique()
+    for row in out.itertuples():
+        e = exact[row.g]
+        assert abs(row.est - e) / e < 0.05, (row.g, row.est, e)
+
+
+def test_approx_count_distinct_merge_invariance(ray_session):
+    # register state must not depend on block layout (mergeability)
+    from verify_ray.pipelines.analytics import approx_count_distinct
+
+    rng = np.random.default_rng(12)
+    n = 10_000
+    t = pa.table({
+        "g": pa.array(rng.choice(["a"], n)),
+        "v": pa.array(rng.integers(0, 2_000, n).astype(np.int64))})
+    a = approx_count_distinct(_ds(t, 1), "g", "v")
+    b = approx_count_distinct(_ds(t, 13), "g", "v")
+    pd.testing.assert_frame_equal(a, b)

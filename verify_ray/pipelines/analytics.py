@@ -136,6 +136,96 @@ def grouped_stats(ds, keys: list[str], aggs: dict[str, list[str]],
     return out.sort_values(keys).reset_index(drop=True)
 
 
+def approx_count_distinct(ds, group_col: str, value_col: str,
+                          p: int = 12,
+                          partial_budget: int = GROUP_PARTIAL_BUDGET
+                          ) -> pd.DataFrame:
+    """Per-group APPROXIMATE distinct counts via a HyperLogLog sketch
+    whose state is EXACTLY SQL-restatable — the scale answer when
+    ``grouped_count_distinct``'s exact pair shuffle is too much (a
+    register file is 2^p bytes per group, independent of cardinality).
+
+    Hash contract (oracle parity by construction): ``h =
+    md5_number_upper(CAST(value AS VARCHAR))`` (the engine's
+    ``md5_u64le``), register ``idx = h >> (64-p)`` (top p bits),
+    ``w = h & (2^(64-p)-1)``, ``rank = (64-p) - floor(log2(w))`` with
+    ``w = 0 → (64-p)+1``.  The rank uses exact float64 exponent
+    extraction (``np.frexp``; w < 2^53 is exactly representable), the
+    SQL side a log2-with-±1-correction — both compute the TRUE bit
+    length, so register state matches bit-for-bit.
+
+    Returns one row per group: ``n_nonzero`` registers, ``reg_sum``,
+    ``reg_checksum`` (= Σ rank·(idx+1), pins the whole register file)
+    — all integers for the oracle — plus ``est`` (int64 floor of the
+    standard HLL estimator with linear-counting small-range
+    correction; ~1.04/√2^p relative error, pytest-checked, excluded
+    from SQL comparison because its float math is not portable).
+
+    Scale shape: each batch pre-maxes to (group, idx, rank) rows
+    (≤ groups × 2^p per batch — sketch-sized, not data-sized); the
+    register merge (elementwise max) rides the cardinality-guarded
+    ``_merge_partials``; the final per-group summary is
+    register-file-sized.  Sketches are mergeable across epochs the
+    same way (register-wise max) — the W3 drift-sketch contract.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+
+    m = 1 << p
+    top_shift = np.uint64(64 - p)
+    w_mask = np.uint64((1 << (64 - p)) - 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[value_col])))
+        g = pc.cast(b[group_col], pa.string()).to_numpy(
+            zero_copy_only=False)
+        h = md5_u64le(pc.cast(b[value_col], pa.string()))
+        idx = (h >> top_shift).astype(np.int64)
+        w = (h & w_mask).astype(np.float64)  # < 2^52: exactly exact
+        exp = np.frexp(w)[1].astype(np.int64)  # bit_length; 0 -> 0
+        rank = (64 - p) + 1 - exp
+        gu, gc = np.unique(g.astype(object), return_inverse=True)
+        # per-batch register max: lexsort (group, idx), reduceat max
+        order = np.lexsort((idx, gc))
+        gs, is_, rs = gc[order], idx[order], rank[order]
+        new = np.ones(len(gs), dtype=bool)
+        new[1:] = (gs[1:] != gs[:-1]) | (is_[1:] != is_[:-1])
+        starts = np.flatnonzero(new)
+        rmax = np.maximum.reduceat(rs, starts) if len(starts) else \
+            np.empty(0, np.int64)
+        return pa.table({
+            "g": pa.array(gu[gs[starts]], type=pa.string()),
+            "idx": pa.array(is_[starts]),
+            "rank": pa.array(rmax),
+        })
+
+    parts_ds = ds.map_batches(partial,
+                              batch_format="pyarrow").materialize()
+    regs = _merge_partials(parts_ds, ["g", "idx"], {"rank": "max"},
+                           partial_budget)
+    if not len(regs):
+        return pd.DataFrame({
+            "g": pd.Series(dtype=object),
+            **{c: pd.Series(dtype="int64")
+               for c in ("n_nonzero", "reg_sum", "reg_checksum", "est")}})
+    out = []
+    alpha = 0.7213 / (1 + 1.079 / m)
+    for gname, grp in regs.groupby("g", sort=True):
+        r = grp["rank"].to_numpy(dtype=np.int64)
+        ix = grp["idx"].to_numpy(dtype=np.int64)
+        inv_sum = float(np.power(2.0, -r.astype(np.float64)).sum()) \
+            + (m - len(r))  # zero registers contribute 2^0 each
+        raw = alpha * m * m / inv_sum
+        zeros = m - len(r)
+        est = m * np.log(m / zeros) if (raw <= 2.5 * m and zeros) else raw
+        out.append((gname, len(r), int(r.sum()),
+                    int((r * (ix + 1)).sum()), int(np.floor(est))))
+    return pd.DataFrame(out, columns=["g", "n_nonzero", "reg_sum",
+                                      "reg_checksum", "est"])
+
+
 def pricing_summary(ds) -> pd.DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem (exercises the
     full partial-agg path with computed columns)."""
