@@ -736,6 +736,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values("doc_id")
                 .reset_index(drop=True))
 
+    def decontaminate_bloom_docs(sf):
+        # same planted setup as decontaminate_docs; membership through
+        # the Bloom broadcast (deterministic false positives — part of
+        # the oracle truth, see BLOOM_DECONTAMINATE_ORACLE)
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from verify_ray.pipelines.contamination import bloom_decontaminate
+
+        t = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        head = t.slice(0, 20)
+        mutated = pa.table({
+            "doc_id": pa.array([i + 1_000_000 for i in
+                                head.column("doc_id").to_pylist()],
+                               type=pa.int64()),
+            "text": pa.array([x + " extra tail" for x in
+                              head.column("text").to_pylist()],
+                             type=pa.string()),
+        })
+        union = pa.concat_tables([t, mutated])
+        bench = union.filter(pc.less(union.column("doc_id"), 20))
+        target = union.filter(pc.greater_equal(union.column("doc_id"), 20))
+        out = bloom_decontaminate(rd.from_arrow(target),
+                                  rd.from_arrow(bench), n=8)
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
     def text_boilerplate(sf):
         from verify_ray.pipelines.contamination import common_ngram_stats
 
@@ -1635,6 +1663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join_titles": fuzzy_join_q,
         "events_rolling_distinct": rolling_distinct_q,
         "decontaminate": decontaminate_docs,
+        "decontaminate_bloom": decontaminate_bloom_docs,
         "pack_sequences": pack_seqs,
         "pack_sequences_streaming": pack_seqs_streaming,
         "sample_documents": sample_docs,
@@ -2347,6 +2376,50 @@ SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
        CAST(len(list_intersect(gs, b)) AS BIGINT) AS n_overlap
 FROM grams, bl
 WHERE doc_id >= 20 AND len(list_intersect(gs, b)) > 0
+ORDER BY doc_id
+"""
+
+# contamination.bloom_decontaminate: the oracle rebuilds the Bloom
+# filter bit-for-bit — positions (h%2^32 + j*(h//2^32)) % m over the
+# benchmark's distinct 8-gram md5s (m = max(1024, 16*n_bench), k=4) —
+# then flags target grams whose 4 positions are all set.  False
+# positives are deterministic and therefore part of the oracle truth.
+BLOOM_DECONTAMINATE_ORACLE = "WITH " + _ALL_DOCS_CTE + r""",
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM all_docs
+), grams AS (
+  SELECT doc_id,
+         list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '
+                        ||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]
+                        FOR i IN range(1, greatest(len(ws)-7, 0)+1)]) AS gs
+  FROM toks
+), bg AS (
+  SELECT DISTINCT g FROM (SELECT unnest(gs) AS g FROM grams WHERE doc_id < 20)
+), mb AS (
+  SELECT GREATEST(1024, 16 * COUNT(*)) AS m FROM bg
+), bpos AS (
+  SELECT DISTINCT CAST((md5_number_upper(g) % 4294967296
+                        + j * (md5_number_upper(g) // 4294967296))
+                       % m AS BIGINT) AS p
+  FROM bg, mb, unnest(generate_series(0, 3)) AS t(j)
+), dg AS (
+  SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g
+  FROM grams WHERE doc_id >= 20
+), dpos AS (
+  SELECT doc_id, n_grams, g, j,
+         CAST((md5_number_upper(g) % 4294967296
+               + j * (md5_number_upper(g) // 4294967296))
+              % m AS BIGINT) AS p
+  FROM dg, mb, unnest(generate_series(0, 3)) AS t(j)
+), gpass AS (
+  SELECT d.doc_id, d.n_grams, d.g
+  FROM dpos d LEFT JOIN bpos b ON d.p = b.p
+  GROUP BY d.doc_id, d.n_grams, d.g
+  HAVING COUNT(b.p) = 4
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM gpass GROUP BY doc_id, n_grams
 ORDER BY doc_id
 """
 
@@ -3141,6 +3214,7 @@ def oracle_sql() -> dict[str, str]:
         "text_redact": TEXT_REDACT_ORACLE,
         "text_boilerplate": TEXT_BOILERPLATE_ORACLE,
         "decontaminate": DECONTAMINATE_ORACLE,
+        "decontaminate_bloom": BLOOM_DECONTAMINATE_ORACLE,
         "dedup_token_spans": DUP_SPANS_ORACLE,
         "dedup_token_spans_removed": REMOVE_SPANS_ORACLE,
         "token_pair_topk": TOKEN_PAIRS_ORACLE,

@@ -102,7 +102,7 @@ def test_queries_cover_oracles(entry_mod):
     "events_keyed_scan", "graph_pagerank", "fuzzy_join_titles",
     "events_rolling_distinct", "events_user_stats",
     "media_decode_stats", "docs_topk_per_lang",
-    "approx_distinct_users",
+    "approx_distinct_users", "decontaminate_bloom",
 ])
 def test_query_matches_oracle(entry_mod, ducks, name):
     q = entry_mod.queries()[name]

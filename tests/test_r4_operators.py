@@ -107,3 +107,49 @@ def test_approx_count_distinct_merge_invariance(ray_session):
     a = approx_count_distinct(_ds(t, 1), "g", "v")
     b = approx_count_distinct(_ds(t, 13), "g", "v")
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bloom_decontaminate_superset_of_exact(ray_session):
+    # Bloom false positives only ADD flags: every exact-flagged doc
+    # must be bloom-flagged with n_overlap >= the exact overlap
+    import ray.data as rd
+
+    from verify_ray.pipelines.contamination import (bloom_decontaminate,
+                                                    decontaminate)
+
+    rng = np.random.default_rng(19)
+    words = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(words, 40)) for _ in range(60)]
+    bench = pa.table({
+        "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+        "text": pa.array(texts[:10])})
+    # targets: 10 contaminated copies + 50 clean
+    tgt_texts = [texts[i] + " tail" for i in range(10)] + texts[10:]
+    target = pa.table({
+        "doc_id": pa.array(np.arange(100, 100 + len(tgt_texts),
+                                     dtype=np.int64)),
+        "text": pa.array(tgt_texts)})
+    exact = (decontaminate(rd.from_arrow(target), rd.from_arrow(bench),
+                           n=8).to_pandas().set_index("doc_id"))
+    bloom = (bloom_decontaminate(rd.from_arrow(target),
+                                 rd.from_arrow(bench), n=8)
+             .to_pandas().set_index("doc_id"))
+    assert set(exact.index) <= set(bloom.index)
+    for did in exact.index:
+        assert bloom.loc[did, "n_overlap"] >= exact.loc[did, "n_overlap"]
+    # the 10 contaminated docs are all found
+    assert set(range(100, 110)) <= set(exact.index)
+
+
+def test_bloom_bits_deterministic_and_sparse():
+    from verify_ray.pipelines.contamination import (bloom_bits_from_hashes,
+                                                    bloom_m_bits)
+
+    rng = np.random.default_rng(2)
+    h = rng.integers(0, 2**63, 5000).astype(np.uint64)
+    m = bloom_m_bits(len(h))
+    a = bloom_bits_from_hashes(h, m)
+    b = bloom_bits_from_hashes(h, m)
+    np.testing.assert_array_equal(a, b)
+    # k=4 hashes x 5000 items into 80k bits: fill ratio ~ 22%
+    assert 0.1 < a.mean() < 0.35

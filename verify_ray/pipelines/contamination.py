@@ -130,6 +130,70 @@ def decontaminate(docs_ds, bench_ds, n: int = 8, text_col: str = "text",
     return docs_ds.map_batches(flag, batch_format="pyarrow")
 
 
+def bloom_bits_from_hashes(hashes: np.ndarray, m_bits: int,
+                           k: int = 4) -> np.ndarray:
+    """Bloom bit array (bool[m_bits]) for a set of uint64 gram hashes.
+    Positions by Kirsch-Mitzenmacher double hashing over the md5 u64:
+    ``pos_j = (h mod 2^32 + j · (h div 2^32)) mod m_bits`` — pure
+    integer, < 2^35, so the SQL oracle reproduces every bit."""
+    h1 = (hashes & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    h2 = (hashes >> np.uint64(32)).astype(np.int64)
+    bits = np.zeros(m_bits, dtype=bool)
+    for j in range(k):
+        bits[(h1 + j * h2) % m_bits] = True
+    return bits
+
+
+def bloom_m_bits(n_items: int, bits_per_item: int = 16) -> int:
+    """Deterministic filter sizing (restated in the oracle)."""
+    return max(1024, bits_per_item * n_items)
+
+
+def bloom_decontaminate(docs_ds, bench_ds, n: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bits_per_item: int = 16, k: int = 4):
+    """``decontaminate`` with a BLOOM-FILTER membership broadcast —
+    the 100 TB form when even the benchmark gram set strains a
+    broadcast: the exact set costs 8 B/gram; the filter costs
+    ``bits_per_item/8`` B/gram (2 B at the default, ~0.24% false-
+    positive rate at k=4) and, unlike the exact array's binary search,
+    probes in O(k).  False positives only FLAG extra docs (decontam
+    errs on the safe side); they are deterministic (md5 double
+    hashing), so the SQL oracle reproduces the exact flagged set,
+    false positives included.
+
+    Same output contract as ``decontaminate``: a Dataset of
+    ``(doc_id, n_grams, n_overlap)`` for flagged docs, where
+    ``n_overlap`` counts the doc's distinct grams whose k positions
+    are all set.
+    """
+    import ray
+
+    bench = benchmark_gram_set(bench_ds, n, text_col)
+    m_bits = bloom_m_bits(len(bench), bits_per_item)
+    bits_ref = ray.put(bloom_bits_from_hashes(bench, m_bits, k))
+
+    def flag(b: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        gdoc, gh, n_grams = _doc_gram_hashes(b, n, text_col)
+        n_overlap = np.zeros(b.num_rows, dtype=np.int64)
+        if len(gh):
+            h1 = (gh & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            h2 = (gh >> np.uint64(32)).astype(np.int64)
+            ok = np.ones(len(gh), dtype=bool)
+            for j in range(k):
+                ok &= bits[(h1 + j * h2) % m_bits]
+            np.add.at(n_overlap, gdoc[ok], 1)
+        mask = n_overlap > 0
+        return pa.table({
+            id_col: as_array(b[id_col]).filter(pa.array(mask)),
+            "n_grams": pa.array(n_grams[mask]),
+            "n_overlap": pa.array(n_overlap[mask]),
+        })
+
+    return docs_ds.map_batches(flag, batch_format="pyarrow")
+
+
 def boilerplate_gram_set(docs_ds, n: int = 3, min_docs: int = 20,
                          text_col: str = "text",
                          num_buckets: int = 64) -> np.ndarray:
