@@ -153,3 +153,16 @@ def test_bloom_bits_deterministic_and_sparse():
     np.testing.assert_array_equal(a, b)
     # k=4 hashes x 5000 items into 80k bits: fill ratio ~ 22%
     assert 0.1 < a.mean() < 0.35
+
+
+def test_connected_components_ds_equals_frame(ray_session):
+    from verify_ray.pipelines.dedup import (connected_components_distributed,
+                                            connected_components_ds)
+
+    pairs = pd.DataFrame({
+        "doc_a": np.array([1, 2, 10, 11, 20, 21], dtype=np.int64),
+        "doc_b": np.array([2, 3, 11, 12, 21, 22], dtype=np.int64)})
+    frame = connected_components_distributed(pairs)
+    ds_out = (connected_components_ds(pairs).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(frame, ds_out)

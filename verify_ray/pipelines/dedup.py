@@ -195,10 +195,13 @@ def connected_components(pairs: pd.DataFrame, a_col: str = "doc_a",
 def connected_components_distributed(pairs, a_col: str = "doc_a",
                                      b_col: str = "doc_b",
                                      max_iters: int = 50,
-                                     num_buckets: int | None = None) -> pd.DataFrame:
+                                     num_buckets: int | None = None,
+                                     as_dataset: bool = False):
     """(doc_id, group_id) by DISTRIBUTED min-label propagation — the
     scale path for pair sets that exceed driver memory (the union-find
     in ``connected_components`` is driver-side and output-sized).
+    ``connected_components_ds`` returns the same labels as a Dataset
+    for when even ONE ROW PER NODE strains the driver.
 
     Each round every node adopts the minimum label among itself and its
     neighbors (one lookup exchange + one min-combine exchange), then a
@@ -328,9 +331,26 @@ def connected_components_distributed(pairs, a_col: str = "doc_a",
             break
         prev = cur
 
+    if as_dataset:
+        return labels.map_batches(
+            lambda t: t.rename_columns(["doc_id", "group_id"]),
+            batch_format="pyarrow")
     out = labels.to_pandas().rename(columns={"node": "doc_id",
                                              "lab": "group_id"})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def connected_components_ds(pairs, a_col: str = "doc_a",
+                            b_col: str = "doc_b", max_iters: int = 50,
+                            num_buckets: int | None = None):
+    """``connected_components_distributed`` with STREAMING output: the
+    (doc_id, group_id) labels stay in the object store as a Dataset —
+    at 100 TB the label table is corpus-sized (one row per near-dup
+    member), so even the final pull must stream; write it with
+    ``sinks.write_sharded`` or broadcast-join it downstream.
+    Unsorted (sort after read where needed)."""
+    return connected_components_distributed(
+        pairs, a_col, b_col, max_iters, num_buckets, as_dataset=True)
 
 
 # ---------------------------------------------------------------------------
