@@ -1029,6 +1029,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf, "documents", columns=["lang", "source"])
         return rollup_counts(docs, ["lang", "source"])
 
+    def cube_q(sf):
+        # counts for every subset of (lang, source) — 4 grouping sets
+        # in ONE scan (SQL GROUP BY CUBE)
+        from verify_ray.pipelines.analytics import cube_counts
+
+        docs = _read(sf, "documents", columns=["lang", "source"])
+        return cube_counts(docs, ["lang", "source"])
+
+    def heavy_hitters_q(sf):
+        # EXACT frequent (user, event_type) pairs via Count-Min
+        # sketch-then-verify: the sketch pass is key-cardinality-free,
+        # the verify pass counts only sketch candidates (a guaranteed
+        # superset — CM never underestimates), the final exact filter
+        # kills collision false positives.  Input consumed twice →
+        # materialize.
+        from verify_ray.pipelines.analytics import heavy_hitters
+
+        ev = _read(sf, "events",
+                   columns=["user_id", "event_type"]).materialize()
+        out = heavy_hitters(ev, ["user_id", "event_type"], min_count=12)
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
+
     def events_json_q(sf):
         # typed-field extraction from the JSON payload column (events ∪
         # injected malformed/empty/string-typed rows): the engine runs
@@ -1658,6 +1681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mix_build": mix_build_q,
         "langid_confusion": langid_confusion_q,
         "docs_rollup_counts": rollup_q,
+        "docs_cube_counts": cube_q,
+        "heavy_hitter_pairs": heavy_hitters_q,
         "events_keyed_scan": keyed_scan_q,
         "graph_pagerank": pagerank_q,
         "fuzzy_join_titles": fuzzy_join_q,
@@ -3306,6 +3331,20 @@ ORDER BY lid, rid
             WHERE lang IS NOT NULL AND source IS NOT NULL
             GROUP BY ROLLUP (lang, source)
             ORDER BY lang NULLS LAST, source NULLS LAST
+        """,
+        "docs_cube_counts": """
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY CUBE (lang, source)
+            ORDER BY lang NULLS LAST, source NULLS LAST
+        """,
+        "heavy_hitter_pairs": """
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY user_id, event_type HAVING COUNT(*) >= 12
+            ORDER BY user_id, event_type
         """,
         "knn_join_embeddings": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -1,0 +1,104 @@
+"""Round-4 second batch: cube_counts, heavy_hitters (Count-Min
+sketch-then-verify), grouped_ntile, dataset set-ops, segment-level
+dedup, IQR outliers, zone-map pruned reads."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(tbl: pa.Table, blocks: int = 4):
+    import ray.data as rd
+
+    n = tbl.num_rows
+    step = max(1, n // blocks) if n else 1
+    return rd.from_arrow([tbl.slice(i, step) for i in range(0, n, step)]
+                         if n else tbl)
+
+
+# ---------------------------------------------------------------- cube
+
+
+def test_cube_counts_matches_sql(ray_session):
+    from verify_ray.pipelines.analytics import cube_counts
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    t = pa.table({
+        "a": pa.array(rng.choice(["x", "y", "z", None], n)),
+        "b": pa.array(rng.choice(["p", "q", None], n))})
+    out = cube_counts(_ds(t, 6), ["a", "b"])
+    pdf = t.to_pandas()
+    ref = duckdb.sql("""
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM pdf
+        WHERE a IS NOT NULL AND b IS NOT NULL
+        GROUP BY CUBE (a, b)
+        ORDER BY a NULLS LAST, b NULLS LAST""").df()
+    pd.testing.assert_frame_equal(
+        out.fillna("~"), ref.fillna("~"), check_dtype=False)
+
+
+def test_cube_counts_empty_input(ray_session):
+    from verify_ray.pipelines.analytics import cube_counts
+
+    t = pa.table({"a": pa.array([None, None], type=pa.string()),
+                  "b": pa.array(["u", "v"])})
+    out = cube_counts(_ds(t, 1), ["a", "b"])
+    # SQL CUBE on a fully-filtered input still emits the grand total
+    assert len(out) == 1
+    assert out["n"].iloc[0] == 0 and out["a"].iloc[0] is None
+
+
+# ------------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_exact_vs_sql(ray_session):
+    from verify_ray.pipelines.analytics import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    # zipf-ish skew: a few hot keys + a long tail
+    keys = np.concatenate([
+        np.repeat(["hot1", "hot2", "hot3"], [400, 250, 120]),
+        rng.choice([f"t{i}" for i in range(2000)], 6000)])
+    rng.shuffle(keys)
+    t = pa.table({"k": pa.array(keys.astype(object))})
+    ds = _ds(t, 8).materialize()
+    out = heavy_hitters(ds, ["k"], min_count=100)
+    pdf = t.to_pandas()
+    ref = duckdb.sql("""
+        SELECT k, COUNT(*) AS n FROM pdf GROUP BY k
+        HAVING COUNT(*) >= 100 ORDER BY k""").df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_heavy_hitters_tiny_sketch_stays_exact(ray_session):
+    # deliberately undersized sketch → many collision false positives;
+    # the exact verify pass must still return the exact answer
+    from verify_ray.pipelines.analytics import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    keys = np.concatenate([np.repeat("HH", 300),
+                           rng.choice([f"t{i}" for i in range(500)], 3000)])
+    rng.shuffle(keys)
+    t = pa.table({"k": pa.array(keys.astype(object))})
+    out = heavy_hitters(_ds(t, 6).materialize(), ["k"], min_count=150,
+                        width=32, depth=2)
+    pdf = t.to_pandas()
+    ref = duckdb.sql("""
+        SELECT k, COUNT(*) AS n FROM pdf GROUP BY k
+        HAVING COUNT(*) >= 150 ORDER BY k""").df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_heavy_hitters_multi_col_and_empty(ray_session):
+    from verify_ray.pipelines.analytics import heavy_hitters
+
+    t = pa.table({"a": pa.array(["x"] * 5 + ["y"] * 2 + [None]),
+                  "b": pa.array([1] * 5 + [2] * 2 + [3],
+                                type=pa.int64())})
+    ds = _ds(t, 2).materialize()
+    out = heavy_hitters(ds, ["a", "b"], min_count=5)
+    assert list(out["a"]) == ["x"] and list(out["n"]) == [5]
+    out2 = heavy_hitters(ds, ["a", "b"], min_count=50)
+    assert len(out2) == 0 and list(out2.columns) == ["a", "b", "n"]

@@ -901,3 +901,198 @@ def grouped_having_count(ds, group_cols: list[str], min_count: int = 2,
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return grouped_exchange_ds(parts, "__b", num_buckets, reduce_bucket,
                                empty_schema=out_schema)
+
+
+def cube_counts(ds, cols: list[str]) -> pd.DataFrame:
+    """Full CUBE counts — one row per SUBSET of ``cols`` (SQL ``GROUP
+    BY CUBE (c1, ..., ck)``): every combination of kept/rolled-up
+    columns, 2^k grouping sets in one pass, with NULL marking each
+    rolled-up column.  Complements ``rollup_counts`` (prefix levels
+    only) for the "counts by lang, by source, by (lang, source), and
+    overall" cross-tab question.
+
+    Rows with a NULL in any grouping column are dropped first — CUBE
+    output cannot distinguish a data NULL from a rollup marker (same
+    policy and partial pass as ``rollup_counts``).
+
+    Scale shape: identical to ``rollup_counts`` — each batch reduces
+    to finest-level (c1..ck, count) partials; every coarser grouping
+    set is derived from the finest counts driver-side (bounded by
+    finest-group cardinality × 2^k, never by row count).
+    """
+    SEP = "\x1f"
+
+    def partial(b: pa.Table) -> pa.Table:
+        mask = pc.is_valid(b[cols[0]])
+        for c in cols[1:]:
+            mask = pc.and_(mask, pc.is_valid(b[c]))
+        b = b.filter(mask)
+        key = pc.cast(b[cols[0]], pa.string())
+        for c in cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(b[c], pa.string()), SEP)
+        codes, uniq = pd.factorize(
+            pd.Series(key.to_numpy(zero_copy_only=False)))
+        cnt = np.bincount(codes, minlength=len(uniq))
+        return pa.table({"k": pa.array(uniq, type=pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        # SQL CUBE over an empty (or fully filtered) input still emits
+        # the grand-total row (NULL, ..., 0)
+        out = pd.DataFrame({c: [None] for c in cols})
+        out["n"] = np.int64(0)
+        return out
+    fin = parts.groupby("k", as_index=False)["c"].sum()
+    split = fin["k"].str.split(SEP, expand=True)
+    split.columns = cols
+    fin = pd.concat([split, fin["c"].rename("n")], axis=1)
+
+    levels = []
+    for mask in range(1 << len(cols)):
+        keep = [c for i, c in enumerate(cols) if mask & (1 << i)]
+        sub = (fin.groupby(keep, as_index=False)["n"].sum() if keep
+               else pd.DataFrame({"n": [fin["n"].sum()]}))
+        for c in cols:
+            if c not in keep:
+                sub[c] = None
+        levels.append(sub[cols + ["n"]])
+    out = pd.concat(levels, ignore_index=True)
+    return (out.astype({"n": "int64"})
+            .sort_values(cols, na_position="last")
+            .reset_index(drop=True))
+
+
+def heavy_hitters(ds, key_cols: list[str], min_count: int,
+                  width: int = 16384, depth: int = 4,
+                  partial_budget: int = GROUP_PARTIAL_BUDGET
+                  ) -> pd.DataFrame:
+    """EXACT frequent-key detection at sketch cost — keys occurring at
+    least ``min_count`` times, with their exact counts (SQL ``GROUP BY
+    key HAVING COUNT(*) >= min_count``), without ever shuffling or
+    driver-collecting the full key-cardinality count table.
+
+    Two-phase shape (the standard sketch-then-verify move):
+
+    1. **Sketch pass** — each batch folds its keys into a sparse
+       Count-Min update: ``depth`` hash rows of ``width`` counters
+       (hash d of key = ``md5_u64le(f"{d}\\x1f{key}") % width``).
+       Partials are (d, w, cnt) rows — bounded by depth × width per
+       batch, independent of key cardinality — merged by sum through
+       the cardinality-guarded ``_merge_partials``; the dense
+       depth×width sketch (a few hundred KB) is then broadcast via
+       ``ray.put``.
+    2. **Verify pass** — each batch queries the sketch for its UNIQUE
+       keys; Count-Min only OVERestimates, so ``est >= min_count`` is
+       a SUPERSET of the true heavy hitters (no false negatives, ever).
+       Only candidate keys emit exact per-batch counts; the candidate
+       merge is bounded by (true hitters + collision false positives)
+       × blocks, and the final ``>= min_count`` filter on exact counts
+       removes every false positive — output is EXACT.
+
+    ``ds`` is consumed twice (sketch + verify) — pass a
+    materialized-or-rescannable dataset; ``.materialize()`` an
+    expensive lazy upstream first.
+
+    Sizing: false positives appear when distinct-keys / width
+    approaches min_count's scale; width=16384 × depth=4 keeps the
+    candidate set output-sized up to ~10^7 distinct keys for
+    percent-level thresholds.  Null key components drop the row (SQL
+    parity: the oracle filters IS NOT NULL identically).
+    """
+    import ray
+
+    from ..functions.hashing import md5_u64le
+    from ..kernels import as_array
+
+    SEP = "\x1f"
+    W = np.uint64(width)
+
+    def _keys(b: pa.Table):
+        mask = pc.is_valid(b[key_cols[0]])
+        for c in key_cols[1:]:
+            mask = pc.and_(mask, pc.is_valid(b[c]))
+        b = b.filter(mask)
+        key = pc.cast(b[key_cols[0]], pa.string())
+        for c in key_cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(b[c], pa.string()), SEP)
+        return b, as_array(key)
+
+    def _cells(uniq: np.ndarray) -> np.ndarray:
+        """(depth, n_uniq) Count-Min column index per unique key."""
+        ua = pa.array(uniq, type=pa.string())
+        rows = []
+        for d in range(depth):
+            tagged = pc.binary_join_element_wise(
+                pa.scalar(str(d)), ua, SEP)
+            rows.append((md5_u64le(tagged) % W).astype(np.int64))
+        return np.stack(rows)
+
+    def sketch_partial(b: pa.Table) -> pa.Table:
+        _, key = _keys(b)
+        if len(key) == 0:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        uniq, counts = np.unique(key.to_numpy(zero_copy_only=False),
+                                 return_counts=True)
+        cells = _cells(uniq)
+        ds_, ws_, cs_ = [], [], []
+        for d in range(depth):
+            # several keys may share a cell within the batch — sum them
+            cw, cidx = np.unique(cells[d], return_inverse=True)
+            cnt = np.zeros(len(cw), dtype=np.int64)
+            np.add.at(cnt, cidx, counts)
+            ds_.append(np.full(len(cw), d, dtype=np.int64))
+            ws_.append(cw)
+            cs_.append(cnt)
+        return pa.table({"d": pa.array(np.concatenate(ds_)),
+                         "w": pa.array(np.concatenate(ws_)),
+                         "cnt": pa.array(np.concatenate(cs_))})
+
+    parts = ds.map_batches(sketch_partial,
+                           batch_format="pyarrow").materialize()
+    merged = _merge_partials(parts, ["d", "w"], {"cnt": "sum"},
+                             partial_budget)
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    if len(merged):
+        sketch[merged["d"].to_numpy(dtype=np.int64),
+               merged["w"].to_numpy(dtype=np.int64)] = \
+            merged["cnt"].to_numpy(dtype=np.int64)
+    sketch_ref = ray.put(sketch)
+
+    def verify_partial(b: pa.Table) -> pa.Table:
+        sk = ray.get(sketch_ref)
+        bb, key = _keys(b)
+        if len(key) == 0:
+            return pa.table({"k": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        karr = key.to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(karr, return_counts=True)
+        cells = _cells(uniq)
+        est = sk[0, cells[0]]
+        for d in range(1, depth):
+            est = np.minimum(est, sk[d, cells[d]])
+        cand = est >= min_count
+        return pa.table({"k": pa.array(uniq[cand], type=pa.string()),
+                         "n": pa.array(counts[cand].astype(np.int64))})
+
+    cparts = ds.map_batches(verify_partial,
+                            batch_format="pyarrow").materialize()
+    cand = _merge_partials(cparts, ["k"], {"n": "sum"}, partial_budget)
+    if not len(cand):
+        out = pd.DataFrame({c: pd.Series(dtype=object) for c in key_cols})
+        out["n"] = pd.Series(dtype="int64")
+        return out
+    cand = cand[cand["n"] >= min_count]
+    split = cand["k"].str.split(SEP, expand=True)
+    if split.shape[1] < len(key_cols):  # all-empty edge
+        for i in range(split.shape[1], len(key_cols)):
+            split[i] = pd.Series(dtype=object)
+    split.columns = key_cols
+    out = pd.concat([split.reset_index(drop=True),
+                     cand["n"].astype("int64").reset_index(drop=True)],
+                    axis=1)
+    return out.sort_values(key_cols).reset_index(drop=True)
