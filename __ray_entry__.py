@@ -1052,6 +1052,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["user_id"] = out["user_id"].astype("int64")
         return out
 
+    def ntile_q(sf):
+        # per-language size quartiles: every doc gets its NTILE(4)
+        # bucket id under (n_chars, doc_id) — SQL window parity row
+        # for row
+        from verify_ray.pipelines.select import grouped_ntile
+
+        out = grouped_ntile(
+            _read(sf, "documents", columns=["doc_id", "lang", "n_chars"]),
+            group_cols=["lang"], n_tiles=4, order_col="n_chars",
+            id_col="doc_id", values=["doc_id", "lang", "n_chars"])
+        return (out.to_pandas()
+                .sort_values(["lang", "n_chars", "doc_id"])
+                .reset_index(drop=True))
+
     def events_json_q(sf):
         # typed-field extraction from the JSON payload column (events ∪
         # injected malformed/empty/string-typed rows): the engine runs
@@ -1683,6 +1697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup_counts": rollup_q,
         "docs_cube_counts": cube_q,
         "heavy_hitter_pairs": heavy_hitters_q,
+        "docs_ntile_by_lang": ntile_q,
         "events_keyed_scan": keyed_scan_q,
         "graph_pagerank": pagerank_q,
         "fuzzy_join_titles": fuzzy_join_q,
@@ -3345,6 +3360,15 @@ ORDER BY lid, rid
             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
             GROUP BY user_id, event_type HAVING COUNT(*) >= 12
             ORDER BY user_id, event_type
+        """,
+        "docs_ntile_by_lang": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(NTILE(4) OVER (PARTITION BY lang
+                       ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+            FROM documents
+            WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+              AND doc_id IS NOT NULL
+            ORDER BY lang, n_chars, doc_id
         """,
         "knn_join_embeddings": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

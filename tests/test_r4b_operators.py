@@ -102,3 +102,46 @@ def test_heavy_hitters_multi_col_and_empty(ray_session):
     assert list(out["a"]) == ["x"] and list(out["n"]) == [5]
     out2 = heavy_hitters(ds, ["a", "b"], min_count=50)
     assert len(out2) == 0 and list(out2.columns) == ["a", "b", "n"]
+
+
+# -------------------------------------------------------------- ntile
+
+
+def test_grouped_ntile_matches_window_sql(ray_session):
+    from verify_ray.pipelines.select import grouped_ntile
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c", None], n)),
+        "s": pa.array(rng.integers(0, 25, n).astype(np.int64)),  # ties
+        "i": pa.array(rng.permutation(n).astype(np.int64))})
+    out = (grouped_ntile(_ds(t, 6), ["g"], 4, "s", "i", ["g", "s", "i"],
+                         num_buckets=4)
+           .to_pandas().sort_values(["g", "s", "i"])
+           .reset_index(drop=True))
+    pdf = t.to_pandas()
+    ref = duckdb.sql("""
+        SELECT g, s, i, CAST(NTILE(4) OVER (PARTITION BY g
+            ORDER BY s, i) AS BIGINT) AS tile
+        FROM pdf WHERE g IS NOT NULL
+        ORDER BY g, s, i""").df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_grouped_ntile_small_groups(ray_session):
+    # m < n_tiles: every row its own tile, SQL parity
+    from verify_ray.pipelines.select import grouped_ntile
+
+    t = pa.table({"g": pa.array(["a", "a", "b"]),
+                  "s": pa.array([5, 3, 9], type=pa.int64()),
+                  "i": pa.array([1, 2, 3], type=pa.int64())})
+    out = (grouped_ntile(_ds(t, 1), ["g"], 10, "s", "i", ["g", "i"],
+                         num_buckets=2)
+           .to_pandas().sort_values(["g", "i"]).reset_index(drop=True))
+    pdf = t.to_pandas()
+    ref = duckdb.sql("""
+        SELECT g, i, CAST(NTILE(10) OVER (PARTITION BY g
+            ORDER BY s, i) AS BIGINT) AS tile
+        FROM pdf ORDER BY g, i""").df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)

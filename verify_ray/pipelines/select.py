@@ -732,3 +732,90 @@ def global_rank(ds, score_col: str, id_col: str,
     return grouped_exchange_ds(tagged, "__s", num_buckets, rank_bucket,
                                empty_schema=out_schema,
                                drop_bucket=False)
+
+
+def grouped_ntile(ds, group_cols: list[str], n_tiles: int,
+                  order_col: str, id_col: str, values: list[str],
+                  num_buckets: int = 64):
+    """Per-group NTILE bucketing — assign every row its equal-height
+    tile 1..n within its group under (order asc, id asc): SQL
+    ``NTILE(n) OVER (PARTITION BY group ORDER BY order_col, id)``.
+    The quantile-bucket labeling move (quality quartiles per language,
+    size deciles per source) when the downstream needs a per-ROW
+    bucket id, not just the cut points.
+
+    Tile sizes follow the SQL rule exactly: with m rows and n tiles,
+    the first ``m % n`` tiles hold ``m // n + 1`` rows, the rest
+    ``m // n`` — so tile assignment is a pure function of the row's
+    rank and m, and the DuckDB oracle matches row for row.
+
+    Distributed shape: one sort-free hash exchange on the combined
+    group key; each merge task ranks whole groups with a single
+    ``np.lexsort`` + boundary-repeat pass and computes tiles
+    arithmetically (no per-group loop).  Unlike ``grouped_topk`` there
+    is NO map-side pre-cap — every row is output, so the partitioning
+    assumption (SURVEY §2.6) is that one group's rows fit a merge
+    task; size ``num_buckets`` with the data and salt upstream if one
+    group dominates the corpus.
+
+    ``order_col`` must be integer (repo float policy); ``id_col``
+    unique (the tie-breaker).  Null group/order/id rows drop (SQL
+    window parity).  Output: ``values...`` + ``tile`` (int64).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..kernels import as_array
+    from ..stages.exchange import grouped_exchange_ds
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    out_schema = pa.schema([(c, types[c]) for c in values]
+                           + [("tile", pa.int64())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(b[order_col]), pc.is_valid(b[id_col]))
+        for g in group_cols:
+            mask = pc.and_(mask, pc.is_valid(b[g]))
+        b = b.filter(mask)
+        key = pc.cast(as_array(b[group_cols[0]]), pa.string())
+        for g in group_cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(as_array(b[g]), pa.string()), "\x1f")
+        o = as_array(b[order_col])
+        if not pa.types.is_integer(o.type):
+            raise ValueError(
+                f"grouped_ntile order_col {order_col!r} must be integer "
+                f"(repo float policy), got {o.type}")
+        cols = {"__b": pa.array(md5_u64le(key), type=pa.uint64()),
+                "__g": key,
+                "__o": pc.cast(o, pa.int64()),
+                "__i": as_array(b[id_col])}
+        for c in values:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    def tile_fn(t: pa.Table) -> pa.Table:
+        gkey = t.column("__g").to_numpy(zero_copy_only=False)
+        oval = t.column("__o").to_numpy(zero_copy_only=False)
+        ids = t.column("__i").to_numpy(zero_copy_only=False)
+        _, gc = np.unique(gkey, return_inverse=True)
+        order = np.lexsort((ids, oval, gc))
+        gs = gc[order]
+        new = np.ones(len(gs), dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        start = np.flatnonzero(new)
+        counts = np.diff(np.append(start, len(gs)))
+        rank = np.arange(len(gs)) - np.repeat(start, counts)
+        m = np.repeat(counts, counts)
+        q, r = m // n_tiles, m % n_tiles
+        big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+        tile = np.where(rank < big,
+                        rank // (q + 1) + 1,
+                        r + (rank - big) // np.maximum(q, 1) + 1)
+        out = t.select(values).take(pa.array(order))
+        return out.append_column("tile", pa.array(tile.astype(np.int64)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets, tile_fn,
+                               empty_schema=out_schema)
