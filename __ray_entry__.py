@@ -1066,6 +1066,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .sort_values(["lang", "n_chars", "doc_id"])
                 .reset_index(drop=True))
 
+    def _user_day_sides(sf):
+        # distinct (user, epoch-day) pairs for clicks vs purchases —
+        # the set-op inputs; day as integer epoch-days so the driver
+        # hash compares integers
+        from verify_ray.pipelines import setops  # noqa: F401
+
+        def proj(event_type):
+            def f(b: pa.Table) -> pa.Table:
+                m = pc.and_(pc.equal(b["event_type"], event_type),
+                            pc.and_(pc.is_valid(b["user_id"]),
+                                    pc.is_valid(b["ts"])))
+                b = b.filter(m)
+                us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                             pa.int64())
+                day = pa.array(us.to_numpy(zero_copy_only=False)
+                               // 86_400_000_000)
+                return pa.table({"user_id": b["user_id"], "day": day})
+            return f
+
+        ev = _read(sf, "events", columns=["user_id", "event_type", "ts"])
+        a = ev.map_batches(proj("click"), batch_format="pyarrow")
+        b = ev.map_batches(proj("purchase"), batch_format="pyarrow")
+        return a, b
+
+    def except_q(sf):
+        # user-days with a click but NO purchase (SQL EXCEPT over
+        # distinct tuples): one hash exchange over per-block distinct
+        # pairs, multiplicity never leaves the block
+        from verify_ray.pipelines.setops import distinct_setop
+
+        a, b = _user_day_sides(sf)
+        out = distinct_setop(a, b, ["user_id", "day"], "except")
+        return (out.to_pandas().sort_values(["user_id", "day"])
+                .reset_index(drop=True))
+
+    def intersect_q(sf):
+        # user-days with BOTH a click and a purchase (SQL INTERSECT)
+        from verify_ray.pipelines.setops import distinct_setop
+
+        a, b = _user_day_sides(sf)
+        out = distinct_setop(a, b, ["user_id", "day"], "intersect")
+        return (out.to_pandas().sort_values(["user_id", "day"])
+                .reset_index(drop=True))
+
     def events_json_q(sf):
         # typed-field extraction from the JSON payload column (events ∪
         # injected malformed/empty/string-typed rows): the engine runs
@@ -1698,6 +1742,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cube_counts": cube_q,
         "heavy_hitter_pairs": heavy_hitters_q,
         "docs_ntile_by_lang": ntile_q,
+        "click_not_purchase_days": except_q,
+        "click_and_purchase_days": intersect_q,
         "events_keyed_scan": keyed_scan_q,
         "graph_pagerank": pagerank_q,
         "fuzzy_join_titles": fuzzy_join_q,
@@ -3360,6 +3406,36 @@ ORDER BY lid, rid
             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
             GROUP BY user_id, event_type HAVING COUNT(*) >= 12
             ORDER BY user_id, event_type
+        """,
+        "click_not_purchase_days": """
+            WITH a AS (SELECT DISTINCT user_id,
+                              epoch_us(CAST(ts AS TIMESTAMP))
+                                  // 86400000000 AS day
+                       FROM events WHERE event_type = 'click'
+                         AND user_id IS NOT NULL AND ts IS NOT NULL),
+                 b AS (SELECT DISTINCT user_id,
+                              epoch_us(CAST(ts AS TIMESTAMP))
+                                  // 86400000000 AS day
+                       FROM events WHERE event_type = 'purchase'
+                         AND user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT user_id, day FROM a
+            EXCEPT SELECT user_id, day FROM b
+            ORDER BY user_id, day
+        """,
+        "click_and_purchase_days": """
+            WITH a AS (SELECT DISTINCT user_id,
+                              epoch_us(CAST(ts AS TIMESTAMP))
+                                  // 86400000000 AS day
+                       FROM events WHERE event_type = 'click'
+                         AND user_id IS NOT NULL AND ts IS NOT NULL),
+                 b AS (SELECT DISTINCT user_id,
+                              epoch_us(CAST(ts AS TIMESTAMP))
+                                  // 86400000000 AS day
+                       FROM events WHERE event_type = 'purchase'
+                         AND user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT user_id, day FROM a
+            INTERSECT SELECT user_id, day FROM b
+            ORDER BY user_id, day
         """,
         "docs_ntile_by_lang": """
             SELECT doc_id, lang, n_chars,

@@ -145,3 +145,62 @@ def test_grouped_ntile_small_groups(ray_session):
             ORDER BY s, i) AS BIGINT) AS tile
         FROM pdf ORDER BY g, i""").df()
     pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+# ------------------------------------------------------------ set ops
+
+
+def _setop_tables():
+    # A draws keys 0..59, B only 0..39 → EXCEPT is non-empty by
+    # construction (Ray's to_pandas on an all-empty Dataset loses
+    # column names — the empty path is asserted via schema below)
+    n = 2500
+    mk = lambda seed_off, hi: pa.table({
+        "u": pa.array(np.random.default_rng(29 + seed_off)
+                      .integers(0, hi, n).astype(np.int64)),
+        "t": pa.array(np.random.default_rng(31 + seed_off)
+                      .choice(["x", "y", "z", None], n))})
+    return mk(0, 60), mk(7, 40)
+
+
+def test_distinct_except_intersect_union_vs_sql(ray_session):
+    from verify_ray.pipelines.setops import distinct_setop, distinct_union
+
+    ta, tb = _setop_tables()
+    a, b = _ds(ta, 5), _ds(tb, 3)
+    pda, pdb = ta.to_pandas(), tb.to_pandas()
+    for op, sql_op in [("except", "EXCEPT"), ("intersect", "INTERSECT")]:
+        out = (distinct_setop(a, b, ["u", "t"], op, num_buckets=4)
+               .to_pandas().sort_values(["u", "t"]).reset_index(drop=True))
+        ref = duckdb.sql(f"""
+            SELECT DISTINCT u, t FROM pda
+            WHERE u IS NOT NULL AND t IS NOT NULL
+            {sql_op}
+            SELECT DISTINCT u, t FROM pdb
+            WHERE u IS NOT NULL AND t IS NOT NULL
+            ORDER BY u, t""").df()
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    out = (distinct_union(a, b, ["u", "t"], num_buckets=4)
+           .to_pandas().sort_values(["u", "t"]).reset_index(drop=True))
+    ref = duckdb.sql("""
+        SELECT u, t FROM pda WHERE u IS NOT NULL AND t IS NOT NULL
+        UNION
+        SELECT u, t FROM pdb WHERE u IS NOT NULL AND t IS NOT NULL
+        ORDER BY u, t""").df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_distinct_setop_disjoint_and_empty(ray_session):
+    from verify_ray.pipelines.setops import distinct_setop
+
+    ta = pa.table({"u": pa.array([1, 2, 2], type=pa.int64())})
+    tb = pa.table({"u": pa.array([9], type=pa.int64())})
+    exc = (distinct_setop(_ds(ta, 2), _ds(tb, 1), ["u"], "except",
+                          num_buckets=2).to_pandas()
+           .sort_values("u").reset_index(drop=True))
+    assert list(exc["u"]) == [1, 2]
+    inter_ds = distinct_setop(_ds(ta, 2), _ds(tb, 1), ["u"], "intersect",
+                              num_buckets=2)
+    # empty result keeps its typed schema at the Dataset level (Ray's
+    # to_pandas drops names on all-empty blocks — known quirk)
+    assert inter_ds.schema().names == ["u"] and inter_ds.count() == 0
