@@ -1110,6 +1110,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values(["user_id", "day"])
                 .reset_index(drop=True))
 
+    def segment_dedup_q(sf):
+        # CCNet-style segment-level exact dedup over documents ∪ the
+        # planted mutated copies: each copy's 13-word segments are
+        # exact repeats of the original's (the ' extra tail' only
+        # perturbs the final partial segment), so copies keep ~0
+        # segments.  Output: per-doc total vs globally-first-kept
+        # segment counts.  Input consumed twice (kept pass + totals
+        # pass) — both lazy re-scans.
+        from verify_ray.pipelines.text import segment_counts, segment_dedup
+
+        docs = _docs_with_near_dups(sf)
+        kept = segment_dedup(docs, words_per_seg=13).to_pandas()
+        nk = kept.groupby("doc_id", as_index=False).agg(
+            n_kept=("seg_idx", "size"))
+        ns = segment_counts(docs, words_per_seg=13).to_pandas()
+        out = ns.merge(nk, on="doc_id", how="left")
+        out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def events_json_q(sf):
         # typed-field extraction from the JSON payload column (events ∪
         # injected malformed/empty/string-typed rows): the engine runs
@@ -1744,6 +1763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ntile_by_lang": ntile_q,
         "click_not_purchase_days": except_q,
         "click_and_purchase_days": intersect_q,
+        "docs_segment_dedup": segment_dedup_q,
         "events_keyed_scan": keyed_scan_q,
         "graph_pagerank": pagerank_q,
         "fuzzy_join_titles": fuzzy_join_q,
@@ -3406,6 +3426,29 @@ ORDER BY lid, rid
             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
             GROUP BY user_id, event_type HAVING COUNT(*) >= 12
             ORDER BY user_id, event_type
+        """,
+        "docs_segment_dedup": "WITH " + _ALL_DOCS_CTE + """,
+            words AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS w,
+                     generate_subscripts(
+                         string_split_regex(trim(text), '\\s+'), 1) AS ord
+              FROM all_docs
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+            segs AS (
+              SELECT doc_id, (ord - 1) // 13 AS seg_idx,
+                     string_agg(w, ' ' ORDER BY ord) AS seg
+              FROM words GROUP BY doc_id, (ord - 1) // 13),
+            ranked AS (
+              SELECT doc_id, seg_idx,
+                     ROW_NUMBER() OVER (PARTITION BY md5_number_upper(seg)
+                         ORDER BY doc_id, seg_idx) AS rn
+              FROM segs)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_seg,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM ranked GROUP BY doc_id ORDER BY doc_id
         """,
         "click_not_purchase_days": """
             WITH a AS (SELECT DISTINCT user_id,

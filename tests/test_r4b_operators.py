@@ -204,3 +204,58 @@ def test_distinct_setop_disjoint_and_empty(ray_session):
     # empty result keeps its typed schema at the Dataset level (Ray's
     # to_pandas drops names on all-empty blocks — known quirk)
     assert inter_ds.schema().names == ["u"] and inter_ds.count() == 0
+
+
+# ---------------------------------------------------- segment dedup
+
+
+def test_segment_dedup_matches_sql(ray_session):
+    from verify_ray.pipelines.text import segment_counts, segment_dedup
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(30)]
+    texts, ids = [], []
+    for i in range(300):
+        nw = int(rng.integers(0, 40))
+        texts.append(" ".join(rng.choice(vocab, nw)) if nw else "")
+        ids.append(i)
+    # plant exact repeated segments: doc 300 repeats doc 0's text
+    texts.append(texts[0]); ids.append(300)
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    W = 5
+    kept = (segment_dedup(_ds(t, 6), words_per_seg=W, num_buckets=4)
+            .to_pandas().sort_values(["doc_id", "seg_idx"])
+            .reset_index(drop=True))
+    pdf = t.to_pandas()
+    ref = duckdb.sql(f"""
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS w,
+                 generate_subscripts(
+                     string_split_regex(trim(text), '\\s+'), 1) AS ord
+          FROM pdf),
+        segs AS (
+          SELECT doc_id, (ord - 1) // {W} AS seg_idx,
+                 string_agg(w, ' ' ORDER BY ord) AS seg
+          FROM words GROUP BY doc_id, (ord - 1) // {W}),
+        ranked AS (
+          SELECT doc_id, seg_idx,
+                 ROW_NUMBER() OVER (PARTITION BY md5_number_upper(seg)
+                     ORDER BY doc_id, seg_idx) AS rn
+          FROM segs)
+        SELECT doc_id, seg_idx FROM ranked WHERE rn = 1
+        ORDER BY doc_id, seg_idx""").df()
+    pd.testing.assert_frame_equal(kept, ref, check_dtype=False)
+    # doc 300 (exact copy of doc 0) must keep nothing doc 0 kept
+    d0 = set(kept[kept.doc_id == 0].seg_idx)
+    d300 = set(kept[kept.doc_id == 300].seg_idx)
+    assert not (d0 & d300)
+
+    counts = (segment_counts(_ds(t, 6), words_per_seg=W)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    refc = duckdb.sql(f"""
+        SELECT doc_id, CAST(CEIL(len(string_split_regex(trim(text),
+            '\\s+')) / {W}.0) AS BIGINT) AS n_seg
+        FROM pdf ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(counts, refc, check_dtype=False)

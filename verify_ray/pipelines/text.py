@@ -332,3 +332,109 @@ def redact(ds, patterns=None, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(
         lambda b: redact_batch(b, patterns, text_col, id_col),
         batch_format="pyarrow")
+
+
+def segment_dedup(ds, words_per_seg: int = 13, text_col: str = "text",
+                  id_col: str = "doc_id", num_buckets: int = 64):
+    """Corpus-wide SEGMENT-level exact dedup (the CCNet/RefinedWeb
+    "line-level dedup" move, over fixed word windows since the corpus
+    has no newlines): split every document into consecutive
+    ``words_per_seg``-word segments, keep only the globally FIRST
+    occurrence of each distinct segment (winner = smallest
+    (doc_id, seg_idx)), drop every repeat — boilerplate that exact
+    whole-doc dedup can't see.  Returns the KEPT segments as a Dataset
+    of ``(id_col, seg_idx)``.
+
+    Segment identity is ``md5_u64le`` of the space-joined segment (the
+    repo gram-hash contract — DuckDB ``md5_number_upper`` restates it
+    exactly, so the oracle partitions by the same 64-bit key).
+
+    Scale shape: segment construction is fully vectorized (Arrow
+    split/flatten, ``ListArray.from_arrays`` over segment-boundary
+    offsets, one ``binary_join`` — no per-row Python); segments route
+    through ONE hash exchange keyed on the segment hash (each distinct
+    segment meets in exactly one bucket); each bucket picks winners
+    with one lexsort pass.  The shuffle carries (u64 hash, id,
+    seg_idx) — never segment text; winners stay in the object store.
+
+    Null/short rows: null id or text drops the row (SQL parity); an
+    empty text yields ONE empty-string segment (matching DuckDB
+    ``string_split_regex`` on '').
+    """
+    from ..functions.hashing import md5_u64le
+    from ..kernels import as_array
+    from ..stages.exchange import grouped_exchange_ds
+
+    W = int(words_per_seg)
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    out_schema = pa.schema([(id_col, id_type), ("seg_idx", pa.int64())])
+
+    def segments(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[id_col]),
+                             pc.is_valid(b[text_col])))
+        if b.num_rows == 0:
+            return pa.table({"__h": pa.array([], type=pa.uint64()),
+                             id_col: pa.array([], type=id_type),
+                             "seg_idx": pa.array([], type=pa.int64())})
+        toks = as_array(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b[text_col]), r"\s+"))
+        words = as_array(pc.list_flatten(toks))
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = len(parents)
+        doc_start = np.zeros(m, dtype=np.int64)
+        new_doc = np.ones(m, dtype=bool)
+        new_doc[1:] = parents[1:] != parents[:-1]
+        starts_of_docs = np.flatnonzero(new_doc)
+        doc_len = np.diff(np.append(starts_of_docs, m))
+        doc_start = np.repeat(starts_of_docs, doc_len)
+        pos = np.arange(m) - doc_start           # word ordinal in doc
+        seg_starts = np.flatnonzero(pos % W == 0)
+        offsets = np.append(seg_starts, m).astype(np.int32)
+        seg_list = pa.ListArray.from_arrays(pa.array(offsets), words)
+        seg_str = pc.binary_join(seg_list, " ")
+        h = md5_u64le(seg_str)
+        ids = as_array(b[id_col]).take(pa.array(parents[seg_starts]))
+        return pa.table({
+            "__h": pa.array(h, type=pa.uint64()),
+            id_col: ids,
+            "seg_idx": pa.array(pos[seg_starts] // W)})
+
+    def winners(t: pa.Table) -> pa.Table:
+        h = t.column("__h").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        si = t.column("seg_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((si, ids, h))
+        hs = h[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        sel = pa.array(np.sort(order[first]))
+        return t.select([id_col, "seg_idx"]).take(sel).cast(out_schema)
+
+    segs = ds.map_batches(segments, batch_format="pyarrow")
+    return grouped_exchange_ds(segs, "__h", num_buckets, winners,
+                               empty_schema=out_schema,
+                               drop_bucket=False)
+
+
+def segment_counts(ds, words_per_seg: int = 13, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Per-document segment totals for ``segment_dedup`` outputs: one
+    streaming pass, rows ``(id_col, n_seg)`` where ``n_seg =
+    ceil(n_words / words_per_seg)`` (an empty text counts one empty
+    segment — same contract as segment_dedup)."""
+    from ..kernels import as_array
+
+    W = int(words_per_seg)
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[id_col]),
+                             pc.is_valid(b[text_col])))
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b[text_col]), r"\s+")
+        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        n_seg = (nw + W - 1) // W
+        return pa.table({id_col: as_array(b[id_col]),
+                         "n_seg": pa.array(n_seg.astype(np.int64))})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
