@@ -1110,6 +1110,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values(["user_id", "day"])
                 .reset_index(drop=True))
 
+    def iqr_outliers_q(sf):
+        # per-language char-length outliers at the 0.5×IQR fence
+        # (k_half=1 — the data is near-uniform, the classic 1.5×IQR
+        # fence flags almost nothing); exact integer fences so the
+        # flagged ID SET hash-matches SQL
+        from verify_ray.pipelines.analytics import iqr_outliers
+
+        out = iqr_outliers(
+            _read(sf, "documents",
+                  columns=["doc_id", "lang", "n_chars"]).materialize(),
+            "lang", "n_chars", "doc_id", k_half=1)
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
     def segment_dedup_q(sf):
         # CCNet-style segment-level exact dedup over documents ∪ the
         # planted mutated copies: each copy's 13-word segments are
@@ -1764,6 +1778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_not_purchase_days": except_q,
         "click_and_purchase_days": intersect_q,
         "docs_segment_dedup": segment_dedup_q,
+        "docs_iqr_outliers": iqr_outliers_q,
         "events_keyed_scan": keyed_scan_q,
         "graph_pagerank": pagerank_q,
         "fuzzy_join_titles": fuzzy_join_q,
@@ -3426,6 +3441,21 @@ ORDER BY lid, rid
             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
             GROUP BY user_id, event_type HAVING COUNT(*) >= 12
             ORDER BY user_id, event_type
+        """,
+        "docs_iqr_outliers": """
+            WITH q AS (SELECT lang, quantile_disc(n_chars, 0.25) q1,
+                              quantile_disc(n_chars, 0.75) q3
+                       FROM documents
+                       WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                       GROUP BY lang)
+            SELECT doc_id, d.lang, n_chars,
+                   CASE WHEN 2*n_chars > 2*q3 + 1*(q3-q1) THEN 'high'
+                        ELSE 'low' END AS side
+            FROM documents d JOIN q ON d.lang = q.lang
+            WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+              AND (2*n_chars > 2*q3 + 1*(q3-q1)
+                   OR 2*n_chars < 2*q1 - 1*(q3-q1))
+            ORDER BY doc_id
         """,
         "docs_segment_dedup": "WITH " + _ALL_DOCS_CTE + """,
             words AS (

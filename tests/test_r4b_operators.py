@@ -259,3 +259,46 @@ def test_segment_dedup_matches_sql(ray_session):
             '\\s+')) / {W}.0) AS BIGINT) AS n_seg
         FROM pdf ORDER BY doc_id""").df()
     pd.testing.assert_frame_equal(counts, refc, check_dtype=False)
+
+
+# -------------------------------------------------------- IQR outliers
+
+
+def test_iqr_outliers_matches_sql(ray_session):
+    from verify_ray.pipelines.analytics import iqr_outliers
+
+    rng = np.random.default_rng(53)
+    n = 4000
+    # heavy-tailed: mostly 0..99, a few huge / tiny
+    v = rng.integers(0, 100, n).astype(np.int64)
+    v[rng.choice(n, 40, replace=False)] = rng.integers(500, 900, 40)
+    v[rng.choice(n, 10, replace=False)] = -rng.integers(400, 600, 10)
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b", None], n)),
+        "v": pa.array(v),
+        "i": pa.array(np.arange(n, dtype=np.int64))})
+    out = (iqr_outliers(_ds(t, 6).materialize(), "g", "v", "i", k_half=3)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    pdf = t.to_pandas()
+    ref = duckdb.sql("""
+        WITH q AS (SELECT g, quantile_disc(v, 0.25) q1,
+                          quantile_disc(v, 0.75) q3
+                   FROM pdf WHERE g IS NOT NULL GROUP BY g)
+        SELECT i, d.g, v,
+               CASE WHEN 2*v > 2*q3 + 3*(q3-q1) THEN 'high'
+                    ELSE 'low' END AS side
+        FROM pdf d JOIN q ON d.g = q.g
+        WHERE 2*v > 2*q3 + 3*(q3-q1) OR 2*v < 2*q1 - 3*(q3-q1)
+        ORDER BY i""").df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_iqr_outliers_uniform_group_empty(ray_session):
+    # a constant group has IQR 0 and fences [q1, q3] = [v, v] → no rows
+    from verify_ray.pipelines.analytics import iqr_outliers
+
+    t = pa.table({"g": pa.array(["c"] * 50),
+                  "v": pa.array([7] * 50, type=pa.int64()),
+                  "i": pa.array(np.arange(50, dtype=np.int64))})
+    out = iqr_outliers(_ds(t, 2).materialize(), "g", "v", "i")
+    assert out.count() == 0

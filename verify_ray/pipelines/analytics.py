@@ -1096,3 +1096,83 @@ def heavy_hitters(ds, key_cols: list[str], min_count: int,
                      cand["n"].astype("int64").reset_index(drop=True)],
                     axis=1)
     return out.sort_values(key_cols).reset_index(drop=True)
+
+
+def iqr_outliers(ds, group_col: str, value_col: str, id_col: str,
+                 k_half: int = 3, batch_size: int = 65536):
+    """Per-group IQR (Tukey-fence) outlier detection with EXACT integer
+    arithmetic — rows whose value falls outside
+    ``[q1 - (k_half/2)·IQR, q3 + (k_half/2)·IQR]`` for their group
+    (``k_half=3`` = the classic 1.5×IQR fence).  The per-group length /
+    score outlier filter a corpus-quality pass runs before training.
+
+    Exactness contract: quantiles are exact discrete order statistics
+    (``grouped_exact_quantiles`` — DuckDB ``quantile_disc`` parity) and
+    the fence comparison is doubled to stay integral:
+    ``2·v > 2·q3 + k_half·(q3 − q1)`` — no float rounding anywhere, so
+    the flagged ID SET hash-matches SQL.
+
+    Scale shape: quantile pass reduces to (group, value, cnt) partials
+    (value-cardinality bound); the per-group fences — group-cardinality
+    sized — broadcast via ``ray.put``; the flag pass streams, each
+    batch doing one vectorized dict-code lookup + integer compare.
+    ``ds`` is consumed twice (quantile + flag) — pass a
+    materialized-or-rescannable dataset.  Null group/value/id rows
+    drop (SQL parity).  Output Dataset: ``id_col, group_col,
+    value_col, side`` ('low' | 'high').
+    """
+    import ray
+
+    from ..kernels import as_array
+
+    q = grouped_exact_quantiles(ds, group_col, value_col,
+                                qs=(0.25, 0.75), batch_size=batch_size)
+    fences = {str(g): (int(q1), int(q3))
+              for g, q1, q3 in zip(q[group_col], q["q25"], q["q75"])
+              if g is not None and not pd.isna(g)}
+    fences_ref = ray.put(fences)
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    out_schema = pa.schema([(id_col, types[id_col]),
+                            (group_col, types[group_col]),
+                            (value_col, types[value_col]),
+                            ("side", pa.string())])
+
+    def flag(b: pa.Table) -> pa.Table:
+        fen = ray.get(fences_ref)
+        mask = pc.and_(pc.is_valid(b[id_col]),
+                       pc.and_(pc.is_valid(b[group_col]),
+                               pc.is_valid(b[value_col])))
+        b = b.filter(mask)
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        g = pc.cast(as_array(b[group_col]), pa.string()).to_numpy(
+            zero_copy_only=False)
+        v = pc.cast(as_array(b[value_col]), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        gu, gc = np.unique(g.astype(object), return_inverse=True)
+        q1 = np.empty(len(gu), dtype=np.int64)
+        q3 = np.empty(len(gu), dtype=np.int64)
+        known = np.zeros(len(gu), dtype=bool)
+        for i, key in enumerate(gu):  # unique groups only
+            f = fen.get(str(key))
+            if f is not None:
+                q1[i], q3[i] = f
+                known[i] = True
+        iqr = q3 - q1
+        lo = (2 * v < 2 * q1[gc] - k_half * iqr[gc]) & known[gc]
+        hi = (2 * v > 2 * q3[gc] + k_half * iqr[gc]) & known[gc]
+        keep = lo | hi
+        if not keep.any():
+            return out_schema.empty_table()
+        sel = pa.array(np.flatnonzero(keep))
+        side = np.where(hi[keep], "high", "low")
+        return pa.table({
+            id_col: as_array(b[id_col]).take(sel),
+            group_col: as_array(b[group_col]).take(sel),
+            value_col: as_array(b[value_col]).take(sel),
+            "side": pa.array(side, type=pa.string())}).cast(out_schema)
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          batch_size=batch_size)
