@@ -1110,6 +1110,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values(["user_id", "day"])
                 .reset_index(drop=True))
 
+    def tumbling_dedup_q(sf):
+        # streaming tumbling-window dedup: keep the FIRST event per
+        # (user, type, hour bucket) — the at-least-once ingestion
+        # dedup move.  Pure composition: derive the hour bucket +
+        # negated-ts score in one map, then grouped_topk k=1 ((score
+        # desc, id asc) = (ts asc, event_id asc))
+        from verify_ray.pipelines.select import grouped_topk
+
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.is_valid(b["user_id"])
+            for c in ("event_type", "ts", "event_id"):
+                m = pc.and_(m, pc.is_valid(b[c]))
+            b = b.filter(m)
+            us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "user_id": b["user_id"], "event_type": b["event_type"],
+                "hour": pa.array(us // 3_600_000_000),
+                "event_id": b["event_id"],
+                "neg_us": pa.array(-us)})
+
+        ev = _read(sf, "events",
+                   columns=["user_id", "event_type", "ts", "event_id"]
+                   ).map_batches(prep, batch_format="pyarrow")
+        out = grouped_topk(ev, group_cols=["user_id", "event_type", "hour"],
+                           k=1, score_col="neg_us", id_col="event_id",
+                           values=["user_id", "event_type", "hour",
+                                   "event_id"])
+        return (out.to_pandas()
+                .sort_values(["user_id", "event_type", "hour"])
+                .reset_index(drop=True))
+
     def iqr_outliers_q(sf):
         # per-language char-length outliers at the 0.5×IQR fence
         # (k_half=1 — the data is near-uniform, the classic 1.5×IQR
@@ -1779,6 +1811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_and_purchase_days": intersect_q,
         "docs_segment_dedup": segment_dedup_q,
         "docs_iqr_outliers": iqr_outliers_q,
+        "events_tumbling_dedup": tumbling_dedup_q,
         "events_keyed_scan": keyed_scan_q,
         "graph_pagerank": pagerank_q,
         "fuzzy_join_titles": fuzzy_join_q,
@@ -3441,6 +3474,23 @@ ORDER BY lid, rid
             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
             GROUP BY user_id, event_type HAVING COUNT(*) >= 12
             ORDER BY user_id, event_type
+        """,
+        "events_tumbling_dedup": """
+            WITH e AS (SELECT user_id, event_type, event_id, ts,
+                              epoch_us(CAST(ts AS TIMESTAMP))
+                                  // 3600000000 AS hour
+                       FROM events
+                       WHERE user_id IS NOT NULL
+                         AND event_type IS NOT NULL
+                         AND ts IS NOT NULL AND event_id IS NOT NULL),
+                 r AS (SELECT user_id, event_type, hour, event_id,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY user_id, event_type, hour
+                                  ORDER BY ts, event_id) AS rn
+                       FROM e)
+            SELECT user_id, event_type, hour, event_id
+            FROM r WHERE rn = 1
+            ORDER BY user_id, event_type, hour
         """,
         "docs_iqr_outliers": """
             WITH q AS (SELECT lang, quantile_disc(n_chars, 0.25) q1,
