@@ -1110,6 +1110,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values(["user_id", "day"])
                 .reset_index(drop=True))
 
+    def zone_pruned_q(sf):
+        # range lookup over a range-partitioned sorted layout with
+        # FILE-level zone-map pruning: documents sort into 8 n_chars
+        # shards (resumable write, fingerprint-cached in /tmp), then
+        # the [200, 300] lookup reads ONLY the overlapping shard files
+        # (footer stats, no data bytes from the rest) + row-level
+        # pushdown inside them.  Result is identical to a full
+        # filtered scan — the oracle states exactly that.
+        import hashlib
+        import os
+
+        from verify_ray import sinks
+        from verify_ray.pipelines.shuffle import sort_by_range
+        from verify_ray.sources.zonemap import pruned_read
+
+        src = f"{sf}/documents.parquet"
+        fp = (f"zonemap-v1:{src}:{os.path.getsize(src)}"
+              f":{os.path.getmtime(src)}")
+        root = ("/tmp/verify_ray_zonemap/"
+                + hashlib.md5(fp.encode()).hexdigest()[:12])
+
+        state = {}
+
+        def shard_maker(sid):
+            def make():
+                if "ds" not in state:
+                    docs = _read(sf, "documents",
+                                 columns=["doc_id", "n_chars"])
+                    state["ds"] = sort_by_range(
+                        docs.materialize(), "n_chars", "doc_id",
+                        n_shards=8, values=["doc_id", "n_chars"]
+                    ).materialize()
+
+                def pick(b: pa.Table) -> pa.Table:
+                    m = pc.equal(b["shard_id"], sid)
+                    return b.filter(m).select(["doc_id", "n_chars"])
+
+                return state["ds"].map_batches(pick,
+                                               batch_format="pyarrow")
+            return make
+
+        sinks.write_sharded({i: shard_maker(i) for i in range(8)},
+                            root, fingerprint=fp)
+        ds, stats = pruned_read(root, "n_chars", 200, 300,
+                                columns=["doc_id", "n_chars"])
+        assert stats["files_read"] <= stats["files_total"]
+        return (ds.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
     def tumbling_dedup_q(sf):
         # streaming tumbling-window dedup: keep the FIRST event per
         # (user, type, hour bucket) — the at-least-once ingestion
@@ -1812,6 +1861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_segment_dedup": segment_dedup_q,
         "docs_iqr_outliers": iqr_outliers_q,
         "events_tumbling_dedup": tumbling_dedup_q,
+        "zone_pruned_lookup": zone_pruned_q,
         "events_keyed_scan": keyed_scan_q,
         "graph_pagerank": pagerank_q,
         "fuzzy_join_titles": fuzzy_join_q,
@@ -3474,6 +3524,12 @@ ORDER BY lid, rid
             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
             GROUP BY user_id, event_type HAVING COUNT(*) >= 12
             ORDER BY user_id, event_type
+        """,
+        "zone_pruned_lookup": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars BETWEEN 200 AND 300
+              AND doc_id IS NOT NULL AND n_chars IS NOT NULL
+            ORDER BY doc_id
         """,
         "events_tumbling_dedup": """
             WITH e AS (SELECT user_id, event_type, event_id, ts,

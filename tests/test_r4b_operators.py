@@ -302,3 +302,41 @@ def test_iqr_outliers_uniform_group_empty(ray_session):
                   "i": pa.array(np.arange(50, dtype=np.int64))})
     out = iqr_outliers(_ds(t, 2).materialize(), "g", "v", "i")
     assert out.count() == 0
+
+
+# ---------------------------------------------------- zone-map reads
+
+
+def test_zone_map_prunes_files_and_matches_full_scan(ray_session,
+                                                     tmp_path):
+    import pyarrow.parquet as pq
+
+    from verify_ray.sources.zonemap import build_zone_map, pruned_read
+
+    # 6 range-partitioned files: file i holds keys [i*100, i*100+99]
+    root = str(tmp_path / "layout")
+    for i in range(6):
+        d = f"{root}/shard={i}"
+        import os
+        os.makedirs(d)
+        keys = np.arange(i * 100, i * 100 + 100, dtype=np.int64)
+        pq.write_table(pa.table({"k": pa.array(keys),
+                                 "v": pa.array(keys * 7)}),
+                       f"{d}/part.parquet")
+
+    zm = build_zone_map(root, "k")
+    assert len(zm) == 6 and all(e["min"] is not None for e in zm)
+
+    ds, stats = pruned_read(root, "k", 150, 320, columns=["k", "v"])
+    # range [150, 320] overlaps files 1, 2, 3 only
+    assert stats["files_total"] == 6 and stats["files_read"] == 3
+    assert stats["rows_skipped_bound"] == 300
+    got = ds.to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == list(range(150, 321))
+    assert (got["v"] == got["k"] * 7).all()
+
+    # empty-range lookup: zero files read, typed empty result
+    ds2, stats2 = pruned_read(root, "k", 10_000, 10_100,
+                              columns=["k", "v"])
+    assert stats2["files_read"] == 0 and ds2.count() == 0
+    assert ds2.schema().names == ["k", "v"]
