@@ -128,7 +128,11 @@ def bench_queries() -> dict[str, float]:
              "quality_filter_per_lang", "training_mix_build",
              "langid_confusion", "docs_rollup_counts",
              "events_keyed_scan", "graph_pagerank",
-             "fuzzy_join_titles", "events_rolling_distinct"]
+             "fuzzy_join_titles", "events_rolling_distinct",
+             "docs_cube_counts", "heavy_hitter_pairs",
+             "docs_ntile_by_lang", "click_not_purchase_days",
+             "docs_segment_dedup", "docs_iqr_outliers",
+             "events_tumbling_dedup", "zone_pruned_lookup"]
     out = {}
     for name in names:
         t0 = time.time()
