@@ -369,6 +369,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (ds.to_pandas().sort_values("event_id")
                 .reset_index(drop=True))
 
+    def skew_join_events_cust(sf):
+        # the SAME left join through the skew-aware salted path: hot
+        # users (detected exactly at sketch cost, threshold 30) salt
+        # across 4 sub-buckets with the customer rows replicated per
+        # salt — result must be IDENTICAL to the plain join, so it
+        # shares the oracle
+        from verify_ray.pipelines.joins import salted_join
+
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id"]).materialize()
+        cust = _read(sf, "customer",
+                     columns=["c_custkey", "c_name", "c_mktsegment"])
+        ds = salted_join(ev, cust, key="user_id",
+                         left_values=["event_id", "user_id"],
+                         right_values=["c_name", "c_mktsegment"],
+                         right_key="c_custkey", how="left",
+                         num_buckets=32, n_salts=4, hot_threshold=30)
+        return (ds.to_pandas().sort_values("event_id")
+                .reset_index(drop=True))
+
     def split_docs(sf):
         # deterministic 80/10/10 train/val/test assignment keyed on
         # doc_id (same md5-bucket contract as hash_sample -> nested)
@@ -1880,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": range_events_q,
         "hash_join_lineitem_orders": hash_join_li_orders,
         "hash_join_events_customers": hash_join_events_cust,
+        "skew_join_events_customers": skew_join_events_cust,
         "hash_join_customers_events_full": hash_join_cust_events_full,
         "broadcast_join_orders": broadcast_join_orders,
         "orphan_events_anti": orphan_events_anti,
@@ -3328,6 +3349,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": RANGE_JOIN_ORACLE,
         "hash_join_lineitem_orders": HASH_JOIN_LI_ORACLE,
         "hash_join_events_customers": HASH_JOIN_EVENTS_ORACLE,
+        "skew_join_events_customers": HASH_JOIN_EVENTS_ORACLE,
         "hash_join_customers_events_full": HASH_JOIN_FULL_ORACLE,
         "broadcast_join_orders": """
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment

@@ -340,3 +340,79 @@ def test_zone_map_prunes_files_and_matches_full_scan(ray_session,
                               columns=["k", "v"])
     assert stats2["files_read"] == 0 and ds2.count() == 0
     assert ds2.schema().names == ["k", "v"]
+
+
+# -------------------------------------------------------- salted join
+
+
+def _skewed_join_tables():
+    rng = np.random.default_rng(61)
+    n = 20_000
+    # key 7 holds ~60% of the left side — the hot key
+    k = np.where(rng.random(n) < 0.6, 7,
+                 rng.integers(0, 200, n)).astype(np.int64)
+    left = pa.table({"k": pa.array(k),
+                     "lv": pa.array(np.arange(n, dtype=np.int64))})
+    rk = np.concatenate([np.arange(0, 150, dtype=np.int64),
+                         np.full(3, 7, dtype=np.int64)])  # hot key x4
+    right = pa.table({"k2": pa.array(rk),
+                      "rv": pa.array(rk * 100)})
+    return left, right
+
+
+def test_salted_join_inner_equals_plain_join(ray_session):
+    from verify_ray.pipelines.joins import salted_join
+
+    left, right = _skewed_join_tables()
+    out = (salted_join(_ds(left, 8).materialize(), _ds(right, 2),
+                       "k", ["k", "lv"], ["rv"], right_key="k2",
+                       how="inner", num_buckets=8, n_salts=4,
+                       hot_threshold=1000)
+           .to_pandas().sort_values(["k", "lv", "rv"])
+           .reset_index(drop=True))
+    pdl, pdr = left.to_pandas(), right.to_pandas()
+    ref = duckdb.sql("""
+        SELECT l.k, l.lv, r.rv FROM pdl l JOIN pdr r ON l.k = r.k2
+        ORDER BY l.k, l.lv, r.rv""").df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_salted_join_left_semi_anti(ray_session):
+    from verify_ray.pipelines.joins import salted_join
+
+    left, right = _skewed_join_tables()
+    pdl, pdr = left.to_pandas(), right.to_pandas()
+    lds = _ds(left, 8).materialize()
+    out = (salted_join(lds, _ds(right, 2), "k", ["k", "lv"], ["rv"],
+                       right_key="k2", how="left", num_buckets=8,
+                       n_salts=4, hot_threshold=1000)
+           .to_pandas().sort_values(["k", "lv", "rv"])
+           .reset_index(drop=True))
+    ref = duckdb.sql("""
+        SELECT l.k, l.lv, r.rv FROM pdl l LEFT JOIN pdr r ON l.k = r.k2
+        ORDER BY l.k, l.lv, r.rv""").df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    for how, sql in [("semi", "WHERE EXISTS (SELECT 1 FROM pdr r "
+                              "WHERE r.k2 = l.k)"),
+                     ("anti", "WHERE NOT EXISTS (SELECT 1 FROM pdr r "
+                              "WHERE r.k2 = l.k)")]:
+        out = (salted_join(lds, _ds(right, 2), "k", ["k", "lv"], [],
+                           right_key="k2", how=how, num_buckets=8,
+                           n_salts=4, hot_threshold=1000)
+               .to_pandas().sort_values(["k", "lv"])
+               .reset_index(drop=True))
+        ref = duckdb.sql(f"""
+            SELECT l.k, l.lv FROM pdl l {sql}
+            ORDER BY l.k, l.lv""").df()
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_salted_join_rejects_outer_right(ray_session):
+    import pytest
+
+    from verify_ray.pipelines.joins import salted_join
+
+    left, right = _skewed_join_tables()
+    with pytest.raises(ValueError, match="inner|left|semi|anti"):
+        salted_join(_ds(left, 2), _ds(right, 1), "k", ["k"], ["rv"],
+                    right_key="k2", how="full", hot_threshold=10)

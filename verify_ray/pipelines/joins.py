@@ -718,3 +718,107 @@ def fuzzy_join(left_ds, right_ds, left_id: str, right_id: str,
                                 empty_schema=cand_schema)
     return grouped_exchange_ds(cands, "__p", num_buckets, verify,
                                empty_schema=out_schema)
+
+
+def salted_join(left_ds, right_ds, key: str | list[str],
+                left_values: list[str], right_values: list[str],
+                right_key: str | list[str] | None = None,
+                how: str = "inner", num_buckets: int = 64,
+                n_salts: int = 8, hot_threshold: int | None = None,
+                hot_keys: set | None = None):
+    """Skew-aware hash join — ``hash_join`` semantics, but HOT keys
+    (keys whose left-side multiplicity would flood one exchange
+    bucket) are salted across ``n_salts`` sub-buckets: each hot left
+    row gets one of S salts, the right side's hot-key rows are
+    REPLICATED once per salt, and the join runs on the salted key —
+    so a key holding 10% of the corpus spreads over S merge tasks
+    instead of serializing one.  The result set is IDENTICAL to the
+    unsalted join (every left row still meets every matching right
+    row exactly once — in exactly one salt class).
+
+    Hot keys come from ``hot_keys`` (an explicit set of key strings,
+    multi-column keys in their ``"\\x1f"``-joined string form) or are
+    DETECTED exactly at sketch cost via ``analytics.heavy_hitters``
+    over the left side with ``hot_threshold`` (Count-Min nominate +
+    exact verify — no key-cardinality state anywhere).  Detection
+    consumes ``left_ds`` an extra time: pass a
+    materialized-or-rescannable left.
+
+    ``how`` is limited to ``inner | left | semi | anti`` — right/full
+    outer would surface each unmatched hot right row once PER SALT
+    (the replication is observable); use ``hash_join`` there and salt
+    upstream.  Replication cost: |hot right rows| × n_salts shipped —
+    hot keys are few by definition, size ``n_salts`` ≈ hot-key
+    multiplicity / healthy-bucket size.
+    """
+    import ray
+
+    from .analytics import heavy_hitters
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"salted_join supports inner|left|semi|anti, got {how!r} "
+            f"(right/full would emit unmatched hot rights once per salt)")
+    lkeys = [key] if isinstance(key, str) else list(key)
+    rkeys = (lkeys if right_key is None else
+             [right_key] if isinstance(right_key, str) else list(right_key))
+    if hot_keys is None:
+        if hot_threshold is None:
+            raise ValueError("pass hot_threshold (left-count bound) or "
+                             "an explicit hot_keys set")
+        hh = heavy_hitters(left_ds.select_columns(lkeys), lkeys,
+                           min_count=hot_threshold)
+        hot_keys = set(
+            "\x1f".join(str(hh[c].iloc[i]) for c in lkeys)
+            for i in range(len(hh)))
+    hot_ref = ray.put(np.sort(np.array(sorted(hot_keys), dtype=object)))
+
+    def _keystr(b: pa.Table, keys: list[str]):
+        arr = pc.cast(as_array(b[keys[0]]), pa.string())
+        for kk in keys[1:]:
+            arr = pc.binary_join_element_wise(
+                arr, pc.cast(as_array(b[kk]), pa.string()), "\x1f")
+        return arr  # null in ANY component -> null (matches nothing)
+
+    def _salt_left(b: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        ks = _keystr(b, lkeys)
+        kv = pc.fill_null(ks, "\x00").to_numpy(zero_copy_only=False)
+        is_hot = np.isin(kv, hot) if len(hot) else np.zeros(len(kv), bool)
+        salt = np.where(is_hot, np.arange(len(kv)) % n_salts, 0)
+        sk = pc.binary_join_element_wise(
+            ks, pa.array(salt.astype("U"), type=pa.string()), "\x1e")
+        cols = {"__sk": sk}
+        for c in left_values:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    def _salt_right(b: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        ks = _keystr(b, rkeys)
+        kv = pc.fill_null(ks, "\x00").to_numpy(zero_copy_only=False)
+        is_hot = np.isin(kv, hot) if len(hot) else np.zeros(len(kv), bool)
+        cold_idx = np.flatnonzero(~is_hot)
+        hot_idx = np.flatnonzero(is_hot)
+        idx = np.concatenate([cold_idx, np.repeat(hot_idx, n_salts)])
+        salt = np.concatenate([
+            np.zeros(len(cold_idx), dtype=np.int64),
+            np.tile(np.arange(n_salts), len(hot_idx))])
+        take = pa.array(idx)
+        sk = pc.binary_join_element_wise(
+            ks.take(take),
+            pa.array(salt.astype("U"), type=pa.string()), "\x1e")
+        cols = {"__sk": sk}
+        for c in right_values:
+            cols[c] = b[c].take(take) if b.num_rows else b[c]
+        return pa.table(cols)
+
+    left_salted = left_ds.map_batches(_salt_left, batch_format="pyarrow")
+    right_proj = right_ds.select_columns(
+        list(dict.fromkeys(rkeys + right_values)))
+    right_salted = right_proj.map_batches(_salt_right,
+                                          batch_format="pyarrow")
+    return hash_join(left_salted, right_salted, "__sk",
+                     left_values,
+                     [] if how in ("semi", "anti") else right_values,
+                     how=how, num_buckets=num_buckets)
