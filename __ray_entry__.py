@@ -155,6 +155,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def stats_incremental_q(sf):
+        # incremental aggregate maintenance: three ingest "epochs"
+        # (doc_id % 3) each reduce to a group-sized stats_state table;
+        # merging the states (pure algebra, no rescans) must equal the
+        # full-table recompute — the oracle IS the full-table stats
+        from verify_ray.pipelines.analytics import (finalize_stats,
+                                                    merge_stats_states,
+                                                    stats_state)
+
+        aggs = {"n_chars": ["count", "min", "max", "mean"]}
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "lang", "n_chars"]).materialize()
+
+        def epoch(r):
+            def pick(b: pa.Table) -> pa.Table:
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(ids % 3 == r)).select(
+                    ["lang", "n_chars"])
+            return docs.map_batches(pick, batch_format="pyarrow")
+
+        states = [stats_state(epoch(r), ["lang"], aggs)
+                  for r in range(3)]
+        out = finalize_stats(merge_stats_states(states, ["lang"]),
+                             ["lang"], aggs)
+        return pd.DataFrame({
+            "lang": out.lang,
+            "n_docs": out.n_chars_count.astype("int64"),
+            "min_chars": out.n_chars_min.astype("int64"),
+            "max_chars": out.n_chars_max.astype("int64"),
+            "avg_chars": np.round(out.n_chars_mean, 6),
+        })
+
     def stats_by_lang_source(sf):
         out = analytics.grouped_stats(
             _read(sf, "documents", columns=["lang", "source", "n_chars"]),
@@ -1825,6 +1857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events"), gap_minutes=30),
         # analytics
         "stats_docs_by_lang": stats_docs_by_lang,
+        "stats_incremental": stats_incremental_q,
         "events_user_stats": events_user_stats,
         "stats_by_lang_source": stats_by_lang_source,
         "stats_quantiles_by_lang": stats_quantiles,
@@ -3208,6 +3241,13 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
                    ROUND(AVG(n_chars), 6) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "stats_incremental": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                   ROUND(AVG(n_chars), 6) AS avg_chars
+            FROM documents WHERE doc_id IS NOT NULL
+            GROUP BY lang ORDER BY lang
         """,
         "events_user_stats": """
             SELECT user_id, COUNT(*) AS n_events,

@@ -416,3 +416,49 @@ def test_salted_join_rejects_outer_right(ray_session):
     with pytest.raises(ValueError, match="inner|left|semi|anti"):
         salted_join(_ds(left, 2), _ds(right, 1), "k", ["k"], ["rv"],
                     right_key="k2", how="full", hot_threshold=10)
+
+
+# ----------------------------------------------- incremental stats
+
+
+def test_incremental_stats_equal_full_recompute(ray_session):
+    from verify_ray.pipelines.analytics import (finalize_stats,
+                                                grouped_stats,
+                                                merge_stats_states,
+                                                stats_state)
+
+    rng = np.random.default_rng(71)
+    n = 6000
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c"], n)),
+        "v": pa.array(rng.integers(-50, 5000, n).astype(np.int64))})
+    aggs = {"v": ["count", "min", "max", "mean", "sum"]}
+    # three ingest epochs
+    cuts = [0, 2000, 4500, n]
+    states = [stats_state(_ds(t.slice(cuts[i], cuts[i + 1] - cuts[i]), 3),
+                          ["g"], aggs) for i in range(3)]
+    merged = merge_stats_states(states, ["g"])
+    inc = finalize_stats(merged, ["g"], aggs)
+    full = grouped_stats(_ds(t, 5), ["g"], aggs)
+    pd.testing.assert_frame_equal(
+        inc.reset_index(drop=True), full.reset_index(drop=True),
+        check_dtype=False, check_like=True)
+
+
+def test_incremental_stats_disjoint_groups_union(ray_session):
+    from verify_ray.pipelines.analytics import (finalize_stats,
+                                                merge_stats_states,
+                                                stats_state)
+
+    t1 = pa.table({"g": pa.array(["x"] * 4),
+                   "v": pa.array([1, 2, 3, 4], type=pa.int64())})
+    t2 = pa.table({"g": pa.array(["y"] * 2),
+                   "v": pa.array([10, 20], type=pa.int64())})
+    aggs = {"v": ["count", "sum"]}
+    m = merge_stats_states(
+        [stats_state(_ds(t1, 1), ["g"], aggs),
+         stats_state(_ds(t2, 1), ["g"], aggs)], ["g"])
+    out = finalize_stats(m, ["g"], aggs)
+    assert list(out["g"]) == ["x", "y"]
+    assert list(out["v_sum"]) == [10, 30]
+    assert list(out["v_count"]) == [4, 2]

@@ -1176,3 +1176,70 @@ def iqr_outliers(ds, group_col: str, value_col: str, id_col: str,
 
     return ds.map_batches(flag, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def stats_state(ds, keys: list[str], aggs: dict[str, list[str]],
+                batch_size: int = 65536,
+                partial_budget: int = GROUP_PARTIAL_BUDGET
+                ) -> pa.Table:
+    """MERGEABLE aggregation state for ``grouped_stats`` — one row per
+    group holding the decomposed partials (sum/count/min/max), fully
+    reduced.  The incremental-maintenance primitive: persist this
+    table per ingest epoch (it is group-cardinality-sized, not
+    data-sized) and fold new epochs in with ``merge_stats_states`` —
+    updated corpus-wide stats WITHOUT rescanning old epochs, the same
+    contract as the W3 drift sketches but for exact algebraic
+    aggregates.  ``finalize_stats`` turns any state into the
+    ``grouped_stats`` output shape (means derived exactly from
+    sum/count at the end, so incremental means are exact too).
+    """
+    for col, ops in aggs.items():
+        bad = set(ops) - {"sum", "count", "min", "max", "mean"}
+        if bad:
+            raise ValueError(f"non-decomposable ops for {col}: {bad}")
+    # mean needs sum+count partials
+    full = {c: sorted({o for o in ops if o != "mean"}
+                      | ({"sum", "count"} if "mean" in ops else set()))
+            for c, ops in aggs.items()}
+    partial = _partial_group_agg(keys, full)
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size).materialize()
+    col_ops = {
+        c: ("sum" if c.endswith(("_sum", "_count")) else
+            "min" if c.endswith("_min") else "max")
+        for c in parts_ds.schema().names if c not in keys
+    }
+    out = _merge_partials(parts_ds, keys, col_ops, partial_budget)
+    out = out.sort_values(keys).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def merge_stats_states(states: list[pa.Table],
+                       keys: list[str]) -> pa.Table:
+    """Fold several ``stats_state`` tables (epochs) into one: sums and
+    counts add, mins/maxes extremize — pure algebra over
+    group-cardinality-sized tables, no data rescans.  States with
+    disjoint groups union cleanly."""
+    allp = pa.concat_tables(states, promote_options="default").to_pandas()
+    col_ops = {c: ("sum" if c.endswith(("_sum", "_count")) else
+                   "min" if c.endswith("_min") else "max")
+               for c in allp.columns if c not in keys}
+    out = (allp.groupby(keys, as_index=False).agg(col_ops)
+           .sort_values(keys).reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def finalize_stats(state: pa.Table, keys: list[str],
+                   aggs: dict[str, list[str]]) -> pd.DataFrame:
+    """``stats_state`` / ``merge_stats_states`` → the ``grouped_stats``
+    output shape (exact means from sum/count; partial columns the
+    caller didn't ask for are dropped)."""
+    out = state.to_pandas()
+    for col, ops in aggs.items():
+        if "mean" in ops:
+            out[f"{col}_mean"] = out[f"{col}_sum"] / out[f"{col}_count"]
+            if "sum" not in ops:
+                out = out.drop(columns=[f"{col}_sum"])
+            if "count" not in ops:
+                out = out.drop(columns=[f"{col}_count"])
+    return out.sort_values(keys).reset_index(drop=True)
