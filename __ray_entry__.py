@@ -187,6 +187,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "avg_chars": np.round(out.n_chars_mean, 6),
         })
 
+    def mad_q(sf):
+        # per-language median + MAD via the grouped_apply UDF surface
+        # (whole-group order statistics don't decompose into mergeable
+        # partials); exact integer quantile_disc rule on both levels
+        from verify_ray.pipelines.apply import grouped_mad
+
+        out = grouped_mad(
+            _read(sf, "documents", columns=["lang", "n_chars"]),
+            "lang", "n_chars")
+        return (out.to_pandas().sort_values("lang")
+                .reset_index(drop=True))
+
     def stats_by_lang_source(sf):
         out = analytics.grouped_stats(
             _read(sf, "documents", columns=["lang", "source", "n_chars"]),
@@ -1858,6 +1870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analytics
         "stats_docs_by_lang": stats_docs_by_lang,
         "stats_incremental": stats_incremental_q,
+        "docs_mad_by_lang": mad_q,
         "events_user_stats": events_user_stats,
         "stats_by_lang_source": stats_by_lang_source,
         "stats_quantiles_by_lang": stats_quantiles,
@@ -3248,6 +3261,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 6) AS avg_chars
             FROM documents WHERE doc_id IS NOT NULL
             GROUP BY lang ORDER BY lang
+        """,
+        "docs_mad_by_lang": """
+            WITH m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(quantile_disc(n_chars, 0.5)
+                                   AS BIGINT) AS median
+                       FROM documents
+                       WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                       GROUP BY lang)
+            SELECT m.lang, m.n, m.median,
+                   CAST(quantile_disc(ABS(d.n_chars - m.median), 0.5)
+                        AS BIGINT) AS mad
+            FROM documents d JOIN m ON d.lang = m.lang
+            WHERE d.n_chars IS NOT NULL
+            GROUP BY m.lang, m.n, m.median ORDER BY m.lang
         """,
         "events_user_stats": """
             SELECT user_id, COUNT(*) AS n_events,

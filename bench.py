@@ -132,7 +132,9 @@ def bench_queries() -> dict[str, float]:
              "docs_cube_counts", "heavy_hitter_pairs",
              "docs_ntile_by_lang", "click_not_purchase_days",
              "docs_segment_dedup", "docs_iqr_outliers",
-             "events_tumbling_dedup", "zone_pruned_lookup"]
+             "events_tumbling_dedup", "zone_pruned_lookup",
+             "skew_join_events_customers", "stats_incremental",
+             "docs_mad_by_lang"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -462,3 +462,56 @@ def test_incremental_stats_disjoint_groups_union(ray_session):
     assert list(out["g"]) == ["x", "y"]
     assert list(out["v_sum"]) == [10, 30]
     assert list(out["v_count"]) == [4, 2]
+
+
+# ------------------------------------------------------ grouped apply
+
+
+def test_grouped_apply_whole_groups(ray_session):
+    from verify_ray.pipelines.apply import grouped_apply
+
+    rng = np.random.default_rng(83)
+    n = 3000
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c", None], n)),
+        "v": pa.array(rng.integers(0, 1000, n).astype(np.int64))})
+    schema = pa.schema([("g", pa.string()), ("n", pa.int64()),
+                        ("vsum", pa.int64())])
+
+    def fn(key, grp):
+        v = grp.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"g": pa.array([key[0]]),
+                         "n": pa.array([len(v)], type=pa.int64()),
+                         "vsum": pa.array([int(v.sum())],
+                                          type=pa.int64())})
+
+    out = (grouped_apply(_ds(t, 6), ["g"], fn, schema, num_buckets=4)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    pdf = t.to_pandas()
+    ref = duckdb.sql("""
+        SELECT g, COUNT(*) AS n, SUM(v) AS vsum FROM pdf
+        WHERE g IS NOT NULL GROUP BY g ORDER BY g""").df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_grouped_mad_matches_sql(ray_session):
+    from verify_ray.pipelines.apply import grouped_mad
+
+    rng = np.random.default_rng(89)
+    n = 4000
+    t = pa.table({
+        "g": pa.array(rng.choice(["x", "y", "z"], n)),
+        "v": pa.array(rng.integers(-200, 5000, n).astype(np.int64))})
+    out = (grouped_mad(_ds(t, 5), "g", "v", num_buckets=4)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    pdf = t.to_pandas()
+    ref = duckdb.sql("""
+        WITH m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(quantile_disc(v, 0.5) AS BIGINT) AS median
+                   FROM pdf GROUP BY g)
+        SELECT m.g, m.n, m.median,
+               CAST(quantile_disc(ABS(d.v - m.median), 0.5)
+                    AS BIGINT) AS mad
+        FROM pdf d JOIN m ON d.g = m.g
+        GROUP BY m.g, m.n, m.median ORDER BY m.g""").df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
