@@ -433,6 +433,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (ds.to_pandas().sort_values("event_id")
                 .reset_index(drop=True))
 
+    def band_join_q(sf):
+        # stream-stream correlation: (click, purchase) pairs of the
+        # same user within ±30 min — band join via right-interval
+        # widening over the range-join exchange
+        from verify_ray.pipelines.joins import band_join
+
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id", "event_type", "ts"])
+
+        def pick(et, names):
+            def f(b: pa.Table) -> pa.Table:
+                m = pc.and_(pc.equal(b["event_type"], et),
+                            pc.is_valid(b["user_id"]))
+                b = b.filter(m)
+                return pa.table({names[0]: b["event_id"],
+                                 names[1]: b["user_id"],
+                                 names[2]: b["ts"]})
+            return f
+
+        clicks = ev.map_batches(pick("click", ("click_id", "user_id",
+                                               "cts")),
+                                batch_format="pyarrow")
+        buys = ev.map_batches(pick("purchase", ("buy_id", "buser",
+                                                "bts")),
+                              batch_format="pyarrow")
+        out = band_join(clicks, buys, "user_id", "cts", "bts",
+                        delta_us=1_800_000_000,
+                        left_values=["click_id", "user_id"],
+                        right_values=["buy_id"], right_key="buser",
+                        num_buckets=32)
+        return (out.to_pandas().sort_values(["click_id", "buy_id"])
+                .reset_index(drop=True))
+
     def split_docs(sf):
         # deterministic 80/10/10 train/val/test assignment keyed on
         # doc_id (same md5-bucket contract as hash_sample -> nested)
@@ -1947,6 +1980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_lineitem_orders": hash_join_li_orders,
         "hash_join_events_customers": hash_join_events_cust,
         "skew_join_events_customers": skew_join_events_cust,
+        "band_join_click_purchase": band_join_q,
         "hash_join_customers_events_full": hash_join_cust_events_full,
         "broadcast_join_orders": broadcast_join_orders,
         "orphan_events_anti": orphan_events_anti,
@@ -3417,6 +3451,19 @@ def oracle_sql() -> dict[str, str]:
         "hash_join_lineitem_orders": HASH_JOIN_LI_ORACLE,
         "hash_join_events_customers": HASH_JOIN_EVENTS_ORACLE,
         "skew_join_events_customers": HASH_JOIN_EVENTS_ORACLE,
+        "band_join_click_purchase": """
+            SELECT a.event_id AS click_id, a.user_id,
+                   b.event_id AS buy_id
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'click' AND b.event_type = 'purchase'
+             AND ABS(epoch_us(CAST(a.ts AS TIMESTAMP))
+                     - epoch_us(CAST(b.ts AS TIMESTAMP)))
+                 <= 1800000000
+            WHERE a.user_id IS NOT NULL
+              AND a.ts IS NOT NULL AND b.ts IS NOT NULL
+            ORDER BY click_id, buy_id
+        """,
         "hash_join_customers_events_full": HASH_JOIN_FULL_ORACLE,
         "broadcast_join_orders": """
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment

@@ -515,3 +515,51 @@ def test_grouped_mad_matches_sql(ray_session):
         FROM pdf d JOIN m ON d.g = m.g
         GROUP BY m.g, m.n, m.median ORDER BY m.g""").df()
     pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+# ---------------------------------------------------------- band join
+
+
+def test_band_join_matches_sql(ray_session):
+    from verify_ray.pipelines.joins import band_join
+
+    rng = np.random.default_rng(97)
+    n = 3000
+    mk = lambda seed: pa.table({
+        "k": pa.array(np.random.default_rng(seed)
+                      .integers(0, 40, n).astype(np.int64)),
+        "t": pa.array(np.random.default_rng(seed + 1)
+                      .integers(0, 100_000, n).astype(np.int64)),
+        "i": pa.array(np.arange(n, dtype=np.int64))})
+    left, right = mk(97), mk(103)
+    right = right.rename_columns(["k2", "t2", "j"])
+    out = (band_join(_ds(left, 5), _ds(right, 3), "k", "t", "t2",
+                     delta_us=500, left_values=["i", "k", "t"],
+                     right_values=["j", "t2"], right_key="k2",
+                     num_buckets=4)
+           .to_pandas().sort_values(["i", "j"]).reset_index(drop=True))
+    pdl, pdr = left.to_pandas(), right.to_pandas()
+    ref = duckdb.sql("""
+        SELECT l.i, l.k, l.t, r.j, r.t2 FROM pdl l JOIN pdr r
+        ON l.k = r.k2 AND ABS(l.t - r.t2) <= 500
+        ORDER BY l.i, r.j""").df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    assert len(out) > 0
+
+
+def test_band_join_null_ts_and_boundary(ray_session):
+    from verify_ray.pipelines.joins import band_join
+
+    left = pa.table({"k": pa.array([1, 1, 1], type=pa.int64()),
+                     "t": pa.array([100, None, 300], type=pa.int64()),
+                     "i": pa.array([0, 1, 2], type=pa.int64())})
+    right = pa.table({"k": pa.array([1, 1], type=pa.int64()),
+                      "t2": pa.array([150, None], type=pa.int64()),
+                      "j": pa.array([10, 11], type=pa.int64())})
+    out = (band_join(_ds(left, 1), _ds(right, 1), "k", "t", "t2",
+                     delta_us=50, left_values=["i"], right_values=["j"],
+                     num_buckets=2)
+           .to_pandas().sort_values(["i", "j"]).reset_index(drop=True))
+    # only (i=0, j=10): |100-150| = 50 <= 50 inclusive; nulls match
+    # nothing; |300-150| = 150 excluded
+    assert out.to_dict("list") == {"i": [0], "j": [10]}

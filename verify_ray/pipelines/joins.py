@@ -822,3 +822,46 @@ def salted_join(left_ds, right_ds, key: str | list[str],
                      left_values,
                      [] if how in ("semi", "anti") else right_values,
                      how=how, num_buckets=num_buckets)
+
+
+def band_join(left_ds, right_ds, key: str, left_ts: str, right_ts: str,
+              delta_us: int, left_values: list[str],
+              right_values: list[str], right_key: str | None = None,
+              num_buckets: int = 64):
+    """Event-time BAND join: every (left, right) pair with equal keys
+    and ``|left_ts − right_ts| <= delta_us`` — the stream-stream
+    correlation join (click↔purchase within 30 min, impression↔
+    conversion attribution windows).  Completes the temporal-join
+    family: ``asof_join`` (nearest one), ``range_join`` (point in
+    interval), band (symmetric window, many-to-many).
+
+    Implementation is a reduction to :func:`range_join`: each right
+    event widens to the interval ``[rt − delta, rt + delta]`` (one
+    vectorized map — no extra shuffle), and ``max_span = 2·delta``
+    keeps enumerated candidates ≈ true pairs.  Null keys/timestamps
+    match nothing (SQL comparison semantics).  Pairs are output-sized;
+    a hot key × wide band is quadratic — the query's property.
+    """
+    r_schema = right_ds.schema()
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    rkey = right_key or key
+    keep = list(dict.fromkeys([rkey] + right_values))
+
+    def widen(b: pa.Table) -> pa.Table:
+        t = _ts_i64(b[right_ts]).to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(b[right_ts]).to_numpy(zero_copy_only=False)
+        start = np.where(valid, t - delta_us, 0)
+        end = np.where(valid, t + delta_us, 0)
+        cols = {c: b[c] for c in keep}
+        cols["__bstart"] = pa.array(start.astype(np.int64))
+        cols["__bend"] = pa.array(end.astype(np.int64))
+        vm = pa.array(valid)
+        return pa.table(cols).filter(vm)
+
+    widened = right_ds.select_columns(
+        list(dict.fromkeys(keep + [right_ts]))
+    ).map_batches(widen, batch_format="pyarrow")
+    return range_join(left_ds, widened, key, left_ts,
+                      "__bstart", "__bend", left_values, right_values,
+                      right_key=rkey, max_span=2 * delta_us,
+                      num_buckets=num_buckets)
