@@ -433,6 +433,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (ds.to_pandas().sort_values("event_id")
                 .reset_index(drop=True))
 
+    def checksum_q(sf):
+        # per-source order-insensitive content checksum — the
+        # anti-entropy primitive two clusters compare instead of
+        # shipping data; formula restated verbatim in the oracle
+        from verify_ray.pipelines.diff import table_checksum
+
+        out = table_checksum(
+            _read(sf, "documents", columns=["doc_id", "text", "source"]),
+            ["doc_id", "text"], group_col="source")
+        return out
+
     def band_join_q(sf):
         # stream-stream correlation: (click, purchase) pairs of the
         # same user within ±30 min — band join via right-interval
@@ -1981,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_events_customers": hash_join_events_cust,
         "skew_join_events_customers": skew_join_events_cust,
         "band_join_click_purchase": band_join_q,
+        "docs_checksum_by_source": checksum_q,
         "hash_join_customers_events_full": hash_join_cust_events_full,
         "broadcast_join_orders": broadcast_join_orders,
         "orphan_events_anti": orphan_events_anti,
@@ -3463,6 +3475,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.user_id IS NOT NULL
               AND a.ts IS NOT NULL AND b.ts IS NOT NULL
             ORDER BY click_id, buy_id
+        """,
+        "docs_checksum_by_source": """
+            WITH r AS (SELECT source,
+                md5_number_upper(concat(
+                    CASE WHEN doc_id IS NULL THEN '1' ELSE '0' END,
+                    chr(30), COALESCE(CAST(doc_id AS VARCHAR), ''),
+                    chr(31),
+                    CASE WHEN text IS NULL THEN '1' ELSE '0' END,
+                    chr(30), COALESCE(text, '')))
+                  % 1099511627776 AS term
+              FROM documents)
+            SELECT source, COUNT(*) AS n_rows,
+                   CAST(SUM(term) % 2305843009213693952 AS BIGINT)
+                       AS checksum
+            FROM r GROUP BY source ORDER BY source
         """,
         "hash_join_customers_events_full": HASH_JOIN_FULL_ORACLE,
         "broadcast_join_orders": """

@@ -563,3 +563,56 @@ def test_band_join_null_ts_and_boundary(ray_session):
     # only (i=0, j=10): |100-150| = 50 <= 50 inclusive; nulls match
     # nothing; |300-150| = 150 excluded
     assert out.to_dict("list") == {"i": [0], "j": [10]}
+
+
+# ----------------------------------------------------- table checksum
+
+
+def test_table_checksum_matches_sql_and_detects_change(ray_session):
+    from verify_ray.pipelines.diff import table_checksum
+
+    rng = np.random.default_rng(101)
+    n = 3000
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b"], n)),
+        "x": pa.array(rng.integers(0, 99, n).astype(np.int64)),
+        "s": pa.array(rng.choice(["u", "v", None], n))})
+    out = table_checksum(_ds(t, 6), ["x", "s"], group_col="g")
+    pdf = t.to_pandas()
+    ref = duckdb.sql("""
+        WITH r AS (SELECT g,
+            md5_number_upper(
+              concat(CASE WHEN x IS NULL THEN '1' ELSE '0' END,
+                     chr(30), COALESCE(CAST(x AS VARCHAR), ''),
+                     chr(31),
+                     CASE WHEN s IS NULL THEN '1' ELSE '0' END,
+                     chr(30), COALESCE(s, ''))) % 1099511627776
+              AS term
+            FROM pdf)
+        SELECT g, COUNT(*) AS n_rows,
+               CAST(SUM(term) % 2305843009213693952 AS BIGINT)
+                   AS checksum
+        FROM r GROUP BY g ORDER BY g""").df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+    # flipping ONE value changes its group's checksum only
+    t2 = t.set_column(1, "x", pa.array(
+        np.where(np.arange(n) == 5,
+                 t.column("x").to_numpy() + 1,
+                 t.column("x").to_numpy())))
+    out2 = table_checksum(_ds(t2, 6), ["x", "s"], group_col="g")
+    changed_g = t.column("g")[5].as_py()
+    for _, row in out.merge(out2, on="g", suffixes=("_a", "_b")).iterrows():
+        same = row["checksum_a"] == row["checksum_b"]
+        assert same == (row["g"] != changed_g)
+
+
+def test_table_checksum_order_insensitive_global(ray_session):
+    from verify_ray.pipelines.diff import table_checksum
+
+    t = pa.table({"x": pa.array([3, 1, 2], type=pa.int64())})
+    rev = pa.table({"x": pa.array([2, 1, 3], type=pa.int64())})
+    a = table_checksum(_ds(t, 2), ["x"])
+    b = table_checksum(_ds(rev, 1), ["x"])
+    assert a["checksum"].iloc[0] == b["checksum"].iloc[0]
+    assert list(a.columns) == ["n_rows", "checksum"]

@@ -78,3 +78,77 @@ def dataset_diff(cur_ds, ref_ds, id_col: str = "doc_id",
                              "status": pd.Series([], dtype=object)})
     return (out.to_pandas().sort_values(["doc_id", "status"])
             .reset_index(drop=True))
+
+
+def table_checksum(ds, cols: list[str], group_col: str | None = None
+                   ) -> pd.DataFrame:
+    """Order-insensitive content CHECKSUM of a table (optionally per
+    group) — the anti-entropy / replication-audit primitive: two
+    copies of a corpus on different clusters compare one small
+    checksum table instead of shipping data; a mismatch scopes the
+    repair to the differing group (then ``dataset_diff`` pinpoints
+    rows).
+
+    Contract (restated verbatim in SQL so oracles hash-match):
+    row string = ``"\\x1f"``-joined string casts of ``cols`` with a
+    per-column null flag (``'1'`` + '' for null — no sentinel
+    collision); per-row term = ``md5_number_upper(row_string) %
+    2^40``; checksum = ``SUM(term) % 2^61`` — term sums stay exact in
+    int64/HUGEINT up to ~2·10^6 rows per partial and the final
+    modulus keeps the result a BIGINT.  Order-insensitive because SUM
+    commutes; multiplicity-sensitive (a duplicated row changes the
+    sum).
+
+    Scale shape: one streaming pass; each batch reduces to (group,
+    partial_sum, n) — group-cardinality-sized partials merged on the
+    driver (enum-sized groups; route through grouped_exchange above
+    that, as _merge_partials does).
+    """
+    MOD_TERM = np.uint64(1 << 40)
+    MOD_SUM = (1 << 61)
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = None
+        for c in cols:
+            col = pc.cast(b[c], pa.string())
+            flag = pc.if_else(pc.is_null(col), pa.scalar("1"),
+                              pa.scalar("0"))
+            s = pc.binary_join_element_wise(
+                flag, pc.fill_null(col, ""), "\x1e")
+            arr = s if arr is None else pc.binary_join_element_wise(
+                arr, s, "\x1f")
+        terms = (md5_u64le(arr) % MOD_TERM).astype(np.int64)
+        if group_col is None:
+            g = np.zeros(len(terms), dtype=np.int64)
+            gu = np.array([0], dtype=np.int64)
+            gc = g
+        else:
+            garr = pc.cast(b[group_col], pa.string()).to_numpy(
+                zero_copy_only=False)
+            gu, gc = np.unique(garr.astype(object), return_inverse=True)
+        sums = np.zeros(len(gu), dtype=np.int64)
+        np.add.at(sums, gc, terms)
+        ns = np.bincount(gc, minlength=len(gu)).astype(np.int64)
+        gcol = (pa.array([""], type=pa.string()) if group_col is None
+                else pa.array(gu, type=pa.string()))
+        return pa.table({"g": gcol,
+                         "s": pa.array(sums), "n": pa.array(ns)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"g": pd.Series(dtype=object),
+                             "n_rows": pd.Series(dtype="int64"),
+                             "checksum": pd.Series(dtype="int64")})
+    # partial sums are < 2^56 each; >128 partials would overflow an
+    # int64 driver sum — merge as Python ints (exact), then reduce
+    parts["s"] = parts["s"].astype(object)
+    agg = parts.groupby("g", as_index=False).agg(
+        n_rows=("n", "sum"), checksum=("s", "sum"))
+    agg["checksum"] = (agg["checksum"] % MOD_SUM).astype("int64")
+    agg["n_rows"] = agg["n_rows"].astype("int64")
+    out = agg.sort_values("g").reset_index(drop=True)
+    if group_col is not None:
+        out = out.rename(columns={"g": group_col})
+    else:
+        out = out.drop(columns=["g"])
+    return out
