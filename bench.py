@@ -134,7 +134,8 @@ def bench_queries() -> dict[str, float]:
              "docs_segment_dedup", "docs_iqr_outliers",
              "events_tumbling_dedup", "zone_pruned_lookup",
              "skew_join_events_customers", "stats_incremental",
-             "docs_mad_by_lang"]
+             "docs_mad_by_lang", "band_join_click_purchase",
+             "docs_checksum_by_source"]
     out = {}
     for name in names:
         t0 = time.time()
