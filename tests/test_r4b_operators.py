@@ -616,3 +616,40 @@ def test_table_checksum_order_insensitive_global(ray_session):
     b = table_checksum(_ds(rev, 1), ["x"])
     assert a["checksum"].iloc[0] == b["checksum"].iloc[0]
     assert list(a.columns) == ["n_rows", "checksum"]
+
+
+# --------------------------------- quantile partial-merge routing
+
+
+def test_exact_quantiles_null_group_and_exchange_route(ray_session):
+    from verify_ray.pipelines.analytics import (_merge_partials,
+                                                grouped_exact_quantiles)
+
+    rng = np.random.default_rng(107)
+    n = 2000
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b", None], n)),
+        "v": pa.array(rng.integers(0, 50, n).astype(np.int64))})
+    out = grouped_exact_quantiles(_ds(t, 5), "g", "v")
+    pdf = t.to_pandas()
+    ref = duckdb.sql("""
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(quantile_disc(v, 0.25) AS BIGINT) AS q25,
+               CAST(quantile_disc(v, 0.5) AS BIGINT) AS q50,
+               CAST(quantile_disc(v, 0.75) AS BIGINT) AS q75
+        FROM pdf GROUP BY g ORDER BY g NULLS FIRST""").df()
+    a = out.fillna("~").reset_index(drop=True)
+    b = ref.fillna("~").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  check_like=True)
+
+    # the exchange route (partial_budget=0) must keep null keys too
+    import ray.data as rd
+
+    parts = rd.from_arrow(pa.table({
+        "g": pa.array(["a", None, "a", None]),
+        "cnt": pa.array([1, 2, 3, 4], type=pa.int64())}))
+    m = _merge_partials(parts.materialize(), ["g"], {"cnt": "sum"},
+                        partial_budget=0, keep_null_keys=True)
+    m = m.sort_values("g", na_position="first").reset_index(drop=True)
+    assert list(m["cnt"]) == [6, 4]

@@ -51,7 +51,8 @@ GROUP_PARTIAL_BUDGET = 1_000_000
 
 def _merge_partials(parts_ds, keys: list[str], col_ops: dict[str, str],
                     partial_budget: int = GROUP_PARTIAL_BUDGET,
-                    num_buckets: int | None = None) -> pd.DataFrame:
+                    num_buckets: int | None = None,
+                    keep_null_keys: bool = False) -> pd.DataFrame:
     """Final merge of per-batch partial-agg rows, cardinality-guarded
     (VERDICT r3 #3): at enum-sized key cardinality the (groups ×
     blocks) partial rows come to the driver and merge in one pandas
@@ -61,12 +62,16 @@ def _merge_partials(parts_ds, keys: list[str], col_ops: dict[str, str],
 
     ``parts_ds`` must be materialized-or-rescannable (counted, then
     consumed).  ``col_ops``: partial column → final combine op
-    ('sum' | 'min' | 'max').
+    ('sum' | 'min' | 'max').  ``keep_null_keys`` makes a null key its
+    own group (SQL GROUP BY) instead of pandas' default drop — the
+    exchange route encodes nulls with a validity flag so no string
+    sentinel can collide.
     """
     names = parts_ds.schema().names
 
     def _merge_df(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(keys, as_index=False).agg(col_ops)
+        return df.groupby(keys, as_index=False,
+                          dropna=not keep_null_keys).agg(col_ops)
 
     n_partials = parts_ds.count()
     if n_partials == 0:
@@ -85,10 +90,18 @@ def _merge_partials(parts_ds, keys: list[str], col_ops: dict[str, str],
     SEP = "\x1f"
 
     def tag(t: pa.Table) -> pa.Table:
-        k = pc.cast(t[keys[0]], pa.string())
+        def enc(c):
+            col = pc.cast(t[c], pa.string())
+            if not keep_null_keys:
+                return col
+            flag = pc.if_else(pc.is_null(col), pa.scalar("1"),
+                              pa.scalar("0"))
+            return pc.binary_join_element_wise(
+                flag, pc.fill_null(col, ""), "\x1e")
+
+        k = enc(keys[0])
         for c in keys[1:]:
-            k = pc.binary_join_element_wise(
-                k, pc.cast(t[c], pa.string()), SEP)
+            k = pc.binary_join_element_wise(k, enc(c), SEP)
         hv = pd.util.hash_array(
             k.to_numpy(zero_copy_only=False).astype(object))
         return t.append_column(
@@ -503,14 +516,18 @@ def grouped_exact_quantiles(ds, group_col: str, value_col: str,
 
     parts = (ds.select_columns([group_col, value_col])
              .map_batches(partial, batch_format="pyarrow",
-                          batch_size=batch_size))
-    merged = pa.concat_tables(list(parts.iter_batches(batch_format="pyarrow")))
+                          batch_size=batch_size).materialize())
     qcols = [f"q{int(round(q * 100))}" for q in qs]
-    if merged.num_rows == 0:
+    # cardinality-guarded final merge (same routing as grouped_stats):
+    # groups × distinct-values × blocks partials merge on the driver at
+    # enum scale, in the hash exchange above GROUP_PARTIAL_BUDGET; a
+    # null GROUP stays its own group (this operator's documented SQL
+    # GROUP BY contract)
+    g = _merge_partials(parts, [group_col, value_col], {"cnt": "sum"},
+                        keep_null_keys=True)
+    if not len(g):
         return pd.DataFrame({group_col: [], "n": [],
                              **{c: [] for c in qcols}})
-    g = (merged.group_by([group_col, value_col]).aggregate([("cnt", "sum")])
-         .rename_columns([group_col, value_col, "cnt"]).to_pandas())
     g = g.sort_values([group_col, value_col], kind="stable",
                       na_position="first").reset_index(drop=True)
     out_rows = []
