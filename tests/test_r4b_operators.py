@@ -653,3 +653,14 @@ def test_exact_quantiles_null_group_and_exchange_route(ray_session):
                         partial_budget=0, keep_null_keys=True)
     m = m.sort_values("g", na_position="first").reset_index(drop=True)
     assert list(m["cnt"]) == [6, 4]
+
+
+def test_table_checksum_null_group_is_own_group(ray_session):
+    from verify_ray.pipelines.diff import table_checksum
+
+    t = pa.table({"g": pa.array(["a", None, "a", None]),
+                  "x": pa.array([1, 2, 3, 4], type=pa.int64())})
+    out = table_checksum(_ds(t, 2), ["x"], group_col="g")
+    assert len(out) == 2
+    assert out["g"].iloc[0] == "a" and out["g"].iloc[1] is None
+    assert list(out["n_rows"]) == [2, 2]

@@ -119,12 +119,17 @@ def table_checksum(ds, cols: list[str], group_col: str | None = None
                 arr, s, "\x1f")
         terms = (md5_u64le(arr) % MOD_TERM).astype(np.int64)
         if group_col is None:
-            g = np.zeros(len(terms), dtype=np.int64)
-            gu = np.array([0], dtype=np.int64)
-            gc = g
+            gu = np.array([""], dtype=object)
+            gc = np.zeros(len(terms), dtype=np.int64)
         else:
-            garr = pc.cast(b[group_col], pa.string()).to_numpy(
-                zero_copy_only=False)
+            # validity-flag encoding: a null group is its own group
+            # (SQL GROUP BY) and None never reaches np.unique's sort
+            gs = pc.cast(b[group_col], pa.string())
+            flag = pc.if_else(pc.is_null(gs), pa.scalar("1"),
+                              pa.scalar("0"))
+            enc = pc.binary_join_element_wise(
+                flag, pc.fill_null(gs, ""), "")
+            garr = enc.to_numpy(zero_copy_only=False)
             gu, gc = np.unique(garr.astype(object), return_inverse=True)
         sums = np.zeros(len(gu), dtype=np.int64)
         np.add.at(sums, gc, terms)
@@ -146,9 +151,12 @@ def table_checksum(ds, cols: list[str], group_col: str | None = None
         n_rows=("n", "sum"), checksum=("s", "sum"))
     agg["checksum"] = (agg["checksum"] % MOD_SUM).astype("int64")
     agg["n_rows"] = agg["n_rows"].astype("int64")
-    out = agg.sort_values("g").reset_index(drop=True)
     if group_col is not None:
-        out = out.rename(columns={"g": group_col})
+        # strip the validity flag; '1' marks the null group
+        agg["g"] = [None if s[0] == "1" else s[1:] for s in agg["g"]]
+        out = (agg.rename(columns={"g": group_col})
+               .sort_values(group_col, na_position="last")
+               .reset_index(drop=True))
     else:
-        out = out.drop(columns=["g"])
+        out = agg.drop(columns=["g"]).reset_index(drop=True)
     return out
