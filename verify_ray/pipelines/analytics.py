@@ -1082,7 +1082,7 @@ def heavy_hitters(ds, key_cols: list[str], min_count: int,
 
     def verify_partial(b: pa.Table) -> pa.Table:
         sk = ray.get(sketch_ref)
-        bb, key = _keys(b)
+        _, key = _keys(b)
         if len(key) == 0:
             return pa.table({"k": pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64())})
