@@ -34,9 +34,12 @@ def test_global_rank_matches_duckdb(ray_session, data):
         min_size=n, max_size=n))
     df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
                        "s": pd.array(scores, dtype="Int64")})
-    out = (global_rank(_ds(df), "s", "id", values=["id", "s"],
-                       num_buckets=4).to_pandas()
-           .sort_values("id").reset_index(drop=True))
+    out_ds = global_rank(_ds(df), "s", "id", values=["id", "s"],
+                         num_buckets=4)
+    # all-null scores -> empty result; empty-blocks to_pandas loses cols
+    out = (out_ds.to_pandas().sort_values("id").reset_index(drop=True)
+           if out_ds.count()
+           else pd.DataFrame({"id": [], "s": [], "rank": []}))
     ref = duckdb.sql(
         "SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY s, id) AS BIGINT)"
         " AS rank FROM df WHERE s IS NOT NULL ORDER BY id").df()
