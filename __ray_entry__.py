@@ -1313,6 +1313,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values("doc_id")
                 .reset_index(drop=True))
 
+    def corr_stats_q(sf):
+        # per-returnflag exact Pearson sufficient statistics (integer
+        # sums — corr itself is derivable exactly by the caller, and
+        # keeping the output integer sidesteps every float-rounding
+        # oracle trap); l_quantity is an integer-valued double, cast
+        # checked by the kernel
+        from verify_ray.pipelines.analytics import grouped_corr
+
+        return grouped_corr(
+            _read(sf, "lineitem",
+                  columns=["l_returnflag", "l_quantity", "l_linenumber"]),
+            "l_returnflag", "l_quantity", "l_linenumber")
+
     def segment_dedup_q(sf):
         # CCNet-style segment-level exact dedup over documents ∪ the
         # planted mutated copies: each copy's 13-word segments are
@@ -1970,6 +1983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_and_purchase_days": intersect_q,
         "docs_segment_dedup": segment_dedup_q,
         "docs_iqr_outliers": iqr_outliers_q,
+        "lineitem_corr_stats": corr_stats_q,
         "events_tumbling_dedup": tumbling_dedup_q,
         "zone_pruned_lookup": zone_pruned_q,
         "events_keyed_scan": keyed_scan_q,
@@ -3725,6 +3739,22 @@ ORDER BY lid, rid
               AND (2*n_chars > 2*q3 + 1*(q3-q1)
                    OR 2*n_chars < 2*q1 - 1*(q3-q1))
             ORDER BY doc_id
+        """,
+        "lineitem_corr_stats": """
+            SELECT l_returnflag,
+                   COUNT(*)::BIGINT AS n,
+                   CAST(SUM(x) AS BIGINT) AS sum_x,
+                   CAST(SUM(y) AS BIGINT) AS sum_y,
+                   CAST(SUM(x*x) AS BIGINT) AS sum_xx,
+                   CAST(SUM(y*y) AS BIGINT) AS sum_yy,
+                   CAST(SUM(x*y) AS BIGINT) AS sum_xy
+            FROM (SELECT l_returnflag,
+                         CAST(l_quantity AS BIGINT) AS x,
+                         CAST(l_linenumber AS BIGINT) AS y
+                  FROM lineitem
+                  WHERE l_quantity IS NOT NULL
+                    AND l_linenumber IS NOT NULL)
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "docs_segment_dedup": "WITH " + _ALL_DOCS_CTE + """,
             words AS (

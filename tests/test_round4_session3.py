@@ -1,0 +1,74 @@
+"""Differentials for the round-4 third-session operators, vs DuckDB.
+
+Bounded hypothesis examples (each runs a Ray pipeline); fixed-seed
+unit arms cover the empty/edge paths.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ds(df: pd.DataFrame, blocks: int = 3):
+    import ray.data as rd
+
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    n = t.num_rows
+    step = max(1, n // blocks) if n else 1
+    return rd.from_arrow([t.slice(i, step) for i in range(0, n, step)]
+                         if n else t)
+
+
+def _norm(df: pd.DataFrame) -> list[tuple]:
+    df = df.copy()
+    df["g"] = df["g"].map(lambda v: "<NULL>" if pd.isna(v) else str(v))
+    cols = ["g", "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+    return sorted(map(tuple, df[cols].astype(
+        {c: "int64" for c in cols[1:]}).itertuples(index=False)))
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_grouped_corr_matches_duckdb(ray_session, data):
+    from verify_ray.pipelines.analytics import grouped_corr
+
+    n = data.draw(st.integers(min_value=1, max_value=40))
+    groups = data.draw(st.lists(
+        st.one_of(st.sampled_from(["a", "b"]), st.none()),
+        min_size=n, max_size=n))
+    xs = data.draw(st.lists(
+        st.one_of(st.integers(min_value=-5, max_value=5), st.none()),
+        min_size=n, max_size=n))
+    ys = data.draw(st.lists(
+        st.one_of(st.integers(min_value=-5, max_value=5), st.none()),
+        min_size=n, max_size=n))
+    budget = data.draw(st.sampled_from([0, 10**6]))  # exchange / driver
+    df = pd.DataFrame({"g": groups,
+                       "x": pd.array(xs, dtype="Int64"),
+                       "y": pd.array(ys, dtype="Int64")})
+    out = grouped_corr(_ds(df), "g", "x", "y", partial_budget=budget)
+    ref = duckdb.sql(
+        "SELECT g, COUNT(*)::BIGINT AS n,"
+        " CAST(SUM(x) AS BIGINT) sum_x, CAST(SUM(y) AS BIGINT) sum_y,"
+        " CAST(SUM(x*x) AS BIGINT) sum_xx,"
+        " CAST(SUM(y*y) AS BIGINT) sum_yy,"
+        " CAST(SUM(x*y) AS BIGINT) sum_xy"
+        " FROM df WHERE x IS NOT NULL AND y IS NOT NULL"
+        " GROUP BY g").df()
+    if len(ref) == 0:
+        assert len(out) == 0
+        return
+    assert _norm(out) == _norm(ref)
+
+
+def test_grouped_corr_all_null_values(ray_session):
+    from verify_ray.pipelines.analytics import grouped_corr
+
+    df = pd.DataFrame({"g": ["a", "b"],
+                       "x": pd.array([None, None], dtype="Int64"),
+                       "y": pd.array([1, 2], dtype="Int64")})
+    out = grouped_corr(_ds(df), "g", "x", "y")
+    assert len(out) == 0

@@ -1260,3 +1260,56 @@ def finalize_stats(state: pa.Table, keys: list[str],
             if "count" not in ops:
                 out = out.drop(columns=[f"{col}_count"])
     return out.sort_values(keys).reset_index(drop=True)
+
+
+def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
+                 batch_size: int = 65536,
+                 partial_budget: int = GROUP_PARTIAL_BUDGET
+                 ) -> pd.DataFrame:
+    """Per-group EXACT Pearson-correlation sufficient statistics.
+
+    Emits one row per group with int64 columns ``n, sum_x, sum_y,
+    sum_xx, sum_yy, sum_xy`` — the mergeable sufficient statistics of
+    covariance/correlation (corr = (n·Σxy − Σx·Σy) /
+    √(n·Σxx − Σx²)·√(n·Σyy − Σy²), derivable exactly by the caller).
+    Integer-exact by contract: both columns must be integer-VALUED
+    (int types, or doubles holding integers — the cast is checked, a
+    fractional value raises); the caller owns int64 overflow headroom
+    (|x|²·n must fit).  Rows where either value is null are excluded
+    (SQL ``corr`` pairwise-deletion semantics); a null group key is its
+    own group (SQL GROUP BY).
+
+    Shuffle discipline: per-batch combine emits one row per (group,
+    batch) — six int64 sums, never raw rows — and the final merge is
+    cardinality-guarded (``_merge_partials``): above ``partial_budget``
+    partial rows the merge runs in the hash exchange, so a
+    user_id-cardinality group column never lands raw on the driver.
+    """
+    STATS = ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.is_valid(b[x_col]), pc.is_valid(b[y_col]))
+        b = b.filter(valid)
+        x = pc.cast(b[x_col], pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(b[y_col], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            group_col: b[group_col],
+            "n": pa.array(np.ones(len(x), dtype=np.int64)),
+            "sum_x": pa.array(x), "sum_y": pa.array(y),
+            "sum_xx": pa.array(x * x), "sum_yy": pa.array(y * y),
+            "sum_xy": pa.array(x * y),
+        })
+        agg = t.group_by([group_col], use_threads=False).aggregate(
+            [(c, "sum") for c in STATS])
+        # aggregate() emits "{col}_sum" columns with the key LAST —
+        # reselect by name so the partial schema is key-first + STATS
+        return (agg.select([group_col] + [f"{c}_sum" for c in STATS])
+                .rename_columns([group_col] + STATS))
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size).materialize()
+    out = _merge_partials(parts_ds, [group_col], {c: "sum" for c in STATS},
+                          partial_budget, keep_null_keys=True)
+    for c in STATS:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)
