@@ -122,6 +122,21 @@ def _docs_with_pii(sf_dir: str):
     return rd.from_arrow(pa.concat_tables([t, injected]))
 
 
+def _events_with_late(sf_dir: str):
+    """events ∪ re-ingested copies of the ``event_id & 255 == 7`` rows
+    (id shifted past the stream end, original ts kept) — deterministic
+    late arrivals for the watermark query; the oracle reproduces the
+    same injection in SQL."""
+    import ray.data as rd
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "ts"])
+    sel = t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 255), 7))
+    inj = pa.table({"event_id": pc.add(sel["event_id"], 10_000_000),
+                    "ts": sel["ts"]})
+    return rd.from_arrow(pa.concat_tables([t, inj]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from verify_ray.pipelines import (analytics, dedup, multimodal, sessions,
                                       similarity, text)
@@ -1326,6 +1341,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   columns=["l_returnflag", "l_quantity", "l_linenumber"]),
             "l_returnflag", "l_quantity", "l_linenumber")
 
+    def late_arrivals_q(sf):
+        # watermark late-event audit over the planted re-ingested rows
+        # (distributed ordered prefix scan — running max over ingestion
+        # order, never a global sort)
+        from verify_ray.pipelines.shuffle import late_arrivals
+
+        out = late_arrivals(_events_with_late(sf), "event_id", "ts",
+                            watermark_us=3_600_000_000, n_shards=16)
+        return (out.to_pandas().sort_values("event_id")
+                .reset_index(drop=True))
+
     def segment_dedup_q(sf):
         # CCNet-style segment-level exact dedup over documents ∪ the
         # planted mutated copies: each copy's 13-word segments are
@@ -1984,6 +2010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_segment_dedup": segment_dedup_q,
         "docs_iqr_outliers": iqr_outliers_q,
         "lineitem_corr_stats": corr_stats_q,
+        "events_late_arrivals": late_arrivals_q,
         "events_tumbling_dedup": tumbling_dedup_q,
         "zone_pruned_lookup": zone_pruned_q,
         "events_keyed_scan": keyed_scan_q,
@@ -3755,6 +3782,22 @@ ORDER BY lid, rid
                   WHERE l_quantity IS NOT NULL
                     AND l_linenumber IS NOT NULL)
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "events_late_arrivals": """
+            WITH allr AS (SELECT event_id, ts FROM events
+                          UNION ALL
+                          SELECT event_id + 10000000, ts FROM events
+                          WHERE event_id & 255 = 7),
+                 e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM allr
+                       WHERE event_id IS NOT NULL AND ts IS NOT NULL),
+                 w AS (SELECT event_id, ts_us,
+                              MAX(ts_us) OVER (ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS wm
+                       FROM e)
+            SELECT event_id, CAST(wm - ts_us AS BIGINT) AS late_by_us
+            FROM w WHERE wm IS NOT NULL AND ts_us + 3600000000 < wm
+            ORDER BY event_id
         """,
         "docs_segment_dedup": "WITH " + _ALL_DOCS_CTE + """,
             words AS (

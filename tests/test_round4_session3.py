@@ -72,3 +72,46 @@ def test_grouped_corr_all_null_values(ray_session):
                        "y": pd.array([1, 2], dtype="Int64")})
     out = grouped_corr(_ds(df), "g", "x", "y")
     assert len(out) == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_late_arrivals_matches_duckdb(ray_session, data):
+    from verify_ray.pipelines.shuffle import late_arrivals
+
+    n = data.draw(st.integers(min_value=1, max_value=40))
+    # unique (possibly negative, non-dense) order keys
+    oids = data.draw(st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=n, max_size=n,
+        unique=True))
+    ts = data.draw(st.lists(st.integers(min_value=0, max_value=30),
+                            min_size=n, max_size=n))
+    w = data.draw(st.integers(min_value=0, max_value=10))
+    shards = data.draw(st.sampled_from([1, 3, 8]))
+    df = pd.DataFrame({"o": np.asarray(oids, dtype=np.int64),
+                       "t": np.asarray(ts, dtype=np.int64)})
+    out_ds = late_arrivals(_ds(df), "o", "t", watermark_us=w,
+                           n_shards=shards)
+    out = (out_ds.to_pandas().sort_values("o").reset_index(drop=True)
+           if out_ds.count()
+           else pd.DataFrame({"o": pd.Series(dtype="int64"),
+                              "late_by_us": pd.Series(dtype="int64")}))
+    ref = duckdb.sql(
+        "WITH w AS (SELECT o, t, MAX(t) OVER (ORDER BY o ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND 1 PRECEDING) wm FROM df)"
+        f" SELECT o, CAST(wm - t AS BIGINT) late_by_us FROM w"
+        f" WHERE wm IS NOT NULL AND t + {w} < wm ORDER BY o").df()
+    assert out["o"].tolist() == ref["o"].tolist()
+    assert out["late_by_us"].tolist() == ref["late_by_us"].tolist()
+
+
+def test_late_arrivals_null_rows_dropped(ray_session):
+    from verify_ray.pipelines.shuffle import late_arrivals
+
+    df = pd.DataFrame({"o": pd.array([1, None, 3, 4], dtype="Int64"),
+                       "t": pd.array([10, 5, None, 1], dtype="Int64")})
+    out = late_arrivals(_ds(df), "o", "t", watermark_us=2)
+    got = out.to_pandas().sort_values("o").reset_index(drop=True)
+    # surviving ordered rows: (1,10), (4,1) -> 4 is late by 9
+    assert got["o"].tolist() == [4]
+    assert got["late_by_us"].tolist() == [9]

@@ -187,3 +187,109 @@ def sort_by_range(ds, value_col: str, id_col: str, n_shards: int,
     return grouped_exchange_ds(tagged, "__shard", max(n_shards, 1),
                                sort_shard, empty_schema=out_schema,
                                drop_bucket=False)
+
+
+def late_arrivals(ds, order_col: str, ts_col: str, watermark_us: int,
+                  n_shards: int = 64):
+    """Watermark late-event detection via a DISTRIBUTED ORDERED PREFIX
+    SCAN — the streaming-ingestion audit: with rows ordered by
+    ``order_col`` (the ingestion sequence, e.g. event_id), the running
+    watermark at a row is max(ts) over all PRIOR rows, and a row is
+    late when ts + watermark_us < watermark.  Returns a resident
+    Dataset of (order_col, late_by_us) for the late rows
+    (late_by_us = watermark − ts, > watermark_us).
+
+    Scale shape — the classic two-phase parallel prefix scan, never a
+    global sort: rows range-shard by order position
+    (shard = (o − min)·S // span; dense sequence ids assumed for
+    BALANCE only — skew never affects correctness); per-shard ts-max
+    partials reduce to S driver-side rows; the driver computes the
+    EXCLUSIVE prefix max across shard order (an S-sized scan) and each
+    shard task combines that carry-in with its within-shard exclusive
+    running max.  Rows cross the wire exactly once (one exchange);
+    per-task memory is one shard.  The S-sized carry vector rides in
+    the merge-task closure — size ``n_shards`` to worker count, not
+    data.  ``ts_col`` compares as int64 (timestamps cast to epoch-µs);
+    null order/ts rows are dropped (no place in the order).
+
+    SQL parity: ``MAX(ts) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` then ``ts < wm − watermark_us``.
+    """
+    from ..stages.exchange import grouped_exchange_ds
+
+    LOW = np.iinfo(np.int64).min
+    out_schema = pa.schema([(order_col, pa.int64()),
+                            ("late_by_us", pa.int64())])
+
+    def clean(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[order_col]),
+                             pc.is_valid(b[ts_col])))
+        return pa.table({
+            order_col: pc.cast(b[order_col], pa.int64()),
+            "__ts": pc.cast(b[ts_col], pa.int64()),
+        })
+
+    cleaned = ds.map_batches(clean, batch_format="pyarrow")
+
+    # pass 0: order-key bounds (one tiny row per block reaches the driver)
+    bounds = cleaned.map_batches(
+        lambda b: pa.table(
+            {"mn": pa.array([pc.min(b[order_col]).as_py()], pa.int64()),
+             "mx": pa.array([pc.max(b[order_col]).as_py()], pa.int64())})
+        if b.num_rows else pa.table({"mn": pa.array([], pa.int64()),
+                                     "mx": pa.array([], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    if "mn" not in bounds.columns:
+        # all-empty blocks pass through with the pre-map schema
+        bounds = bounds.iloc[0:0].assign(mn=None, mx=None)
+    bounds = bounds.dropna()
+    if len(bounds) == 0:
+        import ray.data as rd
+        return rd.from_arrow(out_schema.empty_table())
+    mn, mx = int(bounds["mn"].min()), int(bounds["mx"].max())
+    S = max(1, min(n_shards, mx - mn + 1))
+    span = mx - mn + 1
+
+    def tag(b: pa.Table) -> pa.Table:
+        o = b[order_col].to_numpy(zero_copy_only=False)
+        shard = ((o - mn) * S) // span
+        return b.append_column("__shard",
+                               pa.array(shard.astype(np.int64)))
+
+    tagged = cleaned.map_batches(tag, batch_format="pyarrow").materialize()
+
+    # pass 1: per-(block, shard) ts-max partials -> S-sized driver merge
+    def shard_max(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["__shard"], use_threads=False).aggregate(
+            [("__ts", "max")])
+        return agg.select(["__shard", "__ts_max"])
+
+    parts = tagged.map_batches(shard_max,
+                               batch_format="pyarrow").to_pandas()
+    smax = np.full(S, LOW, dtype=np.int64)
+    if len(parts):
+        g = parts.groupby("__shard")["__ts_max"].max()
+        smax[g.index.to_numpy(dtype=np.int64)] = g.to_numpy(np.int64)
+    carry = np.full(S, LOW, dtype=np.int64)
+    if S > 1:
+        carry[1:] = np.maximum.accumulate(smax[:-1])
+
+    # pass 2: per-shard exclusive running max + carry-in -> late rows
+    def flag_shard(t: pa.Table) -> pa.Table:
+        o = t[order_col].to_numpy(zero_copy_only=False)
+        ts = t.column("__ts").to_numpy(zero_copy_only=False)
+        sid = int(t.column("__shard")[0].as_py())
+        order = np.argsort(o, kind="stable")
+        o, ts = o[order], ts[order]
+        excl = np.empty(len(ts), dtype=np.int64)
+        excl[0] = LOW
+        if len(ts) > 1:
+            np.maximum.accumulate(ts[:-1], out=excl[1:])
+        wm = np.maximum(excl, carry[sid])
+        late = (wm > LOW) & (ts + watermark_us < wm)
+        return pa.table({order_col: pa.array(o[late]),
+                         "late_by_us": pa.array(wm[late] - ts[late])})
+
+    return grouped_exchange_ds(tagged, "__shard", S, flag_shard,
+                               empty_schema=out_schema,
+                               drop_bucket=False)
