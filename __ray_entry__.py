@@ -1352,6 +1352,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values("event_id")
                 .reset_index(drop=True))
 
+    def triangles_q(sf):
+        # co-purchase graph (parts sharing an order) -> distributed
+        # triangle count with degree-ordered orientation; the oracle
+        # restates the orientation rule so n_wedges matches exactly
+        # too.  Restricted to the l_partkey & 3 == 0 quarter of parts
+        # (pushed down at the read) so the sf0.01 sweep stays ~1 s —
+        # the full graph (3.9 M wedges at sf0.01) is exercised in
+        # tests/bench
+        from verify_ray.pipelines.graph import (cooccurrence_edges,
+                                                triangle_count)
+
+        edges = cooccurrence_edges(
+            _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"],
+                  filter=pc.bit_wise_and(pc.field("l_partkey"), 3) == 0),
+            "l_orderkey", "l_partkey", num_buckets=8)
+        # 8 buckets: right-sized for the reduced sf0.01 graph — the
+        # multi-exchange pipeline pays ~0.1 s of task launches per
+        # bucket-stage, so 32 buckets on a 7 k-edge graph is all
+        # overhead (grow with data like dedup._coarse_count)
+        return triangle_count(edges, "x", "y", num_buckets=8)
+
     def segment_dedup_q(sf):
         # CCNet-style segment-level exact dedup over documents ∪ the
         # planted mutated copies: each copy's 13-word segments are
@@ -2011,6 +2032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_iqr_outliers": iqr_outliers_q,
         "lineitem_corr_stats": corr_stats_q,
         "events_late_arrivals": late_arrivals_q,
+        "copurchase_triangles": triangles_q,
         "events_tumbling_dedup": tumbling_dedup_q,
         "zone_pruned_lookup": zone_pruned_q,
         "events_keyed_scan": keyed_scan_q,
@@ -3782,6 +3804,39 @@ ORDER BY lid, rid
                   WHERE l_quantity IS NOT NULL
                     AND l_linenumber IS NOT NULL)
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "copurchase_triangles": """
+            WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                        WHERE l_orderkey IS NOT NULL
+                          AND l_partkey IS NOT NULL
+                          AND (l_partkey & 3) = 0),
+                 pairs AS (SELECT DISTINCT
+                               least(a.l_partkey, b.l_partkey) AS u,
+                               greatest(a.l_partkey, b.l_partkey) AS v
+                           FROM li a JOIN li b
+                             ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey),
+                 deg AS (SELECT n, COUNT(*)::BIGINT AS d
+                         FROM (SELECT u AS n FROM pairs
+                               UNION ALL SELECT v FROM pairs)
+                         GROUP BY n),
+                 ori AS (SELECT CASE WHEN (du.d < dv.d)
+                                   OR (du.d = dv.d AND u < v)
+                                THEN u ELSE v END AS a,
+                                CASE WHEN (du.d < dv.d)
+                                   OR (du.d = dv.d AND u < v)
+                                THEN v ELSE u END AS z
+                         FROM pairs
+                         JOIN deg du ON du.n = u
+                         JOIN deg dv ON dv.n = v),
+                 wed AS (SELECT least(o1.z, o2.z) AS x,
+                                greatest(o1.z, o2.z) AS y
+                         FROM ori o1 JOIN ori o2
+                           ON o1.a = o2.a AND o1.z < o2.z)
+            SELECT (SELECT COUNT(*) FROM pairs)::BIGINT AS n_edges,
+                   (SELECT COUNT(*) FROM wed)::BIGINT AS n_wedges,
+                   (SELECT COUNT(*) FROM wed JOIN pairs
+                        ON x = u AND y = v)::BIGINT AS n_triangles
         """,
         "events_late_arrivals": """
             WITH allr AS (SELECT event_id, ts FROM events

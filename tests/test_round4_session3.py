@@ -115,3 +115,62 @@ def test_late_arrivals_null_rows_dropped(ray_session):
     # surviving ordered rows: (1,10), (4,1) -> 4 is late by 9
     assert got["o"].tolist() == [4]
     assert got["late_by_us"].tolist() == [9]
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_triangle_count_matches_duckdb(ray_session, data):
+    from verify_ray.pipelines.graph import triangle_count
+
+    n = data.draw(st.integers(min_value=1, max_value=120))
+    src = data.draw(st.lists(st.integers(min_value=0, max_value=25),
+                             min_size=n, max_size=n))
+    dst = data.draw(st.lists(st.integers(min_value=0, max_value=25),
+                             min_size=n, max_size=n))
+    bn = data.draw(st.sampled_from([0, 10**6]))  # join / broadcast route
+    df = pd.DataFrame({"src": np.asarray(src, dtype=np.int64),
+                       "dst": np.asarray(dst, dtype=np.int64)})
+    out = triangle_count(_ds(df), "src", "dst", num_buckets=4,
+                         broadcast_nodes=bn)
+    ref = duckdb.sql(
+        "WITH pairs AS (SELECT DISTINCT least(src,dst) u,"
+        " greatest(src,dst) v FROM df WHERE src <> dst)"
+        " SELECT (SELECT COUNT(*) FROM pairs) n_edges,"
+        " (SELECT COUNT(*) FROM pairs e1"
+        "  JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v"
+        "  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v) n_tri").df()
+    assert out["n_edges"][0] == ref["n_edges"][0]
+    assert out["n_triangles"][0] == ref["n_tri"][0]
+
+
+def test_triangle_count_shapes(ray_session):
+    from verify_ray.pipelines.graph import triangle_count
+
+    # self-loop only -> empty graph
+    loop = pd.DataFrame({"src": [1], "dst": [1]})
+    assert triangle_count(_ds(loop), num_buckets=4).values.tolist() \
+        == [[0, 0, 0]]
+    # path 1-2-3-4: no oriented wedge (max oriented out-degree is 1)
+    path = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 4]})
+    assert triangle_count(_ds(path), num_buckets=4).values.tolist() \
+        == [[3, 0, 0]]
+    # triangle (with a parallel edge): one oriented wedge, closed
+    tri = pd.DataFrame({"src": [1, 2, 1, 1], "dst": [2, 3, 3, 2]})
+    assert triangle_count(_ds(tri), num_buckets=4).values.tolist() \
+        == [[3, 1, 1]]
+
+
+def test_cooccurrence_edges_matches_duckdb(ray_session):
+    from verify_ray.pipelines.graph import cooccurrence_edges
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"g": rng.integers(0, 20, 200),
+                       "i": rng.integers(0, 15, 200)})
+    out = cooccurrence_edges(_ds(df), "g", "i", num_buckets=4).to_pandas()
+    # parallel edges allowed; compare the multiset of canonical pairs
+    got = sorted(map(tuple, out[["x", "y"]].itertuples(index=False)))
+    ref = duckdb.sql(
+        "WITH gi AS (SELECT DISTINCT g, i FROM df)"
+        " SELECT a.i x, b.i y FROM gi a JOIN gi b"
+        " ON a.g = b.g AND a.i < b.i").df()
+    assert got == sorted(map(tuple, ref.itertuples(index=False)))

@@ -184,3 +184,279 @@ def pagerank_int(edges_ds, src_col: str = "src", dst_col: str = "dst",
                  .materialize())
 
     return ranks
+
+
+def _pair_struct(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pack two int64 arrays into a sortable structured array — the
+    vectorized pair-set idiom (sort / searchsorted / unique over pairs
+    without a Python loop or a lossy bit-pack)."""
+    out = np.empty(len(a), dtype=[("a", np.int64), ("b", np.int64)])
+    out["a"], out["b"] = a, b
+    return out
+
+
+def triangle_count(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                   num_buckets: int = 32,
+                   broadcast_nodes: int = 2_000_000) -> pd.DataFrame:
+    """Distributed triangle counting over an undirected simple graph —
+    the classic graph-quality / community-structure statistic (third
+    member of the graph family next to pagerank_int and
+    dedup.connected_components).  The edge list is canonicalized
+    first: null endpoints and self-loops drop, direction is ignored,
+    parallel edges collapse (COUNT DISTINCT pairs).  Returns a one-row
+    DataFrame (n_edges, n_wedges, n_triangles), all int64 — exactly
+    SQL-restatable (DISTINCT pairs + two self-joins).
+
+    Scale shape — the node-iterator algorithm with DEGREE-ORDERED
+    ORIENTATION (Schank & Wagner 2005): orient every canonical edge
+    from its lower-(degree, id) endpoint to the higher one, so every
+    out-neighborhood is O(√m) even at power-law hubs; each wedge
+    (two out-edges of one node) is generated exactly once, and a
+    triangle is a wedge whose closing pair is itself an edge.  Four
+    exchanges, never an all-pairs product:
+
+      1. pair-keyed distinct      (canonical edge set, map-side unique)
+      2. degree sum               (map-side combine, one row per node)
+      3. src-keyed wedge generate (per-node neighbor list -> C(d,2))
+      4. pair-keyed wedge∩edge    (sorted structured-array searchsorted)
+
+    Driver state: one int per bucket plus (below ``broadcast_nodes``
+    distinct nodes) the broadcast degree table.  Degree attachment is
+    size-routed like the dedup defaults: a node count within
+    ``broadcast_nodes`` ships the (node, deg) arrays once via
+    ``ray.put`` and each edge batch looks degrees up with two
+    ``searchsorted`` calls — zero join shuffles; above the budget the
+    attachment falls back to two ``joins.hash_join`` calls
+    (exchange-based — composes under chaining).  Partitioning
+    assumption (SURVEY §2.6): one ORIENTED out-neighborhood fits a
+    merge task (≤ O(√m) by construction).
+    """
+    from ..stages.exchange import grouped_exchange_ds
+    from .joins import hash_join
+
+    # 1. canonical distinct edges (u < v)
+    def canon(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[src_col]),
+                             pc.is_valid(b[dst_col])))
+        s = pc.cast(b[src_col], pa.int64()).to_numpy(zero_copy_only=False)
+        d = pc.cast(b[dst_col], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        pairs = np.unique(_pair_struct(u, v))
+        h = pd.util.hash_array(pairs["a"]) ^ pd.util.hash_array(pairs["b"])
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            "u": pa.array(pairs["a"]), "v": pa.array(pairs["b"])})
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        pairs = np.unique(_pair_struct(
+            t.column("u").to_numpy(zero_copy_only=False),
+            t.column("v").to_numpy(zero_copy_only=False)))
+        return pa.table({"u": pa.array(pairs["a"]),
+                         "v": pa.array(pairs["b"])})
+
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    edges = grouped_exchange_ds(
+        edges_ds.map_batches(canon, batch_format="pyarrow"),
+        "__b", num_buckets, dedup_pairs,
+        empty_schema=edge_schema).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pd.DataFrame({"n_edges": pd.array([0], dtype="int64"),
+                             "n_wedges": pd.array([0], dtype="int64"),
+                             "n_triangles": pd.array([0], dtype="int64")})
+
+    # 2. degrees over the canonical edge set
+    def endpoints(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array(np.concatenate([u, v])),
+            "__one": pa.array(np.ones(2 * len(u), dtype=np.int64))})
+
+    deg = _grouped_int_sum(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        "n", "__one", "node", "deg", num_buckets).materialize()
+
+    def _orient_from(du: np.ndarray, dv: np.ndarray, u, v) -> pa.Table:
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(u_first, u, v)
+        z = np.where(u_first, v, u)
+        h = pd.util.hash_array(a)
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            "a": pa.array(a), "z": pa.array(z)})
+
+    if deg.count() <= broadcast_nodes:
+        # small node set: ship (node, deg) once, look up per batch —
+        # no join shuffles (the revenue_by_* broadcast pattern)
+        import ray
+
+        dt = deg.to_pandas()
+        nodes_sorted = np.sort(dt["node"].to_numpy(np.int64))
+        degs_sorted = dt.set_index("node").loc[nodes_sorted, "deg"] \
+            .to_numpy(np.int64)
+        deg_ref = ray.put((nodes_sorted, degs_sorted))
+
+        def orient(b: pa.Table) -> pa.Table:
+            nodes, degs = ray.get(deg_ref)
+            u = b.column("u").to_numpy(zero_copy_only=False)
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            du = degs[np.searchsorted(nodes, u)]
+            dv = degs[np.searchsorted(nodes, v)]
+            return _orient_from(du, dv, u, v)
+
+        oriented_in = edges
+    else:
+        with_du = hash_join(edges, deg, key="u", right_key="node",
+                            left_values=["u", "v"],
+                            right_values=["deg"], how="inner",
+                            num_buckets=num_buckets).materialize()
+        oriented_in = hash_join(
+            with_du, deg.map_batches(
+                lambda b: b.rename_columns(["node2", "deg2"]),
+                batch_format="pyarrow"),
+            key="v", right_key="node2",
+            left_values=["u", "v", "deg"],
+            right_values=["deg2"], how="inner",
+            num_buckets=num_buckets)
+
+        def orient(b: pa.Table) -> pa.Table:
+            return _orient_from(
+                b.column("deg").to_numpy(zero_copy_only=False),
+                b.column("deg2").to_numpy(zero_copy_only=False),
+                b.column("u").to_numpy(zero_copy_only=False),
+                b.column("v").to_numpy(zero_copy_only=False))
+
+    def wedges_of(t: pa.Table) -> pa.Table:
+        # lexsort by (source, neighbor): within-group neighbor order is
+        # ascending, so enumerated pairs come out canonical (x < y) —
+        # neighbors are distinct per source (edges are distinct)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        z = t.column("z").to_numpy(zero_copy_only=False)
+        order = np.lexsort((z, a))
+        a, z = a[order], z[order]
+        _, start = np.unique(a, return_index=True)
+        cnt = np.diff(np.append(start, len(a)))
+        # repeat/arange pair enumeration (joins.py idiom, no per-group
+        # loop): row at within-group position p pairs with the
+        # (c - 1 - p) rows after it
+        cnt_row = np.repeat(cnt, cnt)
+        pos = np.arange(len(a)) - np.repeat(start, cnt)
+        n_after = cnt_row - 1 - pos
+        total = int(n_after.sum())
+        if total == 0:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        first = np.repeat(np.arange(len(a)), n_after)
+        csum = np.concatenate(([0], np.cumsum(n_after)))
+        k = np.arange(total) - np.repeat(csum[:-1], n_after)
+        second = first + 1 + k
+        return pa.table({"x": pa.array(z[first]),
+                         "y": pa.array(z[second])})
+
+    wedge_schema = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+    wedges = grouped_exchange_ds(
+        oriented_in.map_batches(orient, batch_format="pyarrow"),
+        "__b", num_buckets, wedges_of, empty_schema=wedge_schema)
+
+    # 4. wedge ∩ edge on the canonical pair key
+    def tag_kind(kind: int, xc: str, yc: str):
+        def fn(b: pa.Table) -> pa.Table:
+            x = b.column(xc).to_numpy(zero_copy_only=False)
+            y = b.column(yc).to_numpy(zero_copy_only=False)
+            h = pd.util.hash_array(x) ^ pd.util.hash_array(y)
+            return pa.table({
+                "__b": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int64)),
+                "x": pa.array(x), "y": pa.array(y),
+                "k": pa.array(np.full(len(x), kind, dtype=np.int64))})
+        return fn
+
+    mixed = (wedges.map_batches(tag_kind(0, "x", "y"),
+                                batch_format="pyarrow")
+             .union(edges.map_batches(tag_kind(1, "u", "v"),
+                                      batch_format="pyarrow")))
+
+    def close_count(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        w = _pair_struct(x[k == 0], y[k == 0])
+        e = np.sort(_pair_struct(x[k == 1], y[k == 1]))
+        if len(w) == 0 or len(e) == 0:
+            tri = 0
+        else:
+            i = np.searchsorted(e, w)
+            hit = i < len(e)
+            hit[hit] = e[i[hit]] == w[hit]
+            tri = int(hit.sum())
+        return pa.table({"n_wedges": pa.array([len(w)], pa.int64()),
+                         "n_triangles": pa.array([tri], pa.int64())})
+
+    from ..stages.exchange import grouped_exchange
+    counts = grouped_exchange(mixed, "__b", num_buckets, close_count)
+    cdf = counts.to_pandas()
+    return pd.DataFrame({
+        "n_edges": pd.array([n_edges], dtype="int64"),
+        "n_wedges": pd.array([int(cdf["n_wedges"].sum())], dtype="int64"),
+        "n_triangles": pd.array([int(cdf["n_triangles"].sum())],
+                                dtype="int64")})
+
+
+def cooccurrence_edges(ds, group_col: str, item_col: str,
+                       num_buckets: int = 32):
+    """Co-occurrence edge extraction (market-basket -> graph): one
+    canonical undirected edge (x < y, int64) per pair of DISTINCT
+    items sharing a group (order, session, document).  Parallel edges
+    from different groups are emitted as-is — feed ``triangle_count``
+    (which dedups) or count them for co-occurrence weights.
+
+    One group-keyed exchange; per-group pair enumeration is the
+    repeat/arange pattern (no per-group loop), so a group of k items
+    emits C(k, 2) rows — the per-task bound is the largest group's
+    pair count (SURVEY §2.6: cap or split mega-groups upstream if a
+    single group's C(k,2) exceeds a worker).
+    """
+    from ..stages.exchange import grouped_exchange_ds
+
+    out_schema = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[item_col])))
+        g = pc.cast(b[group_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        it = pc.cast(b[item_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # map-side dedup of (group, item) repeats
+        pairs = np.unique(_pair_struct(g, it))
+        h = pd.util.hash_array(pairs["a"])
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            "g": pa.array(pairs["a"]), "i": pa.array(pairs["b"])})
+
+    def pairs_of(t: pa.Table) -> pa.Table:
+        gi = np.unique(_pair_struct(
+            t.column("g").to_numpy(zero_copy_only=False),
+            t.column("i").to_numpy(zero_copy_only=False)))
+        g, it = gi["a"], gi["b"]  # sorted by (g, item): canonical pairs
+        _, start = np.unique(g, return_index=True)
+        cnt = np.diff(np.append(start, len(g)))
+        cnt_row = np.repeat(cnt, cnt)
+        pos = np.arange(len(g)) - np.repeat(start, cnt)
+        n_after = cnt_row - 1 - pos
+        total = int(n_after.sum())
+        if total == 0:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        first = np.repeat(np.arange(len(g)), n_after)
+        csum = np.concatenate(([0], np.cumsum(n_after)))
+        k = np.arange(total) - np.repeat(csum[:-1], n_after)
+        return pa.table({"x": pa.array(it[first]),
+                         "y": pa.array(it[first + 1 + k])})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets, pairs_of,
+                               empty_schema=out_schema)
