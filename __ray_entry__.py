@@ -1373,6 +1373,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # overhead (grow with data like dedup._coarse_count)
         return triangle_count(edges, "x", "y", num_buckets=8)
 
+    def edit_distance_q(sf):
+        # character-level near-dup pairs (Levenshtein <= 3 over the
+        # first 24 codepoints, exact 4-codepoint prefix blocking) over
+        # documents ∪ planted mutated copies; the oracle restates the
+        # blocking + truncation so the pair SET hash-matches
+        from verify_ray.pipelines.text import edit_distance_pairs
+
+        out = edit_distance_pairs(_docs_with_near_dups(sf), max_dist=3)
+        return (out.to_pandas().sort_values(["id_a", "id_b"])
+                .reset_index(drop=True))
+
     def segment_dedup_q(sf):
         # CCNet-style segment-level exact dedup over documents ∪ the
         # planted mutated copies: each copy's 13-word segments are
@@ -2033,6 +2044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_stats": corr_stats_q,
         "events_late_arrivals": late_arrivals_q,
         "copurchase_triangles": triangles_q,
+        "docs_edit_distance_pairs": edit_distance_q,
         "events_tumbling_dedup": tumbling_dedup_q,
         "zone_pruned_lookup": zone_pruned_q,
         "events_keyed_scan": keyed_scan_q,
@@ -3804,6 +3816,17 @@ ORDER BY lid, rid
                   WHERE l_quantity IS NOT NULL
                     AND l_linenumber IS NOT NULL)
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "docs_edit_distance_pairs": "WITH " + _ALL_DOCS_CTE + """,
+            d AS (SELECT doc_id, substr(text, 1, 24) AS t24,
+                         substr(text, 1, 4) AS p
+                  FROM all_docs
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.t24, b.t24) AS BIGINT) AS dist
+            FROM d a JOIN d b ON a.p = b.p AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.t24, b.t24) <= 3
+            ORDER BY id_a, id_b
         """,
         "copurchase_triangles": """
             WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem

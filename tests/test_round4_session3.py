@@ -174,3 +174,38 @@ def test_cooccurrence_edges_matches_duckdb(ray_session):
         " SELECT a.i x, b.i y FROM gi a JOIN gi b"
         " ON a.g = b.g AND a.i < b.i").df()
     assert got == sorted(map(tuple, ref.itertuples(index=False)))
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_levenshtein_block_matches_duckdb(data):
+    from verify_ray.pipelines.text import _levenshtein_block
+
+    n = data.draw(st.integers(min_value=1, max_value=30))
+    alpha = st.text(alphabet="abcé漢", min_size=0, max_size=10)
+    al = data.draw(st.lists(alpha, min_size=n, max_size=n))
+    bl = data.draw(st.lists(alpha, min_size=n, max_size=n))
+    got = _levenshtein_block(al, bl, trunc=24)
+    df = pd.DataFrame({"a": al, "b": bl})
+    ref = duckdb.sql("SELECT levenshtein(a, b) d FROM df").df()["d"]
+    assert got.tolist() == ref.tolist()
+
+
+def test_edit_distance_pairs_blocking(ray_session):
+    from verify_ray.pipelines.text import edit_distance_pairs
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["abcdef", "abcdxf",        # same prefix, dist 1
+                 "abcdefgh",                # same prefix, dist 2 of 0
+                 "zbcdef",                  # differs INSIDE the prefix
+                 "abzz"],                   # same 2-prefix only
+    })
+    out = (edit_distance_pairs(_ds(df), max_dist=3, prefix_len=4,
+                               num_buckets=4)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    # candidates share 'abcd': docs 0,1,2 -> all three pairs survive;
+    # doc 3 is invisible (blocking recall contract), doc 4 is too far
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        (0, 1, 1), (0, 2, 2), (1, 2, 3)]

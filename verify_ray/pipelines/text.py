@@ -11,6 +11,7 @@ from __future__ import annotations
 
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -438,3 +439,117 @@ def segment_counts(ds, words_per_seg: int = 13, text_col: str = "text",
                          "n_seg": pa.array(n_seg.astype(np.int64))})
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def _levenshtein_block(a_list: list[str], b_list: list[str],
+                       trunc: int) -> np.ndarray:
+    """Vectorized Levenshtein over a BATCH of string pairs: one DP
+    matrix of shape (n_pairs, width+1) advanced column-by-column, so
+    the work is O(width²) numpy kernels over all pairs at once — no
+    per-pair Python loop.  Distance is over UTF-8 BYTES — exactly
+    DuckDB's ``levenshtein`` semantics (byte-level; 'a'→'é' costs 2),
+    identical to codepoint distance on ASCII.  ``trunc`` bounds the
+    CODEPOINT count per string (applied by the caller's slice); the
+    byte width adapts to the data."""
+    n = len(a_list)
+    a_bytes = [s[:trunc].encode("utf-8") for s in a_list]
+    b_bytes = [s[:trunc].encode("utf-8") for s in b_list]
+    la = np.fromiter((len(x) for x in a_bytes), np.int64, count=n)
+    lb = np.fromiter((len(x) for x in b_bytes), np.int64, count=n)
+    W = int(max(la.max(initial=0), lb.max(initial=0), 1))
+    A = np.zeros((n, W), dtype=np.uint8)
+    B = np.zeros((n, W), dtype=np.uint8)
+    for i, x in enumerate(a_bytes):         # fill only: O(total bytes)
+        A[i, :len(x)] = np.frombuffer(x, dtype=np.uint8)
+    for i, x in enumerate(b_bytes):
+        B[i, :len(x)] = np.frombuffer(x, dtype=np.uint8)
+    L = int(max(la.max(initial=0), 1))
+    dp = np.broadcast_to(np.arange(W + 1, dtype=np.int64),
+                         (n, W + 1)).copy()
+    out = np.empty(n, dtype=np.int64)
+    done = la == 0
+    out[done] = lb[done]
+    for i in range(1, L + 1):
+        cur = np.empty_like(dp)
+        cur[:, 0] = i
+        for j in range(1, W + 1):
+            sub = dp[:, j - 1] + (A[:, i - 1] != B[:, j - 1])
+            cur[:, j] = np.minimum(np.minimum(dp[:, j] + 1,
+                                              cur[:, j - 1] + 1), sub)
+        dp = cur
+        hit = la == i
+        if hit.any():
+            out[hit] = dp[hit, lb[hit]]
+    return out
+
+
+def edit_distance_pairs(ds, id_col: str = "doc_id",
+                        text_col: str = "text", max_dist: int = 3,
+                        prefix_len: int = 4, trunc: int = 24,
+                        num_buckets: int = 32):
+    """Near-duplicate pairs by LEVENSHTEIN edit distance with exact
+    prefix blocking — the character-level member of the near-dup
+    family (MinHash/SimHash/Jaccard are token-level; OCR noise, typo
+    variants and boilerplate-prefix clones are edit-distance-shaped).
+    Returns a resident Dataset (id_a, id_b, dist) with id_a < id_b and
+    dist ≤ ``max_dist``, computed over the first ``trunc`` codepoints
+    at UTF-8 BYTE granularity (DuckDB ``levenshtein`` parity; equal to
+    codepoint distance on ASCII).
+
+    RECALL CONTRACT (like ``joins.fuzzy_join``): only pairs sharing
+    their first ``prefix_len`` codepoints exactly are candidates — a
+    pair differing inside the prefix is unseen, by design (blocking is
+    what removes the all-pairs product).  Null ids/texts drop.
+
+    Scale shape: one prefix-keyed exchange; each bucket enumerates
+    within-prefix pairs (repeat/arange) and runs the batched DP above —
+    per-task cost is C(block, 2)·trunc², so the per-task bound is the
+    hottest prefix block (SURVEY §2.6: lengthen ``prefix_len`` if a
+    boilerplate prefix explodes a block).
+    """
+    from ..stages.exchange import grouped_exchange_ds
+
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("dist", pa.int64())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[id_col]),
+                             pc.is_valid(b[text_col])))
+        t24 = pc.utf8_slice_codeunits(b[text_col], 0, trunc)
+        pfx = pc.utf8_slice_codeunits(b[text_col], 0, prefix_len)
+        h = pd.util.hash_array(
+            pfx.to_numpy(zero_copy_only=False).astype(object))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            "id": pc.cast(b[id_col], pa.int64()),
+            "pfx": pfx, "t": t24})
+
+    def pairs_of(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        pfx = t.column("pfx").to_numpy(zero_copy_only=False).astype(object)
+        txt = t.column("t").to_numpy(zero_copy_only=False).astype(object)
+        order = np.lexsort((ids, pfx))
+        ids, pfx, txt = ids[order], pfx[order], txt[order]
+        _, start = np.unique(pfx, return_index=True)
+        cnt = np.diff(np.append(start, len(pfx)))
+        cnt_row = np.repeat(cnt, cnt)
+        pos = np.arange(len(pfx)) - np.repeat(start, cnt)
+        n_after = cnt_row - 1 - pos
+        total = int(n_after.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        first = np.repeat(np.arange(len(pfx)), n_after)
+        csum = np.concatenate(([0], np.cumsum(n_after)))
+        k = np.arange(total) - np.repeat(csum[:-1], n_after)
+        second = first + 1 + k
+        dist = _levenshtein_block(list(txt[first]), list(txt[second]),
+                                  trunc)
+        keep = dist <= max_dist
+        ia, ib = ids[first[keep]], ids[second[keep]]
+        return pa.table({"id_a": pa.array(np.minimum(ia, ib)),
+                         "id_b": pa.array(np.maximum(ia, ib)),
+                         "dist": pa.array(dist[keep])})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets, pairs_of,
+                               empty_schema=out_schema)
