@@ -1384,6 +1384,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values(["id_a", "id_b"])
                 .reset_index(drop=True))
 
+    def resample_ffill_q(sf):
+        # per-user daily grid with forward-filled last event id —
+        # gap-fill/downsampling; SQL parity via ASOF JOIN
+        from verify_ray.pipelines.sessions import resample_ffill
+
+        out = resample_ffill(
+            _read(sf, "events", columns=["user_id", "ts", "event_id"]),
+            "user_id", "ts", "event_id", step_us=86_400_000_000)
+        return (out.to_pandas().sort_values(["user_id", "grid_us"])
+                .reset_index(drop=True))
+
     def segment_dedup_q(sf):
         # CCNet-style segment-level exact dedup over documents ∪ the
         # planted mutated copies: each copy's 13-word segments are
@@ -2045,6 +2056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_arrivals": late_arrivals_q,
         "copurchase_triangles": triangles_q,
         "docs_edit_distance_pairs": edit_distance_q,
+        "events_resample_daily": resample_ffill_q,
         "events_tumbling_dedup": tumbling_dedup_q,
         "zone_pruned_lookup": zone_pruned_q,
         "events_keyed_scan": keyed_scan_q,
@@ -3816,6 +3828,24 @@ ORDER BY lid, rid
                   WHERE l_quantity IS NOT NULL
                     AND l_linenumber IS NOT NULL)
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "events_resample_daily": """
+            WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+                              MAX(event_id) AS v
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_id IS NOT NULL
+                       GROUP BY user_id, epoch_us(ts)),
+                 spans AS (SELECT u,
+                               (MIN(t) // 86400000000) * 86400000000 AS g0,
+                               (MAX(t) // 86400000000) * 86400000000 AS g1
+                           FROM e GROUP BY u),
+                 grid AS (SELECT u, unnest(generate_series(g0, g1,
+                              86400000000)) AS g
+                          FROM spans)
+            SELECT grid.u AS user_id, grid.g AS grid_us, e.v AS val
+            FROM grid ASOF JOIN e ON grid.u = e.u AND grid.g >= e.t
+            ORDER BY user_id, grid_us
         """,
         "docs_edit_distance_pairs": "WITH " + _ALL_DOCS_CTE + """,
             d AS (SELECT doc_id, substr(text, 1, 24) AS t24,

@@ -209,3 +209,34 @@ def test_edit_distance_pairs_blocking(ray_session):
     # doc 3 is invisible (blocking recall contract), doc 4 is too far
     assert list(map(tuple, out.itertuples(index=False))) == [
         (0, 1, 1), (0, 2, 2), (1, 2, 3)]
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_resample_ffill_matches_duckdb(ray_session, data):
+    from verify_ray.pipelines.sessions import resample_ffill
+
+    n = data.draw(st.integers(min_value=1, max_value=30))
+    ks = data.draw(st.lists(st.integers(min_value=0, max_value=3),
+                            min_size=n, max_size=n))
+    ts = data.draw(st.lists(st.integers(min_value=0, max_value=50),
+                            min_size=n, max_size=n))
+    vs = data.draw(st.lists(st.integers(min_value=-5, max_value=5),
+                            min_size=n, max_size=n))
+    step = data.draw(st.sampled_from([1, 7, 10]))
+    df = pd.DataFrame({"k": np.asarray(ks, dtype=np.int64),
+                       "t": np.asarray(ts, dtype=np.int64),
+                       "v": np.asarray(vs, dtype=np.int64)})
+    got = (resample_ffill(_ds(df), "k", "t", "v", step, num_buckets=4)
+           .to_pandas().sort_values(["k", "grid_us"])
+           .reset_index(drop=True))
+    ref = duckdb.sql(f"""
+        WITH e AS (SELECT k u, t, MAX(v) v FROM df GROUP BY k, t),
+         spans AS (SELECT u, (MIN(t)//{step})*{step} g0,
+                        (MAX(t)//{step})*{step} g1 FROM e GROUP BY u),
+         grid AS (SELECT u, unnest(generate_series(g0, g1, {step})) g
+                  FROM spans)
+        SELECT grid.u k, grid.g grid_us, e.v val
+        FROM grid ASOF JOIN e ON grid.u = e.u AND grid.g >= e.t
+        ORDER BY k, grid_us""").df()
+    assert got.values.tolist() == ref.values.tolist()

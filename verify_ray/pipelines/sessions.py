@@ -314,3 +314,83 @@ def user_histories(events_ds, user_col: str = "user_id",
     return grouped_exchange_ds(tagged, "bucket", num_buckets,
                                bucket_histories,
                                empty_schema=out_schema)
+
+
+def resample_ffill(events_ds, key_col: str, ts_col: str, val_col: str,
+                   step_us: int, num_buckets: int = 32):
+    """Per-key time-grid resampling with FORWARD FILL — the gap-fill /
+    downsampling primitive (metrics rollups, state-as-of-time): for
+    each key, emit one row per ``step_us`` grid point from
+    floor(min_ts/step)·step to floor(max_ts/step)·step, carrying the
+    value of the latest event with ts ≤ grid point.  Grid points
+    before a key's first event drop (SQL ASOF-inner semantics);
+    duplicate (key, ts) events resolve to MAX(val) first — both rules
+    restated in the oracle.  Returns a resident Dataset
+    (key, grid_us, val), all int64 — keys and values must be
+    integer-typed (the graph-family contract).
+
+    Scale shape: one key-hash exchange; inside a bucket everything is
+    one lexsort + structured-array ``searchsorted`` (grid rows look up
+    their predecessor event in the (key, ts)-sorted table in one
+    vectorized call — no per-key loop).  Output size is
+    Σ_keys (span/step + 1): pick ``step_us`` so the grid is
+    output-sized, it is never clipped silently.  ts compares as int64
+    epoch-µs; null key/ts/val rows drop.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange_ds
+
+    out_schema = pa.schema([(key_col, pa.int64()),
+                            ("grid_us", pa.int64()),
+                            ("val", pa.int64())])
+    step = int(step_us)
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                                     pc.is_valid(b[ts_col])),
+                             pc.is_valid(b[val_col])))
+        k = pc.cast(b[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "__b": pa.array((pd.util.hash_array(k)
+                             % np.uint64(num_buckets)).astype(np.int64)),
+            key_col: b[key_col],
+            "__ts": pc.cast(b[ts_col], pa.int64()),
+            "__v": pc.cast(b[val_col], pa.int64())})
+
+    def fill_bucket(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+        ts = t.column("__ts").to_numpy(zero_copy_only=False)
+        v = t.column("__v").to_numpy(zero_copy_only=False)
+        # sort by (key, ts, val); last row of each (key, ts) run is the
+        # MAX(val) representative
+        order = np.lexsort((v, ts, k))
+        k, ts, v = k[order], ts[order], v[order]
+        last = np.ones(len(k), dtype=bool)
+        last[:-1] = (k[:-1] != k[1:]) | (ts[:-1] != ts[1:])
+        k, ts, v = k[last], ts[last], v[last]
+
+        keys, start = np.unique(k, return_index=True)
+        cnt = np.diff(np.append(start, len(k)))
+        g0 = (ts[start] // step) * step
+        g1 = (ts[start + cnt - 1] // step) * step
+        npts = (g1 - g0) // step + 1
+        total = int(npts.sum())
+        gk = np.repeat(keys, npts)
+        csum = np.concatenate(([0], np.cumsum(npts)))
+        gi = np.arange(total) - np.repeat(csum[:-1], npts)
+        g = np.repeat(g0, npts) + gi * step
+
+        ev = np.empty(len(k), dtype=[("a", np.int64), ("b", np.int64)])
+        ev["a"], ev["b"] = k, ts
+        q = np.empty(total, dtype=[("a", np.int64), ("b", np.int64)])
+        q["a"], q["b"] = gk, g
+        idx = np.searchsorted(ev, q, side="right") - 1
+        ok = (idx >= 0) & (ev["a"][np.maximum(idx, 0)] == gk)
+        return pa.table({key_col: pa.array(gk[ok]),
+                         "grid_us": pa.array(g[ok]),
+                         "val": pa.array(v[idx[ok]])})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets, fill_bucket,
+                               empty_schema=out_schema)
