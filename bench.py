@@ -135,7 +135,9 @@ def bench_queries() -> dict[str, float]:
              "events_tumbling_dedup", "zone_pruned_lookup",
              "skew_join_events_customers", "stats_incremental",
              "docs_mad_by_lang", "band_join_click_purchase",
-             "docs_checksum_by_source"]
+             "docs_checksum_by_source", "lineitem_corr_stats",
+             "events_late_arrivals", "copurchase_triangles",
+             "docs_edit_distance_pairs", "events_resample_daily"]
     out = {}
     for name in names:
         t0 = time.time()
