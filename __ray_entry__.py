@@ -1985,6 +1985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_documents": vq.validate_documents,
         "validate_orders": vq.validate_orders,
         "validate_lineitem": vq.validate_lineitem,
+        "validate_cross_column": vq.validate_cross_column,
         "validate_events": vq.validate_events,
         "validate_part": vq.validate_part,
         "validate_nested": vq.validate_nested,
@@ -3375,6 +3376,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_documents": vq.DOCUMENTS_ORACLE,
         "validate_orders": vq.ORDERS_ORACLE,
         "validate_lineitem": vq.LINEITEM_ORACLE,
+        "validate_cross_column": vq.CROSS_COLUMN_ORACLE,
         "validate_events": vq.EVENTS_ORACLE,
         "validate_part": vq.PART_ORACLE,
         "validate_nested": vq.NESTED_ORACLE,

@@ -1,0 +1,134 @@
+"""Round-4 session-4 operator tests: cross-column comparison rules
+(the `compare` ColumnSpec key — column-rhs generalization of the
+reference's constant bounds, macros.rs:261-315)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from verify_ray.spec import ConstraintSpec, SpecError
+
+
+def _compile(cols):
+    return ConstraintSpec.from_dict(
+        {"table": "t", "key": "id", "columns": cols}).compile()
+
+
+def _cmp_masks(plan, t):
+    return {r.span: r.mask_fn(t)
+            for r in plan.row_rules if r.rule_id == "column_comparison"}
+
+
+class TestCompareColumns:
+    def test_all_six_ops(self):
+        plan = _compile({
+            "id": {"dtype": "int64"},
+            "b": {"dtype": "int64"},
+            "lt": {"dtype": "int64", "compare": [{"column": "b", "op": "lt"}]},
+            "le": {"dtype": "int64", "compare": [{"column": "b", "op": "le"}]},
+            "gt": {"dtype": "int64", "compare": [{"column": "b", "op": "gt"}]},
+            "ge": {"dtype": "int64", "compare": [{"column": "b", "op": "ge"}]},
+            "eq": {"dtype": "int64", "compare": [{"column": "b", "op": "eq"}]},
+            "ne": {"dtype": "int64", "compare": [{"column": "b", "op": "ne"}]},
+        })
+        t = pa.table({"id": [1, 2, 3], "b": [5, 5, 5],
+                      "lt": [4, 5, 6], "le": [4, 5, 6], "gt": [4, 5, 6],
+                      "ge": [4, 5, 6], "eq": [4, 5, 6], "ne": [4, 5, 6]})
+        m = _cmp_masks(plan, t)
+        # violation mask = NOT(op) on comparable non-null rows
+        assert m["lt"].tolist() == [False, True, True]
+        assert m["le"].tolist() == [False, False, True]
+        assert m["gt"].tolist() == [True, True, False]
+        assert m["ge"].tolist() == [True, False, False]
+        assert m["eq"].tolist() == [True, False, True]
+        assert m["ne"].tolist() == [False, True, False]
+
+    def test_null_and_nan_never_trip(self):
+        plan = _compile({
+            "id": {"dtype": "int64"},
+            "a": {"dtype": "float64", "compare": [{"column": "b", "op": "lt"}]},
+            "b": {"dtype": "float64"},
+        })
+        t = pa.table({
+            "id": [1, 2, 3, 4, 5],
+            "a": pa.array([9.0, None, 9.0, float("nan"), 9.0], "float64"),
+            "b": pa.array([1.0, 1.0, None, 1.0, float("nan")], "float64"),
+        })
+        (m,) = _cmp_masks(plan, t).values()
+        # row 1 trips (9 !< 1); null/NaN on either side never trips
+        assert m.tolist() == [True, False, False, False, False]
+
+    def test_timestamp_comparison(self):
+        plan = _compile({
+            "id": {"dtype": "int64"},
+            "start": {"dtype": "timestamp[us]",
+                      "compare": [{"column": "end", "op": "le"}]},
+            "end": {"dtype": "timestamp[us]"},
+        })
+        t = pa.table({
+            "id": [1, 2],
+            "start": pa.array([1000, 5000], pa.timestamp("us")),
+            "end": pa.array([2000, 4000], pa.timestamp("us")),
+        })
+        (m,) = _cmp_masks(plan, t).values()
+        assert m.tolist() == [False, True]
+
+    def test_incomparable_dtypes_never_trip(self):
+        plan = _compile({
+            "id": {"dtype": "int64"},
+            "a": {"dtype": "string", "compare": [{"column": "b", "op": "lt"}]},
+            "b": {"dtype": "int64"},
+        })
+        t = pa.table({"id": [1], "a": ["x"], "b": [1]})
+        (m,) = _cmp_masks(plan, t).values()
+        assert m.tolist() == [False]
+
+    def test_missing_column_never_trips(self):
+        plan = _compile({
+            "id": {"dtype": "int64"},
+            "a": {"dtype": "int64", "compare": [{"column": "b", "op": "lt"}]},
+            "b": {"dtype": "int64"},
+        })
+        t = pa.table({"id": [1], "a": [3]})  # b absent from the batch
+        (m,) = _cmp_masks(plan, t).values()
+        assert m.tolist() == [False]
+
+    def test_spec_errors(self):
+        with pytest.raises(SpecError) as ei:
+            _compile({
+                "id": {"dtype": "int64"},
+                "a": {"compare": [{"column": "zz", "op": "xx", "junk": 1}]},
+            })
+        msg = str(ei.value)
+        assert '"zz" is not declared' in msg
+        assert "op must be one of" in msg
+        assert "unknown keys" in msg
+        with pytest.raises(SpecError):
+            _compile({"id": {}, "a": {"compare": {"column": "id", "op": "lt"}}})
+
+    def test_referenced_columns_pruned_read(self):
+        # the rhs column must appear in the compiled read projection
+        plan = _compile({
+            "id": {"dtype": "int64"},
+            "a": {"dtype": "int64", "compare": [{"column": "b", "op": "lt"}]},
+            "b": {"dtype": "int64"},
+        })
+        assert "b" in plan.referenced_columns
+
+    def test_cross_column_query_matches_oracle_sf0001(self, ray_session):
+        import duckdb
+        from verify_ray.pipelines.validation_queries import (
+            CROSS_COLUMN_ORACLE, validate_cross_column)
+
+        sf = "/root/testdata/sf0.001"
+        got = validate_cross_column(sf)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS "
+            f"SELECT * FROM read_parquet('{sf}/lineitem.parquet')")
+        want = con.execute(CROSS_COLUMN_ORACLE).df()
+        assert len(got) > 0  # non-trivial on the testdata
+        got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        want = want.sort_values(list(want.columns)).reset_index(drop=True)
+        assert got.columns.tolist() == want.columns.tolist()
+        assert got.equals(want)

@@ -59,6 +59,7 @@ class R:
     # engine-level generalisations (table scope; SURVEY.md §2.6)
     NON_NULL = "non_null"                  # per-row null in a non-null column
     LEN_EQUALS_COLUMN = "len_equals_column"  # cross-field: n_tok == len(tokens)
+    COLUMN_COMPARISON = "column_comparison"  # cross-field: value <op> other column
     ELEMENT_OUT_OF_BOUNDS = "element_out_of_bounds"  # list element outside bounds
     ELEMENT_INVALID_TYPE = "element_invalid_type"    # list element dtype mismatch
     REF_MISSING = "ref_missing"            # referential: key absent from manifest
@@ -167,6 +168,10 @@ def msg_too_many_items(maximum: int) -> str:
 
 def msg_required_property(name: str) -> str:
     return f'the required property "{name}" is missing'
+
+
+def msg_column_comparison(op_sym: str, other: str) -> str:
+    return f'the value must be {op_sym} column "{other}"'
 
 
 # ---------------------------------------------------------------------------

@@ -1350,6 +1350,41 @@ def _build_column_rules(c) -> tuple[list[RowRule], list[ElementRule]]:
             RowRule(R.LEN_EQUALS_COLUMN, c.name, c.name,
                     f'the array length must equal column "{other}"', len_eq_mask))
 
+    # cross-field value comparison against another column (generalizes
+    # K5-K8 constant bounds, macros.rs:261-315, to a column rhs).
+    # NULL/NaN on either side never trips — bounds-kernel parity.
+    if getattr(c, "compare", None):
+        cmp_ops = {"lt": (pc.less, "<"), "le": (pc.less_equal, "<="),
+                   "gt": (pc.greater, ">"), "ge": (pc.greater_equal, ">="),
+                   "eq": (pc.equal, "=="), "ne": (pc.not_equal, "!=")}
+        for cmp in c.compare:
+            other_col, op = cmp["column"], cmp["op"]
+            fn, sym = cmp_ops[op]
+
+            def cmp_mask(t: pa.Table, name=c.name, other=other_col,
+                         fn=fn) -> np.ndarray:
+                if not _has_col(t, name) or not _has_col(t, other):
+                    return _zeros(t)
+                a, b = _col(t, name), _col(t, other)
+                try:
+                    ok = fn(a, b)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                        pa.ArrowTypeError):
+                    # incomparable dtypes: the schema check's business,
+                    # not a per-row violation
+                    return _zeros(t)
+                bad = (~_np_bool(ok) & _np_bool(pc.is_valid(a))
+                       & _np_bool(pc.is_valid(b)))
+                for side in (a, b):
+                    if pa.types.is_floating(side.type):
+                        with np.errstate(invalid="ignore"):
+                            bad &= ~np.isnan(_f64(side))
+                return bad
+
+            row_rules.append(
+                RowRule(R.COLUMN_COMPARISON, c.name, c.name,
+                        E.msg_column_comparison(sym, other_col), cmp_mask))
+
     cr = _contains_rule(c)
     if cr is not None:
         row_rules.append(cr)
@@ -1488,6 +1523,8 @@ def compile_plan(spec, span_format=None) -> CompiledPlan:
         referenced.add(c.name)
         if c.len_equals:
             referenced.add(c.len_equals)
+        for cmp in (getattr(c, "compare", None) or []):
+            referenced.add(cmp["column"])
         for chk in c.checks:
             _collect_pred_columns(chk, c.name, referenced)
     for entry in tagged or []:

@@ -413,6 +413,32 @@ def validate_lineitem(sf_dir: str) -> pd.DataFrame:
     return _viol_result(rep)
 
 
+# cross-column comparison rules (value <op> another column — the engine's
+# column-rhs generalization of the reference's constant bounds,
+# macros.rs:261-315): quantity must exceed the line number, and the
+# discount must not exceed the tax rate.  Both produce non-trivial
+# violation sets on the TPC-H-ish testdata.
+CROSS_COLUMN_SPEC = {
+    "table": "lineitem",
+    "key": "l_orderkey",
+    "columns": {
+        "l_orderkey": {"dtype": "int64", "non_null": True},
+        "l_linenumber": {"dtype": "int32"},
+        "l_quantity": {"dtype": "float64",
+                       "compare": [{"column": "l_linenumber", "op": "gt"}]},
+        "l_discount": {"dtype": "float64",
+                       "compare": [{"column": "l_tax", "op": "le"}]},
+        "l_tax": {"dtype": "float64"},
+    },
+}
+
+
+def validate_cross_column(sf_dir: str) -> pd.DataFrame:
+    spec = ConstraintSpec.from_dict(CROSS_COLUMN_SPEC)
+    rep = validate(f"{sf_dir}/lineitem.parquet", spec)
+    return _viol_result(rep)
+
+
 def validate_events(sf_dir: str) -> pd.DataFrame:
     spec = ConstraintSpec.from_dict(EVENTS_SPEC)
     rep = validate(f"{sf_dir}/events.parquet", spec)
@@ -499,6 +525,22 @@ WITH v AS (
   UNION ALL
   SELECT CAST(l_orderkey AS VARCHAR), 'more_than_expected', 'l_tax'
     FROM lineitem WHERE l_tax > 0.06
+)
+SELECT * FROM v ORDER BY doc_id, rule_id, span
+"""
+
+CROSS_COLUMN_ORACLE = """
+WITH v AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS doc_id, 'column_comparison' AS rule_id,
+         'l_quantity' AS span
+    FROM lineitem
+   WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+     AND NOT (l_quantity > l_linenumber)
+  UNION ALL
+  SELECT CAST(l_orderkey AS VARCHAR), 'column_comparison', 'l_discount'
+    FROM lineitem
+   WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+     AND NOT (l_discount <= l_tax)
 )
 SELECT * FROM v ORDER BY doc_id, rule_id, span
 """

@@ -201,6 +201,11 @@ class ColumnSpec:
     items_tuple: Optional[list] = None
     additional_items: Optional[object] = None
     len_equals: Optional[str] = None       # cross-field: len(list) == other column
+    # cross-field VALUE comparison against another column (generalizes
+    # the reference's constant bounds K5-K8, macros.rs:261-315, to a
+    # column-valued rhs): list of {column: name, op: lt|le|gt|ge|eq|ne}.
+    # NULL policy: a row where either side is null (or NaN) never trips.
+    compare: Optional[list] = None
     # table-scope wide ops (SURVEY §2.6)
     unique: bool = False                   # W1 global uniqueness (shuffle)
     ref: Optional[str] = None              # W2 referential: manifest table name
@@ -449,6 +454,31 @@ class ConstraintSpec:
                     problems.append(f"{p}.{nm}: must be >= 0")
             if c.len_equals is not None and c.len_equals not in names:
                 problems.append(f'{p}.len_equals: column "{c.len_equals}" is not declared')
+            if c.compare is not None:
+                if not isinstance(c.compare, list):
+                    problems.append(f"{p}.compare: must be a list of "
+                                    "{{column, op}} mappings")
+                else:
+                    for i, cmp in enumerate(c.compare):
+                        cp = f"{p}.compare[{i}]"
+                        if not isinstance(cmp, dict):
+                            problems.append(f"{cp}: must be a mapping")
+                            continue
+                        other = cmp.get("column")
+                        op = cmp.get("op")
+                        if not other:
+                            problems.append(f"{cp}: missing 'column'")
+                        elif other not in names:
+                            problems.append(
+                                f'{cp}: column "{other}" is not declared')
+                        if op not in ("lt", "le", "gt", "ge", "eq", "ne"):
+                            problems.append(
+                                f"{cp}: op must be one of lt/le/gt/ge/eq/ne, "
+                                f"got {op!r}")
+                        extra = set(cmp) - {"column", "op"}
+                        if extra:
+                            problems.append(
+                                f"{cp}: unknown keys {sorted(extra)}")
             if c.contains is not None:
                 _validate_pred(c.contains, f"{p}.contains", problems, leaf_only=True)
             for i, chk in enumerate(c.checks):
