@@ -170,6 +170,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def events_mode_type(sf):
+        # exact per-group mode (dominant event type per user): per-block
+        # Arrow group_by partials, ONE group-keyed hash exchange, one
+        # row per group to the driver
+        return analytics.grouped_mode(
+            _read(sf, "events", columns=["user_id", "event_type"]),
+            "user_id", "event_type")
+
     def stats_incremental_q(sf):
         # incremental aggregate maintenance: three ingest "epochs"
         # (doc_id % 3) each reduce to a group-sized stats_state table;
@@ -1999,6 +2007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_incremental": stats_incremental_q,
         "docs_mad_by_lang": mad_q,
         "events_user_stats": events_user_stats,
+        "events_mode_type": events_mode_type,
         "stats_by_lang_source": stats_by_lang_source,
         "stats_quantiles_by_lang": stats_quantiles,
         "pricing_summary": lambda sf: analytics.pricing_summary(
@@ -3417,6 +3426,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IS NOT NULL AND event_id IS NOT NULL
             GROUP BY user_id ORDER BY user_id
+        """,
+        "events_mode_type": """
+            SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   event_type AS mode_value, cnt AS mode_count
+            FROM (SELECT user_id, event_type, COUNT(*) AS cnt,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+                  FROM events WHERE event_type IS NOT NULL
+                  GROUP BY user_id, event_type)
+            WHERE rn = 1 ORDER BY user_id
         """,
         "stats_by_lang_source": """
             SELECT lang, source, COUNT(*) AS n_docs,

@@ -132,3 +132,47 @@ class TestCompareColumns:
         want = want.sort_values(list(want.columns)).reset_index(drop=True)
         assert got.columns.tolist() == want.columns.tolist()
         assert got.equals(want)
+
+
+class TestGroupedMode:
+    def _mode(self, rows, **kw):
+        import ray.data as rd
+
+        from verify_ray.pipelines.analytics import grouped_mode
+
+        ds = rd.from_arrow(pa.table(rows)).materialize()
+        return grouped_mode(ds, "g", "v", **kw)
+
+    def test_basic_and_tie_break(self, ray_session):
+        out = self._mode({"g": ["a", "a", "a", "b", "b", "b", "b"],
+                          "v": ["x", "y", "y", "q", "p", "q", "p"]})
+        # a: y wins 2-1; b: p/q tie 2-2 -> smallest value p
+        assert out.g.tolist() == ["a", "b"]
+        assert out.mode_value.tolist() == ["y", "p"]
+        assert out.mode_count.tolist() == [2, 2]
+
+    def test_null_value_ignored_null_group_kept(self, ray_session):
+        out = self._mode({"g": ["a", "a", None, None, "a"],
+                          "v": ["x", None, "z", "z", "x"]})
+        assert out.g.tolist()[:1] == ["a"]
+        assert out.mode_value.tolist() == ["x", "z"]
+        assert out.g.isna().tolist() == [False, True]
+
+    def test_multi_block_merge(self, ray_session):
+        import ray.data as rd
+
+        from verify_ray.pipelines.analytics import grouped_mode
+
+        # same rows split across 4 blocks must merge counts exactly
+        t = pa.table({"g": ["a"] * 40 + ["b"] * 40,
+                      "v": (["x"] * 15 + ["y"] * 25) + (["y"] * 19 + ["x"] * 21)})
+        ds = rd.from_arrow(t).repartition(4).materialize()
+        out = grouped_mode(ds, "g", "v")
+        assert out.mode_value.tolist() == ["y", "x"]
+        assert out.mode_count.tolist() == [25, 21]
+
+    def test_empty(self, ray_session):
+        out = self._mode({"g": pa.array([], type=pa.string()),
+                          "v": pa.array([], type=pa.string())})
+        assert len(out) == 0
+        assert out.mode_count.dtype == "int64"

@@ -852,6 +852,85 @@ def grouped_count_distinct(ds, group_col: str, value_col: str,
             .reset_index(drop=True))
 
 
+def grouped_mode(ds, group_col: str, value_col: str,
+                 num_buckets: int = 64) -> pd.DataFrame:
+    """Exact per-group MODE (most frequent value; ties break to the
+    smallest value) — the categorical summary query (dominant event
+    type per user, dominant language per source).
+
+    Scale shape: each input block collapses to per-block (group,
+    value, cnt) partials via Arrow ``group_by`` (repeated values never
+    leave the block), partials route through ONE hash exchange keyed
+    on the group (all of a group's partials meet in exactly one
+    bucket), each bucket merges counts and emits ONE row per group —
+    so the driver sees group-cardinality rows, never value pairs.
+
+    Nulls: null VALUES are ignored (SQL aggregate semantics); a null
+    GROUP is its own group, encoded via a validity flag.  Tie order is
+    the VALUE's natural order rendered as string (exact for string
+    values; callers with numeric values needing numeric tie order
+    should zero-pad upstream).
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+    from ..kernels import as_array
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"g": pa.array([], type=pa.string()),
+                          "gnull": pa.array([], type=pa.bool_()),
+                          "v": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64()),
+                          "bucket": pa.array([], type=pa.uint64())})
+        if b.num_rows == 0 or group_col not in b.column_names:
+            return empty
+        b = b.filter(pc.is_valid(b[value_col]))
+        if b.num_rows == 0:
+            return empty
+        t = pa.table({
+            "g": pc.fill_null(pc.cast(b[group_col], pa.string()), ""),
+            "gnull": pc.is_valid(b[group_col]),
+            "v": pc.cast(b[value_col], pa.string())})
+        agg = pa.TableGroupBy(t, ["gnull", "g", "v"]).aggregate([([], "count_all")])
+        g = as_array(agg["g"])
+        return pa.table({
+            "g": g,
+            "gnull": pc.invert(as_array(agg["gnull"])),
+            "v": agg["v"],
+            "cnt": pc.cast(agg["count_all"], pa.int64()),
+            "bucket": pa.array(md5_u64le(g), type=pa.uint64())})
+
+    def mode_bucket(t: pa.Table) -> pa.Table:
+        merged = pa.TableGroupBy(t, ["gnull", "g", "v"]).aggregate([("cnt", "sum")])
+        g = merged.column("g").to_numpy(zero_copy_only=False).astype(str)
+        gn = merged.column("gnull").to_numpy(zero_copy_only=False)
+        v = merged.column("v").to_numpy(zero_copy_only=False).astype(str)
+        cnt = merged.column("cnt_sum").to_numpy(zero_copy_only=False)
+        gkey = np.char.add(np.where(gn, "1", "0"), g)
+        order = np.lexsort((v, -cnt, gkey))  # per group: cnt desc, v asc
+        gkey_s = gkey[order]
+        first = np.concatenate(([True], gkey_s[1:] != gkey_s[:-1]))
+        pick = order[first]
+        return pa.table({
+            "gnull": pa.array(gn[pick]),
+            "g": pa.array(g[pick], type=pa.string()),
+            "mode_value": pa.array(v[pick], type=pa.string()),
+            "mode_count": pa.array(cnt[pick].astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    res = grouped_exchange(parts, "bucket", num_buckets, mode_bucket)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({group_col: pd.Series(dtype="string"),
+                             "mode_value": pd.Series(dtype="string"),
+                             "mode_count": pd.Series(dtype="int64")})
+    df = res.to_pandas()
+    out = pd.DataFrame({
+        group_col: df.apply(lambda r: r.g if not r.gnull else None, axis=1),
+        "mode_value": df.mode_value,
+        "mode_count": df.mode_count.astype(np.int64)})
+    return (out.sort_values(group_col, na_position="last")
+            .reset_index(drop=True))
+
+
 def grouped_having_count(ds, group_cols: list[str], min_count: int = 2,
                          num_buckets: int = 64):
     """Multi-column ``GROUP BY ... HAVING COUNT(*) >= k`` — composite
