@@ -170,6 +170,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def docs_outlier_chars(sf):
+        # integer-exact per-group z-score outliers (|x-mean| > k*sigma
+        # decided via Python-int sufficient stats + isqrt bounds; no
+        # float anywhere) — stats pass + streaming flag pass
+        out = analytics.zscore_outliers(
+            _read(sf, "documents", columns=["doc_id", "lang", "n_chars"]),
+            "lang", "n_chars", "doc_id", k=1).to_pandas()
+        return (out.sort_values("doc_id").reset_index(drop=True)
+                .astype({"doc_id": "int64", "n_chars": "int64"}))
+
     def events_mode_type(sf):
         # exact per-group mode (dominant event type per user): per-block
         # Arrow group_by partials, ONE group-keyed hash exchange, one
@@ -2008,6 +2018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mad_by_lang": mad_q,
         "events_user_stats": events_user_stats,
         "events_mode_type": events_mode_type,
+        "docs_outlier_chars": docs_outlier_chars,
         "stats_by_lang_source": stats_by_lang_source,
         "stats_quantiles_by_lang": stats_quantiles,
         "pricing_summary": lambda sf: analytics.pricing_summary(
@@ -3426,6 +3437,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IS NOT NULL AND event_id IS NOT NULL
             GROUP BY user_id ORDER BY user_id
+        """,
+        "docs_outlier_chars": """
+            -- integer-exact z-score fences: T = isqrt(k^2*(n*S2-S^2))
+            -- with the +-1 sqrt correction (floor(sqrt) on doubles can
+            -- be off by one at perfect squares)
+            WITH s AS (SELECT lang, COUNT(*) AS n, SUM(n_chars) AS S,
+                              SUM(n_chars*n_chars) AS S2
+                       FROM documents
+                       WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                       GROUP BY lang),
+            r AS (SELECT lang, n, S, 1*(n*S2 - S*S) AS R FROM s),
+            t0 AS (SELECT lang, n, S, R,
+                          CAST(floor(sqrt(CAST(R AS DOUBLE))) AS BIGINT) AS c
+                   FROM r),
+            tc AS (SELECT lang, n, S,
+                          CASE WHEN (c+1)*(c+1) <= R THEN c+1
+                               WHEN c*c > R THEN c-1 ELSE c END AS T
+                   FROM t0)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN tc ON d.lang = tc.lang
+            WHERE d.n_chars IS NOT NULL
+              AND (tc.n*d.n_chars > tc.S + tc.T
+                   OR tc.n*d.n_chars < tc.S - tc.T)
+            ORDER BY d.doc_id
         """,
         "events_mode_type": """
             SELECT CAST(user_id AS VARCHAR) AS user_id,

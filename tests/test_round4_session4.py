@@ -176,3 +176,63 @@ class TestGroupedMode:
                           "v": pa.array([], type=pa.string())})
         assert len(out) == 0
         assert out.mode_count.dtype == "int64"
+
+
+class TestZscoreOutliers:
+    def _run(self, rows, k=1, nblocks=1):
+        import ray.data as rd
+
+        from verify_ray.pipelines.analytics import zscore_outliers
+
+        ds = rd.from_arrow(pa.table(rows))
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        out = zscore_outliers(ds.materialize(), "g", "x", "id", k=k)
+        df = out.to_pandas()
+        if len(df) == 0:  # all-empty blocks: Ray to_pandas drops names
+            return df
+        return df.sort_values("id").reset_index(drop=True)
+
+    def test_strict_boundary_exact(self, ray_session):
+        # g: values 0,0,8,8 -> mean 4, pop sigma 4.  k=1: |x-4| > 4 is
+        # STRICT — values exactly at the fence must NOT trip.
+        out = self._run({"id": [1, 2, 3, 4], "g": ["a"] * 4,
+                         "x": [0, 0, 8, 8]})
+        assert len(out) == 0
+        # shift one value to 9: mean 17/4, var (x-mean)^2... recompute
+        # exactly: n=4 S=17 S2=145, R=4*145-289=291, T=isqrt(291)=17
+        # n*x > S+T -> 4x > 34 -> x >= 9 ; n*x < S-T -> 4x < 0 -> x < 0
+        out = self._run({"id": [1, 2, 3, 4], "g": ["a"] * 4,
+                         "x": [0, 0, 8, 9]})
+        assert out.id.tolist() == [4]
+        assert out.x.tolist() == [9]
+
+    def test_perfect_square_r(self, ray_session):
+        # n=2, x={0,4}: S=4 S2=16 R=k^2*(2*16-16)=16 (perfect square),
+        # T=4; n*x>S+T -> 2x>8 -> x>4: nothing trips; x=5 instead: S=5
+        # S2=25 R=25 T=5 -> 2x>10 -> x>5: still nothing (both at fence)
+        out = self._run({"id": [1, 2], "g": ["a", "a"], "x": [0, 4]})
+        assert len(out) == 0
+        out = self._run({"id": [1, 2], "g": ["a", "a"], "x": [0, 5]})
+        assert len(out) == 0
+
+    def test_nulls_ignored(self, ray_session):
+        out = self._run({"id": [1, 2, 3, 4, 5, 6],
+                         "g": ["a", "a", "a", "a", None, "a"],
+                         "x": [10, 10, 10, None, 99, 100]})
+        # nulls drop from stats; group of {10,10,10,100}: the 100 trips
+        assert out.id.tolist() == [6]
+
+    def test_multi_block_same_as_single(self, ray_session):
+        rows = {"id": list(range(40)), "g": ["a", "b"] * 20,
+                "x": [7] * 38 + [1000, -500]}
+        one = self._run(rows, k=2, nblocks=1)
+        four = self._run(rows, k=2, nblocks=4)
+        assert one.equals(four)
+        assert set(one.id) == {38, 39}
+
+    def test_two_groups_independent(self, ray_session):
+        out = self._run({"id": [1, 2, 3, 4, 5, 6],
+                         "g": ["a", "a", "a", "b", "b", "b"],
+                         "x": [5, 5, 500, 500, 500, 5]})
+        assert out.id.tolist() == [3, 6]

@@ -852,6 +852,106 @@ def grouped_count_distinct(ds, group_col: str, value_col: str,
             .reset_index(drop=True))
 
 
+def zscore_outliers(ds, group_col: str, value_col: str, id_col: str,
+                    k: int = 3,
+                    partial_budget: int = GROUP_PARTIAL_BUDGET):
+    """Per-group z-score outlier detection, integer-exact end to end
+    (the drift-adjacent data-quality scan: rows whose value sits more
+    than ``k`` population standard deviations from their group mean).
+
+    No float ever enters the decision.  The condition
+    ``|x - mean| > k * stddev``  is rewritten over integer sufficient
+    statistics (n = count, S = sum x, S2 = sum x^2):
+
+        (n*x - S)^2 > k^2 * (n*S2 - S^2)
+        <=>  n*x > S + T  or  n*x < S - T,   T = isqrt(k^2*(n*S2 - S^2))
+        <=>  x >= (S+T)//n + 1  or  x <= (S-T-1)//n
+
+    (a^2 > R <=> a > isqrt(R) for non-negative integers), so each group
+    reduces to two int64 BOUNDS computed in exact arbitrary-precision
+    Python ints on the driver; the flag pass is two vectorized integer
+    compares against the broadcast bounds.  Exact while each group's
+    ``sum(x^2)`` fits int64 (|x| <= 3e9 per row; document upstream).
+
+    Scale shape: stats pass emits per-block (group, n, S, S2) partials
+    merged through the cardinality-guarded ``_merge_partials``; the
+    flag pass streams and returns an output-sized Dataset of
+    (id, group, value) outlier rows.  ``ds`` is consumed twice —
+    pass a materialized-or-rescannable dataset (read from parquet is
+    fine).  Rows with a null group or value are ignored in the stats
+    and never flagged.  Population variance (ddof = 0).
+    """
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"g": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "s": pa.array([], type=pa.int64()),
+                          "s2": pa.array([], type=pa.int64())})
+        if b.num_rows == 0 or group_col not in b.column_names:
+            return empty
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[value_col])))
+        if b.num_rows == 0:
+            return empty
+        x = pc.cast(b[value_col], pa.int64())  # raises on non-integral
+        t = pa.table({"g": pc.cast(b[group_col], pa.string()),
+                      "x": x, "xx": pc.multiply_checked(x, x)})
+        agg = pa.TableGroupBy(t, ["g"]).aggregate(
+            [("x", "sum"), ("xx", "sum"), ([], "count_all")])
+        return pa.table({"g": agg["g"],
+                         "n": pc.cast(agg["count_all"], pa.int64()),
+                         "s": agg["x_sum"], "s2": agg["xx_sum"]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    stats = _merge_partials(parts, ["g"],
+                            {"n": "sum", "s": "sum", "s2": "sum"},
+                            partial_budget=partial_budget)
+    if len(stats) == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            group_col: pa.array([], type=pa.string()),
+            value_col: pa.array([], type=pa.int64())}))
+
+    groups, his, los = [], [], []
+    for g, n, s, s2 in zip(stats.g, stats.n, stats.s, stats.s2):
+        n, s, s2 = int(n), int(s), int(s2)  # exact Python ints
+        r = k * k * (n * s2 - s * s)       # >= 0 by Cauchy-Schwarz
+        t = math.isqrt(r)
+        groups.append(g)
+        his.append((s + t) // n + 1)
+        los.append((s - t - 1) // n)
+    order = np.argsort(np.asarray(groups, dtype=object))
+    G = np.asarray(groups, dtype=object)[order]
+    HI = np.asarray(his, dtype=np.int64)[order]
+    LO = np.asarray(los, dtype=np.int64)[order]
+
+    def flag(b: pa.Table) -> pa.Table:
+        if group_col not in b.column_names:
+            # pre-map-schema empty block (CLAUDE.md: Ray Data passes
+            # empty blocks through without calling upstream fns)
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             group_col: pa.array([], type=pa.string()),
+                             value_col: pa.array([], type=pa.int64())})
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[value_col])))
+        g = pc.cast(b[group_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        x = pc.cast(b[value_col], pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(G, g)
+        idx_c = np.minimum(idx, len(G) - 1)
+        known = G[idx_c] == g
+        out = known & ((x >= HI[idx_c]) | (x <= LO[idx_c]))
+        sel = pa.array(np.flatnonzero(out))
+        return pa.table({id_col: b[id_col].take(sel),
+                         group_col: pc.cast(b[group_col].take(sel),
+                                            pa.string()),
+                         value_col: pa.array(x[out])})
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 def grouped_mode(ds, group_col: str, value_col: str,
                  num_buckets: int = 64) -> pd.DataFrame:
     """Exact per-group MODE (most frequent value; ties break to the
