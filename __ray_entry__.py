@@ -170,6 +170,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def events_coverage(sf):
+        # per-user union of overlapping 30-min presence intervals
+        # (coverage audit): one user-keyed exchange, per-bucket lexsort
+        # + grouped running-max sweep, reduceat island reduction
+        from verify_ray.pipelines.sessions import merge_intervals
+
+        def addend(b):
+            e = pc.add(pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                               pa.int64()), 1_800_000_000)
+            return b.append_column("end_us_in", e)
+
+        ds = _read(sf, "events", columns=["user_id", "ts"]).map_batches(
+            addend, batch_format="pyarrow")
+        out = merge_intervals(ds, "user_id", "ts", "end_us_in").to_pandas()
+        return (out.sort_values(["key", "start_us"])
+                .reset_index(drop=True))
+
     def docs_outlier_chars(sf):
         # integer-exact per-group z-score outliers (|x-mean| > k*sigma
         # decided via Python-int sufficient stats + isqrt bounds; no
@@ -2019,6 +2036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": events_user_stats,
         "events_mode_type": events_mode_type,
         "docs_outlier_chars": docs_outlier_chars,
+        "events_coverage": events_coverage,
         "stats_by_lang_source": stats_by_lang_source,
         "stats_quantiles_by_lang": stats_quantiles,
         "pricing_summary": lambda sf: analytics.pricing_summary(
@@ -3437,6 +3455,28 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IS NOT NULL AND event_id IS NOT NULL
             GROUP BY user_id ORDER BY user_id
+        """,
+        "events_coverage": """
+            -- gaps-and-islands: island boundary where start exceeds
+            -- the running max end of the user's earlier intervals
+            WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                               epoch_us(ts) + 1800000000 AS e
+                        FROM events
+                        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            m AS (SELECT user_id, s, e,
+                         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pm
+                  FROM iv),
+            g AS (SELECT user_id, s, e,
+                         SUM(CASE WHEN pm IS NULL OR s > pm
+                                  THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM m)
+            SELECT user_id AS key, MIN(s) AS start_us, MAX(e) AS end_us,
+                   COUNT(*)::BIGINT AS n_merged
+            FROM g GROUP BY user_id, isl ORDER BY key, start_us
         """,
         "docs_outlier_chars": """
             -- integer-exact z-score fences: T = isqrt(k^2*(n*S2-S^2))

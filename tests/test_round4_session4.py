@@ -236,3 +236,61 @@ class TestZscoreOutliers:
                          "g": ["a", "a", "a", "b", "b", "b"],
                          "x": [5, 5, 500, 500, 500, 5]})
         assert out.id.tolist() == [3, 6]
+
+
+class TestMergeIntervals:
+    def _run(self, rows, nblocks=1, **kw):
+        import ray.data as rd
+
+        from verify_ray.pipelines.sessions import merge_intervals
+
+        ds = rd.from_arrow(pa.table(rows))
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        out = merge_intervals(ds.materialize(), "k", "s", "e", **kw)
+        df = out.to_pandas()
+        if len(df) == 0:
+            return df
+        return df.sort_values(["key", "start_us"]).reset_index(drop=True)
+
+    def test_overlap_touch_and_gap(self, ray_session):
+        out = self._run({"k": [1, 1, 1, 1],
+                         "s": [0, 5, 10, 21],
+                         "e": [6, 10, 20, 30]})
+        # [0,6]+[5,10] overlap; [10,20] touches; [21,30] new island
+        assert out.start_us.tolist() == [0, 21]
+        assert out.end_us.tolist() == [20, 30]
+        assert out.n_merged.tolist() == [3, 1]
+
+    def test_nested_interval_extends_running_end(self, ray_session):
+        # [0,100] swallows [10,20]; [50,60] still inside; [90,110] chains
+        out = self._run({"k": [1] * 4,
+                         "s": [0, 10, 50, 90],
+                         "e": [100, 20, 60, 110]})
+        assert out.start_us.tolist() == [0]
+        assert out.end_us.tolist() == [110]
+        assert out.n_merged.tolist() == [4]
+
+    def test_keys_isolated_and_string_keys(self, ray_session):
+        out = self._run({"k": ["a", "b", "a"],
+                         "s": [0, 5, 8], "e": [10, 6, 20]})
+        assert out.key.tolist() == ["a", "b"]
+        assert out.n_merged.tolist() == [2, 1]
+
+    def test_multi_block_invariance(self, ray_session):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        n = 500
+        rows = {"k": rng.randint(0, 20, n).tolist(),
+                "s": rng.randint(0, 10_000, n).tolist()}
+        rows["e"] = [s + int(d) for s, d in
+                     zip(rows["s"], rng.randint(1, 500, n))]
+        one = self._run(rows, nblocks=1)
+        eight = self._run(rows, nblocks=8, num_buckets=16)
+        assert one.equals(eight)
+
+    def test_null_rows_drop(self, ray_session):
+        out = self._run({"k": [1, None, 1], "s": [0, 5, None],
+                         "e": [10, 20, 30]})
+        assert out.n_merged.tolist() == [1]

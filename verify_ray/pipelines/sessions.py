@@ -394,3 +394,80 @@ def resample_ffill(events_ds, key_col: str, ts_col: str, val_col: str,
     tagged = events_ds.map_batches(tag, batch_format="pyarrow")
     return grouped_exchange_ds(tagged, "__b", num_buckets, fill_bucket,
                                empty_schema=out_schema)
+
+
+def merge_intervals(ds, key_col: str, start_col: str, end_col: str,
+                    num_buckets: int = 32):
+    """Per-key union of overlapping-or-TOUCHING [start, end] intervals
+    — the coverage audit (what time ranges does each entity's data
+    actually cover, and in how many contiguous stretches?).  Emits one
+    row per merged island: (key, start_us, end_us, n_merged).
+
+    Same bucket-sweep shape as ``sessionize``: ONE hash exchange keyed
+    on the key co-locates each key's intervals, then each bucket task
+    runs one lexsort by (key, start, end) and detects island
+    boundaries where a row's start exceeds the running max end of its
+    key so far (grouped cummax via the pandas C kernel — a column op,
+    not a table round-trip).  Islands reduce with ``np.ufunc.reduceat``.
+
+    Touching merges: start == running end joins the island (half-open
+    callers should pre-decrement end).  Timestamps normalize to int64
+    microseconds (joins._ts_i64); rows with a null key/start/end drop;
+    integer or string keys.  Results stay in the object store
+    (output-sized Dataset).
+    """
+    from ..stages.exchange import grouped_exchange_ds
+    from .joins import _key_arrays, _ts_i64
+
+    schema = ds.schema()
+    ktype = dict(zip(schema.names, schema.types))[key_col]
+    int_key = (pa.types.is_integer(ktype) or pa.types.is_timestamp(ktype))
+    out_schema = pa.schema([
+        ("key", pa.int64() if int_key else pa.string()),
+        ("start_us", pa.int64()), ("end_us", pa.int64()),
+        ("n_merged", pa.int64())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if key_col not in b.column_names:
+            return pa.table({"__b": pa.array([], type=pa.int64()),
+                             "k": pa.array([], out_schema.field("key").type),
+                             "s": pa.array([], type=pa.int64()),
+                             "e": pa.array([], type=pa.int64())})
+        mask = pc.is_valid(b[key_col])
+        for c in (start_col, end_col):
+            mask = pc.and_(mask, pc.is_valid(b[c]))
+        t = b.filter(mask)
+        karr, bk = _key_arrays(t[key_col])
+        return pa.table({
+            "__b": pa.array((bk % np.uint64(num_buckets)).astype(np.int64)),
+            "k": karr, "s": _ts_i64(t[start_col]), "e": _ts_i64(t[end_col])})
+
+    def sweep(tb: pa.Table) -> pa.Table:
+        k = tb.column("k").to_numpy(zero_copy_only=False)
+        s = tb.column("s").to_numpy(zero_copy_only=False)
+        e = tb.column("e").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, s, k))
+        ks, ss, es = k[order], s[order], e[order]
+        newkey = np.ones(len(ks), dtype=bool)
+        newkey[1:] = ks[1:] != ks[:-1]
+        seg = np.cumsum(newkey) - 1
+        run_end = pd.Series(es).groupby(seg).cummax().to_numpy()
+        boundary = newkey.copy()
+        boundary[1:] |= ss[1:] > run_end[:-1]
+        starts = np.flatnonzero(boundary)
+        island_start = ss[starts]
+        island_end = np.maximum.reduceat(es, starts)
+        # reduceat max equals the island's running-max end (islands are
+        # contiguous index ranges after the sort)
+        counts = np.diff(np.concatenate((starts, [len(ks)])))
+        return pa.table({
+            "key": pa.array(ks[starts]),
+            "start_us": pa.array(island_start),
+            "end_us": pa.array(island_end),
+            "n_merged": pa.array(counts.astype(np.int64))})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets, sweep,
+                               empty_schema=out_schema)
