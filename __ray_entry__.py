@@ -969,6 +969,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df.astype({"n_tok": "int64", "n_removed": "int64",
                           "token_sum": "int64"})
 
+    def prefix_dups_q(sf):
+        # duplicate-prefix groups (template-clone scan): docs sharing
+        # their first 16 tokens, grouped through one prefix-keyed
+        # exchange; planted near-dup copies guarantee hits
+        from verify_ray.pipelines.spans import prefix_dup_groups
+
+        out = prefix_dup_groups(_near_dup_seqs(sf), k=16)
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True).astype({"group_size": "int64"}))
+
     def percentile_rank_q(sf):
         # within-language exact percentile position of n_chars
         from verify_ray.pipelines.select import grouped_percentile_rank
@@ -2063,6 +2073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_redact": text_redact,
         "text_boilerplate": text_boilerplate,
         "dedup_token_spans": dedup_token_spans_q,
+        "prefix_dup_docs": prefix_dups_q,
         "dedup_token_spans_removed": remove_spans_q,
         "token_pair_topk": token_pairs_q,
         "bm25_topk": bm25_q,
@@ -2777,6 +2788,16 @@ SELECT doc_id, CAST(MIN(st) - 1 AS BIGINT) AS span_start,
        CAST(COUNT(*) AS BIGINT) AS n_windows
 FROM sp GROUP BY doc_id, sid
 ORDER BY doc_id, span_start
+"""
+
+PREFIX_DUP_ORACLE = _TOKEN_GRAMS_CTES + """,
+pfx AS (SELECT doc_id, array_to_string(list_slice(ids, 1, 16), ' ') AS p
+        FROM arr WHERE len(ids) >= 16),
+gs AS (SELECT p, COUNT(*) AS n, MIN(doc_id) AS gmin
+       FROM pfx GROUP BY p HAVING COUNT(*) >= 2)
+SELECT f.doc_id, gs.gmin AS group_min, CAST(gs.n AS BIGINT) AS group_size
+FROM pfx f JOIN gs ON f.p = gs.p
+ORDER BY f.doc_id
 """
 
 # spans.remove_duplicate_spans: position p (1-based) is excised iff
@@ -3766,6 +3787,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": DECONTAMINATE_ORACLE,
         "decontaminate_bloom": BLOOM_DECONTAMINATE_ORACLE,
         "dedup_token_spans": DUP_SPANS_ORACLE,
+        "prefix_dup_docs": PREFIX_DUP_ORACLE,
         "dedup_token_spans_removed": REMOVE_SPANS_ORACLE,
         "token_pair_topk": TOKEN_PAIRS_ORACLE,
         "bm25_topk": BM25_ORACLE,

@@ -294,3 +294,51 @@ class TestMergeIntervals:
         out = self._run({"k": [1, None, 1], "s": [0, 5, None],
                          "e": [10, 20, 30]})
         assert out.n_merged.tolist() == [1]
+
+
+class TestPrefixDupGroups:
+    def _run(self, ids, toks, nblocks=1, **kw):
+        import ray.data as rd
+
+        from verify_ray.pipelines.spans import prefix_dup_groups
+
+        t = pa.table({"doc_id": pa.array(ids, type=pa.string()),
+                      "tokens": pa.array(toks,
+                                         type=pa.list_(pa.int32()))})
+        ds = rd.from_arrow(t)
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        out = prefix_dup_groups(ds.materialize(), **kw)
+        df = out.to_pandas()
+        if len(df) == 0:
+            return df
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    def test_head_groups_and_short_rows_skip(self, ray_session):
+        out = self._run(
+            ["a", "b", "c", "d"],
+            [[1, 2, 3, 9], [1, 2, 3, 7], [1, 2], [4, 5, 6]], k=3)
+        # a,b share prefix (1 2 3); c too short; d alone
+        assert out.doc_id.tolist() == ["a", "b"]
+        assert out.group_min.tolist() == ["a", "a"]
+        assert out.group_size.tolist() == [2, 2]
+
+    def test_tail_mode(self, ray_session):
+        out = self._run(
+            ["a", "b", "c"],
+            [[9, 1, 2, 3], [7, 7, 1, 2, 3], [1, 2, 4]], k=3, tail=True)
+        assert out.doc_id.tolist() == ["a", "b"]
+
+    def test_multi_block_and_group_min(self, ray_session):
+        ids = [f"d{i:02d}" for i in range(12)]
+        toks = [[5, 5, 5, i] for i in range(6)] + \
+               [[8, 8, 8, i] for i in range(6)]
+        out = self._run(ids, toks, nblocks=4, k=3, num_buckets=8)
+        assert len(out) == 12
+        assert set(out.group_size) == {6}
+        assert out[out.doc_id < "d06"].group_min.unique().tolist() == ["d00"]
+        assert out[out.doc_id >= "d06"].group_min.unique().tolist() == ["d06"]
+
+    def test_no_dups(self, ray_session):
+        out = self._run(["a", "b"], [[1, 2, 3], [4, 5, 6]], k=3)
+        assert len(out) == 0

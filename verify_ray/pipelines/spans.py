@@ -237,3 +237,75 @@ def duplicate_token_spans(seqs_ds, k: int = 8, min_count: int = 2,
         })
 
     return seqs_ds.map_batches(mark, batch_format="pyarrow")
+
+
+def prefix_dup_groups(seqs_ds, k: int = 16, token_col: str = "tokens",
+                      id_col: str = "doc_id", tail: bool = False,
+                      num_buckets: int = 32):
+    """Exact duplicate-PREFIX (``tail=True``: suffix) detection over
+    token sequences — the boilerplate-header/footer scan (crawled docs
+    sharing their first ``k`` tokens are template clones even when the
+    bodies diverge, the failure mode exact whole-doc dedup misses).
+
+    Scale shape: each batch renders ONE edge window per qualifying row
+    (>= ``k`` tokens) as the space-joined decimal token string — the
+    same window identity as ``window_hashes``, so the DuckDB oracle
+    reproduces groups with ``array_to_string(list_slice(ids, ...))``
+    — and ships (id, window string, u64 bucket) through one
+    prefix-keyed hash exchange; token arrays never shuffle.  Each
+    bucket groups identical strings and keeps groups with >= 2 docs,
+    emitting (doc_id, group_min, group_size) where ``group_min`` is
+    the group's smallest doc id (string order — ids travel as
+    strings).  Results stay in the object store.
+    """
+    from ..stages.exchange import grouped_exchange_ds
+
+    out_schema = pa.schema([("doc_id", pa.string()),
+                            ("group_min", pa.string()),
+                            ("group_size", pa.int64())])
+
+    def edge(b: pa.Table) -> pa.Table:
+        empty = pa.table({"i": pa.array([], type=pa.string()),
+                          "p": pa.array([], type=pa.string()),
+                          "bucket": pa.array([], type=pa.uint64())})
+        if token_col not in b.column_names:
+            return empty
+        toks = as_array(b[token_col])
+        lengths = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = np.flatnonzero(lengths >= k)
+        if not len(rows):
+            return empty
+        row_first = np.zeros(b.num_rows + 1, dtype=np.int64)
+        np.cumsum(lengths, out=row_first[1:])
+        start = row_first[rows]
+        if tail:
+            start = start + lengths[rows] - k
+        flat_str = pc.cast(as_array(pc.list_flatten(toks)), pa.string())
+        parts = [flat_str.take(pa.array(start + j)) for j in range(k)]
+        p = parts[0] if k == 1 else pc.binary_join_element_wise(*parts, " ")
+        return pa.table({
+            "i": pc.cast(as_array(b[id_col]).take(pa.array(rows)),
+                         pa.string()),
+            "p": p,
+            "bucket": pa.array(md5_u64le(p), type=pa.uint64())})
+
+    def groups(t: pa.Table) -> pa.Table:
+        p = t.column("p").to_numpy(zero_copy_only=False).astype(str)
+        i = t.column("i").to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((i, p))
+        ps, is_ = p[order], i[order]
+        first = np.ones(len(ps), dtype=bool)
+        first[1:] = ps[1:] != ps[:-1]
+        gid = np.cumsum(first) - 1
+        sizes = np.bincount(gid)
+        gmin = is_[np.flatnonzero(first)]  # smallest id: (p, i) sorted
+        keep = sizes[gid] >= 2
+        return pa.table({
+            "doc_id": pa.array(is_[keep], type=pa.string()),
+            "group_min": pa.array(gmin[gid[keep]], type=pa.string()),
+            "group_size": pa.array(sizes[gid[keep]].astype(np.int64))})
+
+    edged = seqs_ds.map_batches(edge, batch_format="pyarrow")
+    return grouped_exchange_ds(edged, "bucket", num_buckets, groups,
+                               empty_schema=out_schema)
