@@ -969,6 +969,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df.astype({"n_tok": "int64", "n_removed": "int64",
                           "token_sum": "int64"})
 
+    def token_runs_q(sf):
+        # per-doc constant-token run stats (decode-loop detector):
+        # pure streaming map, no shuffle
+        from verify_ray.pipelines.spans import token_run_stats
+
+        out = token_run_stats(_near_dup_seqs(sf))
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True)
+                .astype({"n_tok": "int64", "n_runs": "int64",
+                         "max_run": "int64"}))
+
     def prefix_dups_q(sf):
         # duplicate-prefix groups (template-clone scan): docs sharing
         # their first 16 tokens, grouped through one prefix-keyed
@@ -2074,6 +2085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_boilerplate": text_boilerplate,
         "dedup_token_spans": dedup_token_spans_q,
         "prefix_dup_docs": prefix_dups_q,
+        "token_run_stats": token_runs_q,
         "dedup_token_spans_removed": remove_spans_q,
         "token_pair_topk": token_pairs_q,
         "bm25_topk": bm25_q,
@@ -2788,6 +2800,25 @@ SELECT doc_id, CAST(MIN(st) - 1 AS BIGINT) AS span_start,
        CAST(COUNT(*) AS BIGINT) AS n_windows
 FROM sp GROUP BY doc_id, sid
 ORDER BY doc_id, span_start
+"""
+
+TOKEN_RUNS_ORACLE = _TOKEN_GRAMS_CTES + """,
+tok2 AS (SELECT doc_id, unnest(ids) AS tk,
+                generate_subscripts(ids, 1) AS p
+         FROM arr),
+mk AS (SELECT doc_id, p,
+              CASE WHEN lag(tk) OVER (PARTITION BY doc_id ORDER BY p) = tk
+                   THEN 0 ELSE 1 END AS brk
+       FROM tok2),
+r AS (SELECT doc_id,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS rid
+      FROM mk),
+c AS (SELECT doc_id, rid, COUNT(*) AS rl FROM r GROUP BY doc_id, rid)
+SELECT a.doc_id, CAST(len(a.ids) AS BIGINT) AS n_tok,
+       CAST(COALESCE(COUNT(c.rl), 0) AS BIGINT) AS n_runs,
+       CAST(COALESCE(MAX(c.rl), 0) AS BIGINT) AS max_run
+FROM arr a LEFT JOIN c USING (doc_id)
+GROUP BY a.doc_id, a.ids ORDER BY a.doc_id
 """
 
 PREFIX_DUP_ORACLE = _TOKEN_GRAMS_CTES + """,
@@ -3788,6 +3819,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": BLOOM_DECONTAMINATE_ORACLE,
         "dedup_token_spans": DUP_SPANS_ORACLE,
         "prefix_dup_docs": PREFIX_DUP_ORACLE,
+        "token_run_stats": TOKEN_RUNS_ORACLE,
         "dedup_token_spans_removed": REMOVE_SPANS_ORACLE,
         "token_pair_topk": TOKEN_PAIRS_ORACLE,
         "bm25_topk": BM25_ORACLE,

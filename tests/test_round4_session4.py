@@ -342,3 +342,34 @@ class TestPrefixDupGroups:
     def test_no_dups(self, ray_session):
         out = self._run(["a", "b"], [[1, 2, 3], [4, 5, 6]], k=3)
         assert len(out) == 0
+
+
+class TestTokenRunStats:
+    def _run(self, ids, toks):
+        import ray.data as rd
+
+        from verify_ray.pipelines.spans import token_run_stats
+
+        t = pa.table({"doc_id": pa.array(ids, type=pa.string()),
+                      "tokens": pa.array(toks,
+                                         type=pa.list_(pa.int32()))})
+        out = token_run_stats(rd.from_arrow(t))
+        return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def test_runs(self, ray_session):
+        out = self._run(
+            ["a", "b", "c", "d", "e"],
+            [[7, 7, 7, 1, 1], [1, 2, 3], [], [5], [2, 2, 9, 2, 2, 2]])
+        assert out.n_tok.tolist() == [5, 3, 0, 1, 6]
+        assert out.n_runs.tolist() == [2, 3, 0, 1, 3]
+        assert out.max_run.tolist() == [3, 1, 0, 1, 3]
+
+    def test_runs_never_span_rows(self, ray_session):
+        # row boundary splits a would-be run of 4s
+        out = self._run(["a", "b"], [[4, 4], [4, 4, 4]])
+        assert out.max_run.tolist() == [2, 3]
+
+    def test_null_token_array_is_empty(self, ray_session):
+        out = self._run(["a", "b"], [None, [1, 1]])
+        assert out.n_tok.tolist() == [0, 2]
+        assert out.max_run.tolist() == [0, 2]

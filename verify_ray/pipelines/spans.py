@@ -309,3 +309,58 @@ def prefix_dup_groups(seqs_ds, k: int = 16, token_col: str = "tokens",
     edged = seqs_ds.map_batches(edge, batch_format="pyarrow")
     return grouped_exchange_ds(edged, "bucket", num_buckets, groups,
                                empty_schema=out_schema)
+
+
+def token_run_stats(seqs_ds, token_col: str = "tokens",
+                    id_col: str = "doc_id"):
+    """Per-document constant-token RUN statistics — the degenerate-
+    repetition detector (a sequence like ``... 7 7 7 7 7 ...`` is a
+    decode-loop or boilerplate artifact that per-doc dedup never
+    sees).  Emits (doc_id, n_tok, n_runs, max_run): the number of
+    maximal equal-value runs and the longest run's length.
+
+    Pure streaming map — no shuffle, no state: each batch computes run
+    boundaries over the flattened token buffer (row-major, so runs
+    never span rows) with one diff + two reduceat passes.  Zero-length
+    token arrays yield n_runs = 0, max_run = 0; null token arrays are
+    treated as empty.
+    """
+
+    def stats(b: pa.Table) -> pa.Table:
+        if token_col not in b.column_names:
+            return pa.table({"doc_id": pa.array([], type=pa.string()),
+                             "n_tok": pa.array([], type=pa.int64()),
+                             "n_runs": pa.array([], type=pa.int64()),
+                             "max_run": pa.array([], type=pa.int64())})
+        toks = as_array(b[token_col])
+        n = b.num_rows
+        lengths = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = pc.cast(as_array(b[id_col]), pa.string())
+        n_runs = np.zeros(n, dtype=np.int64)
+        max_run = np.zeros(n, dtype=np.int64)
+        flat = pc.cast(as_array(pc.list_flatten(toks)),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        if len(flat):
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            boundary = np.ones(len(flat), dtype=bool)
+            boundary[1:] = ((flat[1:] != flat[:-1])
+                            | (parents[1:] != parents[:-1]))
+            bidx = np.flatnonzero(boundary)
+            run_len = np.diff(np.append(bidx, len(flat)))
+            run_row = parents[bidx]
+            # runs are row-major: reduceat per row over the run arrays
+            row_first_run = np.ones(len(run_row), dtype=bool)
+            row_first_run[1:] = run_row[1:] != run_row[:-1]
+            rstart = np.flatnonzero(row_first_run)
+            rows_present = run_row[rstart]
+            n_runs[rows_present] = np.diff(
+                np.append(rstart, len(run_row)))
+            max_run[rows_present] = np.maximum.reduceat(run_len, rstart)
+        return pa.table({"doc_id": ids,
+                         "n_tok": pa.array(lengths),
+                         "n_runs": pa.array(n_runs),
+                         "max_run": pa.array(max_run)})
+
+    return seqs_ds.map_batches(stats, batch_format="pyarrow")
