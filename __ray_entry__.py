@@ -969,6 +969,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df.astype({"n_tok": "int64", "n_removed": "int64",
                           "token_sum": "int64"})
 
+    def source_jaccard_q(sf):
+        # exact pairwise token-set Jaccard between sources (integer
+        # n_common/n_union): distinct (token, source) map-side, one
+        # token-keyed exchange, slice-pair partials to the driver
+        from verify_ray.pipelines.contamination import source_jaccard
+        from verify_ray.pipelines.tokenize import tokenize_documents
+
+        docs = _read(sf, "documents", columns=["doc_id", "text", "source"])
+        return source_jaccard(tokenize_documents(docs, concurrency=2))
+
     def token_runs_q(sf):
         # per-doc constant-token run stats (decode-loop detector):
         # pure streaming map, no shuffle
@@ -2086,6 +2096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_token_spans": dedup_token_spans_q,
         "prefix_dup_docs": prefix_dups_q,
         "token_run_stats": token_runs_q,
+        "source_token_jaccard": source_jaccard_q,
         "dedup_token_spans_removed": remove_spans_q,
         "token_pair_topk": token_pairs_q,
         "bm25_topk": bm25_q,
@@ -2800,6 +2811,28 @@ SELECT doc_id, CAST(MIN(st) - 1 AS BIGINT) AS span_start,
        CAST(COUNT(*) AS BIGINT) AS n_windows
 FROM sp GROUP BY doc_id, sid
 ORDER BY doc_id, span_start
+"""
+
+SOURCE_JACCARD_ORACLE = f"""
+WITH words AS (
+  SELECT source,
+         unnest(regexp_split_to_array({_TRIMMED}, '\\s+')) AS w
+  FROM documents
+), tok AS (
+  SELECT DISTINCT source, {_TOKEN_ID} AS token FROM words
+), sz AS (
+  SELECT source, COUNT(*) AS n FROM tok GROUP BY source
+), pr AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT pr.source_a, pr.source_b, CAST(pr.n_common AS BIGINT) AS n_common,
+       CAST(sa.n + sb.n - pr.n_common AS BIGINT) AS n_union
+FROM pr JOIN sz sa ON sa.source = pr.source_a
+        JOIN sz sb ON sb.source = pr.source_b
+ORDER BY source_a, source_b
 """
 
 TOKEN_RUNS_ORACLE = _TOKEN_GRAMS_CTES + """,
@@ -3820,6 +3853,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_token_spans": DUP_SPANS_ORACLE,
         "prefix_dup_docs": PREFIX_DUP_ORACLE,
         "token_run_stats": TOKEN_RUNS_ORACLE,
+        "source_token_jaccard": SOURCE_JACCARD_ORACLE,
         "dedup_token_spans_removed": REMOVE_SPANS_ORACLE,
         "token_pair_topk": TOKEN_PAIRS_ORACLE,
         "bm25_topk": BM25_ORACLE,

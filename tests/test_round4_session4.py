@@ -373,3 +373,34 @@ class TestTokenRunStats:
         out = self._run(["a", "b"], [None, [1, 1]])
         assert out.n_tok.tolist() == [0, 2]
         assert out.max_run.tolist() == [0, 2]
+
+
+class TestSourceJaccard:
+    def test_exact_sets(self, ray_session):
+        import ray.data as rd
+
+        from verify_ray.pipelines.contamination import source_jaccard
+
+        t = pa.table({
+            "source": ["A", "A", "B", "C"],
+            "tokens": pa.array([[1, 2, 3], [3, 4], [2, 3, 9], [100]],
+                               type=pa.list_(pa.int32()))})
+        out = source_jaccard(rd.from_arrow(t).repartition(2).materialize())
+        # A={1,2,3,4} B={2,3,9} C={100}: only (A,B) share tokens
+        assert out.source_a.tolist() == ["A"]
+        assert out.source_b.tolist() == ["B"]
+        assert out.n_common.tolist() == [2]
+        assert out.n_union.tolist() == [5]
+
+    def test_duplicate_tokens_counted_once(self, ray_session):
+        import ray.data as rd
+
+        from verify_ray.pipelines.contamination import source_jaccard
+
+        t = pa.table({
+            "source": ["A", "B", "B"],
+            "tokens": pa.array([[5, 5, 5], [5], [5, 5]],
+                               type=pa.list_(pa.int32()))})
+        out = source_jaccard(rd.from_arrow(t).materialize())
+        assert out.n_common.tolist() == [1]
+        assert out.n_union.tolist() == [1]

@@ -333,3 +333,112 @@ def source_overlap(docs_ds, n: int = 3, text_col: str = "text",
           .sum().rename(columns={"c": "n_shared"}))
     return (df.sort_values(["src_a", "src_b"]).reset_index(drop=True)
             .astype({"n_shared": "int64"}))
+
+
+def source_jaccard(seqs_ds, group_col: str = "source",
+                   token_col: str = "tokens",
+                   num_buckets: int = 32):
+    """Exact pairwise token-SET Jaccard between corpus slices
+    (sources, shards, epochs) — the vocabulary-overlap audit behind
+    mixture design and leak triage, as integers: one row per slice
+    pair with ``n_common = |A ∩ B|`` and ``n_union = |A ∪ B|``
+    (callers divide; no float leaves the engine).
+
+    Scale shape: each batch flattens to DISTINCT (token, slice) pairs
+    map-side, ONE token-keyed hash exchange co-locates each token's
+    slice set (global dedup happens in the bucket, so per-slice
+    distinct-token counts sum exactly from bucket partials), and each
+    bucket enumerates canonical slice pairs per token with the
+    repeat/arange pattern — the driver sees slice-pair partials only
+    (slices² rows), never tokens.  Slice pairs sharing no token are
+    omitted.  Rows with a null slice drop; null tokens cannot occur
+    (list flatten).
+    """
+    import pandas as pd
+
+    from ..stages.exchange import grouped_exchange
+
+    SEP = "\x1f"
+
+    def tag(b: pa.Table) -> pa.Table:
+        empty = pa.table({"t": pa.array([], type=pa.int64()),
+                          "g": pa.array([], type=pa.string()),
+                          "bucket": pa.array([], type=pa.uint64())})
+        if token_col not in b.column_names:
+            return empty
+        b = b.filter(pc.is_valid(b[group_col]))
+        toks = as_array(b[token_col])
+        flat = pc.cast(as_array(pc.list_flatten(toks)),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        if not len(flat):
+            return empty
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = pc.cast(b[group_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(str)[parents]
+        order = np.lexsort((g, flat))
+        ts, gs = flat[order], g[order]
+        keep = np.ones(len(ts), dtype=bool)
+        keep[1:] = (ts[1:] != ts[:-1]) | (gs[1:] != gs[:-1])
+        ts, gs = ts[keep], gs[keep]
+        import pandas as _pd
+        h = _pd.util.hash_array(ts)
+        return pa.table({
+            "t": pa.array(ts), "g": pa.array(gs, type=pa.string()),
+            "bucket": pa.array(h % np.uint64(num_buckets),
+                               type=pa.uint64())})
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        tk = t.column("t").to_numpy(zero_copy_only=False)
+        g = t.column("g").to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((g, tk))
+        ts, gs = tk[order], g[order]
+        keep = np.ones(len(ts), dtype=bool)
+        keep[1:] = (ts[1:] != ts[:-1]) | (gs[1:] != gs[:-1])
+        ts, gs = ts[keep], gs[keep]
+        # per-slice distinct-token counts (exact: token-keyed routing
+        # means each (token, slice) deduped exactly once, here)
+        su, sc = np.unique(gs, return_counts=True)
+        # canonical slice pairs per token (gs sorted within each ts)
+        first = np.ones(len(ts), dtype=bool)
+        first[1:] = ts[1:] != ts[:-1]
+        start = np.flatnonzero(first)
+        cnt = np.diff(np.append(start, len(ts)))
+        cnt_row = np.repeat(cnt, cnt)
+        pos = np.arange(len(ts)) - np.repeat(start, cnt)
+        n_after = cnt_row - 1 - pos
+        total = int(n_after.sum())
+        if total:
+            a_idx = np.repeat(np.arange(len(ts)), n_after)
+            csum = np.concatenate(([0], np.cumsum(n_after)))
+            b_idx = a_idx + 1 + (np.arange(total) - csum[a_idx])
+            pair_key = np.char.add(np.char.add(gs[a_idx], SEP), gs[b_idx])
+            pu, pn = np.unique(pair_key, return_counts=True)
+        else:
+            pu = np.empty(0, dtype=str)
+            pn = np.empty(0, dtype=np.int64)
+        return pa.table({
+            "kind": pa.array(["s"] * len(su) + ["p"] * len(pu)),
+            "key": pa.array(np.concatenate((su, pu)).astype(object),
+                            type=pa.string()),
+            "cnt": pa.array(np.concatenate((sc, pn)).astype(np.int64))})
+
+    out = grouped_exchange(seqs_ds.map_batches(tag, batch_format="pyarrow"),
+                           "bucket", num_buckets, bucket_pairs)
+    cols = ["source_a", "source_b", "n_common", "n_union"]
+    if out is None or out.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64" if c.startswith("n")
+                                          else "string") for c in cols})
+    df = (out.to_pandas().groupby(["kind", "key"], as_index=False)["cnt"]
+          .sum())
+    sizes = dict(zip(df[df.kind == "s"].key, df[df.kind == "s"].cnt))
+    pairs = df[df.kind == "p"]
+    ab = pairs.key.str.split(SEP, expand=True)
+    res = pd.DataFrame({
+        "source_a": ab[0], "source_b": ab[1],
+        "n_common": pairs.cnt.to_numpy(np.int64)})
+    res["n_union"] = (res.source_a.map(sizes).to_numpy(np.int64)
+                      + res.source_b.map(sizes).to_numpy(np.int64)
+                      - res.n_common)
+    return (res.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
