@@ -1192,6 +1192,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values("id")
                 .reset_index(drop=True))
 
+    def gap_audit_q(sf):
+        # continuity audit: per-user inter-arrival gaps exceeding 2h —
+        # keyed_scan (one exchange) composed with a streaming filter;
+        # the missing-data twin of events_late_arrivals
+        from verify_ray.pipelines.rolling import keyed_scan
+
+        ev = _read(sf, "events", columns=["event_id", "user_id", "ts"])
+        out = keyed_scan(ev, "user_id", "ts", "event_id", "event_id",
+                         num_buckets=16)
+        def big_gaps(b):
+            if "gap_us" not in b.column_names:
+                return b
+            m = pc.and_(pc.is_valid(b["gap_us"]),
+                        pc.greater(b["gap_us"], 7_200_000_000))
+            return b.filter(pc.fill_null(m, False))
+
+        df = out.map_batches(big_gaps, batch_format="pyarrow").to_pandas()
+        if len(df) == 0:
+            return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                 "key": pd.Series(dtype="int64"),
+                                 "gap_us": pd.Series(dtype="int64")})
+        return (df[["id", "key", "gap_us"]].sort_values("id")
+                .reset_index(drop=True))
+
     def langid_confusion_q(sf):
         # model-quality confusion matrix as a pure 3-op composition:
         # lang_id (actor pool) -> hash_join back to the true lang ->
@@ -2133,6 +2157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_dedup": tumbling_dedup_q,
         "zone_pruned_lookup": zone_pruned_q,
         "events_keyed_scan": keyed_scan_q,
+        "events_gap_audit": gap_audit_q,
         "graph_pagerank": pagerank_q,
         "fuzzy_join_titles": fuzzy_join_q,
         "events_rolling_distinct": rolling_distinct_q,
@@ -3926,6 +3951,18 @@ WITH l AS (SELECT doc_id AS lid, lower(substr(text, 1, 40)) AS lk
 SELECT lid, rid, inter, uni FROM j
 WHERE uni > 0 AND inter * 1000 >= 700 * uni
 ORDER BY lid, rid
+        """,
+        "events_gap_audit": """
+            WITH s AS (
+              SELECT event_id AS id, user_id AS "key",
+                     CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                          AS BIGINT) AS gap_us
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT id, "key", gap_us FROM s
+            WHERE gap_us > 7200000000 ORDER BY id
         """,
         "events_keyed_scan": """
             SELECT event_id AS id, user_id AS "key",
