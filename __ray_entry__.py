@@ -197,6 +197,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values("doc_id").reset_index(drop=True)
                 .astype({"doc_id": "int64", "n_chars": "int64"}))
 
+    def kmv_distinct_users(sf):
+        # KMV distinct sketch (k smallest md5 hashes per group): the
+        # register is pinned exactly by the oracle (fill, kth member,
+        # checksum); the float estimator column is pytest-checked and
+        # dropped here
+        out = analytics.kmv_distinct(
+            _read(sf, "events", columns=["event_type", "user_id"]),
+            "event_type", "user_id", k=64)
+        return out.drop(columns=["est"])
+
     def events_mode_type(sf):
         # exact per-group mode (dominant event type per user): per-block
         # Arrow group_by partials, ONE group-keyed hash exchange, one
@@ -2090,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mad_by_lang": mad_q,
         "events_user_stats": events_user_stats,
         "events_mode_type": events_mode_type,
+        "kmv_distinct_users": kmv_distinct_users,
         "docs_outlier_chars": docs_outlier_chars,
         "events_coverage": events_coverage,
         "stats_by_lang_source": stats_by_lang_source,
@@ -3611,6 +3622,23 @@ def oracle_sql() -> dict[str, str]:
               AND (tc.n*d.n_chars > tc.S + tc.T
                    OR tc.n*d.n_chars < tc.S - tc.T)
             ORDER BY d.doc_id
+        """,
+        "kmv_distinct_users": """
+            WITH h AS (SELECT DISTINCT event_type,
+                              md5_number_upper(CAST(user_id AS VARCHAR))
+                                AS hv
+                       FROM events
+                       WHERE event_type IS NOT NULL
+                         AND user_id IS NOT NULL),
+            r AS (SELECT event_type, hv,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY hv) AS rn
+                  FROM h),
+            reg AS (SELECT event_type, hv FROM r WHERE rn <= 64)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_reg,
+                   CAST(MAX(hv) AS VARCHAR) AS kth_hash,
+                   CAST(SUM(hv % 1000000007) AS BIGINT) AS reg_checksum
+            FROM reg GROUP BY event_type ORDER BY event_type
         """,
         "events_mode_type": """
             SELECT CAST(user_id AS VARCHAR) AS user_id,

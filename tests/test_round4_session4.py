@@ -404,3 +404,45 @@ class TestSourceJaccard:
         out = source_jaccard(rd.from_arrow(t).materialize())
         assert out.n_common.tolist() == [1]
         assert out.n_union.tolist() == [1]
+
+
+class TestKMVDistinct:
+    def _run(self, rows, k=4, nblocks=1):
+        import ray.data as rd
+
+        from verify_ray.pipelines.analytics import kmv_distinct
+
+        ds = rd.from_arrow(pa.table(rows))
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        return kmv_distinct(ds.materialize(), "g", "v", k=k)
+
+    def test_exact_below_k(self, ray_session):
+        out = self._run({"g": ["a"] * 6, "v": [1, 2, 3, 1, 2, 1]}, k=10)
+        assert out.n_reg.tolist() == [3]
+        assert out.est.tolist() == [3]  # exact while register not full
+
+    def test_merge_invariance(self, ray_session):
+        rows = {"g": ["a", "b"] * 200,
+                "v": [i % 37 for i in range(400)]}
+        one = self._run(rows, k=8, nblocks=1)
+        six = self._run(rows, k=8, nblocks=6)
+        assert one.equals(six)
+        assert (one.n_reg == 8).all()  # register full at 37 distinct
+
+    def test_estimator_accuracy(self, ray_session):
+        n = 5000
+        out = self._run({"g": ["a"] * n, "v": list(range(n))}, k=256)
+        est = out.est.iloc[0]
+        assert abs(est - n) / n < 0.2  # ~1/sqrt(k) relative error
+
+    def test_register_is_k_smallest(self, ray_session):
+        from verify_ray.functions.hashing import md5_u64le
+
+        vals = list(range(100))
+        out = self._run({"g": ["a"] * 100, "v": vals}, k=5)
+        h = sorted(int(x) for x in
+                   md5_u64le(pa.array([str(v) for v in vals])))
+        assert out.kth_hash.iloc[0] == str(h[4])
+        assert out.reg_checksum.iloc[0] == sum(x % 1_000_000_007
+                                               for x in h[:5])

@@ -852,6 +852,103 @@ def grouped_count_distinct(ds, group_col: str, value_col: str,
             .reset_index(drop=True))
 
 
+def kmv_distinct(ds, group_col: str, value_col: str, k: int = 64,
+                 num_buckets: int = 32) -> pd.DataFrame:
+    """Per-group K-Minimum-Values distinct-count sketch — the
+    mergeable alternative to ``approx_count_distinct``'s HLL whose
+    whole state is trivially SQL-restatable: the register is literally
+    the ``k`` smallest DISTINCT ``md5_number_upper(value)`` hashes
+    (DuckDB: ``ROW_NUMBER() OVER (ORDER BY hash) <= k``).
+
+    Returns one row per group: ``n_reg`` (register fill — the exact
+    distinct count while < k), ``kth_hash`` (the largest register
+    member as a decimal string; u64 doesn't fit BIGINT), and
+    ``reg_checksum`` (Σ h mod 1e9+7 over the register — pins the whole
+    register), all oracle-comparable; plus ``est``, the standard KMV
+    estimator ``(k-1) * 2^64 / kth`` as int64 (exact count when the
+    register isn't full), float math excluded from SQL comparison —
+    drop it in oracle-checked queries, accuracy is pytest-checked.
+
+    Scale shape: each batch reduces to its k smallest distinct
+    (group, hash) pairs (sketch-sized partials), ONE group-keyed
+    exchange merges registers (dedup + k smallest) and emits one row
+    per group.  Register merge across epochs is the same union+cap —
+    the W3 mergeable-sketch contract.  Null groups/values drop.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    MOD = np.uint64(1_000_000_007)
+
+    def _per_group_k_smallest(g: np.ndarray, h: np.ndarray):
+        order = np.lexsort((h, g))
+        gs, hs = g[order], h[order]
+        keep = np.ones(len(gs), dtype=bool)
+        keep[1:] = (gs[1:] != gs[:-1]) | (hs[1:] != hs[:-1])
+        gs, hs = gs[keep], hs[keep]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        start = np.flatnonzero(first)
+        cnt = np.diff(np.append(start, len(gs)))
+        pos = np.arange(len(gs)) - np.repeat(start, cnt)
+        cap = pos < k
+        return gs[cap], hs[cap]
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"g": pa.array([], type=pa.string()),
+                          "h": pa.array([], type=pa.uint64()),
+                          "bucket": pa.array([], type=pa.uint64())})
+        if b.num_rows == 0 or group_col not in b.column_names:
+            return empty
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[value_col])))
+        if b.num_rows == 0:
+            return empty
+        g = pc.cast(b[group_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        h = md5_u64le(pc.cast(b[value_col], pa.string()))
+        gs, hs = _per_group_k_smallest(g, h)
+        garr = pa.array(gs, type=pa.string())
+        return pa.table({"g": garr,
+                         "h": pa.array(hs, type=pa.uint64()),
+                         "bucket": pa.array(md5_u64le(garr),
+                                            type=pa.uint64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False).astype(object)
+        h = t.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        gs, hs = _per_group_k_smallest(g, h)
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        start = np.flatnonzero(first)
+        n_reg = np.diff(np.append(start, len(gs))).astype(np.int64)
+        kth = np.maximum.reduceat(hs, start)  # register max per group
+        csum = np.add.reduceat((hs % MOD).astype(np.int64), start)
+        full = n_reg >= k
+        with np.errstate(divide="ignore"):
+            est = np.where(
+                full,
+                ((k - 1) * np.float64(2.0 ** 64)
+                 / np.maximum(kth.astype(np.float64), 1.0)).astype(np.int64),
+                n_reg)
+        return pa.table({
+            "g": pa.array(gs[start], type=pa.string()),
+            "n_reg": pa.array(n_reg),
+            "kth_hash": pa.array([str(int(x)) for x in kth],
+                                 type=pa.string()),
+            "reg_checksum": pa.array(csum),
+            "est": pa.array(est.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    res = grouped_exchange(parts, "bucket", num_buckets, merge)
+    cols = {group_col: "string", "n_reg": "int64", "kth_hash": "string",
+            "reg_checksum": "int64", "est": "int64"}
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype=d) for c, d in cols.items()})
+    df = res.to_pandas().rename(columns={"g": group_col})
+    return df.sort_values(group_col).reset_index(drop=True)
+
+
 def zscore_outliers(ds, group_col: str, value_col: str, id_col: str,
                     k: int = 3,
                     partial_budget: int = GROUP_PARTIAL_BUDGET):
