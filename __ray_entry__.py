@@ -197,6 +197,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values("doc_id").reset_index(drop=True)
                 .astype({"doc_id": "int64", "n_chars": "int64"}))
 
+    def docs_winsorized(sf):
+        # per-language winsorization at exact discrete [p5, p95]
+        # fences: quantile pass + broadcast fences + streaming clamp
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "lang", "n_chars"]).materialize()
+        out = analytics.winsorize(docs, "lang", "n_chars", "doc_id")
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True)
+                .astype({"doc_id": "int64", "n_chars_w": "int64"}))
+
     def kmv_distinct_users(sf):
         # KMV distinct sketch (k smallest md5 hashes per group): the
         # register is pinned exactly by the oracle (fill, kth member,
@@ -2100,6 +2110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mad_by_lang": mad_q,
         "events_user_stats": events_user_stats,
         "events_mode_type": events_mode_type,
+        "docs_winsorized": docs_winsorized,
         "kmv_distinct_users": kmv_distinct_users,
         "docs_outlier_chars": docs_outlier_chars,
         "events_coverage": events_coverage,
@@ -3621,6 +3632,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.n_chars IS NOT NULL
               AND (tc.n*d.n_chars > tc.S + tc.T
                    OR tc.n*d.n_chars < tc.S - tc.T)
+            ORDER BY d.doc_id
+        """,
+        "docs_winsorized": """
+            WITH f AS (SELECT lang,
+                              quantile_disc(n_chars, 0.05) AS lo,
+                              quantile_disc(n_chars, 0.95) AS hi
+                       FROM documents
+                       WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+                       GROUP BY lang)
+            SELECT d.doc_id, d.lang,
+                   CAST(LEAST(GREATEST(d.n_chars, f.lo), f.hi)
+                        AS BIGINT) AS n_chars_w
+            FROM documents d JOIN f ON d.lang = f.lang
+            WHERE d.n_chars IS NOT NULL
             ORDER BY d.doc_id
         """,
         "kmv_distinct_users": """

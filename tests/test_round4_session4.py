@@ -446,3 +446,32 @@ class TestKMVDistinct:
         assert out.kth_hash.iloc[0] == str(h[4])
         assert out.reg_checksum.iloc[0] == sum(x % 1_000_000_007
                                                for x in h[:5])
+
+
+class TestWinsorize:
+    def test_clamps_to_discrete_fences(self, ray_session):
+        import ray.data as rd
+
+        from verify_ray.pipelines.analytics import winsorize
+
+        # 20 values 1..20 in one group: q05 -> index ceil(.05*20)-1 = 0
+        # (value 1), q95 -> index ceil(.95*20)-1 = 18 (value 19)
+        t = pa.table({"id": list(range(20)), "g": ["a"] * 20,
+                      "v": list(range(1, 21))})
+        out = (winsorize(rd.from_arrow(t).materialize(), "g", "v", "id")
+               .to_pandas().sort_values("id"))
+        assert out.v_w.max() == 19  # 20 clamped down
+        assert out.v_w.min() == 1
+        assert out.v_w.tolist()[:3] == [1, 2, 3]  # interior untouched
+
+    def test_null_rows_omitted_groups_isolated(self, ray_session):
+        import ray.data as rd
+
+        from verify_ray.pipelines.analytics import winsorize
+
+        t = pa.table({"id": [1, 2, 3, 4],
+                      "g": ["a", "a", None, "b"],
+                      "v": [5, None, 7, 9]})
+        out = (winsorize(rd.from_arrow(t).materialize(), "g", "v", "id")
+               .to_pandas().sort_values("id"))
+        assert out.id.tolist() == [1, 4]

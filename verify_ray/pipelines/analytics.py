@@ -546,6 +546,59 @@ def grouped_exact_quantiles(ds, group_col: str, value_col: str,
             .reset_index(drop=True))
 
 
+def winsorize(ds, group_col: str, value_col: str, id_col: str,
+              q_lo: float = 0.05, q_hi: float = 0.95):
+    """Per-group winsorization — clamp values to the group's exact
+    discrete [q_lo, q_hi] quantiles (outlier capping before feature
+    scaling / mixture weighting).  Clamping only compares and copies,
+    so the result is exact for any comparable dtype; the fences are
+    ``quantile_disc`` members of the data (``grouped_exact_quantiles``
+    contract), never interpolated floats.
+
+    Two passes: a value-count quantile pass fixes per-group fences
+    (group-cardinality-sized, broadcast as two sorted arrays), then a
+    streaming clamp pass emits (id, group, value_w).  ``ds`` is
+    consumed twice — pass a materialized-or-rescannable dataset.
+    Rows with a null group or value are NOT winsorized and are
+    omitted (filter or fill upstream); null groups likewise.
+    """
+    q = grouped_exact_quantiles(ds, group_col, value_col, qs=(q_lo, q_hi))
+    q = q[q[group_col].notna()]
+    qc_lo = f"q{int(round(q_lo * 100))}"
+    qc_hi = f"q{int(round(q_hi * 100))}"
+    out_name = f"{value_col}_w"
+
+    G = np.asarray(q[group_col].astype(str), dtype=object)
+    order = np.argsort(G)
+    G = G[order]
+    LO = q[qc_lo].to_numpy()[order]
+    HI = q[qc_hi].to_numpy()[order]
+
+    def clamp(b: pa.Table) -> pa.Table:
+        if group_col not in b.column_names:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             group_col: pa.array([], type=pa.string()),
+                             out_name: pa.array([], type=pa.int64())})
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[value_col])))
+        g = pc.cast(b[group_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        if len(G):
+            idx = np.minimum(np.searchsorted(G, g), len(G) - 1)
+            known = G[idx] == g
+        else:
+            idx = np.zeros(len(g), dtype=np.int64)
+            known = np.zeros(len(g), dtype=bool)
+        sel = pa.array(np.flatnonzero(known))
+        vk = np.clip(v[known], LO[idx[known]], HI[idx[known]])
+        return pa.table({id_col: b[id_col].take(sel),
+                         group_col: b[group_col].take(sel),
+                         out_name: pa.array(vk)})
+
+    return ds.map_batches(clamp, batch_format="pyarrow")
+
+
 def hopping_window_events(ds, width_hours: int = 24, slide_hours: int = 6,
                           ts_col: str = "ts", value_col: str = "value"
                           ) -> pd.DataFrame:
