@@ -197,6 +197,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values("doc_id").reset_index(drop=True)
                 .astype({"doc_id": "int64", "n_chars": "int64"}))
 
+    def global_decile_q(sf):
+        # corpus-wide NTILE(10) with no global sort: global_rank's
+        # value-count offsets + an arithmetic tile map
+        from verify_ray.pipelines.select import global_ntile
+
+        docs = _read(sf, "documents", columns=["doc_id", "n_chars"])
+        out = global_ntile(docs, "n_chars", "doc_id", 10,
+                           values=["doc_id", "n_chars"], num_buckets=16)
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
     def docs_winsorized(sf):
         # per-language winsorization at exact discrete [p5, p95]
         # fences: quantile pass + broadcast fences + streaming clamp
@@ -2110,6 +2121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mad_by_lang": mad_q,
         "events_user_stats": events_user_stats,
         "events_mode_type": events_mode_type,
+        "docs_global_decile": global_decile_q,
         "docs_winsorized": docs_winsorized,
         "kmv_distinct_users": kmv_distinct_users,
         "docs_outlier_chars": docs_outlier_chars,
@@ -3633,6 +3645,14 @@ def oracle_sql() -> dict[str, str]:
               AND (tc.n*d.n_chars > tc.S + tc.T
                    OR tc.n*d.n_chars < tc.S - tc.T)
             ORDER BY d.doc_id
+        """,
+        "docs_global_decile": """
+            SELECT doc_id, n_chars,
+                   CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS tile
+            FROM documents
+            WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+            ORDER BY doc_id
         """,
         "docs_winsorized": """
             WITH f AS (SELECT lang,

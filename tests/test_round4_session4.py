@@ -475,3 +475,26 @@ class TestWinsorize:
         out = (winsorize(rd.from_arrow(t).materialize(), "g", "v", "id")
                .to_pandas().sort_values("id"))
         assert out.id.tolist() == [1, 4]
+
+
+class TestGlobalNtile:
+    def _run(self, n_rows, n_tiles):
+        import ray.data as rd
+
+        from verify_ray.pipelines.select import global_ntile
+
+        t = pa.table({"id": list(range(n_rows)),
+                      "s": [i % 7 for i in range(n_rows)]})
+        out = global_ntile(rd.from_arrow(t).repartition(3), "s", "id",
+                           n_tiles, values=["id", "s"], num_buckets=8)
+        return out.to_pandas().sort_values("id").reset_index(drop=True)
+
+    def test_sql_tile_rule(self, ray_session):
+        # m=10, n=3: sizes 4,3,3 under (s, id) order
+        out = self._run(10, 3)
+        sizes = out.tile.value_counts().sort_index().tolist()
+        assert sizes == [4, 3, 3]
+
+    def test_more_tiles_than_rows(self, ray_session):
+        out = self._run(3, 10)
+        assert sorted(out.tile.tolist()) == [1, 2, 3]

@@ -819,3 +819,44 @@ def grouped_ntile(ds, group_cols: list[str], n_tiles: int,
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return grouped_exchange_ds(tagged, "__b", num_buckets, tile_fn,
                                empty_schema=out_schema)
+
+
+def global_ntile(ds, score_col: str, id_col: str, n_tiles: int,
+                 values: list[str], num_buckets: int = 64):
+    """Corpus-wide NTILE — every row's equal-height tile 1..n under
+    (score asc, id asc), with NO global sort and no single-task group:
+    SQL ``NTILE(n) OVER (ORDER BY score, id)``.  Composes
+    ``global_rank`` (value-count base offsets + score-keyed exchange)
+    with a streaming arithmetic tile map — the SQL tile-size rule
+    (first ``m % n`` tiles hold ``m // n + 1`` rows) makes the tile a
+    pure function of (rank, m), so unlike a constant-group
+    ``grouped_ntile`` nothing ever concentrates in one task.
+
+    Same null scope as ``global_rank``: rows with a null score or id
+    drop.  Output: ``values...`` + ``tile`` (int64).
+    """
+    ranked = global_rank(ds, score_col, id_col,
+                         values=values, num_buckets=num_buckets)
+    ranked = ranked.materialize()  # counted, then streamed
+    m = ranked.count()
+    big = m % n_tiles            # tiles 1..big hold sz+1 rows
+    sz = m // n_tiles
+    cut = big * (sz + 1)         # 0-based rank where small tiles start
+
+    def tile(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "rank" not in b.column_names:
+            return b
+        r0 = pc.subtract(pc.cast(b["rank"], pa.int64()), 1).to_numpy(
+            zero_copy_only=False)
+        if sz == 0:
+            t = r0 + 1  # n > m: one row per tile
+        else:
+            t = np.where(r0 < cut,
+                         r0 // (sz + 1) + 1,
+                         big + (r0 - cut) // sz + 1)
+        out = b.drop_columns(["rank"])
+        return out.append_column("tile", pa.array(t.astype(np.int64)))
+
+    return ranked.map_batches(tile, batch_format="pyarrow")
