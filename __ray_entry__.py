@@ -197,6 +197,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values("doc_id").reset_index(drop=True)
                 .astype({"doc_id": "int64", "n_chars": "int64"}))
 
+    def events_freshness(sf):
+        # freshness audit: per event-type last-seen timestamp vs a
+        # fixed watermark — map-side max partials, driver merge
+        # (enum-cardinality key), integer microseconds
+        WATERMARK_US = 1_704_153_600_000_000  # 2024-01-02T00:00:00Z
+
+        def partial(b):
+            b = b.filter(pc.and_(pc.is_valid(b["event_type"]),
+                                 pc.is_valid(b["ts"])))
+            t = pa.table({
+                "event_type": b["event_type"],
+                "ts_us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                                 pa.int64())})
+            return pa.TableGroupBy(t, ["event_type"]).aggregate(
+                [("ts_us", "max")])
+
+        parts = _read(sf, "events", columns=["event_type", "ts"]) \
+            .map_batches(partial, batch_format="pyarrow")
+        df = analytics._merge_partials(parts, ["event_type"],
+                                       {"ts_us_max": "max"})
+        df = df.rename(columns={"ts_us_max": "last_seen_us"})
+        df["stale"] = (df.last_seen_us < WATERMARK_US).astype("int64")
+        df["last_seen_us"] = df.last_seen_us.astype("int64")
+        return (df.sort_values("event_type").reset_index(drop=True)
+                [["event_type", "last_seen_us", "stale"]])
+
     def global_decile_q(sf):
         # corpus-wide NTILE(10) with no global sort: global_rank's
         # value-count offsets + an arithmetic tile map
@@ -2121,6 +2147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mad_by_lang": mad_q,
         "events_user_stats": events_user_stats,
         "events_mode_type": events_mode_type,
+        "events_freshness": events_freshness,
         "docs_global_decile": global_decile_q,
         "docs_winsorized": docs_winsorized,
         "kmv_distinct_users": kmv_distinct_users,
@@ -3645,6 +3672,15 @@ def oracle_sql() -> dict[str, str]:
               AND (tc.n*d.n_chars > tc.S + tc.T
                    OR tc.n*d.n_chars < tc.S - tc.T)
             ORDER BY d.doc_id
+        """,
+        "events_freshness": """
+            SELECT event_type,
+                   CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us,
+                   CAST(CASE WHEN MAX(epoch_us(ts)) < 1704153600000000
+                             THEN 1 ELSE 0 END AS BIGINT) AS stale
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
         """,
         "docs_global_decile": """
             SELECT doc_id, n_chars,
