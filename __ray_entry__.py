@@ -197,6 +197,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values("doc_id").reset_index(drop=True)
                 .astype({"doc_id": "int64", "n_chars": "int64"}))
 
+    def dedup_normalized_q(sf):
+        # near-exact dedup: canonical normalization (lower, strip
+        # punctuation, collapse whitespace) then exact grouping — the
+        # casing/punctuation-perturbed-copy detector raw md5 misses.
+        # Copies planted by construction: every 10th doc re-enters
+        # uppercased with a '!!' suffix, which normalization erases
+        from verify_ray.pipelines.text import normalize_texts
+
+        def perturb(b):
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            sel = b.filter(pa.array(ids % 10 == 0))
+            up = pc.utf8_upper(sel["text"])
+            t2 = pc.binary_join_element_wise(
+                up, pa.array([" !!"] * sel.num_rows), "")
+            twin = pa.table({"doc_id": pc.add(sel["doc_id"], 2_000_000),
+                             "text": t2})
+            return pa.concat_tables(
+                [b.select(["doc_id", "text"]), twin])
+
+        union = _read(sf, "documents",
+                      columns=["doc_id", "text"]).map_batches(
+            perturb, batch_format="pyarrow")
+        groups = dedup.exact_dedup_groups(normalize_texts(union),
+                                          content_col="text_norm")
+        df = groups.to_pandas()
+        df = df[df.n >= 2]
+        return (df.sort_values("content_hash").reset_index(drop=True)
+                .astype({"keep_id": "int64", "n": "int64"}))
+
     def events_freshness(sf):
         # freshness audit: per event-type last-seen timestamp vs a
         # fixed watermark — map-side max partials, driver merge
@@ -2147,6 +2176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mad_by_lang": mad_q,
         "events_user_stats": events_user_stats,
         "events_mode_type": events_mode_type,
+        "dedup_normalized": dedup_normalized_q,
         "events_freshness": events_freshness,
         "docs_global_decile": global_decile_q,
         "docs_winsorized": docs_winsorized,
@@ -3672,6 +3702,23 @@ def oracle_sql() -> dict[str, str]:
               AND (tc.n*d.n_chars > tc.S + tc.T
                    OR tc.n*d.n_chars < tc.S - tc.T)
             ORDER BY d.doc_id
+        """,
+        "dedup_normalized": """
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000, upper(text) || ' !!'
+              FROM documents WHERE doc_id % 10 = 0),
+            norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9\\s]+', ' ', 'g'),
+                          '\\s+', ' ', 'g')) AS tn
+              FROM docs2)
+            SELECT md5(tn) AS content_hash, MIN(doc_id) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM norm GROUP BY md5(tn) HAVING COUNT(*) >= 2
+            ORDER BY content_hash
         """,
         "events_freshness": """
             SELECT event_type,
