@@ -197,6 +197,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values("doc_id").reset_index(drop=True)
                 .astype({"doc_id": "int64", "n_chars": "int64"}))
 
+    def bucketed_join_q(sf):
+        # storage-partitioned join: orders and customer written ONCE
+        # as aligned hash-bucketed layouts (fingerprint-cached in
+        # /tmp), then joined per bucket pair with NO exchange at join
+        # time — the write-once/join-every-epoch pattern
+        import hashlib
+        import os
+
+        from verify_ray.pipelines.joins import bucketed_join, write_bucketed
+
+        src = f"{sf}/orders.parquet"
+        fp = (f"bucketed-v1:{src}:{os.path.getsize(src)}"
+              f":{os.path.getmtime(src)}")
+        root = ("/tmp/verify_ray_bucketed/"
+                + hashlib.md5(fp.encode()).hexdigest()[:12])
+        dl, dr = f"{root}/orders", f"{root}/customer"
+        if not os.path.exists(f"{dr}/_meta.json"):
+            write_bucketed(
+                _read(sf, "orders", columns=["o_orderkey", "o_custkey",
+                                             "o_totalprice"]),
+                "o_custkey", 16, dl)
+            write_bucketed(
+                _read(sf, "customer", columns=["c_custkey", "c_mktsegment"]),
+                "c_custkey", 16, dr)
+        out = bucketed_join(dl, dr, "o_custkey",
+                            ["o_orderkey", "o_custkey", "o_totalprice"],
+                            ["c_mktsegment"], right_key="c_custkey",
+                            how="left")
+        df = out.to_pandas()
+        return (df.sort_values("o_orderkey").reset_index(drop=True)
+                .astype({"o_orderkey": "int64", "o_custkey": "int64"}))
+
     def dedup_normalized_q(sf):
         # near-exact dedup: canonical normalization (lower, strip
         # punctuation, collapse whitespace) then exact grouping — the
@@ -2176,6 +2208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mad_by_lang": mad_q,
         "events_user_stats": events_user_stats,
         "events_mode_type": events_mode_type,
+        "bucketed_join_orders": bucketed_join_q,
         "dedup_normalized": dedup_normalized_q,
         "events_freshness": events_freshness,
         "docs_global_decile": global_decile_q,
@@ -3702,6 +3735,13 @@ def oracle_sql() -> dict[str, str]:
               AND (tc.n*d.n_chars > tc.S + tc.T
                    OR tc.n*d.n_chars < tc.S - tc.T)
             ORDER BY d.doc_id
+        """,
+        "bucketed_join_orders": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+                   c.c_mktsegment
+            FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_orderkey
         """,
         "dedup_normalized": """
             WITH docs2 AS (

@@ -498,3 +498,55 @@ class TestGlobalNtile:
     def test_more_tiles_than_rows(self, ray_session):
         out = self._run(3, 10)
         assert sorted(out.tile.tolist()) == [1, 2, 3]
+
+
+class TestBucketedJoin:
+    @pytest.fixture()
+    def layouts(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        rng = np.random.RandomState(11)
+        left = pa.table({
+            "k": [int(x) if x >= 0 else None
+                  for x in rng.randint(-1, 30, 200)],
+            "lv": list(range(200))})
+        right = pa.table({
+            "k": [int(x) if x >= 0 else None
+                  for x in rng.randint(-1, 25, 150)],
+            "rv": [i * 10 for i in range(150)]})
+        from verify_ray.pipelines.joins import write_bucketed
+
+        dl, dr = str(tmp_path / "L"), str(tmp_path / "R")
+        ml = write_bucketed(rd.from_arrow(left).repartition(4), "k", 8, dl)
+        mr = write_bucketed(rd.from_arrow(right).repartition(3), "k", 8, dr)
+        assert ml.rows.sum() == 200 and mr.rows.sum() == 150
+        return left, right, dl, dr
+
+    @pytest.mark.parametrize("how", ["inner", "left", "right", "full",
+                                     "semi", "anti"])
+    def test_matches_hash_join(self, layouts, how):
+        import ray.data as rd
+
+        from verify_ray.pipelines.joins import bucketed_join, hash_join
+
+        left, right, dl, dr = layouts
+        rvals = [] if how in ("semi", "anti") else ["rv"]
+        got = bucketed_join(dl, dr, "k", ["k", "lv"], rvals,
+                            how=how).to_pandas()
+        want = hash_join(rd.from_arrow(left), rd.from_arrow(right), "k",
+                         ["k", "lv"], rvals, how=how).to_pandas()
+        cols = list(want.columns)
+        got = got.sort_values(cols).reset_index(drop=True)
+        want = want.sort_values(cols).reset_index(drop=True)
+        assert got.equals(want), how
+
+    def test_mismatched_layouts_rejected(self, layouts, tmp_path):
+        import ray.data as rd
+
+        from verify_ray.pipelines.joins import bucketed_join, write_bucketed
+
+        left, right, dl, dr = layouts
+        d2 = str(tmp_path / "R2")
+        write_bucketed(rd.from_arrow(right), "k", 4, d2)  # wrong B
+        with pytest.raises(ValueError, match="bucket counts differ"):
+            bucketed_join(dl, d2, "k", ["k", "lv"], ["rv"])

@@ -201,6 +201,21 @@ def hash_join(left_ds, right_ds, key: str | list[str],
         [(c, l_types[c]) for c in left_values]
         + [(c, r_types[c]) for c in right_values])
 
+    merge = _equi_merge(how, left_values, right_values, l_types,
+                        r_types, out_schema)
+
+    return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
+                               empty_schema=out_schema)
+
+
+def _equi_merge(how: str, left_values: list[str], right_values: list[str],
+                l_types: dict, r_types: dict, out_schema: pa.Schema):
+    """Local equi-join kernel over a tagged table (columns ``__side``
+    1=left/0=right, ``__k`` join key, plus the projected value columns
+    null-filled on the other side) — the merge step shared by
+    ``hash_join`` (one row set per exchange bucket) and
+    ``bucketed_join`` (one row set per aligned storage bucket)."""
+
     def merge(t: pa.Table) -> pa.Table:
         side = t.column("__side").to_numpy(zero_copy_only=False)
         k_col = t.column("__k")
@@ -279,8 +294,7 @@ def hash_join(left_ds, right_ds, key: str | list[str],
             return None
         return pa.concat_tables(parts)
 
-    return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
-                               empty_schema=out_schema)
+    return merge
 
 
 def range_join(point_ds, interval_ds, key: str, point_ts: str,
@@ -865,3 +879,159 @@ def band_join(left_ds, right_ds, key: str, left_ts: str, right_ts: str,
                       "__bstart", "__bend", left_values, right_values,
                       right_key=rkey, max_span=2 * delta_us,
                       num_buckets=num_buckets)
+
+
+def write_bucketed(ds, key: str, num_buckets: int, out_dir: str):
+    """Hash-bucketed parquet layout — write once, join many times.
+
+    Rows route to ``bucket=<i>/part-0.parquet`` by the SAME
+    join-compatible key hash ``hash_join`` uses (raw value for int64
+    keys, md5_u64le of the string form otherwise — ``_key_arrays``),
+    so two layouts written with equal ``num_buckets`` and key kinds
+    are join-ALIGNED: ``bucketed_join`` reads bucket pairs directly
+    and needs no exchange at join time — the storage-partitioned-join
+    pattern for dimension/fact tables joined every epoch.  Null-key
+    rows flow with the fill sentinel's bucket so outer modes still
+    surface them.  A ``_meta.json`` (num_buckets, key kind) and a
+    0-row ``_schema.parquet`` make the layout self-describing; empty
+    buckets write no file.  Returns a manifest DataFrame
+    (bucket, rows, path).
+    """
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..stages.exchange import grouped_exchange
+
+    schema = ds.schema()
+    ktype = dict(zip(schema.names, schema.types))[key]
+    kind = "int" if pa.types.is_integer(ktype) else "str"
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(pa.schema(
+        [(n, t) for n, t in zip(schema.names, schema.types)]
+    ).empty_table(), f"{out_dir}/_schema.parquet")
+    with open(f"{out_dir}/_meta.json", "w") as f:
+        json.dump({"num_buckets": num_buckets, "key": key,
+                   "key_kind": kind}, f)
+
+    def tag(b: pa.Table) -> pa.Table:
+        _, bk = _key_arrays(b[key])
+        return b.append_column(
+            "__b", pa.array(bk, type=pa.uint64()))
+
+    def write_bucket(t: pa.Table) -> pa.Table:
+        bid = int(t.column("__b")[0].as_py() % num_buckets)
+        body = t.drop_columns(["__b"])
+        d = f"{out_dir}/bucket={bid:05d}"
+        os.makedirs(d, exist_ok=True)
+        path = f"{d}/part-0.parquet"
+        pq.write_table(body, path)
+        return pa.table({"bucket": pa.array([bid], type=pa.int64()),
+                         "rows": pa.array([body.num_rows],
+                                          type=pa.int64()),
+                         "path": pa.array([path], type=pa.string())})
+
+    res = grouped_exchange(ds.map_batches(tag, batch_format="pyarrow"),
+                           "__b", num_buckets, write_bucket,
+                           drop_bucket=False)
+    if res is None:
+        return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                             "rows": pd.Series(dtype="int64"),
+                             "path": pd.Series(dtype="string")})
+    return (res.to_pandas().sort_values("bucket")
+            .reset_index(drop=True))
+
+
+def bucketed_join(dir_left: str, dir_right: str, key: str,
+                  left_values: list[str], right_values: list[str],
+                  right_key: str | None = None, how: str = "inner"):
+    """Equi-join two ``write_bucketed`` layouts WITHOUT an exchange:
+    bucket ``i`` of the left joins bucket ``i`` of the right in one
+    Ray task (aligned storage partitioning — both layouts must have
+    been written with the same ``num_buckets`` and key kind, which is
+    validated from their ``_meta.json``).  Same semantics as
+    ``hash_join`` (shared ``_equi_merge`` kernel): inner | left |
+    right | full | semi | anti, SQL null-key behavior.
+
+    Raw ``ray.remote`` per bucket pair is justified here (SURVEY
+    §2.6): the Dataset API cannot express two-source aligned bucket
+    reads; each task reads exactly two files and streams its result
+    ref into the returned Dataset.
+    """
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    with open(f"{dir_left}/_meta.json") as f:
+        lmeta = json.load(f)
+    with open(f"{dir_right}/_meta.json") as f:
+        rmeta = json.load(f)
+    if lmeta["num_buckets"] != rmeta["num_buckets"]:
+        raise ValueError(
+            f"bucket counts differ: {lmeta['num_buckets']} vs "
+            f"{rmeta['num_buckets']} — rewrite one layout")
+    if lmeta["key_kind"] != rmeta["key_kind"]:
+        raise ValueError(
+            f"key kinds differ ({lmeta['key_kind']} vs "
+            f"{rmeta['key_kind']}): int and string keys hash "
+            "differently — cast one side before writing")
+    if how in ("semi", "anti") and right_values:
+        raise ValueError("semi/anti joins emit left columns only — "
+                         "pass right_values=[]")
+    B = int(lmeta["num_buckets"])
+    lkey = key
+    rkey = right_key or key
+    l_schema = pq.read_schema(f"{dir_left}/_schema.parquet")
+    r_schema = pq.read_schema(f"{dir_right}/_schema.parquet")
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    clash = set(left_values) & set(right_values)
+    if clash:
+        raise ValueError(f"left/right output columns collide: {clash}")
+    key_type = (pa.int64() if lmeta["key_kind"] == "int" else pa.string())
+    out_schema = pa.schema(
+        [(c, l_types[c]) for c in left_values]
+        + [(c, r_types[c]) for c in right_values])
+    merge = _equi_merge(how, left_values, right_values, l_types,
+                        r_types, out_schema)
+
+    def _tagged(t: pa.Table, is_left: bool) -> pa.Table:
+        n = t.num_rows
+        cols = {"__k": pc.cast(as_array(t[lkey if is_left else rkey]),
+                               key_type),
+                "__side": pa.array(
+                    np.full(n, np.int8(1 if is_left else 0)))}
+        for c in left_values:
+            cols[c] = t[c] if is_left else pa.nulls(n, l_types[c])
+        for c in right_values:
+            cols[c] = pa.nulls(n, r_types[c]) if is_left else t[c]
+        return pa.table(cols)
+
+    @ray.remote
+    def join_bucket(lp, rp):
+        lt = pq.read_table(lp) if lp else l_schema.empty_table()
+        rt = pq.read_table(rp) if rp else r_schema.empty_table()
+        tagged = pa.concat_tables(
+            [_tagged(lt, True), _tagged(rt, False)])
+        if tagged.num_rows == 0:
+            return out_schema.empty_table()
+        out = merge(tagged)
+        return out if out is not None else out_schema.empty_table()
+
+    refs = []
+    for i in range(B):
+        lp = f"{dir_left}/bucket={i:05d}/part-0.parquet"
+        rp = f"{dir_right}/bucket={i:05d}/part-0.parquet"
+        lp = lp if os.path.exists(lp) else None
+        rp = rp if os.path.exists(rp) else None
+        if lp is None and rp is None:
+            continue
+        refs.append(join_bucket.remote(lp, rp))
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+    return rd.from_arrow_refs(refs)
