@@ -137,7 +137,14 @@ def bench_queries() -> dict[str, float]:
              "docs_mad_by_lang", "band_join_click_purchase",
              "docs_checksum_by_source", "lineitem_corr_stats",
              "events_late_arrivals", "copurchase_triangles",
-             "docs_edit_distance_pairs", "events_resample_daily"]
+             "docs_edit_distance_pairs", "events_resample_daily",
+             "validate_cross_column", "events_mode_type",
+             "docs_outlier_chars", "events_coverage",
+             "prefix_dup_docs", "token_run_stats",
+             "source_token_jaccard", "events_gap_audit",
+             "kmv_distinct_users", "docs_winsorized",
+             "docs_global_decile", "events_freshness",
+             "dedup_normalized", "bucketed_join_orders"]
     out = {}
     for name in names:
         t0 = time.time()
