@@ -197,6 +197,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values("doc_id").reset_index(drop=True)
                 .astype({"doc_id": "int64", "n_chars": "int64"}))
 
+    def checksum_diff_shards_q(sf):
+        # anti-entropy repair LOCALIZATION: per-bucket order-
+        # insensitive checksums of two table versions; only buckets
+        # whose checksums differ (the ones holding mutated rows) need
+        # a row-level diff — a Merkle-style narrowing pass
+        from verify_ray.functions.hashing import md5_u64le
+        from verify_ray.pipelines.diff import table_checksum
+
+        def with_bucket(b):
+            bkt = (md5_u64le(pc.cast(b["o_orderkey"], pa.string()))
+                   % np.uint64(64)).astype(np.int64)
+            return b.append_column("bucket", pa.array(bkt))
+
+        def mutate(b):
+            ids = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            st = b["o_orderstatus"].to_numpy(
+                zero_copy_only=False).astype(object)
+            st[ids % 997 == 0] = "X"
+            return pa.table({"o_orderkey": b["o_orderkey"],
+                             "o_orderstatus": pa.array(st,
+                                                       type=pa.string()),
+                             "bucket": b["bucket"]})
+
+        base = _read(sf, "orders",
+                     columns=["o_orderkey", "o_orderstatus"]).map_batches(
+            with_bucket, batch_format="pyarrow").materialize()
+        a = table_checksum(base, ["o_orderkey", "o_orderstatus"],
+                           group_col="bucket")
+        b2 = table_checksum(
+            base.map_batches(mutate, batch_format="pyarrow"),
+            ["o_orderkey", "o_orderstatus"], group_col="bucket")
+        m = a.merge(b2, on="bucket", suffixes=("_a", "_b"))
+        m = m[m.checksum_a != m.checksum_b]
+        out = m[["bucket", "checksum_a", "checksum_b"]].copy()
+        out["bucket"] = out.bucket.astype("int64")
+        return out.sort_values("bucket").reset_index(drop=True)
+
     def bucketed_join_q(sf):
         # storage-partitioned join: orders and customer written ONCE
         # as aligned hash-bucketed layouts (fingerprint-cached in
@@ -2208,6 +2245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mad_by_lang": mad_q,
         "events_user_stats": events_user_stats,
         "events_mode_type": events_mode_type,
+        "checksum_diff_shards": checksum_diff_shards_q,
         "bucketed_join_orders": bucketed_join_q,
         "dedup_normalized": dedup_normalized_q,
         "events_freshness": events_freshness,
@@ -3735,6 +3773,48 @@ def oracle_sql() -> dict[str, str]:
               AND (tc.n*d.n_chars > tc.S + tc.T
                    OR tc.n*d.n_chars < tc.S - tc.T)
             ORDER BY d.doc_id
+        """,
+        "checksum_diff_shards": """
+            WITH base AS (
+              SELECT o_orderkey, o_orderstatus,
+                     md5_number_upper(CAST(o_orderkey AS VARCHAR)) % 64
+                       AS bucket
+              FROM orders),
+            mut AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 997 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     bucket
+              FROM base),
+            ca AS (
+              SELECT bucket,
+                     CAST(SUM(md5_number_upper(concat(
+                       CASE WHEN o_orderkey IS NULL THEN '1' ELSE '0' END,
+                       chr(30), COALESCE(CAST(o_orderkey AS VARCHAR), ''),
+                       chr(31),
+                       CASE WHEN o_orderstatus IS NULL THEN '1'
+                            ELSE '0' END,
+                       chr(30), COALESCE(o_orderstatus, '')))
+                       % 1099511627776) % 2305843009213693952 AS BIGINT)
+                       AS checksum_a
+              FROM base GROUP BY bucket),
+            cb AS (
+              SELECT bucket,
+                     CAST(SUM(md5_number_upper(concat(
+                       CASE WHEN o_orderkey IS NULL THEN '1' ELSE '0' END,
+                       chr(30), COALESCE(CAST(o_orderkey AS VARCHAR), ''),
+                       chr(31),
+                       CASE WHEN o_orderstatus IS NULL THEN '1'
+                            ELSE '0' END,
+                       chr(30), COALESCE(o_orderstatus, '')))
+                       % 1099511627776) % 2305843009213693952 AS BIGINT)
+                       AS checksum_b
+              FROM mut GROUP BY bucket)
+            SELECT CAST(ca.bucket AS BIGINT) AS bucket,
+                   ca.checksum_a, cb.checksum_b
+            FROM ca JOIN cb USING (bucket)
+            WHERE ca.checksum_a != cb.checksum_b
+            ORDER BY bucket
         """,
         "bucketed_join_orders": """
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,

@@ -144,7 +144,8 @@ def bench_queries() -> dict[str, float]:
              "source_token_jaccard", "events_gap_audit",
              "kmv_distinct_users", "docs_winsorized",
              "docs_global_decile", "events_freshness",
-             "dedup_normalized", "bucketed_join_orders"]
+             "dedup_normalized", "bucketed_join_orders",
+             "checksum_diff_shards"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -113,3 +113,67 @@ def audit_shards(out_dir: str, fingerprint: str = "") -> dict:
              else stale).append(key)
     return {"committed": ok, "stale_or_partial": stale,
             "total_rows": sum(read_marker(out_dir, k)["rows"] for k in ok)}
+
+
+def compact_shards(in_dir: str, out_dir: str, target_rows: int = 1_000_000,
+                   pattern: str = "*.parquet") -> dict:
+    """Small-file compaction — rewrite a directory of many small
+    parquet files into ~``target_rows``-row shards (the maintenance
+    pass every long-running partitioned sink needs: thousands of tiny
+    per-checkpoint files destroy read parallelism economics).
+
+    Planning touches FOOTERS only (row counts; zero data bytes): input
+    files sort by name and greedily pack whole-file spans into shards,
+    so the plan is deterministic and the same inputs always produce
+    the same layout.  Each shard is then written by ONE Ray task
+    reading only its own span; a ``_shard-NNNNN.done`` marker (input
+    span + row count, ``_``-prefixed so Arrow dataset reads of the
+    output directory skip it) per shard makes re-runs SKIP finished
+    shards — the same crash-resume contract as ``write_sharded``.
+    Returns ``{shards, written, skipped, total_rows}``.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    files = sorted(_glob.glob(os.path.join(in_dir, pattern)))
+    os.makedirs(out_dir, exist_ok=True)
+    counts = [_pq.read_metadata(f).num_rows for f in files]
+    # greedy whole-file packing: close a shard once it reaches target
+    spans, cur, cur_rows = [], [], 0
+    for f, n in zip(files, counts):
+        cur.append(f)
+        cur_rows += n
+        if cur_rows >= target_rows:
+            spans.append((cur, cur_rows))
+            cur, cur_rows = [], 0
+    if cur:
+        spans.append((cur, cur_rows))
+
+    @ray.remote
+    def write_shard(idx: int, span: list, n_rows: int) -> int:
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        path = os.path.join(out_dir, f"shard-{idx:05d}.parquet")
+        t = _pa.concat_tables([_pq.read_table(f) for f in span])
+        _pq.write_table(t, path)
+        with open(os.path.join(out_dir, f"_shard-{idx:05d}.done"),
+                  "w") as fh:
+            json.dump({"inputs": [os.path.basename(f) for f in span],
+                       "rows": n_rows}, fh)
+        return n_rows
+
+    written, skipped, refs = [], [], []
+    for i, (span, n_rows) in enumerate(spans):
+        marker = os.path.join(out_dir, f"_shard-{i:05d}.done")
+        if os.path.exists(marker):
+            skipped.append(i)
+            continue
+        written.append(i)
+        refs.append(write_shard.remote(i, span, n_rows))
+    ray.get(refs)
+    return {"shards": len(spans), "written": written,
+            "skipped": skipped,
+            "total_rows": int(sum(n for _, n in spans))}
