@@ -234,6 +234,211 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["bucket"] = out.bucket.astype("int64")
         return out.sort_values("bucket").reset_index(drop=True)
 
+    def interval_overlap_q(sf):
+        # interval×interval overlap join: per-user click attention
+        # windows [ts, ts+30min] vs view windows [ts, ts+20min] —
+        # the session-co-presence join (asof/range/band complete the
+        # temporal family; this is the last member)
+        from verify_ray.pipelines.joins import interval_join
+
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id", "event_type", "ts"])
+
+        def widen(et, idname, span_us):
+            def f(b: pa.Table) -> pa.Table:
+                b = b.filter(pc.equal(b["event_type"], et))
+                t = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                            pa.int64())
+                return pa.table({
+                    idname: b["event_id"], "user_id": b["user_id"],
+                    "w_start": t,
+                    "w_end": pc.add(t, np.int64(span_us))})
+            return f
+
+        clicks = ev.map_batches(widen("click", "click_id",
+                                      1_800_000_000),
+                                batch_format="pyarrow")
+        views = ev.map_batches(widen("view", "view_id", 1_200_000_000),
+                               batch_format="pyarrow")
+        out = interval_join(
+            clicks, views, "user_id", "w_start", "w_end",
+            "w_start", "w_end", ["click_id", "user_id"], ["view_id"],
+            max_right_span=1_200_000_000, num_buckets=32).to_pandas()
+        return (out.sort_values(["click_id", "view_id"])
+                .reset_index(drop=True))
+
+    def merge_upsert_q(sf):
+        # CDC MERGE: a deterministic changelog (every 7th key updates
+        # its status to 'U' at version 1 then 'W' at version 2 — the
+        # later version must win; every 11th key deletes) applied to
+        # the orders snapshot in ONE exchange
+        from verify_ray.pipelines.joins import merge_upsert
+
+        base = _read(sf, "orders",
+                     columns=["o_orderkey", "o_orderstatus"])
+
+        def mk_delta(b: pa.Table) -> pa.Table:
+            ids = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            up = ids % 7 == 0
+            de = ids % 11 == 0
+            sel = up | de
+            ids = ids[sel]
+            de = de[sel]
+            # deleted keys emit one 'd' row; updated keys emit TWO
+            # upsert versions (1: 'U', 2: 'W') — replay must keep 'W'
+            k = np.concatenate([ids, ids[~de]])
+            op = np.concatenate([np.where(de, "d", "u"),
+                                 np.full((~de).sum(), "u")])
+            st = np.concatenate([np.where(de, None, "U"),
+                                 np.full((~de).sum(), "W")])
+            ver = np.concatenate([np.ones(len(ids), np.int64),
+                                  np.full((~de).sum(), 2, np.int64)])
+            return pa.table({"o_orderkey": pa.array(k, pa.int64()),
+                             "o_orderstatus": pa.array(st, pa.string()),
+                             "op": pa.array(op, pa.string()),
+                             "ver": pa.array(ver, pa.int64())})
+
+        delta = base.map_batches(mk_delta, batch_format="pyarrow")
+        out = merge_upsert(base, delta, ["o_orderkey"],
+                           ["o_orderstatus"], op_col="op",
+                           delta_version_col="ver",
+                           num_buckets=32).to_pandas()
+        return (out.sort_values("o_orderkey").reset_index(drop=True)
+                .astype({"o_orderkey": "int64"}))
+
+    def three_way_q(sf):
+        # git-style branch reconciliation: two deterministic edit sets
+        # diverge from the orders snapshot (ours: %13 delete / %19 'S'
+        # / %5 'A'; theirs: %17 delete / %19 'S' / %7 'B') and merge
+        # back surfacing true conflicts (delete-vs-edit and A-vs-B)
+        from verify_ray.pipelines.diff import three_way_merge
+
+        base = _read(sf, "orders",
+                     columns=["o_orderkey", "o_orderstatus"]
+                     ).materialize()
+
+        def mutate(dele, code):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b["o_orderkey"].to_numpy(zero_copy_only=False)
+                st = b["o_orderstatus"].to_numpy(
+                    zero_copy_only=False).astype(object)
+                st[ids % 19 == 0] = "S"
+                st[(ids % 19 != 0) & (ids % (5 if code == "A" else 7)
+                                      == 0)] = code
+                keep = ids % dele != 0
+                return pa.table({
+                    "o_orderkey": pa.array(ids[keep], pa.int64()),
+                    "o_orderstatus": pa.array(st[keep], pa.string())})
+            return f
+
+        ours = base.map_batches(mutate(13, "A"),
+                                batch_format="pyarrow").materialize()
+        theirs = base.map_batches(mutate(17, "B"),
+                                  batch_format="pyarrow").materialize()
+        out = three_way_merge(base, ours, theirs, "o_orderkey",
+                              ["o_orderstatus"],
+                              num_buckets=32).to_pandas()
+        return (out.sort_values("o_orderkey").reset_index(drop=True)
+                .astype({"o_orderkey": "int64"}))
+
+    def attribution_q(sf):
+        # last-touch attribution: each purchase -> the user's LATEST
+        # click at-or-before it within a 7-day window (asof backward +
+        # tolerance), unattributed purchases dropped
+        from verify_ray.pipelines.joins import asof_join
+
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id", "event_type", "ts"])
+
+        def pick(et, idname):
+            def f(b: pa.Table) -> pa.Table:
+                b = b.filter(pc.equal(b["event_type"], et))
+                return pa.table({idname: b["event_id"],
+                                 "user_id": b["user_id"], "ts": b["ts"]})
+            return f
+
+        buys = ev.map_batches(pick("purchase", "buy_id"),
+                              batch_format="pyarrow")
+        clicks = ev.map_batches(pick("click", "click_id"),
+                                batch_format="pyarrow")
+        ds = asof_join(buys, clicks, key="user_id", ts="ts",
+                       right_values=["click_id"],
+                       tiebreak="click_id", direction="backward",
+                       tolerance=7 * 86_400_000_000, num_buckets=32)
+        df = ds.to_pandas()
+        df = df[df.click_id.notna()][["buy_id", "user_id", "click_id"]]
+        return (df.sort_values("buy_id").reset_index(drop=True)
+                .astype({"buy_id": "int64", "user_id": "int64",
+                         "click_id": "int64"}))
+
+    def systematic_sample_q(sf):
+        # systematic (every-20th) sampling in corpus rank order —
+        # global_rank (no global sort) + arithmetic filter
+        from verify_ray.pipelines.select import global_rank
+
+        ranked = global_rank(
+            _read(sf, "documents", columns=["doc_id", "n_chars"]),
+            score_col="n_chars", id_col="doc_id")
+
+        def every_k(b: pa.Table) -> pa.Table:
+            if "rank" not in b.column_names:
+                return b
+            r = b["rank"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(r % 20 == 1))
+
+        out = ranked.map_batches(every_k,
+                                 batch_format="pyarrow").to_pandas()
+        return (out.sort_values("rank").reset_index(drop=True)
+                .astype({"doc_id": "int64", "rank": "int64"}))
+
+    def bloom_semi_q(sf):
+        # bloom-prefiltered semi join: lineitems of LARGE parts
+        # (p_size >= 45, ~12% of keys) — the broadcast is a 2B/key
+        # Bloom filter, the exact exchange ships only the ~12% of
+        # lineitem that survives the probe
+        from verify_ray.pipelines.joins import bloom_semi_join
+
+        li = _read(sf, "lineitem",
+                   columns=["l_orderkey", "l_linenumber", "l_partkey"]
+                   ).materialize()
+        big = _read(sf, "part", columns=["p_partkey", "p_size"],
+                    filter=(pc.field("p_size") >= 45)).map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["p_size"], 45)).select(["p_partkey"]),
+            batch_format="pyarrow").materialize()
+        out = bloom_semi_join(
+            li, big, "l_partkey",
+            ["l_orderkey", "l_linenumber", "l_partkey"],
+            right_key="p_partkey", num_buckets=32).to_pandas()
+        return (out.sort_values(["l_orderkey", "l_linenumber"])
+                .reset_index(drop=True)
+                .astype({"l_linenumber": "int64"}))
+
+    def weighted_sample_q(sf):
+        # length-proportional document sampling: P(keep) =
+        # min(1, n_chars/400), integer-exact md5 rule (reruns and the
+        # oracle pick the identical set)
+        from verify_ray.pipelines.sample import weighted_sample
+
+        ds = weighted_sample(
+            _read(sf, "documents", columns=["doc_id", "n_chars"]),
+            "n_chars", max_weight=400)
+        return (ds.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True)
+                .astype({"doc_id": "int64", "n_chars": "int64"}))
+
+    def pareto_q(sf):
+        # Pareto frontier (skyline): the documents no other strictly
+        # dominates maximizing n_chars, minimizing doc_id — "the first
+        # document to reach each record length"
+        from verify_ray.pipelines.select import pareto_frontier
+
+        out = pareto_frontier(
+            _read(sf, "documents", columns=["doc_id", "n_chars"]),
+            "n_chars", "doc_id", values=["doc_id", "n_chars"])
+        return (out.reset_index(drop=True)
+                .astype({"doc_id": "int64", "n_chars": "int64"}))
+
     def bucketed_join_q(sf):
         # storage-partitioned join: orders and customer written ONCE
         # as aligned hash-bucketed layouts (fingerprint-cached in
@@ -2246,6 +2451,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": events_user_stats,
         "events_mode_type": events_mode_type,
         "checksum_diff_shards": checksum_diff_shards_q,
+        "events_interval_overlap": interval_overlap_q,
+        "orders_merge_upsert": merge_upsert_q,
+        "orders_three_way": three_way_q,
+        "attribution_last_touch": attribution_q,
+        "docs_systematic_sample": systematic_sample_q,
+        "lineitem_bloom_semi": bloom_semi_q,
+        "docs_weighted_sample": weighted_sample_q,
+        "docs_pareto_frontier": pareto_q,
         "bucketed_join_orders": bucketed_join_q,
         "dedup_normalized": dedup_normalized_q,
         "events_freshness": events_freshness,
@@ -3815,6 +4028,115 @@ def oracle_sql() -> dict[str, str]:
             FROM ca JOIN cb USING (bucket)
             WHERE ca.checksum_a != cb.checksum_b
             ORDER BY bucket
+        """,
+        "events_interval_overlap": """
+            SELECT c.event_id AS click_id, c.user_id,
+                   v.event_id AS view_id
+            FROM events c JOIN events v
+              ON c.user_id = v.user_id
+             AND c.event_type = 'click' AND v.event_type = 'view'
+             AND epoch_us(CAST(c.ts AS TIMESTAMP))
+                 <= epoch_us(CAST(v.ts AS TIMESTAMP)) + 1200000000
+             AND epoch_us(CAST(v.ts AS TIMESTAMP))
+                 <= epoch_us(CAST(c.ts AS TIMESTAMP)) + 1800000000
+            WHERE c.user_id IS NOT NULL
+              AND c.ts IS NOT NULL AND v.ts IS NOT NULL
+            ORDER BY click_id, view_id
+        """,
+        "orders_merge_upsert": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'W'
+                        ELSE o_orderstatus END AS o_orderstatus
+            FROM orders
+            WHERE o_orderkey % 11 != 0
+            ORDER BY o_orderkey
+        """,
+        "orders_three_way": """
+            WITH b AS (SELECT o_orderkey k, o_orderstatus s FROM orders),
+            u AS (SELECT k, CASE WHEN k % 19 = 0 THEN 'S'
+                                 WHEN k % 5 = 0 THEN 'A'
+                                 ELSE s END AS s
+                  FROM b WHERE k % 13 != 0),
+            t AS (SELECT k, CASE WHEN k % 19 = 0 THEN 'S'
+                                 WHEN k % 7 = 0 THEN 'B'
+                                 ELSE s END AS s
+                  FROM b WHERE k % 17 != 0),
+            m AS (SELECT b.k, b.s sb, u.s su, t.s st,
+                         u.k IS NOT NULL eu, t.k IS NOT NULL et
+                  FROM b LEFT JOIN u ON b.k = u.k
+                         LEFT JOIN t ON b.k = t.k),
+            r AS (SELECT k, sb, su, st, eu, et,
+                         (NOT eu OR su != sb) AS ochg,
+                         (NOT et OR st != sb) AS tchg,
+                         ((NOT eu AND NOT et)
+                          OR (eu AND et AND su = st)) AS same
+                  FROM m)
+            SELECT k AS o_orderkey,
+                   CASE WHEN NOT ochg AND NOT tchg THEN sb
+                        WHEN ochg AND NOT tchg THEN su
+                        WHEN tchg AND NOT ochg THEN st
+                        WHEN same THEN su END AS o_orderstatus,
+                   CASE WHEN NOT ochg AND NOT tchg THEN 'base'
+                        WHEN ochg AND NOT tchg THEN 'ours'
+                        WHEN tchg AND NOT ochg THEN 'theirs'
+                        WHEN same THEN 'both'
+                        ELSE 'conflict' END AS status
+            FROM r
+            WHERE NOT ((ochg AND NOT tchg AND NOT eu)
+                    OR (tchg AND NOT ochg AND NOT et)
+                    OR (ochg AND tchg AND same AND NOT eu))
+            ORDER BY o_orderkey
+        """,
+        "attribution_last_touch": """
+            WITH b AS (SELECT event_id AS buy_id, user_id, ts
+                       FROM events WHERE event_type = 'purchase'),
+            j AS (SELECT b.buy_id, b.user_id,
+                         c.event_id AS click_id,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY b.buy_id
+                           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+                  FROM b JOIN events c
+                    ON c.user_id = b.user_id
+                   AND c.event_type = 'click'
+                   AND c.ts <= b.ts
+                   AND epoch_us(CAST(c.ts AS TIMESTAMP))
+                       >= epoch_us(CAST(b.ts AS TIMESTAMP))
+                          - 604800000000)
+            SELECT buy_id, user_id, click_id FROM j
+            WHERE rn = 1 ORDER BY buy_id
+        """,
+        "docs_systematic_sample": """
+            WITH r AS (
+              SELECT doc_id, n_chars,
+                     CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                          AS BIGINT) AS rank
+              FROM documents
+              WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL)
+            SELECT doc_id, n_chars, rank FROM r
+            WHERE rank % 20 = 1 ORDER BY rank
+        """,
+        "lineitem_bloom_semi": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+                     AS l_linenumber, l_partkey
+            FROM lineitem l
+            WHERE EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey
+                            AND p.p_size >= 45)
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "docs_weighted_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE (md5_number_upper(CAST(doc_id AS VARCHAR)) % 10000)
+                    * 400 < n_chars * 10000
+            ORDER BY doc_id
+        """,
+        "docs_pareto_frontier": """
+            SELECT a.doc_id, a.n_chars FROM documents a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents b
+              WHERE b.n_chars >= a.n_chars AND b.doc_id <= a.doc_id
+                AND (b.n_chars > a.n_chars OR b.doc_id < a.doc_id))
+            ORDER BY a.n_chars DESC, a.doc_id
         """,
         "bucketed_join_orders": """
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,

@@ -145,7 +145,11 @@ def bench_queries() -> dict[str, float]:
              "kmv_distinct_users", "docs_winsorized",
              "docs_global_decile", "events_freshness",
              "dedup_normalized", "bucketed_join_orders",
-             "checksum_diff_shards"]
+             "checksum_diff_shards", "events_interval_overlap",
+             "orders_merge_upsert", "lineitem_bloom_semi",
+             "docs_weighted_sample", "docs_pareto_frontier",
+             "orders_three_way", "attribution_last_touch",
+             "docs_systematic_sample"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -160,3 +160,125 @@ def table_checksum(ds, cols: list[str], group_col: str | None = None
     else:
         out = agg.drop(columns=["g"]).reset_index(drop=True)
     return out
+
+
+def three_way_merge(base_ds, ours_ds, theirs_ds, key_col: str,
+                    value_cols: list[str], num_buckets: int = 64):
+    """Git-style THREE-WAY merge of two divergent snapshots against a
+    common base — the branch-reconciliation primitive (two teams
+    curate a corpus from the same snapshot; merge both edit sets,
+    surfacing true conflicts instead of last-writer-wins).
+
+    Per key (unique within each input, the snapshot contract), a side
+    "changed" iff its content hash (md5 of the null-flagged
+    ``\\x1f``-joined ``value_cols``, the ``table_checksum`` row-string
+    convention) differs from base — absence counts as a delete.
+    Resolution: neither changed → ``base``; one side changed →
+    ``ours``/``theirs`` (its row wins; a winning delete emits
+    nothing); both changed identically (including both-deleted) →
+    ``both``; both changed differently → ``conflict`` (NULL values —
+    both versions are one hash lookup away, this operator's job is to
+    FIND them).  Adds on one side → that side; on both → ``both`` or
+    ``conflict`` by the same equality rule.
+
+    Output: Dataset of ``key_col`` (original type) + ``value_cols`` of
+    the winning side + ``status``.  Scale shape: all three inputs tag
+    (src, content-hash, payload) in one streaming pass and co-locate
+    through ONE hash exchange on the key; each bucket resolves its
+    keys independently (outer pandas merge over bucket-sized frames,
+    ``dataset_diff``'s idiom), and only surviving rows leave the task
+    — output-sized, nothing driver-resident.
+    """
+    from ..stages.exchange import grouped_exchange_ds
+
+    schema = base_ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    out_schema = pa.schema([(key_col, types[key_col])]
+                           + [(c, types[c]) for c in value_cols]
+                           + [("status", pa.string())])
+
+    def tag(src: int):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b[key_col]))
+            arr = None
+            for c in value_cols:
+                col = pc.cast(b[c], pa.string())
+                flag = pc.if_else(pc.is_null(col), pa.scalar("1"),
+                                  pa.scalar("0"))
+                s = pc.binary_join_element_wise(
+                    flag, pc.fill_null(col, ""), "\x1e")
+                arr = s if arr is None else pc.binary_join_element_wise(
+                    arr, s, "\x1f")
+            ids = pc.cast(b[key_col], pa.string())
+            cols = {"__b": pa.array(md5_u64le(ids), type=pa.uint64()),
+                    "__id": ids, "__h": md5_hex(arr),
+                    "__src": pa.array(
+                        np.full(b.num_rows, np.int8(src))),
+                    key_col: b[key_col]}
+            for c in value_cols:
+                cols[c] = b[c]
+            return pa.table(cols)
+        return f
+
+    tagged = (base_ds.map_batches(tag(0), batch_format="pyarrow")
+              .union(ours_ds.map_batches(tag(1), batch_format="pyarrow"))
+              .union(theirs_ds.map_batches(tag(2),
+                                           batch_format="pyarrow")))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "id": t.column("__id").to_numpy(zero_copy_only=False),
+            "h": t.column("__h").to_numpy(zero_copy_only=False),
+            "src": t.column("__src").to_numpy(zero_copy_only=False),
+            "row": np.arange(t.num_rows, dtype=np.int64)})
+        b = df[df.src == 0][["id", "h", "row"]]
+        o = df[df.src == 1][["id", "h", "row"]]
+        th = df[df.src == 2][["id", "h", "row"]]
+        m = (b.merge(o, on="id", how="outer", suffixes=("_b", "_o"))
+             .merge(th.rename(columns={"h": "h_t", "row": "row_t"}),
+                    on="id", how="outer"))
+        hb = m.h_b.where(m.h_b.notna(), "\x00DEL")
+        ho = m.h_o.where(m.h_o.notna(), "\x00DEL")
+        ht = m.h_t.where(m.h_t.notna(), "\x00DEL")
+        o_chg = (ho != hb).to_numpy()
+        t_chg = (ht != hb).to_numpy()
+        same = (ho == ht).to_numpy()
+        o_del = m.h_o.isna().to_numpy()
+        t_del = m.h_t.isna().to_numpy()
+        status = np.where(
+            ~o_chg & ~t_chg, "base",
+            np.where(o_chg & ~t_chg, "ours",
+                     np.where(~o_chg & t_chg, "theirs",
+                              np.where(same, "both", "conflict"))))
+        # winner's physical row (−1 = winning delete → no output row)
+        row_b = m.row_b.fillna(-1).to_numpy(np.int64)
+        row_o = m.row_o.fillna(-1).to_numpy(np.int64)
+        row_t = m.row_t.fillna(-1).to_numpy(np.int64)
+        win = np.select(
+            [status == "base", status == "ours", status == "theirs",
+             status == "both"],
+            [row_b, row_o, row_t, row_o], default=-1)
+        # conflicts always have >=1 physical row (both-deleted is
+        # 'both'); key/type comes from it, values go NULL
+        rep = np.where(row_o >= 0, row_o,
+                       np.where(row_t >= 0, row_t, row_b))
+        is_conf = status == "conflict"
+        keep = (win >= 0) | is_conf
+        # 'both'-status deletes: row_o = -1 and win = -1 -> dropped
+        win, rep, status = win[keep], rep[keep], status[keep]
+        is_conf = is_conf[keep]
+        # conflict rows point at a representative row for the KEY but
+        # null out the values (a -1 take index would be invalid)
+        safe = pa.array(np.where(is_conf, rep, win))
+        cols = {key_col: t.column(key_col).take(safe)}
+        conf_mask = pa.array(is_conf)
+        for c in value_cols:
+            v = t.column(c).take(safe)
+            cols[c] = pc.if_else(conf_mask,
+                                 pa.nulls(len(status), types[c]), v)
+        cols["status"] = pa.array(status.astype(object),
+                                  type=pa.string())
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_exchange_ds(tagged, "__b", num_buckets, resolve,
+                               empty_schema=out_schema)

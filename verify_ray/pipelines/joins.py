@@ -881,6 +881,307 @@ def band_join(left_ds, right_ds, key: str, left_ts: str, right_ts: str,
                       num_buckets=num_buckets)
 
 
+def interval_join(left_ds, right_ds, key: str, left_start: str,
+                  left_end: str, right_start: str, right_end: str,
+                  left_values: list[str], right_values: list[str],
+                  right_key: str | None = None,
+                  max_right_span: int | None = None,
+                  num_buckets: int = 64):
+    """Distributed interval OVERLAP join: every (left, right) pair with
+    equal keys whose closed intervals intersect —
+    ``l_start <= r_end AND r_start <= l_end`` (SQL's canonical overlap
+    predicate).  Completes the temporal-join family next to
+    ``asof_join`` (nearest one), ``range_join`` (point in interval)
+    and ``band_join`` (symmetric point window): this is the
+    interval×interval case (session↔session co-presence, downtime↔
+    deploy windows, ad-slot↔visit overlap).
+
+    Same ONE-hash-exchange shape as :func:`range_join`; per bucket the
+    right intervals sort once by (key, start) and each left interval's
+    candidate slice is ``r_start <= l_end`` (hi from one merged
+    lexsort via ``rank_into``), then candidates filter on
+    ``r_end >= l_start``.  Pass ``max_right_span`` (the max right
+    interval length, same units) to tighten ``lo`` to
+    ``r_start >= l_start − max_right_span`` so enumerated candidates
+    ≈ true pairs.  Null keys or bounds match nothing (SQL).  Output is
+    pair-sized; a hot key where everything overlaps everything is
+    quadratic — the query's property, not the operator's.
+    """
+    from ..stages.exchange import grouped_exchange_ds
+
+    l_schema, r_schema = left_ds.schema(), right_ds.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    clash = set(left_values) & set(right_values)
+    if clash:
+        raise ValueError(f"left/right output columns collide: {clash}")
+    rkey = right_key or key
+    key_type = (pa.int64() if pa.types.is_integer(l_types[key])
+                else pa.string())
+
+    def _tag(b: pa.Table, is_left: bool) -> pa.Table:
+        n = b.num_rows
+        k_arr, bk = _key_arrays(b[key if is_left else rkey])
+        s = _ts_i64(b[left_start if is_left else right_start])
+        e = _ts_i64(b[left_end if is_left else right_end])
+        cols = {"__b": pa.array(bk, type=pa.uint64()),
+                "__k": pc.cast(k_arr, key_type), "__s": s, "__e": e,
+                "__side": pa.array(np.full(n, np.int8(1 if is_left
+                                                      else 0)))}
+        for c in left_values:
+            cols[c] = b[c] if is_left else pa.nulls(n, l_types[c])
+        for c in right_values:
+            cols[c] = pa.nulls(n, r_types[c]) if is_left else b[c]
+        return pa.table(cols)
+
+    tagged = (left_ds.map_batches(lambda b: _tag(b, True),
+                                  batch_format="pyarrow")
+              .union(right_ds.map_batches(lambda b: _tag(b, False),
+                                          batch_format="pyarrow")))
+    out_schema = pa.schema(
+        [(c, l_types[c]) for c in left_values]
+        + [(c, r_types[c]) for c in right_values])
+
+    def merge(t: pa.Table) -> pa.Table:
+        good = pc.and_(pc.and_(pc.is_valid(t.column("__k")),
+                               pc.is_valid(t.column("__s"))),
+                       pc.is_valid(t.column("__e"))).to_numpy(
+                           zero_copy_only=False)
+        t = t.filter(pa.array(good))
+        if not t.num_rows:
+            return None
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        kv = t.column("__k").to_numpy(zero_copy_only=False)
+        _, codes = np.unique(kv, return_inverse=True)
+        sv = t.column("__s").to_numpy(zero_copy_only=False)
+        ev = t.column("__e").to_numpy(zero_copy_only=False)
+        rsel = np.flatnonzero(side == 0)
+        lsel = np.flatnonzero(side == 1)
+        if not len(rsel) or not len(lsel):
+            return None
+        rcode, rstart = codes[rsel], sv[rsel]
+        oi = np.lexsort((rstart, rcode))
+        rcode, rstart = rcode[oi], rstart[oi]
+        rend = ev[rsel][oi]
+        rorig = rsel[oi]
+        lcode, lstart, lend = codes[lsel], sv[lsel], ev[lsel]
+        nl = len(lsel)
+
+        # candidates: right intervals with r_start <= l_end
+        hi = rank_into(rcode, rstart, lcode, lend, queries_first=False)
+        if max_right_span is not None:
+            lo = rank_into(rcode, rstart, lcode,
+                           lstart - max_right_span, queries_first=True)
+        else:
+            lo = np.searchsorted(rcode, lcode, side="left")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return None
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rep = np.repeat(np.arange(nl), counts)
+        cand = np.arange(total) - np.repeat(first, counts) \
+            + np.repeat(lo, counts)
+        keep = rend[cand] >= lstart[rep]
+        cand, rep = cand[keep], rep[keep]
+        lidx = pa.array(lsel[rep])
+        ridx = pa.array(rorig[cand])
+        cols = {c: t.column(c).take(lidx) for c in left_values}
+        for c in right_values:
+            cols[c] = t.column(c).take(ridx)
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
+                               empty_schema=out_schema)
+
+
+def merge_upsert(base_ds, delta_ds, key_cols: list[str],
+                 values: list[str], op_col: str = "op",
+                 delta_version_col: str | None = None,
+                 num_buckets: int = 64):
+    """CDC changelog MERGE (SQL ``MERGE INTO`` / Delta-Lake upsert):
+    apply a changelog of upserts and deletes to a base snapshot and
+    return the new current table.
+
+    ``delta_ds`` must carry ``op_col`` with ``'u'`` (upsert: the row's
+    ``values`` replace the base row, or insert if the key is new) or
+    ``'d'`` (delete tombstone).  A delta row always beats the base row
+    of its key; multiple delta rows per key are ordered by
+    ``delta_version_col`` (int64/timestamp; required only when the
+    changelog can hold several rows per key — ties break by the
+    LARGEST version, ``latest_by_key``'s replay-deterministic rule).
+    Base keys are assumed unique (a snapshot).
+
+    Implementation is a composition, not a new exchange: both inputs
+    tag a source epoch (base=0, delta=1) into a shared schema, one
+    :func:`~verify_ray.pipelines.select.latest_by_key` pass keeps each
+    key's winner, and tombstone winners filter out.  Cost = ONE hash
+    exchange shipping only ``values`` — the same shape a 100 TB
+    compaction needs (nothing driver-resident, deletes never
+    materialize).
+    """
+    from .select import latest_by_key
+
+    b_schema = base_ds.schema()
+    b_types = dict(zip(b_schema.names, b_schema.types))
+
+    def tag(is_delta: bool):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {c: b[c] for c in key_cols}
+            for c in values:
+                cols[c] = b[c]
+            cols["__op"] = (pc.cast(as_array(b[op_col]), pa.string())
+                            if is_delta
+                            else pa.array(np.full(n, "u"), pa.string()))
+            cols["__src"] = pa.array(
+                np.full(n, np.int64(1 if is_delta else 0)))
+            if is_delta and delta_version_col is not None:
+                cols["__ver"] = _ts_i64(b[delta_version_col])
+            else:
+                cols["__ver"] = pa.array(np.zeros(n, np.int64))
+            return pa.table(cols)
+        return f
+
+    tagged = (base_ds.map_batches(tag(False), batch_format="pyarrow")
+              .union(delta_ds.map_batches(tag(True),
+                                          batch_format="pyarrow")))
+    out_cols = key_cols + values
+    out_schema = pa.schema([(c, b_types[c]) for c in out_cols])
+
+    def drop_tombstones(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b["__op"], "d"))
+        return b.select(out_cols).cast(out_schema)
+
+    # tombstone drop rides INSIDE the exchange task (post_fn): a
+    # map_batches after it would lose the schema on empty buckets
+    # (Ray passes empty blocks through uncalled)
+    return latest_by_key(tagged, key_cols, version_col="__src",
+                         id_col="__ver",
+                         values=key_cols + values + ["__op"],
+                         num_buckets=num_buckets,
+                         post_fn=drop_tombstones,
+                         post_schema=out_schema)
+
+
+def bloom_semi_join(left_ds, right_ds, key: str | list[str],
+                    left_values: list[str],
+                    right_key: str | list[str] | None = None,
+                    how: str = "semi", bits_per_key: int = 16,
+                    num_buckets: int = 64):
+    """Bloom-prefiltered semi/anti join — EXACT results at a fraction
+    of the exchange cost when few left rows match.
+
+    Two phases: (1) the right side's DISTINCT key hashes are collected
+    (map-side distinct per block, union on the driver — right is the
+    SMALL side by contract, same as any broadcast build) and folded
+    into a Bloom filter of ``bits_per_key`` bits/key (md5 double
+    hashing, k=4 — ``contamination.bloom_bits_from_hashes``), which is
+    ``ray.put`` ONCE; (2) every left block drops non-members with two
+    vectorized bit probes — no false negatives, so survivors are a
+    superset of true matches — and only the survivors (~match volume +
+    fp rate) enter the exact :func:`hash_join` ``semi`` exchange that
+    removes Bloom false positives.  ``how='anti'`` keeps exactness the
+    same way: candidates = Bloom hits are resolved exactly, and rows
+    the filter already cleared (definite non-members) bypass the
+    exchange entirely and union back in.
+
+    The scale point vs plain ``hash_join(semi)``: the exchange ships
+    the SURVIVORS, not all of left — at a 1% hit rate that is a 100×
+    smaller shuffle for 2 bytes/key of broadcast state (vs 8+ for an
+    exact hash set).
+
+    Consumption contract (same as ``top_k_by_score``): ``right_ds`` is
+    consumed twice (distinct-hash pass + the exact exchange) and, for
+    ``how='anti'``, ``left_ds`` twice (hits + misses) — pass
+    materialized or cheaply-rescannable datasets, or an expensive lazy
+    upstream chain re-executes.
+    """
+    from .contamination import bloom_bits_from_hashes, bloom_m_bits
+
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how must be semi|anti: {how}")
+    import ray
+
+    keys = [key] if isinstance(key, str) else list(key)
+    rkeys = ([right_key] if isinstance(right_key, str)
+             else list(right_key) if right_key is not None else keys)
+
+    def _valid_mask(b: pa.Table, cols: list[str]):
+        mask = pc.is_valid(b[cols[0]])
+        for c in cols[1:]:
+            mask = pc.and_(mask, pc.is_valid(b[c]))
+        return mask
+
+    def _key_hash(b: pa.Table, cols: list[str]) -> np.ndarray:
+        """md5_u64le of the \\x1f-joined string key (rows pre-filtered
+        to valid keys)."""
+        s = pc.cast(as_array(b[cols[0]]), pa.string())
+        for c in cols[1:]:
+            s = pc.binary_join_element_wise(
+                s, pc.cast(as_array(b[c]), pa.string()), "\x1f")
+        return md5_u64le(s)
+
+    def right_distinct(b: pa.Table) -> pa.Table:
+        b = b.filter(_valid_mask(b, rkeys))
+        return pa.table({"h": pa.array(np.unique(_key_hash(b, rkeys)),
+                                       pa.uint64())})
+
+    parts = right_ds.map_batches(right_distinct,
+                                 batch_format="pyarrow").to_pandas()
+    rhash = np.unique(parts["h"].to_numpy().astype(np.uint64))
+    m_bits = bloom_m_bits(max(len(rhash), 1), bits_per_key)
+    bits_ref = ray.put(bloom_bits_from_hashes(rhash, m_bits))
+
+    proj_cols = list(dict.fromkeys(keys + left_values))
+
+    def probe(b: pa.Table):
+        """(bloom hits, definite non-members) — hits carry possible
+        false positives; null-key rows route by ``how`` (semi: match
+        nothing → dropped; anti: unmatched → misses, hash_join
+        parity)."""
+        bits = ray.get(bits_ref)
+        valid = _valid_mask(b, keys)
+        b = b.select(proj_cols)
+        nulls = b.filter(pc.invert(valid))
+        b = b.filter(valid)
+        h = _key_hash(b, keys)
+        # same Kirsch-Mitzenmacher positions as bloom_bits_from_hashes
+        h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        h2 = (h >> np.uint64(32)).astype(np.int64)
+        hit = np.ones(len(h), dtype=bool)
+        for j in range(4):
+            hit &= bits[(h1 + j * h2) % m_bits]
+        misses = b.filter(pa.array(~hit))
+        if how == "anti" and nulls.num_rows:
+            misses = pa.concat_tables([misses, nulls])
+        return b.filter(pa.array(hit)), misses
+
+    def probe_hits(b: pa.Table) -> pa.Table:
+        return probe(b)[0]
+
+    def probe_misses(b: pa.Table) -> pa.Table:
+        return probe(b)[1]
+
+    candidates = left_ds.map_batches(probe_hits, batch_format="pyarrow")
+    resolved = hash_join(candidates, right_ds, keys,
+                         left_values=left_values, right_values=[],
+                         right_key=rkeys, how=how,
+                         num_buckets=num_buckets)
+    if how == "semi":
+        return resolved
+    # anti: Bloom misses (and null-key lefts — unmatched by SQL NOT
+    # EXISTS, hash_join parity) are definitely unmatched; they skip
+    # the exchange and union with the exactly-resolved candidates.
+    misses = left_ds.map_batches(probe_misses, batch_format="pyarrow")
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(left_values)
+
+    return resolved.map_batches(proj, batch_format="pyarrow").union(
+        misses.map_batches(proj, batch_format="pyarrow"))
+
+
 def write_bucketed(ds, key: str, num_buckets: int, out_dir: str):
     """Hash-bucketed parquet layout — write once, join many times.
 

@@ -72,6 +72,36 @@ def hash_sample(ds, rate: float, key_col: str = "doc_id"):
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def weighted_sample(ds, weight_col: str, max_weight: int,
+                    key_col: str = "doc_id"):
+    """Deterministic WEIGHTED Bernoulli sampling — each row survives
+    with probability ``min(1, weight/max_weight)`` (importance /
+    length-proportional sampling: long documents kept, short ones
+    thinned), keyed on ``key_col`` so reruns and the SQL oracle pick
+    the IDENTICAL set.
+
+    Integer-exact keep rule (no float thresholds anywhere):
+    ``bucket(key) · max_weight < weight · GRANULARITY`` with
+    ``bucket = md5_number_upper(key) % GRANULARITY`` — the same hash
+    contract as :func:`hash_sample`, so a weighted sample NESTS inside
+    a uniform sample of a higher rate the way stratified samples do.
+    Weights above ``max_weight`` keep with probability 1; null or
+    non-positive weights and null keys never sample.  Pure streaming
+    map — no shuffle, no driver state.
+    """
+    if max_weight <= 0:
+        raise ValueError(f"max_weight must be positive: {max_weight}")
+
+    def filt(b: pa.Table) -> pa.Table:
+        bk = _hash_buckets(pc.cast(b[key_col], pa.string()))
+        w = pc.fill_null(pc.cast(b[weight_col], pa.int64()),
+                         0).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(
+            (bk >= 0) & (bk * max_weight < w * GRANULARITY)))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 def stratified_hash_sample(ds, rates: dict, group_col: str = "source",
                            key_col: str = "doc_id",
                            default_rate: float = 1.0):

@@ -567,7 +567,8 @@ def grouped_sample_k(ds, group_cols: list[str], k: int | dict,
 
 def latest_by_key(ds, key_cols: list[str], version_col: str,
                   id_col: str, values: list[str],
-                  num_buckets: int = 64):
+                  num_buckets: int = 64, post_fn=None,
+                  post_schema: pa.Schema | None = None):
     """Latest-record compaction — keep each key's newest row, the
     upsert/CDC-ingest primitive (SQL ``QUALIFY ROW_NUMBER() OVER
     (PARTITION BY key ORDER BY version DESC, id DESC) = 1``): a
@@ -581,6 +582,12 @@ def latest_by_key(ds, key_cols: list[str], version_col: str,
     order columns, which grouped_head's single packed order key cannot
     express without overflow.  Null key/version/id rows drop (SQL
     window parity).
+
+    ``post_fn`` (winners table → table, with ``post_schema`` giving
+    empty buckets its output type) runs INSIDE each exchange task —
+    post-compaction filters/projections (merge_upsert's tombstone
+    drop) keep a stable schema this way, where a map_batches after the
+    exchange would not (Ray passes empty blocks through uncalled).
     """
     import pyarrow.compute as pc
 
@@ -636,11 +643,12 @@ def latest_by_key(ds, key_cols: list[str], version_col: str,
         keep = _latest(t.column("__g").to_numpy(zero_copy_only=False),
                        t.column("__v").to_numpy(zero_copy_only=False),
                        t.column("__i").to_numpy(zero_copy_only=False))
-        return t.select(values).take(pa.array(keep))
+        out = t.select(values).take(pa.array(keep))
+        return post_fn(out) if post_fn is not None else out
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return grouped_exchange_ds(tagged, "__b", num_buckets, compact,
-                               empty_schema=out_schema)
+                               empty_schema=post_schema or out_schema)
 
 
 def global_rank(ds, score_col: str, id_col: str,
@@ -860,3 +868,85 @@ def global_ntile(ds, score_col: str, id_col: str, n_tiles: int,
         return out.append_column("tile", pa.array(t.astype(np.int64)))
 
     return ranked.map_batches(tile, batch_format="pyarrow")
+
+
+def pareto_frontier(ds, max_col: str, min_col: str,
+                    values: list[str] | None = None):
+    """Distributed Pareto frontier (SQL "skyline"): the rows no other
+    row strictly dominates, maximizing ``max_col`` and minimizing
+    ``min_col`` (multi-objective selection: longest docs with the
+    earliest ids, cheapest suppliers at each quality tier, best
+    quality per token budget).  A row survives iff NO other row has
+    ``max >= its max AND min <= its min`` with at least one strict —
+    ties on BOTH axes all survive (neither dominates).
+
+    Classic two-phase shape, zero shuffles: (1) each block computes
+    its LOCAL frontier with one vectorized staircase pass (sort by
+    (max desc, min asc); a row survives iff it holds its equal-max
+    group's min AND beats the running strict-prefix min) — any global
+    frontier row is a local frontier row, so this prunes losslessly;
+    (2) the block frontiers (staircase-sized, tiny next to the data)
+    union on the driver and one final identical pass yields the exact
+    global frontier.  Null ``max``/``min`` rows drop (SQL comparisons
+    with NULL are never true, which would make null rows vacuously
+    undominated — useless in practice and excluded here; restate
+    ``IS NOT NULL`` in oracles).
+
+    Both columns must be integer/timestamp (exact compares — repo
+    float policy).  Returns a pandas DataFrame of ``values`` (default
+    [max_col, min_col]) sorted by (max desc, min asc).  Scale
+    assumption (SURVEY §2.6): the CONCATENATED block frontiers fit the
+    driver — frontier size is the staircase's, typically O(distinct
+    max values) << n; an adversarial fully-anticorrelated dataset
+    (everything on the frontier) degrades to output size, the query's
+    property.
+    """
+    import pyarrow.compute as pc
+
+    from ..kernels import as_array
+
+    _I64MAX = np.iinfo(np.int64).max
+    values = values or [max_col, min_col]
+
+    def _mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        """Boolean frontier mask over (maximize x, minimize y)."""
+        n = len(x)
+        order = np.lexsort((y, -x))
+        xs, ys = x[order], y[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = xs[1:] != xs[:-1]
+        gid = np.cumsum(new) - 1
+        gmin = ys[new]                      # y asc within group
+        prev = np.empty(len(gmin), dtype=np.int64)
+        prev[0] = _I64MAX
+        if len(gmin) > 1:
+            np.minimum.accumulate(gmin[:-1], out=prev[1:])
+        keep_sorted = (gmin[gid] < prev[gid]) & (ys == gmin[gid])
+        mask = np.zeros(n, dtype=bool)
+        mask[order[keep_sorted]] = True
+        return mask
+
+    def _i64(col) -> np.ndarray:
+        a = as_array(col)
+        if pa.types.is_timestamp(a.type):
+            a = pc.cast(a, pa.timestamp("us"))
+        return pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False)
+
+    carry = list(dict.fromkeys(values + [max_col, min_col]))
+
+    def local(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[max_col]),
+                             pc.is_valid(b[min_col])))
+        if not b.num_rows:
+            return b.select(carry)
+        m = _mask(_i64(b[max_col]), _i64(b[min_col]))
+        return b.filter(pa.array(m)).select(carry)
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    if not len(cand):
+        return cand[[c for c in values if c in cand.columns]]
+    m = _mask(cand[max_col].to_numpy().astype(np.int64),
+              cand[min_col].to_numpy().astype(np.int64))
+    out = cand[m].sort_values([max_col, min_col],
+                              ascending=[False, True])
+    return out[values].reset_index(drop=True)
