@@ -306,6 +306,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values("o_orderkey").reset_index(drop=True)
                 .astype({"o_orderkey": "int64"}))
 
+    def jaccard_join_q(sf):
+        # EXACT all-pairs set-similarity join at trigram-shingle
+        # J >= 0.8 — prefix filtering (SSJoin/PPJoin), no LSH recall
+        # loss; n=3 because this corpus's 31-word vocabulary makes
+        # unigram DF useless for pruning (every word in ~78% of docs)
+        from verify_ray.pipelines.dedup import jaccard_prefix_join
+
+        return jaccard_prefix_join(
+            _read(sf, "documents", columns=["doc_id", "text"]
+                  ).materialize(),
+            tau_pct=80, n=3, num_coarse=32)
+
     def three_way_q(sf):
         # git-style branch reconciliation: two deterministic edit sets
         # diverge from the orders snapshot (ours: %13 delete / %19 'S'
@@ -2453,6 +2465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checksum_diff_shards": checksum_diff_shards_q,
         "events_interval_overlap": interval_overlap_q,
         "orders_merge_upsert": merge_upsert_q,
+        "docs_jaccard_join": jaccard_join_q,
         "orders_three_way": three_way_q,
         "attribution_last_touch": attribution_q,
         "docs_systematic_sample": systematic_sample_q,
@@ -4050,6 +4063,31 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderkey % 11 != 0
             ORDER BY o_orderkey
+        """,
+        "docs_jaccard_join": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+                       AS ws
+              FROM documents WHERE text IS NOT NULL),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             FOR i IN range(1, greatest(len(ws) - 2, 1)
+                                            + 1)]) AS gr
+              FROM toks),
+            w AS (SELECT doc_id, gr FROM g WHERE gr IS NOT NULL),
+            s AS (SELECT doc_id, COUNT(*) n FROM w GROUP BY doc_id),
+            i AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) c
+                  FROM w a JOIN w b
+                    ON a.gr = b.gr AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT i.da AS doc_a, i.db AS doc_b,
+                   CAST(i.c AS BIGINT) AS n_common,
+                   CAST(sa.n + sb.n - i.c AS BIGINT) AS n_union
+            FROM i JOIN s sa ON i.da = sa.doc_id
+                   JOIN s sb ON i.db = sb.doc_id
+            WHERE 100 * i.c >= 80 * (sa.n + sb.n - i.c)
+            ORDER BY doc_a, doc_b
         """,
         "orders_three_way": """
             WITH b AS (SELECT o_orderkey k, o_orderstatus s FROM orders),

@@ -1108,7 +1108,8 @@ def _doc_ngram_hash_sets(texts: list, n: int) -> list:
 def ngram_jaccard_pairs(ds, candidate_pairs, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         pairs_per_task: int = 20_000,
-                        max_tasks: int = 256):
+                        max_tasks: int = 256,
+                        return_counts: bool = False):
     """Exact word-n-gram Jaccard for a candidate pair set: the verify
     step after LSH — computed INSIDE the exchange (VERDICT r2 item 3).
 
@@ -1130,7 +1131,14 @@ def ngram_jaccard_pairs(ds, candidate_pairs, text_col: str = "text",
     cand = candidate_pairs
     if hasattr(cand, "to_pandas"):
         cand = cand.to_pandas()
-    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    # return_counts: emit exact integer (n_common, n_union) instead of
+    # the float ratio — exact-threshold joins compare 100·c ≥ τ·u
+    # without a float anywhere (jaccard_prefix_join's contract)
+    empty = (pd.DataFrame({"doc_a": [], "doc_b": [],
+                           "n_common": pd.Series([], dtype="int64"),
+                           "n_union": pd.Series([], dtype="int64")})
+             if return_counts else
+             pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}))
     if len(cand) == 0:
         return empty
     cand = cand[["doc_a", "doc_b"]].reset_index(drop=True)
@@ -1181,7 +1189,7 @@ def ngram_jaccard_pairs(ds, candidate_pairs, text_col: str = "text",
         keys = list(uniq)
         sets = dict(zip(keys, _doc_ngram_hash_sets(
             [uniq[k] for k in keys], n)))
-        oa, ob_, oj = [], [], []
+        oa, ob_, oc, ou = [], [], [], []
         for a_, b_ in zip(pairs["doc_a"].tolist(), pairs["doc_b"].tolist()):
             sa, sb = sets.get(a_), sets.get(b_)
             if sa is None or sb is None:
@@ -1189,12 +1197,20 @@ def ngram_jaccard_pairs(ds, candidate_pairs, text_col: str = "text",
                 # skip rather than abort (stale candidates are data)
                 continue
             inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
             oa.append(a_)
             ob_.append(b_)
-            oj.append(inter / union if union else 0.0)
+            oc.append(inter)
+            ou.append(sa.size + sb.size - inter)
+        if return_counts:
+            return pa.table({
+                "doc_a": pa.array(oa), "doc_b": pa.array(ob_),
+                "n_common": pa.array(oc, type=pa.int64()),
+                "n_union": pa.array(ou, type=pa.int64())})
         return pa.table({"doc_a": pa.array(oa), "doc_b": pa.array(ob_),
-                         "jaccard": pa.array(oj, type=pa.float64())})
+                         "jaccard": pa.array(
+                             [c / u if u else 0.0
+                              for c, u in zip(oc, ou)],
+                             type=pa.float64())})
 
     res = grouped_exchange(text_rows, "bucket", B, verify,
                            drop_bucket=False)
@@ -1291,3 +1307,161 @@ def canonical_filter(ds, groups: pd.DataFrame, id_col: str = "doc_id",
         return b.filter(pa.array(~hit))
 
     return ds.map_batches(drop_losers, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join (prefix filtering)
+
+
+def jaccard_prefix_join(ds, tau_pct: int, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 1,
+                        num_coarse: int = 64,
+                        pairs_per_task: int = 20_000):
+    """EXACT all-pairs set-similarity join: every document pair with
+    distinct word-``n``-gram Jaccard ≥ ``tau_pct``/100 — no LSH recall
+    loss (SSJoin/PPJoin's prefix-filter principle, Chaudhuri et al.
+    2006 / Xiao et al. 2008, re-expressed as two hash exchanges).
+    Set elements are the SAME shingle hashes ``ngram_jaccard_pairs``
+    verifies with (``_doc_ngram_hash_sets``), so candidate generation
+    and verification agree by construction.  Pick ``n`` so the element
+    space is sparse: on a tiny-vocabulary corpus unigrams (n=1) give
+    every element a huge document frequency and the filter cannot
+    prune — n=3 shingles restore selectivity.
+
+    Why it's exact: order every doc's DISTINCT words by global
+    (document-frequency, hash) — rarest first.  If ``J(A,B) ≥ τ`` then
+    ``|A∩B| ≥ ⌈τ·|A|⌉`` and ``≥ ⌈τ·|B|⌉``, so the FIRST common word in
+    that order sits within the first ``|d| − ⌈τ·|d|⌉ + 1`` words of
+    BOTH docs — emitting only those prefix words as candidate keys
+    misses nothing.  Rare-first ordering makes prefix keys the
+    lowest-DF words, so candidate groups stay small.
+
+    Stages: (1) one streaming pass emits distinct (word-hash, doc)
+    rows; a word-keyed exchange counts DF, and the vocabulary-sized
+    (hash → df) table broadcasts (``ray.put`` once — same bound as
+    ``tokenize.build_vocab``); (2) a second pass re-derives each doc's
+    distinct words, sorts them (df, hash), and emits its prefix rows;
+    (3) a word-keyed exchange enumerates canonical same-word pairs
+    with the size filter ``100·min(|A|,|B|) ≥ τ·max(|A|,|B|)``
+    (necessary since ``J ≤ min/max``); (4) the deduped candidates
+    verify exactly in :func:`ngram_jaccard_pairs` (n=1,
+    ``return_counts=True``) and the integer test ``100·c ≥ τ·u``
+    keeps true pairs.  Returns ``(doc_a, doc_b, n_common, n_union)``.
+
+    Scale notes: the candidate-pair frame is driver-resident (same
+    documented budget/contract as ``minhash_lsh_pairs``'s default
+    path) but prefix-filtered — near-output-sized for realistic τ, vs
+    the quadratic blowup of banding at low τ.  A one-word doc whose
+    word is a stopword still keys on it (its whole set IS its prefix);
+    such hot groups cost candidates, not correctness.  Docs with zero
+    words emit no keys and never pair (SQL parity: no common word, no
+    join row).
+    """
+    def _distinct_shingle_rows(batch: pa.Table):
+        """(doc ids, flattened distinct shingle hashes, parent row
+        index) — per-doc sets already sorted-unique (the verify
+        kernel's own representation)."""
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sets = _doc_ngram_hash_sets(batch[text_col].to_pylist(), n)
+        whs, pars = [], []
+        for i, s in enumerate(sets):
+            if s is None or not len(s):
+                continue
+            whs.append(s)
+            pars.append(np.full(len(s), i, dtype=np.int64))
+        if not whs:
+            return ids, np.empty(0, np.uint64), np.empty(0, np.int64)
+        return ids, np.concatenate(whs), np.concatenate(pars)
+
+    def emit_distinct(batch: pa.Table) -> pa.Table:
+        ids, ws, ps = _distinct_shingle_rows(batch)
+        if not len(ws):
+            return pa.table({"bucket": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        sizes = np.bincount(ps, minlength=len(ids))
+        return pa.table({
+            "bucket": pa.array(ws, pa.uint64()),
+            "doc_id": pa.array(ids[ps], pa.int64()),
+            "n": pa.array(sizes[ps], pa.int64())})
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        emit_distinct, batch_format="pyarrow").materialize()
+
+    # --- DF per word hash (vocabulary-sized), broadcast sorted
+    def df_fn(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("bucket", sort=False).size()
+        return pd.DataFrame({"wh": c.index.to_numpy(np.uint64),
+                             "df": c.to_numpy(np.int64)})
+
+    df_tab = _grouped_coarse(rows, df_fn, num_coarse)
+    import ray
+
+    wh_sorted = np.sort(df_tab["wh"].to_numpy(np.uint64))
+    order = np.argsort(df_tab["wh"].to_numpy(np.uint64))
+    df_sorted = df_tab["df"].to_numpy(np.int64)[order]
+    df_ref = ray.put((wh_sorted, df_sorted))
+
+    # --- prefix emission
+    def emit_prefix(batch: pa.Table) -> pa.Table:
+        whs, dfs = ray.get(df_ref)
+        ids, ws, ps = _distinct_shingle_rows(batch)
+        ob, od, on = [], [], []
+        if len(ws):
+            dfv = dfs[np.searchsorted(whs, ws)]
+            starts = np.concatenate(
+                [[0], 1 + np.flatnonzero(ps[1:] != ps[:-1]),
+                 [len(ps)]])
+            for si in range(len(starts) - 1):
+                s, e = starts[si], starts[si + 1]
+                n = e - s
+                # prefix length n − ⌈τ·n/100⌉ + 1 (integer ceil)
+                p = n + ((-tau_pct * n) // 100) + 1
+                sub = np.lexsort((ws[s:e], dfv[s:e]))[:p]
+                ob.append(ws[s:e][sub])
+                od.append(np.full(len(sub), ids[ps[s]], np.int64))
+                on.append(np.full(len(sub), n, np.int64))
+        if not ob:
+            return pa.table({"bucket": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "bucket": pa.array(np.concatenate(ob), pa.uint64()),
+            "doc_id": pa.array(np.concatenate(od), pa.int64()),
+            "n": pa.array(np.concatenate(on), pa.int64())})
+
+    prefix_rows = ds.select_columns([id_col, text_col]).map_batches(
+        emit_prefix, batch_format="pyarrow")
+
+    # --- candidate pairs: same prefix word, size-compatible
+    def pair_fn(g: pd.DataFrame):
+        out = _pairs_in_fine_buckets(g, extra_cols=("n",))
+        if out is None:
+            out = pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "n_a": pd.Series([], dtype="int64"),
+                "n_b": pd.Series([], dtype="int64")})
+        return out
+
+    cand = _grouped_coarse(prefix_rows, pair_fn, num_coarse)
+    if not len(cand):
+        return pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "n_common": pd.Series([], dtype="int64"),
+            "n_union": pd.Series([], dtype="int64")})
+    na = cand["n_a"].to_numpy(np.int64)
+    nb = cand["n_b"].to_numpy(np.int64)
+    ok = 100 * np.minimum(na, nb) >= tau_pct * np.maximum(na, nb)
+    cand = (cand[ok][["doc_a", "doc_b"]]
+            .drop_duplicates().reset_index(drop=True))
+
+    ver = ngram_jaccard_pairs(ds, cand, text_col=text_col,
+                              id_col=id_col, n=n,
+                              pairs_per_task=pairs_per_task,
+                              return_counts=True)
+    ver = ver[100 * ver["n_common"] >= tau_pct * ver["n_union"]]
+    return (ver.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+            .astype({"doc_a": "int64", "doc_b": "int64",
+                     "n_common": "int64", "n_union": "int64"}))
