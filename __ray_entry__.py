@@ -306,6 +306,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values("o_orderkey").reset_index(drop=True)
                 .astype({"o_orderkey": "int64"}))
 
+    def ahash_near_dup_q(sf):
+        # visual near-dup: REAL PNG decode -> average-hash (integer
+        # pixel*n > sum rule) -> generic Hamming band join; sketches
+        # travel, pixels never shuffle.  The oracle recomputes every
+        # BIT from the closed-form pixel values, so a hash match
+        # proves decode + hash + band join end-to-end
+        from verify_ray.pipelines.multimodal import image_ahash_pairs
+
+        out = image_ahash_pairs(
+            _read(sf, "documents", columns=["doc_id", "n_chars"]),
+            max_hamming=3)
+        return (out.sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True)
+                .astype({"doc_a": "int64", "doc_b": "int64",
+                         "hamming": "int64"}))
+
     def jaccard_join_q(sf):
         # EXACT all-pairs set-similarity join at trigram-shingle
         # J >= 0.8 — prefix filtering (SSJoin/PPJoin), no LSH recall
@@ -2465,6 +2481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checksum_diff_shards": checksum_diff_shards_q,
         "events_interval_overlap": interval_overlap_q,
         "orders_merge_upsert": merge_upsert_q,
+        "media_ahash_near_dup": ahash_near_dup_q,
         "docs_jaccard_join": jaccard_join_q,
         "orders_three_way": three_way_q,
         "attribution_last_touch": attribution_q,
@@ -4063,6 +4080,29 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderkey % 11 != 0
             ORDER BY o_orderkey
+        """,
+        "media_ahash_near_dup": """
+            WITH img AS (SELECT doc_id, n_chars FROM documents
+                         WHERE doc_id IS NOT NULL
+                           AND n_chars IS NOT NULL AND doc_id % 2 = 0),
+            px AS (SELECT img.doc_id, t.i,
+                          (img.doc_id * 31 + t.i * 7 + img.n_chars)
+                            % 256 AS p
+                   FROM img, generate_series(0, 63) t(i)),
+            s AS (SELECT doc_id, SUM(p) sp FROM px GROUP BY doc_id),
+            bits AS (SELECT px.doc_id, px.i,
+                            CASE WHEN px.p * 64 > s.sp THEN 1
+                                 ELSE 0 END AS b
+                     FROM px JOIN s USING (doc_id)),
+            ham AS (SELECT a.doc_id da, b2.doc_id db,
+                           SUM(CASE WHEN a.b != b2.b THEN 1
+                                    ELSE 0 END) AS h
+                    FROM bits a JOIN bits b2
+                      ON a.i = b2.i AND a.doc_id < b2.doc_id
+                    GROUP BY 1, 2)
+            SELECT da AS doc_a, db AS doc_b, CAST(h AS BIGINT)
+                     AS hamming
+            FROM ham WHERE h <= 3 ORDER BY doc_a, doc_b
         """,
         "docs_jaccard_join": r"""
             WITH toks AS (

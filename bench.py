@@ -149,7 +149,8 @@ def bench_queries() -> dict[str, float]:
              "orders_merge_upsert", "lineitem_bloom_semi",
              "docs_weighted_sample", "docs_pareto_frontier",
              "orders_three_way", "attribution_last_touch",
-             "docs_systematic_sample", "docs_jaccard_join"]
+             "docs_systematic_sample", "docs_jaccard_join",
+             "media_ahash_near_dup"]
     out = {}
     for name in names:
         t0 = time.time()

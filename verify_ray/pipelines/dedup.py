@@ -999,44 +999,56 @@ def simhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
                      "simhash": pa.array(out, type=pa.uint64())})
 
 
-def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, band_bits: int = 16,
-                  rows_per_group: int = 200_000):
-    """Near-dup pairs by SimHash: bucket on each of the 4 16-bit bands
-    (two sketches within hamming<=3 agree on >=1 band by pigeonhole),
-    verify hamming distance within buckets.  Coarse-group count sized
-    from the data (see _coarse_count); the shuffle rows carry only
-    (bucket, doc_id, simhash:u64) — the 8-byte sketch rides along since
-    it IS the verification payload."""
+def hamming_pairs_from_hashes(hash_ds, hash_col: str,
+                              id_col: str = "doc_id",
+                              max_hamming: int = 3, band_bits: int = 16,
+                              rows_per_group: int = 200_000,
+                              n_rows: int | None = None,
+                              allow_lossy: bool = False):
+    """All id pairs whose 64-bit sketches differ in ≤ ``max_hamming``
+    bits — the generic Hamming-ball join behind ``simhash_pairs`` and
+    ``multimodal.image_ahash_pairs``: bucket on each of the 64/band_bits
+    bands (sketches within hamming ≤ bands−1 agree on ≥1 band by
+    pigeonhole — EXACT recall when ``max_hamming < 64/band_bits``),
+    verify popcount within buckets.  Shuffle rows carry only (bucket,
+    id, hash:u64) — the 8-byte sketch IS the verification payload.
+    Returns (doc_a, doc_b, hamming).  Pass ``n_rows`` (the input row
+    count) when the hash dataset is an expensive lazy chain — sizing
+    the coarse groups would otherwise consume it twice."""
     import pandas as pd
 
-    def to_rows(batch: pa.Table) -> pa.Table:
-        t = simhash_batch(batch, text_col, id_col)
-        sh = t.column("simhash").to_numpy(zero_copy_only=False)
+    nb = 64 // band_bits
+    if max_hamming >= nb and not allow_lossy:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs >= {max_hamming + 1} "
+            f"bands for exact recall; got {nb} (lower band_bits, or "
+            "pass allow_lossy=True to accept probabilistic recall)")
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        sh = t.column(hash_col).to_numpy(zero_copy_only=False)
         ids = t.column(id_col)
-        nb = 64 // band_bits
         parts = []
         for bidx in range(nb):
-            band = (sh >> np.uint64(bidx * band_bits)) & np.uint64((1 << band_bits) - 1)
+            band = ((sh >> np.uint64(bidx * band_bits))
+                    & np.uint64((1 << band_bits) - 1))
             bucket = band | (np.uint64(bidx) << np.uint64(60))
             parts.append(pa.table({
                 "bucket": pa.array(bucket, type=pa.uint64()),
                 "doc_id": ids,
-                "simhash": pa.array(sh, type=pa.uint64()),
+                "h": pa.array(sh, type=pa.uint64()),
             }))
         return pa.concat_tables(parts)
 
-    rows = ds.select_columns([id_col, text_col]).map_batches(
-        to_rows, batch_format="pyarrow")
+    rows = hash_ds.map_batches(to_rows, batch_format="pyarrow")
 
     def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        out = _pairs_in_fine_buckets(g, extra_cols=("simhash",))
+        out = _pairs_in_fine_buckets(g, extra_cols=("h",))
         if out is None:
             return empty
         x = np.ascontiguousarray(
-            out["simhash_a"].to_numpy().astype(np.uint64)
-            ^ out["simhash_b"].to_numpy().astype(np.uint64))
+            out["h_a"].to_numpy().astype(np.uint64)
+            ^ out["h_b"].to_numpy().astype(np.uint64))
         # vectorized popcount: unpack the 8 bytes of each u64
         ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
                             axis=1).sum(axis=1).astype(np.int64)
@@ -1047,14 +1059,31 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                              "doc_b": out["doc_b"].to_numpy()[keep],
                              "hamming": ham[keep]})
 
-    n_docs = ds.count()
-    nb = 64 // band_bits
+    if n_rows is None:
+        n_rows = hash_ds.count()
     pairs = _grouped_coarse(rows, coarse_pairs,
-                            _coarse_count(n_docs * nb, rows_per_group))
+                            _coarse_count(n_rows * nb, rows_per_group))
     if pairs.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
     return (pairs.drop_duplicates(subset=["doc_a", "doc_b"])
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, band_bits: int = 16,
+                  rows_per_group: int = 200_000):
+    """Near-dup pairs by SimHash — ``simhash_batch`` sketches routed
+    through the generic :func:`hamming_pairs_from_hashes` band join."""
+    n_docs = ds.count()
+    hashes = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: simhash_batch(b, text_col, id_col),
+        batch_format="pyarrow")
+    return hamming_pairs_from_hashes(
+        hashes, "simhash", id_col=id_col, max_hamming=max_hamming,
+        band_bits=band_bits, rows_per_group=rows_per_group,
+        n_rows=n_docs, allow_lossy=True)  # historical simhash contract:
+    # recall is exact only at max_hamming < 64/band_bits; wider radii
+    # are allowed and probabilistic (near-dup screening semantics)
 
 
 # ---------------------------------------------------------------------------

@@ -486,3 +486,72 @@ def media_resized(ds, content_col: str = "text", id_col: str = "doc_id",
         StubResizer, fn_constructor_kwargs={"target_bytes": target_bytes},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+class AHasher:
+    """Actor-pool perceptual AVERAGE-HASH stage over REAL decoded
+    pixels: bit ``i`` of the 64-bit sketch is set iff
+    ``pixel[i]·n > Σpixels`` (integer compare — no float mean).
+    Images larger than 8×8 would first block-average down to the 8×8
+    grid; this corpus's payloads are already 8×8, and the grid rule is
+    the byte-exact contract the SQL oracle restates.  Non-image or
+    undecodable payloads drop (hash of bytes would be meaningless).
+    Codec state lives in ``__init__`` — once per actor."""
+
+    def __init__(self):
+        self.backend = DECODE_BACKEND
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for did, mt, payload in zip(batch["doc_id"].to_pylist(),
+                                    batch["media_type"].to_pylist(),
+                                    batch["payload"].to_pylist()):
+            if not (mt and mt.startswith("image/")):
+                continue
+            try:
+                arr = decode_image(payload)
+            except (ValueError, EOFError):
+                continue
+            if arr.ndim == 3:           # RGB(A) -> integer luma (sum)
+                arr = arr.astype(np.int64).sum(axis=2)
+            flat = arr.astype(np.int64).ravel()
+            if flat.size != 64:         # block-average to the 8x8 grid
+                side = arr.shape[0] // 8
+                flat = (arr.astype(np.int64)
+                        .reshape(8, side, 8, side).sum(axis=(1, 3))
+                        .ravel())
+            bits = flat * flat.size > flat.sum()
+            h = np.uint64(0)
+            for i in np.flatnonzero(bits):
+                h |= np.uint64(1) << np.uint64(i)
+            ids.append(did)
+            hs.append(h)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "ahash": pa.array(np.array(hs, dtype=np.uint64),
+                              type=pa.uint64()),
+        })
+
+
+def image_ahash_pairs(ds, id_col: str = "doc_id",
+                      nchars_col: str = "n_chars",
+                      max_hamming: int = 3, concurrency=2,
+                      batch_size: int = 512):
+    """Visual near-duplicate pairs over the synthesized image corpus:
+    documents → REAL PNG payloads → REAL decode → average-hash →
+    the generic Hamming band join (``dedup.hamming_pairs_from_hashes``,
+    exact recall at ``max_hamming ≤ 3`` with 16-bit bands).  The image
+    analogue of SimHash text near-dup — sketches travel, pixels never
+    shuffle.  Returns (doc_a, doc_b, hamming)."""
+    from .dedup import hamming_pairs_from_hashes
+
+    payloads = ds.map_batches(
+        lambda b: synth_media_batch(b, id_col, nchars_col),
+        batch_format="pyarrow")
+    # materialized: the band join sizes its coarse groups via count()
+    # and then maps the same dataset — decode must not run twice
+    hashes = payloads.map_batches(
+        AHasher, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency).materialize()
+    return hamming_pairs_from_hashes(
+        hashes, "ahash", id_col="doc_id", max_hamming=max_hamming)
