@@ -399,6 +399,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .astype({"buy_id": "int64", "user_id": "int64",
                          "click_id": "int64"}))
 
+    def nearest_click_q(sf):
+        # NEAREST-event enrichment: each purchase -> the user's click
+        # closest in time within ±1 h (asof direction='nearest';
+        # equidistant prefers backward, ties by max click id)
+        from verify_ray.pipelines.joins import asof_join
+
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id", "event_type", "ts"])
+
+        def pick(et, idname):
+            def f(b: pa.Table) -> pa.Table:
+                b = b.filter(pc.equal(b["event_type"], et))
+                return pa.table({idname: b["event_id"],
+                                 "user_id": b["user_id"], "ts": b["ts"]})
+            return f
+
+        buys = ev.map_batches(pick("purchase", "buy_id"),
+                              batch_format="pyarrow")
+        clicks = ev.map_batches(pick("click", "click_id"),
+                                batch_format="pyarrow")
+        ds = asof_join(buys, clicks, key="user_id", ts="ts",
+                       right_values=["click_id"],
+                       tiebreak="click_id", direction="nearest",
+                       tolerance=3_600_000_000, num_buckets=32)
+        df = ds.to_pandas()
+        df = df[df.click_id.notna()][["buy_id", "user_id", "click_id"]]
+        return (df.sort_values("buy_id").reset_index(drop=True)
+                .astype({"buy_id": "int64", "user_id": "int64",
+                         "click_id": "int64"}))
+
     def systematic_sample_q(sf):
         # systematic (every-20th) sampling in corpus rank order —
         # global_rank (no global sort) + arithmetic filter
@@ -2485,6 +2515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_join": jaccard_join_q,
         "orders_three_way": three_way_q,
         "attribution_last_touch": attribution_q,
+        "events_nearest_click": nearest_click_q,
         "docs_systematic_sample": systematic_sample_q,
         "lineitem_bloom_semi": bloom_semi_q,
         "docs_weighted_sample": weighted_sample_q,
@@ -4180,6 +4211,29 @@ def oracle_sql() -> dict[str, str]:
                    AND epoch_us(CAST(c.ts AS TIMESTAMP))
                        >= epoch_us(CAST(b.ts AS TIMESTAMP))
                           - 604800000000)
+            SELECT buy_id, user_id, click_id FROM j
+            WHERE rn = 1 ORDER BY buy_id
+        """,
+        "events_nearest_click": """
+            WITH b AS (SELECT event_id AS buy_id, user_id,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS bus
+                       FROM events WHERE event_type = 'purchase'),
+            j AS (SELECT b.buy_id, b.user_id,
+                         c.event_id AS click_id,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY b.buy_id
+                           ORDER BY
+                             ABS(b.bus
+                                 - epoch_us(CAST(c.ts AS TIMESTAMP))),
+                             CASE WHEN epoch_us(CAST(c.ts AS TIMESTAMP))
+                                       <= b.bus THEN 0 ELSE 1 END,
+                             c.event_id DESC) AS rn
+                  FROM b JOIN events c
+                    ON c.user_id = b.user_id
+                   AND c.event_type = 'click'
+                   AND ABS(b.bus
+                           - epoch_us(CAST(c.ts AS TIMESTAMP)))
+                       <= 3600000000)
             SELECT buy_id, user_id, click_id FROM j
             WHERE rn = 1 ORDER BY buy_id
         """,

@@ -150,7 +150,7 @@ def bench_queries() -> dict[str, float]:
              "docs_weighted_sample", "docs_pareto_frontier",
              "orders_three_way", "attribution_last_touch",
              "docs_systematic_sample", "docs_jaccard_join",
-             "media_ahash_near_dup"]
+             "media_ahash_near_dup", "events_nearest_click"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -38,6 +38,7 @@ def _rand_frames(seed, n_left=400, n_right=300, n_keys=7):
 @pytest.mark.parametrize("direction,tolerance", [
     ("backward", None), ("forward", None),
     ("backward", 50), ("forward", 50),
+    ("nearest", None), ("nearest", 50),
 ])
 def test_differential_vs_merge_asof(ray_session, direction, tolerance):
     left, right = _rand_frames(seed=hash(direction) % 100 + (tolerance or 0))

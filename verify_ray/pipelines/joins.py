@@ -420,16 +420,21 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
               direction: str = "backward", tolerance: int | None = None,
               num_buckets: int = 64):
     """Dataset of every left row's columns + ``right_values`` from its
-    as-of match (nulls when no right row qualifies)."""
+    as-of match (nulls when no right row qualifies).  ``direction``:
+    ``backward`` (latest right at-or-before), ``forward`` (earliest
+    at-or-after), or ``nearest`` (min |Δt|; equidistant prefers
+    backward — pandas merge_asof parity); ties at the chosen timestamp
+    break by the LARGEST ``tiebreak``."""
     import ray.data as rd
 
     from ..stages.exchange import grouped_exchange_ds
 
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}")
     rkey = right_key or key
     rts = right_ts or ts
-    sign = 1 if direction == "backward" else -1
+    sign = -1 if direction == "forward" else 1
 
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()
@@ -504,9 +509,34 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
             cand = np.maximum(runmax[lpos], 0)
             ok = runmax[lpos] >= 0
             ok &= s_codes[cand] == s_codes[lpos]
+            sts = tsv[order]
             if tolerance is not None:
-                sts = tsv[order]
                 ok &= (sts[lpos] - sts[cand]) <= tolerance
+            if direction == "nearest":
+                # forward candidate: the next right strictly after the
+                # left (equal-ts rights sort BEFORE lefts and belong to
+                # the backward arm); within an equal-(key, ts) forward
+                # run, advance to the run END = max tiebreak, the same
+                # rule the backward arm gets from the sort order
+                N = len(order)
+                nxt = np.where(is_right, np.arange(N), N)
+                nxt = np.minimum.accumulate(nxt[::-1])[::-1]
+                fc = np.minimum(nxt[lpos], N - 1)
+                okf = (nxt[lpos] < N) & (s_codes[fc] == s_codes[lpos])
+                same = ((s_codes[1:] == s_codes[:-1])
+                        & (sts[1:] == sts[:-1])
+                        & is_right[1:] & is_right[:-1])
+                ends = np.flatnonzero(np.concatenate([~same, [True]]))
+                gid = np.concatenate([[0], np.cumsum(~same)])
+                fc = ends[gid[fc]]
+                fdelta = sts[fc] - sts[lpos]
+                if tolerance is not None:
+                    okf &= fdelta <= tolerance
+                bdelta = sts[lpos] - sts[cand]
+                # equidistant -> backward (pandas merge_asof parity)
+                use_b = ok & (~okf | (bdelta <= fdelta))
+                cand = np.where(use_b, cand, fc)
+                ok = use_b | okf
             ridx = pa.array(order[cand], mask=~ok)
             lidx = pa.array(order[lpos])
             cols = {c: t.column(c).take(lidx) for c in left_cols}
