@@ -429,6 +429,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .astype({"buy_id": "int64", "user_id": "int64",
                          "click_id": "int64"}))
 
+    def evolved_read_q(sf):
+        # schema-evolution read: three epochs of the documents table
+        # written under different physical schemas (old column name
+        # "nc":int32 / no lang yet / current), one logical read with
+        # renames + defaults; fingerprint-cached /tmp layout
+        import hashlib
+        import os
+
+        from verify_ray.sources.parquet import read_evolved
+
+        src = f"{sf}/documents.parquet"
+        fp = (f"evolved-v1:{src}:{os.path.getsize(src)}"
+              f":{os.path.getmtime(src)}")
+        root = ("/tmp/verify_ray_evolved/"
+                + hashlib.md5(fp.encode()).hexdigest()[:12])
+        if not os.path.exists(os.path.join(root, "_done")):
+            os.makedirs(root, exist_ok=True)
+            t = pq.read_table(src, columns=["doc_id", "n_chars", "lang"])
+            rem = pa.array(np.asarray(
+                t["doc_id"].to_numpy(zero_copy_only=False)) % 3)
+            e1 = t.filter(pc.equal(rem, 0))
+            pq.write_table(
+                pa.table({"doc_id": e1["doc_id"],
+                          "nc": pc.cast(e1["n_chars"], pa.int32())}),
+                os.path.join(root, "epoch1.parquet"))
+            e2 = t.filter(pc.equal(rem, 1))
+            pq.write_table(
+                pa.table({"doc_id": e2["doc_id"],
+                          "n_chars": e2["n_chars"]}),
+                os.path.join(root, "epoch2.parquet"))
+            e3 = t.filter(pc.equal(rem, 2))
+            pq.write_table(e3, os.path.join(root, "epoch3.parquet"))
+            open(os.path.join(root, "_done"), "w").close()
+
+        ds = read_evolved(
+            root,
+            target={"doc_id": pa.int64(), "n_chars": pa.int64(),
+                    "lang": pa.string()},
+            renames={"nc": "n_chars"}, defaults={"lang": "xx"})
+        return (ds.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True)
+                .astype({"doc_id": "int64", "n_chars": "int64"}))
+
     def systematic_sample_q(sf):
         # systematic (every-20th) sampling in corpus rank order —
         # global_rank (no global sort) + arithmetic filter
@@ -2268,6 +2311,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_window(sf):
         return analytics.windowed_events(_read(sf, "events"), window="day")
 
+    def trending_types_q(sf):
+        # trending detection: per day the top-2 event types by count
+        # (ties by type asc) — tumbling window + per-window top-k
+        # composition; final selection runs on the window-cardinality-
+        # sized aggregate (days × types), not on events
+        df = analytics.windowed_events(_read(sf, "events"), window="day")
+        df = df.sort_values(["window_start", "n_events", "event_type"],
+                            ascending=[True, False, True])
+        df["rank"] = df.groupby("window_start").cumcount() + 1
+        out = df[df["rank"] <= 2][["window_start", "event_type",
+                                   "n_events", "rank"]]
+        return (out.sort_values(["window_start", "rank"])
+                .reset_index(drop=True)
+                .astype({"n_events": "int64", "rank": "int64"}))
+
     def events_hopping(sf):
         return analytics.hopping_window_events(_read(sf, "events"),
                                                width_hours=24, slide_hours=6)
@@ -2516,6 +2574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_three_way": three_way_q,
         "attribution_last_touch": attribution_q,
         "events_nearest_click": nearest_click_q,
+        "trending_types_daily": trending_types_q,
+        "evolved_schema_read": evolved_read_q,
         "docs_systematic_sample": systematic_sample_q,
         "lineitem_bloom_semi": bloom_semi_q,
         "docs_weighted_sample": weighted_sample_q,
@@ -4213,6 +4273,26 @@ def oracle_sql() -> dict[str, str]:
                           - 604800000000)
             SELECT buy_id, user_id, click_id FROM j
             WHERE rn = 1 ORDER BY buy_id
+        """,
+        "evolved_schema_read": """
+            SELECT doc_id, n_chars,
+                   CASE WHEN doc_id % 3 = 2 THEN lang
+                        ELSE 'xx' END AS lang
+            FROM documents ORDER BY doc_id
+        """,
+        "trending_types_daily": """
+            WITH c AS (
+              SELECT date_trunc('day', ts) AS window_start, event_type,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT *, CAST(ROW_NUMBER() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n_events DESC, event_type) AS BIGINT)
+                       AS rank
+              FROM c)
+            SELECT window_start, event_type, n_events, rank
+            FROM r WHERE rank <= 2 ORDER BY window_start, rank
         """,
         "events_nearest_click": """
             WITH b AS (SELECT event_id AS buy_id, user_id,

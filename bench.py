@@ -150,7 +150,8 @@ def bench_queries() -> dict[str, float]:
              "docs_weighted_sample", "docs_pareto_frontier",
              "orders_three_way", "attribution_last_touch",
              "docs_systematic_sample", "docs_jaccard_join",
-             "media_ahash_near_dup", "events_nearest_click"]
+             "media_ahash_near_dup", "events_nearest_click",
+             "trending_types_daily", "evolved_schema_read"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -124,3 +124,78 @@ def read_with_lineage(files: list[str], columns: list[str] | None = None,
         include_paths=True,
         concurrency=concurrency,
     )
+
+
+def read_evolved(path_or_paths, target: dict, renames: dict | None = None,
+                 defaults: dict | None = None):
+    """Schema-EVOLUTION reader: one logical schema over a directory
+    whose files were written at different schema epochs (renamed
+    columns, later-added columns) — the long-lived-corpus reality a
+    100 TB lake always reaches.
+
+    ``target`` maps logical column name → pyarrow dtype.  Per file:
+    a logical column resolves to its physical name (itself, or any
+    alias in ``renames`` = {old_physical: logical}); present columns
+    cast to the target dtype, absent ones fill with
+    ``defaults[col]`` (or null).  Planning touches FOOTERS only; files
+    group by schema fingerprint and each group becomes ONE projected
+    ``read_parquet`` (column-pruned to the group's physical names) +
+    a vectorized rename/cast/fill map — so a 3-epoch lake costs 3
+    scans-of-its-own-files, never a row of Python.
+
+    Returns a ``ray.data.Dataset`` with exactly ``target``'s columns
+    and dtypes, epochs unioned.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    renames = renames or {}
+    defaults = defaults or {}
+    files = list_input_files(path_or_paths)
+    if not files:
+        raise ValueError(f"no parquet files under {path_or_paths!r}")
+
+    out_schema = pa.schema(list(target.items()))
+
+    # group files by physical-schema fingerprint (footer-only)
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        phys = tuple(pq.read_schema(f).names)
+        groups.setdefault(phys, []).append(f)
+
+    parts = []
+    for phys, fs in sorted(groups.items()):
+        phys_set = set(phys)
+        mapping = {}          # logical -> physical (present columns)
+        for col in target:
+            if col in phys_set:
+                mapping[col] = col
+            else:
+                alias = [o for o, new in renames.items()
+                         if new == col and o in phys_set]
+                if alias:
+                    mapping[col] = alias[0]
+
+        def project(mapping=mapping):
+            def f(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                n = b.num_rows
+                cols = {}
+                for col, dt in target.items():
+                    if col in mapping:
+                        cols[col] = pc.cast(b[mapping[col]], dt)
+                    elif col in defaults:
+                        cols[col] = pa.array([defaults[col]] * n, dt)
+                    else:
+                        cols[col] = pa.nulls(n, dt)
+                return pa.table(cols).cast(out_schema)
+            return f
+
+        parts.append(rd.read_parquet(
+            fs, columns=sorted(set(mapping.values()))
+        ).map_batches(project(), batch_format="pyarrow"))
+
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
