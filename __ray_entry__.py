@@ -540,6 +540,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.reset_index(drop=True)
                 .astype({"doc_id": "int64", "n_chars": "int64"}))
 
+    def changed_columns_q(sf):
+        # column-scoped delta audit: which COLUMNS changed per doc
+        # between epochs (lang re-detected for %7 ids, n_chars
+        # recounted +1 for %5 ids) — scopes revalidation to the rules
+        # that read the drifted columns
+        from verify_ray.pipelines.diff import changed_columns
+
+        ref = _read(sf, "documents",
+                    columns=["doc_id", "lang", "n_chars"]).materialize()
+
+        def mutate(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            lang = b["lang"].to_numpy(zero_copy_only=False).astype(object)
+            nc = b["n_chars"].to_numpy(zero_copy_only=False).copy()
+            lang[ids % 7 == 0] = "zz"
+            nc[ids % 5 == 0] += 1
+            return pa.table({"doc_id": b["doc_id"],
+                             "lang": pa.array(lang, pa.string()),
+                             "n_chars": pa.array(nc, pa.int64())})
+
+        cur = ref.map_batches(mutate, batch_format="pyarrow")
+        out = changed_columns(cur, ref, "doc_id", ["lang", "n_chars"],
+                              num_buckets=32).to_pandas()
+        return (out.sort_values(["doc_id", "column"])
+                .reset_index(drop=True))
+
+    def pareto_by_lang_q(sf):
+        # per-language skyline: each lang's "first doc to reach each
+        # record length" (grouped Pareto, staircase segmented by lang)
+        from verify_ray.pipelines.select import grouped_pareto
+
+        out = grouped_pareto(
+            _read(sf, "documents",
+                  columns=["doc_id", "n_chars", "lang"]),
+            ["lang"], "n_chars", "doc_id",
+            values=["lang", "doc_id", "n_chars"])
+        return (out.reset_index(drop=True)
+                .astype({"doc_id": "int64", "n_chars": "int64"}))
+
     def bucketed_join_q(sf):
         # storage-partitioned join: orders and customer written ONCE
         # as aligned hash-bucketed layouts (fingerprint-cached in
@@ -2576,6 +2615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_nearest_click": nearest_click_q,
         "trending_types_daily": trending_types_q,
         "evolved_schema_read": evolved_read_q,
+        "docs_pareto_by_lang": pareto_by_lang_q,
+        "docs_changed_columns": changed_columns_q,
         "docs_systematic_sample": systematic_sample_q,
         "lineitem_bloom_semi": bloom_semi_q,
         "docs_weighted_sample": weighted_sample_q,
@@ -4273,6 +4314,26 @@ def oracle_sql() -> dict[str, str]:
                           - 604800000000)
             SELECT buy_id, user_id, click_id FROM j
             WHERE rn = 1 ORDER BY buy_id
+        """,
+        "docs_changed_columns": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'lang' AS "column"
+            FROM documents
+            WHERE doc_id % 7 = 0
+              AND (lang IS NULL OR lang != 'zz')
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'n_chars'
+            FROM documents WHERE doc_id % 5 = 0
+            ORDER BY doc_id, "column"
+        """,
+        "docs_pareto_by_lang": """
+            SELECT a.lang, a.doc_id, a.n_chars FROM documents a
+            WHERE a.lang IS NOT NULL AND NOT EXISTS (
+              SELECT 1 FROM documents b
+              WHERE b.lang = a.lang
+                AND b.n_chars >= a.n_chars AND b.doc_id <= a.doc_id
+                AND (b.n_chars > a.n_chars OR b.doc_id < a.doc_id))
+            ORDER BY a.lang, a.n_chars DESC, a.doc_id
         """,
         "evolved_schema_read": """
             SELECT doc_id, n_chars,

@@ -151,7 +151,8 @@ def bench_queries() -> dict[str, float]:
              "orders_three_way", "attribution_last_touch",
              "docs_systematic_sample", "docs_jaccard_join",
              "media_ahash_near_dup", "events_nearest_click",
-             "trending_types_daily", "evolved_schema_read"]
+             "trending_types_daily", "evolved_schema_read",
+             "docs_pareto_by_lang", "docs_changed_columns"]
     out = {}
     for name in names:
         t0 = time.time()

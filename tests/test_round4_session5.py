@@ -241,6 +241,32 @@ def test_pareto_frontier_brute_and_layout_invariance(ray_session):
     assert list(got.x) == sorted(got.x, reverse=True)
 
 
+def test_grouped_pareto_matches_per_group_brute(ray_session):
+    from verify_ray.pipelines.select import grouped_pareto
+
+    rng = np.random.default_rng(13)
+    n = 400
+    g = rng.integers(0, 4, n).astype(object)
+    g[::101] = None                      # null groups drop
+    x = rng.integers(0, 30, n)
+    y = rng.integers(0, 30, n)
+    t = pa.table({"g": pa.array(g, pa.int64()),
+                  "x": pa.array(x, pa.int64()),
+                  "y": pa.array(y, pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64())})
+    got = grouped_pareto(_ds(t), ["g"], "x", "y",
+                         values=["g", "rid", "x", "y"])
+    want = []
+    for gv in range(4):
+        idx = [i for i in range(n) if g[i] == gv]
+        bi = _brute_pareto(x[idx], y[idx])
+        want.extend(sorted(np.array(idx)[bi]))
+    assert sorted(got.rid) == sorted(want) and len(want) > 4
+    # per-group ordering contract: x desc within each group
+    for gv, sub in got.groupby("g"):
+        assert list(sub.x) == sorted(sub.x, reverse=True)
+
+
 def test_pareto_frontier_duplicates_survive(ray_session):
     from verify_ray.pipelines.select import pareto_frontier
 

@@ -282,3 +282,81 @@ def three_way_merge(base_ds, ours_ds, theirs_ds, key_col: str,
 
     return grouped_exchange_ds(tagged, "__b", num_buckets, resolve,
                                empty_schema=out_schema)
+
+
+def changed_columns(cur_ds, ref_ds, id_col: str, value_cols: list[str],
+                    num_buckets: int = 64):
+    """COLUMN-level dataset diff: for every id present in BOTH epochs,
+    one output row per value column whose content changed — the CDC
+    audit that tells you *what* drifted, not just which rows
+    (``dataset_diff`` scopes rows; this scopes columns, e.g. "the
+    re-crawl only touched `lang`, revalidate language rules only").
+
+    Same one-exchange shape as ``dataset_diff``: each side projects to
+    (id, per-column md5 fingerprints) in one streaming pass — k
+    16-byte hashes per row, never the values — co-locates by id hash,
+    and each bucket compares column-vectorized (null-flagged strings:
+    null vs '' cannot collide, null==null is unchanged).  Ids unique
+    per epoch (snapshot contract); added/removed ids are
+    ``dataset_diff``'s business and emit nothing here.  Returns a
+    Dataset of ``(doc_id, column)`` rows, output-sized.
+    """
+    from ..stages.exchange import grouped_exchange_ds
+
+    out_schema = pa.schema([("doc_id", pa.string()),
+                            ("column", pa.string())])
+
+    def tag(epoch: int):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b[id_col]))
+            ids = pc.cast(b[id_col], pa.string())
+            cols = {"__b": pa.array(md5_u64le(ids), type=pa.uint64()),
+                    "__id": ids,
+                    "__e": pa.array(
+                        np.full(b.num_rows, np.int8(epoch)))}
+            for c in value_cols:
+                s = pc.cast(b[c], pa.string())
+                flag = pc.if_else(pc.is_null(s), pa.scalar("1"),
+                                  pa.scalar("0"))
+                cols[f"__h_{c}"] = md5_hex(
+                    pc.binary_join_element_wise(
+                        flag, pc.fill_null(s, ""), "\x1e"))
+            return pa.table(cols)
+        return f
+
+    tagged = (cur_ds.map_batches(tag(1), batch_format="pyarrow")
+              .union(ref_ds.map_batches(tag(0), batch_format="pyarrow")))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        e = t.column("__e").to_numpy(zero_copy_only=False)
+        ids = t.column("__id").to_numpy(zero_copy_only=False)
+        cm = np.flatnonzero(e == 1)
+        rm = np.flatnonzero(e == 0)
+        cur_ids, ref_ids = ids[cm], ids[rm]
+        # intersect on id (both sides unique): positions via searchsorted
+        co = np.argsort(cur_ids, kind="stable")
+        ro = np.argsort(ref_ids, kind="stable")
+        common, ci, ri = np.intersect1d(cur_ids[co], ref_ids[ro],
+                                        assume_unique=True,
+                                        return_indices=True)
+        if not len(common):
+            return None
+        cidx, ridx = cm[co[ci]], rm[ro[ri]]
+        out_ids, out_cols = [], []
+        for c in value_cols:
+            h = t.column(f"__h_{c}").to_numpy(zero_copy_only=False)
+            diff = h[cidx] != h[ridx]
+            if diff.any():
+                out_ids.append(common[diff])
+                out_cols.append(np.full(int(diff.sum()), c,
+                                        dtype=object))
+        if not out_ids:
+            return None
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_ids),
+                               type=pa.string()),
+            "column": pa.array(np.concatenate(out_cols),
+                               type=pa.string())})
+
+    return grouped_exchange_ds(tagged, "__b", num_buckets, resolve,
+                               empty_schema=out_schema)

@@ -905,48 +905,128 @@ def pareto_frontier(ds, max_col: str, min_col: str,
 
     from ..kernels import as_array
 
-    _I64MAX = np.iinfo(np.int64).max
     values = values or [max_col, min_col]
 
-    def _mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-        """Boolean frontier mask over (maximize x, minimize y)."""
-        n = len(x)
-        order = np.lexsort((y, -x))
-        xs, ys = x[order], y[order]
-        new = np.ones(n, dtype=bool)
-        new[1:] = xs[1:] != xs[:-1]
-        gid = np.cumsum(new) - 1
-        gmin = ys[new]                      # y asc within group
-        prev = np.empty(len(gmin), dtype=np.int64)
-        prev[0] = _I64MAX
-        if len(gmin) > 1:
-            np.minimum.accumulate(gmin[:-1], out=prev[1:])
-        keep_sorted = (gmin[gid] < prev[gid]) & (ys == gmin[gid])
-        mask = np.zeros(n, dtype=bool)
-        mask[order[keep_sorted]] = True
-        return mask
-
-    def _i64(col) -> np.ndarray:
-        a = as_array(col)
-        if pa.types.is_timestamp(a.type):
-            a = pc.cast(a, pa.timestamp("us"))
-        return pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False)
-
-    carry = list(dict.fromkeys(values + [max_col, min_col]))
-
     def local(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.and_(pc.is_valid(b[max_col]),
-                             pc.is_valid(b[min_col])))
-        if not b.num_rows:
-            return b.select(carry)
-        m = _mask(_i64(b[max_col]), _i64(b[min_col]))
-        return b.filter(pa.array(m)).select(carry)
+        return _pareto_local(b, max_col, min_col,
+                             list(dict.fromkeys(values
+                                                + [max_col, min_col])))
 
     cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
     if not len(cand):
         return cand[[c for c in values if c in cand.columns]]
-    m = _mask(cand[max_col].to_numpy().astype(np.int64),
-              cand[min_col].to_numpy().astype(np.int64))
+    m = _pareto_mask(cand[max_col].to_numpy().astype(np.int64),
+                     cand[min_col].to_numpy().astype(np.int64))
     out = cand[m].sort_values([max_col, min_col],
                               ascending=[False, True])
+    return out[values].reset_index(drop=True)
+
+
+def _pareto_mask(x: np.ndarray, y: np.ndarray,
+                 g: np.ndarray | None = None) -> np.ndarray:
+    """Boolean frontier mask over (maximize x, minimize y), computed
+    independently per group code ``g`` when given (the staircase
+    resets at each group) — one lexsort + a segmented shifted
+    cumulative min (pandas groupby.cummin, C speed)."""
+    import pandas as pd
+
+    I64MAX = np.iinfo(np.int64).max
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    if g is None:
+        g = np.zeros(n, dtype=np.int64)
+    order = np.lexsort((y, -x, g))
+    gs, xs, ys = g[order], x[order], y[order]
+    new = np.ones(n, dtype=bool)          # new (g, x) class
+    new[1:] = (xs[1:] != xs[:-1]) | (gs[1:] != gs[:-1])
+    gid = np.cumsum(new) - 1
+    gmin = ys[new]                        # per-class min y (y asc)
+    seg_first = np.ones(n, dtype=bool)    # class starts a new g?
+    seg_first[1:] = gs[1:] != gs[:-1]
+    seg_first = seg_first[new]
+    seg_id = np.cumsum(seg_first) - 1
+    cmin = (pd.Series(gmin).groupby(seg_id).cummin()
+            .to_numpy(np.int64))
+    prev = np.empty(len(gmin), dtype=np.int64)
+    prev[0] = I64MAX
+    if len(gmin) > 1:
+        prev[1:] = cmin[:-1]
+    prev[seg_first] = I64MAX              # staircase resets per group
+    keep_sorted = (gmin[gid] < prev[gid]) & (ys == gmin[gid])
+    mask = np.zeros(n, dtype=bool)
+    mask[order[keep_sorted]] = True
+    return mask
+
+
+def _pareto_i64(col) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    from ..kernels import as_array
+
+    a = as_array(col)
+    if pa.types.is_timestamp(a.type):
+        a = pc.cast(a, pa.timestamp("us"))
+    return pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _pareto_local(b: pa.Table, max_col: str, min_col: str,
+                  carry: list[str],
+                  group_cols: list[str] | None = None) -> pa.Table:
+    import pyarrow.compute as pc
+
+    from ..kernels import as_array
+
+    mask = pc.and_(pc.is_valid(b[max_col]), pc.is_valid(b[min_col]))
+    for c in group_cols or ():
+        mask = pc.and_(mask, pc.is_valid(b[c]))
+    b = b.filter(mask)
+    if not b.num_rows:
+        return b.select(carry)
+    g = None
+    if group_cols:
+        key = pc.cast(as_array(b[group_cols[0]]), pa.string())
+        for c in group_cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(as_array(b[c]), pa.string()), "\x1f")
+        _, g = np.unique(key.to_numpy(zero_copy_only=False),
+                         return_inverse=True)
+    m = _pareto_mask(_pareto_i64(b[max_col]), _pareto_i64(b[min_col]),
+                     g)
+    return b.filter(pa.array(m)).select(carry)
+
+
+def grouped_pareto(ds, group_cols: list[str], max_col: str,
+                   min_col: str, values: list[str] | None = None):
+    """Per-group Pareto frontier (grouped skyline): within each
+    ``group_cols`` class, the rows no other row of the SAME class
+    strictly dominates (maximize ``max_col``, minimize ``min_col``) —
+    per-domain multi-objective selection (each language's
+    best-quality-per-length documents).  Same lossless two-phase
+    shape as :func:`pareto_frontier`, with the staircase segmented by
+    group in both the per-block prune and the driver merge; null
+    group/objective rows drop (grouped-operator policy).  Returns a
+    pandas DataFrame of ``values`` (default groups + objectives)
+    sorted by (groups..., max desc, min asc); driver holds the
+    concatenated block frontiers (Σ per-group staircases)."""
+    values = values or list(
+        dict.fromkeys(group_cols + [max_col, min_col]))
+    carry = list(dict.fromkeys(values + group_cols
+                               + [max_col, min_col]))
+
+    def local(b: pa.Table) -> pa.Table:
+        return _pareto_local(b, max_col, min_col, carry, group_cols)
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    if not len(cand):
+        return cand[[c for c in values if c in cand.columns]]
+    key = cand[group_cols[0]].astype(str)
+    for c in group_cols[1:]:
+        key = key + "\x1f" + cand[c].astype(str)
+    _, g = np.unique(key.to_numpy(), return_inverse=True)
+    m = _pareto_mask(cand[max_col].to_numpy().astype(np.int64),
+                     cand[min_col].to_numpy().astype(np.int64), g)
+    out = cand[m].sort_values(
+        group_cols + [max_col, min_col],
+        ascending=[True] * len(group_cols) + [False, True])
     return out[values].reset_index(drop=True)
