@@ -540,6 +540,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.reset_index(drop=True)
                 .astype({"doc_id": "int64", "n_chars": "int64"}))
 
+    def scd2_q(sf):
+        # SCD-type-2 history: each user's event stream becomes
+        # validity intervals (valid_from = ts, valid_to = next event's
+        # ts, open end = current) — the point-in-time-join primitive
+        from verify_ray.pipelines.sessions import scd2_intervals
+
+        out = scd2_intervals(
+            _read(sf, "events",
+                  columns=["event_id", "user_id", "event_type", "ts"]),
+            key_col="user_id", ts_col="ts",
+            value_cols=["event_id", "event_type"], id_col="event_id",
+            num_buckets=32).to_pandas()
+        # SCD2 high-date convention for the open end (keeps the
+        # driver's value hash free of NaT-representation ambiguity)
+        out["valid_to"] = out["valid_to"].fillna(
+            pd.Timestamp("9999-12-31"))
+        return (out.sort_values(["user_id", "valid_from", "event_id"])
+                .reset_index(drop=True)
+                .astype({"user_id": "int64", "event_id": "int64"}))
+
+    def rate_violators_q(sf):
+        # rate-limit audit: events whose user fired >= 3 events in the
+        # trailing hour (rolling count composition; sf0.01 max is 3)
+        from verify_ray.pipelines.rolling import rolling_window_agg
+
+        ev = _read(sf, "events", columns=["event_id", "user_id", "ts"])
+        ds = rolling_window_agg(ev, key="user_id", ts="ts",
+                                span_us=3_600_000_000)
+
+        def flag(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.greater_equal(b["w_count"], 3))
+            return b.select(["event_id", "user_id", "w_count"])
+
+        out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+        return (out.sort_values("event_id").reset_index(drop=True)
+                .astype({"event_id": "int64", "user_id": "int64",
+                         "w_count": "int64"}))
+
+    def time_travel_q(sf):
+        # point-in-time read (time travel): the orders snapshot AS OF
+        # changelog version 1 — merge_upsert applied to the delta
+        # PREFIX ver <= 1, so the 'U' update is visible, version 2's
+        # 'W' is not yet, and deletes are applied
+        from verify_ray.pipelines.joins import merge_upsert
+
+        base = _read(sf, "orders",
+                     columns=["o_orderkey", "o_orderstatus"])
+
+        def mk_delta(b: pa.Table) -> pa.Table:
+            ids = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            up = ids % 7 == 0
+            de = ids % 11 == 0
+            sel = up | de
+            ids = ids[sel]
+            de = de[sel]
+            k = np.concatenate([ids, ids[~de]])
+            op = np.concatenate([np.where(de, "d", "u"),
+                                 np.full((~de).sum(), "u")])
+            st = np.concatenate([np.where(de, None, "U"),
+                                 np.full((~de).sum(), "W")])
+            ver = np.concatenate([np.ones(len(ids), np.int64),
+                                  np.full((~de).sum(), 2, np.int64)])
+            t = pa.table({"o_orderkey": pa.array(k, pa.int64()),
+                          "o_orderstatus": pa.array(st, pa.string()),
+                          "op": pa.array(op, pa.string()),
+                          "ver": pa.array(ver, pa.int64())})
+            return t.filter(pc.less_equal(t["ver"], 1))  # AS OF v1
+
+        delta = base.map_batches(mk_delta, batch_format="pyarrow")
+        out = merge_upsert(base, delta, ["o_orderkey"],
+                           ["o_orderstatus"], op_col="op",
+                           delta_version_col="ver",
+                           num_buckets=32).to_pandas()
+        return (out.sort_values("o_orderkey").reset_index(drop=True)
+                .astype({"o_orderkey": "int64"}))
+
     def changed_columns_q(sf):
         # column-scoped delta audit: which COLUMNS changed per doc
         # between epochs (lang re-detected for %7 ids, n_chars
@@ -2617,6 +2693,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "evolved_schema_read": evolved_read_q,
         "docs_pareto_by_lang": pareto_by_lang_q,
         "docs_changed_columns": changed_columns_q,
+        "events_scd2_state": scd2_q,
+        "events_rate_violators": rate_violators_q,
+        "orders_time_travel": time_travel_q,
         "docs_systematic_sample": systematic_sample_q,
         "lineitem_bloom_semi": bloom_semi_q,
         "docs_weighted_sample": weighted_sample_q,
@@ -4314,6 +4393,39 @@ def oracle_sql() -> dict[str, str]:
                           - 604800000000)
             SELECT buy_id, user_id, click_id FROM j
             WHERE rn = 1 ORDER BY buy_id
+        """,
+        "events_scd2_state": """
+            SELECT user_id, event_id, event_type,
+                   ts AS valid_from,
+                   COALESCE(LEAD(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                            TIMESTAMP '9999-12-31') AS valid_to,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) IS NULL
+                     AS is_current
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_id IS NOT NULL
+            ORDER BY user_id, valid_from, event_id
+        """,
+        "events_rate_violators": """
+            WITH w AS (
+              SELECT event_id, user_id,
+                     CAST(COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS w_count
+              FROM events)
+            SELECT event_id, user_id, w_count FROM w
+            WHERE w_count >= 3 ORDER BY event_id
+        """,
+        "orders_time_travel": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+                        ELSE o_orderstatus END AS o_orderstatus
+            FROM orders
+            WHERE o_orderkey % 11 != 0
+            ORDER BY o_orderkey
         """,
         "docs_changed_columns": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

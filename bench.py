@@ -152,7 +152,9 @@ def bench_queries() -> dict[str, float]:
              "docs_systematic_sample", "docs_jaccard_join",
              "media_ahash_near_dup", "events_nearest_click",
              "trending_types_daily", "evolved_schema_read",
-             "docs_pareto_by_lang", "docs_changed_columns"]
+             "docs_pareto_by_lang", "docs_changed_columns",
+             "events_scd2_state", "events_rate_violators",
+             "orders_time_travel"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -83,7 +83,13 @@ def main() -> int:
                                            b.astype(float), rtol=0,
                                            atol=1e-9, equal_nan=True), c
                     else:
-                        assert not (a != b).any(), c
+                        import pandas as pd
+
+                        # NaT != NaT and None != None are True in
+                        # numpy — null==null must count as equal
+                        both_na = (pd.isna(mine[c]).to_numpy()
+                                   & pd.isna(orc[c]).to_numpy())
+                        assert not ((a != b) & ~both_na).any(), c
                 status = "ok"
             else:
                 assert len(mine.columns) > 0

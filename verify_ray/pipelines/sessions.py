@@ -471,3 +471,83 @@ def merge_intervals(ds, key_col: str, start_col: str, end_col: str,
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return grouped_exchange_ds(tagged, "__b", num_buckets, sweep,
                                empty_schema=out_schema)
+
+
+def scd2_intervals(ds, key_col: str, ts_col: str, value_cols: list[str],
+                   id_col: str, num_buckets: int = 64):
+    """Slowly-changing-dimension TYPE-2 history build: a changelog of
+    (key, ts, payload) versions becomes validity intervals — each
+    version row gains ``valid_from = ts`` and ``valid_to`` = the key's
+    NEXT version's ts (null = still current), SQL
+    ``LEAD(ts) OVER (PARTITION BY key ORDER BY ts, id)`` parity.
+    The warehouse primitive between ``select.latest_by_key`` (current
+    state only) and ``merge_intervals`` (coalescing): point-in-time
+    joins read the row where ``valid_from <= t < valid_to``.
+
+    ONE hash exchange on the key; per bucket a single lexsort + shift
+    computes every key's interval chain vectorized.  Version ties on
+    (key, ts) order by ``id_col`` (replay-deterministic).  Null
+    key/ts/id rows drop (window parity).  Returns a Dataset of
+    ``key, *value_cols, valid_from, valid_to, is_current``.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..kernels import as_array
+    from ..stages.exchange import grouped_exchange_ds
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    out_schema = pa.schema(
+        [(key_col, types[key_col])]
+        + [(c, types[c]) for c in value_cols]
+        + [("valid_from", pa.timestamp("us")),
+           ("valid_to", pa.timestamp("us")),
+           ("is_current", pa.bool_())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[ts_col])),
+                       pc.is_valid(b[id_col]))
+        b = b.filter(mask)
+        key = pc.cast(as_array(b[key_col]), pa.string())
+        cols = {"__b": pa.array(md5_u64le(key), type=pa.uint64()),
+                "__ts": pc.cast(pc.cast(as_array(b[ts_col]),
+                                        pa.timestamp("us")),
+                                pa.int64()),
+                "__i": pc.cast(as_array(b[id_col]), pa.int64()),
+                key_col: b[key_col]}
+        for c in value_cols:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    def chain(t: pa.Table) -> pa.Table:
+        k = pc.cast(as_array(t[key_col]),
+                    pa.string()).to_numpy(zero_copy_only=False)
+        ts = t.column("__ts").to_numpy(zero_copy_only=False)
+        ids = t.column("__i").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, k))
+        ks, tss = k[order], ts[order]
+        n = len(order)
+        vt = np.empty(n, dtype=np.int64)
+        cur = np.empty(n, dtype=bool)
+        if n:
+            same_next = np.zeros(n, dtype=bool)
+            same_next[:-1] = ks[1:] == ks[:-1]
+            vt[:-1] = tss[1:]
+            vt[-1] = 0
+            cur = ~same_next
+        idx = pa.array(order)
+        cols = {key_col: t.column(key_col).take(idx)}
+        for c in value_cols:
+            cols[c] = t.column(c).take(idx)
+        cols["valid_from"] = pa.array(tss).cast(pa.timestamp("us"))
+        # mask=True -> null: current rows have an open interval end
+        cols["valid_to"] = pa.array(vt, mask=cur).cast(
+            pa.timestamp("us"))
+        cols["is_current"] = pa.array(cur)
+        return pa.table(cols).cast(out_schema)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets, chain,
+                               empty_schema=out_schema)
