@@ -540,6 +540,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.reset_index(drop=True)
                 .astype({"doc_id": "int64", "n_chars": "int64"}))
 
+    def grouping_sets_q(sf):
+        # GROUP BY GROUPING SETS ((status, priority), (status), ()) —
+        # only the requested sets, derived from one finest-partial pass
+        out = analytics.grouping_sets_counts(
+            _read(sf, "orders",
+                  columns=["o_orderstatus", "o_orderpriority"]),
+            ["o_orderstatus", "o_orderpriority"],
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"],
+             []])
+        return out
+
+    def unpivot_q(sf):
+        # UNPIVOT / melt: lineitem's (partkey, suppkey) columns stack
+        # into long (variable, value) rows — pure streaming map
+        out = analytics.melt(
+            _read(sf, "lineitem",
+                  columns=["l_orderkey", "l_linenumber", "l_partkey",
+                           "l_suppkey"]),
+            id_cols=["l_orderkey", "l_linenumber"],
+            value_cols=["l_partkey", "l_suppkey"]).to_pandas()
+        return (out.sort_values(["l_orderkey", "l_linenumber",
+                                 "variable"])
+                .reset_index(drop=True)
+                .astype({"l_orderkey": "int64", "l_linenumber": "int64",
+                         "value": "int64"}))
+
+    def k_anonymity_q(sf):
+        # privacy audit: quasi-identifier classes (event_type, day)
+        # with fewer than k=20 rows — the re-identification risk set
+        def add_day(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_type": b["event_type"],
+                "day": pc.floor_temporal(b["ts"], unit="day"),
+                "event_id": b["event_id"]})
+
+        ev = _read(sf, "events",
+                   columns=["event_id", "event_type", "ts"]
+                   ).map_batches(add_day, batch_format="pyarrow")
+        df = analytics.grouped_stats(ev, ["event_type", "day"],
+                                     {"event_id": ["count"]})
+        df = df[df["event_id_count"] < 20].rename(
+            columns={"event_id_count": "n"})
+        return (df.sort_values(["event_type", "day"])
+                .reset_index(drop=True).astype({"n": "int64"}))
+
+    def cluster_sizes_q(sf):
+        # dedup planning stat: exact-dup cluster size histogram
+        # (size -> n_clusters) over a corpus with PLANTED clusters of
+        # sizes 2/3/4 (raw docs are all-distinct); the groups table
+        # filters to dup clusters BEFORE leaving tasks, so the driver
+        # sees dup-sized data only
+        import ray.data as rd
+
+        from verify_ray.pipelines.dedup import exact_dedup_groups
+
+        t = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        parts = [t]
+        for i, sel in enumerate([np.ones(len(ids), bool),
+                                 ids % 3 == 0, ids % 9 == 0]):
+            sub = t.filter(pa.array(sel))
+            parts.append(pa.table({
+                "doc_id": pa.array(
+                    sub.column("doc_id").to_numpy(zero_copy_only=False)
+                    + (i + 1) * 1_000_000, type=pa.int64()),
+                "text": sub.column("text")}))
+        groups = exact_dedup_groups(
+            rd.from_arrow(pa.concat_tables(parts)))
+
+        def dups_only(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater(b["n"], 1)).select(["n"])
+
+        sizes = (groups.map_batches(dups_only, batch_format="pyarrow")
+                 .to_pandas())
+        out = (sizes.groupby("n", as_index=False).size()
+               .rename(columns={"n": "cluster_size",
+                                "size": "n_clusters"}))
+        return (out.sort_values("cluster_size").reset_index(drop=True)
+                .astype({"cluster_size": "int64",
+                         "n_clusters": "int64"}))
+
     def scd2_q(sf):
         # SCD-type-2 history: each user's event stream becomes
         # validity intervals (valid_from = ts, valid_to = next event's
@@ -2693,6 +2775,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "evolved_schema_read": evolved_read_q,
         "docs_pareto_by_lang": pareto_by_lang_q,
         "docs_changed_columns": changed_columns_q,
+        "orders_grouping_sets": grouping_sets_q,
+        "lineitem_unpivot": unpivot_q,
+        "events_k_anonymity": k_anonymity_q,
+        "dedup_cluster_sizes": cluster_sizes_q,
         "events_scd2_state": scd2_q,
         "events_rate_violators": rate_violators_q,
         "orders_time_travel": time_travel_q,
@@ -4393,6 +4479,45 @@ def oracle_sql() -> dict[str, str]:
                           - 604800000000)
             SELECT buy_id, user_id, click_id FROM j
             WHERE rn = 1 ORDER BY buy_id
+        """,
+        "orders_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "lineitem_unpivot": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+                     AS l_linenumber,
+                   'l_partkey' AS variable, l_partkey AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                   'l_suppkey', l_suppkey
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, variable
+        """,
+        "events_k_anonymity": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY 1, 2 HAVING COUNT(*) < 20
+            ORDER BY event_type, day
+        """,
+        "dedup_cluster_sizes": """
+            WITH c AS (
+              SELECT text FROM documents
+              UNION ALL SELECT text FROM documents
+              UNION ALL SELECT text FROM documents WHERE doc_id % 3 = 0
+              UNION ALL SELECT text FROM documents
+                        WHERE doc_id % 9 = 0),
+            g AS (SELECT md5(text) h, COUNT(*) n FROM c
+                  GROUP BY h HAVING COUNT(*) > 1)
+            SELECT CAST(n AS BIGINT) AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM g GROUP BY n ORDER BY cluster_size
         """,
         "events_scd2_state": """
             SELECT user_id, event_id, event_type,

@@ -154,7 +154,9 @@ def bench_queries() -> dict[str, float]:
              "trending_types_daily", "evolved_schema_read",
              "docs_pareto_by_lang", "docs_changed_columns",
              "events_scd2_state", "events_rate_violators",
-             "orders_time_travel"]
+             "orders_time_travel", "orders_grouping_sets",
+             "lineitem_unpivot", "events_k_anonymity",
+             "dedup_cluster_sizes"]
     out = {}
     for name in names:
         t0 = time.time()

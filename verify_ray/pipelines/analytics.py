@@ -1642,3 +1642,108 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
     for c in STATS:
         out[c] = out[c].astype("int64")
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def grouping_sets_counts(ds, cols: list[str],
+                         sets: list[list[str]]) -> pd.DataFrame:
+    """SQL ``GROUP BY GROUPING SETS ((...), ...)`` counts — the
+    caller picks exactly which grouping sets to emit (CUBE = all 2^k,
+    ROLLUP = prefixes; this is the general form: "by (lang, source),
+    by lang, and overall" without paying for the sets nobody asked
+    for).  Rolled-up columns are NULL; data-NULL rows drop first
+    (rollup_counts/cube_counts policy — CUBE markers and data NULLs
+    are indistinguishable in the output).
+
+    Scale shape: shared with ``cube_counts`` — ONE pass of
+    finest-level partials over ``cols``; every requested set derives
+    from the finest counts driver-side (finest-cardinality × |sets|
+    bounded, never row-count)."""
+    SEP = "\x1f"
+    for s in sets:
+        unknown = set(s) - set(cols)
+        if unknown:
+            raise ValueError(f"grouping set {s} not within {cols}: "
+                             f"{sorted(unknown)}")
+
+    def partial(b: pa.Table) -> pa.Table:
+        mask = pc.is_valid(b[cols[0]])
+        for c in cols[1:]:
+            mask = pc.and_(mask, pc.is_valid(b[c]))
+        b = b.filter(mask)
+        key = pc.cast(b[cols[0]], pa.string())
+        for c in cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(b[c], pa.string()), SEP)
+        codes, uniq = pd.factorize(
+            pd.Series(key.to_numpy(zero_copy_only=False)))
+        cnt = np.bincount(codes, minlength=len(uniq))
+        return pa.table({"k": pa.array(uniq, type=pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    levels = []
+    if not len(parts):
+        fin = pd.DataFrame({c: pd.Series(dtype=object) for c in cols}
+                           | {"n": pd.Series(dtype="int64")})
+    else:
+        agg = parts.groupby("k", as_index=False)["c"].sum()
+        split = agg["k"].str.split(SEP, expand=True)
+        split.columns = cols
+        fin = pd.concat([split, agg["c"].rename("n")], axis=1)
+    for keep in sets:
+        keep = [c for c in cols if c in keep]  # canonical order
+        if len(fin):
+            sub = (fin.groupby(keep, as_index=False)["n"].sum()
+                   if keep else
+                   pd.DataFrame({"n": [fin["n"].sum()]}))
+        else:
+            # SQL still emits the grand-total row for the () set
+            sub = (pd.DataFrame({"n": [np.int64(0)]}) if not keep
+                   else pd.DataFrame({c: pd.Series(dtype=object)
+                                      for c in keep}
+                                     | {"n": pd.Series(dtype="int64")}))
+        for c in cols:
+            if c not in keep:
+                sub[c] = None
+        levels.append(sub[cols + ["n"]])
+    out = pd.concat(levels, ignore_index=True)
+    return (out.astype({"n": "int64"})
+            .sort_values(cols, na_position="last")
+            .reset_index(drop=True))
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         var_name: str = "variable", value_name: str = "value"):
+    """UNPIVOT (wide → long): each input row becomes one output row
+    per ``value_cols`` member, carrying ``id_cols`` + the column's
+    name + its value (SQL ``UNPIVOT`` / pandas ``melt``).  Pure
+    streaming map — per batch the id columns concat k times and the
+    value columns cast to a common type and stack; no shuffle, no
+    driver state.  Value columns must share a castable common type
+    (the output has ONE value column)."""
+    import pyarrow as _pa
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    vt = types[value_cols[0]]
+    for c in value_cols[1:]:
+        if types[c] != vt:
+            # promote to the widest: rely on Arrow cast at build time
+            vt = _pa.int64() if all(
+                _pa.types.is_integer(types[c2]) for c2 in value_cols
+            ) else _pa.float64()
+    out_schema = _pa.schema(
+        [(c, types[c]) for c in id_cols]
+        + [(var_name, _pa.string()), (value_name, vt)])
+
+    def long(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {i: b[i] for i in id_cols}
+            cols[var_name] = pa.array(
+                np.full(b.num_rows, c, dtype=object), _pa.string())
+            cols[value_name] = pc.cast(b[c], vt)
+            parts.append(pa.table(cols).cast(out_schema))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(long, batch_format="pyarrow")
