@@ -1838,6 +1838,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.to_pandas().sort_values("node")
                 .reset_index(drop=True))
 
+    def bfs_hops_q(sf):
+        # multi-source shortest-hop BFS (seed-distance quality prior)
+        # over the same deterministic events link graph as
+        # graph_pagerank; level-synchronous frontier relaxation —
+        # per hop: one semi-join of the distinct edge list onto the
+        # frontier + one node-keyed min exchange
+        from verify_ray.pipelines.graph import bfs_hops
+
+        ev = _read(sf, "events", columns=["event_id", "user_id"])
+
+        def to_edges(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["user_id"]),
+                                 pc.is_valid(b["event_id"])))
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            e = pc.cast(b["event_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "src": pa.array(u),
+                "dst": pa.array((u * 3 + e % 97) % 150)})
+
+        edges = ev.map_batches(to_edges, batch_format="pyarrow")
+        out = bfs_hops(edges, seeds=[0, 1, 2, 3, 4], max_hops=3,
+                       num_buckets=8)
+        return (out.to_pandas().sort_values("node")
+                .reset_index(drop=True))
+
     def keyed_scan_q(sf):
         # per-user sequential scan: inter-arrival gap (LAG) + running
         # total (SUM OVER) in one lexsort+cumsum pass per bucket
@@ -2861,6 +2888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_keyed_scan": keyed_scan_q,
         "events_gap_audit": gap_audit_q,
         "graph_pagerank": pagerank_q,
+        "graph_bfs_hops": bfs_hops_q,
         "fuzzy_join_titles": fuzzy_join_q,
         "events_rolling_distinct": rolling_distinct_q,
         "decontaminate": decontaminate_docs,
@@ -5008,6 +5036,26 @@ def oracle_sql() -> dict[str, str]:
         "training_mix_build": TRAINING_MIX_ORACLE,
         "langid_confusion": _langid_confusion_oracle(),
         "graph_pagerank": _pagerank_oracle(),
+        "graph_bfs_hops": """
+-- recursive-CTE restatement of graph.bfs_hops: distinct directed
+-- edges, recursive UNION (per-level (node,hop) dedup — same
+-- level-synchronous closure), shortest hop = MIN over levels
+WITH RECURSIVE e AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+         (CAST(user_id AS BIGINT) * 3
+          + (CAST(event_id AS BIGINT) % 97)) % 150 AS dst
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+), walk(node, hop) AS (
+  SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+                        (1, 0), (2, 0), (3, 0), (4, 0)) v(node, hop)
+  UNION
+  SELECT e.dst, w.hop + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hop < 3
+)
+SELECT node, MIN(hop) AS hop FROM walk GROUP BY node ORDER BY node
+""",
         "events_rolling_distinct": """
             SELECT event_id, CAST(COUNT(*) OVER w AS BIGINT)
                      AS w_count,

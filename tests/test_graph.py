@@ -69,3 +69,58 @@ def test_distinct_nodes_and_null_edges(ray_session):
            .to_pandas())
     # only the (1 -> 2) edge survives; nodes = {1, 2}
     assert sorted(out["node"]) == [1, 2]
+
+
+def _bfs_reference(src, dst, seeds, max_hops):
+    """Driver-side BFS over the distinct edge set."""
+    adj = {}
+    for s, d in set(zip(src, dst)):
+        adj.setdefault(s, set()).add(d)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(max_hops):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h + 1
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_matches_reference(ray_session):
+    from verify_ray.pipelines.graph import bfs_hops
+
+    rng = np.random.default_rng(33)
+    m = 400
+    src = rng.integers(0, 60, m).astype(np.int64)
+    dst = rng.integers(0, 60, m).astype(np.int64)
+    out = (bfs_hops(_edges(src, dst, 4), seeds=[0, 1], max_hops=3,
+                    num_buckets=4)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    ref = _bfs_reference(src, dst, [0, 1], 3)
+    assert dict(zip(out["node"], out["hop"])) == ref
+
+
+def test_bfs_hops_chain_and_unreachable(ray_session):
+    from verify_ray.pipelines.graph import bfs_hops
+
+    # 0 -> 1 -> 2 -> 3 -> 4; 9 isolated; max_hops caps the reach
+    out = (bfs_hops(_edges([0, 1, 2, 3, 9], [1, 2, 3, 4, 9], 1),
+                    seeds=[0], max_hops=2, num_buckets=2)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert dict(zip(out["node"], out["hop"])) == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_hops_parallel_edges_and_nulls(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.graph import bfs_hops
+
+    t = pa.table({"src": pa.array([0, 0, 0, None, 5], type=pa.int64()),
+                  "dst": pa.array([7, 7, 7, 8, None], type=pa.int64())})
+    out = (bfs_hops(rd.from_arrow(t), seeds=[0], max_hops=3,
+                    num_buckets=2)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert dict(zip(out["node"], out["hop"])) == {0: 0, 7: 1}

@@ -460,3 +460,151 @@ def cooccurrence_edges(ds, group_col: str, item_col: str,
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return grouped_exchange_ds(tagged, "__b", num_buckets, pairs_of,
                                empty_schema=out_schema)
+
+
+def _grouped_int_min(ds, key_col: str, val_col: str, out_key: str,
+                     out_val: str, num_buckets: int):
+    """Exact int64 MIN(val) GROUP BY key through the exchange —
+    map-side combine (per-block unique + minimum.at partials), one
+    merge per bucket (same shape as ``_grouped_int_sum``)."""
+    from ..stages.exchange import grouped_exchange_ds
+
+    out_schema = pa.schema([(out_key, pa.int64()),
+                            (out_val, pa.int64())])
+
+    def reduce_min(k: np.ndarray, v: np.ndarray):
+        u, inv = np.unique(k, return_inverse=True)
+        m = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(m, inv, v)
+        return u, m
+
+    def partial(b: pa.Table) -> pa.Table:
+        u, m = reduce_min(
+            pc.cast(b[key_col], pa.int64()).to_numpy(
+                zero_copy_only=False),
+            pc.cast(b[val_col], pa.int64()).to_numpy(
+                zero_copy_only=False))
+        return pa.table({"__b": _bucketed(u, num_buckets),
+                         out_key: pa.array(u), out_val: pa.array(m)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        u, m = reduce_min(
+            t.column(out_key).to_numpy(zero_copy_only=False),
+            t.column(out_val).to_numpy(zero_copy_only=False))
+        return pa.table({out_key: pa.array(u), out_val: pa.array(m)})
+
+    tagged = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
+                               empty_schema=out_schema)
+
+
+def bfs_hops(edges_ds, seeds, src_col: str = "src",
+             dst_col: str = "dst", max_hops: int = 3,
+             num_buckets: int = 32):
+    """Multi-source shortest-hop BFS over a directed graph — hop
+    distance from a seed set, the crawl-depth / link-distance quality
+    prior a web corpus wants next to ``pagerank_int`` (e.g. "distance
+    from a trusted seed list" à la TrustRank, Gyöngyi et al. 2004).
+    Returns a Dataset ``(node int64, hop int64)`` containing exactly
+    the nodes reachable within ``max_hops`` edges of any seed (seeds
+    themselves at hop 0); unreached nodes are absent.  Null-endpoint
+    edges drop; parallel edges collapse first (DISTINCT src→dst, one
+    pair-keyed exchange) so fan-out is bounded by the simple graph.
+
+    Semantics match the SQL recursive-CTE restatement::
+
+        WITH RECURSIVE walk(node, hop) AS (
+          SELECT seed, 0 UNION
+          SELECT e.dst, w.hop+1 FROM walk w JOIN e ON e.src = w.node
+          WHERE w.hop < max_hops)
+        SELECT node, MIN(hop) GROUP BY node
+
+    Distributed shape — level-synchronous frontier relaxation, the
+    Pregel/BSP pattern (Malewicz et al. 2010), nothing
+    node-count-sized on the driver:
+
+    - ``dist`` is a Dataset (node, hop); after iteration *h* it holds
+      the true shortest hop for every node within *h* hops (min-merge
+      keeps the earliest level, so ``hop == h`` rows ARE the frontier
+      — no separate visited set);
+    - each iteration: frontier = ``dist`` filtered to ``hop == h``
+      (streaming filter), one ``joins.hash_join`` of the distinct
+      edge list onto the frontier by src (exchange-based — composes
+      under iteration, CLAUDE.md), a streaming map to (dst, h+1),
+      union with ``dist``, and one node-keyed min exchange;
+    - per-iteration ``dist`` is ``.materialize()``d (consumed by both
+      the next filter and the next union — multi-consumer, CLAUDE.md).
+
+    ``seeds`` is a small driver-side list of node ids (a trusted seed
+    list is manifest-sized by nature); for a dataset-sized seed set,
+    map it to (node, hop=0) rows and union before the first exchange.
+
+    Partitioning assumption (SURVEY §2.6): one node's out-edges fit a
+    merge task — salt mega-hubs upstream.
+    """
+    import ray.data
+
+    from ..stages.exchange import grouped_exchange_ds
+    from .joins import hash_join
+
+    # distinct simple edges (same pair-keyed dedup as triangle_count,
+    # but DIRECTED — no canonicalization, self-loops kept: they are
+    # harmless under min-relaxation and the SQL restatement keeps them)
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[src_col]),
+                             pc.is_valid(b[dst_col])))
+        s = pc.cast(b[src_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = pc.cast(b[dst_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pairs = np.unique(_pair_struct(s, d))
+        h = (pd.util.hash_array(pairs["a"])
+             ^ pd.util.hash_array(pairs["b"]))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            "src": pa.array(pairs["a"]), "dst": pa.array(pairs["b"])})
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        pairs = np.unique(_pair_struct(
+            t.column("src").to_numpy(zero_copy_only=False),
+            t.column("dst").to_numpy(zero_copy_only=False)))
+        return pa.table({"src": pa.array(pairs["a"]),
+                         "dst": pa.array(pairs["b"])})
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    edges = grouped_exchange_ds(
+        edges_ds.map_batches(tag, batch_format="pyarrow"),
+        "__b", num_buckets, dedup_pairs,
+        empty_schema=edge_schema).materialize()
+
+    seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    dist = ray.data.from_arrow(pa.table({
+        "node": pa.array(seed_arr),
+        "hop": pa.array(np.zeros(len(seed_arr), dtype=np.int64)),
+    })).materialize()
+
+    for h in range(max_hops):
+        def is_frontier(b: pa.Table, _h=h) -> pa.Table:
+            return b.filter(pc.equal(b["hop"], pa.scalar(_h)))
+
+        frontier = dist.map_batches(is_frontier,
+                                    batch_format="pyarrow")
+        reached = hash_join(
+            edges, frontier, key="src", right_key="node",
+            left_values=["dst"], right_values=[], how="semi",
+            num_buckets=num_buckets)
+
+        def step(b: pa.Table, _h=h) -> pa.Table:
+            d = np.unique(pc.cast(b["dst"], pa.int64()).to_numpy(
+                zero_copy_only=False))
+            return pa.table({
+                "node": pa.array(d),
+                "hop": pa.array(np.full(len(d), _h + 1,
+                                        dtype=np.int64))})
+
+        nxt = reached.map_batches(step, batch_format="pyarrow")
+        dist = _grouped_int_min(dist.union(nxt), "node", "hop",
+                                "node", "hop",
+                                num_buckets).materialize()
+
+    return dist
