@@ -769,6 +769,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("o_orderkey").reset_index(drop=True)
                 .astype({"o_orderkey": "int64", "o_custkey": "int64"}))
 
+    def join_delta_q(sf):
+        # incremental inner-join maintenance (IVM, insert-only): the
+        # exact NEW join rows after an ingest epoch — ΔL⋈R_old ∪
+        # L_old⋈ΔR ∪ ΔL⋈ΔR, one tagged key exchange, old×old pairs
+        # masked in the merge task.  Epoch split is deterministic:
+        # lineitem delta = linenumber ≥ 5, orders delta = orderkey%7==0
+        import pyarrow.dataset as pads
+
+        from verify_ray.pipelines.joins import join_delta
+
+        cols_l = ["l_orderkey", "l_linenumber", "l_partkey"]
+        l_old = _read(sf, "lineitem", columns=cols_l,
+                      filter=pads.field("l_linenumber") < 5)
+        l_new = _read(sf, "lineitem", columns=cols_l,
+                      filter=pads.field("l_linenumber") >= 5)
+
+        def o_split(is_delta):
+            def f(b: pa.Table) -> pa.Table:
+                k = pc.cast(b["o_orderkey"], pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                m = (k % 7 == 0) if is_delta else (k % 7 != 0)
+                return b.filter(pa.array(m))
+            return f
+
+        oc = ["o_orderkey", "o_custkey"]
+        o_old = _read(sf, "orders", columns=oc).map_batches(
+            o_split(False), batch_format="pyarrow")
+        o_new = _read(sf, "orders", columns=oc).map_batches(
+            o_split(True), batch_format="pyarrow")
+        out = join_delta(l_old, l_new, o_old, o_new,
+                         key="l_orderkey", right_key="o_orderkey",
+                         left_values=cols_l,
+                         right_values=["o_custkey"], num_buckets=16)
+        return (out.to_pandas()
+                .sort_values(cols_l).reset_index(drop=True))
+
     def dedup_normalized_q(sf):
         # near-exact dedup: canonical normalization (lower, strip
         # punctuation, collapse whitespace) then exact grouping — the
@@ -2904,6 +2940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_events_orders": asof_orders,
         "range_join_events": range_events_q,
         "hash_join_lineitem_orders": hash_join_li_orders,
+        "orders_delta_join": join_delta_q,
         "hash_join_events_customers": hash_join_events_cust,
         "skew_join_events_customers": skew_join_events_cust,
         "band_join_click_purchase": band_join_q,
@@ -4890,6 +4927,26 @@ def oracle_sql() -> dict[str, str]:
         "asof_events_orders": ASOF_ORACLE,
         "range_join_events": RANGE_JOIN_ORACLE,
         "hash_join_lineitem_orders": HASH_JOIN_LI_ORACLE,
+        "orders_delta_join": """
+-- delta rule: every matching pair except old×old (insert-only IVM)
+WITH lo AS (SELECT l_orderkey, l_linenumber, l_partkey
+            FROM lineitem WHERE l_linenumber < 5),
+     ld AS (SELECT l_orderkey, l_linenumber, l_partkey
+            FROM lineitem WHERE l_linenumber >= 5),
+     oo AS (SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_orderkey % 7 <> 0),
+     od AS (SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_orderkey % 7 = 0)
+SELECT l_orderkey, l_linenumber, l_partkey, o_custkey
+FROM ld JOIN oo ON l_orderkey = o_orderkey
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_partkey, o_custkey
+FROM lo JOIN od ON l_orderkey = o_orderkey
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_partkey, o_custkey
+FROM ld JOIN od ON l_orderkey = o_orderkey
+ORDER BY l_orderkey, l_linenumber, l_partkey
+""",
         "hash_join_events_customers": HASH_JOIN_EVENTS_ORACLE,
         "skew_join_events_customers": HASH_JOIN_EVENTS_ORACLE,
         "band_join_click_purchase": """

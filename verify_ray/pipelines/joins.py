@@ -1366,3 +1366,122 @@ def bucketed_join(dir_left: str, dir_right: str, key: str,
     if not refs:
         return rd.from_arrow(out_schema.empty_table())
     return rd.from_arrow_refs(refs)
+
+
+def join_delta(left_old, left_delta, right_old, right_delta,
+               key: str, left_values: list[str],
+               right_values: list[str],
+               right_key: str | None = None, num_buckets: int = 64):
+    """Incremental inner-join maintenance (IVM) under INSERT-ONLY
+    deltas: emit EXACTLY the join rows that are new after applying
+    ``left_delta`` / ``right_delta`` to the old sides::
+
+        Δ(L ⋈ R) = ΔL ⋈ R_old  ∪  L_old ⋈ ΔR  ∪  ΔL ⋈ ΔR
+
+    i.e. every matching pair EXCEPT old×old — the classic delta rule
+    (Blakeley et al. 1986, "Efficiently Updating Materialized Views").
+    The pipeline refreshing a joined training view per ingest epoch
+    recomputes only this delta and appends, instead of re-joining the
+    world and diffing.
+
+    Distributed shape: all four inputs are tagged (side, is_delta) and
+    routed through ONE key exchange; each merge task enumerates its
+    keys' pairs with the same searchsorted + repeat/arange kernel as
+    ``hash_join`` and drops old×old pairs with one vectorized mask —
+    the cost profile of a single L_new ⋈ R_new join that emits only
+    delta rows, strictly cheaper than recompute-plus-diff (two full
+    joins + an anti).  With the old sides persisted via
+    ``write_bucketed`` the old shuffles disappear entirely: route the
+    deltas with the same key/bucket-count and merge per aligned bucket
+    (``bucketed_join``'s layout contract).
+
+    Deletes/updates are out of scope by design (insert-only epochs —
+    the append-only ingest contract); for upserts compose with
+    ``merge_upsert`` upstream.  NULL keys match nothing (SQL).  Delta
+    inputs must share the old sides' schemas.
+
+    Partitioning assumption (SURVEY §2.6): one key's rows (old + delta,
+    both sides) fit a merge task; salt hot keys upstream.
+    """
+    from ..stages.exchange import grouped_exchange_ds
+
+    lkey = key
+    rkey = key if right_key is None else right_key
+    l_schema, r_schema = left_old.schema(), right_old.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    clash = set(left_values) & set(right_values)
+    if clash:
+        raise ValueError(f"left/right output columns collide: {clash}")
+    key_type = (pa.int64() if pa.types.is_integer(l_types[lkey])
+                else pa.string())
+
+    def _tag(b: pa.Table, is_left: bool, is_delta: bool) -> pa.Table:
+        kc = b[lkey if is_left else rkey]
+        k_arr, bk = _key_arrays(pc.cast(as_array(kc), key_type))
+        n = b.num_rows
+        cols = {"__b": pa.array(bk, type=pa.uint64()),
+                "__k": pc.cast(k_arr, key_type),
+                "__side": pa.array(np.full(n, np.int8(1 if is_left
+                                                      else 0))),
+                "__d": pa.array(np.full(n, np.int8(1 if is_delta
+                                                   else 0)))}
+        for c in left_values:
+            cols[c] = b[c] if is_left else pa.nulls(n, l_types[c])
+        for c in right_values:
+            cols[c] = pa.nulls(n, r_types[c]) if is_left else b[c]
+        return pa.table(cols)
+
+    def part(is_left: bool, is_delta: bool):
+        return lambda b: _tag(b, is_left, is_delta)
+
+    tagged = (left_old.map_batches(part(True, False),
+                                   batch_format="pyarrow")
+              .union(left_delta.map_batches(part(True, True),
+                                            batch_format="pyarrow"))
+              .union(right_old.map_batches(part(False, False),
+                                           batch_format="pyarrow"))
+              .union(right_delta.map_batches(part(False, True),
+                                             batch_format="pyarrow")))
+    out_schema = pa.schema(
+        [(c, l_types[c]) for c in left_values]
+        + [(c, r_types[c]) for c in right_values])
+
+    def merge(t: pa.Table) -> pa.Table | None:
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        delta = t.column("__d").to_numpy(zero_copy_only=False)
+        k_col = t.column("__k")
+        valid = pc.is_valid(k_col).to_numpy(zero_copy_only=False)
+        fill = 0 if pa.types.is_integer(k_col.type) else ""
+        kv = pc.fill_null(k_col, fill).to_numpy(zero_copy_only=False)
+        _, codes = np.unique(kv, return_inverse=True)
+        lsel = np.flatnonzero((side == 1) & valid)
+        rsel = np.flatnonzero((side == 0) & valid)
+        if not len(lsel) or not len(rsel):
+            return None
+        rcode = codes[rsel]
+        ro = np.argsort(rcode, kind="stable")
+        rcode, rorig = rcode[ro], rsel[ro]
+        lcode = codes[lsel]
+        lo = np.searchsorted(rcode, lcode, side="left")
+        hi = np.searchsorted(rcode, lcode, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if not total:
+            return None
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rep = np.repeat(np.arange(len(lsel)), counts)
+        cand = (np.arange(total) - np.repeat(first, counts)
+                + np.repeat(lo, counts))
+        li, ri = lsel[rep], rorig[cand]
+        keep = (delta[li] | delta[ri]).astype(bool)  # drop old×old
+        if not keep.any():
+            return None
+        lidx, ridx = pa.array(li[keep]), pa.array(ri[keep])
+        cols = {c: t.column(c).take(lidx) for c in left_values}
+        for c in right_values:
+            cols[c] = t.column(c).take(ridx)
+        return pa.table(cols).cast(out_schema)
+
+    return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
+                               empty_schema=out_schema)
