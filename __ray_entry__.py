@@ -170,6 +170,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def lineitem_trend_q(sf):
+        # per-flag OLS trend (quantity vs line position) as exact
+        # integer sufficient statistics — map-side combiner + the
+        # cardinality-guarded merge; slope stays a num/den pair so the
+        # oracle hash-matches (integer policy)
+        return analytics.grouped_regression(
+            _read(sf, "lineitem",
+                  columns=["l_returnflag", "l_linenumber",
+                           "l_quantity"]),
+            keys=["l_returnflag"], x_col="l_linenumber",
+            y_col="l_quantity")
+
     def events_coverage(sf):
         # per-user union of overlapping 30-min presence intervals
         # (coverage audit): one user-keyed exchange, per-bucket lexsort
@@ -2822,6 +2834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events"), gap_minutes=30),
         # analytics
         "stats_docs_by_lang": stats_docs_by_lang,
+        "lineitem_trend_by_flag": lineitem_trend_q,
         "stats_incremental": stats_incremental_q,
         "docs_mad_by_lang": mad_q,
         "events_user_stats": events_user_stats,
@@ -4299,6 +4312,28 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "lineitem_trend_by_flag": """
+-- exact-integer OLS sufficient statistics per group (pairwise-null
+-- exclusion = SQL regr_* semantics); SUMs come back HUGEINT, cast
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(l_linenumber AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+         AS slope_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+         AS slope_den
+FROM t GROUP BY l_returnflag ORDER BY l_returnflag
+""",
         "stats_docs_by_lang": """
             SELECT lang, COUNT(*) AS n_docs,
                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,

@@ -1747,3 +1747,59 @@ def melt(ds, id_cols: list[str], value_cols: list[str],
         return pa.concat_tables(parts)
 
     return ds.map_batches(long, batch_format="pyarrow")
+
+
+def grouped_regression(ds, keys: list[str], x_col: str, y_col: str,
+                       batch_size: int = 65536,
+                       partial_budget: int = GROUP_PARTIAL_BUDGET
+                       ) -> pd.DataFrame:
+    """Per-group simple linear regression (OLS y on x) via EXACT
+    integer sufficient statistics — the drift/trend primitive
+    ("is sequence length drifting across ingest position?") as a
+    grouped aggregate, not a model fit.  SQL ``regr_slope`` semantics:
+    rows where either column is NULL are excluded pairwise.
+
+    Returns one row per group: ``n, sum_x, sum_y, sum_xx, sum_xy``
+    plus ``slope_num = n·Σxy − Σx·Σy`` and ``slope_den = n·Σxx −
+    (Σx)²`` (slope = num/den; kept as exact integers so the result is
+    engine-reproducible — the repo's integer-oracle policy; float
+    division is the caller's last step).  Both columns are cast to
+    int64 first: the caller pre-scales decimals (e.g. cents).
+    Overflow contract: ``n·Σxy`` must fit int64 — pre-scale or
+    pre-aggregate coarser groups if Σ|x·y| approaches 2⁶³/n.
+
+    Distributed shape: one ``map_batches`` combiner emits per-(batch,
+    group) partial sums (Arrow ``group_by`` over appended x², x·y
+    columns); the final merge rides the cardinality-guarded
+    ``_merge_partials`` — enum-sized keys merge on the driver,
+    user-id-sized keys merge in the hash exchange with one row per
+    group leaving the tasks.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[x_col]),
+                             pc.is_valid(b[y_col])))
+        x = pc.cast(b[x_col], pa.int64())
+        y = pc.cast(b[y_col], pa.int64())
+        t = pa.table({
+            **{k: b[k] for k in keys},
+            "__n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "__x": x, "__y": y,
+            "__xx": pc.multiply(x, x), "__xy": pc.multiply(x, y)})
+        return t.group_by(keys).aggregate(
+            [("__n", "sum"), ("__x", "sum"), ("__y", "sum"),
+             ("__xx", "sum"), ("__xy", "sum")])
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size).materialize()
+    col_ops = {c: "sum" for c in parts_ds.schema().names
+               if c not in keys}
+    out = _merge_partials(parts_ds, keys, col_ops, partial_budget)
+    out = out.rename(columns={
+        "__n_sum": "n", "__x_sum": "sum_x", "__y_sum": "sum_y",
+        "__xx_sum": "sum_xx", "__xy_sum": "sum_xy"})
+    for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_xy"):
+        out[c] = out[c].astype("int64")
+    out["slope_num"] = out["n"] * out["sum_xy"] - out["sum_x"] * out["sum_y"]
+    out["slope_den"] = out["n"] * out["sum_xx"] - out["sum_x"] ** 2
+    return out.sort_values(keys).reset_index(drop=True)
