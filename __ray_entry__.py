@@ -170,6 +170,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def equidepth_q(sf):
+        # equi-depth histogram of n_chars: 8 depth bins from the
+        # distinct-value histogram, ties share a fate (cut rule
+        # cum·B ≥ i·total), one streaming pass
+        from verify_ray.pipelines.select import equidepth_bins
+
+        return equidepth_bins(
+            _read(sf, "documents", columns=["n_chars"]),
+            "n_chars", n_bins=8)
+
+    def term_counts_q(sf):
+        # dictionary spotting: long-format (doc, term, count) rows
+        # over a fixed vocabulary — one vectorized RE2 count kernel
+        # per term, no shuffle, output (doc,term)-sized
+        from verify_ray.pipelines.text import term_counts
+
+        out = term_counts(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            terms=["join", "sort", "merge", "window"])
+        return (out.to_pandas()
+                .sort_values(["doc_id", "term"])
+                .reset_index(drop=True))
+
     def lineitem_trend_q(sf):
         # per-flag OLS trend (quantity vs line position) as exact
         # integer sufficient statistics — map-side combiner + the
@@ -2835,6 +2858,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analytics
         "stats_docs_by_lang": stats_docs_by_lang,
         "lineitem_trend_by_flag": lineitem_trend_q,
+        "docs_term_counts": term_counts_q,
+        "docs_equidepth_bins": equidepth_q,
         "stats_incremental": stats_incremental_q,
         "docs_mad_by_lang": mad_q,
         "events_user_stats": events_user_stats,
@@ -4312,6 +4337,39 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "docs_equidepth_bins": """
+-- equi-depth binning restated from the cumulative histogram:
+-- cut_i = smallest v with cum*B >= i*total; bin = #cuts < v
+WITH t AS (
+  SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+  WHERE n_chars IS NOT NULL
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t),
+h AS (
+  SELECT v, SUM(COUNT(*)) OVER (ORDER BY v) AS cum
+  FROM t GROUP BY v
+), cuts AS (
+  SELECT i, MIN(v) AS cut
+  FROM h CROSS JOIN n CROSS JOIN range(1, 8) r(i)
+  WHERE cum * 8 >= i * total GROUP BY i
+), binned AS (
+  SELECT v, (SELECT COUNT(*) FROM cuts c WHERE c.cut < t.v) AS bin
+  FROM t
+)
+SELECT CAST(bin AS BIGINT) AS bin, MIN(v) AS lo, MAX(v) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(v) AS BIGINT) AS sum_v
+FROM binned GROUP BY bin ORDER BY bin
+""",
+        "docs_term_counts": """
+-- whole-word dictionary spotting restated with regexp_extract_all
+SELECT doc_id, term, n FROM (
+  SELECT d.doc_id, t.term,
+         CAST(len(regexp_extract_all(
+           d.text, '\\b' || t.term || '\\b')) AS BIGINT) AS n
+  FROM documents d,
+       (VALUES ('join'), ('sort'), ('merge'), ('window')) t(term)
+) WHERE n > 0 ORDER BY doc_id, term
+""",
         "lineitem_trend_by_flag": """
 -- exact-integer OLS sufficient statistics per group (pairwise-null
 -- exclusion = SQL regr_* semantics); SUMs come back HUGEINT, cast

@@ -1,0 +1,104 @@
+"""Round-4 session-4 operators: term_counts (dictionary spotting),
+equidepth_bins (equal-frequency histogram)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(df: pd.DataFrame, blocks: int = 2):
+    import ray.data as rd
+
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    step = max(1, t.num_rows // blocks)
+    return rd.from_arrow([t.slice(i, step)
+                          for i in range(0, t.num_rows, step)])
+
+
+# -- term_counts ------------------------------------------------------
+
+def test_term_counts_whole_word_and_omission(ray_session):
+    from verify_ray.pipelines.text import term_counts
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["join the join club", "joint venture", "no hits"]})
+    out = (term_counts(_ds(df), ["join", "club"])
+           .to_pandas().sort_values(["doc_id", "term"])
+           .reset_index(drop=True))
+    # "joint" must NOT match whole-word "join"; zero rows omitted
+    ref = pd.DataFrame({"doc_id": [1, 1], "term": ["club", "join"],
+                        "n": [1, 2]})
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_term_counts_regex_metachars_escaped(ray_session):
+    from verify_ray.pipelines.text import term_count_batch
+
+    b = pa.table({"doc_id": [1, 2],
+                  "text": ["cost is 5.99 total", "cost is 5x99 bad"]})
+    out = term_count_batch(b, ["5.99"])
+    # escaped literal matches doc 1 only; an unescaped '.' would
+    # also match doc 2's 5x99
+    assert out.to_pydict() == {"doc_id": [1], "term": ["5.99"],
+                               "n": [1]}
+
+
+def test_term_counts_empty_result_schema(ray_session):
+    from verify_ray.pipelines.text import term_count_batch
+
+    b = pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    out = term_count_batch(b, ["x"])
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "term", "n"]
+
+
+# -- equidepth_bins ---------------------------------------------------
+
+def _equidepth_ref(v: np.ndarray, B: int) -> pd.DataFrame:
+    vals, counts = np.unique(v, return_counts=True)
+    cum = np.cumsum(counts)
+    total = cum[-1]
+    cuts = [vals[np.searchsorted(cum * B, i * total, "left")]
+            for i in range(1, B)]
+    bins = np.array([np.sum(np.array(cuts) < x) for x in v])
+    rows = []
+    for b in np.unique(bins):
+        sel = v[bins == b]
+        rows.append((b, sel.min(), sel.max(), len(sel), sel.sum()))
+    return pd.DataFrame(rows, columns=["bin", "lo", "hi", "n_rows",
+                                       "sum_v"])
+
+
+def test_equidepth_bins_uniform(ray_session):
+    from verify_ray.pipelines.select import equidepth_bins
+
+    v = np.arange(1, 81, dtype=np.int64)  # 80 rows, 8 bins of 10
+    out = equidepth_bins(_ds(pd.DataFrame({"v": v}), 4), "v", 8)
+    assert out.n_rows.tolist() == [10] * 8
+    assert out.lo.tolist() == [1, 11, 21, 31, 41, 51, 61, 71]
+    pd.testing.assert_frame_equal(out, _equidepth_ref(v, 8),
+                                  check_dtype=False)
+
+
+def test_equidepth_bins_heavy_ties_share_fate(ray_session):
+    from verify_ray.pipelines.select import equidepth_bins
+
+    # one value holds 90% of rows: it spans several depth boundaries,
+    # stays in ONE bin, and bin indices legitimately skip
+    v = np.concatenate([np.full(90, 5, np.int64),
+                        np.arange(10, dtype=np.int64)])
+    out = equidepth_bins(_ds(pd.DataFrame({"v": v}), 3), "v", 4)
+    ref = _equidepth_ref(v, 4)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    assert (out[out.lo <= 5][out.hi >= 5].n_rows >= 90).any()
+
+
+def test_equidepth_bins_empty(ray_session):
+    from verify_ray.pipelines.select import equidepth_bins
+
+    out = equidepth_bins(
+        _ds(pd.DataFrame({"v": pd.Series(dtype="int64")}), 1), "v", 4)
+    assert len(out) == 0
+    assert list(out.columns) == ["bin", "lo", "hi", "n_rows", "sum_v"]

@@ -1030,3 +1030,51 @@ def grouped_pareto(ds, group_cols: list[str], max_col: str,
         group_cols + [max_col, min_col],
         ascending=[True] * len(group_cols) + [False, True])
     return out[values].reset_index(drop=True)
+
+
+def equidepth_bins(ds, col: str, n_bins: int) -> pd.DataFrame:
+    """Equi-depth (equal-frequency) histogram of an integer column —
+    the optimizer/drift-monitoring binning where every bin holds
+    ~1/``n_bins`` of the rows regardless of value skew.  Returns one
+    row per non-empty bin: ``bin, lo, hi, n_rows, sum_v`` (all
+    int64).
+
+    Deterministic ties-share-a-fate rule (no engine-order dependence):
+    cut *i* (i = 1..B−1) is the smallest value whose cumulative count
+    satisfies ``cum·B ≥ i·total``; a row's bin is the number of cuts
+    strictly below its value.  Duplicate cuts (one value spanning
+    several depth boundaries) legitimately skip bin indices, and a
+    heavily-tied value never splits across bins — exactly restatable
+    in SQL from the cumulative histogram.
+
+    Scale shape: ONE streaming pass — everything derives from the
+    ``value_counts`` histogram (per-batch ``np.unique`` partials;
+    driver data bounded by DISTINCT values, the same contract as
+    ``exact_quantiles``/``global_rank``), then vectorized
+    searchsorted + reduceat over the distinct-value arrays.  Rows are
+    never shuffled.  Nulls must be dropped upstream (histogram
+    contract).
+    """
+    import pandas as pd
+
+    vals, counts = value_counts(ds, col)
+    if not len(vals):
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in ("bin", "lo", "hi", "n_rows",
+                                       "sum_v")})
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    i = np.arange(1, n_bins, dtype=np.int64)
+    cuts = vals[np.searchsorted(cum * n_bins, i * total, side="left")]
+    bin_of = np.searchsorted(cuts, vals, side="left")
+    # distinct values are sorted, so bins are contiguous runs
+    ub, start = np.unique(bin_of, return_index=True)
+    end = np.append(start[1:], len(vals))
+    n_rows = np.add.reduceat(counts, start)
+    sum_v = np.add.reduceat(vals * counts, start)
+    return pd.DataFrame({
+        "bin": ub.astype("int64"),
+        "lo": vals[start].astype("int64"),
+        "hi": vals[end - 1].astype("int64"),
+        "n_rows": n_rows.astype("int64"),
+        "sum_v": sum_v.astype("int64")})

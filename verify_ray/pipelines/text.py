@@ -553,3 +553,52 @@ def edit_distance_pairs(ds, id_col: str = "doc_id",
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return grouped_exchange_ds(tagged, "__b", num_buckets, pairs_of,
                                empty_schema=out_schema)
+
+
+def term_count_batch(batch: pa.Table, terms: list[str],
+                     text_col: str = "text", id_col: str = "doc_id"
+                     ) -> pa.Table:
+    """Per-batch whole-word term extraction to LONG format: one row
+    per (doc, term) with the occurrence count, rows with zero
+    occurrences omitted.  Fully vectorized — one RE2
+    ``count_substring_regex`` kernel call per term over the whole
+    batch column (k terms = k kernel calls, never a per-row Python
+    loop).  Whole-word semantics via RE2 ``\\b``: terms must start
+    and end with word characters (``\\b`` next to punctuation never
+    matches — RE2 has no lookaround to widen it)."""
+    import re as _re
+
+    out_schema = pa.schema([(id_col, batch.schema.field(id_col).type),
+                            ("term", pa.string()),
+                            ("n", pa.int64())])
+    parts = []
+    for term in terms:
+        pat = rf"\b{_re.escape(term)}\b"
+        cnt = pc.cast(pc.count_substring_regex(batch[text_col],
+                                               pattern=pat),
+                      pa.int64())
+        mask = pc.greater(cnt, 0)
+        ids = pc.array_filter(as_array(batch[id_col]), mask)
+        ns = pc.array_filter(as_array(cnt), mask)
+        if len(ids):
+            parts.append(pa.table({
+                id_col: ids,
+                "term": pa.array([term] * len(ids)),
+                "n": ns}).cast(out_schema))
+    if not parts:
+        return out_schema.empty_table()
+    return pa.concat_tables(parts)
+
+
+def term_counts(ds, terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id"):
+    """Streaming long-format term-occurrence extraction — the
+    dictionary-spotting ETL shape (extract every occurrence count of
+    a fixed vocabulary: topics, brand names, blocklist hits) that
+    feeds boolean retrieval and topic mixing.  Pure ``map_batches``,
+    no shuffle; output is (doc, term)-sized, never corpus² — at
+    100 TB this runs at scan bandwidth with the term list captured in
+    the task closure (manifest-sized)."""
+    return ds.map_batches(
+        lambda b: term_count_batch(b, terms, text_col, id_col),
+        batch_format="pyarrow")
