@@ -2128,6 +2128,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (ds.to_pandas().sort_values("doc_id")
                 .reset_index(drop=True))
 
+    def bloom_pruned_q(sf):
+        # point lookup over a TIME-partitioned layout (orders sharded
+        # by epoch-day % 8 — the ingest layout a key lookup can't
+        # range-prune): per-file Bloom filters on o_orderkey skip the
+        # files provably missing every key; exact IN pushdown inside
+        # survivors makes the result identical to a full filtered
+        # scan (= the oracle).  Prune counts pinned in tests.
+        import hashlib
+        import os
+
+        from verify_ray import sinks
+        from verify_ray.sources.bloomindex import bloom_pruned_read
+
+        src = f"{sf}/orders.parquet"
+        fp = (f"bloomidx-v1:{src}:{os.path.getsize(src)}"
+              f":{os.path.getmtime(src)}")
+        root = ("/tmp/verify_ray_bloomidx/"
+                + hashlib.md5(fp.encode()).hexdigest()[:12])
+
+        def shard_maker(sid):
+            def make():
+                orders = _read(sf, "orders",
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_orderdate"])
+
+                def pick(b: pa.Table) -> pa.Table:
+                    day = (b["o_orderdate"].cast(pa.int64())
+                           .to_numpy(zero_copy_only=False)
+                           // 86_400_000_000)
+                    return (b.filter(pa.array(day % 8 == sid))
+                            .select(["o_orderkey", "o_custkey"]))
+
+                return orders.map_batches(pick,
+                                          batch_format="pyarrow")
+            return make
+
+        sinks.write_sharded({i: shard_maker(i) for i in range(8)},
+                            root, fingerprint=fp)
+        ds, stats = bloom_pruned_read(
+            root, "o_orderkey", [1, 2, 3, 5, 8],
+            columns=["o_orderkey", "o_custkey"])
+        assert stats["files_read"] <= stats["files_total"]
+        return (ds.to_pandas().sort_values("o_orderkey")
+                .reset_index(drop=True))
+
     def tumbling_dedup_q(sf):
         # streaming tumbling-window dedup: keep the FIRST event per
         # (user, type, hour bucket) — the at-least-once ingestion
@@ -2959,6 +3004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resample_daily": resample_ffill_q,
         "events_tumbling_dedup": tumbling_dedup_q,
         "zone_pruned_lookup": zone_pruned_q,
+        "bloom_pruned_lookup": bloom_pruned_q,
         "events_keyed_scan": keyed_scan_q,
         "events_gap_audit": gap_audit_q,
         "graph_pagerank": pagerank_q,
@@ -5302,6 +5348,12 @@ ORDER BY lid, rid
             GROUP BY user_id, event_type HAVING COUNT(*) >= 12
             ORDER BY user_id, event_type
         """,
+        "bloom_pruned_lookup": """
+-- bloom pruning only skips files with no match: result == full scan
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_orderkey IN (1, 2, 3, 5, 8)
+ORDER BY o_orderkey
+""",
         "zone_pruned_lookup": """
             SELECT doc_id, n_chars FROM documents
             WHERE n_chars BETWEEN 200 AND 300
