@@ -170,6 +170,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def kmv_overlap_q(sf):
+        # cross-population overlap at sketch cost: KMV registers of
+        # orders.o_custkey vs events.user_id, union/intersection from
+        # register algebra; integer register state is the oracle
+        # surface, float estimators dropped (pytest-checked)
+        out = analytics.kmv_overlap(
+            _read(sf, "orders", columns=["o_custkey"]),
+            _read(sf, "events", columns=["user_id"]),
+            "o_custkey", "user_id", k=128)
+        return out[["n_reg_a", "n_reg_b", "n_union", "n_common",
+                    "kth_union", "union_checksum"]]
+
     def equidepth_q(sf):
         # equi-depth histogram of n_chars: 8 depth bins from the
         # distinct-value histogram, ties share a fate (cut rule
@@ -2905,6 +2917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_trend_by_flag": lineitem_trend_q,
         "docs_term_counts": term_counts_q,
         "docs_equidepth_bins": equidepth_q,
+        "custkey_user_overlap": kmv_overlap_q,
         "stats_incremental": stats_incremental_q,
         "docs_mad_by_lang": mad_q,
         "events_user_stats": events_user_stats,
@@ -4383,6 +4396,30 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "custkey_user_overlap": """
+-- KMV register algebra restated: per-side k-smallest distinct md5
+-- registers, union register = k smallest of their union, common =
+-- union members present in BOTH registers
+WITH ra AS (
+  SELECT DISTINCT md5_number_upper(CAST(o_custkey AS VARCHAR)) AS h
+  FROM orders WHERE o_custkey IS NOT NULL ORDER BY h LIMIT 128
+), rb AS (
+  SELECT DISTINCT md5_number_upper(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE user_id IS NOT NULL ORDER BY h LIMIT 128
+), ru AS (
+  SELECT h FROM (SELECT h FROM ra UNION SELECT h FROM rb)
+  ORDER BY h LIMIT 128
+)
+SELECT CAST((SELECT COUNT(*) FROM ra) AS BIGINT) AS n_reg_a,
+       CAST((SELECT COUNT(*) FROM rb) AS BIGINT) AS n_reg_b,
+       CAST((SELECT COUNT(*) FROM ru) AS BIGINT) AS n_union,
+       CAST((SELECT COUNT(*) FROM ru
+             WHERE h IN (SELECT h FROM ra)
+               AND h IN (SELECT h FROM rb)) AS BIGINT) AS n_common,
+       CAST((SELECT MAX(h) FROM ru) AS VARCHAR) AS kth_union,
+       CAST((SELECT SUM(h % 1000000007) FROM ru) AS BIGINT)
+         AS union_checksum
+""",
         "docs_equidepth_bins": """
 -- equi-depth binning restated from the cumulative histogram:
 -- cut_i = smallest v with cum*B >= i*total; bin = #cuts < v

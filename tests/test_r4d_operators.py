@@ -102,3 +102,42 @@ def test_equidepth_bins_empty(ray_session):
         _ds(pd.DataFrame({"v": pd.Series(dtype="int64")}), 1), "v", 4)
     assert len(out) == 0
     assert list(out.columns) == ["bin", "lo", "hi", "n_rows", "sum_v"]
+
+
+# -- kmv_overlap ------------------------------------------------------
+
+def test_kmv_overlap_exact_when_not_full(ray_session):
+    from verify_ray.pipelines.analytics import kmv_overlap
+
+    a = pd.DataFrame({"v": list(range(50))})
+    b = pd.DataFrame({"v": list(range(30, 80))})
+    out = kmv_overlap(_ds(a), _ds(b), "v", "v", k=1024)
+    # registers not full -> every statistic is exact
+    assert out.n_reg_a[0] == 50 and out.n_reg_b[0] == 50
+    assert out.n_union[0] == 80
+    assert out.n_common[0] == 20
+    assert out.est_union[0] == 80
+    assert out.est_intersection[0] == 20
+    assert out.jaccard_permille[0] == 20 * 1000 // 80
+
+
+def test_kmv_overlap_estimator_accuracy(ray_session):
+    from verify_ray.pipelines.analytics import kmv_overlap
+
+    n = 20_000
+    a = pd.DataFrame({"v": list(range(n))})
+    b = pd.DataFrame({"v": list(range(n // 2, n + n // 2))})
+    out = kmv_overlap(_ds(a, 4), _ds(b, 4), "v", "v", k=512)
+    # true union = 1.5n, intersection = 0.5n; KMV k=512 ~ 4-5% rel err
+    assert abs(out.est_union[0] - 1.5 * n) / (1.5 * n) < 0.15
+    assert abs(out.est_intersection[0] - 0.5 * n) / (0.5 * n) < 0.25
+
+
+def test_kmv_overlap_disjoint_and_nulls(ray_session):
+    from verify_ray.pipelines.analytics import kmv_overlap
+
+    a = pd.DataFrame({"v": pd.array([1, 2, 3, None], dtype="Int64")})
+    b = pd.DataFrame({"v": pd.array([4, 5, None], dtype="Int64")})
+    out = kmv_overlap(_ds(a, 1), _ds(b, 1), "v", "v", k=64)
+    assert out.n_common[0] == 0
+    assert out.n_union[0] == 5  # nulls excluded

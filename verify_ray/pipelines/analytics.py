@@ -1803,3 +1803,82 @@ def grouped_regression(ds, keys: list[str], x_col: str, y_col: str,
     out["slope_num"] = out["n"] * out["sum_xy"] - out["sum_x"] * out["sum_y"]
     out["slope_den"] = out["n"] * out["sum_xx"] - out["sum_x"] ** 2
     return out.sort_values(keys).reset_index(drop=True)
+
+
+def _kmv_register_global(ds, value_col: str, k: int) -> np.ndarray:
+    """Global (ungrouped) KMV register: the ``k`` smallest distinct
+    ``md5_number_upper`` hashes of a column.  Per-batch partials are
+    register-sized (≤ k rows each), merged once on the driver —
+    driver data is O(k × blocks), the sketch contract."""
+    import ray
+
+    from ..functions.hashing import md5_u64le
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"h": pa.array([], type=pa.uint64())})
+        if b.num_rows == 0 or value_col not in b.column_names:
+            return empty
+        col = b[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.cast(col, pa.string()).drop_null()
+        if not len(col):
+            return empty
+        h = np.unique(md5_u64le(pc.unique(col)))[:k]
+        return pa.table({"h": pa.array(h, type=pa.uint64())})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return np.empty(0, np.uint64)
+    allh = np.unique(np.concatenate(
+        [t.column("h").to_numpy(zero_copy_only=False) for t in parts]))
+    return allh[:k]
+
+
+def kmv_overlap(ds_a, ds_b, col_a: str, col_b: str,
+                k: int = 128) -> pd.DataFrame:
+    """Two-set KMV sketch algebra — estimate |A∪B|, Jaccard and
+    |A∩B| between two distinct-value populations from two
+    register-sized sketches (Beyer et al. 2007, "On Synopses for
+    Distinct-Value Estimation"): union register = k smallest of
+    regA ∪ regB (valid because the k smallest of A∪B always lie in
+    regA ∪ regB); ρ = |union members present in BOTH registers| / k.
+    The cross-source audit ("how much does ingest B duplicate A?")
+    at sketch cost — neither side is shuffled, each is scanned once.
+
+    Returns ONE row.  Integer state columns (exactly SQL-restatable,
+    the repo's sketch-oracle policy): ``n_reg_a, n_reg_b, n_union,
+    n_common, kth_union`` (decimal string — u64) and
+    ``union_checksum`` (Σ h mod 1e9+7 over the union register).
+    Estimator columns (``est_union``, ``est_intersection``,
+    ``jaccard_permille``) use the KMV estimator — float division,
+    excluded from oracle comparison; accuracy is pytest-checked.
+    """
+    MOD = np.uint64(1_000_000_007)
+    ra = _kmv_register_global(ds_a, col_a, k)
+    rb = _kmv_register_global(ds_b, col_b, k)
+    ru = np.unique(np.concatenate([ra, rb]))[:k]
+    common = ru[np.isin(ru, ra) & np.isin(ru, rb)]
+    n_union = len(ru)
+    kth = int(ru[-1]) if n_union else 0
+    checksum = int((ru % MOD).astype(np.int64).sum()) if n_union else 0
+    if n_union >= k:
+        est_union = int((k - 1) * np.float64(2.0 ** 64)
+                        / max(float(kth), 1.0))
+    else:
+        est_union = n_union  # register not full -> exact
+    n_common = len(common)
+    est_inter = est_union * n_common // max(n_union, 1)
+    jac = n_common * 1000 // max(n_union, 1)
+    return pd.DataFrame({
+        "n_reg_a": pd.array([len(ra)], dtype="int64"),
+        "n_reg_b": pd.array([len(rb)], dtype="int64"),
+        "n_union": pd.array([n_union], dtype="int64"),
+        "n_common": pd.array([n_common], dtype="int64"),
+        "kth_union": [str(kth)],
+        "union_checksum": pd.array([checksum], dtype="int64"),
+        "est_union": pd.array([est_union], dtype="int64"),
+        "est_intersection": pd.array([est_inter], dtype="int64"),
+        "jaccard_permille": pd.array([jac], dtype="int64")})
