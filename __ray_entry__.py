@@ -170,6 +170,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def golden_q(sf):
+        # MDM survivorship: one golden record per user — modal
+        # event_type (tie → smallest), freshest props (ts desc, id
+        # desc; a NULL from the winning row survives), max event_id;
+        # one cluster-keyed exchange, sorted-run numpy kernels
+        from verify_ray.pipelines.survivorship import golden_records
+
+        out = golden_records(
+            _read(sf, "events",
+                  columns=["user_id", "event_type", "props", "ts",
+                           "event_id"]),
+            "user_id",
+            {"event_type": "mode", "props": "latest",
+             "event_id": "max"},
+            order_col="ts", id_col="event_id", num_buckets=16)
+        df = out.to_pandas()
+        df["user_id"] = df["user_id"].astype("int64")
+        df["event_id_max"] = df["event_id_max"].astype("int64")
+        return df.sort_values("user_id").reset_index(drop=True)
+
     def kmv_overlap_q(sf):
         # cross-population overlap at sketch cost: KMV registers of
         # orders.o_custkey vs events.user_id, union/intersection from
@@ -2918,6 +2938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_term_counts": term_counts_q,
         "docs_equidepth_bins": equidepth_q,
         "custkey_user_overlap": kmv_overlap_q,
+        "events_golden_by_user": golden_q,
         "stats_incremental": stats_incremental_q,
         "docs_mad_by_lang": mad_q,
         "events_user_stats": events_user_stats,
@@ -4396,6 +4417,35 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "events_golden_by_user": """
+-- survivorship restated: mode via (count desc, value asc) rank,
+-- latest via (ts desc, id desc) rank (winning row's NULL survives),
+-- max over non-nulls
+WITH e AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+m AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM e
+  WHERE event_type IS NOT NULL GROUP BY user_id, event_type
+), md AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY c DESC, event_type) AS rn
+    FROM m) WHERE rn = 1
+), lt AS (
+  SELECT user_id, props FROM (
+    SELECT user_id, props,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e) WHERE rn = 1
+), mx AS (
+  SELECT user_id, MAX(event_id) AS event_id_max FROM e
+  GROUP BY user_id
+)
+SELECT mx.user_id, md.event_type AS event_type_mode,
+       lt.props AS props_latest, mx.event_id_max
+FROM mx LEFT JOIN md USING (user_id) LEFT JOIN lt USING (user_id)
+ORDER BY user_id
+""",
         "custkey_user_overlap": """
 -- KMV register algebra restated: per-side k-smallest distinct md5
 -- registers, union register = k smallest of their union, common =
