@@ -170,6 +170,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def fd_violations_q(sf):
+        # functional-dependency audit: test "user_id → event_type"
+        # and report every violating user with its distinct-type
+        # count and min/max evidence; map-side distinct pairs, one
+        # lhs-keyed exchange, violation-sized output
+        out = analytics.fd_violations(
+            _read(sf, "events", columns=["user_id", "event_type"]),
+            ["user_id"], "event_type", num_buckets=16)
+        df = out.to_pandas()
+        df["user_id"] = df["user_id"].astype("int64")
+        return df.sort_values("user_id").reset_index(drop=True)
+
+    def benford_q(sf):
+        # Benford first-digit audit per lang: leading digit of
+        # n_chars → counts (fraud/synthetic-data smell test);
+        # composition: vectorized digit extraction + grouped_stats
+        def digit(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "lang": b["lang"],
+                "digit": pc.utf8_slice_codeunits(
+                    pc.cast(b["n_chars"], pa.string()), 0, 1),
+                "doc_id": b["doc_id"]})
+
+        ds = _read(sf, "documents",
+                   columns=["doc_id", "lang", "n_chars"]
+                   ).map_batches(digit, batch_format="pyarrow")
+        df = analytics.grouped_stats(ds, ["lang", "digit"],
+                                     {"doc_id": ["count"]})
+        df = df.rename(columns={"doc_id_count": "n"})
+        return (df.sort_values(["lang", "digit"])
+                .reset_index(drop=True).astype({"n": "int64"}))
+
     def golden_q(sf):
         # MDM survivorship: one golden record per user — modal
         # event_type (tie → smallest), freshest props (ts desc, id
@@ -2939,6 +2971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_equidepth_bins": equidepth_q,
         "custkey_user_overlap": kmv_overlap_q,
         "events_golden_by_user": golden_q,
+        "fd_user_event_type": fd_violations_q,
+        "docs_benford_digits": benford_q,
         "stats_incremental": stats_incremental_q,
         "docs_mad_by_lang": mad_q,
         "events_user_stats": events_user_stats,
@@ -4417,6 +4451,22 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "fd_user_event_type": """
+-- FD audit: lhs values with >1 distinct rhs (nulls ignored)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_rhs,
+       MIN(event_type) AS rhs_min, MAX(event_type) AS rhs_max
+FROM events
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+GROUP BY user_id HAVING COUNT(DISTINCT event_type) > 1
+ORDER BY user_id
+""",
+        "docs_benford_digits": """
+SELECT lang, SUBSTRING(CAST(n_chars AS VARCHAR), 1, 1) AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+GROUP BY lang, digit ORDER BY lang, digit
+""",
         "events_golden_by_user": """
 -- survivorship restated: mode via (count desc, value asc) rank,
 -- latest via (ts desc, id desc) rank (winning row's NULL survives),

@@ -141,3 +141,46 @@ def test_kmv_overlap_disjoint_and_nulls(ray_session):
     out = kmv_overlap(_ds(a, 1), _ds(b, 1), "v", "v", k=64)
     assert out.n_common[0] == 0
     assert out.n_union[0] == 5  # nulls excluded
+
+
+# -- fd_violations ----------------------------------------------------
+
+def test_fd_holds_yields_empty(ray_session):
+    from verify_ray.pipelines.analytics import fd_violations
+
+    df = pd.DataFrame({"a": [1, 1, 2, 2, 3], "b": [10, 10, 20, 20, 30]})
+    out = fd_violations(_ds(df), ["a"], "b", num_buckets=2)
+    assert out.count() == 0
+    assert out.schema().base_schema.names == ["a", "n_rhs", "rhs_min",
+                                              "rhs_max"]
+
+
+def test_fd_violations_detected_with_evidence(ray_session):
+    from verify_ray.pipelines.analytics import fd_violations
+
+    df = pd.DataFrame({
+        "a": [1, 1, 1, 2, 2, 3, 3],
+        "b": pd.array([9, 10, 9, 5, 5, None, 7], dtype="Int64")})
+    out = (fd_violations(_ds(df), ["a"], "b", num_buckets=2)
+           .to_pandas().sort_values("a").reset_index(drop=True))
+    # a=1 maps to {9,10}; a=2 fine; a=3 has one non-null rhs
+    assert out["a"].tolist() == [1]
+    assert out["n_rhs"].tolist() == [2]
+    # integer rhs: numeric min/max (9 < 10 despite "10" < "9")
+    assert out["rhs_min"].tolist() == [9]
+    assert out["rhs_max"].tolist() == [10]
+
+
+def test_fd_composite_lhs_and_null_lhs_ignored(ray_session):
+    from verify_ray.pipelines.analytics import fd_violations
+
+    df = pd.DataFrame({
+        "a": pd.array([1, 1, None], dtype="Int64"),
+        "c": ["x", "x", "y"],
+        "b": ["p", "q", "r"]})
+    out = (fd_violations(_ds(df, 1), ["a", "c"], "b", num_buckets=2)
+           .to_pandas())
+    assert len(out) == 1
+    assert out["n_rhs"].tolist() == [2]
+    assert out["rhs_min"].tolist() == ["p"]
+    assert out["rhs_max"].tolist() == ["q"]

@@ -1882,3 +1882,93 @@ def kmv_overlap(ds_a, ds_b, col_a: str, col_b: str,
         "est_union": pd.array([est_union], dtype="int64"),
         "est_intersection": pd.array([est_inter], dtype="int64"),
         "jaccard_permille": pd.array([jac], dtype="int64")})
+
+
+def fd_violations(ds, lhs_cols: list[str], rhs_col: str,
+                  num_buckets: int = 64):
+    """Functional-dependency audit: the data-quality rule "lhs →
+    rhs" (every lhs value maps to exactly one rhs), checked at scale
+    and reported as violations — one row per lhs value with MORE than
+    one distinct rhs, carrying ``n_rhs`` and min/max rhs as evidence.
+    The profiling primitive behind key discovery and denormalization
+    checks (Papenbrock et al. 2015, "Functional Dependency Discovery:
+    An Experimental Evaluation").
+
+    Semantics (SQL): rows with a NULL in ANY lhs column or in rhs are
+    ignored (``COUNT(DISTINCT rhs)`` over non-null rhs, null lhs
+    names no entity).  min/max evidence uses the rhs column's native
+    order (numeric for integers, lexicographic for strings).
+
+    Distributed shape: per-batch DISTINCT (lhs, rhs) pairs (map-side
+    dedup bounds the shuffle at distinct pairs, not rows), ONE
+    lhs-keyed exchange; each bucket task re-dedups its pairs and
+    reduces runs — only violating lhs rows leave the task, so the
+    output is violation-sized.  Partitioning assumption (SURVEY
+    §2.6): one lhs value's distinct rhs set fits a merge task.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange_ds
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    rhs_int = pa.types.is_integer(types[rhs_col])
+    out_schema = pa.schema(
+        [(c, types[c]) for c in lhs_cols]
+        + [("n_rhs", pa.int64()),
+           ("rhs_min", types[rhs_col]), ("rhs_max", types[rhs_col])])
+    SEP = "\x1f"
+
+    def _lhs_key(t: pa.Table):
+        k = pc.cast(t[lhs_cols[0]], pa.string())
+        for c in lhs_cols[1:]:
+            k = pc.binary_join_element_wise(
+                k, pc.cast(t[c], pa.string()), SEP)
+        return k
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b[rhs_col])
+        for c in lhs_cols:
+            keep = pc.and_(keep, pc.is_valid(b[c]))
+        b = b.select([*lhs_cols, rhs_col]).filter(keep)
+        key = _lhs_key(b)
+        pair = pc.binary_join_element_wise(
+            key, pc.cast(b[rhs_col], pa.string()), SEP)
+        pv = pair.to_numpy(zero_copy_only=False).astype(object)
+        _, idx = np.unique(pv, return_index=True)
+        b = b.take(pa.array(np.sort(idx)))
+        bk = md5_u64le(_lhs_key(b)) % np.uint64(num_buckets)
+        return b.append_column("__b", pa.array(bk.astype(np.int64)))
+
+    def audit(t: pa.Table) -> pa.Table | None:
+        key = _lhs_key(t).to_numpy(
+            zero_copy_only=False).astype(object)
+        if rhs_int:
+            rv = pc.cast(t[rhs_col], pa.int64()).to_numpy(
+                zero_copy_only=False)
+        else:
+            rv = pc.cast(t[rhs_col], pa.string()).to_numpy(
+                zero_copy_only=False).astype(object)
+        o = np.lexsort((rv, key))
+        ks, vs = key[o], rv[o]
+        # cross-batch re-dedup of (lhs, rhs) pairs
+        keep = np.ones(len(ks), dtype=bool)
+        keep[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        ks, vs, oi = ks[keep], vs[keep], o[keep]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        start = np.flatnonzero(first)
+        cnt = np.diff(np.append(start, len(ks)))
+        bad = cnt > 1
+        if not bad.any():
+            return None
+        s, c = start[bad], cnt[bad]
+        lhs_idx = pa.array(oi[s])
+        cols = {cname: t[cname].take(lhs_idx) for cname in lhs_cols}
+        cols["n_rhs"] = pa.array(c.astype(np.int64))
+        cols["rhs_min"] = t[rhs_col].take(pa.array(oi[s]))
+        cols["rhs_max"] = t[rhs_col].take(pa.array(oi[s + c - 1]))
+        return pa.table(cols).cast(out_schema)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets, audit,
+                               empty_schema=out_schema)
