@@ -170,6 +170,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def join_size_q(sf):
+        # pre-shuffle planning: |lineitem ⋈ orders| estimated from
+        # two Count-Min sketches (scan-only, nothing shuffled); the
+        # full integer register algebra is the oracle surface
+        out = analytics.join_size_estimate(
+            _read(sf, "lineitem", columns=["l_orderkey"]),
+            _read(sf, "orders", columns=["o_orderkey"]),
+            "l_orderkey", "o_orderkey", width=4096, depth=4)
+        return out
+
     def fd_violations_q(sf):
         # functional-dependency audit: test "user_id → event_type"
         # and report every violating user with its distinct-type
@@ -2972,6 +2982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkey_user_overlap": kmv_overlap_q,
         "events_golden_by_user": golden_q,
         "fd_user_event_type": fd_violations_q,
+        "join_size_estimate_lo": join_size_q,
         "docs_benford_digits": benford_q,
         "stats_incremental": stats_incremental_q,
         "docs_mad_by_lang": mad_q,
@@ -4451,6 +4462,37 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "join_size_estimate_lo": """
+-- CM-sketch inner-product join-size estimate, register restated:
+-- row-j position = (h mod 2^32 + j*(h div 2^32)) mod width
+WITH ka AS (
+  SELECT md5_number_upper(CAST(l_orderkey AS VARCHAR)) AS h,
+         COUNT(*) AS c
+  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+), kb AS (
+  SELECT md5_number_upper(CAST(o_orderkey AS VARCHAR)) AS h,
+         COUNT(*) AS c
+  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1
+), sa AS (
+  SELECT j, ((h % 4294967296) + j * (h // 4294967296)) % 4096 AS p,
+         SUM(c) AS c
+  FROM ka CROSS JOIN range(0, 4) r(j) GROUP BY 1, 2
+), sb AS (
+  SELECT j, ((h % 4294967296) + j * (h // 4294967296)) % 4096 AS p,
+         SUM(c) AS c
+  FROM kb CROSS JOIN range(0, 4) r(j) GROUP BY 1, 2
+), ip AS (
+  SELECT sa.j, CAST(SUM(sa.c * sb.c) AS BIGINT) AS ip
+  FROM sa JOIN sb ON sa.j = sb.j AND sa.p = sb.p GROUP BY sa.j
+)
+SELECT CAST((SELECT MIN(ip) FROM ip) AS BIGINT) AS est,
+       (SELECT ip FROM ip WHERE j = 0) AS ip_0,
+       (SELECT ip FROM ip WHERE j = 1) AS ip_1,
+       (SELECT ip FROM ip WHERE j = 2) AS ip_2,
+       (SELECT ip FROM ip WHERE j = 3) AS ip_3,
+       CAST((SELECT SUM(c) FROM ka) AS BIGINT) AS n_a,
+       CAST((SELECT SUM(c) FROM kb) AS BIGINT) AS n_b
+""",
         "fd_user_event_type": """
 -- FD audit: lhs values with >1 distinct rhs (nulls ignored)
 SELECT CAST(user_id AS BIGINT) AS user_id,

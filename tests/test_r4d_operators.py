@@ -184,3 +184,33 @@ def test_fd_composite_lhs_and_null_lhs_ignored(ray_session):
     assert out["n_rhs"].tolist() == [2]
     assert out["rhs_min"].tolist() == ["p"]
     assert out["rhs_max"].tolist() == ["q"]
+
+
+# -- join_size_estimate -----------------------------------------------
+
+def test_join_size_never_underestimates_and_tight_when_sparse(
+        ray_session):
+    from verify_ray.pipelines.analytics import join_size_estimate
+
+    rng = np.random.default_rng(4)
+    a = pd.DataFrame({"k": rng.integers(0, 200, 1000)})
+    b = pd.DataFrame({"k": rng.integers(100, 300, 800)})
+    true = len(a.merge(b, on="k"))
+    out = join_size_estimate(_ds(a, 3), _ds(b, 3), "k", "k",
+                             width=4096, depth=4)
+    assert out.est[0] >= true           # CM never underestimates
+    assert out.est[0] <= true * 1.2     # sparse keys: near-exact
+    assert out.n_a[0] == 1000 and out.n_b[0] == 800
+    # est is the min of the row inner products
+    assert out.est[0] == min(out[f"ip_{j}"][0] for j in range(4))
+
+
+def test_join_size_nulls_and_disjoint(ray_session):
+    from verify_ray.pipelines.analytics import join_size_estimate
+
+    a = pd.DataFrame({"k": pd.array([1, 2, None], dtype="Int64")})
+    b = pd.DataFrame({"k": pd.array([3, 4, None], dtype="Int64")})
+    out = join_size_estimate(_ds(a, 1), _ds(b, 1), "k", "k",
+                             width=4096, depth=4)
+    assert out.n_a[0] == 2 and out.n_b[0] == 2  # nulls excluded
+    assert out.est[0] == 0  # width >> keys: disjoint stays 0

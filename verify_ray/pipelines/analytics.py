@@ -1972,3 +1972,84 @@ def fd_violations(ds, lhs_cols: list[str], rhs_col: str,
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return grouped_exchange_ds(tagged, "__b", num_buckets, audit,
                                empty_schema=out_schema)
+
+
+def _cm_sketch(ds, col: str, width: int, depth: int) -> np.ndarray:
+    """Count-Min sketch of a key column as a dense (depth, width)
+    int64 array.  Hash contract: md5_number_upper u64 split into
+    (h1, h2), row-*j* position = ``(h1 + j·h2) mod width`` — the same
+    Kirsch-Mitzenmacher double hashing as the repo's Bloom filters,
+    so the register is exactly SQL-restatable.  Per-batch partials
+    are (j, p, c) long rows (≤ depth·width per batch); the final sum
+    rides the cardinality-guarded ``_merge_partials``."""
+    from ..functions.hashing import md5_u64le
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"j": pa.array([], pa.int64()),
+                          "p": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if b.num_rows == 0 or col not in b.column_names:
+            return empty
+        v = b[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        v = pc.cast(v, pa.string()).drop_null()
+        if not len(v):
+            return empty
+        sv = v.to_numpy(zero_copy_only=False).astype(object)
+        uv, cnt = np.unique(sv, return_counts=True)
+        h = md5_u64le(pa.array(uv, type=pa.string()))
+        h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        h2 = (h >> np.uint64(32)).astype(np.int64)
+        js, ps, cs = [], [], []
+        for j in range(depth):
+            pos = (h1 + j * h2) % width
+            up, inv = np.unique(pos, return_inverse=True)
+            s = np.zeros(len(up), dtype=np.int64)
+            np.add.at(s, inv, cnt)
+            js.append(np.full(len(up), j, dtype=np.int64))
+            ps.append(up)
+            cs.append(s)
+        return pa.table({"j": pa.array(np.concatenate(js)),
+                         "p": pa.array(np.concatenate(ps)),
+                         "c": pa.array(np.concatenate(cs))})
+
+    parts_ds = ds.map_batches(partial,
+                              batch_format="pyarrow").materialize()
+    merged = _merge_partials(parts_ds, ["j", "p"], {"c": "sum"})
+    dense = np.zeros((depth, width), dtype=np.int64)
+    if len(merged):
+        dense[merged["j"].astype(np.int64),
+              merged["p"].astype(np.int64)] = merged["c"].astype(
+            np.int64)
+    return dense
+
+
+def join_size_estimate(ds_a, ds_b, col_a: str, col_b: str,
+                       width: int = 4096, depth: int = 4
+                       ) -> pd.DataFrame:
+    """Pre-shuffle join-size estimation: |A ⋈ B| on an equality key
+    from two Count-Min sketches — ``min_j Σ_p A_j[p]·B_j[p]``, the
+    CM inner-product estimate (Cormode & Muthukrishnan 2005), never
+    an underestimate.  The planning primitive you run BEFORE
+    committing a 100 TB shuffle join: each side is scanned once at
+    sketch cost (depth·width ints), nothing is shuffled, and the
+    estimate (plus per-side row counts) decides broadcast vs shuffle
+    vs salt.
+
+    Returns ONE row, all int64 and exactly SQL-restatable: ``est``
+    (the min), ``ip_0..ip_{depth-1}`` (per-row inner products),
+    ``n_a``, ``n_b`` (non-null key rows — also each sketch row's
+    column sum, pinning totals).  NULL keys are excluded (they join
+    nothing).  Overflow contract: Σ c_A·c_B must fit int64 — true
+    whenever the real join output would be addressable.
+    """
+    A = _cm_sketch(ds_a, col_a, width, depth)
+    B = _cm_sketch(ds_b, col_b, width, depth)
+    ips = (A * B).sum(axis=1)
+    cols = {"est": pd.array([int(ips.min())], dtype="int64")}
+    for j in range(depth):
+        cols[f"ip_{j}"] = pd.array([int(ips[j])], dtype="int64")
+    cols["n_a"] = pd.array([int(A[0].sum())], dtype="int64")
+    cols["n_b"] = pd.array([int(B[0].sum())], dtype="int64")
+    return pd.DataFrame(cols)
