@@ -170,6 +170,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def phrase_q(sf):
+        # exact positional phrase search ("batch batch" — adjacent
+        # positions, overlapping occurrences count); pure streaming
+        # map, no shuffle; the oracle is a position self-join
+        from verify_ray.pipelines.retrieval import phrase_occurrences
+
+        out = phrase_occurrences(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            ["batch", "batch"])
+        df = out.to_pandas()
+        df["doc_id"] = df["doc_id"].astype("int64")
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def join_size_q(sf):
         # pre-shuffle planning: |lineitem ⋈ orders| estimated from
         # two Count-Min sketches (scan-only, nothing shuffled); the
@@ -2983,6 +2996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_golden_by_user": golden_q,
         "fd_user_event_type": fd_violations_q,
         "join_size_estimate_lo": join_size_q,
+        "docs_phrase_search": phrase_q,
         "docs_benford_digits": benford_q,
         "stats_incremental": stats_incremental_q,
         "docs_mad_by_lang": mad_q,
@@ -4462,6 +4476,22 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "docs_phrase_search": """
+-- positional phrase match: adjacent-position self-join under the
+-- whitespace tokenization contract; overlapping occurrences count
+WITH tok AS (
+  SELECT doc_id, unnest(ws) AS w,
+         CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+)
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.w = 'batch' AND b.w = 'batch'
+GROUP BY a.doc_id ORDER BY a.doc_id
+""",
         "join_size_estimate_lo": """
 -- CM-sketch inner-product join-size estimate, register restated:
 -- row-j position = (h mod 2^32 + j*(h div 2^32)) mod width

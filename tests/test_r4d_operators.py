@@ -214,3 +214,42 @@ def test_join_size_nulls_and_disjoint(ray_session):
                              width=4096, depth=4)
     assert out.n_a[0] == 2 and out.n_b[0] == 2  # nulls excluded
     assert out.est[0] == 0  # width >> keys: disjoint stays 0
+
+
+# -- phrase_occurrences ----------------------------------------------
+
+def test_phrase_overlapping_and_boundaries(ray_session):
+    from verify_ray.pipelines.retrieval import phrase_occurrences
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a a a a", "b a a b", "a b a", "a"]})
+    out = (phrase_occurrences(_ds(df, 2), ["a", "a"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc1: 3 overlapping; doc2: 1; doc3: none (not adjacent);
+    # doc4: too short
+    assert out.doc_id.tolist() == [1, 2]
+    assert out.n_occ.tolist() == [3, 1]
+
+
+def test_phrase_never_crosses_documents(ray_session):
+    from verify_ray.pipelines.retrieval import phrase_occurrences
+
+    # doc 1 ends with "x", doc 2 starts with "y": the flattened
+    # array contains "... x y ..." but the phrase must not match
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["q x", "y q"]})
+    out = phrase_occurrences(_ds(df, 1), ["x", "y"])
+    assert out.count() == 0
+
+
+def test_phrase_three_terms(ray_session):
+    from verify_ray.pipelines.retrieval import phrase_occurrences
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["fast merge sort wins", "merge sort fast"]})
+    out = (phrase_occurrences(_ds(df, 1),
+                              ["fast", "merge", "sort"])
+           .to_pandas())
+    assert out.doc_id.tolist() == [1]
+    assert out.n_occ.tolist() == [1]

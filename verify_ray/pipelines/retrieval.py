@@ -258,3 +258,59 @@ def build_postings(ds, text_col: str = "text", id_col: str = "doc_id",
     tagged = ds.map_batches(pairs, batch_format="pyarrow")
     return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
                                empty_schema=out_schema)
+
+
+def phrase_occurrences(ds, phrase: list[str], text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Exact phrase search: per document, how many times the word
+    sequence ``phrase`` occurs contiguously (the positional-postings
+    query — "merge sort" must match adjacent positions, not a bag of
+    words).  Returns a Dataset of ``(doc_id, n_occ)`` with zero-hit
+    docs omitted.  Overlapping occurrences all count ("a a a" has two
+    "a a"), matching the SQL position self-join restatement
+    (``b.pos = a.pos + 1`` chained per phrase term).
+
+    Distributed shape: a pure streaming map — no index and NO shuffle;
+    positions exist implicitly as flattened-word offsets
+    (``_split_words``), and the phrase test is one vectorized shifted
+    AND across the batch's flattened word array (L-term phrase = L
+    shifted comparisons, never a per-doc loop).  This is the
+    scale-right form when the corpus is scanned anyway; serving many
+    ad-hoc phrases against a static corpus wants ``build_postings``
+    with positions instead.  Tokenization contract:
+    ``regexp_split_to_array(trim(text), '\\s+')``.
+    """
+    from .tokenize import _split_words
+
+    L = len(phrase)
+    if L == 0:
+        raise ValueError("phrase must have at least one term")
+
+    def f(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            (id_col, b.schema.field(id_col).type
+             if id_col in b.column_names else pa.int64()),
+            ("n_occ", pa.int64())])
+        b = b.filter(pc.and_(pc.is_valid(b[text_col]),
+                             pc.is_valid(b[id_col])))
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        words, parents, _ = _split_words(b, text_col)
+        n = len(words)
+        if n < L:
+            return out_schema.empty_table()
+        m = n - L + 1
+        hit = words[:m] == phrase[0]
+        for j in range(1, L):
+            hit &= words[j:m + j] == phrase[j]
+        # all L positions must belong to the same document
+        hit &= parents[:m] == parents[L - 1:]
+        par = parents[:m][hit]
+        if not len(par):
+            return out_schema.empty_table()
+        u, c = np.unique(par, return_counts=True)
+        return pa.table({
+            id_col: b[id_col].take(pa.array(u)),
+            "n_occ": pa.array(c.astype(np.int64))}).cast(out_schema)
+
+    return ds.map_batches(f, batch_format="pyarrow")
