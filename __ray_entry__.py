@@ -170,6 +170,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def transitions_q(sf):
+        # first-order Markov transition matrix over per-user event
+        # sequences (ts, event_id order): one user-keyed exchange,
+        # shifted-compare pairing, alphabet²-sized driver merge
+        from verify_ray.pipelines.sessions import transition_counts
+
+        return transition_counts(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_type",
+                           "event_id"]), num_buckets=16)
+
+    def streaks_q(sf):
+        # gaps-and-islands: per-user longest consecutive-day streak
+        # + total active days; map-side distinct (user, day) pairs,
+        # one exchange, vectorized island split
+        from verify_ray.pipelines.sessions import activity_streaks
+
+        out = activity_streaks(
+            _read(sf, "events", columns=["user_id", "ts"]),
+            num_buckets=16)
+        return (out.to_pandas().sort_values("user_id")
+                .reset_index(drop=True))
+
     def phrase_q(sf):
         # exact positional phrase search ("batch batch" — adjacent
         # positions, overlapping occurrences count); pure streaming
@@ -2997,6 +3020,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_user_event_type": fd_violations_q,
         "join_size_estimate_lo": join_size_q,
         "docs_phrase_search": phrase_q,
+        "events_transitions": transitions_q,
+        "user_activity_streaks": streaks_q,
         "docs_benford_digits": benford_q,
         "stats_incremental": stats_incremental_q,
         "docs_mad_by_lang": mad_q,
@@ -4476,6 +4501,41 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "events_transitions": """
+-- Markov transitions: LEAD over (ts, event_id) within user, null
+-- states pre-filtered on BOTH engines (neighbors then pair up)
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+), p AS (
+  SELECT event_type AS prev_state,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_state
+  FROM e
+)
+SELECT prev_state, next_state, CAST(COUNT(*) AS BIGINT) AS n
+FROM p WHERE next_state IS NOT NULL
+GROUP BY prev_state, next_state ORDER BY prev_state, next_state
+""",
+        "user_activity_streaks": """
+-- gaps and islands: day - DENSE_RANK() groups consecutive days
+WITH d AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), g AS (
+  SELECT user_id, day,
+         day - DENSE_RANK() OVER (PARTITION BY user_id
+                                  ORDER BY day) AS grp
+  FROM d
+), s AS (
+  SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY user_id, grp
+)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+       CAST(SUM(len) AS BIGINT) AS n_days
+FROM s GROUP BY user_id ORDER BY user_id
+""",
         "docs_phrase_search": """
 -- positional phrase match: adjacent-position self-join under the
 -- whitespace tokenization contract; overlapping occurrences count

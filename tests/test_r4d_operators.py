@@ -253,3 +253,53 @@ def test_phrase_three_terms(ray_session):
            .to_pandas())
     assert out.doc_id.tolist() == [1]
     assert out.n_occ.tolist() == [1]
+
+
+# -- transition_counts / activity_streaks -----------------------------
+
+def test_transitions_never_cross_keys_and_order(ray_session):
+    from verify_ray.pipelines.sessions import transition_counts
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([10, 20, 30, 5, 15],
+                             unit="s").astype("datetime64[us]"),
+        "event_type": ["a", "b", "a", "a", "c"],
+        "event_id": [1, 2, 3, 4, 5]})
+    out = transition_counts(_ds(df, 2), num_buckets=2)
+    ref = pd.DataFrame({"prev_state": ["a", "a", "b"],
+                        "next_state": ["b", "c", "a"],
+                        "n": [1, 1, 1]})
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_transitions_tiebreak_by_event_id(ray_session):
+    from verify_ray.pipelines.sessions import transition_counts
+
+    # equal ts: event_id orders them (2 then 5 -> x before y)
+    df = pd.DataFrame({
+        "user_id": [7, 7],
+        "ts": pd.to_datetime([100, 100],
+                             unit="s").astype("datetime64[us]"),
+        "event_type": ["y", "x"],
+        "event_id": [5, 2]})
+    out = transition_counts(_ds(df, 1), num_buckets=2)
+    assert out.values.tolist() == [["x", "y", 1]]
+
+
+def test_activity_streaks_islands(ray_session):
+    from verify_ray.pipelines.sessions import activity_streaks
+
+    day = 86_400
+    # user 1: days 0,1,2, 5,6 -> max 3, total 5 (dup day collapses)
+    # user 2: day 9 only
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 1, 1, 2],
+        "ts": pd.to_datetime(
+            [0, day, 2 * day, 2 * day + 100, 5 * day, 6 * day,
+             9 * day], unit="s").astype("datetime64[us]")})
+    out = (activity_streaks(_ds(df, 2), num_buckets=2)
+           .to_pandas().sort_values("user_id")
+           .reset_index(drop=True))
+    assert out.max_streak.tolist() == [3, 1]
+    assert out.n_days.tolist() == [5, 1]

@@ -551,3 +551,141 @@ def scd2_intervals(ds, key_col: str, ts_col: str, value_cols: list[str],
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return grouped_exchange_ds(tagged, "__b", num_buckets, chain,
                                empty_schema=out_schema)
+
+
+def transition_counts(events_ds, key_col: str = "user_id",
+                      ts_col: str = "ts", state_col: str = "event_type",
+                      id_col: str = "event_id",
+                      num_buckets: int = 32) -> pd.DataFrame:
+    """First-order Markov transition counts over per-key event
+    sequences: how often state A is IMMEDIATELY followed by state B
+    within one key's timeline (order: ``ts`` asc, ``id_col`` asc as
+    the deterministic tiebreak) — the behavioral-model / anomaly
+    baseline (SQL: ``LEAD() OVER (PARTITION BY key ORDER BY ts,
+    id)``).  Rows with null key/ts/state drop; transitions never
+    cross keys.  Returns (prev_state, next_state, n) sorted.
+
+    Distributed shape: ONE key-keyed exchange; each bucket task
+    lexsorts its keys' rows once and reads consecutive pairs with a
+    shifted compare (no per-key loop), then collapses to per-bucket
+    (prev, next) partial counts — the driver merge is
+    state-alphabet², not event-sized.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[ts_col])),
+                       pc.is_valid(b[state_col]))
+        b = b.select([key_col, ts_col, state_col, id_col]).filter(keep)
+        h = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = pc.cast(t[key_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        iv = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        st = pc.cast(t[state_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        o = np.lexsort((iv, ts, k))
+        ks, ss = k[o], st[o]
+        same = ks[1:] == ks[:-1]
+        prev, nxt = ss[:-1][same], ss[1:][same]
+        if not len(prev):
+            return pa.table({"prev_state": pa.array([], pa.string()),
+                             "next_state": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pairs_ = prev + "\x1f" + nxt
+        u, c = np.unique(pairs_, return_counts=True)
+        sp = np.array([x.split("\x1f", 1) for x in u], dtype=object)
+        return pa.table({
+            "prev_state": pa.array(sp[:, 0], pa.string()),
+            "next_state": pa.array(sp[:, 1], pa.string()),
+            "n": pa.array(c.astype(np.int64))})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, pairs)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"prev_state": pd.Series(dtype=object),
+                             "next_state": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    df = (res.to_pandas().groupby(["prev_state", "next_state"],
+                                  as_index=False)["n"].sum())
+    return (df.sort_values(["prev_state", "next_state"])
+            .reset_index(drop=True).astype({"n": "int64"}))
+
+
+def activity_streaks(events_ds, key_col: str = "user_id",
+                     ts_col: str = "ts",
+                     num_buckets: int = 32):
+    """Per-key longest consecutive-day activity streak + total active
+    days — the gaps-and-islands engagement metric (SQL: ``day -
+    DENSE_RANK() OVER (PARTITION BY key ORDER BY day)`` island
+    grouping).  Day = UTC epoch-day of ``ts``.  Returns a Dataset
+    ``(key, max_streak, n_days)``; null key/ts rows drop.
+
+    Distributed shape: each batch collapses to DISTINCT (key, day)
+    pairs map-side; ONE key-keyed exchange; per bucket: lexsort,
+    cross-batch re-dedup, and one vectorized run split on
+    ``diff(day) == 1`` — run lengths via reduceat, no per-key loop.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange_ds
+
+    out_schema = pa.schema([(key_col, pa.int64()),
+                            ("max_streak", pa.int64()),
+                            ("n_days", pa.int64())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[key_col]),
+                             pc.is_valid(b[ts_col])))
+        k = pc.cast(b[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        tsc = b[ts_col]
+        if pa.types.is_timestamp(tsc.type):
+            tsc = pc.cast(tsc, pa.timestamp("us"))  # unit-normalize
+        day = (pc.cast(tsc, pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        kd = np.unique(np.rec.fromarrays([k, day],
+                                         names=["k", "d"]))
+        h = pd.util.hash_array(kd["k"])
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "k": pa.array(kd["k"]), "d": pa.array(kd["d"])})
+
+    def streaks(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        kd = np.unique(np.rec.fromarrays([k, d], names=["k", "d"]))
+        ks, ds_ = kd["k"], kd["d"]
+        # island boundary: key change OR day gap > 1
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = (ks[1:] != ks[:-1]) | (ds_[1:] - ds_[:-1] != 1)
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        run_key = ks[new]
+        uk, inv = np.unique(run_key, return_inverse=True)
+        mx = np.zeros(len(uk), dtype=np.int64)
+        np.maximum.at(mx, inv, run_len)
+        tot = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(tot, inv, run_len)
+        return pa.table({key_col: pa.array(uk),
+                         "max_streak": pa.array(mx),
+                         "n_days": pa.array(tot)}).cast(out_schema)
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets, streaks,
+                               empty_schema=out_schema)
