@@ -170,6 +170,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def zorder_q(sf):
+        # Z-ordered layout: orders clustered by the Morton interleave
+        # of (o_custkey, order epoch-day) into 8 range shards
+        # (fingerprint-cached); a 2-D range lookup then prunes files
+        # through TWO footer zone maps at once — the multi-dimension
+        # win a single-column sort can't give.  Result == full scan
+        # with the same predicate (= the oracle).
+        import hashlib
+        import os
+
+        from verify_ray import sinks
+        from verify_ray.pipelines.shuffle import (sort_by_range,
+                                                  zorder_key)
+        from verify_ray.sources.zonemap import pruned_read_2d
+
+        src = f"{sf}/orders.parquet"
+        fp = (f"zorder-v1:{src}:{os.path.getsize(src)}"
+              f":{os.path.getmtime(src)}")
+        root = ("/tmp/verify_ray_zorder/"
+                + hashlib.md5(fp.encode()).hexdigest()[:12])
+
+        state = {}
+
+        def built():
+            if "ds" not in state:
+                def add_day(b: pa.Table) -> pa.Table:
+                    day = (b["o_orderdate"].cast(pa.int64())
+                           .to_numpy(zero_copy_only=False)
+                           // 86_400_000_000)
+                    return pa.table({
+                        "o_orderkey": b["o_orderkey"],
+                        "o_custkey": b["o_custkey"],
+                        "o_day": pa.array(day)})
+
+                orders = _read(sf, "orders",
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_orderdate"]
+                               ).map_batches(
+                    add_day, batch_format="pyarrow").materialize()
+                keyed, _ = zorder_key(orders, "o_custkey", "o_day")
+                state["ds"] = sort_by_range(
+                    keyed.materialize(), "zkey", "o_orderkey",
+                    n_shards=8,
+                    values=["o_orderkey", "o_custkey", "o_day"]
+                ).materialize()
+            return state["ds"]
+
+        def shard_maker(sid):
+            def make():
+                def pick(b: pa.Table) -> pa.Table:
+                    return (b.filter(pc.equal(b["shard_id"], sid))
+                            .select(["o_orderkey", "o_custkey",
+                                     "o_day"]))
+                return built().map_batches(pick,
+                                           batch_format="pyarrow")
+            return make
+
+        sinks.write_sharded({i: shard_maker(i) for i in range(8)},
+                            root, fingerprint=fp)
+        # data-relative day window: [min_day+30, min_day+90]
+        zm_day_lo = min(
+            pq.read_table(src, columns=["o_orderdate"])
+            .column("o_orderdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)) // 86_400_000_000
+        ds, stats = pruned_read_2d(
+            root, ("o_custkey", 10, 60),
+            ("o_day", zm_day_lo + 30, zm_day_lo + 90),
+            columns=["o_orderkey", "o_custkey", "o_day"])
+        assert stats["files_read"] <= stats["files_total"]
+        return (ds.to_pandas().sort_values("o_orderkey")
+                .reset_index(drop=True))
+
     def transitions_q(sf):
         # first-order Markov transition matrix over per-user event
         # sequences (ts, event_id order): one user-keyed exchange,
@@ -3021,6 +3093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_estimate_lo": join_size_q,
         "docs_phrase_search": phrase_q,
         "events_transitions": transitions_q,
+        "zorder_pruned_lookup": zorder_q,
         "user_activity_streaks": streaks_q,
         "docs_benford_digits": benford_q,
         "stats_incremental": stats_incremental_q,
@@ -4501,6 +4574,23 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "zorder_pruned_lookup": """
+-- z-order pruning only skips files with no match: result == scan
+WITH t AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS o_day
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+), lo AS (
+  SELECT MIN(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT))
+           AS d0 FROM orders
+)
+SELECT o_orderkey, o_custkey, o_day
+FROM t, lo
+WHERE o_custkey BETWEEN 10 AND 60
+  AND o_day BETWEEN d0 + 30 AND d0 + 90
+ORDER BY o_orderkey
+""",
         "events_transitions": """
 -- Markov transitions: LEAD over (ts, event_id) within user, null
 -- states pre-filtered on BOTH engines (neighbors then pair up)

@@ -293,3 +293,84 @@ def late_arrivals(ds, order_col: str, ts_col: str, watermark_us: int,
     return grouped_exchange_ds(tagged, "__shard", S, flag_shard,
                                empty_schema=out_schema,
                                drop_bucket=False)
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread each of the low 16 bits of ``v`` into the even bit
+    positions (classic Morton magic-number spread)."""
+    v = v.astype(np.int64) & 0xFFFF
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+def morton16(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Interleave two 16-bit quantized coordinates into a 32-bit
+    Z-order (Morton) key — bit i of x at position 2i, of y at 2i+1."""
+    return _part1by1(x) | (_part1by1(y) << 1)
+
+
+def _col_range(ds, col: str) -> tuple[int, int]:
+    """Global (min, max) of an integer column — per-batch partials,
+    one tiny driver merge."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[col], pa.int64()).drop_null()
+        if not len(v):
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": [pc.min(v).as_py()],
+                         "hi": [pc.max(v).as_py()]})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    if not parts:
+        raise ValueError(f"column {col!r} has no non-null values")
+    t = pa.concat_tables(parts)
+    return (pc.min(t["lo"]).as_py(), pc.max(t["hi"]).as_py())
+
+
+def zorder_key(ds, col_x: str, col_y: str, out_col: str = "zkey"):
+    """Append a Z-order (Morton) clustering key over TWO integer
+    columns — the multi-dimensional layout trick (Morton 1966; the
+    Delta/Iceberg ``ZORDER BY``): sorting by the interleaved key
+    keeps rows close in BOTH dimensions, so per-file min/max
+    statistics prune 2-D range queries that a single-column sort can
+    only prune in one dimension.
+
+    Each column is quantized to 16 bits against its global [min, max]
+    (``q = (v − lo) · 65535 // span`` — two tiny range passes), then
+    bit-interleaved.  Returns ``(ds_with_key, meta)`` where meta
+    records the quantization ranges (layout metadata).  Null in
+    either column drops the row (no position in the order).  Compose
+    with ``sort_by_range(out_col, ...)`` + ``sinks.write_sharded``
+    for the layout, and prune reads with TWO ``zonemap`` manifests
+    (one per original column) — the z-sort is what makes both
+    manifests selective at once.
+
+    ``ds`` must be materialized-or-rescannable (consumed three times:
+    two range passes + the keyed pass).
+    """
+    lo_x, hi_x = _col_range(ds, col_x)
+    lo_y, hi_y = _col_range(ds, col_y)
+    span_x = max(hi_x - lo_x, 1)
+    span_y = max(hi_y - lo_y, 1)
+
+    def add_key(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[col_x]),
+                             pc.is_valid(b[col_y])))
+        x = pc.cast(b[col_x], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y = pc.cast(b[col_y], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        qx = (x - lo_x) * 65535 // span_x
+        qy = (y - lo_y) * 65535 // span_y
+        return b.append_column(out_col,
+                               pa.array(morton16(qx, qy)))
+
+    meta = {"lo_x": lo_x, "hi_x": hi_x, "lo_y": lo_y, "hi_y": hi_y}
+    return ds.map_batches(add_key, batch_format="pyarrow"), meta

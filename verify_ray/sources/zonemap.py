@@ -101,3 +101,45 @@ def pruned_read(root: str, key_col: str, lo, hi,
         return rd.from_arrow(schema.empty_table()), stats
     ds = rd.read_parquet(keep, columns=columns, filter=expr)
     return ds, stats
+
+
+def pruned_read_2d(root: str, x_pred: tuple, y_pred: tuple,
+                   columns: list[str] | None = None,
+                   zone_maps: tuple[list, list] | None = None):
+    """2-D range read ``lo_x <= x <= hi_x AND lo_y <= y <= hi_y``
+    with file pruning from TWO zone maps (one per column) — the read
+    side of a Z-ordered layout (``shuffle.zorder_key``): only files
+    whose [min,max] intersects BOTH ranges are opened; both row-level
+    predicates push into the survivors.  ``x_pred`` / ``y_pred`` are
+    ``(col, lo, hi)``.  Returns ``(ds, stats)`` like ``pruned_read``.
+    """
+    import ray.data as rd
+
+    (cx, lox, hix), (cy, loy, hiy) = x_pred, y_pred
+    zmx, zmy = (zone_maps if zone_maps is not None
+                else (build_zone_map(root, cx),
+                      build_zone_map(root, cy)))
+    ok_x = {e["path"] for e in zmx
+            if e["min"] is None or (e["max"] >= lox and e["min"] <= hix)}
+    keep, skipped = [], 0
+    for e in zmy:
+        good_y = (e["min"] is None
+                  or (e["max"] >= loy and e["min"] <= hiy))
+        if good_y and e["path"] in ok_x:
+            keep.append(e["path"])
+        else:
+            skipped += e["rows"]
+    stats = {"files_total": len(zmy), "files_read": len(keep),
+             "rows_skipped_bound": skipped}
+    expr = ((pads.field(cx) >= lox) & (pads.field(cx) <= hix)
+            & (pads.field(cy) >= loy) & (pads.field(cy) <= hiy))
+    if not keep:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(zmy[0]["path"])
+        if columns:
+            schema = pa.schema([(c, schema.field(c).type)
+                                for c in columns])
+        return rd.from_arrow(schema.empty_table()), stats
+    return rd.read_parquet(keep, columns=columns, filter=expr), stats
