@@ -170,6 +170,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def impute_q(sf):
+        # data repair: plant deterministic holes (doc_id % 13 → null
+        # n_chars), then fill each from its lang's lower median —
+        # stats pass (cardinality-guarded merge) + broadcast fill map
+        from verify_ray.pipelines.repair import impute_nulls
+
+        def plant(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            hole = pa.array(ids % 13 == 0)
+            v = pc.if_else(hole, pa.nulls(b.num_rows, pa.int64()),
+                           pc.cast(b["n_chars"], pa.int64()))
+            return pa.table({"doc_id": b["doc_id"],
+                             "lang": b["lang"], "n_chars": v})
+
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "lang", "n_chars"]
+                     ).map_batches(plant,
+                                   batch_format="pyarrow").materialize()
+        out = impute_nulls(docs, "n_chars", "lang",
+                           strategy="median")
+        df = out.to_pandas()
+        df["n_chars"] = df["n_chars"].astype("int64")
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def zorder_q(sf):
         # Z-ordered layout: orders clustered by the Morton interleave
         # of (o_custkey, order epoch-day) into 8 range shards
@@ -3094,6 +3119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_phrase_search": phrase_q,
         "events_transitions": transitions_q,
         "zorder_pruned_lookup": zorder_q,
+        "docs_impute_chars": impute_q,
         "user_activity_streaks": streaks_q,
         "docs_benford_digits": benford_q,
         "stats_incremental": stats_incremental_q,
@@ -4574,6 +4600,29 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "docs_impute_chars": """
+-- per-group lower-median imputation: fill = smallest v whose
+-- cumulative count reaches ceil(n/2) over the group's non-nulls
+WITH base AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              ELSE CAST(n_chars AS BIGINT) END AS v
+  FROM documents
+), nn AS (SELECT lang, v FROM base WHERE v IS NOT NULL),
+h AS (
+  SELECT lang, v,
+         SUM(COUNT(*)) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         SUM(COUNT(*)) OVER (PARTITION BY lang) AS tot
+  FROM nn GROUP BY lang, v
+), med AS (
+  SELECT lang, MIN(v) AS fill FROM h
+  WHERE cum >= (tot + 1) // 2 GROUP BY lang
+)
+SELECT b.doc_id, b.lang,
+       CAST(COALESCE(b.v, m.fill) AS BIGINT) AS n_chars
+FROM base b LEFT JOIN med m USING (lang)
+ORDER BY doc_id
+""",
         "zorder_pruned_lookup": """
 -- z-order pruning only skips files with no match: result == scan
 WITH t AS (
