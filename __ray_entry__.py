@@ -170,6 +170,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def collocations_q(sf):
+        # collocation mining: top-30 adjacent bigrams with exact PMI
+        # components (pair/unigram/total counts); pair-keyed exchange
+        # with per-bucket top-k pre-cap + targeted unigram pass
+        from verify_ray.pipelines.text import word_collocations
+
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "text"]).materialize()
+        return word_collocations(docs, k=30)
+
     def impute_q(sf):
         # data repair: plant deterministic holes (doc_id % 13 → null
         # n_chars), then fill each from its lang's lower median —
@@ -3120,6 +3130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": transitions_q,
         "zorder_pruned_lookup": zorder_q,
         "docs_impute_chars": impute_q,
+        "docs_collocations": collocations_q,
         "user_activity_streaks": streaks_q,
         "docs_benford_digits": benford_q,
         "stats_incremental": stats_incremental_q,
@@ -4600,6 +4611,32 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "docs_collocations": """
+-- adjacent-bigram PMI components under the whitespace contract
+WITH tok AS (
+  SELECT doc_id, unnest(ws) AS w,
+         CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+), bg AS (
+  SELECT t1.w AS a, t2.w AS b
+  FROM tok t1 JOIN tok t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+), pcnt AS (SELECT a, b, COUNT(*) AS n_pair FROM bg GROUP BY a, b),
+top AS (SELECT a, b, n_pair FROM pcnt
+        ORDER BY n_pair DESC, a, b LIMIT 30),
+uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w)
+SELECT top.a, top.b, CAST(top.n_pair AS BIGINT) AS n_pair,
+       CAST(ua.c AS BIGINT) AS n_left,
+       CAST(ub.c AS BIGINT) AS n_right,
+       CAST((SELECT COUNT(*) FROM bg) AS BIGINT) AS n_bigrams,
+       CAST((SELECT COUNT(*) FROM tok) AS BIGINT) AS n_words
+FROM top JOIN uni ua ON ua.w = top.a
+         JOIN uni ub ON ub.w = top.b
+ORDER BY n_pair DESC, a, b
+""",
         "docs_impute_chars": """
 -- per-group lower-median imputation: fill = smallest v whose
 -- cumulative count reaches ceil(n/2) over the group's non-nulls

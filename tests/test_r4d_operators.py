@@ -303,3 +303,35 @@ def test_activity_streaks_islands(ray_session):
            .reset_index(drop=True))
     assert out.max_streak.tolist() == [3, 1]
     assert out.n_days.tolist() == [5, 1]
+
+
+# -- word_collocations ------------------------------------------------
+
+def test_collocations_counts_and_components(ray_session):
+    from verify_ray.pipelines.text import word_collocations
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["x y x y z", "x y", "q"]})
+    ds = _ds(df, 2).materialize()
+    out = word_collocations(ds, k=10)
+    top = out.iloc[0]
+    # "x y" occurs 3 times (docs 1 twice + doc 2 once)
+    assert (top.a, top.b, top.n_pair) == ("x", "y", 3)
+    assert top.n_left == 3 and top.n_right == 3  # x, y unigrams
+    # bigram total: doc1 has 4, doc2 has 1, doc3 has 0
+    assert (out.n_bigrams == 5).all()
+    assert (out.n_words == 8).all()
+    # never a cross-document bigram ("y","x") count excludes doc
+    # boundary ("y" end of doc2 -> "q" doc3 must not appear)
+    assert not ((out.a == "y") & (out.b == "q")).any()
+
+
+def test_collocations_k_cap_and_tie_order(ray_session):
+    from verify_ray.pipelines.text import word_collocations
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["b c a b d a"]})
+    out = word_collocations(_ds(df, 1).materialize(), k=2)
+    assert len(out) == 2
+    # all bigrams count 1 -> ties break (a asc, b asc): "a b" first
+    assert out.iloc[0].a == "a" and out.iloc[0].b == "b"

@@ -602,3 +602,137 @@ def term_counts(ds, terms: list[str], text_col: str = "text",
     return ds.map_batches(
         lambda b: term_count_batch(b, terms, text_col, id_col),
         batch_format="pyarrow")
+
+
+def word_collocations(ds, k: int = 30, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      num_buckets: int = 32) -> pd.DataFrame:
+    """Top-``k`` adjacent-word collocations with exact PMI
+    components — the collocation-mining primitive (Church & Hanks
+    1990): for each bigram (a, b) occurring contiguously inside a
+    document, report ``n_pair`` plus the corpus unigram counts
+    ``n_left``/``n_right`` and the totals ``n_bigrams``/``n_words``.
+    PMI = log(n_pair·n_words² / (n_left·n_right·n_bigrams)) is the
+    caller's float step — the components stay integers (the repo's
+    integer-oracle policy).  Ranking: count DESC, then (a, b) ASC.
+    Bigrams never cross documents; tokenization is the whitespace
+    contract (``regexp_split_to_array(trim(text), '\\s+')``).
+
+    Distributed shape: per-batch shifted-compare pair extraction +
+    batch-local combine (``np.unique``), ONE pair-keyed exchange for
+    global pair counts with per-bucket top-k pre-capping (only k rows
+    per bucket reach the driver — ``token_pair_topk``'s contract);
+    unigram counts come from a SECOND targeted pass that counts only
+    the ≤2k winner words (so ``ds`` must be
+    materialized-or-rescannable), never the whole vocabulary.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+    from .tokenize import _split_words
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"__b": pa.array([], pa.int64()),
+                          "a": pa.array([], pa.string()),
+                          "bw": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        b = b.filter(pc.and_(pc.is_valid(b[text_col]),
+                             pc.is_valid(b[id_col])))
+        if b.num_rows == 0:
+            return empty
+        words, parents, _ = _split_words(b, text_col)
+        if len(words) < 2:
+            return empty
+        same = parents[1:] == parents[:-1]
+        left, right = words[:-1][same], words[1:][same]
+        if not len(left):
+            return empty
+        pairs = left.astype(object) + "\x1f" + right.astype(object)
+        u, c = np.unique(pairs, return_counts=True)
+        sp = np.array([x.split("\x1f", 1) for x in u], dtype=object)
+        ua = pa.array(sp[:, 0], pa.string())
+        h = md5_u64le(pa.array(u, pa.string()))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "a": ua, "bw": pa.array(sp[:, 1], pa.string()),
+            "c": pa.array(c.astype(np.int64))})
+
+    def pair_merge(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(object)
+        bw = t.column("bw").to_numpy(
+            zero_copy_only=False).astype(object)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        key = a + "\x1f" + bw
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, c)
+        # per-bucket pre-cap: (count desc, pair asc), keep k
+        order = np.lexsort((u, -s))[:k]
+        sp = np.array([x.split("\x1f", 1) for x in u[order]],
+                      dtype=object)
+        total = pa.table({"a": pa.array(["\x00total"] ,pa.string()),
+                          "bw": pa.array([""], pa.string()),
+                          "c": pa.array([int(c.sum())], pa.int64())})
+        top = pa.table({"a": pa.array(sp[:, 0], pa.string())
+                        if len(order) else pa.array([], pa.string()),
+                        "bw": pa.array(sp[:, 1], pa.string())
+                        if len(order) else pa.array([], pa.string()),
+                        "c": pa.array(s[order].astype(np.int64))})
+        return pa.concat_tables([top, total])
+
+    tagged = ds.map_batches(pair_partial, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, pair_merge)
+    cols = ["a", "b", "n_pair", "n_left", "n_right", "n_bigrams",
+            "n_words"]
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(
+            dtype=object if c in ("a", "b") else "int64")
+            for c in cols})
+    df = res.to_pandas()
+    totals = df[df.a == "\x00total"]
+    n_bigrams = int(totals.c.sum())
+    df = df[df.a != "\x00total"]
+    df = (df.sort_values(["c", "a", "bw"],
+                         ascending=[False, True, True]).head(k)
+          .rename(columns={"bw": "b", "c": "n_pair"}))
+    # unigram counts: a SECOND targeted pass over ds — per-batch
+    # partials count only the ≤2k winner words (np.isin over batch
+    # uniques) plus the total word count; driver merge is
+    # winner-sized.  ds must be materialized-or-rescannable.
+    import ray
+
+    wanted = np.unique(np.concatenate(
+        [df["a"].to_numpy(dtype=object),
+         df["b"].to_numpy(dtype=object)])) if len(df) else \
+        np.empty(0, dtype=object)
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"w": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        b = b.filter(pc.is_valid(b[text_col]))
+        if b.num_rows == 0:
+            return empty
+        words, _, _ = _split_words(b, text_col)
+        u, c = np.unique(words.astype(object), return_counts=True)
+        hit = np.isin(u, wanted)
+        tw = pa.table({"w": pa.array(["\x00nw"], pa.string()),
+                       "c": pa.array([int(c.sum())], pa.int64())})
+        return pa.concat_tables([pa.table({
+            "w": pa.array(u[hit], pa.string()),
+            "c": pa.array(c[hit].astype(np.int64))}), tw])
+
+    uparts = [t for t in ray.get(
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    wc: dict = {}
+    for t in uparts:
+        for w, c in zip(t.column("w").to_pylist(),
+                        t.column("c").to_pylist()):
+            wc[w] = wc.get(w, 0) + c
+    n_words = int(wc.pop("\x00nw", 0))
+    df["n_left"] = df["a"].map(wc).astype("int64")
+    df["n_right"] = df["b"].map(wc).astype("int64")
+    df["n_bigrams"] = np.int64(n_bigrams)
+    df["n_words"] = np.int64(n_words)
+    return df[cols].reset_index(drop=True).astype(
+        {"n_pair": "int64"})
