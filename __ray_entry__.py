@@ -170,6 +170,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def peak_concurrency_q(sf):
+        # capacity audit: per event type, peak simultaneous 30-min
+        # presence windows (+1/−1 sweep, half-open ends; one
+        # type-keyed exchange)
+        from verify_ray.pipelines.sessions import peak_concurrency
+
+        return peak_concurrency(
+            _read(sf, "events", columns=["event_type", "ts"]),
+            "event_type", "ts", duration_us=1_800_000_000,
+            num_buckets=8)
+
+    def budget_select_q(sf):
+        # greedy curation: per lang keep the longest docs while the
+        # inclusive running char total stays ≤ 20k (window-sum rule)
+        from verify_ray.pipelines.select import budget_select
+
+        out = budget_select(
+            _read(sf, "documents",
+                  columns=["doc_id", "lang", "n_chars"]),
+            group_col="lang", score_col="n_chars",
+            cost_col="n_chars", id_col="doc_id", budget=20_000,
+            values=["doc_id", "lang", "n_chars"], num_buckets=16)
+        df = out.to_pandas()
+        df["n_chars"] = df["n_chars"].astype("int64")
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def collocations_q(sf):
         # collocation mining: top-30 adjacent bigrams with exact PMI
         # components (pair/unigram/total counts); pair-keyed exchange
@@ -3131,6 +3157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_pruned_lookup": zorder_q,
         "docs_impute_chars": impute_q,
         "docs_collocations": collocations_q,
+        "events_peak_concurrency": peak_concurrency_q,
+        "docs_budget_select": budget_select_q,
         "user_activity_streaks": streaks_q,
         "docs_benford_digits": benford_q,
         "stats_incremental": stats_incremental_q,
@@ -4611,6 +4639,36 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "events_peak_concurrency": """
+-- +1/-1 sweep; ORDER BY t, d puts the -1 first at equal instants
+-- (half-open [ts, ts+30min))
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + 1800000000, -1 FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+), r AS (
+  SELECT event_type,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d) AS run
+  FROM pts
+)
+SELECT event_type, CAST(MAX(run) AS BIGINT) AS peak
+FROM r GROUP BY event_type ORDER BY event_type
+""",
+        "docs_budget_select": """
+WITH r AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         SUM(CAST(n_chars AS BIGINT)) OVER (
+           PARTITION BY lang
+           ORDER BY n_chars DESC, doc_id) AS cum
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    AND doc_id IS NOT NULL
+)
+SELECT doc_id, lang, n_chars FROM r WHERE cum <= 20000
+ORDER BY doc_id
+""",
         "docs_collocations": """
 -- adjacent-bigram PMI components under the whitespace contract
 WITH tok AS (

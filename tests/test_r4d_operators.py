@@ -335,3 +335,74 @@ def test_collocations_k_cap_and_tie_order(ray_session):
     assert len(out) == 2
     # all bigrams count 1 -> ties break (a asc, b asc): "a b" first
     assert out.iloc[0].a == "a" and out.iloc[0].b == "b"
+
+
+# -- peak_concurrency / budget_select ---------------------------------
+
+def test_peak_concurrency_half_open(ray_session):
+    from verify_ray.pipelines.sessions import peak_concurrency
+
+    # duration 10us: [0,10) and [10,20) do NOT overlap; [0,10) and
+    # [5,15) do
+    df = pd.DataFrame({
+        "k": ["a", "a", "b", "b"],
+        "ts": pd.to_datetime([0, 10, 0, 5],
+                             unit="us").astype("datetime64[us]")})
+    out = peak_concurrency(_ds(df, 1), "k", "ts", duration_us=10,
+                           num_buckets=2)
+    assert dict(zip(out.k, out.peak)) == {"a": 1, "b": 2}
+
+
+def test_peak_concurrency_matches_reference(ray_session):
+    from verify_ray.pipelines.sessions import peak_concurrency
+
+    rng = np.random.default_rng(13)
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y"], n),
+        "ts": pd.to_datetime(rng.integers(0, 5000, n),
+                             unit="us").astype("datetime64[us]")})
+    out = peak_concurrency(_ds(df, 3), "k", "ts", duration_us=500,
+                           num_buckets=2)
+
+    def ref(times, dur=500):
+        pts = sorted([(t, 1) for t in times]
+                     + [(t + dur, -1) for t in times])
+        run = peak = 0
+        for _, d in pts:
+            run += d
+            peak = max(peak, run)
+        return peak
+
+    for k, g in df.groupby("k"):
+        times = (g.ts.astype("int64")).tolist()
+        assert int(out[out.k == k].peak.iloc[0]) == ref(times)
+
+
+def test_budget_select_greedy_window_rule(ray_session):
+    from verify_ray.pipelines.select import budget_select
+
+    df = pd.DataFrame({
+        "g": ["a"] * 4 + ["b"],
+        "id": [1, 2, 3, 4, 5],
+        "score": [10, 9, 8, 7, 1],
+        "cost": [5, 5, 5, 5, 100]})
+    out = (budget_select(_ds(df, 2), "g", "score", "cost", "id",
+                         budget=12, values=["g", "id"],
+                         num_buckets=2)
+           .to_pandas().sort_values("id"))
+    # group a: cum = 5,10,15,... -> ids 1,2 fit; group b: 100 > 12
+    assert out.id.tolist() == [1, 2]
+
+
+def test_budget_select_score_then_id_order(ray_session):
+    from verify_ray.pipelines.select import budget_select
+
+    # equal scores: id ASC decides who eats the budget first
+    df = pd.DataFrame({
+        "g": ["z"] * 3, "id": [30, 10, 20],
+        "score": [5, 5, 5], "cost": [4, 4, 4]})
+    out = (budget_select(_ds(df, 1), "g", "score", "cost", "id",
+                         budget=8, values=["id"], num_buckets=2)
+           .to_pandas().sort_values("id"))
+    assert out.id.tolist() == [10, 20]

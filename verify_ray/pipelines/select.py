@@ -1078,3 +1078,75 @@ def equidepth_bins(ds, col: str, n_bins: int) -> pd.DataFrame:
         "hi": vals[end - 1].astype("int64"),
         "n_rows": n_rows.astype("int64"),
         "sum_v": sum_v.astype("int64")})
+
+
+def budget_select(ds, group_col: str, score_col: str, cost_col: str,
+                  id_col: str, budget: int, values: list[str],
+                  num_buckets: int = 64):
+    """Greedy budget-constrained curation: within each group, walk
+    rows in (score DESC, id ASC) order and keep each row whose
+    INCLUSIVE running cost stays ≤ ``budget`` — the quality-greedy
+    token-budget mix builder ("best docs per source until N tokens"),
+    the deterministic counterpart of ``sample.sample_token_budget``'s
+    hash-random draw.  SQL: ``SUM(cost) OVER (PARTITION BY group
+    ORDER BY score DESC, id) <= budget`` — note a too-expensive row
+    is SKIPPED but the walk does NOT stop (rows after it may still
+    fit? no — the window sum is cumulative over ALL better rows, so
+    once the cum exceeds budget every later row is out too; the rule
+    is the window-sum filter, stated exactly).  Rows with null
+    group/score/cost/id drop.  Integer scores/costs (repo policy).
+
+    Distributed shape: ONE group-keyed exchange; per bucket: one
+    lexsort over (group, −score, id), per-group cumulative sums via
+    offset subtraction, one mask — no per-group loop.  Output is
+    selection-sized.  Partitioning assumption (SURVEY §2.6): one
+    group's rows fit a merge task.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange_ds
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    out_schema = pa.schema([(c, types[c]) for c in values])
+    need = sorted({group_col, score_col, cost_col, id_col, *values})
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b[group_col])
+        for c in (score_col, cost_col, id_col):
+            keep = pc.and_(keep, pc.is_valid(b[c]))
+        b = b.select(need).filter(keep)
+        h = md5_u64le(pc.cast(b[group_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def pick(t: pa.Table) -> pa.Table | None:
+        g = pc.cast(t[group_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        s = pc.cast(t[score_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        c = pc.cast(t[cost_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        i = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        o = np.lexsort((i, -s, g))
+        gs, cs = g[o], c[o]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        start = np.flatnonzero(first)
+        cnt = np.diff(np.append(start, len(gs)))
+        csum = np.cumsum(cs)
+        offs = np.repeat(
+            np.concatenate([[0], csum[start[1:] - 1]]), cnt)
+        keep = (csum - offs) <= budget
+        if not keep.any():
+            return None
+        idx = pa.array(np.sort(o[keep]))
+        return pa.table({cname: t[cname].take(idx)
+                         for cname in values}).cast(out_schema)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets, pick,
+                               empty_schema=out_schema)

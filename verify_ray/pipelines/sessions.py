@@ -689,3 +689,76 @@ def activity_streaks(events_ds, key_col: str = "user_id",
     tagged = events_ds.map_batches(tag, batch_format="pyarrow")
     return grouped_exchange_ds(tagged, "__b", num_buckets, streaks,
                                empty_schema=out_schema)
+
+
+def peak_concurrency(events_ds, key_col: str, ts_col: str,
+                     duration_us: int,
+                     num_buckets: int = 32) -> pd.DataFrame:
+    """Per-key PEAK number of simultaneously-open presence intervals
+    ``[ts, ts + duration_us)`` — the capacity-planning statistic
+    (max concurrent sessions/streams) via the classic +1/−1 sweep.
+    Half-open semantics: an interval ending exactly when another
+    starts does NOT overlap it (the −1 sorts before the +1 at equal
+    time).  Null key/ts rows drop.  Returns (key, peak) sorted.
+
+    Distributed shape: ONE key-keyed exchange; each bucket task
+    builds its keys' +1/−1 point list, lexsorts once by (key, t,
+    delta asc), and reads the running-sum maximum per key with
+    cumsum + reduceat — no per-key loop.  Peak per key is exact
+    because all of a key's points land in one task (SURVEY §2.6:
+    one key's events fit a merge task).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[key_col]),
+                             pc.is_valid(b[ts_col])))
+        k = pc.cast(b[key_col], pa.string())
+        tsc = b[ts_col]
+        if pa.types.is_timestamp(tsc.type):
+            tsc = pc.cast(tsc, pa.timestamp("us"))
+        t = pc.cast(tsc, pa.int64()).to_numpy(zero_copy_only=False)
+        ks = k.to_numpy(zero_copy_only=False).astype(object)
+        h = (md5_u64le(k) % np.uint64(num_buckets)).astype(np.int64)
+        n = len(t)
+        return pa.table({
+            "__b": pa.array(np.concatenate([h, h])),
+            "k": pa.array(np.concatenate([ks, ks]), pa.string()),
+            "t": pa.array(np.concatenate([t, t + duration_us])),
+            "d": pa.array(np.concatenate(
+                [np.ones(n, np.int64), -np.ones(n, np.int64)]))})
+
+    def sweep(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(object)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        # (key, time, delta asc): -1 before +1 at equal instants
+        o = np.lexsort((d, ts, k))
+        ks, ds_ = k[o], d[o]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        start = np.flatnonzero(first)
+        cnt = np.diff(np.append(start, len(ks)))
+        # per-key running sum = global cumsum minus the cumsum just
+        # before each key's first point (offset subtraction)
+        csum = np.cumsum(ds_)
+        offs = np.repeat(
+            np.concatenate([[0], csum[start[1:] - 1]]), cnt)
+        run = csum - offs
+        peak = np.zeros(len(start), dtype=np.int64)
+        np.maximum.at(peak,
+                      np.repeat(np.arange(len(start)), cnt), run)
+        return pa.table({"k": pa.array(ks[start], pa.string()),
+                         "peak": pa.array(peak)})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, sweep)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({key_col: pd.Series(dtype=object),
+                             "peak": pd.Series(dtype="int64")})
+    df = res.to_pandas().rename(columns={"k": key_col})
+    return (df.sort_values(key_col).reset_index(drop=True)
+            .astype({"peak": "int64"}))
