@@ -170,6 +170,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def daily_anomalies_q(sf):
+        # time-series anomaly audit: per-type daily counts, trailing
+        # 7-day window sums (count/Σn/Σn²), and an exact-integer 3σ
+        # flag ((W·x−S)² > 9·(W·Q−S²)) — composition: grouped_stats
+        # → rolling RANGE window → vectorized flag arithmetic
+        import ray.data as rd
+
+        from verify_ray.pipelines.rolling import rolling_window_agg
+
+        def day_of(b: pa.Table) -> pa.Table:
+            day = (b["ts"].cast(pa.int64())
+                   .to_numpy(zero_copy_only=False) // 86_400_000_000)
+            return pa.table({"event_type": b["event_type"],
+                             "day": pa.array(day),
+                             "event_id": b["event_id"]})
+
+        ev = _read(sf, "events",
+                   columns=["event_type", "ts", "event_id"]
+                   ).map_batches(day_of, batch_format="pyarrow")
+        daily = analytics.grouped_stats(ev, ["event_type", "day"],
+                                        {"event_id": ["count"]})
+        daily = daily.rename(columns={"event_id_count": "n"})
+        daily["n"] = daily["n"].astype("int64")
+        daily["n2"] = daily["n"] * daily["n"]
+        ds = rd.from_arrow(pa.Table.from_pandas(
+            daily, preserve_index=False)).materialize()
+        out = rolling_window_agg(ds, key="event_type", ts="day",
+                                 span_us=6, sum_cols=["n", "n2"],
+                                 num_buckets=8).to_pandas()
+        wc, s, q = (out["w_count"].astype("int64"),
+                    out["w_sum_n"].astype("int64"),
+                    out["w_sum_n2"].astype("int64"))
+        x = out["n"].astype("int64")
+        flagged = ((wc >= 3)
+                   & ((wc * x - s) ** 2 > 9 * (wc * q - s * s)))
+        res = pd.DataFrame({
+            "event_type": out["event_type"], "day": out["day"],
+            "n": x, "w_count": wc, "w_sum": s, "w_sumsq": q,
+            "flagged": flagged.astype("int64")})
+        return (res.sort_values(["event_type", "day"])
+                .reset_index(drop=True))
+
     def peak_concurrency_q(sf):
         # capacity audit: per event type, peak simultaneous 30-min
         # presence windows (+1/−1 sweep, half-open ends; one
@@ -3158,6 +3200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_impute_chars": impute_q,
         "docs_collocations": collocations_q,
         "events_peak_concurrency": peak_concurrency_q,
+        "events_daily_anomalies": daily_anomalies_q,
         "docs_budget_select": budget_select_q,
         "user_activity_streaks": streaks_q,
         "docs_benford_digits": benford_q,
@@ -4639,6 +4682,31 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "events_daily_anomalies": """
+-- 3-sigma day flags from exact integer window sums:
+-- (W·x−S)² > 9·(W·Q−S²) over RANGE 6 PRECEDING (7-day window)
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type, day
+), w AS (
+  SELECT event_type, day, n,
+         CAST(COUNT(*) OVER win AS BIGINT) AS w_count,
+         CAST(SUM(n) OVER win AS BIGINT) AS w_sum,
+         CAST(SUM(n * n) OVER win AS BIGINT) AS w_sumsq
+  FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, n, w_count, w_sum, w_sumsq,
+       CAST(CASE WHEN w_count >= 3
+                  AND (w_count * n - w_sum) * (w_count * n - w_sum)
+                      > 9 * (w_count * w_sumsq - w_sum * w_sum)
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM w ORDER BY event_type, day
+""",
         "events_peak_concurrency": """
 -- +1/-1 sweep; ORDER BY t, d puts the -1 first at equal instants
 -- (half-open [ts, ts+30min))
