@@ -170,6 +170,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def column_overlap_q(sf):
+        # join-key discovery: pairwise domain overlap between three
+        # key columns across tables, one KMV register per column,
+        # pairs resolved from register algebra (no scans per pair)
+        return analytics.column_overlap_matrix({
+            "customer.c_custkey": (
+                _read(sf, "customer", columns=["c_custkey"]),
+                "c_custkey"),
+            "events.user_id": (
+                _read(sf, "events", columns=["user_id"]),
+                "user_id"),
+            "orders.o_custkey": (
+                _read(sf, "orders", columns=["o_custkey"]),
+                "o_custkey"),
+        }, k=128)
+
+    def rank_vs_ref_q(sf):
+        # per-row drift score: rank each even-doc_id doc's n_chars
+        # against the odd-half reference epoch's distribution —
+        # broadcast cumulative histogram + streaming searchsorted
+        from verify_ray.pipelines.select import rank_vs_reference
+
+        docs = _read(sf, "documents", columns=["doc_id", "n_chars"])
+
+        def half(parity):
+            def f(t: pa.Table) -> pa.Table:
+                ids = pc.cast(t["doc_id"], pa.int64())
+                return t.filter(pc.equal(
+                    pc.bit_wise_and(ids, 1), parity))
+            return f
+
+        cur = docs.map_batches(half(0), batch_format="pyarrow")
+        ref = docs.map_batches(half(1), batch_format="pyarrow")
+        out = rank_vs_reference(cur, ref, "n_chars", "doc_id")
+        df = out.to_pandas()
+        df["doc_id"] = df["doc_id"].astype("int64")
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def daily_anomalies_q(sf):
         # time-series anomaly audit: per-type daily counts, trailing
         # 7-day window sums (count/Σn/Σn²), and an exact-integer 3σ
@@ -3201,6 +3239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_collocations": collocations_q,
         "events_peak_concurrency": peak_concurrency_q,
         "events_daily_anomalies": daily_anomalies_q,
+        "docs_rank_vs_reference": rank_vs_ref_q,
+        "column_overlap_profile": column_overlap_q,
         "docs_budget_select": budget_select_q,
         "user_activity_streaks": streaks_q,
         "docs_benford_digits": benford_q,
@@ -4682,6 +4722,61 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "column_overlap_profile": """
+-- KMV register algebra per column pair (labels sorted)
+WITH rc AS (
+  SELECT DISTINCT md5_number_upper(CAST(c_custkey AS VARCHAR)) AS h
+  FROM customer WHERE c_custkey IS NOT NULL ORDER BY h LIMIT 128
+), re AS (
+  SELECT DISTINCT md5_number_upper(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE user_id IS NOT NULL ORDER BY h LIMIT 128
+), ro AS (
+  SELECT DISTINCT md5_number_upper(CAST(o_custkey AS VARCHAR)) AS h
+  FROM orders WHERE o_custkey IS NOT NULL ORDER BY h LIMIT 128
+), u_ce AS (SELECT h FROM (SELECT h FROM rc UNION SELECT h FROM re)
+            ORDER BY h LIMIT 128),
+u_co AS (SELECT h FROM (SELECT h FROM rc UNION SELECT h FROM ro)
+         ORDER BY h LIMIT 128),
+u_eo AS (SELECT h FROM (SELECT h FROM re UNION SELECT h FROM ro)
+         ORDER BY h LIMIT 128)
+SELECT 'customer.c_custkey' AS col_a, 'events.user_id' AS col_b,
+       CAST((SELECT COUNT(*) FROM rc) AS BIGINT) AS n_reg_a,
+       CAST((SELECT COUNT(*) FROM re) AS BIGINT) AS n_reg_b,
+       CAST((SELECT COUNT(*) FROM u_ce) AS BIGINT) AS n_union,
+       CAST((SELECT COUNT(*) FROM u_ce
+             WHERE h IN (SELECT h FROM rc)
+               AND h IN (SELECT h FROM re)) AS BIGINT) AS n_common
+UNION ALL
+SELECT 'customer.c_custkey', 'orders.o_custkey',
+       CAST((SELECT COUNT(*) FROM rc) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM ro) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM u_co) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM u_co
+             WHERE h IN (SELECT h FROM rc)
+               AND h IN (SELECT h FROM ro)) AS BIGINT)
+UNION ALL
+SELECT 'events.user_id', 'orders.o_custkey',
+       CAST((SELECT COUNT(*) FROM re) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM ro) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM u_eo) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM u_eo
+             WHERE h IN (SELECT h FROM re)
+               AND h IN (SELECT h FROM ro)) AS BIGINT)
+ORDER BY col_a, col_b
+""",
+        "docs_rank_vs_reference": """
+WITH cur AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents
+  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+), ref AS (
+  SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+)
+SELECT c.doc_id, c.v AS n_chars,
+       CAST((SELECT COUNT(*) FROM ref r WHERE r.v <= c.v) AS BIGINT)
+         AS n_ref_le
+FROM cur c ORDER BY doc_id
+""",
         "events_daily_anomalies": """
 -- 3-sigma day flags from exact integer window sums:
 -- (W·x−S)² > 9·(W·Q−S²) over RANGE 6 PRECEDING (7-day window)

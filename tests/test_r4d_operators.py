@@ -406,3 +406,36 @@ def test_budget_select_score_then_id_order(ray_session):
                          budget=8, values=["id"], num_buckets=2)
            .to_pandas().sort_values("id"))
     assert out.id.tolist() == [10, 20]
+
+
+# -- rank_vs_reference / column_overlap_matrix ------------------------
+
+def test_rank_vs_reference_exact(ray_session):
+    from verify_ray.pipelines.select import rank_vs_reference
+
+    cur = pd.DataFrame({"id": [1, 2, 3],
+                        "v": pd.array([5, 0, 100], dtype="Int64")})
+    ref = pd.DataFrame({"id": [9, 9, 9, 9],
+                        "v": pd.array([1, 5, 5, 50], dtype="Int64")})
+    out = (rank_vs_reference(_ds(cur, 1), _ds(ref, 1), "v", "id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # v=5 -> {1,5,5} = 3; v=0 -> 0; v=100 -> all 4
+    assert out.n_ref_le.tolist() == [3, 0, 4]
+
+
+def test_column_overlap_matrix_pairs(ray_session):
+    from verify_ray.pipelines.analytics import column_overlap_matrix
+
+    a = pd.DataFrame({"k": list(range(20))})
+    b = pd.DataFrame({"k": list(range(10, 30))})
+    c = pd.DataFrame({"k": list(range(100, 105))})
+    out = column_overlap_matrix({
+        "a": (_ds(a, 1), "k"), "b": (_ds(b, 1), "k"),
+        "c": (_ds(c, 1), "k")}, k=1024)
+    out = out.set_index(["col_a", "col_b"])
+    # registers not full -> exact
+    assert out.loc[("a", "b")].n_common == 10
+    assert out.loc[("a", "b")].n_union == 30
+    assert out.loc[("a", "c")].n_common == 0
+    assert out.loc[("b", "c")].n_common == 0
+    assert len(out) == 3  # unordered pairs only

@@ -2053,3 +2053,33 @@ def join_size_estimate(ds_a, ds_b, col_a: str, col_b: str,
     cols["n_a"] = pd.array([int(A[0].sum())], dtype="int64")
     cols["n_b"] = pd.array([int(B[0].sum())], dtype="int64")
     return pd.DataFrame(cols)
+
+
+def column_overlap_matrix(named: dict, k: int = 128) -> pd.DataFrame:
+    """Schema-matching profile: pairwise value-overlap estimates
+    between ANY set of columns across tables, from one KMV register
+    per column (``named`` maps a label to ``(ds, col)``).  The
+    join-key discovery / data-catalog primitive ("which columns share
+    a domain?") at sketch cost — each column is scanned once, then
+    every pair is resolved driver-side from register algebra
+    (``kmv_overlap``'s rule: union register = k smallest of the two,
+    common = union members present in both).
+
+    Returns one row per unordered label pair (labels sorted):
+    ``col_a, col_b, n_reg_a, n_reg_b, n_union, n_common`` — all
+    integer register state, exactly SQL-restatable.
+    """
+    regs = {name: _kmv_register_global(ds, col, k)
+            for name, (ds, col) in named.items()}
+    rows = []
+    for a, b in ((x, y) for x in sorted(regs) for y in sorted(regs)
+                 if x < y):
+        ra, rb = regs[a], regs[b]
+        ru = np.unique(np.concatenate([ra, rb]))[:k]
+        common = int((np.isin(ru, ra) & np.isin(ru, rb)).sum())
+        rows.append((a, b, len(ra), len(rb), len(ru), common))
+    return pd.DataFrame(rows, columns=[
+        "col_a", "col_b", "n_reg_a", "n_reg_b", "n_union",
+        "n_common"]).astype({c: "int64" for c in
+                             ("n_reg_a", "n_reg_b", "n_union",
+                              "n_common")})

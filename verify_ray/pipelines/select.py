@@ -1150,3 +1150,46 @@ def budget_select(ds, group_col: str, score_col: str, cost_col: str,
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return grouped_exchange_ds(tagged, "__b", num_buckets, pick,
                                empty_schema=out_schema)
+
+
+def rank_vs_reference(ds, ref_ds, col: str, id_col: str):
+    """Score every row against a REFERENCE distribution: ``n_ref_le``
+    = how many reference values are ≤ the row's value — the exact
+    integer numerator of a percentile-vs-reference-epoch score (the
+    per-row form of a drift check: divide by the reference count for
+    the empirical CDF; joined with ``W3``'s epoch stats this answers
+    "where would this doc have fallen last epoch?").  Returns a
+    streaming Dataset ``(id_col, col, n_ref_le)``; null value/id rows
+    drop.
+
+    Distributed shape: the reference reduces to its distinct-value
+    cumulative histogram (``value_counts`` — driver data bounded by
+    DISTINCT integer values), broadcast once via ``ray.put``; scoring
+    is a pure ``map_batches`` searchsorted — the reference is NEVER
+    joined or shuffled against the scored rows.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    vals, counts = value_counts(ref_ds, col)
+    cum = np.cumsum(counts)
+    ref = ray.put((vals, cum))
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    out_schema = pa.schema([(id_col, id_type), (col, pa.int64()),
+                            ("n_ref_le", pa.int64())])
+
+    def score(b: pa.Table) -> pa.Table:
+        vs, cs = ray.get(ref)
+        b = b.filter(pc.and_(pc.is_valid(b[id_col]),
+                             pc.is_valid(b[col])))
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        v = pc.cast(b[col], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vs, v, side="right")
+        n_le = np.where(pos > 0, cs[np.maximum(pos - 1, 0)], 0)
+        return pa.table({id_col: b[id_col],
+                         col: pa.array(v),
+                         "n_ref_le": pa.array(n_le.astype(np.int64))
+                         }).cast(out_schema)
+
+    return ds.map_batches(score, batch_format="pyarrow")
