@@ -170,6 +170,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def layout_audit_q(sf):
+        # sorted-layout validation: build the documents range-sorted
+        # layout, PLANT inversions (doc_id % 97 → value − 1000), and
+        # audit — per-shard shifted compare in the exchange, boundary
+        # check over the shard-count-sized endpoint frame
+        from verify_ray.pipelines.shuffle import (audit_sorted_layout,
+                                                  sort_by_range)
+
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "n_chars"]).materialize()
+        laid = sort_by_range(docs, "n_chars", "doc_id", n_shards=8,
+                             values=["doc_id", "n_chars"])
+
+        def perturb(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            v = pc.cast(b["n_chars"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            v2 = np.where(ids % 97 == 0, v - 1000, v)
+            return pa.table({"shard_id": b["shard_id"],
+                             "pos": b["pos"],
+                             "n_chars": pa.array(v2)})
+
+        bad = laid.map_batches(perturb, batch_format="pyarrow")
+        return audit_sorted_layout(bad, "n_chars", num_buckets=8)
+
     def column_overlap_q(sf):
         # join-key discovery: pairwise domain overlap between three
         # key columns across tables, one KMV register per column,
@@ -3241,6 +3267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_anomalies": daily_anomalies_q,
         "docs_rank_vs_reference": rank_vs_ref_q,
         "column_overlap_profile": column_overlap_q,
+        "layout_order_audit": layout_audit_q,
         "docs_budget_select": budget_select_q,
         "user_activity_streaks": streaks_q,
         "docs_benford_digits": benford_q,
@@ -4722,6 +4749,39 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "layout_order_audit": """
+-- rebuild the range layout (sort_by_range's splitter rule), plant
+-- the same inversions, flag rows dipping below the global LAG
+WITH v AS (SELECT n_chars AS val, doc_id FROM documents
+           WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+     tot AS (SELECT COUNT(*) AS n FROM v),
+     cum AS (SELECT val, SUM(COUNT(*)) OVER (ORDER BY val) AS c
+             FROM v GROUP BY val),
+     sp AS (SELECT gs.i,
+                   (SELECT MIN(val) FROM cum, tot
+                    WHERE c >= (gs.i * tot.n + 7) // 8) AS s
+            FROM generate_series(1, 7) gs(i)),
+     sh AS (SELECT doc_id, val,
+                   (SELECT COUNT(*) FROM sp WHERE s <= val)
+                     AS shard_id
+            FROM v),
+     r AS (SELECT shard_id, val, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY shard_id
+                                     ORDER BY val, doc_id) AS rn
+           FROM sh),
+     p AS (SELECT shard_id, rn,
+                  CASE WHEN doc_id % 97 = 0 THEN val - 1000
+                       ELSE val END AS v2
+           FROM r),
+     l AS (SELECT shard_id, rn, v2,
+                  LAG(v2) OVER (ORDER BY shard_id, rn) AS pv
+           FROM p)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(rn AS BIGINT) AS pos,
+       CAST(v2 AS BIGINT) AS value,
+       CAST(pv AS BIGINT) AS prev_value
+FROM l WHERE v2 < pv ORDER BY shard_id, pos
+""",
         "column_overlap_profile": """
 -- KMV register algebra per column pair (labels sorted)
 WITH rc AS (

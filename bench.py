@@ -156,7 +156,19 @@ def bench_queries() -> dict[str, float]:
              "events_scd2_state", "events_rate_violators",
              "orders_time_travel", "orders_grouping_sets",
              "lineitem_unpivot", "events_k_anonymity",
-             "dedup_cluster_sizes"]
+             "dedup_cluster_sizes",
+             # round-4 session-4 additions
+             "graph_bfs_hops", "orders_delta_join",
+             "lineitem_trend_by_flag", "docs_term_counts",
+             "docs_equidepth_bins", "bloom_pruned_lookup",
+             "custkey_user_overlap", "events_golden_by_user",
+             "fd_user_event_type", "docs_benford_digits",
+             "join_size_estimate_lo", "docs_phrase_search",
+             "events_transitions", "user_activity_streaks",
+             "zorder_pruned_lookup", "docs_impute_chars",
+             "docs_collocations", "events_peak_concurrency",
+             "docs_budget_select", "events_daily_anomalies",
+             "docs_rank_vs_reference", "column_overlap_profile"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -439,3 +439,27 @@ def test_column_overlap_matrix_pairs(ray_session):
     assert out.loc[("a", "c")].n_common == 0
     assert out.loc[("b", "c")].n_common == 0
     assert len(out) == 3  # unordered pairs only
+
+
+# -- audit_sorted_layout ----------------------------------------------
+
+def test_audit_sorted_layout_clean_and_planted(ray_session):
+    from verify_ray.pipelines.shuffle import audit_sorted_layout
+
+    clean = pd.DataFrame({
+        "shard_id": [0, 0, 0, 1, 1],
+        "pos": [1, 2, 3, 1, 2],
+        "v": [5, 5, 9, 10, 12]})
+    out = audit_sorted_layout(_ds(clean, 1), "v", num_buckets=2)
+    assert len(out) == 0
+
+    # within-shard dip at (0,3) and a cross-shard boundary dip at
+    # (1,1): shard 1 starts below shard 0's last value
+    bad = pd.DataFrame({
+        "shard_id": [0, 0, 0, 1, 1],
+        "pos": [1, 2, 3, 1, 2],
+        "v": [5, 8, 6, 2, 12]})
+    out = audit_sorted_layout(_ds(bad, 1), "v", num_buckets=2)
+    assert out[["shard_id", "pos"]].values.tolist() == [[0, 3],
+                                                        [1, 1]]
+    assert out.prev_value.tolist() == [8, 6]

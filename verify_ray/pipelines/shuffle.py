@@ -374,3 +374,84 @@ def zorder_key(ds, col_x: str, col_y: str, out_col: str = "zkey"):
 
     meta = {"lo_x": lo_x, "hi_x": hi_x, "lo_y": lo_y, "hi_y": hi_y}
     return ds.map_batches(add_key, batch_format="pyarrow"), meta
+
+
+def audit_sorted_layout(ds, value_col: str,
+                        shard_col: str = "shard_id",
+                        pos_col: str = "pos",
+                        num_buckets: int = 32) -> pd.DataFrame:
+    """Layout-order audit: verify that a (shard, pos)-addressed
+    layout (the ``sort_by_range`` / ``write_sharded`` contract —
+    concatenating shards in order IS the total order) is actually
+    globally non-decreasing in ``value_col``, and report every
+    violation row ``(shard_id, pos, value, prev_value)`` where the
+    value dips below its global predecessor.  The sorted-output
+    validation a consumer (merge join, binary search, range reader)
+    runs before trusting a layout.
+
+    Distributed shape: ONE shard-keyed exchange checks each shard
+    INTERNALLY (lexsort by pos + shifted compare — violation rows
+    only leave the task) and emits each shard's (first, last) value;
+    the cross-shard BOUNDARY check runs on the driver over the
+    shard-count-sized boundary frame.  Null value/pos rows are
+    layout corruption and are reported with ``prev_value`` null.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        sid = pc.cast(b[shard_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "__b": pa.array(sid % num_buckets),
+            "s": pa.array(sid),
+            "p": pc.cast(b[pos_col], pa.int64()),
+            "v": pc.cast(b[value_col], pa.int64())})
+
+    def check(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        p = t.column("p").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        o = np.lexsort((p, s))
+        ss, ps, vs = s[o], p[o], v[o]
+        same = ss[1:] == ss[:-1]
+        bad = same & (vs[1:] < vs[:-1])
+        idx = np.flatnonzero(bad) + 1
+        # per-shard endpoints for the driver boundary check
+        first = np.ones(len(ss), dtype=bool)
+        first[1:] = ss[1:] != ss[:-1]
+        fs = np.flatnonzero(first)
+        ls = np.append(fs[1:], len(ss)) - 1
+        endp = pa.table({
+            "s": pa.array(ss[fs]), "p": pa.array(ps[fs]),
+            "v": pa.array(vs[fs]), "pv": pa.array(vs[ls]),
+            "kind": pa.array(np.ones(len(fs), np.int8))})
+        viol = pa.table({
+            "s": pa.array(ss[idx]), "p": pa.array(ps[idx]),
+            "v": pa.array(vs[idx]), "pv": pa.array(vs[idx - 1]),
+            "kind": pa.array(np.zeros(len(idx), np.int8))})
+        return pa.concat_tables([viol, endp])
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, check)
+    cols = ["shard_id", "pos", "value", "prev_value"]
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    df = res.to_pandas()
+    viol = df[df.kind == 0][["s", "p", "v", "pv"]]
+    ends = df[df.kind == 1].sort_values("s")
+    # boundary: shard i's first value vs shard i-1's last value
+    if len(ends) > 1:
+        prev_last = ends.pv.shift(1)
+        bad = ends.v < prev_last
+        bviol = pd.DataFrame({
+            "s": ends.s[bad], "p": ends.p[bad],
+            "v": ends.v[bad], "pv": prev_last[bad].astype("int64")})
+        viol = pd.concat([viol, bviol], ignore_index=True)
+    viol.columns = cols
+    return (viol.sort_values(["shard_id", "pos"])
+            .reset_index(drop=True).astype(
+        {c: "int64" for c in cols}))
