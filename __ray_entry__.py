@@ -170,6 +170,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def resolve_roots_q(sf):
+        # hierarchy flattening: derive a parent-pointer forest from
+        # user ids (u ≥ 7 → parent u−(u%7+1); 0..6 roots) and resolve
+        # every node's root by pointer jumping — ⌈log₂ depth⌉
+        # self-join rounds, never a depth-long sequential walk
+        from verify_ray.pipelines.graph import resolve_roots
+
+        ev = _read(sf, "events", columns=["user_id"])
+
+        def to_edges(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["user_id"]))
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            u = np.unique(u[u >= 7])
+            return pa.table({"child": pa.array(u),
+                             "parent": pa.array(u - (u % 7 + 1))})
+
+        edges = ev.map_batches(to_edges, batch_format="pyarrow")
+        out = resolve_roots(edges, rounds=6, num_buckets=8)
+        return (out.to_pandas().sort_values("node")
+                .reset_index(drop=True))
+
     def layout_audit_q(sf):
         # sorted-layout validation: build the documents range-sorted
         # layout, PLANT inversions (doc_id % 97 → value − 1000), and
@@ -3268,6 +3290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rank_vs_reference": rank_vs_ref_q,
         "column_overlap_profile": column_overlap_q,
         "layout_order_audit": layout_audit_q,
+        "user_root_resolution": resolve_roots_q,
         "docs_budget_select": budget_select_q,
         "user_activity_streaks": streaks_q,
         "docs_benford_digits": benford_q,
@@ -4749,6 +4772,28 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "user_root_resolution": """
+-- parent-chain walk to the root (unique parents terminate the
+-- recursion at nodes that are nobody's child)
+WITH RECURSIVE e AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS child,
+         CAST(user_id AS BIGINT)
+           - (CAST(user_id AS BIGINT) % 7 + 1) AS parent
+  FROM events WHERE user_id IS NOT NULL AND user_id >= 7
+), nodes AS (
+  -- explicit DISTINCT: inside WITH RECURSIVE DuckDB does not dedup
+  -- a bare UNION in a non-recursive CTE (observed 2.x behavior)
+  SELECT DISTINCT node FROM (
+    SELECT child AS node FROM e UNION ALL SELECT parent FROM e)
+), chain(node, cur) AS (
+  SELECT node, node FROM nodes
+  UNION ALL
+  SELECT c.node, e.parent FROM chain c JOIN e ON e.child = c.cur
+)
+SELECT node, cur AS root FROM chain
+WHERE cur NOT IN (SELECT child FROM e)
+ORDER BY node
+""",
         "layout_order_audit": """
 -- rebuild the range layout (sort_by_range's splitter rule), plant
 -- the same inversions, flag rows dipping below the global LAG

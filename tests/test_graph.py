@@ -124,3 +124,43 @@ def test_bfs_hops_parallel_edges_and_nulls(ray_session):
                     num_buckets=2)
            .to_pandas().sort_values("node").reset_index(drop=True))
     assert dict(zip(out["node"], out["hop"])) == {0: 0, 7: 1}
+
+
+def test_resolve_roots_matches_reference(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.graph import resolve_roots
+
+    child = np.arange(7, 150, dtype=np.int64)
+    parent = child - (child % 7 + 1)
+    edges = rd.from_arrow(pa.table({"child": pa.array(child),
+                                    "parent": pa.array(parent)}))
+    out = (resolve_roots(edges, rounds=6, num_buckets=4)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    def ref_root(u):
+        while u >= 7:
+            u = u - (u % 7 + 1)
+        return u
+
+    assert all(int(r.root) == ref_root(int(r.node))
+               for r in out.itertuples())
+    # roots map to themselves
+    roots = out[out.node < 7]
+    assert (roots.node == roots.root).all()
+
+
+def test_resolve_roots_multi_parent_min_rule(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.graph import resolve_roots
+
+    # node 5 has parents {2, 3}: the SMALLEST (2) wins; 2 -> 0
+    t = pa.table({"child": pa.array([5, 5, 2], type=pa.int64()),
+                  "parent": pa.array([3, 2, 0], type=pa.int64())})
+    out = (resolve_roots(rd.from_arrow(t), rounds=4, num_buckets=2)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    m = dict(zip(out.node, out.root))
+    assert m[5] == 0 and m[2] == 0 and m[0] == 0
+    # 3 appears only as a parent: it is its own root
+    assert m[3] == 3

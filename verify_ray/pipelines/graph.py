@@ -608,3 +608,85 @@ def bfs_hops(edges_ds, seeds, src_col: str = "src",
                                 num_buckets).materialize()
 
     return dist
+
+
+def resolve_roots(edges_ds, child_col: str = "child",
+                  parent_col: str = "parent", rounds: int = 16,
+                  num_buckets: int = 32):
+    """Forest ancestry resolution: for every node of a parent-pointer
+    forest, find its ROOT — the hierarchy-flattening primitive
+    (org-chart rollups, thread→conversation roots, file-system
+    ancestors) via POINTER JUMPING (ptr ← ptr[ptr], Wyllie 1979):
+    each round doubles the distance every pointer covers, so a depth-D
+    forest resolves in ⌈log₂ D⌉ rounds of self-joins instead of D
+    sequential steps — the reason this beats naive iteration at scale.
+    ``rounds`` must satisfy ``2^rounds ≥ max depth`` (16 covers
+    65 k-deep chains).
+
+    Nodes with no parent edge are roots (they map to themselves);
+    multi-parent children take their SMALLEST parent (deterministic
+    forest-ization, stated in the oracle).  Null endpoints drop.
+    Returns a Dataset ``(node int64, root int64)``.
+
+    Distributed shape: parent edges dedupe to min-parent through one
+    child-keyed min exchange; each jump round is ONE
+    ``joins.hash_join`` of the pointer table onto itself (left ptr →
+    right node, exchange-based — composes under iteration) followed
+    by a streaming coalesce; per-round results ``.materialize()``
+    (multi-consumer, CLAUDE.md).  Nothing node-count-sized on the
+    driver.
+    """
+    from .joins import hash_join
+
+    # min-parent per child (deterministic forest), null-safe
+    def canon(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[child_col]),
+                             pc.is_valid(b[parent_col])))
+        return pa.table({
+            "c": pc.cast(b[child_col], pa.int64()),
+            "p": pc.cast(b[parent_col], pa.int64())})
+
+    edges = (edges_ds.map_batches(canon, batch_format="pyarrow")
+             .materialize())
+    parent_of = _grouped_int_min(edges, "c", "p", "node", "ptr",
+                                 num_buckets).materialize()
+
+    # node universe = children ∪ parents; roots point to themselves
+    nodes = distinct_nodes(edges, "c", "p", num_buckets)
+    ptr = hash_join(
+        nodes, parent_of, key="node", right_key="node",
+        left_values=["node"], right_values=["ptr"], how="left",
+        num_buckets=num_buckets)
+
+    def coalesce_self(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["node"], pa.int64())
+        return pa.table({"node": n,
+                         "ptr": pc.coalesce(
+                             pc.cast(b["ptr"], pa.int64()), n)})
+
+    ptr = ptr.map_batches(coalesce_self,
+                          batch_format="pyarrow").materialize()
+
+    def rename_ptr(b: pa.Table) -> pa.Table:
+        return pa.table({"node2": b["node"], "root2": b["ptr"]})
+
+    for _ in range(rounds):
+        rhs = ptr.map_batches(rename_ptr, batch_format="pyarrow")
+        jumped = hash_join(
+            ptr, rhs, key="ptr", right_key="node2",
+            left_values=["node", "ptr"], right_values=["root2"],
+            how="left", num_buckets=num_buckets)
+
+        def advance(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": pc.cast(b["node"], pa.int64()),
+                "ptr": pc.coalesce(pc.cast(b["root2"], pa.int64()),
+                                   pc.cast(b["ptr"], pa.int64()))})
+
+        ptr = jumped.map_batches(advance,
+                                 batch_format="pyarrow").materialize()
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "root": b["ptr"]})
+
+    return ptr.map_batches(finish, batch_format="pyarrow")
