@@ -170,6 +170,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def map_key_profile_q(sf):
+        # nested-type profiling: per map KEY, carrying-row count and
+        # distinct-value count over the same deterministic
+        # map<string,string> synthesis as validate_map_column
+        def pack(t: pa.Table) -> pa.Table:
+            langs = t.column("lang").to_pylist()
+            srcs = t.column("source").to_pylist()
+            ncs = t.column("n_chars").to_pylist()
+            rows = []
+            for lg, s, nc in zip(langs, srcs, ncs):
+                entries = [("lang", lg)]
+                if nc is not None and nc >= 100:
+                    entries.append(("src", s))
+                if nc is not None and nc > 480:
+                    entries.append(("Xtra", "y"))
+                rows.append(entries)
+            return pa.table({"attrs": pa.array(
+                rows, type=pa.map_(pa.string(), pa.string()))})
+
+        ds = _read(sf, "documents",
+                   columns=["lang", "source", "n_chars"]
+                   ).map_batches(pack, batch_format="pyarrow")
+        return analytics.map_key_stats(ds, "attrs", num_buckets=8)
+
     def resolve_roots_q(sf):
         # hierarchy flattening: derive a parent-pointer forest from
         # user ids (u ≥ 7 → parent u−(u%7+1); 0..6 roots) and resolve
@@ -3291,6 +3315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_overlap_profile": column_overlap_q,
         "layout_order_audit": layout_audit_q,
         "user_root_resolution": resolve_roots_q,
+        "map_key_profile": map_key_profile_q,
         "docs_budget_select": budget_select_q,
         "user_activity_streaks": streaks_q,
         "docs_benford_digits": benford_q,
@@ -4772,6 +4797,23 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "map_key_profile": """
+-- key-presence rules restated directly (lang always; src iff
+-- n_chars>=100; Xtra iff n_chars>480); HAVING drops absent keys
+SELECT * FROM (
+  SELECT 'lang' AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_vals
+  FROM documents HAVING COUNT(*) > 0
+  UNION ALL
+  SELECT 'src', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT source) AS BIGINT)
+  FROM documents WHERE n_chars >= 100 HAVING COUNT(*) > 0
+  UNION ALL
+  SELECT 'Xtra', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT 'y') AS BIGINT)
+  FROM documents WHERE n_chars > 480 HAVING COUNT(*) > 0
+) ORDER BY key
+""",
         "user_root_resolution": """
 -- parent-chain walk to the root (unique parents terminate the
 -- recursion at nodes that are nobody's child)

@@ -463,3 +463,39 @@ def test_audit_sorted_layout_clean_and_planted(ray_session):
     assert out[["shard_id", "pos"]].values.tolist() == [[0, 3],
                                                         [1, 1]]
     assert out.prev_value.tolist() == [8, 6]
+
+
+# -- map_key_stats ----------------------------------------------------
+
+def test_map_key_stats_counts_and_null_values(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import map_key_stats
+
+    mtype = pa.map_(pa.string(), pa.string())
+    rows = [[("a", "x"), ("b", "1")],
+            [("a", "y")],
+            [("a", "x"), ("b", None)],
+            None]
+    t = pa.table({"m": pa.array(rows, type=mtype)})
+    out = map_key_stats(rd.from_arrow(t), "m", num_buckets=2)
+    got = out.set_index("key")
+    # key a: 3 rows, values {x, y}; key b: 2 rows, 1 non-null value
+    assert got.loc["a"].n_rows == 3 and got.loc["a"].n_vals == 2
+    assert got.loc["b"].n_rows == 2 and got.loc["b"].n_vals == 1
+
+
+def test_map_key_stats_sliced_blocks(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import map_key_stats
+
+    mtype = pa.map_(pa.string(), pa.string())
+    rows = [[(f"k{i % 3}", f"v{i}")] for i in range(30)]
+    t = pa.table({"m": pa.array(rows, type=mtype)})
+    # two sliced blocks share one child buffer: the offsets-window
+    # slice must not double-count entries
+    ds = rd.from_arrow([t.slice(0, 15), t.slice(15, 15)])
+    out = map_key_stats(ds, "m", num_buckets=2)
+    assert out.n_rows.sum() == 30
+    assert out.n_vals.sum() == 30

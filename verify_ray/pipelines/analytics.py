@@ -2083,3 +2083,90 @@ def column_overlap_matrix(named: dict, k: int = 128) -> pd.DataFrame:
         "n_common"]).astype({c: "int64" for c in
                              ("n_reg_a", "n_reg_b", "n_union",
                               "n_common")})
+
+
+def map_key_stats(ds, map_col: str, num_buckets: int = 16
+                  ) -> pd.DataFrame:
+    """Profile a ``map<string,string>`` column: per distinct KEY, how
+    many rows carry it (``n_rows``) and how many distinct values it
+    takes (``n_vals``) — the nested-type profiling step before
+    promoting dynamic attributes to real columns (keys unique per row
+    by Arrow map semantics, so entry count = row count).  Null map
+    rows contribute nothing; a present key with a null value counts
+    the row but not a value.
+
+    Distributed shape: each batch flattens its MapArray with
+    zero-copy offsets (keys/items child arrays — no per-row Python)
+    and collapses to distinct (key, value, partial_count) rows; ONE
+    key-keyed exchange merges counts and counts distinct values.
+    Output is key-space-sized.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"__b": pa.array([], pa.int64()),
+                          "k": pa.array([], pa.string()),
+                          "v": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if b.num_rows == 0 or map_col not in b.column_names:
+            return empty
+        col = b[map_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not len(col) or col.null_count == len(col):
+            return empty
+        # this pyarrow has no list_flatten kernel for maps; slice the
+        # raw child arrays to the offsets window instead (bare
+        # .keys/.items can leak out-of-slice entries on sliced
+        # arrays — the window [off[0], off[-1]) is exactly the
+        # referenced entry range, null slots being empty ranges)
+        off = col.offsets.to_numpy(zero_copy_only=False)
+        lo, hi = int(off[0]), int(off[-1])
+        keys = col.keys[lo:hi].to_numpy(
+            zero_copy_only=False).astype(object)
+        vals = col.items[lo:hi].to_pandas().to_numpy(dtype=object)
+        if not len(keys):
+            return empty
+        # null values -> sentinel excluded from distinct-value counts
+        vv = np.where(pd.isna(vals), "\x00null", vals.astype(object))
+        pair = keys + "\x1f" + vv
+        u, c = np.unique(pair, return_counts=True)
+        sp = np.array([x.split("\x1f", 1) for x in u], dtype=object)
+        karr = pa.array(sp[:, 0], pa.string())
+        bk = md5_u64le(karr) % np.uint64(num_buckets)
+        return pa.table({"__b": pa.array(bk.astype(np.int64)),
+                         "k": karr,
+                         "v": pa.array(sp[:, 1], pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(object)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(object)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        pair = k + "\x1f" + v
+        u, inv = np.unique(pair, return_inverse=True)
+        cs = np.zeros(len(u), dtype=np.int64)
+        np.add.at(cs, inv, c)
+        ku = np.array([x.split("\x1f", 1)[0] for x in u],
+                      dtype=object)
+        vu = np.array([x.split("\x1f", 1)[1] for x in u],
+                      dtype=object)
+        uk, kinv = np.unique(ku, return_inverse=True)
+        n_rows = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(n_rows, kinv, cs)
+        n_vals = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(n_vals, kinv, (vu != "\x00null").astype(np.int64))
+        return pa.table({"k": pa.array(uk, pa.string()),
+                         "n_rows": pa.array(n_rows),
+                         "n_vals": pa.array(n_vals)})
+
+    tagged = ds.map_batches(partial, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, merge)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"key": pd.Series(dtype=object),
+                             "n_rows": pd.Series(dtype="int64"),
+                             "n_vals": pd.Series(dtype="int64")})
+    df = res.to_pandas().rename(columns={"k": "key"})
+    return (df.sort_values("key").reset_index(drop=True)
+            .astype({"n_rows": "int64", "n_vals": "int64"}))
