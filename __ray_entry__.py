@@ -170,6 +170,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def jsonl_roundtrip_q(sf):
+        # interchange-sink round trip: documents stream out as 4
+        # resumable JSONL shards (doc_id % 4, fingerprint-cached),
+        # stream back through the lineage JSONL reader, and aggregate
+        # — the hash match against a direct-parquet oracle proves the
+        # JSON round trip is lossless for these columns
+        import hashlib
+        import os
+
+        from verify_ray import sinks
+        from verify_ray.sources.text import read_jsonl_with_lineage
+
+        src = f"{sf}/documents.parquet"
+        fp = (f"jsonl-v1:{src}:{os.path.getsize(src)}"
+              f":{os.path.getmtime(src)}")
+        root = ("/tmp/verify_ray_jsonl/"
+                + hashlib.md5(fp.encode()).hexdigest()[:12])
+
+        def shard_maker(sid):
+            def make():
+                docs = _read(sf, "documents",
+                             columns=["doc_id", "lang", "n_chars"])
+
+                def pick(b: pa.Table) -> pa.Table:
+                    ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(
+                        zero_copy_only=False)
+                    return b.filter(pa.array(ids % 4 == sid))
+
+                return docs.map_batches(pick, batch_format="pyarrow")
+            return make
+
+        sinks.write_jsonl_sharded(
+            {i: shard_maker(i) for i in range(4)}, root,
+            fingerprint=fp)
+        files = sorted(
+            os.path.join(r, f) for r, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".json") and not f.startswith("_"))
+        back = read_jsonl_with_lineage(files)
+
+        def agg(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "lang": b["lang"],
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+                "doc_id": pc.cast(b["doc_id"], pa.int64())})
+
+        df = analytics.grouped_stats(
+            back.map_batches(agg, batch_format="pyarrow"),
+            ["lang"], {"n_chars": ["count", "sum"],
+                       "doc_id": ["sum"]})
+        return pd.DataFrame({
+            "lang": df.lang,
+            "n_docs": df.n_chars_count.astype("int64"),
+            "sum_chars": df.n_chars_sum.astype("int64"),
+            "sum_ids": df.doc_id_sum.astype("int64")})
+
     def map_key_profile_q(sf):
         # nested-type profiling: per map KEY, carrying-row count and
         # distinct-value count over the same deterministic
@@ -3316,6 +3372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layout_order_audit": layout_audit_q,
         "user_root_resolution": resolve_roots_q,
         "map_key_profile": map_key_profile_q,
+        "jsonl_roundtrip": jsonl_roundtrip_q,
         "docs_budget_select": budget_select_q,
         "user_activity_streaks": streaks_q,
         "docs_benford_digits": benford_q,
@@ -4797,6 +4854,13 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "jsonl_roundtrip": """
+-- the round-tripped aggregate must equal the direct aggregate
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY lang ORDER BY lang
+""",
         "map_key_profile": """
 -- key-presence rules restated directly (lang always; src iff
 -- n_chars>=100; Xtra iff n_chars>480); HAVING drops absent keys

@@ -168,7 +168,9 @@ def bench_queries() -> dict[str, float]:
              "zorder_pruned_lookup", "docs_impute_chars",
              "docs_collocations", "events_peak_concurrency",
              "docs_budget_select", "events_daily_anomalies",
-             "docs_rank_vs_reference", "column_overlap_profile"]
+             "docs_rank_vs_reference", "column_overlap_profile",
+             "layout_order_audit", "user_root_resolution",
+             "map_key_profile"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -499,3 +499,33 @@ def test_map_key_stats_sliced_blocks(ray_session):
     out = map_key_stats(ds, "m", num_buckets=2)
     assert out.n_rows.sum() == 30
     assert out.n_vals.sum() == 30
+
+
+# -- write_jsonl_sharded ----------------------------------------------
+
+def test_write_jsonl_sharded_resume_and_counts(ray_session, tmp_path):
+    import os
+
+    from verify_ray import sinks
+
+    df = pd.DataFrame({"a": range(10), "b": list("abcdefghij")})
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return _ds(df, 2)
+
+    root = str(tmp_path / "jl")
+    r1 = sinks.write_jsonl_sharded({"x": make}, root, fingerprint="f1")
+    assert r1["written"] == ["x"] and r1["rows"]["x"] == 10
+    # matching fingerprint: skipped, make() not called again
+    r2 = sinks.write_jsonl_sharded({"x": make}, root, fingerprint="f1")
+    assert r2["skipped"] == ["x"] and calls["n"] == 1
+    # stale fingerprint: rebuilt
+    r3 = sinks.write_jsonl_sharded({"x": make}, root, fingerprint="f2")
+    assert r3["written"] == ["x"] and calls["n"] == 2
+    # data files exist and markers are underscore-prefixed
+    files = [f for _, _, fs in os.walk(root) for f in fs]
+    assert any(f.endswith(".json") and not f.startswith("_")
+               for f in files)
+    assert "_SUCCESS.json" in files

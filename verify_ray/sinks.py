@@ -177,3 +177,48 @@ def compact_shards(in_dir: str, out_dir: str, target_rows: int = 1_000_000,
     return {"shards": len(spans), "written": written,
             "skipped": skipped,
             "total_rows": int(sum(n for _, n in spans))}
+
+
+def write_jsonl_sharded(shards: dict, out_dir: str,
+                        fingerprint: str = "") -> dict:
+    """``write_sharded`` with a JSONL payload instead of parquet —
+    the interchange sink for downstream tools that eat line-JSON
+    (annotation UIs, legacy loaders, eval harnesses).  Same
+    crash-resume contract: a shard whose ``_SUCCESS.json`` matches
+    ``fingerprint`` is skipped; a stale shard directory is rebuilt
+    whole.  Rows stream through Ray's ``write_json`` writer — the
+    shard is never held in one task.  Row counts come from a line
+    count over the written files (JSONL has no footer metadata —
+    one sequential read of what was just written, cheaper than a
+    parse).  Returns ``{"written", "skipped", "rows"}``.
+    """
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    written, skipped, rows = [], [], {}
+    for key, make_ds in shards.items():
+        skey = str(key)
+        shard_dir = os.path.join(out_dir, f"shard={skey}")
+        marker = read_marker(out_dir, skey)
+        if marker is not None and marker.get("fingerprint") == fingerprint:
+            skipped.append(skey)
+            rows[skey] = marker["rows"]
+            continue
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        os.makedirs(shard_dir, exist_ok=True)
+        t0 = time.time()
+        make_ds().write_json(shard_dir)
+        n = 0
+        for root, _, files in os.walk(shard_dir):
+            for f in files:
+                if f.endswith(".json") or f.endswith(".jsonl"):
+                    with open(os.path.join(root, f), "rb") as fh:
+                        n += sum(1 for _ in fh)
+        _write_marker(shard_dir, {
+            "fingerprint": fingerprint,
+            "rows": n,
+            "wall_sec": round(time.time() - t0, 3),
+        })
+        written.append(skey)
+        rows[skey] = n
+    return {"written": written, "skipped": skipped, "rows": rows}
