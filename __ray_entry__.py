@@ -170,6 +170,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def cusum_q(sf):
+        # sequential drift detection: one-sided CUSUM over per-type
+        # daily counts (k=70 drift allowance, h=100 alarm) — cumsum −
+        # running-min identity, exact integers, every statistic
+        # value pinned by the oracle
+        def day_of(b: pa.Table) -> pa.Table:
+            day = (b["ts"].cast(pa.int64())
+                   .to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            return pa.table({"event_type": b["event_type"],
+                             "day": pa.array(day),
+                             "event_id": b["event_id"]})
+
+        ev = _read(sf, "events",
+                   columns=["event_type", "ts", "event_id"]
+                   ).map_batches(day_of, batch_format="pyarrow")
+        daily = analytics.grouped_stats(ev, ["event_type", "day"],
+                                        {"event_id": ["count"]})
+        daily = daily.rename(columns={"event_id_count": "n"})
+        daily["n"] = daily["n"].astype("int64")
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.Table.from_pandas(
+            daily, preserve_index=False))
+        out = analytics.cusum_alarms(ds, "event_type", "day", "n",
+                                     k=70, h=100, num_buckets=8)
+        out["day"] = out["day"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
     def jsonl_roundtrip_q(sf):
         # interchange-sink round trip: documents stream out as 4
         # resumable JSONL shards (doc_id % 4, fingerprint-cached),
@@ -3373,6 +3403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_root_resolution": resolve_roots_q,
         "map_key_profile": map_key_profile_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
+        "events_cusum_alarms": cusum_q,
         "docs_budget_select": budget_select_q,
         "user_activity_streaks": streaks_q,
         "docs_benford_digits": benford_q,
@@ -4854,6 +4885,33 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "events_cusum_alarms": """
+-- CUSUM via the identity s_t = c_t - min(0, min_{j<=t} c_j),
+-- c = running sum of (x - k); k=70, h=100
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type, day
+), c AS (
+  SELECT event_type, day, n,
+         SUM(n - 70) OVER (PARTITION BY event_type
+                           ORDER BY day) AS cum
+  FROM d
+), m AS (
+  SELECT event_type, day, n, cum,
+         LEAST(0, MIN(cum) OVER (PARTITION BY event_type
+                                 ORDER BY day)) AS floor_c
+  FROM c
+)
+SELECT event_type, day, n,
+       CAST(cum - floor_c AS BIGINT) AS s,
+       CAST(CASE WHEN cum - floor_c > 100 THEN 1 ELSE 0 END
+            AS BIGINT) AS alarm
+FROM m ORDER BY event_type, day
+""",
         "jsonl_roundtrip": """
 -- the round-tripped aggregate must equal the direct aggregate
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

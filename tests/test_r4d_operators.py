@@ -529,3 +529,34 @@ def test_write_jsonl_sharded_resume_and_counts(ray_session, tmp_path):
     assert any(f.endswith(".json") and not f.startswith("_")
                for f in files)
     assert "_SUCCESS.json" in files
+
+
+# -- cusum_alarms -----------------------------------------------------
+
+def test_cusum_matches_sequential_reference(ray_session):
+    from verify_ray.pipelines.analytics import cusum_alarms
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for g in ("a", "b"):
+        x = rng.integers(0, 20, 40)
+        if g == "a":
+            x[25:] += 30  # planted upward shift
+        rows.append(pd.DataFrame({"g": g, "t": np.arange(40),
+                                  "x": x}))
+    df = pd.concat(rows, ignore_index=True)
+    out = cusum_alarms(_ds(df, 3), "g", "t", "x", k=12, h=40,
+                       num_buckets=2)
+
+    # sequential reference: s_t = max(0, s_{t-1} + x - k)
+    for g, grp in df.groupby("g"):
+        s = 0
+        ref = []
+        for x in grp.sort_values("t").x:
+            s = max(0, s + int(x) - 12)
+            ref.append(s)
+        got = out[out.g == g].sort_values("t").s.tolist()
+        assert got == ref
+    # the planted shift in group a must alarm; group b must not
+    assert out[(out.g == "a") & (out.t >= 30)].alarm.any()
+    assert not out[out.g == "b"].alarm.any()

@@ -2170,3 +2170,83 @@ def map_key_stats(ds, map_col: str, num_buckets: int = 16
     df = res.to_pandas().rename(columns={"k": "key"})
     return (df.sort_values("key").reset_index(drop=True)
             .astype({"n_rows": "int64", "n_vals": "int64"}))
+
+
+def cusum_alarms(ds, key_col: str, order_col: str, value_col: str,
+                 k: int, h: int, num_buckets: int = 16
+                 ) -> pd.DataFrame:
+    """One-sided CUSUM changepoint statistic per key (Page 1954):
+    ``s_t = max(0, s_{t-1} + x_t − k)``, alarm when ``s_t > h`` — the
+    sequential drift detector for "did this source's daily volume /
+    quality metric shift upward?".  Exact integers throughout.
+
+    Vectorization identity (no sequential loop): with ``c_t =
+    Σ_{i≤t}(x_i − k)``, ``s_t = c_t − min(0, min_{j≤t} c_j)`` — one
+    cumsum plus one running minimum per key.  The same identity is
+    restated in SQL (``SUM OVER`` − ``LEAST(0, MIN(SUM OVER) OVER)``),
+    so the oracle pins every statistic value.  Null key/order/value
+    rows drop; ties on ``order_col`` within a key are invalid input
+    (the statistic is order-defined) — callers pre-aggregate to the
+    grain first.
+
+    Distributed shape: ONE key-keyed exchange; per bucket one lexsort
+    + cumsum + ``np.minimum.accumulate`` with per-key offset resets.
+    Returns (key, order, value, s, alarm) sorted.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[order_col])),
+                       pc.is_valid(b[value_col]))
+        b = b.select([key_col, order_col, value_col]).filter(keep)
+        hv = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((hv % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def stat(t: pa.Table) -> pa.Table:
+        g = pc.cast(t[key_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        o = pc.cast(t[order_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        x = pc.cast(t[value_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        srt = np.lexsort((o, g))
+        gs, os_, xs = g[srt], o[srt], x[srt]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        start = np.flatnonzero(first)
+        cnt = np.diff(np.append(start, len(gs)))
+        d = xs - k
+        csum = np.cumsum(d)
+        offs = np.repeat(
+            np.concatenate([[0], csum[start[1:] - 1]]), cnt)
+        c = csum - offs
+        # per-key running min via offset trick on minimum.accumulate:
+        # reset by adding +inf-like bumps is messy; do per-key via
+        # np.minimum.accumulate on a copy with key boundaries broken
+        # per-key running min: numpy has no offset trick for min (it
+        # doesn't invert like cumsum), so accumulate per SEGMENT —
+        # one vectorized accumulate call per key, never per row
+        run_min = np.empty_like(c)
+        for s0, c0 in zip(start, cnt):
+            run_min[s0:s0 + c0] = np.minimum.accumulate(c[s0:s0 + c0])
+        s_stat = c - np.minimum(0, run_min)
+        return pa.table({
+            key_col: pa.array(gs, pa.string()),
+            order_col: pa.array(os_),
+            value_col: pa.array(xs),
+            "s": pa.array(s_stat.astype(np.int64)),
+            "alarm": pa.array((s_stat > h).astype(np.int64))})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, stat)
+    cols = [key_col, order_col, value_col, "s", "alarm"]
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    df = res.to_pandas()
+    return (df.sort_values([key_col, order_col])
+            .reset_index(drop=True))
