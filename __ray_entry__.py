@@ -170,6 +170,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_event": out.event_id_max.astype("int64"),
         })
 
+    def resample_interp_q(sf):
+        # per-user 6-hour grid with integer linear interpolation
+        # between bracketing events (gauge = event_id; DuckDB //
+        # truncation semantics matched exactly)
+        from verify_ray.pipelines.sessions import resample_interpolate
+
+        out = resample_interpolate(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_id"]),
+            "user_id", "ts", "event_id",
+            step_us=21_600_000_000, num_buckets=16)
+        return (out.to_pandas()
+                .sort_values(["user_id", "grid_us"])
+                .reset_index(drop=True))
+
     def cusum_q(sf):
         # sequential drift detection: one-sided CUSUM over per-type
         # daily counts (k=70 drift allowance, h=100 alarm) — cumsum −
@@ -3404,6 +3419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "map_key_profile": map_key_profile_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "events_cusum_alarms": cusum_q,
+        "events_resample_interp": resample_interp_q,
         "docs_budget_select": budget_select_q,
         "user_activity_streaks": streaks_q,
         "docs_benford_digits": benford_q,
@@ -4885,6 +4901,49 @@ def oracle_sql() -> dict[str, str]:
         "validate_tagged": vq.TAGGED_ORACLE,
         "validate_supplier": vq.SUPPLIER_ORACLE,
         "events_sessionize": _sessions_oracle(),
+        "events_resample_interp": """
+-- linear interpolation on the 6h grid; (key,ts) dedup -> MAX(v);
+-- // is DuckDB truncating integer division (engine matches)
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS k, epoch_us(ts) AS t,
+         MAX(CAST(event_id AS BIGINT)) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL
+  GROUP BY 1, 2
+), b AS (SELECT k, MIN(t) AS lo, MAX(t) AS hi FROM e GROUP BY k),
+-- this DuckDB's generate_series rejects lateral/subquery args: span
+-- a constant range (16384 x 6h ≈ 11 years, far beyond any epoch
+-- span), derive grid points arithmetically, filter per key
+grid AS (
+  SELECT (SELECT ((MIN(lo) + 21599999999) // 21600000000)
+                   * 21600000000 FROM b)
+           + r.i * 21600000000 AS g
+  FROM range(0, 16384) r(i)
+  WHERE (SELECT ((MIN(lo) + 21599999999) // 21600000000)
+                  * 21600000000 FROM b) + r.i * 21600000000
+        <= (SELECT (MAX(hi) // 21600000000) * 21600000000 FROM b)
+), g AS (
+  SELECT b.k, grid.g FROM b CROSS JOIN grid
+  WHERE grid.g >= ((b.lo + 21599999999) // 21600000000)
+                    * 21600000000
+    AND grid.g <= (b.hi // 21600000000) * 21600000000
+), p AS (
+  SELECT g.k, g.g,
+         (SELECT MAX(t) FROM e WHERE e.k = g.k AND e.t <= g.g) AS t0,
+         (SELECT MIN(t) FROM e WHERE e.k = g.k AND e.t >= g.g) AS t1
+  FROM g
+), vv AS (
+  SELECT p.k, p.g, p.t0, p.t1, e0.v AS v0, e1.v AS v1
+  FROM p JOIN e e0 ON e0.k = p.k AND e0.t = p.t0
+         JOIN e e1 ON e1.k = p.k AND e1.t = p.t1
+)
+SELECT k AS user_id, g AS grid_us,
+       CAST(CASE WHEN t0 = g THEN v0
+                 ELSE v0 + (v1 - v0) * (g - t0) // (t1 - t0)
+            END AS BIGINT) AS val
+FROM vv ORDER BY user_id, grid_us
+""",
         "events_cusum_alarms": """
 -- CUSUM via the identity s_t = c_t - min(0, min_{j<=t} c_j),
 -- c = running sum of (x - k); k=70, h=100

@@ -560,3 +560,33 @@ def test_cusum_matches_sequential_reference(ray_session):
     # the planted shift in group a must alarm; group b must not
     assert out[(out.g == "a") & (out.t >= 30)].alarm.any()
     assert not out[out.g == "b"].alarm.any()
+
+
+# -- resample_interpolate ---------------------------------------------
+
+def test_resample_interpolate_exact_and_midpoints(ray_session):
+    from verify_ray.pipelines.sessions import resample_interpolate
+
+    # key 1: events at t=0 (v=10) and t=100 (v=30); step 25 ->
+    # grid 0,25,50,75,100 with linear values 10,15,20,25,30
+    df = pd.DataFrame({
+        "k": [1, 1], "ts": [0, 100], "v": [10, 30]})
+    out = (resample_interpolate(_ds(df, 1), "k", "ts", "v",
+                                step_us=25, num_buckets=2)
+           .to_pandas().sort_values("grid_us"))
+    assert out.grid_us.tolist() == [0, 25, 50, 75, 100]
+    assert out.val.tolist() == [10, 15, 20, 25, 30]
+
+
+def test_resample_interpolate_truncation_and_dedup(ray_session):
+    from verify_ray.pipelines.sessions import resample_interpolate
+
+    # negative slope with non-divisible step: -7/2 truncates to -3
+    # (DuckDB semantics), so v(5) = 10 + (3-10)*5 // 10 -> trunc
+    df = pd.DataFrame({
+        "k": [2, 2, 2], "ts": [0, 0, 10], "v": [4, 10, 3]})
+    out = (resample_interpolate(_ds(df, 1), "k", "ts", "v",
+                                step_us=5, num_buckets=2)
+           .to_pandas().sort_values("grid_us"))
+    # dup (k,0) -> MAX(v)=10; v(5) = 10 + trunc(-7*5/10) = 10-3 = 7
+    assert out.val.tolist() == [10, 7, 3]

@@ -762,3 +762,101 @@ def peak_concurrency(events_ds, key_col: str, ts_col: str,
     df = res.to_pandas().rename(columns={"k": key_col})
     return (df.sort_values(key_col).reset_index(drop=True)
             .astype({"peak": "int64"}))
+
+
+def resample_interpolate(events_ds, key_col: str, ts_col: str,
+                         val_col: str, step_us: int,
+                         num_buckets: int = 32):
+    """Per-key time-grid resampling with INTEGER LINEAR
+    INTERPOLATION — the companion to ``resample_ffill`` for metrics
+    that change continuously (gauge readings, balances): for each key,
+    one row per ``step_us`` grid point within [min_ts, max_ts], value
+    interpolated between the bracketing events::
+
+        val(g) = v0 + (v1 − v0)·(g − t0) / (t1 − t0)   (integer div)
+
+    Division TRUNCATES toward zero (DuckDB ``//`` semantics — NOT
+    numpy floor; the engine adjusts so both agree on negative
+    slopes).  An exact event hit carries its value; duplicate
+    (key, ts) events resolve to MAX(val) first.  Returns a resident
+    Dataset (key, grid_us, val), all int64.
+
+    Scale shape: identical to ``resample_ffill`` — one key exchange,
+    per-bucket lexsort, vectorized grid generation (repeat/arange)
+    and ONE structured-array searchsorted for all grid points; output
+    is grid-sized by construction.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange_ds
+
+    out_schema = pa.schema([(key_col, pa.int64()),
+                            ("grid_us", pa.int64()),
+                            ("val", pa.int64())])
+    step = int(step_us)
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                                     pc.is_valid(b[ts_col])),
+                             pc.is_valid(b[val_col])))
+        k = pc.cast(b[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        tsc = b[ts_col]
+        if pa.types.is_timestamp(tsc.type):
+            tsc = pc.cast(tsc, pa.timestamp("us"))
+        return pa.table({
+            "__b": pa.array((pd.util.hash_array(k)
+                             % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            key_col: pa.array(k),
+            "__ts": pc.cast(tsc, pa.int64()),
+            "__v": pc.cast(b[val_col], pa.int64())})
+
+    def interp_bucket(t: pa.Table) -> pa.Table | None:
+        k = pc.cast(t[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = t.column("__ts").to_numpy(zero_copy_only=False)
+        v = t.column("__v").to_numpy(zero_copy_only=False)
+        # dedup (key, ts) -> MAX(val): sort by (k, ts, v), keep lasts
+        o = np.lexsort((v, ts, k))
+        k, ts, v = k[o], ts[o], v[o]
+        last = np.ones(len(k), dtype=bool)
+        last[:-1] = (k[1:] != k[:-1]) | (ts[1:] != ts[:-1])
+        k, ts, v = k[last], ts[last], v[last]
+        first = np.ones(len(k), dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        start = np.flatnonzero(first)
+        end = np.append(start[1:], len(k)) - 1
+        lo = -(-ts[start] // step) * step   # ceil to grid
+        hi = (ts[end] // step) * step       # floor to grid
+        npts = np.maximum((hi - lo) // step + 1, 0)
+        total = int(npts.sum())
+        if total == 0:
+            return None
+        gkey = np.repeat(k[start], npts)
+        base = np.repeat(lo, npts)
+        csum = np.concatenate([[0], np.cumsum(npts)[:-1]])
+        g = base + (np.arange(total)
+                    - np.repeat(csum, npts)) * step
+        # bracket lookup: one searchsorted over the (k, ts) order
+        rec = np.rec.fromarrays([k, ts], names=["k", "t"])
+        q = np.rec.fromarrays([gkey, g], names=["k", "t"])
+        i = np.searchsorted(rec, q, side="right") - 1
+        exact = ts[i] == g
+        j = np.where(exact, i, np.minimum(i + 1, len(ts) - 1))
+        num = (v[j] - v[i]) * (g - ts[i])
+        den = np.where(exact, 1, ts[j] - ts[i])
+        quo = num // den
+        # numpy floors; DuckDB truncates toward zero — adjust
+        adj = (num % den != 0) & ((num < 0) != (den < 0))
+        quo = quo + adj.astype(np.int64)
+        val = np.where(exact, v[i], v[i] + quo)
+        return pa.table({key_col: pa.array(gkey),
+                         "grid_us": pa.array(g),
+                         "val": pa.array(val.astype(np.int64))
+                         }).cast(out_schema)
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_exchange_ds(tagged, "__b", num_buckets,
+                               interp_bucket,
+                               empty_schema=out_schema)
