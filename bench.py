@@ -170,7 +170,8 @@ def bench_queries() -> dict[str, float]:
              "docs_budget_select", "events_daily_anomalies",
              "docs_rank_vs_reference", "column_overlap_profile",
              "layout_order_audit", "user_root_resolution",
-             "map_key_profile"]
+             "map_key_profile", "jsonl_roundtrip",
+             "events_cusum_alarms", "events_resample_interp"]
     out = {}
     for name in names:
         t0 = time.time()
