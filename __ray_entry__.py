@@ -3394,6 +3394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_map_column": vq.validate_map_column,
         "validate_tagged": vq.validate_tagged,
         "validate_supplier": vq.validate_supplier,
+        "validate_custom_rules": vq.validate_custom_rules,
         "events_sessionize": lambda sf: sessions.sessionize(
             _read(sf, "events"), gap_minutes=30),
         # analytics
@@ -4891,6 +4892,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "validate_documents": vq.DOCUMENTS_ORACLE,
+        "validate_custom_rules": vq.CUSTOM_RULES_ORACLE,
         "validate_orders": vq.ORDERS_ORACLE,
         "validate_lineitem": vq.LINEITEM_ORACLE,
         "validate_cross_column": vq.CROSS_COLUMN_ORACLE,

@@ -590,3 +590,23 @@ def test_resample_interpolate_truncation_and_dedup(ray_session):
            .to_pandas().sort_values("grid_us"))
     # dup (k,0) -> MAX(v)=10; v(5) = 10 + trunc(-7*5/10) = 10-3 = 7
     assert out.val.tolist() == [10, 7, 3]
+
+
+# -- validate_custom_rules (D6 under the driver contract) -------------
+
+def test_custom_rules_nulls_never_trip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from verify_ray.pipelines.validation_queries import (
+        validate_custom_rules)
+
+    p = tmp_path / "documents.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["one two", None, " ".join(["w"] * 60)]),
+        "n_chars": pa.array([100, 50, None], pa.int64())}), str(p))
+    out = validate_custom_rules(str(tmp_path))
+    # doc1: min_words (2 < 55) and ratio (100 > 6*2); doc2: null text
+    # trips NOTHING; doc3: null n_chars trips nothing, words ok
+    assert out.values.tolist() == [["1", "char_word_ratio", "n_chars"],
+                                   ["1", "min_words", "text"]]

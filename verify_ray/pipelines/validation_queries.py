@@ -562,3 +562,95 @@ WITH v AS (
 )
 SELECT * FROM v ORDER BY doc_id, rule_id, span
 """
+
+
+def _register_demo_rules() -> None:
+    """Install the D6 demo rules (idempotent).  Builders follow the
+    extension contract (extend.register_rule): builder(column, params)
+    -> fn(pa.Table) -> bool violation mask; nulls never trip
+    (repo-wide nullability policy — that is non_null's business)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..extend import register_rule
+
+    def min_words_builder(column: str, params: dict):
+        thr = int(params["threshold"])
+
+        def fn(t: pa.Table) -> np.ndarray:
+            col = t[column]
+            toks = pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(col), r"\s+")
+            n = pc.fill_null(pc.list_value_length(toks),
+                             thr).to_numpy(zero_copy_only=False)
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            return valid & (n < thr)
+
+        return fn
+
+    def char_word_ratio_builder(column: str, params: dict):
+        text_col = params["text_col"]
+        max_ratio = int(params["max_ratio"])
+
+        def fn(t: pa.Table) -> np.ndarray:
+            v = pc.fill_null(pc.cast(t[column], pa.int64()),
+                             0).to_numpy(zero_copy_only=False)
+            valid = (pc.is_valid(t[column]).to_numpy(
+                zero_copy_only=False)
+                & pc.is_valid(t[text_col]).to_numpy(
+                    zero_copy_only=False))
+            toks = pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(t[text_col]), r"\s+")
+            nw = pc.fill_null(pc.list_value_length(toks),
+                              1).to_numpy(zero_copy_only=False)
+            return valid & (v > max_ratio * nw)
+
+        return fn
+
+    register_rule("min_words", min_words_builder)
+    register_rule("char_word_ratio", char_word_ratio_builder)
+
+
+CUSTOM_RULES_SPEC = {
+    "table": "documents",
+    "key": "doc_id",
+    "columns": {
+        "doc_id": {"dtype": "int64", "non_null": True},
+        "text": {"dtype": "string",
+                 "custom": [{"rule": "min_words", "threshold": 55,
+                             "message": "too few words"}]},
+        "n_chars": {"dtype": "int64",
+                    "custom": [{"rule": "char_word_ratio",
+                                "text_col": "text", "max_ratio": 6,
+                                "message": "chars/word too high"}]},
+    },
+}
+
+
+def validate_custom_rules(sf_dir: str) -> pd.DataFrame:
+    """D6 extension surface under the driver contract: two REGISTERED
+    custom rules (one single-column, one cross-column) compiled into a
+    spec and run through the standard engine; the oracle restates both
+    predicates."""
+    _register_demo_rules()
+    spec = ConstraintSpec.from_dict(CUSTOM_RULES_SPEC)
+    rep = validate(f"{sf_dir}/documents.parquet", spec)
+    return _viol_result(rep)
+
+
+CUSTOM_RULES_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS nw
+  FROM documents WHERE text IS NOT NULL
+), v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'min_words' AS rule_id,
+         'text' AS span
+  FROM w WHERE nw < 55
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'char_word_ratio', 'n_chars'
+  FROM w WHERE n_chars IS NOT NULL AND n_chars > 6 * nw
+)
+SELECT * FROM v ORDER BY doc_id, rule_id, span
+"""
