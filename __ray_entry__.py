@@ -295,6 +295,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    ).map_batches(pack, batch_format="pyarrow")
         return analytics.map_key_stats(ds, "attrs", num_buckets=8)
 
+    def snm_pairs_q(sf):
+        # sorted-neighborhood linkage over the 16-char text prefix:
+        # deterministic-sample range shards, in-shard window pairs +
+        # exact cross-boundary resolution from the (2w·shards)-row
+        # edge frame; Levenshtein ≤ 2 within a 4-row window
+        from verify_ray.pipelines.joins import snm_pairs
+
+        def key_of(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "k": pc.utf8_slice_codeunits(b["text"], 0, 16)})
+
+        ds = _read(sf, "documents",
+                   columns=["doc_id", "text"]).map_batches(
+            key_of, batch_format="pyarrow").materialize()
+        return snm_pairs(ds, "doc_id", "k", window=4, max_dist=2,
+                         n_shards=8)
+
     def resolve_roots_q(sf):
         # hierarchy flattening: derive a parent-pointer forest from
         # user ids (u ≥ 7 → parent u−(u%7+1); 0..6 roots) and resolve
@@ -3417,6 +3435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_overlap_profile": column_overlap_q,
         "layout_order_audit": layout_audit_q,
         "user_root_resolution": resolve_roots_q,
+        "docs_snm_pairs": snm_pairs_q,
         "map_key_profile": map_key_profile_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "events_cusum_alarms": cusum_q,
@@ -4996,6 +5015,23 @@ SELECT * FROM (
          CAST(COUNT(DISTINCT 'y') AS BIGINT)
   FROM documents WHERE n_chars > 480 HAVING COUNT(*) > 0
 ) ORDER BY key
+""",
+        "docs_snm_pairs": """
+-- global ROW_NUMBER self-join on rank distance = the SNM window
+WITH t AS (
+  SELECT doc_id, substring(text, 1, 16) AS k FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), r AS (
+  SELECT doc_id, k,
+         ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn
+  FROM t
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         levenshtein(a.k, b.k) AS dist
+  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+)
+SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist
+FROM p WHERE dist <= 2 ORDER BY id_a, id_b, dist
 """,
         "user_root_resolution": """
 -- parent-chain walk to the root (unique parents terminate the

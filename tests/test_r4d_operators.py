@@ -610,3 +610,61 @@ def test_custom_rules_nulls_never_trip(ray_session, tmp_path):
     # trips NOTHING; doc3: null n_chars trips nothing, words ok
     assert out.values.tolist() == [["1", "char_word_ratio", "n_chars"],
                                    ["1", "min_words", "text"]]
+
+
+# -- snm_pairs --------------------------------------------------------
+
+def _lev_ref(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        nd = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            nd[j] = min(dp[j] + 1, nd[j - 1] + 1,
+                        dp[j - 1] + (ca != cb))
+        dp = nd
+    return dp[-1]
+
+
+def _snm_ref(df, window, max_dist, trunc=32):
+    r = df.sort_values(["k", "doc_id"]).reset_index(drop=True)
+    out = []
+    for i in range(len(r)):
+        for j in range(i + 1, min(i + window + 1, len(r))):
+            d = _lev_ref(r.k[i][:trunc], r.k[j][:trunc])
+            if d <= max_dist:
+                out.append((r.doc_id[i], r.doc_id[j], d))
+    return (pd.DataFrame(out, columns=["id_a", "id_b", "dist"])
+            .sort_values(["id_a", "id_b", "dist"])
+            .reset_index(drop=True))
+
+
+def test_snm_pairs_matches_brute_force(ray_session):
+    from verify_ray.pipelines.joins import snm_pairs
+
+    rng = np.random.default_rng(5)
+    base = ["alpha", "beta", "gamma", "delta", "epsi"]
+    keys = []
+    for _ in range(250):
+        w = base[rng.integers(0, 5)] + str(rng.integers(0, 20))
+        if rng.random() < 0.4:
+            w = w[:-1] + "q"
+        keys.append(w)
+    df = pd.DataFrame({"doc_id": np.arange(250, dtype=np.int64),
+                       "k": keys})
+    out = snm_pairs(_ds(df, 3), "doc_id", "k", window=3,
+                    max_dist=2, n_shards=5)
+    ref = _snm_ref(df, 3, 2)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_snm_pairs_cross_boundary_with_tiny_shards(ray_session):
+    from verify_ray.pipelines.joins import snm_pairs
+
+    # many shards over few rows -> most shards hold < window rows,
+    # so window pairs must survive MULTI-shard boundary spans
+    df = pd.DataFrame({"doc_id": np.arange(12, dtype=np.int64),
+                       "k": [f"key{i:02d}" for i in range(12)]})
+    out = snm_pairs(_ds(df, 2), "doc_id", "k", window=4,
+                    max_dist=2, n_shards=10, sample_mod=1)
+    ref = _snm_ref(df, 4, 2)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)

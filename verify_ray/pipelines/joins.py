@@ -1485,3 +1485,180 @@ def join_delta(left_old, left_delta, right_old, right_delta,
 
     return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
                                empty_schema=out_schema)
+
+
+def snm_pairs(ds, id_col: str, key_col: str, window: int = 5,
+              max_dist: int = 2, n_shards: int = 16,
+              sample_mod: int = 16, trunc: int = 32):
+    """Sorted-Neighborhood record linkage (Hernández & Stolfo 1995):
+    sort the corpus by a blocking key, compare each row only with its
+    ``window`` successors in the GLOBAL (key, id) order, keep pairs
+    with byte-Levenshtein ≤ ``max_dist`` — the O(n·w) linkage method
+    for near-duplicates that SORT near each other, complementing
+    ``fuzzy_join``'s prefix/suffix blocking.  Returns a DataFrame
+    (id_a, id_b, dist), id_a the order-earlier member; output is
+    match-sized (SQL oracle: ROW_NUMBER self-join on rank distance).
+
+    Distributed shape — no global sort, nothing row-sized on the
+    driver:
+
+    - range splitters from a DETERMINISTIC hash sample of distinct
+      keys (md5 % ``sample_mod`` == 0 → quantile cut points), so
+      shard routing is reproducible across runs and engines;
+    - ONE shard exchange: each task sorts its shard once and
+      enumerates in-shard window pairs with the repeat/arange
+      kernel + the shared vectorized Levenshtein DP
+      (``text._levenshtein_block``);
+    - every cross-shard window pair has both members within
+      ``window`` rows of a shard edge, so each task also emits its
+      first/last ``window`` rows (with absolute in-shard positions)
+      plus its row count; the driver reconstructs exact GLOBAL
+      positions from the count prefix sums and resolves cross-shard
+      pairs over that (≤ 2·w·shards)-row frame with the same kernel
+      — correct even across empty or sub-window shards.
+
+    Null key/id rows drop; keys compare truncated to ``trunc``
+    codepoints on both engines.
+    """
+    import pandas as pd
+    import ray
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+    from .text import _levenshtein_block
+
+    # pass 1: deterministic sample -> range splitters
+    def sample_partial(b: pa.Table) -> pa.Table:
+        col = b[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.cast(col, pa.string()).drop_null()
+        if not len(col):
+            return pa.table({"k": pa.array([], pa.string())})
+        u = pc.unique(col)
+        pick = md5_u64le(u) % np.uint64(sample_mod) == 0
+        return pa.table({"k": u.filter(pa.array(pick))})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(sample_partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    sample = (np.unique(np.concatenate(
+        [t.column("k").to_numpy(zero_copy_only=False).astype(object)
+         for t in parts])) if parts else np.empty(0, object))
+    if len(sample) and n_shards > 1:
+        idx = np.unique((np.arange(1, n_shards) * len(sample))
+                        // n_shards)
+        splitters = np.unique(sample[idx[idx < len(sample)]])
+    else:
+        splitters = np.empty(0, object)
+
+    # pass 2: shard exchange
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[id_col]),
+                             pc.is_valid(b[key_col])))
+        k = pc.cast(b[key_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        shard = np.searchsorted(splitters, k, side="right")
+        return pa.table({
+            "__b": pa.array(shard.astype(np.int64)),
+            "i": pc.cast(b[id_col], pa.int64()),
+            "k": pa.array(k, pa.string())})
+
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("dist", pa.int64()), ("kind", pa.int8()),
+                        ("k", pa.string()), ("shard", pa.int64()),
+                        ("p", pa.int64())])
+
+    def windowed(t: pa.Table) -> pa.Table:
+        shard_id = int(t.column("__b")[0].as_py())
+        ids = t.column("i").to_numpy(zero_copy_only=False)
+        ks = t.column("k").to_numpy(
+            zero_copy_only=False).astype(object)
+        o = np.lexsort((ids, ks))
+        ids, ks = ids[o], ks[o]
+        n = len(ids)
+        rows = []
+        for d in range(1, min(window, n - 1) + 1):
+            a = np.arange(n - d)
+            b_ = a + d
+            dist = _levenshtein_block(list(ks[a]), list(ks[b_]),
+                                      trunc)
+            hit = dist <= max_dist
+            if hit.any():
+                m = int(hit.sum())
+                rows.append(pa.table({
+                    "id_a": pa.array(ids[a[hit]]),
+                    "id_b": pa.array(ids[b_[hit]]),
+                    "dist": pa.array(dist[hit]),
+                    "kind": pa.array(np.zeros(m, np.int8)),
+                    "k": pa.array([""] * m, pa.string()),
+                    "shard": pa.array(np.full(m, -1, np.int64)),
+                    "p": pa.array(np.full(m, -1, np.int64))}))
+        sel = np.unique(np.concatenate(
+            [np.arange(min(window, n)),
+             np.arange(max(n - window, 0), n)]))
+        m = len(sel)
+        rows.append(pa.table({
+            "id_a": pa.array(ids[sel]),
+            "id_b": pa.array(np.full(m, -1, np.int64)),
+            "dist": pa.array(np.full(m, -1, np.int64)),
+            "kind": pa.array(np.ones(m, np.int8)),
+            "k": pa.array(list(ks[sel]), pa.string()),
+            "shard": pa.array(np.full(m, shard_id, np.int64)),
+            "p": pa.array(sel.astype(np.int64))}))
+        rows.append(pa.table({
+            "id_a": pa.array([np.int64(-1)]),
+            "id_b": pa.array([np.int64(-1)]),
+            "dist": pa.array([np.int64(n)]),
+            "kind": pa.array([np.int8(2)]),
+            "k": pa.array([""], pa.string()),
+            "shard": pa.array([np.int64(shard_id)]),
+            "p": pa.array([np.int64(-1)])}))
+        return pa.concat_tables([r.cast(schema) for r in rows])
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", n_shards + 1, windowed,
+                           drop_bucket=False)
+    cols = ["id_a", "id_b", "dist"]
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    df = res.to_pandas()
+    pairs = df[df.kind == 0][cols].copy()
+    # driver: exact global positions for the boundary frame
+    counts = (df[df.kind == 2].set_index("shard")["dist"]
+              .to_dict())
+    offsets, acc = {}, 0
+    for s in sorted(counts):
+        offsets[s] = acc
+        acc += counts[s]
+    bnd = df[df.kind == 1].copy()
+    if len(bnd):
+        bnd["gpos"] = (bnd["shard"].map(offsets).astype("int64")
+                       + bnd["p"].astype("int64"))
+        bnd = bnd.sort_values("gpos").reset_index(drop=True)
+        ga = bnd["gpos"].to_numpy()
+        ia = bnd["id_a"].to_numpy()
+        sa = bnd["shard"].to_numpy()
+        ka = bnd["k"].to_numpy(dtype=object)
+        al, bl = [], []
+        for d in range(1, window + 1):
+            if d >= len(ga):
+                break
+            a = np.arange(len(ga) - d)
+            b_ = a + d
+            ok = (ga[b_] - ga[a] <= window) & (sa[a] != sa[b_])
+            al.append(a[ok])
+            bl.append(b_[ok])
+        if al and sum(len(x) for x in al):
+            ai = np.concatenate(al)
+            bi = np.concatenate(bl)
+            dist = _levenshtein_block(list(ka[ai]), list(ka[bi]),
+                                      trunc)
+            hit = dist <= max_dist
+            if hit.any():
+                pairs = pd.concat([pairs, pd.DataFrame({
+                    "id_a": ia[ai[hit]], "id_b": ia[bi[hit]],
+                    "dist": dist[hit]})], ignore_index=True)
+    return (pairs.sort_values(cols).reset_index(drop=True)
+            .astype({c: "int64" for c in cols}))
