@@ -295,6 +295,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    ).map_batches(pack, batch_format="pyarrow")
         return analytics.map_key_stats(ds, "attrs", num_buckets=8)
 
+    def k_generalize_q(sf):
+        # k-anonymity REPAIR: release each (type, day) class at the
+        # finest level reaching k=40 rows, regroup failures at
+        # (type, week), then (type), suppress the rest — one guarded
+        # count + one broadcast isin filter per level
+        def keys_of(b: pa.Table) -> pa.Table:
+            us = b["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "event_type": b["event_type"],
+                "day": pa.array(us // 86_400_000_000),
+                "week": pa.array(us // 604_800_000_000)})
+
+        ev = _read(sf, "events", columns=["event_type", "ts"]
+                   ).map_batches(keys_of,
+                                 batch_format="pyarrow").materialize()
+        return analytics.generalize_k_anonymous(
+            ev, [["event_type", "day"], ["event_type", "week"],
+                 ["event_type"]], k=40)
+
     def snm_pairs_q(sf):
         # sorted-neighborhood linkage over the 16-char text prefix:
         # deterministic-sample range shards, in-shard window pairs +
@@ -3436,6 +3456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layout_order_audit": layout_audit_q,
         "user_root_resolution": resolve_roots_q,
         "docs_snm_pairs": snm_pairs_q,
+        "events_k_generalize": k_generalize_q,
         "map_key_profile": map_key_profile_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "events_cusum_alarms": cusum_q,
@@ -5015,6 +5036,32 @@ SELECT * FROM (
          CAST(COUNT(DISTINCT 'y') AS BIGINT)
   FROM documents WHERE n_chars > 480 HAVING COUNT(*) > 0
 ) ORDER BY key
+""",
+        "events_k_generalize": """
+-- generalization ladder: finest level reaching k keeps the class;
+-- failures regroup coarser; the last level's failures suppress
+WITH e AS (
+  SELECT event_type AS t,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+c0 AS (SELECT t, day, COUNT(*) AS n FROM e GROUP BY t, day),
+k0 AS (SELECT CAST(0 AS BIGINT) AS lvl,
+              t || '|' || day AS class, n FROM c0 WHERE n >= 40),
+r0 AS (SELECT e.* FROM e JOIN c0 USING (t, day) WHERE c0.n < 40),
+c1 AS (SELECT t, week, COUNT(*) AS n FROM r0 GROUP BY t, week),
+k1 AS (SELECT 1, t || '|' || week, n FROM c1 WHERE n >= 40),
+r1 AS (SELECT r0.* FROM r0 JOIN c1 USING (t, week)
+       WHERE c1.n < 40),
+c2 AS (SELECT t, COUNT(*) AS n FROM r1 GROUP BY t),
+k2 AS (SELECT 2, t, n FROM c2 WHERE n >= 40),
+sup AS (SELECT 3, '__suppressed', SUM(n) FROM c2 WHERE n < 40
+        HAVING SUM(n) > 0)
+SELECT lvl, class, CAST(n AS BIGINT) AS n FROM (
+  SELECT * FROM k0 UNION ALL SELECT * FROM k1
+  UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM sup
+) ORDER BY lvl, class
 """,
         "docs_snm_pairs": """
 -- global ROW_NUMBER self-join on rank distance = the SNM window

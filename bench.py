@@ -171,7 +171,8 @@ def bench_queries() -> dict[str, float]:
              "docs_rank_vs_reference", "column_overlap_profile",
              "layout_order_audit", "user_root_resolution",
              "map_key_profile", "jsonl_roundtrip",
-             "events_cusum_alarms", "events_resample_interp"]
+             "events_cusum_alarms", "events_resample_interp",
+             "validate_custom_rules", "docs_snm_pairs"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -668,3 +668,33 @@ def test_snm_pairs_cross_boundary_with_tiny_shards(ray_session):
                     max_dist=2, n_shards=10, sample_mod=1)
     ref = _snm_ref(df, 4, 2)
     pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+# -- generalize_k_anonymous -------------------------------------------
+
+def test_k_generalize_ladder(ray_session):
+    from verify_ray.pipelines.analytics import generalize_k_anonymous
+
+    # class (a, 1) has 3 rows -> released at level 0 (k=3);
+    # (a, 2) and (a, 3) have 1 each -> together reach 2 <3 at level
+    # [g] -> a-residual 2 rows suppressed... make them reach k at g:
+    df = pd.DataFrame({
+        "g": ["a"] * 3 + ["a", "a", "a"] + ["b"],
+        "d": [1, 1, 1, 2, 3, 4, 9]})
+    out = generalize_k_anonymous(_ds(df, 2), [["g", "d"], ["g"]],
+                                 k=3)
+    got = {(r.lvl, r["class"]): r.n for _, r in out.iterrows()}
+    # (a|1) released fine; a's other 3 rows regroup at level 1 under
+    # "a" (n=3 >= 3); b's single row is suppressed
+    assert got[(0, "a|1")] == 3
+    assert got[(1, "a")] == 3
+    assert got[(2, "__suppressed")] == 1
+
+
+def test_k_generalize_all_pass_first_level(ray_session):
+    from verify_ray.pipelines.analytics import generalize_k_anonymous
+
+    df = pd.DataFrame({"g": ["x"] * 5, "d": [1] * 5})
+    out = generalize_k_anonymous(_ds(df, 1), [["g", "d"], ["g"]],
+                                 k=2)
+    assert out.values.tolist() == [[0, "x|1", 5]]

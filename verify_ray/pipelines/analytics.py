@@ -2250,3 +2250,91 @@ def cusum_alarms(ds, key_col: str, order_col: str, value_col: str,
     df = res.to_pandas()
     return (df.sort_values([key_col, order_col])
             .reset_index(drop=True))
+
+
+def generalize_k_anonymous(ds, levels: list[list[str]], k: int,
+                           partial_budget: int = GROUP_PARTIAL_BUDGET
+                           ) -> pd.DataFrame:
+    """K-anonymity GENERALIZATION ladder — the repair companion to
+    the `events_k_anonymity` audit (Sweeney 2002): quasi-identifier
+    classes are released at the finest level where they reach ``k``
+    rows; classes still below ``k`` at a level regroup their rows at
+    the next (coarser) level; rows failing the last level are
+    SUPPRESSED (one residual row).  ``levels`` is the generalization
+    hierarchy, finest first (e.g. ``[[type, day], [type, week],
+    [type]]``).  Returns (lvl int64, class string — '|'-joined key
+    values, n int64), deterministic and exactly SQL-restatable.
+
+    Distributed shape: one cardinality-guarded grouped count per
+    level over the still-unreleased rows; the failing-class filter
+    broadcasts the failing CLASS KEYS (class-space-sized — bounded by
+    the quasi-identifier domain, never row count) via ``ray.put`` and
+    applies as a streaming isin.  Rows are scanned once per level
+    (≤ len(levels) passes), never shuffled.
+
+    ``ds`` must be materialized-or-rescannable.
+    """
+    import ray
+
+    SEP = "|"
+
+    def class_of(b: pa.Table, cols: list[str]):
+        s = pc.cast(b[cols[0]], pa.string())
+        for c in cols[1:]:
+            s = pc.binary_join_element_wise(
+                s, pc.cast(b[c], pa.string()), SEP)
+        return s
+
+    out_rows = []
+    cur = ds
+    for lvl, cols in enumerate(levels):
+        def count_partial(b: pa.Table, _cols=tuple(cols)) -> pa.Table:
+            keep = pc.is_valid(b[_cols[0]])
+            for c in _cols[1:]:
+                keep = pc.and_(keep, pc.is_valid(b[c]))
+            b = b.filter(keep)
+            cls = class_of(b, list(_cols))
+            u, c_ = np.unique(
+                cls.to_numpy(zero_copy_only=False).astype(object),
+                return_counts=True)
+            return pa.table({"cls": pa.array(u, pa.string()),
+                             "n": pa.array(c_.astype(np.int64))})
+
+        parts = cur.map_batches(count_partial,
+                                batch_format="pyarrow").materialize()
+        counts = _merge_partials(parts, ["cls"], {"n": "sum"},
+                                 partial_budget)
+        if not len(counts):
+            break
+        counts["n"] = counts["n"].astype("int64")
+        kept = counts[counts.n >= k]
+        for _, r in kept.iterrows():
+            out_rows.append((lvl, r.cls, int(r.n)))
+        failing = np.sort(counts[counts.n < k]["cls"]
+                          .to_numpy(dtype=object))
+        if not len(failing):
+            break
+        if lvl == len(levels) - 1:
+            out_rows.append((lvl + 1, "__suppressed",
+                             int(counts[counts.n < k].n.sum())))
+            break
+        ref = ray.put(failing)
+
+        def still_failing(b: pa.Table, _cols=tuple(cols)) -> pa.Table:
+            f = ray.get(ref)
+            keep = pc.is_valid(b[_cols[0]])
+            for c in _cols[1:]:
+                keep = pc.and_(keep, pc.is_valid(b[c]))
+            b = b.filter(keep)
+            cls = class_of(b, list(_cols)).to_numpy(
+                zero_copy_only=False).astype(object)
+            pos = np.searchsorted(f, cls)
+            pos[pos == len(f)] = 0
+            return b.filter(pa.array(f[pos] == cls))
+
+        cur = cur.map_batches(still_failing,
+                              batch_format="pyarrow").materialize()
+
+    df = pd.DataFrame(out_rows, columns=["lvl", "class", "n"])
+    return (df.sort_values(["lvl", "class"]).reset_index(drop=True)
+            .astype({"lvl": "int64", "n": "int64"}))
