@@ -295,6 +295,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    ).map_batches(pack, batch_format="pyarrow")
         return analytics.map_key_stats(ds, "attrs", num_buckets=8)
 
+    def interval_audit_q(sf):
+        # SCD2-invariant audit over synthesized presence intervals
+        # [ts, ts+30min) per user (overlaps abound) with planted
+        # degenerate rows (event_id % 101 → end < start)
+        from verify_ray.pipelines.sessions import (
+            interval_overlap_audit)
+
+        def iv(b: pa.Table) -> pa.Table:
+            us = b["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            eid = pc.cast(b["event_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            end = np.where(eid % 101 == 0, us - 1000,
+                           us + 1_800_000_000)
+            return pa.table({"user_id": b["user_id"],
+                             "s": pa.array(us),
+                             "e": pa.array(end)})
+
+        ev = _read(sf, "events",
+                   columns=["user_id", "ts", "event_id"]
+                   ).map_batches(iv, batch_format="pyarrow")
+        return interval_overlap_audit(ev, "user_id", "s", "e",
+                                      num_buckets=16)
+
     def k_generalize_q(sf):
         # k-anonymity REPAIR: release each (type, day) class at the
         # finest level reaching k=40 rows, regroup failures at
@@ -3457,6 +3481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_root_resolution": resolve_roots_q,
         "docs_snm_pairs": snm_pairs_q,
         "events_k_generalize": k_generalize_q,
+        "events_interval_audit": interval_audit_q,
         "map_key_profile": map_key_profile_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "events_cusum_alarms": cusum_q,
@@ -5036,6 +5061,30 @@ SELECT * FROM (
          CAST(COUNT(DISTINCT 'y') AS BIGINT)
   FROM documents WHERE n_chars > 480 HAVING COUNT(*) > 0
 ) ORDER BY key
+""",
+        "events_interval_audit": """
+-- overlap = start < previous end under (start, end) order within
+-- key (half-open touch is legal); negatives reported separately
+WITH iv AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS s,
+         CASE WHEN event_id % 101 = 0 THEN epoch_us(ts) - 1000
+              ELSE epoch_us(ts) + 1800000000 END AS e
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL
+), o AS (
+  SELECT key, s, e,
+         LAG(e) OVER (PARTITION BY key ORDER BY s, e) AS prev_end
+  FROM iv
+)
+SELECT * FROM (
+  SELECT key, s AS "start", e AS "end", prev_end,
+         'overlap' AS kind
+  FROM o WHERE s < prev_end
+  UNION ALL
+  SELECT key, s, e, CAST(-1 AS BIGINT), 'negative'
+  FROM iv WHERE e < s
+) ORDER BY key, "start", "end", prev_end
 """,
         "events_k_generalize": """
 -- generalization ladder: finest level reaching k keeps the class;

@@ -698,3 +698,25 @@ def test_k_generalize_all_pass_first_level(ray_session):
     out = generalize_k_anonymous(_ds(df, 1), [["g", "d"], ["g"]],
                                  k=2)
     assert out.values.tolist() == [[0, "x|1", 5]]
+
+
+# -- interval_overlap_audit -------------------------------------------
+
+def test_interval_audit_overlap_touch_negative(ray_session):
+    from verify_ray.pipelines.sessions import interval_overlap_audit
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "s": [0, 10, 5, 0, 10, 8],
+        "e": [10, 20, 12, 10, 5, 9]})
+    # k=1 in (s,e) order: [0,10), [5,12), [10,20) — [5,12) overlaps
+    # (prev_end 10) and [10,20) overlaps its predecessor [5,12)
+    # (10 < 12; it TOUCHES [0,10) but order is by start);
+    # k=2: [10,5) negative, [0,10) fine; k=3: clean
+    out = interval_overlap_audit(_ds(df, 2), "k", "s", "e",
+                                 num_buckets=2)
+    kinds = out.set_index(["key", "start"])["kind"].to_dict()
+    assert kinds == {("1", 5): "overlap", ("1", 10): "overlap",
+                     ("2", 10): "negative"}
+    ov = out[out.kind == "overlap"].sort_values("start")
+    assert ov.prev_end.tolist() == [10, 12]

@@ -860,3 +860,88 @@ def resample_interpolate(events_ds, key_col: str, ts_col: str,
     return grouped_exchange_ds(tagged, "__b", num_buckets,
                                interp_bucket,
                                empty_schema=out_schema)
+
+
+def interval_overlap_audit(ds, key_col: str, start_col: str,
+                           end_col: str,
+                           num_buckets: int = 32) -> pd.DataFrame:
+    """Validity-interval invariant audit: per key, flag every
+    interval whose start precedes the PREVIOUS interval's end under
+    (start, end) order — the SCD2/history-table correctness check
+    ("no two versions of one entity valid at once"; intervals are
+    half-open, so touching ``end == next start`` is legal).  Also
+    flags degenerate rows with ``end < start``.  Returns
+    (key, start, end, prev_end, kind) — kind 'overlap' | 'negative'
+    — violation-sized.
+
+    Distributed shape: ONE key exchange; per bucket one lexsort +
+    shifted compare — only violations leave the task.  Null
+    key/start/end rows DROP (the repo null policy — nullability is
+    ``non_null``'s business).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[start_col])),
+                       pc.is_valid(b[end_col]))
+        b = b.select([key_col, start_col, end_col]).filter(keep)
+        h = md5_u64le(pc.cast(b[key_col], pa.string()))
+        def as_i64(col):
+            c = b[col]
+            if pa.types.is_timestamp(c.type):
+                c = pc.cast(c, pa.timestamp("us"))
+            return pc.cast(c, pa.int64())
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "k": pc.cast(b[key_col], pa.string()),
+            "s": as_i64(start_col), "e": as_i64(end_col)})
+
+    def audit(t: pa.Table) -> pa.Table | None:
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(object)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        o = np.lexsort((e, s, k))
+        ks, ss, es = k[o], s[o], e[o]
+        same = ks[1:] == ks[:-1]
+        overlap = same & (ss[1:] < es[:-1])
+        neg = es < ss
+        idx_o = np.flatnonzero(overlap) + 1
+        idx_n = np.flatnonzero(neg)
+        if not len(idx_o) and not len(idx_n):
+            return None
+        rows = []
+        if len(idx_o):
+            rows.append(pa.table({
+                "k": pa.array(ks[idx_o], pa.string()),
+                "s": pa.array(ss[idx_o]),
+                "e": pa.array(es[idx_o]),
+                "prev_end": pa.array(es[idx_o - 1]),
+                "kind": pa.array(["overlap"] * len(idx_o))}))
+        if len(idx_n):
+            rows.append(pa.table({
+                "k": pa.array(ks[idx_n], pa.string()),
+                "s": pa.array(ss[idx_n]),
+                "e": pa.array(es[idx_n]),
+                "prev_end": pa.array(
+                    np.full(len(idx_n), -1, np.int64)),
+                "kind": pa.array(["negative"] * len(idx_n))}))
+        return pa.concat_tables(rows)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, audit)
+    cols = ["key", "start", "end", "prev_end", "kind"]
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({
+            "key": pd.Series(dtype=object),
+            "start": pd.Series(dtype="int64"),
+            "end": pd.Series(dtype="int64"),
+            "prev_end": pd.Series(dtype="int64"),
+            "kind": pd.Series(dtype=object)})
+    df = res.to_pandas().rename(columns={
+        "k": "key", "s": "start", "e": "end"})
+    return (df[cols].sort_values(cols[:4]).reset_index(drop=True))
