@@ -295,6 +295,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    ).map_batches(pack, batch_format="pyarrow")
         return analytics.map_key_stats(ds, "attrs", num_buckets=8)
 
+    def apportioned_q(sf):
+        # exact-size proportional sample: 500 docs across langs by
+        # largest remainder, members = per-lang smallest md5(id)
+        from verify_ray.pipelines.sample import apportioned_sample
+
+        out = apportioned_sample(
+            _read(sf, "documents", columns=["doc_id", "lang"]),
+            "lang", "doc_id", total=500)
+        df = out.to_pandas()
+        df["doc_id"] = df["doc_id"].astype("int64")
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def interval_audit_q(sf):
         # SCD2-invariant audit over synthesized presence intervals
         # [ts, ts+30min) per user (overlaps abound) with planted
@@ -3482,6 +3494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_snm_pairs": snm_pairs_q,
         "events_k_generalize": k_generalize_q,
         "events_interval_audit": interval_audit_q,
+        "docs_apportioned_sample": apportioned_q,
         "map_key_profile": map_key_profile_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "events_cusum_alarms": cusum_q,
@@ -5061,6 +5074,33 @@ SELECT * FROM (
          CAST(COUNT(DISTINCT 'y') AS BIGINT)
   FROM documents WHERE n_chars > 480 HAVING COUNT(*) > 0
 ) ORDER BY key
+""",
+        "docs_apportioned_sample": """
+-- largest-remainder apportionment of 500 seats, then each group's
+-- seats smallest md5_number_upper(id) members
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS T FROM c),
+s AS (SELECT lang, n, (500 * n) // T AS base,
+             (500 * n) % T AS rem
+      FROM c, t),
+r AS (SELECT lang, base,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM s),
+q AS (SELECT lang,
+             base + CASE WHEN rk <= 500 - (SELECT SUM(base) FROM s)
+                         THEN 1 ELSE 0 END AS seats
+      FROM r),
+h AS (SELECT doc_id, lang,
+             md5_number_upper(CAST(doc_id AS VARCHAR)) AS hv
+      FROM documents),
+p AS (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY hv, doc_id) AS rn
+      FROM h)
+SELECT p.doc_id, p.lang
+FROM p JOIN q USING (lang) WHERE rn <= seats
+ORDER BY doc_id
 """,
         "events_interval_audit": """
 -- overlap = start < previous end under (start, end) order within

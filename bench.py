@@ -172,7 +172,8 @@ def bench_queries() -> dict[str, float]:
              "layout_order_audit", "user_root_resolution",
              "map_key_profile", "jsonl_roundtrip",
              "events_cusum_alarms", "events_resample_interp",
-             "validate_custom_rules", "docs_snm_pairs"]
+             "validate_custom_rules", "docs_snm_pairs",
+             "events_k_generalize", "events_interval_audit"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -720,3 +720,49 @@ def test_interval_audit_overlap_touch_negative(ray_session):
                      ("2", 10): "negative"}
     ov = out[out.kind == "overlap"].sort_values("start")
     assert ov.prev_end.tolist() == [10, 12]
+
+
+# -- apportioned_sample -----------------------------------------------
+
+def test_apportioned_sample_exact_total_and_proportions(ray_session):
+    from verify_ray.pipelines.sample import apportioned_sample
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "id": np.arange(1000, dtype=np.int64),
+        "g": rng.choice(["a", "b", "c"], 1000, p=[0.6, 0.3, 0.1])})
+    out = apportioned_sample(_ds(df, 4), "g", "id",
+                             total=100).to_pandas()
+    assert len(out) == 100
+    share = out.groupby("g").size()
+    true = df.groupby("g").size()
+    # largest remainder: within 1 seat of exact proportionality
+    for g in true.index:
+        assert abs(share.get(g, 0) - 100 * true[g] / 1000) <= 1
+
+
+def test_apportioned_sample_largest_remainder_rule(ray_session):
+    from verify_ray.pipelines.sample import apportioned_sample
+
+    # counts 5/3/2, total seats 3: quotas 1.5/0.9/0.6 -> bases
+    # 1/0/0, two leftover seats go to remainders .9 ('b') then .6
+    # ('c')? no: remainders 5*3%10=5, 3*3%10=9, 2*3%10=6 -> b, c
+    df = pd.DataFrame({
+        "id": np.arange(10, dtype=np.int64),
+        "g": ["a"] * 5 + ["b"] * 3 + ["c"] * 2})
+    out = apportioned_sample(_ds(df, 1), "g", "id",
+                             total=3).to_pandas()
+    share = out.groupby("g").size().to_dict()
+    assert share == {"a": 1, "b": 1, "c": 1}
+
+
+def test_apportioned_sample_deterministic_members(ray_session):
+    from verify_ray.pipelines.sample import apportioned_sample
+
+    df = pd.DataFrame({"id": np.arange(50, dtype=np.int64),
+                       "g": ["x"] * 50})
+    a = (apportioned_sample(_ds(df, 2), "g", "id", total=10)
+         .to_pandas().id.sort_values().tolist())
+    b = (apportioned_sample(_ds(df, 5), "g", "id", total=10)
+         .to_pandas().id.sort_values().tolist())
+    assert a == b  # block-layout invariant (md5 order, not arrival)

@@ -382,3 +382,74 @@ def resample_to_mix(ds, weights: dict, total: int,
     return grouped_sample_k(ds, [group_col], k_by_group,
                             key_col=key_col, values=vals,
                             num_buckets=num_buckets)
+
+
+def apportioned_sample(ds, group_col: str, id_col: str, total: int,
+                       partial_budget: int | None = None):
+    """EXACT-size proportional stratified sample: allocate exactly
+    ``total`` rows across groups by the LARGEST-REMAINDER method
+    (Hare quota — the apportionment rule): ``base_g = ⌊total·n_g/T⌋``
+    seats per group, remaining seats to the largest remainders
+    (``(total·n_g) mod T`` desc, group asc) — then take each group's
+    ``seats_g`` rows with the smallest ``md5_number_upper(id)``
+    (the repo's deterministic-sampling contract).  Unlike
+    ``stratified_sample`` (per-group rate ⇒ size drifts) or
+    ``grouped_sample_k`` (fixed k ⇒ ignores proportions), the output
+    size is exactly ``total`` and proportions are as close as
+    integer seats allow.
+
+    Distributed shape: one cardinality-guarded grouped count (driver
+    merge is group-sized), the seat arithmetic on that tiny frame,
+    then ``select.grouped_head`` with a per-group cap dict — map-side
+    pre-cap bounds the shuffle at seats × blocks.  Returns a Dataset
+    of (id, group).
+
+    Groups with more seats than rows keep all rows (total then falls
+    short — the caller's apportionment basis was stale; counts here
+    are computed fresh so it cannot happen in one pass).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from .analytics import GROUP_PARTIAL_BUDGET, grouped_stats
+    from .select import grouped_head
+
+    budget = (GROUP_PARTIAL_BUDGET if partial_budget is None
+              else partial_budget)
+    counts = grouped_stats(
+        ds, [group_col], {id_col: ["count"]},
+        partial_budget=budget)
+    counts = counts.rename(columns={f"{id_col}_count": "n"})
+    counts["n"] = counts["n"].astype("int64")
+    T = int(counts.n.sum())
+    if T == 0 or total <= 0:
+        import ray.data as rd
+        schema = ds.schema()
+        types = dict(zip(schema.names, schema.types))
+        return rd.from_arrow(pa.schema(
+            [(id_col, types[id_col]),
+             (group_col, types[group_col])]).empty_table())
+    counts["base"] = (total * counts.n) // T
+    counts["rem"] = (total * counts.n) % T
+    left = total - int(counts.base.sum())
+    order = counts.sort_values(
+        ["rem", group_col], ascending=[False, True]).reset_index()
+    extra = set(order.loc[:left - 1, "index"]) if left > 0 else set()
+    seats = {
+        str(r[group_col]): int(r.base) + (1 if i in extra else 0)
+        for i, r in counts.iterrows()}
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        hv = md5_u64le(pc.cast(b[id_col], pa.string()))
+        # order-preserving uint64 -> int64 (flip the sign bit and
+        # reinterpret): grouped_head's order column is int64, and the
+        # biased value sorts identically to the SQL side's raw
+        # UBIGINT hv
+        hv_i64 = (hv ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table({id_col: b[id_col],
+                         group_col: b[group_col],
+                         "__hv": pa.array(hv_i64)})
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    return grouped_head(hashed, [group_col], seats, "__hv",
+                        values=[id_col, group_col])
