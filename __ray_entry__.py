@@ -295,6 +295,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    ).map_batches(pack, batch_format="pyarrow")
         return analytics.map_key_stats(ds, "attrs", num_buckets=8)
 
+    def bool_search_q(sf):
+        # boolean retrieval composed from streaming term extraction +
+        # semi/anti joins: docs containing BOTH 'merge' AND 'fast'
+        # but NOT 'dup' (whole-word); no index needed at scan time
+        from verify_ray.pipelines.joins import hash_join
+        from verify_ray.pipelines.text import term_counts
+
+        hits = term_counts(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            ["merge", "fast", "dup"]).materialize()
+
+        def of(term):
+            def f(b: pa.Table) -> pa.Table:
+                return b.filter(pc.equal(b["term"], term))
+            return hits.map_batches(f, batch_format="pyarrow")
+
+        both = hash_join(of("merge"), of("fast"), key="doc_id",
+                         left_values=["doc_id", "n"],
+                         right_values=[], how="semi",
+                         num_buckets=16)
+        out = hash_join(both, of("dup"), key="doc_id",
+                        left_values=["doc_id", "n"],
+                        right_values=[], how="anti",
+                        num_buckets=16)
+        df = out.to_pandas().rename(columns={"n": "n_merge"})
+        df["doc_id"] = df["doc_id"].astype("int64")
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def apportioned_q(sf):
         # exact-size proportional sample: 500 docs across langs by
         # largest remainder, members = per-lang smallest md5(id)
@@ -3495,6 +3523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_k_generalize": k_generalize_q,
         "events_interval_audit": interval_audit_q,
         "docs_apportioned_sample": apportioned_q,
+        "docs_bool_search": bool_search_q,
         "map_key_profile": map_key_profile_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "events_cusum_alarms": cusum_q,
@@ -5074,6 +5103,17 @@ SELECT * FROM (
          CAST(COUNT(DISTINCT 'y') AS BIGINT)
   FROM documents WHERE n_chars > 480 HAVING COUNT(*) > 0
 ) ORDER BY key
+""",
+        "docs_bool_search": """
+-- AND/NOT boolean retrieval, whole-word semantics
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\bmerge\\b')) AS BIGINT)
+         AS n_merge
+FROM documents
+WHERE regexp_matches(text, '\\bmerge\\b')
+  AND regexp_matches(text, '\\bfast\\b')
+  AND NOT regexp_matches(text, '\\bdup\\b')
+ORDER BY doc_id
 """,
         "docs_apportioned_sample": """
 -- largest-remainder apportionment of 500 seats, then each group's

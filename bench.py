@@ -173,7 +173,8 @@ def bench_queries() -> dict[str, float]:
              "map_key_profile", "jsonl_roundtrip",
              "events_cusum_alarms", "events_resample_interp",
              "validate_custom_rules", "docs_snm_pairs",
-             "events_k_generalize", "events_interval_audit"]
+             "events_k_generalize", "events_interval_audit",
+             "docs_apportioned_sample", "docs_bool_search"]
     out = {}
     for name in names:
         t0 = time.time()
