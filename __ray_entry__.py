@@ -295,6 +295,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    ).map_batches(pack, batch_format="pyarrow")
         return analytics.map_key_stats(ds, "attrs", num_buckets=8)
 
+    def negatives_q(sf):
+        # contrastive negatives: 4 deterministic md5-derived other-ids
+        # per doc over the dense id space; pure flat map
+        from verify_ray.pipelines.sample import negative_samples
+
+        docs = _read(sf, "documents", columns=["doc_id"])
+        n_ids = docs.count()
+        out = negative_samples(docs, "doc_id", n_ids=n_ids, k=4)
+        return (out.to_pandas().sort_values(["doc_id", "j"])
+                .reset_index(drop=True))
+
+    def rendezvous_q(sf):
+        # HRW owner assignment of doc keys across 4 nodes — minimal
+        # movement on topology change is pytest-pinned; the full
+        # assignment is the oracle surface
+        from verify_ray.pipelines.shuffle import rendezvous_assign
+
+        out = rendezvous_assign(
+            _read(sf, "documents", columns=["doc_id"]), "doc_id",
+            ["node-a", "node-b", "node-c", "node-d"])
+        df = out.to_pandas()
+        df["key"] = df["key"].astype(str)
+        return df.sort_values("key").reset_index(drop=True)
+
     def bool_search_q(sf):
         # boolean retrieval composed from streaming term extraction +
         # semi/anti joins: docs containing BOTH 'merge' AND 'fast'
@@ -3524,6 +3548,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_audit": interval_audit_q,
         "docs_apportioned_sample": apportioned_q,
         "docs_bool_search": bool_search_q,
+        "docs_negative_samples": negatives_q,
+        "docs_rendezvous_owners": rendezvous_q,
         "map_key_profile": map_key_profile_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "events_cusum_alarms": cusum_q,
@@ -5103,6 +5129,41 @@ SELECT * FROM (
          CAST(COUNT(DISTINCT 'y') AS BIGINT)
   FROM documents WHERE n_chars > 480 HAVING COUNT(*) > 0
 ) ORDER BY key
+""",
+        "docs_negative_samples": """
+-- neg_j = md5(id || '#' || j) mod N, self-collisions bump +1
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM documents),
+e AS (SELECT doc_id, r.j FROM documents CROSS JOIN range(0, 4) r(j)
+      WHERE doc_id IS NOT NULL),
+h AS (
+  SELECT doc_id, j,
+         md5_number_upper(CAST(doc_id AS VARCHAR) || '#'
+                          || CAST(j AS VARCHAR))
+           % (SELECT N FROM n) AS neg
+  FROM e
+)
+SELECT doc_id, CAST(j AS BIGINT) AS j,
+       CAST(CASE WHEN neg = doc_id
+                 THEN (neg + 1) % (SELECT N FROM n)
+                 ELSE neg END AS BIGINT) AS neg_id
+FROM h ORDER BY doc_id, j
+""",
+        "docs_rendezvous_owners": """
+-- HRW: owner = argmax md5(key || '@' || node); ties -> smallest node
+WITH k AS (SELECT CAST(doc_id AS VARCHAR) AS key FROM documents
+           WHERE doc_id IS NOT NULL),
+s AS (
+  SELECT key, n.node,
+         md5_number_upper(key || '@' || n.node) AS h
+  FROM k CROSS JOIN (VALUES ('node-a'), ('node-b'), ('node-c'),
+                            ('node-d')) n(node)
+), r AS (
+  SELECT key, node,
+         ROW_NUMBER() OVER (PARTITION BY key
+                            ORDER BY h DESC, node) AS rn
+  FROM s
+)
+SELECT key, node FROM r WHERE rn = 1 ORDER BY key
 """,
         "docs_bool_search": """
 -- AND/NOT boolean retrieval, whole-word semantics

@@ -766,3 +766,40 @@ def test_apportioned_sample_deterministic_members(ray_session):
     b = (apportioned_sample(_ds(df, 5), "g", "id", total=10)
          .to_pandas().id.sort_values().tolist())
     assert a == b  # block-layout invariant (md5 order, not arrival)
+
+
+# -- negative_samples / rendezvous_assign -----------------------------
+
+def test_negative_samples_no_self_and_deterministic(ray_session):
+    from verify_ray.pipelines.sample import negative_samples
+
+    df = pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64)})
+    a = (negative_samples(_ds(df, 2), "doc_id", n_ids=20, k=3)
+         .to_pandas().sort_values(["doc_id", "j"])
+         .reset_index(drop=True))
+    assert len(a) == 60
+    assert (a.doc_id != a.neg_id).all()       # never self
+    assert a.neg_id.between(0, 19).all()      # in the id space
+    b = (negative_samples(_ds(df, 5), "doc_id", n_ids=20, k=3)
+         .to_pandas().sort_values(["doc_id", "j"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)       # layout-invariant
+
+
+def test_rendezvous_minimal_movement(ray_session):
+    from verify_ray.pipelines.shuffle import rendezvous_assign
+
+    df = pd.DataFrame({"k": [str(i) for i in range(300)]})
+    full = (rendezvous_assign(_ds(df, 2), "k",
+                              ["n1", "n2", "n3", "n4"])
+            .to_pandas().set_index("key")["node"])
+    less = (rendezvous_assign(_ds(df, 2), "k", ["n1", "n2", "n4"])
+            .to_pandas().set_index("key")["node"])
+    # the defining HRW property: only n3's keys move
+    moved = full.index[(full != less.reindex(full.index))]
+    assert set(full.loc[moved]) == {"n3"}
+    assert (full[full != "n3"] ==
+            less.reindex(full.index)[full != "n3"]).all()
+    # rough balance across 4 nodes
+    share = full.value_counts()
+    assert share.min() > 40 and share.max() < 110

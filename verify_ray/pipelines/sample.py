@@ -453,3 +453,36 @@ def apportioned_sample(ds, group_col: str, id_col: str, total: int,
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
     return grouped_head(hashed, [group_col], seats, "__hv",
                         values=[id_col, group_col])
+
+
+def negative_samples(ds, id_col: str, n_ids: int, k: int = 4):
+    """Deterministic negative sampling for contrastive training: for
+    every row, ``k`` pseudo-random OTHER ids from the dense id space
+    ``[0, n_ids)`` — ``neg_j = md5(id || '#' || j) mod n_ids``, with a
+    self-collision bumped to ``(neg+1) mod n_ids`` (the md5 contract:
+    reproducible across runs, engines, and parallelism — re-training
+    sees the same negatives).  Returns a streaming Dataset
+    ``(id, j, neg_id)``; pure flat map, no shuffle, output k× input.
+    Ids must be dense integers (the standard contrastive setup after
+    ``shard_layout``'s reindex); null ids drop.
+    """
+    from ..functions.hashing import md5_u64le
+
+    def expand(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[id_col]))
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = len(ids)
+        out_ids = np.repeat(ids, k)
+        js = np.tile(np.arange(k, dtype=np.int64), n)
+        keys = pc.binary_join_element_wise(
+            pc.cast(pa.array(out_ids), pa.string()),
+            pc.cast(pa.array(js), pa.string()), "#")
+        h = md5_u64le(keys)
+        neg = (h % np.uint64(n_ids)).astype(np.int64)
+        neg = np.where(neg == out_ids, (neg + 1) % n_ids, neg)
+        return pa.table({id_col: pa.array(out_ids),
+                         "j": pa.array(js),
+                         "neg_id": pa.array(neg)})
+
+    return ds.map_batches(expand, batch_format="pyarrow")

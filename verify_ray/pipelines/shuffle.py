@@ -455,3 +455,43 @@ def audit_sorted_layout(ds, value_col: str,
     return (viol.sort_values(["shard_id", "pos"])
             .reset_index(drop=True).astype(
         {c: "int64" for c in cols}))
+
+
+def rendezvous_assign(ds, key_col: str, nodes: list[str]):
+    """Rendezvous (highest-random-weight) hashing: assign every key
+    to the node maximizing ``md5(key || '@' || node)`` (Thaler &
+    Ravishankar 1998) — the consistent-assignment rule whose defining
+    property is MINIMAL MOVEMENT: removing a node remaps ONLY that
+    node's keys (pytest-pinned), unlike mod-N hashing which reshuffles
+    almost everything.  The owner-selection primitive for stateful
+    actor routing / cache affinity.  Returns a streaming Dataset
+    ``(key, node)``; ties (astronomically unlikely u64 md5 equality)
+    break to the lexicographically smallest node, stated in the SQL
+    restatement.  Null keys drop; pure map, no shuffle.
+    """
+    from ..functions.hashing import md5_u64le
+
+    if not nodes:
+        raise ValueError("nodes must be non-empty")
+    nodes_sorted = sorted(nodes)
+
+    def assign(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[key_col]))
+        keys = pc.cast(b[key_col], pa.string())
+        n = len(keys)
+        best = np.zeros(n, dtype=np.uint64)
+        owner = np.zeros(n, dtype=np.int64)
+        for ni, node in enumerate(nodes_sorted):
+            salted = pc.binary_join_element_wise(
+                keys, pa.array(["@" + node] * n, pa.string()), "")
+            h = md5_u64le(salted)
+            better = h > best  # strict: ties keep the earlier node
+            best = np.where(better, h, best)
+            owner = np.where(better, ni, owner)
+        return pa.table({
+            "key": keys,
+            "node": pa.array(
+                np.array(nodes_sorted, dtype=object)[owner],
+                pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
