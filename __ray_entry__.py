@@ -295,6 +295,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    ).map_batches(pack, batch_format="pyarrow")
         return analytics.map_key_stats(ds, "attrs", num_buckets=8)
 
+    def leakage_safe_split_q(sf):
+        # leakage-safe train/test split: exact-dup CLUSTERS (not
+        # docs) draw the split, so planted twins can never straddle
+        # train/test — cluster rep = MIN(doc_id) over identical
+        # content, split = md5(rep) % 10000 < 2000 → 'test'
+        import ray.data as rdata
+
+        from verify_ray.pipelines.dedup import (_content_hash_batch,
+                                                exact_dedup_groups)
+        from verify_ray.pipelines.joins import hash_join
+
+        t = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        twins = t.filter(pa.array(ids % 10 == 0))
+        corpus = rdata.from_arrow(pa.concat_tables([
+            t, pa.table({
+                "doc_id": pa.array(
+                    twins.column("doc_id").to_numpy(
+                        zero_copy_only=False) + 1_000_000,
+                    type=pa.int64()),
+                "text": twins.column("text")})])).materialize()
+
+        groups = exact_dedup_groups(corpus).materialize()
+        hashed = corpus.map_batches(
+            lambda b: _content_hash_batch(b, "text", "doc_id"),
+            batch_format="pyarrow")
+        joined = hash_join(
+            hashed, groups, key="content_hash",
+            left_values=["doc_id"], right_values=["keep_id"],
+            how="inner", num_buckets=16)
+
+        from verify_ray.pipelines.sample import _hash_buckets
+
+        def assign(b: pa.Table) -> pa.Table:
+            bk = _hash_buckets(pc.cast(b["keep_id"], pa.string()))
+            split = np.where(bk < 2000, "test", "train")
+            return pa.table({
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "split": pa.array(split.astype(object),
+                                  pa.string())})
+
+        out = joined.map_batches(assign, batch_format="pyarrow")
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
     def negatives_q(sf):
         # contrastive negatives: 4 deterministic md5-derived other-ids
         # per doc over the dense id space; pure flat map
@@ -3549,6 +3595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_apportioned_sample": apportioned_q,
         "docs_bool_search": bool_search_q,
         "docs_negative_samples": negatives_q,
+        "docs_leakage_safe_split": leakage_safe_split_q,
         "docs_rendezvous_owners": rendezvous_q,
         "map_key_profile": map_key_profile_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
@@ -5129,6 +5176,25 @@ SELECT * FROM (
          CAST(COUNT(DISTINCT 'y') AS BIGINT)
   FROM documents WHERE n_chars > 480 HAVING COUNT(*) > 0
 ) ORDER BY key
+""",
+        "docs_leakage_safe_split": """
+-- cluster-level split: rep = MIN(doc_id) over identical text
+-- (clusters = planted twins), split drawn from the REP's hash
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  WHERE doc_id % 10 = 0
+), rep AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY text) AS keep_id
+  FROM corpus
+)
+SELECT doc_id,
+       CASE WHEN md5_number_upper(CAST(keep_id AS VARCHAR))
+                 % 10000 < 2000
+            THEN 'test' ELSE 'train' END AS split
+FROM rep ORDER BY doc_id
 """,
         "docs_negative_samples": """
 -- neg_j = md5(id || '#' || j) mod N, self-collisions bump +1

@@ -803,3 +803,22 @@ def test_rendezvous_minimal_movement(ray_session):
     # rough balance across 4 nodes
     share = full.value_counts()
     assert share.min() > 40 and share.max() < 110
+
+
+# -- leakage-safe split (cluster-level assignment) --------------------
+
+def test_leakage_safe_split_twins_share_fate(ray_session):
+    import __ray_entry__ as entry
+
+    out = entry.queries()["docs_leakage_safe_split"](
+        "/root/testdata/sf0.001")
+    # every planted twin (id + 1_000_000) must share its
+    # original's split — the anti-leakage invariant
+    twins = out[out.doc_id >= 1_000_000].copy()
+    twins["orig"] = twins.doc_id - 1_000_000
+    merged = twins.merge(out, left_on="orig", right_on="doc_id",
+                         suffixes=("_twin", "_orig"))
+    assert len(merged) == len(twins) > 0
+    assert (merged.split_twin == merged.split_orig).all()
+    # both splits non-empty
+    assert set(out.split.unique()) == {"train", "test"}
