@@ -174,7 +174,9 @@ def bench_queries() -> dict[str, float]:
              "events_cusum_alarms", "events_resample_interp",
              "validate_custom_rules", "docs_snm_pairs",
              "events_k_generalize", "events_interval_audit",
-             "docs_apportioned_sample", "docs_bool_search"]
+             "docs_apportioned_sample", "docs_bool_search",
+             "docs_negative_samples", "docs_rendezvous_owners",
+             "docs_leakage_safe_split"]
     out = {}
     for name in names:
         t0 = time.time()
