@@ -822,3 +822,20 @@ def test_leakage_safe_split_twins_share_fate(ray_session):
     assert (merged.split_twin == merged.split_orig).all()
     # both splits non-empty
     assert set(out.split.unique()) == {"train", "test"}
+
+
+def test_write_jsonl_sharded_lost_marker_rebuilds(ray_session,
+                                                  tmp_path):
+    import os
+
+    from verify_ray import sinks
+
+    df = pd.DataFrame({"a": range(6)})
+    root = str(tmp_path / "jl2")
+    sinks.write_jsonl_sharded({"s": lambda: _ds(df, 1)}, root,
+                              fingerprint="f")
+    # crash between data and marker: marker lost -> shard rebuilds
+    os.remove(os.path.join(root, "shard=s", "_SUCCESS.json"))
+    r = sinks.write_jsonl_sharded({"s": lambda: _ds(df, 1)}, root,
+                                  fingerprint="f")
+    assert r["written"] == ["s"] and r["rows"]["s"] == 6

@@ -28,7 +28,6 @@ mega-cluster needs upstream capping (``dedup.canonical_filter``).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
