@@ -295,6 +295,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    ).map_batches(pack, batch_format="pyarrow")
         return analytics.map_key_stats(ds, "attrs", num_buckets=8)
 
+    def containment_q(sf):
+        # doc-inside-doc detection: every 12th doc re-enters as its
+        # 40% word-prefix (truncation republication) — containment
+        # ≈1000‰ at Jaccard ≈0.4 where a Jaccard join goes blind;
+        # DF-capped shingle nomination + in-exchange exact verify
+        from verify_ray.pipelines.dedup import containment_pairs
+
+        def plant(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            sel = b.filter(pa.array(ids % 12 == 0))
+            ws = pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(sel["text"]), r"\s+")
+            ln = pc.list_value_length(ws).to_numpy(
+                zero_copy_only=False)
+            keep_n = np.minimum(np.maximum(2 * ln // 5, 5), ln)
+            # per-row prefix slice via flattened words + offsets
+            # (list_slice takes only scalar bounds in this pyarrow)
+            words = pc.list_flatten(ws)
+            parents = pc.list_parent_indices(ws).to_numpy(
+                zero_copy_only=False)
+            offs = np.zeros(sel.num_rows + 1, dtype=np.int64)
+            np.add.at(offs, parents + 1, 1)
+            offs = np.cumsum(offs)
+            take = []
+            for r in range(sel.num_rows):
+                take.append(np.arange(offs[r],
+                                      offs[r] + keep_n[r]))
+            idx = pa.array(np.concatenate(take))
+            kept = words.take(idx)
+            if isinstance(kept, pa.ChunkedArray):
+                kept = kept.combine_chunks()
+            la = pa.ListArray.from_arrays(
+                pa.array(np.concatenate(
+                    [[0], np.cumsum(keep_n)]).astype(np.int32)),
+                kept)
+            pref = pc.binary_join(la, " ")
+            twin = pa.table({
+                "doc_id": pa.array(
+                    sel.column("doc_id").to_numpy(
+                        zero_copy_only=False) + 3_000_000,
+                    type=pa.int64()),
+                "text": pref})
+            return pa.concat_tables(
+                [b.select(["doc_id", "text"]), twin])
+
+        import ray.data as rdata
+
+        t = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        corpus = rdata.from_arrow(plant(t)).materialize()
+        return containment_pairs(corpus, tau_permille=800, n=3,
+                                 max_df=64, num_buckets=16)
+
     def leakage_safe_split_q(sf):
         # leakage-safe train/test split: exact-dup CLUSTERS (not
         # docs) draw the split, so planted twins can never straddle
@@ -3596,6 +3650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bool_search": bool_search_q,
         "docs_negative_samples": negatives_q,
         "docs_leakage_safe_split": leakage_safe_split_q,
+        "docs_containment_pairs": containment_q,
         "docs_rendezvous_owners": rendezvous_q,
         "map_key_profile": map_key_profile_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
@@ -5176,6 +5231,52 @@ SELECT * FROM (
          CAST(COUNT(DISTINCT 'y') AS BIGINT)
   FROM documents WHERE n_chars > 480 HAVING COUNT(*) > 0
 ) ORDER BY key
+""",
+        "docs_containment_pairs": r"""
+-- containment join: 1000·|A∩B| >= 800·min(|A|,|B|) over trigram
+-- shingle SETS; nomination contract = share a shingle with df<=64
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 3000000,
+         array_to_string(
+           (regexp_split_to_array(trim(text), '\s+'))[1 :
+             least(greatest(
+               2 * len(regexp_split_to_array(trim(text), '\s+'))
+                 // 5, 5),
+               len(regexp_split_to_array(trim(text), '\s+')))],
+           ' ')
+  FROM documents WHERE doc_id % 12 = 0 AND text IS NOT NULL
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM corpus
+), g AS (
+  SELECT DISTINCT doc_id,
+         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)])
+           AS gr
+  FROM toks
+), w AS (SELECT doc_id, gr FROM g WHERE gr IS NOT NULL),
+s AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+df AS (SELECT gr, COUNT(*) AS d FROM w GROUP BY gr),
+wr AS (SELECT w.doc_id, w.gr FROM w JOIN df USING (gr)
+       WHERE df.d <= 64),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM wr a JOIN wr b ON a.gr = b.gr AND a.doc_id < b.doc_id
+), i AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+  FROM w a JOIN w b ON a.gr = b.gr AND a.doc_id < b.doc_id
+       JOIN cand ON cand.da = a.doc_id AND cand.db = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.da AS doc_a, i.db AS doc_b,
+       CAST(i.c AS BIGINT) AS n_common,
+       CAST(LEAST(sa.n, sb.n) AS BIGINT) AS n_small
+FROM i JOIN s sa ON i.da = sa.doc_id
+       JOIN s sb ON i.db = sb.doc_id
+WHERE 1000 * i.c >= 800 * LEAST(sa.n, sb.n)
+ORDER BY doc_a, doc_b
 """,
         "docs_leakage_safe_split": """
 -- cluster-level split: rep = MIN(doc_id) over identical text

@@ -839,3 +839,44 @@ def test_write_jsonl_sharded_lost_marker_rebuilds(ray_session,
     r = sinks.write_jsonl_sharded({"s": lambda: _ds(df, 1)}, root,
                                   fingerprint="f")
     assert r["written"] == ["s"] and r["rows"]["s"] == 6
+
+
+# -- containment_pairs ------------------------------------------------
+
+def test_containment_matches_brute_force(ray_session):
+    from verify_ray.pipelines.dedup import containment_pairs
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(200)]
+    docs = [" ".join(rng.choice(words, rng.integers(8, 25)))
+            for _ in range(80)]
+    for i in range(10):  # planted: doc embedded in noise
+        docs.append(docs[i] + " "
+                    + " ".join(rng.choice(words, 30)))
+    df = pd.DataFrame({"doc_id": np.arange(len(docs),
+                                           dtype=np.int64),
+                       "text": docs})
+    out = containment_pairs(_ds(df, 3).materialize(),
+                            tau_permille=800, n=3, max_df=64,
+                            num_buckets=4)
+
+    def sh(t, n=3):
+        w = t.split()
+        return set(tuple(w[i:i + n]) for i in range(len(w) - n + 1))
+
+    S = [sh(t) for t in docs]
+    from collections import Counter
+    dfc = Counter(g for s in S for g in s)
+    ref = []
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            c = len(S[a] & S[b])
+            m = min(len(S[a]), len(S[b]))
+            if (m and c and 1000 * c >= 800 * m
+                    and any(dfc[g] <= 64 for g in S[a] & S[b])):
+                ref.append((a, b, c, m))
+    got = list(map(tuple, out.values.tolist()))
+    assert sorted(got) == sorted(ref)
+    # every planted embedding found
+    planted = {(i, 80 + i) for i in range(10)}
+    assert planted <= {(a, b) for a, b, _, _ in got}

@@ -1494,3 +1494,159 @@ def jaccard_prefix_join(ds, tau_pct: int, text_col: str = "text",
     return (ver.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
             .astype({"doc_a": "int64", "doc_b": "int64",
                      "n_common": "int64", "n_union": "int64"}))
+
+
+def containment_pairs(ds, tau_permille: int = 800, n: int = 3,
+                      max_df: int = 64, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      num_buckets: int = 32) -> pd.DataFrame:
+    """ASYMMETRIC set-containment join: pairs where the SMALLER
+    document's word-n-gram shingle set is ≥ ``tau_permille``‰
+    contained in the other's — the doc-inside-doc detector (quote
+    inclusion, boilerplate wrapping, prefix/suffix republication)
+    that Jaccard misses when sizes differ (a page embedded in a
+    10× page has J ≈ 0.1 but containment 1.0).  Integer keep rule:
+    ``1000·|A∩B| ≥ τ‰·min(|A|,|B|)``.  Returns (doc_a, doc_b,
+    n_common, n_small) with doc_a < doc_b, match-sized.
+
+    NOMINATION CONTRACT (stated in the oracle): a pair is a candidate
+    iff the docs share at least one shingle with document frequency
+    ≤ ``max_df`` — the hot-shingle cap that keeps nomination off the
+    quadratic path (a shingle in df docs nominates C(df,2) pairs).
+    True containment pairs sharing ONLY ubiquitous shingles are
+    missed by design; raise ``max_df`` to trade cost for recall.
+
+    Distributed shape: distinct per-doc shingle hashes (the verify
+    kernel's Horner representation) route through ONE shingle-keyed
+    exchange; groups over the cap emit nothing, others enumerate
+    their pairs (repeat/arange).  Dedup + exact verification ride
+    ``ngram_jaccard_pairs``'s pair-keyed exchange (texts ship only
+    to the tasks that need them); candidate-doc set sizes come from
+    one TARGETED streaming pass (candidate-sized, never corpus-
+    sized).  Driver holds candidate pairs + the result (match-sized
+    — the same residency contract as the minhash default; the
+    ``*_ds`` plumbing applies when pairs outgrow it).
+    """
+    import ray
+
+    from ..stages.exchange import grouped_exchange
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sets = _doc_ngram_hash_sets(batch[text_col].to_pylist(), n)
+        whs, pars = [], []
+        for i, s in enumerate(sets):
+            if s is None or not len(s):
+                continue
+            whs.append(s)
+            pars.append(np.full(len(s), i, dtype=np.int64))
+        if not whs:
+            return pa.table({"__b": pa.array([], pa.int64()),
+                             "wh": pa.array([], pa.uint64()),
+                             "d": pa.array([], pa.int64())})
+        wh = np.concatenate(whs)
+        par = np.concatenate(pars)
+        return pa.table({
+            "__b": pa.array((wh % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "wh": pa.array(wh, pa.uint64()),
+            "d": pa.array(ids[par].astype(np.int64))})
+
+    def nominate(t: pa.Table) -> pa.Table | None:
+        wh = t.column("wh").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, wh))
+        whs, ds_ = wh[o], d[o]
+        first = np.ones(len(whs), dtype=bool)
+        first[1:] = whs[1:] != whs[:-1]
+        start = np.flatnonzero(first)
+        cnt = np.diff(np.append(start, len(whs)))
+        ok = (cnt >= 2) & (cnt <= max_df)
+        if not ok.any():
+            return None
+        # vectorized all-pairs per qualifying group (the
+        # cooccurrence_edges repeat/arange idiom — no per-shingle
+        # Python loop): row i pairs with the n_after rows after it
+        # in its group
+        sel_start, sel_cnt = start[ok], cnt[ok]
+        rows_idx = (np.repeat(sel_start, sel_cnt)
+                    + (np.arange(int(sel_cnt.sum()))
+                       - np.repeat(np.concatenate(
+                           [[0], np.cumsum(sel_cnt)[:-1]]),
+                           sel_cnt)))
+        vals = ds_[rows_idx]
+        cnt_row = np.repeat(sel_cnt, sel_cnt)
+        pos = (np.arange(len(rows_idx))
+               - np.repeat(np.concatenate(
+                   [[0], np.cumsum(sel_cnt)[:-1]]), sel_cnt))
+        n_after = cnt_row - 1 - pos
+        total = int(n_after.sum())
+        if total == 0:
+            return None
+        first_i = np.repeat(np.arange(len(rows_idx)), n_after)
+        csum2 = np.concatenate([[0], np.cumsum(n_after)])
+        koff = np.arange(total) - np.repeat(csum2[:-1], n_after)
+        a = vals[first_i]
+        b = vals[first_i + 1 + koff]
+        return pa.table({"doc_a": pa.array(np.minimum(a, b)),
+                         "doc_b": pa.array(np.maximum(a, b))})
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pyarrow").materialize()
+    cand_t = grouped_exchange(rows, "__b", num_buckets, nominate)
+    empty = pd.DataFrame({
+        "doc_a": pd.Series(dtype="int64"),
+        "doc_b": pd.Series(dtype="int64"),
+        "n_common": pd.Series(dtype="int64"),
+        "n_small": pd.Series(dtype="int64")})
+    if cand_t is None or cand_t.num_rows == 0:
+        return empty
+    cand = cand_t.to_pandas().drop_duplicates().reset_index(drop=True)
+    counts = ngram_jaccard_pairs(ds, cand, text_col=text_col,
+                                 id_col=id_col, n=n,
+                                 return_counts=True)
+    if not len(counts):
+        return empty
+    # targeted per-doc set sizes for candidate docs only
+    wanted = np.unique(np.concatenate(
+        [counts["doc_a"].to_numpy(np.int64),
+         counts["doc_b"].to_numpy(np.int64)]))
+    want_ref = ray.put(wanted)
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hit = np.isin(ids, w)
+        if not hit.any():
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        sub = batch.filter(pa.array(hit))
+        sids = sub[id_col].to_numpy(zero_copy_only=False)
+        sets = _doc_ngram_hash_sets(sub[text_col].to_pylist(), n)
+        ns = np.fromiter(
+            (0 if s is None else len(s) for s in sets),
+            dtype=np.int64, count=len(sids))
+        return pa.table({"d": pa.array(sids.astype(np.int64)),
+                         "n": pa.array(ns)})
+
+    sparts = [t for t in ray.get(
+        ds.select_columns([id_col, text_col])
+        .map_batches(sizes, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    smap: dict = {}
+    for t in sparts:
+        for d_, n_ in zip(t.column("d").to_pylist(),
+                          t.column("n").to_pylist()):
+            smap[d_] = n_
+    na = counts["doc_a"].map(smap).astype("int64")
+    nb = counts["doc_b"].map(smap).astype("int64")
+    n_small = np.minimum(na, nb)
+    c = counts["n_common"].astype("int64")
+    keep = 1000 * c >= tau_permille * n_small
+    out = pd.DataFrame({
+        "doc_a": counts["doc_a"][keep].astype("int64"),
+        "doc_b": counts["doc_b"][keep].astype("int64"),
+        "n_common": c[keep],
+        "n_small": n_small[keep].astype("int64")})
+    return (out.sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))
