@@ -176,7 +176,7 @@ def bench_queries() -> dict[str, float]:
              "events_k_generalize", "events_interval_audit",
              "docs_apportioned_sample", "docs_bool_search",
              "docs_negative_samples", "docs_rendezvous_owners",
-             "docs_leakage_safe_split"]
+             "docs_leakage_safe_split", "docs_containment_pairs"]
     out = {}
     for name in names:
         t0 = time.time()
