@@ -295,6 +295,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    ).map_batches(pack, batch_format="pyarrow")
         return analytics.map_key_stats(ds, "attrs", num_buckets=8)
 
+    def scorecard_q(sf):
+        # validation scorecard: the dashboard aggregate over the
+        # documents spec's violation stream — counts per (rule, span)
+        df = vq.validate_documents(sf)
+        out = (df.groupby(["rule_id", "span"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        return (out.sort_values(["rule_id", "span"])
+                .reset_index(drop=True).astype({"n": "int64"}))
+
     def containment_q(sf):
         # doc-inside-doc detection: every 12th doc re-enters as its
         # 40% word-prefix (truncation republication) — containment
@@ -3651,6 +3660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_negative_samples": negatives_q,
         "docs_leakage_safe_split": leakage_safe_split_q,
         "docs_containment_pairs": containment_q,
+        "validation_scorecard": scorecard_q,
         "docs_rendezvous_owners": rendezvous_q,
         "map_key_profile": map_key_profile_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
@@ -5231,6 +5241,29 @@ SELECT * FROM (
          CAST(COUNT(DISTINCT 'y') AS BIGINT)
   FROM documents WHERE n_chars > 480 HAVING COUNT(*) > 0
 ) ORDER BY key
+""",
+        "validation_scorecard": """
+WITH v AS (
+  SELECT 'invalid_enum_value' AS rule_id, 'lang' AS span
+  FROM documents
+  WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+  UNION ALL
+  SELECT 'no_pattern_match', 'source' FROM documents
+  WHERE source IS NOT NULL
+    AND NOT regexp_matches(source, '^src[0-9]$')
+  UNION ALL
+  SELECT 'less_than_expected', 'n_chars' FROM documents
+  WHERE n_chars < 100
+  UNION ALL
+  SELECT 'more_than_expected', 'n_chars' FROM documents
+  WHERE n_chars > 500
+  UNION ALL
+  SELECT 'not_unique', 'doc_id'
+  FROM (SELECT doc_id FROM documents GROUP BY doc_id
+        HAVING COUNT(*) > 1)
+)
+SELECT rule_id, span, CAST(COUNT(*) AS BIGINT) AS n
+FROM v GROUP BY rule_id, span ORDER BY rule_id, span
 """,
         "docs_containment_pairs": r"""
 -- containment join: 1000·|A∩B| >= 800·min(|A|,|B|) over trigram

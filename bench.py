@@ -176,7 +176,8 @@ def bench_queries() -> dict[str, float]:
              "events_k_generalize", "events_interval_audit",
              "docs_apportioned_sample", "docs_bool_search",
              "docs_negative_samples", "docs_rendezvous_owners",
-             "docs_leakage_safe_split", "docs_containment_pairs"]
+             "docs_leakage_safe_split", "docs_containment_pairs",
+             "validation_scorecard"]
     out = {}
     for name in names:
         t0 = time.time()
