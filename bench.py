@@ -7,8 +7,8 @@ a deterministic synthetic sequences table of the BASELINE input_hint
 shape, sized by sf.  Secondary: wall seconds for representative
 operator pipelines over $GRAFT_SF_DIR.
 
-    python bench.py              # one JSON line, env GRAFT_SF_DIR / RAY_GRAFT_CPUS
-    python bench.py --scaling    # N=8 vs 4N=32 CPUs in fresh processes + efficiency
+    python bench.py              # detail JSON line + final headline-only JSON line
+    python bench.py --scaling    # N=1 vs 4N=4 CPUs in fresh processes + efficiency
 
 The synthetic input is generated once per (sf, size) and cached under
 /tmp/verify_ray_bench, so repeated runs measure compute, not generation;
@@ -229,27 +229,35 @@ def main() -> None:
             lambda b: b).count()
         # best of two runs: the first touches cold plasma pages / page
         # cache; the second is the steady state a long-running job sees.
-        # At 1-2 CPUs a single run suffices (runs are minutes long, so
-        # per-run noise is proportionally small and two runs can blow
-        # the driver's time budget in slow machine phases)
-        n_runs = 1 if NUM_CPUS <= 2 else 2
+        # GRAFT_BENCH_RUNS overrides — the --scaling path pins it to the
+        # SAME value at both CPU levels so the efficiency ratio compares
+        # like with like (VERDICT r4 #2: the old asymmetric protocol —
+        # one run at T1, best-of-2 at T4 — inflated efficiency >1.0).
+        n_runs = int(os.environ.get("GRAFT_BENCH_RUNS",
+                                    "1" if NUM_CPUS <= 2 else "2"))
         runs = [bench_validate_sequences(seq_dir, manifest)
                 for _ in range(n_runs)]
         headline = min(runs)
         queries = ({} if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")
                    else bench_queries())
-        result = {
+        headline_fields = {
             "metric": "full-pipeline validation wall time over "
-                      f"{n_rows} synthetic sequences (best of 2)",
+                      f"{n_rows} synthetic sequences (best of {n_runs})",
             "value": round(headline, 3),
             "unit": "sec",
             "rows_per_sec": round(n_rows / headline),
             "runs": [round(r, 3) for r in runs],
-            "queries": queries,
             "sf": float(sf_tag),
             "num_cpus": NUM_CPUS,
         }
-        print(json.dumps(result))
+        # detail line first (per-query dict), headline fields at its
+        # TAIL; then a compact headline-only line LAST — the driver's
+        # capture keeps only a tail window of stdout (BENCH_r03/r04 lost
+        # metric/value to head-truncation), so the parseable headline
+        # must be the final bytes on stdout (VERDICT r4 #3).
+        print(json.dumps({"queries": queries, **headline_fields}))
+        print(json.dumps({**headline_fields,
+                          "queries_timed": len(queries)}))
     finally:
         ray.shutdown()
 
@@ -262,8 +270,11 @@ def scaling() -> None:
     ensure_synth(_sf_tag())  # generate outside the timed runs
 
     def run(ncpu: int) -> dict:
+        # SYMMETRIC protocol: best-of-2 at BOTH levels (identical
+        # warm-up + run policy), so first-run penalty cannot bias the
+        # ratio toward either level (VERDICT r4 #2).
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_HEADLINE_ONLY="1")
+                   GRAFT_BENCH_HEADLINE_ONLY="1", GRAFT_BENCH_RUNS="2")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))

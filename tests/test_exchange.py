@@ -81,6 +81,57 @@ def test_grouped_exchange_ds_stable_schema(ray_session):
     assert out.count() == 1
 
 
+# ---- VERDICT r4 item 6: hot-bucket guard ------------------------------------
+
+def test_max_bucket_rows_guard_trips_on_hot_key(ray_session):
+    """A single pathological key concentrating the exchange must raise
+    HotBucketError (with guidance), not silently run one giant merge."""
+    import ray
+    import ray.data as rd
+
+    from verify_ray.stages.exchange import HotBucketError, grouped_exchange
+
+    # 5,000 rows, ALL on one bucket value — no num_buckets fixes this
+    t = pa.table({"bucket": pa.array(np.zeros(5000, dtype=np.int64)),
+                  "val": pa.array(np.arange(5000))})
+    ds = rd.from_arrow(t).repartition(4).materialize()
+    with pytest.raises(ray.exceptions.RayTaskError) as ei:
+        grouped_exchange(ds, "bucket", 16, lambda tab: tab,
+                         drop_bucket=False, max_bucket_rows=1000)
+    assert isinstance(ei.value.cause, HotBucketError)
+    assert "salt the hot key" in str(ei.value.cause)
+
+
+def test_max_bucket_rows_guard_passes_under_limit(ray_session):
+    import ray.data as rd
+
+    from verify_ray.stages.exchange import grouped_exchange
+
+    rng = np.random.RandomState(7)
+    t = pa.table({"bucket": pa.array(rng.randint(0, 64, 5000).astype(np.int64)),
+                  "val": pa.array(np.arange(5000))})
+    ds = rd.from_arrow(t).repartition(4).materialize()
+    out = grouped_exchange(ds, "bucket", 16, lambda tab: tab,
+                           drop_bucket=False, max_bucket_rows=1000)
+    assert out.num_rows == 5000
+
+
+def test_max_bucket_rows_guard_trips_on_tree_path(ray_session):
+    import ray
+    import ray.data as rd
+
+    from verify_ray.stages.exchange import HotBucketError, grouped_exchange
+
+    t = pa.table({"bucket": pa.array(np.zeros(5000, dtype=np.int64)),
+                  "val": pa.array(np.arange(5000))})
+    ds = rd.from_arrow(t).repartition(4).materialize()
+    with pytest.raises(ray.exceptions.RayTaskError) as ei:
+        grouped_exchange(ds, "bucket", 64, lambda tab: tab,
+                         drop_bucket=False, two_level=True,
+                         max_bucket_rows=1000)
+    assert isinstance(ei.value.cause, HotBucketError)
+
+
 # ---- VERDICT r2 item 6: two-level (tree) exchange --------------------------
 
 def _make_sum_group_fn():

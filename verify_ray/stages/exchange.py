@@ -19,6 +19,8 @@ see ``dedup._coarse_count``).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -37,9 +39,20 @@ def _split_by(t: pa.Table, bk: np.ndarray, n: int):
     return out
 
 
+class HotBucketError(ValueError):
+    """One hash bucket exceeded ``max_bucket_rows`` — a pathological hot
+    key (one user with 10^9 events, a degenerate LSH band) landed every
+    row in a single merge task.  Remedies, in order: raise
+    ``num_buckets`` (helps only if the bucket held MULTIPLE keys); salt
+    the hot key across sub-buckets if the group_fn can merge partials
+    (see ``joins.salted_join``); or pre-aggregate per input block before
+    the exchange so only partials shuffle (see ``stages/unique.py``)."""
+
+
 def _exchange_refs(ds, bucket_col: str, num_buckets: int, group_fn,
                    drop_bucket: bool, empty_result,
-                   two_level: bool | None = None) -> list:
+                   two_level: bool | None = None,
+                   max_bucket_rows: int | None = None) -> list:
     """Shared machinery: returns one merged-result ObjectRef per bucket
     (results stay in the object store).
 
@@ -65,11 +78,25 @@ def _exchange_refs(ds, bucket_col: str, num_buckets: int, group_fn,
     if B < 4:
         two_level = False
 
+    log_buckets = bool(os.environ.get("VERIFY_RAY_EXCHANGE_LOG"))
+
     def run_group(t: pa.Table):
         if drop_bucket and bucket_col in t.column_names:
             t = t.drop_columns([bucket_col])
         if t.num_rows == 0:
             return empty_result
+        if log_buckets:
+            print(f"[exchange] bucket rows={t.num_rows} "
+                  f"key={bucket_col} B={B}", flush=True)
+        if max_bucket_rows is not None and t.num_rows > max_bucket_rows:
+            raise HotBucketError(
+                f"hash bucket holds {t.num_rows} rows "
+                f"(max_bucket_rows={max_bucket_rows}, key={bucket_col!r}, "
+                f"num_buckets={B}): a hot key is concentrating the "
+                "exchange in one merge task. Raise num_buckets (only if "
+                "the bucket mixes multiple keys), salt the hot key "
+                "(joins.salted_join), or pre-aggregate per block before "
+                "the exchange (stages/unique.py).")
         out = group_fn(t)
         return out if out is not None else empty_result
 
@@ -139,20 +166,26 @@ def _exchange_refs(ds, bucket_col: str, num_buckets: int, group_fn,
 
 def grouped_exchange(ds, bucket_col: str, num_buckets: int, group_fn,
                      drop_bucket: bool = True,
-                     two_level: bool | None = None) -> pa.Table:
+                     two_level: bool | None = None,
+                     max_bucket_rows: int | None = None) -> pa.Table:
     """Apply ``group_fn(pa.Table) -> pa.Table`` to each hash bucket's
     rows; returns the concatenated results (driver-side — results are
     expected to be output-sized; use grouped_exchange_ds to keep huge
     results distributed).
 
     ``bucket_col`` must be an integer column; rows are routed by
-    ``bucket % num_buckets``.
+    ``bucket % num_buckets``.  ``max_bucket_rows`` (optional) raises
+    :class:`HotBucketError` with remediation guidance when any single
+    bucket exceeds it — the skew tripwire for callers whose group_fn is
+    super-linear in bucket size; set ``VERIFY_RAY_EXCHANGE_LOG=1`` to
+    print every bucket's row count (worker logs).
     """
     import ray
 
     merged = _exchange_refs(ds, bucket_col, num_buckets, group_fn,
                             drop_bucket, empty_result=None,
-                            two_level=two_level)
+                            two_level=two_level,
+                            max_bucket_rows=max_bucket_rows)
     tables = [t for t in ray.get(merged) if t is not None and t.num_rows]
     if not tables:
         return None
@@ -161,18 +194,21 @@ def grouped_exchange(ds, bucket_col: str, num_buckets: int, group_fn,
 
 def grouped_exchange_ds(ds, bucket_col: str, num_buckets: int, group_fn,
                         empty_schema: pa.Schema, drop_bucket: bool = True,
-                        two_level: bool | None = None):
+                        two_level: bool | None = None,
+                        max_bucket_rows: int | None = None):
     """Like grouped_exchange, but the per-bucket results STAY in the
     object store and come back as a new ``ray.data.Dataset``
     (``from_arrow_refs``) — nothing lands on the driver.  The required
     ``empty_schema`` gives empty buckets a typed empty table so the
-    resulting Dataset has a stable schema."""
+    resulting Dataset has a stable schema.  ``max_bucket_rows`` /
+    ``VERIFY_RAY_EXCHANGE_LOG``: see :func:`grouped_exchange`."""
     import ray.data as rd
 
     merged = _exchange_refs(ds, bucket_col, num_buckets, group_fn,
                             drop_bucket,
                             empty_result=empty_schema.empty_table(),
-                            two_level=two_level)
+                            two_level=two_level,
+                            max_bucket_rows=max_bucket_rows)
     if not merged:
         return rd.from_arrow(empty_schema.empty_table())
     return rd.from_arrow_refs(merged)
