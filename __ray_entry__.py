@@ -1771,7 +1771,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cand = dedup.minhash_lsh_pairs(ds, threshold=0.2)
         ver = dedup.ngram_jaccard_pairs(ds, cand[["doc_a", "doc_b"]])
         cc = dedup.connected_components(ver[ver.jaccard >= 0.5])
-        out = dedup.canonical_filter(ds, cc)
+        # membership passed as a DATASET — drives the fully resident
+        # arm (argmax in a group-keyed exchange, loser shards in the
+        # object store) under the same oracle as the pandas arm
+        import ray.data as rd
+
+        cc_ds = rd.from_arrow(pa.Table.from_pandas(
+            cc.astype({"doc_id": "int64", "group_id": "int64"}),
+            preserve_index=False)).materialize()
+        out = dedup.canonical_filter(ds, cc_ds)
         df = out.to_pandas()[["doc_id"]].astype({"doc_id": "int64"})
         return df.sort_values("doc_id").reset_index(drop=True)
 

@@ -1271,8 +1271,9 @@ def _distinct_word_count(batch: pa.Table, text_col: str) -> np.ndarray:
     return out
 
 
-def canonical_filter(ds, groups: pd.DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text", score_fn=None):
+def canonical_filter(ds, groups, id_col: str = "doc_id",
+                     text_col: str = "text", score_fn=None,
+                     num_buckets: int = 64):
     """Keep ONE representative per near-duplicate group — the highest
     integer score, ties to the smallest id; documents outside every
     group pass through untouched.  The standard completion of fuzzy
@@ -1280,24 +1281,40 @@ def canonical_filter(ds, groups: pd.DataFrame, id_col: str = "doc_id",
     ``connected_components``) decides WHICH documents collide; this
     decides WHO survives on quality rather than arrival order.
 
-    ``groups``: (doc_id, group_id) membership frame — duplicate-
-    membership-sized, i.e. small relative to the corpus by the
-    definition of deduplication (same size class the detection
-    pipelines already materialize).  ``score_fn(batch) ->
-    np.ndarray[int64]`` scores a batch of member rows; the default is
-    the distinct-word count (integer by repo float policy).
+    ``groups``: (doc_id, group_id) membership — a pandas frame OR a
+    ``ray.data.Dataset`` (VERDICT r4 #1: web-scale near-dup membership
+    is commonly 30–45% of documents, so the membership must not be
+    forced through the driver; ``connected_components_ds`` produces the
+    Dataset form directly).  ``score_fn(batch) -> np.ndarray[int64]``
+    scores a batch of rows; the default is the distinct-word count
+    (integer by repo float policy).  Ids are int64 (the detection
+    pipelines' contract).
 
-    Distributed shape (nothing corpus-sized on the driver, zero
-    shuffles): member ids broadcast once via ``ray.put``; one
-    streaming pass scores ONLY member rows (membership-sized result);
-    per-group argmax resolves on the membership frame; the loser id
-    set broadcasts back and one streaming filter drops those rows.
+    Distributed shape, pandas membership (membership-sized driver
+    state): member ids broadcast once via ``ray.put``; one streaming
+    pass scores ONLY member rows; per-group argmax resolves on the
+    membership frame; the loser id set broadcasts back and one
+    streaming filter drops those rows.
+
+    Distributed shape, Dataset membership (nothing membership-sized on
+    the driver): one streaming pass scores every row into narrow
+    (id, score) rows; ONE id-keyed exchange joins scores onto the
+    membership; ONE group-keyed exchange resolves each group's argmax
+    and emits only loser ids, which stay in the object store as
+    per-bucket shards; filter actors fetch the shards in ``__init__``
+    (once per actor, never per batch).  Scale assumption (SURVEY
+    §2.6): the loser id set fits a worker heap at 8 B/id (10⁹ losers
+    ≈ 8 GB) — shard the corpus and run per-shard beyond that.
     """
     import ray
 
     if score_fn is None:
         def score_fn(b):
             return _distinct_word_count(b, text_col)
+
+    if not isinstance(groups, pd.DataFrame):
+        return _canonical_filter_ds(ds, groups, id_col, score_fn,
+                                    num_buckets)
 
     if len(groups) == 0:
         return ds
@@ -1336,6 +1353,157 @@ def canonical_filter(ds, groups: pd.DataFrame, id_col: str = "doc_id",
         return b.filter(pa.array(~hit))
 
     return ds.map_batches(drop_losers, batch_format="pyarrow")
+
+
+def _canonical_filter_ds(ds, groups_ds, id_col: str, score_fn,
+                         num_buckets: int = 64, concurrency: int = 8):
+    """Dataset-membership arm of :func:`canonical_filter` — argmax in a
+    group-keyed exchange, loser shards resident in the object store.
+    See the parent docstring for the full shape and scale contract."""
+    import ray
+
+    from ..stages.exchange import grouped_exchange_ds
+
+    B = int(num_buckets)
+
+    join_schema = pa.schema([("gbucket", pa.int64()),
+                             ("grp", pa.int64()),
+                             ("id", pa.int64()),
+                             ("score", pa.int64())])
+    loser_schema = pa.schema([("loser", pa.int64())])
+
+    def score_all(b: pa.Table) -> pa.Table:
+        # membership is unknown at map time (no broadcast in this arm),
+        # so every row scores — narrow (id, score) rows only enter the
+        # exchange, never text
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return None
+        h = pd.util.hash_array(ids)
+        return pa.table({
+            "bucket": pa.array((h % np.uint64(B)).astype(np.int64)),
+            "id": pa.array(ids),
+            "grp": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "score": pa.array(np.asarray(score_fn(b), dtype=np.int64)),
+            "src": pa.array(np.zeros(len(ids), dtype=np.int8)),
+        })
+
+    def tag_members(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return None
+        h = pd.util.hash_array(ids)
+        return pa.table({
+            "bucket": pa.array((h % np.uint64(B)).astype(np.int64)),
+            "id": pa.array(ids),
+            "grp": pa.array(b["group_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "score": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            "src": pa.array(np.ones(len(ids), dtype=np.int8)),
+        })
+
+    def _drop_empty(fn):
+        def g(b: pa.Table):
+            out = fn(b)
+            return out if out is not None else pa.table(
+                {"bucket": pa.array([], type=pa.int64()),
+                 "id": pa.array([], type=pa.int64()),
+                 "grp": pa.array([], type=pa.int64()),
+                 "score": pa.array([], type=pa.int64()),
+                 "src": pa.array([], type=pa.int8())})
+        return g
+
+    tagged = (ds.map_batches(_drop_empty(score_all),
+                             batch_format="pyarrow")
+              .union(groups_ds.map_batches(_drop_empty(tag_members),
+                                           batch_format="pyarrow")))
+
+    def join_scores(t: pa.Table) -> pa.Table:
+        # id-co-located bucket: attach each member's score by binary
+        # search over the bucket's (sorted) scored ids, re-key by the
+        # group hash for the argmax exchange
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        m = src == 1
+        mem_ids = ids[m]
+        if not len(mem_ids):
+            return None
+        mem_grp = t.column("grp").to_numpy(zero_copy_only=False)[m]
+        sc_ids = ids[~m]
+        if not len(sc_ids):
+            return None
+        sc = t.column("score").to_numpy(zero_copy_only=False)[~m]
+        order = np.argsort(sc_ids, kind="stable")
+        sc_ids, sc = sc_ids[order], sc[order]
+        pos = np.searchsorted(sc_ids, mem_ids)
+        pos_c = np.minimum(pos, len(sc_ids) - 1)
+        ok = sc_ids[pos_c] == mem_ids
+        # members without a corpus row score nothing (contract: the
+        # membership's doc_ids come from the same corpus)
+        mem_ids, mem_grp = mem_ids[ok], mem_grp[ok]
+        if not len(mem_ids):
+            return None
+        gh = pd.util.hash_array(mem_grp)
+        return pa.table({
+            "gbucket": pa.array((gh % np.uint64(B)).astype(np.int64)),
+            "grp": pa.array(mem_grp),
+            "id": pa.array(mem_ids),
+            "score": pa.array(sc[pos_c[ok]]),
+        })
+
+    scored_members = grouped_exchange_ds(tagged, "bucket", B,
+                                         join_scores,
+                                         empty_schema=join_schema)
+
+    def pick_losers(t: pa.Table) -> pa.Table:
+        grp = t.column("grp").to_numpy(zero_copy_only=False)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        sc = t.column("score").to_numpy(zero_copy_only=False)
+        # group asc, score desc, id asc — winner first per group (the
+        # pandas arm's exact sort rule)
+        order = np.lexsort((ids, -sc, grp))
+        g_s, i_s = grp[order], ids[order]
+        first = np.concatenate([[True], g_s[1:] != g_s[:-1]])
+        losers = i_s[~first]
+        if not len(losers):
+            return None
+        return pa.table({"loser": pa.array(losers)})
+
+    losers_ds = grouped_exchange_ds(scored_members, "gbucket", B,
+                                    pick_losers,
+                                    empty_schema=loser_schema)
+
+    # loser shards STAY in the object store; filter actors assemble the
+    # sorted loser array once per actor in __init__.  DEADLOCK GUARD
+    # (knn_join's idiom): the shard tasks must COMPLETE before the
+    # actor pool spins up, and the pool leaves >=1 CPU for the
+    # upstream read tasks.
+    refs = losers_ds.to_arrow_refs()
+    if refs:
+        ray.wait(refs, num_returns=len(refs))
+    avail = int(ray.cluster_resources().get("CPU", 8))
+    conc = max(1, min(concurrency, avail - 1))
+
+    class _DropLosers:
+        def __init__(self):
+            tabs = ray.get(list(refs))
+            arrs = [t.column("loser").to_numpy(zero_copy_only=False)
+                    for t in tabs if t.num_rows]
+            self.losers = (np.sort(np.concatenate(arrs)) if arrs
+                           else np.empty(0, dtype=np.int64))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if not len(self.losers) or b.num_rows == 0:
+                return b
+            from ..functions.lookup import sorted_lookup
+
+            ids = b[id_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            hit, _ = sorted_lookup(self.losers, ids)
+            return b.filter(pa.array(~hit))
+
+    return ds.map_batches(_DropLosers, concurrency=(1, conc),
+                          batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -46,11 +46,17 @@ def _fingerprint(ds, id_col: str, text_col: str, epoch: int):
 
 def dataset_diff(cur_ds, ref_ds, id_col: str = "doc_id",
                  text_col: str = "text",
-                 num_buckets: int = 64) -> pd.DataFrame:
+                 num_buckets: int = 64, as_dataset: bool = False):
     """``(doc_id, status)`` for every id whose content differs between
     epochs; status ∈ {'added', 'removed', 'changed'}.  Unchanged ids
-    emit nothing."""
-    from ..stages.exchange import grouped_exchange
+    emit nothing.
+
+    ``as_dataset=True`` (VERDICT r4 #1) keeps the delta in the object
+    store as an UNSORTED Dataset — at scale a 20%-changed epoch's delta
+    is corpus-sized, so the default driver frame (sorted, for
+    output-sized deltas and the SQL-oracle ordering contract) must not
+    be the only form."""
+    from ..stages.exchange import grouped_exchange, grouped_exchange_ds
 
     cur = _fingerprint(cur_ds, id_col, text_col, 1)
     ref = _fingerprint(ref_ds, id_col, text_col, 0)
@@ -71,6 +77,12 @@ def dataset_diff(cur_ds, ref_ds, id_col: str = "doc_id",
             "status": pa.array(status[keep], type=pa.string()),
         })
 
+    if as_dataset:
+        out_schema = pa.schema([("doc_id", pa.string()),
+                                ("status", pa.string())])
+        return grouped_exchange_ds(both, "bk", num_buckets, resolve,
+                                   empty_schema=out_schema,
+                                   drop_bucket=False)
     out = grouped_exchange(both, "bk", num_buckets, resolve,
                            drop_bucket=False)
     if out is None or not out.num_rows:

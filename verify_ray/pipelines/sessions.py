@@ -22,12 +22,18 @@ import pandas as pd
 import pyarrow as pa
 
 
-def sessionize(events_ds, gap_minutes: float = 30.0,
-               user_col: str = "user_id", ts_col: str = "ts",
-               value_col: str = "value",
-               rows_per_bucket: int = 2_000_000) -> pd.DataFrame:
-    """One row per session: (user_id, session_start, n_events, sum_value,
-    duration_sec)."""
+def sessionize_ds(events_ds, gap_minutes: float = 30.0,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  value_col: str = "value",
+                  rows_per_bucket: int = 2_000_000):
+    """Dataset-returning sessionize (VERDICT r4 #1): one row per session
+    ``(user_id, session_start, n_events, sum_value, duration_sec)``,
+    UNSORTED, resident in the object store — session tables are
+    corpus-scale for event data, so nothing here lands on the driver.
+    :func:`sessionize` is this plus a driver-side sort, for small
+    results and the SQL-oracle ordering contract."""
+    import pyarrow.compute as pc
+
     gap_us = np.timedelta64(int(gap_minutes * 60 * 1_000_000), "us")
 
     n_rows = events_ds.count()
@@ -36,6 +42,14 @@ def sessionize(events_ds, gap_minutes: float = 30.0,
     min_parallel = max(8, int(ray.cluster_resources().get("CPU", 8)))
     num_buckets = max(min_parallel,
                       int(np.ceil(n_rows / max(rows_per_bucket, 1))))
+
+    schema = events_ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    out_schema = pa.schema([(user_col, types[user_col]),
+                            ("session_start", pa.timestamp("us")),
+                            ("n_events", pa.int64()),
+                            ("sum_value", pa.float64()),
+                            ("duration_sec", pa.float64())])
 
     def add_bucket(t: pa.Table) -> pa.Table:
         uid = t.column(user_col).to_numpy(zero_copy_only=False)
@@ -49,7 +63,9 @@ def sessionize(events_ds, gap_minutes: float = 30.0,
         # session at each user change or gap breach; session aggregates
         # via reduceat over the boundary index
         uid = t.column(user_col).to_numpy(zero_copy_only=False)
-        ts = t.column(ts_col).to_numpy(zero_copy_only=False)
+        # unit-normalize to µs so every bucket emits the same schema
+        ts = pc.cast(t.column(ts_col),
+                     pa.timestamp("us")).to_numpy(zero_copy_only=False)
         val = np.nan_to_num(t.column(value_col).to_numpy(
             zero_copy_only=False).astype(np.float64))
         order = np.lexsort((ts, uid))
@@ -63,24 +79,39 @@ def sessionize(events_ds, gap_minutes: float = 30.0,
             user_col: pa.array(uid[starts]),
             "session_start": pa.array(ts[starts]),
             "n_events": pa.array((ends - starts + 1).astype(np.int64)),
-            "sum_value": pa.array(np.add.reduceat(val, starts)
-                                  if len(starts) else
-                                  np.empty(0, np.float64)),
+            "sum_value": pa.array(np.round(
+                np.add.reduceat(val, starts), 6) if len(starts) else
+                np.empty(0, np.float64)),
             "duration_sec": pa.array(
                 (ts[ends] - ts[starts]).astype("timedelta64[us]")
                 .astype(np.int64) / 1e6),
-        })
+        }).cast(out_schema)
 
-    from ..stages.exchange import grouped_exchange
+    from ..stages.exchange import grouped_exchange_ds
 
     bucketed = (events_ds.select_columns([user_col, ts_col, value_col])
                 .map_batches(add_bucket, batch_format="pyarrow"))
-    res = grouped_exchange(bucketed, "bucket", num_buckets,
-                           bucket_sessions)
-    res = (res.to_pandas() if res is not None
-           else pd.DataFrame(columns=[user_col, "session_start", "n_events",
-                                      "sum_value", "duration_sec"]))
-    res["sum_value"] = np.round(res["sum_value"], 6)
+    return grouped_exchange_ds(bucketed, "bucket", num_buckets,
+                               bucket_sessions, empty_schema=out_schema)
+
+
+def sessionize(events_ds, gap_minutes: float = 30.0,
+               user_col: str = "user_id", ts_col: str = "ts",
+               value_col: str = "value",
+               rows_per_bucket: int = 2_000_000) -> pd.DataFrame:
+    """One row per session: (user_id, session_start, n_events, sum_value,
+    duration_sec), sorted (user, session_start) — the driver-frame form
+    for output-sized results; use :func:`sessionize_ds` when the session
+    table itself is big."""
+    res_ds = sessionize_ds(events_ds, gap_minutes=gap_minutes,
+                           user_col=user_col, ts_col=ts_col,
+                           value_col=value_col,
+                           rows_per_bucket=rows_per_bucket)
+    res = res_ds.to_pandas()
+    if not len(res):
+        # Ray's to_pandas() on an all-empty Dataset drops columns
+        res = pd.DataFrame(columns=[user_col, "session_start", "n_events",
+                                    "sum_value", "duration_sec"])
     return (res.sort_values([user_col, "session_start"])
             .reset_index(drop=True))
 
