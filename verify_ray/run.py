@@ -377,8 +377,18 @@ def main(argv=None):
     import ray
 
     if not ray.is_initialized():
+        # Ship the package to every worker via runtime_env py_modules:
+        # without it, workers resolve `verify_ray` only through the
+        # driver's cwd (single-node accident), and a `ray job submit`
+        # from anywhere else — or to a real multi-node cluster — dies
+        # with ModuleNotFoundError in the first map task.  py_modules
+        # uploads the package dir once to GCS and prepends it to every
+        # worker's sys.path (the north rule's "submitted via ray job
+        # submit on fixed multi-node clusters" clause).
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
         ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR",
+                 runtime_env={"py_modules": [pkg_dir]})
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
