@@ -3747,7 +3747,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       query_ids=qids)
         return out[["query_id", "vec_id"]]
 
+    # ---- round-5 additions ------------------------------------------------
+
+    def collapse_repeats_q(sf):
+        # consecutive-duplicate debounce: drop an event iff its user's
+        # immediately preceding event has the same type within 10 min
+        # (LAG rule); null-field rows survive by fiat.  One user-keyed
+        # exchange, shifted compare.
+        from verify_ray.pipelines.sessions import collapse_repeats
+
+        return collapse_repeats(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_type", "event_id"]),
+            within_us=600_000_000, num_buckets=16)
+
+    def time_weighted_q(sf):
+        # per-user step-interpolated value integral, gaps capped at 1h;
+        # exact-integer (num, den) pair — floor(value*1000) milli-units
+        # (floor, never round: banker's-vs-half-away trap) × capped ms.
+        from verify_ray.pipelines.sessions import time_weighted_value
+
+        return time_weighted_value(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "value", "event_id"]),
+            num_buckets=16)
+
+    def stopword_discovery_q(sf):
+        # corpus-driven stopword list: words in >= 40% of documents
+        # (1000·df >= 400·n_docs, exact integers); one word-keyed
+        # exchange of per-batch distinct-(word,doc) partials.
+        from verify_ray.pipelines.text import stopword_discovery
+
+        return stopword_discovery(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            min_df_permille=400)
+
+    def skew_profile_q(sf):
+        # shuffle-planning skew diagnostic over candidate exchange keys:
+        # exact distinct count + hottest key share in permille per
+        # column (the max_bucket_rows guard's decision table).
+        return analytics.key_skew_profile(
+            _read(sf, "events", columns=["event_type", "user_id"]),
+            ["event_type", "user_id"], num_buckets=16)
+
+    def minmax_permille_q(sf):
+        # per-lang min-max normalization of n_chars to integer permille
+        # (window-free two-pass: per-group bounds broadcast, then map).
+        out = analytics.minmax_permille(
+            _read(sf, "documents",
+                  columns=["doc_id", "lang", "n_chars"]),
+            "n_chars", "lang", "doc_id")
+        df = out.to_pandas().astype({"doc_id": "int64",
+                                     "n_chars": "int64",
+                                     "permille": "int64"})
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     return _rotate_unchecked_first({
+        # round-5 additions (unchecked-first rotation applies)
+        "events_collapse_repeats": collapse_repeats_q,
+        "events_time_weighted": time_weighted_q,
+        "docs_stopword_discovery": stopword_discovery_q,
+        "events_skew_profile": skew_profile_q,
+        "docs_minmax_permille": minmax_permille_q,
         # validation engine vs SQL oracle
         "validate_documents": vq.validate_documents,
         "validate_orders": vq.validate_orders,
@@ -5266,6 +5327,102 @@ def oracle_sql() -> dict[str, str]:
     from verify_ray.pipelines import validation_queries as vq
 
     return {
+        # round-5 additions
+        "events_collapse_repeats": """
+-- consecutive-duplicate debounce (LAG rule); null-field rows survive
+WITH lagged AS (
+  SELECT event_id, event_type, ts,
+         LAG(event_type) OVER w AS pt, LAG(ts) OVER w AS pts
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT CAST(event_id AS BIGINT) AS event_id FROM lagged
+WHERE NOT (pt IS NOT NULL AND pt = event_type
+           AND epoch_us(ts) - epoch_us(pts) <= 600000000)
+UNION ALL
+SELECT CAST(event_id AS BIGINT) FROM events
+WHERE user_id IS NULL OR ts IS NULL OR event_type IS NULL
+ORDER BY event_id
+""",
+        "events_time_weighted": """
+-- per-user time-weighted value integral: milli-value (FLOOR, never
+-- ROUND) x gap-capped ms; the NULL guard around LEAST is load-bearing
+-- (DuckDB LEAST SKIPS nulls, so a bare LEAST(nt-t, cap) would invent
+-- a phantom capped segment for each user's LAST event)
+WITH seq AS (
+  SELECT user_id, value, epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nt
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), terms AS (
+  SELECT user_id, CAST(FLOOR(value * 1000) AS BIGINT) AS vm,
+         CASE WHEN nt IS NULL THEN NULL
+              ELSE LEAST(nt - t, 3600000000) // 1000 END AS dtms
+  FROM seq
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COALESCE(SUM(vm * dtms), 0) AS BIGINT) AS twa_num,
+       CAST(COALESCE(SUM(dtms), 0) AS BIGINT) AS twa_den
+FROM terms GROUP BY user_id ORDER BY user_id
+""",
+        "docs_stopword_discovery": """
+-- words whose document frequency clears 400 permille (exact integers)
+WITH n AS (
+  SELECT COUNT(*) AS nd FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), dfs AS (
+  SELECT w AS word, COUNT(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+  GROUP BY w
+)
+SELECT word, CAST(df AS BIGINT) AS df FROM dfs, n
+WHERE 1000 * df >= 400 * nd ORDER BY df DESC, word
+""",
+        "events_skew_profile": """
+-- per-candidate-key skew: exact distinct count + hottest key's share
+-- in permille (ties to smallest key string)
+WITH u AS (
+  SELECT 'event_type' AS "column", CAST(event_type AS VARCHAR) AS key,
+         COUNT(*) AS n
+  FROM events WHERE event_type IS NOT NULL GROUP BY 2
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR), COUNT(*)
+  FROM events WHERE user_id IS NOT NULL GROUP BY 2
+), s AS (
+  SELECT "column", SUM(n) AS n_rows, COUNT(*) AS n_distinct
+  FROM u GROUP BY 1
+), t AS (
+  SELECT "column", key AS top1_key, n AS top1_n,
+         ROW_NUMBER() OVER (PARTITION BY "column"
+                            ORDER BY n DESC, key ASC) AS rk
+  FROM u
+)
+SELECT s."column", CAST(s.n_rows AS BIGINT) AS n_rows,
+       CAST(s.n_distinct AS BIGINT) AS n_distinct,
+       t.top1_key, CAST(t.top1_n AS BIGINT) AS top1_n,
+       CAST(1000 * t.top1_n // s.n_rows AS BIGINT) AS top1_permille
+FROM s JOIN t USING ("column") WHERE t.rk = 1 ORDER BY s."column"
+""",
+        "docs_minmax_permille": """
+-- per-lang min-max normalization to integer permille; numerator >= 0
+-- so // truncation equals floor on both engines; degenerate group -> 0
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(CASE WHEN mx = mn THEN 0
+                 ELSE (n_chars - mn) * 1000 // (mx - mn) END
+            AS BIGINT) AS permille
+FROM (SELECT doc_id, lang, n_chars,
+             MIN(n_chars) OVER (PARTITION BY lang) AS mn,
+             MAX(n_chars) OVER (PARTITION BY lang) AS mx
+      FROM documents WHERE n_chars IS NOT NULL)
+ORDER BY doc_id
+""",
         "validate_documents": vq.DOCUMENTS_ORACLE,
         "validate_custom_rules": vq.CUSTOM_RULES_ORACLE,
         "validate_orders": vq.ORDERS_ORACLE,

@@ -177,7 +177,11 @@ def bench_queries() -> dict[str, float]:
              "docs_apportioned_sample", "docs_bool_search",
              "docs_negative_samples", "docs_rendezvous_owners",
              "docs_leakage_safe_split", "docs_containment_pairs",
-             "validation_scorecard"]
+             "validation_scorecard",
+             # round-5 additions
+             "events_collapse_repeats", "events_time_weighted",
+             "docs_stopword_discovery", "events_skew_profile",
+             "docs_minmax_permille"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -1,0 +1,172 @@
+"""Round-5 operators: consecutive-duplicate collapse, time-weighted
+value integral, stopword discovery, key-skew profile, min-max permille
+normalization — unit semantics + the driver oracles at sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ds(table: pa.Table, blocks: int = 2):
+    import ray.data as rd
+
+    return rd.from_arrow(table).repartition(blocks).materialize()
+
+
+def _oracle_check(name, tables=("events", "documents")):
+    import __ray_entry__ as e
+
+    mine = e.queries()[name](SF)
+    if not isinstance(mine, pd.DataFrame):
+        mine = mine.to_pandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    orc = con.execute(e.oracle_sql()[name]).df()
+    assert list(mine.columns) == list(orc.columns)
+    assert len(mine) == len(orc)
+    for c in mine.columns:
+        a, b = mine[c].to_numpy(), orc[c].to_numpy()
+        if a.dtype == object or b.dtype == object:
+            assert list(map(str, a)) == list(map(str, b)), c
+        else:
+            assert np.array_equal(a, b), c
+    return mine
+
+
+# ---- collapse_repeats -------------------------------------------------------
+
+def test_collapse_drops_only_fast_same_type_repeats(ray_session):
+    from verify_ray.pipelines.sessions import collapse_repeats
+
+    us = 1_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "ts": pa.array([0, 5 * us, 300 * us, 301 * us, 5 * us],
+                       type=pa.timestamp("us")),
+        "event_type": ["click", "click", "click", "view", "click"],
+        "event_id": pa.array([10, 11, 12, 13, 14], type=pa.int64())})
+    # 11 drops (same type, 5s after 10); 12 survives (295s > 60s gap
+    # from 11 — LAG rule compares to the PHYSICAL predecessor);
+    # 13 survives (type change); 14 survives (other user)
+    out = collapse_repeats(_ds(t), within_us=60 * us, num_buckets=4)
+    assert list(out.event_id) == [10, 12, 13, 14]
+
+
+def test_collapse_null_fields_pass_through(ray_session):
+    from verify_ray.pipelines.sessions import collapse_repeats
+
+    t = pa.table({
+        "user_id": pa.array([1, None, 1], type=pa.int64()),
+        "ts": pa.array([0, 1, 2], type=pa.timestamp("us")),
+        "event_type": ["a", "a", None],
+        "event_id": pa.array([1, 2, 3], type=pa.int64())})
+    out = collapse_repeats(_ds(t), within_us=10, num_buckets=2)
+    assert list(out.event_id) == [1, 2, 3]
+
+
+def test_collapse_oracle(ray_session):
+    _oracle_check("events_collapse_repeats")
+
+
+# ---- time_weighted_value ----------------------------------------------------
+
+def test_twa_exact_integers_and_cap(ray_session):
+    from verify_ray.pipelines.sessions import time_weighted_value
+
+    us = 1_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "ts": pa.array([0, 10 * us, 2 * 3600 * us + 10 * us, 0],
+                       type=pa.timestamp("us")),
+        "value": pa.array([2.5, 4.0, 9.9, 7.0]),
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64())})
+    out = time_weighted_value(_ds(t), num_buckets=2)
+    # user 1: seg1 = floor(2.5*1000)*10_000ms, seg2 capped at 1h =
+    # 3_600_000ms * 4000; last event contributes nothing
+    u1 = out[out.user_id == 1].iloc[0]
+    assert int(u1.twa_num) == 2500 * 10_000 + 4000 * 3_600_000
+    assert int(u1.twa_den) == 10_000 + 3_600_000
+    # single-event user emits the 0/0 row (SQL GROUP BY parity)
+    u2 = out[out.user_id == 2].iloc[0]
+    assert (int(u2.twa_num), int(u2.twa_den)) == (0, 0)
+
+
+def test_twa_floor_not_round(ray_session):
+    """floor(v*1000) — banker's rounding must never leak in."""
+    from verify_ray.pipelines.sessions import time_weighted_value
+
+    t = pa.table({
+        "user_id": pa.array([1, 1], type=pa.int64()),
+        "ts": pa.array([0, 1000], type=pa.timestamp("us")),
+        "value": pa.array([0.0025, 1.0]),  # np.round -> 2; floor -> 2
+        "event_id": pa.array([1, 2], type=pa.int64())})
+    out = time_weighted_value(_ds(t, 1), num_buckets=1)
+    assert int(out[out.user_id == 1].twa_num.iloc[0]) == 2 * 1  # 1ms seg
+
+
+def test_twa_oracle(ray_session):
+    """Also the LEAST-skips-NULLs regression: the oracle must NOT give
+    each user's last event a phantom capped segment."""
+    out = _oracle_check("events_time_weighted")
+    assert (out.twa_den >= 0).all()
+
+
+# ---- stopword_discovery -----------------------------------------------------
+
+def test_stopwords_threshold_boundary(ray_session):
+    from verify_ray.pipelines.text import stopword_discovery
+
+    # 4 docs; "the" in 4 (1000permille), "cat" in 2 (500), "dog" in 1
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": ["the cat", "the cat cat", "the dog", "the"]})
+    out = stopword_discovery(_ds(t), min_df_permille=500)
+    assert list(out.word) == ["the", "cat"]
+    assert list(out.df) == [4, 2]
+    out2 = stopword_discovery(_ds(t), min_df_permille=501)
+    assert list(out2.word) == ["the"]
+
+
+def test_stopwords_oracle(ray_session):
+    _oracle_check("docs_stopword_discovery")
+
+
+# ---- key_skew_profile -------------------------------------------------------
+
+def test_skew_profile_tie_breaks_to_smallest_key(ray_session):
+    from verify_ray.pipelines.analytics import key_skew_profile
+
+    t = pa.table({"k": pa.array(["b", "b", "a", "a", "c", None])})
+    out = key_skew_profile(_ds(t), ["k"], num_buckets=4)
+    r = out.iloc[0]
+    assert (r["column"], r.n_rows, r.n_distinct) == ("k", 5, 3)
+    assert (r.top1_key, r.top1_n, r.top1_permille) == ("a", 2, 400)
+
+
+def test_skew_profile_oracle(ray_session):
+    _oracle_check("events_skew_profile")
+
+
+# ---- minmax_permille --------------------------------------------------------
+
+def test_minmax_permille_degenerate_and_null_group(ray_session):
+    from verify_ray.pipelines.analytics import minmax_permille
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "lang": ["en", "en", "xx", None, None],
+        "n_chars": pa.array([10, 30, 7, 5, 25], type=pa.int64())})
+    out = (minmax_permille(_ds(t), "n_chars", "lang", "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out.permille) == [0, 1000, 0, 0, 1000]
+    # 3: degenerate single-member group; 4/5: NULL lang is its own group
+
+
+def test_minmax_permille_oracle(ray_session):
+    _oracle_check("docs_minmax_permille")

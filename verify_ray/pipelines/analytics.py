@@ -2338,3 +2338,175 @@ def generalize_k_anonymous(ds, levels: list[list[str]], k: int,
     df = pd.DataFrame(out_rows, columns=["lvl", "class", "n"])
     return (df.sort_values(["lvl", "class"]).reset_index(drop=True)
             .astype({"lvl": "int64", "n": "int64"}))
+
+
+def key_skew_profile(ds, key_cols: list[str],
+                     num_buckets: int = 64) -> pd.DataFrame:
+    """Shuffle-planning SKEW diagnostic — for each candidate key
+    column: non-null row count, exact distinct count, the hottest key
+    and its share in permille (``1000·top1_n // n_rows``, exact
+    integers).  This is the number that predicts hash-exchange hot
+    buckets (the ``max_bucket_rows`` guard's remediation table):
+    top1_permille ≥ 1000/num_buckets means ONE merge task owns that
+    key no matter how many buckets you buy.  Ties on the hot key break
+    to the lexicographically smallest key string (SQL ``ORDER BY n
+    DESC, key ASC LIMIT 1``).  Null keys drop (they route nowhere).
+
+    Distributed shape: per-batch value-count partials (key repetition
+    never leaves the block); ONE (col, key)-keyed exchange; each
+    bucket emits ONE summary row per column (n_keys, n_rows, its own
+    top key), so the driver merge is buckets × columns rows.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols, keys, ns = [], [], []
+        for c in key_cols:
+            s = pc.cast(b[c], pa.string())
+            arr = s.drop_null().to_numpy(zero_copy_only=False).astype(object)
+            if not len(arr):
+                continue
+            u, cnt = np.unique(arr, return_counts=True)
+            cols.append(np.full(len(u), c, dtype=object))
+            keys.append(u)
+            ns.append(cnt.astype(np.int64))
+        if not cols:
+            return pa.table({"__b": pa.array([], pa.int64()),
+                             "col": pa.array([], pa.string()),
+                             "key": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        col = np.concatenate(cols)
+        key = np.concatenate(keys)
+        n = np.concatenate(ns)
+        tag = pa.array(col + "\x1f" + key, type=pa.string())
+        h = md5_u64le(tag)
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            "col": pa.array(col, type=pa.string()),
+            "key": pa.array(key, type=pa.string()),
+            "n": pa.array(n)})
+
+    def summarize(t: pa.Table) -> pa.Table:
+        col = t.column("col").to_numpy(zero_copy_only=False).astype(object)
+        key = t.column("key").to_numpy(zero_copy_only=False).astype(object)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        tag = col + "\x1f" + key
+        ut, inv = np.unique(tag, return_inverse=True)
+        tot = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        # first row index of each unique tag gives (col, key)
+        first = np.zeros(len(ut), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(tag) - 1, -1, -1)
+        ucol, ukey = col[first], key[first]
+        out_c, out_k, out_n, out_d, out_r = [], [], [], [], []
+        for c in np.unique(ucol):
+            m = ucol == c
+            nt, kt = tot[m], ukey[m]
+            # hottest key, ties to smallest key string
+            o = np.lexsort((kt, -nt))
+            out_c.append(c); out_k.append(kt[o[0]])
+            out_n.append(nt[o[0]]); out_d.append(int(m.sum()))
+            out_r.append(int(nt.sum()))
+        return pa.table({
+            "col": pa.array(out_c, type=pa.string()),
+            "top_key": pa.array(out_k, type=pa.string()),
+            "top_n": pa.array(np.asarray(out_n, dtype=np.int64)),
+            "n_keys": pa.array(np.asarray(out_d, dtype=np.int64)),
+            "n_rows": pa.array(np.asarray(out_r, dtype=np.int64))})
+
+    tagged = (ds.select_columns(key_cols)
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, summarize)
+    empty = pd.DataFrame({
+        "column": pd.Series(dtype=object),
+        "n_rows": pd.Series(dtype="int64"),
+        "n_distinct": pd.Series(dtype="int64"),
+        "top1_key": pd.Series(dtype=object),
+        "top1_n": pd.Series(dtype="int64"),
+        "top1_permille": pd.Series(dtype="int64")})
+    if res is None or res.num_rows == 0:
+        return empty
+    df = res.to_pandas()
+    rows = []
+    for c, g in df.groupby("col"):
+        g = g.sort_values(["top_n", "top_key"],
+                          ascending=[False, True], kind="stable")
+        n_rows = int(g.n_rows.sum())
+        rows.append({"column": c, "n_rows": n_rows,
+                     "n_distinct": int(g.n_keys.sum()),
+                     "top1_key": g.top_key.iloc[0],
+                     "top1_n": int(g.top_n.iloc[0]),
+                     "top1_permille": 1000 * int(g.top_n.iloc[0]) // n_rows})
+    return (pd.DataFrame(rows).sort_values("column")
+            .reset_index(drop=True))
+
+
+def minmax_permille(ds, value_col: str, group_col: str,
+                    id_col: str):
+    """Per-group MIN-MAX normalization to integer permille — the
+    score-scaling move before cross-group mixing (quality scores are
+    only comparable within a language; normalize before a global
+    threshold): ``permille = (v − gmin)·1000 // (gmax − gmin)``, exact
+    integers (numerator ≥ 0, so numpy ``//`` and SQL ``//`` agree);
+    a degenerate group (gmax == gmin) maps to 0.  A null group is its
+    OWN group (SQL window partition semantics); null value rows drop.
+    Returns a Dataset (id, group, value, permille) — corpus-sized, so
+    it stays resident.
+
+    Distributed shape: pass 1 reduces each batch to per-group
+    (min, max) partials (group-cardinality-sized driver merge — the
+    enum-group assumption of ``_merge_partials``); the group table
+    broadcasts once via ``ray.put``; pass 2 is a pure streaming map.
+    """
+    import ray
+
+    def bounds(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[value_col]))
+        if b.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        gs = pc.cast(b[group_col], pa.string())
+        flag = pc.if_else(pc.is_null(gs), pa.scalar("1"), pa.scalar("0"))
+        enc = pc.binary_join_element_wise(flag, pc.fill_null(gs, ""), "")
+        g = enc.to_numpy(zero_copy_only=False).astype(object)
+        v = pc.cast(b[value_col], pa.int64()).to_numpy(zero_copy_only=False)
+        u, inv = np.unique(g, return_inverse=True)
+        lo = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        hi = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(lo, inv, v)
+        np.maximum.at(hi, inv, v)
+        return pa.table({"g": pa.array(u, type=pa.string()),
+                         "lo": pa.array(lo), "hi": pa.array(hi)})
+
+    parts = (ds.select_columns([group_col, value_col])
+             .map_batches(bounds, batch_format="pyarrow").to_pandas())
+    if not len(parts):
+        agg = pd.DataFrame({"g": [], "lo": [], "hi": []})
+    else:
+        agg = parts.groupby("g", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"))
+    table_ref = ray.put({r.g: (int(r.lo), int(r.hi))
+                         for r in agg.itertuples()})
+
+    def apply(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[value_col]))
+        tbl = ray.get(table_ref)
+        gs = pc.cast(b[group_col], pa.string())
+        flag = pc.if_else(pc.is_null(gs), pa.scalar("1"), pa.scalar("0"))
+        enc = (pc.binary_join_element_wise(flag, pc.fill_null(gs, ""), "")
+               .to_numpy(zero_copy_only=False).astype(object))
+        v = pc.cast(b[value_col], pa.int64()).to_numpy(zero_copy_only=False)
+        # dict lookups only per UNIQUE group (enum-sized), then gather
+        u, inv = np.unique(enc, return_inverse=True)
+        los = np.asarray([tbl[g][0] for g in u], dtype=np.int64)
+        his = np.asarray([tbl[g][1] for g in u], dtype=np.int64)
+        lo, hi = los[inv], his[inv]
+        span = hi - lo
+        perm = np.where(span > 0, (v - lo) * 1000 // np.maximum(span, 1), 0)
+        return pa.table({id_col: b[id_col], group_col: b[group_col],
+                         value_col: b[value_col],
+                         "permille": pa.array(perm.astype(np.int64))})
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -976,3 +976,170 @@ def interval_overlap_audit(ds, key_col: str, start_col: str,
     df = res.to_pandas().rename(columns={
         "k": "key", "s": "start", "e": "end"})
     return (df[cols].sort_values(cols[:4]).reset_index(drop=True))
+
+
+def collapse_repeats(events_ds, within_us: int,
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     state_col: str = "event_type",
+                     id_col: str = "event_id",
+                     num_buckets: int = 32) -> pd.DataFrame:
+    """Consecutive-duplicate event collapse — the at-source debounce
+    for instrumentation stutter (double-clicks, retry storms): an event
+    DROPS iff the immediately preceding event of the SAME key (by
+    ``ts`` asc, ``id_col`` asc tiebreak) has the SAME state and arrived
+    within ``within_us``.  LAG-based, not chain-based: each event
+    compares to its physical predecessor, so a long burst keeps one
+    event per ``within_us`` gap breach (the SQL-restatable rule —
+    a chain rule would need recursion).  Null key/ts/state rows pass
+    through untouched (nulls never trip an operator; repo policy).
+
+    Returns the SURVIVING event ids as a sorted driver frame
+    (id-projection — callers re-join survivors to payloads, the
+    ``dedup.exact_dedup`` convention).
+
+    Distributed shape: ONE key-keyed exchange of (key, ts, id, state)
+    quads; per bucket one lexsort + shifted compare — no per-key
+    dispatch, output is survivor-sized.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.select([key_col, ts_col, state_col, id_col])
+        valid = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                                pc.is_valid(b[ts_col])),
+                        pc.is_valid(b[state_col]))
+        kept = b.filter(valid)
+        h = md5_u64le(pc.cast(kept[key_col], pa.string()))
+        out = kept.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+        # null-field rows survive by fiat: route them to bucket 0 as
+        # pre-decided survivors (flag -1) so they skip the compare
+        nul = b.filter(pc.invert(valid))
+        if nul.num_rows:
+            out = pa.concat_tables([
+                out,
+                nul.append_column("__b", pa.array(
+                    np.zeros(nul.num_rows, dtype=np.int64)))])
+        return out
+
+    def survivors(t: pa.Table) -> pa.Table:
+        iv = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        valid = (pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                                 pc.is_valid(t[ts_col])),
+                         pc.is_valid(t[state_col]))
+                 .to_numpy(zero_copy_only=False))
+        keep_ids = [iv[~valid]]
+        tt = t.filter(pa.array(valid))
+        if tt.num_rows:
+            k = pc.cast(tt[key_col], pa.string()).to_numpy(
+                zero_copy_only=False).astype(object)
+            ts = pc.cast(pc.cast(tt[ts_col], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            st = pc.cast(tt[state_col], pa.string()).to_numpy(
+                zero_copy_only=False).astype(object)
+            ivv = pc.cast(tt[id_col], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            o = np.lexsort((ivv, ts, k))
+            ks, tss, sts, ivs = k[o], ts[o], st[o], ivv[o]
+            drop = np.zeros(len(ks), dtype=bool)
+            drop[1:] = ((ks[1:] == ks[:-1]) & (sts[1:] == sts[:-1])
+                        & (tss[1:] - tss[:-1] <= within_us))
+            keep_ids.append(ivs[~drop])
+        out = np.concatenate(keep_ids)
+        return pa.table({"event_id": pa.array(out, type=pa.int64())})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, survivors)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64")})
+    return (res.to_pandas().sort_values("event_id")
+            .reset_index(drop=True))
+
+
+def time_weighted_value(events_ds, key_col: str = "user_id",
+                        ts_col: str = "ts", value_col: str = "value",
+                        id_col: str = "event_id",
+                        max_gap_us: int = 3_600_000_000,
+                        num_buckets: int = 32) -> pd.DataFrame:
+    """Per-key TIME-WEIGHTED value integral — each event's value holds
+    until the key's next event (step interpolation), gaps capped at
+    ``max_gap_us`` (sparse streams must not let one dormant week
+    dominate the integral); the key's LAST event contributes nothing.
+    The exact-integer contract (repo float policy): per segment,
+    ``v_milli = floor(value * 1000)`` (floor, never round — np.round
+    is banker's, SQL ROUND is half-away) and ``dt_ms = least(next_ts -
+    ts, max_gap_us) // 1000`` (non-negative, so numpy and SQL ``//``
+    agree); returns ``(key, twa_num = Σ v_milli·dt_ms, twa_den =
+    Σ dt_ms)`` — the caller divides (num/den = milli-value-weighted
+    mean).  Null key/ts/value rows drop.  int64 headroom: |value| ≤
+    10⁶ → |term| ≤ 3.6·10¹⁵, ≥2,500 capped segments per key before
+    overflow could matter (raise buckets / lower cap beyond that).
+
+    Distributed shape: ONE key-keyed exchange of (key, ts, id, value);
+    per bucket one lexsort + shifted diff + reduceat — key-cardinality-
+    sized output.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.select([key_col, ts_col, value_col, id_col])
+        b = b.filter(pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                                     pc.is_valid(b[ts_col])),
+                             pc.is_valid(b[value_col])))
+        h = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def integrate(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        iv = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        o = np.lexsort((iv, ts, k))
+        ks, tss, vs = k[o], ts[o], v[o]
+        same = ks[1:] == ks[:-1]
+        dt = np.minimum(tss[1:] - tss[:-1], max_gap_us) // 1000
+        vm = np.floor(vs[:-1] * 1000.0).astype(np.int64)
+        terms = np.where(same, vm * dt, 0)
+        dts = np.where(same, dt, 0)
+        # segment i belongs to the key of row i (the holder)
+        uk, inv = np.unique(ks[:-1] if len(ks) else ks,
+                            return_inverse=True)
+        num = np.zeros(len(uk), dtype=np.int64)
+        den = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(num, inv, terms)
+        np.add.at(den, inv, dts)
+        # keys whose ONLY row is the bucket's last row still appear
+        # (zero num/den) iff they own at least one sorted row pair?
+        # No: a single-event key has no pair — emit it with 0/0 so the
+        # output is key-complete (SQL GROUP BY emits it too)
+        lone = np.setdiff1d(np.unique(ks), uk, assume_unique=True)
+        if len(lone):
+            uk = np.concatenate([uk, lone])
+            num = np.concatenate([num, np.zeros(len(lone), np.int64)])
+            den = np.concatenate([den, np.zeros(len(lone), np.int64)])
+        return pa.table({key_col: pa.array(uk, type=pa.int64()),
+                         "twa_num": pa.array(num),
+                         "twa_den": pa.array(den)})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, integrate)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({key_col: pd.Series(dtype="int64"),
+                             "twa_num": pd.Series(dtype="int64"),
+                             "twa_den": pd.Series(dtype="int64")})
+    return (res.to_pandas().sort_values(key_col)
+            .reset_index(drop=True))

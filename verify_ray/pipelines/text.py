@@ -736,3 +736,78 @@ def word_collocations(ds, k: int = 30, text_col: str = "text",
     df["n_words"] = np.int64(n_words)
     return df[cols].reset_index(drop=True).astype(
         {"n_pair": "int64"})
+
+
+def stopword_discovery(ds, min_df_permille: int = 500,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       num_buckets: int = 64) -> pd.DataFrame:
+    """Corpus-driven stopword discovery: every word whose DOCUMENT
+    frequency clears ``min_df_permille`` — keep word iff ``1000·df ≥
+    min_df_permille·n_docs`` (exact integers; df counts each doc once
+    regardless of repetition).  The precursor to stopword lists, DF
+    pruning, and prefix-filter viability checks
+    (``dedup.jaccard_prefix_join``'s element-rarity contract is exactly
+    "few words clear this bar").  Whitespace word contract shared with
+    ``tokenize._split_words``.  Null text/id docs drop from both df and
+    n_docs.  Returns (word, df) sorted by (df DESC, word ASC).
+
+    Distributed shape: each batch collapses to DISTINCT (word, doc)
+    pairs then to (word, partial_df) map-side — corpus word repetition
+    never leaves the block; ONE word-keyed exchange sums partials and
+    filters, so only the (small) stopword set reaches the driver.
+    ``n_docs`` comes from a projected streaming count in the same
+    session.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+    from .tokenize import _split_words
+
+    def valid(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(pc.is_valid(b[text_col]),
+                                pc.is_valid(b[id_col])))
+
+    n_docs = (ds.select_columns([id_col, text_col])
+              .map_batches(valid, batch_format="pyarrow").count())
+    if n_docs == 0:
+        return pd.DataFrame({"word": pd.Series(dtype=object),
+                             "df": pd.Series(dtype="int64")})
+
+    def partial_df(b: pa.Table) -> pa.Table:
+        b = valid(b)
+        if b.num_rows == 0:
+            return pa.table({"__b": pa.array([], pa.int64()),
+                             "word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        words, parents, _ = _split_words(b, text_col)
+        uw, codes = np.unique(words, return_inverse=True)
+        # distinct (doc, word) pairs -> per-word partial df
+        pair = parents.astype(np.int64) * len(uw) + codes
+        upair = np.unique(pair)
+        wdf = np.bincount((upair % len(uw)).astype(np.int64),
+                          minlength=len(uw)).astype(np.int64)
+        h = md5_u64le(pa.array(uw, type=pa.string()))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "word": pa.array(uw, type=pa.string()),
+            "n": pa.array(wdf)})
+
+    def sum_filter(t: pa.Table) -> pa.Table:
+        w = t.column("word").to_numpy(zero_copy_only=False).astype(object)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        uw, inv = np.unique(w, return_inverse=True)
+        df_ = np.zeros(len(uw), dtype=np.int64)
+        np.add.at(df_, inv, n)
+        keep = 1000 * df_ >= min_df_permille * n_docs
+        return pa.table({"word": pa.array(uw[keep], type=pa.string()),
+                         "df": pa.array(df_[keep])})
+
+    tagged = (ds.select_columns([id_col, text_col])
+              .map_batches(partial_df, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, sum_filter)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"word": pd.Series(dtype=object),
+                             "df": pd.Series(dtype="int64")})
+    out = res.to_pandas()
+    return (out.sort_values(["df", "word"], ascending=[False, True])
+            .reset_index(drop=True))
