@@ -122,6 +122,44 @@ def _docs_with_pii(sf_dir: str):
     return rd.from_arrow(pa.concat_tables([t, injected]))
 
 
+def _docs_incoming_epoch(sf_dir: str):
+    """The cross-epoch ingest batch: exact re-publications of docs 0-14
+    under new ids (+3M) plus 15 genuinely fresh texts (+4M) — the
+    oracle reproduces the same injection in SQL."""
+    import ray.data as rd
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    head = t.filter(pc.less(t["doc_id"], 15))
+    ids = head.column("doc_id").to_pylist()
+    inc = pa.table({
+        "doc_id": pa.array([i + 3_000_000 for i in ids],
+                           type=pa.int64()),
+        "text": head.column("text")})
+    fresh = pa.table({
+        "doc_id": pa.array([i + 4_000_000 for i in ids],
+                           type=pa.int64()),
+        "text": pa.array([f"fresh unseen doc {i}" for i in ids],
+                         type=pa.string())})
+    return rd.from_arrow(pa.concat_tables([inc, fresh]))
+
+
+def _docs_with_planted_source_dups(sf_dir: str):
+    """documents ∪ same-source exact copies of docs 0-39 (+5M ids) —
+    the per-source duplicate-rate query's input; oracle reproduces the
+    injection."""
+    import ray.data as rd
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    head = t.filter(pc.less(t["doc_id"], 40))
+    dup = pa.table({
+        "doc_id": pc.add(head["doc_id"], 5_000_000),
+        "text": head["text"],
+        "source": head["source"]})
+    return rd.from_arrow(pa.concat_tables([t, dup]))
+
+
 def _events_with_late(sf_dir: str):
     """events ∪ re-ingested copies of the ``event_id & 255 == 7`` rows
     (id shifted past the stream end, original ts kept) — deterministic
@@ -3802,8 +3840,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      "permille": "int64"})
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def psi_q(sf):
+        # PSI bin counts: equi-depth cuts from the src0-src9 reference
+        # population, exact per-bin counts for both populations (the
+        # integer surface of PSI; floats never enter the oracle)
+        import ray.data as rd
+
+        def side(keep: bool):
+            def f(b: pa.Table) -> pa.Table:
+                m = pc.match_substring_regex(b["source"], "^src[0-9]$")
+                m = m if keep else pc.invert(m)
+                return b.filter(pc.and_(pc.fill_null(m, False),
+                                        pc.is_valid(b["n_chars"])))
+            return f
+
+        base = _read(sf, "documents", columns=["source", "n_chars"])
+        ref = base.map_batches(side(True), batch_format="pyarrow")
+        cur = base.map_batches(side(False), batch_format="pyarrow")
+        return analytics.psi_bins(cur, ref, "n_chars", n_bins=8)
+
+    def cross_epoch_q(sf):
+        # ingest-time republication gate: which incoming docs already
+        # exist verbatim (md5) in the frozen previous epoch
+        from verify_ray.pipelines.dedup import cross_epoch_exact
+
+        return cross_epoch_exact(
+            _docs_incoming_epoch(sf),
+            _read(sf, "documents", columns=["doc_id", "text"]))
+
+    def dup_rate_q(sf):
+        # per-source duplicate-rate scorecard over planted same-source
+        # exact copies
+        from verify_ray.pipelines.dedup import dup_rate_by_group
+
+        return dup_rate_by_group(_docs_with_planted_source_dups(sf))
+
+    def interarrival_q(sf):
+        # exact per-type inter-arrival p50/p90 (seconds) over
+        # per-(user, type) timelines
+        from verify_ray.pipelines.sessions import interarrival_quantiles
+
+        return interarrival_quantiles(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_type", "event_id"]),
+            qs=(0.5, 0.9), num_buckets=16)
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_psi_sources": psi_q,
+        "docs_cross_epoch_dups": cross_epoch_q,
+        "docs_dup_rate_by_source": dup_rate_q,
+        "events_interarrival_quantiles": interarrival_q,
         "events_collapse_repeats": collapse_repeats_q,
         "events_time_weighted": time_weighted_q,
         "docs_stopword_discovery": stopword_discovery_q,
@@ -5328,6 +5415,89 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "docs_psi_sources": """
+-- PSI bin counts: equi-depth cuts from the reference population
+-- (cut_i = smallest v with cum*B >= i*total; bin = #cuts < v,
+-- duplicate cut VALUES are separate rows and count with multiplicity)
+WITH ref AS (
+  SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+  WHERE n_chars IS NOT NULL AND regexp_matches(source, '^src[0-9]$')
+), cur AS (
+  SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+  WHERE n_chars IS NOT NULL
+    AND NOT regexp_matches(source, '^src[0-9]$')
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM ref),
+h AS (
+  SELECT v, SUM(COUNT(*)) OVER (ORDER BY v) AS cum
+  FROM ref GROUP BY v
+), cuts AS (
+  SELECT i, MIN(v) AS cut
+  FROM h CROSS JOIN n CROSS JOIN range(1, 8) r(i)
+  WHERE cum * 8 >= i * total GROUP BY i
+), binned AS (
+  SELECT (SELECT COUNT(*) FROM cuts c WHERE c.cut < t.v) AS bin,
+         1 AS is_ref
+  FROM ref t
+  UNION ALL
+  SELECT (SELECT COUNT(*) FROM cuts c WHERE c.cut < t.v), 0
+  FROM cur t
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(SUM(is_ref) AS BIGINT) AS ref_n,
+       CAST(SUM(1 - is_ref) AS BIGINT) AS cur_n
+FROM binned GROUP BY bin ORDER BY bin
+""",
+        "docs_cross_epoch_dups": """
+-- incoming docs whose exact text (md5) exists in the frozen epoch;
+-- match_id = smallest matching reference id
+WITH inc AS (
+  SELECT doc_id + 3000000 AS doc_id, text FROM documents
+  WHERE doc_id < 15 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 4000000, 'fresh unseen doc ' || doc_id
+  FROM documents WHERE doc_id < 15
+), ref AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+)
+SELECT CAST(i.doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(r.doc_id) AS BIGINT) AS match_id
+FROM inc i JOIN ref r ON md5(i.text) = md5(r.text)
+GROUP BY i.doc_id ORDER BY i.doc_id
+""",
+        "docs_dup_rate_by_source": """
+-- per-source duplicate-rate audit over the planted same-source copies
+WITH all_docs AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, text, source FROM documents
+  WHERE doc_id < 40
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup
+FROM all_docs WHERE text IS NOT NULL AND doc_id IS NOT NULL
+GROUP BY source ORDER BY source
+""",
+        "events_interarrival_quantiles": """
+-- exact per-type inter-arrival quantiles (seconds) over per-(user,
+-- type) timelines; quantile_disc = value at 0-based ceil(q*n)-1
+WITH seq AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS nt
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+), gaps AS (
+  SELECT event_type, (nt - t) // 1000000 AS gap_s
+  FROM seq WHERE nt IS NOT NULL
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS q50,
+       CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS q90
+FROM gaps GROUP BY event_type ORDER BY event_type
+""",
         "events_collapse_repeats": """
 -- consecutive-duplicate debounce (LAG rule); null-field rows survive
 WITH lagged AS (

@@ -181,7 +181,9 @@ def bench_queries() -> dict[str, float]:
              # round-5 additions
              "events_collapse_repeats", "events_time_weighted",
              "docs_stopword_discovery", "events_skew_profile",
-             "docs_minmax_permille"]
+             "docs_minmax_permille", "docs_psi_sources",
+             "docs_cross_epoch_dups", "docs_dup_rate_by_source",
+             "events_interarrival_quantiles"]
     out = {}
     for name in names:
         t0 = time.time()

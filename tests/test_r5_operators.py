@@ -170,3 +170,94 @@ def test_minmax_permille_degenerate_and_null_group(ray_session):
 
 def test_minmax_permille_oracle(ray_session):
     _oracle_check("docs_minmax_permille")
+
+
+# ---- psi_bins ---------------------------------------------------------------
+
+def test_psi_bins_counts_and_out_of_range_cur(ray_session):
+    from verify_ray.pipelines.analytics import psi_bins
+
+    ref = _ds(pa.table({"v": pa.array([1, 1, 2, 2, 3, 3, 4, 4],
+                                      type=pa.int64())}))
+    # cur has values below and above the ref range — they land in the
+    # first/last bins (bin = #cuts < v)
+    cur = _ds(pa.table({"v": pa.array([0, 2, 2, 9], type=pa.int64())}))
+    out = psi_bins(cur, ref, "v", n_bins=4)
+    # cuts (B=4): i=1 -> cum*4>=8 at v=1; i=2 -> v=2; i=3 -> v=3
+    # ref bins: 1->0, 2->1, 3->2, 4->3 ; cur: 0->0, 2->1, 9->3
+    assert list(out.bin) == [0, 1, 2, 3]
+    assert list(out.ref_n) == [2, 2, 2, 2]
+    assert list(out.cur_n) == [1, 2, 0, 1]
+
+
+def test_psi_oracle(ray_session):
+    _oracle_check("docs_psi_sources")
+
+
+# ---- cross_epoch_exact ------------------------------------------------------
+
+def test_cross_epoch_min_match_id(ray_session):
+    from verify_ray.pipelines.dedup import cross_epoch_exact
+
+    ref = _ds(pa.table({
+        "doc_id": pa.array([5, 9, 2], type=pa.int64()),
+        "text": ["same text", "same text", "other"]}))
+    cur = _ds(pa.table({
+        "doc_id": pa.array([100, 101], type=pa.int64()),
+        "text": ["same text", "never seen"]}))
+    out = cross_epoch_exact(cur, ref)
+    assert out.to_dict("records") == [{"doc_id": 100, "match_id": 5}]
+
+
+def test_cross_epoch_oracle(ray_session):
+    out = _oracle_check("docs_cross_epoch_dups")
+    # exactly the 15 planted republications; fresh docs never match
+    assert len(out) == 15
+    assert (out.doc_id.to_numpy() - out.match_id.to_numpy()
+            == 3_000_000).all()
+
+
+# ---- dup_rate_by_group ------------------------------------------------------
+
+def test_dup_rate_null_group_and_counts(ray_session):
+    from verify_ray.pipelines.dedup import dup_rate_by_group
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "text": ["a", "a", "b", "a", "x", "x"],
+        "source": ["s1", "s1", "s1", "s2", None, None]})
+    out = dup_rate_by_group(_ds(t))
+    recs = out.to_dict("records")
+    assert recs[0] == {"source": "s1", "n_docs": 3, "n_distinct": 2,
+                       "n_dup": 1}
+    assert recs[1] == {"source": "s2", "n_docs": 1, "n_distinct": 1,
+                       "n_dup": 0}
+    assert recs[2]["source"] is None and recs[2]["n_dup"] == 1
+
+
+def test_dup_rate_oracle(ray_session):
+    out = _oracle_check("docs_dup_rate_by_source")
+    assert int(out.n_dup.sum()) >= 40  # the planted copies
+
+
+# ---- interarrival_quantiles -------------------------------------------------
+
+def test_interarrival_small_case(ray_session):
+    from verify_ray.pipelines.sessions import interarrival_quantiles
+
+    s = 1_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "ts": pa.array([0, 10 * s, 30 * s, 31 * s, 100 * s],
+                       type=pa.timestamp("us")),
+        "event_type": ["a", "a", "a", "b", "a"],
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64())})
+    out = interarrival_quantiles(_ds(t), qs=(0.5, 0.9), num_buckets=4)
+    # type a gaps (user 1): 10s, 20s; user 2 has one event -> none
+    a = out[out.event_type == "a"].iloc[0]
+    assert (int(a.n), int(a.q50), int(a.q90)) == (2, 10, 20)
+    assert "b" not in set(out.event_type)  # no pairs -> no row
+
+
+def test_interarrival_oracle(ray_session):
+    _oracle_check("events_interarrival_quantiles")

@@ -2510,3 +2510,44 @@ def minmax_permille(ds, value_col: str, group_col: str,
                          "permille": pa.array(perm.astype(np.int64))})
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def psi_bins(cur_ds, ref_ds, col: str, n_bins: int = 8) -> pd.DataFrame:
+    """Population-stability (PSI) BIN COUNTS: equi-depth cut points
+    derived from the REFERENCE epoch (``select.equidepth_bins``'s
+    ties-share-a-fate rule: cut_i = smallest value with
+    ``cum·B ≥ i·total``; bin = #cuts < v, duplicate cuts counted), then
+    exact per-bin counts for both epochs.  Returns ``(bin, ref_n,
+    cur_n)`` for every bin non-empty in either epoch — the integer
+    surface of PSI; the caller applies its own ``Σ (c%−r%)·ln(c%/r%)``
+    on shares (floats stay out of the oracle, repo policy).  Nulls
+    drop (histogram contract).
+
+    Scale shape: two ``value_counts`` streaming passes (per-batch
+    ``np.unique`` partials, driver data bounded by distinct values);
+    rows never shuffle; the cut array is ``n_bins−1`` integers.
+    """
+    from .select import value_counts
+
+    empty = pd.DataFrame({c: pd.Series(dtype="int64")
+                          for c in ("bin", "ref_n", "cur_n")})
+    rv, rc = value_counts(ref_ds, col)
+    if not len(rv):
+        return empty
+    cum = np.cumsum(rc)
+    total = int(cum[-1])
+    i = np.arange(1, n_bins, dtype=np.int64)
+    cuts = rv[np.searchsorted(cum * n_bins, i * total, side="left")]
+
+    def bin_counts(vals, counts):
+        out = np.zeros(n_bins, dtype=np.int64)
+        if len(vals):
+            np.add.at(out, np.searchsorted(cuts, vals, side="left"),
+                      counts)
+        return out
+
+    cv, cc = value_counts(cur_ds, col)
+    rn, cn = bin_counts(rv, rc), bin_counts(cv, cc)
+    keep = (rn > 0) | (cn > 0)
+    return pd.DataFrame({"bin": np.flatnonzero(keep).astype(np.int64),
+                         "ref_n": rn[keep], "cur_n": cn[keep]})

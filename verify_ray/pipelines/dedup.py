@@ -1818,3 +1818,171 @@ def containment_pairs(ds, tau_permille: int = 800, n: int = 3,
         "n_small": n_small[keep].astype("int64")})
     return (out.sort_values(["doc_a", "doc_b"])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# cross-epoch exact-duplicate check + per-group duplicate-rate audit
+
+
+def cross_epoch_exact(cur_ds, ref_ds, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Incoming documents whose EXACT text already exists in a frozen
+    reference epoch — the ingest-time republication gate (exact arm of
+    ``contamination.cross_source_leakage``; the near-dup arm is
+    minhash over the union).  Matching is by ``md5(text)`` (the
+    DuckDB-parity kernel ``functions.hashing.md5_hex``); returns
+    ``(doc_id, match_id)`` with ``match_id`` = the SMALLEST matching
+    reference id (deterministic under multi-match).  Null text/id rows
+    drop on both sides.
+
+    Scale shape: both epochs project to 16-byte (hash, id) rows in one
+    streaming pass each; ONE hash-keyed exchange; each bucket resolves
+    its hashes with two sorts + searchsorted — output is match-sized.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_hex, md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def tag(epoch: int):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b[id_col]),
+                                 pc.is_valid(b[text_col])))
+            h = md5_hex(b[text_col])
+            bk = md5_u64le(h)
+            return pa.table({
+                "__b": pa.array((bk % np.uint64(num_buckets))
+                                .astype(np.int64)),
+                "h": h,
+                "id": pc.cast(b[id_col], pa.int64()),
+                "e": pa.array(np.full(b.num_rows, np.int8(epoch)))})
+        return f
+
+    both = (cur_ds.map_batches(tag(1), batch_format="pyarrow")
+            .union(ref_ds.map_batches(tag(0), batch_format="pyarrow")))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        h = t.column("h").to_numpy(zero_copy_only=False).astype(object)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        rm = e == 0
+        rh, rid = h[rm], ids[rm]
+        ch, cid = h[~rm], ids[~rm]
+        if not len(rh) or not len(ch):
+            return None
+        # min ref id per hash: sort by (hash, id), keep first per hash
+        o = np.lexsort((rid, rh))
+        rh, rid = rh[o], rid[o]
+        first = np.concatenate([[True], rh[1:] != rh[:-1]])
+        uh, uid = rh[first], rid[first]
+        pos = np.searchsorted(uh, ch)
+        pos_c = np.minimum(pos, len(uh) - 1)
+        hit = uh[pos_c] == ch
+        if not hit.any():
+            return None
+        return pa.table({
+            "doc_id": pa.array(cid[hit], type=pa.int64()),
+            "match_id": pa.array(uid[pos_c[hit]], type=pa.int64())})
+
+    res = grouped_exchange(both, "__b", num_buckets, resolve)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "match_id": pd.Series(dtype="int64")})
+    return (res.to_pandas().sort_values("doc_id")
+            .reset_index(drop=True))
+
+
+def dup_rate_by_group(ds, group_col: str = "source",
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Per-group duplicate-rate AUDIT: for each group (source, shard,
+    crawl), the document count, the distinct-content count (md5 within
+    the group) and their difference — the per-source QA scorecard that
+    tells you WHICH feed re-publishes before any dedup runs.  Null
+    text/id rows drop; a null group is its own group (SQL GROUP BY).
+    Returns ``(group, n_docs, n_distinct, n_dup)`` sorted by group.
+
+    Scale shape: each batch collapses to DISTINCT (group, hash) pairs
+    plus per-group row-count partials; ONE hash-keyed exchange
+    re-dedups pairs across batches and emits per-(bucket, group)
+    distinct counts — driver data is buckets × groups rows.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_hex, md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def _enc_group(b: pa.Table) -> pa.Array:
+        gs = pc.cast(b[group_col], pa.string())
+        flag = pc.if_else(pc.is_null(gs), pa.scalar("1"), pa.scalar("0"))
+        return pc.binary_join_element_wise(flag, pc.fill_null(gs, ""), "")
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[id_col]),
+                             pc.is_valid(b[text_col])))
+        if b.num_rows == 0:
+            return pa.table({"__b": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.string()),
+                             "h": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = _enc_group(b).to_numpy(zero_copy_only=False).astype(object)
+        h = md5_hex(b[text_col]).to_numpy(zero_copy_only=False).astype(object)
+        pairs = (pd.DataFrame({"g": g, "h": h})
+                 .drop_duplicates(ignore_index=True))
+        ug, cnt = np.unique(g, return_counts=True)
+        bk = md5_u64le(pa.array(pairs.h.to_numpy(), type=pa.string()))
+        # distinct-pair rows (n = 0) + per-group total rows (h = '',
+        # routed to bucket 0 — summed once on the driver)
+        return pa.table({
+            "__b": pa.array(np.concatenate([
+                (bk % np.uint64(num_buckets)).astype(np.int64),
+                np.zeros(len(ug), dtype=np.int64)])),
+            "g": pa.array(np.concatenate([pairs.g.to_numpy(), ug]),
+                          type=pa.string()),
+            "h": pa.array(np.concatenate(
+                [pairs.h.to_numpy(), np.full(len(ug), "", dtype=object)]),
+                type=pa.string()),
+            "n": pa.array(np.concatenate(
+                [np.zeros(len(pairs), dtype=np.int64),
+                 cnt.astype(np.int64)]))})
+
+    def count_distinct(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False).astype(object)
+        h = t.column("h").to_numpy(zero_copy_only=False).astype(object)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        pair_m = h != ""
+        pg = (pd.DataFrame({"g": g[pair_m], "h": h[pair_m]})
+              .drop_duplicates().g.to_numpy())
+        ug, dc = (np.unique(pg, return_counts=True) if len(pg)
+                  else (np.array([], dtype=object),
+                        np.array([], dtype=np.int64)))
+        # total partials pass through for the driver sum
+        tg, ti = np.unique(g[~pair_m], return_inverse=True)
+        tot = np.zeros(len(tg), dtype=np.int64)
+        np.add.at(tot, ti, n[~pair_m])
+        return pa.table({
+            "g": pa.array(np.concatenate([ug, tg]), type=pa.string()),
+            "n_distinct": pa.array(np.concatenate(
+                [dc.astype(np.int64), np.zeros(len(tg), np.int64)])),
+            "n_docs": pa.array(np.concatenate(
+                [np.zeros(len(ug), np.int64), tot]))})
+
+    tagged = (ds.select_columns([group_col, text_col, id_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, count_distinct)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({
+            group_col: pd.Series(dtype=object),
+            "n_docs": pd.Series(dtype="int64"),
+            "n_distinct": pd.Series(dtype="int64"),
+            "n_dup": pd.Series(dtype="int64")})
+    df = (res.to_pandas().groupby("g", as_index=False)
+          .agg(n_docs=("n_docs", "sum"), n_distinct=("n_distinct", "sum")))
+    df["n_dup"] = df.n_docs - df.n_distinct
+    df[group_col] = [None if s[0] == "1" else s[1:] for s in df.g]
+    df = df.drop(columns=["g"]).astype(
+        {"n_docs": "int64", "n_distinct": "int64", "n_dup": "int64"})
+    return (df[[group_col, "n_docs", "n_distinct", "n_dup"]]
+            .sort_values(group_col, na_position="last")
+            .reset_index(drop=True))

@@ -1143,3 +1143,66 @@ def time_weighted_value(events_ds, key_col: str = "user_id",
                              "twa_den": pd.Series(dtype="int64")})
     return (res.to_pandas().sort_values(key_col)
             .reset_index(drop=True))
+
+
+def interarrival_quantiles(events_ds, qs: tuple = (0.5, 0.9),
+                           key_col: str = "user_id", ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           id_col: str = "event_id",
+                           num_buckets: int = 32) -> pd.DataFrame:
+    """EXACT inter-arrival-time quantiles per event type — the
+    cadence/SLA profile: per (key, type) timeline (order ``ts`` asc,
+    ``id`` asc), consecutive gaps in SECONDS (``gap_us //
+    1_000_000``, non-negative so numpy and SQL ``//`` agree), then
+    per-type discrete quantiles over the gap multiset (DuckDB
+    ``quantile_disc`` definition — ``analytics.grouped_exact_
+    quantiles``).  Null key/ts/type rows drop.  Returns
+    ``(event_type, n, q50, q90, ...)`` sorted by type.
+
+    Scale shape: ONE key-keyed exchange emits (type, gap_s) rows that
+    STAY resident (``grouped_exchange_ds``); second-resolution
+    discretization bounds the quantile histogram's distinct values, so
+    the exact-quantile partials stay types × distinct-gaps.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange_ds
+
+    gap_schema = pa.schema([(type_col, pa.string()),
+                            ("gap_s", pa.int64())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.select([key_col, ts_col, type_col, id_col])
+        b = b.filter(pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                                     pc.is_valid(b[ts_col])),
+                             pc.is_valid(b[type_col])))
+        h = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def gaps(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        st = pc.cast(t[type_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        iv = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        o = np.lexsort((iv, ts, st, k))
+        ks, sts, tss = k[o], st[o], ts[o]
+        same = (ks[1:] == ks[:-1]) & (sts[1:] == sts[:-1])
+        gap = (tss[1:] - tss[:-1]) // 1_000_000
+        return pa.table({
+            type_col: pa.array(sts[1:][same], type=pa.string()),
+            "gap_s": pa.array(gap[same])}).cast(gap_schema)
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    gaps_ds = grouped_exchange_ds(tagged, "__b", num_buckets, gaps,
+                                  empty_schema=gap_schema)
+    from .analytics import grouped_exact_quantiles
+
+    out = grouped_exact_quantiles(gaps_ds, type_col, "gap_s", qs=qs)
+    return out.sort_values(type_col).reset_index(drop=True)
