@@ -3885,8 +3885,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   columns=["user_id", "ts", "event_type", "event_id"]),
             qs=(0.5, 0.9), num_buckets=16)
 
+    def oov_q(sf):
+        # tokenizer-fit audit: per-source OOV share vs the global
+        # top-20 vocabulary (build_vocab's exact count-desc/word-asc
+        # ranking); vocab broadcast once, zero shuffles
+        from verify_ray.pipelines.text import oov_rate
+
+        return oov_rate(_read(sf, "documents",
+                              columns=["text", "source"]),
+                        vocab_size=20)
+
+    def order_violations_q(sf):
+        # ingestion-order monotonicity audit: adjacent id-ordered steps
+        # that go backward in event time, per user
+        from verify_ray.pipelines.sessions import order_violations
+
+        return order_violations(
+            _read(sf, "events", columns=["user_id", "ts", "event_id"]),
+            num_buckets=16)
+
+    def path_trigrams_q(sf):
+        # top-10 length-3 event-type journeys (transition_counts'
+        # higher-order sibling); alphabet^3-sized driver merge
+        from verify_ray.pipelines.sessions import path_ngrams
+
+        return path_ngrams(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_type", "event_id"]),
+            n=3, topk=10, num_buckets=16)
+
+    def supplier_coverage_q(sf):
+        # supply-risk coverage audit: parts backed by < 2 distinct
+        # suppliers.  The synthetic fact table gives every real part
+        # >= 8 suppliers, so single-sourced parts are PLANTED
+        # (partkey+10M, one constant supplier) — the oracle restates
+        # the injection; the audit must flag exactly those
+        import ray.data as rd
+
+        t = pq.read_table(f"{sf}/lineitem.parquet",
+                          columns=["l_partkey", "l_suppkey"])
+        planted = pa.table({
+            "l_partkey": pc.add(
+                t.filter(pc.less(t["l_partkey"], 25))["l_partkey"],
+                10_000_000),
+            "l_suppkey": pa.array(
+                np.ones(t.filter(pc.less(t["l_partkey"], 25)).num_rows,
+                        dtype=np.int64))})
+        rel = rd.from_arrow(pa.concat_tables(
+            [t, planted.cast(t.schema)]))
+        return analytics.coverage_audit(rel, "l_partkey", "l_suppkey",
+                                        max_distinct=2, num_buckets=16)
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_oov_rate": oov_q,
+        "events_order_violations": order_violations_q,
+        "events_path_trigrams": path_trigrams_q,
+        "lineitem_supplier_coverage": supplier_coverage_q,
         "docs_psi_sources": psi_q,
         "docs_cross_epoch_dups": cross_epoch_q,
         "docs_dup_rate_by_source": dup_rate_q,
@@ -5415,6 +5470,72 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "docs_oov_rate": """
+-- per-source OOV share vs the global top-20 vocabulary (count DESC,
+-- word ASC ranking — build_vocab's exact contract); vocab counts all
+-- non-null-text docs, the per-source pass needs source too
+WITH words AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents WHERE text IS NOT NULL
+), vocab AS (
+  SELECT w FROM words GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 20
+), tagged AS (
+  SELECT source,
+         CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END AS oov
+  FROM words WHERE source IS NOT NULL
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(1000 * SUM(oov) // COUNT(*) AS BIGINT) AS oov_permille
+FROM tagged GROUP BY source ORDER BY source
+""",
+        "events_order_violations": """
+-- id-ordered timeline steps that go backward in event time, per user
+WITH lagged AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS pts
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(pts) AS BIGINT) AS n_steps,
+       CAST(COALESCE(SUM(CASE WHEN ts < pts THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_inversions
+FROM lagged GROUP BY user_id ORDER BY user_id
+""",
+        "events_path_trigrams": """
+-- top-10 length-3 event-type paths over per-user timelines
+WITH seq AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1 || '>' || t2 || '>' || t3 AS path,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+""",
+        "lineitem_supplier_coverage": """
+-- parts backed by < 2 distinct suppliers (single-sourced supply
+-- risk); every real part has >= 8, so the planted partkey+10M rows
+-- (one constant supplier) are what the audit must flag
+WITH rel AS (
+  SELECT l_partkey, l_suppkey FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+  UNION ALL
+  SELECT l_partkey + 10000000, 1 FROM lineitem WHERE l_partkey < 25
+)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct
+FROM rel GROUP BY l_partkey HAVING COUNT(DISTINCT l_suppkey) < 2
+ORDER BY l_partkey
+""",
         "docs_psi_sources": """
 -- PSI bin counts: equi-depth cuts from the reference population
 -- (cut_i = smallest v with cum*B >= i*total; bin = #cuts < v,

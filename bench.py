@@ -183,7 +183,9 @@ def bench_queries() -> dict[str, float]:
              "docs_stopword_discovery", "events_skew_profile",
              "docs_minmax_permille", "docs_psi_sources",
              "docs_cross_epoch_dups", "docs_dup_rate_by_source",
-             "events_interarrival_quantiles"]
+             "events_interarrival_quantiles", "docs_oov_rate",
+             "events_order_violations", "events_path_trigrams",
+             "lineitem_supplier_coverage"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -17,7 +17,7 @@ def _ds(table: pa.Table, blocks: int = 2):
     return rd.from_arrow(table).repartition(blocks).materialize()
 
 
-def _oracle_check(name, tables=("events", "documents")):
+def _oracle_check(name, tables=("events", "documents", "lineitem")):
     import __ray_entry__ as e
 
     mine = e.queries()[name](SF)
@@ -261,3 +261,84 @@ def test_interarrival_small_case(ray_session):
 
 def test_interarrival_oracle(ray_session):
     _oracle_check("events_interarrival_quantiles")
+
+
+# ---- oov_rate ---------------------------------------------------------------
+
+def test_oov_rate_small_case(ray_session):
+    from verify_ray.pipelines.text import oov_rate
+
+    t = pa.table({
+        "text": ["a a b", "a c", "d d", None],
+        "source": ["s1", "s1", "s2", "s2"]})
+    # global counts: a=3, d=2, b=1, c=1 -> vocab size 2 = {a, d}
+    out = oov_rate(_ds(t), vocab_size=2)
+    recs = out.to_dict("records")
+    assert recs[0] == {"source": "s1", "n_tokens": 5, "n_oov": 2,
+                       "oov_permille": 400}
+    assert recs[1] == {"source": "s2", "n_tokens": 2, "n_oov": 0,
+                       "oov_permille": 0}
+
+
+def test_oov_oracle(ray_session):
+    _oracle_check("docs_oov_rate")
+
+
+# ---- order_violations -------------------------------------------------------
+
+def test_order_violations_counts_backward_steps(ray_session):
+    from verify_ray.pipelines.sessions import order_violations
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "event_id": pa.array([10, 11, 12, 20], type=pa.int64()),
+        # id order 10,11,12 but ts goes 5, 3, 9 -> one inversion
+        "ts": pa.array([5, 3, 9, 1], type=pa.timestamp("us"))})
+    out = order_violations(_ds(t), num_buckets=4)
+    recs = out.to_dict("records")
+    assert recs[0] == {"user_id": 1, "n_steps": 2, "n_inversions": 1}
+    assert recs[1] == {"user_id": 2, "n_steps": 0, "n_inversions": 0}
+
+
+def test_order_violations_oracle(ray_session):
+    _oracle_check("events_order_violations")
+
+
+# ---- path_ngrams ------------------------------------------------------------
+
+def test_path_ngrams_never_cross_users(ray_session):
+    from verify_ray.pipelines.sessions import path_ngrams
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 2], type=pa.int64()),
+        "ts": pa.array([1, 2, 3, 1, 2, 3], type=pa.timestamp("us")),
+        "event_type": ["a", "b", "c", "a", "b", "c"],
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64())})
+    out = path_ngrams(_ds(t), n=3, topk=5, num_buckets=4)
+    assert out.to_dict("records") == [{"path": "a>b>c", "n": 2}]
+
+
+def test_path_trigrams_oracle(ray_session):
+    out = _oracle_check("events_path_trigrams")
+    assert len(out) == 10
+
+
+# ---- coverage_audit ---------------------------------------------------------
+
+def test_coverage_audit_dedups_pairs_across_blocks(ray_session):
+    from verify_ray.pipelines.analytics import coverage_audit
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+        "v": pa.array([7, 7, 8, 9, 9, 5], type=pa.int64())})
+    out = coverage_audit(_ds(t, blocks=3), "k", "v", max_distinct=2)
+    # k=1 has {7,8} -> covered; k=2 has {9} dup'd across blocks -> 1;
+    # k=3 -> 1
+    assert out.to_dict("records") == [
+        {"k": 2, "n_distinct": 1}, {"k": 3, "n_distinct": 1}]
+
+
+def test_supplier_coverage_oracle(ray_session):
+    out = _oracle_check("lineitem_supplier_coverage")
+    assert len(out) > 0
+    assert (out.n_distinct < 2).all()

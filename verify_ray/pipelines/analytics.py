@@ -2551,3 +2551,55 @@ def psi_bins(cur_ds, ref_ds, col: str, n_bins: int = 8) -> pd.DataFrame:
     keep = (rn > 0) | (cn > 0)
     return pd.DataFrame({"bin": np.flatnonzero(keep).astype(np.int64),
                          "ref_n": rn[keep], "cur_n": cn[keep]})
+
+
+def coverage_audit(ds, key_col: str, val_col: str,
+                   max_distinct: int, num_buckets: int = 64
+                   ) -> pd.DataFrame:
+    """Referential COVERAGE audit: keys backed by FEWER than
+    ``max_distinct`` distinct values — single-sourced parts, users
+    seen from < k devices, labels with < k annotators; the
+    supply-risk / redundancy check over any (key, value) relation.
+    Null key/value rows drop.  Returns ``(key, n_distinct)`` for the
+    under-covered keys only, sorted by key (int64 keys — the fact-
+    table FK contract).
+
+    Distributed shape: each batch collapses to DISTINCT (key, value)
+    pairs; ONE key-keyed exchange re-dedups across batches and counts
+    per key; only under-covered keys leave the tasks.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.select([key_col, val_col])
+        b = b.filter(pc.and_(pc.is_valid(b[key_col]),
+                             pc.is_valid(b[val_col])))
+        k = pc.cast(b[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = pc.cast(b[val_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        kv = np.unique(np.rec.fromarrays([k, v], names=["k", "v"]))
+        return pa.table({
+            "__b": pa.array((kv["k"].astype(np.uint64)
+                             % np.uint64(num_buckets)).astype(np.int64)),
+            "k": pa.array(kv["k"]), "v": pa.array(kv["v"])})
+
+    def count(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        kv = np.unique(np.rec.fromarrays([k, v], names=["k", "v"]))
+        uk, cnt = np.unique(kv["k"], return_counts=True)
+        keep = cnt < max_distinct
+        return pa.table({key_col: pa.array(uk[keep]),
+                         "n_distinct": pa.array(
+                             cnt[keep].astype(np.int64))})
+
+    tagged = ds.map_batches(partial, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, count)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({key_col: pd.Series(dtype="int64"),
+                             "n_distinct": pd.Series(dtype="int64")})
+    return (res.to_pandas().sort_values(key_col)
+            .reset_index(drop=True))

@@ -1206,3 +1206,134 @@ def interarrival_quantiles(events_ds, qs: tuple = (0.5, 0.9),
 
     out = grouped_exact_quantiles(gaps_ds, type_col, "gap_s", qs=qs)
     return out.sort_values(type_col).reset_index(drop=True)
+
+
+def order_violations(events_ds, key_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     num_buckets: int = 32) -> pd.DataFrame:
+    """Ingestion-order audit: per key, how many ADJACENT steps of the
+    id-ordered timeline go BACKWARD in event time (``ts[i+1] < ts[i]``
+    along ``id_col`` asc) — the monotonicity check that catches
+    producer clock skew and out-of-order ingestion before watermarked
+    operators (``events_late_arrivals``' complement: that one audits
+    arrival lateness, this one audits sequence inversions).  Null
+    key/ts/id rows drop.  Returns ``(key, n_steps, n_inversions)``
+    sorted by key; keys with a single event emit (0, 0).
+
+    Distributed shape: ONE key-keyed exchange of (key, id, ts)
+    triples; per bucket one lexsort + shifted compare — key-
+    cardinality-sized output.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.select([key_col, ts_col, id_col])
+        b = b.filter(pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                                     pc.is_valid(b[ts_col])),
+                             pc.is_valid(b[id_col])))
+        h = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def audit(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        iv = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        o = np.lexsort((iv, k))
+        ks, tss = k[o], ts[o]
+        same = ks[1:] == ks[:-1]
+        inv_ = same & (tss[1:] < tss[:-1])
+        uk = np.unique(ks)
+        steps = np.zeros(len(uk), dtype=np.int64)
+        invs = np.zeros(len(uk), dtype=np.int64)
+        if len(ks) > 1:
+            idx = np.searchsorted(uk, ks[:-1][same])
+            np.add.at(steps, idx, 1)
+            np.add.at(invs, np.searchsorted(uk, ks[:-1][inv_]),
+                      np.ones(int(inv_.sum()), dtype=np.int64))
+        return pa.table({key_col: pa.array(uk, type=pa.int64()),
+                         "n_steps": pa.array(steps),
+                         "n_inversions": pa.array(invs)})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, audit)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({key_col: pd.Series(dtype="int64"),
+                             "n_steps": pd.Series(dtype="int64"),
+                             "n_inversions": pd.Series(dtype="int64")})
+    return (res.to_pandas().sort_values(key_col)
+            .reset_index(drop=True))
+
+
+def path_ngrams(events_ds, n: int = 3, topk: int = 10,
+                key_col: str = "user_id", ts_col: str = "ts",
+                type_col: str = "event_type", id_col: str = "event_id",
+                num_buckets: int = 32) -> pd.DataFrame:
+    """Top-k length-``n`` event-type PATHS (consecutive runs of one
+    key's timeline, order ``ts`` asc / ``id`` asc) — the higher-order
+    extension of :func:`transition_counts` (n=2) for funnel/journey
+    mining.  Paths never cross keys; ties rank (count DESC, path ASC);
+    path rendered ``t1>t2>...`` (types contain no ``>`` in this
+    schema; the separator is part of the contract).  Null key/ts/type
+    rows drop.  Returns ``(path, n)``.
+
+    Distributed shape: ONE key-keyed exchange; per bucket one lexsort
+    + (n−1) shifted compares build the window mask, then per-bucket
+    (path, count) partials — driver merge bounded by alphabetⁿ.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.select([key_col, ts_col, type_col, id_col])
+        b = b.filter(pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                                     pc.is_valid(b[ts_col])),
+                             pc.is_valid(b[type_col])))
+        h = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def paths(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        iv = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        st = pc.cast(t[type_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        o = np.lexsort((iv, ts, k))
+        ks, sts = k[o], st[o]
+        m = len(ks) - n + 1
+        if m <= 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ok = np.ones(m, dtype=bool)
+        path = sts[:m].copy()
+        for j in range(1, n):
+            ok &= ks[j:m + j] == ks[:m]
+            path = path + ">" + sts[j:m + j]
+        u, c = np.unique(path[ok], return_counts=True)
+        return pa.table({"path": pa.array(u, type=pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, paths)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"path": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    df = (res.to_pandas().groupby("path", as_index=False)["n"].sum()
+          .sort_values(["n", "path"], ascending=[False, True],
+                       kind="stable")
+          .head(topk).reset_index(drop=True))
+    return df.astype({"n": "int64"})

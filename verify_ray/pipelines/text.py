@@ -811,3 +811,71 @@ def stopword_discovery(ds, min_df_permille: int = 500,
     out = res.to_pandas()
     return (out.sort_values(["df", "word"], ascending=[False, True])
             .reset_index(drop=True))
+
+
+def oov_rate(ds, vocab_size: int = 20, text_col: str = "text",
+             group_col: str = "source") -> pd.DataFrame:
+    """Out-of-vocabulary rate per group — the tokenizer-fit audit
+    before training (a source whose OOV share spikes is drifting away
+    from the vocab the tokenizer was fit on): vocabulary = the global
+    top-``vocab_size`` words by (count DESC, word ASC)
+    (:func:`tokenize.build_vocab`'s exact ranking), then per group the
+    total word occurrences, the occurrences outside the vocabulary,
+    and ``oov_permille = 1000·n_oov // n_tokens`` (exact integers).
+    Null text/group rows drop.  Returns ``(group, n_tokens, n_oov,
+    oov_permille)`` sorted by group.
+
+    Scale shape: vocab build is one streaming pass (driver data
+    bounded by corpus vocabulary — ``build_vocab``'s contract); the
+    vocab broadcasts once via ``ray.put``; pass 2 reduces each batch
+    to per-group (total, oov) partials via one ``np.unique`` + sorted
+    membership probe over the batch's UNIQUE words — enum-group-sized
+    driver merge, zero shuffles.
+    """
+    import ray
+
+    from .tokenize import _split_words, build_vocab
+
+    vocab = build_vocab(ds, vocab_size, text_col=text_col)
+    vwords = np.sort(vocab.column("word").to_numpy(
+        zero_copy_only=False).astype(object))
+    vref = ray.put(vwords)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[text_col]),
+                             pc.is_valid(b[group_col])))
+        if b.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_oov": pa.array([], pa.int64())})
+        vw = ray.get(vref)
+        words, parents, _ = _split_words(b, text_col)
+        uw, codes = np.unique(words, return_inverse=True)
+        pos = np.searchsorted(vw, uw)
+        pos_c = np.minimum(pos, max(len(vw) - 1, 0))
+        in_vocab = (vw[pos_c] == uw) if len(vw) else np.zeros(len(uw), bool)
+        oov = ~in_vocab[codes]
+        g = (pc.cast(b[group_col], pa.string())
+             .to_numpy(zero_copy_only=False).astype(object))[parents]
+        ug, inv = np.unique(g, return_inverse=True)
+        tot = np.bincount(inv, minlength=len(ug)).astype(np.int64)
+        noov = np.zeros(len(ug), dtype=np.int64)
+        np.add.at(noov, inv, oov.astype(np.int64))
+        return pa.table({"g": pa.array(ug, type=pa.string()),
+                         "n_tokens": pa.array(tot),
+                         "n_oov": pa.array(noov)})
+
+    parts = (ds.select_columns([text_col, group_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if not len(parts):
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "n_tokens": pd.Series(dtype="int64"),
+                             "n_oov": pd.Series(dtype="int64"),
+                             "oov_permille": pd.Series(dtype="int64")})
+    agg = parts.groupby("g", as_index=False).agg(
+        n_tokens=("n_tokens", "sum"), n_oov=("n_oov", "sum"))
+    agg["oov_permille"] = 1000 * agg.n_oov // agg.n_tokens
+    return (agg.rename(columns={"g": group_col})
+            .astype({"n_tokens": "int64", "n_oov": "int64",
+                     "oov_permille": "int64"})
+            .sort_values(group_col).reset_index(drop=True))
