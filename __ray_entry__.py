@@ -3936,8 +3936,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return analytics.coverage_audit(rel, "l_partkey", "l_suppkey",
                                         max_distinct=2, num_buckets=16)
 
+    def bootstrap_q(sf):
+        # multiplier-bootstrap replicates of (count, sum n_chars):
+        # one md5 per (row, replicate), eight byte-lanes -> w ~
+        # Binomial(8, 1/8); exact integer surface
+        from verify_ray.pipelines.sample import bootstrap_stats
+
+        return bootstrap_stats(
+            _read(sf, "documents", columns=["doc_id", "n_chars"]),
+            "n_chars", n_replicates=20)
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_bootstrap_stats": bootstrap_q,
         "docs_oov_rate": oov_q,
         "events_order_violations": order_violations_q,
         "events_path_trigrams": path_trigrams_q,
@@ -5470,6 +5481,27 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "docs_bootstrap_stats": """
+-- deterministic multiplier bootstrap: per (row, replicate) ONE md5
+-- draw, eight byte-lanes give w ~ Binomial(8, 1/8) (mean 1)
+WITH reps AS (SELECT CAST(i AS BIGINT) AS r FROM range(0, 20) t(i)),
+lanes AS (SELECT CAST(l AS BIGINT) AS l FROM range(0, 8) t(l)),
+h AS (
+  SELECT r, doc_id, n_chars,
+         md5_number_upper(CAST(doc_id AS VARCHAR) || '#'
+                          || CAST(r AS VARCHAR)) AS hv
+  FROM documents CROSS JOIN reps
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+), w AS (
+  SELECT r, doc_id, n_chars,
+         SUM(CASE WHEN ((hv >> (8 * l)) & 255) % 8 = 0
+                  THEN 1 ELSE 0 END) AS w
+  FROM h CROSS JOIN lanes GROUP BY r, doc_id, n_chars, hv
+)
+SELECT r AS replicate, CAST(SUM(w) AS BIGINT) AS n_rows,
+       CAST(SUM(w * n_chars) AS BIGINT) AS sum_v
+FROM w GROUP BY r ORDER BY r
+""",
         "docs_oov_rate": """
 -- per-source OOV share vs the global top-20 vocabulary (count DESC,
 -- word ASC ranking — build_vocab's exact contract); vocab counts all

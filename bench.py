@@ -185,7 +185,7 @@ def bench_queries() -> dict[str, float]:
              "docs_cross_epoch_dups", "docs_dup_rate_by_source",
              "events_interarrival_quantiles", "docs_oov_rate",
              "events_order_violations", "events_path_trigrams",
-             "lineitem_supplier_coverage"]
+             "lineitem_supplier_coverage", "docs_bootstrap_stats"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -342,3 +342,25 @@ def test_supplier_coverage_oracle(ray_session):
     out = _oracle_check("lineitem_supplier_coverage")
     assert len(out) > 0
     assert (out.n_distinct < 2).all()
+
+
+# ---- bootstrap_stats --------------------------------------------------------
+
+def test_bootstrap_layout_invariant_and_mean_one(ray_session):
+    from verify_ray.pipelines.sample import bootstrap_stats
+
+    n = 400
+    t = pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64()),
+                  "v": pa.array(np.ones(n, dtype=np.int64))})
+    a = bootstrap_stats(_ds(t, blocks=1), "v", n_replicates=10)
+    b = bootstrap_stats(_ds(t, blocks=7), "v", n_replicates=10)
+    pd.testing.assert_frame_equal(a, b)  # block-layout invariance
+    # multiplier weights have mean 1: each replicate's resampled count
+    # concentrates near n (Binomial(8n, 1/8); 5 sigma ~ 46 here)
+    assert ((a.n_rows - n).abs() < 100).all()
+    assert (a.n_rows == a.sum_v).all()  # v == 1 everywhere
+
+
+def test_bootstrap_oracle(ray_session):
+    out = _oracle_check("docs_bootstrap_stats")
+    assert len(out) == 20

@@ -486,3 +486,65 @@ def negative_samples(ds, id_col: str, n_ids: int, k: int = 4):
                          "neg_id": pa.array(neg)})
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def bootstrap_stats(ds, value_col: str, id_col: str = "doc_id",
+                    n_replicates: int = 20) -> "pd.DataFrame":
+    """Deterministic BOOTSTRAP replicates of corpus aggregates — the
+    uncertainty estimate behind any corpus statistic (is the mean doc
+    length of source A really above B, or within resampling noise?):
+    for replicate ``r``, each row gets weight ``w = #{lanes l∈0..7:
+    ((md5_u64(id || '#' || r) >> 8l) & 255) % 8 == 0}`` — eight
+    independent byte-lanes of ONE md5 draw, so w ~ Binomial(8, 1/8)
+    (mean 1, the classical multiplier bootstrap) with exact
+    ``md5_number_upper`` SQL parity and one hash per (row, replicate).
+    Returns one row per replicate: ``(replicate, n_rows, sum_v)`` —
+    exact integers; the caller derives means/CIs.  Null id/value rows
+    drop.
+
+    Scale shape: pure streaming map — each batch reduces to
+    ``n_replicates`` partial rows; the driver merge is
+    replicate-sized.  Hash cost is R md5 kernels per batch
+    (vectorized via the per-worker DuckDB connection).
+    """
+    import pandas as pd
+
+    from ..functions.hashing import md5_u64le
+
+    shifts = np.uint64(8) * np.arange(8, dtype=np.uint64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[id_col]),
+                             pc.is_valid(b[value_col])))
+        if b.num_rows == 0:
+            return pa.table({"replicate": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64()),
+                             "sum_v": pa.array([], pa.int64())})
+        ids = pc.cast(b[id_col], pa.string())
+        v = pc.cast(b[value_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        reps, ns, sums = [], [], []
+        for r in range(n_replicates):
+            keyed = pc.binary_join_element_wise(
+                ids, pa.scalar(f"#{r}"), "")
+            hv = md5_u64le(keyed)
+            lanes = (hv[:, None] >> shifts[None, :]) & np.uint64(255)
+            w = (lanes % np.uint64(8) == 0).sum(axis=1).astype(np.int64)
+            reps.append(r)
+            ns.append(int(w.sum()))
+            sums.append(int((w * v).sum()))
+        return pa.table({
+            "replicate": pa.array(np.asarray(reps, dtype=np.int64)),
+            "n_rows": pa.array(np.asarray(ns, dtype=np.int64)),
+            "sum_v": pa.array(np.asarray(sums, dtype=np.int64))})
+
+    parts = (ds.select_columns([id_col, value_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in ("replicate", "n_rows", "sum_v")})
+    out = (parts.groupby("replicate", as_index=False)
+           .agg(n_rows=("n_rows", "sum"), sum_v=("sum_v", "sum")))
+    return (out.astype({"replicate": "int64", "n_rows": "int64",
+                        "sum_v": "int64"})
+            .sort_values("replicate").reset_index(drop=True))
