@@ -3946,8 +3946,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["doc_id", "n_chars"]),
             "n_chars", n_replicates=20)
 
+    def simpson_q(sf):
+        # per-source language-diversity audit (Simpson numerator as
+        # exact integers); enum-class partials, zero shuffle
+        return analytics.simpson_diversity(
+            _read(sf, "documents", columns=["source", "lang"]),
+            "source", "lang")
+
+    def gini_q(sf):
+        # per-lang length-inequality audit: exact-integer Gini
+        # numerator from the cumulative value histogram
+        return analytics.gini_numerator(
+            _read(sf, "documents", columns=["lang", "n_chars"]),
+            "lang", "n_chars")
+
+    def vocab_growth_q(sf):
+        # Heaps'-law vocabulary growth: distinct words among docs with
+        # id < t; per-word MIN first-doc exchange, thresholds-sized out
+        from verify_ray.pipelines.text import vocab_growth
+
+        return vocab_growth(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            thresholds=[50, 100, 200, 400, 800])
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_simpson_by_source": simpson_q,
+        "docs_gini_chars_by_lang": gini_q,
+        "docs_vocab_growth": vocab_growth_q,
         "docs_bootstrap_stats": bootstrap_q,
         "docs_oov_rate": oov_q,
         "events_order_violations": order_violations_q,
@@ -5481,6 +5507,50 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "docs_simpson_by_source": """
+-- Simpson diversity, integer surface: same-class ordered pairs
+WITH gc AS (
+  SELECT source AS g, lang, COUNT(*) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1, 2
+)
+SELECT g AS source, CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(n * (n - 1)) AS BIGINT) AS same_pairs,
+       CAST(COUNT(*) AS BIGINT) AS n_classes
+FROM gc GROUP BY g ORDER BY g
+""",
+        "docs_gini_chars_by_lang": """
+-- exact-integer Gini numerator: SUM((2*rn - n - 1) * v) over the
+-- per-group sorted values (tie-invariant — tied values share v)
+WITH v AS (
+  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT g AS lang, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM((2 * rn - n - 1) * v) AS BIGINT) AS gini_num
+FROM v GROUP BY g ORDER BY g
+""",
+        "docs_vocab_growth": """
+-- Heaps'-law growth: distinct words among docs with id < t
+WITH w AS (
+  SELECT w, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+  GROUP BY w
+), thr AS (
+  SELECT CAST(t AS BIGINT) AS n_docs
+  FROM (VALUES (50), (100), (200), (400), (800)) v(t)
+)
+SELECT n_docs,
+       CAST(COUNT(*) FILTER (WHERE first_doc < n_docs) AS BIGINT)
+         AS vocab_size
+FROM thr CROSS JOIN w GROUP BY n_docs ORDER BY n_docs
+""",
         "docs_bootstrap_stats": """
 -- deterministic multiplier bootstrap: per (row, replicate) ONE md5
 -- draw, eight byte-lanes give w ~ Binomial(8, 1/8) (mean 1)

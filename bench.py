@@ -185,7 +185,9 @@ def bench_queries() -> dict[str, float]:
              "docs_cross_epoch_dups", "docs_dup_rate_by_source",
              "events_interarrival_quantiles", "docs_oov_rate",
              "events_order_violations", "events_path_trigrams",
-             "lineitem_supplier_coverage", "docs_bootstrap_stats"]
+             "lineitem_supplier_coverage", "docs_bootstrap_stats",
+             "docs_simpson_by_source", "docs_gini_chars_by_lang",
+             "docs_vocab_growth"]
     out = {}
     for name in names:
         t0 = time.time()

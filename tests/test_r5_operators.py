@@ -364,3 +364,58 @@ def test_bootstrap_layout_invariant_and_mean_one(ray_session):
 def test_bootstrap_oracle(ray_session):
     out = _oracle_check("docs_bootstrap_stats")
     assert len(out) == 20
+
+
+# ---- simpson_diversity / gini_numerator / vocab_growth ------------------------
+
+def test_simpson_counts(ray_session):
+    from verify_ray.pipelines.analytics import simpson_diversity
+
+    t = pa.table({
+        "source": ["s1", "s1", "s1", "s2", None],
+        "lang": ["en", "en", "de", "en", "fr"]})
+    out = simpson_diversity(_ds(t), "source", "lang")
+    recs = out.to_dict("records")
+    assert recs[0] == {"source": "s1", "n": 3, "same_pairs": 2,
+                       "n_classes": 2}
+    assert recs[1] == {"source": "s2", "n": 1, "same_pairs": 0,
+                       "n_classes": 1}
+    assert recs[2]["source"] is None and recs[2]["n_classes"] == 1
+
+
+def test_simpson_oracle(ray_session):
+    _oracle_check("docs_simpson_by_source")
+
+
+def test_gini_matches_pairwise_definition(ray_session):
+    from verify_ray.pipelines.analytics import gini_numerator
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 100, 40).astype("int64")
+    t = pa.table({"lang": ["en"] * 40, "n_chars": pa.array(vals)})
+    out = gini_numerator(_ds(t), "lang", "n_chars")
+    brute = int(np.abs(vals[:, None] - vals[None, :]).sum() // 2)
+    assert int(out.gini_num.iloc[0]) == brute
+    assert int(out.n.iloc[0]) == 40
+    assert int(out.sum_v.iloc[0]) == int(vals.sum())
+
+
+def test_gini_oracle(ray_session):
+    out = _oracle_check("docs_gini_chars_by_lang")
+    assert (out.gini_num >= 0).all()
+
+
+def test_vocab_growth_monotone_and_exact(ray_session):
+    from verify_ray.pipelines.text import vocab_growth
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": ["a b", "b c", "c d e", "a"]})
+    out = vocab_growth(_ds(t), thresholds=[1, 2, 3, 10])
+    assert list(out.n_docs) == [1, 2, 3, 10]
+    assert list(out.vocab_size) == [2, 3, 5, 5]
+
+
+def test_vocab_growth_oracle(ray_session):
+    out = _oracle_check("docs_vocab_growth")
+    assert (out.vocab_size.diff().dropna() >= 0).all()  # monotone

@@ -2603,3 +2603,131 @@ def coverage_audit(ds, key_col: str, val_col: str,
                              "n_distinct": pd.Series(dtype="int64")})
     return (res.to_pandas().sort_values(key_col)
             .reset_index(drop=True))
+
+
+def simpson_diversity(ds, group_col: str, class_col: str
+                      ) -> pd.DataFrame:
+    """Per-group DIVERSITY audit — the integer surface of Simpson's
+    index: for each group, ``n`` (non-null class rows), ``same_pairs``
+    = Σ_c n_c·(n_c−1) (ordered same-class pairs: Simpson's numerator;
+    D = 1 − same_pairs/(n·(n−1)) on the caller's side) and
+    ``n_classes`` (exact distinct classes) — the "is this source a
+    monoculture" check training mixes need before reweighting.  Null
+    group is its own group; null class rows drop.  Returns ``(group,
+    n, same_pairs, n_classes)`` sorted by group.
+
+    Scale shape: each batch reduces to (group, class, count) partials
+    (class repetition never leaves the block); driver merge is
+    groups × classes rows — the enum-class assumption
+    (``_merge_partials``'s contract; route through the exchange above
+    that).
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[class_col]))
+        if b.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "c": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        gs = pc.cast(b[group_col], pa.string())
+        flag = pc.if_else(pc.is_null(gs), pa.scalar("1"), pa.scalar("0"))
+        g = (pc.binary_join_element_wise(flag, pc.fill_null(gs, ""), "")
+             .to_numpy(zero_copy_only=False).astype(object))
+        c = pc.cast(b[class_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        tag = g + "\x1f" + c
+        ut, inv = np.unique(tag, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        first = np.zeros(len(ut), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(tag) - 1, -1, -1)
+        return pa.table({"g": pa.array(g[first], type=pa.string()),
+                         "c": pa.array(c[first], type=pa.string()),
+                         "n": pa.array(cnt)})
+
+    parts = (ds.select_columns([group_col, class_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if not len(parts):
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64"),
+                             "same_pairs": pd.Series(dtype="int64"),
+                             "n_classes": pd.Series(dtype="int64")})
+    gc = parts.groupby(["g", "c"], as_index=False)["n"].sum()
+    rows = []
+    for g, grp in gc.groupby("g"):
+        n_c = grp.n.to_numpy(np.int64)
+        rows.append({
+            "g": g, "n": int(n_c.sum()),
+            "same_pairs": int((n_c * (n_c - 1)).sum()),
+            "n_classes": int(len(n_c))})
+    out = pd.DataFrame(rows)
+    out[group_col] = [None if s[0] == "1" else s[1:] for s in out.g]
+    return (out.drop(columns=["g"])
+            [[group_col, "n", "same_pairs", "n_classes"]]
+            .astype({"n": "int64", "same_pairs": "int64",
+                     "n_classes": "int64"})
+            .sort_values(group_col, na_position="last")
+            .reset_index(drop=True))
+
+
+def gini_numerator(ds, group_col: str, value_col: str
+                   ) -> pd.DataFrame:
+    """Per-group INEQUALITY audit — the exact-integer Gini surface:
+    ``gini_num = Σ_{i<j} |x_i − x_j| = Σ_i (2·rn_i − n − 1)·x_(i)``
+    (rn 1-based over the sorted values; tie-invariant because tied
+    values share x), plus ``n`` and ``sum_v`` — Gini = gini_num /
+    (n·sum_v) on the caller's side.  The token-budget-concentration
+    check ("do 1% of docs hold 50% of the chars?").  Null values
+    drop; null group is its own group.  Returns ``(group, n, sum_v,
+    gini_num)`` sorted by group.
+
+    Scale shape: (group, value, count) histogram partials (the exact-
+    quantile contract — driver data bounded by groups × distinct
+    values); the rank-weighted sum derives from each group's
+    cumulative histogram, vectorized.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[value_col]))
+        if b.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        gs = pc.cast(b[group_col], pa.string())
+        flag = pc.if_else(pc.is_null(gs), pa.scalar("1"), pa.scalar("0"))
+        g = (pc.binary_join_element_wise(flag, pc.fill_null(gs, ""), "")
+             .to_numpy(zero_copy_only=False).astype(object))
+        v = pc.cast(b[value_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = (pd.DataFrame({"g": g, "v": v})
+              .groupby(["g", "v"], as_index=False).size())
+        return pa.table({"g": pa.array(df.g.to_numpy(),
+                                       type=pa.string()),
+                         "v": pa.array(df.v.to_numpy(np.int64)),
+                         "n": pa.array(df["size"].to_numpy(np.int64))})
+
+    parts = (ds.select_columns([group_col, value_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if not len(parts):
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64"),
+                             "sum_v": pd.Series(dtype="int64"),
+                             "gini_num": pd.Series(dtype="int64")})
+    hist = parts.groupby(["g", "v"], as_index=False)["n"].sum()
+    rows = []
+    for g, grp in hist.groupby("g"):
+        grp = grp.sort_values("v")
+        v = grp.v.to_numpy(np.int64)
+        c = grp.n.to_numpy(np.int64)
+        n = int(c.sum())
+        # ranks of a run of c equal values starting after `before`:
+        # sum of (2·rn − n − 1) over the run = c·(2·before + c − n)
+        before = np.concatenate([[0], np.cumsum(c)[:-1]])
+        coef = c * (2 * before + c - n)
+        rows.append({"g": g, "n": n, "sum_v": int((v * c).sum()),
+                     "gini_num": int((coef * v).sum())})
+    out = pd.DataFrame(rows)
+    out[group_col] = [None if s[0] == "1" else s[1:] for s in out.g]
+    return (out.drop(columns=["g"])
+            [[group_col, "n", "sum_v", "gini_num"]]
+            .astype({"n": "int64", "sum_v": "int64",
+                     "gini_num": "int64"})
+            .sort_values(group_col, na_position="last")
+            .reset_index(drop=True))

@@ -879,3 +879,69 @@ def oov_rate(ds, vocab_size: int = 20, text_col: str = "text",
             .astype({"n_tokens": "int64", "n_oov": "int64",
                      "oov_permille": "int64"})
             .sort_values(group_col).reset_index(drop=True))
+
+
+def vocab_growth(ds, thresholds: list[int], text_col: str = "text",
+                 id_col: str = "doc_id",
+                 num_buckets: int = 64) -> pd.DataFrame:
+    """Vocabulary GROWTH curve (Heaps'-law audit): for each doc-count
+    threshold ``t``, how many distinct words appear among the docs
+    with ``id < t`` — is the corpus still finding new vocabulary, or
+    saturated (dedup/diversity signal at curation time)?  Word = the
+    whitespace contract; null text/id docs drop.  Returns
+    ``(n_docs, vocab_size)``, one row per threshold.
+
+    Scale shape: each batch emits per-word MIN first-doc-id partials
+    over its distinct (word, doc) pairs; ONE word-keyed exchange
+    resolves the global min per word, and each bucket collapses to a
+    thresholds-length count vector — the driver sees
+    buckets × thresholds integers, never words.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+    from .tokenize import _split_words
+
+    thr = np.asarray(sorted(thresholds), dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[text_col]),
+                             pc.is_valid(b[id_col])))
+        if b.num_rows == 0:
+            return pa.table({"__b": pa.array([], pa.int64()),
+                             "word": pa.array([], pa.string()),
+                             "first": pa.array([], pa.int64())})
+        words, parents, _ = _split_words(b, text_col)
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)[parents]
+        uw, codes = np.unique(words, return_inverse=True)
+        first = np.full(len(uw), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, codes, ids)
+        h = md5_u64le(pa.array(uw, type=pa.string()))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "word": pa.array(uw, type=pa.string()),
+            "first": pa.array(first)})
+
+    def counts(t: pa.Table) -> pa.Table:
+        w = t.column("word").to_numpy(zero_copy_only=False).astype(object)
+        f = t.column("first").to_numpy(zero_copy_only=False)
+        uw, inv = np.unique(w, return_inverse=True)
+        gmin = np.full(len(uw), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(gmin, inv, f)
+        # words whose first doc id < t, per threshold
+        vs = (gmin[:, None] < thr[None, :]).sum(axis=0).astype(np.int64)
+        return pa.table({"n_docs": pa.array(thr),
+                         "vocab_size": pa.array(vs)})
+
+    tagged = (ds.select_columns([id_col, text_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, counts)
+    if res is None or res.num_rows == 0:
+        # wordless corpus still reports every threshold (SQL parity)
+        return pd.DataFrame({"n_docs": thr,
+                             "vocab_size": np.zeros(len(thr), np.int64)})
+    return (res.to_pandas().groupby("n_docs", as_index=False)
+            ["vocab_size"].sum()
+            .astype({"n_docs": "int64", "vocab_size": "int64"})
+            .sort_values("n_docs").reset_index(drop=True))
