@@ -3969,8 +3969,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["doc_id", "text"]),
             thresholds=[50, 100, 200, 400, 800])
 
+    def dau_wau_q(sf):
+        # DAU/WAU stickiness over active days; one user-keyed exchange,
+        # trailing-window expansion dedups locally
+        from verify_ray.pipelines.sessions import dau_wau
+
+        return dau_wau(_read(sf, "events", columns=["user_id", "ts"]),
+                       num_buckets=16)
+
+    def sentence_stats_q(sf):
+        # sentence segmentation structure audit (raw [.!?]+ split
+        # contract, trailing empties count)
+        from verify_ray.pipelines.text import sentence_stats
+
+        out = sentence_stats(
+            _read(sf, "documents", columns=["doc_id", "text"]))
+        return (out.to_pandas().astype(
+            {"doc_id": "int64", "n_sentences": "int64",
+             "max_sent_words": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_dau_wau": dau_wau_q,
+        "docs_sentence_stats": sentence_stats_q,
         "docs_simpson_by_source": simpson_q,
         "docs_gini_chars_by_lang": gini_q,
         "docs_vocab_growth": vocab_growth_q,
@@ -5507,6 +5529,37 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "events_dau_wau": """
+-- DAU/WAU stickiness: distinct keys per active day and per trailing
+-- 7-day window (active days only)
+WITH ud AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day AS day,
+       CAST((SELECT COUNT(*) FROM ud WHERE ud.day = d.day)
+            AS BIGINT) AS dau,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM ud
+             WHERE ud.day BETWEEN d.day - 6 AND d.day)
+            AS BIGINT) AS wau
+FROM days d ORDER BY day
+""",
+        "docs_sentence_stats": """
+-- raw [.!?]+ segmentation (trailing empties count) + max words over
+-- the trimmed segments
+WITH segs AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, '[.!?]+')) AS seg,
+         len(regexp_split_to_array(text, '[.!?]+')) AS ns
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MAX(ns) AS BIGINT) AS n_sentences,
+       CAST(MAX(len(regexp_split_to_array(trim(seg), '\\s+')))
+            AS BIGINT) AS max_sent_words
+FROM segs GROUP BY doc_id ORDER BY doc_id
+""",
         "docs_simpson_by_source": """
 -- Simpson diversity, integer surface: same-class ordered pairs
 WITH gc AS (

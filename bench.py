@@ -187,7 +187,8 @@ def bench_queries() -> dict[str, float]:
              "events_order_violations", "events_path_trigrams",
              "lineitem_supplier_coverage", "docs_bootstrap_stats",
              "docs_simpson_by_source", "docs_gini_chars_by_lang",
-             "docs_vocab_growth"]
+             "docs_vocab_growth", "events_dau_wau",
+             "docs_sentence_stats"]
     out = {}
     for name in names:
         t0 = time.time()

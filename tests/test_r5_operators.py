@@ -419,3 +419,44 @@ def test_vocab_growth_monotone_and_exact(ray_session):
 def test_vocab_growth_oracle(ray_session):
     out = _oracle_check("docs_vocab_growth")
     assert (out.vocab_size.diff().dropna() >= 0).all()  # monotone
+
+
+# ---- dau_wau / sentence_stats -------------------------------------------------
+
+def test_dau_wau_window_semantics(ray_session):
+    from verify_ray.pipelines.sessions import dau_wau
+
+    d = 86_400_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 2, 1, 3], type=pa.int64()),
+        # users 1,2 active day 0; user 1 again day 3; user 3 day 10
+        "ts": pa.array([0, 0, 3 * d, 10 * d], type=pa.timestamp("us"))})
+    out = dau_wau(_ds(t), num_buckets=4)
+    recs = {r["day"]: r for r in out.to_dict("records")}
+    assert set(recs) == {0, 3, 10}  # active days only
+    assert (recs[0]["dau"], recs[0]["wau"]) == (2, 2)
+    assert (recs[3]["dau"], recs[3]["wau"]) == (1, 2)  # 1 deduped
+    assert (recs[10]["dau"], recs[10]["wau"]) == (1, 1)
+
+
+def test_dau_wau_oracle(ray_session):
+    out = _oracle_check("events_dau_wau")
+    assert (out.wau >= out.dau).all()
+
+
+def test_sentence_stats_raw_split_contract(ray_session):
+    from verify_ray.pipelines.text import sentence_stats
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["one two. three!", "no terminator here", "x!!"]})
+    out = (sentence_stats(_ds(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc 1: ['one two', ' three', ''] -> 3 segments, max 2 words
+    # doc 3: ['x', ''] -> 2 segments ('' trims to '' -> 1 "word")
+    assert list(out.n_sentences) == [3, 1, 2]
+    assert list(out.max_sent_words) == [2, 3, 1]
+
+
+def test_sentence_stats_oracle(ray_session):
+    _oracle_check("docs_sentence_stats")

@@ -1337,3 +1337,73 @@ def path_ngrams(events_ds, n: int = 3, topk: int = 10,
                        kind="stable")
           .head(topk).reset_index(drop=True))
     return df.astype({"n": "int64"})
+
+
+def dau_wau(events_ds, key_col: str = "user_id", ts_col: str = "ts",
+            window_days: int = 7, num_buckets: int = 32) -> pd.DataFrame:
+    """DAU/WAU engagement stickiness: for every ACTIVE day, the count
+    of distinct keys active that day and the count active in the
+    trailing ``window_days`` window — the DAU/WAU ratio is the
+    standard retention pulse.  Null key/ts rows drop; day = UTC
+    epoch-day.  Returns ``(day, dau, wau)`` sorted by day (only days
+    with activity, SQL parity with a distinct-days CTE).
+
+    Distributed shape: batches collapse to distinct (key, day) pairs;
+    ONE key-keyed exchange (a key's whole day-set co-locates, so the
+    window expansion dedups locally and bucket partials sum exactly);
+    each bucket emits per-day (dau, wau) partials — driver merge is
+    buckets × days rows.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[key_col]),
+                             pc.is_valid(b[ts_col])))
+        k = pc.cast(b[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        kd = np.unique(np.rec.fromarrays([k, day], names=["k", "d"]))
+        h = pd.util.hash_array(kd["k"])
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "k": pa.array(kd["k"]), "d": pa.array(kd["d"])})
+
+    def counts(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        kd = np.unique(np.rec.fromarrays([k, d], names=["k", "d"]))
+        ks, ds_ = kd["k"], kd["d"]
+        ud, dau = np.unique(ds_, return_counts=True)
+        # window expansion: (k, d) contributes to targets d..d+W-1;
+        # distinct (k, target) via unique over the expanded recarray
+        off = np.arange(window_days, dtype=np.int64)
+        tk = np.repeat(ks, window_days)
+        tt = (ds_[:, None] + off[None, :]).ravel()
+        kt = np.unique(np.rec.fromarrays([tk, tt], names=["k", "t"]))
+        ut, wau = np.unique(kt["t"], return_counts=True)
+        days = np.union1d(ud, ut)
+        dau_full = np.zeros(len(days), dtype=np.int64)
+        dau_full[np.searchsorted(days, ud)] = dau
+        wau_full = np.zeros(len(days), dtype=np.int64)
+        wau_full[np.searchsorted(days, ut)] = wau
+        return pa.table({"day": pa.array(days),
+                         "dau": pa.array(dau_full),
+                         "wau": pa.array(wau_full)})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, counts)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in ("day", "dau", "wau")})
+    df = (res.to_pandas().groupby("day", as_index=False)
+          .agg(dau=("dau", "sum"), wau=("wau", "sum")))
+    # expansion creates phantom trailing days with zero direct
+    # activity — the output contract is ACTIVE days only
+    df = df[df.dau > 0]
+    return (df.astype({"day": "int64", "dau": "int64", "wau": "int64"})
+            .sort_values("day").reset_index(drop=True))

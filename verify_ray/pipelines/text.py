@@ -945,3 +945,47 @@ def vocab_growth(ds, thresholds: list[int], text_col: str = "text",
             ["vocab_size"].sum()
             .astype({"n_docs": "int64", "vocab_size": "int64"})
             .sort_values("n_docs").reset_index(drop=True))
+
+
+def sentence_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document sentence segmentation stats — the long-document
+    structure audit before chunking: ``n_sentences`` = segment count
+    under the ``[.!?]+`` splitter (RAW split, trailing empties count —
+    the exact ``regexp_split_to_array`` contract) and
+    ``max_sent_words`` = the largest whitespace word count over the
+    trimmed segments.  Null text rows drop.  Returns a Dataset
+    ``(doc_id, n_sentences, max_sent_words)`` — corpus-sized, stays
+    resident.
+
+    Pure streaming map: two vectorized Arrow regex splits (sentence,
+    then word inside the flattened segments) + one maximum.at — no
+    per-row Python.
+    """
+    from ..kernels import as_array
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("n_sentences", pa.int64()),
+                            ("max_sent_words", pa.int64())])
+
+    def stats(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[text_col]))
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        segs = as_array(pc.split_pattern_regex(b[text_col], r"[.!?]+"))
+        n_sent = pc.list_value_length(segs).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(segs)
+        parents = pc.list_parent_indices(segs).to_numpy(
+            zero_copy_only=False)
+        words = as_array(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(flat), r"\s+"))
+        wc = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mx = np.zeros(b.num_rows, dtype=np.int64)
+        np.maximum.at(mx, parents, wc)
+        return pa.table({
+            id_col: pc.cast(b[id_col], pa.int64()),
+            "n_sentences": pa.array(n_sent),
+            "max_sent_words": pa.array(mx)}).cast(out_schema)
+
+    return ds.map_batches(stats, batch_format="pyarrow")
