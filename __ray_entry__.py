@@ -3989,8 +3989,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "max_sent_words": "int64"})
             .sort_values("doc_id").reset_index(drop=True))
 
+    def rfm_q(sf):
+        # RFM segmentation: NTILE(5) per recency/frequency/monetary,
+        # ranks via global_rank (no global sort), tiles arithmetic
+        return analytics.rfm_scores(
+            _read(sf, "events", columns=["user_id", "ts", "value"]),
+            n_tiles=5, num_buckets=16)
+
+    def daily_quantiles_q(sf):
+        # per-day value distribution profile: exact milli-unit p10/50/90
+        def to_day_milli(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                                 pc.is_valid(b["value"])))
+            ts = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            vm = np.floor(b["value"].to_numpy(
+                zero_copy_only=False).astype(np.float64) * 1000.0
+            ).astype(np.int64)
+            return pa.table({"day": pa.array(ts // 86_400_000_000),
+                             "vm": pa.array(vm)})
+
+        ds2 = _read(sf, "events", columns=["ts", "value"]).map_batches(
+            to_day_milli, batch_format="pyarrow")
+        out = analytics.grouped_exact_quantiles(
+            ds2, "day", "vm", qs=(0.1, 0.5, 0.9))
+        return (out.astype({"day": "int64"})
+                .sort_values("day").reset_index(drop=True))
+
+    def viol_examples_q(sf):
+        # triage surface: first 3 violating ids per rule (string order
+        # on doc_id — the violations frame's VARCHAR contract)
+        df = vq.validate_documents(sf)
+        df = df.sort_values(["rule_id", "doc_id", "span"])
+        out = df.groupby("rule_id", as_index=False).head(3)
+        return out.reset_index(drop=True)
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_rfm_scores": rfm_q,
+        "events_value_quantiles_daily": daily_quantiles_q,
+        "validate_documents_examples": viol_examples_q,
         "events_dau_wau": dau_wau_q,
         "docs_sentence_stats": sentence_stats_q,
         "docs_simpson_by_source": simpson_q,
@@ -5529,6 +5567,43 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "events_rfm_scores": """
+-- RFM NTILE(5) per metric, ordered (metric ASC, user ASC); one
+-- null-filter contract for all three metrics
+WITH agg AS (
+  SELECT user_id, MAX(epoch_us(ts)) AS r, COUNT(*) AS f,
+         SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS m
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(NTILE(5) OVER (ORDER BY r, user_id) AS BIGINT) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY f, user_id) AS BIGINT) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY m, user_id) AS BIGINT) AS m_score
+FROM agg ORDER BY user_id
+""",
+        "events_value_quantiles_daily": """
+-- per-day exact milli-unit value quantiles (quantile_disc)
+WITH v AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(quantile_disc(vm, 0.1) AS BIGINT) AS q10,
+       CAST(quantile_disc(vm, 0.5) AS BIGINT) AS q50,
+       CAST(quantile_disc(vm, 0.9) AS BIGINT) AS q90
+FROM v GROUP BY day ORDER BY day
+""",
+        "validate_documents_examples": (
+            "WITH base AS (" + vq.DOCUMENTS_ORACLE + "),\n"
+            "r AS (SELECT doc_id, rule_id, span,\n"
+            "      ROW_NUMBER() OVER (PARTITION BY rule_id\n"
+            "                         ORDER BY doc_id, span) AS rk\n"
+            "      FROM base)\n"
+            "SELECT doc_id, rule_id, span FROM r WHERE rk <= 3\n"
+            "ORDER BY rule_id, doc_id, span"),
         "events_dau_wau": """
 -- DAU/WAU stickiness: distinct keys per active day and per trailing
 -- 7-day window (active days only)

@@ -188,7 +188,9 @@ def bench_queries() -> dict[str, float]:
              "lineitem_supplier_coverage", "docs_bootstrap_stats",
              "docs_simpson_by_source", "docs_gini_chars_by_lang",
              "docs_vocab_growth", "events_dau_wau",
-             "docs_sentence_stats"]
+             "docs_sentence_stats", "events_rfm_scores",
+             "events_value_quantiles_daily",
+             "validate_documents_examples"]
     out = {}
     for name in names:
         t0 = time.time()

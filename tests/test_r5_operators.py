@@ -460,3 +460,43 @@ def test_sentence_stats_raw_split_contract(ray_session):
 
 def test_sentence_stats_oracle(ray_session):
     _oracle_check("docs_sentence_stats")
+
+
+# ---- rfm_scores / daily quantiles / violation examples ------------------------
+
+def test_rfm_ntile_rule_small_case(ray_session):
+    from verify_ray.pipelines.analytics import rfm_scores
+
+    us = 1_000_000
+    # 3 users, n_tiles=5 > rows -> NTILE assigns tile = rank
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "ts": pa.array([10 * us, 20 * us, 5 * us, 30 * us],
+                       type=pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 10.0, 0.5])})
+    out = rfm_scores(_ds(t), n_tiles=5, num_buckets=4)
+    recs = {r["user_id"]: r for r in out.to_dict("records")}
+    # recency order: 2 (5s) < 1 (20s) < 3 (30s) -> tiles 1..3
+    assert (recs[2]["r_score"], recs[1]["r_score"],
+            recs[3]["r_score"]) == (1, 2, 3)
+    # frequency: 2 and 3 tie at 1 (user asc -> 2 first), 1 has 2
+    assert (recs[2]["f_score"], recs[3]["f_score"],
+            recs[1]["f_score"]) == (1, 2, 3)
+    # monetary: 3 (500) < 1 (3000) < 2 (10000)
+    assert (recs[3]["m_score"], recs[1]["m_score"],
+            recs[2]["m_score"]) == (1, 2, 3)
+
+
+def test_rfm_oracle(ray_session):
+    _oracle_check("events_rfm_scores")
+
+
+def test_daily_quantiles_oracle(ray_session):
+    out = _oracle_check("events_value_quantiles_daily")
+    assert (out.q10 <= out.q50).all() and (out.q50 <= out.q90).all()
+
+
+def test_violation_examples_oracle(ray_session):
+    out = _oracle_check("validate_documents_examples")
+    assert (out.groupby("rule_id").size() <= 3).all()
+    assert len(out) > 0

@@ -2731,3 +2731,89 @@ def gini_numerator(ds, group_col: str, value_col: str
                      "gini_num": "int64"})
             .sort_values(group_col, na_position="last")
             .reset_index(drop=True))
+
+
+def rfm_scores(events_ds, n_tiles: int = 5, key_col: str = "user_id",
+               ts_col: str = "ts", value_col: str = "value",
+               num_buckets: int = 32) -> pd.DataFrame:
+    """RFM customer scoring — the classic engagement segmentation:
+    per key, NTILE(``n_tiles``) buckets over Recency (max event µs),
+    Frequency (event count) and Monetary (Σ floor(value·1000),
+    exact-integer milli-units), each ordered ``(metric ASC, key ASC)``
+    (SQL NTILE's deterministic form).  One filter contract for all
+    three metrics: rows with null key/ts/value drop.  Returns
+    ``(key, r_score, f_score, m_score)`` sorted by key —
+    key-cardinality output.
+
+    Distributed shape: ONE key-keyed exchange reduces events to
+    per-key (r, f, m) aggregate rows that STAY resident; each metric
+    then ranks through :func:`select.global_rank` (value-counting
+    pass + score-keyed exchange — no global sort); the NTILE label is
+    arithmetic on (rank, total).  Driver data is output-sized.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange_ds
+    from .select import global_rank
+
+    agg_schema = pa.schema([(key_col, pa.int64()), ("r", pa.int64()),
+                            ("f", pa.int64()), ("m", pa.int64())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.select([key_col, ts_col, value_col])
+        b = b.filter(pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                                     pc.is_valid(b[ts_col])),
+                             pc.is_valid(b[value_col])))
+        h = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def agg(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        vm = np.floor(t[value_col].to_numpy(
+            zero_copy_only=False).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        r = np.full(len(uk), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(r, inv, ts)
+        f = np.bincount(inv).astype(np.int64)
+        m = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(m, inv, vm)
+        return pa.table({key_col: pa.array(uk), "r": pa.array(r),
+                         "f": pa.array(f),
+                         "m": pa.array(m)}).cast(agg_schema)
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    agg_ds = grouped_exchange_ds(tagged, "__b", num_buckets, agg,
+                                 empty_schema=agg_schema).materialize()
+
+    total = agg_ds.count()
+    if total == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             (key_col, "r_score", "f_score", "m_score")})
+
+    def ntile_of(rank: np.ndarray) -> np.ndarray:
+        # SQL NTILE: first total%n tiles hold total//n + 1 rows
+        small, rem = divmod(total, n_tiles)
+        cut = rem * (small + 1)
+        r0 = rank - 1
+        return np.where(
+            r0 < cut, r0 // max(small + 1, 1) + 1,
+            rem + (r0 - cut) // max(small, 1) + 1).astype(np.int64)
+
+    out = None
+    for metric, name in (("r", "r_score"), ("f", "f_score"),
+                         ("m", "m_score")):
+        ranked = global_rank(agg_ds, metric, key_col,
+                             values=[key_col]).to_pandas()
+        ranked[name] = ntile_of(ranked["rank"].to_numpy(np.int64))
+        ranked = ranked[[key_col, name]]
+        out = ranked if out is None else out.merge(ranked, on=key_col)
+    return (out.astype({key_col: "int64", "r_score": "int64",
+                        "f_score": "int64", "m_score": "int64"})
+            .sort_values(key_col).reset_index(drop=True))
