@@ -4024,8 +4024,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = df.groupby("rule_id", as_index=False).head(3)
         return out.reset_index(drop=True)
 
+    def emb_audit_q(sf):
+        # embedding-table validation gate over planted defects (the
+        # synthetic table is clean): NaN vector, wrong dim, all-zero,
+        # null embedding — ids +9M; oracle reproduces the injection
+        import ray.data as rd
+
+        from verify_ray.pipelines.similarity import (
+            embedding_quality_audit)
+
+        t = pq.read_table(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        dim = 64
+        elem = t["embedding"].type.value_type
+        bad = pa.table({
+            "vec_id": pa.array([9_000_001, 9_000_002, 9_000_003,
+                                9_000_004], type=pa.int64()),
+            "embedding": pa.array(
+                [[float("nan")] + [1.0] * (dim - 1),
+                 [1.0, 2.0, 3.0],
+                 [0.0] * dim,
+                 None], type=pa.list_(elem)),
+        })
+        ds = rd.from_arrow(pa.concat_tables(
+            [t, bad.cast(t.select(["vec_id", "embedding"]).schema)]))
+        return embedding_quality_audit(ds, expected_dim=dim)
+
+    def conversion_gap_q(sf):
+        # time-to-convert: first signup -> first purchase at/after it,
+        # whole seconds; one user-keyed exchange, vectorized min-reduce
+        from verify_ray.pipelines.sessions import conversion_gaps
+
+        return conversion_gaps(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_type"]),
+            "signup", "purchase", num_buckets=16)
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "embeddings_quality_audit": emb_audit_q,
+        "events_signup_purchase_gap": conversion_gap_q,
         "events_rfm_scores": rfm_q,
         "events_value_quantiles_daily": daily_quantiles_q,
         "validate_documents_examples": viol_examples_q,
@@ -5567,6 +5605,57 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "embeddings_quality_audit": """
+-- embedding validation gate over the planted defects (+9M ids):
+-- NaN vector, wrong dim (3), all-zero, null embedding
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT 9000001,
+    list_prepend(CAST('nan' AS REAL),
+                 [CAST(1.0 AS REAL) FOR i IN range(1, 64)])
+  UNION ALL SELECT 9000002,
+    [CAST(1.0 AS REAL), CAST(2.0 AS REAL), CAST(3.0 AS REAL)]
+  UNION ALL SELECT 9000003,
+    [CAST(0.0 AS REAL) FOR i IN range(1, 65)]
+  UNION ALL SELECT 9000004, NULL
+), checks AS (
+  SELECT vec_id, embedding,
+         len(embedding) AS dim,
+         len(list_filter(embedding,
+                         x -> isnan(x) OR isinf(x))) > 0 AS nonfin,
+         len(list_filter(embedding, x -> x != 0)) = 0 AS zero
+  FROM emb WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST((SELECT COUNT(*) FROM emb
+             WHERE vec_id IS NULL OR embedding IS NULL)
+            AS BIGINT) AS n_null,
+       CAST(SUM(CASE WHEN dim != 64 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_wrong_dim,
+       CAST(SUM(CASE WHEN nonfin THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nonfinite,
+       CAST(SUM(CASE WHEN zero AND dim > 0 AND NOT nonfin
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm
+FROM checks
+""",
+        "events_signup_purchase_gap": """
+-- time-to-convert: first signup -> first purchase at/after it
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = 'signup' AND user_id IS NOT NULL
+    AND ts IS NOT NULL
+  GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+    AND epoch_us(e.ts) >= s.t0
+  GROUP BY e.user_id
+)
+SELECT CAST(s.user_id AS BIGINT) AS user_id,
+       CAST((t1 - t0) // 1000000 AS BIGINT) AS gap_s
+FROM s JOIN p ON s.user_id = p.user_id ORDER BY user_id
+""",
         "events_rfm_scores": """
 -- RFM NTILE(5) per metric, ordered (metric ASC, user ASC); one
 -- null-filter contract for all three metrics

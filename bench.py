@@ -190,7 +190,9 @@ def bench_queries() -> dict[str, float]:
              "docs_vocab_growth", "events_dau_wau",
              "docs_sentence_stats", "events_rfm_scores",
              "events_value_quantiles_daily",
-             "validate_documents_examples"]
+             "validate_documents_examples",
+             "embeddings_quality_audit",
+             "events_signup_purchase_gap"]
     out = {}
     for name in names:
         t0 = time.time()

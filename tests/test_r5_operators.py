@@ -500,3 +500,50 @@ def test_violation_examples_oracle(ray_session):
     out = _oracle_check("validate_documents_examples")
     assert (out.groupby("rule_id").size() <= 3).all()
     assert len(out) > 0
+
+
+# ---- embedding_quality_audit / conversion_gaps --------------------------------
+
+def test_embedding_audit_flags_each_defect_once(ray_session):
+    from verify_ray.pipelines.similarity import embedding_quality_audit
+
+    elem = pa.float32()
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 2.0], [float("nan"), 1.0], [0.0, 0.0],
+             [1.0, 2.0, 3.0], None], type=pa.list_(elem))})
+    out = embedding_quality_audit(_ds(t), expected_dim=2)
+    assert out.to_dict("records") == [{
+        "n_vecs": 4, "n_null": 1, "n_wrong_dim": 1,
+        "n_nonfinite": 1, "n_zero_norm": 1}]
+
+
+def test_embedding_audit_oracle(ray_session):
+    out = _oracle_check("embeddings_quality_audit",
+                        tables=("embeddings",))
+    r = out.iloc[0]
+    # exactly the planted defects on a clean synthetic table
+    assert (r.n_null, r.n_wrong_dim, r.n_nonfinite,
+            r.n_zero_norm) == (1, 1, 1, 1)
+
+
+def test_conversion_gaps_first_at_or_after(ray_session):
+    from verify_ray.pipelines.sessions import conversion_gaps
+
+    us = 1_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 3], type=pa.int64()),
+        # user 1: purchase BEFORE signup ignored; next at +30s counts
+        "ts": pa.array([5 * us, 10 * us, 40 * us, 10 * us, 10 * us],
+                       type=pa.timestamp("us")),
+        "event_type": ["purchase", "signup", "purchase",
+                       "signup", "purchase"]})
+    out = conversion_gaps(_ds(t), "signup", "purchase", num_buckets=4)
+    # user 2 never purchases; user 3 never signs up
+    assert out.to_dict("records") == [{"user_id": 1, "gap_s": 30}]
+
+
+def test_conversion_gap_oracle(ray_session):
+    out = _oracle_check("events_signup_purchase_gap")
+    assert (out.gap_s >= 0).all() and len(out) > 0

@@ -1407,3 +1407,72 @@ def dau_wau(events_ds, key_col: str = "user_id", ts_col: str = "ts",
     df = df[df.dau > 0]
     return (df.astype({"day": "int64", "dau": "int64", "wau": "int64"})
             .sort_values("day").reset_index(drop=True))
+
+
+def conversion_gaps(events_ds, from_type: str, to_type: str,
+                    key_col: str = "user_id", ts_col: str = "ts",
+                    type_col: str = "event_type",
+                    num_buckets: int = 32) -> pd.DataFrame:
+    """Time-to-convert per key: first ``from_type`` event, then the
+    first ``to_type`` event AT OR AFTER it; gap in whole seconds
+    (``(t1 − t0) // 1_000_000``, non-negative so numpy and SQL ``//``
+    agree).  Keys without both events emit nothing.  The funnel-depth
+    companion: :func:`funnel_counts` says HOW MANY convert, this says
+    HOW FAST.  Null key/ts/type rows drop.  Returns ``(key, gap_s)``
+    sorted by key — converting-key-sized output.
+
+    Distributed shape: batches pre-reduce to per-key candidate
+    extrema (min from-ts, and min to-ts as a CONSERVATIVE candidate
+    set: every to-event ≥ the batch's from-min survives); ONE
+    key-keyed exchange resolves exactly.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.select([key_col, ts_col, type_col])
+        b = b.filter(pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                                     pc.is_valid(b[ts_col])),
+                             pc.is_valid(b[type_col])))
+        b = b.filter(pc.is_in(b[type_col],
+                              value_set=pa.array([from_type, to_type])))
+        h = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        st = pc.cast(t[type_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        uk = np.unique(k)
+        big = np.iinfo(np.int64).max
+        t0 = np.full(len(uk), big, dtype=np.int64)
+        m_from = st == from_type
+        np.minimum.at(t0, np.searchsorted(uk, k[m_from]), ts[m_from])
+        # first to-event >= t0, fully vectorized: mask each to-event
+        # against its key's t0, then a min-reduce per key (min over
+        # the mask == first, since nothing here needs sort order)
+        m_to = st == to_type
+        kt, tt = k[m_to], ts[m_to]
+        pos_key = np.searchsorted(uk, kt)
+        ok_to = tt >= t0[pos_key]
+        t1 = np.full(len(uk), big, dtype=np.int64)
+        np.minimum.at(t1, pos_key[ok_to], tt[ok_to])
+        ok = (t0 != big) & (t1 != big)
+        return pa.table({
+            key_col: pa.array(uk[ok]),
+            "gap_s": pa.array((t1[ok] - t0[ok]) // 1_000_000)})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({key_col: pd.Series(dtype="int64"),
+                             "gap_s": pd.Series(dtype="int64")})
+    return (res.to_pandas().astype({key_col: "int64", "gap_s": "int64"})
+            .sort_values(key_col).reset_index(drop=True))

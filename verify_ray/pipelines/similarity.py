@@ -819,3 +819,64 @@ def knn_join(query_ds, base_ds, k: int = 10,
     bucketed = cand.map_batches(add_bucket, batch_format="pyarrow")
     return grouped_exchange_ds(bucketed, "__b", num_buckets,
                                merge_topk, empty_schema=out_schema)
+
+
+def embedding_quality_audit(ds, emb_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            expected_dim: int | None = None
+                            ) -> "pd.DataFrame":
+    """Embedding-table VALIDATION audit — the pre-index gate every
+    vector pipeline needs (one NaN poisons a matmul; a zero vector
+    breaks cosine; a short vector crashes the stacker): per-vector
+    checks collapsed to ONE summary row of exact integers:
+    ``n_vecs`` (non-null id+embedding), ``n_null`` (null id or
+    embedding), ``n_wrong_dim`` (length ≠ ``expected_dim``; 0 checks
+    skipped when None), ``n_nonfinite`` (vectors containing any
+    NaN/±Inf), ``n_zero_norm`` (all elements exactly 0.0).
+
+    Pure streaming pass: flatten + parent-index reductions per batch
+    (no per-row Python); driver merge is one row per block.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    cols = ["n_vecs", "n_null", "n_wrong_dim", "n_nonfinite",
+            "n_zero_norm"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.is_valid(b[id_col]),
+                        pc.is_valid(b[emb_col]))
+        n_null = b.num_rows - pc.sum(pc.cast(valid, pa.int8())).as_py()
+        t = b.filter(valid)
+        emb = t[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        lens = pc.list_value_length(emb).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        wrong = (int((lens != expected_dim).sum())
+                 if expected_dim is not None else 0)
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(emb).to_numpy(
+            zero_copy_only=False)
+        bad = ~np.isfinite(flat)
+        nonfin = np.zeros(t.num_rows, dtype=bool)
+        np.logical_or.at(nonfin, parents, bad)
+        # zero-norm: max |x| == 0 over finite-only vectors; a vector
+        # of ONLY NaNs is nonfinite, not zero
+        absmax = np.zeros(t.num_rows, dtype=np.float64)
+        np.maximum.at(absmax, parents,
+                      np.abs(np.nan_to_num(flat, nan=1.0,
+                                           posinf=1.0, neginf=1.0)))
+        zero = (absmax == 0.0) & (lens > 0) & ~nonfin
+        return pa.table({
+            "n_vecs": pa.array([int(t.num_rows)], pa.int64()),
+            "n_null": pa.array([int(n_null)], pa.int64()),
+            "n_wrong_dim": pa.array([wrong], pa.int64()),
+            "n_nonfinite": pa.array([int(nonfin.sum())], pa.int64()),
+            "n_zero_norm": pa.array([int(zero.sum())], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series([0], dtype="int64")
+                             for c in cols})
+    return pd.DataFrame([{c: int(parts[c].sum()) for c in cols}])
