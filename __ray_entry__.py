@@ -4060,8 +4060,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   columns=["user_id", "ts", "event_type"]),
             "signup", "purchase", num_buckets=16)
 
+    def crosstab_q(sf):
+        # chi-square integer surface: lang x source cells with margins
+        return analytics.crosstab_margins(
+            _read(sf, "documents", columns=["lang", "source"]),
+            "lang", "source")
+
+    def runs_test_q(sf):
+        # Wald-Wolfowitz runs audit over daily event counts
+        return analytics.runs_test_counts(
+            _read(sf, "events", columns=["ts"]))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_lang_source_crosstab": crosstab_q,
+        "events_runs_test": runs_test_q,
         "embeddings_quality_audit": emb_audit_q,
         "events_signup_purchase_gap": conversion_gap_q,
         "events_rfm_scores": rfm_q,
@@ -5605,6 +5618,37 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "docs_lang_source_crosstab": """
+-- chi-square integer surface: observed cells + margins
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+)
+SELECT lang, source, CAST(n AS BIGINT) AS n,
+       CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS row_n,
+       CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS col_n,
+       CAST(SUM(n) OVER () AS BIGINT) AS total
+FROM cells ORDER BY lang, source
+""",
+        "events_runs_test": """
+-- Wald-Wolfowitz runs over daily counts; lower median via
+-- quantile_disc(0.5) == sorted[(n-1)//2]
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), med AS (SELECT quantile_disc(n, 0.5) AS m FROM daily),
+marked AS (
+  SELECT day, (n >= (SELECT m FROM med)) AS hi,
+         LAG(n >= (SELECT m FROM med)) OVER (ORDER BY day) AS ph
+  FROM daily
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS n_low,
+       CAST(1 + SUM(CASE WHEN ph IS NOT NULL AND hi != ph
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+FROM marked
+""",
         "embeddings_quality_audit": """
 -- embedding validation gate over the planted defects (+9M ids):
 -- NaN vector, wrong dim (3), all-zero, null embedding

@@ -192,7 +192,8 @@ def bench_queries() -> dict[str, float]:
              "events_value_quantiles_daily",
              "validate_documents_examples",
              "embeddings_quality_audit",
-             "events_signup_purchase_gap"]
+             "events_signup_purchase_gap",
+             "docs_lang_source_crosstab", "events_runs_test"]
     out = {}
     for name in names:
         t0 = time.time()

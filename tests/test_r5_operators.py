@@ -547,3 +547,49 @@ def test_conversion_gaps_first_at_or_after(ray_session):
 def test_conversion_gap_oracle(ray_session):
     out = _oracle_check("events_signup_purchase_gap")
     assert (out.gap_s >= 0).all() and len(out) > 0
+
+
+# ---- crosstab_margins / runs_test_counts --------------------------------------
+
+def test_crosstab_margins_small(ray_session):
+    from verify_ray.pipelines.analytics import crosstab_margins
+
+    t = pa.table({"lang": ["en", "en", "de", "en", None],
+                  "source": ["a", "a", "a", "b", "b"]})
+    out = crosstab_margins(_ds(t), "lang", "source")
+    recs = out.to_dict("records")
+    assert recs[0] == {"lang": "de", "source": "a", "n": 1,
+                       "row_n": 1, "col_n": 3, "total": 4}
+    assert recs[1] == {"lang": "en", "source": "a", "n": 2,
+                       "row_n": 3, "col_n": 3, "total": 4}
+    assert recs[2] == {"lang": "en", "source": "b", "n": 1,
+                       "row_n": 3, "col_n": 1, "total": 4}
+
+
+def test_crosstab_oracle(ray_session):
+    _oracle_check("docs_lang_source_crosstab")
+
+
+def test_runs_test_alternating_and_clumped(ray_session):
+    from verify_ray.pipelines.analytics import runs_test_counts
+
+    d = 86_400_000_000
+    # counts by day: 5,1,5,1 (alternating around median 1 -> hi at
+    # >=1 is ALL hi... use median splitting: counts 5,1,5,1, lower
+    # median = 1 -> hi = all >= 1 -> 1 run).  Use 2,0-pattern instead:
+    # days 0..3 with counts 3,1,3,1 -> median 1, hi=[T,T,T,T] 1 run?
+    # >= median makes every count hi when median = min; craft counts
+    # 1,3,1,3 with median 1: hi=[T,T,T,T].  To get runs, need counts
+    # below the median: 1,3,2,3 -> sorted 1,2,3,3 lower med 2 ->
+    # hi=[F,T,T,T] -> 2 runs
+    ts = ([0 * d] * 1 + [1 * d] * 3 + [2 * d] * 2 + [3 * d] * 3)
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+    out = runs_test_counts(_ds(t))
+    assert out.to_dict("records") == [{
+        "n_days": 4, "n_high": 3, "n_low": 1, "n_runs": 2}]
+
+
+def test_runs_test_oracle(ray_session):
+    out = _oracle_check("events_runs_test")
+    r = out.iloc[0]
+    assert r.n_high + r.n_low == r.n_days

@@ -2817,3 +2817,86 @@ def rfm_scores(events_ds, n_tiles: int = 5, key_col: str = "user_id",
     return (out.astype({key_col: "int64", "r_score": "int64",
                         "f_score": "int64", "m_score": "int64"})
             .sort_values(key_col).reset_index(drop=True))
+
+
+def crosstab_margins(ds, row_col: str, col_col: str) -> pd.DataFrame:
+    """Contingency table WITH margins — the integer surface of the
+    chi-square independence audit (is `lang` independent of `source`?
+    expected count = row_n·col_n/total; the caller divides): one row
+    per observed (row, col) cell with ``n`` (cell count), ``row_n``,
+    ``col_n`` and ``total`` attached.  Null row/col values drop.
+    Sorted (row, col).
+
+    Scale shape: per-batch (row, col, count) partials; driver merge is
+    cells-sized (enum × enum — the ``_merge_partials`` contract);
+    margins derive from the merged cell table, no second pass.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[row_col]),
+                             pc.is_valid(b[col_col])))
+        if b.num_rows == 0:
+            return pa.table({"r": pa.array([], pa.string()),
+                             "c": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = b.group_by([row_col, col_col]).aggregate(
+            [(row_col, "count")])
+        return pa.table({
+            "r": pc.cast(g[row_col], pa.string()),
+            "c": pc.cast(g[col_col], pa.string()),
+            "n": pc.cast(g[f"{row_col}_count"], pa.int64())})
+
+    parts = (ds.select_columns([row_col, col_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    cols = [row_col, col_col, "n", "row_n", "col_n", "total"]
+    if not len(parts):
+        return pd.DataFrame({row_col: pd.Series(dtype=object),
+                             col_col: pd.Series(dtype=object),
+                             **{c: pd.Series(dtype="int64")
+                                for c in cols[2:]}})
+    cells = (parts.groupby(["r", "c"], as_index=False)["n"].sum())
+    cells["row_n"] = cells.groupby("r")["n"].transform("sum")
+    cells["col_n"] = cells.groupby("c")["n"].transform("sum")
+    cells["total"] = cells.n.sum()
+    out = cells.rename(columns={"r": row_col, "c": col_col})
+    return (out[cols].astype({c: "int64" for c in cols[2:]})
+            .sort_values([row_col, col_col]).reset_index(drop=True))
+
+
+def runs_test_counts(events_ds, ts_col: str = "ts") -> pd.DataFrame:
+    """Wald–Wolfowitz RUNS-test integer surface over the DAILY event
+    series — the randomness audit that catches batch-loaded or
+    synthetic event streams (too few runs = clumped, too many =
+    alternating): daily counts, their exact lower median, each day
+    classified ``high`` (count ≥ median) or low, and the number of
+    RUNS (maximal same-class stretches in day order).  Returns one
+    row: ``(n_days, n_high, n_low, n_runs)``.  Null ts rows drop.
+
+    Scale shape: per-batch (day, count) partials (days-sized driver
+    merge); median + run count are day-vector arithmetic.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[ts_col]))
+        if b.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ts = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        ud, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(ud),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = (events_ds.select_columns([ts_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("n_days", "n_high", "n_low", "n_runs")})
+    daily = (parts.groupby("day", as_index=False)["n"].sum()
+             .sort_values("day"))
+    counts = daily.n.to_numpy(np.int64)
+    med = int(np.sort(counts)[(len(counts) - 1) // 2])  # lower median
+    high = counts >= med
+    runs = 1 + int((high[1:] != high[:-1]).sum()) if len(high) else 0
+    return pd.DataFrame([{
+        "n_days": len(counts), "n_high": int(high.sum()),
+        "n_low": int((~high).sum()), "n_runs": runs}]).astype("int64")
