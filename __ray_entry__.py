@@ -4071,8 +4071,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return analytics.runs_test_counts(
             _read(sf, "events", columns=["ts"]))
 
+    def novelty_q(sf):
+        # redundancy-pressure score: distinct 3-grams per doc + the
+        # count first appearing in this doc (min containing id)
+        from verify_ray.pipelines.text import ngram_novelty
+
+        return ngram_novelty(
+            _read(sf, "documents", columns=["doc_id", "text"]), n=3)
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_ngram_novelty": novelty_q,
         "docs_lang_source_crosstab": crosstab_q,
         "events_runs_test": runs_test_q,
         "embeddings_quality_audit": emb_audit_q,
@@ -5618,6 +5627,30 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "docs_ngram_novelty": """
+-- per-doc distinct word-3-grams + those first appearing in this doc
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+     FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)])) AS g
+  FROM toks
+), gg AS (SELECT doc_id, g FROM grams WHERE g IS NOT NULL),
+firsts AS (SELECT g, MIN(doc_id) AS fd FROM gg GROUP BY g),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM gg GROUP BY doc_id
+), nov AS (
+  SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM firsts GROUP BY fd
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.n_grams,
+       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel
+FROM per_doc p LEFT JOIN nov n ON p.doc_id = n.doc_id
+ORDER BY doc_id
+""",
         "docs_lang_source_crosstab": """
 -- chi-square integer surface: observed cells + margins
 WITH cells AS (

@@ -989,3 +989,88 @@ def sentence_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
             "max_sent_words": pa.array(mx)}).cast(out_schema)
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def ngram_novelty(ds, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  num_buckets: int = 64) -> pd.DataFrame:
+    """Per-document n-gram NOVELTY — the redundancy-pressure score
+    behind curation order (a doc whose grams all first appeared in
+    earlier docs adds nothing; high-novelty docs carry the corpus):
+    for each doc, ``n_grams`` = its DISTINCT word-``n``-grams and
+    ``n_novel`` = those whose smallest containing doc_id is THIS doc
+    (first appearance in id order; a gram tied across docs credits
+    the smallest id).  Whitespace word contract; docs with < n words
+    have zero grams and emit nothing; null text/id rows drop.
+    Returns ``(doc_id, n_grams, n_novel)`` sorted by id.
+
+    Scale shape: batches emit distinct (gram, doc) pairs; ONE
+    gram-keyed exchange resolves each gram's min doc and collapses to
+    per-doc (n_grams, n_novel) partials — the driver merge is
+    doc-cardinality (output-sized).
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+    from .tokenize import _split_words
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[text_col]),
+                             pc.is_valid(b[id_col])))
+        empty = pa.table({"__b": pa.array([], pa.int64()),
+                          "g": pa.array([], pa.string()),
+                          "d": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        words, parents, _ = _split_words(b, text_col)
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(words) < n:
+            return empty
+        m = len(words) - n + 1
+        same = np.ones(m, dtype=bool)
+        gram = words[:m].astype(object)
+        for j in range(1, n):
+            same &= parents[j:m + j] == parents[:m]
+            gram = gram + " " + words[j:m + j]
+        d = ids[parents[:m][same]]
+        pairs = (pd.DataFrame({"g": gram[same], "d": d})
+                 .drop_duplicates(ignore_index=True))
+        if not len(pairs):
+            return empty
+        h = md5_u64le(pa.array(pairs.g.to_numpy(), type=pa.string()))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "g": pa.array(pairs.g.to_numpy(), type=pa.string()),
+            "d": pa.array(pairs.d.to_numpy(np.int64))})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False).astype(object)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        pairs = (pd.DataFrame({"g": g, "d": d})
+                 .drop_duplicates())  # re-dedup across batches
+        g, d = pairs.g.to_numpy(), pairs.d.to_numpy(np.int64)
+        ug, inv = np.unique(g, return_inverse=True)
+        mind = np.full(len(ug), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mind, inv, d)
+        nd, novel = np.unique(mind, return_counts=True)
+        ud, cnt = np.unique(d, return_counts=True)
+        docs = np.union1d(ud, nd)
+        ngr = np.zeros(len(docs), dtype=np.int64)
+        ngr[np.searchsorted(docs, ud)] = cnt
+        nov = np.zeros(len(docs), dtype=np.int64)
+        nov[np.searchsorted(docs, nd)] = novel
+        return pa.table({"doc_id": pa.array(docs),
+                         "n_grams": pa.array(ngr),
+                         "n_novel": pa.array(nov)})
+
+    tagged = (ds.select_columns([id_col, text_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("doc_id", "n_grams", "n_novel")})
+    out = (res.to_pandas().groupby("doc_id", as_index=False)
+           .agg(n_grams=("n_grams", "sum"), n_novel=("n_novel", "sum")))
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values("doc_id").reset_index(drop=True))
