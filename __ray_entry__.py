@@ -4079,8 +4079,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ngram_novelty(
             _read(sf, "documents", columns=["doc_id", "text"]), n=3)
 
+    def rrf_q(sf):
+        # hybrid retrieval: RRF-fuse BM25 with distinct-word richness,
+        # exact rational scores
+        from verify_ray.pipelines.retrieval import hybrid_rrf_candidates
+
+        return hybrid_rrf_candidates(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            terms=["merge", "fast", "window", "dup"], k=50)
+
+    def spearman_q(sf):
+        # per-flag Spearman surface: does price track quantity
+        return analytics.spearman_surface(
+            _read(sf, "lineitem",
+                  columns=["l_returnflag", "l_quantity",
+                           "l_extendedprice"]),
+            "l_returnflag", "l_quantity", "l_extendedprice")
+
+    def kendall_q(sf):
+        # per-user value-trend audit (Kendall concordance counts)
+        return analytics.kendall_trend(
+            _read(sf, "events", columns=["user_id", "ts", "value"]))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_hybrid_rrf": rrf_q,
+        "lineitem_spearman": spearman_q,
+        "events_kendall_trend": kendall_q,
         "docs_ngram_novelty": novelty_q,
         "docs_lang_source_crosstab": crosstab_q,
         "events_runs_test": runs_test_q,
@@ -5627,6 +5652,99 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "docs_hybrid_rrf": f"""
+-- RRF fusion of the integer BM25 top-50 with the distinct-word
+-- richness top-50; exact rational (num, den) score surface
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         regexp_split_to_array({_TRIMMED}, '\\s+') AS ws
+  FROM documents),
+stats AS (SELECT COUNT(*) AS d, SUM(len(ws)) AS a FROM docs),
+terms(term) AS (VALUES ('dup'), ('fast'), ('merge'), ('window')),
+df AS (
+  SELECT term,
+         (SELECT COUNT(*) FROM docs WHERE list_contains(ws, term)) AS df
+  FROM terms),
+tok AS (SELECT doc_id, unnest(ws) AS w, len(ws) AS dl FROM docs),
+tf AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM tok WHERE w IN (SELECT term FROM terms) GROUP BY doc_id, w),
+scored AS (
+  SELECT tf.doc_id,
+         SUM( ((1000 * (2 * (s.d - df.df) + 1)) // (2 * df.df + 1))
+              * ((220000 * tf.tf) //
+                 (100 * tf.tf + 30 + 9 * ((10 * tf.dl * s.d) // s.a))) )
+           AS score
+  FROM tf JOIN df USING (term), stats s
+  GROUP BY tf.doc_id),
+ranked_a AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_bm25
+  FROM scored QUALIFY rank_bm25 <= 50),
+nd AS (SELECT doc_id, COUNT(DISTINCT w) AS n_distinct
+       FROM tok GROUP BY doc_id),
+ranked_b AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY n_distinct DESC, doc_id)
+           AS rank_distinct
+  FROM nd QUALIFY rank_distinct <= 50),
+f AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.rank_bm25, 0) AS ra,
+         coalesce(b.rank_distinct, 0) AS rb
+  FROM ranked_a a FULL OUTER JOIN ranked_b b ON a.doc_id = b.doc_id)
+SELECT doc_id, CAST(ra AS BIGINT) AS rank_bm25,
+       CAST(rb AS BIGINT) AS rank_distinct,
+       CAST(CASE WHEN ra > 0 AND rb > 0 THEN 120 + ra + rb
+                 ELSE 1 END AS BIGINT) AS rrf_num,
+       CAST(CASE WHEN ra > 0 AND rb > 0 THEN (60 + ra) * (60 + rb)
+                 WHEN ra > 0 THEN 60 + ra
+                 ELSE 60 + rb END AS BIGINT) AS rrf_den
+FROM f ORDER BY doc_id
+""",
+        "lineitem_spearman": """
+-- per-flag Spearman integer surface: 2x average ranks (ties share
+-- the mean position, doubling keeps integers), exact sum of squared
+-- rank differences
+WITH r AS (
+  SELECT l_returnflag AS grp,
+         2 * RANK() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_quantity)
+           + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+           - 1 AS rx2,
+         2 * RANK() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice)
+           + COUNT(*) OVER (PARTITION BY l_returnflag,
+                            l_extendedprice)
+           - 1 AS ry2
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL)
+SELECT grp, COUNT(*) AS n,
+       CAST(SUM((rx2 - ry2) * (rx2 - ry2)) AS BIGINT) AS sum_d2_x4
+FROM r GROUP BY grp ORDER BY grp
+""",
+        "events_kendall_trend": """
+-- per-user Kendall concordance counts over strictly-increasing-ts
+-- pairs (equal-ts pairs are order-ambiguous and excluded)
+WITH e AS (
+  SELECT user_id, ts, value FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+cnt AS (SELECT user_id, COUNT(*) AS n FROM e GROUP BY user_id),
+p AS (
+  SELECT a.user_id,
+         SUM(CASE WHEN b.value > a.value THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN b.value < a.value THEN 1 ELSE 0 END) AS d,
+         SUM(CASE WHEN b.value = a.value THEN 1 ELSE 0 END) AS t
+  FROM e a JOIN e b ON a.user_id = b.user_id AND a.ts < b.ts
+  GROUP BY a.user_id)
+SELECT cnt.user_id, cnt.n,
+       CAST(COALESCE(p.c, 0) AS BIGINT) AS concordant,
+       CAST(COALESCE(p.d, 0) AS BIGINT) AS discordant,
+       CAST(COALESCE(p.t, 0) AS BIGINT) AS tie_value
+FROM cnt LEFT JOIN p ON cnt.user_id = p.user_id
+ORDER BY cnt.user_id
+""",
         "docs_ngram_novelty": """
 -- per-doc distinct word-3-grams + those first appearing in this doc
 WITH toks AS (

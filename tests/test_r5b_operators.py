@@ -5,6 +5,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -81,3 +82,133 @@ def test_ngram_novelty_nulls_and_empty(ray_session):
 
 def test_ngram_novelty_oracle(ray_session):
     _oracle_check("docs_ngram_novelty", tables=("documents",))
+
+
+# ---- spearman_surface -------------------------------------------------------
+
+def test_avg_rank_x2_tie_semantics():
+    from verify_ray.pipelines.analytics import _avg_rank_x2
+
+    # values [10, 20, 20, 30]: avg ranks 1, 2.5, 2.5, 4 -> x2
+    r2 = _avg_rank_x2(np.array([10.0, 20.0, 20.0, 30.0]))
+    assert list(r2) == [2, 5, 5, 8]
+    # reversed input, same multiset -> permuted same ranks
+    r2 = _avg_rank_x2(np.array([30.0, 20.0, 10.0, 20.0]))
+    assert list(r2) == [8, 5, 2, 5]
+
+
+def test_spearman_perfect_and_reversed(ray_session):
+    from verify_ray.pipelines.analytics import spearman_surface
+
+    t = pa.table({
+        "g": ["a"] * 4 + ["b"] * 4,
+        "x": pa.array([1.0, 2, 3, 4] * 2),
+        "y": pa.array([10.0, 20, 30, 40, 40, 30, 20, 10])})
+    out = spearman_surface(_ds(t), "g", "x", "y", num_buckets=4)
+    assert list(out.grp) == ["a", "b"]
+    # perfect monotone: sum d2 = 0; reversed: 4*sum((2k-(2n+2-2k))/..)
+    assert list(out.n) == [4, 4]
+    assert out.sum_d2_x4[0] == 0
+    # reversed ranks: d2x4 = sum over k of (2k - 2(5-k))^2 = 4*(2k-5)^2*... 
+    # ranks x: 1,2,3,4 y:4,3,2,1 -> d=2(rx-ry)= -6,-2,2,6 -> sum=80
+    assert out.sum_d2_x4[1] == 80
+
+
+def test_spearman_nulls_drop(ray_session):
+    from verify_ray.pipelines.analytics import spearman_surface
+
+    t = pa.table({
+        "g": ["a", "a", None, "a"],
+        "x": pa.array([1.0, None, 3.0, 4.0]),
+        "y": pa.array([1.0, 2.0, 3.0, None])})
+    out = spearman_surface(_ds(t), "g", "x", "y", num_buckets=2)
+    assert list(out.n) == [1]  # only the (a, 1, 1) row survives
+
+
+def test_spearman_oracle(ray_session):
+    _oracle_check("lineitem_spearman", tables=("lineitem",))
+
+
+# ---- kendall_trend ----------------------------------------------------------
+
+def test_kendall_counts_and_ts_tie_exclusion(ray_session):
+    from verify_ray.pipelines.analytics import kendall_trend
+
+    us = 1_000_000
+    t = pa.table({
+        "user_id": pa.array([1] * 4 + [2], type=pa.int64()),
+        "ts": pa.array([0, 1 * us, 1 * us, 2 * us, 0],
+                       type=pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 3.0, 2.0, 5.0])})
+    out = kendall_trend(_ds(t), num_buckets=2)
+    assert list(out.user_id) == [1, 2]
+    # user 1 pairs with strictly increasing ts:
+    #  (0,1us)x2: 1<2 C, 1<3 C; (0,2us): 1<2 C;
+    #  (1us,2us)x2: 2=2 T, 3>2 D.  Same-ts pair (2,3) excluded.
+    assert list(out.n) == [4, 1]
+    assert list(out.concordant) == [3, 0]
+    assert list(out.discordant) == [1, 0]
+    assert list(out.tie_value) == [1, 0]
+
+
+def test_kendall_chunking_matches_reference(ray_session):
+    from verify_ray.pipelines.analytics import kendall_trend
+
+    rng = np.random.default_rng(7)
+    n = 1500  # > chunk size 512 -> exercises the chunked path
+    ts = rng.choice(n * 3, size=n, replace=False).astype("int64")
+    v = rng.integers(0, 20, size=n).astype("float64")
+    t = pa.table({
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "value": pa.array(v)})
+    out = kendall_trend(_ds(t, blocks=3), num_buckets=2)
+    order = np.argsort(ts, kind="stable")
+    vs = v[order]
+    dv = vs[None, :] - vs[:, None]
+    upper = np.triu(np.ones((n, n), dtype=bool), k=1)
+    assert out.concordant[0] == int((upper & (dv > 0)).sum())
+    assert out.discordant[0] == int((upper & (dv < 0)).sum())
+    assert out.tie_value[0] == int((upper & (dv == 0)).sum())
+
+
+def test_kendall_group_cap_raises(ray_session):
+    from verify_ray.pipelines.analytics import kendall_trend
+
+    t = pa.table({
+        "user_id": pa.array([1] * 10, type=pa.int64()),
+        "ts": pa.array(np.arange(10), type=pa.timestamp("us")),
+        "value": pa.array(np.arange(10, dtype="float64"))})
+    with pytest.raises(Exception, match="max_group_rows"):
+        kendall_trend(_ds(t), num_buckets=2, max_group_rows=5)
+
+
+def test_kendall_oracle(ray_session):
+    _oracle_check("events_kendall_trend", tables=("events",))
+
+
+# ---- hybrid_rrf_candidates --------------------------------------------------
+
+def test_rrf_fusion_arithmetic(ray_session):
+    from verify_ray.pipelines.retrieval import hybrid_rrf_candidates
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["apple apple apple",          # matches term, 1 distinct
+                 "banana pear plum kiwi",      # no match, 4 distinct
+                 "apple pear cherry"]})        # match, 3 distinct
+    out = hybrid_rrf_candidates(_ds(t, blocks=1), terms=["apple"], k=2)
+    out = out.set_index("doc_id")
+    # BM25 candidates: docs 1, 3 (both contain 'apple').
+    # distinct ranking: doc 2 (4), doc 3 (3) in top-2.
+    assert out.loc["2", "rank_bm25"] == 0
+    assert out.loc["2", "rrf_num"] == 1
+    assert out.loc["2", "rrf_den"] == 60 + out.loc["2", "rank_distinct"]
+    r3a, r3b = out.loc["3", "rank_bm25"], out.loc["3", "rank_distinct"]
+    assert r3a > 0 and r3b > 0
+    assert out.loc["3", "rrf_num"] == 120 + r3a + r3b
+    assert out.loc["3", "rrf_den"] == (60 + r3a) * (60 + r3b)
+
+
+def test_rrf_oracle(ray_session):
+    _oracle_check("docs_hybrid_rrf", tables=("documents",))

@@ -2900,3 +2900,170 @@ def runs_test_counts(events_ds, ts_col: str = "ts") -> pd.DataFrame:
     return pd.DataFrame([{
         "n_days": len(counts), "n_high": int(high.sum()),
         "n_low": int((~high).sum()), "n_runs": runs}]).astype("int64")
+
+
+def _avg_rank_x2(v: np.ndarray) -> np.ndarray:
+    """2 × average (fractional) rank, 1-based, as exact int64 — ties
+    share the mean of their positions, so doubling keeps integers:
+    a tie-run occupying sorted positions [s, e] (0-based) gets
+    ``s + e + 2``.  Matches SQL ``2*RANK() + COUNT(*) OVER
+    (PARTITION BY value) - 1``."""
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    starts = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+    lens = np.diff(np.r_[starts, len(sv)])
+    r2_sorted = np.repeat(starts + (starts + lens - 1) + 2, lens)
+    r2 = np.empty(len(v), dtype=np.int64)
+    r2[order] = r2_sorted
+    return r2
+
+
+def spearman_surface(ds, group_col: str, x_col: str, y_col: str,
+                     num_buckets: int = 32,
+                     max_bucket_rows: int | None = None) -> pd.DataFrame:
+    """Per-group SPEARMAN rank-correlation integer surface — the
+    monotone-association audit between two columns (e.g. does price
+    track quantity within each return flag; does doc length track
+    token count per language) with zero float policy: per group emit
+    ``n`` and ``sum_d2_x4`` = Σ(2·avgrank(x) − 2·avgrank(y))², both
+    exact BIGINT (average ranks are half-integers, so the doubled
+    difference is integral; ρ ≈ 1 − 6·(sum_d2_x4/4)/(n(n²−1)) for the
+    consumer, tie-corrected variants derivable from the same ranks).
+    Rows with a null in ``group/x/y`` drop.
+
+    Scale shape: ranking is per-group, so rows take ONE group-keyed
+    hash exchange; each group must fit a merge task (the
+    grouped-exchange contract — size ``num_buckets`` with the data,
+    ``max_bucket_rows`` is the skew tripwire).  d² sums fit int64 up
+    to n ≈ 1.3e6 rows per group (4n³ bound); larger groups need the
+    sketch path, not this exact surface.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(b[group_col]),
+                            pc.is_valid(b[x_col])),
+                    pc.is_valid(b[y_col]))
+        b = b.filter(m)
+        g = pc.cast(b[group_col], pa.string())
+        h = md5_u64le(g)
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "g": g,
+            "x": pc.cast(b[x_col], pa.float64()),
+            "y": pc.cast(b[y_col], pa.float64())})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False).astype(object)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        ug, inv = np.unique(g, return_inverse=True)
+        ns, d2s = [], []
+        for gi in range(len(ug)):
+            sel = inv == gi
+            d = _avg_rank_x2(x[sel]) - _avg_rank_x2(y[sel])
+            ns.append(int(sel.sum()))
+            d2s.append(int((d * d).sum()))
+        return pa.table({"grp": pa.array(ug, type=pa.string()),
+                         "n": pa.array(ns, type=pa.int64()),
+                         "sum_d2_x4": pa.array(d2s, type=pa.int64())})
+
+    tagged = (ds.select_columns([group_col, x_col, y_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve,
+                           max_bucket_rows=max_bucket_rows)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"grp": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64"),
+                             "sum_d2_x4": pd.Series(dtype="int64")})
+    return (res.to_pandas().sort_values("grp").reset_index(drop=True))
+
+
+def kendall_trend(events_ds, key_col: str = "user_id",
+                  order_col: str = "ts", value_col: str = "value",
+                  num_buckets: int = 32,
+                  max_group_rows: int = 8192) -> pd.DataFrame:
+    """Per-key KENDALL concordance surface over a time series — the
+    per-user monotone-trend audit (is this user's ``value`` drifting
+    up, down, or noise): for every pair of that key's events with
+    STRICTLY increasing ``order_col`` (equal-timestamp pairs are
+    order-ambiguous and excluded), count ``concordant`` (later value
+    greater), ``discordant`` (later value smaller) and ``tie_value``
+    (equal values).  Exact integers; τ-a ≈ (C−D)/(C+D+T) for the
+    consumer.  Rows with a null key/order/value drop.  Returns
+    ``(user_id, n, concordant, discordant, tie_value)`` by key.
+
+    Scale shape: ONE key-hashed exchange co-locates each key's rows;
+    pair counting is per-key O(n²) vectorized in row-chunks (bounded
+    memory), with ``max_group_rows`` as the documented per-task bound
+    — a key beyond it raises with guidance (pre-aggregate to daily
+    values, or sample the key's events) rather than silently burning
+    a merge task.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                            pc.is_valid(b[order_col])),
+                    pc.is_valid(b[value_col]))
+        b = b.filter(m)
+        k = pc.cast(b[key_col], pa.int64())
+        h = md5_u64le(pc.cast(k, pa.string()))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "k": k,
+            "o": pc.cast(pc.cast(b[order_col], pa.timestamp("us")),
+                         pa.int64()),
+            "v": pc.cast(b[value_col], pa.float64())})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        o = t.column("o").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        uk = np.unique(k)
+        rows = []
+        for key in uk:
+            sel = k == key
+            n = int(sel.sum())
+            if n > max_group_rows:
+                raise ValueError(
+                    f"kendall_trend: key {key} has {n} rows > "
+                    f"max_group_rows={max_group_rows}; pre-aggregate "
+                    "the series (e.g. daily values) or raise the bound")
+            ok, vk = o[sel], v[sel]
+            idx = np.argsort(ok, kind="stable")
+            ok, vk = ok[idx], vk[idx]
+            c = d = tv = 0
+            chunk = 512
+            for i0 in range(0, n, chunk):
+                i1 = min(i0 + chunk, n)
+                # pairs (i in [i0,i1), j > i) with o[j] > o[i]
+                om = ok[None, i0:i1] < ok[i0:, None]      # (n-i0, i1-i0)
+                tri = np.arange(i0, n)[:, None] > np.arange(i0, i1)[None, :]
+                om &= tri
+                dv = vk[i0:, None] - vk[None, i0:i1]
+                c += int((om & (dv > 0)).sum())
+                d += int((om & (dv < 0)).sum())
+                tv += int((om & (dv == 0)).sum())
+            rows.append((int(key), n, c, d, tv))
+        cols = list(zip(*rows)) if rows else [[]] * 5
+        return pa.table({
+            "user_id": pa.array(cols[0], type=pa.int64()),
+            "n": pa.array(cols[1], type=pa.int64()),
+            "concordant": pa.array(cols[2], type=pa.int64()),
+            "discordant": pa.array(cols[3], type=pa.int64()),
+            "tie_value": pa.array(cols[4], type=pa.int64())})
+
+    tagged = (events_ds.select_columns([key_col, order_col, value_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    out_cols = ("user_id", "n", "concordant", "discordant", "tie_value")
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in out_cols})
+    return (res.to_pandas().sort_values("user_id")
+            .reset_index(drop=True))

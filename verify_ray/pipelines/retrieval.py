@@ -314,3 +314,70 @@ def phrase_occurrences(ds, phrase: list[str], text_col: str = "text",
             "n_occ": pa.array(c.astype(np.int64))}).cast(out_schema)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def distinct_words_topk(docs_ds, k: int = 50, text_col: str = "text",
+                        id_col: str = "doc_id") -> pd.DataFrame:
+    """Top-``k`` documents by DISTINCT word count (lexical-richness
+    ranking), ordered by ``(n_distinct DESC, doc_id ASC)`` with the
+    string form of the id as the tie key (the BM25 ranking's tie
+    contract).  Returns ``(doc_id, n_distinct)``.
+
+    Scale shape: per-batch top-k then a k×blocks driver re-cut —
+    global top-k is monotone under concatenation, so the re-cut is
+    exact."""
+    def score_batch(b: pa.Table) -> pa.Table:
+        parents, words, _ = _batch_words(b, text_col)
+        uniq = np.unique(
+            np.stack([parents, np.unique(words, return_inverse=True)[1]],
+                     axis=1), axis=0)
+        nd = np.bincount(uniq[:, 0], minlength=b.num_rows).astype(np.int64)
+        ids = pc.cast(b[id_col], pa.string()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids.astype(object), -nd))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], type=pa.string()),
+                         "n_distinct": pa.array(nd[order])})
+
+    cand = docs_ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                             "n_distinct": pd.Series([], dtype="int64")})
+    return (cand.sort_values(["n_distinct", "doc_id"],
+                             ascending=[False, True]).head(k)
+            .reset_index(drop=True))
+
+
+def hybrid_rrf_candidates(docs_ds, terms: list[str], k: int = 50,
+                          rrf_k: int = 60, text_col: str = "text",
+                          id_col: str = "doc_id") -> pd.DataFrame:
+    """HYBRID retrieval fusion — reciprocal-rank-fuse the integer BM25
+    relevance ranking with the distinct-word lexical-richness ranking
+    (the two-system RRF pattern used to mix lexical and quality /
+    dense signals when building retrieval training data).  The RRF
+    score 1/(K+r_a) + 1/(K+r_b) is kept as an EXACT rational
+    ``(rrf_num, rrf_den)`` — no float policy; consumers order by the
+    fraction via cross-multiplication.  Ranks are 1-based positions in
+    each system's top-``k`` (0 = absent); a doc absent from one system
+    contributes only its present term.  Output: one row per candidate
+    in either top-``k``, ``(doc_id, rank_bm25, rank_distinct, rrf_num,
+    rrf_den)`` sorted by the string form of the id.
+
+    Scale shape: both rankings are distributed top-k scans
+    (:func:`bm25_topk`, :func:`distinct_words_topk`); the fusion
+    itself touches ≤ 2k rows on the driver (output-sized).
+    """
+    a = bm25_topk(docs_ds, terms, k=k, text_col=text_col, id_col=id_col)
+    b = distinct_words_topk(docs_ds, k=k, text_col=text_col, id_col=id_col)
+    a = a.assign(rank_bm25=np.arange(1, len(a) + 1))[["doc_id", "rank_bm25"]]
+    b = b.assign(rank_distinct=np.arange(1, len(b) + 1))[
+        ["doc_id", "rank_distinct"]]
+    f = a.merge(b, on="doc_id", how="outer").fillna(0).astype(
+        {"rank_bm25": "int64", "rank_distinct": "int64"})
+    na = rrf_k + f.rank_bm25.to_numpy()
+    nb = rrf_k + f.rank_distinct.to_numpy()
+    both = (f.rank_bm25.to_numpy() > 0) & (f.rank_distinct.to_numpy() > 0)
+    num = np.where(both, na + nb, 1).astype(np.int64)
+    den = np.where(both, na * nb,
+                   np.where(f.rank_bm25.to_numpy() > 0, na, nb)
+                   ).astype(np.int64)
+    f["rrf_num"], f["rrf_den"] = num, den
+    return f.sort_values("doc_id").reset_index(drop=True)
