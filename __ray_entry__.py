@@ -4101,11 +4101,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return analytics.kendall_trend(
             _read(sf, "events", columns=["user_id", "ts", "value"]))
 
+    def padding_q(sf):
+        # pad-to-longest batching waste: length-sorted vs id-blocked
+        from verify_ray.pipelines.pack import padding_waste
+
+        return padding_waste(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            batch_size=16, max_len=512)
+
+    def linear_attr_q(sf):
+        # linear multi-touch attribution: every click in the 7-day
+        # lookback of each purchase, with the exact credit denominator
+        from verify_ray.pipelines.joins import window_attribution
+
+        ev = _read(sf, "events",
+                   columns=["event_id", "user_id", "event_type", "ts"])
+
+        def pick(et, idname):
+            def f(b: pa.Table) -> pa.Table:
+                b = b.filter(pc.equal(b["event_type"], et))
+                return pa.table({idname: b["event_id"],
+                                 "user_id": b["user_id"], "ts": b["ts"]})
+            return f
+
+        buys = ev.map_batches(pick("purchase", "buy_id"),
+                              batch_format="pyarrow")
+        clicks = ev.map_batches(pick("click", "click_id"),
+                                batch_format="pyarrow")
+        out = window_attribution(buys, clicks,
+                                 num_buckets=16).to_pandas()
+        return (out.sort_values(["buy_id", "click_id"])
+                .reset_index(drop=True))
+
+    def assort_q(sf):
+        # co-purchase graph mixing audit (same partkey quarter as the
+        # triangles query): exact degree-assortativity sums
+        from verify_ray.pipelines.graph import (
+            cooccurrence_edges, degree_assortativity_surface)
+
+        edges = cooccurrence_edges(
+            _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"],
+                  filter=pc.bit_wise_and(pc.field("l_partkey"), 3) == 0),
+            "l_orderkey", "l_partkey", num_buckets=8)
+        return degree_assortativity_surface(edges, num_buckets=8)
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
         "docs_hybrid_rrf": rrf_q,
         "lineitem_spearman": spearman_q,
         "events_kendall_trend": kendall_q,
+        "docs_padding_waste": padding_q,
+        "events_linear_attribution": linear_attr_q,
+        "copurchase_assortativity": assort_q,
         "docs_ngram_novelty": novelty_q,
         "docs_lang_source_crosstab": crosstab_q,
         "events_runs_test": runs_test_q,
@@ -5701,6 +5748,73 @@ SELECT doc_id, CAST(ra AS BIGINT) AS rank_bm25,
                  WHEN ra > 0 THEN 60 + ra
                  ELSE 60 + rb END AS BIGINT) AS rrf_den
 FROM f ORDER BY doc_id
+""",
+        "docs_padding_waste": f"""
+-- pad-to-longest batching waste: length-sorted batches vs id-blocked
+-- arrival batches (batch_size 16, lengths capped at 512)
+WITH lens AS (
+  SELECT doc_id,
+         least(len(regexp_split_to_array({_TRIMMED}, '\\s+')), 512) AS l
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+sb AS (SELECT l, (ROW_NUMBER() OVER (ORDER BY l) - 1) // 16 AS bk
+       FROM lens),
+sagg AS (SELECT bk, COUNT(*) m, MAX(l) mx, SUM(l) sm
+         FROM sb GROUP BY bk),
+ab AS (SELECT l, doc_id // 16 AS bk FROM lens),
+aagg AS (SELECT bk, COUNT(*) m, MAX(l) mx, SUM(l) sm
+         FROM ab GROUP BY bk)
+SELECT 'sorted' AS strategy, CAST(SUM(m) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_batches, CAST(SUM(sm) AS BIGINT) AS total_tokens,
+       CAST(SUM(m * mx) AS BIGINT) AS padded_tokens,
+       CAST(SUM(m * mx) - SUM(sm) AS BIGINT) AS waste
+FROM sagg
+UNION ALL
+SELECT 'arrival', CAST(SUM(m) AS BIGINT), COUNT(*),
+       CAST(SUM(sm) AS BIGINT), CAST(SUM(m * mx) AS BIGINT),
+       CAST(SUM(m * mx) - SUM(sm) AS BIGINT)
+FROM aagg
+""",
+        "events_linear_attribution": """
+-- linear multi-touch attribution: every click in each purchase's
+-- 7-day lookback (inclusive both ends), with the credit denominator
+WITH buys AS (
+  SELECT event_id AS buy_id, user_id, ts FROM events
+  WHERE event_type = 'purchase' AND event_id IS NOT NULL
+    AND user_id IS NOT NULL AND ts IS NOT NULL),
+clicks AS (
+  SELECT event_id AS click_id, user_id, ts FROM events
+  WHERE event_type = 'click' AND event_id IS NOT NULL
+    AND user_id IS NOT NULL AND ts IS NOT NULL),
+pairs AS (
+  SELECT b.buy_id, b.user_id, c.click_id
+  FROM buys b JOIN clicks c
+    ON b.user_id = c.user_id
+   AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL 7 DAY)
+SELECT buy_id, user_id, click_id,
+       COUNT(*) OVER (PARTITION BY buy_id) AS n_touch
+FROM pairs ORDER BY buy_id, click_id
+""",
+        "copurchase_assortativity": """
+-- degree-assortativity sums over the co-purchase graph (distinct
+-- part pairs sharing an order, partkey % 4 = 0 quarter)
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey % 4 = 0 AND l_orderkey IS NOT NULL
+    AND l_partkey IS NOT NULL),
+e AS (
+  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT x AS n FROM e UNION ALL SELECT y FROM e) GROUP BY n),
+j AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM e JOIN deg dx ON e.x = dx.n JOIN deg dy ON e.y = dy.n)
+SELECT COUNT(*) AS m, CAST(SUM(dx * dy) AS BIGINT) AS sum_prod,
+       CAST(SUM(dx + dy) AS BIGINT) AS sum_deg,
+       CAST(SUM(dx * dx + dy * dy) AS BIGINT) AS sum_sq
+FROM j
 """,
         "lineitem_spearman": """
 -- per-flag Spearman integer surface: 2x average ranks (ties share

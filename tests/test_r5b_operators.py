@@ -212,3 +212,100 @@ def test_rrf_fusion_arithmetic(ray_session):
 
 def test_rrf_oracle(ray_session):
     _oracle_check("docs_hybrid_rrf", tables=("documents",))
+
+
+# ---- padding_waste ----------------------------------------------------------
+
+def test_padding_waste_hand_case(ray_session):
+    from verify_ray.pipelines.pack import padding_waste
+
+    # ids 0..4 lengths [5, 1, 4, 2, 8]; batch_size 2, cap 6
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": ["a b c d e", "a", "a b c d", "a b",
+                 "a b c d e f g h"]})
+    out = padding_waste(_ds(t), batch_size=2, max_len=6)
+    out = out.set_index("strategy")
+    # capped lengths: [5, 1, 4, 2, 6]; total = 18
+    # sorted [1,2,4,5,6]: batches (1,2),(4,5),(6) -> padded 4+10+6=20
+    assert out.loc["sorted", "total_tokens"] == 18
+    assert out.loc["sorted", "padded_tokens"] == 20
+    assert out.loc["sorted", "waste"] == 2
+    assert out.loc["sorted", "n_batches"] == 3
+    # arrival blocks id//2: (5,1),(4,2),(6) -> padded 10+8+6=24
+    assert out.loc["arrival", "padded_tokens"] == 24
+    assert out.loc["arrival", "waste"] == 6
+
+
+def test_padding_waste_sorted_run_formula_matches_bruteforce(ray_session):
+    from verify_ray.pipelines.pack import padding_waste
+
+    rng = np.random.default_rng(11)
+    lens = rng.integers(1, 40, size=203)
+    texts = [" ".join(["w"] * int(n)) for n in lens]
+    t = pa.table({"doc_id": pa.array(np.arange(203), type=pa.int64()),
+                  "text": texts})
+    out = padding_waste(_ds(t, blocks=4), batch_size=7, max_len=512)
+    srt = np.sort(lens)
+    padded = sum(int(srt[i:i + 7].max()) * len(srt[i:i + 7])
+                 for i in range(0, len(srt), 7))
+    row = out.set_index("strategy").loc["sorted"]
+    assert row.padded_tokens == padded
+    assert row.n_batches == -(-203 // 7)
+    assert row.total_tokens == int(lens.sum())
+
+
+def test_padding_waste_oracle(ray_session):
+    _oracle_check("docs_padding_waste", tables=("documents",))
+
+
+# ---- window_attribution -----------------------------------------------------
+
+def test_window_attribution_semantics(ray_session):
+    from verify_ray.pipelines.joins import window_attribution
+
+    us = 1_000_000
+    buys = pa.table({
+        "buy_id": pa.array([100, 101], type=pa.int64()),
+        "user_id": pa.array([1, 1], type=pa.int64()),
+        "ts": pa.array([10 * us, 100 * us], type=pa.timestamp("us"))})
+    clicks = pa.table({
+        "click_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        # 5: in window of buy 100 (and not 101); 10: AT buy 100's ts
+        # (inclusive); 95: in window of 101 only; user-2 click never
+        "ts": pa.array([5 * us, 10 * us, 95 * us, 7 * us],
+                       type=pa.timestamp("us"))})
+    out = (window_attribution(_ds(buys), _ds(clicks),
+                              window_us=20 * us, num_buckets=4)
+           .to_pandas().sort_values(["buy_id", "click_id"])
+           .reset_index(drop=True))
+    assert list(out.buy_id) == [100, 100, 101]
+    assert list(out.click_id) == [1, 2, 3]
+    assert list(out.n_touch) == [2, 2, 1]
+
+
+def test_window_attribution_oracle(ray_session):
+    _oracle_check("events_linear_attribution", tables=("events",))
+
+
+# ---- degree_assortativity_surface -------------------------------------------
+
+def test_assortativity_star_graph(ray_session):
+    from verify_ray.pipelines.graph import degree_assortativity_surface
+
+    # star: center 0 with leaves 1..4 (plus a duplicate + reversed
+    # + self-loop edge to exercise canonicalization/dedup)
+    t = pa.table({
+        "x": pa.array([0, 0, 0, 0, 1, 2, 2], type=pa.int64()),
+        "y": pa.array([1, 2, 3, 4, 0, 0, 2], type=pa.int64())})
+    out = degree_assortativity_surface(_ds(t), num_buckets=4)
+    # distinct edges: (0,1),(0,2),(0,3),(0,4); deg(0)=4, leaves 1
+    assert out.m[0] == 4
+    assert out.sum_prod[0] == 4 * (4 * 1)
+    assert out.sum_deg[0] == 4 * 5
+    assert out.sum_sq[0] == 4 * (16 + 1)
+
+
+def test_assortativity_oracle(ray_session):
+    _oracle_check("copurchase_assortativity", tables=("lineitem",))

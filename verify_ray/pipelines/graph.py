@@ -690,3 +690,113 @@ def resolve_roots(edges_ds, child_col: str = "child",
         return pa.table({"node": b["node"], "root": b["ptr"]})
 
     return ptr.map_batches(finish, batch_format="pyarrow")
+
+
+def degree_assortativity_surface(edges_ds, x_col: str = "x",
+                                 y_col: str = "y",
+                                 num_buckets: int = 32) -> pd.DataFrame:
+    """DEGREE-ASSORTATIVITY integer surface of an undirected simple
+    graph — the mixing audit (do hubs connect to hubs?) behind graph
+    sanity checks on co-occurrence graphs: over the DISTINCT edge set
+    (parallel edges from ``cooccurrence_edges`` are deduped first),
+    emit one row ``(m, sum_prod, sum_deg, sum_sq)`` where per edge
+    (u, v) with distinct-neighbor degrees d_u, d_v the sums are
+    Σ d_u·d_v, Σ (d_u + d_v), Σ (d_u² + d_v²) — exact BIGINT; Pearson
+    assortativity r derives as
+    [sum_prod/m − (sum_deg/2m)²] / [sum_sq/2m − (sum_deg/2m)²].
+
+    Scale shape: edge dedup is one pair-hashed exchange; degrees are
+    per-batch (node, cnt) partials through a node-keyed exchange
+    (Dataset-resident); each degree attaches to its edges via the
+    composable :func:`pipelines.joins.hash_join` (one exchange per
+    side); the final reduce is a 4-scalar per-batch partial.
+    """
+    from ..stages.exchange import grouped_exchange, grouped_exchange_ds
+    from .joins import hash_join
+
+    edge_schema = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[x_col]), pc.is_valid(b[y_col])))
+        x = pc.cast(b[x_col], pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(b[y_col], pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(x, y), np.maximum(x, y)  # canonical x < y
+        keep = lo != hi  # drop self-loops
+        lo, hi = lo[keep], hi[keep]
+        pairs = np.unique(_pair_struct(lo, hi))  # map-side dedup
+        h = pd.util.hash_array(pairs["a"]) ^ pd.util.hash_array(pairs["b"])
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            "x": pa.array(pairs["a"]), "y": pa.array(pairs["b"])})
+
+    def dedup(t: pa.Table) -> pa.Table:
+        pairs = np.unique(_pair_struct(
+            t.column("x").to_numpy(zero_copy_only=False),
+            t.column("y").to_numpy(zero_copy_only=False)))
+        return pa.table({"x": pa.array(pairs["a"]),
+                         "y": pa.array(pairs["b"])}).cast(edge_schema)
+
+    E = grouped_exchange_ds(
+        edges_ds.map_batches(tag_edges, batch_format="pyarrow"),
+        "__b", num_buckets, dedup, empty_schema=edge_schema).materialize()
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            b.column("x").to_numpy(zero_copy_only=False),
+            b.column("y").to_numpy(zero_copy_only=False)])
+        un, cnt = np.unique(nodes, return_counts=True)
+        h = pd.util.hash_array(un)
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            "node": pa.array(un), "deg": pa.array(cnt.astype(np.int64))})
+
+    def sum_deg(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy(zero_copy_only=False)
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        un, inv = np.unique(n, return_inverse=True)
+        out = np.zeros(len(un), dtype=np.int64)
+        np.add.at(out, inv, d)
+        return pa.table({"node": pa.array(un),
+                         "deg": pa.array(out)}).cast(deg_schema)
+
+    D = grouped_exchange_ds(
+        E.map_batches(node_partial, batch_format="pyarrow"),
+        "__b", num_buckets, sum_deg, empty_schema=deg_schema).materialize()
+
+    def rename(to):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns(["node", to])
+        return f
+
+    with_dx = hash_join(E, D.map_batches(rename("dx"),
+                                         batch_format="pyarrow"),
+                        key="x", right_key="node",
+                        left_values=["x", "y"], right_values=["dx"],
+                        num_buckets=num_buckets)
+    with_both = hash_join(with_dx,
+                          D.map_batches(rename("dy"),
+                                        batch_format="pyarrow"),
+                          key="y", right_key="node",
+                          left_values=["x", "y", "dx"],
+                          right_values=["dy"],
+                          num_buckets=num_buckets)
+
+    def scalar_partial(b: pa.Table) -> pa.Table:
+        dx = b.column("dx").to_numpy(zero_copy_only=False)
+        dy = b.column("dy").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "m": pa.array([b.num_rows], pa.int64()),
+            "sum_prod": pa.array([int((dx * dy).sum())], pa.int64()),
+            "sum_deg": pa.array([int((dx + dy).sum())], pa.int64()),
+            "sum_sq": pa.array([int((dx * dx + dy * dy).sum())],
+                               pa.int64())})
+
+    parts = with_both.map_batches(scalar_partial,
+                                  batch_format="pyarrow").to_pandas()
+    tot = parts.sum() if len(parts) else None
+    row = ({"m": 0, "sum_prod": 0, "sum_deg": 0, "sum_sq": 0}
+           if tot is None else
+           {c: int(tot[c]) for c in ("m", "sum_prod", "sum_deg",
+                                     "sum_sq")})
+    return pd.DataFrame([row]).astype("int64")

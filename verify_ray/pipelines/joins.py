@@ -1662,3 +1662,85 @@ def snm_pairs(ds, id_col: str, key_col: str, window: int = 5,
                     "dist": dist[hit]})], ignore_index=True)
     return (pairs.sort_values(cols).reset_index(drop=True)
             .astype({c: "int64" for c in cols}))
+
+
+def window_attribution(conv_ds, touch_ds, key: str = "user_id",
+                       ts: str = "ts", conv_id: str = "buy_id",
+                       touch_id: str = "click_id",
+                       window_us: int = 7 * 86_400_000_000,
+                       num_buckets: int = 32):
+    """LINEAR multi-touch attribution assignment — the generalization
+    of last-touch (``asof_join`` backward) to EVERY touch in the
+    lookback window: each conversion row is paired with ALL of its
+    key's touches with ``conv_ts − window ≤ touch_ts ≤ conv_ts``, and
+    carries ``n_touch`` (that conversion's touch count) so each pair's
+    linear credit is the exact rational 1/n_touch — no float policy.
+    Conversions with zero in-window touches emit nothing.  Null
+    key/ts/id rows drop.  Returns a Dataset
+    ``(buy_id, user_id, click_id, n_touch)``.
+
+    Scale shape: ONE key-hashed exchange co-locates each key's
+    conversions and touches; per bucket, touches sort once by
+    (key, ts) and every conversion's window is two ``searchsorted``
+    calls + repeat/arange enumeration (no per-key loop).  Per-task
+    bound: one key's rows and its window pair fan-out (SURVEY §2.6 —
+    salt pathological keys upstream).
+    """
+    from ..stages.exchange import grouped_exchange_ds
+    from .graph import _pair_struct
+
+    out_schema = pa.schema([
+        (conv_id, pa.int64()), (key, pa.int64()),
+        (touch_id, pa.int64()), ("n_touch", pa.int64())])
+
+    def tag(which_id, side):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.and_(pc.is_valid(b[key]), pc.is_valid(b[ts])),
+                        pc.is_valid(b[which_id]))
+            b = b.filter(m)
+            k, bk = _key_arrays(b[key])
+            return pa.table({
+                "__b": pa.array((bk % np.uint64(num_buckets))
+                                .astype(np.int64)),
+                "k": k,
+                "t": _ts_i64(b[ts]),
+                "i": pc.cast(b[which_id], pa.int64()),
+                "s": pa.array(np.full(b.num_rows, side, dtype=np.int8))})
+        return f
+
+    def resolve(t: pa.Table) -> pa.Table:
+        empty = out_schema.empty_table()
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        tv = t.column("t").to_numpy(zero_copy_only=False)
+        iv = t.column("i").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        tsel = np.flatnonzero(s == 0)
+        csel = np.flatnonzero(s == 1)
+        if not len(tsel) or not len(csel):
+            return empty
+        tstruct = _pair_struct(k[tsel], tv[tsel])
+        order = np.argsort(tstruct, kind="stable")
+        tstruct, tids = tstruct[order], iv[tsel][order]
+        lo = np.searchsorted(tstruct,
+                             _pair_struct(k[csel], tv[csel] - window_us),
+                             side="left")
+        hi = np.searchsorted(tstruct, _pair_struct(k[csel], tv[csel]),
+                             side="right")
+        n = hi - lo
+        total = int(n.sum())
+        if total == 0:
+            return empty
+        rep = np.repeat(np.arange(len(csel)), n)
+        csum = np.concatenate(([0], np.cumsum(n)))
+        pos = np.arange(total) - np.repeat(csum[:-1], n) + np.repeat(lo, n)
+        return pa.table({
+            conv_id: pa.array(iv[csel][rep]),
+            key: pa.array(k[csel][rep]),
+            touch_id: pa.array(tids[pos]),
+            "n_touch": pa.array(n[rep])}).cast(out_schema)
+
+    tagged = (conv_ds.map_batches(tag(conv_id, 1), batch_format="pyarrow")
+              .union(touch_ds.map_batches(tag(touch_id, 0),
+                                          batch_format="pyarrow")))
+    return grouped_exchange_ds(tagged, "__b", num_buckets, resolve,
+                               empty_schema=out_schema)

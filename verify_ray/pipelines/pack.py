@@ -284,3 +284,123 @@ def pack_sequences_streaming(seqs_ds, seq_len: int = 512,
         "s": "token_sum"})
     return (df.sort_values([group_col, "example_id"])
             .reset_index(drop=True))
+
+
+def padding_waste(docs_ds, batch_size: int = 16, max_len: int = 512,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  num_buckets: int = 32) -> pd.DataFrame:
+    """PADDING-WASTE audit for pad-to-longest batching — the
+    throughput question behind length-sorted bucketing: how many pad
+    tokens does a training batch of ``batch_size`` sequences burn
+    under (a) ``sorted`` batching (docs ordered by length — the
+    length-bucketing upper bound) vs (b) ``arrival`` batching
+    (id-blocked: batch = doc_id // batch_size — the no-reorder
+    baseline)?  Doc length = whitespace token count capped at
+    ``max_len`` (truncation contract); a batch of m docs pads every
+    doc to its longest member, so ``padded_tokens = Σ_batches m·max``
+    and ``waste = padded_tokens − total_tokens``.  Null text/id rows
+    drop.  Returns two rows ``(strategy, n_docs, n_batches,
+    total_tokens, padded_tokens, waste)``.
+
+    Scale shape: the sorted strategy needs only the LENGTH HISTOGRAM
+    (sorted batch composition is a function of the length multiset) —
+    per-batch (len, cnt) partials, ≤ max_len rows each, merged on the
+    driver; per-batch stats are then derived per length-RUN, never
+    materializing a per-batch array.  The arrival strategy is a
+    block-keyed exchange ((id // batch_size) % B) whose merge emits
+    ONE scalar row per bucket.
+    """
+    from ..stages.exchange import grouped_exchange
+
+    def lens_of(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        b = b.filter(pc.and_(pc.is_valid(b[text_col]),
+                             pc.is_valid(b[id_col])))
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b[text_col]), r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lens = np.minimum(lens, max_len)
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return ids, lens
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        _, lens = lens_of(b)
+        ul, cnt = np.unique(lens, return_counts=True)
+        return pa.table({"l": pa.array(ul),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    def blk_partial(b: pa.Table) -> pa.Table:
+        ids, lens = lens_of(b)
+        blk = ids // batch_size
+        ub, inv = np.unique(blk, return_inverse=True)
+        m = np.bincount(inv).astype(np.int64)
+        sm = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(sm, inv, lens)
+        mx = np.zeros(len(ub), dtype=np.int64)
+        np.maximum.at(mx, inv, lens)
+        return pa.table({
+            "__b": pa.array((ub % num_buckets).astype(np.int64)),
+            "blk": pa.array(ub), "m": pa.array(m),
+            "mx": pa.array(mx), "sm": pa.array(sm)})
+
+    def blk_resolve(t: pa.Table) -> pa.Table:
+        blk = t.column("blk").to_numpy(zero_copy_only=False)
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        mx = t.column("mx").to_numpy(zero_copy_only=False)
+        sm = t.column("sm").to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(blk, return_inverse=True)
+        M = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(M, inv, m)
+        S = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(S, inv, sm)
+        X = np.zeros(len(ub), dtype=np.int64)
+        np.maximum.at(X, inv, mx)
+        return pa.table({
+            "n_batches": pa.array([len(ub)], pa.int64()),
+            "n_docs": pa.array([int(M.sum())], pa.int64()),
+            "total": pa.array([int(S.sum())], pa.int64()),
+            "padded": pa.array([int((M * X).sum())], pa.int64())})
+
+    proj = docs_ds.select_columns([id_col, text_col])
+    hist = (proj.map_batches(hist_partial, batch_format="pyarrow")
+            .to_pandas().groupby("l", as_index=False)["cnt"].sum()
+            .sort_values("l"))
+    blk_tagged = proj.map_batches(blk_partial, batch_format="pyarrow")
+    blk = grouped_exchange(blk_tagged, "__b", num_buckets, blk_resolve)
+
+    cols = ("strategy", "n_docs", "n_batches", "total_tokens",
+            "padded_tokens", "waste")
+    if not len(hist):
+        return pd.DataFrame({c: pd.Series(dtype="int64" if c != "strategy"
+                                          else object) for c in cols})
+
+    # sorted strategy from the length histogram, per length-run: a
+    # batch's max is the length at its LAST sorted position, so batch
+    # k (positions [kb, kb+b)) takes the run covering position
+    # min((k+1)b, N) - 1
+    L = hist.l.to_numpy(np.int64)
+    C = hist.cnt.to_numpy(np.int64)
+    N = int(C.sum())
+    b = batch_size
+    K = (N + b - 1) // b
+    cum = np.cumsum(C)
+    # full batches end at sorted positions b-1, 2b-1, ...; the count
+    # of those ends falling inside run r ([s_r, e_r)) is a closed form
+    # (ends below x = x // b), so this stays O(distinct lengths)
+    F = N // b
+    s = np.r_[0, cum[:-1]]
+    n_full = (np.minimum(cum, F * b) // b
+              - np.minimum(s, F * b) // b)
+    padded_sorted = int((b * L * n_full).sum())
+    if N % b:  # trailing partial batch ends at position N-1
+        padded_sorted += (N % b) * int(L[np.searchsorted(cum, N)])
+    total = int((L * C).sum())
+
+    rows = [("sorted", N, K, total, padded_sorted,
+             padded_sorted - total)]
+    ab = blk.to_pandas().sum()
+    rows.append(("arrival", int(ab.n_docs), int(ab.n_batches),
+                 int(ab.total), int(ab.padded),
+                 int(ab.padded) - int(ab.total)))
+    out = pd.DataFrame(rows, columns=cols)
+    return out.astype({c: "int64" for c in cols[1:]})
