@@ -4133,6 +4133,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values(["buy_id", "click_id"])
                 .reset_index(drop=True))
 
+    def leakage_q(sf):
+        # temporal-leakage audit of an 80/20 event-hash split
+        from verify_ray.pipelines.sample import temporal_leakage_audit
+
+        return temporal_leakage_audit(
+            _read(sf, "events", columns=["event_id", "user_id", "ts"]),
+            train_frac=0.8)
+
+    def trans_div_q(sf):
+        # per-user Markov transition-diversity surface
+        from verify_ray.pipelines.sessions import transition_diversity
+
+        return transition_diversity(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_type", "event_id"]))
+
+    def token_drift_q(sf):
+        # vocabulary drift between doc_id-parity epochs (top-100 each)
+        from verify_ray.pipelines.text import token_epoch_drift
+
+        return token_epoch_drift(
+            _read(sf, "documents", columns=["doc_id", "text"]), k=100)
+
     def assort_q(sf):
         # co-purchase graph mixing audit (same partkey quarter as the
         # triangles query): exact degree-assortativity sums
@@ -4153,6 +4176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_padding_waste": padding_q,
         "events_linear_attribution": linear_attr_q,
         "copurchase_assortativity": assort_q,
+        "events_split_leakage": leakage_q,
+        "events_transition_diversity": trans_div_q,
+        "docs_token_drift": token_drift_q,
         "docs_ngram_novelty": novelty_q,
         "docs_lang_source_crosstab": crosstab_q,
         "events_runs_test": runs_test_q,
@@ -5748,6 +5774,67 @@ SELECT doc_id, CAST(ra AS BIGINT) AS rank_bm25,
                  WHEN ra > 0 THEN 60 + ra
                  ELSE 60 + rb END AS BIGINT) AS rrf_den
 FROM f ORDER BY doc_id
+""",
+        "events_split_leakage": """
+-- temporal leakage of the 80/20 md5 event split: per user, test
+-- events at-or-before the user's latest train event
+WITH e AS (
+  SELECT user_id, ts,
+         (md5_number_upper(CAST(event_id AS VARCHAR)) % 10000) < 8000
+           AS is_train
+  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+    AND ts IS NOT NULL),
+mt AS (SELECT user_id, MAX(ts) AS mx FROM e WHERE is_train
+       GROUP BY user_id),
+agg AS (
+  SELECT e.user_id,
+         SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS n_train,
+         SUM(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS n_test,
+         SUM(CASE WHEN NOT is_train AND mt.mx IS NOT NULL
+                   AND e.ts <= mt.mx THEN 1 ELSE 0 END) AS n_leaky
+  FROM e LEFT JOIN mt ON e.user_id = mt.user_id
+  GROUP BY e.user_id)
+SELECT user_id, CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_test AS BIGINT) AS n_test,
+       CAST(n_leaky AS BIGINT) AS n_leaky
+FROM agg ORDER BY user_id
+""",
+        "events_transition_diversity": """
+-- per-user transition diversity: consecutive event-type pairs by
+-- (ts, event_id), distinct pairs, and the exact collision count
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL),
+t AS (
+  SELECT user_id, event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+  FROM e),
+tc AS (SELECT user_id, a, b, COUNT(*) AS c FROM t
+       WHERE b IS NOT NULL GROUP BY user_id, a, b)
+SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_transitions,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(c * (c - 1)) AS BIGINT) AS sum_c2
+FROM tc GROUP BY user_id ORDER BY user_id
+""",
+        "docs_token_drift": f"""
+-- vocabulary drift between doc_id-parity epochs: every token in
+-- either epoch's top-100 (count DESC, token ASC), with both counts
+WITH toks AS (
+  SELECT doc_id % 2 AS ep,
+         unnest(regexp_split_to_array({_TRIMMED}, '\\s+')) AS w
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+c AS (
+  SELECT w, SUM(CASE WHEN ep = 0 THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN ep = 1 THEN 1 ELSE 0 END) AS c1
+  FROM toks GROUP BY w),
+t0 AS (SELECT w FROM c ORDER BY c0 DESC, w LIMIT 100),
+t1 AS (SELECT w FROM c ORDER BY c1 DESC, w LIMIT 100)
+SELECT w AS token, CAST(c0 AS BIGINT) AS cnt_even,
+       CAST(c1 AS BIGINT) AS cnt_odd
+FROM c WHERE w IN (SELECT w FROM t0 UNION SELECT w FROM t1)
+ORDER BY token
 """,
         "docs_padding_waste": f"""
 -- pad-to-longest batching waste: length-sorted batches vs id-blocked

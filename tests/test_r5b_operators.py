@@ -309,3 +309,112 @@ def test_assortativity_star_graph(ray_session):
 
 def test_assortativity_oracle(ray_session):
     _oracle_check("copurchase_assortativity", tables=("lineitem",))
+
+
+# ---- temporal_leakage_audit -------------------------------------------------
+
+def test_temporal_leakage_hand_case(ray_session):
+    from verify_ray.pipelines.sample import temporal_leakage_audit
+
+    us = 1_000_000
+    # train_frac=1.0 -> everything train, zero test/leaky;
+    # train_frac=0.0 -> everything test, no train -> zero leaky
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "ts": pa.array([0, us, 0, us], type=pa.timestamp("us"))})
+    all_train = temporal_leakage_audit(_ds(t), train_frac=1.0)
+    assert list(all_train.n_test) == [0, 0]
+    assert list(all_train.n_leaky) == [0, 0]
+    all_test = temporal_leakage_audit(_ds(t), train_frac=0.0)
+    assert list(all_test.n_train) == [0, 0]
+    assert list(all_test.n_leaky) == [0, 0]
+    assert list(all_test.n_test) == [2, 2]
+
+
+def test_temporal_leakage_counts_past_test_events(ray_session):
+    from verify_ray.pipelines.sample import temporal_leakage_audit
+    from verify_ray.pipelines.sample import GRANULARITY, _hash_buckets
+
+    us = 1_000_000
+    ids = np.arange(100, dtype=np.int64)
+    ts = np.arange(100, dtype=np.int64) * us
+    t = pa.table({
+        "event_id": pa.array(ids),
+        "user_id": pa.array(np.zeros(100, dtype=np.int64)),
+        "ts": pa.array(ts, type=pa.timestamp("us"))})
+    out = temporal_leakage_audit(_ds(t, blocks=3), train_frac=0.8)
+    bk = _hash_buckets(pa.array([str(i) for i in ids]))
+    is_train = bk < int(round(0.8 * GRANULARITY))
+    mx = ts[is_train].max()
+    expect_leaky = int(((~is_train) & (ts <= mx)).sum())
+    assert out.n_train[0] == int(is_train.sum())
+    assert out.n_test[0] == int((~is_train).sum())
+    assert out.n_leaky[0] == expect_leaky
+    assert expect_leaky > 0  # hash split over a timeline MUST leak
+
+
+def test_temporal_leakage_oracle(ray_session):
+    _oracle_check("events_split_leakage", tables=("events",))
+
+
+# ---- transition_diversity ---------------------------------------------------
+
+def test_transition_diversity_hand_case(ray_session):
+    from verify_ray.pipelines.sessions import transition_diversity
+
+    us = 1_000_000
+    # user 1: a->b, b->a, a->b  (3 transitions, 2 distinct,
+    #   counts {a->b: 2, b->a: 1} -> sum_c2 = 2)
+    # user 2: single event -> no row
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "ts": pa.array([0, us, 2 * us, 3 * us, 0],
+                       type=pa.timestamp("us")),
+        "event_type": ["a", "b", "a", "b", "x"],
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64())})
+    out = transition_diversity(_ds(t), num_buckets=4)
+    assert list(out.user_id) == [1]
+    assert list(out.n_transitions) == [3]
+    assert list(out.n_distinct) == [2]
+    assert list(out.sum_c2) == [2]
+
+
+def test_transition_diversity_ts_tie_orders_by_event_id(ray_session):
+    from verify_ray.pipelines.sessions import transition_diversity
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1], type=pa.int64()),
+        "ts": pa.array([0, 0, 0], type=pa.timestamp("us")),
+        "event_type": ["c", "a", "b"],
+        "event_id": pa.array([30, 10, 20], type=pa.int64())})
+    out = transition_diversity(_ds(t), num_buckets=2)
+    # order by (ts, event_id): a, b, c -> transitions a->b, b->c
+    assert list(out.n_transitions) == [2]
+    assert list(out.n_distinct) == [2]
+    assert list(out.sum_c2) == [0]
+
+
+def test_transition_diversity_oracle(ray_session):
+    _oracle_check("events_transition_diversity", tables=("events",))
+
+
+# ---- token_epoch_drift ------------------------------------------------------
+
+def test_token_drift_counts_and_union(ray_session):
+    from verify_ray.pipelines.text import token_epoch_drift
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": ["x x y", "y z", "x q"]})
+    out = token_epoch_drift(_ds(t), k=2).set_index("token")
+    # even epoch (docs 0, 2): x:3, y:1, q:1; odd (doc 1): y:1, z:1
+    assert out.loc["x"].tolist() == [3, 0]
+    assert out.loc["y"].tolist() == [1, 1]
+    assert out.loc["z"].tolist() == [0, 1]
+    # top-2 even = {x, q} (count, then token ASC); top-2 odd = {y, z}
+    assert set(out.index) == {"x", "q", "y", "z"}
+
+
+def test_token_drift_oracle(ray_session):
+    _oracle_check("docs_token_drift", tables=("documents",))

@@ -548,3 +548,74 @@ def bootstrap_stats(ds, value_col: str, id_col: str = "doc_id",
     return (out.astype({"replicate": "int64", "n_rows": "int64",
                         "sum_v": "int64"})
             .sort_values("replicate").reset_index(drop=True))
+
+
+def temporal_leakage_audit(events_ds, train_frac: float = 0.8,
+                           key_col: str = "event_id",
+                           user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           num_buckets: int = 32):
+    """TEMPORAL-LEAKAGE audit of a hash split over event data — the
+    check that catches the classic eval bug where a row-hash split
+    puts a user's FUTURE in train and their PAST in test: rows are
+    assigned train/test by the engine's md5-bucket contract on
+    ``key_col`` (``b < round(train_frac·G)`` ⇒ train, the
+    ``split_assign`` rule), then per user we count test events whose
+    ``ts`` ≤ the user's LATEST train event (those test rows are
+    answerable from training-time information).  Null key/user/ts
+    rows drop.  Returns ``(user_id, n_train, n_test, n_leaky)`` per
+    user — a high Σn_leaky/Σn_test says "use a time-based split".
+
+    Scale shape: split assignment is embarrassingly parallel; ONE
+    user-keyed exchange co-locates each user's rows; the per-bucket
+    resolve is fully vectorized (unique + maximum.at + bincount —
+    no per-user loop).  Output is users-sized.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    cut = int(round(train_frac * GRANULARITY))
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                            pc.is_valid(b[user_col])),
+                    pc.is_valid(b[ts_col]))
+        b = b.filter(m)
+        bk = _hash_buckets(pc.cast(b[key_col], pa.string()))
+        u = pc.cast(b[user_col], pa.int64())
+        h = md5_u64le(pc.cast(u, pa.string()))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "u": u,
+            "t": pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                         pa.int64()),
+            "tr": pa.array(bk < cut)})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        tr = t.column("tr").to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(u, return_inverse=True)
+        n_train = np.bincount(inv[tr], minlength=len(uu)).astype(np.int64)
+        n_test = np.bincount(inv[~tr], minlength=len(uu)).astype(np.int64)
+        mx = np.full(len(uu), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv[tr], ts[tr])
+        leaky_rows = (~tr) & (ts <= mx[inv])
+        n_leaky = np.bincount(inv[leaky_rows],
+                              minlength=len(uu)).astype(np.int64)
+        return pa.table({"user_id": pa.array(uu),
+                         "n_train": pa.array(n_train),
+                         "n_test": pa.array(n_test),
+                         "n_leaky": pa.array(n_leaky)})
+
+    tagged = (events_ds.select_columns([key_col, user_col, ts_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    cols = ("user_id", "n_train", "n_test", "n_leaky")
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    return (res.to_pandas().sort_values("user_id")
+            .reset_index(drop=True))

@@ -1074,3 +1074,87 @@ def ngram_novelty(ds, n: int = 3, text_col: str = "text",
            .agg(n_grams=("n_grams", "sum"), n_novel=("n_novel", "sum")))
     return (out.astype({c: "int64" for c in out.columns})
             .sort_values("doc_id").reset_index(drop=True))
+
+
+def token_epoch_drift(docs_ds, k: int = 100, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """TOKEN-DISTRIBUTION drift between two corpus epochs — the
+    vocabulary-shift audit run before mixing a new crawl into a
+    training set: epochs are the ``doc_id`` parity halves (the
+    engine's epoch-pair convention, cf. ``histogram_drift``), and the
+    output is every token in EITHER epoch's top-``k`` (by count DESC,
+    token ASC — deterministic cutoff) with its exact count in both
+    epochs, sorted by token.  Whitespace word contract; null text/id
+    rows drop.  Columns: ``(token, cnt_even, cnt_odd)``.
+
+    Scale shape: per-batch (token, c_even, c_odd) count partials; ONE
+    token-keyed exchange sums them and emits each bucket's top-``k``
+    per epoch (global top-k ⊆ union of per-bucket top-k because
+    buckets partition tokens); the driver re-cut touches ≤
+    2·k·buckets rows.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+    from .tokenize import _split_words
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[text_col]),
+                             pc.is_valid(b[id_col])))
+        empty = pa.table({"__b": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.string()),
+                          "c0": pa.array([], pa.int64()),
+                          "c1": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        words, parents, _ = _split_words(b, text_col)
+        if not len(words):
+            return empty
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ep = (ids[parents] % 2).astype(np.int64)
+        uw, code = np.unique(words, return_inverse=True)
+        c0 = np.bincount(code[ep == 0], minlength=len(uw)).astype(np.int64)
+        c1 = np.bincount(code[ep == 1], minlength=len(uw)).astype(np.int64)
+        h = md5_u64le(pa.array(uw, type=pa.string()))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "w": pa.array(uw, type=pa.string()),
+            "c0": pa.array(c0), "c1": pa.array(c1)})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(object)
+        c0 = t.column("c0").to_numpy(zero_copy_only=False)
+        c1 = t.column("c1").to_numpy(zero_copy_only=False)
+        uw, inv = np.unique(w, return_inverse=True)
+        s0 = np.zeros(len(uw), dtype=np.int64)
+        np.add.at(s0, inv, c0)
+        s1 = np.zeros(len(uw), dtype=np.int64)
+        np.add.at(s1, inv, c1)
+        keep = np.zeros(len(uw), dtype=bool)
+        for s in (s0, s1):  # bucket-local top-k per epoch
+            order = np.lexsort((uw, -s))[:k]
+            keep[order] = True
+        return pa.table({"w": pa.array(uw[keep], type=pa.string()),
+                         "c0": pa.array(s0[keep]),
+                         "c1": pa.array(s1[keep])})
+
+    tagged = (docs_ds.select_columns([id_col, text_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    cols = ("token", "cnt_even", "cnt_odd")
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"token": pd.Series(dtype=object),
+                             "cnt_even": pd.Series(dtype="int64"),
+                             "cnt_odd": pd.Series(dtype="int64")})
+    cand = res.to_pandas().rename(
+        columns={"w": "token", "c0": "cnt_even", "c1": "cnt_odd"})
+    keep = set()
+    for c in ("cnt_even", "cnt_odd"):  # global deterministic re-cut
+        top = cand.sort_values([c, "token"],
+                               ascending=[False, True]).head(k)
+        keep.update(top.token)
+    out = cand[cand.token.isin(keep)]
+    return (out.sort_values("token").reset_index(drop=True)
+            .astype({"cnt_even": "int64", "cnt_odd": "int64"}))
