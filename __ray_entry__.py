@@ -4133,6 +4133,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values(["buy_id", "click_id"])
                 .reset_index(drop=True))
 
+    def dup_matrix_q(sf):
+        # provenance audit: exact-fingerprint overlap per source pair
+        from verify_ray.pipelines.dedup import cross_source_dup_matrix
+
+        return cross_source_dup_matrix(
+            _read(sf, "documents", columns=["source", "text"]))
+
+    def theil_sen_q(sf):
+        # robust daily-volume trend (median pairwise slope, permille)
+        return analytics.theil_sen_daily(
+            _read(sf, "events", columns=["ts"]))
+
+    def term_pos_q(sf):
+        # positional term features: df/tf/position sums per term
+        from verify_ray.pipelines.retrieval import term_position_stats
+
+        return term_position_stats(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            terms=["merge", "fast", "window", "dup"])
+
     def leakage_q(sf):
         # temporal-leakage audit of an 80/20 event-hash split
         from verify_ray.pipelines.sample import temporal_leakage_audit
@@ -4179,6 +4199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_split_leakage": leakage_q,
         "events_transition_diversity": trans_div_q,
         "docs_token_drift": token_drift_q,
+        "docs_cross_source_dups": dup_matrix_q,
+        "events_theil_sen_trend": theil_sen_q,
+        "docs_term_positions": term_pos_q,
         "docs_ngram_novelty": novelty_q,
         "docs_lang_source_crosstab": crosstab_q,
         "events_runs_test": runs_test_q,
@@ -5774,6 +5797,50 @@ SELECT doc_id, CAST(ra AS BIGINT) AS rank_bm25,
                  WHEN ra > 0 THEN 60 + ra
                  ELSE 60 + rb END AS BIGINT) AS rrf_den
 FROM f ORDER BY doc_id
+""",
+        "docs_cross_source_dups": """
+-- exact-fingerprint overlap per unordered source pair (a < b)
+WITH hs AS (
+  SELECT DISTINCT md5(text) AS h, source AS s FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL)
+SELECT a.s AS source_a, b.s AS source_b, COUNT(*) AS n_shared
+FROM hs a JOIN hs b ON a.h = b.h AND a.s < b.s
+GROUP BY a.s, b.s ORDER BY source_a, source_b
+""",
+        "events_theil_sen_trend": """
+-- Theil-Sen trend of daily event volume: exact lower median of all
+-- floored-permille pairwise slopes (floor(), not DuckDB's
+-- truncating //, to match numpy floor division on negatives)
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+         COUNT(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY d),
+slopes AS (
+  SELECT CAST(floor(1000.0 * (b.c - a.c) / (b.d - a.d)) AS BIGINT)
+           AS s
+  FROM daily a JOIN daily b ON a.d < b.d)
+SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+       COUNT(*) AS n_pairs,
+       CAST(quantile_disc(s, 0.5) AS BIGINT)
+         AS median_slope_permille
+FROM slopes
+""",
+        "docs_term_positions": f"""
+-- positional term features: df, tf, position sums per query term
+WITH toks AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+  FROM (SELECT doc_id, regexp_split_to_array({_TRIMMED}, '\\s+') AS ws
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id IS NOT NULL)),
+m AS (SELECT * FROM toks
+      WHERE w IN ('dup', 'fast', 'merge', 'window')),
+per_doc AS (
+  SELECT w, doc_id, COUNT(*) AS tf, SUM(pos) AS sp, MIN(pos) AS fp
+  FROM m GROUP BY w, doc_id)
+SELECT w AS term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf,
+       CAST(SUM(sp) AS BIGINT) AS sum_pos,
+       CAST(SUM(fp) AS BIGINT) AS sum_first
+FROM per_doc GROUP BY w ORDER BY term
 """,
         "events_split_leakage": """
 -- temporal leakage of the 80/20 md5 event split: per user, test

@@ -418,3 +418,78 @@ def test_token_drift_counts_and_union(ray_session):
 
 def test_token_drift_oracle(ray_session):
     _oracle_check("docs_token_drift", tables=("documents",))
+
+
+# ---- cross_source_dup_matrix ------------------------------------------------
+
+def test_cross_source_dup_matrix_hand_case(ray_session):
+    from verify_ray.pipelines.dedup import cross_source_dup_matrix
+
+    t = pa.table({
+        "source": ["s1", "s2", "s3", "s1", "s2", "s1", "s1"],
+        "text": ["dup", "dup", "dup",      # shared by s1,s2,s3
+                 "only-a", "only-b",
+                 "dup",                    # same-source repeat: no pair
+                 "pair"]})
+    out = cross_source_dup_matrix(_ds(t), num_buckets=4)
+    got = {(r.source_a, r.source_b): r.n_shared
+           for r in out.itertuples()}
+    assert got == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_cross_source_dup_matrix_oracle(ray_session):
+    _oracle_check("docs_cross_source_dups", tables=("documents",))
+
+
+# ---- theil_sen_daily --------------------------------------------------------
+
+def test_theil_sen_hand_case(ray_session):
+    from verify_ray.pipelines.analytics import theil_sen_daily
+
+    day = 86_400_000_000
+    # daily counts: day0 -> 2, day1 -> 4, day2 -> 1
+    ts = [0] * 2 + [day] * 4 + [2 * day] * 1
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+    out = theil_sen_daily(_ds(t))
+    # slopes permille: (4-2)/1 -> 2000; (1-2)/2 -> floor(-500)= -500;
+    # (1-4)/1 -> -3000.  sorted [-3000, -500, 2000], lower median -500
+    assert out.n_days[0] == 3
+    assert out.n_pairs[0] == 3
+    assert out.median_slope_permille[0] == -500
+
+
+def test_theil_sen_floor_negative_semantics(ray_session):
+    from verify_ray.pipelines.analytics import theil_sen_daily
+
+    day = 86_400_000_000
+    # counts: day0 -> 3, day2 -> 2: slope floor(1000*(-1)/2) = -500
+    ts = [0] * 3 + [2 * day] * 2
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+    out = theil_sen_daily(_ds(t))
+    assert out.median_slope_permille[0] == -500
+
+
+def test_theil_sen_oracle(ray_session):
+    _oracle_check("events_theil_sen_trend", tables=("events",))
+
+
+# ---- term_position_stats ----------------------------------------------------
+
+def test_term_position_stats_hand_case(ray_session):
+    from verify_ray.pipelines.retrieval import term_position_stats
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["cat dog cat",      # cat at pos 1,3 (first 1); dog 2
+                 "dog",              # dog at 1
+                 "bird"]})
+    out = term_position_stats(_ds(t), terms=["cat", "dog", "fish"])
+    out = out.set_index("term")
+    assert "fish" not in out.index  # absent term emits nothing
+    assert out.loc["cat"].tolist() == [1, 2, 4, 1]   # df tf sum_pos sum_first
+    assert out.loc["dog"].tolist() == [2, 2, 3, 3]
+    assert list(out.index) == ["cat", "dog"]
+
+
+def test_term_position_stats_oracle(ray_session):
+    _oracle_check("docs_term_positions", tables=("documents",))

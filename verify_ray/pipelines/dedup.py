@@ -1986,3 +1986,92 @@ def dup_rate_by_group(ds, group_col: str = "source",
     return (df[[group_col, "n_docs", "n_distinct", "n_dup"]]
             .sort_values(group_col, na_position="last")
             .reset_index(drop=True))
+
+
+def cross_source_dup_matrix(docs_ds, source_col: str = "source",
+                            text_col: str = "text",
+                            num_buckets: int = 64) -> pd.DataFrame:
+    """CROSS-SOURCE duplication matrix — which sources republish which
+    (the provenance audit run before per-source mixture weighting;
+    counting a syndicated doc once per source silently up-weights it):
+    for every unordered source pair (a < b), ``n_shared`` = number of
+    DISTINCT exact text fingerprints (md5, the engine's content-hash
+    parity kernel) present in BOTH sources.  Null text/source rows
+    drop.  Returns ``(source_a, source_b, n_shared)`` sorted, pairs
+    with zero overlap omitted.
+
+    Scale shape: batches emit DISTINCT (hash, source) pairs; ONE
+    hash-keyed exchange resolves each fingerprint's source set and
+    emits its C(s,2) pairs pre-counted — only (pair, count) partials
+    reach the driver (sources² cardinality).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_hex, md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[text_col]),
+                             pc.is_valid(b[source_col])))
+        empty = pa.table({"__b": pa.array([], pa.int64()),
+                          "h": pa.array([], pa.string()),
+                          "s": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        h = md5_hex(b[text_col]).to_numpy(zero_copy_only=False
+                                          ).astype(object)
+        s = pc.cast(b[source_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        pairs = (pd.DataFrame({"h": h, "s": s})
+                 .drop_duplicates(ignore_index=True))
+        hk = md5_u64le(pa.array(pairs.h.to_numpy(), type=pa.string()))
+        return pa.table({
+            "__b": pa.array((hk % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "h": pa.array(pairs.h.to_numpy(), type=pa.string()),
+            "s": pa.array(pairs.s.to_numpy(), type=pa.string())})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "h": t.column("h").to_numpy(zero_copy_only=False),
+            "s": t.column("s").to_numpy(zero_copy_only=False)
+        }).drop_duplicates()  # re-dedup across map batches
+        df = df.sort_values(["h", "s"], kind="stable")
+        hv = df.h.to_numpy(object)
+        sv = df.s.to_numpy(object)
+        _, start = np.unique(hv, return_index=True)
+        cnt = np.diff(np.append(start, len(hv)))
+        # enumerate within-hash source pairs (sources sorted, a < b)
+        cnt_row = np.repeat(cnt, cnt)
+        pos = np.arange(len(hv)) - np.repeat(start, cnt)
+        n_after = cnt_row - 1 - pos
+        total = int(n_after.sum())
+        if total == 0:
+            return pa.table({"source_a": pa.array([], pa.string()),
+                             "source_b": pa.array([], pa.string()),
+                             "n_shared": pa.array([], pa.int64())})
+        first = np.repeat(np.arange(len(hv)), n_after)
+        csum = np.concatenate(([0], np.cumsum(n_after)))
+        k = np.arange(total) - np.repeat(csum[:-1], n_after)
+        out = (pd.DataFrame({"source_a": sv[first],
+                             "source_b": sv[first + 1 + k]})
+               .groupby(["source_a", "source_b"], as_index=False)
+               .size().rename(columns={"size": "n_shared"}))
+        return pa.table({
+            "source_a": pa.array(out.source_a.to_numpy(), pa.string()),
+            "source_b": pa.array(out.source_b.to_numpy(), pa.string()),
+            "n_shared": pa.array(out.n_shared.to_numpy(np.int64))})
+
+    tagged = (docs_ds.select_columns([source_col, text_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    cols = ("source_a", "source_b", "n_shared")
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"source_a": pd.Series(dtype=object),
+                             "source_b": pd.Series(dtype=object),
+                             "n_shared": pd.Series(dtype="int64")})
+    out = (res.to_pandas()
+           .groupby(["source_a", "source_b"], as_index=False)
+           ["n_shared"].sum())
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True).astype({"n_shared": "int64"}))

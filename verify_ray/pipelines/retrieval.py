@@ -381,3 +381,82 @@ def hybrid_rrf_candidates(docs_ds, terms: list[str], k: int = 50,
                    ).astype(np.int64)
     f["rrf_num"], f["rrf_den"] = num, den
     return f.sort_values("doc_id").reset_index(drop=True)
+
+
+def term_position_stats(docs_ds, terms: list[str],
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> pd.DataFrame:
+    """Positional statistics for a broadcast term list — the
+    burstiness / lead-position features (terms appearing early in a
+    doc carry more topical weight; BM25 can't see position): per term,
+    ``df`` (docs containing it), ``tf`` (total occurrences),
+    ``sum_pos`` (sum of 1-based token positions over all occurrences)
+    and ``sum_first`` (sum over docs of the FIRST occurrence
+    position) — exact integers; mean position / mean lead derive
+    downstream.  Terms absent from the corpus emit nothing.
+    Whitespace word contract; null text/id rows drop.
+
+    Scale shape: the term list broadcasts in the task closure; each
+    batch reduces to a terms-sized partial and the driver merge is
+    terms-sized — zero shuffle.
+    """
+    terms_sorted = np.array(sorted(set(terms)), dtype=object)
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "tf": pa.array([], pa.int64()),
+                          "sum_pos": pa.array([], pa.int64()),
+                          "sum_first": pa.array([], pa.int64())})
+        b = b.filter(pc.and_(pc.is_valid(b[text_col]),
+                             pc.is_valid(b[id_col])))
+        if b.num_rows == 0:
+            return empty
+        parents, words, _ = _batch_words(b, text_col)
+        if not len(words):
+            return empty
+        starts = np.zeros(b.num_rows, dtype=np.int64)
+        up, first_idx = np.unique(parents, return_index=True)
+        starts[up] = first_idx
+        pos = np.arange(len(words), dtype=np.int64) - starts[parents] + 1
+        tpos = np.searchsorted(terms_sorted, words)
+        tpos[tpos == len(terms_sorted)] = 0
+        hit = terms_sorted[tpos] == words if len(terms_sorted) else \
+            np.zeros(len(words), dtype=bool)
+        if not hit.any():
+            return empty
+        ti, par, p = tpos[hit], parents[hit], pos[hit]
+        # per-(term, doc) reduction
+        s = np.empty(len(ti), dtype=[("t", np.int64), ("d", np.int64)])
+        s["t"], s["d"] = ti, par
+        upairs, inv = np.unique(s, return_inverse=True)
+        tf_td = np.bincount(inv).astype(np.int64)
+        sp_td = np.zeros(len(upairs), dtype=np.int64)
+        np.add.at(sp_td, inv, p)
+        fp_td = np.full(len(upairs), np.iinfo(np.int64).max,
+                        dtype=np.int64)
+        np.minimum.at(fp_td, inv, p)
+        # per-term rollup
+        ut, inv2 = np.unique(upairs["t"], return_inverse=True)
+        df = np.bincount(inv2).astype(np.int64)
+        tf = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(tf, inv2, tf_td)
+        sp = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(sp, inv2, sp_td)
+        fp = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(fp, inv2, fp_td)
+        return pa.table({
+            "term": pa.array(terms_sorted[ut], type=pa.string()),
+            "df": pa.array(df), "tf": pa.array(tf),
+            "sum_pos": pa.array(sp), "sum_first": pa.array(fp)})
+
+    parts = (docs_ds.select_columns([id_col, text_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    cols = ("df", "tf", "sum_pos", "sum_first")
+    if not len(parts):
+        return pd.DataFrame({"term": pd.Series(dtype=object),
+                             **{c: pd.Series(dtype="int64")
+                                for c in cols}})
+    out = (parts.groupby("term", as_index=False)[list(cols)].sum())
+    return (out.sort_values("term").reset_index(drop=True)
+            .astype({c: "int64" for c in cols}))
