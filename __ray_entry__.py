@@ -4133,6 +4133,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values(["buy_id", "click_id"])
                 .reset_index(drop=True))
 
+    def ab_uplift_q(sf):
+        # A/B cohort surface over the md5 user split: per-type event
+        # and distinct-user counts per variant
+        return analytics.ab_uplift_counts(
+            _read(sf, "events", columns=["user_id", "event_type"]))
+
+    def growth_q(sf):
+        # growth accounting: new vs active vs cumulative users per day
+        from verify_ray.pipelines.sessions import user_growth_accounting
+
+        return user_growth_accounting(
+            _read(sf, "events", columns=["user_id", "ts"]))
+
     def dup_matrix_q(sf):
         # provenance audit: exact-fingerprint overlap per source pair
         from verify_ray.pipelines.dedup import cross_source_dup_matrix
@@ -4202,6 +4215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cross_source_dups": dup_matrix_q,
         "events_theil_sen_trend": theil_sen_q,
         "docs_term_positions": term_pos_q,
+        "events_ab_uplift": ab_uplift_q,
+        "events_user_growth": growth_q,
         "docs_ngram_novelty": novelty_q,
         "docs_lang_source_crosstab": crosstab_q,
         "events_runs_test": runs_test_q,
@@ -5797,6 +5812,40 @@ SELECT doc_id, CAST(ra AS BIGINT) AS rank_bm25,
                  WHEN ra > 0 THEN 60 + ra
                  ELSE 60 + rb END AS BIGINT) AS rrf_den
 FROM f ORDER BY doc_id
+""",
+        "events_ab_uplift": """
+-- A/B cohorts by md5 user-bucket parity: per event type, events and
+-- distinct users in each variant
+WITH e AS (
+  SELECT event_type,
+         user_id,
+         md5_number_upper(CAST(user_id AS VARCHAR)) % 10000 % 2 AS v
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+SELECT event_type,
+       CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(COUNT(DISTINCT CASE WHEN v = 0 THEN user_id END)
+            AS BIGINT) AS users_a,
+       CAST(COUNT(DISTINCT CASE WHEN v = 1 THEN user_id END)
+            AS BIGINT) AS users_b
+FROM e GROUP BY event_type ORDER BY event_type
+""",
+        "events_user_growth": """
+-- growth accounting: first-seen (new), active, and cumulative
+-- distinct users per epoch-day
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+fs AS (SELECT user_id, MIN(d) AS fd FROM e GROUP BY user_id),
+nn AS (SELECT fd AS d, COUNT(*) AS n_new FROM fs GROUP BY fd),
+na AS (SELECT d, COUNT(DISTINCT user_id) AS n_active
+       FROM e GROUP BY d)
+SELECT na.d AS day, CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(SUM(COALESCE(nn.n_new, 0)) OVER (ORDER BY na.d)
+            AS BIGINT) AS cum_users
+FROM na LEFT JOIN nn ON na.d = nn.d ORDER BY day
 """,
         "docs_cross_source_dups": """
 -- exact-fingerprint overlap per unordered source pair (a < b)

@@ -493,3 +493,49 @@ def test_term_position_stats_hand_case(ray_session):
 
 def test_term_position_stats_oracle(ray_session):
     _oracle_check("docs_term_positions", tables=("documents",))
+
+
+# ---- ab_uplift_counts -------------------------------------------------------
+
+def test_ab_uplift_counts_hand_case(ray_session):
+    from verify_ray.pipelines.analytics import ab_uplift_counts
+    from verify_ray.pipelines.sample import _hash_buckets
+
+    users = np.array([1, 2, 3, 4, 5, 6], dtype=np.int64)
+    v = _hash_buckets(pa.array([str(u) for u in users])) % 2
+    # every user clicks twice; variant-0 users also purchase once
+    uu = np.repeat(users, 2)
+    t = pa.table({
+        "user_id": pa.array(np.r_[uu, users[v == 0]]),
+        "event_type": ["click"] * len(uu) + ["buy"] * int((v == 0).sum())})
+    out = ab_uplift_counts(_ds(t, blocks=3)).set_index("event_type")
+    n0, n1 = int((v == 0).sum()), int((v == 1).sum())
+    assert out.loc["click"].tolist() == [2 * n0, 2 * n1, n0, n1]
+    assert out.loc["buy"].tolist() == [n0, 0, n0, 0]
+
+
+def test_ab_uplift_oracle(ray_session):
+    _oracle_check("events_ab_uplift", tables=("events",))
+
+
+# ---- user_growth_accounting -------------------------------------------------
+
+def test_user_growth_hand_case(ray_session):
+    from verify_ray.pipelines.sessions import user_growth_accounting
+
+    day = 86_400_000_000
+    # day0: users 1,2 (both new); day1: users 2,3 (3 new);
+    # day2: user 1 (returning)
+    t = pa.table({
+        "user_id": pa.array([1, 2, 2, 3, 1, 1], type=pa.int64()),
+        "ts": pa.array([0, 1, day, day + 5, 2 * day, 2 * day + 9],
+                       type=pa.timestamp("us"))})
+    out = user_growth_accounting(_ds(t), num_buckets=4)
+    assert list(out.day) == [0, 1, 2]
+    assert list(out.n_new) == [2, 1, 0]
+    assert list(out.n_active) == [2, 2, 1]
+    assert list(out.cum_users) == [2, 3, 3]
+
+
+def test_user_growth_oracle(ray_session):
+    _oracle_check("events_user_growth", tables=("events",))

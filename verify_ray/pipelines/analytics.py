@@ -3115,3 +3115,93 @@ def theil_sen_daily(events_ds, ts_col: str = "ts") -> pd.DataFrame:
     return pd.DataFrame([{
         "n_days": len(d), "n_pairs": len(slopes),
         "median_slope_permille": med}]).astype("int64")
+
+
+def ab_uplift_counts(events_ds, user_col: str = "user_id",
+                     type_col: str = "event_type") -> pd.DataFrame:
+    """A/B-cohort UPLIFT integer surface — the experiment-analysis
+    primitive over an md5 user split (variant = md5-bucket parity of
+    the user key, the engine's hash contract, so assignment is stable
+    across runs/engines and consistent with ``split_assign``): per
+    event type, events and DISTINCT users in each variant —
+    conversion-rate uplift derives exactly from the counts (the
+    conversion type's ``users_a/users_b`` ARE the converting-user
+    counts).  Null user/type rows drop.  Returns per type
+    ``(event_type, n_a, n_b, users_a, users_b)``.
+
+    Scale shape: per-batch (type, variant, user) distinct partials;
+    ONE user-free merge for event counts (types-sized) and ONE
+    user-keyed distinct-count exchange reusing the map-side dedup
+    idiom — nothing user-cardinality-sized lands on the driver except
+    the final per-type counts.
+    """
+    from ..pipelines.sample import _hash_buckets
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    num_buckets = 32
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[user_col]),
+                             pc.is_valid(b[type_col])))
+        empty = pa.table({"__b": pa.array([], pa.int64()),
+                          "et": pa.array([], pa.string()),
+                          "u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        u = pc.cast(b[user_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = pc.cast(b[type_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        v = _hash_buckets(pc.cast(pa.array(u), pa.string())) % 2
+        df = (pd.DataFrame({"et": et, "u": u, "v": v})
+              .groupby(["et", "u", "v"], as_index=False).size())
+        h = md5_u64le(pc.cast(pa.array(df.u.to_numpy(np.int64)),
+                              pa.string()))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "et": pa.array(df.et.to_numpy(), pa.string()),
+            "u": pa.array(df.u.to_numpy(np.int64)),
+            "v": pa.array(df.v.to_numpy(np.int64)),
+            "n": pa.array(df["size"].to_numpy(np.int64))})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "et": t.column("et").to_numpy(zero_copy_only=False),
+            "u": t.column("u").to_numpy(zero_copy_only=False),
+            "v": t.column("v").to_numpy(zero_copy_only=False),
+            "n": t.column("n").to_numpy(zero_copy_only=False)})
+        per_user = df.groupby(["et", "u", "v"], as_index=False)["n"].sum()
+        out = (per_user.groupby(["et", "v"], as_index=False)
+               .agg(n=("n", "sum"), users=("u", "nunique")))
+        return pa.table({
+            "et": pa.array(out.et.to_numpy(object), pa.string()),
+            "v": pa.array(out.v.to_numpy(np.int64)),
+            "n": pa.array(out.n.to_numpy(np.int64)),
+            "users": pa.array(out.users.to_numpy(np.int64))})
+
+    tagged = (events_ds.select_columns([user_col, type_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    cols = ("event_type", "n_a", "n_b", "users_a", "users_b")
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({
+            "event_type": pd.Series(dtype=object),
+            **{c: pd.Series(dtype="int64") for c in cols[1:]}})
+    df = res.to_pandas().groupby(["et", "v"], as_index=False).sum()
+    wide = df.pivot_table(index="et", columns="v",
+                          values=["n", "users"], fill_value=0,
+                          aggfunc="sum")
+    out = pd.DataFrame({
+        "event_type": wide.index,
+        "n_a": wide.get(("n", 0), pd.Series(0, index=wide.index)),
+        "n_b": wide.get(("n", 1), pd.Series(0, index=wide.index)),
+        "users_a": wide.get(("users", 0),
+                            pd.Series(0, index=wide.index)),
+        "users_b": wide.get(("users", 1),
+                            pd.Series(0, index=wide.index))})
+    return (out.sort_values("event_type").reset_index(drop=True)
+            .astype({c: "int64" for c in cols[1:]}))

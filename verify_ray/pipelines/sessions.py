@@ -1555,3 +1555,75 @@ def transition_diversity(events_ds, user_col: str = "user_id",
         return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
     return (res.to_pandas().sort_values("user_id")
             .reset_index(drop=True))
+
+
+def user_growth_accounting(events_ds, user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           num_buckets: int = 32) -> pd.DataFrame:
+    """USER GROWTH accounting — the new-vs-returning decomposition
+    behind every growth dashboard: per active day, ``n_new`` (users
+    whose FIRST-EVER event lands that day), ``n_active`` (distinct
+    users that day) and ``cum_users`` (running total of acquired
+    users; returning = n_active − n_new).  Null user/ts rows drop.
+    Returns ``(day, n_new, n_active, cum_users)`` by day (epoch-day
+    int64).
+
+    Scale shape: ONE user-keyed exchange holds each user's complete
+    day set, so first-seen days and per-day distinct counts are both
+    exact from bucket-local work; only (day, count) partials reach
+    the driver (days × buckets), where the cumulative sum is a
+    days-sized vector op.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[user_col]),
+                             pc.is_valid(b[ts_col])))
+        u = pc.cast(b[user_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        d = ts // 86_400_000_000
+        s = np.empty(len(u), dtype=[("u", np.int64), ("d", np.int64)])
+        s["u"], s["d"] = u, d
+        pairs = np.unique(s)  # map-side (user, day) dedup
+        h = md5_u64le(pc.cast(pa.array(pairs["u"]), pa.string()))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "u": pa.array(pairs["u"]), "d": pa.array(pairs["d"])})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        s = np.empty(len(u), dtype=[("u", np.int64), ("d", np.int64)])
+        s["u"], s["d"] = u, d
+        pairs = np.unique(s)  # re-dedup across map batches
+        u, d = pairs["u"], pairs["d"]
+        uu, inv = np.unique(u, return_inverse=True)
+        first = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, inv, d)
+        nd, n_new = np.unique(first, return_counts=True)
+        ad, n_act = np.unique(d, return_counts=True)
+        days = np.union1d(nd, ad)
+        nn = np.zeros(len(days), dtype=np.int64)
+        nn[np.searchsorted(days, nd)] = n_new
+        na = np.zeros(len(days), dtype=np.int64)
+        na[np.searchsorted(days, ad)] = n_act
+        return pa.table({"day": pa.array(days),
+                         "n_new": pa.array(nn),
+                         "n_active": pa.array(na)})
+
+    tagged = (events_ds.select_columns([user_col, ts_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    cols = ("day", "n_new", "n_active", "cum_users")
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    out = (res.to_pandas().groupby("day", as_index=False)
+           [["n_new", "n_active"]].sum().sort_values("day"))
+    out["cum_users"] = out.n_new.cumsum()
+    return out.reset_index(drop=True).astype("int64")
