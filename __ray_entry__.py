@@ -4133,6 +4133,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values(["buy_id", "click_id"])
                 .reset_index(drop=True))
 
+    def wmedian_q(sf):
+        # quantity-weighted lower-median price per return flag
+        return analytics.grouped_weighted_median(
+            _read(sf, "lineitem",
+                  columns=["l_returnflag", "l_extendedprice",
+                           "l_quantity"]),
+            "l_returnflag", "l_extendedprice", "l_quantity")
+
+    def pareto_q(sf):
+        # activity concentration: min users covering 80% of events
+        return analytics.pareto_coverage(
+            _read(sf, "events", columns=["user_id"]), permille=800)
+
     def ab_uplift_q(sf):
         # A/B cohort surface over the md5 user split: per-type event
         # and distinct-user counts per variant
@@ -4217,6 +4230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_term_positions": term_pos_q,
         "events_ab_uplift": ab_uplift_q,
         "events_user_growth": growth_q,
+        "lineitem_weighted_median": wmedian_q,
+        "users_pareto_coverage": pareto_q,
         "docs_ngram_novelty": novelty_q,
         "docs_lang_source_crosstab": crosstab_q,
         "events_runs_test": runs_test_q,
@@ -5812,6 +5827,41 @@ SELECT doc_id, CAST(ra AS BIGINT) AS rank_bm25,
                  WHEN ra > 0 THEN 60 + ra
                  ELSE 60 + rb END AS BIGINT) AS rrf_den
 FROM f ORDER BY doc_id
+""",
+        "lineitem_weighted_median": """
+-- quantity-weighted lower median price per flag: quantile_disc over
+-- the weight-expanded multiset equals the smallest value whose
+-- cumulative weight reaches ceil(W/2)
+WITH x AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_quantity > 0),
+e AS (SELECT l_returnflag, v FROM (
+        SELECT l_returnflag, v, unnest(range(w)) FROM x))
+SELECT x.l_returnflag, COUNT(*) AS n,
+       CAST(SUM(w) AS BIGINT) AS total_w,
+       (SELECT quantile_disc(v, 0.5) FROM e
+        WHERE e.l_returnflag = x.l_returnflag) AS wmedian
+FROM x GROUP BY x.l_returnflag ORDER BY x.l_returnflag
+""",
+        "users_pareto_coverage": """
+-- minimal keys covering >= ceil(0.8 * events), filled most-active
+-- first (integer ceiling: no float 0.8*total)
+WITH c AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+             COUNT(*) AS nk FROM c),
+s AS (SELECT cnt,
+             SUM(cnt) OVER (ORDER BY cnt DESC, user_id) AS cum
+      FROM c)
+SELECT nk AS n_keys, total AS n_events,
+       CAST((800 * total + 999) // 1000 AS BIGINT) AS threshold,
+       (SELECT COUNT(*) FROM s
+        WHERE cum - cnt < (800 * total + 999) // 1000) AS k_min
+FROM t
 """,
         "events_ab_uplift": """
 -- A/B cohorts by md5 user-bucket parity: per event type, events and

@@ -539,3 +539,67 @@ def test_user_growth_hand_case(ray_session):
 
 def test_user_growth_oracle(ray_session):
     _oracle_check("events_user_growth", tables=("events",))
+
+
+# ---- grouped_weighted_median ------------------------------------------------
+
+def test_weighted_median_hand_case(ray_session):
+    from verify_ray.pipelines.analytics import grouped_weighted_median
+
+    t = pa.table({
+        "g": ["a"] * 3 + ["b"] * 2,
+        "v": pa.array([10.0, 20.0, 30.0, 1.0, 2.0]),
+        "w": pa.array([1, 1, 4, 3, 3], type=pa.int64())})
+    out = grouped_weighted_median(_ds(t), "g", "v", "w")
+    # a: W=6, thr=3 -> cum [1,2,6] -> first >=3 is 30
+    # b: W=6, thr=3 -> cum [3,6] -> first >=3 is 1
+    assert list(out.g) == ["a", "b"]
+    assert list(out.wmedian) == [30.0, 1.0]
+    assert list(out.total_w) == [6, 6]
+    assert list(out.n) == [3, 2]
+
+
+def test_weighted_median_zero_weight_drops(ray_session):
+    from verify_ray.pipelines.analytics import grouped_weighted_median
+
+    t = pa.table({
+        "g": ["a", "a", "a"],
+        "v": pa.array([5.0, 99.0, None]),
+        "w": pa.array([2, 0, 7], type=pa.int64())})
+    out = grouped_weighted_median(_ds(t, blocks=1), "g", "v", "w")
+    assert list(out.wmedian) == [5.0]
+    assert list(out.total_w) == [2]
+
+
+def test_weighted_median_oracle(ray_session):
+    _oracle_check("lineitem_weighted_median", tables=("lineitem",))
+
+
+# ---- pareto_coverage --------------------------------------------------------
+
+def test_pareto_coverage_hand_case(ray_session):
+    from verify_ray.pipelines.analytics import pareto_coverage
+
+    # per-key counts: 10, 5, 3, 1, 1 (total 20); 80% -> thr 16
+    # greedy: 10 + 5 = 15 < 16 -> need the 3 too -> k_min = 3
+    keys = [1] * 10 + [2] * 5 + [3] * 3 + [4] + [5]
+    t = pa.table({"user_id": pa.array(keys, type=pa.int64())})
+    out = pareto_coverage(_ds(t, blocks=3), permille=800)
+    assert out.n_keys[0] == 5
+    assert out.n_events[0] == 20
+    assert out.threshold[0] == 16
+    assert out.k_min[0] == 3
+
+
+def test_pareto_coverage_tie_runs(ray_session):
+    from verify_ray.pipelines.analytics import pareto_coverage
+
+    # four keys with equal counts 5 (total 20); thr(500‰)=10 -> 2 keys
+    keys = sum(([k] * 5 for k in range(4)), [])
+    t = pa.table({"user_id": pa.array(keys, type=pa.int64())})
+    out = pareto_coverage(_ds(t), permille=500)
+    assert out.k_min[0] == 2
+
+
+def test_pareto_coverage_oracle(ray_session):
+    _oracle_check("users_pareto_coverage", tables=("events",))

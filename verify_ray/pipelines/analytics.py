@@ -3205,3 +3205,119 @@ def ab_uplift_counts(events_ds, user_col: str = "user_id",
                             pd.Series(0, index=wide.index))})
     return (out.sort_values("event_type").reset_index(drop=True)
             .astype({c: "int64" for c in cols[1:]}))
+
+
+def grouped_weighted_median(ds, group_col: str, value_col: str,
+                            weight_col: str,
+                            batch_size: int = 65536) -> pd.DataFrame:
+    """EXACT per-group WEIGHTED lower median — the quantity-weighted
+    price/center question (``grouped_exact_quantiles`` weights every
+    row 1; here a row with weight w counts w times): the reported
+    value is the smallest group value whose cumulative weight reaches
+    ``ceil(W/2)`` (lower weighted median, a member of the data).
+    Weights must be non-negative integers; rows with null
+    value/weight or zero weight drop (the group, as ever, may be
+    null).  Returns ``(group, n, total_w, wmedian)``.
+
+    Scale shape: identical to ``grouped_exact_quantiles`` — per-batch
+    (group, value, Σweight) partials bound wire data by
+    groups × distinct values, then a cardinality-guarded merge and a
+    per-group cumulative-weight scan.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, value_col, weight_col])
+        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+                             pc.is_valid(t[weight_col])))
+        t = t.filter(pc.greater(t[weight_col], 0))
+        g = (t.group_by([group_col, value_col])
+             .aggregate([(weight_col, "sum"), ([], "count_all")]))
+        return g.rename_columns([group_col, value_col, "w", "cnt"])
+
+    parts = (ds.select_columns([group_col, value_col, weight_col])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=batch_size).materialize())
+    g = _merge_partials(parts, [group_col, value_col],
+                        {"w": "sum", "cnt": "sum"}, keep_null_keys=True)
+    if not len(g):
+        return pd.DataFrame({group_col: [], "n": [], "total_w": [],
+                             "wmedian": []})
+    g = g.sort_values([group_col, value_col], kind="stable",
+                      na_position="first").reset_index(drop=True)
+    rows = []
+    for grp, sub in g.groupby(group_col, dropna=False, sort=False):
+        w = sub["w"].to_numpy(np.int64)
+        cum = np.cumsum(w)
+        W = int(cum[-1])
+        thr = (W + 1) // 2  # ceil(W/2): lower weighted median
+        med = sub[value_col].to_numpy()[np.searchsorted(cum, thr)]
+        rows.append({group_col: grp, "n": int(sub["cnt"].sum()),
+                     "total_w": W, "wmedian": med})
+    out = pd.DataFrame(rows)
+    return (out.sort_values(group_col, na_position="first")
+            .reset_index(drop=True)
+            .astype({"n": "int64", "total_w": "int64"}))
+
+
+def pareto_coverage(events_ds, key_col: str = "user_id",
+                    permille: int = 800,
+                    num_buckets: int = 32) -> pd.DataFrame:
+    """PARETO concentration of activity — "how few keys produce 80%
+    of the events?" (the skew headline behind hot-key planning and
+    the 80/20 sanity check): the minimal number of keys whose summed
+    event counts reach ``ceil(permille/1000 · total)``, filling
+    greedily from the most active key down (tie order among equal
+    counts cannot change the answer).  Null keys drop.  Returns one
+    row ``(n_keys, n_events, threshold, k_min)``.
+
+    Scale shape: per-key counts reduce through a key-hashed exchange
+    to a COUNT HISTOGRAM (count value → #keys with that count) per
+    bucket — the driver sees only merged histogram rows (distinct
+    count values), never a keys-sized frame; the greedy scan walks
+    the histogram descending.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[key_col]))
+        k = pc.cast(b[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uk, cnt = np.unique(k, return_counts=True)
+        h = md5_u64le(pc.cast(pa.array(uk), pa.string()))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "k": pa.array(uk), "c": pa.array(cnt.astype(np.int64))})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        per_key = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(per_key, inv, c)
+        cnts, n_keys = np.unique(per_key, return_counts=True)
+        return pa.table({"cnt": pa.array(cnts),
+                         "n_keys": pa.array(n_keys.astype(np.int64))})
+
+    tagged = (events_ds.select_columns([key_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    cols = ("n_keys", "n_events", "threshold", "k_min")
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    hist = (res.to_pandas().groupby("cnt", as_index=False)
+            ["n_keys"].sum().sort_values("cnt", ascending=False))
+    cv = hist.cnt.to_numpy(np.int64)
+    nk = hist.n_keys.to_numpy(np.int64)
+    total = int((cv * nk).sum())
+    thr = -(-permille * total // 1000)  # ceil
+    cum_events = np.cumsum(cv * nk)
+    cum_keys = np.cumsum(nk)
+    i = int(np.searchsorted(cum_events, thr))
+    # inside run i, each key adds cv[i]; keys needed from this run:
+    before_e = int(cum_events[i - 1]) if i else 0
+    before_k = int(cum_keys[i - 1]) if i else 0
+    need = -(-(thr - before_e) // int(cv[i]))  # ceil
+    return pd.DataFrame([{
+        "n_keys": int(nk.sum()), "n_events": total,
+        "threshold": thr, "k_min": before_k + need}]).astype("int64")
