@@ -4141,7 +4141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            "l_quantity"]),
             "l_returnflag", "l_extendedprice", "l_quantity")
 
-    def pareto_q(sf):
+    def pareto_cov_q(sf):
         # activity concentration: min users covering 80% of events
         return analytics.pareto_coverage(
             _read(sf, "events", columns=["user_id"]), permille=800)
@@ -4231,7 +4231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_uplift": ab_uplift_q,
         "events_user_growth": growth_q,
         "lineitem_weighted_median": wmedian_q,
-        "users_pareto_coverage": pareto_q,
+        "users_pareto_coverage": pareto_cov_q,
         "docs_ngram_novelty": novelty_q,
         "docs_lang_source_crosstab": crosstab_q,
         "events_runs_test": runs_test_q,
