@@ -4133,6 +4133,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values(["buy_id", "click_id"])
                 .reset_index(drop=True))
 
+    def gaps_q(sf):
+        # ingestion-SLA audit: >=30-min holes in the global stream
+        return analytics.global_gap_windows(
+            _read(sf, "events", columns=["ts"]),
+            min_gap_us=1_800_000_000)
+
+    def bigram_cov_q(sf):
+        # inter-source phrasing coverage (bigram tokens of B whose
+        # type occurs in A)
+        from verify_ray.pipelines.text import source_bigram_coverage
+
+        return source_bigram_coverage(
+            _read(sf, "documents",
+                  columns=["doc_id", "source", "text"]))
+
     def wmedian_q(sf):
         # quantity-weighted lower-median price per return flag
         return analytics.grouped_weighted_median(
@@ -4232,6 +4247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_growth": growth_q,
         "lineitem_weighted_median": wmedian_q,
         "users_pareto_coverage": pareto_cov_q,
+        "events_global_gaps": gaps_q,
+        "docs_bigram_coverage": bigram_cov_q,
         "docs_ngram_novelty": novelty_q,
         "docs_lang_source_crosstab": crosstab_q,
         "events_runs_test": runs_test_q,
@@ -5827,6 +5844,42 @@ SELECT doc_id, CAST(ra AS BIGINT) AS rank_bm25,
                  WHEN ra > 0 THEN 60 + ra
                  ELSE 60 + rb END AS BIGINT) AS rrf_den
 FROM f ORDER BY doc_id
+""",
+        "events_global_gaps": """
+-- >= 30-minute holes in the merged (distinct-ts) event stream
+WITH u AS (SELECT DISTINCT epoch_us(ts) AS t FROM events
+           WHERE ts IS NOT NULL),
+g AS (SELECT t AS a, LEAD(t) OVER (ORDER BY t) AS b FROM u)
+SELECT a AS gap_start_us, b AS gap_end_us, b - a AS gap_us
+FROM g WHERE b - a >= 1800000000 ORDER BY gap_start_us
+""",
+        "docs_bigram_coverage": f"""
+-- bigram tokens of source B whose bigram type source A contains
+WITH t AS (
+  SELECT doc_id, source, unnest(ws) AS w,
+         generate_subscripts(ws, 1) AS wi
+  FROM (SELECT doc_id, source,
+               regexp_split_to_array({_TRIMMED}, '\\s+') AS ws
+        FROM documents WHERE text IS NOT NULL
+          AND source IS NOT NULL AND doc_id IS NOT NULL)),
+bg AS (
+  SELECT source,
+         w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY wi)
+           AS g
+  FROM t),
+c AS (SELECT source AS s, g, COUNT(*) AS cnt FROM bg
+      WHERE g IS NOT NULL GROUP BY source, g),
+p AS (SELECT DISTINCT s, g FROM c),
+tot AS (SELECT s, SUM(cnt) AS nb FROM c GROUP BY s),
+cov AS (
+  SELECT p.s AS a, c.s AS b, SUM(c.cnt) AS cv
+  FROM p JOIN c ON p.g = c.g AND p.s <> c.s
+  GROUP BY p.s, c.s)
+SELECT a AS source_a, b AS source_b,
+       CAST(tot.nb AS BIGINT) AS n_bigrams_b,
+       CAST(cv AS BIGINT) AS n_covered
+FROM cov JOIN tot ON tot.s = cov.b
+ORDER BY source_a, source_b
 """,
         "lineitem_weighted_median": """
 -- quantity-weighted lower median price per flag: quantile_disc over

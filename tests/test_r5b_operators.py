@@ -603,3 +603,57 @@ def test_pareto_coverage_tie_runs(ray_session):
 
 def test_pareto_coverage_oracle(ray_session):
     _oracle_check("users_pareto_coverage", tables=("events",))
+
+
+# ---- global_gap_windows -----------------------------------------------------
+
+def test_global_gaps_within_and_across_days(ray_session):
+    from verify_ray.pipelines.analytics import global_gap_windows
+
+    h = 3_600_000_000
+    day = 24 * h
+    # day0: events at 0h, 1h (gap 1h), 1h+1s; then silence until
+    # day2 10h (cross-day hole spanning empty day1)
+    ts = [0, h, h + 1_000_000, 2 * day + 10 * h]
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+    out = global_gap_windows(_ds(t), min_gap_us=h // 2)
+    assert list(out.gap_start_us) == [0, h + 1_000_000]
+    assert list(out.gap_end_us) == [h, 2 * day + 10 * h]
+    assert list(out.gap_us) == [h, 2 * day + 9 * h - 1_000_000]
+
+
+def test_global_gaps_duplicate_ts_collapse(ray_session):
+    from verify_ray.pipelines.analytics import global_gap_windows
+
+    t = pa.table({"ts": pa.array([0, 0, 5_000_000_000, 5_000_000_000],
+                                 type=pa.timestamp("us"))})
+    out = global_gap_windows(_ds(t), min_gap_us=1_000_000_000)
+    assert len(out) == 1
+    assert out.gap_us[0] == 5_000_000_000
+
+
+def test_global_gaps_oracle(ray_session):
+    _oracle_check("events_global_gaps", tables=("events",))
+
+
+# ---- source_bigram_coverage -------------------------------------------------
+
+def test_bigram_coverage_hand_case(ray_session):
+    from verify_ray.pipelines.text import source_bigram_coverage
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "source": ["A", "B", "B"],
+        "text": ["x y z",          # A bigrams: "x y", "y z"
+                 "x y x y",        # B: "x y" x2, "y x"
+                 "q r"]})          # B: "q r"
+    out = source_bigram_coverage(_ds(t), num_buckets=4)
+    out = out.set_index(["source_a", "source_b"])
+    # B has 4 bigram tokens; A covers the two "x y" -> 2
+    assert out.loc[("A", "B")].tolist() == [4, 2]
+    # A has 2 bigram tokens; B covers "x y" -> 1
+    assert out.loc[("B", "A")].tolist() == [2, 1]
+
+
+def test_bigram_coverage_oracle(ray_session):
+    _oracle_check("docs_bigram_coverage", tables=("documents",))

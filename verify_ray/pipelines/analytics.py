@@ -3321,3 +3321,75 @@ def pareto_coverage(events_ds, key_col: str = "user_id",
     return pd.DataFrame([{
         "n_keys": int(nk.sum()), "n_events": total,
         "threshold": thr, "k_min": before_k + need}]).astype("int64")
+
+
+def global_gap_windows(events_ds, ts_col: str = "ts",
+                       min_gap_us: int = 1_800_000_000) -> pd.DataFrame:
+    """GLOBAL outage detection — gaps ≥ ``min_gap_us`` in the merged
+    event stream (the ingestion-SLA audit: a silent collector shows up
+    as a hole in the global timeline, invisible to per-user gap
+    audits): returns every maximal silent window as
+    ``(gap_start_us, gap_end_us, gap_us)`` — the last event before
+    and first event after the hole — ordered by start.  Null ts drop.
+
+    Scale shape: NO global sort.  Events bucket by epoch-day; each
+    within-day gap is local to one day's rows (distinct ts per day is
+    bounded), and cross-day gaps derive from the per-day
+    (min, max, n) summary — a days-sized driver vector that also
+    yields whole-empty-day outages exactly.
+    """
+    from ..stages.exchange import grouped_exchange
+
+    DAY = 86_400_000_000
+    num_buckets = 32
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[ts_col]))
+        ts = np.unique(pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                               pa.int64()).to_numpy(zero_copy_only=False))
+        d = ts // DAY
+        return pa.table({"__b": pa.array((d % num_buckets)
+                                         .astype(np.int64)),
+                         "d": pa.array(d), "t": pa.array(ts)})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        ts = np.unique(t.column("t").to_numpy(zero_copy_only=False))
+        d = ts // DAY
+        # within-day gaps (adjacent in the global order because a
+        # day's timestamps are contiguous in sorted order)
+        same_day = d[1:] == d[:-1]
+        gap = ts[1:] - ts[:-1]
+        sel = same_day & (gap >= min_gap_us)
+        starts, ends = ts[:-1][sel], ts[1:][sel]
+        # per-day summary for the cross-day stitching pass
+        ud, first_idx = np.unique(d, return_index=True)
+        last_idx = np.r_[first_idx[1:], len(ts)] - 1
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(len(starts), np.int64),
+                                   np.ones(len(ud), np.int64)]),
+            "a": pa.array(np.r_[starts, ts[first_idx]]),
+            "b": pa.array(np.r_[ends, ts[last_idx]]),
+            "d": pa.array(np.r_[np.full(len(starts), -1, np.int64),
+                                ud])})
+
+    tagged = (events_ds.select_columns([ts_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    cols = ("gap_start_us", "gap_end_us", "gap_us")
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    df = res.to_pandas()
+    gaps = df[df.kind == 0][["a", "b"]]
+    days = df[df.kind == 1].sort_values("d")
+    # cross-day gaps: last ts of each day -> first ts of the next
+    # non-empty day (whole empty days in between are part of the hole)
+    a = days.b.to_numpy(np.int64)[:-1]
+    b = days.a.to_numpy(np.int64)[1:]
+    sel = (b - a) >= min_gap_us
+    out = pd.DataFrame({
+        "gap_start_us": np.r_[gaps.a.to_numpy(np.int64), a[sel]],
+        "gap_end_us": np.r_[gaps.b.to_numpy(np.int64), b[sel]]})
+    out["gap_us"] = out.gap_end_us - out.gap_start_us
+    return (out.sort_values("gap_start_us").reset_index(drop=True)
+            .astype("int64"))

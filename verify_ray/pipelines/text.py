@@ -1158,3 +1158,101 @@ def token_epoch_drift(docs_ds, k: int = 100, text_col: str = "text",
     out = cand[cand.token.isin(keep)]
     return (out.sort_values("token").reset_index(drop=True)
             .astype({"cnt_even": "int64", "cnt_odd": "int64"}))
+
+
+def source_bigram_coverage(docs_ds, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           source_col: str = "source",
+                           num_buckets: int = 64) -> pd.DataFrame:
+    """Inter-source BIGRAM coverage — the language-model-free fluency
+    / redundancy question asked before mixing corpora ("how much of
+    source B's text is phrasing source A already contains?"): for
+    every ordered source pair (a ≠ b), ``n_covered`` = number of B's
+    bigram TOKENS whose bigram TYPE occurs anywhere in A, plus
+    ``n_bigrams_b`` = B's total bigram tokens (coverage ratio derives
+    exactly).  Bigrams are adjacent whitespace words within a doc;
+    null text/source/id rows drop; pairs with zero coverage are
+    omitted.  Returns ``(source_a, source_b, n_bigrams_b, n_covered)``.
+
+    Scale shape: batches emit (bigram, source, count) partials; ONE
+    gram-keyed exchange holds each bigram's full source row, where
+    coverage reduces to a presence-matrix × count-matrix product
+    (sources² per bucket) — the driver sees only sources²-sized
+    partials.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+    from .tokenize import _split_words
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(b[text_col]),
+                            pc.is_valid(b[source_col])),
+                    pc.is_valid(b[id_col]))
+        b = b.filter(m)
+        empty = pa.table({"__b": pa.array([], pa.int64()),
+                          "g": pa.array([], pa.string()),
+                          "s": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        words, parents, _ = _split_words(b, text_col)
+        if len(words) < 2:
+            return empty
+        src = pc.cast(b[source_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        same = parents[1:] == parents[:-1]
+        gram = (words[:-1].astype(object) + " " + words[1:])[same]
+        gsrc = src[parents[:-1][same]]
+        df = (pd.DataFrame({"g": gram, "s": gsrc})
+              .groupby(["g", "s"], as_index=False).size())
+        h = md5_u64le(pa.array(df.g.to_numpy(), type=pa.string()))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "g": pa.array(df.g.to_numpy(), type=pa.string()),
+            "s": pa.array(df.s.to_numpy(), type=pa.string()),
+            "cnt": pa.array(df["size"].to_numpy(np.int64))})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False).astype(object)
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(object)
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        ug, gi = np.unique(g, return_inverse=True)
+        us, si = np.unique(s, return_inverse=True)
+        M = np.zeros((len(ug), len(us)), dtype=np.int64)
+        np.add.at(M, (gi, si), c)
+        P = (M > 0).astype(np.int64)
+        cov = P.T @ M  # cov[a, b] = B-tokens whose type A contains
+        np.fill_diagonal(cov, 0)
+        nb = M.sum(axis=0)
+        ai, bi = np.nonzero(cov)
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(len(ai), np.int64),
+                                   np.ones(len(us), np.int64)]),
+            "a": pa.array(np.r_[us[ai], np.full(len(us), "",
+                                                dtype=object)],
+                          type=pa.string()),
+            "b": pa.array(np.r_[us[bi], us], type=pa.string()),
+            "v": pa.array(np.r_[cov[ai, bi], nb])})
+
+    tagged = (docs_ds.select_columns([id_col, source_col, text_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    cols = ("source_a", "source_b", "n_bigrams_b", "n_covered")
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({
+            "source_a": pd.Series(dtype=object),
+            "source_b": pd.Series(dtype=object),
+            "n_bigrams_b": pd.Series(dtype="int64"),
+            "n_covered": pd.Series(dtype="int64")})
+    df = res.to_pandas()
+    cov = (df[df.kind == 0].groupby(["a", "b"], as_index=False)
+           ["v"].sum().rename(columns={"a": "source_a",
+                                       "b": "source_b",
+                                       "v": "n_covered"}))
+    nb = (df[df.kind == 1].groupby("b", as_index=False)["v"].sum()
+          .rename(columns={"b": "source_b", "v": "n_bigrams_b"}))
+    out = cov.merge(nb, on="source_b")[list(cols)]
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True)
+            .astype({"n_bigrams_b": "int64", "n_covered": "int64"}))
