@@ -4229,8 +4229,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "l_orderkey", "l_partkey", num_buckets=8)
         return degree_assortativity_surface(edges, num_buckets=8)
 
+    def ldiv_q(sf):
+        # l-diversity: QI classes (event_type, day) whose sensitive
+        # attribute (user_id) takes < 60 distinct values
+        def add_day(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_type": b["event_type"],
+                "day": pc.floor_temporal(b["ts"], unit="day"),
+                "user_id": b["user_id"]})
+
+        ev = _read(sf, "events",
+                   columns=["event_type", "ts", "user_id"]
+                   ).map_batches(add_day, batch_format="pyarrow")
+        return analytics.l_diversity(
+            ev, ["event_type", "day"], "user_id", max_distinct=60)
+
+    def tclose_q(sf):
+        # t-closeness integer surface: per-event-type distribution of
+        # the bucketed sensitive attribute (user_id % 16) vs global
+        def add_bucket(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return pa.table({
+                "event_type": b["event_type"],
+                "ubucket": _pc.cast(
+                    _pc.bit_wise_and(b["user_id"], 15), pa.int64())})
+
+        ev = _read(sf, "events",
+                   columns=["event_type", "user_id"]
+                   ).map_batches(add_bucket, batch_format="pyarrow")
+        return analytics.t_closeness_surface(ev, "event_type", "ubucket")
+
+    def mwu_q(sf):
+        # per-lang Mann-Whitney doubled-U surface between the two
+        # md5-parity halves of the corpus (A/B length-shift audit)
+        from verify_ray.functions.hashing import md5_u64le
+
+        def add_side(b: pa.Table) -> pa.Table:
+            h = md5_u64le(pc.cast(b["doc_id"], pa.string()))
+            return pa.table({"lang": b["lang"],
+                             "n_chars": b["n_chars"],
+                             "side": pa.array(
+                                 (h % np.uint64(2)).astype(np.int64))})
+
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "lang", "n_chars"]
+                     ).map_batches(add_side, batch_format="pyarrow")
+        return analytics.mannwhitney_surface(docs, "lang", "n_chars",
+                                             "side")
+
+    def journey_q(sf):
+        # top-20 exact user-journey signatures (md5 of the full
+        # ordered event-type path per user)
+        from verify_ray.pipelines.sessions import journey_signatures
+
+        return journey_signatures(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_type", "event_id"]))
+
+    def shh_q(sf):
+        # dedup-radius calibration: EXACT pairwise simhash hamming
+        # histogram to distance 7 (8x8-band pigeonhole recall)
+        from verify_ray.pipelines.dedup import simhash_hamming_histogram
+
+        return simhash_hamming_histogram(
+            _read(sf, "documents", columns=["doc_id", "text"]))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_l_diversity": ldiv_q,
+        "events_t_closeness": tclose_q,
+        "docs_mannwhitney_u": mwu_q,
+        "user_journey_signatures": journey_q,
+        "simhash_hamming_histogram": shh_q,
         "docs_hybrid_rrf": rrf_q,
         "lineitem_spearman": spearman_q,
         "events_kendall_trend": kendall_q,
@@ -4632,6 +4703,36 @@ words AS (
 )
 SELECT doc_a, doc_b, CAST(bit_count(x) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(x) <= 6 ORDER BY doc_a, doc_b""")
+
+# EXACT pairwise simhash hamming histogram to radius 7: same sh CTE as
+# SIMHASH_ORACLE but over plain documents and an ALL-pairs popcount
+# scan (the Ray side's 8x8-band pigeonhole recall is exact, so the
+# banded counts must equal this brute-force restatement)
+SIMHASH_HIST_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), wh AS (
+  SELECT doc_id, {_md5_u64('w')} AS h FROM words
+), bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM wh CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+), sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN acc > 0
+                       THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+                       ELSE 0 END) AS UBIGINT) AS s
+  FROM bits GROUP BY doc_id
+), d AS (
+  SELECT bit_count(xor(a.s, b.s)) AS hamming
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.s, b.s)) <= 7
+)
+SELECT CAST(hamming AS BIGINT) AS hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM d GROUP BY hamming ORDER BY hamming"""
 
 # whitespace-trim matching pyarrow's utf8_trim_whitespace
 _TRIMMED = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
@@ -5845,6 +5946,77 @@ SELECT doc_id, CAST(ra AS BIGINT) AS rank_bm25,
                  ELSE 60 + rb END AS BIGINT) AS rrf_den
 FROM f ORDER BY doc_id
 """,
+        "events_l_diversity": """
+-- l-diversity: QI classes (event_type, day) with < 60 distinct
+-- sensitive values (user_id)
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+WHERE event_type IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+GROUP BY 1, 2 HAVING COUNT(DISTINCT user_id) < 60
+ORDER BY event_type, day
+""",
+        "events_t_closeness": """
+-- t-closeness integer surface: cross-multiplied L1 between each
+-- event_type's (user_id & 15) distribution and the global one;
+-- values absent from a class contribute their full global mass
+WITH e AS (SELECT event_type AS q, user_id & 15 AS v FROM events
+           WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+c AS (SELECT q, v, COUNT(*) AS c FROM e GROUP BY q, v),
+qs AS (SELECT q, SUM(c) AS n FROM c GROUP BY q),
+vs AS (SELECT v, SUM(c) AS cv FROM c GROUP BY v),
+tot AS (SELECT SUM(c) AS n_total FROM c),
+dense AS (
+  SELECT qs.q, qs.n, vs.v, vs.cv, COALESCE(c.c, 0) AS cqv
+  FROM qs CROSS JOIN vs LEFT JOIN c ON c.q = qs.q AND c.v = vs.v)
+SELECT q AS qi, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(ABS(cqv * (SELECT n_total FROM tot) - cv * n))
+            AS BIGINT) AS l1_x
+FROM dense GROUP BY q ORDER BY qi
+""",
+        "docs_mannwhitney_u": """
+-- per-lang Mann-Whitney doubled-U between md5-parity halves:
+-- doubled average ranks over the combined sample stay integral
+WITH d AS (
+  SELECT lang, n_chars,
+         md5_number_upper(CAST(doc_id AS VARCHAR)) % 2 AS side
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    AND doc_id IS NOT NULL),
+r AS (
+  SELECT lang, side,
+         2 * RANK() OVER (PARTITION BY lang ORDER BY n_chars)
+           + COUNT(*) OVER (PARTITION BY lang, n_chars) - 1 AS rx2
+  FROM d)
+SELECT lang AS grp,
+       CAST(COUNT(*) FILTER (side = 0) AS BIGINT) AS n0,
+       CAST(COUNT(*) FILTER (side = 1) AS BIGINT) AS n1,
+       CAST(COALESCE(SUM(rx2) FILTER (side = 0), 0)
+            - COUNT(*) FILTER (side = 0)
+              * (COUNT(*) FILTER (side = 0) + 1) AS BIGINT) AS u0_x2
+FROM r GROUP BY lang ORDER BY grp
+""",
+        "user_journey_signatures": """
+-- top-20 exact user-journey signatures: md5 of the ordered
+-- event-type path per user (ts asc, event_id tiebreak)
+WITH p AS (
+  SELECT user_id,
+         md5(string_agg(event_type, ',' ORDER BY ts, event_id)) AS sig,
+         COUNT(*) AS ne
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+  GROUP BY user_id),
+s AS (
+  SELECT sig, COUNT(*) AS n_users, MAX(ne) AS n_events,
+         MIN(user_id) AS example_user
+  FROM p GROUP BY sig)
+SELECT sig, CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(example_user AS BIGINT) AS example_user
+FROM s ORDER BY n_users DESC, sig LIMIT 20
+""",
+        "simhash_hamming_histogram": SIMHASH_HIST_ORACLE,
         "events_global_gaps": """
 -- >= 30-minute holes in the merged (distinct-ts) event stream
 WITH u AS (SELECT DISTINCT epoch_us(ts) AS t FROM events

@@ -3393,3 +3393,174 @@ def global_gap_windows(events_ds, ts_col: str = "ts",
     out["gap_us"] = out.gap_end_us - out.gap_start_us
     return (out.sort_values("gap_start_us").reset_index(drop=True)
             .astype("int64"))
+
+
+def l_diversity(ds, qi_cols: list[str], sensitive_col: str,
+                max_distinct: int, num_buckets: int = 32,
+                max_bucket_rows: int | None = None) -> pd.DataFrame:
+    """ℓ-diversity audit: quasi-identifier classes whose SENSITIVE
+    attribute takes fewer than ``max_distinct`` distinct values — the
+    attribute-disclosure companion to the k-anonymity row-count check
+    (a class can satisfy k yet leak if every member shares one
+    sensitive value).  Returns ``(*qi_cols, n_distinct)`` for classes
+    with ``n_distinct < max_distinct``, sorted by the QI columns.
+    Rows with a null QI or null sensitive value drop (SQL ``COUNT
+    (DISTINCT ...)`` + WHERE semantics).
+
+    Scale shape: each block first collapses to its DISTINCT
+    (qi..., sensitive) combos (pyarrow group_by — repeats never leave
+    the block), survivors route through ONE class-keyed hash exchange
+    (a class's combos land in one bucket, so the per-bucket distinct
+    count is globally exact), and only class-cardinality-sized rows
+    reach the driver.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    cols = list(qi_cols) + [sensitive_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.is_valid(b[cols[0]])
+        for c in cols[1:]:
+            m = pc.and_(m, pc.is_valid(b[c]))
+        b = b.select(cols).filter(m)
+        b = b.group_by(cols).aggregate([])  # block-local distinct
+        key = pc.cast(b[qi_cols[0]], pa.string())
+        for c in qi_cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(b[c], pa.string()), "\x1f")
+        h = md5_u64le(key)
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        d = t.group_by(cols).aggregate([])  # cross-block dedup
+        counts = d.group_by(list(qi_cols)).aggregate(
+            [(sensitive_col, "count")])
+        return counts.rename_columns(list(qi_cols) + ["n_distinct"])
+
+    tagged = ds.map_batches(partial, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve,
+                           max_bucket_rows=max_bucket_rows)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame(columns=list(qi_cols) + ["n_distinct"])
+    df = res.to_pandas()
+    df = df[df["n_distinct"] < max_distinct]
+    return (df.sort_values(list(qi_cols)).reset_index(drop=True)
+            .astype({"n_distinct": "int64"}))
+
+
+def t_closeness_surface(ds, qi_col: str, sensitive_col: str) -> pd.DataFrame:
+    """t-closeness integer surface: per quasi-identifier class, the
+    CROSS-MULTIPLIED L1 distance between the class's sensitive-value
+    distribution and the corpus-global one —
+    ``l1_x = Σ_v |c_qv·N − C_v·n_q|`` (c_qv = count of value v in
+    class q, C_v global count, n_q class size, N total), an exact
+    BIGINT whose normalized form ``l1_x / (2·n_q·N)`` is the usual
+    total-variation t (float division left to the consumer).  Values
+    ABSENT from a class still contribute ``C_v·n_q`` — the class is
+    maximally far from mass it has none of.  Rows with a null QI or
+    sensitive value drop.  Returns ``(qi, n, l1_x)`` sorted by qi.
+
+    Scale shape: one pass of per-batch (qi, v) partial counts merged
+    by the cardinality-guarded ``grouped_stats`` path; the driver
+    finishes on an alphabet²-sized frame (classes × values), never
+    row-sized.  Both alphabets must be small (privacy QI/sensitive
+    columns are categorical by construction); high-cardinality
+    sensitive columns should be bucketed by the caller first.
+    """
+    def add_one(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b[qi_col]), pc.is_valid(b[sensitive_col]))
+        b = b.select([qi_col, sensitive_col]).filter(m)
+        return b.append_column(
+            "__one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+    counts = grouped_stats(
+        ds.map_batches(add_one, batch_format="pyarrow"),
+        [qi_col, sensitive_col], {"__one": ["sum"]}).rename(
+            columns={"__one_sum": "c"})
+    if counts.empty:
+        return pd.DataFrame({"qi": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64"),
+                             "l1_x": pd.Series(dtype="int64")})
+    # densify: every class × every observed value (absent -> 0)
+    pivot = counts.pivot_table(index=qi_col, columns=sensitive_col,
+                               values="c", fill_value=0, aggfunc="sum")
+    mat = pivot.to_numpy().astype(np.int64)      # classes × values
+    n_q = mat.sum(axis=1)                        # class sizes
+    c_v = mat.sum(axis=0)                        # global value counts
+    total = int(mat.sum())
+    l1 = np.abs(mat * total - np.outer(n_q, c_v)).sum(axis=1)
+    out = pd.DataFrame({"qi": pivot.index.to_numpy(),
+                        "n": n_q, "l1_x": l1})
+    return (out.sort_values("qi").reset_index(drop=True)
+            .astype({"n": "int64", "l1_x": "int64"}))
+
+
+def mannwhitney_surface(ds, group_col: str, value_col: str,
+                        side_col: str, num_buckets: int = 32,
+                        max_bucket_rows: int | None = None
+                        ) -> pd.DataFrame:
+    """Per-group MANN-WHITNEY U integer surface — the two-sample
+    location test (did treatment docs get longer; is source A's
+    quality shifted vs B) with zero float policy: within each group,
+    rank the COMBINED sample (doubled average ranks stay integral
+    under ties, same contract as :func:`spearman_surface`) and emit
+    ``u0_x2 = Σ_{side=0} 2·avgrank − n0·(n0+1)`` — exactly 2·U for
+    side 0; U₁ = n0·n1 − U₀ and the normal approximation derive on
+    the consumer side.  ``side_col`` must be an integer 0/1 column
+    the caller computed (md5-parity split, A/B variant, epoch).
+    Rows with null group/value/side drop.  Returns
+    ``(grp, n0, n1, u0_x2)`` sorted by grp.
+
+    Scale shape: ONE group-keyed hash exchange; ranking is per-group
+    vectorized (no per-row Python), d²-style int64 bounds hold to
+    ~10⁹ rows per group.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(b[group_col]),
+                            pc.is_valid(b[value_col])),
+                    pc.is_valid(b[side_col]))
+        b = b.filter(m)
+        g = pc.cast(b[group_col], pa.string())
+        h = md5_u64le(g)
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "g": g,
+            "v": pc.cast(b[value_col], pa.float64()),
+            "s": pc.cast(b[side_col], pa.int64())})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False).astype(object)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        ug, inv = np.unique(g, return_inverse=True)
+        n0s, n1s, us = [], [], []
+        for gi in range(len(ug)):
+            sel = inv == gi
+            r2 = _avg_rank_x2(v[sel])
+            side = s[sel]
+            n0 = int((side == 0).sum())
+            n1 = int(sel.sum()) - n0
+            u0x2 = int(r2[side == 0].sum()) - n0 * (n0 + 1)
+            n0s.append(n0); n1s.append(n1); us.append(u0x2)
+        return pa.table({"grp": pa.array(ug, type=pa.string()),
+                         "n0": pa.array(n0s, type=pa.int64()),
+                         "n1": pa.array(n1s, type=pa.int64()),
+                         "u0_x2": pa.array(us, type=pa.int64())})
+
+    tagged = (ds.select_columns([group_col, value_col, side_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve,
+                           max_bucket_rows=max_bucket_rows)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"grp": pd.Series(dtype=object),
+                             "n0": pd.Series(dtype="int64"),
+                             "n1": pd.Series(dtype="int64"),
+                             "u0_x2": pd.Series(dtype="int64")})
+    return res.to_pandas().sort_values("grp").reset_index(drop=True)

@@ -2075,3 +2075,47 @@ def cross_source_dup_matrix(docs_ds, source_col: str = "source",
            ["n_shared"].sum())
     return (out.sort_values(["source_a", "source_b"])
             .reset_index(drop=True).astype({"n_shared": "int64"}))
+
+
+def simhash_hamming_histogram(ds, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              max_hamming: int = 7,
+                              rows_per_group: int = 200_000
+                              ) -> pd.DataFrame:
+    """EXACT histogram of pairwise SimHash Hamming distances up to
+    ``max_hamming`` — the near-dup-radius calibration curve (how many
+    pairs live at distance 0, 1, … d; where should the dedup
+    threshold sit before it starts merging non-dups).  Returns
+    ``(hamming, n_pairs)`` for observed distances ≤ ``max_hamming``,
+    sorted.
+
+    Exactness: sketches band into ``max_hamming + 1`` equal slices
+    (64-bit simhash → 8 bands of 8 bits for the default radius 7),
+    so any pair within the radius agrees on ≥ 1 whole band by
+    pigeonhole — :func:`hamming_pairs_from_hashes` recall is EXACT,
+    not probabilistic, and the counts equal the all-pairs popcount
+    scan an oracle runs.
+
+    Scale shape: the shuffle carries (band-bucket, id, 8-byte sketch)
+    rows only; candidate verification is an in-bucket popcount; the
+    histogram is pair-set-sized at the pair stage and 8 rows at the
+    end.  The pair frame itself is the sizing bound (same contract as
+    ``simhash_pairs``): radii that make near-everything a pair need
+    the streaming pairs sink, not a histogram.
+    """
+    band_bits = 64 // (max_hamming + 1)
+    n_docs = ds.count()
+    hashes = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: simhash_batch(b, text_col, id_col),
+        batch_format="pyarrow")
+    pairs = hamming_pairs_from_hashes(
+        hashes, "simhash", id_col=id_col, max_hamming=max_hamming,
+        band_bits=band_bits, rows_per_group=rows_per_group,
+        n_rows=n_docs)
+    if pairs.empty:
+        return pd.DataFrame({"hamming": pd.Series(dtype="int64"),
+                             "n_pairs": pd.Series(dtype="int64")})
+    out = (pairs.groupby("hamming", as_index=False)
+           .size().rename(columns={"size": "n_pairs"}))
+    return (out.sort_values("hamming").reset_index(drop=True)
+            .astype({"hamming": "int64", "n_pairs": "int64"}))

@@ -1627,3 +1627,105 @@ def user_growth_accounting(events_ds, user_col: str = "user_id",
            [["n_new", "n_active"]].sum().sort_values("day"))
     out["cum_users"] = out.n_new.cumsum()
     return out.reset_index(drop=True).astype("int64")
+
+
+def journey_signatures(events_ds, key_col: str = "user_id",
+                       ts_col: str = "ts", state_col: str = "event_type",
+                       id_col: str = "event_id", topk: int = 20,
+                       num_buckets: int = 32,
+                       max_bucket_rows: int | None = None
+                       ) -> pd.DataFrame:
+    """Top-k user-journey SIGNATURES: each key's full ordered
+    ``state_col`` path (order: ts asc, then ``id_col`` as the
+    deterministic tiebreak) fingerprints to ``md5(join(states,
+    ','))`` — the behavioral-dedup / funnel-mining primitive (how
+    many users share EXACTLY this click-path; SQL:
+    ``md5(string_agg(type, ',' ORDER BY ts, id))``).  Rows with a
+    null key/ts/state drop.  Returns ``(sig, n_users, n_events,
+    example_user)`` — the top ``topk`` by (n_users DESC, sig ASC);
+    ``n_events`` is the shared path's length, ``example_user`` the
+    smallest key carrying it.
+
+    Scale shape: exchange 1 co-locates each key's rows (one lexsort
+    per bucket, paths joined per key — never cross-bucket), emitting
+    ONE (sig, n_events, key) row per key that stays in the object
+    store; exchange 2 co-locates signatures and each bucket emits its
+    LOCAL top-k, so the driver ranks num_buckets×k candidate rows
+    (global top-k ⊆ union of per-bucket top-k — a signature lives in
+    exactly one bucket).  Path strings exist only inside exchange-1
+    merge tasks; the wire carries 32-byte digests after that.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_hex, md5_u64le
+    from ..stages.exchange import grouped_exchange, grouped_exchange_ds
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[ts_col])),
+                       pc.is_valid(b[state_col]))
+        b = b.select([key_col, ts_col, state_col, id_col]).filter(keep)
+        h = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    per_user_schema = pa.schema([
+        ("sig", pa.string()), ("n_events", pa.int64()),
+        ("user", pa.int64())])
+
+    def paths(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        iv = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        st = pc.cast(t[state_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        o = np.lexsort((iv, ts, k))
+        ks, ss = k[o], st[o]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        ends = np.r_[starts[1:], len(ks)]
+        users = ks[starts]
+        joined = [",".join(ss[s:e]) for s, e in zip(starts, ends)]
+        sig = md5_hex(pa.array(joined, type=pa.string()))
+        return pa.table({"sig": sig,
+                         "n_events": pa.array(
+                             (ends - starts).astype(np.int64)),
+                         "user": pa.array(users.astype(np.int64))})
+
+    def sig_tag(b: pa.Table) -> pa.Table:
+        h = md5_u64le(b["sig"])
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby("sig", as_index=False)
+              .agg(n_users=("user", "size"),
+                   n_events=("n_events", "first"),
+                   example_user=("user", "min")))
+        df = df.sort_values(["n_users", "sig"],
+                            ascending=[False, True]).head(topk)
+        return pa.Table.from_pandas(df[["sig", "n_users", "n_events",
+                                        "example_user"]],
+                                    preserve_index=False)
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    per_user = grouped_exchange_ds(tagged, "__b", num_buckets, paths,
+                                   empty_schema=per_user_schema,
+                                   max_bucket_rows=max_bucket_rows)
+    cands = grouped_exchange(
+        per_user.map_batches(sig_tag, batch_format="pyarrow"),
+        "__b", num_buckets, local_topk)
+    cols = ["sig", "n_users", "n_events", "example_user"]
+    if cands is None or cands.num_rows == 0:
+        return pd.DataFrame(columns=cols).astype(
+            {"n_users": "int64", "n_events": "int64",
+             "example_user": "int64"})
+    df = (cands.to_pandas()
+          .sort_values(["n_users", "sig"], ascending=[False, True])
+          .head(topk).reset_index(drop=True))
+    return df[cols].astype({"n_users": "int64", "n_events": "int64",
+                            "example_user": "int64"})
