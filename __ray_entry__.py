@@ -4295,8 +4295,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return simhash_hamming_histogram(
             _read(sf, "documents", columns=["doc_id", "text"]))
 
+    def kcore_q(sf):
+        # 5-core of the co-purchase graph (sparser 1/16 part slice so
+        # peeling actually cascades; sf0.01 needs 7 rounds)
+        from verify_ray.pipelines.graph import cooccurrence_edges, kcore
+
+        edges = cooccurrence_edges(
+            _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"],
+                  filter=pc.bit_wise_and(pc.field("l_partkey"), 15) == 0),
+            "l_orderkey", "l_partkey", num_buckets=8)
+        return kcore(edges, k=5, num_buckets=8)
+
+    def assoc_rules_q(sf):
+        # market-basket rules over the quarter part slice: pair
+        # support >= 2, exact permille confidences + lift rationals
+        from verify_ray.pipelines.graph import association_rules
+
+        return association_rules(
+            _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"],
+                  filter=pc.bit_wise_and(pc.field("l_partkey"), 3) == 0),
+            "l_orderkey", "l_partkey", min_support=2, num_buckets=8)
+
+    def gap_moments_q(sf):
+        # per-user inter-arrival burstiness surface (integer moments)
+        return analytics.gap_moments(
+            _read(sf, "events", columns=["user_id", "ts", "event_id"]))
+
+    def token_pareto_q(sf):
+        # token-frequency concentration: min token types covering 80%
+        # of corpus occurrences (Zipf head size)
+        from verify_ray.pipelines.tokenize import tokenize_documents
+
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "text", "source"])
+        seqs = tokenize_documents(docs, concurrency=2)
+
+        def tok_rows(b: pa.Table) -> pa.Table:
+            flat = pc.list_flatten(b["tokens"])
+            return pa.table({"token": pc.cast(flat, pa.int64())})
+
+        rows = seqs.map_batches(tok_rows, batch_format="pyarrow")
+        return analytics.pareto_coverage(rows, key_col="token",
+                                         permille=800)
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "graph_kcore": kcore_q,
+        "copurchase_rules": assoc_rules_q,
+        "events_gap_moments": gap_moments_q,
+        "tokens_pareto_coverage": token_pareto_q,
         "events_l_diversity": ldiv_q,
         "events_t_closeness": tclose_q,
         "docs_mannwhitney_u": mwu_q,
@@ -4733,6 +4780,39 @@ WITH words AS (
 SELECT CAST(hamming AS BIGINT) AS hamming,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM d GROUP BY hamming ORDER BY hamming"""
+
+def _kcore_oracle(k: int = 5, rounds: int = 20) -> str:
+    """k-core by UNROLLED peeling (DuckDB recursive CTEs forbid the
+    per-round aggregation, so the oracle unrolls ``rounds`` peel
+    steps — a fixpoint needs 7 at sf0.01 (unroll 12) / 0 at sf0.001; the margin
+    is asserted by tests/test_r5c2: extra rounds past convergence are
+    no-ops).  Same graph as graph_kcore: co-purchase edges over the
+    (l_partkey & 15) == 0 slice."""
+    parts = [f"""
+WITH gi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+  WHERE (l_partkey & 15) = 0),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.i AS x, b.i AS y
+  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i)"""]
+    for r in range(1, rounds + 1):
+        # AS MATERIALIZED is load-bearing: each round references the
+        # previous one 3x — inlined CTEs would expand exponentially
+        parts.append(f""",
+n{r} AS MATERIALIZED (
+  SELECT node FROM (SELECT x AS node FROM e{r - 1}
+                    UNION ALL SELECT y FROM e{r - 1})
+  GROUP BY node HAVING COUNT(*) >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT x, y FROM e{r - 1}
+  WHERE x IN (SELECT node FROM n{r})
+    AND y IN (SELECT node FROM n{r}))""")
+    parts.append(f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS deg_core
+FROM (SELECT x AS node FROM e{rounds} UNION ALL SELECT y FROM e{rounds})
+GROUP BY node ORDER BY node""")
+    return "".join(parts)
+
 
 # whitespace-trim matching pyarrow's utf8_trim_whitespace
 _TRIMMED = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
@@ -5945,6 +6025,64 @@ SELECT doc_id, CAST(ra AS BIGINT) AS rank_bm25,
                  WHEN ra > 0 THEN 60 + ra
                  ELSE 60 + rb END AS BIGINT) AS rrf_den
 FROM f ORDER BY doc_id
+""",
+        "graph_kcore": _kcore_oracle(k=5, rounds=12),
+        "copurchase_rules": """
+-- association rules over quarter-slice baskets: pair support >= 2,
+-- floor-permille confidences, cross-multiplied lift rationals
+WITH gi AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+  WHERE (l_partkey & 3) = 0),
+n AS (SELECT COUNT(DISTINCT g) AS nb FROM gi),
+ic AS (SELECT i, COUNT(*) AS c FROM gi GROUP BY i),
+p AS (
+  SELECT a.i AS x, b.i AS y, COUNT(*) AS c_ab
+  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT p.x, p.y, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(cx.c AS BIGINT) AS c_x, CAST(cy.c AS BIGINT) AS c_y,
+       CAST((1000 * c_ab) // cx.c AS BIGINT) AS conf_xy_pm,
+       CAST((1000 * c_ab) // cy.c AS BIGINT) AS conf_yx_pm,
+       CAST(c_ab * (SELECT nb FROM n) AS BIGINT) AS lift_num,
+       CAST(cx.c * cy.c AS BIGINT) AS lift_den
+FROM p JOIN ic cx ON cx.i = p.x JOIN ic cy ON cy.i = p.y
+ORDER BY x, y
+""",
+        "events_gap_moments": """
+-- per-user inter-arrival integer moments (gaps floored to seconds;
+-- order ts asc, event_id tiebreak; single-event users emit nothing)
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+g AS (
+  SELECT user_id,
+         (LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+          - us) // 1000000 AS gap_s
+  FROM e)
+SELECT user_id, CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+       CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_gap2_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+""",
+        "tokens_pareto_coverage": f"""
+-- min token types covering >= ceil(0.8 * occurrences), most
+-- frequent first (same md5 token-id contract as token_topk)
+WITH words AS (
+  SELECT unnest(regexp_split_to_array({_TRIMMED}, '\\s+')) AS w
+  FROM documents),
+c AS (SELECT {_TOKEN_ID} AS token, COUNT(*) AS cnt
+      FROM words GROUP BY 1),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+             COUNT(*) AS nk FROM c),
+s AS (SELECT cnt,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token) AS cum
+      FROM c)
+SELECT nk AS n_keys, total AS n_events,
+       CAST((800 * total + 999) // 1000 AS BIGINT) AS threshold,
+       (SELECT COUNT(*) FROM s
+        WHERE cum - cnt < (800 * total + 999) // 1000) AS k_min
+FROM t
 """,
         "events_l_diversity": """
 -- l-diversity: QI classes (event_type, day) with < 60 distinct

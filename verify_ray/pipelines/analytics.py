@@ -3564,3 +3564,68 @@ def mannwhitney_surface(ds, group_col: str, value_col: str,
                              "n1": pd.Series(dtype="int64"),
                              "u0_x2": pd.Series(dtype="int64")})
     return res.to_pandas().sort_values("grp").reset_index(drop=True)
+
+
+def gap_moments(events_ds, key_col: str = "user_id",
+                ts_col: str = "ts", id_col: str = "event_id",
+                num_buckets: int = 32,
+                max_bucket_rows: int | None = None) -> pd.DataFrame:
+    """Per-key INTER-ARRIVAL moment surface — the burstiness audit
+    (a user whose variance dwarfs the squared mean is bursty; a
+    bot-like metronome has variance ≈ 0) with zero float policy: for
+    each key with ≥ 2 events, ``n_gaps``, ``sum_gap_s`` and
+    ``sum_gap2_s`` over consecutive gaps ordered by (ts, id-tiebreak),
+    each gap floored to whole seconds (``gap_us // 1_000_000`` —
+    seconds keep the squared sum inside int64: a century is ~3·10⁹ s,
+    squared 10¹⁹ would overflow, but real inter-event gaps are ≤
+    years ~3·10⁷ s → 10¹⁵ per term).  CV² = n·Σg²/(Σg)² − 1 and the
+    Fano factor derive on the consumer side.  Keys with one event
+    emit nothing; null key/ts rows drop.
+
+    Scale shape: ONE key-hashed exchange; per-bucket one lexsort +
+    shifted diff (no per-key loop) + np.add.at per-key sums — output
+    is key-cardinality, computed entirely in the merge tasks.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b[key_col]), pc.is_valid(b[ts_col]))
+        b = b.select([key_col, ts_col, id_col]).filter(keep)
+        h = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        iv = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        o = np.lexsort((iv, ts, k))
+        ks, tss = k[o], ts[o]
+        same = ks[1:] == ks[:-1]
+        gap_s = (tss[1:] - tss[:-1])[same] // 1_000_000
+        gk = ks[1:][same]
+        u, inv = np.unique(gk, return_inverse=True)
+        n = np.zeros(len(u), dtype=np.int64)
+        s1 = np.zeros(len(u), dtype=np.int64)
+        s2 = np.zeros(len(u), dtype=np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(s1, inv, gap_s)
+        np.add.at(s2, inv, gap_s * gap_s)
+        return pa.table({key_col: pa.array(u),
+                         "n_gaps": pa.array(n),
+                         "sum_gap_s": pa.array(s1),
+                         "sum_gap2_s": pa.array(s2)})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve,
+                           max_bucket_rows=max_bucket_rows)
+    cols = [key_col, "n_gaps", "sum_gap_s", "sum_gap2_s"]
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    return (res.to_pandas().sort_values(key_col)
+            .reset_index(drop=True).astype("int64"))

@@ -800,3 +800,262 @@ def degree_assortativity_surface(edges_ds, x_col: str = "x",
            {c: int(tot[c]) for c in ("m", "sum_prod", "sum_deg",
                                      "sum_sq")})
     return pd.DataFrame([row]).astype("int64")
+
+
+def _kcore_local(x: np.ndarray, y: np.ndarray, k: int
+                 ) -> pd.DataFrame:
+    """Vectorized in-memory peel over deduped edges (driver-budget
+    arm): O(rounds · E) numpy, no Ray round-trips."""
+    while len(x):
+        nodes = np.concatenate([x, y])
+        u, c = np.unique(nodes, return_counts=True)
+        gone = u[c < k]
+        if not len(gone):
+            out = pd.DataFrame({"node": u, "deg_core": c})
+            return (out.sort_values("node").reset_index(drop=True)
+                    .astype("int64"))
+        bad = np.isin(x, gone) | np.isin(y, gone)
+        x, y = x[~bad], y[~bad]
+    return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                         "deg_core": pd.Series(dtype="int64")})
+
+
+def kcore(edges_ds, k: int, num_buckets: int = 32,
+          max_rounds: int = 64,
+          driver_budget_edges: int = 5_000_000) -> pd.DataFrame:
+    """k-CORE decomposition membership: the maximal subgraph in which
+    every node keeps degree ≥ ``k`` — the density filter behind
+    community seeding and spam-graph pruning (peeling: repeatedly
+    delete nodes of degree < k until a fixpoint; the survivor set is
+    unique regardless of deletion order, so the result is
+    deterministic).  Input is an undirected edge Dataset ``(x, y)``;
+    parallel edges are deduped first (degree = distinct neighbors).
+    Returns ``(node, deg_core)`` — survivors with their in-core
+    degree — sorted by node.
+
+    Scale shape: edges stay in the object store for the whole peel;
+    each round is ONE node-keyed exchange computing degrees whose
+    merge emits ONLY the violators (deg < k) — a shrinking,
+    usually-small frame — plus one broadcast (``ray.put`` of the
+    sorted violator ids) + vectorized searchsorted edge filter.
+    Rounds are data-bounded (≤ peel depth, logarithmic-ish on real
+    graphs); ``max_rounds`` is the runaway guard.  The final exchange
+    emits the core-sized (node, degree) result once, after
+    convergence.  Deduped edge sets ≤ ``driver_budget_edges`` route
+    to a vectorized in-memory peel instead (the connected-components
+    ``pair_budget`` idiom — per-round exchange overhead dominates
+    small graphs; both arms are fixpoint-identical and tested equal).
+    """
+    import ray
+
+    from ..stages.exchange import grouped_exchange
+
+    pair_schema = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+
+    def dedup_tag(b: pa.Table) -> pa.Table:
+        x = pc.cast(b["x"], pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(b["y"], pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+        keep = lo != hi  # self-loops never contribute to k-core degree
+        pairs = np.unique(_pair_struct(lo[keep], hi[keep]))
+        return pa.table({
+            "__b": _bucketed(pairs["a"] + pairs["b"], num_buckets),
+            "x": pa.array(pairs["a"]), "y": pa.array(pairs["b"])})
+
+    def dedup_merge(t: pa.Table) -> pa.Table:
+        pairs = np.unique(_pair_struct(
+            t.column("x").to_numpy(zero_copy_only=False),
+            t.column("y").to_numpy(zero_copy_only=False)))
+        return pa.table({"x": pa.array(pairs["a"]),
+                         "y": pa.array(pairs["b"])})
+
+    from ..stages.exchange import grouped_exchange_ds
+
+    edges = grouped_exchange_ds(
+        edges_ds.map_batches(dedup_tag, batch_format="pyarrow"),
+        "__b", num_buckets, dedup_merge,
+        empty_schema=pair_schema).materialize()
+
+    # size routing (the connected-components pair_budget idiom): a
+    # deduped edge set under the budget peels vectorized in-memory —
+    # each distributed round costs a full exchange of fixed overhead,
+    # which dominates below millions of edges
+    n_edges = edges.count()
+    if n_edges <= driver_budget_edges:
+        if n_edges == 0:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "deg_core": pd.Series(dtype="int64")})
+        t = pa.concat_tables(
+            [pa.Table.from_pydict(b) if isinstance(b, dict) else b
+             for b in edges.iter_batches(batch_format="pyarrow",
+                                         batch_size=None)])
+        return _kcore_local(
+            t.column("x").to_numpy(zero_copy_only=False),
+            t.column("y").to_numpy(zero_copy_only=False), k)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        n = np.concatenate([x, y])
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"__b": _bucketed(u, num_buckets),
+                         "node": pa.array(u),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    def merge_deg(emit_all: bool):
+        def merge(t: pa.Table) -> pa.Table:
+            nd = t.column("node").to_numpy(zero_copy_only=False)
+            dg = t.column("deg").to_numpy(zero_copy_only=False)
+            u, inv = np.unique(nd, return_inverse=True)
+            s = np.zeros(len(u), dtype=np.int64)
+            np.add.at(s, inv, dg)
+            keep = np.ones(len(u), bool) if emit_all else s < k
+            return pa.table({"node": pa.array(u[keep]),
+                             "deg": pa.array(s[keep])})
+        return merge
+
+    empty = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                          "deg_core": pd.Series(dtype="int64")})
+    for _ in range(max_rounds):
+        degs = edges.map_batches(deg_partial, batch_format="pyarrow")
+        removed = grouped_exchange(degs, "__b", num_buckets,
+                                   merge_deg(emit_all=False))
+        if removed is None or removed.num_rows == 0:
+            break
+        gone = np.sort(removed.column("node").to_numpy(
+            zero_copy_only=False))
+        gone_ref = ray.put(gone)
+
+        def drop(b: pa.Table, ref=gone_ref) -> pa.Table:
+            import ray as _ray
+
+            g = _ray.get(ref)
+            x = b.column("x").to_numpy(zero_copy_only=False)
+            y = b.column("y").to_numpy(zero_copy_only=False)
+            ix = np.searchsorted(g, x)
+            iy = np.searchsorted(g, y)
+            bad = ((ix < len(g)) & (g[np.minimum(ix, len(g) - 1)] == x)) \
+                | ((iy < len(g)) & (g[np.minimum(iy, len(g) - 1)] == y))
+            return b.filter(pa.array(~bad))
+
+        edges = edges.map_batches(drop,
+                                  batch_format="pyarrow").materialize()
+        if edges.count() == 0:
+            return empty
+    else:
+        raise RuntimeError(
+            f"kcore did not converge in {max_rounds} rounds — raise "
+            "max_rounds (peel depth exceeds the guard)")
+
+    degs = edges.map_batches(deg_partial, batch_format="pyarrow")
+    core = grouped_exchange(degs, "__b", num_buckets,
+                            merge_deg(emit_all=True))
+    if core is None or core.num_rows == 0:
+        return empty
+    out = core.to_pandas().rename(columns={"deg": "deg_core"})
+    return (out.sort_values("node").reset_index(drop=True)
+            .astype("int64"))
+
+
+def association_rules(ds, group_col: str, item_col: str,
+                      min_support: int = 2,
+                      num_buckets: int = 32) -> pd.DataFrame:
+    """Market-basket ASSOCIATION-RULE surface: for every unordered
+    item pair co-occurring in ≥ ``min_support`` baskets, the exact
+    integer rule statistics — ``c_ab`` (pair support), ``c_x``/``c_y``
+    (item supports), permille confidences ``conf_xy_pm = ⌊1000·c_ab/
+    c_x⌋`` (x⇒y) and ``conf_yx_pm``, and the cross-multiplied lift
+    pair ``(lift_num, lift_den) = (c_ab·N, c_x·c_y)`` (lift > 1 ⟺
+    lift_num > lift_den — no float division anywhere).  ``N`` is the
+    basket count.  Supports are basket-level (an item twice in one
+    basket counts once).  Returns one row per rule pair sorted by
+    ``(x, y)``.
+
+    Scale shape: per-group pair enumeration reuses the
+    ``cooccurrence_edges`` exchange (C(k,2) per basket is the
+    documented per-task bound); pair counting is a second pair-keyed
+    exchange whose merge FILTERS to ``min_support`` before anything
+    reaches the driver (frequent pairs are output-sized by
+    definition); item supports + the basket count reduce through a
+    basket-keyed exchange to a catalog-sized partial frame (same
+    driver-merge contract as the token top-k family).
+    """
+    from ..stages.exchange import grouped_exchange
+
+    edges = cooccurrence_edges(ds, group_col, item_col,
+                               num_buckets=num_buckets)
+
+    def pair_tag(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        pairs, cnt = np.unique(_pair_struct(x, y), return_counts=True)
+        return pa.table({"__b": _bucketed(pairs["a"] + pairs["b"],
+                                          num_buckets),
+                         "x": pa.array(pairs["a"]),
+                         "y": pa.array(pairs["b"]),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    def pair_merge(t: pa.Table) -> pa.Table:
+        pairs = _pair_struct(t.column("x").to_numpy(zero_copy_only=False),
+                             t.column("y").to_numpy(zero_copy_only=False))
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(pairs, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, c)
+        keep = s >= min_support
+        return pa.table({"x": pa.array(u["a"][keep]),
+                         "y": pa.array(u["b"][keep]),
+                         "c_ab": pa.array(s[keep])})
+
+    rules = grouped_exchange(
+        edges.map_batches(pair_tag, batch_format="pyarrow"),
+        "__b", num_buckets, pair_merge)
+    cols = ["x", "y", "c_ab", "c_x", "c_y", "conf_xy_pm",
+            "conf_yx_pm", "lift_num", "lift_den"]
+    if rules is None or rules.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+
+    # item supports + basket count: baskets co-locate by group hash, so
+    # per-bucket (item, n_baskets_with_item) partials and the bucket's
+    # distinct-basket count (sentinel item = -1) are both exact
+    def gi_tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[item_col])))
+        g = pc.cast(b[group_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        it = pc.cast(b[item_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pairs = np.unique(_pair_struct(g, it))
+        return pa.table({"__b": _bucketed(pairs["a"], num_buckets),
+                         "g": pa.array(pairs["a"]),
+                         "i": pa.array(pairs["b"])})
+
+    def support_merge(t: pa.Table) -> pa.Table:
+        gi = np.unique(_pair_struct(
+            t.column("g").to_numpy(zero_copy_only=False),
+            t.column("i").to_numpy(zero_copy_only=False)))
+        items, cnt = np.unique(gi["b"], return_counts=True)
+        n_baskets = len(np.unique(gi["a"]))
+        return pa.table({
+            "i": pa.array(np.r_[items, [-1]]),
+            "c": pa.array(np.r_[cnt.astype(np.int64), [n_baskets]])})
+
+    sup = grouped_exchange(
+        ds.map_batches(gi_tag, batch_format="pyarrow"),
+        "__b", num_buckets, support_merge).to_pandas()
+    sup = sup.groupby("i", as_index=False)["c"].sum()
+    n_baskets = int(sup.loc[sup.i == -1, "c"].sum())
+    item_c = dict(zip(sup.i.to_numpy(), sup.c.to_numpy()))
+
+    df = rules.to_pandas()
+    cx = df.x.map(item_c).to_numpy(np.int64)
+    cy = df.y.map(item_c).to_numpy(np.int64)
+    cab = df.c_ab.to_numpy(np.int64)
+    out = pd.DataFrame({
+        "x": df.x, "y": df.y, "c_ab": cab, "c_x": cx, "c_y": cy,
+        "conf_xy_pm": 1000 * cab // cx,
+        "conf_yx_pm": 1000 * cab // cy,
+        "lift_num": cab * n_baskets,
+        "lift_den": cx * cy})
+    return (out.sort_values(["x", "y"]).reset_index(drop=True)
+            .astype("int64"))
