@@ -4338,8 +4338,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return analytics.pareto_coverage(rows, key_col="token",
                                          permille=800)
 
+    def ks_q(sf):
+        # KS distribution-shift surface between src0 and src1 doc
+        # lengths (cross-multiplied integer D)
+        return analytics.ks_surface(
+            _read(sf, "documents", columns=["source", "n_chars"]),
+            "source", "n_chars", "src0", "src1")
+
+    def charclass_q(sf):
+        # per-source character-class composition (vectorized RE2)
+        from verify_ray.pipelines.text import charclass_profile
+
+        return charclass_profile(
+            _read(sf, "documents", columns=["source", "text"]))
+
+    def subseq_q(sf):
+        # sequential-pattern support: users containing the ordered
+        # subsequence signup -> click -> purchase (no window bound)
+        from verify_ray.pipelines.sessions import subsequence_support
+
+        return subsequence_support(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_type"]),
+            pattern=["signup", "click", "purchase"])
+
+    def hour_crosstab_q(sf):
+        # load heatmap: events per (hour-of-day, type)
+        def add_hour(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                                 pc.is_valid(b["event_type"])))
+            return pa.table({
+                "hour": pc.cast(pc.hour(b["ts"]), pa.int64()),
+                "event_type": b["event_type"],
+                "__one": pa.array(
+                    np.ones(b.num_rows, dtype=np.int64))})
+
+        ev = (_read(sf, "events", columns=["ts", "event_type"])
+              .map_batches(add_hour, batch_format="pyarrow"))
+        out = analytics.grouped_stats(ev, ["hour", "event_type"],
+                                      {"__one": ["sum"]})
+        out = out.rename(columns={"__one_sum": "n"})
+        return (out.sort_values(["hour", "event_type"])
+                .reset_index(drop=True)
+                .astype({"hour": "int64", "n": "int64"}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_ks_surface": ks_q,
+        "docs_charclass_by_source": charclass_q,
+        "events_subsequence_support": subseq_q,
+        "events_hour_type_heatmap": hour_crosstab_q,
         "graph_kcore": kcore_q,
         "copurchase_rules": assoc_rules_q,
         "events_gap_moments": gap_moments_q,
@@ -6025,6 +6073,78 @@ SELECT doc_id, CAST(ra AS BIGINT) AS rank_bm25,
                  WHEN ra > 0 THEN 60 + ra
                  ELSE 60 + rb END AS BIGINT) AS rrf_den
 FROM f ORDER BY doc_id
+""",
+        "docs_ks_surface": """
+-- two-sample KS integer surface between src0 and src1 lengths:
+-- d_x = max_v |cumA(v)*n_b - cumB(v)*n_a|, first value attaining it
+WITH d AS (
+  SELECT source AS g, n_chars AS v FROM documents
+  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+c AS (
+  SELECT v,
+         COUNT(*) FILTER (g = 'src0') AS ca,
+         COUNT(*) FILTER (g = 'src1') AS cb
+  FROM d GROUP BY v),
+cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v) AS cuma,
+         SUM(cb) OVER (ORDER BY v) AS cumb
+  FROM c),
+t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
+s AS (
+  SELECT v, ABS(cuma * (SELECT nb FROM t)
+                - cumb * (SELECT na FROM t)) AS diff
+  FROM cum)
+SELECT CAST((SELECT na FROM t) AS BIGINT) AS n_a,
+       CAST((SELECT nb FROM t) AS BIGINT) AS n_b,
+       CAST(MAX(diff) AS BIGINT) AS d_x,
+       CAST((SELECT MIN(v) FROM s
+             WHERE diff = (SELECT MAX(diff) FROM s))
+            AS BIGINT) AS at_value
+FROM s
+""",
+        "docs_charclass_by_source": """
+-- per-source character-class sums (explicit ASCII classes)
+SELECT source AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
+       CAST(SUM(length(regexp_replace(coalesce(text, ''),
+                                      '[^0-9]', '', 'g')))
+            AS BIGINT) AS n_digit,
+       CAST(SUM(length(regexp_replace(coalesce(text, ''),
+                                      '[^A-Z]', '', 'g')))
+            AS BIGINT) AS n_upper,
+       CAST(SUM(length(coalesce(text, ''))
+                - length(replace(coalesce(text, ''), ' ', '')))
+            AS BIGINT) AS n_space
+FROM documents WHERE source IS NOT NULL
+GROUP BY source ORDER BY grp
+""",
+        "events_subsequence_support": """
+-- users containing signup -> click -> purchase as a strictly
+-- time-increasing subsequence (greedy-earliest chaining)
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+u AS (SELECT DISTINCT user_id FROM e
+      WHERE event_type IN ('signup', 'click', 'purchase')),
+t0 AS (SELECT user_id, MIN(us) AS t FROM e
+       WHERE event_type = 'signup' GROUP BY user_id),
+t1 AS (SELECT e.user_id, MIN(us) AS t
+       FROM e JOIN t0 ON e.user_id = t0.user_id AND e.us > t0.t
+       WHERE event_type = 'click' GROUP BY e.user_id),
+t2 AS (SELECT e.user_id, MIN(us) AS t
+       FROM e JOIN t1 ON e.user_id = t1.user_id AND e.us > t1.t
+       WHERE event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_users,
+       CAST((SELECT COUNT(*) FROM t2) AS BIGINT) AS n_match
+""",
+        "events_hour_type_heatmap": """
+SELECT CAST(hour(ts) AS BIGINT) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY hour, event_type
 """,
         "graph_kcore": _kcore_oracle(k=5, rounds=12),
         "copurchase_rules": """

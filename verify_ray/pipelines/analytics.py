@@ -3629,3 +3629,54 @@ def gap_moments(events_ds, key_col: str = "user_id",
         return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
     return (res.to_pandas().sort_values(key_col)
             .reset_index(drop=True).astype("int64"))
+
+
+def ks_surface(ds, group_col: str, value_col: str,
+               group_a, group_b) -> pd.DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV integer surface between groups
+    ``a`` and ``b`` — the distribution-shift gate (is source A's
+    length distribution the same as B's) with zero float policy:
+    ``d_x = max_v |cumA(v)·n_b − cumB(v)·n_a|`` over the union of
+    observed values (cross-multiplied, so D = d_x/(n_a·n_b) derives
+    on the consumer side) plus ``at_value``, the smallest value
+    attaining the max (deterministic tie rule).  Rows outside the two
+    groups or with null value drop.  Returns one row
+    ``(n_a, n_b, d_x, at_value)``.
+
+    Scale shape: per-batch partial counts collapse to (value, side)
+    pairs (map-side combine through the cardinality-guarded
+    ``grouped_stats`` merge), so the driver finishes on a
+    distinct-value-sized frame — the documented contract: values must
+    be discrete/bounded (lengths, counts, bucketed floats); bucket
+    continuous columns first.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        g = pc.cast(b[group_col], pa.string())
+        m = pc.and_(pc.or_(pc.equal(g, str(group_a)),
+                           pc.equal(g, str(group_b))),
+                    pc.is_valid(b[value_col]))
+        b2 = pa.table({"g": g, "v": b[value_col]}).filter(
+            pc.fill_null(m, False))
+        one = np.ones(b2.num_rows, dtype=np.int64)
+        return b2.append_column("__one", pa.array(one))
+
+    counts = grouped_stats(
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["g", "v"], {"__one": ["sum"]}).rename(
+            columns={"__one_sum": "c"})
+    cols = ("n_a", "n_b", "d_x", "at_value")
+    if counts.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    piv = (counts.pivot_table(index="v", columns="g", values="c",
+                              fill_value=0, aggfunc="sum")
+           .reindex(columns=[str(group_a), str(group_b)], fill_value=0)
+           .sort_index())
+    ca = piv[str(group_a)].to_numpy(np.int64).cumsum()
+    cb = piv[str(group_b)].to_numpy(np.int64).cumsum()
+    n_a, n_b = int(ca[-1]), int(cb[-1])
+    diff = np.abs(ca * n_b - cb * n_a)
+    d_x = int(diff.max())
+    at = piv.index.to_numpy()[int(np.argmax(diff))]  # first max
+    return pd.DataFrame([{"n_a": n_a, "n_b": n_b, "d_x": d_x,
+                          "at_value": int(at)}]).astype("int64")

@@ -1729,3 +1729,82 @@ def journey_signatures(events_ds, key_col: str = "user_id",
           .head(topk).reset_index(drop=True))
     return df[cols].astype({"n_users": "int64", "n_events": "int64",
                             "example_user": "int64"})
+
+
+def subsequence_support(events_ds, pattern: list[str],
+                        key_col: str = "user_id", ts_col: str = "ts",
+                        state_col: str = "event_type",
+                        num_buckets: int = 32,
+                        max_bucket_rows: int | None = None
+                        ) -> pd.DataFrame:
+    """Ordered-SUBSEQUENCE support: how many keys contain the pattern
+    ``[s₀, s₁, …]`` as a strictly-time-increasing subsequence of
+    their event stream — sequential-pattern mining's support count
+    (unlike :func:`funnel_counts` there is NO window bound; unlike
+    transitions the steps need not be adjacent).  Chaining is greedy
+    and strict: step i+1 must occur at a ``ts`` STRICTLY after the
+    EARLIEST completion of step i (equal timestamps do not chain —
+    order within a timestamp tie is ambiguous), and greedy-earliest
+    chaining is optimal for subsequence existence.  Null
+    key/ts/state rows drop.  Returns one row ``(n_users, n_match)``
+    — ``n_users`` counts keys with ≥ 1 event of ANY pattern state
+    (the candidate base; keys whose events never touch the pattern
+    cannot match and are not shipped through the exchange).
+
+    Scale shape: ONE key-hashed exchange; each bucket resolves its
+    keys with |pattern| vectorized passes (per-step filter + per-key
+    min-after, pandas groupby — no per-event Python), emitting a
+    2-int partial; the driver sums ``num_buckets`` rows.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    if not pattern:
+        raise ValueError("pattern must name at least one state")
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[ts_col])),
+                       pc.is_valid(b[state_col]))
+        b = b.select([key_col, ts_col, state_col]).filter(keep)
+        # events not in the pattern can never advance the chain
+        b = b.filter(pc.is_in(b[state_col],
+                              value_set=pa.array(pattern)))
+        h = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": pc.cast(t[key_col], pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "ts": pc.cast(t[ts_col], pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "s": pc.cast(t[state_col], pa.string()).to_numpy(
+                zero_copy_only=False)})
+        users = pd.unique(df.k)
+        # prev[k] = earliest completion ts of the chain so far
+        prev = pd.Series(-np.inf, index=users)
+        for step in pattern:
+            cand = df[df.s == step]
+            cand = cand[cand.ts > cand.k.map(prev).to_numpy()]
+            nxt = cand.groupby("k")["ts"].min()
+            prev = pd.Series(np.inf, index=users)
+            prev.update(nxt)
+        n_match = int((prev != np.inf).sum())
+        return pa.table({"n_users": pa.array([len(users)], pa.int64()),
+                         "n_match": pa.array([n_match], pa.int64())})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve,
+                           max_bucket_rows=max_bucket_rows)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame([{"n_users": 0, "n_match": 0}]).astype(
+            "int64")
+    df = res.to_pandas()
+    return pd.DataFrame([{"n_users": int(df.n_users.sum()),
+                          "n_match": int(df.n_match.sum())}]).astype(
+        "int64")

@@ -1256,3 +1256,53 @@ def source_bigram_coverage(docs_ds, text_col: str = "text",
     return (out.sort_values(["source_a", "source_b"])
             .reset_index(drop=True)
             .astype({"n_bigrams_b": "int64", "n_covered": "int64"}))
+
+
+def charclass_profile(ds, group_col: str = "source",
+                      text_col: str = "text") -> pd.DataFrame:
+    """Per-group CHARACTER-CLASS composition — the encoding/noise
+    audit (a source suddenly full of digits or ALL-CAPS is scraped
+    boilerplate or OCR junk): exact sums per group of total chars,
+    ASCII digits ``[0-9]``, ASCII uppercase ``[A-Z]`` and spaces,
+    plus the doc count.  Explicit ASCII classes only — locale-free,
+    so the RE2 kernel and any SQL restatement agree byte-for-byte.
+    Null text counts 0 chars; null group is its own group dropped
+    here (SQL WHERE parity).  Returns ``(group, n_docs, n_chars,
+    n_digit, n_upper, n_space)`` sorted by group.
+
+    Scale shape: one streaming pass; the four class counts are
+    vectorized ``pc.count_substring_regex`` kernels inside
+    ``map_batches`` (no Python over rows), partials merge through the
+    cardinality-guarded grouped_stats path (group-alphabet-sized).
+    """
+    import pyarrow.compute as pc
+
+    from .analytics import grouped_stats
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.is_valid(b[group_col])
+        b = b.select([group_col, text_col]).filter(m)
+        txt = pc.fill_null(b[text_col], "")
+        return pa.table({
+            "grp": pc.cast(b[group_col], pa.string()),
+            "__one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+            "n_digit": pc.cast(
+                pc.count_substring_regex(txt, "[0-9]"), pa.int64()),
+            "n_upper": pc.cast(
+                pc.count_substring_regex(txt, "[A-Z]"), pa.int64()),
+            "n_space": pc.cast(
+                pc.count_substring_regex(txt, " "), pa.int64())})
+
+    out = grouped_stats(
+        ds.map_batches(partial, batch_format="pyarrow"), ["grp"],
+        {"__one": ["sum"], "n_chars": ["sum"], "n_digit": ["sum"],
+         "n_upper": ["sum"], "n_space": ["sum"]})
+    out = out.rename(columns={
+        "__one_sum": "n_docs", "n_chars_sum": "n_chars",
+        "n_digit_sum": "n_digit", "n_upper_sum": "n_upper",
+        "n_space_sum": "n_space"})
+    cols = ["grp", "n_docs", "n_chars", "n_digit", "n_upper",
+            "n_space"]
+    return (out[cols].sort_values("grp").reset_index(drop=True)
+            .astype({c: "int64" for c in cols[1:]}))
