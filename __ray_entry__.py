@@ -4382,8 +4382,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({"hour": "int64", "n": "int64"}))
 
+    def hapax_q(sf):
+        # vocabulary richness: per-source type counts + global hapax
+        from verify_ray.pipelines.text import hapax_by_source
+
+        return hapax_by_source(
+            _read(sf, "documents", columns=["source", "text"]))
+
+    def autocorr_q(sf):
+        # per-user lag-1 value autocorrelation integer surface
+        return analytics.autocorr_surface(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_id", "value"]))
+
+    def typesets_q(sf):
+        # behavioral segmentation: users by their SET of high-value
+        # event types (value >= 150 slice so sets differentiate)
+        from verify_ray.pipelines.sessions import type_set_counts
+
+        return type_set_counts(
+            _read(sf, "events",
+                  columns=["user_id", "event_type", "value"],
+                  filter=pc.field("value") >= 150))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_hapax_by_source": hapax_q,
+        "events_autocorr_surface": autocorr_q,
+        "user_type_sets": typesets_q,
         "docs_ks_surface": ks_q,
         "docs_charclass_by_source": charclass_q,
         "events_subsequence_support": subseq_q,
@@ -6073,6 +6099,56 @@ SELECT doc_id, CAST(ra AS BIGINT) AS rank_bm25,
                  WHEN ra > 0 THEN 60 + ra
                  ELSE 60 + rb END AS BIGINT) AS rrf_den
 FROM f ORDER BY doc_id
+""",
+        "docs_hapax_by_source": f"""
+-- per-source distinct word types + corpus-global hapax legomena
+-- (type identity = md5_number_upper(w), the engine token contract)
+WITH words AS (
+  SELECT source, unnest(regexp_split_to_array({_TRIMMED}, '\\s+')) AS w
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+t AS (SELECT source, md5_number_upper(w) AS h, COUNT(*) AS c
+      FROM words GROUP BY 1, 2),
+g AS (SELECT h, SUM(c) AS gc FROM t GROUP BY h)
+SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN g.gc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax
+FROM t JOIN g USING (h) GROUP BY source ORDER BY grp
+""",
+        "events_autocorr_surface": """
+-- per-user lag-1 autocorrelation sums over permille-floored values
+-- (floor(1000.0*v), not // — negative-safe; ts asc, id tiebreak)
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(floor(1000.0 * value) AS BIGINT) AS p
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+l AS (
+  SELECT user_id, p AS head,
+         LEAD(p) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS tail
+  FROM e)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(head * tail) AS BIGINT) AS s_xy,
+       CAST(SUM(head) AS BIGINT) AS s_head,
+       CAST(SUM(tail) AS BIGINT) AS s_tail,
+       CAST(SUM(head * head) AS BIGINT) AS s_head2,
+       CAST(SUM(tail * tail) AS BIGINT) AS s_tail2
+FROM l WHERE tail IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+""",
+        "user_type_sets": """
+-- users grouped by their SET of high-value event types
+WITH s AS (
+  SELECT user_id,
+         string_agg(DISTINCT event_type, ','
+                    ORDER BY event_type) AS type_set
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND value >= 150
+  GROUP BY user_id)
+SELECT type_set, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM s GROUP BY type_set ORDER BY type_set
 """,
         "docs_ks_surface": """
 -- two-sample KS integer surface between src0 and src1 lengths:

@@ -193,7 +193,16 @@ def bench_queries() -> dict[str, float]:
              "validate_documents_examples",
              "embeddings_quality_audit",
              "events_signup_purchase_gap",
-             "docs_lang_source_crosstab", "events_runs_test"]
+             "docs_lang_source_crosstab", "events_runs_test",
+             # round-5 session-3 additions
+             "events_l_diversity", "events_t_closeness",
+             "docs_mannwhitney_u", "user_journey_signatures",
+             "simhash_hamming_histogram", "graph_kcore",
+             "copurchase_rules", "events_gap_moments",
+             "tokens_pareto_coverage", "docs_ks_surface",
+             "docs_charclass_by_source",
+             "events_subsequence_support",
+             "events_hour_type_heatmap"]
     out = {}
     for name in names:
         t0 = time.time()

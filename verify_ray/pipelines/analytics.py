@@ -3680,3 +3680,78 @@ def ks_surface(ds, group_col: str, value_col: str,
     at = piv.index.to_numpy()[int(np.argmax(diff))]  # first max
     return pd.DataFrame([{"n_a": n_a, "n_b": n_b, "d_x": d_x,
                           "at_value": int(at)}]).astype("int64")
+
+
+def autocorr_surface(events_ds, key_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     value_col: str = "value",
+                     num_buckets: int = 32,
+                     max_bucket_rows: int | None = None
+                     ) -> pd.DataFrame:
+    """Per-key LAG-1 AUTOCORRELATION integer surface — the
+    memory-vs-noise audit of a key's value series (does a high value
+    predict the next one): over consecutive pairs in (ts, id) order,
+    exact int64 sums of the PERMILLE-floored values
+    ``p = ⌊1000·v⌋`` — ``n_pairs, s_xy, s_head, s_tail, s_head2,
+    s_tail2`` (head = earlier element of each pair, tail = later);
+    Pearson r over pairs derives on the consumer side.  The permille
+    floor is the engine-wide float escape hatch: both engines floor
+    the SAME float64 product, so the lattice is identical
+    (``CAST(floor(1000.0·v) AS BIGINT)`` in SQL — floor, not ``//``,
+    for negative safety).  Keys with < 2 events emit nothing; null
+    key/ts/value rows drop.  Returns one row per key sorted by key.
+
+    Scale shape: ONE key-hashed exchange, per-bucket lexsort +
+    shifted compare (no per-key loop), np.add.at partial sums.
+    int64 bound: |p| ≤ 10⁶-ish values square to 10¹²; 10⁶ pairs per
+    key stay inside int64.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[ts_col])),
+                       pc.is_valid(b[value_col]))
+        b = b.select([key_col, ts_col, id_col, value_col]).filter(keep)
+        h = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        iv = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        p = np.floor(1000.0 * v).astype(np.int64)
+        o = np.lexsort((iv, ts, k))
+        ks, ps = k[o], p[o]
+        same = ks[1:] == ks[:-1]
+        head, tail, gk = ps[:-1][same], ps[1:][same], ks[1:][same]
+        u, inv = np.unique(gk, return_inverse=True)
+        sums = {}
+        for name, arr in (("n_pairs", np.ones(len(gk), np.int64)),
+                          ("s_xy", head * tail),
+                          ("s_head", head), ("s_tail", tail),
+                          ("s_head2", head * head),
+                          ("s_tail2", tail * tail)):
+            acc = np.zeros(len(u), dtype=np.int64)
+            np.add.at(acc, inv, arr)
+            sums[name] = acc
+        return pa.table({key_col: pa.array(u),
+                         **{n: pa.array(a) for n, a in sums.items()}})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve,
+                           max_bucket_rows=max_bucket_rows)
+    cols = [key_col, "n_pairs", "s_xy", "s_head", "s_tail",
+            "s_head2", "s_tail2"]
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    return (res.to_pandas()[cols].sort_values(key_col)
+            .reset_index(drop=True).astype("int64"))

@@ -1808,3 +1808,59 @@ def subsequence_support(events_ds, pattern: list[str],
     return pd.DataFrame([{"n_users": int(df.n_users.sum()),
                           "n_match": int(df.n_match.sum())}]).astype(
         "int64")
+
+
+def type_set_counts(events_ds, key_col: str = "user_id",
+                    state_col: str = "event_type",
+                    num_buckets: int = 32) -> pd.DataFrame:
+    """Behavioral TYPE-SET powerset counts: how many keys exhibit
+    exactly this SET of states (order-free companion to
+    :func:`journey_signatures` — segments users by which behaviors
+    they ever showed, e.g. "purchased but never errored").  Set
+    identity is the sorted distinct states joined by ','.  Null
+    key/state rows drop.  Returns ``(type_set, n_users)`` sorted by
+    type_set.
+
+    Scale shape: per-batch (key, state) dedup, ONE key-hashed
+    exchange (a key's states co-locate → exact per-key set), per-
+    bucket set-count partials; the driver merges ≤ 2^|alphabet| rows
+    per bucket (the state alphabet is small by contract).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b[key_col]),
+                       pc.is_valid(b[state_col]))
+        b = b.select([key_col, state_col]).filter(keep)
+        b = b.group_by([key_col, state_col]).aggregate([])
+        h = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": pc.cast(t[key_col], pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "s": pc.cast(t[state_col], pa.string()).to_numpy(
+                zero_copy_only=False)})
+        df = df.drop_duplicates()
+        sets = (df.sort_values("s").groupby("k")["s"]
+                .agg(",".join))
+        cnt = sets.value_counts()
+        return pa.table({"type_set": pa.array(cnt.index.to_numpy(object),
+                                              pa.string()),
+                         "n_users": pa.array(cnt.to_numpy(np.int64))})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"type_set": pd.Series(dtype=object),
+                             "n_users": pd.Series(dtype="int64")})
+    df = (res.to_pandas().groupby("type_set", as_index=False)
+          ["n_users"].sum())
+    return (df.sort_values("type_set").reset_index(drop=True)
+            .astype({"n_users": "int64"}))

@@ -1306,3 +1306,72 @@ def charclass_profile(ds, group_col: str = "source",
             "n_space"]
     return (out[cols].sort_values("grp").reset_index(drop=True)
             .astype({c: "int64" for c in cols[1:]}))
+
+
+def hapax_by_source(ds, group_col: str = "source",
+                    text_col: str = "text",
+                    num_buckets: int = 64) -> pd.DataFrame:
+    """Vocabulary-richness audit per source: distinct word TYPES the
+    source uses and how many of them are corpus-global HAPAX
+    LEGOMENA (exactly one occurrence anywhere — a hapax's source is
+    unique by definition).  A scraped/duplicated source shows a low
+    hapax share; a diverse source a high one.  Type identity is
+    ``md5_number_upper(word)`` (the engine-wide 64-bit token
+    contract — SQL oracles restate it exactly, and only 8-byte
+    hashes ever shuffle).  Null group/text rows drop.  Returns
+    ``(grp, n_types, n_hapax)`` sorted by grp.
+
+    Scale shape: per-batch (hash, source) partial counts (map-side
+    combine), ONE token-keyed exchange (a token's rows co-locate, so
+    global counts and the hapax test are bucket-exact), per-bucket
+    source-level partials — the driver merges source-alphabet-sized
+    rows only.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..kernels import as_array
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b[group_col]), pc.is_valid(b[text_col]))
+        b = b.select([group_col, text_col]).filter(m)
+        toks = as_array(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b[text_col]), r"\s+"))
+        par = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        h = md5_u64le(flat)
+        src = pc.cast(b[group_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)[par]
+        key = pd.DataFrame({"h": h, "s": src})
+        agg = key.groupby(["h", "s"], as_index=False).size()
+        hv = agg.h.to_numpy(np.uint64)
+        return pa.table({
+            "__b": pa.array((hv % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "h": pa.array(hv, pa.uint64()),
+            "s": pa.array(agg.s.to_numpy(object), pa.string()),
+            "c": pa.array(agg["size"].to_numpy(np.int64))})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby(["h", "s"], as_index=False)
+              ["c"].sum())
+        gc = df.groupby("h")["c"].transform("sum")
+        df["hapax"] = (gc == 1).astype(np.int64)
+        out = (df.groupby("s", as_index=False)
+               .agg(n_types=("h", "size"), n_hapax=("hapax", "sum")))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tagged = ds.map_batches(partial, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    cols = ["grp", "n_types", "n_hapax"]
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"grp": pd.Series(dtype=object),
+                             "n_types": pd.Series(dtype="int64"),
+                             "n_hapax": pd.Series(dtype="int64")})
+    df = (res.to_pandas().groupby("s", as_index=False)
+          [["n_types", "n_hapax"]].sum()
+          .rename(columns={"s": "grp"}))
+    return (df.sort_values("grp").reset_index(drop=True)
+            .astype({"n_types": "int64", "n_hapax": "int64"}))
