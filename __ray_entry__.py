@@ -4405,8 +4405,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   columns=["user_id", "event_type", "value"],
                   filter=pc.field("value") >= 150))
 
+    def local_clust_q(sf):
+        # per-node triangle participation over the sparse co-purchase
+        # slice (same graph as graph_kcore)
+        from verify_ray.pipelines.graph import (cooccurrence_edges,
+                                                local_clustering)
+
+        edges = cooccurrence_edges(
+            _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"],
+                  filter=pc.bit_wise_and(pc.field("l_partkey"), 15) == 0),
+            "l_orderkey", "l_partkey", num_buckets=8)
+        return local_clustering(edges, src_col="x", dst_col="y",
+                                num_buckets=8)
+
+    def bit_balance_q(sf):
+        # sketch-health diagnostic: per-bit set counts of the corpus
+        # simhashes
+        from verify_ray.pipelines.dedup import simhash_bit_balance
+
+        return simhash_bit_balance(
+            _read(sf, "documents", columns=["doc_id", "text"]))
+
+    def lorenz_q(sf):
+        # activity-inequality Lorenz grid at user-count deciles
+        return analytics.lorenz_points(
+            _read(sf, "events", columns=["user_id"]))
+
+    def seasonality_q(sf):
+        # order seasonality: per calendar month, count + permille share
+        def add_month(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["o_orderdate"]))
+            return pa.table({
+                "month": pc.cast(pc.month(b["o_orderdate"]), pa.int64()),
+                "__one": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+        od = (_read(sf, "orders", columns=["o_orderdate"])
+              .map_batches(add_month, batch_format="pyarrow"))
+        out = analytics.grouped_stats(od, ["month"], {"__one": ["sum"]})
+        out = out.rename(columns={"__one_sum": "n"})
+        total = int(out.n.sum())
+        out["share_pm"] = 1000 * out.n.to_numpy(np.int64) // total
+        return (out.sort_values("month").reset_index(drop=True)
+                .astype({"month": "int64", "n": "int64",
+                         "share_pm": "int64"}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "graph_local_clustering": local_clust_q,
+        "simhash_bit_balance": bit_balance_q,
+        "users_lorenz_points": lorenz_q,
+        "orders_monthly_seasonality": seasonality_q,
         "docs_hapax_by_source": hapax_q,
         "events_autocorr_surface": autocorr_q,
         "user_type_sets": typesets_q,
@@ -6099,6 +6147,82 @@ SELECT doc_id, CAST(ra AS BIGINT) AS rank_bm25,
                  WHEN ra > 0 THEN 60 + ra
                  ELSE 60 + rb END AS BIGINT) AS rrf_den
 FROM f ORDER BY doc_id
+""",
+        "graph_local_clustering": """
+-- per-node degree + triangle participation on the sparse
+-- co-purchase slice (canonical x<y edges; each triangle counted
+-- once as x<y<z and attributed to all three nodes)
+WITH gi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+  WHERE (l_partkey & 15) = 0),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.i AS x, b.i AS y
+  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i),
+deg AS (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+  GROUP BY node),
+tri AS (
+  SELECT a.x AS n1, a.y AS n2, b.y AS n3
+  FROM e a JOIN e b ON b.x = a.y
+           JOIN e c ON c.x = a.x AND c.y = b.y),
+tn AS (
+  SELECT node, COUNT(*) AS nt
+  FROM (SELECT n1 AS node FROM tri UNION ALL
+        SELECT n2 FROM tri UNION ALL SELECT n3 FROM tri)
+  GROUP BY node)
+SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(tn.nt, 0) AS BIGINT) AS n_tri
+FROM deg d LEFT JOIN tn USING (node) ORDER BY node
+""",
+        "simhash_bit_balance": f"""
+-- per-bit set counts of the corpus simhashes (same sh CTE as the
+-- simhash dedup oracle)
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), wh AS (
+  SELECT doc_id, {_md5_u64('w')} AS h FROM words
+), bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM wh CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT CAST(bit AS BIGINT) AS bit,
+       CAST(SUM(CASE WHEN acc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_set
+FROM bits GROUP BY bit ORDER BY bit
+""",
+        "users_lorenz_points": """
+-- cumulative events of the floor(d*n/10) least-active users at
+-- each decile d (ascending activity; tie-order-invariant sums)
+WITH c AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id),
+o AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS rn,
+         SUM(cnt) OVER (ORDER BY cnt, user_id) AS cum
+  FROM c),
+t AS (SELECT COUNT(*) AS n FROM c),
+d AS (SELECT unnest(range(1, 11)) AS dec)
+SELECT CAST(dec AS BIGINT) AS decile,
+       CAST((dec * (SELECT n FROM t)) // 10 AS BIGINT) AS cum_users,
+       CAST(COALESCE((SELECT cum FROM o
+                      WHERE rn = (dec * (SELECT n FROM t)) // 10), 0)
+            AS BIGINT) AS cum_events
+FROM d ORDER BY decile
+""",
+        "orders_monthly_seasonality": """
+WITH m AS (
+  SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+         COUNT(*) AS n
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM m)
+SELECT month, CAST(n AS BIGINT) AS n,
+       CAST((1000 * n) // (SELECT total FROM t) AS BIGINT)
+         AS share_pm
+FROM m ORDER BY month
 """,
         "docs_hapax_by_source": f"""
 -- per-source distinct word types + corpus-global hapax legomena

@@ -3755,3 +3755,70 @@ def autocorr_surface(events_ds, key_col: str = "user_id",
         return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
     return (res.to_pandas()[cols].sort_values(key_col)
             .reset_index(drop=True).astype("int64"))
+
+
+def lorenz_points(events_ds, key_col: str = "user_id",
+                  deciles: int = 10,
+                  num_buckets: int = 32) -> pd.DataFrame:
+    """LORENZ-CURVE grid of activity concentration — the inequality
+    companion to :func:`pareto_coverage` (one curve instead of one
+    scalar): keys sorted by ascending event count; at each decile
+    boundary ``i_d = ⌊d·n_keys/10⌋`` report the cumulative events of
+    the i_d least-active keys.  Sums over the smallest-i counts are
+    tie-order-invariant, so the grid is deterministic without a key
+    tiebreak.  Returns ``(decile, cum_users, cum_events)`` for
+    d = 1..deciles.
+
+    Scale shape: identical to pareto_coverage — per-key counts reduce
+    through a key-hashed exchange to a COUNT HISTOGRAM (count value →
+    #keys); the driver walks distinct-count-sized rows, never a
+    keys-sized frame.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[key_col]))
+        k = pc.cast(b[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uk, cnt = np.unique(k, return_counts=True)
+        h = md5_u64le(pc.cast(pa.array(uk), pa.string()))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "k": pa.array(uk), "c": pa.array(cnt.astype(np.int64))})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        per_key = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(per_key, inv, c)
+        cnts, n_keys = np.unique(per_key, return_counts=True)
+        return pa.table({"cnt": pa.array(cnts),
+                         "n_keys": pa.array(n_keys.astype(np.int64))})
+
+    tagged = (events_ds.select_columns([key_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    cols = ("decile", "cum_users", "cum_events")
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    hist = (res.to_pandas().groupby("cnt", as_index=False)
+            ["n_keys"].sum().sort_values("cnt"))  # ascending counts
+    cv = hist.cnt.to_numpy(np.int64)
+    nk = hist.n_keys.to_numpy(np.int64)
+    n = int(nk.sum())
+    cum_keys = np.cumsum(nk)
+    cum_events = np.cumsum(cv * nk)
+    rows = []
+    for d in range(1, deciles + 1):
+        i_d = d * n // deciles
+        if i_d == 0:
+            rows.append((d, 0, 0))
+            continue
+        r = int(np.searchsorted(cum_keys, i_d))
+        before_k = int(cum_keys[r - 1]) if r else 0
+        before_e = int(cum_events[r - 1]) if r else 0
+        rows.append((d, i_d, before_e + (i_d - before_k) * int(cv[r])))
+    return pd.DataFrame(rows, columns=list(cols)).astype("int64")

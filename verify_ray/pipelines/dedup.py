@@ -2119,3 +2119,34 @@ def simhash_hamming_histogram(ds, text_col: str = "text",
            .size().rename(columns={"size": "n_pairs"}))
     return (out.sort_values("hamming").reset_index(drop=True)
             .astype({"hamming": "int64", "n_pairs": "int64"}))
+
+
+def simhash_bit_balance(ds, text_col: str = "text",
+                        id_col: str = "doc_id") -> pd.DataFrame:
+    """SimHash BIT-BALANCE diagnostic: for each of the 64 sketch bit
+    positions, how many docs have the bit set.  A healthy sketch sits
+    near 50% per bit; a skewed bit (a hash deficiency or degenerate
+    vocabulary) concentrates collisions into fewer effective bits and
+    silently inflates band-join candidate counts.  Returns
+    ``(bit, n_set)`` for all 64 positions.
+
+    Scale shape: one streaming pass — per-batch sketches
+    (``simhash_batch``) reduce to a 64-int partial per block; the
+    driver sums blocks.  Nothing but 64-long vectors leaves a task.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        sh = simhash_batch(b, text_col, id_col)["simhash"].to_numpy(
+            zero_copy_only=False)
+        bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64).sum(axis=0)
+        return pa.table({"bit": pa.array(np.arange(64, dtype=np.int64)),
+                         "n_set": pa.array(bits)})
+
+    parts = ds.select_columns([id_col, text_col]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"bit": np.arange(64, dtype=np.int64),
+                             "n_set": np.zeros(64, dtype=np.int64)})
+    out = parts.groupby("bit", as_index=False)["n_set"].sum()
+    return (out.sort_values("bit").reset_index(drop=True)
+            .astype("int64"))

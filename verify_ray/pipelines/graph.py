@@ -1059,3 +1059,209 @@ def association_rules(ds, group_col: str, item_col: str,
         "lift_den": cx * cy})
     return (out.sort_values(["x", "y"]).reset_index(drop=True)
             .astype("int64"))
+
+
+def local_clustering(edges_ds, src_col: str = "src",
+                     dst_col: str = "dst", num_buckets: int = 32,
+                     broadcast_nodes: int = 2_000_000) -> pd.DataFrame:
+    """PER-NODE triangle participation — the local-clustering surface
+    (``coeff = 2·n_tri / (deg·(deg−1))`` derives consumer-side): for
+    every node of the canonicalized simple graph, its degree and the
+    number of triangles through it.  The hub-vs-community telescope
+    that the global :func:`triangle_count` scalar cannot resolve.
+    Returns ``(node, deg, n_tri)`` sorted by node (``n_tri = 0`` for
+    triangle-free nodes).
+
+    Scale shape mirrors ``triangle_count`` (degree-ordered
+    orientation, Schank & Wagner 2005) with the wedge CENTER carried
+    through: canonical-edge exchange → degree sum → oriented wedge
+    generation (out-neighborhoods O(√m) by orientation) → pair-keyed
+    wedge∩edge intersection emitting THREE (node, 1) rows per
+    triangle → node-keyed count sum.  Degree attachment is
+    size-routed exactly like triangle_count (broadcast ≤
+    ``broadcast_nodes``, hash_join beyond).  The output itself is
+    node-cardinality — per-node surfaces are driver-sized by
+    definition; stream the Dataset variants of the underlying stages
+    for corpus-scale sinks.
+    """
+    import ray
+
+    from ..stages.exchange import grouped_exchange, grouped_exchange_ds
+    from .joins import hash_join
+
+    def canon(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[src_col]),
+                             pc.is_valid(b[dst_col])))
+        s = pc.cast(b[src_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = pc.cast(b[dst_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        pairs = np.unique(_pair_struct(u, v))
+        h = pd.util.hash_array(pairs["a"]) ^ pd.util.hash_array(
+            pairs["b"])
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "u": pa.array(pairs["a"]), "v": pa.array(pairs["b"])})
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        pairs = np.unique(_pair_struct(
+            t.column("u").to_numpy(zero_copy_only=False),
+            t.column("v").to_numpy(zero_copy_only=False)))
+        return pa.table({"u": pa.array(pairs["a"]),
+                         "v": pa.array(pairs["b"])})
+
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    edges = grouped_exchange_ds(
+        edges_ds.map_batches(canon, batch_format="pyarrow"),
+        "__b", num_buckets, dedup_pairs,
+        empty_schema=edge_schema).materialize()
+    empty = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                          "deg": pd.Series(dtype="int64"),
+                          "n_tri": pd.Series(dtype="int64")})
+    if edges.count() == 0:
+        return empty
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array(np.concatenate([u, v])),
+            "__one": pa.array(np.ones(2 * len(u), dtype=np.int64))})
+
+    deg = _grouped_int_sum(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        "n", "__one", "node", "deg", num_buckets).materialize()
+
+    def _orient_from(du, dv, u, v) -> pa.Table:
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(u_first, u, v)
+        z = np.where(u_first, v, u)
+        h = pd.util.hash_array(a)
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "a": pa.array(a), "z": pa.array(z)})
+
+    if deg.count() <= broadcast_nodes:
+        dt = deg.to_pandas()
+        nodes_sorted = np.sort(dt["node"].to_numpy(np.int64))
+        degs_sorted = dt.set_index("node").loc[nodes_sorted, "deg"] \
+            .to_numpy(np.int64)
+        deg_ref = ray.put((nodes_sorted, degs_sorted))
+
+        def orient(b: pa.Table) -> pa.Table:
+            nodes, degs = ray.get(deg_ref)
+            u = b.column("u").to_numpy(zero_copy_only=False)
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            du = degs[np.searchsorted(nodes, u)]
+            dv = degs[np.searchsorted(nodes, v)]
+            return _orient_from(du, dv, u, v)
+
+        oriented_in = edges
+    else:
+        with_du = hash_join(edges, deg, key="u", right_key="node",
+                            left_values=["u", "v"],
+                            right_values=["deg"], how="inner",
+                            num_buckets=num_buckets).materialize()
+        oriented_in = hash_join(
+            with_du, deg.map_batches(
+                lambda b: b.rename_columns(["node2", "deg2"]),
+                batch_format="pyarrow"),
+            key="v", right_key="node2",
+            left_values=["u", "v", "deg"],
+            right_values=["deg2"], how="inner",
+            num_buckets=num_buckets)
+
+        def orient(b: pa.Table) -> pa.Table:
+            return _orient_from(
+                b.column("deg").to_numpy(zero_copy_only=False),
+                b.column("deg2").to_numpy(zero_copy_only=False),
+                b.column("u").to_numpy(zero_copy_only=False),
+                b.column("v").to_numpy(zero_copy_only=False))
+
+    def wedges_of(t: pa.Table) -> pa.Table:
+        # as triangle_count.wedges_of, but the wedge CENTER rides along
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        z = t.column("z").to_numpy(zero_copy_only=False)
+        order = np.lexsort((z, a))
+        a, z = a[order], z[order]
+        _, start = np.unique(a, return_index=True)
+        cnt = np.diff(np.append(start, len(a)))
+        cnt_row = np.repeat(cnt, cnt)
+        pos = np.arange(len(a)) - np.repeat(start, cnt)
+        n_after = cnt_row - 1 - pos
+        total = int(n_after.sum())
+        if total == 0:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        first = np.repeat(np.arange(len(a)), n_after)
+        csum = np.concatenate(([0], np.cumsum(n_after)))
+        k = np.arange(total) - np.repeat(csum[:-1], n_after)
+        second = first + 1 + k
+        return pa.table({"x": pa.array(z[first]),
+                         "y": pa.array(z[second]),
+                         "c": pa.array(a[first])})
+
+    wedge_schema = pa.schema([("x", pa.int64()), ("y", pa.int64()),
+                              ("c", pa.int64())])
+    wedges = grouped_exchange_ds(
+        oriented_in.map_batches(orient, batch_format="pyarrow"),
+        "__b", num_buckets, wedges_of, empty_schema=wedge_schema)
+
+    def tag_wedge(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(x) ^ pd.util.hash_array(y)
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "x": pa.array(x), "y": pa.array(y), "c": b["c"]})
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        x = b.column("u").to_numpy(zero_copy_only=False)
+        y = b.column("v").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(x) ^ pd.util.hash_array(y)
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "x": pa.array(x), "y": pa.array(y),
+            "c": pa.array(np.full(len(x), -1, dtype=np.int64))})
+
+    both = wedges.map_batches(tag_wedge, batch_format="pyarrow") \
+        .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
+
+    def intersect(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        is_edge = c == -1
+        epairs = np.sort(_pair_struct(x[is_edge], y[is_edge]))
+        wx, wy, wc = x[~is_edge], y[~is_edge], c[~is_edge]
+        if not len(wx) or not len(epairs):
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        wpairs = _pair_struct(wx, wy)
+        idx = np.searchsorted(epairs, wpairs)
+        idx = np.minimum(idx, len(epairs) - 1)
+        hit = epairs[idx] == wpairs
+        tri_nodes = np.concatenate([wx[hit], wy[hit], wc[hit]])
+        u, cc = np.unique(tri_nodes, return_counts=True)
+        return pa.table({"n": pa.array(u),
+                         "cnt": pa.array(cc.astype(np.int64))})
+
+    partial = grouped_exchange(both, "__b", num_buckets, intersect)
+    dt = deg.to_pandas().sort_values("node").reset_index(drop=True)
+    if partial is None or partial.num_rows == 0:
+        dt["n_tri"] = np.int64(0)
+        return dt.astype("int64")
+    tn = (partial.to_pandas().groupby("n", as_index=False)
+          ["cnt"].sum().rename(columns={"n": "node",
+                                        "cnt": "n_tri"}))
+    out = dt.merge(tn, on="node", how="left")
+    out["n_tri"] = out["n_tri"].fillna(0)
+    return out.astype("int64")
