@@ -4449,8 +4449,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .astype({"month": "int64", "n": "int64",
                          "share_pm": "int64"}))
 
+    def wordlen_q(sf):
+        # per-lang word-length histogram (morphology fingerprint)
+        from verify_ray.pipelines.text import wordlen_hist
+
+        return wordlen_hist(
+            _read(sf, "documents", columns=["lang", "text"]))
+
+    def session_hist_q(sf):
+        # engagement shape: session count by exact size, computed on
+        # the Dataset-resident sessionize_ds
+        from verify_ray.pipelines.sessions import session_size_hist
+
+        return session_size_hist(
+            _read(sf, "events", columns=["user_id", "ts", "value"]))
+
+    def brand_profile_q(sf):
+        # catalog profile per brand: part count, distinct types,
+        # size range (exercises the part table)
+        parts_stats = analytics.grouped_stats(
+            _read(sf, "part", columns=["p_brand", "p_size"]),
+            ["p_brand"], {"p_size": ["count", "min", "max"]})
+        ndist = analytics.grouped_count_distinct(
+            _read(sf, "part", columns=["p_brand", "p_type"]),
+            "p_brand", "p_type")
+        out = parts_stats.merge(
+            ndist.rename(columns={ndist.columns[0]: "p_brand",
+                                  ndist.columns[1]: "n_types"}),
+            on="p_brand")
+        out = out.rename(columns={"p_size_count": "n_parts",
+                                  "p_size_min": "min_size",
+                                  "p_size_max": "max_size"})
+        cols = ["p_brand", "n_parts", "n_types", "min_size",
+                "max_size"]
+        return (out[cols].sort_values("p_brand")
+                .reset_index(drop=True)
+                .astype({c: "int64" for c in cols[1:]}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_wordlen_hist": wordlen_q,
+        "events_session_size_hist": session_hist_q,
+        "part_brand_profile": brand_profile_q,
         "graph_local_clustering": local_clust_q,
         "simhash_bit_balance": bit_balance_q,
         "users_lorenz_points": lorenz_q,
@@ -6147,6 +6187,29 @@ SELECT doc_id, CAST(ra AS BIGINT) AS rank_bm25,
                  WHEN ra > 0 THEN 60 + ra
                  ELSE 60 + rb END AS BIGINT) AS rrf_den
 FROM f ORDER BY doc_id
+""",
+        "docs_wordlen_hist": f"""
+-- per-lang word-length histogram (whitespace-split contract)
+WITH w AS (
+  SELECT lang, unnest(regexp_split_to_array({_TRIMMED}, '\\s+')) AS w
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL)
+SELECT lang AS grp, CAST(length(w) AS BIGINT) AS wordlen,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY 1, 2 ORDER BY grp, wordlen
+""",
+        "events_session_size_hist": (
+            "WITH s AS (" + _sessions_oracle() + """)
+SELECT CAST(n_events AS BIGINT) AS session_size,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM s GROUP BY 1 ORDER BY session_size
+"""),
+        "part_brand_profile": """
+SELECT p_brand,
+       CAST(COUNT(p_size) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+       CAST(MIN(p_size) AS BIGINT) AS min_size,
+       CAST(MAX(p_size) AS BIGINT) AS max_size
+FROM part GROUP BY p_brand ORDER BY p_brand
 """,
         "graph_local_clustering": """
 -- per-node degree + triangle participation on the sparse

@@ -202,7 +202,12 @@ def bench_queries() -> dict[str, float]:
              "tokens_pareto_coverage", "docs_ks_surface",
              "docs_charclass_by_source",
              "events_subsequence_support",
-             "events_hour_type_heatmap"]
+             "events_hour_type_heatmap",
+             "docs_hapax_by_source", "events_autocorr_surface",
+             "user_type_sets", "graph_local_clustering",
+             "simhash_bit_balance", "users_lorenz_points",
+             "orders_monthly_seasonality", "docs_wordlen_hist",
+             "events_session_size_hist", "part_brand_profile"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -1864,3 +1864,35 @@ def type_set_counts(events_ds, key_col: str = "user_id",
           ["n_users"].sum())
     return (df.sort_values("type_set").reset_index(drop=True)
             .astype({"n_users": "int64"}))
+
+
+def session_size_hist(events_ds, gap_minutes: float = 30.0,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      value_col: str = "value") -> pd.DataFrame:
+    """SESSION-SIZE histogram — the engagement-shape audit built ON
+    TOP of the object-store-resident :func:`sessionize_ds` (the
+    VERDICT-r4 Dataset variant): how many sessions contain exactly k
+    events.  Returns ``(session_size, n_sessions)`` sorted.
+
+    Scale shape: session rows never land on the driver — per-block
+    partial (size → count) histograms reduce to distinct-size-bounded
+    frames (sizes are small integers by the nature of sessions).
+    """
+    ses = sessionize_ds(events_ds, gap_minutes=gap_minutes,
+                        user_col=user_col, ts_col=ts_col,
+                        value_col=value_col)
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.column("n_events").to_numpy(zero_copy_only=False)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"session_size": pa.array(u.astype(np.int64)),
+                         "n_sessions": pa.array(c.astype(np.int64))})
+
+    parts = ses.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"session_size": pd.Series(dtype="int64"),
+                             "n_sessions": pd.Series(dtype="int64")})
+    out = (parts.groupby("session_size", as_index=False)
+           ["n_sessions"].sum())
+    return (out.sort_values("session_size").reset_index(drop=True)
+            .astype("int64"))

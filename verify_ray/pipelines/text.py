@@ -1375,3 +1375,46 @@ def hapax_by_source(ds, group_col: str = "source",
           .rename(columns={"s": "grp"}))
     return (df.sort_values("grp").reset_index(drop=True)
             .astype({"n_types": "int64", "n_hapax": "int64"}))
+
+
+def wordlen_hist(ds, group_col: str = "lang",
+                 text_col: str = "text") -> pd.DataFrame:
+    """Per-group WORD-LENGTH histogram — the morphology fingerprint
+    (languages and OCR noise have distinctive length profiles; a
+    sudden mass at length 1 or 40+ is tokenization damage).  Words
+    are the engine-wide whitespace-split contract.  Null group/text
+    rows drop.  Returns ``(grp, wordlen, n)`` sorted.
+
+    Scale shape: one streaming pass — per-batch (group, len) partial
+    counts from vectorized flatten + utf8_length, merged through the
+    cardinality-guarded grouped_stats path (alphabet × max-len rows).
+    """
+    import pyarrow.compute as pc
+
+    from ..kernels import as_array
+    from .analytics import grouped_stats
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b[group_col]), pc.is_valid(b[text_col]))
+        b = b.select([group_col, text_col]).filter(m)
+        toks = as_array(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b[text_col]), r"\s+"))
+        par = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        ln = pc.cast(pc.utf8_length(pc.list_flatten(toks)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        grp = pc.cast(b[group_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)[par]
+        df = (pd.DataFrame({"grp": grp, "wordlen": ln})
+              .groupby(["grp", "wordlen"], as_index=False).size())
+        return pa.table({
+            "grp": pa.array(df.grp.to_numpy(object), pa.string()),
+            "wordlen": pa.array(df.wordlen.to_numpy(np.int64)),
+            "__one": pa.array(df["size"].to_numpy(np.int64))})
+
+    out = grouped_stats(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["grp", "wordlen"], {"__one": ["sum"]}).rename(
+            columns={"__one_sum": "n"})
+    return (out.sort_values(["grp", "wordlen"]).reset_index(drop=True)
+            .astype({"wordlen": "int64", "n": "int64"}))
