@@ -4486,8 +4486,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def reorder_q(sf):
+        # per-customer reorder-interval moments (gap_moments over the
+        # orders table: ts = o_orderdate, tiebreak o_orderkey)
+        return analytics.gap_moments(
+            _read(sf, "orders",
+                  columns=["o_custkey", "o_orderdate", "o_orderkey"]),
+            key_col="o_custkey", ts_col="o_orderdate",
+            id_col="o_orderkey")
+
+    def supplier_nation_q(sf):
+        # per-nation supplier footprint: count + permille-floored
+        # account-balance sum; nation names via 25-row broadcast
+        def pm(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["s_nationkey"]),
+                                 pc.is_valid(b["s_acctbal"])))
+            v = b["s_acctbal"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "nk": pc.cast(b["s_nationkey"], pa.int64()),
+                "bal_pm": pa.array(
+                    np.floor(1000.0 * v).astype(np.int64)),
+                "__one": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+        sup = (_read(sf, "supplier",
+                     columns=["s_nationkey", "s_acctbal"])
+               .map_batches(pm, batch_format="pyarrow"))
+        stats = analytics.grouped_stats(
+            sup, ["nk"], {"__one": ["sum"], "bal_pm": ["sum"]})
+        nations = _read(sf, "nation",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+        out = stats.merge(nations, left_on="nk",
+                          right_on="n_nationkey")
+        out = out.rename(columns={"__one_sum": "n_suppliers",
+                                  "bal_pm_sum": "sum_acctbal_pm"})
+        cols = ["n_name", "n_suppliers", "sum_acctbal_pm"]
+        return (out[cols].sort_values("n_name")
+                .reset_index(drop=True)
+                .astype({"n_suppliers": "int64",
+                         "sum_acctbal_pm": "int64"}))
+
+    def prio_status_q(sf):
+        # order mix: priority x status counts
+        def one(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["o_orderpriority"]),
+                                 pc.is_valid(b["o_orderstatus"])))
+            return b.append_column(
+                "__one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+        od = (_read(sf, "orders",
+                    columns=["o_orderpriority", "o_orderstatus"])
+              .map_batches(one, batch_format="pyarrow"))
+        out = analytics.grouped_stats(
+            od, ["o_orderpriority", "o_orderstatus"],
+            {"__one": ["sum"]}).rename(columns={"__one_sum": "n"})
+        return (out.sort_values(["o_orderpriority", "o_orderstatus"])
+                .reset_index(drop=True).astype({"n": "int64"}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "orders_reorder_moments": reorder_q,
+        "supplier_nation_profile": supplier_nation_q,
+        "orders_priority_status_crosstab": prio_status_q,
         "docs_wordlen_hist": wordlen_q,
         "events_session_size_hist": session_hist_q,
         "part_brand_profile": brand_profile_q,
@@ -6187,6 +6246,42 @@ SELECT doc_id, CAST(ra AS BIGINT) AS rank_bm25,
                  WHEN ra > 0 THEN 60 + ra
                  ELSE 60 + rb END AS BIGINT) AS rrf_den
 FROM f ORDER BY doc_id
+""",
+        "orders_reorder_moments": """
+-- per-customer reorder-interval integer moments (same contract as
+-- events_gap_moments: gaps floored to seconds, orderkey tiebreak)
+WITH e AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS us, o_orderkey
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+g AS (
+  SELECT o_custkey,
+         (LEAD(us) OVER (PARTITION BY o_custkey
+                         ORDER BY us, o_orderkey) - us) // 1000000
+           AS gap_s
+  FROM e)
+SELECT o_custkey, CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+       CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_gap2_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY o_custkey ORDER BY o_custkey
+""",
+        "supplier_nation_profile": """
+-- per-nation supplier count + permille-floored balance sum
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(floor(1000.0 * s.s_acctbal) AS BIGINT))
+            AS BIGINT) AS sum_acctbal_pm
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_acctbal IS NOT NULL
+GROUP BY n.n_name ORDER BY n.n_name
+""",
+        "orders_priority_status_crosstab": """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+GROUP BY 1, 2 ORDER BY o_orderpriority, o_orderstatus
 """,
         "docs_wordlen_hist": f"""
 -- per-lang word-length histogram (whitespace-split contract)
