@@ -4542,8 +4542,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values(["o_orderpriority", "o_orderstatus"])
                 .reset_index(drop=True).astype({"n": "int64"}))
 
+    def postings_gamma_q(sf):
+        # Elias-gamma compressed-index-size audit of the word postings
+        from verify_ray.pipelines.retrieval import postings_gamma_bits
+
+        return postings_gamma_bits(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            min_df=5)
+
+    def freq_triples_q(sf):
+        # frequent 3-itemsets over order baskets (support >= 2,
+        # baskets capped at 64 distinct items — oracle mirrors)
+        return analytics.frequent_itemsets3(
+            _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"]),
+            "l_orderkey", "l_partkey", min_support=2)
+
+    def revenue_share_q(sf):
+        # permille revenue share of each nation within its region
+        # (integer cents; dims pre-composed driver-side, fact table
+        # does one broadcast searchsorted — revenue_by_region pattern)
+        import ray
+
+        cust = _read(sf, "customer",
+                     columns=["c_custkey", "c_nationkey"]).to_pandas()
+        nat = _read(sf, "nation",
+                    columns=["n_nationkey", "n_name",
+                             "n_regionkey"]).to_pandas()
+        reg = _read(sf, "region",
+                    columns=["r_regionkey", "r_name"]).to_pandas()
+        keys = cust.c_custkey.to_numpy()
+        order = np.argsort(keys)
+        keys = keys[order]
+        nk = cust.c_nationkey.to_numpy()[order]
+        ref = ray.put((keys, nk))
+
+        def partial(b: pa.Table) -> pa.Table:
+            k, n = ray.get(ref)
+            b = b.filter(pc.and_(pc.is_valid(b["o_custkey"]),
+                                 pc.is_valid(b["o_totalprice"])))
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(k, ck), 0, max(len(k) - 1, 0))
+            hit = k[pos] == ck if len(k) else np.zeros(len(ck), bool)
+            nkv = n[pos][hit].astype(np.int64)
+            cents = np.floor(
+                100.0 * b["o_totalprice"].to_numpy(
+                    zero_copy_only=False)[hit]).astype(np.int64)
+            t = pa.table({"nk": pa.array(nkv),
+                          "cents": pa.array(cents),
+                          "one": pa.array(np.ones(len(cents),
+                                                  np.int64))})
+            return t.group_by(["nk"]).aggregate(
+                [("cents", "sum"), ("one", "sum")])
+
+        parts = (_read(sf, "orders",
+                       columns=["o_custkey", "o_totalprice"])
+                 .map_batches(partial, batch_format="pyarrow")
+                 .to_pandas())
+        g = parts.groupby("nk", as_index=False).sum()
+        out = (g.merge(nat, left_on="nk", right_on="n_nationkey")
+               .merge(reg, left_on="n_regionkey",
+                      right_on="r_regionkey"))
+        region_tot = out.groupby("r_regionkey").cents_sum.transform(
+            "sum")
+        out["share_pm"] = (1000 * out.cents_sum) // region_tot
+        res = pd.DataFrame({
+            "n_name": out.n_name, "r_name": out.r_name,
+            "n_orders": out.one_sum.astype("int64"),
+            "revenue_cents": out.cents_sum.astype("int64"),
+            "share_pm": out.share_pm.astype("int64")})
+        return (res.sort_values(["r_name", "n_name"])
+                .reset_index(drop=True))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "postings_gamma_bits": postings_gamma_q,
+        "lineitem_frequent_triples": freq_triples_q,
+        "revenue_share_nation": revenue_share_q,
         "orders_reorder_moments": reorder_q,
         "supplier_nation_profile": supplier_nation_q,
         "orders_priority_status_crosstab": prio_status_q,
@@ -6197,6 +6271,61 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "postings_gamma_bits": r"""
+-- Elias-gamma bit cost of delta-encoding each term's posting list
+-- (first posting encoded as doc_id + 1); gamma(g) = 2*len(bin(g)) - 1
+WITH w AS (SELECT DISTINCT d.doc_id, u.w
+           FROM documents d,
+                unnest(regexp_split_to_array(trim(d.text), '\s+'))
+                  AS u(w)
+           WHERE d.text IS NOT NULL AND d.doc_id IS NOT NULL),
+g AS (SELECT w,
+             COALESCE(doc_id - LAG(doc_id) OVER
+                        (PARTITION BY w ORDER BY doc_id),
+                      doc_id + 1) AS gap
+      FROM w)
+SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(2 * length(bin(gap)) - 1) AS BIGINT) AS gamma_bits,
+       CAST(MAX(gap) AS BIGINT) AS max_gap
+FROM g GROUP BY w HAVING COUNT(*) >= 5 ORDER BY word
+""",
+        "lineitem_frequent_triples": """
+-- frequent 3-itemsets over order baskets: distinct items per order,
+-- baskets of 3..64 distinct items, unordered triples with support>=2
+WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+ok AS (SELECT g FROM gi GROUP BY g
+       HAVING COUNT(*) BETWEEN 3 AND 64),
+b AS (SELECT gi.g, gi.i FROM gi JOIN ok USING (g))
+SELECT CAST(a.i AS BIGINT) AS item_a, CAST(b2.i AS BIGINT) AS item_b,
+       CAST(c.i AS BIGINT) AS item_c,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM b a JOIN b b2 ON a.g = b2.g AND a.i < b2.i
+         JOIN b c ON a.g = c.g AND b2.i < c.i
+GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+ORDER BY item_a, item_b, item_c
+""",
+        "revenue_share_nation": """
+-- permille revenue share of each nation within its region
+-- (integer cents: floor(100*o_totalprice); // on positive ints)
+WITH o AS (
+  SELECT n.n_name, r.r_name, r.r_regionkey,
+         CAST(floor(100.0 * o.o_totalprice) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE o.o_custkey IS NOT NULL AND o.o_totalprice IS NOT NULL),
+n AS (SELECT n_name, r_name, r_regionkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      FROM o GROUP BY 1, 2, 3)
+SELECT n_name, r_name, n_orders, revenue_cents,
+       CAST((1000 * revenue_cents) //
+            SUM(revenue_cents) OVER (PARTITION BY r_regionkey)
+            AS BIGINT) AS share_pm
+FROM n ORDER BY r_name, n_name
+""",
         "docs_hybrid_rrf": f"""
 -- RRF fusion of the integer BM25 top-50 with the distinct-word
 -- richness top-50; exact rational (num, den) score surface

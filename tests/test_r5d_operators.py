@@ -1,0 +1,79 @@
+"""Round-5 batch D1: postings gamma-bit audit, frequent triples,
+nation revenue share — oracle parity at sf0.001 plus semantic spot
+checks (gamma cost identity, triple support recount)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+ALL_TABLES = ("documents", "lineitem", "orders", "customer",
+              "nation", "region")
+
+
+def _oracle_check(name, tables=ALL_TABLES):
+    import __ray_entry__ as e
+
+    mine = e.queries()[name](SF)
+    if not isinstance(mine, pd.DataFrame):
+        mine = mine.to_pandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    orc = con.execute(e.oracle_sql()[name]).df()
+    assert list(mine.columns) == list(orc.columns)
+    assert len(mine) == len(orc)
+    for c in mine.columns:
+        a, b = mine[c].to_numpy(), orc[c].to_numpy()
+        if a.dtype == object or b.dtype == object:
+            assert list(map(str, a)) == list(map(str, b)), c
+        else:
+            assert np.array_equal(a, b), c
+    return mine
+
+
+def test_oracle_postings_gamma(ray_session):
+    out = _oracle_check("postings_gamma_bits")
+    assert len(out) > 0
+    # gamma cost identity: a df-1 list whose every gap is 1 plus the
+    # first posting costs exactly (df-1)*1 + 2*bitlen(first+1)-1 only
+    # for dense terms; generic invariant: bits >= df (every gap costs
+    # >= 1 bit) and bits <= df * (2*64 - 1)
+    assert (out.gamma_bits >= out.df).all()
+    assert (out.gamma_bits < out.df * 127).all()
+    assert (out.max_gap >= 1).all()
+
+
+def test_oracle_frequent_triples(ray_session):
+    out = _oracle_check("lineitem_frequent_triples")
+    assert len(out) > 0  # planted skewed parts co-occur
+    assert (out.item_a < out.item_b).all()
+    assert (out.item_b < out.item_c).all()
+    assert (out.support >= 2).all()
+
+
+def test_frequent_triples_recount(ray_session):
+    # recount one reported triple's support straight off the table
+    import __ray_entry__ as e
+
+    out = e.queries()["lineitem_frequent_triples"](SF)
+    row = out.iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    baskets = (li.drop_duplicates()
+               .groupby("l_orderkey").l_partkey.apply(set))
+    baskets = baskets[baskets.map(len).between(3, 64)]
+    n = sum(1 for s in baskets
+            if {row.item_a, row.item_b, row.item_c} <= s)
+    assert n == row.support
+
+
+def test_oracle_revenue_share(ray_session):
+    out = _oracle_check("revenue_share_nation")
+    assert len(out) > 0
+    # shares within a region sum to <= 1000 (floor rounding) and
+    # > 1000 - n_nations (floor loses < 1 permille per nation)
+    g = out.groupby("r_name").share_pm
+    assert (g.sum() <= 1000).all()
+    assert ((g.sum() + g.count()) > 1000).all()

@@ -3822,3 +3822,134 @@ def lorenz_points(events_ds, key_col: str = "user_id",
         before_e = int(cum_events[r - 1]) if r else 0
         rows.append((d, i_d, before_e + (i_d - before_k) * int(cv[r])))
     return pd.DataFrame(rows, columns=list(cols)).astype("int64")
+
+
+def frequent_itemsets3(ds, group_col: str, item_col: str,
+                       min_support: int = 2, max_basket: int = 64,
+                       num_buckets: int = 32) -> pd.DataFrame:
+    """Frequent item TRIPLES over transaction baskets — the k=3 layer
+    of frequent-itemset mining (Agrawal & Srikant, VLDB'94 Apriori),
+    mined directly: every unordered triple of distinct items that
+    co-occurs in ``>= min_support`` baskets, with its support count.
+    Complements ``heavy_hitters`` (k=1) and ``copurchase_rules``
+    (k=2).  Returns (item_a, item_b, item_c, support) with
+    a < b < c, sorted.  Null group/item rows drop.
+
+    Baskets with more than ``max_basket`` DISTINCT items are excluded
+    (documented contract, mirrored by the oracle): per-basket
+    candidate count is C(sz,3), so one degenerate mega-basket would
+    dominate the run while carrying no association signal — standard
+    practice in basket mining.
+
+    Scale shape: blocks collapse to distinct (basket, item) pairs
+    map-side (one lexsort); a basket-keyed hash exchange co-locates
+    each basket's items; merge tasks enumerate triples VECTORIZED per
+    basket-size class (one precomputed C(sz,3) fancy-index per
+    distinct size — no per-basket Python loop) and pre-count locally,
+    so only (triple, partial_count) rows enter the second,
+    triple-keyed exchange whose merges sum counts and drop
+    sub-threshold triples — the driver receives survivors only.
+    """
+    from itertools import combinations
+
+    from ..stages.exchange import grouped_exchange, grouped_exchange_ds
+
+    def pairs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[item_col])))
+        g = pc.cast(b[group_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        i = pc.cast(b[item_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((i, g))
+        g, i = g[order], i[order]
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = (g[1:] != g[:-1]) | (i[1:] != i[:-1])
+        g, i = g[keep], i[keep]
+        return pa.table({"__b": pa.array(g % num_buckets),
+                         "g": pa.array(g), "i": pa.array(i)})
+
+    def enum_triples(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        i = t.column("i").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, g))
+        g, i = g[order], i[order]
+        # cross-block duplicate (basket, item) pairs
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = (g[1:] != g[:-1]) | (i[1:] != i[:-1])
+        g, i = g[keep], i[keep]
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(g)))
+        out_a, out_b, out_c = [], [], []
+        for sz in np.unique(sizes):
+            if sz < 3 or sz > max_basket:
+                continue
+            sel = starts[sizes == sz]
+            # (n_baskets, sz) matrix of each basket's sorted items
+            mat = i[(sel[:, None] + np.arange(sz)[None, :])]
+            idx = np.array(list(combinations(range(sz), 3)))
+            out_a.append(mat[:, idx[:, 0]].ravel())
+            out_b.append(mat[:, idx[:, 1]].ravel())
+            out_c.append(mat[:, idx[:, 2]].ravel())
+        if not out_a:
+            e = np.empty(0, np.int64)
+            return pa.table({"__b": pa.array(e), "a": pa.array(e),
+                             "b": pa.array(e), "c": pa.array(e),
+                             "n": pa.array(e)})
+        a = np.concatenate(out_a)
+        b_ = np.concatenate(out_b)
+        c = np.concatenate(out_c)
+        # local pre-count: same triple from many baskets in this bucket
+        order = np.lexsort((c, b_, a))
+        a, b_, c = a[order], b_[order], c[order]
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b_[1:] != b_[:-1]) \
+            | (c[1:] != c[:-1])
+        st = np.flatnonzero(new)
+        n = np.diff(np.append(st, len(a))).astype(np.int64)
+        a, b_, c = a[st], b_[st], c[st]
+        bk = (a * 1_000_003 + b_ * 10_007 + c) % num_buckets
+        return pa.table({"__b": pa.array(bk), "a": pa.array(a),
+                         "b": pa.array(b_), "c": pa.array(c),
+                         "n": pa.array(n)})
+
+    def count_merge(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b_ = t.column("b").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, b_, a))
+        a, b_, c, n = a[order], b_[order], c[order], n[order]
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b_[1:] != b_[:-1]) \
+            | (c[1:] != c[:-1])
+        st = np.flatnonzero(new)
+        tot = np.add.reduceat(n, st) if len(st) \
+            else np.empty(0, np.int64)
+        sel = tot >= min_support
+        return pa.table({"item_a": pa.array(a[st]),
+                         "item_b": pa.array(b_[st]),
+                         "item_c": pa.array(c[st]),
+                         "support": pa.array(tot)}).filter(
+            pa.array(sel))
+
+    part_schema = pa.schema([
+        ("__b", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+        ("c", pa.int64()), ("n", pa.int64())])
+    tagged = ds.map_batches(pairs, batch_format="pyarrow")
+    # first exchange's (triple, partial_count) output STAYS in the
+    # object store — the candidate space is corpus-scale before the
+    # support filter, so it must not visit the driver
+    triples = grouped_exchange_ds(tagged, "__b", num_buckets,
+                                  enum_triples,
+                                  empty_schema=part_schema)
+    cols = ("item_a", "item_b", "item_c", "support")
+    counted = grouped_exchange(triples, "__b", num_buckets,
+                               count_merge)
+    if counted is None or counted.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    return (counted.to_pandas()
+            .sort_values(["item_a", "item_b", "item_c"])
+            .reset_index(drop=True).astype("int64"))

@@ -164,38 +164,15 @@ def bm25_float_score(tf: int, df: int, dl: int, D: int, A: int,
     return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
 
 
-def build_postings(ds, text_col: str = "text", id_col: str = "doc_id",
-                   min_df: int = 2, num_buckets: int = 32):
-    """Inverted-index materialization: one row per term with its
-    document frequency and FULL ordered posting list — the artifact a
-    search/retrieval service serves, and the exact-count complement to
-    ``bm25_topk``'s broadcast-query scoring.  Emits (word, df,
-    postings, doc_sum) where ``postings`` is the comma-joined doc ids
-    in ascending order (SQL ``string_agg(... ORDER BY doc_id)``
-    parity) and ``doc_sum`` is an integer invariant of the list.
-
-    Scale shape: each block collapses to DISTINCT (word, doc) pairs
-    map-side (one lexsort — within-doc word repetition never leaves
-    the block); pairs route through a word-keyed hash exchange, and
-    each merge task builds its words' posting lists with one lexsort +
-    zero-copy ListArray offsets + ``binary_join`` (the
-    ``user_histories`` pattern).  ``min_df`` prunes the hapax tail
-    INSIDE the merge tasks, so the output Dataset is the index, not
-    the corpus.  Scale assumption (SURVEY §2.6): one term's posting
-    list fits a merge task — at web scale a stop-word's list is
-    corpus-sized, so feed stop-filtered text or cap df upstream
-    (`contamination.common_ngram_stats` finds the offenders).
-
-    Whitespace tokenization contract (``tokenize._split_words``):
-    ``regexp_split_to_array(trim(text), '\\s+')``.
-    """
+def _word_doc_pairs_fn(text_col: str, id_col: str):
+    """map_batches fn factory: block-local DISTINCT (word, doc) pairs
+    tagged with the word's md5 bucket hash — the map side shared by
+    every word-keyed index exchange (build_postings,
+    postings_gamma_bits).  Within-doc word repetition never leaves the
+    block (one lexsort collapses it); each unique word is hashed ONCE
+    and the hash repeated per its pair count."""
     from ..functions.hashing import md5_u64le
-    from ..stages.exchange import grouped_exchange_ds
     from .tokenize import _split_words
-
-    out_schema = pa.schema([
-        ("word", pa.string()), ("df", pa.int64()),
-        ("postings", pa.string()), ("doc_sum", pa.int64())])
 
     def pairs(b: pa.Table) -> pa.Table:
         b = b.filter(pc.and_(pc.is_valid(b[text_col]),
@@ -228,6 +205,42 @@ def build_postings(ds, text_col: str = "text", id_col: str = "doc_id",
             "w": pa.array(ws, type=pa.string()),
             "d": pa.array(ds_)})
 
+    return pairs
+
+
+def build_postings(ds, text_col: str = "text", id_col: str = "doc_id",
+                   min_df: int = 2, num_buckets: int = 32):
+    """Inverted-index materialization: one row per term with its
+    document frequency and FULL ordered posting list — the artifact a
+    search/retrieval service serves, and the exact-count complement to
+    ``bm25_topk``'s broadcast-query scoring.  Emits (word, df,
+    postings, doc_sum) where ``postings`` is the comma-joined doc ids
+    in ascending order (SQL ``string_agg(... ORDER BY doc_id)``
+    parity) and ``doc_sum`` is an integer invariant of the list.
+
+    Scale shape: each block collapses to DISTINCT (word, doc) pairs
+    map-side (one lexsort — within-doc word repetition never leaves
+    the block); pairs route through a word-keyed hash exchange, and
+    each merge task builds its words' posting lists with one lexsort +
+    zero-copy ListArray offsets + ``binary_join`` (the
+    ``user_histories`` pattern).  ``min_df`` prunes the hapax tail
+    INSIDE the merge tasks, so the output Dataset is the index, not
+    the corpus.  Scale assumption (SURVEY §2.6): one term's posting
+    list fits a merge task — at web scale a stop-word's list is
+    corpus-sized, so feed stop-filtered text or cap df upstream
+    (`contamination.common_ngram_stats` finds the offenders).
+
+    Whitespace tokenization contract (``tokenize._split_words``):
+    ``regexp_split_to_array(trim(text), '\\s+')``.
+    """
+    from ..stages.exchange import grouped_exchange_ds
+
+    out_schema = pa.schema([
+        ("word", pa.string()), ("df", pa.int64()),
+        ("postings", pa.string()), ("doc_sum", pa.int64())])
+
+    pairs = _word_doc_pairs_fn(text_col, id_col)
+
     def merge(t: pa.Table) -> pa.Table:
         w = t.column("w").to_numpy(zero_copy_only=False)
         d = t.column("d").to_numpy(zero_copy_only=False)
@@ -258,6 +271,70 @@ def build_postings(ds, text_col: str = "text", id_col: str = "doc_id",
     tagged = ds.map_batches(pairs, batch_format="pyarrow")
     return grouped_exchange_ds(tagged, "__b", num_buckets, merge,
                                empty_schema=out_schema)
+
+
+def postings_gamma_bits(ds, text_col: str = "text",
+                        id_col: str = "doc_id", min_df: int = 2,
+                        num_buckets: int = 32) -> pd.DataFrame:
+    """Index-size planning audit: per term, the Elias-gamma bit cost
+    of delta-encoding its sorted posting list (Witten/Moffat/Bell,
+    *Managing Gigabytes* — gamma(g) costs ``2*floor(log2 g) + 1`` bits;
+    the first posting is encoded as the gap ``doc_id + 1`` so id 0
+    stays codable).  Returns (word, df, gamma_bits, max_gap) for terms
+    with ``df >= min_df`` — the table a storage planner reads to size a
+    compressed inverted index and to spot terms whose dense postings
+    compress far below 64 bits/entry.
+
+    Scale shape: identical to :func:`build_postings` (shared map side,
+    word-keyed hash exchange); the merge emits FOUR integers per term
+    instead of the posting list itself, so the result is
+    vocabulary-sized however large the corpus.  Bit lengths come from
+    ``np.frexp`` (exact for gaps < 2^53, no float-log rounding —
+    DuckDB ``length(bin(gap))`` parity).
+    """
+    from ..stages.exchange import grouped_exchange
+
+    pairs = _word_doc_pairs_fn(text_col, id_col)
+
+    def merge(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, w))
+        ws, ds_ = w[order], d[order]
+        keep = np.ones(len(ws), dtype=bool)
+        keep[1:] = (ws[1:] != ws[:-1]) | (ds_[1:] != ds_[:-1])
+        ws, ds_ = ws[keep], ds_[keep]
+        new = np.ones(len(ws), dtype=bool)
+        new[1:] = ws[1:] != ws[:-1]
+        starts = np.flatnonzero(new)
+        df = np.diff(np.append(starts, len(ws)))
+        gaps = ds_.copy()
+        gaps[1:] -= ds_[:-1]
+        gaps[starts] = ds_[starts] + 1  # first posting: gap from -1
+        # bit length of each gap: frexp exponent (g = m * 2^e with
+        # 0.5 <= m < 1 => e == floor(log2 g) + 1 == length(bin(g)))
+        _, e = np.frexp(gaps.astype(np.float64))
+        gamma = 2 * e.astype(np.int64) - 1
+        bits = np.add.reduceat(gamma, starts) if len(starts) \
+            else np.empty(0, np.int64)
+        gmax = np.maximum.reduceat(gaps, starts) if len(starts) \
+            else np.empty(0, np.int64)
+        sel = df >= min_df
+        return pa.table({
+            "word": pa.array(ws[starts], type=pa.string()),
+            "df": pa.array(df),
+            "gamma_bits": pa.array(bits),
+            "max_gap": pa.array(gmax)}).filter(pa.array(sel))
+
+    tagged = ds.map_batches(pairs, batch_format="pyarrow")
+    out = grouped_exchange(tagged, "__b", num_buckets, merge)
+    if out is None:
+        return pd.DataFrame({"word": pd.Series([], dtype=object),
+                             "df": pd.Series([], dtype="int64"),
+                             "gamma_bits": pd.Series([], dtype="int64"),
+                             "max_gap": pd.Series([], dtype="int64")})
+    return (out.to_pandas().sort_values("word")
+            .reset_index(drop=True))
 
 
 def phrase_occurrences(ds, phrase: list[str], text_col: str = "text",
