@@ -4613,8 +4613,112 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (res.sort_values(["r_name", "n_name"])
                 .reset_index(drop=True))
 
+    def readability_q(sf):
+        # per-source integer readability surface: word / sentence /
+        # vowel-run (syllable proxy) sums — the exact-integer inputs
+        # to any Flesch-style score, fully streaming (no shuffle:
+        # per-batch partials collapse to sources-sized rows)
+        def feats(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["text"]),
+                                 pc.is_valid(b["source"])))
+            words = pc.list_value_length(pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(b["text"]), r"\s+"))
+            sents = pc.count_substring_regex(b["text"], r"[.!?]+")
+            vowels = pc.count_substring_regex(
+                pc.utf8_lower(b["text"]), r"[aeiou]+")
+            return pa.table({
+                "source": b["source"],
+                "n_words": pc.cast(words, pa.int64()),
+                "n_sents": pc.cast(sents, pa.int64()),
+                "n_vruns": pc.cast(vowels, pa.int64()),
+                "__one": pa.array(np.ones(b.num_rows, np.int64))})
+
+        out = analytics.grouped_stats(
+            _read(sf, "documents", columns=["text", "source"])
+            .map_batches(feats, batch_format="pyarrow"),
+            ["source"], {"__one": ["sum"], "n_words": ["sum"],
+                         "n_sents": ["sum"], "n_vruns": ["sum"]})
+        out = out.rename(columns={
+            "__one_sum": "n_docs", "n_words_sum": "n_words",
+            "n_sents_sum": "n_sents", "n_vruns_sum": "n_vowel_runs"})
+        cols = ["source", "n_docs", "n_words", "n_sents",
+                "n_vowel_runs"]
+        return (out[cols].sort_values("source")
+                .reset_index(drop=True)
+                .astype({c: "int64" for c in cols[1:]}))
+
+    def daily_dispersion_q(sf):
+        # per-type overdispersion surface: integer moments of DAILY
+        # event counts (Poisson traffic has variance ≈ mean; bursty
+        # pipelines blow sum_cnt2 up) — (type, day) exact counts via
+        # one grouped exchange, then a types-sized driver fold
+        def day_of(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                                 pc.is_valid(b["event_type"])))
+            day = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            return pa.table({"event_type": b["event_type"],
+                             "day": pa.array(day),
+                             "__one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+
+        daily = analytics.grouped_stats(
+            _read(sf, "events", columns=["ts", "event_type"])
+            .map_batches(day_of, batch_format="pyarrow"),
+            ["event_type", "day"], {"__one": ["sum"]})
+        c = daily["__one_sum"].to_numpy()
+        g = (pd.DataFrame({"event_type": daily.event_type,
+                           "c": c, "c2": c * c})
+             .groupby("event_type", as_index=False)
+             .agg(n_days=("c", "size"), sum_cnt=("c", "sum"),
+                  sum_cnt2=("c2", "sum"), max_cnt=("c", "max")))
+        return (g.sort_values("event_type").reset_index(drop=True)
+                .astype({c: "int64" for c in
+                         ("n_days", "sum_cnt", "sum_cnt2",
+                          "max_cnt")}))
+
+    def unit_price_spread_q(sf):
+        # per-part unit-price consistency audit: min/max permille
+        # unit price (floor(1000*price/qty)) over parts with >= 2
+        # lineitems — the numeric-FD cousin of fd_violations
+        def up(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["l_partkey"]),
+                                 pc.and_(
+                                     pc.is_valid(b["l_quantity"]),
+                                     pc.is_valid(
+                                         b["l_extendedprice"]))))
+            q = b["l_quantity"].to_numpy(zero_copy_only=False)
+            p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            sel = q > 0
+            return pa.table({
+                "l_partkey": pc.cast(b["l_partkey"],
+                                     pa.int64()).filter(
+                    pa.array(sel)),
+                "up_pm": pa.array(np.floor(
+                    1000.0 * p[sel] / q[sel]).astype(np.int64))})
+
+        out = analytics.grouped_stats(
+            _read(sf, "lineitem",
+                  columns=["l_partkey", "l_quantity",
+                           "l_extendedprice"])
+            .map_batches(up, batch_format="pyarrow"),
+            ["l_partkey"], {"up_pm": ["count", "min", "max"]})
+        out = out[out.up_pm_count >= 2]
+        res = pd.DataFrame({
+            "l_partkey": out.l_partkey.astype("int64"),
+            "n_lines": out.up_pm_count.astype("int64"),
+            "min_up_pm": out.up_pm_min.astype("int64"),
+            "max_up_pm": out.up_pm_max.astype("int64")})
+        res["spread_pm"] = res.max_up_pm - res.min_up_pm
+        return (res.sort_values("l_partkey")
+                .reset_index(drop=True))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_readability": readability_q,
+        "events_daily_dispersion": daily_dispersion_q,
+        "part_unit_price_spread": unit_price_spread_q,
         "postings_gamma_bits": postings_gamma_q,
         "lineitem_frequent_triples": freq_triples_q,
         "revenue_share_nation": revenue_share_q,
@@ -6271,6 +6375,50 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "docs_readability": r"""
+-- per-source readability surface: exact integer word / sentence /
+-- vowel-run sums (whitespace-split + RE2 run counts, Arrow parity)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+            AS BIGINT) AS n_words,
+       CAST(SUM(len(regexp_extract_all(text, '[.!?]+')))
+            AS BIGINT) AS n_sents,
+       CAST(SUM(len(regexp_extract_all(lower(text), '[aeiou]+')))
+            AS BIGINT) AS n_vowel_runs
+FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+GROUP BY source ORDER BY source
+""",
+        "events_daily_dispersion": """
+-- per-type integer moments of DAILY counts (overdispersion audit)
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS c
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(c) AS BIGINT) AS sum_cnt,
+       CAST(SUM(c * c) AS BIGINT) AS sum_cnt2,
+       CAST(MAX(c) AS BIGINT) AS max_cnt
+FROM d GROUP BY event_type ORDER BY event_type
+""",
+        "part_unit_price_spread": """
+-- per-part unit-price permille min/max/spread (parts with >= 2
+-- lineitems; floor(1000*price/qty) in shared float64)
+WITH u AS (
+  SELECT l_partkey,
+         CAST(floor(1000.0 * l_extendedprice / l_quantity)
+              AS BIGINT) AS up
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_quantity > 0)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MIN(up) AS BIGINT) AS min_up_pm,
+       CAST(MAX(up) AS BIGINT) AS max_up_pm,
+       CAST(MAX(up) - MIN(up) AS BIGINT) AS spread_pm
+FROM u GROUP BY l_partkey HAVING COUNT(*) >= 2
+ORDER BY l_partkey
+""",
         "postings_gamma_bits": r"""
 -- Elias-gamma bit cost of delta-encoding each term's posting list
 -- (first posting encoded as doc_id + 1); gamma(g) = 2*len(bin(g)) - 1

@@ -77,3 +77,29 @@ def test_oracle_revenue_share(ray_session):
     g = out.groupby("r_name").share_pm
     assert (g.sum() <= 1000).all()
     assert ((g.sum() + g.count()) > 1000).all()
+
+
+def test_oracle_readability(ray_session):
+    out = _oracle_check("docs_readability")
+    assert len(out) > 0
+    assert (out.n_words >= out.n_docs).all()
+
+
+def test_oracle_daily_dispersion(ray_session):
+    import __ray_entry__ as e
+
+    out = _oracle_check("events_daily_dispersion",
+                        tables=("events",))
+    # Cauchy-Schwarz on integer moments: n*sum_cnt2 >= sum_cnt^2
+    assert (out.n_days * out.sum_cnt2 >= out.sum_cnt ** 2).all()
+    # total events recounted straight off the table
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    assert out.sum_cnt.sum() == ev.ts.notna().sum()
+
+
+def test_oracle_unit_price_spread(ray_session):
+    out = _oracle_check("part_unit_price_spread",
+                        tables=("lineitem",))
+    assert len(out) > 0
+    assert (out.spread_pm == out.max_up_pm - out.min_up_pm).all()
+    assert (out.n_lines >= 2).all()
