@@ -4714,8 +4714,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (res.sort_values("l_partkey")
                 .reset_index(drop=True))
 
+    def common_neighbors_q(sf):
+        # link prediction over the quarter-slice co-purchase graph:
+        # non-adjacent part pairs with >= 2 common neighbors
+        from verify_ray.pipelines.graph import (common_neighbors,
+                                                cooccurrence_edges)
+
+        edges = cooccurrence_edges(
+            _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"],
+                  filter=pc.bit_wise_and(pc.field("l_partkey"), 3)
+                  == 0),
+            "l_orderkey", "l_partkey", num_buckets=8)
+        return common_neighbors(edges, min_common=2, max_degree=256,
+                                num_buckets=8)
+
+    def growth_run_q(sf):
+        # per-type longest strictly-increasing run of daily counts
+        # over CONSECUTIVE days — distributed (type, day) counts,
+        # types*days-sized driver run detection
+        def day_of(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                                 pc.is_valid(b["event_type"])))
+            day = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            return pa.table({"event_type": b["event_type"],
+                             "day": pa.array(day),
+                             "__one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+
+        daily = analytics.grouped_stats(
+            _read(sf, "events", columns=["ts", "event_type"])
+            .map_batches(day_of, batch_format="pyarrow"),
+            ["event_type", "day"], {"__one": ["sum"]})
+        rows = []
+        for et, g in daily.groupby("event_type"):
+            g = g.sort_values("day")
+            d = g.day.to_numpy(np.int64)
+            c = g["__one_sum"].to_numpy(np.int64)
+            inc = (np.diff(d) == 1) & (np.diff(c) > 0)
+            longest = run = 1
+            for f in inc:
+                run = run + 1 if f else 1
+                longest = max(longest, run)
+            rows.append((et, len(d), longest))
+        out = pd.DataFrame(rows, columns=["event_type", "n_days",
+                                          "longest_run"])
+        return (out.sort_values("event_type").reset_index(drop=True)
+                .astype({"n_days": "int64", "longest_run": "int64"}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "copurchase_link_prediction": common_neighbors_q,
+        "events_growth_runs": growth_run_q,
         "docs_readability": readability_q,
         "events_daily_dispersion": daily_dispersion_q,
         "part_unit_price_spread": unit_price_spread_q,
@@ -6375,6 +6426,61 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "copurchase_link_prediction": """
+-- common-neighbor link prediction on the quarter-slice co-purchase
+-- graph: non-adjacent pairs with >= 2 common neighbors; centers of
+-- degree > 256 contribute no wedges (hub-suppression contract)
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+              AND (l_partkey & 3) = 0),
+pairs AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                 greatest(a.l_partkey, b.l_partkey) AS v
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+adj AS (SELECT u AS c, v AS nb FROM pairs
+        UNION ALL SELECT v, u FROM pairs),
+okc AS (SELECT c FROM adj GROUP BY c
+        HAVING COUNT(*) BETWEEN 2 AND 256),
+w AS (SELECT a.nb AS u, b.nb AS v
+      FROM adj a JOIN adj b ON a.c = b.c AND a.nb < b.nb
+      WHERE a.c IN (SELECT c FROM okc)),
+cnt AS (SELECT u, v, COUNT(*) AS n_common FROM w GROUP BY 1, 2
+        HAVING COUNT(*) >= 2)
+SELECT CAST(cnt.u AS BIGINT) AS u, CAST(cnt.v AS BIGINT) AS v,
+       CAST(n_common AS BIGINT) AS n_common
+FROM cnt WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                           WHERE p.u = cnt.u AND p.v = cnt.v)
+ORDER BY u, v
+""",
+        "events_growth_runs": """
+-- per-type longest strictly-increasing run of daily counts over
+-- CONSECUTIVE days (gaps-and-islands; single day = run of 1)
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS c
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+s AS (
+  SELECT event_type, day, c,
+         CASE WHEN LAG(c) OVER w IS NULL
+                OR day - LAG(day) OVER w <> 1
+                OR c <= LAG(c) OVER w
+              THEN 1 ELSE 0 END AS brk
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+r AS (
+  SELECT event_type, day,
+         SUM(brk) OVER (PARTITION BY event_type ORDER BY day)
+           AS run_id
+  FROM s),
+runs AS (SELECT event_type, run_id, COUNT(*) AS len
+         FROM r GROUP BY 1, 2)
+SELECT d2.event_type, CAST(d2.n_days AS BIGINT) AS n_days,
+       CAST(m.longest AS BIGINT) AS longest_run
+FROM (SELECT event_type, COUNT(*) AS n_days FROM d GROUP BY 1) d2
+JOIN (SELECT event_type, MAX(len) AS longest FROM runs GROUP BY 1) m
+  USING (event_type)
+ORDER BY event_type
+""",
         "docs_readability": r"""
 -- per-source readability surface: exact integer word / sentence /
 -- vowel-run sums (whitespace-split + RE2 run counts, Arrow parity)

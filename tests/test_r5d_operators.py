@@ -103,3 +103,33 @@ def test_oracle_unit_price_spread(ray_session):
     assert len(out) > 0
     assert (out.spread_pm == out.max_up_pm - out.min_up_pm).all()
     assert (out.n_lines >= 2).all()
+
+
+def test_oracle_link_prediction(ray_session):
+    out = _oracle_check("copurchase_link_prediction",
+                        tables=("lineitem",))
+    assert len(out) > 0
+    assert (out.u < out.v).all()
+    assert (out.n_common >= 2).all()
+
+
+def test_link_prediction_non_adjacent(ray_session):
+    # every reported pair must NOT be a direct co-purchase edge
+    import __ray_entry__ as e
+
+    out = e.queries()["copurchase_link_prediction"](SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    li = li[(li.l_partkey & 3) == 0]
+    m = li.merge(li, on="l_orderkey")
+    edges = set(zip(np.minimum(m.l_partkey_x, m.l_partkey_y),
+                    np.maximum(m.l_partkey_x, m.l_partkey_y)))
+    assert all((u, v) not in edges
+               for u, v in zip(out.u, out.v))
+
+
+def test_oracle_growth_runs(ray_session):
+    out = _oracle_check("events_growth_runs", tables=("events",))
+    assert len(out) > 0
+    assert (out.longest_run >= 1).all()
+    assert (out.longest_run <= out.n_days).all()

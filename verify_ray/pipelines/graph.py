@@ -1265,3 +1265,130 @@ def local_clustering(edges_ds, src_col: str = "src",
     out = dt.merge(tn, on="node", how="left")
     out["n_tri"] = out["n_tri"].fillna(0)
     return out.astype("int64")
+
+
+def common_neighbors(edges_ds, min_common: int = 2,
+                     max_degree: int = 256,
+                     num_buckets: int = 32) -> pd.DataFrame:
+    """Link prediction by common-neighbor counting (Liben-Nowell &
+    Kleinberg, CIKM'03): every NON-adjacent node pair (u < v) sharing
+    ``>= min_common`` neighbors, with the count — the classic
+    candidate generator for edge recommendation and entity linkage.
+    Input: undirected (x, y) edges; parallel duplicates are deduped
+    internally.  Returns (u, v, n_common) sorted.
+
+    Centers with degree > ``max_degree`` contribute NO wedges
+    (documented contract, mirrored by the oracle): a hub of degree d
+    emits C(d, 2) candidate pairs, so one celebrity node would
+    dominate the run while its wedges carry almost no signal —
+    the standard hub-suppression rule in similarity search over
+    graphs.
+
+    Scale shape: TWO exchanges.  (1) center-keyed: both edge
+    directions route each edge to its endpoints; merges dedup
+    neighbors, skip hubs, enumerate wedge pairs VECTORIZED (the
+    repeat/arange pattern — no per-center loop) and pre-count
+    locally, so only (pair, partial_count) rows leave.  (2)
+    pair-keyed: wedge partials (tag 0) and the deduped edge set
+    (tag 1) meet in one exchange; merges sum counts, drop pairs with
+    a tag-1 witness (adjacent) and sub-threshold pairs — the driver
+    receives survivors only.
+    """
+    from ..stages.exchange import grouped_exchange, grouped_exchange_ds
+
+    part_schema = pa.schema([
+        ("__b", pa.int64()), ("u", pa.int64()), ("v", pa.int64()),
+        ("n", pa.int64()), ("tag", pa.int64())])
+
+    def to_center(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        c = np.concatenate([x, y])
+        nb = np.concatenate([y, x])
+        # map-side dedup of repeated (center, neighbor) pairs
+        cn = np.unique(_pair_struct(c, nb))
+        c, nb = cn["a"], cn["b"]
+        return pa.table({"__b": pa.array((c % num_buckets)
+                                         .astype(np.int64)),
+                         "c": pa.array(c), "nb": pa.array(nb)})
+
+    def wedges(t: pa.Table) -> pa.Table:
+        cn = np.unique(_pair_struct(
+            t.column("c").to_numpy(zero_copy_only=False),
+            t.column("nb").to_numpy(zero_copy_only=False)))
+        c, nb = cn["a"], cn["b"]  # sorted by (c, nb)
+        _, start = np.unique(c, return_index=True)
+        deg = np.diff(np.append(start, len(c)))
+        # hub suppression + singletons
+        ok = (deg >= 2) & (deg <= max_degree)
+        keep = np.repeat(ok, deg)
+        c, nb = c[keep], nb[keep]
+        if len(c) == 0:
+            e = np.empty(0, np.int64)
+            return pa.table({"__b": pa.array(e), "u": pa.array(e),
+                             "v": pa.array(e), "n": pa.array(e),
+                             "tag": pa.array(e)})
+        _, start = np.unique(c, return_index=True)
+        cnt = np.diff(np.append(start, len(c)))
+        cnt_row = np.repeat(cnt, cnt)
+        pos = np.arange(len(c)) - np.repeat(start, cnt)
+        n_after = cnt_row - 1 - pos
+        total = int(n_after.sum())
+        first = np.repeat(np.arange(len(c)), n_after)
+        csum = np.concatenate(([0], np.cumsum(n_after)))
+        k = np.arange(total) - np.repeat(csum[:-1], n_after)
+        u, v = nb[first], nb[first + 1 + k]  # u < v (nb sorted per c)
+        # local pre-count of identical wedge pairs
+        uv, n = np.unique(_pair_struct(u, v), return_counts=True)
+        u, v, n = uv["a"], uv["b"], n.astype(np.int64)
+        bk = (u * 1_000_003 + v) % num_buckets
+        return pa.table({"__b": pa.array(bk), "u": pa.array(u),
+                         "v": pa.array(v), "n": pa.array(n),
+                         "tag": pa.array(np.zeros(len(u), np.int64))})
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        xy = np.unique(_pair_struct(np.minimum(x, y),
+                                    np.maximum(x, y)))
+        u, v = xy["a"], xy["b"]
+        bk = (u * 1_000_003 + v) % num_buckets
+        return pa.table({"__b": pa.array(bk), "u": pa.array(u),
+                         "v": pa.array(v),
+                         "n": pa.array(np.zeros(len(u), np.int64)),
+                         "tag": pa.array(np.ones(len(u), np.int64))})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        tag = t.column("tag").to_numpy(zero_copy_only=False)
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        edges = np.unique(_pair_struct(u[tag == 1], v[tag == 1]))
+        wu, wv, wn = u[tag == 0], v[tag == 0], n[tag == 0]
+        wp = _pair_struct(wu, wv)
+        order = np.argsort(wp)
+        wp, wn = wp[order], wn[order]
+        new = np.ones(len(wp), dtype=bool)
+        new[1:] = wp[1:] != wp[:-1]
+        st = np.flatnonzero(new)
+        tot = np.add.reduceat(wn, st) if len(st) \
+            else np.empty(0, np.int64)
+        wp = wp[st]
+        adjacent = np.isin(wp, edges)
+        sel = (tot >= min_common) & ~adjacent
+        return pa.table({"u": pa.array(wp["a"][sel]),
+                         "v": pa.array(wp["b"][sel]),
+                         "n_common": pa.array(tot[sel])})
+
+    centered = edges_ds.map_batches(to_center, batch_format="pyarrow")
+    wedge_ds = grouped_exchange_ds(centered, "__b", num_buckets,
+                                   wedges, empty_schema=part_schema)
+    edge_tagged = edges_ds.map_batches(tag_edges,
+                                       batch_format="pyarrow")
+    out = grouped_exchange(wedge_ds.union(edge_tagged), "__b",
+                           num_buckets, resolve)
+    cols = ("u", "v", "n_common")
+    if out is None or out.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    return (out.to_pandas().sort_values(["u", "v"])
+            .reset_index(drop=True).astype("int64"))
