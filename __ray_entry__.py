@@ -4763,8 +4763,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values("event_type").reset_index(drop=True)
                 .astype({"n_days": "int64", "longest_run": "int64"}))
 
+    def quantized_dot_q(sf):
+        # integer-exact embedding-geometry fingerprint: md5-paired
+        # sample, per-dim floor(1000*x) quantization, dot histogram
+        from verify_ray.pipelines.similarity import \
+            quantized_dot_pairs_hist
+
+        return quantized_dot_pairs_hist(
+            _read(sf, "embeddings", columns=["vec_id", "embedding"]),
+            mod=4, bin_width=250_000)
+
+    def label_centroids_q(sf):
+        # per-label quantized centroid surface over the first 8 dims
+        # (integer sums — the exact inputs to a centroid/dispersion
+        # check, no cosine floats)
+        from verify_ray.pipelines.similarity import _emb_matrix
+
+        NDIM = 8
+
+        def feats(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["label"]),
+                                 pc.is_valid(b["embedding"])))
+            m = _emb_matrix(b, "embedding")
+            q = np.floor(1000.0 * m[:, :NDIM]).astype(np.int64)
+            cols = {"label": b["label"],
+                    "__one": pa.array(np.ones(b.num_rows, np.int64))}
+            for d in range(NDIM):
+                cols[f"s{d + 1}"] = pa.array(
+                    q[:, d] if b.num_rows else
+                    np.empty(0, np.int64))
+            return pa.table(cols)
+
+        aggs = {"__one": ["sum"]}
+        aggs.update({f"s{d + 1}": ["sum"] for d in range(NDIM)})
+        out = analytics.grouped_stats(
+            _read(sf, "embeddings", columns=["label", "embedding"])
+            .map_batches(feats, batch_format="pyarrow"),
+            ["label"], aggs)
+        ren = {"__one_sum": "n_vecs"}
+        ren.update({f"s{d + 1}_sum": f"sum_q{d + 1}"
+                    for d in range(NDIM)})
+        out = out.rename(columns=ren)
+        cols = ["label", "n_vecs"] + [f"sum_q{d + 1}"
+                                      for d in range(NDIM)]
+        return (out[cols].sort_values("label")
+                .reset_index(drop=True)
+                .astype({c: "int64" for c in cols[1:]}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "embeddings_quantized_dot_hist": quantized_dot_q,
+        "embeddings_label_centroids": label_centroids_q,
         "copurchase_link_prediction": common_neighbors_q,
         "events_growth_runs": growth_run_q,
         "docs_readability": readability_q,
@@ -6426,6 +6475,62 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "embeddings_quantized_dot_hist": """
+-- integer-exact embedding dot histogram over the md5-paired sample:
+-- ids with md5 % 4 == 0 ranked by (md5, id), consecutive ranks
+-- paired; per-dim floor(1000*x) int64 quantization; bins of 250k
+WITH s AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, embedding,
+         md5_number_upper(CAST(vec_id AS VARCHAR)) AS h
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+f AS (SELECT * FROM s WHERE h % 4 = 0),
+r AS (SELECT id, embedding,
+             ROW_NUMBER() OVER (ORDER BY h, id) - 1 AS rn
+      FROM f),
+p AS (
+  SELECT list_transform(a.embedding,
+           x -> CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+           AS qa,
+         list_transform(b.embedding,
+           x -> CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+           AS qb
+  FROM r a JOIN r b ON b.rn = a.rn + 1 AND a.rn % 2 = 0),
+d AS (
+  SELECT list_sum(list_transform(list_zip(qa, qb),
+                                 z -> z[1] * z[2])) AS dot
+  FROM p)
+SELECT CAST(floor(dot / 250000.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(dot) AS BIGINT) AS sum_dot,
+       CAST(MIN(dot) AS BIGINT) AS min_dot,
+       CAST(MAX(dot) AS BIGINT) AS max_dot
+FROM d GROUP BY 1 ORDER BY bin
+""",
+        "embeddings_label_centroids": """
+-- per-label integer centroid surface: count + per-dim quantized
+-- sums over the first 8 dims (1-based list index in SQL)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(floor(1000.0 * CAST(embedding[1] AS DOUBLE))
+                     AS BIGINT)) AS BIGINT) AS sum_q1,
+       CAST(SUM(CAST(floor(1000.0 * CAST(embedding[2] AS DOUBLE))
+                     AS BIGINT)) AS BIGINT) AS sum_q2,
+       CAST(SUM(CAST(floor(1000.0 * CAST(embedding[3] AS DOUBLE))
+                     AS BIGINT)) AS BIGINT) AS sum_q3,
+       CAST(SUM(CAST(floor(1000.0 * CAST(embedding[4] AS DOUBLE))
+                     AS BIGINT)) AS BIGINT) AS sum_q4,
+       CAST(SUM(CAST(floor(1000.0 * CAST(embedding[5] AS DOUBLE))
+                     AS BIGINT)) AS BIGINT) AS sum_q5,
+       CAST(SUM(CAST(floor(1000.0 * CAST(embedding[6] AS DOUBLE))
+                     AS BIGINT)) AS BIGINT) AS sum_q6,
+       CAST(SUM(CAST(floor(1000.0 * CAST(embedding[7] AS DOUBLE))
+                     AS BIGINT)) AS BIGINT) AS sum_q7,
+       CAST(SUM(CAST(floor(1000.0 * CAST(embedding[8] AS DOUBLE))
+                     AS BIGINT)) AS BIGINT) AS sum_q8
+FROM embeddings
+WHERE label IS NOT NULL AND embedding IS NOT NULL
+GROUP BY label ORDER BY label
+""",
         "copurchase_link_prediction": """
 -- common-neighbor link prediction on the quarter-slice co-purchase
 -- graph: non-adjacent pairs with >= 2 common neighbors; centers of

@@ -133,3 +133,21 @@ def test_oracle_growth_runs(ray_session):
     assert len(out) > 0
     assert (out.longest_run >= 1).all()
     assert (out.longest_run <= out.n_days).all()
+
+
+def test_oracle_quantized_dot_hist(ray_session):
+    out = _oracle_check("embeddings_quantized_dot_hist",
+                        tables=("embeddings",))
+    assert len(out) > 0
+    assert out.n_pairs.sum() >= 2
+    # bin boundaries: min/max dots of each bin live inside it
+    assert (out.min_dot >= out.bin * 250_000).all()
+    assert (out.max_dot < (out.bin + 1) * 250_000).all()
+
+
+def test_oracle_label_centroids(ray_session):
+    out = _oracle_check("embeddings_label_centroids",
+                        tables=("embeddings",))
+    assert len(out) > 0
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    assert out.n_vecs.sum() == emb.label.notna().sum()

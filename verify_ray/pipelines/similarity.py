@@ -880,3 +880,119 @@ def embedding_quality_audit(ds, emb_col: str = "embedding",
         return pd.DataFrame({c: pd.Series([0], dtype="int64")
                              for c in cols})
     return pd.DataFrame([{c: int(parts[c].sum()) for c in cols}])
+
+
+def quantized_dot_pairs_hist(ds, id_col: str = "vec_id",
+                             emb_col: str = "embedding",
+                             mod: int = 16, bin_width: int = 250_000,
+                             num_buckets: int = 16) -> "pd.DataFrame":
+    """Embedding-geometry QA on a deterministic PAIRED SAMPLE, fully
+    integer-exact: vectors whose id-md5 is ``0 (mod mod)`` are ranked
+    by (md5, id) and paired consecutively (rank 0-1, 2-3, ...); each
+    pair's embeddings are quantized per-dimension to
+    ``floor(1000 * x)`` int64 and dotted; the dots are binned at
+    ``bin_width``.  Returns (bin, n_pairs, sum_dot, min_dot, max_dot)
+    — a drift fingerprint of the embedding space (random pairs of a
+    healthy isotropic space center near 0; a collapsed space piles
+    into high-dot bins) that, unlike cosine floats, hash-matches a
+    DuckDB oracle exactly (float32→float64 cast and 1000*x floor are
+    bit-identical IEEE ops on both sides).
+
+    Scale shape: pass 1 ships only SAMPLED (id, md5) rows to the
+    driver — the audit is designed to run on a 1/``mod`` slice, and
+    ``mod`` grows with the corpus so the sampled id vector stays
+    audit-sized (documented cap, same contract as ann audits).  The
+    pair map broadcasts once (``ray.put``); pass 2 routes ONLY
+    sampled embeddings through a pair-keyed exchange where each merge
+    dots its pairs with one reshape + einsum — full vectors never
+    visit the driver.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def sample_ids(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[id_col]),
+                             pc.is_valid(b[emb_col])))
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        h = md5_u64le(pc.cast(pa.array(ids), pa.string()))
+        sel = (h % np.uint64(mod)) == 0
+        return pa.table({"id": pa.array(ids[sel]),
+                         "h": pa.array(h[sel])})
+
+    idh = (ds.select_columns([id_col, emb_col])
+           .map_batches(sample_ids, batch_format="pyarrow")
+           .to_pandas())
+    order = np.lexsort((idh.id.to_numpy(),
+                        idh.h.to_numpy(np.uint64)))
+    ids_ranked = idh.id.to_numpy(np.int64)[order]
+    n_pairs = len(ids_ranked) // 2
+    ids_ranked = ids_ranked[:2 * n_pairs]
+    pair = np.repeat(np.arange(n_pairs, dtype=np.int64), 2)
+    cols = ("bin", "n_pairs", "sum_dot", "min_dot", "max_dot")
+    if n_pairs == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    lk_order = np.argsort(ids_ranked, kind="stable")
+    lk_ids = ids_ranked[lk_order]
+    lk_pair = pair[lk_order]
+    ref = ray.put((lk_ids, lk_pair))
+
+    def route(b: pa.Table) -> pa.Table:
+        k, p = ray.get(ref)
+        b = b.filter(pc.and_(pc.is_valid(b[id_col]),
+                             pc.is_valid(b[emb_col])))
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = np.clip(np.searchsorted(k, ids), 0, max(len(k) - 1, 0))
+        hit = k[pos] == ids if len(k) else np.zeros(len(ids), bool)
+        m = _emb_matrix(b, emb_col)[hit]
+        q = np.floor(1000.0 * m).astype(np.int64)
+        pr = p[pos[hit]]
+        dim = q.shape[1] if q.size else 0
+        offsets = np.arange(len(q) + 1, dtype=np.int64) * dim
+        qlist = pa.LargeListArray.from_arrays(
+            pa.array(offsets), pa.array(q.ravel()))
+        return pa.table({
+            "__b": pa.array(pr % num_buckets),
+            "pair": pa.array(pr),
+            "id": pa.array(ids[hit]),
+            "q": qlist})
+
+    def dot_merge(t: pa.Table) -> pa.Table:
+        pr = t.column("pair").to_numpy(zero_copy_only=False)
+        idv = t.column("id").to_numpy(zero_copy_only=False)
+        flat = as_array(t.column("q")).flatten().to_numpy(
+            zero_copy_only=False)
+        n = len(pr)
+        if n == 0:
+            e = np.empty(0, np.int64)
+            return pa.table({"pair": pa.array(e), "dot": pa.array(e)})
+        dim = len(flat) // n
+        q = flat.reshape(n, dim)
+        order = np.lexsort((idv, pr))
+        pr, q = pr[order], q[order]
+        # every pair has exactly two member rows in this bucket
+        a, b_ = q[0::2], q[1::2]
+        dots = np.einsum("ij,ij->i", a, b_)
+        return pa.table({"pair": pa.array(pr[0::2]),
+                         "dot": pa.array(dots)})
+
+    tagged = (ds.select_columns([id_col, emb_col])
+              .map_batches(route, batch_format="pyarrow"))
+    out = grouped_exchange(tagged, "__b", num_buckets, dot_merge)
+    if out is None or out.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    dots = out.column("dot").to_numpy(zero_copy_only=False)
+    bins = np.floor(dots / float(bin_width)).astype(np.int64)
+    df = (pd.DataFrame({"bin": bins, "dot": dots})
+          .groupby("bin", as_index=False)
+          .agg(n_pairs=("dot", "size"), sum_dot=("dot", "sum"),
+               min_dot=("dot", "min"), max_dot=("dot", "max")))
+    return (df.sort_values("bin").reset_index(drop=True)
+            .astype("int64"))
