@@ -4810,8 +4810,116 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def ship_delay_q(sf):
+        # order-to-ship latency histogram per priority: big-big hash
+        # join (lineitem x orders, ONE exchange) -> day-delay counts
+        from verify_ray.pipelines.joins import hash_join
+
+        DAY = 86_400_000_000
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["l_orderkey"]),
+                                 pc.is_valid(b["l_shipdate"])))
+            day = (pc.cast(pc.cast(b["l_shipdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // DAY)
+            return pa.table({"l_orderkey": pc.cast(b["l_orderkey"],
+                                                   pa.int64()),
+                             "ship_day": pa.array(day)})
+
+        def o_prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(
+                pc.is_valid(b["o_orderkey"]),
+                pc.and_(pc.is_valid(b["o_orderdate"]),
+                        pc.is_valid(b["o_orderpriority"]))))
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // DAY)
+            return pa.table({"o_orderkey": pc.cast(b["o_orderkey"],
+                                                   pa.int64()),
+                             "order_day": pa.array(day),
+                             "o_orderpriority": b["o_orderpriority"]})
+
+        li = (_read(sf, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"])
+              .map_batches(li_prep, batch_format="pyarrow"))
+        od = (_read(sf, "orders",
+                    columns=["o_orderkey", "o_orderdate",
+                             "o_orderpriority"])
+              .map_batches(o_prep, batch_format="pyarrow"))
+        j = hash_join(li, od, key="l_orderkey",
+                      right_key="o_orderkey",
+                      left_values=["ship_day"],
+                      right_values=["order_day", "o_orderpriority"],
+                      how="inner", num_buckets=16)
+
+        def delay(b: pa.Table) -> pa.Table:
+            d = (b["ship_day"].to_numpy(zero_copy_only=False)
+                 - b["order_day"].to_numpy(zero_copy_only=False))
+            return pa.table({"o_orderpriority": b["o_orderpriority"],
+                             "delay_days": pa.array(d),
+                             "__one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+
+        out = analytics.grouped_stats(
+            j.map_batches(delay, batch_format="pyarrow"),
+            ["o_orderpriority", "delay_days"], {"__one": ["sum"]})
+        out = out.rename(columns={"__one_sum": "n"})
+        return (out.sort_values(["o_orderpriority", "delay_days"])
+                .reset_index(drop=True)
+                .astype({"delay_days": "int64", "n": "int64"}))
+
+    def cohort_ltv_q(sf):
+        return analytics.cohort_ltv(
+            _read(sf, "events", columns=["user_id", "ts", "value"]))
+
+    def double_submit_q(sf):
+        # replay/double-submit audit on orders with PLANTED positives
+        # (every 97th order re-submitted 3 days later, orderkey
+        # +10M): same (custkey, exact cents) within 7 days
+        from verify_ray.pipelines.dedup import near_time_duplicate_pairs
+
+        DAY = 86_400_000_000
+
+        def prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(
+                pc.is_valid(b["o_orderkey"]),
+                pc.and_(pc.is_valid(b["o_custkey"]),
+                        pc.and_(pc.is_valid(b["o_totalprice"]),
+                                pc.is_valid(b["o_orderdate"])))))
+            k = pc.cast(b["o_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            c = pc.cast(b["o_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            cents = np.floor(100.0 * b["o_totalprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            d = (pc.cast(pc.cast(b["o_orderdate"],
+                                 pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+                 // DAY)
+            planted = k % 97 == 0
+            return pa.table({
+                "k": pa.array(np.r_[k, k[planted] + 10_000_000]),
+                "c": pa.array(np.r_[c, c[planted]]),
+                "cents": pa.array(np.r_[cents, cents[planted]]),
+                "d": pa.array(np.r_[d, d[planted] + 3])})
+
+        ds = (_read(sf, "orders",
+                    columns=["o_orderkey", "o_custkey",
+                             "o_totalprice", "o_orderdate"])
+              .map_batches(prep, batch_format="pyarrow"))
+        out = near_time_duplicate_pairs(
+            ds, key_cols=["c", "cents"], day_col="d", id_col="k",
+            max_gap_days=7)
+        return out.rename(columns={"c": "o_custkey"})
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "orders_ship_delay_hist": ship_delay_q,
+        "events_cohort_ltv": cohort_ltv_q,
+        "orders_double_submit": double_submit_q,
         "embeddings_quantized_dot_hist": quantized_dot_q,
         "embeddings_label_centroids": label_centroids_q,
         "copurchase_link_prediction": common_neighbors_q,
@@ -6475,6 +6583,67 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "orders_ship_delay_hist": """
+-- order-to-ship latency (days) histogram per priority
+WITH li AS (SELECT l_orderkey,
+                   epoch_us(l_shipdate) // 86400000000 AS sd
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL
+              AND l_shipdate IS NOT NULL),
+o AS (SELECT o_orderkey, o_orderpriority,
+             epoch_us(o_orderdate) // 86400000000 AS od
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_orderpriority IS NOT NULL)
+SELECT o.o_orderpriority, CAST(li.sd - o.od AS BIGINT) AS delay_days,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+GROUP BY 1, 2 ORDER BY o_orderpriority, delay_days
+""",
+        "events_cohort_ltv": """
+-- cohort LTV matrix: users cohorted by first event week; per
+-- (cohort_week, week_offset): distinct users, events, permille value
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+         CAST(floor(1000.0 * value) AS BIGINT) AS val
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+c AS (SELECT user_id, MIN(wk) AS cw FROM e GROUP BY user_id),
+j AS (SELECT e.user_id, c.cw, e.wk - c.cw AS off, e.val
+      FROM e JOIN c USING (user_id))
+SELECT CAST(cw AS BIGINT) AS cohort_week,
+       CAST(off AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(val) AS BIGINT) AS sum_value_pm
+FROM j GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+""",
+        "orders_double_submit": """
+-- double-submit pairs with planted positives: every 97th order
+-- re-submitted 3 days later (orderkey + 10M); a pair = same
+-- (custkey, exact cents) within 7 days, id_a < id_b
+WITH o0 AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         CAST(floor(100.0 * o_totalprice) AS BIGINT) AS cents,
+         epoch_us(o_orderdate) // 86400000000 AS d
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+    AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+o AS (SELECT * FROM o0
+      UNION ALL
+      SELECT k + 10000000, c, cents, d + 3 FROM o0
+      WHERE k % 97 = 0)
+SELECT CAST(a.c AS BIGINT) AS o_custkey,
+       CAST(a.cents AS BIGINT) AS cents,
+       CAST(least(a.k, b.k) AS BIGINT) AS id_a,
+       CAST(greatest(a.k, b.k) AS BIGINT) AS id_b,
+       CAST(abs(a.d - b.d) AS BIGINT) AS day_gap
+FROM o a JOIN o b
+  ON a.c = b.c AND a.cents = b.cents AND a.k < b.k
+ AND abs(a.d - b.d) <= 7
+ORDER BY o_custkey, cents, id_a, id_b, day_gap
+""",
         "embeddings_quantized_dot_hist": """
 -- integer-exact embedding dot histogram over the md5-paired sample:
 -- ids with md5 % 4 == 0 ranked by (md5, id), consecutive ranks

@@ -151,3 +151,32 @@ def test_oracle_label_centroids(ray_session):
     assert len(out) > 0
     emb = pd.read_parquet(f"{SF}/embeddings.parquet")
     assert out.n_vecs.sum() == emb.label.notna().sum()
+
+
+def test_oracle_ship_delay(ray_session):
+    out = _oracle_check("orders_ship_delay_hist",
+                        tables=("lineitem", "orders"))
+    assert len(out) > 0
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    assert out.n.sum() == len(li)  # every lineitem has an order
+
+
+def test_oracle_cohort_ltv(ray_session):
+    out = _oracle_check("events_cohort_ltv", tables=("events",))
+    assert len(out) > 0
+    # offset 0 of each cohort contains that cohort's first events
+    assert (out[out.week_offset == 0].n_users > 0).all()
+    # users never exceed events in a cell
+    assert (out.n_users <= out.n_events).all()
+
+
+def test_oracle_double_submit(ray_session):
+    out = _oracle_check("orders_double_submit", tables=("orders",))
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey"])
+    n_planted = (orders.o_orderkey % 97 == 0).sum()
+    # at least every planted twin is found (organic dups may add)
+    assert len(out) >= n_planted > 0
+    assert (out.day_gap <= 7).all()
+    assert (out.id_a < out.id_b).all()

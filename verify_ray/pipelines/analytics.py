@@ -3953,3 +3953,102 @@ def frequent_itemsets3(ds, group_col: str, item_col: str,
     return (counted.to_pandas()
             .sort_values(["item_a", "item_b", "item_c"])
             .reset_index(drop=True).astype("int64"))
+
+
+def cohort_ltv(events_ds, user_col: str = "user_id",
+               ts_col: str = "ts", value_col: str = "value",
+               num_buckets: int = 32) -> pd.DataFrame:
+    """Cohort lifetime-value curve: users are cohorted by their FIRST
+    event week; for each (cohort_week, week_offset) cell, the number
+    of active users, event count and permille-floored value sum — the
+    revenue-retention matrix behind every "LTV by signup cohort"
+    dashboard, exact integers throughout.  Rows with null user / ts /
+    value drop (a user's cohort week is the min over its surviving
+    rows — SQL join-after-filter parity).
+
+    Scale shape: ONE user-keyed hash exchange; each merge task holds
+    its users' full histories, derives cohort week = per-user min
+    (vectorized reduceat over (user, week)-sorted rows) and
+    pre-aggregates to (cohort, offset) partials with EXACT distinct
+    user counts (a user lives in exactly one bucket), so the driver
+    fold is weeks^2-sized regardless of corpus size.
+    """
+    from ..stages.exchange import grouped_exchange
+
+    WEEK = 7 * 86_400_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[user_col]),
+                             pc.and_(pc.is_valid(b[ts_col]),
+                                     pc.is_valid(b[value_col]))))
+        u = pc.cast(b[user_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        wk = (pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+              // WEEK)
+        val = np.floor(1000.0 * b[value_col].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        return pa.table({"__b": pa.array(u % num_buckets),
+                         "u": pa.array(u), "wk": pa.array(wk),
+                         "val": pa.array(val)})
+
+    def fold(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        wk = t.column("wk").to_numpy(zero_copy_only=False)
+        val = t.column("val").to_numpy(zero_copy_only=False)
+        order = np.lexsort((wk, u))
+        u, wk, val = u[order], wk[order], val[order]
+        new_u = np.ones(len(u), dtype=bool)
+        new_u[1:] = u[1:] != u[:-1]
+        ustart = np.flatnonzero(new_u)
+        ulen = np.diff(np.append(ustart, len(u)))
+        cohort = np.repeat(wk[ustart], ulen)  # per-user min week
+        off = wk - cohort
+        # distinct (user, cohort, offset) combos for user counts
+        new_cell = np.ones(len(u), dtype=bool)
+        new_cell[1:] = (u[1:] != u[:-1]) | (off[1:] != off[:-1])
+        cst = np.flatnonzero(new_cell)
+        # per-(cohort, offset) partials over this bucket's users
+        co = _pair_key(cohort, off)
+        order2 = np.argsort(co, kind="stable")
+        co_s, val_s = co[order2], val[order2]
+        newg = np.ones(len(co_s), dtype=bool)
+        newg[1:] = co_s[1:] != co_s[:-1]
+        gst = np.flatnonzero(newg)
+        n_ev = np.diff(np.append(gst, len(co_s)))
+        sums = np.add.reduceat(val_s, gst) if len(gst) \
+            else np.empty(0, np.int64)
+        # distinct-user count per cell
+        cou = co[cst]
+        order3 = np.argsort(cou, kind="stable")
+        cou = cou[order3]
+        newu = np.ones(len(cou), dtype=bool)
+        newu[1:] = cou[1:] != cou[:-1]
+        ust = np.flatnonzero(newu)
+        n_usr = np.diff(np.append(ust, len(cou)))
+        # cells are identical sets (every cell has >= 1 user + event)
+        return pa.table({
+            "cohort_week": pa.array(co_s[gst] >> np.int64(20)),
+            "week_offset": pa.array(co_s[gst] & np.int64(0xFFFFF)),
+            "n_users": pa.array(n_usr),
+            "n_events": pa.array(n_ev),
+            "sum_value_pm": pa.array(sums)})
+
+    tagged = (events_ds.select_columns([user_col, ts_col, value_col])
+              .map_batches(tag, batch_format="pyarrow"))
+    out = grouped_exchange(tagged, "__b", num_buckets, fold)
+    cols = ("cohort_week", "week_offset", "n_users", "n_events",
+            "sum_value_pm")
+    if out is None or out.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    df = (out.to_pandas()
+          .groupby(["cohort_week", "week_offset"], as_index=False)
+          .sum())
+    return (df.sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True).astype("int64"))
+
+
+def _pair_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pack two small nonnegative int64s (b < 2^20) into one sortable
+    int64 — cohort_ltv's (cohort_week, offset) cell key."""
+    return (a << np.int64(20)) | b

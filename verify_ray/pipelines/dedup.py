@@ -2150,3 +2150,98 @@ def simhash_bit_balance(ds, text_col: str = "text",
     out = parts.groupby("bit", as_index=False)["n_set"].sum()
     return (out.sort_values("bit").reset_index(drop=True)
             .astype("int64"))
+
+
+def near_time_duplicate_pairs(ds, key_cols: list[str], day_col: str,
+                              id_col: str, max_gap_days: int = 7,
+                              num_buckets: int = 32,
+                              max_group: int = 10_000) -> pd.DataFrame:
+    """Double-submit detection: pairs of records that agree on every
+    ``key_cols`` column AND lie within ``max_gap_days`` of each other
+    — the transactional cousin of exact dedup (same payload, close in
+    time ⇒ probable resubmission / replay).  Returns one row per
+    unordered pair ``(key_cols..., id_a, id_b, day_gap)`` with
+    ``id_a < id_b`` and ``day_gap = |day_a - day_b|``, sorted.
+    All inputs integer (``day_col`` = epoch days).
+
+    Scale shape: ONE exchange keyed by the hash of the composite key;
+    each merge task enumerates pairs per key group with the
+    repeat/arange pattern and filters the day window vectorized.
+    Same-key groups are small BY CONSTRUCTION (identical payload);
+    ``max_group`` raises if a degenerate key (e.g. a default/zero
+    payload) would go quadratic — exclude it upstream or split the
+    key.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        mask = None
+        for c in key_cols + [day_col, id_col]:
+            v = pc.is_valid(b[c])
+            mask = v if mask is None else pc.and_(mask, v)
+        b = b.filter(mask)
+        h = np.zeros(b.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            col = pc.cast(b[c], pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            h = h * np.uint64(1_000_003) + col
+        cols = {"__b": pa.array((h % np.uint64(num_buckets))
+                                .astype(np.int64))}
+        for c in key_cols + [day_col, id_col]:
+            cols[c] = pc.cast(b[c], pa.int64())
+        return pa.table(cols)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        arrs = [t.column(c).to_numpy(zero_copy_only=False)
+                for c in key_cols]
+        d = t.column(day_col).to_numpy(zero_copy_only=False)
+        i = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, d, *arrs[::-1]))
+        arrs = [a[order] for a in arrs]
+        d, i = d[order], i[order]
+        new = np.zeros(len(d), dtype=bool)
+        for a in arrs:
+            new[1:] |= a[1:] != a[:-1]
+        if len(new):
+            new[0] = True
+        start = np.flatnonzero(new)
+        cnt = np.diff(np.append(start, len(d)))
+        if cnt.size and cnt.max() > max_group:
+            raise ValueError(
+                f"key group of {cnt.max()} rows exceeds max_group="
+                f"{max_group}: a degenerate key went quadratic — "
+                "exclude it upstream or extend key_cols")
+        cnt_row = np.repeat(cnt, cnt)
+        pos = np.arange(len(d)) - np.repeat(start, cnt)
+        n_after = cnt_row - 1 - pos
+        total = int(n_after.sum())
+        if total == 0:
+            e = np.empty(0, np.int64)
+            return pa.table(
+                {**{c: pa.array(e) for c in key_cols},
+                 "id_a": pa.array(e), "id_b": pa.array(e),
+                 "day_gap": pa.array(e)})
+        first = np.repeat(np.arange(len(d)), n_after)
+        csum = np.concatenate(([0], np.cumsum(n_after)))
+        k = np.arange(total) - np.repeat(csum[:-1], n_after)
+        second = first + 1 + k
+        gap = d[second] - d[first]  # sorted by day => nonnegative
+        sel = gap <= max_gap_days
+        ia, ib = i[first[sel]], i[second[sel]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pa.table(
+            {**{c: pa.array(arrs[j][first[sel]])
+                for j, c in enumerate(key_cols)},
+             "id_a": pa.array(lo), "id_b": pa.array(hi),
+             "day_gap": pa.array(gap[sel])})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    out = grouped_exchange(tagged, "__b", num_buckets, pairs)
+    cols = key_cols + ["id_a", "id_b", "day_gap"]
+    if out is None or out.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    return (out.to_pandas()[cols]
+            .sort_values(cols).reset_index(drop=True)
+            .astype("int64"))
