@@ -4915,8 +4915,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_gap_days=7)
         return out.rename(columns={"c": "o_custkey"})
 
+    def survival_q(sf):
+        # Kaplan-Meier input surface over repeat purchases: observed
+        # inter-purchase day gaps + right-censored last gaps
+        ds = _read(sf, "events", columns=["user_id", "ts"],
+                   filter=pc.field("event_type") == "purchase")
+        return analytics.survival_gaps(ds)
+
+    def distinctive_q(sf):
+        # per-lang distinctive vocabulary by integer lift (permille
+        # PMI ratio), top-10 per lang
+        return analytics.distinctive_terms(
+            _read(sf, "documents", columns=["lang", "text"]),
+            k=10, min_count=5)
+
+    def brand_cum_q(sf):
+        # per-brand monthly shipped quantity + running total: big-big
+        # hash join (lineitem x part) -> (brand, month) sums ->
+        # brands*months driver cumsum (output-sized)
+        from verify_ray.pipelines.joins import hash_join
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(
+                pc.is_valid(b["l_partkey"]),
+                pc.and_(pc.is_valid(b["l_shipdate"]),
+                        pc.is_valid(b["l_quantity"]))))
+            day = (pc.cast(pc.cast(b["l_shipdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mon = (day.astype("datetime64[D]")
+                   .astype("datetime64[M]").astype(np.int64))
+            qpm = np.floor(1000.0 * b["l_quantity"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({"l_partkey": pc.cast(b["l_partkey"],
+                                                  pa.int64()),
+                             "mon": pa.array(mon),
+                             "qpm": pa.array(qpm)})
+
+        def p_prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["p_partkey"]),
+                                 pc.is_valid(b["p_brand"])))
+            return pa.table({"p_partkey": pc.cast(b["p_partkey"],
+                                                  pa.int64()),
+                             "p_brand": b["p_brand"]})
+
+        li = (_read(sf, "lineitem",
+                    columns=["l_partkey", "l_shipdate", "l_quantity"])
+              .map_batches(li_prep, batch_format="pyarrow"))
+        pt = (_read(sf, "part", columns=["p_partkey", "p_brand"])
+              .map_batches(p_prep, batch_format="pyarrow"))
+        j = hash_join(li, pt, key="l_partkey", right_key="p_partkey",
+                      left_values=["mon", "qpm"],
+                      right_values=["p_brand"], how="inner",
+                      num_buckets=16)
+
+        def one(b: pa.Table) -> pa.Table:
+            return pa.table({"p_brand": b["p_brand"],
+                             "mon": b["mon"], "qpm": b["qpm"],
+                             "__one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+
+        out = analytics.grouped_stats(
+            j.map_batches(one, batch_format="pyarrow"),
+            ["p_brand", "mon"], {"__one": ["sum"], "qpm": ["sum"]})
+        out = (out.rename(columns={"__one_sum": "n_lines",
+                                   "qpm_sum": "qty_pm"})
+               .sort_values(["p_brand", "mon"])
+               .reset_index(drop=True))
+        out["cum_qty_pm"] = out.groupby("p_brand").qty_pm.cumsum()
+        cols = ["p_brand", "mon", "n_lines", "qty_pm", "cum_qty_pm"]
+        return out[cols].astype({c: "int64" for c in cols[1:]})
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_survival_gaps": survival_q,
+        "docs_distinctive_terms": distinctive_q,
+        "brand_monthly_cumulative": brand_cum_q,
         "orders_ship_delay_hist": ship_delay_q,
         "events_cohort_ltv": cohort_ltv_q,
         "orders_double_submit": double_submit_q,
@@ -6583,6 +6658,78 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "events_survival_gaps": """
+-- Kaplan-Meier input surface over repeat purchases: observed
+-- inter-purchase day gaps + right-censored gap to the corpus's
+-- final purchase day, as a duration histogram
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS d
+  FROM events
+  WHERE event_type = 'purchase'
+    AND user_id IS NOT NULL AND ts IS NOT NULL),
+mx AS (SELECT MAX(d) AS m FROM p),
+g AS (SELECT user_id, d,
+             LEAD(d) OVER (PARTITION BY user_id ORDER BY d) - d
+               AS gap
+      FROM p),
+obs AS (
+  SELECT gap AS gap_days, 0 AS censored FROM g WHERE gap IS NOT NULL
+  UNION ALL
+  SELECT (SELECT m FROM mx) - d, 1 FROM g WHERE gap IS NULL)
+SELECT CAST(gap_days AS BIGINT) AS gap_days,
+       CAST(SUM(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_observed,
+       CAST(SUM(censored) AS BIGINT) AS n_censored
+FROM obs GROUP BY 1 ORDER BY gap_days
+""",
+        "docs_distinctive_terms": r"""
+-- per-lang distinctive vocabulary: integer lift
+-- (1000 * c_gw * N) // (c_w * N_g), words with count >= 5,
+-- top-10 per lang by (lift DESC, word ASC)
+WITH tok AS (
+  SELECT lang, u.w
+  FROM documents d,
+       unnest(regexp_split_to_array(trim(d.text), '\s+')) AS u(w)
+  WHERE d.text IS NOT NULL AND d.lang IS NOT NULL),
+lw AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+wtot AS (SELECT w, SUM(c) AS cw FROM lw GROUP BY w),
+ltot AS (SELECT lang, SUM(c) AS cl FROM lw GROUP BY lang),
+tot AS (SELECT SUM(c) AS n FROM lw),
+lift AS (
+  SELECT lang, w, c,
+         (1000 * c * (SELECT n FROM tot)) // (cw * cl) AS lift_pm
+  FROM lw JOIN wtot USING (w) JOIN ltot USING (lang)
+  WHERE c >= 5)
+SELECT lang, w AS word, CAST(c AS BIGINT) AS c,
+       CAST(lift_pm AS BIGINT) AS lift_pm
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY lift_pm DESC, w) AS rn
+      FROM lift)
+WHERE rn <= 10 ORDER BY lang, lift_pm DESC, word
+""",
+        "brand_monthly_cumulative": """
+-- per-brand monthly shipped quantity (permille) + running total;
+-- mon = months since 1970-01
+WITH li AS (
+  SELECT l_partkey,
+         (EXTRACT(year FROM l_shipdate) - 1970) * 12
+           + EXTRACT(month FROM l_shipdate) - 1 AS mon,
+         CAST(floor(1000.0 * l_quantity) AS BIGINT) AS qpm
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+    AND l_quantity IS NOT NULL),
+p AS (SELECT p_partkey, p_brand FROM part
+      WHERE p_partkey IS NOT NULL AND p_brand IS NOT NULL),
+m AS (SELECT p.p_brand, li.mon, COUNT(*) AS n_lines,
+             SUM(qpm) AS qty_pm
+      FROM li JOIN p ON li.l_partkey = p.p_partkey GROUP BY 1, 2)
+SELECT p_brand, CAST(mon AS BIGINT) AS mon,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(qty_pm AS BIGINT) AS qty_pm,
+       CAST(SUM(qty_pm) OVER (PARTITION BY p_brand ORDER BY mon)
+            AS BIGINT) AS cum_qty_pm
+FROM m ORDER BY p_brand, mon
+""",
         "orders_ship_delay_hist": """
 -- order-to-ship latency (days) histogram per priority
 WITH li AS (SELECT l_orderkey,
@@ -6830,7 +6977,10 @@ SELECT CAST(a.i AS BIGINT) AS item_a, CAST(b2.i AS BIGINT) AS item_b,
        CAST(c.i AS BIGINT) AS item_c,
        CAST(COUNT(*) AS BIGINT) AS support
 FROM b a JOIN b b2 ON a.g = b2.g AND a.i < b2.i
-         JOIN b c ON a.g = c.g AND b2.i < c.i
+         -- c chains to b2 (NOT a): gives the planner equi-join
+         -- edges a-b2 and b2-c; linking c only to a leaves b2 x c
+         -- as a cross product under an inequality
+         JOIN b c ON c.g = b2.g AND c.i > b2.i
 GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
 ORDER BY item_a, item_b, item_c
 """,

@@ -180,3 +180,33 @@ def test_oracle_double_submit(ray_session):
     assert len(out) >= n_planted > 0
     assert (out.day_gap <= 7).all()
     assert (out.id_a < out.id_b).all()
+
+
+def test_oracle_survival_gaps(ray_session):
+    out = _oracle_check("events_survival_gaps", tables=("events",))
+    assert len(out) > 0
+    # censored count == number of distinct purchasing users (each
+    # user contributes exactly one censored duration)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    n_users = ev[ev.event_type == "purchase"].user_id.nunique()
+    assert out.n_censored.sum() == n_users
+
+
+def test_oracle_distinctive_terms(ray_session):
+    out = _oracle_check("docs_distinctive_terms",
+                        tables=("documents",))
+    assert len(out) > 0
+    assert (out.groupby("lang").word.count() <= 10).all()
+    assert (out.c >= 5).all()
+
+
+def test_oracle_brand_cumulative(ray_session):
+    out = _oracle_check("brand_monthly_cumulative",
+                        tables=("lineitem", "part"))
+    assert len(out) > 0
+    # running total ends at the brand's total
+    last = out.groupby("p_brand").tail(1)
+    tot = out.groupby("p_brand", as_index=False).qty_pm.sum()
+    m = last.merge(tot, on="p_brand")
+    assert (m.cum_qty_pm == m.qty_pm_y).all()

@@ -4052,3 +4052,216 @@ def _pair_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pack two small nonnegative int64s (b < 2^20) into one sortable
     int64 — cohort_ltv's (cohort_week, offset) cell key."""
     return (a << np.int64(20)) | b
+
+
+def survival_gaps(ds, key_col: str = "user_id", ts_col: str = "ts",
+                  num_buckets: int = 32) -> pd.DataFrame:
+    """Survival-analysis input surface (Kaplan-Meier estimator data,
+    Kaplan & Meier 1958): per key, the day gaps between consecutive
+    events are OBSERVED durations; the gap from each key's last event
+    to the corpus's final day is RIGHT-CENSORED (the next event
+    hadn't happened when the data ends).  Returns the duration
+    histogram ``(gap_days, n_observed, n_censored)`` — exact integers,
+    the standard input to any time-to-next-event model (churn, repeat
+    purchase).  Null key/ts rows drop; same-day ties contribute
+    zero-length observed gaps (multiset of sorted-consecutive diffs —
+    deterministic under ties).
+
+    Scale shape: pass 1 is a scalar max-day reduction (per-batch max
+    -> driver); pass 2 is ONE key-keyed hash exchange whose merges
+    diff each key's sorted days vectorized (reduceat boundaries) and
+    pre-bin locally, so only (gap, count) partials reach the driver.
+    """
+    from ..stages.exchange import grouped_exchange
+
+    DAY = 86_400_000_000
+
+    def days_of(b: pa.Table) -> np.ndarray:
+        return (pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+                // DAY)
+
+    def batch_max(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[ts_col]))
+        if b.num_rows == 0:
+            return pa.table({"m": pa.array([], type=pa.int64())})
+        return pa.table({"m": pa.array([days_of(b).max()])})
+
+    mx = (ds.select_columns([ts_col])
+          .map_batches(batch_max, batch_format="pyarrow").to_pandas())
+    if len(mx) == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("gap_days", "n_observed", "n_censored")})
+    max_day = int(mx.m.max())
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[key_col]),
+                             pc.is_valid(b[ts_col])))
+        u = pc.cast(b[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"__b": pa.array(u % num_buckets),
+                         "u": pa.array(u),
+                         "d": pa.array(days_of(b))})
+
+    def fold(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        same = np.zeros(len(u), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        gaps = np.empty(0, np.int64)
+        if same.any():
+            diffs = d[1:] - d[:-1]
+            gaps = diffs[same[1:]]
+        last = np.ones(len(u), dtype=bool)
+        last[:-1] = u[1:] != u[:-1]
+        cens = max_day - d[last]
+        go, co = np.unique(gaps, return_counts=True)
+        gc, cc = np.unique(cens, return_counts=True)
+        return pa.table({
+            "gap_days": pa.array(np.r_[go, gc]),
+            "n_observed": pa.array(np.r_[co.astype(np.int64),
+                                         np.zeros(len(gc), np.int64)]),
+            "n_censored": pa.array(np.r_[np.zeros(len(go), np.int64),
+                                         cc.astype(np.int64)])})
+
+    tagged = (ds.select_columns([key_col, ts_col])
+              .map_batches(tag, batch_format="pyarrow"))
+    out = grouped_exchange(tagged, "__b", num_buckets, fold)
+    cols = ("gap_days", "n_observed", "n_censored")
+    if out is None or out.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    df = (out.to_pandas().groupby("gap_days", as_index=False).sum())
+    return (df.sort_values("gap_days").reset_index(drop=True)
+            .astype("int64"))
+
+
+def distinctive_terms(docs_ds, k: int = 10, min_count: int = 5,
+                      group_col: str = "lang",
+                      text_col: str = "text",
+                      num_buckets: int = 32) -> pd.DataFrame:
+    """Distinctive vocabulary per group by integer LIFT: for each
+    (group, word) with ``count >= min_count``, lift_pm =
+    ``(1000 * c_gw * N) // (c_w * N_g)`` — how over-represented the
+    word is in the group versus the corpus (the permille-floored
+    pointwise-mutual-information ratio, Monroe et al.'s "fightin'
+    words" shape without the log) — and each group's top-``k`` words
+    by (lift DESC, word ASC).  Whitespace token contract.
+
+    Scale shape: pass 1 reduces per-group token totals (groups-sized
+    driver table, broadcast in the merge closure); pass 2 is ONE
+    word-keyed hash exchange — a word's per-group counts co-locate,
+    so its global count (the lift denominator) is bucket-local — and
+    each merge emits only its own top-``k`` per group (global top-k
+    is a subset of the union of per-bucket top-ks; driver re-ranks
+    the k*buckets*groups survivors).
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+    from .tokenize import _split_words
+
+    def counts(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[text_col]),
+                             pc.is_valid(b[group_col])))
+        if b.num_rows == 0:
+            return pa.table({"g": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        _, _, lens = _split_words(b, text_col)
+        gnames = np.asarray(b[group_col].to_pylist(), dtype=object)
+        ug, inv = np.unique(gnames, return_inverse=True)
+        sums = np.bincount(inv, weights=lens).astype(np.int64)
+        return pa.table({"g": pa.array(ug, type=pa.string()),
+                         "n": pa.array(sums)})
+
+    totals = (docs_ds.select_columns([group_col, text_col])
+              .map_batches(counts, batch_format="pyarrow")
+              .to_pandas().groupby("g").n.sum())
+    group_names = np.array(sorted(totals.index), dtype=object)
+    group_tot = totals[group_names].to_numpy(np.int64)
+    n_total = int(group_tot.sum())
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[text_col]),
+                             pc.is_valid(b[group_col])))
+        if b.num_rows == 0:
+            return pa.table({"__b": pa.array([], type=pa.uint64()),
+                             "w": pa.array([], type=pa.string()),
+                             "g": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        words, parents, _ = _split_words(b, text_col)
+        gnames = np.asarray(b[group_col].to_pylist(), dtype=object)
+        gid = np.searchsorted(group_names, gnames)[parents]
+        # block-local (word, group) pre-count
+        order = np.lexsort((gid, words))
+        ws, gs = words[order], gid[order]
+        new = np.ones(len(ws), dtype=bool)
+        new[1:] = (ws[1:] != ws[:-1]) | (gs[1:] != gs[:-1])
+        st = np.flatnonzero(new)
+        n = np.diff(np.append(st, len(ws))).astype(np.int64)
+        ws, gs = ws[st], gs[st]
+        wnew = np.ones(len(ws), dtype=bool)
+        wnew[1:] = ws[1:] != ws[:-1]
+        wst = np.flatnonzero(wnew)
+        wcnt = np.diff(np.append(wst, len(ws)))
+        h = md5_u64le(pa.array(ws[wst], type=pa.string())) \
+            if len(wst) else np.empty(0, np.uint64)
+        return pa.table({"__b": pa.array(np.repeat(h, wcnt),
+                                         type=pa.uint64()),
+                         "w": pa.array(ws, type=pa.string()),
+                         "g": pa.array(gs), "n": pa.array(n)})
+
+    def topk(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((g, w))
+        w, g, n = w[order], g[order], n[order]
+        new = np.ones(len(w), dtype=bool)
+        new[1:] = (w[1:] != w[:-1]) | (g[1:] != g[:-1])
+        st = np.flatnonzero(new)
+        c = np.add.reduceat(n, st) if len(st) else np.empty(0,
+                                                            np.int64)
+        w, g = w[st], g[st]
+        # per-word global count (word fully in this bucket)
+        wnew = np.ones(len(w), dtype=bool)
+        wnew[1:] = w[1:] != w[:-1]
+        wst = np.flatnonzero(wnew)
+        wlen = np.diff(np.append(wst, len(w)))
+        cw = np.repeat(np.add.reduceat(c, wst) if len(wst)
+                       else np.empty(0, np.int64), wlen)
+        sel = c >= min_count
+        w, g, c, cw = w[sel], g[sel], c[sel], cw[sel]
+        lift = (1000 * c * n_total) // (cw * group_tot[g])
+        # bucket-local top-k per group by (lift DESC, word ASC)
+        order2 = np.lexsort((w, -lift, g))
+        g2, w2, c2, l2 = g[order2], w[order2], c[order2], lift[order2]
+        newg = np.ones(len(g2), dtype=bool)
+        newg[1:] = g2[1:] != g2[:-1]
+        rank = np.arange(len(g2)) - np.repeat(
+            np.flatnonzero(newg),
+            np.diff(np.append(np.flatnonzero(newg), len(g2))))
+        keep = rank < k
+        return pa.table({"g": pa.array(g2[keep]),
+                         "word": pa.array(w2[keep], type=pa.string()),
+                         "c": pa.array(c2[keep]),
+                         "lift_pm": pa.array(l2[keep])})
+
+    tagged = (docs_ds.select_columns([group_col, text_col])
+              .map_batches(tag, batch_format="pyarrow"))
+    out = grouped_exchange(tagged, "__b", num_buckets, topk)
+    cols = [group_col, "word", "c", "lift_pm"]
+    if out is None or out.num_rows == 0:
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "word": pd.Series(dtype=object),
+                             "c": pd.Series(dtype="int64"),
+                             "lift_pm": pd.Series(dtype="int64")})
+    df = out.to_pandas()
+    df[group_col] = group_names[df.g.to_numpy()]
+    df = df.sort_values([group_col, "word"])
+    # global top-k by (lift DESC, word ASC) within each group
+    df = (df.sort_values([group_col, "lift_pm", "word"],
+                         ascending=[True, False, True])
+          .groupby(group_col, as_index=False).head(k))
+    return (df[cols].reset_index(drop=True)
+            .astype({"c": "int64", "lift_pm": "int64"}))
