@@ -4987,8 +4987,160 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cols = ["p_brand", "mon", "n_lines", "qty_pm", "cum_qty_pm"]
         return out[cols].astype({c: "int64" for c in cols[1:]})
 
+    def return_rate_q(sf):
+        # per-(nation, month) lineitem return rate, permille: big-big
+        # hash join lineitem x orders (ONE exchange) with the
+        # customer->nation dim pre-composed and broadcast
+        import ray
+
+        from verify_ray.pipelines.joins import hash_join
+
+        cust = _read(sf, "customer",
+                     columns=["c_custkey", "c_nationkey"]).to_pandas()
+        nat = _read(sf, "nation",
+                    columns=["n_nationkey", "n_name"]).to_pandas()
+        dim = cust.merge(nat, left_on="c_nationkey",
+                         right_on="n_nationkey")
+        keys = dim.c_custkey.to_numpy()
+        order = np.argsort(keys)
+        keys = keys[order]
+        names = dim.n_name.to_numpy(dtype=object)[order]
+        ref = ray.put((keys, names))
+
+        def o_prep(b: pa.Table) -> pa.Table:
+            k, nm = ray.get(ref)
+            b = b.filter(pc.and_(pc.is_valid(b["o_orderkey"]),
+                                 pc.is_valid(b["o_custkey"])))
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(k, ck), 0,
+                          max(len(k) - 1, 0))
+            hit = k[pos] == ck if len(k) else np.zeros(len(ck), bool)
+            return pa.table({
+                "o_orderkey": pc.cast(b["o_orderkey"],
+                                      pa.int64()).filter(
+                    pa.array(hit)),
+                "n_name": pa.array(nm[pos][hit], type=pa.string())})
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(
+                pc.is_valid(b["l_orderkey"]),
+                pc.and_(pc.is_valid(b["l_shipdate"]),
+                        pc.is_valid(b["l_returnflag"]))))
+            day = (pc.cast(pc.cast(b["l_shipdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mon = (day.astype("datetime64[D]")
+                   .astype("datetime64[M]").astype(np.int64))
+            is_ret = pc.equal(b["l_returnflag"], "R").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"l_orderkey": pc.cast(b["l_orderkey"],
+                                                   pa.int64()),
+                             "mon": pa.array(mon),
+                             "is_ret": pa.array(is_ret)})
+
+        li = (_read(sf, "lineitem",
+                    columns=["l_orderkey", "l_shipdate",
+                             "l_returnflag"])
+              .map_batches(li_prep, batch_format="pyarrow"))
+        od = (_read(sf, "orders",
+                    columns=["o_orderkey", "o_custkey"])
+              .map_batches(o_prep, batch_format="pyarrow"))
+        j = hash_join(li, od, key="l_orderkey",
+                      right_key="o_orderkey",
+                      left_values=["mon", "is_ret"],
+                      right_values=["n_name"], how="inner",
+                      num_buckets=16)
+
+        def one(b: pa.Table) -> pa.Table:
+            return pa.table({"n_name": b["n_name"], "mon": b["mon"],
+                             "is_ret": b["is_ret"],
+                             "__one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+
+        out = analytics.grouped_stats(
+            j.map_batches(one, batch_format="pyarrow"),
+            ["n_name", "mon"], {"__one": ["sum"], "is_ret": ["sum"]})
+        out = out.rename(columns={"__one_sum": "n_lines",
+                                  "is_ret_sum": "n_returned"})
+        out["ret_rate_pm"] = ((1000 * out.n_returned.astype("int64"))
+                              // out.n_lines.astype("int64"))
+        cols = ["n_name", "mon", "n_lines", "n_returned",
+                "ret_rate_pm"]
+        return (out[cols].sort_values(["n_name", "mon"])
+                .reset_index(drop=True)
+                .astype({c: "int64" for c in cols[1:]}))
+
+    def key_density_q(sf):
+        # ingestion sequence-hole audit: per 4096-key block of
+        # o_orderkey — present count, span, interior holes
+        def blk(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["o_orderkey"]))
+            k = pc.cast(b["o_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({"block": pa.array(k // 4096),
+                             "k": pa.array(k),
+                             "__one": pa.array(
+                                 np.ones(len(k), np.int64))})
+
+        out = analytics.grouped_stats(
+            _read(sf, "orders", columns=["o_orderkey"])
+            .map_batches(blk, batch_format="pyarrow"),
+            ["block"], {"__one": ["sum"], "k": ["min", "max"]})
+        res = pd.DataFrame({
+            "block": out.block.astype("int64"),
+            "n_present": out["__one_sum"].astype("int64"),
+            "min_key": out.k_min.astype("int64"),
+            "max_key": out.k_max.astype("int64")})
+        res["n_missing"] = (res.max_key - res.min_key + 1
+                            - res.n_present)
+        return (res.sort_values("block").reset_index(drop=True))
+
+    def markup_q(sf):
+        # content-QA markup audit with PLANTED positives (doc_id %
+        # 13 == 0 gets a tag + url + code tick appended — the corpus
+        # itself is clean word soup): per source, markup counts
+        PLANT = " <b>x</b> see https://example.com/a `code`"
+
+        def feats(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["text"]),
+                                 pc.and_(pc.is_valid(b["doc_id"]),
+                                         pc.is_valid(b["source"]))))
+            ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            txt = b["text"].to_numpy(zero_copy_only=False)
+            planted = ids % 13 == 0
+            txt = np.where(planted, txt + PLANT, txt)
+            arr = pa.array(txt, type=pa.string())
+            tags = pc.count_substring_regex(arr, r"<[a-zA-Z][^>]*>")
+            urls = pc.count_substring_regex(arr, r"https?://[^ ]+")
+            ticks = pc.count_substring(arr, "`")
+            return pa.table({
+                "source": b["source"],
+                "tags": pc.cast(tags, pa.int64()),
+                "urls": pc.cast(urls, pa.int64()),
+                "ticks": pc.cast(ticks, pa.int64()),
+                "__one": pa.array(np.ones(len(ids), np.int64))})
+
+        out = analytics.grouped_stats(
+            _read(sf, "documents",
+                  columns=["doc_id", "text", "source"])
+            .map_batches(feats, batch_format="pyarrow"),
+            ["source"], {"__one": ["sum"], "tags": ["sum"],
+                         "urls": ["sum"], "ticks": ["sum"]})
+        out = out.rename(columns={
+            "__one_sum": "n_docs", "tags_sum": "n_tags",
+            "urls_sum": "n_urls", "ticks_sum": "n_ticks"})
+        cols = ["source", "n_docs", "n_tags", "n_urls", "n_ticks"]
+        return (out[cols].sort_values("source")
+                .reset_index(drop=True)
+                .astype({c: "int64" for c in cols[1:]}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "nation_return_rate_monthly": return_rate_q,
+        "orders_key_density_audit": key_density_q,
+        "docs_markup_audit": markup_q,
         "events_survival_gaps": survival_q,
         "docs_distinctive_terms": distinctive_q,
         "brand_monthly_cumulative": brand_cum_q,
@@ -6658,6 +6810,62 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "nation_return_rate_monthly": """
+-- per-(nation, month) lineitem return rate (permille, floored)
+WITH li AS (
+  SELECT l_orderkey,
+         (EXTRACT(year FROM l_shipdate) - 1970) * 12
+           + EXTRACT(month FROM l_shipdate) - 1 AS mon,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_ret
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+    AND l_returnflag IS NOT NULL),
+o AS (SELECT o.o_orderkey, n.n_name
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderkey IS NOT NULL AND o.o_custkey IS NOT NULL)
+SELECT o.n_name, CAST(li.mon AS BIGINT) AS mon,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(is_ret) AS BIGINT) AS n_returned,
+       CAST((1000 * SUM(is_ret)) // COUNT(*) AS BIGINT)
+         AS ret_rate_pm
+FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+GROUP BY 1, 2 ORDER BY n_name, mon
+""",
+        "orders_key_density_audit": """
+-- sequence-hole audit: per 4096-key block of o_orderkey
+SELECT CAST(o_orderkey // 4096 AS BIGINT) AS block,
+       CAST(COUNT(*) AS BIGINT) AS n_present,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1 - COUNT(*)
+            AS BIGINT) AS n_missing
+FROM orders WHERE o_orderkey IS NOT NULL
+GROUP BY 1 ORDER BY block
+""",
+        "docs_markup_audit": """
+-- markup-leakage audit with planted positives: docs with
+-- doc_id % 13 = 0 get ' <b>x</b> see https://example.com/a `code`'
+-- appended; per source, tag / url / backtick counts
+WITH d AS (
+  SELECT source,
+         CASE WHEN doc_id % 13 = 0
+              THEN text ||
+                   ' <b>x</b> see https://example.com/a `code`'
+              ELSE text END AS t
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    AND source IS NOT NULL)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(t, '<[a-zA-Z][^>]*>')))
+            AS BIGINT) AS n_tags,
+       CAST(SUM(len(regexp_extract_all(t, 'https?://[^ ]+')))
+            AS BIGINT) AS n_urls,
+       CAST(SUM(len(regexp_extract_all(t, '`'))) AS BIGINT)
+         AS n_ticks
+FROM d GROUP BY source ORDER BY source
+""",
         "events_survival_gaps": """
 -- Kaplan-Meier input surface over repeat purchases: observed
 -- inter-purchase day gaps + right-censored gap to the corpus's

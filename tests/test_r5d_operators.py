@@ -210,3 +210,35 @@ def test_oracle_brand_cumulative(ray_session):
     tot = out.groupby("p_brand", as_index=False).qty_pm.sum()
     m = last.merge(tot, on="p_brand")
     assert (m.cum_qty_pm == m.qty_pm_y).all()
+
+
+def test_oracle_return_rate(ray_session):
+    out = _oracle_check("nation_return_rate_monthly",
+                        tables=("lineitem", "orders", "customer",
+                                "nation"))
+    assert len(out) > 0
+    assert (out.ret_rate_pm <= 1000).all()
+    assert (out.n_returned <= out.n_lines).all()
+
+
+def test_oracle_key_density(ray_session):
+    out = _oracle_check("orders_key_density_audit",
+                        tables=("orders",))
+    assert len(out) > 0
+    assert (out.n_missing >= 0).all()
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey"])
+    assert out.n_present.sum() == len(orders)
+
+
+def test_oracle_markup_audit(ray_session):
+    out = _oracle_check("docs_markup_audit", tables=("documents",))
+    assert len(out) > 0
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id"])
+    n_planted = (docs.doc_id % 13 == 0).sum()
+    # the corpus itself is clean: counts == planted occurrences
+    # only the opening tag matches <[a-zA-Z]...> (</b> starts '</')
+    assert out.n_tags.sum() == n_planted
+    assert out.n_urls.sum() == n_planted
+    assert out.n_ticks.sum() == 2 * n_planted
