@@ -5136,8 +5136,147 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def dim_stats_q(sf):
+        # dead-dimension audit: per embedding dim (1-based), integer
+        # moments of the quantized values — zero-variance dims are
+        # dead capacity; pure streaming (64-row partials per batch)
+        from verify_ray.pipelines.similarity import _emb_matrix
+
+        def partial(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["embedding"]))
+            if b.num_rows == 0:
+                e = np.empty(0, np.int64)
+                return pa.table({c: pa.array(e) for c in
+                                 ("dim", "n", "sum_q", "sum_q2",
+                                  "min_q", "max_q")})
+            q = np.floor(1000.0 * _emb_matrix(b, "embedding")
+                         ).astype(np.int64)
+            dim = np.arange(1, q.shape[1] + 1, dtype=np.int64)
+            return pa.table({
+                "dim": pa.array(dim),
+                "n": pa.array(np.full(q.shape[1], q.shape[0],
+                                      np.int64)),
+                "sum_q": pa.array(q.sum(axis=0)),
+                "sum_q2": pa.array((q * q).sum(axis=0)),
+                "min_q": pa.array(q.min(axis=0)),
+                "max_q": pa.array(q.max(axis=0))})
+
+        parts = (_read(sf, "embeddings", columns=["embedding"])
+                 .map_batches(partial, batch_format="pyarrow")
+                 .to_pandas())
+        out = (parts.groupby("dim", as_index=False)
+               .agg(n=("n", "sum"), sum_q=("sum_q", "sum"),
+                    sum_q2=("sum_q2", "sum"), min_q=("min_q", "min"),
+                    max_q=("max_q", "max")))
+        return (out.sort_values("dim").reset_index(drop=True)
+                .astype("int64"))
+
+    def supplier_switch_q(sf):
+        # procurement-churn audit: per part, supplier switches along
+        # the ship timeline (adjacent supplier changes; order by
+        # ship day, orderkey, linenumber) — ONE part-keyed exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("l_partkey", "l_suppkey", "l_shipdate",
+                      "l_orderkey", "l_linenumber"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            p = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            d = (pc.cast(pc.cast(b["l_shipdate"],
+                                 pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+                 // 86_400_000_000)
+            return pa.table({
+                "__b": pa.array(p % 32), "p": pa.array(p),
+                "s": pc.cast(b["l_suppkey"], pa.int64()),
+                "d": pa.array(d),
+                "o": pc.cast(b["l_orderkey"], pa.int64()),
+                "ln": pc.cast(b["l_linenumber"], pa.int64())})
+
+        def fold(t: pa.Table) -> pa.Table:
+            p = t.column("p").to_numpy(zero_copy_only=False)
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            o = t.column("o").to_numpy(zero_copy_only=False)
+            ln = t.column("ln").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ln, o, d, p))
+            p, s = p[order], s[order]
+            same = np.zeros(len(p), dtype=bool)
+            same[1:] = p[1:] == p[:-1]
+            switch = same & np.r_[False, s[1:] != s[:-1]]
+            new = ~same
+            st = np.flatnonzero(new)
+            n = np.diff(np.append(st, len(p))).astype(np.int64)
+            nsw = (np.add.reduceat(switch.astype(np.int64), st)
+                   if len(st) else np.empty(0, np.int64))
+            # distinct suppliers per part: sort (p, s) pairs
+            order2 = np.lexsort((s, p))
+            p2, s2 = p[order2], s[order2]
+            uniq = np.ones(len(p2), dtype=bool)
+            uniq[1:] = (p2[1:] != p2[:-1]) | (s2[1:] != s2[:-1])
+            pst = np.flatnonzero(np.r_[True, p2[1:] != p2[:-1]]) \
+                if len(p2) else np.empty(0, np.int64)
+            ndist = (np.add.reduceat(uniq.astype(np.int64), pst)
+                     if len(pst) else np.empty(0, np.int64))
+            return pa.table({"l_partkey": pa.array(p[st]),
+                             "n_lines": pa.array(n),
+                             "n_suppliers": pa.array(ndist),
+                             "n_switches": pa.array(nsw)})
+
+        tagged = (_read(sf, "lineitem",
+                        columns=["l_partkey", "l_suppkey",
+                                 "l_shipdate", "l_orderkey",
+                                 "l_linenumber"])
+                  .map_batches(tag, batch_format="pyarrow"))
+        out = grouped_exchange(tagged, "__b", 32, fold)
+        cols = ("l_partkey", "n_lines", "n_suppliers", "n_switches")
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        return (out.to_pandas().sort_values("l_partkey")
+                .reset_index(drop=True).astype("int64"))
+
+    def priority_mix_q(sf):
+        # order-priority composition by month, permille of the
+        # month's orders (composition-shift audit)
+        def prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["o_orderdate"]),
+                                 pc.is_valid(b["o_orderpriority"])))
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mon = (day.astype("datetime64[D]")
+                   .astype("datetime64[M]").astype(np.int64))
+            return pa.table({"mon": pa.array(mon),
+                             "o_orderpriority": b["o_orderpriority"],
+                             "__one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+
+        out = analytics.grouped_stats(
+            _read(sf, "orders",
+                  columns=["o_orderdate", "o_orderpriority"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["mon", "o_orderpriority"], {"__one": ["sum"]})
+        out = out.rename(columns={"__one_sum": "n"})
+        out["n"] = out.n.astype("int64")
+        tot = out.groupby("mon").n.transform("sum")
+        out["share_pm"] = (1000 * out.n) // tot
+        cols = ["mon", "o_orderpriority", "n", "share_pm"]
+        return (out[cols].sort_values(["mon", "o_orderpriority"])
+                .reset_index(drop=True)
+                .astype({"mon": "int64", "n": "int64",
+                         "share_pm": "int64"}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "embeddings_dim_stats": dim_stats_q,
+        "part_supplier_switches": supplier_switch_q,
+        "orders_priority_mix_monthly": priority_mix_q,
         "nation_return_rate_monthly": return_rate_q,
         "orders_key_density_audit": key_density_q,
         "docs_markup_audit": markup_q,
@@ -6810,6 +6949,58 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "embeddings_dim_stats": """
+-- dead-dimension audit: per 1-based embedding dim, integer moments
+-- of floor(1000*x) quantized values
+WITH x AS (
+  SELECT CAST(floor(1000.0 * CAST(unnest(embedding) AS DOUBLE))
+              AS BIGINT) AS q,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings WHERE embedding IS NOT NULL)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(SUM(q * q) AS BIGINT) AS sum_q2,
+       CAST(MIN(q) AS BIGINT) AS min_q,
+       CAST(MAX(q) AS BIGINT) AS max_q
+FROM x GROUP BY dim ORDER BY dim
+""",
+        "part_supplier_switches": """
+-- procurement churn: per part, adjacent supplier changes along the
+-- ship timeline (order by ship day, orderkey, linenumber)
+WITH li AS (
+  SELECT l_partkey AS p, l_suppkey AS s,
+         epoch_us(l_shipdate) // 86400000000 AS d,
+         l_orderkey AS o, l_linenumber AS ln
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    AND l_shipdate IS NOT NULL AND l_orderkey IS NOT NULL
+    AND l_linenumber IS NOT NULL),
+lagd AS (
+  SELECT p, s,
+         LAG(s) OVER (PARTITION BY p ORDER BY d, o, ln) AS prev
+  FROM li)
+SELECT CAST(p AS BIGINT) AS l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> s
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+FROM lagd GROUP BY p ORDER BY l_partkey
+""",
+        "orders_priority_mix_monthly": """
+-- priority composition by month, permille of the month's orders
+WITH m AS (
+  SELECT (EXTRACT(year FROM o_orderdate) - 1970) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS mon,
+         o_orderpriority, COUNT(*) AS n
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2)
+SELECT CAST(mon AS BIGINT) AS mon, o_orderpriority,
+       CAST(n AS BIGINT) AS n,
+       CAST((1000 * n) // SUM(n) OVER (PARTITION BY mon) AS BIGINT)
+         AS share_pm
+FROM m ORDER BY mon, o_orderpriority
+""",
         "nation_return_rate_monthly": """
 -- per-(nation, month) lineitem return rate (permille, floored)
 WITH li AS (

@@ -242,3 +242,30 @@ def test_oracle_markup_audit(ray_session):
     assert out.n_tags.sum() == n_planted
     assert out.n_urls.sum() == n_planted
     assert out.n_ticks.sum() == 2 * n_planted
+
+
+def test_oracle_dim_stats(ray_session):
+    out = _oracle_check("embeddings_dim_stats",
+                        tables=("embeddings",))
+    assert len(out) == 64  # fixed embedding width
+    assert (out.n == out.n.iloc[0]).all()
+    assert (out.min_q <= out.max_q).all()
+
+
+def test_oracle_supplier_switches(ray_session):
+    out = _oracle_check("part_supplier_switches",
+                        tables=("lineitem",))
+    assert len(out) > 0
+    # switches happen only where >1 supplier exists, and are bounded
+    # by adjacency count
+    assert (out[out.n_suppliers == 1].n_switches == 0).all()
+    assert (out.n_switches <= out.n_lines - 1).all()
+
+
+def test_oracle_priority_mix(ray_session):
+    out = _oracle_check("orders_priority_mix_monthly",
+                        tables=("orders",))
+    assert len(out) > 0
+    g = out.groupby("mon").share_pm
+    assert (g.sum() <= 1000).all()
+    assert ((g.sum() + g.count()) > 1000).all()
