@@ -5136,6 +5136,248 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def inventory_balance_q(sf):
+        # inventory running-balance audit: per part, signed quantity
+        # timeline (returns negative), final / minimum balance and the
+        # first day the minimum is reached — segmented cumulative scan
+        # inside ONE part-keyed exchange (order: ship day, orderkey,
+        # linenumber)
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("l_partkey", "l_quantity", "l_returnflag",
+                      "l_shipdate", "l_orderkey", "l_linenumber"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            p = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            q = np.rint(b["l_quantity"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            ret = pc.equal(b["l_returnflag"], "R").to_numpy(
+                zero_copy_only=False)
+            d = (pc.cast(pc.cast(b["l_shipdate"],
+                                 pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+                 // 86_400_000_000)
+            return pa.table({
+                "__b": pa.array(p % 32), "p": pa.array(p),
+                "q": pa.array(np.where(ret, -q, q)),
+                "d": pa.array(d),
+                "o": pc.cast(b["l_orderkey"], pa.int64()),
+                "ln": pc.cast(b["l_linenumber"], pa.int64())})
+
+        def fold(t: pa.Table) -> pa.Table:
+            p = t.column("p").to_numpy(zero_copy_only=False)
+            q = t.column("q").to_numpy(zero_copy_only=False)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            o = t.column("o").to_numpy(zero_copy_only=False)
+            ln = t.column("ln").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ln, o, d, p))
+            p, q, d = p[order], q[order], d[order]
+            st = np.flatnonzero(np.r_[True, p[1:] != p[:-1]]) \
+                if len(p) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(p))).astype(np.int64)
+            cs = np.cumsum(q)
+            bal = cs - np.repeat(cs[st] - q[st], n)
+            final = bal[st + n - 1]
+            mn = np.minimum.reduceat(bal, st) if len(st) else \
+                np.empty(0, np.int64)
+            # first index reaching the minimum within each segment
+            hit = bal == np.repeat(mn, n)
+            idx = np.where(hit, np.arange(len(p)), len(p))
+            first = (np.minimum.reduceat(idx, st) if len(st)
+                     else np.empty(0, np.int64))
+            return pa.table({"l_partkey": pa.array(p[st]),
+                             "n_moves": pa.array(n),
+                             "final_bal": pa.array(final),
+                             "min_bal": pa.array(mn),
+                             "min_day": pa.array(d[first])})
+
+        tagged = (_read(sf, "lineitem",
+                        columns=["l_partkey", "l_quantity",
+                                 "l_returnflag", "l_shipdate",
+                                 "l_orderkey", "l_linenumber"])
+                  .map_batches(tag, batch_format="pyarrow"))
+        out = grouped_exchange(tagged, "__b", 32, fold)
+        cols = ("l_partkey", "n_moves", "final_bal", "min_bal",
+                "min_day")
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        return (out.to_pandas().sort_values("l_partkey")
+                .reset_index(drop=True).astype("int64"))
+
+    def weekday_month_lift_q(sf):
+        # calendar-effect contingency surface: orders by (weekday,
+        # month-of-year) with integer expected counts and permille
+        # lift vs independence — streaming cell partials, tiny (84
+        # cells) driver merge
+        def prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["o_orderdate"]))
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            dow = (day + 4) % 7  # DuckDB dayofweek: Sunday = 0
+            moy = (day.astype("datetime64[D]")
+                   .astype("datetime64[M]").astype(np.int64)) % 12 + 1
+            return pa.table({"dow": pa.array(dow),
+                             "moy": pa.array(moy),
+                             "__one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+
+        out = analytics.grouped_stats(
+            _read(sf, "orders", columns=["o_orderdate"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["dow", "moy"], {"__one": ["sum"]})
+        out = out.rename(columns={"__one_sum": "n"})
+        out["n"] = out.n.astype("int64")
+        grand = int(out.n.sum())
+        row_tot = out.groupby("dow").n.transform("sum")
+        col_tot = out.groupby("moy").n.transform("sum")
+        out["expected_f"] = (row_tot * col_tot) // grand
+        out["lift_pm"] = (1000 * out.n * grand) // (row_tot * col_tot)
+        cols = ["dow", "moy", "n", "expected_f", "lift_pm"]
+        return (out[cols].sort_values(["dow", "moy"])
+                .reset_index(drop=True).astype("int64"))
+
+    def price_reconcile_q(sf):
+        # cross-table reconciliation audit: recompute each order's
+        # total from its lines in EXACT integer arithmetic
+        # (cents × (100-disc%) × (100+tax%), units 1e-6 dollars) and
+        # compare to the stated o_totalprice — per order month: counts
+        # over / under / exact and the worst absolute gap.  Lineitem
+        # pre-aggregates per order inside each batch; both sides meet
+        # in ONE orderkey-keyed exchange; only month partials reach
+        # the driver.
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def li_part(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("l_orderkey", "l_extendedprice", "l_discount",
+                      "l_tax"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            k = pc.cast(b["l_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            cents = np.rint(100.0 * b["l_extendedprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            disc = np.rint(100.0 * b["l_discount"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            tax = np.rint(100.0 * b["l_tax"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            val = cents * (100 - disc) * (100 + tax)
+            order = np.argsort(k, kind="stable")
+            k, val = k[order], val[order]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            sums = (np.add.reduceat(val, st) if len(st)
+                    else np.empty(0, np.int64))
+            kk = k[st]
+            return pa.table({"__b": pa.array(kk % 64),
+                             "k": pa.array(kk),
+                             "val": pa.array(sums),
+                             "mon": pa.array(np.full(len(kk), -1,
+                                                     np.int64)),
+                             "stated": pa.array(np.zeros(len(kk),
+                                                         np.int64)),
+                             "tag": pa.array(np.zeros(len(kk),
+                                                      np.int64))})
+
+        def o_side(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_orderkey"]),
+                        pc.and_(pc.is_valid(b["o_totalprice"]),
+                                pc.is_valid(b["o_orderdate"])))
+            b = b.filter(m)
+            k = pc.cast(b["o_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            stated = np.rint(100.0 * b["o_totalprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64) * 10_000
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mon = (day.astype("datetime64[D]")
+                   .astype("datetime64[M]").astype(np.int64))
+            return pa.table({"__b": pa.array(k % 64),
+                             "k": pa.array(k),
+                             "val": pa.array(np.zeros(len(k),
+                                                      np.int64)),
+                             "mon": pa.array(mon),
+                             "stated": pa.array(stated),
+                             "tag": pa.array(np.ones(len(k),
+                                                     np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            val = t.column("val").to_numpy(zero_copy_only=False)
+            mon = t.column("mon").to_numpy(zero_copy_only=False)
+            stated = t.column("stated").to_numpy(
+                zero_copy_only=False)
+            tag = t.column("tag").to_numpy(zero_copy_only=False)
+            # per key: recomputed = sum of tag-0 vals; month/stated
+            # from the tag-1 row; inner semantics (need both sides)
+            order = np.lexsort((tag, k))
+            k, val = k[order], val[order]
+            mon, stated, tag = mon[order], stated[order], tag[order]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(k))).astype(np.int64)
+            rec = np.add.reduceat(
+                np.where(tag == 0, val, 0), st) if len(st) else \
+                np.empty(0, np.int64)
+            has_line = (np.add.reduceat((tag == 0).astype(np.int64),
+                                        st) if len(st) else
+                        np.empty(0, np.int64)) > 0
+            last = st + n - 1
+            has_order = tag[last] == 1 if len(st) else \
+                np.empty(0, bool)
+            keep = has_line & has_order
+            diff = rec[keep] - stated[last][keep]
+            m = mon[last][keep]
+            # month partials, merged on the driver (≤ ~100 rows)
+            order2 = np.argsort(m, kind="stable")
+            m, diff = m[order2], diff[order2]
+            st2 = np.flatnonzero(np.r_[True, m[1:] != m[:-1]]) \
+                if len(m) else np.empty(0, np.int64)
+            red = lambda x: (np.add.reduceat(x, st2) if len(st2)
+                             else np.empty(0, np.int64))
+            return pa.table({
+                "mon": pa.array(m[st2]),
+                "n": pa.array(red(np.ones(len(m), np.int64))),
+                "n_over": pa.array(red((diff > 0).astype(np.int64))),
+                "n_under": pa.array(red((diff < 0).astype(np.int64))),
+                "n_exact": pa.array(red((diff == 0).astype(np.int64))),
+                "max_abs_diff": pa.array(
+                    np.maximum.reduceat(np.abs(diff), st2)
+                    if len(st2) else np.empty(0, np.int64))})
+
+        li = (_read(sf, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount", "l_tax"])
+              .map_batches(li_part, batch_format="pyarrow"))
+        od = (_read(sf, "orders",
+                    columns=["o_orderkey", "o_totalprice",
+                             "o_orderdate"])
+              .map_batches(o_side, batch_format="pyarrow"))
+        out = grouped_exchange(li.union(od), "__b", 64, fold)
+        cols = ("mon", "n", "n_over", "n_under", "n_exact",
+                "max_abs_diff")
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = out.to_pandas()
+        df = (df.groupby("mon", as_index=False)
+              .agg(n=("n", "sum"), n_over=("n_over", "sum"),
+                   n_under=("n_under", "sum"),
+                   n_exact=("n_exact", "sum"),
+                   max_abs_diff=("max_abs_diff", "max")))
+        return (df.sort_values("mon").reset_index(drop=True)
+                .astype("int64"))
+
     def dim_stats_q(sf):
         # dead-dimension audit: per embedding dim (1-based), integer
         # moments of the quantized values — zero-variance dims are
@@ -5274,6 +5516,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "part_inventory_balance": inventory_balance_q,
+        "orders_weekday_month_lift": weekday_month_lift_q,
+        "orders_price_reconcile": price_reconcile_q,
         "embeddings_dim_stats": dim_stats_q,
         "part_supplier_switches": supplier_switch_q,
         "orders_priority_mix_monthly": priority_mix_q,
@@ -6949,6 +7194,101 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "part_inventory_balance": """
+-- inventory running balance per part (returns negative), ordered by
+-- ship day, orderkey, linenumber; first day the minimum is reached
+WITH li AS (
+  SELECT l_partkey AS p,
+         CASE WHEN l_returnflag = 'R'
+              THEN -CAST(round(l_quantity) AS BIGINT)
+              ELSE CAST(round(l_quantity) AS BIGINT) END AS q,
+         epoch_us(l_shipdate) // 86400000000 AS d,
+         l_orderkey AS o, l_linenumber AS ln
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_returnflag IS NOT NULL AND l_shipdate IS NOT NULL
+    AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL),
+run AS (
+  SELECT p, d,
+         SUM(q) OVER (PARTITION BY p ORDER BY d, o, ln
+                      ROWS UNBOUNDED PRECEDING) AS bal,
+         ROW_NUMBER() OVER (PARTITION BY p ORDER BY d, o, ln) AS rn,
+         COUNT(*) OVER (PARTITION BY p) AS n_moves
+  FROM li),
+agg AS (
+  SELECT p, n_moves,
+         MAX(CASE WHEN rn = n_moves THEN bal END) AS final_bal,
+         MIN(bal) AS min_bal
+  FROM run GROUP BY p, n_moves),
+firstmin AS (
+  SELECT r.p, MIN(r.rn) AS rn_min
+  FROM run r JOIN agg a ON r.p = a.p AND r.bal = a.min_bal
+  GROUP BY r.p)
+SELECT CAST(a.p AS BIGINT) AS l_partkey,
+       CAST(a.n_moves AS BIGINT) AS n_moves,
+       CAST(a.final_bal AS BIGINT) AS final_bal,
+       CAST(a.min_bal AS BIGINT) AS min_bal,
+       CAST(r.d AS BIGINT) AS min_day
+FROM agg a
+JOIN firstmin f ON a.p = f.p
+JOIN run r ON r.p = f.p AND r.rn = f.rn_min
+ORDER BY l_partkey
+""",
+        "orders_weekday_month_lift": """
+-- calendar contingency surface: orders by (weekday Sunday=0,
+-- month-of-year), integer expected count and permille lift vs
+-- independence
+WITH c AS (
+  SELECT dayofweek(o_orderdate) AS dow,
+         EXTRACT(month FROM o_orderdate) AS moy, COUNT(*) AS n
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(moy AS BIGINT) AS moy,
+       CAST(n AS BIGINT) AS n,
+       CAST(SUM(n) OVER (PARTITION BY dow)
+            * SUM(n) OVER (PARTITION BY moy)
+            // SUM(n) OVER () AS BIGINT) AS expected_f,
+       CAST(1000 * n * SUM(n) OVER ()
+            // (SUM(n) OVER (PARTITION BY dow)
+                * SUM(n) OVER (PARTITION BY moy)) AS BIGINT)
+         AS lift_pm
+FROM c ORDER BY dow, moy
+""",
+        "orders_price_reconcile": """
+-- cross-table audit: exact-integer recompute of each order's total
+-- from its lines (cents x (100-disc%) x (100+tax%), units 1e-6
+-- dollars) vs the stated o_totalprice, summarized per order month
+WITH l AS (
+  SELECT l_orderkey AS k,
+         SUM(CAST(round(100 * l_extendedprice) AS BIGINT)
+             * (100 - CAST(round(100 * l_discount) AS BIGINT))
+             * (100 + CAST(round(100 * l_tax) AS BIGINT)))
+           AS recomputed
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+  GROUP BY 1),
+o AS (
+  SELECT o_orderkey AS k,
+         (EXTRACT(year FROM o_orderdate) - 1970) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS mon,
+         CAST(round(100 * o_totalprice) AS BIGINT) * 10000 AS stated
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    AND o_orderdate IS NOT NULL),
+j AS (
+  SELECT o.mon, l.recomputed - o.stated AS diff
+  FROM o JOIN l ON o.k = l.k)
+SELECT CAST(mon AS BIGINT) AS mon,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over,
+       CAST(SUM(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_under,
+       CAST(SUM(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       CAST(MAX(abs(diff)) AS BIGINT) AS max_abs_diff
+FROM j GROUP BY mon ORDER BY mon
+""",
         "embeddings_dim_stats": """
 -- dead-dimension audit: per 1-based embedding dim, integer moments
 -- of floor(1000*x) quantized values

@@ -269,3 +269,68 @@ def test_oracle_priority_mix(ray_session):
     g = out.groupby("mon").share_pm
     assert (g.sum() <= 1000).all()
     assert ((g.sum() + g.count()) > 1000).all()
+
+
+def test_oracle_inventory_balance(ray_session):
+    out = _oracle_check("part_inventory_balance",
+                        tables=("lineitem",))
+    assert len(out) > 0
+    assert (out.min_bal <= out.final_bal).all()
+    # every part's timeline starts with one move, so min <= first
+    # signed quantity <= 50 and n_moves >= 1
+    assert (out.n_moves >= 1).all()
+    assert (out.min_bal <= 50).all()
+
+
+def test_inventory_balance_recount(ray_session):
+    # recount one part's balance straight off the table
+    import __ray_entry__ as e
+
+    out = e.queries()["part_inventory_balance"](SF)
+    row = out.iloc[len(out) // 2]
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_returnflag",
+                 "l_shipdate", "l_orderkey", "l_linenumber"])
+    li = li[li.l_partkey == row.l_partkey].copy()
+    li["d"] = li.l_shipdate.astype("datetime64[us]").astype(
+        "int64") // 86_400_000_000
+    li = li.sort_values(["d", "l_orderkey", "l_linenumber"])
+    q = np.rint(li.l_quantity.to_numpy()).astype(np.int64)
+    q = np.where(li.l_returnflag.to_numpy() == "R", -q, q)
+    bal = np.cumsum(q)
+    assert row.n_moves == len(li)
+    assert row.final_bal == bal[-1]
+    assert row.min_bal == bal.min()
+    assert row.min_day == li.d.to_numpy()[int(np.argmin(bal))]
+
+
+def test_oracle_weekday_month_lift(ray_session):
+    out = _oracle_check("orders_weekday_month_lift",
+                        tables=("orders",))
+    assert len(out) > 0
+    assert out.dow.between(0, 6).all()
+    assert out.moy.between(1, 12).all()
+    # floored expectation never exceeds the larger marginal
+    assert (out.expected_f >= 0).all()
+    # lift is centered around 1000 under independence
+    assert out.lift_pm.median() > 500
+    assert out.lift_pm.median() < 2000
+
+
+def test_oracle_price_reconcile(ray_session):
+    out = _oracle_check("orders_price_reconcile",
+                        tables=("orders", "lineitem"))
+    assert len(out) > 0
+    assert (out.n == out.n_over + out.n_under + out.n_exact).all()
+    assert (out.max_abs_diff >= 0).all()
+    # only orders having at least one line are audited
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW o AS SELECT * FROM "
+                f"'{SF}/orders.parquet'")
+    con.execute(f"CREATE VIEW l AS SELECT * FROM "
+                f"'{SF}/lineitem.parquet'")
+    n_with = con.execute(
+        "SELECT COUNT(DISTINCT o_orderkey) FROM o JOIN l "
+        "ON o_orderkey = l_orderkey").fetchone()[0]
+    assert out.n.sum() == n_with
