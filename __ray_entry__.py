@@ -5136,6 +5136,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def zipf_decile_q(sf):
+        # Zipf long-tail profile: corpus occurrence mass by token
+        # frequency-rank decile (same md5 token-id contract as
+        # token_topk; count-histogram exchange, no token-sized frame)
+        from verify_ray.pipelines.tokenize import tokenize_documents
+
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "text", "source"])
+        seqs = tokenize_documents(docs, concurrency=2)
+
+        def tok_rows(b: pa.Table) -> pa.Table:
+            flat = pc.list_flatten(b["tokens"])
+            return pa.table({"token": pc.cast(flat, pa.int64())})
+
+        rows = seqs.map_batches(tok_rows, batch_format="pyarrow")
+        return analytics.rank_decile_mass(rows, key_col="token")
+
+    def centroid_confusion_q(sf):
+        # label-noise audit: nearest-integer-centroid assignment
+        # confusion matrix over the embeddings table
+        from verify_ray.pipelines.similarity import centroid_confusion
+
+        return centroid_confusion(
+            _read(sf, "embeddings", columns=["embedding", "label"]))
+
+    def session_entry_q(sf):
+        # dwell-time profile by session entry type (30-min gap rule,
+        # exact discrete quantiles in seconds)
+        from verify_ray.pipelines.sessions import (
+            session_duration_by_entry)
+
+        return session_duration_by_entry(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_type",
+                           "event_id"]))
+
     def inventory_balance_q(sf):
         # inventory running-balance audit: per part, signed quantity
         # timeline (returns negative), final / minimum balance and the
@@ -5516,6 +5552,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_zipf_decile_mass": zipf_decile_q,
+        "embeddings_centroid_confusion": centroid_confusion_q,
+        "events_session_duration_by_entry": session_entry_q,
         "part_inventory_balance": inventory_balance_q,
         "orders_weekday_month_lift": weekday_month_lift_q,
         "orders_price_reconcile": price_reconcile_q,
@@ -7194,6 +7233,83 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "docs_zipf_decile_mass": f"""
+-- corpus occurrence mass by token frequency-rank decile (rank by
+-- count desc; decile of rank r is (10*(r-1)) // V; tie order can't
+-- change a decile's mass)
+WITH words AS (
+  SELECT unnest(regexp_split_to_array({_TRIMMED}, '\\s+')) AS w
+  FROM documents),
+c AS (SELECT {_TOKEN_ID} AS token, COUNT(*) AS cnt
+      FROM words GROUP BY 1),
+r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn,
+             COUNT(*) OVER () AS v, SUM(cnt) OVER () AS total
+      FROM c)
+SELECT CAST((10 * (rn - 1)) // v AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS mass,
+       CAST(1000 * SUM(cnt) // MAX(total) AS BIGINT) AS mass_pm
+FROM r GROUP BY 1 ORDER BY 1
+""",
+        "embeddings_centroid_confusion": """
+-- nearest-integer-centroid label confusion: centroid m[label,dim] =
+-- floor(1000*sum(q)/n) over q = floor(1000*x); assignment maximizes
+-- the exact integer dot product, tie -> smallest label
+WITH q AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(1000.0 * CAST(unnest(embedding) AS DOUBLE))
+              AS BIGINT) AS qv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+cent AS (
+  SELECT label AS clabel, dim,
+         CAST(floor(1000.0 * SUM(qv) / COUNT(*)) AS BIGINT) AS m
+  FROM q GROUP BY 1, 2),
+sc AS (
+  SELECT q.vec_id, q.label, c.clabel, SUM(q.qv * c.m) AS dot
+  FROM q JOIN cent c ON q.dim = c.dim
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT vec_id, label, clabel,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, clabel) AS rn
+  FROM sc)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(clabel AS BIGINT) AS assigned,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_session_duration_by_entry": """
+-- session dwell time by entry event type: 30-min gap sessions per
+-- user (order ts, event_id), duration in whole seconds, exact
+-- discrete quantiles per entry type
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et,
+         event_id AS eid
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+lagd AS (
+  SELECT *, LAG(t) OVER (PARTITION BY u ORDER BY t, eid) AS prev
+  FROM e),
+marked AS (
+  SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800000000
+                 THEN 1 ELSE 0 END AS new
+  FROM lagd),
+sess AS (
+  SELECT *, SUM(new) OVER (PARTITION BY u ORDER BY t, eid
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+agg AS (
+  SELECT u, sid, MAX(CASE WHEN new = 1 THEN et END) AS event_type,
+         (MAX(t) - MIN(t)) // 1000000 AS dur_s
+  FROM sess GROUP BY 1, 2)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(quantile_disc(dur_s, 0.5) AS BIGINT) AS q50,
+       CAST(quantile_disc(dur_s, 0.9) AS BIGINT) AS q90
+FROM agg GROUP BY 1 ORDER BY 1
+""",
         "part_inventory_balance": """
 -- inventory running balance per part (returns negative), ordered by
 -- ship day, orderkey, linenumber; first day the minimum is reached

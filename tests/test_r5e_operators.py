@@ -1,0 +1,159 @@
+"""Round-5 batch E: inventory balance, calendar lift, price
+reconciliation (committed batch A) plus Zipf decile mass, centroid
+confusion, session duration by entry — oracle parity at sf0.001 and
+semantic spot checks (decile arithmetic, pandas session reference)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle_check(name, tables):
+    import __ray_entry__ as e
+
+    mine = e.queries()[name](SF)
+    if not isinstance(mine, pd.DataFrame):
+        mine = mine.to_pandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    orc = con.execute(e.oracle_sql()[name]).df()
+    assert list(mine.columns) == list(orc.columns)
+    assert len(mine) == len(orc)
+    for c in mine.columns:
+        a, b = mine[c].to_numpy(), orc[c].to_numpy()
+        if a.dtype == object or b.dtype == object:
+            assert list(map(str, a)) == list(map(str, b)), c
+        else:
+            assert np.array_equal(a, b), c
+    return mine
+
+
+def test_oracle_zipf_decile_mass(ray_session):
+    out = _oracle_check("docs_zipf_decile_mass",
+                        tables=("documents",))
+    assert len(out) == 10
+    assert list(out.decile) == list(range(10))
+    # the head decile dominates the tail decile and permille mass
+    # sums to at most 1000 (floors)
+    assert out.mass_pm.iloc[0] >= out.mass_pm.iloc[-1]
+    assert out.mass_pm.sum() <= 1000
+    # per-decile key counts partition the vocabulary evenly (+-1)
+    assert out.n_keys.max() - out.n_keys.min() <= 1
+
+
+def test_rank_decile_mass_small_vocab(ray_session):
+    # V < 10: deciles holding no rank are omitted; masses recount
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import rank_decile_mass
+
+    rows = pa.table({"token": pa.array(
+        [1] * 5 + [2] * 3 + [3] * 1, type=pa.int64())})
+    out = rank_decile_mass(rd.from_arrow(rows).materialize())
+    # V=3 -> rank r lands in decile (10*(r-1))//3 = 0, 3, 6
+    assert list(out.decile) == [0, 3, 6]
+    assert list(out.mass) == [5, 3, 1]
+    assert list(out.n_keys) == [1, 1, 1]
+    assert list(out.mass_pm) == [555, 333, 111]
+
+
+def test_oracle_centroid_confusion(ray_session):
+    out = _oracle_check("embeddings_centroid_confusion",
+                        tables=("embeddings",))
+    assert len(out) > 0
+    con = duckdb.connect()
+    n_vec = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL AND label IS NOT NULL"
+    ).fetchone()[0]
+    assert out.n.sum() == n_vec
+    labels = set(out.label) | set(out.assigned)
+    assert set(out.assigned) <= set(out.label)
+    assert all(l >= 0 for l in labels)
+
+
+def test_centroid_confusion_two_point(ray_session):
+    # hand-checkable: two well-separated labels assign to themselves
+    import ray.data as rd
+
+    from verify_ray.pipelines.similarity import centroid_confusion
+
+    vecs = ([[1.0, 0.0]] * 4 + [[0.9, 0.1]] * 2
+            + [[0.0, 1.0]] * 4 + [[0.1, 0.9]] * 2)
+    labs = [0] * 6 + [1] * 6
+    t = pa.table({"embedding": pa.array(vecs,
+                                        type=pa.list_(pa.float32())),
+                  "label": pa.array(labs, type=pa.int32())})
+    out = centroid_confusion(rd.from_arrow(t).materialize())
+    assert list(out.label) == [0, 1]
+    assert list(out.assigned) == [0, 1]
+    assert list(out.n) == [6, 6]
+
+
+def test_oracle_session_duration_by_entry(ray_session):
+    out = _oracle_check("events_session_duration_by_entry",
+                        tables=("events",))
+    assert len(out) > 0
+    assert (out.q50 <= out.q90).all()
+    assert (out.q50 >= 0).all()
+    # sessions partition events: total session count matches an
+    # independent pandas recount
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"]).dropna()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    t = ev.ts.astype("datetime64[us]").astype("int64").to_numpy()
+    u = ev.user_id.to_numpy()
+    new = np.ones(len(ev), dtype=bool)
+    new[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > 1_800_000_000)
+    assert out.n.sum() == int(new.sum())
+
+
+def test_session_duration_by_entry_reference(ray_session):
+    # randomized pandas differential on a synthetic event log
+    import ray.data as rd
+
+    from verify_ray.pipelines.sessions import session_duration_by_entry
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 40, n),
+        "ts": pd.to_datetime(
+            rng.randint(0, 3_600_000, n) * 1000, unit="us"),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "event_id": np.arange(n, dtype=np.int64)})
+    out = session_duration_by_entry(
+        rd.from_arrow(pa.Table.from_pandas(df)).materialize(),
+        gap_minutes=5.0)
+
+    sdf = df.sort_values(["user_id", "ts", "event_id"])
+    t = sdf.ts.astype("datetime64[us]").astype("int64").to_numpy()
+    u = sdf.user_id.to_numpy()
+    new = np.ones(len(sdf), dtype=bool)
+    new[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > 300_000_000)
+    sid = np.cumsum(new)
+    g = pd.DataFrame({"sid": sid, "t": t,
+                      "et": sdf.event_type.to_numpy()})
+    agg = g.groupby("sid").agg(
+        entry=("et", "first"), lo=("t", "min"), hi=("t", "max"))
+    agg["dur_s"] = (agg.hi - agg.lo) // 1_000_000
+
+    def qdisc(v, q):
+        v = np.sort(v.to_numpy())
+        return int(v[max(0, int(np.ceil(q * len(v))) - 1)])
+
+    ref = (agg.groupby("entry").dur_s
+           .agg(n="size", q50=lambda v: qdisc(v, 0.5),
+                q90=lambda v: qdisc(v, 0.9))
+           .reset_index().rename(columns={"entry": "event_type"}))
+    ref = ref.sort_values("event_type").reset_index(drop=True)
+    assert list(out.event_type) == list(ref.event_type)
+    assert list(out.n) == list(ref.n)
+    assert list(out.q50) == list(ref.q50)
+    assert list(out.q90) == list(ref.q90)

@@ -3258,22 +3258,14 @@ def grouped_weighted_median(ds, group_col: str, value_col: str,
             .astype({"n": "int64", "total_w": "int64"}))
 
 
-def pareto_coverage(events_ds, key_col: str = "user_id",
-                    permille: int = 800,
-                    num_buckets: int = 32) -> pd.DataFrame:
-    """PARETO concentration of activity — "how few keys produce 80%
-    of the events?" (the skew headline behind hot-key planning and
-    the 80/20 sanity check): the minimal number of keys whose summed
-    event counts reach ``ceil(permille/1000 · total)``, filling
-    greedily from the most active key down (tie order among equal
-    counts cannot change the answer).  Null keys drop.  Returns one
-    row ``(n_keys, n_events, threshold, k_min)``.
-
-    Scale shape: per-key counts reduce through a key-hashed exchange
-    to a COUNT HISTOGRAM (count value → #keys with that count) per
-    bucket — the driver sees only merged histogram rows (distinct
-    count values), never a keys-sized frame; the greedy scan walks
-    the histogram descending.
+def _key_count_histogram(rows_ds, key_col: str,
+                         num_buckets: int = 32):
+    """Per-key occurrence counts reduced to a COUNT HISTOGRAM
+    ``(count value → #keys with that count)``, returned as two int64
+    arrays ``(counts_desc, n_keys)`` — the scale shape shared by
+    :func:`pareto_coverage` and :func:`rank_decile_mass`: a key-hashed
+    exchange emits per-bucket histograms, so the driver sees only
+    distinct count values, never a keys-sized frame.  Null keys drop.
     """
     from ..functions.hashing import md5_u64le
     from ..stages.exchange import grouped_exchange
@@ -3299,16 +3291,87 @@ def pareto_coverage(events_ds, key_col: str = "user_id",
         return pa.table({"cnt": pa.array(cnts),
                          "n_keys": pa.array(n_keys.astype(np.int64))})
 
-    tagged = (events_ds.select_columns([key_col])
+    tagged = (rows_ds.select_columns([key_col])
               .map_batches(partial, batch_format="pyarrow"))
     res = grouped_exchange(tagged, "__b", num_buckets, resolve)
-    cols = ("n_keys", "n_events", "threshold", "k_min")
     if res is None or res.num_rows == 0:
-        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     hist = (res.to_pandas().groupby("cnt", as_index=False)
             ["n_keys"].sum().sort_values("cnt", ascending=False))
-    cv = hist.cnt.to_numpy(np.int64)
-    nk = hist.n_keys.to_numpy(np.int64)
+    return (hist.cnt.to_numpy(np.int64),
+            hist.n_keys.to_numpy(np.int64))
+
+
+def rank_decile_mass(rows_ds, key_col: str = "token",
+                     num_buckets: int = 32) -> pd.DataFrame:
+    """ZIPF rank-decile mass — how corpus occurrences distribute over
+    frequency-rank deciles (the long-tail profile behind vocabulary
+    truncation and sampling-temperature choices): keys ranked 1..V by
+    count descending, decile of rank r is ``(10·(r−1)) // V``, and
+    each decile reports its key count, its summed occurrences, and
+    that mass in permille of the corpus.  Tie order among equal
+    counts cannot change any decile's mass (every key of a count-run
+    contributes the same count wherever the run straddles a
+    boundary).  Null keys drop.  Returns up to 10 rows
+    ``(decile, n_keys, mass, mass_pm)`` ordered by decile.
+
+    Scale shape: the same count-histogram exchange as
+    :func:`pareto_coverage` (`_key_count_histogram`); the driver walks
+    only distinct count values.
+    """
+    cv, nk = _key_count_histogram(rows_ds, key_col, num_buckets)
+    cols = ("decile", "n_keys", "mass", "mass_pm")
+    if not len(cv):
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    V = int(nk.sum())
+    total = int((cv * nk).sum())
+    cum_keys = np.cumsum(nk)
+    cum_events = np.cumsum(cv * nk)
+
+    def events_top(r: int) -> int:
+        # occurrences of the top-r ranks (any tie order)
+        if r <= 0:
+            return 0
+        i = int(np.searchsorted(cum_keys, r))
+        before_e = int(cum_events[i - 1]) if i else 0
+        before_k = int(cum_keys[i - 1]) if i else 0
+        return before_e + (r - before_k) * int(cv[i])
+
+    rows = []
+    for d in range(10):
+        lo = (d * V + 9) // 10 + 1          # first rank of decile d
+        hi = ((d + 1) * V + 9) // 10        # last rank of decile d
+        if hi < lo:
+            continue  # V < 10: some deciles hold no rank
+        mass = events_top(hi) - events_top(lo - 1)
+        rows.append({"decile": d, "n_keys": hi - lo + 1,
+                     "mass": mass,
+                     "mass_pm": 1000 * mass // total})
+    return pd.DataFrame(rows).astype("int64")
+
+
+def pareto_coverage(events_ds, key_col: str = "user_id",
+                    permille: int = 800,
+                    num_buckets: int = 32) -> pd.DataFrame:
+    """PARETO concentration of activity — "how few keys produce 80%
+    of the events?" (the skew headline behind hot-key planning and
+    the 80/20 sanity check): the minimal number of keys whose summed
+    event counts reach ``ceil(permille/1000 · total)``, filling
+    greedily from the most active key down (tie order among equal
+    counts cannot change the answer).  Null keys drop.  Returns one
+    row ``(n_keys, n_events, threshold, k_min)``.
+
+    Scale shape: per-key counts reduce through a key-hashed exchange
+    to a COUNT HISTOGRAM (count value → #keys with that count) per
+    bucket — the driver sees only merged histogram rows (distinct
+    count values), never a keys-sized frame; the greedy scan walks
+    the histogram descending.
+    """
+    cv, nk = _key_count_histogram(events_ds, key_col, num_buckets)
+    cols = ("n_keys", "n_events", "threshold", "k_min")
+    if not len(cv):
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
     total = int((cv * nk).sum())
     thr = -(-permille * total // 1000)  # ceil
     cum_events = np.cumsum(cv * nk)

@@ -1208,6 +1208,81 @@ def interarrival_quantiles(events_ds, qs: tuple = (0.5, 0.9),
     return out.sort_values(type_col).reset_index(drop=True)
 
 
+def session_duration_by_entry(events_ds, gap_minutes: float = 30.0,
+                              key_col: str = "user_id",
+                              ts_col: str = "ts",
+                              type_col: str = "event_type",
+                              id_col: str = "event_id",
+                              qs: tuple = (0.5, 0.9),
+                              num_buckets: int = 32) -> pd.DataFrame:
+    """Dwell-time profile BY SESSION ENTRY POINT — "how long do
+    sessions that START with a search vs a click last?" (the
+    landing-page engagement audit): per user timeline (order ``ts``
+    asc, ``id`` asc), a new session opens at each gap >
+    ``gap_minutes``; each session is credited to its FIRST event's
+    type, and per entry type the session-duration multiset (seconds,
+    ``(last_ts − first_ts) // 1_000_000``) reduces to exact discrete
+    quantiles.  Null key/ts/type/id rows drop.  Returns
+    ``(event_type, n, q50, q90, ...)`` sorted by type.
+
+    Scale shape: ONE user-keyed exchange emits (entry_type, dur_s)
+    session rows that STAY resident (``grouped_exchange_ds``), then
+    ``grouped_exact_quantiles`` reduces them as
+    (type, value, count) partials — second-resolution discretization
+    bounds the histogram like :func:`interarrival_quantiles`.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange_ds
+
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    out_schema = pa.schema([(type_col, pa.string()),
+                            ("dur_s", pa.int64())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.select([key_col, ts_col, type_col, id_col])
+        m = None
+        for c in (key_col, ts_col, type_col, id_col):
+            v = pc.is_valid(b[c])
+            m = v if m is None else pc.and_(m, v)
+        b = b.filter(m)
+        h = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def fold(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        st = pc.cast(t[type_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        iv = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        o = np.lexsort((iv, ts, k))
+        k, st, ts = k[o], st[o], ts[o]
+        new = np.ones(len(k), dtype=bool)
+        if len(k) > 1:
+            new[1:] = (k[1:] != k[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, len(k)))
+        last = starts + n - 1
+        return pa.table({
+            type_col: pa.array(st[starts], type=pa.string()),
+            "dur_s": pa.array((ts[last] - ts[starts])
+                              // 1_000_000)}).cast(out_schema)
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    sess = grouped_exchange_ds(tagged, "__b", num_buckets, fold,
+                               empty_schema=out_schema)
+    from .analytics import grouped_exact_quantiles
+
+    out = grouped_exact_quantiles(sess, type_col, "dur_s", qs=qs)
+    return out.sort_values(type_col).reset_index(drop=True)
+
+
 def order_violations(events_ds, key_col: str = "user_id",
                      ts_col: str = "ts", id_col: str = "event_id",
                      num_buckets: int = 32) -> pd.DataFrame:

@@ -996,3 +996,93 @@ def quantized_dot_pairs_hist(ds, id_col: str = "vec_id",
                min_dot=("dot", "min"), max_dot=("dot", "max")))
     return (df.sort_values("bin").reset_index(drop=True)
             .astype("int64"))
+
+
+def centroid_confusion(ds, emb_col: str = "embedding",
+                       label_col: str = "label") -> pd.DataFrame:
+    """LABEL-NOISE audit by nearest-centroid assignment — "which
+    labels' examples actually sit closer to another label's center?"
+    (the confusion matrix a training-data curator reads before
+    trusting weak labels): each label's INTEGER centroid is
+    ``floor(1000·Σx_d / n)`` per dim over quantized coordinates
+    ``floor(1000·x)``; every vector is assigned to the centroid with
+    the maximal integer dot product (tie → smallest label), and the
+    (label, assigned) pairs reduce to counts.  All arithmetic is
+    int64-exact, so the surface restates in SQL bit-for-bit.  Null
+    embedding/label rows drop.  Returns ``(label, assigned, n)``
+    sorted by (label, assigned) — at most k² rows for k labels.
+
+    Scale shape: pass 1 streams per-batch (label, dim) integer sums —
+    k×dim partials per batch, merged on the driver (k·dim-sized, not
+    corpus-sized); the k×dim centroid matrix broadcasts via
+    ``ray.put``; pass 2 is one matmul per batch emitting k² count
+    partials.  Bound: |dot| ≤ 1000·1000·dim < 2^36 — no overflow.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    def sums(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[emb_col]),
+                             pc.is_valid(b[label_col])))
+        if b.num_rows == 0:
+            e = np.empty(0, np.int64)
+            return pa.table({"label": pa.array(e), "dim": pa.array(e),
+                             "s": pa.array(e), "n": pa.array(e)})
+        q = np.floor(1000.0 * _emb_matrix(b, emb_col)).astype(np.int64)
+        lab = pc.cast(b[label_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ul, inv = np.unique(lab, return_inverse=True)
+        acc = np.zeros((len(ul), q.shape[1]), dtype=np.int64)
+        np.add.at(acc, inv, q)
+        cnt = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        k, d = acc.shape
+        return pa.table({
+            "label": pa.array(np.repeat(ul, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "s": pa.array(acc.ravel()),
+            "n": pa.array(np.repeat(cnt, d))})
+
+    parts = (ds.select_columns([emb_col, label_col])
+             .map_batches(sums, batch_format="pyarrow").to_pandas())
+    cols = ("label", "assigned", "n")
+    if parts.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    agg = (parts.groupby(["label", "dim"], as_index=False)
+           .agg(s=("s", "sum"), n=("n", "sum")))
+    labels = np.sort(agg.label.unique())
+    dmax = int(agg.dim.max()) + 1
+    cent = np.zeros((len(labels), dmax), dtype=np.int64)
+    pos = {int(l): i for i, l in enumerate(labels)}
+    cent[[pos[int(l)] for l in agg.label],
+         agg.dim.to_numpy()] = (1000 * agg.s.to_numpy()) \
+        // agg.n.to_numpy()
+    ref = ray.put((labels.astype(np.int64), cent))
+
+    def assign(b: pa.Table) -> pa.Table:
+        labs, c = ray.get(ref)
+        b = b.filter(pc.and_(pc.is_valid(b[emb_col]),
+                             pc.is_valid(b[label_col])))
+        if b.num_rows == 0:
+            e = np.empty(0, np.int64)
+            return pa.table({"label": pa.array(e),
+                             "assigned": pa.array(e),
+                             "n": pa.array(e)})
+        q = np.floor(1000.0 * _emb_matrix(b, emb_col)).astype(np.int64)
+        lab = pc.cast(b[label_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        scores = q @ c.T  # int64-exact
+        best = labs[np.argmax(scores, axis=1)]  # first max = min label
+        key = lab * (labs.max() + 1) + best
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"label": pa.array(uk // (labs.max() + 1)),
+                         "assigned": pa.array(uk % (labs.max() + 1)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    out = (ds.select_columns([emb_col, label_col])
+           .map_batches(assign, batch_format="pyarrow").to_pandas())
+    out = (out.groupby(["label", "assigned"], as_index=False)
+           .agg(n=("n", "sum")))
+    return (out.sort_values(["label", "assigned"])
+            .reset_index(drop=True).astype("int64"))
