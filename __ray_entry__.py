@@ -5136,6 +5136,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def waterfill_q(sf):
+        # max-min fair token-budget allocation across sources at a
+        # 500-permille global budget (integer water level)
+        from verify_ray.pipelines.sample import token_waterfill
+
+        return token_waterfill(
+            _read(sf, "documents", columns=["source", "text"]),
+            budget_permille=500)
+
+    def label_influence_q(sf):
+        # per-label centroid displacement from the global centroid
+        # (cross-multiplied integer L1 over quantized coordinates)
+        from verify_ray.pipelines.similarity import label_influence
+
+        return label_influence(
+            _read(sf, "embeddings", columns=["embedding", "label"]))
+
+    def periodicity_q(sf):
+        # weekly-rhythm surface: integer autocovariance moments of
+        # the zero-filled daily count series at lags 1..7
+        return analytics.daily_periodicity(
+            _read(sf, "events", columns=["ts"]))
+
     def zipf_decile_q(sf):
         # Zipf long-tail profile: corpus occurrence mass by token
         # frequency-rank decile (same md5 token-id contract as
@@ -5552,6 +5575,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "source_token_waterfill": waterfill_q,
+        "embeddings_label_influence": label_influence_q,
+        "events_daily_periodicity": periodicity_q,
         "docs_zipf_decile_mass": zipf_decile_q,
         "embeddings_centroid_confusion": centroid_confusion_q,
         "events_session_duration_by_entry": session_entry_q,
@@ -7233,6 +7259,83 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "source_token_waterfill": f"""
+-- max-min fair token allocation: water level C is the unique cap
+-- with sum(min(t,C)) <= budget < sum(min(t,C+1)); groups ordered by
+-- (t asc, source asc), smallest trigger rank fixes C
+WITH s AS (
+  SELECT source,
+         SUM(len(regexp_split_to_array({_TRIMMED}, '\\s+'))) AS t
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1),
+b AS (SELECT (500 * SUM(t)) // 1000 AS budget, COUNT(*) AS n FROM s),
+ord AS (
+  SELECT source, t,
+         ROW_NUMBER() OVER (ORDER BY t, source) AS i,
+         SUM(t) OVER (ORDER BY t, source
+                      ROWS UNBOUNDED PRECEDING) AS pfx
+  FROM s),
+sel AS (
+  SELECT o.pfx - o.t AS below, b.n - o.i + 1 AS k, b.budget
+  FROM ord o, b
+  WHERE o.pfx - o.t + (b.n - o.i + 1) * o.t > b.budget
+  ORDER BY o.i LIMIT 1),
+cap AS (SELECT (budget - below) // k AS c FROM sel)
+SELECT o.source,
+       CAST(o.t AS BIGINT) AS tokens,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM cap) = 0 THEN o.t
+                 WHEN o.t <= (SELECT c FROM cap) THEN o.t
+                 ELSE (SELECT c FROM cap) END AS BIGINT) AS alloc,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM cap) = 1
+                  AND o.t > (SELECT c FROM cap)
+                 THEN 1 ELSE 0 END AS BIGINT) AS capped
+FROM ord o ORDER BY o.source
+""",
+        "embeddings_label_influence": """
+-- per-label centroid displacement vs the global centroid:
+-- cross-multiplied integer L1 over quantized coordinate sums
+WITH q AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(1000.0 * CAST(unnest(embedding) AS DOUBLE))
+              AS BIGINT) AS qv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+s AS (SELECT label, dim, SUM(qv) AS s, COUNT(*) AS n_s
+      FROM q GROUP BY 1, 2),
+g AS (SELECT dim, SUM(s) AS gs, SUM(n_s) AS gn FROM s GROUP BY 1)
+SELECT CAST(s.label AS BIGINT) AS label,
+       CAST(MAX(s.n_s) AS BIGINT) AS n,
+       CAST(SUM(ABS(s.s * g.gn - g.gs * s.n_s)) AS BIGINT) AS l1_x
+FROM s JOIN g USING (dim) GROUP BY s.label ORDER BY label
+""",
+        "events_daily_periodicity": """
+-- integer autocovariance raw moments of the zero-filled daily count
+-- series at lags 1..7 (head = x[:-lag], tail = x[lag:])
+WITH c AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+spine AS (
+  SELECT unnest(range((SELECT MIN(day) FROM c),
+                      (SELECT MAX(day) FROM c) + 1)) AS day),
+x AS (
+  SELECT s.day, COALESCE(c.n, 0) AS n
+  FROM spine s LEFT JOIN c USING (day)),
+lags AS (SELECT unnest(range(1, 8)) AS lag),
+p AS (
+  SELECT l.lag, a.n AS h, b.n AS t
+  FROM lags l
+  JOIN x a ON TRUE
+  JOIN x b ON b.day = a.day + l.lag)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(h * t) AS BIGINT) AS sum_xy,
+       CAST(SUM(h) AS BIGINT) AS sum_head,
+       CAST(SUM(t) AS BIGINT) AS sum_tail,
+       CAST(SUM(h * h) AS BIGINT) AS sum_head_sq,
+       CAST(SUM(t * t) AS BIGINT) AS sum_tail_sq
+FROM p GROUP BY lag ORDER BY lag
+""",
         "docs_zipf_decile_mass": f"""
 -- corpus occurrence mass by token frequency-rank decile (rank by
 -- count desc; decile of rank r is (10*(r-1)) // V; tie order can't

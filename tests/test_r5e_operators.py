@@ -157,3 +157,88 @@ def test_session_duration_by_entry_reference(ray_session):
     assert list(out.n) == list(ref.n)
     assert list(out.q50) == list(ref.q50)
     assert list(out.q90) == list(ref.q90)
+
+
+def test_oracle_token_waterfill(ray_session):
+    out = _oracle_check("source_token_waterfill",
+                        tables=("documents",))
+    assert len(out) > 0
+    assert (out.alloc <= out.tokens).all()
+    # allocation exhausts at most the budget and capped groups all
+    # sit at the same water level
+    total = int(out.tokens.sum())
+    assert out.alloc.sum() <= 500 * total // 1000
+    caps = out.loc[out.capped == 1, "alloc"]
+    if len(caps):
+        assert caps.nunique() == 1
+        # uncapped groups sit at or below the level
+        assert (out.loc[out.capped == 0, "alloc"]
+                <= caps.iloc[0]).all()
+
+
+def test_token_waterfill_brute_force(ray_session):
+    # randomized: the reported water level C satisfies
+    # sum(min(t, C)) <= B < sum(min(t, C+1))
+    import ray.data as rd
+
+    from verify_ray.pipelines.sample import token_waterfill
+
+    rng = np.random.RandomState(11)
+    for trial in range(5):
+        sizes = rng.randint(0, 60, size=rng.randint(2, 9))
+        texts, groups = [], []
+        for gi, sz in enumerate(sizes):
+            texts.append(" ".join(["w"] * max(1, sz)))
+            groups.append(f"g{gi}")
+        t = pa.table({"source": pa.array(groups),
+                      "text": pa.array(texts)})
+        pm = int(rng.choice([200, 500, 800]))
+        out = token_waterfill(rd.from_arrow(t).materialize(),
+                              budget_permille=pm)
+        tok = out.tokens.to_numpy()
+        B = pm * int(tok.sum()) // 1000
+        assert out.alloc.sum() <= B
+        if (out.capped == 1).any():
+            C = int(out.loc[out.capped == 1, "alloc"].iloc[0])
+            assert np.minimum(tok, C).sum() <= B
+            assert np.minimum(tok, C + 1).sum() > B
+        else:
+            assert (out.alloc == out.tokens).all()
+
+
+def test_oracle_label_influence(ray_session):
+    out = _oracle_check("embeddings_label_influence",
+                        tables=("embeddings",))
+    assert len(out) > 0
+    assert (out.l1_x >= 0).all()
+    con = duckdb.connect()
+    n_vec = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL AND label IS NOT NULL"
+    ).fetchone()[0]
+    assert out.n.sum() == n_vec
+
+
+def test_label_influence_single_label_zero(ray_session):
+    # one label == the global centroid -> zero displacement
+    import ray.data as rd
+
+    from verify_ray.pipelines.similarity import label_influence
+
+    t = pa.table({"embedding": pa.array(
+        [[0.5, -0.25], [0.1, 0.9]], type=pa.list_(pa.float32())),
+        "label": pa.array([3, 3], type=pa.int32())})
+    out = label_influence(rd.from_arrow(t).materialize())
+    assert list(out.label) == [3]
+    assert list(out.l1_x) == [0]
+
+
+def test_oracle_daily_periodicity(ray_session):
+    out = _oracle_check("events_daily_periodicity",
+                        tables=("events",))
+    assert list(out.lag) == list(range(1, len(out) + 1))
+    # spine identity: n_pairs shrinks by exactly 1 per lag
+    assert (np.diff(out.n_pairs.to_numpy()) == -1).all()
+    # Cauchy-Schwarz on the raw moments
+    assert (out.sum_xy * out.sum_xy
+            <= out.sum_head_sq * out.sum_tail_sq).all()

@@ -4328,3 +4328,60 @@ def distinctive_terms(docs_ds, k: int = 10, min_count: int = 5,
           .groupby(group_col, as_index=False).head(k))
     return (df[cols].reset_index(drop=True)
             .astype({"c": "int64", "lift_pm": "int64"}))
+
+
+def daily_periodicity(events_ds, ts_col: str = "ts",
+                      max_lag: int = 7) -> pd.DataFrame:
+    """WEEKLY-RHYTHM detection surface — integer autocovariance raw
+    moments of the daily event-count series at lags 1..``max_lag``
+    (a lag-7 spike is the weekly cycle; a flat profile means load is
+    memoryless): the series is the ZERO-FILLED count per epoch-day
+    over the observed [min_day, max_day] spine (absent days count 0 —
+    a silent day is signal, not a missing sample).  Per lag the
+    surface carries every moment Pearson needs, all int64-exact:
+    ``(lag, n_pairs, sum_xy, sum_head, sum_tail, sum_head_sq,
+    sum_tail_sq)`` where head = x[:-lag], tail = x[lag:].  Null ts
+    drop.  Lags ≥ the spine length emit nothing.
+
+    Scale shape: daily counts reduce as (day, count) partials through
+    ``grouped_stats`` — the driver holds only a days-sized series
+    (≤ tens of thousands of rows for decades of data), then one numpy
+    pass per lag.
+    """
+    import pyarrow.compute as pc
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[ts_col]))
+        day = (pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        return pa.table({"day": pa.array(day),
+                         "__one": pa.array(
+                             np.ones(b.num_rows, np.int64))})
+
+    cols = ("lag", "n_pairs", "sum_xy", "sum_head", "sum_tail",
+            "sum_head_sq", "sum_tail_sq")
+    counts = grouped_stats(
+        events_ds.select_columns([ts_col])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["day"], {"__one": ["sum"]})
+    if counts.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    d = counts.day.to_numpy(np.int64)
+    c = counts["__one_sum"].to_numpy(np.int64)
+    lo, hi = int(d.min()), int(d.max())
+    x = np.zeros(hi - lo + 1, dtype=np.int64)
+    x[d - lo] = c
+    rows = []
+    for lag in range(1, max_lag + 1):
+        if lag >= len(x):
+            break
+        h, t = x[:-lag], x[lag:]
+        rows.append({"lag": lag, "n_pairs": len(h),
+                     "sum_xy": int((h * t).sum()),
+                     "sum_head": int(h.sum()),
+                     "sum_tail": int(t.sum()),
+                     "sum_head_sq": int((h * h).sum()),
+                     "sum_tail_sq": int((t * t).sum())})
+    return pd.DataFrame(rows).astype("int64")

@@ -619,3 +619,81 @@ def temporal_leakage_audit(events_ds, train_frac: float = 0.8,
         return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
     return (res.to_pandas().sort_values("user_id")
             .reset_index(drop=True))
+
+
+def token_waterfill(ds, budget_permille: int = 500,
+                    group_col: str = "source",
+                    text_col: str = "text"):
+    """WATERFILLING token-budget allocator — "given a global token
+    budget, how much of each source do we take so no source dominates?"
+    (the mixture-balancing step before corpus assembly; the classic
+    max-min fair allocation): per-group whitespace-token totals
+    ``t_g``, global budget ``B = (permille·total)//1000``, and the
+    integer water level ``C`` = the unique cap with
+    ``Σ min(t_g, C) ≤ B < Σ min(t_g, C+1)``: order groups by
+    ``(t asc, group asc)``; at the smallest rank ``i`` where
+    ``pfx_{i−1} + (n−i+1)·t_i > B``, ``C = (B − pfx_{i−1}) //
+    (n−i+1)``; when no rank triggers (budget covers everything) every
+    group allocates its full count.  Null text/group rows drop.
+    Returns ``(group, tokens, alloc, capped)`` sorted by group —
+    all-integer, SQL-restatable.
+
+    Scale shape: token totals stream as per-batch (group, count)
+    partials (``pc.split_pattern_regex`` + list lengths — the
+    ``tokenize.Tokenizer`` whitespace contract, without materializing
+    token ids); the waterfill itself runs on the groups-sized driver
+    frame.
+    """
+    import pandas as pd
+
+    def counts(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[text_col]),
+                             pc.is_valid(b[group_col])))
+        if b.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], type=pa.string()),
+                "t": pa.array([], type=pa.int64())})
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b[text_col]), r"\s+")
+        n = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = pc.cast(b[group_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        ug, inv = np.unique(g, return_inverse=True)
+        tot = np.zeros(len(ug), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table({group_col: pa.array(ug, type=pa.string()),
+                         "t": pa.array(tot)})
+
+    parts = (ds.select_columns([group_col, text_col])
+             .map_batches(counts, batch_format="pyarrow").to_pandas())
+    cols = (group_col, "tokens", "alloc", "capped")
+    if parts.empty:
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "tokens": pd.Series(dtype="int64"),
+                             "alloc": pd.Series(dtype="int64"),
+                             "capped": pd.Series(dtype="int64")})
+    s = (parts.groupby(group_col, as_index=False).t.sum()
+         .sort_values(["t", group_col], kind="stable")
+         .reset_index(drop=True))
+    t = s.t.to_numpy(np.int64)
+    n = len(t)
+    total = int(t.sum())
+    budget = budget_permille * total // 1000
+    pfx = np.cumsum(t)
+    below = pfx - t                       # pfx_{i-1}, 0-based
+    k = n - np.arange(n)                  # n - i + 1 for 1-based i
+    trig = np.flatnonzero(below + k * t > budget)
+    if len(trig):
+        i0 = int(trig[0])
+        cap = (budget - int(below[i0])) // int(k[i0])
+        alloc = np.minimum(t, cap)
+        capped = (t > cap).astype(np.int64)
+    else:
+        alloc = t.copy()
+        capped = np.zeros(n, dtype=np.int64)
+    out = pd.DataFrame({group_col: s[group_col], "tokens": t,
+                        "alloc": alloc, "capped": capped})
+    return (out.sort_values(group_col).reset_index(drop=True)
+            .astype({"tokens": "int64", "alloc": "int64",
+                     "capped": "int64"}))

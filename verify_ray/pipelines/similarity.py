@@ -998,29 +998,15 @@ def quantized_dot_pairs_hist(ds, id_col: str = "vec_id",
             .astype("int64"))
 
 
-def centroid_confusion(ds, emb_col: str = "embedding",
-                       label_col: str = "label") -> pd.DataFrame:
-    """LABEL-NOISE audit by nearest-centroid assignment — "which
-    labels' examples actually sit closer to another label's center?"
-    (the confusion matrix a training-data curator reads before
-    trusting weak labels): each label's INTEGER centroid is
-    ``floor(1000·Σx_d / n)`` per dim over quantized coordinates
-    ``floor(1000·x)``; every vector is assigned to the centroid with
-    the maximal integer dot product (tie → smallest label), and the
-    (label, assigned) pairs reduce to counts.  All arithmetic is
-    int64-exact, so the surface restates in SQL bit-for-bit.  Null
-    embedding/label rows drop.  Returns ``(label, assigned, n)``
-    sorted by (label, assigned) — at most k² rows for k labels.
-
-    Scale shape: pass 1 streams per-batch (label, dim) integer sums —
-    k×dim partials per batch, merged on the driver (k·dim-sized, not
-    corpus-sized); the k×dim centroid matrix broadcasts via
-    ``ray.put``; pass 2 is one matmul per batch emitting k² count
-    partials.  Bound: |dot| ≤ 1000·1000·dim < 2^36 — no overflow.
-    """
+def _label_dim_sums(ds, emb_col: str, label_col: str):
+    """Per-(label, dim) integer coordinate sums over quantized
+    embeddings ``q = floor(1000·x)`` plus the label's vector count —
+    the shared pass-1 of :func:`centroid_confusion` and
+    :func:`label_influence`.  Streams k×dim partials per batch; the
+    driver merge is k·dim-sized, never corpus-sized.  Returns a pandas
+    frame ``(label, dim, s, n)``."""
     import pandas as pd
     import pyarrow.compute as pc
-    import ray
 
     def sums(b: pa.Table) -> pa.Table:
         b = b.filter(pc.and_(pc.is_valid(b[emb_col]),
@@ -1045,12 +1031,76 @@ def centroid_confusion(ds, emb_col: str = "embedding",
 
     parts = (ds.select_columns([emb_col, label_col])
              .map_batches(sums, batch_format="pyarrow").to_pandas())
-    cols = ("label", "assigned", "n")
     if parts.empty:
+        return parts
+    return (parts.groupby(["label", "dim"], as_index=False)
+            .agg(s=("s", "sum"), n=("n", "sum")))
+
+
+def label_influence(ds, emb_col: str = "embedding",
+                    label_col: str = "label") -> pd.DataFrame:
+    """LABEL-CENTROID displacement audit — "which label's examples
+    pull hardest away from the corpus center?" (the class-imbalance /
+    collapsed-cluster screen a curator runs before contrastive
+    training): per label, the cross-multiplied integer L1 distance
+    between the label centroid and the GLOBAL centroid,
+    ``l1_x = Σ_d |s_{l,d}·N − S_d·n_l|`` over quantized coordinates
+    (``s``/``S`` per-label / global coordinate sums of
+    ``floor(1000·x)``, ``n_l``/``N`` per-label / global counts) — an
+    exact integer, zero float drift, SQL-restatable.  Null rows drop.
+    Returns ``(label, n, l1_x)`` sorted by label.
+
+    Scale shape: one streaming pass of k×dim partials
+    (`_label_dim_sums`); the surface is computed on a k·dim-sized
+    driver frame.  Bound: |s·N| ≤ 1000·n_l·N — int64-safe through
+    ~10^6 × 10^6 rows·labels.
+    """
+    import pandas as pd
+
+    agg = _label_dim_sums(ds, emb_col, label_col)
+    cols = ("label", "n", "l1_x")
+    if agg.empty:
         return pd.DataFrame({c: pd.Series(dtype="int64")
                              for c in cols})
-    agg = (parts.groupby(["label", "dim"], as_index=False)
-           .agg(s=("s", "sum"), n=("n", "sum")))
+    g = (agg.groupby("dim", as_index=False)
+         .agg(gs=("s", "sum"), gn=("n", "sum")))
+    j = agg.merge(g, on="dim")
+    j["term"] = (j.s * j.gn - j.gs * j.n).abs()
+    out = (j.groupby("label", as_index=False)
+           .agg(n=("n", "max"), l1_x=("term", "sum")))
+    return (out.sort_values("label").reset_index(drop=True)
+            .astype("int64"))
+
+
+def centroid_confusion(ds, emb_col: str = "embedding",
+                       label_col: str = "label") -> pd.DataFrame:
+    """LABEL-NOISE audit by nearest-centroid assignment — "which
+    labels' examples actually sit closer to another label's center?"
+    (the confusion matrix a training-data curator reads before
+    trusting weak labels): each label's INTEGER centroid is
+    ``floor(1000·Σx_d / n)`` per dim over quantized coordinates
+    ``floor(1000·x)``; every vector is assigned to the centroid with
+    the maximal integer dot product (tie → smallest label), and the
+    (label, assigned) pairs reduce to counts.  All arithmetic is
+    int64-exact, so the surface restates in SQL bit-for-bit.  Null
+    embedding/label rows drop.  Returns ``(label, assigned, n)``
+    sorted by (label, assigned) — at most k² rows for k labels.
+
+    Scale shape: pass 1 streams per-batch (label, dim) integer sums —
+    k×dim partials per batch, merged on the driver (k·dim-sized, not
+    corpus-sized); the k×dim centroid matrix broadcasts via
+    ``ray.put``; pass 2 is one matmul per batch emitting k² count
+    partials.  Bound: |dot| ≤ 1000·1000·dim < 2^36 — no overflow.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    agg = _label_dim_sums(ds, emb_col, label_col)
+    cols = ("label", "assigned", "n")
+    if agg.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
     labels = np.sort(agg.label.unique())
     dmax = int(agg.dim.max()) + 1
     cent = np.zeros((len(labels), dmax), dtype=np.int64)
