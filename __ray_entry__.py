@@ -5136,6 +5136,143 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def peak_window_q(sf):
+        # anomaly localization: max-deviation contiguous day window
+        # (integer Kadane over the zero-filled daily series)
+        return analytics.peak_load_window(
+            _read(sf, "events", columns=["ts"]))
+
+    def supplier_hhi_q(sf):
+        # procurement concentration: per part, Herfindahl surface of
+        # supplier line shares (hhi_x = sum of squared line counts;
+        # normalize by n_lines^2 downstream) — ONE part-keyed
+        # exchange of within-batch (part, supplier, c) partials
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["l_partkey"]),
+                                 pc.is_valid(b["l_suppkey"])))
+            p = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            s = pc.cast(b["l_suppkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            # pack (p, s) for one np.unique pass; suppkey < 2^21
+            # holds through sf~200 (10k suppliers per SF unit)
+            key = (p << 21) | s
+            uk, cnt = np.unique(key, return_counts=True)
+            up, us = uk >> 21, uk & ((1 << 21) - 1)
+            return pa.table({"__b": pa.array(up % 32),
+                             "p": pa.array(up), "s": pa.array(us),
+                             "c": pa.array(cnt.astype(np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            p = t.column("p").to_numpy(zero_copy_only=False)
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            if len(p) == 0:
+                e = np.empty(0, np.int64)
+                return pa.table({"l_partkey": pa.array(e),
+                                 "n_lines": pa.array(e),
+                                 "n_suppliers": pa.array(e),
+                                 "hhi_x": pa.array(e)})
+            order = np.lexsort((s, p))
+            p, s, c = p[order], s[order], c[order]
+            new = np.ones(len(p), dtype=bool)
+            new[1:] = (p[1:] != p[:-1]) | (s[1:] != s[:-1])
+            grp = np.cumsum(new) - 1
+            cs = np.zeros(int(grp[-1]) + 1, dtype=np.int64)
+            np.add.at(cs, grp, c)
+            pp = p[new]
+            pst = np.flatnonzero(np.r_[True, pp[1:] != pp[:-1]]) \
+                if len(pp) else np.empty(0, np.int64)
+            red = lambda v: (np.add.reduceat(v, pst) if len(pst)
+                             else np.empty(0, np.int64))
+            return pa.table({
+                "l_partkey": pa.array(pp[pst]),
+                "n_lines": pa.array(red(cs)),
+                "n_suppliers": pa.array(
+                    red(np.ones(len(cs), np.int64))),
+                "hhi_x": pa.array(red(cs * cs))})
+
+        tagged = (_read(sf, "lineitem",
+                        columns=["l_partkey", "l_suppkey"])
+                  .map_batches(tag, batch_format="pyarrow"))
+        out = grouped_exchange(tagged, "__b", 32, fold)
+        cols = ("l_partkey", "n_lines", "n_suppliers", "hhi_x")
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        return (out.to_pandas().sort_values("l_partkey")
+                .reset_index(drop=True).astype("int64"))
+
+    def segment_gap_q(sf):
+        # per market segment, exact quantiles of days between a
+        # customer's consecutive orders (segment dim broadcast, ONE
+        # customer-keyed exchange, resident gap rows)
+        import ray
+
+        from verify_ray.pipelines.analytics import (
+            grouped_exact_quantiles)
+        from verify_ray.stages.exchange import grouped_exchange_ds
+
+        cust = _read(sf, "customer",
+                     columns=["c_custkey", "c_mktsegment"]).to_pandas()
+        keys = cust.c_custkey.to_numpy()
+        order = np.argsort(keys)
+        keys = keys[order]
+        segs = cust.c_mktsegment.to_numpy(dtype=object)[order]
+        ref = ray.put((keys, segs))
+        gap_schema = pa.schema([("c_mktsegment", pa.string()),
+                                ("gap_d", pa.int64())])
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_custkey"]),
+                        pc.and_(pc.is_valid(b["o_orderdate"]),
+                                pc.is_valid(b["o_orderkey"])))
+            b = b.filter(m)
+            ck = pc.cast(b["o_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            return pa.table({
+                "__b": pa.array(ck % 32), "ck": pa.array(ck),
+                "d": pa.array(day),
+                "ok": pc.cast(b["o_orderkey"], pa.int64())})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k, sg = ray.get(ref)
+            ck = t.column("ck").to_numpy(zero_copy_only=False)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            ok = t.column("ok").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ok, d, ck))
+            ck, d = ck[order], d[order]
+            same = np.zeros(len(ck), dtype=bool)
+            same[1:] = ck[1:] == ck[:-1]
+            gap = np.zeros(len(ck), dtype=np.int64)
+            gap[1:] = d[1:] - d[:-1]
+            ck2, gap2 = ck[same], gap[same]
+            pos = np.clip(np.searchsorted(k, ck2), 0,
+                          max(len(k) - 1, 0))
+            hit = (k[pos] == ck2) if len(k) else \
+                np.zeros(len(ck2), bool)
+            return pa.table({
+                "c_mktsegment": pa.array(sg[pos][hit],
+                                         type=pa.string()),
+                "gap_d": pa.array(gap2[hit])}).cast(gap_schema)
+
+        tagged = (_read(sf, "orders",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_orderkey"])
+                  .map_batches(tag, batch_format="pyarrow"))
+        gaps = grouped_exchange_ds(tagged, "__b", 32, fold,
+                                   empty_schema=gap_schema)
+        out = grouped_exact_quantiles(gaps, "c_mktsegment", "gap_d",
+                                      qs=(0.5, 0.9))
+        return (out.sort_values("c_mktsegment")
+                .reset_index(drop=True))
+
     def waterfill_q(sf):
         # max-min fair token-budget allocation across sources at a
         # 500-permille global budget (integer water level)
@@ -5575,6 +5712,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_peak_load_window": peak_window_q,
+        "part_supplier_hhi": supplier_hhi_q,
+        "segment_reorder_gap_quantiles": segment_gap_q,
         "source_token_waterfill": waterfill_q,
         "embeddings_label_influence": label_influence_q,
         "events_daily_periodicity": periodicity_q,
@@ -7259,6 +7399,71 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "events_peak_load_window": """
+-- max-deviation contiguous day window over the zero-filled daily
+-- series: dev_i = x_i*D - T; maximize window sum, tie -> smallest
+-- start day then smallest end day
+WITH c AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+spine AS (
+  SELECT unnest(range((SELECT MIN(day) FROM c),
+                      (SELECT MAX(day) FROM c) + 1)) AS day),
+x AS (
+  SELECT s.day, COALESCE(c.n, 0) AS n
+  FROM spine s LEFT JOIN c USING (day)),
+t AS (SELECT COUNT(*) AS d, SUM(n) AS tot FROM x),
+devs AS (SELECT day, n * (SELECT d FROM t) - (SELECT tot FROM t)
+           AS dev FROM x),
+cum AS (SELECT day, dev,
+               SUM(dev) OVER (ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS cp
+        FROM devs),
+pair AS (
+  SELECT s.day AS sd, e.day AS ed, e.cp - s.cp + s.dev AS score
+  FROM cum s JOIN cum e ON e.day >= s.day)
+SELECT CAST(sd AS BIGINT) AS start_day,
+       CAST(ed AS BIGINT) AS end_day,
+       CAST(ed - sd + 1 AS BIGINT) AS n_days,
+       CAST(score AS BIGINT) AS score_x
+FROM pair ORDER BY score DESC, sd, ed LIMIT 1
+""",
+        "part_supplier_hhi": """
+-- procurement concentration per part: Herfindahl surface of
+-- supplier line-count shares (hhi_x = sum of squared counts)
+WITH c AS (
+  SELECT l_partkey AS p, l_suppkey AS s, COUNT(*) AS c
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+  GROUP BY 1, 2)
+SELECT CAST(p AS BIGINT) AS l_partkey,
+       CAST(SUM(c) AS BIGINT) AS n_lines,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(c * c) AS BIGINT) AS hhi_x
+FROM c GROUP BY p ORDER BY l_partkey
+""",
+        "segment_reorder_gap_quantiles": """
+-- per market segment, exact discrete quantiles of days between a
+-- customer's consecutive orders (order by orderdate, orderkey)
+WITH o AS (
+  SELECT o_custkey AS ck, epoch_us(o_orderdate) // 86400000000 AS d,
+         o_orderkey AS ok
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_orderkey IS NOT NULL),
+g AS (
+  SELECT ck, d - LAG(d) OVER (PARTITION BY ck ORDER BY d, ok)
+           AS gap_d
+  FROM o),
+j AS (
+  SELECT c.c_mktsegment, g.gap_d
+  FROM g JOIN customer c ON g.ck = c.c_custkey
+  WHERE g.gap_d IS NOT NULL)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(quantile_disc(gap_d, 0.5) AS BIGINT) AS q50,
+       CAST(quantile_disc(gap_d, 0.9) AS BIGINT) AS q90
+FROM j GROUP BY 1 ORDER BY 1
+""",
         "source_token_waterfill": f"""
 -- max-min fair token allocation: water level C is the unique cap
 -- with sum(min(t,C)) <= budget < sum(min(t,C+1)); groups ordered by

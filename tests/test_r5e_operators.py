@@ -242,3 +242,55 @@ def test_oracle_daily_periodicity(ray_session):
     # Cauchy-Schwarz on the raw moments
     assert (out.sum_xy * out.sum_xy
             <= out.sum_head_sq * out.sum_tail_sq).all()
+
+
+def test_oracle_peak_load_window(ray_session):
+    out = _oracle_check("events_peak_load_window",
+                        tables=("events",))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.end_day >= r.start_day
+    assert r.n_days == r.end_day - r.start_day + 1
+    # a max-sum window of a zero-sum-ish centered series is positive
+    # unless the series is constant
+    assert r.score_x >= 0
+
+
+def test_peak_load_window_handcheck(ray_session):
+    # planted burst: three quiet days, two heavy days, two quiet
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import peak_load_window
+
+    days = [0] * 1 + [1] * 1 + [2] * 1 + [3] * 10 + [4] * 10 \
+        + [5] * 1 + [6] * 1
+    ts = pd.to_datetime(np.array(days) * 86_400_000_000 * 1000,
+                        unit="ns")
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+    out = peak_load_window(rd.from_arrow(t).materialize())
+    r = out.iloc[0]
+    # D=7, T=25; dev = [-18,-18,-18,45,45,-18,-18] -> window [3,4]
+    assert (r.start_day, r.end_day, r.n_days, r.score_x) \
+        == (3, 4, 2, 90)
+
+
+def test_oracle_supplier_hhi(ray_session):
+    out = _oracle_check("part_supplier_hhi", tables=("lineitem",))
+    assert len(out) > 0
+    # bounds: n_lines^2 / n_suppliers <= hhi_x <= n_lines^2
+    assert (out.hhi_x <= out.n_lines ** 2).all()
+    assert (out.hhi_x * out.n_suppliers >= out.n_lines ** 2).all()
+    # consistency with the switches audit's distinct-supplier count
+    import __ray_entry__ as e
+
+    sw = e.queries()["part_supplier_switches"](SF)
+    m = out.merge(sw, on="l_partkey")
+    assert (m.n_suppliers_x == m.n_suppliers_y).all()
+
+
+def test_oracle_segment_gap_quantiles(ray_session):
+    out = _oracle_check("segment_reorder_gap_quantiles",
+                        tables=("orders", "customer"))
+    assert len(out) > 0
+    assert (out.q50 <= out.q90).all()
+    assert (out.n > 0).all()

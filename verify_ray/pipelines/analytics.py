@@ -4385,3 +4385,67 @@ def daily_periodicity(events_ds, ts_col: str = "ts",
                      "sum_head_sq": int((h * h).sum()),
                      "sum_tail_sq": int((t * t).sum())})
     return pd.DataFrame(rows).astype("int64")
+
+
+def peak_load_window(events_ds, ts_col: str = "ts") -> pd.DataFrame:
+    """ANOMALY-WINDOW localization — the contiguous day span whose
+    load most exceeds the average rate (the "when did the incident
+    actually run" answer behind a spiky daily chart): over the
+    zero-filled daily count series x on the [min_day, max_day] spine
+    (D days, T total events), each day's integer deviation is
+    ``d_i = x_i·D − T`` (mean-centered, scaled by D so it stays
+    integral); the result is the maximum-sum nonempty subarray of d —
+    ties resolved to the smallest start day, then the smallest end
+    day.  Null ts drop.  Returns ONE row
+    ``(start_day, end_day, n_days, score_x)`` with
+    ``score_x = window_sum·D − window_len·T``.
+
+    Scale shape: daily counts reduce as (day, count) partials through
+    ``grouped_stats``; the Kadane scan runs on the days-sized driver
+    series (O(D), exact tie handling via earliest prefix-argmin).
+    """
+    import pyarrow.compute as pc
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[ts_col]))
+        day = (pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        return pa.table({"day": pa.array(day),
+                         "__one": pa.array(
+                             np.ones(b.num_rows, np.int64))})
+
+    cols = ("start_day", "end_day", "n_days", "score_x")
+    counts = grouped_stats(
+        events_ds.select_columns([ts_col])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["day"], {"__one": ["sum"]})
+    if counts.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    d0 = counts.day.to_numpy(np.int64)
+    c = counts["__one_sum"].to_numpy(np.int64)
+    lo, hi = int(d0.min()), int(d0.max())
+    x = np.zeros(hi - lo + 1, dtype=np.int64)
+    x[d0 - lo] = c
+    D, T = len(x), int(x.sum())
+    dev = x * D - T
+    P = np.concatenate([[0], np.cumsum(dev)])  # P[0..D]
+    # for each end j (1-based in P): earliest argmin of P[0..j-1]
+    run_min = np.minimum.accumulate(P[:-1])
+    first_at = np.zeros(D, dtype=np.int64)
+    # earliest index attaining the running min: changes only when a
+    # strictly smaller prefix appears
+    is_new = np.ones(D, dtype=bool)
+    is_new[1:] = P[1:-1] < run_min[:-1]
+    first_at = np.maximum.accumulate(
+        np.where(is_new, np.arange(D), -1))
+    score = P[1:] - run_min
+    M = int(score.max())
+    cand = np.flatnonzero(score == M)
+    starts = first_at[cand]             # i-1 (0-based prefix index)
+    order = np.lexsort((cand, starts))  # min start, then min end
+    i0, j0 = int(starts[order[0]]), int(cand[order[0]])
+    return pd.DataFrame([{
+        "start_day": lo + i0, "end_day": lo + j0,
+        "n_days": j0 - i0 + 1, "score_x": M}]).astype("int64")
