@@ -5136,6 +5136,103 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def bracket_balance_q(sf):
+        # delimiter-hygiene audit per source: docs whose parens /
+        # brackets are unbalanced or whose double quotes come in an
+        # odd count — pure vectorized substring counts, zero shuffle
+        def feats(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["text"]),
+                                 pc.is_valid(b["source"])))
+            cnt = lambda s: pc.count_substring(b["text"], s) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            paren = (cnt("(") != cnt(")")).astype(np.int64)
+            brack = (cnt("[") != cnt("]")).astype(np.int64)
+            quote = (cnt('"') % 2).astype(np.int64)
+            return pa.table({
+                "source": b["source"],
+                "__one": pa.array(np.ones(b.num_rows, np.int64)),
+                "paren": pa.array(paren), "brack": pa.array(brack),
+                "quote": pa.array(quote)})
+
+        out = analytics.grouped_stats(
+            _read(sf, "documents", columns=["source", "text"])
+            .map_batches(feats, batch_format="pyarrow"),
+            ["source"], {"__one": ["sum"], "paren": ["sum"],
+                         "brack": ["sum"], "quote": ["sum"]})
+        out = out.rename(columns={
+            "__one_sum": "n_docs", "paren_sum": "n_paren_unbal",
+            "brack_sum": "n_bracket_unbal", "quote_sum": "n_quote_odd"})
+        cols = ["source", "n_docs", "n_paren_unbal",
+                "n_bracket_unbal", "n_quote_odd"]
+        return (out[cols].sort_values("source")
+                .reset_index(drop=True)
+                .astype({c: "int64" for c in cols[1:]}))
+
+    def degree_log_hist_q(sf):
+        # co-purchase degree distribution in power-of-two bins (same
+        # sparse part slice as graph_kcore)
+        from verify_ray.pipelines.graph import (cooccurrence_edges,
+                                                degree_log_hist)
+
+        edges = cooccurrence_edges(
+            _read(sf, "lineitem",
+                  columns=["l_orderkey", "l_partkey"],
+                  filter=pc.bit_wise_and(pc.field("l_partkey"),
+                                         15) == 0),
+            "l_orderkey", "l_partkey", num_buckets=8)
+        return degree_log_hist(edges)
+
+    def return_clustering_q(sf):
+        # do returns cluster within orders?  adjacent-line return
+        # pair counts along linenumber order — ONE order-keyed
+        # exchange reducing to a single global surface row
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_orderkey"]),
+                        pc.and_(pc.is_valid(b["l_linenumber"]),
+                                pc.is_valid(b["l_returnflag"])))
+            b = b.filter(m)
+            o = pc.cast(b["l_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "__b": pa.array(o % 32), "o": pa.array(o),
+                "ln": pc.cast(b["l_linenumber"], pa.int64()),
+                "r": pa.array(pc.equal(b["l_returnflag"], "R")
+                              .to_numpy(zero_copy_only=False)
+                              .astype(np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            o = t.column("o").to_numpy(zero_copy_only=False)
+            ln = t.column("ln").to_numpy(zero_copy_only=False)
+            r = t.column("r").to_numpy(zero_copy_only=False)
+            # (o, ln) is NOT unique in the synthetic data — order by
+            # r as well so tie classes hold identical flags and the
+            # adjacent-pair counts are arrangement-invariant
+            order = np.lexsort((r, ln, o))
+            o, r = o[order], r[order]
+            same = np.zeros(len(o), dtype=bool)
+            same[1:] = o[1:] == o[:-1]
+            rr = same & (np.r_[0, r[:-1]] == 1) & (r == 1)
+            return pa.table({
+                "n_lines": pa.array([len(o)]),
+                "n_returns": pa.array([int(r.sum())]),
+                "n_adj": pa.array([int(same.sum())]),
+                "n_rr": pa.array([int(rr.sum())])})
+
+        tagged = (_read(sf, "lineitem",
+                        columns=["l_orderkey", "l_linenumber",
+                                 "l_returnflag"])
+                  .map_batches(tag, batch_format="pyarrow"))
+        out = grouped_exchange(tagged, "__b", 32, fold)
+        cols = ("n_lines", "n_returns", "n_adj", "n_rr")
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame([{c: 0 for c in cols}]).astype(
+                "int64")
+        df = out.to_pandas()
+        return pd.DataFrame([{c: int(df[c].sum())
+                              for c in cols}]).astype("int64")
+
     def peak_window_q(sf):
         # anomaly localization: max-deviation contiguous day window
         # (integer Kadane over the zero-filled daily series)
@@ -5712,6 +5809,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_bracket_balance": bracket_balance_q,
+        "copurchase_degree_log_hist": degree_log_hist_q,
+        "lineitem_return_clustering": return_clustering_q,
         "events_peak_load_window": peak_window_q,
         "part_supplier_hhi": supplier_hhi_q,
         "segment_reorder_gap_quantiles": segment_gap_q,
@@ -7399,6 +7499,68 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "docs_bracket_balance": """
+-- delimiter hygiene per source: unbalanced parens/brackets and odd
+-- double-quote counts (substring-count deltas)
+WITH f AS (
+  SELECT source,
+         (len(text) - len(replace(text, '(', '')))
+           - (len(text) - len(replace(text, ')', ''))) AS dparen,
+         (len(text) - len(replace(text, '[', '')))
+           - (len(text) - len(replace(text, ']', ''))) AS dbrack,
+         (len(text) - len(replace(text, '"', ''))) % 2 AS oddq
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dparen <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_paren_unbal,
+       CAST(SUM(CASE WHEN dbrack <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bracket_unbal,
+       CAST(SUM(oddq) AS BIGINT) AS n_quote_odd
+FROM f GROUP BY source ORDER BY source
+""",
+        "copurchase_degree_log_hist": """
+-- degree distribution of the sparse co-purchase graph in
+-- power-of-two bins (degree = distinct neighbors, edges deduped)
+WITH li AS (
+  SELECT l_orderkey AS g, l_partkey AS i
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    AND (l_partkey & 15) = 0),
+e AS (
+  SELECT DISTINCT a.i AS x, b.i AS y
+  FROM li a JOIN li b ON a.g = b.g AND a.i < b.i),
+nodes AS (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e),
+deg AS (SELECT n, COUNT(*) AS d FROM nodes GROUP BY 1)
+SELECT CAST(floor(log2(d)) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(d) AS BIGINT) AS sum_deg,
+       CAST(MIN(d) AS BIGINT) AS min_deg,
+       CAST(MAX(d) AS BIGINT) AS max_deg
+FROM deg GROUP BY 1 ORDER BY 1
+""",
+        "lineitem_return_clustering": """
+-- do returns cluster within orders?  adjacent-line return pairs
+-- along linenumber order, one global surface row
+WITH l AS (
+  SELECT l_orderkey AS o, l_linenumber AS ln,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    AND l_returnflag IS NOT NULL),
+lg AS (
+  -- (o, ln) is not unique; r in the sort key makes tie classes
+  -- uniform so the adjacent-pair counts are order-invariant
+  SELECT o, r, LAG(r) OVER (PARTITION BY o ORDER BY ln, r) AS pr
+  FROM l)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(r) AS BIGINT) AS n_returns,
+       CAST(SUM(CASE WHEN pr IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_adj,
+       CAST(SUM(CASE WHEN pr = 1 AND r = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rr
+FROM lg
+""",
         "events_peak_load_window": """
 -- max-deviation contiguous day window over the zero-filled daily
 -- series: dev_i = x_i*D - T; maximize window sum, tie -> smallest

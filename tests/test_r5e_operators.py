@@ -294,3 +294,41 @@ def test_oracle_segment_gap_quantiles(ray_session):
     assert len(out) > 0
     assert (out.q50 <= out.q90).all()
     assert (out.n > 0).all()
+
+
+def test_oracle_bracket_balance(ray_session):
+    out = _oracle_check("docs_bracket_balance",
+                        tables=("documents",))
+    assert len(out) > 0
+    assert (out.n_paren_unbal <= out.n_docs).all()
+    assert (out.n_bracket_unbal <= out.n_docs).all()
+    assert (out.n_quote_odd <= out.n_docs).all()
+
+
+def test_oracle_degree_log_hist(ray_session):
+    out = _oracle_check("copurchase_degree_log_hist",
+                        tables=("lineitem",))
+    assert len(out) > 0
+    # bin boundaries: 2^bin <= min_deg <= max_deg < 2^(bin+1)
+    assert (out.min_deg >= 2 ** out.bin).all()
+    assert (out.max_deg < 2 ** (out.bin + 1)).all()
+    assert (out.sum_deg >= out.n_nodes * out.min_deg).all()
+    assert (out.sum_deg <= out.n_nodes * out.max_deg).all()
+    # handshake: total degree is even (each edge counted twice)
+    assert out.sum_deg.sum() % 2 == 0
+
+
+def test_oracle_return_clustering(ray_session):
+    out = _oracle_check("lineitem_return_clustering",
+                        tables=("lineitem",))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.n_rr <= r.n_adj
+    assert r.n_rr <= r.n_returns
+    assert r.n_returns <= r.n_lines
+    # recount n_lines straight off the table
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_returnflag"]).dropna()
+    assert r.n_lines == len(li)
+    assert r.n_returns == int((li.l_returnflag == "R").sum())

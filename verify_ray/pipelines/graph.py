@@ -1392,3 +1392,65 @@ def common_neighbors(edges_ds, min_common: int = 2,
         return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
     return (out.to_pandas().sort_values(["u", "v"])
             .reset_index(drop=True).astype("int64"))
+
+
+def degree_log_hist(edges_ds, x_col: str = "x", y_col: str = "y",
+                    num_buckets: int = 32) -> pd.DataFrame:
+    """DEGREE-DISTRIBUTION tail profile in power-of-two bins — the
+    power-law health check for a co-occurrence graph (a heavy tail
+    says hub items exist and per-key exchanges need salting; a
+    truncated tail says blocking keys are safe): parallel edges dedup
+    globally, degree = DISTINCT neighbors per node, and nodes bin by
+    ``floor(log2(degree))`` (exact at powers of two in both numpy and
+    SQL's libm).  Returns ``(bin, n_nodes, sum_deg, min_deg,
+    max_deg)`` sorted by bin.
+
+    Scale shape: ONE pair-hashed exchange dedups edges and emits
+    (node) endpoint rows that stay resident; degrees reduce to a
+    COUNT HISTOGRAM (`analytics._key_count_histogram`) so the driver
+    sees only distinct degree values, never a nodes-sized frame.
+    """
+    from ..stages.exchange import grouped_exchange_ds
+    from .analytics import _key_count_histogram
+
+    node_schema = pa.schema([("node", pa.int64())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[x_col]),
+                             pc.is_valid(b[y_col])))
+        x = pc.cast(b[x_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y = pc.cast(b[y_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pairs = np.unique(_pair_struct(x, y))  # map-side dedup
+        h = (pd.util.hash_array(pairs["a"])
+             ^ pd.util.hash_array(pairs["b"]))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "x": pa.array(pairs["a"]), "y": pa.array(pairs["b"])})
+
+    def fold(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        pairs = np.unique(_pair_struct(x, y))  # global edge dedup
+        return pa.table({"node": pa.array(np.concatenate(
+            [pairs["a"], pairs["b"]]))}).cast(node_schema)
+
+    nodes = grouped_exchange_ds(
+        edges_ds.select_columns([x_col, y_col])
+        .map_batches(tag, batch_format="pyarrow"),
+        "__b", num_buckets, fold, empty_schema=node_schema)
+    cv, nk = _key_count_histogram(nodes, "node", num_buckets)
+    cols = ("bin", "n_nodes", "sum_deg", "min_deg", "max_deg")
+    if not len(cv):
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    bins = np.floor(np.log2(cv)).astype(np.int64)
+    df = pd.DataFrame({"bin": bins, "deg": cv, "nk": nk})
+    out = (df.assign(sum_deg=df.deg * df.nk)
+           .groupby("bin", as_index=False)
+           .agg(n_nodes=("nk", "sum"), sum_deg=("sum_deg", "sum"),
+                min_deg=("deg", "min"), max_deg=("deg", "max")))
+    return (out.sort_values("bin").reset_index(drop=True)
+            .astype("int64"))
