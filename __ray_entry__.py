@@ -5136,6 +5136,125 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def scatter_ratio_q(sf):
+        # Fisher-style separability: within/between scatter of
+        # quantized embeddings around integer centroids
+        from verify_ray.pipelines.similarity import scatter_ratio
+
+        return scatter_ratio(
+            _read(sf, "embeddings", columns=["embedding", "label"]))
+
+    def reactivation_q(sf):
+        # dormancy-return histogram: users by their count of > 1-day
+        # silences along the personal timeline — ONE user-keyed
+        # exchange emitting (count, n_users) partials per bucket
+        from verify_ray.functions.hashing import md5_u64le
+        from verify_ray.stages.exchange import grouped_exchange
+
+        thr_us = 86_400_000_000
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["user_id"]),
+                        pc.and_(pc.is_valid(b["ts"]),
+                                pc.is_valid(b["event_id"])))
+            b = b.filter(m)
+            h = md5_u64le(pc.cast(b["user_id"], pa.string()))
+            return pa.table({
+                "__b": pa.array((h % np.uint64(32)).astype(np.int64)),
+                "u": pc.cast(b["user_id"], pa.int64()),
+                "t": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                             pa.int64()),
+                "eid": pc.cast(b["event_id"], pa.int64())})
+
+        def fold(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            ts = t.column("t").to_numpy(zero_copy_only=False)
+            eid = t.column("eid").to_numpy(zero_copy_only=False)
+            order = np.lexsort((eid, ts, u))
+            u, ts = u[order], ts[order]
+            same = np.zeros(len(u), dtype=bool)
+            same[1:] = u[1:] == u[:-1]
+            gap = np.zeros(len(u), dtype=np.int64)
+            gap[1:] = ts[1:] - ts[:-1]
+            rea = (same & (gap > thr_us)).astype(np.int64)
+            st = np.flatnonzero(~same)
+            per_user = (np.add.reduceat(rea, st) if len(st)
+                        else np.empty(0, np.int64))
+            uv, cnt = np.unique(per_user, return_counts=True)
+            return pa.table({"n_reactivations": pa.array(uv),
+                             "n_users": pa.array(
+                                 cnt.astype(np.int64))})
+
+        tagged = (_read(sf, "events",
+                        columns=["user_id", "ts", "event_id"])
+                  .map_batches(tag, batch_format="pyarrow"))
+        out = grouped_exchange(tagged, "__b", 32, fold)
+        cols = ("n_reactivations", "n_users")
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (out.to_pandas()
+              .groupby("n_reactivations", as_index=False)
+              .n_users.sum())
+        return (df.sort_values("n_reactivations")
+                .reset_index(drop=True).astype("int64"))
+
+    def discount_depth_q(sf):
+        # pricing-floor audit per brand: lines whose extended price
+        # undercuts retail x quantity (exact integer compare; part
+        # dim broadcast once)
+        import ray
+
+        part = _read(sf, "part",
+                     columns=["p_partkey", "p_brand",
+                              "p_retailprice"]).to_pandas()
+        part = part.dropna()
+        keys = part.p_partkey.to_numpy(np.int64)
+        order = np.argsort(keys)
+        keys = keys[order]
+        brands = part.p_brand.to_numpy(dtype=object)[order]
+        rc = np.rint(100.0 * part.p_retailprice.to_numpy()
+                     ).astype(np.int64)[order]
+        ref = ray.put((keys, brands, rc))
+
+        def feats(b: pa.Table) -> pa.Table:
+            k, br, r = ray.get(ref)
+            m = pc.and_(pc.is_valid(b["l_partkey"]),
+                        pc.and_(pc.is_valid(b["l_extendedprice"]),
+                                pc.is_valid(b["l_quantity"])))
+            b = b.filter(m)
+            pk = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            ec = np.rint(100.0 * b["l_extendedprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            q = np.rint(b["l_quantity"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            pos = np.clip(np.searchsorted(k, pk), 0,
+                          max(len(k) - 1, 0))
+            hit = (k[pos] == pk) if len(k) else \
+                np.zeros(len(pk), bool)
+            below = (ec < r[pos] * q) & hit
+            return pa.table({
+                "p_brand": pa.array(br[pos][hit], type=pa.string()),
+                "__one": pa.array(np.ones(int(hit.sum()), np.int64)),
+                "below": pa.array(below[hit].astype(np.int64))})
+
+        out = analytics.grouped_stats(
+            _read(sf, "lineitem",
+                  columns=["l_partkey", "l_extendedprice",
+                           "l_quantity"])
+            .map_batches(feats, batch_format="pyarrow"),
+            ["p_brand"], {"__one": ["sum"], "below": ["sum"]})
+        out = out.rename(columns={"__one_sum": "n_lines",
+                                  "below_sum": "n_below"})
+        out["n_lines"] = out.n_lines.astype("int64")
+        out["n_below"] = out.n_below.astype("int64")
+        out["below_pm"] = (1000 * out.n_below) // out.n_lines
+        cols = ["p_brand", "n_lines", "n_below", "below_pm"]
+        return (out[cols].sort_values("p_brand")
+                .reset_index(drop=True)
+                .astype({c: "int64" for c in cols[1:]}))
+
     def bracket_balance_q(sf):
         # delimiter-hygiene audit per source: docs whose parens /
         # brackets are unbalanced or whose double quotes come in an
@@ -5809,6 +5928,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "embeddings_scatter_ratio": scatter_ratio_q,
+        "events_reactivation_counts": reactivation_q,
+        "brand_discount_depth": discount_depth_q,
         "docs_bracket_balance": bracket_balance_q,
         "copurchase_degree_log_hist": degree_log_hist_q,
         "lineitem_return_clustering": return_clustering_q,
@@ -7499,6 +7621,84 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "embeddings_scatter_ratio": """
+-- Fisher-style separability: per label, within scatter around the
+-- same-unit integer centroid m = floor(sum(q)/n) and between term
+-- n * ||m - g||^2 vs the global integer centroid (float-floor is
+-- exact here: |s/n| <= 2000 and a non-divisible rational sits >=
+-- 1/n from the next integer, far beyond float64 eps)
+WITH q AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(1000.0 * CAST(unnest(embedding) AS DOUBLE))
+              AS BIGINT) AS qv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+s AS (SELECT label, dim, SUM(qv) AS s, COUNT(*) AS n
+      FROM q GROUP BY 1, 2),
+cent AS (SELECT label, dim,
+                CAST(floor(1.0 * s / n) AS BIGINT) AS m, n
+         FROM s),
+g AS (SELECT dim, CAST(floor(1.0 * SUM(s) / SUM(n)) AS BIGINT)
+             AS gm
+      FROM s GROUP BY 1),
+w AS (SELECT q.label,
+             SUM((q.qv - c.m) * (q.qv - c.m)) AS within_x
+      FROM q JOIN cent c ON q.label = c.label AND q.dim = c.dim
+      GROUP BY 1),
+btw AS (SELECT c.label, MAX(c.n) AS n,
+               SUM((c.m - g.gm) * (c.m - g.gm)) AS bsum
+        FROM cent c JOIN g USING (dim) GROUP BY 1)
+SELECT CAST(btw.label AS BIGINT) AS label,
+       CAST(btw.n AS BIGINT) AS n,
+       CAST(w.within_x AS BIGINT) AS within_x,
+       CAST(btw.n * btw.bsum AS BIGINT) AS between_x
+FROM btw JOIN w ON btw.label = w.label ORDER BY label
+""",
+        "events_reactivation_counts": """
+-- dormancy-return histogram: users by count of > 1-day gaps along
+-- their personal timeline (order ts, event_id)
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_id AS eid
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL),
+l AS (
+  SELECT u, t - LAG(t) OVER (PARTITION BY u ORDER BY t, eid)
+           AS gap
+  FROM e),
+r AS (
+  SELECT u, SUM(CASE WHEN gap > 86400000000 THEN 1 ELSE 0 END)
+           AS nre
+  FROM l GROUP BY u)
+SELECT CAST(nre AS BIGINT) AS n_reactivations,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM r GROUP BY 1 ORDER BY 1
+""",
+        "brand_discount_depth": """
+-- pricing-floor audit: per brand, lines whose extended price
+-- undercuts retailprice x quantity (exact integer cents compare)
+WITH p AS (
+  SELECT p_partkey, p_brand,
+         CAST(round(100 * p_retailprice) AS BIGINT) AS rc
+  FROM part
+  WHERE p_partkey IS NOT NULL AND p_brand IS NOT NULL
+    AND p_retailprice IS NOT NULL),
+l AS (
+  SELECT l_partkey,
+         CAST(round(100 * l_extendedprice) AS BIGINT) AS ec,
+         CAST(round(l_quantity) AS BIGINT) AS q
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_quantity IS NOT NULL),
+j AS (
+  SELECT p.p_brand,
+         CASE WHEN l.ec < p.rc * l.q THEN 1 ELSE 0 END AS below
+  FROM l JOIN p ON l.l_partkey = p.p_partkey)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(below) AS BIGINT) AS n_below,
+       CAST(1000 * SUM(below) // COUNT(*) AS BIGINT) AS below_pm
+FROM j GROUP BY 1 ORDER BY 1
+""",
         "docs_bracket_balance": """
 -- delimiter hygiene per source: unbalanced parens/brackets and odd
 -- double-quote counts (substring-count deltas)

@@ -207,7 +207,41 @@ def bench_queries() -> dict[str, float]:
              "user_type_sets", "graph_local_clustering",
              "simhash_bit_balance", "users_lorenz_points",
              "orders_monthly_seasonality", "docs_wordlen_hist",
-             "events_session_size_hist", "part_brand_profile"]
+             "events_session_size_hist", "part_brand_profile",
+             # round-5 session-3 later batches
+             "events_global_gaps", "docs_bigram_coverage",
+             "docs_ngram_novelty",
+             "users_pareto_coverage", "lineitem_weighted_median",
+             "events_user_growth", "events_ab_uplift",
+             "docs_term_positions", "events_theil_sen_trend",
+             "docs_cross_source_dups", "docs_token_drift",
+             "events_transition_diversity", "events_split_leakage",
+             "copurchase_assortativity", "events_linear_attribution",
+             "docs_padding_waste", "events_kendall_trend",
+             "lineitem_spearman", "docs_hybrid_rrf",
+             "orders_priority_status_crosstab",
+             "supplier_nation_profile", "orders_reorder_moments",
+             "revenue_share_nation", "lineitem_frequent_triples",
+             "postings_gamma_bits", "part_unit_price_spread",
+             "events_daily_dispersion", "docs_readability",
+             "events_growth_runs", "copurchase_link_prediction",
+             "embeddings_label_centroids",
+             "embeddings_quantized_dot_hist", "orders_double_submit",
+             "events_cohort_ltv", "orders_ship_delay_hist",
+             "brand_monthly_cumulative", "docs_distinctive_terms",
+             "events_survival_gaps", "docs_markup_audit",
+             "orders_key_density_audit", "nation_return_rate_monthly",
+             # round-5 session-4 additions
+             "embeddings_dim_stats", "part_supplier_switches",
+             "orders_priority_mix_monthly", "part_inventory_balance",
+             "orders_weekday_month_lift", "orders_price_reconcile",
+             "docs_zipf_decile_mass", "embeddings_centroid_confusion",
+             "events_session_duration_by_entry",
+             "source_token_waterfill", "embeddings_label_influence",
+             "events_daily_periodicity", "events_peak_load_window",
+             "part_supplier_hhi", "segment_reorder_gap_quantiles",
+             "docs_bracket_balance", "copurchase_degree_log_hist",
+             "lineitem_return_clustering"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -332,3 +332,56 @@ def test_oracle_return_clustering(ray_session):
                                   "l_returnflag"]).dropna()
     assert r.n_lines == len(li)
     assert r.n_returns == int((li.l_returnflag == "R").sum())
+
+
+def test_oracle_scatter_ratio(ray_session):
+    out = _oracle_check("embeddings_scatter_ratio",
+                        tables=("embeddings",))
+    assert len(out) > 0
+    assert (out.within_x >= 0).all()
+    assert (out.between_x >= 0).all()
+    con = duckdb.connect()
+    n_vec = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL AND label IS NOT NULL"
+    ).fetchone()[0]
+    assert out.n.sum() == n_vec
+
+
+def test_scatter_ratio_two_blob(ray_session):
+    # two tight, well-separated blobs: between >> within
+    import ray.data as rd
+
+    from verify_ray.pipelines.similarity import scatter_ratio
+
+    vecs = [[1.0, 0.0]] * 5 + [[-1.0, 0.0]] * 5
+    labs = [0] * 5 + [1] * 5
+    t = pa.table({"embedding": pa.array(vecs,
+                                        type=pa.list_(pa.float32())),
+                  "label": pa.array(labs, type=pa.int32())})
+    out = scatter_ratio(rd.from_arrow(t).materialize())
+    assert list(out.label) == [0, 1]
+    assert (out.within_x == 0).all()
+    # centroids (1000, 0) and (-1000, 0); global (0, 0):
+    # between = 5 * 1000^2 each
+    assert list(out.between_x) == [5_000_000, 5_000_000]
+
+
+def test_oracle_reactivation_counts(ray_session):
+    out = _oracle_check("events_reactivation_counts",
+                        tables=("events",))
+    assert len(out) > 1  # both dormant-returners and steady users
+    con = duckdb.connect()
+    n_users = con.execute(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF}/events.parquet' "
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+        "AND event_id IS NOT NULL").fetchone()[0]
+    assert out.n_users.sum() == n_users
+
+
+def test_oracle_brand_discount_depth(ray_session):
+    out = _oracle_check("brand_discount_depth",
+                        tables=("lineitem", "part"))
+    assert len(out) > 0
+    assert (out.n_below <= out.n_lines).all()
+    assert (out.below_pm <= 1000).all()

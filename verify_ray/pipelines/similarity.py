@@ -1136,3 +1136,75 @@ def centroid_confusion(ds, emb_col: str = "embedding",
            .agg(n=("n", "sum")))
     return (out.sort_values(["label", "assigned"])
             .reset_index(drop=True).astype("int64"))
+
+
+def scatter_ratio(ds, emb_col: str = "embedding",
+                  label_col: str = "label") -> pd.DataFrame:
+    """FISHER-STYLE cluster-separability surface — "are the labels
+    actually separated in embedding space, or is the labeling noise?"
+    (the go/no-go check before trusting labels for contrastive or
+    classifier training): per label, the WITHIN scatter
+    ``Σ_v Σ_d (q_vd − m_{l,d})²`` of quantized coordinates
+    ``q = floor(1000·x)`` around the label's SAME-UNIT integer
+    centroid ``m = floor(Σq/n)``, and the BETWEEN term
+    ``n_l · Σ_d (m_{l,d} − g_d)²`` against the global integer
+    centroid ``g`` — both int64-exact (|q−m| ≤ ~2000, squared ≤
+    4·10⁶, × dims × rows stays far under 2⁶³), so a high
+    between/within ratio is a bit-for-bit SQL-checkable separability
+    verdict.  Null rows drop.  Returns
+    ``(label, n, within_x, between_x)`` sorted by label.
+
+    Scale shape: pass 1 is the shared `_label_dim_sums` partials
+    pass; pass 2 broadcasts the k×dim centroid matrix and streams
+    per-batch within-scatter partials (k rows per batch).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    agg = _label_dim_sums(ds, emb_col, label_col)
+    cols = ("label", "n", "within_x", "between_x")
+    if agg.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    labels = np.sort(agg.label.unique())
+    dmax = int(agg.dim.max()) + 1
+    cent = np.zeros((len(labels), dmax), dtype=np.int64)
+    pos = {int(l): i for i, l in enumerate(labels)}
+    cent[[pos[int(l)] for l in agg.label],
+         agg.dim.to_numpy()] = agg.s.to_numpy() // agg.n.to_numpy()
+    # global integer centroid over ALL vectors (same q units)
+    g = (agg.groupby("dim").agg(gs=("s", "sum"), gn=("n", "sum"))
+         .sort_index())
+    gcent = g.gs.to_numpy(np.int64) // g.gn.to_numpy(np.int64)
+    n_l = (agg.groupby("label").n.max()
+           .reindex(labels).to_numpy(np.int64))
+    between = n_l * ((cent - gcent[None, :]) ** 2).sum(axis=1)
+    ref = ray.put((labels.astype(np.int64), cent))
+
+    def within(b: pa.Table) -> pa.Table:
+        labs, c = ray.get(ref)
+        b = b.filter(pc.and_(pc.is_valid(b[emb_col]),
+                             pc.is_valid(b[label_col])))
+        if b.num_rows == 0:
+            e = np.empty(0, np.int64)
+            return pa.table({"label": pa.array(e),
+                             "w": pa.array(e)})
+        q = np.floor(1000.0 * _emb_matrix(b, emb_col)).astype(np.int64)
+        lab = pc.cast(b[label_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        idx = np.searchsorted(labs, lab)
+        diff = q - c[idx]
+        w = (diff * diff).sum(axis=1)
+        ul, inv = np.unique(lab, return_inverse=True)
+        acc = np.zeros(len(ul), dtype=np.int64)
+        np.add.at(acc, inv, w)
+        return pa.table({"label": pa.array(ul), "w": pa.array(acc)})
+
+    parts = (ds.select_columns([emb_col, label_col])
+             .map_batches(within, batch_format="pyarrow").to_pandas())
+    wsum = (parts.groupby("label").w.sum()
+            .reindex(labels).fillna(0).to_numpy(np.int64))
+    return pd.DataFrame({
+        "label": labels.astype(np.int64), "n": n_l,
+        "within_x": wsum, "between_x": between}).astype("int64")
