@@ -5136,6 +5136,125 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def type_adoption_q(sf):
+        # adoption curve: per (month, event type), users seeing the
+        # type for the FIRST time — per-(user,type) min-month partials
+        # in each batch, resolved in ONE hash exchange, then a tiny
+        # (month, type) count merge
+        from verify_ray.functions.hashing import md5_u64le
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def partial(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["user_id"]),
+                        pc.and_(pc.is_valid(b["ts"]),
+                                pc.is_valid(b["event_type"])))
+            b = b.filter(m)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            et = pc.cast(b["event_type"], pa.string()).to_numpy(
+                zero_copy_only=False).astype(object)
+            day = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mon = (day.astype("datetime64[D]")
+                   .astype("datetime64[M]").astype(np.int64))
+            key = np.char.add(np.char.add(u.astype(str), "\x1f"),
+                              et.astype(str)).astype(object)
+            order = np.lexsort((mon, key))
+            key, u, et, mon = (key[order], u[order], et[order],
+                               mon[order])
+            first = np.ones(len(key), dtype=bool)
+            first[1:] = key[1:] != key[:-1]
+            h = md5_u64le(pa.array(key[first], type=pa.string()))
+            return pa.table({
+                "__b": pa.array((h % np.uint64(32)).astype(np.int64)),
+                "k": pa.array(key[first], type=pa.string()),
+                "event_type": pa.array(et[first], type=pa.string()),
+                "mon": pa.array(mon[first])})
+
+        def resolve(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False
+                                       ).astype(object)
+            et = t.column("event_type").to_numpy(
+                zero_copy_only=False).astype(object)
+            mon = t.column("mon").to_numpy(zero_copy_only=False)
+            order = np.lexsort((mon, k))
+            k, et, mon = k[order], et[order], mon[order]
+            first = np.ones(len(k), dtype=bool)
+            first[1:] = k[1:] != k[:-1]
+            et, mon = et[first], mon[first]
+            df = pd.DataFrame({"event_type": et, "mon": mon})
+            g = (df.groupby(["mon", "event_type"], as_index=False)
+                 .size().rename(columns={"size": "n_new_users"}))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        tagged = (_read(sf, "events",
+                        columns=["user_id", "ts", "event_type"])
+                  .map_batches(partial, batch_format="pyarrow"))
+        out = grouped_exchange(tagged, "__b", 32, resolve)
+        cols = ["mon", "event_type", "n_new_users"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({
+                "mon": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype=object),
+                "n_new_users": pd.Series(dtype="int64")})
+        df = (out.to_pandas()
+              .groupby(["mon", "event_type"], as_index=False)
+              .n_new_users.sum())
+        return (df[cols].sort_values(["mon", "event_type"])
+                .reset_index(drop=True)
+                .astype({"mon": "int64", "n_new_users": "int64"}))
+
+    def supplier_corr_q(sf):
+        # per nation: integer correlation moments between a
+        # supplier's account balance (cents) and its lineitem volume
+        # — per-supplier counts from ONE exchange, joined to the
+        # dim-sized supplier frame on the driver
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["l_suppkey"]))
+            s = pc.cast(b["l_suppkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            us, cnt = np.unique(s, return_counts=True)
+            return pa.table({"__b": pa.array(us % 32),
+                             "s": pa.array(us),
+                             "c": pa.array(cnt.astype(np.int64))})
+
+        def resolve(t: pa.Table) -> pa.Table:
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            us, inv = np.unique(s, return_inverse=True)
+            tot = np.zeros(len(us), dtype=np.int64)
+            np.add.at(tot, inv, c)
+            return pa.table({"s": pa.array(us), "c": pa.array(tot)})
+
+        counts = grouped_exchange(
+            _read(sf, "lineitem", columns=["l_suppkey"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, resolve)
+        sup = _read(sf, "supplier",
+                    columns=["s_suppkey", "s_nationkey",
+                             "s_acctbal"]).to_pandas().dropna()
+        cdf = (counts.to_pandas() if counts is not None
+               and counts.num_rows else
+               pd.DataFrame({"s": [], "c": []}))
+        j = sup.merge(cdf, left_on="s_suppkey", right_on="s",
+                      how="left")
+        j["c"] = j.c.fillna(0).astype("int64")
+        x = np.rint(100.0 * j.s_acctbal.to_numpy()).astype(np.int64)
+        y = j.c.to_numpy(np.int64)
+        nk = j.s_nationkey.to_numpy(np.int64)
+        df = pd.DataFrame({
+            "n_nationkey": nk, "one": 1, "sx": x, "sy": y,
+            "sxy": x * y, "sxx": x * x, "syy": y * y})
+        out = (df.groupby("n_nationkey", as_index=False)
+               .agg(n=("one", "sum"), sum_x=("sx", "sum"),
+                    sum_y=("sy", "sum"), sum_xy=("sxy", "sum"),
+                    sum_x2=("sxx", "sum"), sum_y2=("syy", "sum")))
+        return (out.sort_values("n_nationkey")
+                .reset_index(drop=True).astype("int64"))
+
     def scatter_ratio_q(sf):
         # Fisher-style separability: within/between scatter of
         # quantized embeddings around integer centroids
@@ -5928,6 +6047,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "user_type_first_adoption": type_adoption_q,
+        "supplier_volume_balance_corr": supplier_corr_q,
         "embeddings_scatter_ratio": scatter_ratio_q,
         "events_reactivation_counts": reactivation_q,
         "brand_discount_depth": discount_depth_q,
@@ -7621,6 +7742,43 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "user_type_first_adoption": """
+-- adoption curve: users seeing each event type for the first time,
+-- counted per (month, type)
+WITH e AS (
+  SELECT user_id AS u, event_type,
+         (EXTRACT(year FROM ts) - 1970) * 12
+           + EXTRACT(month FROM ts) - 1 AS mon
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+f AS (SELECT u, event_type, MIN(mon) AS mon FROM e GROUP BY 1, 2)
+SELECT CAST(mon AS BIGINT) AS mon, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_new_users
+FROM f GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "supplier_volume_balance_corr": """
+-- per nation: integer correlation moments between supplier balance
+-- (cents) and lineitem volume; suppliers with no lines count y = 0
+WITH c AS (
+  SELECT l_suppkey AS s, COUNT(*) AS c FROM lineitem
+  WHERE l_suppkey IS NOT NULL GROUP BY 1),
+j AS (
+  SELECT sp.s_nationkey AS n_nationkey,
+         CAST(round(100 * sp.s_acctbal) AS BIGINT) AS x,
+         COALESCE(c.c, 0) AS y
+  FROM supplier sp LEFT JOIN c ON sp.s_suppkey = c.s
+  WHERE sp.s_suppkey IS NOT NULL AND sp.s_nationkey IS NOT NULL
+    AND sp.s_acctbal IS NOT NULL)
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+       CAST(SUM(y * y) AS BIGINT) AS sum_y2
+FROM j GROUP BY 1 ORDER BY 1
+""",
         "embeddings_scatter_ratio": """
 -- Fisher-style separability: per label, within scatter around the
 -- same-unit integer centroid m = floor(sum(q)/n) and between term

@@ -241,7 +241,10 @@ def bench_queries() -> dict[str, float]:
              "events_daily_periodicity", "events_peak_load_window",
              "part_supplier_hhi", "segment_reorder_gap_quantiles",
              "docs_bracket_balance", "copurchase_degree_log_hist",
-             "lineitem_return_clustering"]
+             "lineitem_return_clustering",
+             "embeddings_scatter_ratio", "events_reactivation_counts",
+             "brand_discount_depth", "user_type_first_adoption",
+             "supplier_volume_balance_corr"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -385,3 +385,43 @@ def test_oracle_brand_discount_depth(ray_session):
     assert len(out) > 0
     assert (out.n_below <= out.n_lines).all()
     assert (out.below_pm <= 1000).all()
+
+
+def test_oracle_type_adoption(ray_session):
+    out = _oracle_check("user_type_first_adoption",
+                        tables=("events",))
+    assert len(out) > 0
+    # each (user, type) pair adopts exactly once: totals match the
+    # distinct pair count
+    con = duckdb.connect()
+    n_pairs = con.execute(
+        f"SELECT COUNT(*) FROM (SELECT DISTINCT user_id, event_type "
+        f"FROM '{SF}/events.parquet' WHERE user_id IS NOT NULL "
+        "AND ts IS NOT NULL AND event_type IS NOT NULL)"
+    ).fetchone()[0]
+    assert out.n_new_users.sum() == n_pairs
+    # adoption is front-loaded: the first month dominates
+    first_mon = out.mon.min()
+    assert (out[out.mon == first_mon].n_new_users.sum()
+            >= out.n_new_users.sum() // 2)
+
+
+def test_oracle_supplier_corr(ray_session):
+    out = _oracle_check("supplier_volume_balance_corr",
+                        tables=("supplier", "lineitem"))
+    assert len(out) > 0
+    # Cauchy-Schwarz on centered moments (cross-multiplied)
+    n = out.n.to_numpy()
+    cov = n * out.sum_xy.to_numpy() - out.sum_x.to_numpy() \
+        * out.sum_y.to_numpy()
+    vx = n * out.sum_x2.to_numpy() - out.sum_x.to_numpy() ** 2
+    vy = n * out.sum_y2.to_numpy() - out.sum_y.to_numpy() ** 2
+    assert (cov.astype(object) ** 2
+            <= vx.astype(object) * vy.astype(object)).all()
+    # every supplier is counted exactly once across nations
+    con = duckdb.connect()
+    n_sup = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/supplier.parquet' "
+        "WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL "
+        "AND s_acctbal IS NOT NULL").fetchone()[0]
+    assert out.n.sum() == n_sup
