@@ -5136,6 +5136,192 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def trade_matrix_q(sf):
+        # Q7-style trade matrix: exact-integer revenue (units 1e-4
+        # dollars, ec x (100-disc)) per (customer nation, supplier
+        # nation) — both nation dims broadcast, ONE orderkey-keyed
+        # hash join (mirrors /root/reference semantics only in
+        # spirit: this is a representative analytics pipeline)
+        import ray
+
+        from verify_ray.pipelines.joins import hash_join
+
+        nat = _read(sf, "nation",
+                    columns=["n_nationkey", "n_name"]).to_pandas()
+        nmap = dict(zip(nat.n_nationkey.astype(int),
+                        nat.n_name.astype(str)))
+        cust = _read(sf, "customer",
+                     columns=["c_custkey", "c_nationkey"]
+                     ).to_pandas().dropna()
+        cust = cust[cust.c_nationkey.astype(int).isin(nmap)]
+        ck = cust.c_custkey.to_numpy(np.int64)
+        co = np.argsort(ck)
+        ck = ck[co]
+        cn = np.array([nmap[int(k)]
+                       for k in cust.c_nationkey.to_numpy()[co]],
+                      dtype=object)
+        sup = _read(sf, "supplier",
+                    columns=["s_suppkey", "s_nationkey"]
+                    ).to_pandas().dropna()
+        sup = sup[sup.s_nationkey.astype(int).isin(nmap)]
+        sk = sup.s_suppkey.to_numpy(np.int64)
+        so = np.argsort(sk)
+        sk = sk[so]
+        sn = np.array([nmap[int(k)]
+                       for k in sup.s_nationkey.to_numpy()[so]],
+                      dtype=object)
+        ref = ray.put((ck, cn, sk, sn))
+
+        def o_prep(b: pa.Table) -> pa.Table:
+            k, nm, _, _ = ray.get(ref)
+            b = b.filter(pc.and_(pc.is_valid(b["o_orderkey"]),
+                                 pc.is_valid(b["o_custkey"])))
+            c = pc.cast(b["o_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            pos = np.clip(np.searchsorted(k, c), 0,
+                          max(len(k) - 1, 0))
+            hit = (k[pos] == c) if len(k) else np.zeros(len(c), bool)
+            return pa.table({
+                "o_orderkey": pc.cast(b["o_orderkey"],
+                                      pa.int64()).filter(
+                    pa.array(hit)),
+                "cust_nation": pa.array(nm[pos][hit],
+                                        type=pa.string())})
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            _, _, k, nm = ray.get(ref)
+            m = None
+            for c in ("l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            s = pc.cast(b["l_suppkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            ec = np.rint(100.0 * b["l_extendedprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            disc = np.rint(100.0 * b["l_discount"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            rev = ec * (100 - disc)
+            pos = np.clip(np.searchsorted(k, s), 0,
+                          max(len(k) - 1, 0))
+            hit = (k[pos] == s) if len(k) else np.zeros(len(s), bool)
+            return pa.table({
+                "l_orderkey": pc.cast(b["l_orderkey"],
+                                      pa.int64()).filter(
+                    pa.array(hit)),
+                "supp_nation": pa.array(nm[pos][hit],
+                                        type=pa.string()),
+                "rev": pa.array(rev[hit])})
+
+        li = (_read(sf, "lineitem",
+                    columns=["l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+              .map_batches(li_prep, batch_format="pyarrow"))
+        od = (_read(sf, "orders",
+                    columns=["o_orderkey", "o_custkey"])
+              .map_batches(o_prep, batch_format="pyarrow"))
+        j = hash_join(li, od, key="l_orderkey",
+                      right_key="o_orderkey",
+                      left_values=["supp_nation", "rev"],
+                      right_values=["cust_nation"], how="inner",
+                      num_buckets=16)
+
+        def one(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "cust_nation": b["cust_nation"],
+                "supp_nation": b["supp_nation"],
+                "rev": b["rev"],
+                "__one": pa.array(np.ones(b.num_rows, np.int64))})
+
+        out = analytics.grouped_stats(
+            j.map_batches(one, batch_format="pyarrow"),
+            ["cust_nation", "supp_nation"],
+            {"__one": ["sum"], "rev": ["sum"]})
+        out = out.rename(columns={"__one_sum": "n_lines",
+                                  "rev_sum": "revenue_x"})
+        cols = ["cust_nation", "supp_nation", "n_lines",
+                "revenue_x"]
+        return (out[cols].sort_values(["cust_nation", "supp_nation"])
+                .reset_index(drop=True)
+                .astype({"n_lines": "int64", "revenue_x": "int64"}))
+
+    def burst_ratio_q(sf):
+        # burstiness per event type: max vs median daily volume over
+        # ACTIVE days (days with >= 1 event of the type)
+        def prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                                 pc.is_valid(b["event_type"])))
+            day = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            return pa.table({"event_type": b["event_type"],
+                             "day": pa.array(day),
+                             "__one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+
+        daily = analytics.grouped_stats(
+            _read(sf, "events", columns=["ts", "event_type"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["event_type", "day"], {"__one": ["sum"]})
+        daily = daily.rename(columns={"__one_sum": "n"})
+        daily["n"] = daily.n.astype("int64")
+
+        def med(v):
+            a = np.sort(v.to_numpy(np.int64))
+            return int(a[max(0, int(np.ceil(0.5 * len(a))) - 1)])
+
+        out = (daily.groupby("event_type")
+               .agg(n_days=("day", "size"), max_daily=("n", "max"),
+                    med_daily=("n", med)).reset_index())
+        out["burst_pm"] = (1000 * out.max_daily.astype("int64")) \
+            // out.med_daily.astype("int64")
+        cols = ["event_type", "n_days", "max_daily", "med_daily",
+                "burst_pm"]
+        return (out[cols].sort_values("event_type")
+                .reset_index(drop=True)
+                .astype({c: "int64" for c in cols[1:]}))
+
+    def monthly_hhi_q(sf):
+        # market concentration over time: per order month, customer
+        # revenue HHI over floored permille shares (exact integers;
+        # totalprice cents)
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_custkey"]),
+                        pc.and_(pc.is_valid(b["o_orderdate"]),
+                                pc.is_valid(b["o_totalprice"])))
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mon = (day.astype("datetime64[D]")
+                   .astype("datetime64[M]").astype(np.int64))
+            cents = np.rint(100.0 * b["o_totalprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({"mon": pa.array(mon),
+                             "ck": pc.cast(b["o_custkey"],
+                                           pa.int64()),
+                             "cents": pa.array(cents)})
+
+        per = analytics.grouped_stats(
+            _read(sf, "orders",
+                  columns=["o_custkey", "o_orderdate",
+                           "o_totalprice"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["mon", "ck"], {"cents": ["sum"]})
+        per = per.rename(columns={"cents_sum": "rev"})
+        per["rev"] = per.rev.astype("int64")
+        tot = per.groupby("mon").rev.transform("sum")
+        per["share_pm"] = (1000 * per.rev) // tot
+        g = (per.assign(sq=per.share_pm ** 2)
+             .groupby("mon", as_index=False)
+             .agg(n_customers=("ck", "size"),
+                  top_share_pm=("share_pm", "max"),
+                  hhi_pm2=("sq", "sum")))
+        return (g.sort_values("mon").reset_index(drop=True)
+                .astype("int64"))
+
     def type_adoption_q(sf):
         # adoption curve: per (month, event type), users seeing the
         # type for the FIRST time — per-(user,type) min-month partials
@@ -6047,6 +6233,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "nation_trade_matrix": trade_matrix_q,
+        "events_burst_ratio_by_type": burst_ratio_q,
+        "orders_monthly_customer_hhi": monthly_hhi_q,
         "user_type_first_adoption": type_adoption_q,
         "supplier_volume_balance_corr": supplier_corr_q,
         "embeddings_scatter_ratio": scatter_ratio_q,
@@ -7742,6 +7931,70 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "nation_trade_matrix": """
+-- Q7-style trade matrix: exact-integer revenue (1e-4 dollar units,
+-- cents x (100-disc%)) per (customer nation, supplier nation)
+WITH li AS (
+  SELECT l.l_orderkey AS ok, s.s_nationkey AS sn,
+         CAST(round(100 * l.l_extendedprice) AS BIGINT)
+           * (100 - CAST(round(100 * l.l_discount) AS BIGINT))
+           AS rev
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE l.l_orderkey IS NOT NULL AND l.l_suppkey IS NOT NULL
+    AND l.l_extendedprice IS NOT NULL
+    AND l.l_discount IS NOT NULL),
+o AS (
+  SELECT o_orderkey AS ok, c.c_nationkey AS cn
+  FROM orders JOIN customer c ON o_custkey = c.c_custkey
+  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL),
+j AS (
+  SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation,
+         li.rev
+  FROM li JOIN o USING (ok)
+  JOIN nation nc ON o.cn = nc.n_nationkey
+  JOIN nation ns ON li.sn = ns.n_nationkey)
+SELECT cust_nation, supp_nation,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(rev) AS BIGINT) AS revenue_x
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_burst_ratio_by_type": """
+-- burstiness per type: max vs lower-median daily volume over active
+-- days
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(n) AS BIGINT) AS max_daily,
+       CAST(quantile_disc(n, 0.5) AS BIGINT) AS med_daily,
+       CAST(1000 * MAX(n) // quantile_disc(n, 0.5) AS BIGINT)
+         AS burst_pm
+FROM d GROUP BY 1 ORDER BY 1
+""",
+        "orders_monthly_customer_hhi": """
+-- market concentration over time: per month, customer revenue HHI
+-- over floored permille shares (totalprice cents)
+WITH o AS (
+  SELECT (EXTRACT(year FROM o_orderdate) - 1970) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS mon,
+         o_custkey AS ck,
+         CAST(round(100 * o_totalprice) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL),
+per AS (SELECT mon, ck, SUM(cents) AS rev FROM o GROUP BY 1, 2),
+sh AS (
+  SELECT mon, ck,
+         1000 * rev // SUM(rev) OVER (PARTITION BY mon) AS share_pm
+  FROM per)
+SELECT CAST(mon AS BIGINT) AS mon,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MAX(share_pm) AS BIGINT) AS top_share_pm,
+       CAST(SUM(share_pm * share_pm) AS BIGINT) AS hhi_pm2
+FROM sh GROUP BY 1 ORDER BY 1
+""",
         "user_type_first_adoption": """
 -- adoption curve: users seeing each event type for the first time,
 -- counted per (month, type)

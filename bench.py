@@ -244,7 +244,9 @@ def bench_queries() -> dict[str, float]:
              "lineitem_return_clustering",
              "embeddings_scatter_ratio", "events_reactivation_counts",
              "brand_discount_depth", "user_type_first_adoption",
-             "supplier_volume_balance_corr"]
+             "supplier_volume_balance_corr", "nation_trade_matrix",
+             "events_burst_ratio_by_type",
+             "orders_monthly_customer_hhi"]
     out = {}
     for name in names:
         t0 = time.time()

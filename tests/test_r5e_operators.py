@@ -425,3 +425,37 @@ def test_oracle_supplier_corr(ray_session):
         "WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL "
         "AND s_acctbal IS NOT NULL").fetchone()[0]
     assert out.n.sum() == n_sup
+
+
+def test_oracle_trade_matrix(ray_session):
+    out = _oracle_check("nation_trade_matrix",
+                        tables=("lineitem", "orders", "customer",
+                                "supplier", "nation"))
+    assert len(out) > 0
+    assert (out.revenue_x > 0).all()
+    # total joined lines = lineitem rows whose order exists
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/lineitem.parquet' l "
+        f"JOIN '{SF}/orders.parquet' o ON l.l_orderkey = o.o_orderkey"
+    ).fetchone()[0]
+    assert out.n_lines.sum() == n
+
+
+def test_oracle_burst_ratio(ray_session):
+    out = _oracle_check("events_burst_ratio_by_type",
+                        tables=("events",))
+    assert len(out) > 0
+    assert (out.max_daily >= out.med_daily).all()
+    assert (out.burst_pm >= 1000).all()
+
+
+def test_oracle_monthly_hhi(ray_session):
+    out = _oracle_check("orders_monthly_customer_hhi",
+                        tables=("orders",))
+    assert len(out) > 0
+    # HHI bounds: 1e6/n <= hhi <= 1e6 on true shares; floored
+    # permille shares can only sit lower
+    assert (out.hhi_pm2 <= 1_000_000).all()
+    assert (out.top_share_pm <= 1000).all()
+    assert (out.hhi_pm2 >= out.top_share_pm ** 2).all()
