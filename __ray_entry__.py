@@ -5136,6 +5136,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def _columnar_roundtrip(sf, fmt):
+        # interchange round trip shared by orc/feather: documents
+        # project out as 4 shards (doc_id % 4, fingerprint-cached),
+        # stream back through the lineage reader WITH projection, and
+        # aggregate — hash match vs the direct-parquet oracle proves
+        # the format round trip is lossless for these columns
+        import hashlib
+        import os
+
+        from verify_ray.sources.columnar import (
+            read_feather_with_lineage, read_orc_with_lineage)
+
+        src = f"{sf}/documents.parquet"
+        fp = (f"{fmt}-v1:{src}:{os.path.getsize(src)}"
+              f":{os.path.getmtime(src)}")
+        root = (f"/tmp/verify_ray_{fmt}/"
+                + hashlib.md5(fp.encode()).hexdigest()[:12])
+        marker = os.path.join(root, "_complete")
+        ext = "orc" if fmt == "orc" else "feather"
+        if not os.path.exists(marker):
+            os.makedirs(root, exist_ok=True)
+            full = (_read(sf, "documents",
+                          columns=["doc_id", "lang", "n_chars"])
+                    .to_arrow_refs())
+            import ray
+
+            t = pa.concat_tables(ray.get(full))
+            ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            for sid in range(4):
+                shard = t.filter(pa.array(ids % 4 == sid))
+                p = os.path.join(root, f"shard-{sid}.{ext}")
+                if fmt == "orc":
+                    from pyarrow import orc
+
+                    orc.write_table(shard, p)
+                else:
+                    import pyarrow.feather as feather
+
+                    feather.write_feather(shard, p)
+            open(marker, "w").write(fp)
+        files = sorted(os.path.join(root, f)
+                       for f in os.listdir(root)
+                       if f.endswith("." + ext))
+        reader = (read_orc_with_lineage if fmt == "orc"
+                  else read_feather_with_lineage)
+        back = reader(files, columns=["doc_id", "lang", "n_chars"])
+
+        def agg(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "lang": b["lang"],
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+                "doc_id": pc.cast(b["doc_id"], pa.int64())})
+
+        df = analytics.grouped_stats(
+            back.map_batches(agg, batch_format="pyarrow"),
+            ["lang"], {"n_chars": ["count", "sum"],
+                       "doc_id": ["sum"]})
+        out = pd.DataFrame({
+            "lang": df.lang,
+            "n_docs": df.n_chars_count.astype("int64"),
+            "sum_chars": df.n_chars_sum.astype("int64"),
+            "sum_ids": df.doc_id_sum.astype("int64")})
+        return out.sort_values("lang").reset_index(drop=True)
+
+    def orc_roundtrip_q(sf):
+        return _columnar_roundtrip(sf, "orc")
+
+    def feather_roundtrip_q(sf):
+        return _columnar_roundtrip(sf, "feather")
+
     def trade_matrix_q(sf):
         # Q7-style trade matrix: exact-integer revenue (units 1e-4
         # dollars, ec x (100-disc)) per (customer nation, supplier
@@ -6233,6 +6304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "orc_roundtrip": orc_roundtrip_q,
+        "feather_roundtrip": feather_roundtrip_q,
         "nation_trade_matrix": trade_matrix_q,
         "events_burst_ratio_by_type": burst_ratio_q,
         "orders_monthly_customer_hhi": monthly_hhi_q,
@@ -7931,6 +8004,20 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "orc_roundtrip": """
+-- the ORC round-tripped aggregate must equal the direct aggregate
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        "feather_roundtrip": """
+-- the Feather round-tripped aggregate must equal the direct one
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY lang ORDER BY lang
+""",
         "nation_trade_matrix": """
 -- Q7-style trade matrix: exact-integer revenue (1e-4 dollar units,
 -- cents x (100-disc%)) per (customer nation, supplier nation)

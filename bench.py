@@ -245,6 +245,7 @@ def bench_queries() -> dict[str, float]:
              "embeddings_scatter_ratio", "events_reactivation_counts",
              "brand_discount_depth", "user_type_first_adoption",
              "supplier_volume_balance_corr", "nation_trade_matrix",
+             "orc_roundtrip", "feather_roundtrip",
              "events_burst_ratio_by_type",
              "orders_monthly_customer_hhi"]
     out = {}

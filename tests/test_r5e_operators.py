@@ -459,3 +459,45 @@ def test_oracle_monthly_hhi(ray_session):
     assert (out.hhi_pm2 <= 1_000_000).all()
     assert (out.top_share_pm <= 1000).all()
     assert (out.hhi_pm2 >= out.top_share_pm ** 2).all()
+
+
+def test_oracle_orc_roundtrip(ray_session):
+    out = _oracle_check("orc_roundtrip", tables=("documents",))
+    assert len(out) > 0
+    assert out.n_docs.sum() > 0
+
+
+def test_oracle_feather_roundtrip(ray_session):
+    out = _oracle_check("feather_roundtrip", tables=("documents",))
+    assert len(out) > 0
+
+
+def test_columnar_projection_and_lineage(ray_session):
+    # projection prunes columns at the read; path lineage present
+    import os
+    import tempfile
+
+    import pyarrow.feather as feather
+    from pyarrow import orc
+
+    import ray.data as rd
+
+    from verify_ray.sources.columnar import (read_feather_with_lineage,
+                                             read_orc_with_lineage)
+
+    t = pa.table({"a": pa.array([1, 2, 3], type=pa.int64()),
+                  "b": pa.array(["x", "y", "z"]),
+                  "c": pa.array([1.5, 2.5, 3.5])})
+    d = tempfile.mkdtemp(prefix="vr_columnar_")
+    op, fp = os.path.join(d, "t.orc"), os.path.join(d, "t.feather")
+    orc.write_table(t, op)
+    feather.write_feather(t, fp)
+    for reader, path in ((read_orc_with_lineage, op),
+                         (read_feather_with_lineage, fp)):
+        ds = reader([path], columns=["a", "b"])
+        got = pa.concat_tables(
+            [pa.Table.from_pandas(df) for df in
+             [ds.to_pandas()]])
+        assert sorted(got.column_names) == ["a", "b", "path"]
+        assert got.num_rows == 3
+        assert got.column("path").to_pylist()[0] == path
