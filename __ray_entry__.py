@@ -5136,6 +5136,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def coverage_curve_q(sf):
+        # head-coverage curve: corpus mass of the top-k tokens for
+        # k = 1, 2, 4, ... (count-histogram exchange; same md5
+        # token-id contract as token_topk)
+        from verify_ray.pipelines.tokenize import tokenize_documents
+
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "text", "source"])
+        seqs = tokenize_documents(docs, concurrency=2)
+
+        def tok_rows(b: pa.Table) -> pa.Table:
+            flat = pc.list_flatten(b["tokens"])
+            return pa.table({"token": pc.cast(flat, pa.int64())})
+
+        rows = seqs.map_batches(tok_rows, batch_format="pyarrow")
+        return analytics.coverage_curve(rows, key_col="token")
+
+    def centroid_distances_q(sf):
+        # pairwise label-centroid squared L2 (same-unit integer
+        # centroids) — the geometry behind centroid confusion
+        from verify_ray.pipelines.similarity import centroid_distances
+
+        return centroid_distances(
+            _read(sf, "embeddings", columns=["embedding", "label"]))
+
+    def length_band_q(sf):
+        # representation audit: global length-quartile bands x source
+        # composition (who owns the longest docs?)
+        from verify_ray.pipelines.select import exact_quantiles
+
+        docs = _read(sf, "documents", columns=["source", "n_chars"])
+
+        def keep_valid(b: pa.Table) -> pa.Table:
+            return b.filter(pc.and_(pc.is_valid(b["source"]),
+                                    pc.is_valid(b["n_chars"])))
+
+        cuts = exact_quantiles(
+            docs.map_batches(keep_valid, batch_format="pyarrow"),
+            "n_chars", [250, 500, 750])
+        q1, q2, q3 = cuts.column("value").to_pylist()
+
+        def band(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b["source"]),
+                                 pc.is_valid(b["n_chars"])))
+            n = pc.cast(b["n_chars"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            bd = np.full(len(n), 3, dtype=np.int64)
+            bd[n <= q3] = 2
+            bd[n <= q2] = 1
+            bd[n <= q1] = 0
+            return pa.table({"band": pa.array(bd),
+                             "source": b["source"],
+                             "__one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+
+        out = analytics.grouped_stats(
+            _read(sf, "documents", columns=["source", "n_chars"])
+            .map_batches(band, batch_format="pyarrow"),
+            ["band", "source"], {"__one": ["sum"]})
+        out = out.rename(columns={"__one_sum": "n_docs"})
+        out["n_docs"] = out.n_docs.astype("int64")
+        tot = out.groupby("band").n_docs.transform("sum")
+        out["share_pm"] = (1000 * out.n_docs) // tot
+        cols = ["band", "source", "n_docs", "share_pm"]
+        return (out[cols].sort_values(["band", "source"])
+                .reset_index(drop=True)
+                .astype({"band": "int64", "n_docs": "int64",
+                         "share_pm": "int64"}))
+
     def _columnar_roundtrip(sf, fmt):
         # interchange round trip shared by orc/feather: documents
         # project out as 4 shards (doc_id % 4, fingerprint-cached),
@@ -6304,6 +6373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "tokens_coverage_curve": coverage_curve_q,
+        "embeddings_centroid_distances": centroid_distances_q,
+        "docs_length_band_by_source": length_band_q,
         "orc_roundtrip": orc_roundtrip_q,
         "feather_roundtrip": feather_roundtrip_q,
         "nation_trade_matrix": trade_matrix_q,
@@ -8004,6 +8076,81 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "tokens_coverage_curve": f"""
+-- head-coverage: corpus mass of the top-k token ranks for k = 1, 2,
+-- 4, ... (< V) plus k = V (tie order cannot change a top-k mass)
+WITH words AS (
+  SELECT unnest(regexp_split_to_array({_TRIMMED}, '\\s+')) AS w
+  FROM documents),
+c AS (SELECT {_TOKEN_ID} AS token, COUNT(*) AS cnt
+      FROM words GROUP BY 1),
+r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn,
+             COUNT(*) OVER () AS v, SUM(cnt) OVER () AS total
+      FROM c),
+ks AS (SELECT unnest(range(0, 21)) AS p),
+kk AS (
+  SELECT CAST(power(2, p) AS BIGINT) AS k FROM ks
+  WHERE CAST(power(2, p) AS BIGINT) < (SELECT MAX(v) FROM r)
+  UNION
+  SELECT MAX(v) FROM r)
+SELECT CAST(kk.k AS BIGINT) AS k,
+       CAST(SUM(r.cnt) AS BIGINT) AS mass,
+       CAST(1000 * SUM(r.cnt) // MAX(r.total) AS BIGINT) AS mass_pm
+FROM kk JOIN r ON r.rn <= kk.k
+GROUP BY kk.k ORDER BY k
+""",
+        "embeddings_centroid_distances": """
+-- pairwise label-centroid squared L2 over same-unit integer
+-- centroids m = floor(sum(q)/n), q = floor(1000*x)
+WITH q AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(1000.0 * CAST(unnest(embedding) AS DOUBLE))
+              AS BIGINT) AS qv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+s AS (SELECT label, dim, SUM(qv) AS s, COUNT(*) AS n
+      FROM q GROUP BY 1, 2),
+cent AS (SELECT label, dim,
+                CAST(floor(1.0 * s / n) AS BIGINT) AS m, n
+         FROM s),
+n_l AS (SELECT label, MAX(n) AS n FROM cent GROUP BY 1),
+p AS (
+  SELECT a.label AS la, b.label AS lb,
+         SUM((a.m - b.m) * (a.m - b.m)) AS d2
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2)
+SELECT CAST(p.la AS BIGINT) AS label_a,
+       CAST(p.lb AS BIGINT) AS label_b,
+       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       CAST(p.d2 AS BIGINT) AS l2sq_x
+FROM p JOIN n_l na ON p.la = na.label
+JOIN n_l nb ON p.lb = nb.label
+ORDER BY label_a, label_b
+""",
+        "docs_length_band_by_source": """
+-- representation audit: global length-quartile bands (quantile_disc
+-- cuts; band by value <= cut) x source composition
+WITH t AS (
+  SELECT source, n_chars FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+qs AS (
+  SELECT quantile_disc(n_chars, 0.25) AS q1,
+         quantile_disc(n_chars, 0.5) AS q2,
+         quantile_disc(n_chars, 0.75) AS q3
+  FROM t),
+b AS (
+  SELECT source,
+         CASE WHEN n_chars <= q1 THEN 0
+              WHEN n_chars <= q2 THEN 1
+              WHEN n_chars <= q3 THEN 2 ELSE 3 END AS band
+  FROM t, qs),
+c AS (SELECT band, source, COUNT(*) AS n FROM b GROUP BY 1, 2)
+SELECT CAST(band AS BIGINT) AS band, source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(1000 * n // SUM(n) OVER (PARTITION BY band) AS BIGINT)
+         AS share_pm
+FROM c ORDER BY band, source
+""",
         "orc_roundtrip": """
 -- the ORC round-tripped aggregate must equal the direct aggregate
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

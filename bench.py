@@ -246,6 +246,8 @@ def bench_queries() -> dict[str, float]:
              "brand_discount_depth", "user_type_first_adoption",
              "supplier_volume_balance_corr", "nation_trade_matrix",
              "orc_roundtrip", "feather_roundtrip",
+             "tokens_coverage_curve", "embeddings_centroid_distances",
+             "docs_length_band_by_source",
              "events_burst_ratio_by_type",
              "orders_monthly_customer_hhi"]
     out = {}

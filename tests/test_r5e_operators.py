@@ -501,3 +501,42 @@ def test_columnar_projection_and_lineage(ray_session):
         assert sorted(got.column_names) == ["a", "b", "path"]
         assert got.num_rows == 3
         assert got.column("path").to_pylist()[0] == path
+
+
+def test_oracle_coverage_curve(ray_session):
+    out = _oracle_check("tokens_coverage_curve",
+                        tables=("documents",))
+    assert len(out) > 1
+    # mass strictly increases with k; last k covers everything
+    assert (np.diff(out.mass.to_numpy()) > 0).all()
+    assert out.mass_pm.iloc[-1] == 1000
+    ks = out.k.to_numpy()
+    assert (ks[:-1] == 2 ** np.arange(len(ks) - 1)).all()
+    # consistency with the decile surface's total
+    import __ray_entry__ as e
+
+    dec = e.queries()["docs_zipf_decile_mass"](SF)
+    assert out.mass.iloc[-1] == dec.mass.sum()
+
+
+def test_oracle_centroid_distances(ray_session):
+    out = _oracle_check("embeddings_centroid_distances",
+                        tables=("embeddings",))
+    k = len(set(out.label_a) | set(out.label_b))
+    assert len(out) == k * (k - 1) // 2
+    assert (out.label_a < out.label_b).all()
+    assert (out.l2sq_x >= 0).all()
+
+
+def test_oracle_length_band(ray_session):
+    out = _oracle_check("docs_length_band_by_source",
+                        tables=("documents",))
+    assert set(out.band) <= {0, 1, 2, 3}
+    # bands partition the docs; per-band shares sum to <= 1000
+    g = out.groupby("band")
+    assert (g.share_pm.sum() <= 1000).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet' WHERE "
+        "source IS NOT NULL AND n_chars IS NOT NULL").fetchone()[0]
+    assert out.n_docs.sum() == n

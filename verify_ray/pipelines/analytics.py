@@ -4449,3 +4449,45 @@ def peak_load_window(events_ds, ts_col: str = "ts") -> pd.DataFrame:
     return pd.DataFrame([{
         "start_day": lo + i0, "end_day": lo + j0,
         "n_days": j0 - i0 + 1, "score_x": M}]).astype("int64")
+
+
+def coverage_curve(rows_ds, key_col: str = "token",
+                   max_pow: int = 20,
+                   num_buckets: int = 32) -> pd.DataFrame:
+    """HEAD-COVERAGE curve — "how much of the corpus do the top-k
+    keys cover, for k = 1, 2, 4, …?" (the vocabulary-size /
+    cache-size planning curve; :func:`rank_decile_mass`'s cumulative
+    complement): keys ranked by count descending (tie order cannot
+    change a top-k mass — every key of a count-run contributes the
+    same count), and for each power-of-two ``k ≤ min(2^max_pow, V)``
+    plus ``k = V`` the summed occurrences of the top-k ranks and its
+    permille of the corpus.  Null keys drop.  Returns
+    ``(k, mass, mass_pm)`` ascending in k.
+
+    Scale shape: the shared count-histogram exchange
+    (`_key_count_histogram`); the driver walks only distinct count
+    values.
+    """
+    cv, nk = _key_count_histogram(rows_ds, key_col, num_buckets)
+    cols = ("k", "mass", "mass_pm")
+    if not len(cv):
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    V = int(nk.sum())
+    total = int((cv * nk).sum())
+    cum_keys = np.cumsum(nk)
+    cum_events = np.cumsum(cv * nk)
+
+    def events_top(r: int) -> int:
+        if r <= 0:
+            return 0
+        i = int(np.searchsorted(cum_keys, r))
+        before_e = int(cum_events[i - 1]) if i else 0
+        before_k = int(cum_keys[i - 1]) if i else 0
+        return before_e + (r - before_k) * int(cv[i])
+
+    ks = [1 << p for p in range(max_pow + 1) if (1 << p) < V]
+    ks.append(V)
+    rows = [{"k": k, "mass": events_top(k),
+             "mass_pm": 1000 * events_top(k) // total} for k in ks]
+    return pd.DataFrame(rows).astype("int64")

@@ -1208,3 +1208,43 @@ def scatter_ratio(ds, emb_col: str = "embedding",
     return pd.DataFrame({
         "label": labels.astype(np.int64), "n": n_l,
         "within_x": wsum, "between_x": between}).astype("int64")
+
+
+def centroid_distances(ds, emb_col: str = "embedding",
+                       label_col: str = "label") -> pd.DataFrame:
+    """PAIRWISE label-centroid geometry — which label pairs sit close
+    enough to confuse a classifier (the companion matrix to
+    :func:`scatter_ratio`'s within/between verdict and
+    :func:`centroid_confusion`'s realized confusion): for every label
+    pair a < b, the exact integer squared L2 distance between the
+    SAME-UNIT integer centroids ``m = floor(Σq/n)`` over quantized
+    coordinates ``q = floor(1000·x)``.  Null rows drop.  Returns
+    ``(label_a, label_b, n_a, n_b, l2sq_x)`` sorted by (a, b) —
+    C(k, 2) rows for k labels.
+
+    Scale shape: one `_label_dim_sums` streaming pass; the pairwise
+    matrix is k²·dim driver work on a k×dim frame.
+    """
+    import pandas as pd
+
+    agg = _label_dim_sums(ds, emb_col, label_col)
+    cols = ("label_a", "label_b", "n_a", "n_b", "l2sq_x")
+    if agg.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    labels = np.sort(agg.label.unique())
+    dmax = int(agg.dim.max()) + 1
+    cent = np.zeros((len(labels), dmax), dtype=np.int64)
+    pos = {int(l): i for i, l in enumerate(labels)}
+    cent[[pos[int(l)] for l in agg.label],
+         agg.dim.to_numpy()] = agg.s.to_numpy() // agg.n.to_numpy()
+    n_l = (agg.groupby("label").n.max()
+           .reindex(labels).to_numpy(np.int64))
+    ia, ib = np.triu_indices(len(labels), k=1)
+    diff = cent[ia] - cent[ib]
+    d2 = (diff * diff).sum(axis=1)
+    return pd.DataFrame({
+        "label_a": labels[ia].astype(np.int64),
+        "label_b": labels[ib].astype(np.int64),
+        "n_a": n_l[ia], "n_b": n_l[ib],
+        "l2sq_x": d2}).astype("int64")
