@@ -5136,6 +5136,165 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def band_migration_q(sf):
+        # behavioral drift matrix: customers' revenue-quartile band
+        # in the first half of the timeline (median order-day cut) vs
+        # the second; only customers active in BOTH halves
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_custkey"]),
+                        pc.and_(pc.is_valid(b["o_orderdate"]),
+                                pc.is_valid(b["o_totalprice"])))
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            cents = np.rint(100.0 * b["o_totalprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({"ck": pc.cast(b["o_custkey"],
+                                           pa.int64()),
+                             "d": pa.array(day),
+                             "cents": pa.array(cents)})
+
+        base = (_read(sf, "orders",
+                      columns=["o_custkey", "o_orderdate",
+                               "o_totalprice"])
+                .map_batches(prep, batch_format="pyarrow"))
+        from verify_ray.pipelines.select import exact_quantiles
+
+        dm = exact_quantiles(base, "d", [500]).column(
+            "value").to_pylist()[0]
+
+        def tag_half(b: pa.Table) -> pa.Table:
+            d = b.column("d").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "ck": b["ck"],
+                "half": pa.array((d > dm).astype(np.int64)),
+                "cents": b["cents"]})
+
+        per = analytics.grouped_stats(
+            base.map_batches(tag_half, batch_format="pyarrow"),
+            ["ck", "half"], {"cents": ["sum"]})
+        per = per.rename(columns={"cents_sum": "rev"})
+        per["rev"] = per.rev.astype("int64")
+        nhalves = per.groupby("ck").half.transform("size")
+        per = per[nhalves == 2]
+
+        def qdisc(v, q):
+            a = np.sort(v)
+            return int(a[max(0, int(-(-q * len(a) // 1000)) - 1)])
+
+        bands = []
+        for h, g in per.groupby("half"):
+            rv = g.rev.to_numpy(np.int64)
+            c1, c2, c3 = (qdisc(rv, 250), qdisc(rv, 500),
+                          qdisc(rv, 750))
+            bd = np.full(len(rv), 3, dtype=np.int64)
+            bd[rv <= c3] = 2
+            bd[rv <= c2] = 1
+            bd[rv <= c1] = 0
+            bands.append(pd.DataFrame({"ck": g.ck.to_numpy(),
+                                       "half": h, "band": bd}))
+        bdf = pd.concat(bands) if bands else pd.DataFrame(
+            {"ck": [], "half": [], "band": []})
+        a = bdf[bdf.half == 0][["ck", "band"]].rename(
+            columns={"band": "band_first"})
+        b2 = bdf[bdf.half == 1][["ck", "band"]].rename(
+            columns={"band": "band_second"})
+        m = a.merge(b2, on="ck")
+        out = (m.groupby(["band_first", "band_second"],
+                         as_index=False)
+               .size().rename(columns={"size": "n_customers"}))
+        return (out.sort_values(["band_first", "band_second"])
+                .reset_index(drop=True).astype("int64"))
+
+    def wordlen_position_q(sf):
+        # positional style profile: word lengths by doc tercile
+        # (intro / body / tail) — fully vectorized, zero shuffle
+        def feats(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["text"]))
+            toks = pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(b["text"]), r"\s+")
+            from verify_ray.kernels import as_array
+
+            toks = as_array(toks)
+            L = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            wl = pc.utf8_length(pc.list_flatten(toks)).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos = (np.arange(len(wl), dtype=np.int64)
+                   - np.repeat(np.concatenate(
+                       [[0], np.cumsum(L)[:-1]]), L))
+            ter = (3 * pos) // np.repeat(L, L)
+            out = np.zeros((3, 2), dtype=np.int64)
+            np.add.at(out[:, 0], ter, 1)
+            np.add.at(out[:, 1], ter, wl)
+            return pa.table({
+                "tercile": pa.array(np.arange(3, dtype=np.int64)),
+                "n_words": pa.array(out[:, 0]),
+                "sum_len": pa.array(out[:, 1])})
+
+        parts = (_read(sf, "documents", columns=["text"])
+                 .map_batches(feats, batch_format="pyarrow")
+                 .to_pandas())
+        out = (parts.groupby("tercile", as_index=False)
+               .agg(n_words=("n_words", "sum"),
+                    sum_len=("sum_len", "sum")))
+        out = out[out.n_words > 0]
+        return (out.sort_values("tercile").reset_index(drop=True)
+                .astype("int64"))
+
+    def csv_roundtrip_q(sf):
+        # CSV interchange round trip through the lineage CSV reader
+        import hashlib
+        import os
+
+        from verify_ray.sources.text import read_csv_with_lineage
+
+        src = f"{sf}/documents.parquet"
+        fp = (f"csv-v1:{src}:{os.path.getsize(src)}"
+              f":{os.path.getmtime(src)}")
+        root = ("/tmp/verify_ray_csv/"
+                + hashlib.md5(fp.encode()).hexdigest()[:12])
+        marker = os.path.join(root, "_complete")
+        if not os.path.exists(marker):
+            import ray
+
+            os.makedirs(root, exist_ok=True)
+            t = pa.concat_tables(ray.get(
+                _read(sf, "documents",
+                      columns=["doc_id", "lang", "n_chars"])
+                .to_arrow_refs()))
+            ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            for sid in range(4):
+                shard = t.filter(pa.array(ids % 4 == sid))
+                shard.to_pandas().to_csv(
+                    os.path.join(root, f"shard-{sid}.csv"),
+                    index=False)
+            open(marker, "w").write(fp)
+        files = sorted(os.path.join(root, f)
+                       for f in os.listdir(root)
+                       if f.endswith(".csv"))
+        back = read_csv_with_lineage(files)
+
+        def agg(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "lang": b["lang"],
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+                "doc_id": pc.cast(b["doc_id"], pa.int64())})
+
+        df = analytics.grouped_stats(
+            back.map_batches(agg, batch_format="pyarrow"),
+            ["lang"], {"n_chars": ["count", "sum"],
+                       "doc_id": ["sum"]})
+        out = pd.DataFrame({
+            "lang": df.lang,
+            "n_docs": df.n_chars_count.astype("int64"),
+            "sum_chars": df.n_chars_sum.astype("int64"),
+            "sum_ids": df.doc_id_sum.astype("int64")})
+        return out.sort_values("lang").reset_index(drop=True)
+
     def coverage_curve_q(sf):
         # head-coverage curve: corpus mass of the top-k tokens for
         # k = 1, 2, 4, ... (count-histogram exchange; same md5
@@ -6373,6 +6532,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "customer_value_band_migration": band_migration_q,
+        "docs_wordlen_by_position": wordlen_position_q,
+        "csv_roundtrip": csv_roundtrip_q,
         "tokens_coverage_curve": coverage_curve_q,
         "embeddings_centroid_distances": centroid_distances_q,
         "docs_length_band_by_source": length_band_q,
@@ -8076,6 +8238,62 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "customer_value_band_migration": """
+-- behavioral drift: revenue-quartile band (quantile_disc cuts,
+-- band by value <= cut) in the first half (median order-day cut,
+-- day <= cut) vs the second; customers active in both halves
+WITH o AS (
+  SELECT o_custkey AS ck,
+         epoch_us(o_orderdate) // 86400000000 AS d,
+         CAST(round(100 * o_totalprice) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL),
+cut AS (SELECT quantile_disc(d, 0.5) AS dm FROM o),
+per AS (
+  SELECT ck, CASE WHEN d <= dm THEN 0 ELSE 1 END AS half,
+         SUM(cents) AS rev
+  FROM o, cut GROUP BY 1, 2),
+b2 AS (SELECT ck FROM per GROUP BY ck HAVING COUNT(*) = 2),
+pb AS (SELECT per.* FROM per JOIN b2 USING (ck)),
+cuts AS (
+  SELECT half, quantile_disc(rev, 0.25) AS c1,
+         quantile_disc(rev, 0.5) AS c2,
+         quantile_disc(rev, 0.75) AS c3
+  FROM pb GROUP BY half),
+banded AS (
+  SELECT pb.ck, pb.half,
+         CASE WHEN rev <= c1 THEN 0 WHEN rev <= c2 THEN 1
+              WHEN rev <= c3 THEN 2 ELSE 3 END AS band
+  FROM pb JOIN cuts USING (half))
+SELECT CAST(a.band AS BIGINT) AS band_first,
+       CAST(b.band AS BIGINT) AS band_second,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM banded a JOIN banded b
+  ON a.ck = b.ck AND a.half = 0 AND b.half = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "docs_wordlen_by_position": f"""
+-- positional style: word lengths by within-doc tercile
+WITH arr AS (
+  SELECT regexp_split_to_array({_TRIMMED}, '\\s+') AS a
+  FROM documents WHERE text IS NOT NULL),
+w AS (
+  SELECT generate_subscripts(a, 1) AS i, unnest(a) AS w,
+         len(a) AS l
+  FROM arr)
+SELECT CAST((3 * (i - 1)) // l AS BIGINT) AS tercile,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(w)) AS BIGINT) AS sum_len
+FROM w GROUP BY 1 ORDER BY 1
+""",
+        "csv_roundtrip": """
+-- the CSV round-tripped aggregate must equal the direct aggregate
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY lang ORDER BY lang
+""",
         "tokens_coverage_curve": f"""
 -- head-coverage: corpus mass of the top-k token ranks for k = 1, 2,
 -- 4, ... (< V) plus k = V (tie order cannot change a top-k mass)

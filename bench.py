@@ -247,7 +247,8 @@ def bench_queries() -> dict[str, float]:
              "supplier_volume_balance_corr", "nation_trade_matrix",
              "orc_roundtrip", "feather_roundtrip",
              "tokens_coverage_curve", "embeddings_centroid_distances",
-             "docs_length_band_by_source",
+             "docs_length_band_by_source", "customer_value_band_migration",
+             "docs_wordlen_by_position", "csv_roundtrip",
              "events_burst_ratio_by_type",
              "orders_monthly_customer_hhi"]
     out = {}

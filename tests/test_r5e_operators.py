@@ -540,3 +540,30 @@ def test_oracle_length_band(ray_session):
         f"SELECT COUNT(*) FROM '{SF}/documents.parquet' WHERE "
         "source IS NOT NULL AND n_chars IS NOT NULL").fetchone()[0]
     assert out.n_docs.sum() == n
+
+
+def test_oracle_band_migration(ray_session):
+    out = _oracle_check("customer_value_band_migration",
+                        tables=("orders",))
+    assert len(out) > 0
+    assert out.band_first.between(0, 3).all()
+    assert out.band_second.between(0, 3).all()
+    # matrix counts = customers active in both halves
+    assert out.n_customers.sum() > 0
+
+
+def test_oracle_wordlen_by_position(ray_session):
+    out = _oracle_check("docs_wordlen_by_position",
+                        tables=("documents",))
+    assert list(out.tercile) == [0, 1, 2]
+    # total word count matches the corpus token total
+    import __ray_entry__ as e
+
+    cov = e.queries()["tokens_coverage_curve"](SF)
+    assert out.n_words.sum() == cov.mass.iloc[-1]
+
+
+def test_oracle_csv_roundtrip(ray_session):
+    out = _oracle_check("csv_roundtrip", tables=("documents",))
+    assert len(out) > 0
+    assert out.n_docs.sum() > 0
