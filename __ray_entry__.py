@@ -6530,8 +6530,99 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .astype({"mon": "int64", "n": "int64",
                          "share_pm": "int64"}))
 
+    def fill_rate_q(sf):
+        # order fill-rate audit: lines-per-order histogram by order
+        # status (0-line orders included, LEFT JOIN semantics);
+        # tagged-union exchange, driver sees status x count values
+        from verify_ray.pipelines.analytics import \
+            fact_count_histogram_by_dim
+
+        out = fact_count_histogram_by_dim(
+            _read(sf, "lineitem", columns=["l_orderkey"]),
+            "l_orderkey",
+            _read(sf, "orders",
+                  columns=["o_orderkey", "o_orderstatus"]),
+            "o_orderkey", "o_orderstatus")
+        return out.rename(columns={"cnt": "n_lines",
+                                   "n_keys": "n_orders"})
+
+    def lead_time_q(sf):
+        # per-supplier-nation lead-time profile: exact p50/p90 of
+        # ship delay days (l_shipdate - o_orderdate); big-big
+        # hash_join on orderkey + broadcast supplier->nation map +
+        # value-count grouped quantiles
+        from verify_ray.pipelines.analytics import \
+            grouped_exact_quantiles
+        from verify_ray.pipelines.joins import hash_join
+
+        sup = pq.read_table(f"{sf}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        nat = pq.read_table(f"{sf}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+        sdf = sup.to_pandas().merge(
+            nat.to_pandas(), left_on="s_nationkey",
+            right_on="n_nationkey")
+        sk = np.sort(sdf.s_suppkey.to_numpy(np.int64))
+        names = sdf.set_index("s_suppkey").n_name.reindex(
+            sk).to_numpy(dtype=object)
+
+        joined = hash_join(
+            _read(sf, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_shipdate"]),
+            _read(sf, "orders",
+                  columns=["o_orderkey", "o_orderdate"]),
+            key="l_orderkey", right_key="o_orderkey",
+            left_values=["l_suppkey", "l_shipdate"],
+            right_values=["o_orderdate"])
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_suppkey"]),
+                        pc.and_(pc.is_valid(b["l_shipdate"]),
+                                pc.is_valid(b["o_orderdate"])))
+            b = b.filter(m)
+            s = pc.cast(b["l_suppkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            ship = (pc.cast(pc.cast(b["l_shipdate"],
+                                    pa.timestamp("us")),
+                            pa.int64()).to_numpy(zero_copy_only=False)
+                    // 86_400_000_000)
+            odate = (pc.cast(pc.cast(b["o_orderdate"],
+                                     pa.timestamp("us")),
+                             pa.int64()).to_numpy(
+                zero_copy_only=False) // 86_400_000_000)
+            i = np.searchsorted(sk, s)
+            ok = (i < len(sk))
+            i = np.minimum(i, len(sk) - 1)
+            ok &= sk[i] == s
+            return pa.table({
+                "n_name": pa.array(names[i[ok]]),
+                "delay_d": pa.array(ship[ok] - odate[ok])})
+
+        out = grouped_exact_quantiles(
+            joined.map_batches(tag, batch_format="pyarrow"),
+            "n_name", "delay_d", qs=(0.5, 0.9))
+        out["n"] = out.n.astype("int64")
+        out["q50"] = out.q50.astype("int64")
+        out["q90"] = out.q90.astype("int64")
+        return out
+
+    def type_affinity_q(sf):
+        # event-type affinity matrix: (user, day) baskets containing
+        # both types of each unordered pair; basket-keyed exchange,
+        # alphabet^2 driver merge
+        from verify_ray.pipelines.sessions import \
+            type_cooccurrence_daily
+
+        return type_cooccurrence_daily(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_type"]),
+            num_buckets=16)
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "orders_fill_rate": fill_rate_q,
+        "supplier_lead_time_quantiles": lead_time_q,
+        "events_type_affinity_daily": type_affinity_q,
         "customer_value_band_migration": band_migration_q,
         "docs_wordlen_by_position": wordlen_position_q,
         "csv_roundtrip": csv_roundtrip_q,
@@ -8238,6 +8329,54 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "orders_fill_rate": """
+-- fill-rate audit: lines-per-order histogram by order status
+-- (orders with zero lines included — LEFT JOIN)
+WITH per AS (
+  SELECT o_orderstatus, COALESCE(l.cnt, 0) AS n_lines
+  FROM orders LEFT JOIN (
+    SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
+    WHERE l_orderkey IS NOT NULL GROUP BY 1) l
+  ON o_orderkey = l_orderkey
+  WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL)
+SELECT o_orderstatus, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM per GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "supplier_lead_time_quantiles": """
+-- per-supplier-nation lead time: quantile_disc p50/p90 of
+-- (shipdate - orderdate) days
+WITH d AS (
+  SELECT n_name,
+         epoch_us(l_shipdate) // 86400000000
+         - epoch_us(o_orderdate) // 86400000000 AS delay_d
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+    AND l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(quantile_disc(delay_d, 0.5) AS BIGINT) AS q50,
+       CAST(quantile_disc(delay_d, 0.9) AS BIGINT) AS q90
+FROM d GROUP BY 1 ORDER BY 1
+""",
+        "events_type_affinity_daily": """
+-- event-type affinity: (user, day) baskets containing both types
+-- of each unordered pair
+WITH b AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS d, event_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL)
+SELECT a.event_type AS type_a, c.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_user_days
+FROM b a JOIN b c
+  ON a.user_id = c.user_id AND a.d = c.d
+ AND a.event_type < c.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "customer_value_band_migration": """
 -- behavioral drift: revenue-quartile band (quantile_disc cuts,
 -- band by value <= cut) in the first half (median order-day cut,

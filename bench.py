@@ -250,7 +250,9 @@ def bench_queries() -> dict[str, float]:
              "docs_length_band_by_source", "customer_value_band_migration",
              "docs_wordlen_by_position", "csv_roundtrip",
              "events_burst_ratio_by_type",
-             "orders_monthly_customer_hhi"]
+             "orders_monthly_customer_hhi",
+             "orders_fill_rate", "supplier_lead_time_quantiles",
+             "events_type_affinity_daily"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -1,0 +1,103 @@
+"""Round-5 batch F: order fill-rate histogram (tagged-union
+join-aggregate), supplier lead-time quantiles (composed hash_join +
+grouped quantiles), daily type co-occurrence — oracle parity at
+sf0.001 plus hand-built semantic checks."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle_check(name, tables):
+    import __ray_entry__ as e
+
+    mine = e.queries()[name](SF)
+    if not isinstance(mine, pd.DataFrame):
+        mine = mine.to_pandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    orc = con.execute(e.oracle_sql()[name]).df()
+    assert list(mine.columns) == list(orc.columns)
+    assert len(mine) == len(orc)
+    for c in mine.columns:
+        a, b = mine[c].to_numpy(), orc[c].to_numpy()
+        if a.dtype == object or b.dtype == object:
+            assert list(map(str, a)) == list(map(str, b)), c
+        else:
+            assert np.array_equal(a, b), c
+    return mine
+
+
+def test_oracle_fill_rate(ray_session):
+    out = _oracle_check("orders_fill_rate",
+                        tables=("orders", "lineitem"))
+    con = duckdb.connect()
+    n_orders = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/orders.parquet' "
+        "WHERE o_orderkey IS NOT NULL "
+        "AND o_orderstatus IS NOT NULL").fetchone()[0]
+    # every qualifying order lands in exactly one histogram cell
+    assert out.n_orders.sum() == n_orders
+    assert (out.n_lines >= 0).all()
+
+
+def test_fact_count_histogram_zero_count_dim(ray_session):
+    # a dim key with no fact rows must appear in the cnt=0 cell;
+    # fact keys missing from the dim must drop
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import \
+        fact_count_histogram_by_dim
+
+    fact = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 99], type=pa.int64())})).materialize()
+    dim = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], type=pa.int64()),
+        "s": pa.array(["a", "b", "a"])})).materialize()
+    out = fact_count_histogram_by_dim(fact, "k", dim, "k", "s",
+                                      num_buckets=4)
+    got = {(r.s, r.cnt): r.n_keys for r in out.itertuples()}
+    assert got == {("a", 0): 1, ("a", 2): 1, ("b", 1): 1}
+
+
+def test_oracle_lead_time_quantiles(ray_session):
+    out = _oracle_check(
+        "supplier_lead_time_quantiles",
+        tables=("lineitem", "orders", "supplier", "nation"))
+    assert len(out) > 0
+    assert (out.q50 <= out.q90).all()
+    assert (out.n > 0).all()
+
+
+def test_oracle_type_affinity(ray_session):
+    out = _oracle_check("events_type_affinity_daily",
+                        tables=("events",))
+    assert len(out) > 0
+    # unordered pairs: strictly increasing lexicographic order
+    assert (out.type_a < out.type_b).all()
+
+
+def test_type_cooccurrence_hand_built(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.sessions import type_cooccurrence_daily
+
+    day = 86_400_000_000
+    ts = pa.array(
+        np.array([0, 1, 2, day, day + 1, 2 * day], dtype=np.int64),
+        type=pa.int64()).cast(pa.timestamp("us"))
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([7, 7, 7, 7, 7, 8], type=pa.int64()),
+        "ts": ts,
+        # basket (7, d0) = {x, y}; (7, d1) = {x, z}; (8, d2) = {y}
+        "event_type": pa.array(["x", "y", "x", "x", "z", "y"]),
+    })).materialize()
+    out = type_cooccurrence_daily(ev, num_buckets=4)
+    got = {(r.type_a, r.type_b): r.n_user_days
+           for r in out.itertuples()}
+    assert got == {("x", "y"): 1, ("x", "z"): 1}

@@ -4491,3 +4491,103 @@ def coverage_curve(rows_ds, key_col: str = "token",
     rows = [{"k": k, "mass": events_top(k),
              "mass_pm": 1000 * events_top(k) // total} for k in ks]
     return pd.DataFrame(rows).astype("int64")
+
+
+def fact_count_histogram_by_dim(fact_ds, fact_key: str, dim_ds,
+                                dim_key: str, dim_col: str,
+                                num_buckets: int = 64) -> pd.DataFrame:
+    """Fill-rate audit — the distribution of fact rows per dimension
+    key, split by a dimension attribute ("how many lineitems does an
+    order have, by order status"): for every dim row, count its fact
+    rows (0 if none — LEFT JOIN semantics) and histogram the counts
+    per attribute value.  SQL parity::
+
+        SELECT dim_col, COALESCE(cnt, 0) AS cnt, COUNT(*) AS n_keys
+        FROM dim LEFT JOIN (SELECT key, COUNT(*) cnt FROM fact
+                            GROUP BY 1) USING (key)
+        WHERE dim.key IS NOT NULL AND dim_col IS NOT NULL
+        GROUP BY 1, 2
+
+    Scale shape: fact batches collapse to per-batch ``(key, cnt)``
+    partials map-side, both sides meet in ONE key-hashed tagged-union
+    exchange, and each merge task emits an attribute × count-value
+    histogram — the driver merges only
+    ``attributes × distinct-count-values`` rows, never a keys-sized
+    frame (the `_key_count_histogram` shape extended with a dimension
+    join).  Null fact keys drop (they match no dim row); dim rows with
+    a null key or null attribute drop (restated in the SQL).  Fact
+    keys absent from ``dim_ds`` drop (no attribute to report under).
+
+    Partitioning assumption: one key's partials fit a merge task
+    (bounded by #blocks, not fact rows).
+    """
+    from ..stages.exchange import grouped_exchange
+
+    def fact_part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[fact_key]))
+        k = pc.cast(b[fact_key], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table({
+            "__b": pa.array(
+                (uk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 % np.uint64(num_buckets)).astype(np.int64)),
+            "k": pa.array(uk), "c": pa.array(cnt.astype(np.int64)),
+            "dim": pa.array([""] * len(uk), type=pa.string()),
+            "tag": pa.array(np.zeros(len(uk), np.int64))})
+
+    def dim_part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[dim_key]),
+                             pc.is_valid(b[dim_col])))
+        k = pc.cast(b[dim_key], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "__b": pa.array(
+                (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 % np.uint64(num_buckets)).astype(np.int64)),
+            "k": pa.array(k),
+            "c": pa.array(np.zeros(len(k), np.int64)),
+            "dim": pc.cast(b[dim_col], pa.string()),
+            "tag": pa.array(np.ones(len(k), np.int64))})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        tag = t.column("tag").to_numpy(zero_copy_only=False)
+        dim = np.asarray(t.column("dim").to_pylist(), dtype=object)
+        order = np.lexsort((tag, k))  # per key: fact rows, then dim
+        k, c, tag, dim = k[order], c[order], tag[order], dim[order]
+        st = (np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+              if len(k) else np.empty(0, np.int64))
+        n = np.diff(np.append(st, len(k)))
+        last = st + n - 1
+        has_dim = tag[last] == 1
+        cnt_per_key = (np.add.reduceat(c, st) if len(st)
+                       else np.empty(0, np.int64))[has_dim]
+        dim_per_key = dim[last][has_dim]
+        # attribute x count histogram, merged tiny on the driver
+        dcodes, dinv = np.unique(dim_per_key, return_inverse=True)
+        pairs = dinv * (cnt_per_key.max() + 1 if len(cnt_per_key)
+                        else 1) + cnt_per_key
+        up, pc_counts = np.unique(pairs, return_counts=True)
+        width = cnt_per_key.max() + 1 if len(cnt_per_key) else 1
+        return pa.table({
+            dim_col: pa.array(dcodes[up // width]),
+            "cnt": pa.array((up % width).astype(np.int64)),
+            "n_keys": pa.array(pc_counts.astype(np.int64))})
+
+    facts = fact_ds.map_batches(fact_part, batch_format="pyarrow")
+    dims = dim_ds.map_batches(dim_part, batch_format="pyarrow")
+    res = grouped_exchange(facts.union(dims), "__b", num_buckets,
+                           resolve)
+    cols = (dim_col, "cnt", "n_keys")
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({dim_col: pd.Series(dtype=object),
+                             "cnt": pd.Series(dtype="int64"),
+                             "n_keys": pd.Series(dtype="int64")})
+    df = (res.to_pandas().groupby([dim_col, "cnt"], as_index=False)
+          ["n_keys"].sum())
+    df["cnt"] = df.cnt.astype("int64")
+    df["n_keys"] = df.n_keys.astype("int64")
+    return (df.sort_values([dim_col, "cnt"])
+            .reset_index(drop=True))

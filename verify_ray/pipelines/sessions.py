@@ -1971,3 +1971,98 @@ def session_size_hist(events_ds, gap_minutes: float = 30.0,
            ["n_sessions"].sum())
     return (out.sort_values("session_size").reset_index(drop=True)
             .astype("int64"))
+
+
+def type_cooccurrence_daily(events_ds, num_buckets: int = 32
+                            ) -> pd.DataFrame:
+    """Event-type affinity matrix — for every unordered type pair
+    ``(type_a < type_b)``, the number of (user, day) baskets whose
+    timeline contains BOTH types (the market-basket co-occurrence
+    surface behind "users who search also click" product questions;
+    the within-day sibling of ``transition_counts``, which only sees
+    ADJACENT steps).  SQL parity::
+
+        WITH b AS (SELECT DISTINCT user_id, day, event_type ...)
+        SELECT a.event_type, c.event_type, COUNT(*)
+        FROM b a JOIN b c ON (a.user_id, a.day) = (c.user_id, c.day)
+                        AND a.event_type < c.event_type GROUP BY 1, 2
+
+    Scale shape: batches collapse to distinct (user, day, type)
+    triples map-side, ONE (user, day)-hashed exchange dedups triples
+    across batches and enumerates pairs per basket with the
+    repeat/arange cross-product pattern (baskets are bounded by the
+    type alphabet, so per-basket work is O(|alphabet|²)); each merge
+    task emits an alphabet²-sized pair histogram and the driver merges
+    those.  Null user/ts/type rows drop (restated in the SQL).
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b["user_id"]),
+                    pc.and_(pc.is_valid(b["ts"]),
+                            pc.is_valid(b["event_type"])))
+        b = b.filter(m)
+        day = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        t = pa.table({"u": pc.cast(b["user_id"], pa.int64()),
+                      "d": pa.array(day),
+                      "ty": pc.cast(b["event_type"], pa.string())})
+        t = t.group_by(["u", "d", "ty"]).aggregate([])
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        h = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + d.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9))
+        return pa.table({"__b": pa.array(
+            (h % np.uint64(num_buckets)).astype(np.int64)),
+            "u": t.column("u"), "d": t.column("d"),
+            "ty": t.column("ty")})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        ty = np.asarray(t.column("ty").to_pylist(), dtype=object)
+        uty, tyc = np.unique(ty, return_inverse=True)
+        order = np.lexsort((tyc, d, u))
+        u, d, tyc = u[order], d[order], tyc[order]
+        # dedupe triples surviving from different source batches
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+                     | (tyc[1:] != tyc[:-1])] if len(u) else \
+            np.empty(0, bool)
+        u, d, tyc = u[keep], d[keep], tyc[keep]
+        st = (np.flatnonzero(np.r_[True, (u[1:] != u[:-1])
+                                   | (d[1:] != d[:-1])])
+              if len(u) else np.empty(0, np.int64))
+        n = np.diff(np.append(st, len(u)))
+        # cross product within baskets (repeat/arange), keep a < b;
+        # basket size is bounded by the type alphabet
+        grp_of_row = np.repeat(np.arange(len(st)), n)
+        rep = n[grp_of_row]
+        left = np.repeat(np.arange(len(u)), rep)
+        csum = np.concatenate([[0], np.cumsum(rep)[:-1]]) \
+            if len(rep) else np.empty(0, np.int64)
+        right = (np.arange(int(rep.sum())) - np.repeat(csum, rep)
+                 + np.repeat(st[grp_of_row], rep))
+        keep2 = tyc[left] < tyc[right]
+        a, b2 = tyc[left][keep2], tyc[right][keep2]
+        pair = a * len(uty) + b2
+        up, cnt = np.unique(pair, return_counts=True)
+        return pa.table({
+            "type_a": pa.array(uty[up // len(uty)]),
+            "type_b": pa.array(uty[up % len(uty)]),
+            "n_user_days": pa.array(cnt.astype(np.int64))})
+
+    tagged = events_ds.map_batches(partial, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"type_a": pd.Series(dtype=object),
+                             "type_b": pd.Series(dtype=object),
+                             "n_user_days": pd.Series(dtype="int64")})
+    df = (res.to_pandas()
+          .groupby(["type_a", "type_b"], as_index=False)
+          ["n_user_days"].sum())
+    df["n_user_days"] = df.n_user_days.astype("int64")
+    return (df.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))
