@@ -6618,8 +6618,217 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   columns=["user_id", "ts", "event_type"]),
             num_buckets=16)
 
+    def open_aging_q(sf):
+        # backlog-aging snapshot: still-open orders ('O') bucketed by
+        # age in weeks as of the corpus max order day, per priority —
+        # the as-of inventory audit (cutoff from a tiny first pass,
+        # then one streaming pass of enum-sized partials)
+        def bmax(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["o_orderdate"]))
+            d = (pc.cast(pc.cast(b["o_orderdate"],
+                                 pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+                 // 86_400_000_000)
+            return pa.table({"d": pa.array(
+                d.max(keepdims=True) if len(d)
+                else np.empty(0, np.int64))})
+
+        days = (_read(sf, "orders", columns=["o_orderdate"])
+                .map_batches(bmax, batch_format="pyarrow")
+                .to_pandas())
+        cutoff = int(days.d.max())
+
+        def age(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_orderdate"]),
+                        pc.and_(pc.is_valid(b["o_orderstatus"]),
+                                pc.is_valid(b["o_orderpriority"])))
+            b = b.filter(m)
+            b = b.filter(pc.equal(b["o_orderstatus"], "O"))
+            d = (pc.cast(pc.cast(b["o_orderdate"],
+                                 pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+                 // 86_400_000_000)
+            return pa.table({
+                "o_orderpriority": b["o_orderpriority"],
+                "age_weeks": pa.array((cutoff - d) // 7),
+                "__one": pa.array(np.ones(len(d), np.int64))})
+
+        out = analytics.grouped_stats(
+            _read(sf, "orders",
+                  columns=["o_orderdate", "o_orderstatus",
+                           "o_orderpriority"])
+            .map_batches(age, batch_format="pyarrow"),
+            ["o_orderpriority", "age_weeks"], {"__one": ["sum"]})
+        out = out.rename(columns={"__one_sum": "n_orders"})
+        return (out.sort_values(["o_orderpriority", "age_weeks"])
+                .reset_index(drop=True)
+                .astype({"age_weeks": "int64",
+                         "n_orders": "int64"}))
+
+    def segment_priority_lift_q(sf):
+        # cross-table contingency lift: order priority vs customer
+        # market segment under independence (big-big hash_join on
+        # custkey, then a 25-cell driver surface; same integer
+        # expected/lift convention as orders_weekday_month_lift)
+        from verify_ray.pipelines.joins import hash_join
+
+        joined = hash_join(
+            _read(sf, "orders",
+                  columns=["o_custkey", "o_orderpriority"]),
+            _read(sf, "customer",
+                  columns=["c_custkey", "c_mktsegment"]),
+            key="o_custkey", right_key="c_custkey",
+            left_values=["o_orderpriority"],
+            right_values=["c_mktsegment"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_orderpriority"]),
+                        pc.is_valid(b["c_mktsegment"]))
+            b = b.filter(m)
+            return pa.table({
+                "seg": b["c_mktsegment"],
+                "pri": b["o_orderpriority"],
+                "__one": pa.array(np.ones(b.num_rows, np.int64))})
+
+        c = analytics.grouped_stats(
+            joined.map_batches(prep, batch_format="pyarrow"),
+            ["seg", "pri"], {"__one": ["sum"]})
+        c = c.rename(columns={"__one_sum": "n"})
+        c["n"] = c.n.astype("int64")
+        total = int(c.n.sum())
+        row = c.groupby("seg").n.transform("sum").to_numpy(np.int64)
+        col = c.groupby("pri").n.transform("sum").to_numpy(np.int64)
+        c["expected_f"] = row * col // total
+        c["lift_pm"] = 1000 * c.n.to_numpy(np.int64) * total \
+            // (row * col)
+        return (c.sort_values(["seg", "pri"])
+                .reset_index(drop=True)
+                .astype({"n": "int64", "expected_f": "int64",
+                         "lift_pm": "int64"}))
+
+    def first_ship_latency_q(sf):
+        # fulfillment-latency profile: days from order to FIRST ship
+        # per priority, exact p50/p90 — per-order min pre-reduced
+        # map-side, both tables meet in ONE orderkey-keyed
+        # tagged-union exchange, (priority x latency) value counts
+        # merge on the driver (price_reconcile's exchange shape with
+        # a min reduce)
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def li_part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_orderkey"]),
+                        pc.is_valid(b["l_shipdate"]))
+            b = b.filter(m)
+            k = pc.cast(b["l_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            d = (pc.cast(pc.cast(b["l_shipdate"],
+                                 pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+                 // 86_400_000_000)
+            order = np.argsort(k, kind="stable")
+            k, d = k[order], d[order]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            mins = (np.minimum.reduceat(d, st) if len(st)
+                    else np.empty(0, np.int64))
+            kk = k[st]
+            return pa.table({
+                "__b": pa.array(kk % 64), "k": pa.array(kk),
+                "val": pa.array(mins),
+                "pri": pa.array([""] * len(kk), type=pa.string()),
+                "tag": pa.array(np.zeros(len(kk), np.int64))})
+
+        def o_side(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_orderkey"]),
+                        pc.and_(pc.is_valid(b["o_orderdate"]),
+                                pc.is_valid(b["o_orderpriority"])))
+            b = b.filter(m)
+            k = pc.cast(b["o_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            d = (pc.cast(pc.cast(b["o_orderdate"],
+                                 pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+                 // 86_400_000_000)
+            return pa.table({
+                "__b": pa.array(k % 64), "k": pa.array(k),
+                "val": pa.array(d),
+                "pri": pc.cast(b["o_orderpriority"], pa.string()),
+                "tag": pa.array(np.ones(len(k), np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            val = t.column("val").to_numpy(zero_copy_only=False)
+            tag = t.column("tag").to_numpy(zero_copy_only=False)
+            pri = np.asarray(t.column("pri").to_pylist(),
+                             dtype=object)
+            order = np.lexsort((tag, k))
+            k, val, tag, pri = (k[order], val[order], tag[order],
+                                pri[order])
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(k)))
+            last = st + n - 1
+            has_order = tag[last] == 1
+            has_line = (np.add.reduceat((tag == 0).astype(np.int64),
+                                        st) if len(st)
+                        else np.empty(0, np.int64)) > 0
+            keep = has_order & has_line
+            minship = np.minimum.reduceat(
+                np.where(tag == 0, val, np.iinfo(np.int64).max),
+                st)[keep] if len(st) else np.empty(0, np.int64)
+            lat = minship - val[last][keep]
+            p = pri[last][keep]
+            up, pinv = np.unique(p, return_inverse=True)
+            width = int(lat.max() - lat.min() + 1) if len(lat) else 1
+            lat0 = lat - (lat.min() if len(lat) else 0)
+            cell = pinv * width + lat0
+            uc, cnt = np.unique(cell, return_counts=True)
+            base = lat.min() if len(lat) else 0
+            return pa.table({
+                "pri": pa.array(up[uc // width]),
+                "lat": pa.array((uc % width) + base),
+                "cnt": pa.array(cnt.astype(np.int64))})
+
+        li = (_read(sf, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"])
+              .map_batches(li_part, batch_format="pyarrow"))
+        od = (_read(sf, "orders",
+                    columns=["o_orderkey", "o_orderdate",
+                             "o_orderpriority"])
+              .map_batches(o_side, batch_format="pyarrow"))
+        res = grouped_exchange(li.union(od), "__b", 64, fold)
+        if res is None or res.num_rows == 0:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+                "q50": pd.Series(dtype="int64"),
+                "q90": pd.Series(dtype="int64")})
+        df = (res.to_pandas().groupby(["pri", "lat"], as_index=False)
+              ["cnt"].sum())
+        rows = []
+        for p, sub in df.groupby("pri"):
+            sub = sub.sort_values("lat")
+            cum = sub.cnt.to_numpy(np.int64).cumsum()
+            nn = int(cum[-1])
+            vals = sub.lat.to_numpy(np.int64)
+
+            def qd(q):
+                pos = max(0, int(np.ceil(q * nn)) - 1)
+                return int(vals[np.searchsorted(cum, pos + 1)])
+
+            rows.append({"o_orderpriority": p, "n": nn,
+                         "q50": qd(0.5), "q90": qd(0.9)})
+        return (pd.DataFrame(rows)
+                .sort_values("o_orderpriority")
+                .reset_index(drop=True)
+                .astype({"n": "int64", "q50": "int64",
+                         "q90": "int64"}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "orders_open_aging": open_aging_q,
+        "customer_segment_priority_lift": segment_priority_lift_q,
+        "orders_first_ship_latency": first_ship_latency_q,
         "orders_fill_rate": fill_rate_q,
         "supplier_lead_time_quantiles": lead_time_q,
         "events_type_affinity_daily": type_affinity_q,
@@ -8329,6 +8538,57 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "orders_open_aging": """
+-- backlog aging: open orders bucketed by whole weeks of age as of
+-- the corpus max order day, per priority
+WITH cut AS (
+  SELECT MAX(epoch_us(o_orderdate) // 86400000000) AS cd
+  FROM orders WHERE o_orderdate IS NOT NULL)
+SELECT o_orderpriority,
+       CAST((cd - epoch_us(o_orderdate) // 86400000000) // 7
+            AS BIGINT) AS age_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders, cut
+WHERE o_orderdate IS NOT NULL AND o_orderstatus = 'O'
+  AND o_orderpriority IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "customer_segment_priority_lift": """
+-- contingency lift: order priority vs customer market segment
+-- (integer expected count and permille lift vs independence)
+WITH c AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+         COUNT(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+    AND c_mktsegment IS NOT NULL
+  GROUP BY 1, 2)
+SELECT seg, pri, CAST(n AS BIGINT) AS n,
+       CAST(SUM(n) OVER (PARTITION BY seg)
+            * SUM(n) OVER (PARTITION BY pri)
+            // SUM(n) OVER () AS BIGINT) AS expected_f,
+       CAST(1000 * n * SUM(n) OVER ()
+            // (SUM(n) OVER (PARTITION BY seg)
+                * SUM(n) OVER (PARTITION BY pri)) AS BIGINT)
+         AS lift_pm
+FROM c ORDER BY seg, pri
+""",
+        "orders_first_ship_latency": """
+-- fulfillment latency: days from order date to FIRST line ship
+-- date, exact quantile_disc p50/p90 per priority
+WITH lat AS (
+  SELECT o_orderpriority,
+         MIN(epoch_us(l_shipdate) // 86400000000)
+         - epoch_us(ANY_VALUE(o_orderdate)) // 86400000000 AS lat
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+    AND o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY o_orderkey, o_orderpriority)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(quantile_disc(lat, 0.5) AS BIGINT) AS q50,
+       CAST(quantile_disc(lat, 0.9) AS BIGINT) AS q90
+FROM lat GROUP BY 1 ORDER BY 1
+""",
         "orders_fill_rate": """
 -- fill-rate audit: lines-per-order histogram by order status
 -- (orders with zero lines included — LEFT JOIN)

@@ -252,7 +252,9 @@ def bench_queries() -> dict[str, float]:
              "events_burst_ratio_by_type",
              "orders_monthly_customer_hhi",
              "orders_fill_rate", "supplier_lead_time_quantiles",
-             "events_type_affinity_daily"]
+             "events_type_affinity_daily", "orders_open_aging",
+             "customer_segment_priority_lift",
+             "orders_first_ship_latency"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -101,3 +101,31 @@ def test_type_cooccurrence_hand_built(ray_session):
     got = {(r.type_a, r.type_b): r.n_user_days
            for r in out.itertuples()}
     assert got == {("x", "y"): 1, ("x", "z"): 1}
+
+
+def test_oracle_open_aging(ray_session):
+    out = _oracle_check("orders_open_aging", tables=("orders",))
+    con = duckdb.connect()
+    n_open = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/orders.parquet' "
+        "WHERE o_orderstatus = 'O' AND o_orderdate IS NOT NULL "
+        "AND o_orderpriority IS NOT NULL").fetchone()[0]
+    assert out.n_orders.sum() == n_open
+    assert (out.age_weeks >= 0).all()
+
+
+def test_oracle_segment_priority_lift(ray_session):
+    out = _oracle_check("customer_segment_priority_lift",
+                        tables=("orders", "customer"))
+    assert len(out) == 25  # 5 segments x 5 priorities
+    # floors make observed >= expected iff lift_pm >= 1000 is not
+    # guaranteed cellwise, but totals must reconcile
+    assert out.n.sum() == out.groupby("seg").n.sum().sum()
+    assert (out.lift_pm > 0).all()
+
+
+def test_oracle_first_ship_latency(ray_session):
+    out = _oracle_check("orders_first_ship_latency",
+                        tables=("orders", "lineitem"))
+    assert len(out) == 5
+    assert (out.q50 <= out.q90).all()
