@@ -6824,8 +6824,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .astype({"n": "int64", "q50": "int64",
                          "q90": "int64"}))
 
+    def gram_matrix_q(sf):
+        # PCA-precursor: exact integer Gram matrix of the quantized
+        # embedding corpus (one Q^T Q matmul per batch, zero shuffle)
+        from verify_ray.pipelines.similarity import \
+            gram_matrix_quantized
+
+        return gram_matrix_quantized(
+            _read(sf, "embeddings", columns=["vec_id", "embedding"]))
+
+    def knn_agreement_q(sf):
+        # label-noise audit: per label, how often the exact
+        # 1-nearest-neighbor (integer quantized dot, ties dot DESC /
+        # id ASC) carries the same label
+        from verify_ray.pipelines.similarity import \
+            knn_label_agreement
+
+        return knn_label_agreement(
+            _read(sf, "embeddings",
+                  columns=["vec_id", "embedding", "label"]))
+
+    def lifetime_hist_q(sf):
+        # retention-shape census: (lifetime span days, active days)
+        # histogram over users; (user, day)-distinct exchange
+        from verify_ray.pipelines.sessions import \
+            user_lifetime_histogram
+
+        return user_lifetime_histogram(
+            _read(sf, "events", columns=["user_id", "ts"]),
+            num_buckets=16)
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "embeddings_gram_matrix": gram_matrix_q,
+        "embeddings_knn_label_agreement": knn_agreement_q,
+        "users_lifetime_hist": lifetime_hist_q,
         "orders_open_aging": open_aging_q,
         "customer_segment_priority_lift": segment_priority_lift_q,
         "orders_first_ship_latency": first_ship_latency_q,
@@ -8538,6 +8571,69 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "embeddings_gram_matrix": """
+-- exact integer Gram matrix over per-dim floor(1000*x) quantized
+-- embeddings: for every dim pair i <= j (1-based), sum of q_i*q_j
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding,
+           x -> CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+           AS q
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+u AS (
+  SELECT id, generate_subscripts(q, 1) AS i, unnest(q) AS qi
+  FROM v)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+       CAST(SUM(a.qi * b.qi) AS BIGINT) AS s
+FROM u a JOIN u b ON a.id = b.id AND a.i <= b.i
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "embeddings_knn_label_agreement": """
+-- 1-NN label agreement: nearest OTHER vector by exact integer
+-- quantized dot (ties dot DESC, vec_id ASC), per-label agreement
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, label,
+         list_transform(embedding,
+           x -> CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+           AS q
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND label IS NOT NULL),
+d AS (
+  SELECT a.id, a.label AS la, b.label AS lb, b.id AS bid,
+         list_sum(list_transform(list_zip(a.q, b.q),
+                                 z -> z[1] * z[2])) AS dot
+  FROM v a JOIN v b ON a.id <> b.id),
+nn AS (
+  SELECT id, la, lb,
+         ROW_NUMBER() OVER (PARTITION BY id
+                            ORDER BY dot DESC, bid) AS rk
+  FROM d)
+SELECT CAST(la AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       CAST(1000 * SUM(CASE WHEN la = lb THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS agree_pm
+FROM nn WHERE rk = 1 GROUP BY 1 ORDER BY 1
+""",
+        "users_lifetime_hist": """
+-- retention-shape census: per-user (lifetime span days, distinct
+-- active days) pair histogram
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+per AS (
+  SELECT user_id, MAX(d) - MIN(d) AS span_d,
+         COUNT(*) AS active_days
+  FROM ud GROUP BY 1)
+SELECT CAST(span_d AS BIGINT) AS span_d,
+       CAST(active_days AS BIGINT) AS active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "orders_open_aging": """
 -- backlog aging: open orders bucketed by whole weeks of age as of
 -- the corpus max order day, per priority

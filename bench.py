@@ -254,7 +254,10 @@ def bench_queries() -> dict[str, float]:
              "orders_fill_rate", "supplier_lead_time_quantiles",
              "events_type_affinity_daily", "orders_open_aging",
              "customer_segment_priority_lift",
-             "orders_first_ship_latency"]
+             "orders_first_ship_latency",
+             "embeddings_gram_matrix",
+             "embeddings_knn_label_agreement",
+             "users_lifetime_hist"]
     out = {}
     for name in names:
         t0 = time.time()

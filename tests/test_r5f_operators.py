@@ -129,3 +129,68 @@ def test_oracle_first_ship_latency(ray_session):
                         tables=("orders", "lineitem"))
     assert len(out) == 5
     assert (out.q50 <= out.q90).all()
+
+
+def test_oracle_gram_matrix(ray_session):
+    out = _oracle_check("embeddings_gram_matrix",
+                        tables=("embeddings",))
+    assert len(out) == 64 * 65 // 2
+    # diagonal cells are sums of squares: non-negative
+    diag = out[out.i == out.j]
+    assert (diag.s >= 0).all()
+
+
+def test_gram_matrix_hand_built(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.similarity import gram_matrix_quantized
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2], type=pa.int64()),
+        "embedding": pa.array([[0.001, 0.002], [0.003, -0.001]],
+                              type=pa.list_(pa.float32())),
+    })).materialize()
+    out = gram_matrix_quantized(ds)
+    # float32 -0.001 is -0.00100000005, so floor(1000*x) = -2 (the
+    # oracle's list_transform floors the same widened float32);
+    # q rows: (1, 2) and (3, -2); cells are per-DIM-pair sums
+    got = {(r.i, r.j): r.s for r in out.itertuples()}
+    assert got == {(1, 1): 1 + 9, (1, 2): 2 - 6, (2, 2): 4 + 4}
+
+
+def test_oracle_knn_label_agreement(ray_session):
+    out = _oracle_check("embeddings_knn_label_agreement",
+                        tables=("embeddings",))
+    assert (out.n_agree <= out.n).all()
+    assert (out.agree_pm <= 1000).all()
+
+
+def test_knn_agreement_two_blobs(ray_session):
+    # two tight blobs with one planted cross-label point: its NN is
+    # in the other blob, every other point agrees
+    import ray.data as rd
+
+    from verify_ray.pipelines.similarity import knn_label_agreement
+
+    vecs = [[1.0, 0.0], [0.99, 0.01], [0.98, 0.02],
+            [0.0, 1.0], [0.01, 0.99],
+            [0.97, 0.03]]  # label-1 point inside blob 0
+    labels = [0, 0, 0, 1, 1, 1]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(1, 7), type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        "label": pa.array(labels, type=pa.int32()),
+    })).materialize()
+    out = knn_label_agreement(ds)
+    got = {r.label: (r.n, r.n_agree) for r in out.itertuples()}
+    # blob-0 points all agree; the two axis label-1 points agree with
+    # each other; the planted point's NN is a label-0 neighbor
+    assert got[0] == (3, 3)
+    assert got[1] == (3, 2)
+
+
+def test_oracle_users_lifetime_hist(ray_session):
+    out = _oracle_check("users_lifetime_hist", tables=("events",))
+    # active days never exceed span + 1
+    assert (out.active_days <= out.span_d + 1).all()
+    assert (out.n_users > 0).all()

@@ -2066,3 +2066,74 @@ def type_cooccurrence_daily(events_ds, num_buckets: int = 32
     df["n_user_days"] = df.n_user_days.astype("int64")
     return (df.sort_values(["type_a", "type_b"])
             .reset_index(drop=True))
+
+
+def user_lifetime_histogram(events_ds, num_buckets: int = 32
+                            ) -> pd.DataFrame:
+    """Lifetime-shape census: each user reduces to
+    ``(span_d = last_day − first_day, active_days = #distinct days)``
+    and the population histograms over those pairs — the
+    retention-shape surface behind "are users long-lived but sparse,
+    or short bursts?" (the per-user sibling of ``dau_wau``'s calendar
+    counts and ``activity_streaks``' consecutive-run census).  SQL
+    parity::
+
+        WITH ud AS (SELECT DISTINCT user_id, day ...),
+        per AS (SELECT user_id, MAX(d)-MIN(d), COUNT(*) ...)
+        SELECT span_d, active_days, COUNT(*) GROUP BY 1, 2
+
+    Scale shape: batches collapse to distinct (user, day) pairs
+    map-side; ONE user-hashed exchange dedups pairs across batches and
+    reduces each user to its (span, active) cell; merge tasks emit
+    cell histograms and the driver merges ~calendar²-bounded cells.
+    Null user/ts rows drop (restated in the SQL).
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b["user_id"]), pc.is_valid(b["ts"]))
+        b = b.filter(m)
+        day = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        t = pa.table({"u": pc.cast(b["user_id"], pa.int64()),
+                      "d": pa.array(day)})
+        t = t.group_by(["u", "d"]).aggregate([])
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        return pa.table({"__b": pa.array(
+            (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % np.uint64(num_buckets)).astype(np.int64)),
+            "u": t.column("u"), "d": t.column("d")})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = (np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+                if len(u) else np.empty(0, bool))
+        u, d = u[keep], d[keep]
+        st = (np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+              if len(u) else np.empty(0, np.int64))
+        n = np.diff(np.append(st, len(u)))
+        span = d[st + n - 1] - d[st]  # days sorted within user
+        cell = span * 100_000 + n  # active_days < 100k per user
+        uc, cnt = np.unique(cell, return_counts=True)
+        return pa.table({
+            "span_d": pa.array((uc // 100_000).astype(np.int64)),
+            "active_days": pa.array((uc % 100_000).astype(np.int64)),
+            "n_users": pa.array(cnt.astype(np.int64))})
+
+    tagged = events_ds.map_batches(partial, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"span_d": pd.Series(dtype="int64"),
+                             "active_days": pd.Series(dtype="int64"),
+                             "n_users": pd.Series(dtype="int64")})
+    df = (res.to_pandas()
+          .groupby(["span_d", "active_days"], as_index=False)
+          ["n_users"].sum())
+    return (df.sort_values(["span_d", "active_days"])
+            .reset_index(drop=True).astype("int64"))

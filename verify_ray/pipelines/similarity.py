@@ -1248,3 +1248,164 @@ def centroid_distances(ds, emb_col: str = "embedding",
         "label_b": labels[ib].astype(np.int64),
         "n_a": n_l[ia], "n_b": n_l[ib],
         "l2sq_x": d2}).astype("int64")
+
+
+def gram_matrix_quantized(ds, emb_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          quant: int = 1000) -> "pd.DataFrame":
+    """Exact integer Gram matrix of the quantized embedding corpus —
+    the covariance/PCA precursor computed distributed: for every dim
+    pair ``i <= j`` (1-based), ``sum over vectors of q_i * q_j`` with
+    ``q = floor(quant * x)`` int64 per component.  SQL parity: double
+    unnest + self-join on the vector id (the repo's
+    ``floor(1000.0*x)`` quantization convention,
+    `embeddings_quantized_dot_hist`).
+
+    Scale shape: each batch computes ONE ``Qᵀ @ Q`` matmul (float64 on
+    int-valued operands — exact below 2⁵³, far above any real batch's
+    partial) and emits a dim²-sized partial; the driver merges
+    #blocks × dim² tiny tables.  Zero shuffle.  Rows with a null id or
+    null embedding drop (restated in the SQL).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[id_col]),
+                             pc.is_valid(b[emb_col])))
+        if b.num_rows == 0:
+            return pa.table({"i": pa.array([], type=pa.int64()),
+                             "j": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        q = np.floor(quant * _emb_matrix(b, emb_col))
+        g = (q.T @ q)  # int-valued float64, exact
+        dim = g.shape[0]
+        iu, ju = np.triu_indices(dim)
+        return pa.table({
+            "i": pa.array((iu + 1).astype(np.int64)),
+            "j": pa.array((ju + 1).astype(np.int64)),
+            "s": pa.array(np.rint(g[iu, ju]).astype(np.int64))})
+
+    parts = (ds.select_columns([id_col, emb_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    if not len(parts):
+        return pd.DataFrame({"i": pd.Series(dtype="int64"),
+                             "j": pd.Series(dtype="int64"),
+                             "s": pd.Series(dtype="int64")})
+    out = parts.groupby(["i", "j"], as_index=False)["s"].sum()
+    return (out.sort_values(["i", "j"]).reset_index(drop=True)
+            .astype("int64"))
+
+
+def knn_label_agreement(ds, emb_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        label_col: str = "label",
+                        quant: int = 1000,
+                        concurrency: int = 4) -> "pd.DataFrame":
+    """Label-noise audit via 1-nearest-neighbor agreement: for every
+    labeled vector, find its single most-similar OTHER vector by EXACT
+    integer quantized dot (``q = floor(quant*x)``, ties dot DESC then
+    vec_id ASC) and report, per label, how often the neighbor carries
+    the same label — low agreement marks label noise or class overlap
+    (the kNN sibling of ``centroid_label_confusion``, which only sees
+    class centroids).
+
+    Shape (block-nested-loop, `knn_join`'s object-store pattern with
+    integer scores): quantized corpus chunks stay in the object store,
+    each scoring actor fetches them ONCE in ``__init__``
+    (ray.wait-before-pool deadlock guard, pool ≤ CPUs−1); one
+    streaming pass over the corpus computes one matmul per chunk and
+    folds the running (dot, id)-lexicographic best across chunks, so
+    each batch leaves only a labels²-bounded partial.  The matmul runs
+    in float64 on int-valued operands — exact below 2⁵³ (|dot| ≤
+    dim·quant² ≈ 2³⁶ at dim 64).  Rows with null id/embedding/label
+    are excluded from BOTH sides (restated in the SQL).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    @ray.remote
+    def prep_chunk(t: pa.Table):
+        t = t.filter(pc.and_(pc.is_valid(t[id_col]),
+                             pc.and_(pc.is_valid(t[emb_col]),
+                                     pc.is_valid(t[label_col]))))
+        if t.num_rows == 0:
+            return None
+        ids = np.asarray(t.column(id_col).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")  # argmax tie => min id
+        q = np.floor(quant * _emb_matrix(t, emb_col))[order]
+        labels = np.asarray(t.column(label_col).to_numpy(
+            zero_copy_only=False), dtype=np.int64)[order]
+        return q, ids[order], labels
+
+    chunk_refs = [prep_chunk.remote(r) for r in
+                  ds.select_columns([id_col, emb_col, label_col])
+                  .to_arrow_refs()]
+    ray.wait(chunk_refs, num_returns=len(chunk_refs))
+    avail = int(ray.cluster_resources().get("CPU", 8))
+    concurrency = max(1, min(concurrency, avail - 1))
+    NEG = np.iinfo(np.int64).min
+
+    class _Agree:
+        def __init__(self):
+            self.chunks = [c for c in ray.get(chunk_refs)
+                           if c is not None]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b[id_col]),
+                                 pc.and_(pc.is_valid(b[emb_col]),
+                                         pc.is_valid(b[label_col]))))
+            empty = pa.table({
+                "label": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "n_agree": pa.array([], type=pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            qb = np.floor(quant * _emb_matrix(b, emb_col))
+            rid = np.asarray(b.column(id_col).to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            rlab = np.asarray(b.column(label_col).to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            best = np.full(len(rid), NEG, np.int64)
+            best_id = np.full(len(rid), np.iinfo(np.int64).max,
+                              np.int64)
+            best_lab = np.zeros(len(rid), np.int64)
+            for m, ids, labels in self.chunks:
+                d = np.rint(qb @ m.T).astype(np.int64)
+                d[rid[:, None] == ids[None, :]] = NEG  # exclude self
+                c = np.argmax(d, axis=1)  # first max = min id (sorted)
+                rows = np.arange(len(rid))
+                dot, cid, clab = d[rows, c], ids[c], labels[c]
+                upd = (dot > best) | ((dot == best)
+                                      & (cid < best_id))
+                upd &= dot != NEG
+                best[upd], best_id[upd] = dot[upd], cid[upd]
+                best_lab[upd] = clab[upd]
+            has_nn = best != NEG
+            la, lb = rlab[has_nn], best_lab[has_nn]
+            ul, inv = np.unique(la, return_inverse=True)
+            n = np.bincount(inv, minlength=len(ul))
+            agree = np.bincount(inv, weights=(la == lb),
+                                minlength=len(ul))
+            return pa.table({
+                "label": pa.array(ul),
+                "n": pa.array(n.astype(np.int64)),
+                "n_agree": pa.array(agree.astype(np.int64))})
+
+    parts = (ds.select_columns([id_col, emb_col, label_col])
+             .map_batches(_Agree, batch_format="pyarrow",
+                          concurrency=concurrency)
+             .to_pandas())
+    if not len(parts):
+        return pd.DataFrame({"label": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64"),
+                             "n_agree": pd.Series(dtype="int64"),
+                             "agree_pm": pd.Series(dtype="int64")})
+    out = parts.groupby("label", as_index=False).sum()
+    out["agree_pm"] = (1000 * out.n_agree.to_numpy(np.int64)
+                       // out.n.to_numpy(np.int64))
+    return (out.sort_values("label").reset_index(drop=True)
+            .astype("int64"))
