@@ -6854,8 +6854,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", columns=["user_id", "ts"]),
             num_buckets=16)
 
+    def value_quantiles_exact_q(sf):
+        # EXACT quantile_disc members of the continuous double value
+        # column via multi-pass pivot bisection — the scale path for
+        # columns where value-counting explodes (nothing data-sized
+        # leaves the workers; 2-3 streaming passes)
+        from verify_ray.pipelines.select import \
+            exact_quantiles_continuous
+
+        t = exact_quantiles_continuous(
+            _read(sf, "events", columns=["value"]),
+            "value", [250, 500, 900, 990])
+        return t.to_pandas()
+
+    def milestone_q(sf):
+        # milestone-attainment curve: day each user first crosses
+        # $1000 cumulative value (exact cents, (ts, event_id) order)
+        from verify_ray.pipelines.sessions import \
+            milestone_day_histogram
+
+        return milestone_day_histogram(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "value", "event_id"]),
+            threshold_cents=100_000, num_buckets=16)
+
+    def max_burst_q(sf):
+        # burst census: per-user max events in any 10-minute window
+        # anchored at an event; rank-offset searchsorted, no per-user
+        # loop
+        from verify_ray.pipelines.sessions import max_burst_histogram
+
+        return max_burst_histogram(
+            _read(sf, "events", columns=["user_id", "ts"]),
+            window_us=600_000_000, num_buckets=16)
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_value_quantiles_exact": value_quantiles_exact_q,
+        "users_milestone_day": milestone_q,
+        "users_max_burst_hist": max_burst_q,
         "embeddings_gram_matrix": gram_matrix_q,
         "embeddings_knn_label_agreement": knn_agreement_q,
         "users_lifetime_hist": lifetime_hist_q,
@@ -8571,6 +8608,59 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "events_value_quantiles_exact": """
+-- exact quantile_disc members of the continuous value column
+SELECT 250 AS q, quantile_disc(value, 0.25) AS value
+FROM events WHERE value IS NOT NULL
+UNION ALL
+SELECT 500, quantile_disc(value, 0.5)
+FROM events WHERE value IS NOT NULL
+UNION ALL
+SELECT 900, quantile_disc(value, 0.9)
+FROM events WHERE value IS NOT NULL
+UNION ALL
+SELECT 990, quantile_disc(value, 0.99)
+FROM events WHERE value IS NOT NULL
+""",
+        "users_milestone_day": """
+-- milestone attainment: day of first crossing of $1000 cumulative
+-- value per user (exact cents, deterministic (ts, event_id) order)
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(100 * value) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL AND event_id IS NOT NULL),
+c AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+         SUM(cents) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM e),
+f AS (SELECT user_id, MIN(d) AS day FROM c
+      WHERE cum >= 100000 GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM f GROUP BY 1 ORDER BY 1
+""",
+        "users_max_burst_hist": """
+-- burst census: per-user MAX event count in any [t, t+10min]
+-- window anchored at an event
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+c AS (
+  -- DISTINCT anchors: duplicate (user, t) rows share one window
+  SELECT a.user_id, a.t, COUNT(*) AS w
+  FROM (SELECT DISTINCT user_id, t FROM e) a
+  JOIN e b ON a.user_id = b.user_id
+   AND b.t >= a.t AND b.t <= a.t + 600000000
+  GROUP BY 1, 2),
+m AS (SELECT user_id, MAX(w) AS max_burst FROM c GROUP BY 1)
+SELECT CAST(max_burst AS BIGINT) AS max_burst,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM m GROUP BY 1 ORDER BY 1
+""",
         "embeddings_gram_matrix": """
 -- exact integer Gram matrix over per-dim floor(1000*x) quantized
 -- embeddings: for every dim pair i <= j (1-based), sum of q_i*q_j

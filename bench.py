@@ -257,7 +257,9 @@ def bench_queries() -> dict[str, float]:
              "orders_first_ship_latency",
              "embeddings_gram_matrix",
              "embeddings_knn_label_agreement",
-             "users_lifetime_hist"]
+             "users_lifetime_hist",
+             "events_value_quantiles_exact",
+             "users_milestone_day", "users_max_burst_hist"]
     out = {}
     for name in names:
         t0 = time.time()

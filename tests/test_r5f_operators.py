@@ -194,3 +194,84 @@ def test_oracle_users_lifetime_hist(ray_session):
     # active days never exceed span + 1
     assert (out.active_days <= out.span_d + 1).all()
     assert (out.n_users > 0).all()
+
+
+def test_oracle_value_quantiles_exact(ray_session):
+    out = _oracle_check("events_value_quantiles_exact",
+                        tables=("events",))
+    assert list(out.q) == [250, 500, 900, 990]
+    assert out.value.is_monotonic_increasing
+
+
+def test_continuous_quantiles_mass_point(ray_session):
+    # a single repeated double: every quantile is that value, and the
+    # nextafter mass-point guard must terminate the bisection
+    import ray.data as rd
+
+    from verify_ray.pipelines.select import exact_quantiles_continuous
+
+    ds = rd.from_arrow(pa.table({
+        "x": pa.array([3.25] * 1000 + [99.5],
+                      type=pa.float64())})).materialize()
+    t = exact_quantiles_continuous(ds, "x", [100, 500, 999, 1000],
+                                   n_pivots=8, final_budget=4)
+    vals = dict(zip(t.column("q").to_pylist(),
+                    t.column("value").to_pylist()))
+    assert vals[100] == 3.25 and vals[500] == 3.25
+    assert vals[999] == 3.25  # rank ceil(.999*1001)=1000 <= 1000
+    assert vals[1000] == 99.5
+
+
+def test_continuous_quantiles_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.select import exact_quantiles_continuous
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=5000)
+    ds = rd.from_arrow(pa.table({"x": pa.array(x)})).materialize()
+    t = exact_quantiles_continuous(ds, "x", [10, 500, 975],
+                                   n_pivots=16, final_budget=64)
+    xs = np.sort(x)
+    for q, v in zip(t.column("q").to_pylist(),
+                    t.column("value").to_pylist()):
+        r = max(1, -(-q * len(x) // 1000))
+        assert v == xs[r - 1], q
+
+
+def test_oracle_milestone_day(ray_session):
+    out = _oracle_check("users_milestone_day", tables=("events",))
+    con = duckdb.connect()
+    n_cross = con.execute(f"""
+        WITH e AS (SELECT user_id,
+                          SUM(CAST(round(100*value) AS BIGINT)) AS s
+                   FROM '{SF}/events.parquet'
+                   WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                     AND value IS NOT NULL AND event_id IS NOT NULL
+                   GROUP BY 1)
+        SELECT COUNT(*) FROM e WHERE s >= 100000""").fetchone()[0]
+    # every user whose total crosses has exactly one first-cross day
+    assert out.n_users.sum() == n_cross
+
+
+def test_oracle_max_burst(ray_session):
+    out = _oracle_check("users_max_burst_hist", tables=("events",))
+    assert (out.max_burst >= 1).all()
+
+
+def test_max_burst_hand_built(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.sessions import max_burst_histogram
+
+    s = 1_000_000  # 1 second in us
+    ts = pa.array(np.array(
+        [0, 5 * s, 9 * s, 100 * s,        # user 1: burst of 3 in 10s
+         0, 60 * s],                      # user 2: never 2 in 10s
+        dtype=np.int64), type=pa.int64()).cast(pa.timestamp("us"))
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+        "ts": ts})).materialize()
+    out = max_burst_histogram(ev, window_us=10 * s, num_buckets=4)
+    got = dict(zip(out.max_burst, out.n_users))
+    assert got == {1: 1, 3: 1}

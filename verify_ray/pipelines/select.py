@@ -1193,3 +1193,153 @@ def rank_vs_reference(ds, ref_ds, col: str, id_col: str):
                          }).cast(out_schema)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def exact_quantiles_continuous(ds, col: str, qs_permille: list[int],
+                               n_pivots: int = 512,
+                               final_budget: int = 262_144,
+                               max_passes: int = 8) -> pa.Table:
+    """EXACT ``quantile_disc`` members of a CONTINUOUS float column —
+    the scale path `exact_quantiles` cannot take: value-counting
+    explodes when every double is distinct, and t-digest is
+    approximate.  Here each quantile is pinned by iterative pivot
+    bisection: every pass streams the dataset once, counting values
+    at ``n_pivots`` candidate cuts per open quantile (one
+    ``np.searchsorted`` per batch), narrowing each quantile's
+    ``(lo, hi]`` bracket ~n_pivots-fold, until the bracket holds ≤
+    ``final_budget`` rows; a final pass collects just those rows'
+    distinct values and selects the exact rank member.  2–3 passes
+    pin a quantile among 10¹² distinct doubles.
+
+    Quantile definition matches DuckDB ``quantile_disc`` (the value at
+    1-based sorted rank ``ceil(q·n)``, nulls excluded) — exactly
+    `analytics.grouped_exact_quantiles`'s contract, so results are
+    bit-identical to the SQL oracle (the returned double IS a member
+    of the column).  Returns a ``pa.Table (q, value)``.
+
+    Scale shape: per pass, each batch emits ONE pivot-histogram row
+    (n_pivots+1 int64 cells per quantile); the driver folds
+    #blocks-many histograms.  No shuffle, no sort, nothing
+    data-sized leaves the workers.
+    """
+    import pyarrow.compute as pc
+
+    def stats_part(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+        if len(v) == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "lo": pa.array([], type=pa.float64()),
+                             "hi": pa.array([], type=pa.float64())})
+        return pa.table({"n": pa.array([len(v)], type=pa.int64()),
+                         "lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())])})
+
+    base = ds.select_columns([col]).map_batches(
+        lambda b: b.filter(pc.is_valid(b[col])),
+        batch_format="pyarrow")
+    st = base.map_batches(stats_part,
+                          batch_format="pyarrow").to_pandas()
+    if not len(st) or st.n.sum() == 0:
+        return pa.table({"q": pa.array([], type=pa.int64()),
+                         "value": pa.array([], type=pa.float64())})
+    n = int(st.n.sum())
+    gmin, gmax = float(st.lo.min()), float(st.hi.max())
+
+    # per-quantile state: 1-based target rank, open bracket (lo, hi]
+    # with invariant count(<= lo) = rank_lo < r <= count(<= hi), and
+    # lo = -inf initially (count <= -inf is 0)
+    state = {}
+    for q in qs_permille:
+        r = max(1, -(-q * n // 1000))  # ceil(q*n/1000)
+        state[q] = {"r": int(r), "lo": -np.inf, "hi": gmax,
+                    "rank_lo": 0, "in_range": n, "done": None}
+
+    for _ in range(max_passes):
+        open_qs = [q for q, s in state.items()
+                   if s["done"] is None and s["in_range"] > final_budget]
+        if not open_qs:
+            break
+        pivots = []
+        for q in open_qs:
+            s = state[q]
+            plo = s["lo"] if np.isfinite(s["lo"]) else gmin
+            grid = np.linspace(plo, s["hi"], n_pivots + 2)[1:-1]
+            pivots.append(grid)
+            pivots.append(np.array([s["hi"]]))
+            if np.isfinite(s["lo"]):
+                # keep the current lo as a pivot so another
+                # quantile's grid can never loosen this bracket
+                pivots.append(np.array([s["lo"]]))
+        P = np.unique(np.concatenate(pivots))
+        if len(P) == 0:
+            break
+
+        def hist_part(b: pa.Table, P=P) -> pa.Table:
+            v = b.column(col).to_numpy(zero_copy_only=False)
+            # bin i = (P[i-1], P[i]]; bin len(P) = (P[-1], inf)
+            idx = np.searchsorted(P, v, side="left")
+            c = np.bincount(idx, minlength=len(P) + 1)
+            return pa.table({"bin": pa.array(
+                np.arange(len(P) + 1, dtype=np.int64)),
+                "c": pa.array(c.astype(np.int64))})
+
+        hp = base.map_batches(hist_part,
+                              batch_format="pyarrow").to_pandas()
+        counts = np.zeros(len(P) + 1, np.int64)
+        np.add.at(counts, hp.bin.to_numpy(np.int64),
+                  hp.c.to_numpy(np.int64))
+        cum = np.cumsum(counts)  # cum[i] = count(<= P[i]) for i<len(P)
+        progressed = False
+        for q in open_qs:
+            s = state[q]
+            r = s["r"]
+            # smallest pivot with count(<=pivot) >= r -> new hi
+            i = int(np.searchsorted(cum[:len(P)], r))
+            if i >= len(P):
+                continue  # r beyond all pivots: hi stays (it holds r)
+            new_hi, new_hi_cnt = float(P[i]), int(cum[i])
+            new_lo = float(P[i - 1]) if i > 0 else s["lo"]
+            new_rank_lo = int(cum[i - 1]) if i > 0 else s["rank_lo"]
+            if new_hi_cnt - new_rank_lo < s["in_range"]:
+                progressed = True
+            s["hi"], s["lo"] = new_hi, new_lo
+            s["rank_lo"], s["in_range"] = (new_rank_lo,
+                                           new_hi_cnt - new_rank_lo)
+            if np.nextafter(s["lo"], np.inf) >= s["hi"]:
+                s["done"] = s["hi"]  # mass point: no float between
+        if not progressed:
+            break
+
+    # final pass: collect distinct values inside every open bracket
+    open_qs = [q for q, s in state.items() if s["done"] is None]
+    if open_qs:
+        los = np.array([state[q]["lo"] for q in open_qs])
+        his = np.array([state[q]["hi"] for q in open_qs])
+
+        def collect(b: pa.Table, los=los, his=his) -> pa.Table:
+            v = b.column(col).to_numpy(zero_copy_only=False)
+            m = np.zeros(len(v), bool)
+            for lo, hi in zip(los, his):
+                m |= (v > lo) & (v <= hi)
+            u, c = np.unique(v[m], return_counts=True)
+            return pa.table({"v": pa.array(u.astype(np.float64)),
+                             "c": pa.array(c.astype(np.int64))})
+
+        vals = base.map_batches(collect,
+                                batch_format="pyarrow").to_pandas()
+        vals = (vals.groupby("v", as_index=False)["c"].sum()
+                .sort_values("v"))
+        va = vals.v.to_numpy(np.float64)
+        ca = vals.c.to_numpy(np.int64)
+        for q in open_qs:
+            s = state[q]
+            m = (va > s["lo"]) & (va <= s["hi"])
+            vv, cc = va[m], np.cumsum(ca[m]) + s["rank_lo"]
+            s["done"] = float(vv[np.searchsorted(cc, s["r"])])
+
+    qs_sorted = list(qs_permille)
+    return pa.table({
+        "q": pa.array(qs_sorted, type=pa.int64()),
+        "value": pa.array([state[q]["done"] for q in qs_sorted],
+                          type=pa.float64())})

@@ -2137,3 +2137,155 @@ def user_lifetime_histogram(events_ds, num_buckets: int = 32
           ["n_users"].sum())
     return (df.sort_values(["span_d", "active_days"])
             .reset_index(drop=True).astype("int64"))
+
+
+def milestone_day_histogram(events_ds, threshold_cents: int,
+                            num_buckets: int = 32) -> pd.DataFrame:
+    """Milestone-attainment curve: for every user whose cumulative
+    event value (exact cents, ordered by ``(ts, event_id)``) reaches
+    ``threshold_cents``, the DAY of first crossing — histogrammed as
+    ``(day, n_users)`` (the "time to $X lifetime value" growth
+    surface).  The ``(ts, event_id)`` total order makes the crossing
+    row deterministic even under same-timestamp ties (restated in the
+    SQL window's ORDER BY).
+
+    Scale shape: ONE user-hashed exchange ships narrow
+    ``(u, ts, event_id, cents)`` rows; each merge task sorts its
+    users' timelines once (one lexsort), cumulative-sums per user
+    segment, and finds the first crossing with one searchsorted per
+    segment boundary — emitting a calendar-bounded day histogram.
+    Null user/ts/value/event_id rows drop (restated in the SQL).
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = None
+        for c in ("user_id", "ts", "value", "event_id"):
+            v = pc.is_valid(b[c])
+            m = v if m is None else pc.and_(m, v)
+        b = b.filter(m)
+        u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(100.0 * b["value"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        return pa.table({"__b": pa.array(
+            (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % np.uint64(num_buckets)).astype(np.int64)),
+            "u": pa.array(u), "t": pa.array(ts),
+            "e": pc.cast(b["event_id"], pa.int64()),
+            "c": pa.array(cents)})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, ts, c = u[order], ts[order], c[order]
+        st = (np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+              if len(u) else np.empty(0, np.int64))
+        cum = np.cumsum(c)
+        base = np.zeros(len(u), np.int64)
+        if len(st):
+            seg_base = np.concatenate([[0], cum[st[1:] - 1]])
+            base = np.repeat(seg_base, np.diff(np.append(st, len(u))))
+        cs = cum - base  # per-user running total
+        crossed = cs >= threshold_cents
+        # first crossing per user segment: the first True index
+        idx = np.flatnonzero(crossed)
+        if len(idx) == 0:
+            return pa.table({"day": pa.array([], type=pa.int64()),
+                             "n_users": pa.array([],
+                                                 type=pa.int64())})
+        seg_of = np.searchsorted(st, idx, side="right") - 1
+        keep = np.r_[True, seg_of[1:] != seg_of[:-1]]
+        days = ts[idx[keep]] // 86_400_000_000
+        ud, cnt = np.unique(days, return_counts=True)
+        return pa.table({"day": pa.array(ud.astype(np.int64)),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    tagged = events_ds.map_batches(partial, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                             "n_users": pd.Series(dtype="int64")})
+    df = (res.to_pandas().groupby("day", as_index=False)
+          ["n_users"].sum())
+    return (df.sort_values("day").reset_index(drop=True)
+            .astype("int64"))
+
+
+def max_burst_histogram(events_ds, window_us: int = 600_000_000,
+                        num_buckets: int = 32) -> pd.DataFrame:
+    """Bot/abuse burst census: each user's MAXIMUM event count inside
+    any ``[t, t + window]`` window anchored at one of their events,
+    histogrammed over users — the rate-limit sizing surface ("what
+    burst ceiling would flag <0.1% of humans?").
+
+    Scale shape: ONE user-hashed exchange ships (u, ts) rows; each
+    merge task sorts once by (u, ts) and counts every anchor's window
+    with two vectorized ``np.searchsorted`` calls over a
+    rank-offsetted timestamp array (each user's timeline shifted by
+    ``user_rank × (span + window + 1)`` so windows can never leak
+    into a neighbor's segment — no per-user Python loop), then takes
+    per-segment maxima with one ``reduceat``.  Null user/ts rows drop
+    (restated in the SQL).  Overflow guard: #users-per-bucket ×
+    (span + window) must stay below 2⁶³ — raises if not.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b["user_id"]), pc.is_valid(b["ts"]))
+        b = b.filter(m)
+        u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"__b": pa.array(
+            (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % np.uint64(num_buckets)).astype(np.int64)),
+            "u": pa.array(u), "t": pa.array(ts)})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table({"max_burst": pa.array([],
+                                                   type=pa.int64()),
+                             "n_users": pa.array([],
+                                                 type=pa.int64())})
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        rank = np.cumsum(np.r_[False, u[1:] != u[:-1]])
+        span = int(ts.max() - ts.min())
+        stride = span + window_us + 1
+        if len(st) and stride > (2**62) // max(1, len(st)):
+            raise ValueError(
+                "max_burst_histogram: rank*stride would overflow "
+                "int64 — shrink num_buckets or the time span")
+        tmod = (ts - ts.min()) + rank * stride
+        hi = np.searchsorted(tmod, tmod + window_us, side="right")
+        lo = np.searchsorted(tmod, tmod, side="left")
+        w = hi - lo
+        mx = np.maximum.reduceat(w, st)
+        um, cnt = np.unique(mx, return_counts=True)
+        return pa.table({
+            "max_burst": pa.array(um.astype(np.int64)),
+            "n_users": pa.array(cnt.astype(np.int64))})
+
+    tagged = events_ds.map_batches(partial, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"max_burst": pd.Series(dtype="int64"),
+                             "n_users": pd.Series(dtype="int64")})
+    df = (res.to_pandas().groupby("max_burst", as_index=False)
+          ["n_users"].sum())
+    return (df.sort_values("max_burst").reset_index(drop=True)
+            .astype("int64"))
