@@ -6888,8 +6888,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", columns=["user_id", "ts"]),
             window_us=600_000_000, num_buckets=16)
 
+    def cross_correlation_q(sf):
+        # demand-vs-fulfillment alignment: daily order count
+        # cross-correlated with daily ship-line count at lags 0..14
+        # (two calendar-sized aggregations, driver-side lag products)
+        def day_counts(ds, col):
+            def part(b: pa.Table, col=col) -> pa.Table:
+                b = b.filter(pc.is_valid(b[col]))
+                d = (pc.cast(pc.cast(b[col], pa.timestamp("us")),
+                             pa.int64()).to_numpy(
+                    zero_copy_only=False) // 86_400_000_000)
+                ud, c = np.unique(d, return_counts=True)
+                return pa.table({"d": pa.array(ud),
+                                 "n": pa.array(c.astype(np.int64))})
+
+            df = (ds.map_batches(part, batch_format="pyarrow")
+                  .to_pandas())
+            return df.groupby("d", as_index=False)["n"].sum()
+
+        a = day_counts(_read(sf, "orders", columns=["o_orderdate"]),
+                       "o_orderdate")
+        b = day_counts(_read(sf, "lineitem",
+                             columns=["l_shipdate"]), "l_shipdate")
+        am = dict(zip(a.d.to_numpy(np.int64),
+                      a.n.to_numpy(np.int64)))
+        bd = b.d.to_numpy(np.int64)
+        bn = b.n.to_numpy(np.int64)
+        rows = []
+        for lag in range(15):
+            prod = n_days = 0
+            for d, nb in zip(bd, bn):
+                na = am.get(d - lag)
+                if na is not None:
+                    prod += int(na) * int(nb)
+                    n_days += 1
+            rows.append({"lag": lag, "n_days": n_days,
+                         "sum_ab": prod})
+        return pd.DataFrame(rows).astype("int64")
+
+    def value_by_type_exact_q(sf):
+        # per-type exact quantile_disc members of the continuous
+        # value column (grouped pivot bisection — nothing data-sized
+        # leaves the workers)
+        from verify_ray.pipelines.select import \
+            grouped_quantiles_continuous
+
+        return grouped_quantiles_continuous(
+            _read(sf, "events", columns=["event_type", "value"]),
+            "event_type", "value", [500, 900])
+
+    def type_scc_q(sf):
+        # behavioral-loop audit: SCCs of the heavy-edge transition
+        # digraph (edges >= 80% of the max transition count)
+        from verify_ray.pipelines.graph import type_transition_scc
+
+        return type_transition_scc(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_type",
+                           "event_id"]),
+            num_buckets=16)
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "orders_ship_cross_correlation": cross_correlation_q,
+        "events_value_quantiles_by_type": value_by_type_exact_q,
+        "event_type_scc": type_scc_q,
         "events_value_quantiles_exact": value_quantiles_exact_q,
         "users_milestone_day": milestone_q,
         "users_max_burst_hist": max_burst_q,
@@ -8608,6 +8671,66 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "orders_ship_cross_correlation": """
+-- demand vs fulfillment: daily order counts x daily ship-line
+-- counts at lags 0..14 (b-day minus lag matches an a-day)
+WITH a AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS d, COUNT(*) AS n
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+b AS (
+  SELECT epoch_us(l_shipdate) // 86400000000 AS d, COUNT(*) AS n
+  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1),
+l AS (SELECT range AS lag FROM range(0, 15))
+SELECT CAST(l.lag AS BIGINT) AS lag,
+       CAST(COUNT(a.d) AS BIGINT) AS n_days,
+       CAST(COALESCE(SUM(a.n * b.n), 0) AS BIGINT) AS sum_ab
+FROM l LEFT JOIN b ON TRUE
+       LEFT JOIN a ON a.d = b.d - l.lag
+GROUP BY 1 ORDER BY 1
+""",
+        "events_value_quantiles_by_type": """
+-- per-type exact quantile_disc members of the continuous value
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_disc(value, 0.5) AS q50,
+       quantile_disc(value, 0.9) AS q90
+FROM events
+WHERE event_type IS NOT NULL AND value IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""",
+        "event_type_scc": """
+-- SCCs of the heavy-edge transition digraph: edges with count >=
+-- ceil(0.8 * max edge count); mutual-reachability closure
+WITH RECURSIVE
+e AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+p AS (
+  SELECT event_type AS s,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS t
+  FROM e),
+tc AS (SELECT s, t, COUNT(*) AS n FROM p WHERE t IS NOT NULL
+       GROUP BY 1, 2),
+mx AS (SELECT MAX(n) AS m FROM tc),
+ed AS (SELECT s, t FROM tc, mx WHERE n >= (800 * m + 999) // 1000),
+nodes AS (SELECT s AS ty FROM tc UNION SELECT t FROM tc),
+reach(a, b) AS (
+  SELECT s, t FROM ed
+  UNION
+  SELECT r.a, e2.t FROM reach r JOIN ed e2 ON r.b = e2.s),
+mut AS (
+  SELECT ty AS a, ty AS b FROM nodes
+  UNION
+  SELECT r1.a, r1.b FROM reach r1
+  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+lab AS (SELECT a AS event_type, MIN(b) AS scc_id FROM mut
+        GROUP BY 1),
+sz AS (SELECT scc_id, COUNT(*) AS scc_size FROM lab GROUP BY 1)
+SELECT lab.event_type, lab.scc_id,
+       CAST(sz.scc_size AS BIGINT) AS scc_size
+FROM lab JOIN sz USING (scc_id) ORDER BY event_type
+""",
         "events_value_quantiles_exact": """
 -- exact quantile_disc members of the continuous value column
 SELECT 250 AS q, quantile_disc(value, 0.25) AS value

@@ -259,7 +259,9 @@ def bench_queries() -> dict[str, float]:
              "embeddings_knn_label_agreement",
              "users_lifetime_hist",
              "events_value_quantiles_exact",
-             "users_milestone_day", "users_max_burst_hist"]
+             "users_milestone_day", "users_max_burst_hist",
+             "orders_ship_cross_correlation",
+             "events_value_quantiles_by_type", "event_type_scc"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -275,3 +275,81 @@ def test_max_burst_hand_built(ray_session):
     out = max_burst_histogram(ev, window_us=10 * s, num_buckets=4)
     got = dict(zip(out.max_burst, out.n_users))
     assert got == {1: 1, 3: 1}
+
+
+def test_oracle_cross_correlation(ray_session):
+    out = _oracle_check("orders_ship_cross_correlation",
+                        tables=("orders", "lineitem"))
+    assert list(out.lag) == list(range(15))
+    # shipments follow orders: positive lags must correlate at least
+    # as strongly as lag 0 somewhere (lead times are 1..120 days)
+    assert out.sum_ab.max() >= out.sum_ab.iloc[0]
+
+
+def test_oracle_value_quantiles_by_type(ray_session):
+    out = _oracle_check("events_value_quantiles_by_type",
+                        tables=("events",))
+    assert len(out) == 5
+    assert (out.q50 <= out.q90).all()
+
+
+def test_grouped_continuous_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.select import grouped_quantiles_continuous
+
+    rng = np.random.default_rng(11)
+    g = np.array(["a", "b", "c"])[rng.integers(0, 3, 4000)]
+    x = rng.normal(size=4000) * (1 + (g == "b"))
+    ds = rd.from_arrow(pa.table({"g": pa.array(g),
+                                 "x": pa.array(x)})).materialize()
+    out = grouped_quantiles_continuous(ds, "g", "x", [500, 900],
+                                       n_pivots=8, final_budget=32)
+    for r in out.itertuples():
+        xs = np.sort(x[g == r.g])
+        assert r.n == len(xs)
+        for q, v in ((500, r.q50), (900, r.q90)):
+            rank = max(1, -(-q * len(xs) // 1000))
+            assert v == xs[rank - 1], (r.g, q)
+
+
+def test_oracle_event_type_scc(ray_session):
+    out = _oracle_check("event_type_scc", tables=("events",))
+    # scc_id is always a member <= the type itself lexicographically
+    assert (out.scc_id <= out.event_type).all()
+    # sizes are consistent: each scc_id's size equals its member count
+    sizes = out.groupby("scc_id").size()
+    for r in out.itertuples():
+        assert r.scc_size == sizes[r.scc_id]
+
+
+def test_type_scc_hand_built(ray_session):
+    # a -> b -> a heavy cycle; c only receives a weak edge (below
+    # 80% of max) so c is a singleton; edge counts are forced by
+    # repeating transitions across users
+    import ray.data as rd
+
+    from verify_ray.pipelines.graph import type_transition_scc
+
+    seq = (["a", "b"] * 10 + ["c"])  # per user: a->b x10 ... b->c x1
+    users, types, ts, eid = [], [], [], []
+    k = 0
+    for u in range(3):
+        for t in seq:
+            users.append(u)
+            types.append(t)
+            ts.append(k * 1_000_000)
+            eid.append(k)
+            k += 1
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array(users, type=pa.int64()),
+        "ts": pa.array(np.array(ts, dtype=np.int64),
+                       type=pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(types),
+        "event_id": pa.array(eid, type=pa.int64()),
+    })).materialize()
+    out = type_transition_scc(ev, num_buckets=4)
+    got = {r.event_type: (r.scc_id, r.scc_size)
+           for r in out.itertuples()}
+    assert got["a"] == ("a", 2) and got["b"] == ("a", 2)
+    assert got["c"] == ("c", 1)

@@ -1454,3 +1454,56 @@ def degree_log_hist(edges_ds, x_col: str = "x", y_col: str = "y",
                 min_deg=("deg", "min"), max_deg=("deg", "max")))
     return (out.sort_values("bin").reset_index(drop=True)
             .astype("int64"))
+
+
+def type_transition_scc(events_ds, keep_permille_of_max: int = 800,
+                        num_buckets: int = 32) -> pd.DataFrame:
+    """Strongly-connected components of the event-type transition
+    digraph restricted to its HEAVY edges — "which states form
+    closed behavioral loops once weak transitions are pruned?" (the
+    loop-structure audit over `sessions.transition_counts`' Markov
+    surface).  An edge (A → B) survives iff its transition count
+    ``n ≥ ceil(keep_permille_of_max/1000 × max_edge_n)``; SCCs are
+    mutual-reachability classes over surviving edges (every node is
+    in its own class by definition).  Output per event type:
+    ``scc_id`` (the lexicographically smallest member) and
+    ``scc_size``.
+
+    Distributed shape: the transition counts come from ONE key-hashed
+    exchange (`transition_counts`); the pruned digraph is
+    ALPHABET-sized, so the closure runs on the driver over a boolean
+    matrix (documented enum contract — |types|² bits, never
+    event-scaled).  SQL parity: a recursive-CTE reachability closure
+    with the same threshold arithmetic.
+    """
+    from .sessions import transition_counts
+
+    tc = transition_counts(events_ds, num_buckets=num_buckets)
+    # node set = every state seen in any transition (a type whose
+    # rows never neighbor another event has no Markov surface)
+    nodes = sorted(set(tc.prev_state) | set(tc.next_state))
+    idx = {t: i for i, t in enumerate(nodes)}
+    k = len(nodes)
+    if k == 0:
+        return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                             "scc_id": pd.Series(dtype=object),
+                             "scc_size": pd.Series(dtype="int64")})
+    max_n = int(tc.n.max())
+    tau = -(-keep_permille_of_max * max_n // 1000)  # ceil
+    adj = np.zeros((k, k), dtype=bool)
+    for r in tc.itertuples():
+        if r.n >= tau:
+            adj[idx[r.prev_state], idx[r.next_state]] = True
+    reach = adj.copy()
+    for _ in range(k):  # closure fixpoint in <= |V| squarings
+        new = reach | (reach @ reach)
+        if (new == reach).all():
+            break
+        reach = new
+    mutual = (reach & reach.T) | np.eye(k, dtype=bool)
+    labels = [min(nodes[j] for j in range(k) if mutual[i, j])
+              for i in range(k)]
+    sizes = pd.Series(labels).map(pd.Series(labels).value_counts())
+    return (pd.DataFrame({"event_type": nodes, "scc_id": labels,
+                          "scc_size": sizes.astype("int64")})
+            .sort_values("event_type").reset_index(drop=True))

@@ -1343,3 +1343,186 @@ def exact_quantiles_continuous(ds, col: str, qs_permille: list[int],
         "q": pa.array(qs_sorted, type=pa.int64()),
         "value": pa.array([state[q]["done"] for q in qs_sorted],
                           type=pa.float64())})
+
+
+def grouped_quantiles_continuous(ds, group_col: str, col: str,
+                                 qs_permille: list[int],
+                                 n_pivots: int = 128,
+                                 final_budget: int = 65_536,
+                                 max_passes: int = 8):
+    """Per-GROUP exact ``quantile_disc`` members of a continuous
+    float column — `grouped_exact_quantiles`' scale path for columns
+    where per-group value counting explodes (every double distinct),
+    using `exact_quantiles_continuous`'s pivot bisection per (group,
+    quantile): each pass streams the dataset once and each batch
+    emits one pivot histogram PER GROUP (an enum-sized Python loop
+    over groups — the documented enum contract; the per-value work
+    stays vectorized searchsorted/bincount).  Null groups and null
+    values drop (restated in the SQL).
+
+    Returns a pandas DataFrame ``(group_col, n, q<..>...)`` like
+    `analytics.grouped_exact_quantiles` (values float64, exact
+    members of the column).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    base = ds.select_columns([group_col, col]).map_batches(
+        lambda b: b.filter(pc.and_(pc.is_valid(b[group_col]),
+                                   pc.is_valid(b[col]))),
+        batch_format="pyarrow")
+
+    def stats_part(b: pa.Table) -> pa.Table:
+        g = b.group_by([group_col]).aggregate(
+            [(col, "count"), (col, "min"), (col, "max")])
+        return g.rename_columns([group_col, "n", "lo", "hi"])
+
+    st = base.map_batches(stats_part,
+                          batch_format="pyarrow").to_pandas()
+    cols_empty = {group_col: pd.Series(dtype=object),
+                  "n": pd.Series(dtype="int64"),
+                  **{f"q{q // 10}": pd.Series(dtype="float64")
+                     for q in qs_permille}}
+    if not len(st):
+        return pd.DataFrame(cols_empty)
+    st = st.groupby(group_col, as_index=False).agg(
+        n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    groups = list(st[group_col])
+    meta = {r[0]: (int(r[1]), float(r[2]), float(r[3]))
+            for r in st.itertuples(index=False)}
+
+    state = {}
+    for g in groups:
+        n, gmin, gmax = meta[g]
+        for q in qs_permille:
+            r = max(1, -(-q * n // 1000))
+            state[(g, q)] = {"r": int(r), "lo": -np.inf, "hi": gmax,
+                             "rank_lo": 0, "in_range": n,
+                             "gmin": gmin, "done": None}
+
+    for _ in range(max_passes):
+        open_keys = [ky for ky, s in state.items()
+                     if s["done"] is None
+                     and s["in_range"] > final_budget]
+        if not open_keys:
+            break
+        piv = {}
+        for (g, q) in open_keys:
+            s = state[(g, q)]
+            plo = s["lo"] if np.isfinite(s["lo"]) else s["gmin"]
+            grid = [np.linspace(plo, s["hi"], n_pivots + 2)[1:-1],
+                    np.array([s["hi"]])]
+            if np.isfinite(s["lo"]):
+                grid.append(np.array([s["lo"]]))
+            piv.setdefault(g, []).extend(grid)
+        P = {g: np.unique(np.concatenate(v)) for g, v in piv.items()}
+
+        def hist_part(b: pa.Table, P=P) -> pa.Table:
+            gv = np.asarray(b.column(group_col).to_pylist(),
+                            dtype=object)
+            v = b.column(col).to_numpy(zero_copy_only=False)
+            gs, bins, cs = [], [], []
+            for g, pg in P.items():
+                vm = v[gv == g]
+                if not len(vm):
+                    continue
+                c = np.bincount(np.searchsorted(pg, vm, side="left"),
+                                minlength=len(pg) + 1)
+                gs.extend([g] * (len(pg) + 1))
+                bins.append(np.arange(len(pg) + 1, dtype=np.int64))
+                cs.append(c.astype(np.int64))
+            if not bins:
+                return pa.table({
+                    "g": pa.array([], type=pa.string()),
+                    "bin": pa.array([], type=pa.int64()),
+                    "c": pa.array([], type=pa.int64())})
+            return pa.table({"g": pa.array(gs, type=pa.string()),
+                             "bin": pa.array(np.concatenate(bins)),
+                             "c": pa.array(np.concatenate(cs))})
+
+        hp = base.map_batches(hist_part,
+                              batch_format="pyarrow").to_pandas()
+        folded = (hp.groupby(["g", "bin"], as_index=False)["c"].sum()
+                  if len(hp) else hp)
+        progressed = False
+        for (g, q) in open_keys:
+            s = state[(g, q)]
+            pg = P[g]
+            cg = np.zeros(len(pg) + 1, np.int64)
+            sub = folded[folded.g == g] if len(folded) else folded
+            if len(sub):
+                cg[sub.bin.to_numpy(np.int64)] = sub.c.to_numpy(
+                    np.int64)
+            cum = np.cumsum(cg)
+            r = s["r"]
+            i = int(np.searchsorted(cum[:len(pg)], r))
+            if i >= len(pg):
+                continue
+            new_hi, new_hi_cnt = float(pg[i]), int(cum[i])
+            new_lo = float(pg[i - 1]) if i > 0 else s["lo"]
+            new_rank_lo = int(cum[i - 1]) if i > 0 else s["rank_lo"]
+            if new_hi_cnt - new_rank_lo < s["in_range"]:
+                progressed = True
+            s["hi"], s["lo"] = new_hi, new_lo
+            s["rank_lo"] = new_rank_lo
+            s["in_range"] = new_hi_cnt - new_rank_lo
+            if np.nextafter(s["lo"], np.inf) >= s["hi"]:
+                s["done"] = s["hi"]
+        if not progressed:
+            break
+
+    open_keys = [ky for ky, s in state.items() if s["done"] is None]
+    if open_keys:
+        ranges = {}
+        for (g, q) in open_keys:
+            s = state[(g, q)]
+            ranges.setdefault(g, []).append((s["lo"], s["hi"]))
+
+        def collect(b: pa.Table, ranges=ranges) -> pa.Table:
+            gv = np.asarray(b.column(group_col).to_pylist(),
+                            dtype=object)
+            v = b.column(col).to_numpy(zero_copy_only=False)
+            gs, vs, cs = [], [], []
+            for g, rr in ranges.items():
+                vm = v[gv == g]
+                if not len(vm):
+                    continue
+                m = np.zeros(len(vm), bool)
+                for lo, hi in rr:
+                    m |= (vm > lo) & (vm <= hi)
+                u, c = np.unique(vm[m], return_counts=True)
+                gs.extend([g] * len(u))
+                vs.append(u.astype(np.float64))
+                cs.append(c.astype(np.int64))
+            if not vs:
+                return pa.table({
+                    "g": pa.array([], type=pa.string()),
+                    "v": pa.array([], type=pa.float64()),
+                    "c": pa.array([], type=pa.int64())})
+            return pa.table({"g": pa.array(gs, type=pa.string()),
+                             "v": pa.array(np.concatenate(vs)),
+                             "c": pa.array(np.concatenate(cs))})
+
+        vals = base.map_batches(collect,
+                                batch_format="pyarrow").to_pandas()
+        vals = (vals.groupby(["g", "v"], as_index=False)["c"].sum()
+                .sort_values(["g", "v"]))
+        for (g, q) in open_keys:
+            s = state[(g, q)]
+            sub = vals[vals.g == g]
+            va = sub.v.to_numpy(np.float64)
+            ca = sub.c.to_numpy(np.int64)
+            m = (va > s["lo"]) & (va <= s["hi"])
+            vv = va[m]
+            cc = np.cumsum(ca[m]) + s["rank_lo"]
+            s["done"] = float(vv[np.searchsorted(cc, s["r"])])
+
+    rows = []
+    for g in groups:
+        row = {group_col: g, "n": meta[g][0]}
+        for q in qs_permille:
+            row[f"q{q // 10}"] = state[(g, q)]["done"]
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values(group_col)
+    out["n"] = out.n.astype("int64")
+    return out.reset_index(drop=True)
