@@ -6948,8 +6948,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            "event_id"]),
             num_buckets=16)
 
+    def token_l1_q(sf):
+        # mixture-weighting surface: pairwise source-vocabulary L1
+        # distance over the FULL word vocabulary (word-keyed
+        # exchange, dense per-word source vectors)
+        from verify_ray.pipelines.text import source_token_l1
+
+        return source_token_l1(
+            _read(sf, "documents", columns=["text", "source"]),
+            num_buckets=16)
+
+    def value_concentration_q(sf):
+        # whale-concentration audit: per type, the minimum number of
+        # events covering 80% of total value (exact cents; computed
+        # from the (type, cents) histogram, never a row-sized sort)
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["event_type"]),
+                        pc.is_valid(b["value"]))
+            b = b.filter(m)
+            cents = np.rint(100.0 * b["value"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({"event_type": b["event_type"],
+                             "c": pa.array(cents),
+                             "__one": pa.array(
+                                 np.ones(len(cents), np.int64))})
+
+        g = analytics.grouped_stats(
+            _read(sf, "events", columns=["event_type", "value"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["event_type", "c"], {"__one": ["sum"]})
+        g = g.rename(columns={"__one_sum": "cnt"})
+        rows = []
+        for ty, sub in g.groupby("event_type"):
+            sub = sub.sort_values("c", ascending=False)
+            v = sub.c.to_numpy(np.int64)
+            c = sub.cnt.to_numpy(np.int64)
+            n = int(c.sum())
+            tot = int((v * c).sum())
+            target = 800 * tot  # compare 1000*cum >= 800*tot
+            cum_v = np.cumsum(v * c)
+            cum_n = np.cumsum(c)
+            i = int(np.searchsorted(1000 * cum_v, target))
+            before_v = int(cum_v[i - 1]) if i else 0
+            before_n = int(cum_n[i - 1]) if i else 0
+            need = target - 1000 * before_v
+            m_in_bin = -(-need // (1000 * int(v[i]))) if v[i] else 0
+            k_star = before_n + int(m_in_bin)
+            rows.append({"event_type": ty, "n": n,
+                         "total_cents": tot, "k_star": k_star,
+                         "k_share_pm": 1000 * k_star // n})
+        return (pd.DataFrame(rows).sort_values("event_type")
+                .reset_index(drop=True)
+                .astype({"n": "int64", "total_cents": "int64",
+                         "k_star": "int64", "k_share_pm": "int64"}))
+
+    def fold_balance_q(sf):
+        # k-fold assignment balance: md5(doc_id) % 5 folds x lang
+        # counts (the sample.py md5_number_upper contract)
+        from verify_ray.functions.hashing import md5_u64le
+
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["doc_id"]),
+                        pc.is_valid(b["lang"]))
+            b = b.filter(m)
+            h = md5_u64le(pc.cast(b["doc_id"], pa.string()))
+            return pa.table({
+                "fold": pa.array((h % np.uint64(5))
+                                 .astype(np.int64)),
+                "lang": b["lang"],
+                "__one": pa.array(np.ones(b.num_rows, np.int64))})
+
+        out = analytics.grouped_stats(
+            _read(sf, "documents", columns=["doc_id", "lang"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["fold", "lang"], {"__one": ["sum"]})
+        out = out.rename(columns={"__one_sum": "n_docs"})
+        return (out.sort_values(["fold", "lang"])
+                .reset_index(drop=True)
+                .astype({"fold": "int64", "n_docs": "int64"}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "source_token_l1_matrix": token_l1_q,
+        "events_value_concentration": value_concentration_q,
+        "docs_fold_balance": fold_balance_q,
         "orders_ship_cross_correlation": cross_correlation_q,
         "events_value_quantiles_by_type": value_by_type_exact_q,
         "event_type_scc": type_scc_q,
@@ -8671,6 +8753,66 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "source_token_l1_matrix": """
+-- pairwise source-vocabulary L1 distance over the full word
+-- vocabulary (absent words count 0; stopword_discovery's split)
+WITH c AS (
+  SELECT source, w, COUNT(*) AS n
+  FROM (SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL)
+  GROUP BY 1, 2),
+s AS (SELECT DISTINCT source FROM documents
+      WHERE text IS NOT NULL AND source IS NOT NULL),
+p AS (SELECT a.source AS s1, b.source AS s2
+      FROM s a JOIN s b ON a.source < b.source),
+words AS (SELECT DISTINCT w FROM c),
+grid AS (SELECT s1, s2, w FROM p CROSS JOIN words),
+j AS (
+  SELECT g.s1, g.s2,
+         COALESCE(c1.n, 0) - COALESCE(c2.n, 0) AS d
+  FROM grid g
+  LEFT JOIN c c1 ON c1.source = g.s1 AND c1.w = g.w
+  LEFT JOIN c c2 ON c2.source = g.s2 AND c2.w = g.w)
+SELECT s1, s2, CAST(SUM(ABS(d)) AS BIGINT) AS l1
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_value_concentration": """
+-- whale concentration: per type, min events covering 80% of total
+-- value (exact cents; tie-invariant because equal values commute)
+WITH e AS (
+  SELECT event_type, CAST(round(100 * value) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+t AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS tot
+      FROM e GROUP BY 1),
+r AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY c DESC) AS rn,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY c DESC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM e),
+k AS (
+  SELECT r.event_type, MIN(rn) AS k_star
+  FROM r JOIN t USING (event_type)
+  WHERE 1000 * cum >= 800 * tot GROUP BY 1)
+SELECT t.event_type, CAST(n AS BIGINT) AS n,
+       CAST(tot AS BIGINT) AS total_cents,
+       CAST(k_star AS BIGINT) AS k_star,
+       CAST(1000 * k_star // n AS BIGINT) AS k_share_pm
+FROM t JOIN k USING (event_type) ORDER BY 1
+""",
+        "docs_fold_balance": """
+-- 5-fold assignment balance: md5(doc_id) % 5 folds x language
+SELECT CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 5
+            AS BIGINT) AS fold,
+       lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "orders_ship_cross_correlation": """
 -- demand vs fulfillment: daily order counts x daily ship-line
 -- counts at lags 0..14 (b-day minus lag matches an a-day)

@@ -261,7 +261,9 @@ def bench_queries() -> dict[str, float]:
              "events_value_quantiles_exact",
              "users_milestone_day", "users_max_burst_hist",
              "orders_ship_cross_correlation",
-             "events_value_quantiles_by_type", "event_type_scc"]
+             "events_value_quantiles_by_type", "event_type_scc",
+             "source_token_l1_matrix", "events_value_concentration",
+             "docs_fold_balance"]
     out = {}
     for name in names:
         t0 = time.time()

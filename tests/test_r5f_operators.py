@@ -353,3 +353,45 @@ def test_type_scc_hand_built(ray_session):
            for r in out.itertuples()}
     assert got["a"] == ("a", 2) and got["b"] == ("a", 2)
     assert got["c"] == ("c", 1)
+
+
+def test_oracle_source_token_l1(ray_session):
+    out = _oracle_check("source_token_l1_matrix",
+                        tables=("documents",))
+    assert (out.s1 < out.s2).all()
+    assert (out.l1 >= 0).all()
+
+
+def test_source_token_l1_hand_built(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.text import source_token_l1
+
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["a a b", "a c", "b b"]),
+        "source": pa.array(["s1", "s1", "s2"]),
+    })).materialize()
+    out = source_token_l1(ds, num_buckets=4)
+    # s1: a=3, b=1, c=1; s2: b=2 -> |3-0|+|1-2|+|1-0| = 5
+    assert list(out.s1) == ["s1"] and list(out.s2) == ["s2"]
+    assert list(out.l1) == [5]
+
+
+def test_oracle_value_concentration(ray_session):
+    out = _oracle_check("events_value_concentration",
+                        tables=("events",))
+    assert (out.k_star <= out.n).all()
+    assert (out.k_star >= 1).all()
+    # 80% of value from fewer than 80% of events (skewed values)
+    assert (out.k_share_pm <= 800).all()
+
+
+def test_oracle_fold_balance(ray_session):
+    out = _oracle_check("docs_fold_balance", tables=("documents",))
+    assert set(out.fold) <= set(range(5))
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet' "
+        "WHERE doc_id IS NOT NULL AND lang IS NOT NULL"
+    ).fetchone()[0]
+    assert out.n_docs.sum() == n

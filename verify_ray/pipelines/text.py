@@ -1418,3 +1418,100 @@ def wordlen_hist(ds, group_col: str = "lang",
             columns={"__one_sum": "n"})
     return (out.sort_values(["grp", "wordlen"]).reset_index(drop=True)
             .astype({"wordlen": "int64", "n": "int64"}))
+
+
+def source_token_l1(ds, text_col: str = "text",
+                    group_col: str = "source",
+                    num_buckets: int = 32) -> pd.DataFrame:
+    """Pairwise source-vocabulary L1 distance — for every source pair
+    ``(s1 < s2)``, ``Σ_w |count_s1(w) − count_s2(w)|`` over the FULL
+    word vocabulary (tokens a source lacks count 0): the exact
+    total-variation-style "how differently do two sources speak"
+    surface behind mixture weighting and domain balancing (the
+    count-level sibling of ``source_token_jaccard``, which only sees
+    presence sets).  Words are whitespace splits of ``trim(text)``
+    (the `stopword_discovery` convention — an empty/whitespace text
+    contributes one empty-string token on both engines).
+
+    Scale shape: batches collapse to (word, source, n) partials
+    map-side; ONE word-hashed exchange merges counts per word and
+    folds each word's dense sources-vector into a sources²/2 pair
+    partial (the GLOBAL source list is collected first — enum-sized —
+    and broadcast into the merge closure, so a source absent from a
+    bucket still contributes its zeros); the driver merges pair
+    matrices.  Null text/source rows drop (restated in the SQL).
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def src_part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[group_col]))
+        return pa.table({"s": pc.cast(b[group_col], pa.string())})
+
+    srcs = (ds.select_columns([group_col])
+            .map_batches(src_part, batch_format="pyarrow")
+            .to_pandas())
+    sources = sorted(srcs.s.unique()) if len(srcs) else []
+    k = len(sources)
+    if k < 2:
+        return pd.DataFrame({"s1": pd.Series(dtype=object),
+                             "s2": pd.Series(dtype=object),
+                             "l1": pd.Series(dtype="int64")})
+    sidx = {s: i for i, s in enumerate(sources)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b[text_col]),
+                    pc.is_valid(b[group_col]))
+        b = b.filter(m)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b[text_col]), r"\s+")
+        toks = as_array(toks)
+        L = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        words = np.asarray(pc.list_flatten(toks).to_pylist(),
+                           dtype=object)
+        sv = np.asarray(b.column(group_col).to_pylist(),
+                        dtype=object)
+        si = np.array([sidx[s] for s in sv], dtype=np.int64)
+        srep = np.repeat(si, L)
+        uw, winv = np.unique(words, return_inverse=True)
+        cell = winv * k + srep
+        uc, cnt = np.unique(cell, return_counts=True)
+        w_out = uw[uc // k]
+        h = md5_u64le(pa.array(w_out, type=pa.string()))
+        return pa.table({
+            "__b": pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)),
+            "w": pa.array(w_out, type=pa.string()),
+            "si": pa.array((uc % k).astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    iu, ju = np.triu_indices(k, k=1)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        w = np.asarray(t.column("w").to_pylist(), dtype=object)
+        si = t.column("si").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        uw, winv = np.unique(w, return_inverse=True)
+        mat = np.zeros((len(uw), k), dtype=np.int64)
+        np.add.at(mat, (winv, si), n)
+        l1 = np.abs(mat[:, iu] - mat[:, ju]).sum(axis=0)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "l1": pa.array(l1.astype(np.int64))})
+
+    tagged = (ds.select_columns([text_col, group_col])
+              .map_batches(partial, batch_format="pyarrow"))
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"s1": pd.Series(dtype=object),
+                             "s2": pd.Series(dtype=object),
+                             "l1": pd.Series(dtype="int64")})
+    df = (res.to_pandas().groupby(["i", "j"], as_index=False)
+          ["l1"].sum())
+    out = pd.DataFrame({
+        "s1": [sources[i] for i in df.i],
+        "s2": [sources[j] for j in df.j],
+        "l1": df.l1.astype("int64")})
+    return (out.sort_values(["s1", "s2"]).reset_index(drop=True))
