@@ -7027,8 +7027,220 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({"fold": "int64", "n_docs": "int64"}))
 
+    def cluster_purity_q(sf):
+        # duplication-provenance audit: exact-duplicate text groups
+        # histogrammed by how many SOURCES they span (md5_hex
+        # fingerprints, fingerprint-keyed exchange)
+        from verify_ray.functions.hashing import md5_hex, md5_u64le
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["text"]),
+                        pc.is_valid(b["source"]))
+            b = b.filter(m)
+            t = pa.table({"fp": md5_hex(b["text"]),
+                          "src": pc.cast(b["source"], pa.string())})
+            g = t.group_by(["fp", "src"]).aggregate([("fp", "count")])
+            g = g.rename_columns(["fp", "src", "cnt"])
+            h = md5_u64le(g["fp"])
+            return pa.table({
+                "__b": pa.array((h % np.uint64(16)).astype(np.int64)),
+                "fp": g["fp"], "src": g["src"],
+                "cnt": pc.cast(g["cnt"], pa.int64())})
+
+        def resolve(t: pa.Table) -> pa.Table:
+            fp = np.asarray(t.column("fp").to_pylist(), dtype=object)
+            src = np.asarray(t.column("src").to_pylist(),
+                             dtype=object)
+            cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+            ufp, finv = np.unique(fp, return_inverse=True)
+            # distinct (fp, src) pairs across batches
+            pair = np.unique(
+                np.stack([finv, np.unique(src,
+                                          return_inverse=True)[1]],
+                         axis=1), axis=0)
+            ns = np.bincount(pair[:, 0], minlength=len(ufp))
+            docs = np.zeros(len(ufp), np.int64)
+            np.add.at(docs, finv, cnt)
+            un, gi = np.unique(ns, return_inverse=True)
+            return pa.table({
+                "n_sources": pa.array(un.astype(np.int64)),
+                "n_groups": pa.array(np.bincount(
+                    gi, minlength=len(un)).astype(np.int64)),
+                "n_docs": pa.array(np.bincount(
+                    gi, weights=docs,
+                    minlength=len(un)).astype(np.int64))})
+
+        tagged = (_read(sf, "documents", columns=["text", "source"])
+                  .map_batches(part, batch_format="pyarrow"))
+        res = grouped_exchange(tagged, "__b", 16, resolve)
+        if res is None or res.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("n_sources", "n_groups",
+                                           "n_docs")})
+        df = (res.to_pandas().groupby("n_sources", as_index=False)
+              .agg(n_groups=("n_groups", "sum"),
+                   n_docs=("n_docs", "sum")))
+        return (df.sort_values("n_sources").reset_index(drop=True)
+                .astype("int64"))
+
+    def mixed_returns_q(sf):
+        # partial-return audit: orders whose lines carry >= 2
+        # distinct return flags, per order month (tagged-union
+        # orderkey exchange; distinct (key, flag) rows on the wire)
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def li_side(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_orderkey"]),
+                        pc.is_valid(b["l_returnflag"]))
+            b = b.filter(m)
+            t = pa.table({"k": pc.cast(b["l_orderkey"], pa.int64()),
+                          "flag": pc.cast(b["l_returnflag"],
+                                          pa.string())})
+            t = t.group_by(["k", "flag"]).aggregate([])
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "__b": pa.array(k % 64), "k": t["k"],
+                "flag": t["flag"],
+                "mon": pa.array(np.full(len(k), -1, np.int64)),
+                "tag": pa.array(np.zeros(len(k), np.int64))})
+
+        def o_side(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_orderkey"]),
+                        pc.is_valid(b["o_orderdate"]))
+            b = b.filter(m)
+            k = pc.cast(b["o_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mon = (day.astype("datetime64[D]")
+                   .astype("datetime64[M]").astype(np.int64))
+            return pa.table({
+                "__b": pa.array(k % 64), "k": pa.array(k),
+                "flag": pa.array([""] * len(k), type=pa.string()),
+                "mon": pa.array(mon),
+                "tag": pa.array(np.ones(len(k), np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            flag = np.asarray(t.column("flag").to_pylist(),
+                              dtype=object)
+            mon = t.column("mon").to_numpy(zero_copy_only=False)
+            tag = t.column("tag").to_numpy(zero_copy_only=False)
+            fc = np.unique(flag, return_inverse=True)[1]
+            order = np.lexsort((fc, tag, k))
+            k, fc, mon, tag = (k[order], fc[order], mon[order],
+                               tag[order])
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(k)))
+            last = st + n - 1
+            has_order = tag[last] == 1
+            # distinct flags among tag-0 rows of each key: count
+            # adjacent-changes within the sorted (tag, flag) run
+            is_line = tag == 0
+            new_flag = np.r_[True, (k[1:] != k[:-1])
+                             | (fc[1:] != fc[:-1])] & is_line
+            nf = np.add.reduceat(new_flag.astype(np.int64), st) \
+                if len(st) else np.empty(0, np.int64)
+            keep = has_order & (nf > 0)
+            mixed = nf[keep] >= 2
+            m = mon[last][keep]
+            um, minv = np.unique(m, return_inverse=True)
+            return pa.table({
+                "mon": pa.array(um.astype(np.int64)),
+                "n_orders": pa.array(np.bincount(
+                    minv, minlength=len(um)).astype(np.int64)),
+                "n_mixed": pa.array(np.bincount(
+                    minv, weights=mixed,
+                    minlength=len(um)).astype(np.int64))})
+
+        li = (_read(sf, "lineitem",
+                    columns=["l_orderkey", "l_returnflag"])
+              .map_batches(li_side, batch_format="pyarrow"))
+        od = (_read(sf, "orders",
+                    columns=["o_orderkey", "o_orderdate"])
+              .map_batches(o_side, batch_format="pyarrow"))
+        res = grouped_exchange(li.union(od), "__b", 64, fold)
+        if res is None or res.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("mon", "n_orders",
+                                           "n_mixed")})
+        df = (res.to_pandas().groupby("mon", as_index=False)
+              .agg(n_orders=("n_orders", "sum"),
+                   n_mixed=("n_mixed", "sum")))
+        return (df.sort_values("mon").reset_index(drop=True)
+                .astype("int64"))
+
+    def loyalty_hist_q(sf):
+        # loyalty census: per user, permille share of the dominant
+        # event type, histogrammed in bands of 100
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["user_id"]),
+                        pc.is_valid(b["event_type"]))
+            b = b.filter(m)
+            t = pa.table({"u": pc.cast(b["user_id"], pa.int64()),
+                          "ty": pc.cast(b["event_type"],
+                                        pa.string())})
+            g = t.group_by(["u", "ty"]).aggregate([("u", "count")])
+            g = g.rename_columns(["u", "ty", "n"])
+            u = g.column("u").to_numpy(zero_copy_only=False)
+            return pa.table({"__b": pa.array(
+                (u.astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 % np.uint64(16)).astype(np.int64)),
+                "u": g["u"], "ty": g["ty"],
+                "n": pc.cast(g["n"], pa.int64())})
+
+        def resolve(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            ty = np.asarray(t.column("ty").to_pylist(), dtype=object)
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            tyc = np.unique(ty, return_inverse=True)[1]
+            order = np.lexsort((tyc, u))
+            u, tyc, n = u[order], tyc[order], n[order]
+            # merge per (u, ty) partials from different batches
+            key_new = np.r_[True, (u[1:] != u[:-1])
+                            | (tyc[1:] != tyc[:-1])] if len(u) else \
+                np.empty(0, bool)
+            grp = np.cumsum(key_new) - 1
+            per = np.zeros(grp[-1] + 1 if len(grp) else 0, np.int64)
+            np.add.at(per, grp, n)
+            uu = u[key_new]
+            st = np.flatnonzero(np.r_[True, uu[1:] != uu[:-1]]) \
+                if len(uu) else np.empty(0, np.int64)
+            tot = np.add.reduceat(per, st) if len(st) else \
+                np.empty(0, np.int64)
+            mx = np.maximum.reduceat(per, st) if len(st) else \
+                np.empty(0, np.int64)
+            band = (1000 * mx // tot) // 100
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({
+                "loyalty_band": pa.array(ub.astype(np.int64)),
+                "n_users": pa.array(cnt.astype(np.int64))})
+
+        tagged = (_read(sf, "events",
+                        columns=["user_id", "event_type"])
+                  .map_batches(part, batch_format="pyarrow"))
+        res = grouped_exchange(tagged, "__b", 16, resolve)
+        if res is None or res.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("loyalty_band",
+                                           "n_users")})
+        df = (res.to_pandas().groupby("loyalty_band", as_index=False)
+              ["n_users"].sum())
+        return (df.sort_values("loyalty_band")
+                .reset_index(drop=True).astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "dedup_cluster_source_purity": cluster_purity_q,
+        "orders_mixed_returns_monthly": mixed_returns_q,
+        "users_loyalty_hist": loyalty_hist_q,
         "source_token_l1_matrix": token_l1_q,
         "events_value_concentration": value_concentration_q,
         "docs_fold_balance": fold_balance_q,
@@ -8753,6 +8965,52 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "dedup_cluster_source_purity": """
+-- duplication provenance: exact-duplicate text groups histogrammed
+-- by how many sources they span
+WITH g AS (
+  SELECT md5(text) AS fp, COUNT(*) AS n,
+         COUNT(DISTINCT source) AS ns
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL GROUP BY 1)
+SELECT CAST(ns AS BIGINT) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n) AS BIGINT) AS n_docs
+FROM g GROUP BY 1 ORDER BY 1
+""",
+        "orders_mixed_returns_monthly": """
+-- partial-return audit: orders whose lines carry >= 2 distinct
+-- return flags, per order month
+WITH f AS (
+  SELECT l_orderkey AS k, COUNT(DISTINCT l_returnflag) AS nf
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1),
+o AS (
+  SELECT o_orderkey AS k,
+         (EXTRACT(year FROM o_orderdate) - 1970) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS mon
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL)
+SELECT CAST(mon AS BIGINT) AS mon,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN nf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mixed
+FROM f JOIN o USING (k) GROUP BY 1 ORDER BY 1
+""",
+        "users_loyalty_hist": """
+-- loyalty census: permille share of each user's dominant event
+-- type, banded by 100
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+u AS (SELECT user_id, MAX(n) AS mx, SUM(n) AS tot FROM c
+      GROUP BY 1)
+SELECT CAST((1000 * mx // tot) // 100 AS BIGINT) AS loyalty_band,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM u GROUP BY 1 ORDER BY 1
+""",
         "source_token_l1_matrix": """
 -- pairwise source-vocabulary L1 distance over the full word
 -- vocabulary (absent words count 0; stopword_discovery's split)

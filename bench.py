@@ -263,7 +263,8 @@ def bench_queries() -> dict[str, float]:
              "orders_ship_cross_correlation",
              "events_value_quantiles_by_type", "event_type_scc",
              "source_token_l1_matrix", "events_value_concentration",
-             "docs_fold_balance"]
+             "docs_fold_balance", "dedup_cluster_source_purity",
+             "orders_mixed_returns_monthly", "users_loyalty_hist"]
     out = {}
     for name in names:
         t0 = time.time()

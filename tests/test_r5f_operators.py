@@ -395,3 +395,29 @@ def test_oracle_fold_balance(ray_session):
         "WHERE doc_id IS NOT NULL AND lang IS NOT NULL"
     ).fetchone()[0]
     assert out.n_docs.sum() == n
+
+
+def test_oracle_cluster_source_purity(ray_session):
+    out = _oracle_check("dedup_cluster_source_purity",
+                        tables=("documents",))
+    assert (out.n_docs >= out.n_groups).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet' "
+        "WHERE text IS NOT NULL AND source IS NOT NULL"
+    ).fetchone()[0]
+    assert out.n_docs.sum() == n
+
+
+def test_oracle_mixed_returns(ray_session):
+    out = _oracle_check("orders_mixed_returns_monthly",
+                        tables=("orders", "lineitem"))
+    assert (out.n_mixed <= out.n_orders).all()
+    assert len(out) > 0
+
+
+def test_oracle_loyalty_hist(ray_session):
+    out = _oracle_check("users_loyalty_hist", tables=("events",))
+    # a user's dominant share is at least 1/#types (5 types -> >=200)
+    assert (out.loyalty_band >= 2).all()
+    assert (out.loyalty_band <= 10).all()
