@@ -7236,8 +7236,141 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("loyalty_band")
                 .reset_index(drop=True).astype("int64"))
 
+    def handoff_q(sf):
+        # between-visit journeys: last type of each session -> first
+        # type of the user's next session (30-min sessionization)
+        from verify_ray.pipelines.sessions import \
+            session_handoff_matrix
+
+        return session_handoff_matrix(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_type",
+                           "event_id"]),
+            num_buckets=16)
+
+    def nation_diversity_q(sf):
+        # supply-base diversity: per customer, DISTINCT supplier
+        # nations across their lineitems, histogrammed (hash_join +
+        # broadcast supplier map + distinct-pair exchange)
+        from verify_ray.pipelines.joins import hash_join
+        from verify_ray.stages.exchange import grouped_exchange
+
+        sup = pq.read_table(f"{sf}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False)
+        nk = sup.column("s_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        o = np.argsort(sk)
+        sk, nk = sk[o], nk[o]
+
+        joined = hash_join(
+            _read(sf, "lineitem",
+                  columns=["l_orderkey", "l_suppkey"]),
+            _read(sf, "orders",
+                  columns=["o_orderkey", "o_custkey"]),
+            key="l_orderkey", right_key="o_orderkey",
+            left_values=["l_suppkey"], right_values=["o_custkey"])
+
+        def pairs(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_suppkey"]),
+                        pc.is_valid(b["o_custkey"]))
+            b = b.filter(m)
+            s = pc.cast(b["l_suppkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            ck = pc.cast(b["o_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            i = np.searchsorted(sk, s)
+            ok = i < len(sk)
+            i = np.minimum(i, len(sk) - 1)
+            ok &= sk[i] == s
+            ck, nkv = ck[ok], nk[i[ok]]
+            cell = np.unique(ck * 100 + nkv)  # nations < 100
+            ck2, nk2 = cell // 100, cell % 100
+            return pa.table({"__b": pa.array(
+                (ck2.astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 % np.uint64(16)).astype(np.int64)),
+                "ck": pa.array(ck2), "nk": pa.array(nk2)})
+
+        def resolve(t: pa.Table) -> pa.Table:
+            ck = t.column("ck").to_numpy(zero_copy_only=False)
+            nkv = t.column("nk").to_numpy(zero_copy_only=False)
+            cell = np.unique(ck * 100 + nkv)
+            per = np.unique(cell // 100, return_counts=True)
+            un, cnt = np.unique(per[1], return_counts=True)
+            return pa.table({
+                "n_nations": pa.array(un.astype(np.int64)),
+                "n_customers": pa.array(cnt.astype(np.int64))})
+
+        res = grouped_exchange(
+            joined.map_batches(pairs, batch_format="pyarrow"),
+            "__b", 16, resolve)
+        if res is None or res.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("n_nations",
+                                           "n_customers")})
+        df = (res.to_pandas().groupby("n_nations", as_index=False)
+              ["n_customers"].sum())
+        return (df.sort_values("n_nations").reset_index(drop=True)
+                .astype("int64"))
+
+    def inactive_by_segment_q(sf):
+        # dormant-customer census: customers with ZERO orders, per
+        # market segment (distributed anti-join + base counts)
+        from verify_ray.pipelines.joins import hash_join
+
+        cust = (_read(sf, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+                .map_batches(lambda b: b.filter(
+                    pc.is_valid(b["c_custkey"])),
+                    batch_format="pyarrow"))
+        anti = hash_join(
+            cust,
+            _read(sf, "orders", columns=["o_custkey"]),
+            key="c_custkey", right_key="o_custkey",
+            left_values=["c_mktsegment"], right_values=[],
+            how="anti")
+
+        def seg_counts(ds):
+            def part(b: pa.Table) -> pa.Table:
+                b = b.filter(pc.is_valid(b["c_mktsegment"]))
+                s = np.asarray(
+                    b.column("c_mktsegment").to_pylist(),
+                    dtype=object)
+                us, cnt = np.unique(s, return_counts=True)
+                return pa.table({
+                    "seg": pa.array(us, type=pa.string()),
+                    "n": pa.array(cnt.astype(np.int64))})
+
+            df = (ds.map_batches(part, batch_format="pyarrow")
+                  .to_pandas())
+            if not len(df):
+                return pd.DataFrame({
+                    "seg": pd.Series(dtype=object),
+                    "n": pd.Series(dtype="int64")})
+            return df.groupby("seg", as_index=False)["n"].sum()
+
+        ina = seg_counts(anti).rename(columns={"n": "n_inactive"})
+        base = seg_counts(
+            _read(sf, "customer",
+                  columns=["c_custkey", "c_mktsegment"])
+            .map_batches(lambda b: b.filter(
+                pc.is_valid(b["c_custkey"])),
+                batch_format="pyarrow")
+        ).rename(columns={"n": "n_total"})
+        out = base.merge(ina, on="seg", how="left").fillna(0)
+        out["n_inactive"] = out.n_inactive.astype("int64")
+        out["inactive_pm"] = (1000 * out.n_inactive) // out.n_total
+        return (out.rename(columns={"seg": "c_mktsegment"})
+                .sort_values("c_mktsegment").reset_index(drop=True)
+                .astype({"n_total": "int64",
+                         "inactive_pm": "int64"}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "sessions_handoff_matrix": handoff_q,
+        "customer_supplier_nation_diversity": nation_diversity_q,
+        "customers_inactive_by_segment": inactive_by_segment_q,
         "dedup_cluster_source_purity": cluster_purity_q,
         "orders_mixed_returns_monthly": mixed_returns_q,
         "users_loyalty_hist": loyalty_hist_q,
@@ -8965,6 +9098,74 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "sessions_handoff_matrix": """
+-- between-visit journeys: last type of session i -> first type of
+-- session i+1 (30-min gap sessions, (ts, event_id) order)
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+m AS (
+  SELECT *, CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m),
+fl AS (
+  SELECT user_id, sid,
+         first(event_type ORDER BY ts, event_id) AS ft,
+         last(event_type ORDER BY ts, event_id) AS lt
+  FROM s GROUP BY 1, 2),
+p AS (
+  SELECT lt AS from_type,
+         LEAD(ft) OVER (PARTITION BY user_id ORDER BY sid)
+           AS to_type
+  FROM fl)
+SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM p WHERE to_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "customer_supplier_nation_diversity": """
+-- supply-base diversity: distinct supplier nations per customer,
+-- histogrammed
+WITH x AS (
+  SELECT DISTINCT o_custkey AS ck, s_nationkey AS nk
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+    AND o_custkey IS NOT NULL),
+per AS (SELECT ck, COUNT(*) AS nn FROM x GROUP BY 1)
+SELECT CAST(nn AS BIGINT) AS n_nations,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM per GROUP BY 1 ORDER BY 1
+""",
+        "customers_inactive_by_segment": """
+-- dormant customers: zero orders, per market segment
+WITH base AS (
+  SELECT c_mktsegment, COUNT(*) AS n_total
+  FROM customer
+  WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+  GROUP BY 1),
+ina AS (
+  SELECT c_mktsegment, COUNT(*) AS n_inactive
+  FROM customer c
+  WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey)
+  GROUP BY 1)
+SELECT base.c_mktsegment,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(COALESCE(n_inactive, 0) AS BIGINT) AS n_inactive,
+       CAST(1000 * COALESCE(n_inactive, 0) // n_total AS BIGINT)
+         AS inactive_pm
+FROM base LEFT JOIN ina USING (c_mktsegment)
+ORDER BY 1
+""",
         "dedup_cluster_source_purity": """
 -- duplication provenance: exact-duplicate text groups histogrammed
 -- by how many sources they span

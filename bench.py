@@ -264,7 +264,10 @@ def bench_queries() -> dict[str, float]:
              "events_value_quantiles_by_type", "event_type_scc",
              "source_token_l1_matrix", "events_value_concentration",
              "docs_fold_balance", "dedup_cluster_source_purity",
-             "orders_mixed_returns_monthly", "users_loyalty_hist"]
+             "orders_mixed_returns_monthly", "users_loyalty_hist",
+             "sessions_handoff_matrix",
+             "customer_supplier_nation_diversity",
+             "customers_inactive_by_segment"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -421,3 +421,46 @@ def test_oracle_loyalty_hist(ray_session):
     # a user's dominant share is at least 1/#types (5 types -> >=200)
     assert (out.loyalty_band >= 2).all()
     assert (out.loyalty_band <= 10).all()
+
+
+def test_oracle_handoff_matrix(ray_session):
+    out = _oracle_check("sessions_handoff_matrix",
+                        tables=("events",))
+    assert len(out) > 0
+    assert (out.n > 0).all()
+
+
+def test_handoff_hand_built(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.sessions import session_handoff_matrix
+
+    mn = 60_000_000  # one minute in us
+    # user 1: session [a, b] then (40 min later) session [c];
+    # user 2: single session [a] only -> no handoff
+    ts = [0, 5 * mn, 45 * mn, 0]
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "ts": pa.array(np.array(ts, dtype=np.int64),
+                       type=pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(["a", "b", "c", "a"]),
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+    })).materialize()
+    out = session_handoff_matrix(ev, num_buckets=4)
+    assert list(out.itertuples(index=False)) == [("b", "c", 1)]
+
+
+def test_oracle_nation_diversity(ray_session):
+    out = _oracle_check(
+        "customer_supplier_nation_diversity",
+        tables=("lineitem", "orders", "supplier"))
+    assert (out.n_nations >= 1).all()
+    assert (out.n_customers > 0).all()
+
+
+def test_oracle_inactive_by_segment(ray_session):
+    out = _oracle_check("customers_inactive_by_segment",
+                        tables=("customer", "orders"))
+    assert len(out) == 5
+    assert (out.n_inactive <= out.n_total).all()
+    assert (out.inactive_pm <= 1000).all()

@@ -2289,3 +2289,91 @@ def max_burst_histogram(events_ds, window_us: int = 600_000_000,
           ["n_users"].sum())
     return (df.sort_values("max_burst").reset_index(drop=True)
             .astype("int64"))
+
+
+def session_handoff_matrix(events_ds, gap_us: int = 1_800_000_000,
+                           num_buckets: int = 32) -> pd.DataFrame:
+    """Cross-SESSION journey matrix: for every pair of CONSECUTIVE
+    sessions of one user (30-min-gap sessionization, the
+    `events_sessionize` convention with an explicit ``(ts, event_id)``
+    tiebreak), count (last type of session i → first type of session
+    i+1) — "how do visits end, and how does the next visit start?",
+    the between-visits sibling of `transition_counts` (within-visit
+    adjacency).
+
+    Scale shape: ONE user-hashed exchange ships narrow
+    ``(u, ts, event_id, type)`` rows; each merge task sorts its users'
+    timelines once, marks session boundaries with a shifted gap
+    compare, reads per-session first/last types at the boundary
+    indexes, pairs consecutive sessions per user (all vectorized),
+    and emits an alphabet²-sized matrix partial.  Null
+    user/ts/type/event_id rows drop (restated in the SQL).
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = None
+        for c in ("user_id", "ts", "event_type", "event_id"):
+            v = pc.is_valid(b[c])
+            m = v if m is None else pc.and_(m, v)
+        b = b.filter(m)
+        u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"__b": pa.array(
+            (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % np.uint64(num_buckets)).astype(np.int64)),
+            "u": pa.array(u),
+            "t": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                         pa.int64()),
+            "e": pc.cast(b["event_id"], pa.int64()),
+            "ty": pc.cast(b["event_type"], pa.string())})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        ty = np.asarray(t.column("ty").to_pylist(), dtype=object)
+        empty = pa.table({
+            "from_type": pa.array([], type=pa.string()),
+            "to_type": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64())})
+        if len(u) == 0:
+            return empty
+        order = np.lexsort((e, ts, u))
+        u, ts, ty = u[order], ts[order], ty[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap_break = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        sess_start = new_user | gap_break
+        sst = np.flatnonzero(sess_start)          # session starts
+        send = np.r_[sst[1:] - 1, len(u) - 1]     # session ends
+        first_ty, last_ty = ty[sst], ty[send]
+        sess_user = u[sst]
+        # consecutive sessions of the SAME user
+        same = sess_user[1:] == sess_user[:-1]
+        frm, to = last_ty[:-1][same], first_ty[1:][same]
+        if not len(frm):
+            return empty
+        ut, fc = np.unique(np.concatenate([frm, to]),
+                           return_inverse=True)
+        f, g = fc[:len(frm)], fc[len(frm):]
+        cell = f * len(ut) + g
+        uc, cnt = np.unique(cell, return_counts=True)
+        return pa.table({
+            "from_type": pa.array(ut[uc // len(ut)]),
+            "to_type": pa.array(ut[uc % len(ut)]),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    tagged = events_ds.map_batches(partial, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, resolve)
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({"from_type": pd.Series(dtype=object),
+                             "to_type": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    df = (res.to_pandas()
+          .groupby(["from_type", "to_type"], as_index=False)
+          ["n"].sum())
+    df["n"] = df.n.astype("int64")
+    return (df.sort_values(["from_type", "to_type"])
+            .reset_index(drop=True))
