@@ -7366,8 +7366,158 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .astype({"n_total": "int64",
                          "inactive_pm": "int64"}))
 
+    def rarity_q(sf):
+        # tokenizer-fit surface: per-doc median token frequency-rank
+        # (top-1000 vocab, OOV pinned to 1001), banded per source
+        from verify_ray.pipelines.text import token_rarity_histogram
+
+        return token_rarity_histogram(
+            _read(sf, "documents",
+                  columns=["doc_id", "text", "source"]),
+            vocab_size=1000, band=100)
+
+    def acquisition_q(sf):
+        # growth accounting on the ORDERS ledger: per month, orders /
+        # distinct active customers / first-ever customers
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_custkey"]),
+                        pc.is_valid(b["o_orderdate"]))
+            b = b.filter(m)
+            ck = pc.cast(b["o_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mon = (day.astype("datetime64[D]")
+                   .astype("datetime64[M]").astype(np.int64))
+            cell, cnt = np.unique(ck * 10_000 + mon,
+                                  return_counts=True)
+            ck2, mon2 = cell // 10_000, cell % 10_000
+            return pa.table({"__b": pa.array(
+                (ck2.astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 % np.uint64(32)).astype(np.int64)),
+                "ck": pa.array(ck2), "mon": pa.array(mon2),
+                "n": pa.array(cnt.astype(np.int64))})
+
+        def resolve(t: pa.Table) -> pa.Table:
+            ck = t.column("ck").to_numpy(zero_copy_only=False)
+            mon = t.column("mon").to_numpy(zero_copy_only=False)
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            order = np.lexsort((mon, ck))
+            ck, mon, n = ck[order], mon[order], n[order]
+            pair_new = np.r_[True, (ck[1:] != ck[:-1])
+                             | (mon[1:] != mon[:-1])] if len(ck) \
+                else np.empty(0, bool)
+            grp = np.cumsum(pair_new) - 1
+            per = np.zeros(grp[-1] + 1 if len(grp) else 0, np.int64)
+            np.add.at(per, grp, n)
+            uck, umon = ck[pair_new], mon[pair_new]
+            first = np.r_[True, uck[1:] != uck[:-1]] if len(uck) \
+                else np.empty(0, bool)
+            um, minv = np.unique(umon, return_inverse=True)
+            return pa.table({
+                "mon": pa.array(um.astype(np.int64)),
+                "n_orders": pa.array(np.bincount(
+                    minv, weights=per,
+                    minlength=len(um)).astype(np.int64)),
+                "n_active": pa.array(np.bincount(
+                    minv, minlength=len(um)).astype(np.int64)),
+                "n_new": pa.array(np.bincount(
+                    minv, weights=first,
+                    minlength=len(um)).astype(np.int64))})
+
+        tagged = (_read(sf, "orders",
+                        columns=["o_custkey", "o_orderdate"])
+                  .map_batches(part, batch_format="pyarrow"))
+        res = grouped_exchange(tagged, "__b", 32, resolve)
+        cols = ("mon", "n_orders", "n_active", "n_new")
+        if res is None or res.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (res.to_pandas().groupby("mon", as_index=False)
+              .agg(n_orders=("n_orders", "sum"),
+                   n_active=("n_active", "sum"),
+                   n_new=("n_new", "sum")))
+        return (df.sort_values("mon").reset_index(drop=True)
+                .astype("int64"))
+
+    def priority_transition_q(sf):
+        # escalation audit: consecutive-order priority transitions
+        # per customer ((o_orderdate, o_orderkey) order)
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def part(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("o_custkey", "o_orderdate", "o_orderkey",
+                      "o_orderpriority"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            ck = pc.cast(b["o_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({"__b": pa.array(
+                (ck.astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 % np.uint64(32)).astype(np.int64)),
+                "ck": pa.array(ck),
+                "d": pc.cast(pc.cast(b["o_orderdate"],
+                                     pa.timestamp("us")),
+                             pa.int64()),
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "pri": pc.cast(b["o_orderpriority"], pa.string())})
+
+        def resolve(t: pa.Table) -> pa.Table:
+            ck = t.column("ck").to_numpy(zero_copy_only=False)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            pri = np.asarray(t.column("pri").to_pylist(),
+                             dtype=object)
+            empty = pa.table({
+                "from_pri": pa.array([], type=pa.string()),
+                "to_pri": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64())})
+            if len(ck) < 2:
+                return empty
+            order = np.lexsort((k, d, ck))
+            ck, pri = ck[order], pri[order]
+            same = ck[1:] == ck[:-1]
+            frm, to = pri[:-1][same], pri[1:][same]
+            if not len(frm):
+                return empty
+            up, pc_ = np.unique(np.concatenate([frm, to]),
+                                return_inverse=True)
+            f, g = pc_[:len(frm)], pc_[len(frm):]
+            uc, cnt = np.unique(f * len(up) + g, return_counts=True)
+            return pa.table({
+                "from_pri": pa.array(up[uc // len(up)]),
+                "to_pri": pa.array(up[uc % len(up)]),
+                "n": pa.array(cnt.astype(np.int64))})
+
+        tagged = (_read(sf, "orders",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_orderkey", "o_orderpriority"])
+                  .map_batches(part, batch_format="pyarrow"))
+        res = grouped_exchange(tagged, "__b", 32, resolve)
+        if res is None or res.num_rows == 0:
+            return pd.DataFrame({"from_pri": pd.Series(dtype=object),
+                                 "to_pri": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        df = (res.to_pandas()
+              .groupby(["from_pri", "to_pri"], as_index=False)
+              ["n"].sum())
+        df["n"] = df.n.astype("int64")
+        return (df.sort_values(["from_pri", "to_pri"])
+                .reset_index(drop=True))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_token_rarity_hist": rarity_q,
+        "customers_monthly_acquisition": acquisition_q,
+        "orders_priority_transitions": priority_transition_q,
         "sessions_handoff_matrix": handoff_q,
         "customer_supplier_nation_diversity": nation_diversity_q,
         "customers_inactive_by_segment": inactive_by_segment_q,
@@ -9098,6 +9248,63 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "docs_token_rarity_hist": """
+-- per-doc median token frequency-rank (top-1000 vocab by count
+-- DESC / word ASC; OOV rank 1001), banded by 100 per source
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+    AND doc_id IS NOT NULL),
+cnt AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY 1),
+rk AS (SELECT w, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS r
+       FROM cnt),
+rmap AS (SELECT w, CASE WHEN r <= 1000 THEN r ELSE 1001 END AS r
+         FROM rk),
+med AS (
+  SELECT doc_id, source, quantile_disc(r, 0.5) AS mr
+  FROM tok JOIN rmap USING (w) GROUP BY doc_id, source)
+SELECT source, CAST(mr // 100 AS BIGINT) AS rarity_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM med GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "customers_monthly_acquisition": """
+-- growth accounting on orders: per month, orders / distinct active
+-- customers / first-ever customers
+WITH o AS (
+  SELECT o_custkey AS ck,
+         (EXTRACT(year FROM o_orderdate) - 1970) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS mon
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+per AS (SELECT ck, mon, COUNT(*) AS n FROM o GROUP BY 1, 2),
+fm AS (SELECT ck, MIN(mon) AS f FROM per GROUP BY 1)
+SELECT CAST(mon AS BIGINT) AS mon,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN mon = f THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new
+FROM per JOIN fm USING (ck) GROUP BY 1 ORDER BY 1
+""",
+        "orders_priority_transitions": """
+-- escalation audit: consecutive-order priority transitions per
+-- customer, ordered by (o_orderdate, o_orderkey)
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL),
+p AS (
+  SELECT o_orderpriority AS to_pri,
+         LAG(o_orderpriority) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS from_pri
+  FROM o)
+SELECT from_pri, to_pri, CAST(COUNT(*) AS BIGINT) AS n
+FROM p WHERE from_pri IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "sessions_handoff_matrix": """
 -- between-visit journeys: last type of session i -> first type of
 -- session i+1 (30-min gap sessions, (ts, event_id) order)

@@ -267,7 +267,10 @@ def bench_queries() -> dict[str, float]:
              "orders_mixed_returns_monthly", "users_loyalty_hist",
              "sessions_handoff_matrix",
              "customer_supplier_nation_diversity",
-             "customers_inactive_by_segment"]
+             "customers_inactive_by_segment",
+             "docs_token_rarity_hist",
+             "customers_monthly_acquisition",
+             "orders_priority_transitions"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -464,3 +464,64 @@ def test_oracle_inactive_by_segment(ray_session):
     assert len(out) == 5
     assert (out.n_inactive <= out.n_total).all()
     assert (out.inactive_pm <= 1000).all()
+
+
+def test_oracle_token_rarity(ray_session):
+    out = _oracle_check("docs_token_rarity_hist",
+                        tables=("documents",))
+    assert (out.rarity_band >= 0).all()
+    assert (out.rarity_band <= 10).all()  # ranks capped at 1001
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet' "
+        "WHERE text IS NOT NULL AND source IS NOT NULL "
+        "AND doc_id IS NOT NULL").fetchone()[0]
+    assert out.n_docs.sum() == n
+
+
+def test_token_rarity_hand_built(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.text import token_rarity_histogram
+
+    # vocab counts: x=4 (rank 1), y=2 (rank 2), z=1 (rank 3)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["x x y", "x y z", "x"]),
+        "source": pa.array(["s", "s", "s"]),
+    })).materialize()
+    out = token_rarity_histogram(ds, vocab_size=2, band=1)
+    # ranks: doc1 [1,1,2] med 1; doc2 [1,2,3->OOV 3] med 2;
+    # doc3 [1] med 1  (vocab_size=2 -> z is OOV rank 3)
+    got = dict(zip(out.rarity_band, out.n_docs))
+    assert got == {1: 2, 2: 1}
+
+
+def test_oracle_monthly_acquisition(ray_session):
+    out = _oracle_check("customers_monthly_acquisition",
+                        tables=("orders",))
+    assert (out.n_new <= out.n_active).all()
+    assert (out.n_active <= out.n_orders).all()
+    con = duckdb.connect()
+    n_cust = con.execute(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM "
+        f"'{SF}/orders.parquet' WHERE o_custkey IS NOT NULL "
+        "AND o_orderdate IS NOT NULL").fetchone()[0]
+    # every customer is new exactly once
+    assert out.n_new.sum() == n_cust
+
+
+def test_oracle_priority_transitions(ray_session):
+    out = _oracle_check("orders_priority_transitions",
+                        tables=("orders",))
+    assert len(out) == 25
+    con = duckdb.connect()
+    tot = con.execute(f"""
+        WITH o AS (SELECT o_custkey, COUNT(*) AS n
+                   FROM '{SF}/orders.parquet'
+                   WHERE o_custkey IS NOT NULL
+                     AND o_orderdate IS NOT NULL
+                     AND o_orderkey IS NOT NULL
+                     AND o_orderpriority IS NOT NULL GROUP BY 1)
+        SELECT SUM(n - 1) FROM o""").fetchone()[0]
+    assert out.n.sum() == tot

@@ -1515,3 +1515,84 @@ def source_token_l1(ds, text_col: str = "text",
         "s2": [sources[j] for j in df.j],
         "l1": df.l1.astype("int64")})
     return (out.sort_values(["s1", "s2"]).reset_index(drop=True))
+
+
+def token_rarity_histogram(ds, vocab_size: int = 1000,
+                           band: int = 100) -> pd.DataFrame:
+    """Per-document RARITY score census: each document reduces to the
+    MEDIAN frequency-rank of its tokens (rank by global count DESC,
+    word ASC — `tokenize.build_vocab`'s 1..K ids — with every
+    out-of-vocab word pinned to rank K+1), then documents histogram
+    per source by ``median_rank // band`` — the "is this source full
+    of rare words?" tokenizer-fit surface.  Median is
+    ``quantile_disc(0.5)`` (value at 1-based rank ``ceil(m/2)`` of the
+    doc's sorted token ranks, duplicates counted).
+
+    Scale shape: ONE vocab pass (block-local (word, count) partials,
+    driver merge bounded by vocabulary); the top-K word→rank map
+    broadcasts to a second streaming pass where each batch computes
+    every document's median with one lexsort over (doc, rank) — the
+    per-doc reduction never leaves the block, and only a
+    sources × bands histogram reaches the driver.  Rows with null
+    doc_id/text/source drop from BOTH passes (restated in the SQL).
+    """
+    import pyarrow.compute as pc
+
+    from .tokenize import _split_words, build_vocab
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = None
+        for c in ("doc_id", "text", "source"):
+            v = pc.is_valid(b[c])
+            m = v if m is None else pc.and_(m, v)
+        return b.filter(m)
+
+    base = ds.select_columns(["doc_id", "text", "source"]).map_batches(
+        keep, batch_format="pyarrow")
+    vocab = build_vocab(base, vocab_size)
+    vw = np.asarray(vocab.column("word").to_pylist(), dtype=object)
+    vid = vocab.column("id").to_numpy(zero_copy_only=False)
+    order = np.argsort(vw)
+    vw, vid = vw[order], vid[order]
+    oov_rank = vocab_size + 1
+
+    def part(b: pa.Table) -> pa.Table:
+        words, parents, lens = _split_words(b, "text")
+        if not len(words):
+            return pa.table({
+                "source": pa.array([], type=pa.string()),
+                "rarity_band": pa.array([], type=pa.int64()),
+                "n_docs": pa.array([], type=pa.int64())})
+        i = np.searchsorted(vw, words)
+        ok = i < len(vw)
+        i = np.minimum(i, max(0, len(vw) - 1))
+        ok &= vw[i] == words
+        ranks = np.where(ok, vid[i], oov_rank).astype(np.int64)
+        o = np.lexsort((ranks, parents))
+        pr, rr = parents[o], ranks[o]
+        st = np.flatnonzero(np.r_[True, pr[1:] != pr[:-1]])
+        m = np.diff(np.append(st, len(pr)))
+        med = rr[st + (-(-m // 2) - 1)]  # ceil(m/2), 1-based -> idx
+        doc_rows = pr[st]
+        src = np.asarray(b.column("source").to_pylist(),
+                         dtype=object)[doc_rows]
+        bands = med // band
+        us, sinv = np.unique(src, return_inverse=True)
+        cell = sinv * 1_000_000 + bands
+        uc, cnt = np.unique(cell, return_counts=True)
+        return pa.table({
+            "source": pa.array(us[uc // 1_000_000]),
+            "rarity_band": pa.array((uc % 1_000_000)
+                                    .astype(np.int64)),
+            "n_docs": pa.array(cnt.astype(np.int64))})
+
+    parts = base.map_batches(part, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"source": pd.Series(dtype=object),
+                             "rarity_band": pd.Series(dtype="int64"),
+                             "n_docs": pd.Series(dtype="int64")})
+    out = (parts.groupby(["source", "rarity_band"], as_index=False)
+           ["n_docs"].sum())
+    return (out.sort_values(["source", "rarity_band"])
+            .reset_index(drop=True)
+            .astype({"rarity_band": "int64", "n_docs": "int64"}))
