@@ -7513,8 +7513,116 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values(["from_pri", "to_pri"])
                 .reset_index(drop=True))
 
+    def value_drift_exact_q(sf):
+        # epoch drift with EXACT continuous quantiles: median order
+        # day splits events into two halves; per half, exact
+        # quantile_disc p50/p90 of value via the grouped pivot
+        # bisector — the exact-quantile drift check t-digest
+        # approximates
+        from verify_ray.pipelines.select import (
+            exact_quantiles, grouped_quantiles_continuous)
+
+        def to_day(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["ts"]),
+                        pc.is_valid(b["value"]))
+            b = b.filter(m)
+            d = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+                 // 86_400_000_000)
+            return pa.table({"d": pa.array(d), "value": b["value"]})
+
+        base = (_read(sf, "events", columns=["ts", "value"])
+                .map_batches(to_day, batch_format="pyarrow")
+                .materialize())
+        dm = exact_quantiles(base, "d", [500]).column(
+            "value").to_pylist()[0]
+
+        def tag_half(b: pa.Table) -> pa.Table:
+            d = b.column("d").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "half": pa.array(np.where(d <= dm, "first",
+                                          "second")),
+                "value": b["value"]})
+
+        out = grouped_quantiles_continuous(
+            base.map_batches(tag_half, batch_format="pyarrow"),
+            "half", "value", [500, 900])
+        return out.rename(columns={"half": "epoch"})
+
+    def discount_tax_joint_q(sf):
+        # pricing-policy joint histogram: integer discount% x tax%
+        # cells with line counts and revenue cents (enum-bounded
+        # partials, zero shuffle)
+        def prep(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("l_discount", "l_tax", "l_extendedprice"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            disc = np.rint(100.0 * b["l_discount"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            tax = np.rint(100.0 * b["l_tax"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            cents = np.rint(100.0 * b["l_extendedprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            cell = disc * 1000 + tax
+            uc, inv = np.unique(cell, return_inverse=True)
+            n = np.bincount(inv, minlength=len(uc))
+            s = np.zeros(len(uc), np.int64)
+            np.add.at(s, inv, cents)
+            return pa.table({
+                "disc_pct": pa.array((uc // 1000).astype(np.int64)),
+                "tax_pct": pa.array((uc % 1000).astype(np.int64)),
+                "n_lines": pa.array(n.astype(np.int64)),
+                "sum_cents": pa.array(s)})
+
+        parts = (_read(sf, "lineitem",
+                       columns=["l_discount", "l_tax",
+                                "l_extendedprice"])
+                 .map_batches(prep, batch_format="pyarrow")
+                 .to_pandas())
+        if not len(parts):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("disc_pct", "tax_pct",
+                                           "n_lines", "sum_cents")})
+        out = (parts.groupby(["disc_pct", "tax_pct"], as_index=False)
+               .agg(n_lines=("n_lines", "sum"),
+                    sum_cents=("sum_cents", "sum")))
+        return (out.sort_values(["disc_pct", "tax_pct"])
+                .reset_index(drop=True).astype("int64"))
+
+    def gini_monthly_q(sf):
+        # revenue-inequality trend: exact-integer Gini numerator of
+        # per-order value cents, grouped by order month
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_orderdate"]),
+                        pc.is_valid(b["o_totalprice"]))
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mon = (day.astype("datetime64[D]")
+                   .astype("datetime64[M]").astype(np.int64))
+            cents = np.rint(100.0 * b["o_totalprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({"mon": pa.array(mon),
+                             "cents": pa.array(cents)})
+
+        out = analytics.gini_numerator(
+            _read(sf, "orders",
+                  columns=["o_orderdate", "o_totalprice"])
+            .map_batches(prep, batch_format="pyarrow"),
+            "mon", "cents")
+        return (out.sort_values("mon").reset_index(drop=True)
+                .astype({"mon": "int64", "n": "int64",
+                         "sum_v": "int64", "gini_num": "int64"}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_value_drift_exact": value_drift_exact_q,
+        "lineitem_discount_tax_joint": discount_tax_joint_q,
+        "orders_value_gini_monthly": gini_monthly_q,
         "docs_token_rarity_hist": rarity_q,
         "customers_monthly_acquisition": acquisition_q,
         "orders_priority_transitions": priority_transition_q,
@@ -9248,6 +9356,55 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "events_value_drift_exact": """
+-- exact-quantile epoch drift: median-day halves, per half the
+-- exact quantile_disc p50/p90 of the continuous value
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS d, value FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL),
+cut AS (SELECT quantile_disc(d, 0.5) AS dm FROM e),
+h AS (
+  SELECT CASE WHEN d <= dm THEN 'first' ELSE 'second' END AS epoch,
+         value
+  FROM e, cut)
+SELECT epoch, CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_disc(value, 0.5) AS q50,
+       quantile_disc(value, 0.9) AS q90
+FROM h GROUP BY 1 ORDER BY 1
+""",
+        "lineitem_discount_tax_joint": """
+-- pricing-policy joint histogram: integer discount% x tax% cells
+SELECT CAST(round(100 * l_discount) AS BIGINT) AS disc_pct,
+       CAST(round(100 * l_tax) AS BIGINT) AS tax_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(round(100 * l_extendedprice) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM lineitem
+WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+  AND l_extendedprice IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "orders_value_gini_monthly": """
+-- revenue-inequality trend: exact Gini numerator of order cents
+-- per month (SUM((2*rn - n - 1) * v), tie-invariant)
+WITH v AS (
+  SELECT (EXTRACT(year FROM o_orderdate) - 1970) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS mon,
+         CAST(round(100 * o_totalprice) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (
+           PARTITION BY (EXTRACT(year FROM o_orderdate) - 1970) * 12
+             + EXTRACT(month FROM o_orderdate) - 1
+           ORDER BY round(100 * o_totalprice)) AS rn,
+         COUNT(*) OVER (
+           PARTITION BY (EXTRACT(year FROM o_orderdate) - 1970) * 12
+             + EXTRACT(month FROM o_orderdate) - 1) AS n
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL)
+SELECT CAST(mon AS BIGINT) AS mon, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM((2 * rn - n - 1) * v) AS BIGINT) AS gini_num
+FROM v GROUP BY mon ORDER BY mon
+""",
         "docs_token_rarity_hist": """
 -- per-doc median token frequency-rank (top-1000 vocab by count
 -- DESC / word ASC; OOV rank 1001), banded by 100 per source

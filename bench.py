@@ -270,7 +270,10 @@ def bench_queries() -> dict[str, float]:
              "customers_inactive_by_segment",
              "docs_token_rarity_hist",
              "customers_monthly_acquisition",
-             "orders_priority_transitions"]
+             "orders_priority_transitions",
+             "events_value_drift_exact",
+             "lineitem_discount_tax_joint",
+             "orders_value_gini_monthly"]
     out = {}
     for name in names:
         t0 = time.time()

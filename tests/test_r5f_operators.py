@@ -525,3 +525,30 @@ def test_oracle_priority_transitions(ray_session):
                      AND o_orderpriority IS NOT NULL GROUP BY 1)
         SELECT SUM(n - 1) FROM o""").fetchone()[0]
     assert out.n.sum() == tot
+
+
+def test_oracle_value_drift_exact(ray_session):
+    out = _oracle_check("events_value_drift_exact",
+                        tables=("events",))
+    assert list(out.epoch) == ["first", "second"]
+    assert (out.q50 <= out.q90).all()
+
+
+def test_oracle_discount_tax_joint(ray_session):
+    out = _oracle_check("lineitem_discount_tax_joint",
+                        tables=("lineitem",))
+    assert (out.disc_pct >= 0).all() and (out.disc_pct <= 10).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/lineitem.parquet' "
+        "WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL "
+        "AND l_extendedprice IS NOT NULL").fetchone()[0]
+    assert out.n_lines.sum() == n
+
+
+def test_oracle_gini_monthly(ray_session):
+    out = _oracle_check("orders_value_gini_monthly",
+                        tables=("orders",))
+    # Gini numerator bounds: 0 <= num <= (n-1) * sum_v
+    assert (out.gini_num >= 0).all()
+    assert (out.gini_num <= (out.n - 1) * out.sum_v).all()
