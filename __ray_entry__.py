@@ -7618,8 +7618,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .astype({"mon": "int64", "n": "int64",
                          "sum_v": "int64", "gini_num": "int64"}))
 
+    def quantity_mode_q(sf):
+        # dominant shipped quantity per (returnflag, linestatus):
+        # exact grouped mode, tie -> smallest qty (the count surface
+        # is enum-bounded: 6 groups x 50 quantities)
+        def prep(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("l_returnflag", "l_linestatus", "l_quantity"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            qty = np.rint(b["l_quantity"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({"l_returnflag": b["l_returnflag"],
+                             "l_linestatus": b["l_linestatus"],
+                             "qty": pa.array(qty)})
+
+        out = analytics.grouped_mode(
+            _read(sf, "lineitem",
+                  columns=["l_returnflag", "l_linestatus",
+                           "l_quantity"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["l_returnflag", "l_linestatus"], "qty")
+        return out.astype({"mode_qty": "int64", "mode_count": "int64",
+                           "n_rows": "int64"})
+
+    def priority_drawdown_q(sf):
+        # worst revenue dip per priority: max peak-to-trough decline
+        # of the daily order-value cents series (earliest argmax day;
+        # day-granularity surface, never row-scale)
+        def prep(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("o_orderpriority", "o_orderdate",
+                      "o_totalprice"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            cents = np.rint(100.0 * b["o_totalprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({"o_orderpriority": b["o_orderpriority"],
+                             "day": pa.array(day),
+                             "cents": pa.array(cents)})
+
+        out = analytics.grouped_drawdown(
+            _read(sf, "orders",
+                  columns=["o_orderpriority", "o_orderdate",
+                           "o_totalprice"])
+            .map_batches(prep, batch_format="pyarrow"),
+            "o_orderpriority", "day", "cents")
+        out = out.rename(columns={"max_dd": "max_dd_cents",
+                                  "peak_at_dd": "peak_cents"})
+        return out.astype({"n_days": "int64",
+                           "max_dd_cents": "int64",
+                           "dd_day": "int64", "peak_cents": "int64"})
+
+    def wjaccard_q(sf):
+        # frequency-aware source overlap: exact pairwise weighted
+        # (multiset) token Jaccard — Σmin / Σmax integer masses per
+        # source pair (token-keyed exchange, pair partials only)
+        from verify_ray.pipelines.contamination import \
+            source_weighted_jaccard
+        from verify_ray.pipelines.tokenize import tokenize_documents
+
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "text", "source"])
+        return source_weighted_jaccard(
+            tokenize_documents(docs, concurrency=2))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "lineitem_quantity_mode": quantity_mode_q,
+        "orders_priority_drawdown": priority_drawdown_q,
+        "source_weighted_jaccard": wjaccard_q,
         "events_value_drift_exact": value_drift_exact_q,
         "lineitem_discount_tax_joint": discount_tax_joint_q,
         "orders_value_gini_monthly": gini_monthly_q,
@@ -9356,6 +9430,80 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "lineitem_quantity_mode": """
+-- dominant shipped quantity per (returnflag, linestatus):
+-- exact mode, tie -> smallest quantity
+WITH q AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+    AND l_quantity IS NOT NULL),
+c AS (SELECT l_returnflag, l_linestatus, qty, COUNT(*) AS n
+      FROM q GROUP BY 1, 2, 3),
+r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag,
+                                             l_linestatus
+                                ORDER BY n DESC, qty ASC) AS rn,
+             SUM(n) OVER (PARTITION BY l_returnflag,
+                                       l_linestatus) AS tot
+      FROM c)
+SELECT l_returnflag, l_linestatus, qty AS mode_qty,
+       CAST(n AS BIGINT) AS mode_count, CAST(tot AS BIGINT) AS n_rows
+FROM r WHERE rn = 1 ORDER BY 1, 2
+""",
+        "orders_priority_drawdown": """
+-- worst revenue dip per priority: max peak-to-trough decline of
+-- the daily cents series; earliest day achieving it
+WITH d AS (
+  SELECT o_orderpriority, epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(round(100 * o_totalprice) AS BIGINT)) AS v
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2),
+w AS (SELECT o_orderpriority, day, v,
+             MAX(v) OVER (PARTITION BY o_orderpriority
+                          ORDER BY day) AS peak
+      FROM d),
+r AS (SELECT o_orderpriority, day, peak - v AS dd, peak,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_days,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY peak - v DESC, day ASC) AS rn
+      FROM w)
+SELECT o_orderpriority, CAST(n_days AS BIGINT) AS n_days,
+       CAST(dd AS BIGINT) AS max_dd_cents, CAST(day AS BIGINT) AS dd_day,
+       CAST(peak AS BIGINT) AS peak_cents
+FROM r WHERE rn = 1 ORDER BY 1
+""",
+        "source_weighted_jaccard": f"""
+-- frequency-aware source overlap: weighted (multiset) Jaccard —
+-- per pair Σmin over common tokens; Σmax = T_a + T_b - Σmin
+WITH words AS (
+  SELECT source,
+         unnest(regexp_split_to_array({_TRIMMED}, '\\s+')) AS w
+  FROM documents
+), tok AS (
+  SELECT source, {_TOKEN_ID} AS token, COUNT(*) AS c
+  FROM words GROUP BY 1, 2
+), sz AS (
+  SELECT source, SUM(c) AS t FROM tok GROUP BY 1
+), pr AS (
+  SELECT a.source AS sa, b.source AS sb,
+         SUM(LEAST(a.c, b.c)) AS m
+  FROM tok a JOIN tok b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       CAST(COALESCE(pr.m, 0) AS BIGINT) AS sum_min,
+       CAST(sa.t + sb.t - COALESCE(pr.m, 0) AS BIGINT) AS sum_max,
+       CAST(1000 * COALESCE(pr.m, 0)
+            // (sa.t + sb.t - COALESCE(pr.m, 0)) AS BIGINT)
+         AS wjac_pm
+FROM sz sa JOIN sz sb ON sa.source < sb.source
+LEFT JOIN pr ON pr.sa = sa.source AND pr.sb = sb.source
+ORDER BY 1, 2
+""",
         "events_value_drift_exact": """
 -- exact-quantile epoch drift: median-day halves, per half the
 -- exact quantile_disc p50/p90 of the continuous value

@@ -273,7 +273,9 @@ def bench_queries() -> dict[str, float]:
              "orders_priority_transitions",
              "events_value_drift_exact",
              "lineitem_discount_tax_joint",
-             "orders_value_gini_monthly"]
+             "orders_value_gini_monthly",
+             "lineitem_quantity_mode", "orders_priority_drawdown",
+             "source_weighted_jaccard"]
     out = {}
     for name in names:
         t0 = time.time()

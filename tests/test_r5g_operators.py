@@ -1,0 +1,118 @@
+"""Round-5 batch G: grouped exact mode (deterministic tie), per-group
+daily max drawdown, weighted (multiset) source Jaccard — oracle parity
+at sf0.001 plus hand-built semantic checks."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle_check(name, tables):
+    import __ray_entry__ as e
+
+    mine = e.queries()[name](SF)
+    if not isinstance(mine, pd.DataFrame):
+        mine = mine.to_pandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    orc = con.execute(e.oracle_sql()[name]).df()
+    assert list(mine.columns) == list(orc.columns)
+    assert len(mine) == len(orc)
+    for c in mine.columns:
+        a, b = mine[c].to_numpy(), orc[c].to_numpy()
+        if a.dtype == object or b.dtype == object:
+            assert list(map(str, a)) == list(map(str, b)), c
+        else:
+            assert np.array_equal(a, b), c
+    return mine
+
+
+def test_oracle_quantity_mode(ray_session):
+    out = _oracle_check("lineitem_quantity_mode", tables=("lineitem",))
+    # every (rf, ls) cell present; mode count never exceeds the total
+    assert (out.mode_count <= out.n_rows).all()
+    assert (out.mode_qty >= 1).all() and (out.mode_qty <= 50).all()
+
+
+def test_grouped_mode_tie_smallest_value(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import grouped_mode
+
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["a"] * 4 + ["b"] * 3 + [None]),
+        "v": pa.array([7, 3, 7, 3, 5, None, 5, 1],
+                      type=pa.int64())})).materialize()
+    out = grouped_mode(ds, ["g"], "v")
+    # group a: 3 and 7 both count 2 -> tie resolves to 3
+    a = out[out.g == "a"].iloc[0]
+    assert a.mode_v == 3 and a.mode_count == 2 and a.n_rows == 4
+    # group b: null value dropped; 5 wins with count 2 of 2 rows
+    b = out[out.g == "b"].iloc[0]
+    assert b.mode_v == 5 and b.mode_count == 2 and b.n_rows == 2
+    # null group dropped entirely
+    assert set(out.g) == {"a", "b"}
+
+
+def test_oracle_priority_drawdown(ray_session):
+    out = _oracle_check("orders_priority_drawdown", tables=("orders",))
+    assert (out.max_dd_cents >= 0).all()
+    assert (out.peak_cents >= 0).all()
+    assert len(out) == 5  # five priorities
+
+
+def test_grouped_drawdown_hand_series(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import grouped_drawdown
+
+    # series 10, 4, 12, 5, 5: peak 10 dip to 4 (dd 6), then peak 12
+    # dip to 5 (dd 7, twice) -> max_dd 7 at the EARLIEST day (3)
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["x"] * 5),
+        "day": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "v": pa.array([10, 4, 12, 5, 5], type=pa.int64()),
+    })).materialize()
+    out = grouped_drawdown(ds, "g", "day", "v")
+    r = out.iloc[0]
+    assert (r.n_days, r.max_dd, r.dd_day, r.peak_at_dd) == (5, 7, 3, 12)
+
+
+def test_oracle_weighted_jaccard(ray_session):
+    out = _oracle_check("source_weighted_jaccard",
+                        tables=("documents",))
+    # all canonical pairs of the observed sources, Σmin <= Σmax
+    assert (out.sum_min <= out.sum_max).all()
+    assert (out.source_a < out.source_b).all()
+    n_src = len(set(out.source_a) | set(out.source_b))
+    assert len(out) == n_src * (n_src - 1) // 2
+    # weighted Jaccard is bounded by 1000 permille
+    assert (out.wjac_pm <= 1000).all() and (out.wjac_pm >= 0).all()
+
+
+def test_weighted_jaccard_hand_counts(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.contamination import \
+        source_weighted_jaccard
+
+    # src a tokens {1:2, 2:1}; src b {1:1, 3:2}; src c shares nothing
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(["a", "a", "b", "c"]),
+        "tokens": pa.array([[1, 1, 2], [], [1, 3, 3], [9]],
+                           type=pa.list_(pa.int64())),
+    })).materialize()
+    out = source_weighted_jaccard(ds).set_index(
+        ["source_a", "source_b"])
+    ab = out.loc[("a", "b")]
+    # Σmin = min(2,1) = 1; Σmax = 3 + 3 - 1 = 5
+    assert (ab.sum_min, ab.sum_max, ab.wjac_pm) == (1, 5, 200)
+    ac = out.loc[("a", "c")]
+    assert (ac.sum_min, ac.sum_max, ac.wjac_pm) == (0, 4, 0)
+    bc = out.loc[("b", "c")]
+    assert (bc.sum_min, bc.sum_max) == (0, 4)

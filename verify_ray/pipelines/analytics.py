@@ -4591,3 +4591,76 @@ def fact_count_histogram_by_dim(fact_ds, fact_key: str, dim_ds,
     df["n_keys"] = df.n_keys.astype("int64")
     return (df.sort_values([dim_col, "cnt"])
             .reset_index(drop=True))
+
+
+def grouped_mode(ds, keys: list[str], col: str) -> pd.DataFrame:
+    """Per-group EXACT mode of a bounded-cardinality value column
+    (deterministic tie rule: highest count, then SMALLEST value) —
+    the categorical-profile primitive behind "dominant quantity /
+    status / bucket per segment" audits.
+
+    Scale shape: counting rides ``grouped_stats`` (map-side combiner,
+    cardinality-guarded merge), so the driver only ever sees the
+    (keys x distinct values) count surface — bounded for enum-like /
+    quantized columns, which is this operator's stated domain (for
+    continuous columns quantize first; the surface, not the data,
+    must fit the driver).  Rows with a null key or value drop.
+
+    Returns one row per group: keys, ``mode_<col>``, ``mode_count``,
+    ``n_rows`` (group total).
+    """
+    def one(batch: pa.Table) -> pa.Table:
+        m = pc.is_valid(batch[keys[0]])
+        for k in keys[1:] + [col]:
+            m = pc.and_(m, pc.is_valid(batch[k]))
+        batch = batch.filter(m)
+        return batch.append_column(
+            "__one", pa.array(np.ones(batch.num_rows, np.int64)))
+
+    surf = grouped_stats(ds.map_batches(one, batch_format="pyarrow"),
+                         keys + [col], {"__one": ["sum"]})
+    if not len(surf):
+        out = pd.DataFrame(columns=keys + [f"mode_{col}",
+                                           "mode_count", "n_rows"])
+        return out
+    # deterministic argmax: count DESC, value ASC within each group
+    surf = surf.sort_values(keys + [col]).reset_index(drop=True)
+    grp = surf.groupby(keys, sort=True)
+    idx = grp["__one_sum"].idxmax()  # first max -> smallest value
+    out = surf.loc[idx, keys + [col, "__one_sum"]].rename(
+        columns={col: f"mode_{col}", "__one_sum": "mode_count"})
+    out["n_rows"] = grp["__one_sum"].sum().to_numpy(np.int64)
+    out["mode_count"] = out.mode_count.astype("int64")
+    return out.reset_index(drop=True)
+
+
+def grouped_drawdown(ds, group_col: str, day_col: str, val_col: str
+                     ) -> pd.DataFrame:
+    """Per-group max drawdown of a DAILY integer series: the largest
+    peak-to-trough decline ``max_t (running_max - v_t)`` over the
+    group's days present (ascending), with the EARLIEST day achieving
+    it — the revenue-collapse / traffic-dip audit.
+
+    Input must already carry (group, day, integer value) columns; the
+    daily roll-up rides ``grouped_stats`` (map-side combiner), so the
+    driver fold sees a (groups x days) surface — bounded because day
+    granularity is bounded, never row-scale.  Null group/day/value
+    rows drop.
+
+    Returns per group: ``n_days``, ``max_dd`` (>= 0), ``dd_day``
+    (earliest argmax day), ``peak_at_dd`` (running max at that day).
+    """
+    daily = grouped_stats(ds, [group_col, day_col], {val_col: ["sum"]})
+    cols = [group_col, "n_days", "max_dd", "dd_day", "peak_at_dd"]
+    if not len(daily):
+        return pd.DataFrame(columns=cols)
+    daily = daily.sort_values([group_col, day_col]).reset_index(drop=True)
+    rows = []
+    for g, sub in daily.groupby(group_col, sort=True):
+        v = sub[f"{val_col}_sum"].to_numpy(np.int64)
+        d = sub[day_col].to_numpy(np.int64)
+        peak = np.maximum.accumulate(v)
+        dd = peak - v
+        i = int(np.argmax(dd))  # first max == earliest day
+        rows.append((g, len(v), int(dd[i]), int(d[i]), int(peak[i])))
+    return pd.DataFrame(rows, columns=cols)

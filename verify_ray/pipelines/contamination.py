@@ -442,3 +442,135 @@ def source_jaccard(seqs_ds, group_col: str = "source",
                       - res.n_common)
     return (res.sort_values(["source_a", "source_b"])
             .reset_index(drop=True))
+
+
+def source_weighted_jaccard(seqs_ds, group_col: str = "source",
+                            token_col: str = "tokens",
+                            num_buckets: int = 32):
+    """Exact pairwise WEIGHTED (multiset) token Jaccard between
+    corpus slices: per pair ``sum_min = Σ_w min(c_a, c_b)`` and
+    ``sum_max = Σ_w max(c_a, c_b)`` over token counts — the
+    frequency-aware twin of :func:`source_jaccard` (set overlap can
+    look high while the token MASS barely overlaps, and vice versa).
+    Uses the identity ``Σ max = T_a + T_b - Σ min`` so only common
+    tokens are ever enumerated.
+
+    Scale shape: each batch pre-aggregates (token, slice) COUNTS
+    map-side, ONE token-keyed hash exchange co-locates all partials
+    for a token (so bucket-finalized counts are exact), each bucket
+    emits per-slice token totals plus per-pair Σmin partials via the
+    repeat/arange pair enumeration — the driver sees slice totals +
+    pair partials only (slices² rows), never tokens.  Null-slice rows
+    drop; all canonical pairs of observed slices are returned (pairs
+    sharing no token get ``sum_min = 0``).
+
+    Returns ``source_a, source_b, sum_min, sum_max, wjac_pm``
+    (``floor(1000 * sum_min / sum_max)``; 0 when ``sum_max == 0``).
+    """
+    import pandas as pd
+
+    from ..stages.exchange import grouped_exchange
+
+    SEP = "\x1f"
+
+    def tag(b: pa.Table) -> pa.Table:
+        empty = pa.table({"t": pa.array([], type=pa.int64()),
+                          "g": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64()),
+                          "bucket": pa.array([], type=pa.uint64())})
+        if token_col not in b.column_names:
+            return empty
+        b = b.filter(pc.is_valid(b[group_col]))
+        toks = as_array(b[token_col])
+        flat = pc.cast(as_array(pc.list_flatten(toks)),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        if not len(flat):
+            return empty
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = pc.cast(b[group_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(str)[parents]
+        order = np.lexsort((g, flat))
+        ts, gs = flat[order], g[order]
+        first = np.ones(len(ts), dtype=bool)
+        first[1:] = (ts[1:] != ts[:-1]) | (gs[1:] != gs[:-1])
+        start = np.flatnonzero(first)
+        cnt = np.diff(np.append(start, len(ts))).astype(np.int64)
+        ts, gs = ts[start], gs[start]
+        import pandas as _pd
+        h = _pd.util.hash_array(ts)
+        return pa.table({
+            "t": pa.array(ts), "g": pa.array(gs, type=pa.string()),
+            "c": pa.array(cnt),
+            "bucket": pa.array(h % np.uint64(num_buckets),
+                               type=pa.uint64())})
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        tk = t.column("t").to_numpy(zero_copy_only=False)
+        g = t.column("g").to_numpy(zero_copy_only=False).astype(str)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((g, tk))
+        tk, g, c = tk[order], g[order], c[order]
+        # finalize (token, slice) counts: sum adjacent partials
+        first = np.ones(len(tk), dtype=bool)
+        first[1:] = (tk[1:] != tk[:-1]) | (g[1:] != g[:-1])
+        st = np.flatnonzero(first)
+        cs = np.add.reduceat(c, st) if len(st) else np.empty(0, np.int64)
+        ts, gs = tk[st], g[st]
+        # per-slice token-mass totals (exact within this bucket)
+        su = np.unique(gs)
+        sc = np.zeros(len(su), np.int64)
+        np.add.at(sc, np.searchsorted(su, gs), cs)
+        # canonical slice pairs per token, contributing min(c_a, c_b)
+        tfirst = np.ones(len(ts), dtype=bool)
+        tfirst[1:] = ts[1:] != ts[:-1]
+        tstart = np.flatnonzero(tfirst)
+        tcnt = np.diff(np.append(tstart, len(ts)))
+        cnt_row = np.repeat(tcnt, tcnt)
+        pos = np.arange(len(ts)) - np.repeat(tstart, tcnt)
+        n_after = cnt_row - 1 - pos
+        total = int(n_after.sum())
+        if total:
+            a_idx = np.repeat(np.arange(len(ts)), n_after)
+            csum = np.concatenate(([0], np.cumsum(n_after)))
+            b_idx = a_idx + 1 + (np.arange(total) - csum[a_idx])
+            pair_key = np.char.add(np.char.add(gs[a_idx], SEP),
+                                   gs[b_idx])
+            m = np.minimum(cs[a_idx], cs[b_idx]).astype(np.int64)
+            pu, inv = np.unique(pair_key, return_inverse=True)
+            pm = np.zeros(len(pu), np.int64)
+            np.add.at(pm, inv, m)
+        else:
+            pu = np.empty(0, dtype=str)
+            pm = np.empty(0, dtype=np.int64)
+        return pa.table({
+            "kind": pa.array(["s"] * len(su) + ["p"] * len(pu)),
+            "key": pa.array(np.concatenate((su, pu)).astype(object),
+                            type=pa.string()),
+            "cnt": pa.array(np.concatenate((sc, pm)).astype(np.int64))})
+
+    out = grouped_exchange(seqs_ds.map_batches(tag, batch_format="pyarrow"),
+                           "bucket", num_buckets, bucket_pairs)
+    cols = ["source_a", "source_b", "sum_min", "sum_max", "wjac_pm"]
+    if out is None or out.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(
+            dtype="int64" if c != "source_a" and c != "source_b"
+            else "string") for c in cols})
+    df = (out.to_pandas().groupby(["kind", "key"], as_index=False)["cnt"]
+          .sum())
+    totals = dict(zip(df[df.kind == "s"].key, df[df.kind == "s"].cnt))
+    pairs = df[df.kind == "p"]
+    mins = {}
+    if len(pairs):
+        ab = pairs.key.str.split(SEP, expand=True)
+        mins = dict(zip(zip(ab[0], ab[1]),
+                        pairs.cnt.to_numpy(np.int64)))
+    srcs = sorted(totals)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            smin = int(mins.get((a, b), 0))
+            smax = int(totals[a]) + int(totals[b]) - smin
+            rows.append((a, b, smin, smax,
+                         1000 * smin // smax if smax else 0))
+    return pd.DataFrame(rows, columns=cols)
