@@ -7689,8 +7689,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return source_weighted_jaccard(
             tokenize_documents(docs, concurrency=2))
 
+    def bounce_q(sf):
+        # engagement quality: bounce rate (size-1 sessions) by the
+        # session's ENTRY event type — one user-keyed exchange,
+        # types-sized partials
+        from verify_ray.pipelines.sessions import \
+            session_bounce_by_entry
+
+        return session_bounce_by_entry(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_type",
+                           "event_id"]))
+
+    def mean_shift_q(sf):
+        # retrospective change-point: the split day maximizing the
+        # exact CUSUM deviation of the daily order-count series
+        def prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["o_orderdate"]))
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            return pa.table({"day": pa.array(day),
+                             "__one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+
+        out = analytics.mean_shift_split(
+            _read(sf, "orders", columns=["o_orderdate"])
+            .map_batches(prep, batch_format="pyarrow"),
+            "day", "__one")
+        return out.astype("int64")
+
+    def margin_stats_q(sf):
+        # classification-margin audit: per label, how far its mass
+        # sits from the nearest competing integer centroid
+        from verify_ray.pipelines.similarity import \
+            centroid_margin_stats
+
+        return centroid_margin_stats(
+            _read(sf, "embeddings", columns=["embedding", "label"]))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_bounce_by_entry": bounce_q,
+        "orders_daily_mean_shift": mean_shift_q,
+        "embeddings_margin_stats": margin_stats_q,
         "lineitem_quantity_mode": quantity_mode_q,
         "orders_priority_drawdown": priority_drawdown_q,
         "source_weighted_jaccard": wjaccard_q,
@@ -9430,6 +9473,94 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "events_bounce_by_entry": """
+-- bounce rate by session entry type: 30-min gap sessions per user
+-- (order ts, event_id); bounce = size-1 session
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et,
+         event_id AS eid
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+lagd AS (
+  SELECT *, LAG(t) OVER (PARTITION BY u ORDER BY t, eid) AS prev
+  FROM e),
+marked AS (
+  SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800000000
+                 THEN 1 ELSE 0 END AS new
+  FROM lagd),
+sess AS (
+  SELECT *, SUM(new) OVER (PARTITION BY u ORDER BY t, eid
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+agg AS (
+  SELECT u, sid, MAX(CASE WHEN new = 1 THEN et END) AS event_type,
+         COUNT(*) AS sz
+  FROM sess GROUP BY 1, 2)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce,
+       CAST(1000 * SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS bounce_pm
+FROM agg GROUP BY 1 ORDER BY 1
+""",
+        "orders_daily_mean_shift": """
+-- retrospective change point: split of the day-ordered daily
+-- order-count series maximizing |S_L*n_t - n_L*S_t| (the CUSUM
+-- deviation = n_L*n_R*|mean_L - mean_R|), tie -> smallest day
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         COUNT(*) AS v
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+t AS (SELECT COUNT(*) AS nt, SUM(v) AS st FROM d),
+c AS (SELECT day, SUM(v) OVER (ORDER BY day) AS s1,
+             ROW_NUMBER() OVER (ORDER BY day) AS n1
+      FROM d),
+sc AS (SELECT day, n1, s1, nt, st,
+              ABS(s1 * nt - n1 * st) AS score
+       FROM c, t WHERE n1 < nt)
+SELECT CAST(day AS BIGINT) AS split_day,
+       CAST(n1 AS BIGINT) AS n_left, CAST(s1 AS BIGINT) AS sum_left,
+       CAST(nt - n1 AS BIGINT) AS n_right,
+       CAST(st - s1 AS BIGINT) AS sum_right,
+       CAST(score AS BIGINT) AS score,
+       CAST(1000 * s1 // n1 AS BIGINT) AS mean_left_pm,
+       CAST(1000 * (st - s1) // (nt - n1) AS BIGINT) AS mean_right_pm
+FROM sc ORDER BY score DESC, day ASC LIMIT 1
+""",
+        "embeddings_margin_stats": """
+-- classification margin per label: own-centroid dot minus the best
+-- competing centroid dot (same integer contract as the confusion
+-- matrix: q = floor(1000*x), m = floor(1000*sum(q)/n))
+WITH q AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(1000.0 * CAST(unnest(embedding) AS DOUBLE))
+              AS BIGINT) AS qv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+cent AS (
+  SELECT label AS clabel, dim,
+         CAST(floor(1000.0 * SUM(qv) / COUNT(*)) AS BIGINT) AS m
+  FROM q GROUP BY 1, 2),
+sc AS (
+  SELECT q.vec_id, q.label, c.clabel, SUM(q.qv * c.m) AS dot
+  FROM q JOIN cent c ON q.dim = c.dim
+  GROUP BY 1, 2, 3),
+own AS (SELECT vec_id, label, dot AS own_dot FROM sc
+        WHERE label = clabel),
+oth AS (SELECT vec_id, MAX(dot) AS best_other FROM sc
+        WHERE label <> clabel GROUP BY 1),
+m AS (SELECT own.label, own.own_dot - oth.best_other AS margin
+      FROM own JOIN oth USING (vec_id))
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN margin <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonpos,
+       CAST(SUM(margin) AS BIGINT) AS sum_margin,
+       CAST(MIN(margin) AS BIGINT) AS min_margin
+FROM m GROUP BY 1 ORDER BY 1
+""",
         "lineitem_quantity_mode": """
 -- dominant shipped quantity per (returnflag, linestatus):
 -- exact mode, tie -> smallest quantity

@@ -275,7 +275,9 @@ def bench_queries() -> dict[str, float]:
              "lineitem_discount_tax_joint",
              "orders_value_gini_monthly",
              "lineitem_quantity_mode", "orders_priority_drawdown",
-             "source_weighted_jaccard"]
+             "source_weighted_jaccard",
+             "events_bounce_by_entry", "orders_daily_mean_shift",
+             "embeddings_margin_stats"]
     out = {}
     for name in names:
         t0 = time.time()

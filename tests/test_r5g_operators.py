@@ -116,3 +116,79 @@ def test_weighted_jaccard_hand_counts(ray_session):
     assert (ac.sum_min, ac.sum_max, ac.wjac_pm) == (0, 4, 0)
     bc = out.loc[("b", "c")]
     assert (bc.sum_min, bc.sum_max) == (0, 4)
+
+
+def test_oracle_bounce_by_entry(ray_session):
+    out = _oracle_check("events_bounce_by_entry", tables=("events",))
+    assert (out.n_bounce <= out.n_sessions).all()
+    assert (out.bounce_pm <= 1000).all()
+
+
+def test_bounce_hand_sessions(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.sessions import session_bounce_by_entry
+
+    us = 1_000_000
+    # user 1: [a at 0, b at 60s] one session (entry a, size 2);
+    #         [c at 2h] bounce (entry c)
+    # user 2: [b at 0] bounce (entry b)
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "ts": pa.array([0, 60 * us, 7200 * us, 0],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["a", "b", "c", "b"]),
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+    })).materialize()
+    out = session_bounce_by_entry(ds).set_index("event_type")
+    assert out.loc["a"].n_sessions == 1 and out.loc["a"].n_bounce == 0
+    assert out.loc["b"].n_sessions == 1 and out.loc["b"].n_bounce == 1
+    assert out.loc["c"].n_sessions == 1 and out.loc["c"].n_bounce == 1
+
+
+def test_oracle_mean_shift(ray_session):
+    out = _oracle_check("orders_daily_mean_shift", tables=("orders",))
+    r = out.iloc[0]
+    assert r.n_left + r.n_right > 0 and r.score >= 0
+
+
+def test_mean_shift_hand_series(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import mean_shift_split
+
+    # days 0-3 value 10, days 4-7 value 20 -> split after day 3
+    ds = rd.from_arrow(pa.table({
+        "day": pa.array(list(range(8)), type=pa.int64()),
+        "v": pa.array([10] * 4 + [20] * 4, type=pa.int64()),
+    })).materialize()
+    r = mean_shift_split(ds, "day", "v").iloc[0]
+    assert (r.split_day, r.n_left, r.sum_left, r.n_right,
+            r.sum_right) == (3, 4, 40, 4, 80)
+    # score = |40*8 - 4*120| = 160; means 10.0 / 20.0 in permille
+    assert r.score == 160
+    assert r.mean_left_pm == 10000 and r.mean_right_pm == 20000
+
+
+def test_oracle_margin_stats(ray_session):
+    out = _oracle_check("embeddings_margin_stats",
+                        tables=("embeddings",))
+    assert (out.n_nonpos <= out.n).all()
+    assert (out.min_margin <= out.sum_margin // out.n.clip(1)).all()
+
+
+def test_margin_consistent_with_confusion(ray_session):
+    # n_nonpos counts vectors NOT strictly closest to their own
+    # centroid; confusion's off-diagonal counts vectors ASSIGNED
+    # elsewhere (ties -> smallest label may still be the own label),
+    # so off_diag <= n_nonpos per label
+    import ray
+
+    import __ray_entry__ as e
+
+    margins = e.queries()["embeddings_margin_stats"](SF)
+    conf = e.queries()["embeddings_centroid_confusion"](SF)
+    off = (conf[conf.label != conf.assigned]
+           .groupby("label").n.sum())
+    for _, r in margins.iterrows():
+        assert off.get(r.label, 0) <= r.n_nonpos

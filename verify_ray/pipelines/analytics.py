@@ -4664,3 +4664,45 @@ def grouped_drawdown(ds, group_col: str, day_col: str, val_col: str
         i = int(np.argmax(dd))  # first max == earliest day
         rows.append((g, len(v), int(dd[i]), int(d[i]), int(peak[i])))
     return pd.DataFrame(rows, columns=cols)
+
+
+def mean_shift_split(ds, day_col: str, val_col: str) -> pd.DataFrame:
+    """Single CHANGE-POINT over a daily integer series: the split of
+    the day-ordered series maximizing the classic CUSUM deviation
+    ``score = |S_L*n_t - n_L*S_t|`` (identically ``n_L*n_R*|mean_L -
+    mean_R|`` — the denominator-free weighted mean shift; ties ->
+    smallest split day).  The regime-change day a pipeline operator
+    reads before trusting a drift alarm; complements the sequential
+    one-sided CUSUM alarm (``cusum`` query) with a retrospective
+    argmax estimate.
+
+    Scale shape: the daily roll-up rides ``grouped_stats`` (map-side
+    combiner), the O(days) argmax folds a day-granularity surface on
+    the driver — bounded by the calendar, never by rows.  Overflow
+    bound: |S_t|*n_t ≤ total*days, int64-safe far beyond 100-TB daily
+    totals (1e12 * 1e5 < 2^62).
+
+    Returns ONE row: ``split_day`` (last day of the left segment),
+    ``n_left, sum_left, n_right, sum_right, score`` plus
+    ``mean_left_pm/mean_right_pm`` (``floor(1000*S/n)``).
+    """
+    daily = grouped_stats(ds, [day_col], {val_col: ["sum"]})
+    cols = ["split_day", "n_left", "sum_left", "n_right",
+            "sum_right", "score", "mean_left_pm", "mean_right_pm"]
+    if len(daily) < 2:
+        return pd.DataFrame(columns=cols)
+    daily = daily.sort_values(day_col).reset_index(drop=True)
+    d = daily[day_col].to_numpy(np.int64)
+    v = daily[f"{val_col}_sum"].to_numpy(np.int64)
+    nt, st = len(v), int(v.sum())
+    s1 = np.cumsum(v)[:-1]          # left sums for splits 1..nt-1
+    n1 = np.arange(1, nt, dtype=np.int64)
+    score = np.abs(s1 * nt - n1 * st)
+    i = int(np.argmax(score))       # first max == smallest split day
+    nl, sl = int(n1[i]), int(s1[i])
+    nr, sr = nt - nl, st - sl
+    return pd.DataFrame([{
+        "split_day": int(d[nl - 1]), "n_left": nl, "sum_left": sl,
+        "n_right": nr, "sum_right": sr, "score": int(score[i]),
+        "mean_left_pm": 1000 * sl // nl,
+        "mean_right_pm": 1000 * sr // nr}])

@@ -2377,3 +2377,84 @@ def session_handoff_matrix(events_ds, gap_us: int = 1_800_000_000,
     df["n"] = df.n.astype("int64")
     return (df.sort_values(["from_type", "to_type"])
             .reset_index(drop=True))
+
+
+def session_bounce_by_entry(events_ds, gap_minutes: float = 30.0,
+                            key_col: str = "user_id",
+                            ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            id_col: str = "event_id",
+                            num_buckets: int = 32) -> pd.DataFrame:
+    """BOUNCE-RATE profile by session entry point — "which landing
+    event types produce one-and-done sessions?" (the engagement-
+    quality twin of :func:`session_duration_by_entry`): per user
+    timeline (order ``ts`` asc, ``id`` asc), a new session opens at
+    each gap > ``gap_minutes``; each session is credited to its FIRST
+    event's type, a bounce is a size-1 session.  Null
+    key/ts/type/id rows drop.
+
+    Scale shape: ONE user-keyed exchange; each bucket task folds its
+    users' timelines and emits per-ENTRY-TYPE (n_sessions, n_bounce)
+    partials — types-sized, never session-sized — summed on the
+    driver.  Returns ``(event_type, n_sessions, n_bounce,
+    bounce_pm)`` sorted by type (``bounce_pm = floor(1000 *
+    n_bounce / n_sessions)``).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.select([key_col, ts_col, type_col, id_col])
+        m = None
+        for c in (key_col, ts_col, type_col, id_col):
+            v = pc.is_valid(b[c])
+            m = v if m is None else pc.and_(m, v)
+        b = b.filter(m)
+        h = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def fold(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        st = pc.cast(t[type_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        iv = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        o = np.lexsort((iv, ts, k))
+        k, st, ts = k[o], st[o], ts[o]
+        new = np.ones(len(k), dtype=bool)
+        if len(k) > 1:
+            new[1:] = (k[1:] != k[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, len(k)))
+        et = st[starts]
+        ue, inv = np.unique(et.astype(str), return_inverse=True)
+        n_sess = np.bincount(inv, minlength=len(ue))
+        n_bounce = np.bincount(inv, weights=(n == 1),
+                               minlength=len(ue)).astype(np.int64)
+        return pa.table({
+            type_col: pa.array(ue, type=pa.string()),
+            "n_sessions": pa.array(n_sess.astype(np.int64)),
+            "n_bounce": pa.array(n_bounce)})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    out = grouped_exchange(tagged, "__b", num_buckets, fold)
+    cols = [type_col, "n_sessions", "n_bounce", "bounce_pm"]
+    if out is None or out.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(
+            dtype="string" if c == type_col else "int64")
+            for c in cols})
+    df = (out.to_pandas().groupby(type_col, as_index=False)
+          [["n_sessions", "n_bounce"]].sum())
+    df["bounce_pm"] = (1000 * df.n_bounce // df.n_sessions)
+    return (df.sort_values(type_col).reset_index(drop=True)
+            .astype({"n_sessions": "int64", "n_bounce": "int64",
+                     "bounce_pm": "int64"}))

@@ -1409,3 +1409,82 @@ def knn_label_agreement(ds, emb_col: str = "embedding",
                        // out.n.to_numpy(np.int64))
     return (out.sort_values("label").reset_index(drop=True)
             .astype("int64"))
+
+
+def centroid_margin_stats(ds, emb_col: str = "embedding",
+                          label_col: str = "label") -> pd.DataFrame:
+    """CLASSIFICATION-MARGIN audit over label centroids — "how far is
+    each label's mass from the nearest competing centroid?" (the
+    magnitude companion to :func:`centroid_confusion`, which only
+    counts flips): per vector, ``margin = dot(q, m_own) - max_{l'≠l}
+    dot(q, m_l')`` with the same integer contract (``q =
+    floor(1000·x)``, ``m = floor(1000·Σq/n)``), reduced per label to
+    ``n, n_nonpos`` (margin ≤ 0: the vector is NOT strictly closest
+    to its own centroid), ``sum_margin, min_margin`` — all
+    int64-exact (|dot| ≤ 10⁶·dim), so the surface restates in SQL
+    bit-for-bit.  Requires ≥ 2 labels; null rows drop.
+
+    Scale shape: pass 1 streams (label, dim) integer-sum partials
+    (k·dim per batch); the k×dim centroid matrix broadcasts via
+    ``ray.put``; pass 2 is one matmul per batch emitting k-row margin
+    partials.  Nothing corpus-sized leaves the workers.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    agg = _label_dim_sums(ds, emb_col, label_col)
+    cols = ("label", "n", "n_nonpos", "sum_margin", "min_margin")
+    if agg.empty or agg.label.nunique() < 2:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    labels = np.sort(agg.label.unique())
+    dmax = int(agg.dim.max()) + 1
+    cent = np.zeros((len(labels), dmax), dtype=np.int64)
+    pos = {int(l): i for i, l in enumerate(labels)}
+    cent[[pos[int(l)] for l in agg.label],
+         agg.dim.to_numpy()] = (1000 * agg.s.to_numpy()) \
+        // agg.n.to_numpy()
+    ref = ray.put((labels.astype(np.int64), cent))
+
+    def margins(b: pa.Table) -> pa.Table:
+        labs, c = ray.get(ref)
+        b = b.filter(pc.and_(pc.is_valid(b[emb_col]),
+                             pc.is_valid(b[label_col])))
+        e = np.empty(0, np.int64)
+        if b.num_rows == 0:
+            return pa.table({"label": pa.array(e), "n": pa.array(e),
+                             "n_nonpos": pa.array(e),
+                             "sum_margin": pa.array(e),
+                             "min_margin": pa.array(e)})
+        q = np.floor(1000.0 * _emb_matrix(b, emb_col)).astype(np.int64)
+        lab = pc.cast(b[label_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        li = np.searchsorted(labs, lab)
+        scores = q @ c.T                      # int64-exact
+        own = np.take_along_axis(scores, li[:, None], axis=1)[:, 0]
+        masked = scores.copy()
+        masked[np.arange(len(li)), li] = np.iinfo(np.int64).min
+        margin = own - masked.max(axis=1)
+        ul, inv = np.unique(lab, return_inverse=True)
+        n = np.bincount(inv, minlength=len(ul))
+        nn = np.bincount(inv, weights=(margin <= 0),
+                         minlength=len(ul)).astype(np.int64)
+        sm = np.zeros(len(ul), np.int64)
+        np.add.at(sm, inv, margin)
+        mn = np.full(len(ul), np.iinfo(np.int64).max)
+        np.minimum.at(mn, inv, margin)
+        return pa.table({"label": pa.array(ul),
+                         "n": pa.array(n.astype(np.int64)),
+                         "n_nonpos": pa.array(nn),
+                         "sum_margin": pa.array(sm),
+                         "min_margin": pa.array(mn)})
+
+    out = (ds.select_columns([emb_col, label_col])
+           .map_batches(margins, batch_format="pyarrow").to_pandas())
+    out = (out.groupby("label", as_index=False)
+           .agg(n=("n", "sum"), n_nonpos=("n_nonpos", "sum"),
+                sum_margin=("sum_margin", "sum"),
+                min_margin=("min_margin", "min")))
+    return (out.sort_values("label").reset_index(drop=True)
+            .astype("int64"))
