@@ -7729,8 +7729,248 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return centroid_margin_stats(
             _read(sf, "embeddings", columns=["embedding", "label"]))
 
+    def quality_dup_q(sf):
+        # curation cross-audit: exact-dup rate per corpus-wide length
+        # decile ("are short docs the duplicated ones?") — NTILE via
+        # global_rank (no global sort) x md5-fingerprint exchange,
+        # joined by doc_id in ONE composable hash_join
+        from verify_ray.functions.hashing import md5_hex, md5_u64le
+        from verify_ray.pipelines.joins import hash_join
+        from verify_ray.pipelines.select import global_ntile
+        from verify_ray.stages.exchange import grouped_exchange_ds
+
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "text", "n_chars"])
+        tiles = global_ntile(docs, "n_chars", "doc_id", 10,
+                             values=["doc_id"], num_buckets=16)
+
+        dup_schema = pa.schema([("doc_id", pa.int64()),
+                                ("dup", pa.int64())])
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["doc_id"]),
+                        pc.is_valid(b["text"]))
+            b = b.filter(m)
+            h = md5_hex(pc.cast(b["text"], pa.string()))
+            hb = md5_u64le(pc.cast(b["text"], pa.string()))
+            return pa.table({
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "h": h,
+                "__b": pa.array((hb % np.uint64(32))
+                                .astype(np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            h = np.asarray(t.column("h").to_pylist(), dtype=object)
+            order = np.argsort(h, kind="stable")
+            ids, h = ids[order], h[order]
+            st = np.flatnonzero(np.r_[True, h[1:] != h[:-1]]) \
+                if len(h) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(h)))
+            dup = (np.repeat(n, n) > 1).astype(np.int64)
+            return pa.table({"doc_id": pa.array(ids),
+                             "dup": pa.array(dup)}).cast(dup_schema)
+
+        dups = grouped_exchange_ds(
+            docs.map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold, empty_schema=dup_schema)
+        joined = hash_join(tiles.materialize(), dups, "doc_id",
+                           ["tile"], ["dup"], num_buckets=16)
+
+        def part(b: pa.Table) -> pa.Table:
+            t = b.column("tile").to_numpy(zero_copy_only=False)
+            d = b.column("dup").to_numpy(zero_copy_only=False)
+            ut, inv = np.unique(t, return_inverse=True)
+            return pa.table({
+                "tile": pa.array(ut.astype(np.int64)),
+                "n_docs": pa.array(np.bincount(
+                    inv, minlength=len(ut)).astype(np.int64)),
+                "n_dup": pa.array(np.bincount(
+                    inv, weights=d, minlength=len(ut))
+                    .astype(np.int64))})
+
+        out = (joined.map_batches(part, batch_format="pyarrow")
+               .to_pandas().groupby("tile", as_index=False)
+               [["n_docs", "n_dup"]].sum())
+        out["dup_pm"] = 1000 * out.n_dup // out.n_docs
+        return (out.sort_values("tile").reset_index(drop=True)
+                .astype("int64"))
+
+    def _orders_by_customer_nation(sf, fold, extra_o_cols,
+                                   o_row_fn, empty_schema):
+        # shared tagged-union custkey exchange: orders partials meet
+        # customer (custkey -> nationkey) rows in one shuffle
+        from verify_ray.stages.exchange import grouped_exchange_ds
+
+        NB = 64
+
+        def o_part(b: pa.Table) -> pa.Table:
+            m = pc.is_valid(b["o_custkey"])
+            for c in extra_o_cols:
+                m = pc.and_(m, pc.is_valid(b[c]))
+            b = b.filter(m)
+            k = pc.cast(b["o_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            mon, cents = o_row_fn(b)
+            return pa.table({
+                "__b": pa.array(k % NB), "k": pa.array(k),
+                "mon": pa.array(mon), "cents": pa.array(cents),
+                "nat": pa.array(np.full(len(k), -1, np.int64)),
+                "tag": pa.array(np.zeros(len(k), np.int64))})
+
+        def c_part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["c_custkey"]),
+                        pc.is_valid(b["c_nationkey"]))
+            b = b.filter(m)
+            k = pc.cast(b["c_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            nat = pc.cast(b["c_nationkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            z = np.zeros(len(k), np.int64)
+            return pa.table({
+                "__b": pa.array(k % NB), "k": pa.array(k),
+                "mon": pa.array(z), "cents": pa.array(z),
+                "nat": pa.array(nat),
+                "tag": pa.array(np.ones(len(k), np.int64))})
+
+        orders = _read(sf, "orders",
+                       columns=["o_custkey"] + extra_o_cols) \
+            .map_batches(o_part, batch_format="pyarrow")
+        cust = _read(sf, "customer",
+                     columns=["c_custkey", "c_nationkey"]) \
+            .map_batches(c_part, batch_format="pyarrow")
+        return grouped_exchange_ds(orders.union(cust), "__b", NB,
+                                   fold, empty_schema=empty_schema)
+
+    def nation_ltv_q(sf):
+        # customer-lifetime-value profile per nation: exact p50/p90
+        # of per-customer total spend cents (orderless customers
+        # count as 0) — custkey tagged-union exchange keeps the
+        # customer-level totals RESIDENT; the exact quantiles come
+        # from the multi-pass pivot-bisection scale path
+        from verify_ray.pipelines.select import \
+            grouped_quantiles_continuous
+
+        def o_rows(b: pa.Table):
+            cents = np.rint(100.0 * b["o_totalprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return np.zeros(b.num_rows, np.int64), cents
+
+        # group col travels as string (grouped_quantiles_continuous'
+        # group contract), cast back to int64 at the end
+        sch = pa.schema([("c_nationkey", pa.string()),
+                         ("total", pa.float64())])
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            cents = t.column("cents").to_numpy(zero_copy_only=False)
+            nat = t.column("nat").to_numpy(zero_copy_only=False)
+            tag = t.column("tag").to_numpy(zero_copy_only=False)
+            order = np.lexsort((tag, k))
+            k, cents, nat, tag = (k[order], cents[order],
+                                  nat[order], tag[order])
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(k)))
+            last = st + n - 1
+            keep = tag[last] == 1          # customer row present
+            tot = np.add.reduceat(
+                np.where(tag == 0, cents, 0), st)[keep] \
+                if len(st) else np.empty(0, np.int64)
+            return pa.table({
+                "c_nationkey": pa.array(
+                    nat[last][keep].astype(str).astype(object),
+                    type=pa.string()),
+                "total": pa.array(tot.astype(np.float64))
+            }).cast(sch)
+
+        # materialize: the bisection re-reads the totals per pass
+        totals = _orders_by_customer_nation(
+            sf, fold, ["o_totalprice"], o_rows, sch).materialize()
+        out = grouped_quantiles_continuous(
+            totals, "c_nationkey", "total", [500, 900])
+        out = out.rename(columns={"q50": "q50_cents",
+                                  "q90": "q90_cents"})
+        out["c_nationkey"] = out.c_nationkey.astype("int64")
+        return (out.sort_values("c_nationkey")
+                .reset_index(drop=True)
+                .astype({"n": "int64", "q50_cents": "int64",
+                         "q90_cents": "int64"}))
+
+    def nation_top3_q(sf):
+        # market-leadership census: months each nation ranked top-3
+        # by order revenue (rank: cents DESC, nationkey ASC) — the
+        # exchange emits (nation, month, cents) partials; the driver
+        # ranks a nations x months surface
+        def o_rows(b: pa.Table):
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mon = (day.astype("datetime64[D]")
+                   .astype("datetime64[M]").astype(np.int64))
+            cents = np.rint(100.0 * b["o_totalprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return mon, cents
+
+        sch = pa.schema([("nk", pa.int64()), ("mon", pa.int64()),
+                         ("v", pa.int64())])
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            mon = t.column("mon").to_numpy(zero_copy_only=False)
+            cents = t.column("cents").to_numpy(zero_copy_only=False)
+            nat = t.column("nat").to_numpy(zero_copy_only=False)
+            tag = t.column("tag").to_numpy(zero_copy_only=False)
+            order = np.lexsort((tag, k))
+            k, mon, cents, nat, tag = (k[order], mon[order],
+                                       cents[order], nat[order],
+                                       tag[order])
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(k)))
+            last = st + n - 1
+            keep_key = tag[last] == 1
+            nat_per_row = np.repeat(nat[last], n)
+            keep_row = np.repeat(keep_key, n) & (tag == 0)
+            nk, mo, ct = (nat_per_row[keep_row], mon[keep_row],
+                          cents[keep_row])
+            if not len(nk):
+                return pa.table({"nk": pa.array([], pa.int64()),
+                                 "mon": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64())})
+            cell = nk * 100_000 + mo
+            uc, inv = np.unique(cell, return_inverse=True)
+            s = np.zeros(len(uc), np.int64)
+            np.add.at(s, inv, ct)
+            return pa.table({
+                "nk": pa.array((uc // 100_000).astype(np.int64)),
+                "mon": pa.array((uc % 100_000).astype(np.int64)),
+                "v": pa.array(s)}).cast(sch)
+
+        surf = _orders_by_customer_nation(
+            sf, fold, ["o_orderdate", "o_totalprice"], o_rows, sch) \
+            .to_pandas()
+        cols = ["c_nationkey", "n_months", "n_top3"]
+        if not len(surf):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        nm = (surf.groupby(["nk", "mon"], as_index=False)["v"].sum()
+              .sort_values(["mon", "v", "nk"],
+                           ascending=[True, False, True]))
+        nm["rn"] = nm.groupby("mon").cumcount() + 1
+        out = nm.groupby("nk").agg(
+            n_months=("mon", "count"),
+            n_top3=("rn", lambda r: int((r <= 3).sum()))
+        ).reset_index().rename(columns={"nk": "c_nationkey"})
+        return (out.sort_values("c_nationkey")
+                .reset_index(drop=True).astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_quality_decile_dup_rate": quality_dup_q,
+        "nation_ltv_quantiles": nation_ltv_q,
+        "nation_top3_months": nation_top3_q,
         "events_bounce_by_entry": bounce_q,
         "orders_daily_mean_shift": mean_shift_q,
         "embeddings_margin_stats": margin_stats_q,
@@ -9473,6 +9713,70 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "docs_quality_decile_dup_rate": """
+-- exact-dup rate per corpus-wide length decile: NTILE(10) over
+-- (n_chars, doc_id); dup = md5(text) fingerprint shared by >1 doc
+WITH t AS (
+  SELECT doc_id, NTILE(10) OVER (ORDER BY n_chars, doc_id) AS tile
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+h AS (
+  SELECT doc_id, md5(text) AS hh FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+c AS (SELECT hh, COUNT(*) AS n FROM h GROUP BY 1),
+f AS (SELECT h.doc_id, CASE WHEN c.n > 1 THEN 1 ELSE 0 END AS dup
+      FROM h JOIN c USING (hh))
+SELECT CAST(tile AS BIGINT) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup) AS BIGINT) AS n_dup,
+       CAST(1000 * SUM(dup) // COUNT(*) AS BIGINT) AS dup_pm
+FROM t JOIN f USING (doc_id) GROUP BY 1 ORDER BY 1
+""",
+        "nation_ltv_quantiles": """
+-- customer-lifetime-value profile per nation: exact quantile_disc
+-- p50/p90 of per-customer total spend cents (orderless -> 0)
+WITH c AS (
+  SELECT c_custkey, c_nationkey FROM customer
+  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL),
+o AS (
+  SELECT o_custkey,
+         SUM(CAST(round(100 * o_totalprice) AS BIGINT)) AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1),
+t AS (SELECT c.c_nationkey, COALESCE(o.cents, 0) AS total
+      FROM c LEFT JOIN o ON o.o_custkey = c.c_custkey)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(quantile_disc(total, 0.5) AS BIGINT) AS q50_cents,
+       CAST(quantile_disc(total, 0.9) AS BIGINT) AS q90_cents
+FROM t GROUP BY 1 ORDER BY 1
+""",
+        "nation_top3_months": """
+-- market-leadership census: months each nation ranked top-3 by
+-- order revenue cents (rank: cents DESC, nationkey ASC)
+WITH o AS (
+  SELECT o_custkey,
+         (EXTRACT(year FROM o_orderdate) - 1970) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS mon,
+         CAST(round(100 * o_totalprice) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL),
+c AS (SELECT c_custkey, c_nationkey FROM customer
+      WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL),
+nm AS (SELECT c.c_nationkey AS nk, o.mon, SUM(o.cents) AS v
+       FROM o JOIN c ON c.c_custkey = o.o_custkey GROUP BY 1, 2),
+r AS (SELECT nk, mon,
+             ROW_NUMBER() OVER (PARTITION BY mon
+                                ORDER BY v DESC, nk ASC) AS rn
+      FROM nm)
+SELECT CAST(nk AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_months,
+       CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top3
+FROM r GROUP BY 1 ORDER BY 1
+""",
         "events_bounce_by_entry": """
 -- bounce rate by session entry type: 30-min gap sessions per user
 -- (order ts, event_id); bounce = size-1 session

@@ -277,7 +277,9 @@ def bench_queries() -> dict[str, float]:
              "lineitem_quantity_mode", "orders_priority_drawdown",
              "source_weighted_jaccard",
              "events_bounce_by_entry", "orders_daily_mean_shift",
-             "embeddings_margin_stats"]
+             "embeddings_margin_stats",
+             "docs_quality_decile_dup_rate", "nation_ltv_quantiles",
+             "nation_top3_months"]
     out = {}
     for name in names:
         t0 = time.time()

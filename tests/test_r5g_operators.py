@@ -192,3 +192,42 @@ def test_margin_consistent_with_confusion(ray_session):
            .groupby("label").n.sum())
     for _, r in margins.iterrows():
         assert off.get(r.label, 0) <= r.n_nonpos
+
+
+def test_oracle_quality_decile_dup_rate(ray_session):
+    out = _oracle_check("docs_quality_decile_dup_rate",
+                        tables=("documents",))
+    assert (out.n_dup <= out.n_docs).all()
+    assert len(out) <= 10
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet' "
+        "WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL "
+        "AND text IS NOT NULL").fetchone()[0]
+    assert out.n_docs.sum() == n
+
+
+def test_oracle_nation_ltv(ray_session):
+    out = _oracle_check("nation_ltv_quantiles",
+                        tables=("customer", "orders"))
+    assert (out.q50_cents <= out.q90_cents).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/customer.parquet' "
+        "WHERE c_custkey IS NOT NULL "
+        "AND c_nationkey IS NOT NULL").fetchone()[0]
+    assert out.n.sum() == n  # every customer lands in one nation
+
+
+def test_oracle_nation_top3(ray_session):
+    out = _oracle_check("nation_top3_months",
+                        tables=("customer", "orders"))
+    assert (out.n_top3 <= out.n_months).all()
+    # each month awards at most 3 top-3 slots
+    con = duckdb.connect()
+    months = con.execute(
+        f"SELECT COUNT(DISTINCT (EXTRACT(year FROM o_orderdate) "
+        f"- 1970) * 12 + EXTRACT(month FROM o_orderdate) - 1) "
+        f"FROM '{SF}/orders.parquet' "
+        "WHERE o_orderdate IS NOT NULL").fetchone()[0]
+    assert out.n_top3.sum() <= 3 * months
