@@ -7966,8 +7966,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values("c_nationkey")
                 .reset_index(drop=True).astype("int64"))
 
+    def burstiness_q(sf):
+        # shipment-cadence census: per part, interarrival burstiness
+        # band over distinct ship days, log2-binned histogram
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_partkey"]),
+                        pc.is_valid(b["l_shipdate"]))
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["l_shipdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            return pa.table({"k": pc.cast(b["l_partkey"], pa.int64()),
+                             "d": pa.array(day)})
+
+        return analytics.burstiness_log_hist(
+            _read(sf, "lineitem",
+                  columns=["l_partkey", "l_shipdate"])
+            .map_batches(prep, batch_format="pyarrow"), "k", "d")
+
+    def token_simpson_q(sf):
+        # vocabulary-concentration census per source: exact Simpson
+        # collision mass over token counts (token-keyed exchange,
+        # slice-sized partials)
+        from verify_ray.pipelines.text import source_token_simpson
+        from verify_ray.pipelines.tokenize import tokenize_documents
+
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "text", "source"])
+        return source_token_simpson(
+            tokenize_documents(docs, concurrency=2))
+
+    def acctbal_health_q(sf):
+        # receivables-health census per nation: negative-balance
+        # share and exact cents bounds (enum-bounded grouped stats)
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["c_nationkey"]),
+                        pc.is_valid(b["c_acctbal"]))
+            b = b.filter(m)
+            cents = np.rint(100.0 * b["c_acctbal"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                "cents": pa.array(cents),
+                "__neg": pa.array((cents < 0).astype(np.int64))})
+
+        out = analytics.grouped_stats(
+            _read(sf, "customer",
+                  columns=["c_nationkey", "c_acctbal"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["c_nationkey"],
+            {"cents": ["sum", "min", "max", "count"],
+             "__neg": ["sum"]})
+        out = out.rename(columns={
+            "cents_count": "n", "__neg_sum": "n_neg",
+            "cents_sum": "sum_cents", "cents_min": "min_cents",
+            "cents_max": "max_cents"})
+        out["neg_pm"] = 1000 * out.n_neg // out.n
+        out = out[["c_nationkey", "n", "n_neg", "sum_cents",
+                   "min_cents", "max_cents", "neg_pm"]]
+        return (out.sort_values("c_nationkey")
+                .reset_index(drop=True).astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "part_ship_burstiness_hist": burstiness_q,
+        "source_token_simpson": token_simpson_q,
+        "customer_acctbal_health": acctbal_health_q,
         "docs_quality_decile_dup_rate": quality_dup_q,
         "nation_ltv_quantiles": nation_ltv_q,
         "nation_top3_months": nation_top3_q,
@@ -9713,6 +9778,66 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "part_ship_burstiness_hist": """
+-- per-part interarrival burstiness over DISTINCT ship days:
+-- band = 1000*n_g*sum(g^2) // sum(g)^2 (>= 1000 by Cauchy-Schwarz),
+-- log2-binned; parts with < 2 distinct days excluded
+WITH pd AS (
+  SELECT DISTINCT l_partkey AS p,
+         epoch_us(l_shipdate) // 86400000000 AS d
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL),
+g AS (SELECT p, d - LAG(d) OVER (PARTITION BY p ORDER BY d) AS gap
+      FROM pd),
+s AS (SELECT p, COUNT(gap) AS ng, SUM(gap) AS sg,
+             SUM(gap * gap) AS sg2
+      FROM g WHERE gap IS NOT NULL GROUP BY 1),
+b AS (SELECT p, (1000 * ng * sg2) // (sg * sg) AS band
+      FROM s WHERE ng >= 1)
+SELECT CAST(LENGTH(bin(band // 1000)) - 1 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM b GROUP BY 1 ORDER BY 1
+""",
+        "source_token_simpson": f"""
+-- vocabulary concentration per source: Simpson collision mass over
+-- token counts; rep_pm = 1000*sum(c*(c-1)) // (n*(n-1))
+WITH words AS (
+  SELECT source,
+         unnest(regexp_split_to_array({_TRIMMED}, '\\s+')) AS w
+  FROM documents
+), tok AS (
+  SELECT source, {_TOKEN_ID} AS token, COUNT(*) AS c
+  FROM words GROUP BY 1, 2
+)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(c * (c - 1)) AS BIGINT) AS simpson_num,
+       CAST(CASE WHEN SUM(c) > 1
+            THEN 1000 * CAST(SUM(c * (c - 1)) AS HUGEINT)
+                 // (CAST(SUM(c) AS HUGEINT) * (SUM(c) - 1))
+            ELSE 0 END AS BIGINT) AS rep_pm
+FROM tok GROUP BY 1 ORDER BY 1
+""",
+        "customer_acctbal_health": """
+-- receivables health per nation: negative-balance share + exact
+-- cents bounds
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN round(100 * c_acctbal) < 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CAST(SUM(CAST(round(100 * c_acctbal) AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       CAST(MIN(CAST(round(100 * c_acctbal) AS BIGINT))
+            AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(round(100 * c_acctbal) AS BIGINT))
+            AS BIGINT) AS max_cents,
+       CAST(1000 * SUM(CASE WHEN round(100 * c_acctbal) < 0
+                       THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+         AS neg_pm
+FROM customer
+WHERE c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""",
         "docs_quality_decile_dup_rate": """
 -- exact-dup rate per corpus-wide length decile: NTILE(10) over
 -- (n_chars, doc_id); dup = md5(text) fingerprint shared by >1 doc

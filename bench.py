@@ -279,7 +279,9 @@ def bench_queries() -> dict[str, float]:
              "events_bounce_by_entry", "orders_daily_mean_shift",
              "embeddings_margin_stats",
              "docs_quality_decile_dup_rate", "nation_ltv_quantiles",
-             "nation_top3_months"]
+             "nation_top3_months",
+             "part_ship_burstiness_hist", "source_token_simpson",
+             "customer_acctbal_health"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -231,3 +231,63 @@ def test_oracle_nation_top3(ray_session):
         f"FROM '{SF}/orders.parquet' "
         "WHERE o_orderdate IS NOT NULL").fetchone()[0]
     assert out.n_top3.sum() <= 3 * months
+
+
+def test_oracle_burstiness(ray_session):
+    out = _oracle_check("part_ship_burstiness_hist",
+                        tables=("lineitem",))
+    assert (out.bin >= 0).all() and (out.n_keys > 0).all()
+
+
+def test_burstiness_hand_series(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import burstiness_log_hist
+
+    # key 1: days 0,1,2,3 (even: gaps 1,1,1 -> band=1000, k=1, bin 0)
+    # key 2: days 0,1,10  (bursty: gaps 1,9 -> band=2*82*1000//100
+    #        = 1640, k=1, bin 0)
+    # key 3: days 0,1,100 (gaps 1,99: band=2*9802*1000//10000=1960,
+    #        k=1, bin 0) -> need a burstier one for bin>0:
+    # key 4: days 0,1,2,1000 (gaps 1,1,998: band=3*996006*1000
+    #        //1000000 = 2988, k=2, bin 1)
+    # key 5: single day -> excluded; key 6: dup day only -> excluded
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1]*4 + [2]*3 + [4]*4 + [5] + [6, 6],
+                      type=pa.int64()),
+        "d": pa.array([0, 1, 2, 3, 0, 1, 10, 0, 1, 2, 1000, 7, 3, 3],
+                      type=pa.int64())})).materialize()
+    out = burstiness_log_hist(ds, "k", "d").set_index("bin")
+    assert out.loc[0].n_keys == 2  # keys 1 and 2
+    assert out.loc[1].n_keys == 1  # key 4
+    assert out.n_keys.sum() == 3   # keys 5, 6 excluded
+
+
+def test_oracle_token_simpson(ray_session):
+    out = _oracle_check("source_token_simpson",
+                        tables=("documents",))
+    assert (out.n_distinct <= out.n_tokens).all()
+    assert (out.rep_pm <= 1000).all() and (out.rep_pm >= 0).all()
+
+
+def test_token_simpson_hand_counts(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.text import source_token_simpson
+
+    # src a: counts {1:3, 2:1} -> n=4, distinct=2, simpson=3*2=6,
+    #        rep_pm = 6000 // 12 = 500
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(["a", "a"]),
+        "tokens": pa.array([[1, 1, 2], [1]],
+                           type=pa.list_(pa.int64()))})).materialize()
+    r = source_token_simpson(ds).iloc[0]
+    assert (r.n_tokens, r.n_distinct, r.simpson_num, r.rep_pm) == \
+        (4, 2, 6, 500)
+
+
+def test_oracle_acctbal_health(ray_session):
+    out = _oracle_check("customer_acctbal_health",
+                        tables=("customer",))
+    assert (out.n_neg <= out.n).all()
+    assert (out.min_cents <= out.max_cents).all()

@@ -4706,3 +4706,83 @@ def mean_shift_split(ds, day_col: str, val_col: str) -> pd.DataFrame:
         "n_right": nr, "sum_right": sr, "score": int(score[i]),
         "mean_left_pm": 1000 * sl // nl,
         "mean_right_pm": 1000 * sr // nr}])
+
+
+def burstiness_log_hist(ds, key_col: str, day_col: str,
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """Per-key INTERARRIVAL-BURSTINESS census over a day timeline —
+    "do a part's shipments (a user's visits, a doc's republications)
+    arrive evenly or in bursts?" binned into a log2 histogram: per
+    key, over its DISTINCT active days ascending, gaps ``g_i``, the
+    scale-free integer band ``band = 1000*n_g*Σg² // (Σg)²`` (≥ 1000
+    by Cauchy–Schwarz; 1000 = perfectly even, larger = burstier),
+    bucketed at ``bin = floor(log2(band // 1000))``.  Keys with < 2
+    distinct days are excluded (no gap exists).
+
+    Scale shape: batches pre-dedupe (key, day) map-side, ONE
+    key-keyed exchange folds each key's day set exactly once and
+    emits per-BIN count partials — histogram-sized, never key-sized.
+    The bit-length uses exact float64 exponent extraction
+    (``np.frexp``; k < 2^53 — day counts are calendar-bounded).
+    Returns ``(bin, n_keys)`` sorted by bin.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b[key_col]), pc.is_valid(b[day_col]))
+        b = b.filter(m)
+        k = pc.cast(b[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = pc.cast(b[day_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        keep = np.ones(len(k), dtype=bool)
+        keep[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        k, d = k[keep], d[keep]
+        return pa.table({"k": pa.array(k), "d": pa.array(d),
+                         "__b": pa.array(k % num_buckets)})
+
+    def fold(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        keep = np.ones(len(k), dtype=bool)       # re-dedupe partials
+        keep[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        k, d = k[keep], d[keep]
+        st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+            if len(k) else np.empty(0, np.int64)
+        n = np.diff(np.append(st, len(k)))
+        # within-key gaps: adjacent diffs with each key's first row
+        # (and the sentinel) zeroed, summed per key via reduceat
+        gg = np.diff(np.concatenate(([d[0] if len(d) else 0], d)))
+        gg[st] = 0
+        sum_g = np.add.reduceat(gg, st) if len(st) else \
+            np.empty(0, np.int64)
+        sum_g2 = np.add.reduceat(gg * gg, st) if len(st) else \
+            np.empty(0, np.int64)
+        n_g = n - 1
+        ok = n_g >= 1                            # >= 2 distinct days
+        band = np.zeros(ok.sum(), np.int64)
+        if ok.any():
+            band = (1000 * n_g[ok] * sum_g2[ok]) // \
+                (sum_g[ok] * sum_g[ok])
+        kk = band // 1000                        # >= 1
+        bins = (np.frexp(kk.astype(np.float64))[1] - 1).astype(
+            np.int64)
+        ub, cnt = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(ub.astype(np.int64)),
+                         "n_keys": pa.array(cnt.astype(np.int64))})
+
+    out = grouped_exchange(ds.map_batches(tag, batch_format="pyarrow"),
+                           "__b", num_buckets, fold)
+    if out is None or out.num_rows == 0:
+        return pd.DataFrame({"bin": pd.Series(dtype="int64"),
+                             "n_keys": pd.Series(dtype="int64")})
+    df = (out.to_pandas().groupby("bin", as_index=False)
+          ["n_keys"].sum())
+    return (df.sort_values("bin").reset_index(drop=True)
+            .astype("int64"))

@@ -1596,3 +1596,106 @@ def token_rarity_histogram(ds, vocab_size: int = 1000,
     return (out.sort_values(["source", "rarity_band"])
             .reset_index(drop=True)
             .astype({"rarity_band": "int64", "n_docs": "int64"}))
+
+
+def source_token_simpson(seqs_ds, group_col: str = "source",
+                         token_col: str = "tokens",
+                         num_buckets: int = 32):
+    """Per-slice VOCABULARY-CONCENTRATION census — "is a source's
+    token mass spread across its vocabulary or collapsed onto a few
+    tokens?" (the repetition/diversity audit behind mixture design):
+    per slice, exact integers ``n_tokens = Σc``, ``n_distinct``,
+    ``simpson_num = Σ c·(c−1)`` over per-token counts ``c``, plus
+    ``rep_pm = floor(1000·simpson_num / (n_tokens·(n_tokens−1)))``
+    (the Simpson collision index in permille — the probability two
+    random token draws collide).
+
+    Scale shape: batches pre-aggregate (token, slice) counts
+    map-side, ONE token-keyed exchange finalizes each token's
+    per-slice count exactly once, and each bucket emits per-slice
+    (Σc, Σ1, Σc(c−1)) partials — slices-sized, never vocabulary-
+    sized.  The permille division runs in Python ints on the driver
+    (n² exceeds int64 at web scale).  Null-slice rows drop.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        empty = pa.table({"t": pa.array([], type=pa.int64()),
+                          "g": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64()),
+                          "bucket": pa.array([], type=pa.uint64())})
+        if token_col not in b.column_names:
+            return empty
+        b = b.filter(pc.is_valid(b[group_col]))
+        toks = b[token_col]
+        toks = toks.combine_chunks() if isinstance(
+            toks, pa.ChunkedArray) else toks
+        flat = pc.cast(pc.list_flatten(toks), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if not len(flat):
+            return empty
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = pc.cast(b[group_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(str)[parents]
+        order = np.lexsort((g, flat))
+        ts, gs = flat[order], g[order]
+        first = np.ones(len(ts), dtype=bool)
+        first[1:] = (ts[1:] != ts[:-1]) | (gs[1:] != gs[:-1])
+        start = np.flatnonzero(first)
+        cnt = np.diff(np.append(start, len(ts))).astype(np.int64)
+        ts, gs = ts[start], gs[start]
+        import pandas as _pd
+        h = _pd.util.hash_array(ts)
+        return pa.table({
+            "t": pa.array(ts), "g": pa.array(gs, type=pa.string()),
+            "c": pa.array(cnt),
+            "bucket": pa.array(h % np.uint64(num_buckets),
+                               type=pa.uint64())})
+
+    def bucket_fold(t: pa.Table) -> pa.Table:
+        tk = t.column("t").to_numpy(zero_copy_only=False)
+        g = t.column("g").to_numpy(zero_copy_only=False).astype(str)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((g, tk))
+        tk, g, c = tk[order], g[order], c[order]
+        first = np.ones(len(tk), dtype=bool)
+        first[1:] = (tk[1:] != tk[:-1]) | (g[1:] != g[:-1])
+        st = np.flatnonzero(first)
+        cs = np.add.reduceat(c, st) if len(st) else \
+            np.empty(0, np.int64)
+        gs = g[st]
+        su = np.unique(gs)
+        idx = np.searchsorted(su, gs)
+        n_tok = np.zeros(len(su), np.int64)
+        np.add.at(n_tok, idx, cs)
+        n_dis = np.bincount(idx, minlength=len(su)).astype(np.int64)
+        simp = np.zeros(len(su), np.int64)
+        np.add.at(simp, idx, cs * (cs - 1))
+        return pa.table({"g": pa.array(su.astype(object),
+                                       type=pa.string()),
+                         "n_tokens": pa.array(n_tok),
+                         "n_distinct": pa.array(n_dis),
+                         "simpson_num": pa.array(simp)})
+
+    out = grouped_exchange(seqs_ds.map_batches(tag,
+                                               batch_format="pyarrow"),
+                           "bucket", num_buckets, bucket_fold)
+    cols = [group_col, "n_tokens", "n_distinct", "simpson_num",
+            "rep_pm"]
+    if out is None or out.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(
+            dtype="string" if c == group_col else "int64")
+            for c in cols})
+    df = (out.to_pandas().groupby("g", as_index=False)
+          [["n_tokens", "n_distinct", "simpson_num"]].sum())
+    df["rep_pm"] = [
+        1000 * int(s) // (int(n) * (int(n) - 1)) if n > 1 else 0
+        for s, n in zip(df.simpson_num, df.n_tokens)]
+    df = df.rename(columns={"g": group_col})
+    return (df.sort_values(group_col).reset_index(drop=True)
+            .astype({"n_tokens": "int64", "n_distinct": "int64",
+                     "simpson_num": "int64", "rep_pm": "int64"}))
