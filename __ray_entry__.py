@@ -8028,8 +8028,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values("c_nationkey")
                 .reset_index(drop=True).astype("int64"))
 
+    def norm_hist_q(sf):
+        # dead/exploded-vector audit: exact integer squared-norm
+        # histogram, log2 bins, zero shuffle
+        from verify_ray.pipelines.similarity import norm_log_hist
+
+        return norm_log_hist(
+            _read(sf, "embeddings", columns=["embedding"]))
+
+    def dow_chi2_q(sf):
+        # weekly-seasonality strength per event type: integer
+        # chi-square numerator vs the uniform dow expectation
+        # (zero cells INCLUDED: a missing weekday contributes n^2)
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["ts"]),
+                        pc.is_valid(b["event_type"]))
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            return pa.table({"event_type": b["event_type"],
+                             "dow": pa.array((day + 4) % 7),
+                             "__one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+
+        surf = analytics.grouped_stats(
+            _read(sf, "events", columns=["ts", "event_type"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["event_type", "dow"], {"__one": ["sum"]})
+        cols = ["event_type", "n", "chi2_num"]
+        if not len(surf):
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype="string"),
+                "n": pd.Series(dtype="int64"),
+                "chi2_num": pd.Series(dtype="int64")})
+        piv = (surf.pivot_table(index="event_type", columns="dow",
+                                values="__one_sum", fill_value=0,
+                                aggfunc="sum")
+               .reindex(columns=range(7), fill_value=0))
+        c = piv.to_numpy(np.int64)
+        n = c.sum(axis=1)
+        chi2 = ((7 * c - n[:, None]) ** 2).sum(axis=1)
+        out = pd.DataFrame({"event_type": piv.index.to_numpy(),
+                            "n": n, "chi2_num": chi2})
+        return (out.sort_values("event_type")
+                .reset_index(drop=True)
+                .astype({"n": "int64", "chi2_num": "int64"}))
+
+    def part_tokens_q(sf):
+        # catalog-vocabulary census: top-10 part-name tokens by
+        # count (tie -> token asc); word-count partials map-side,
+        # vocab-sized driver merge (part-name vocab is bounded)
+        def part(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["p_name"]))
+            toks = pc.list_flatten(
+                pc.split_pattern(pc.cast(b["p_name"], pa.string()),
+                                 " "))
+            t = toks.to_numpy(zero_copy_only=False).astype(str)
+            ut, cnt = np.unique(t, return_counts=True)
+            return pa.table({
+                "tok": pa.array(ut.astype(object),
+                                type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64))})
+
+        df = (_read(sf, "part", columns=["p_name"])
+              .map_batches(part, batch_format="pyarrow")
+              .to_pandas())
+        cols = ["tok", "n", "rn"]
+        if not len(df):
+            return pd.DataFrame({
+                "tok": pd.Series(dtype="string"),
+                "n": pd.Series(dtype="int64"),
+                "rn": pd.Series(dtype="int64")})
+        df = df.groupby("tok", as_index=False)["n"].sum()
+        df = df.sort_values(["n", "tok"],
+                            ascending=[False, True]).head(10)
+        df["rn"] = np.arange(1, len(df) + 1)
+        return (df.reset_index(drop=True)
+                .astype({"n": "int64", "rn": "int64"}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "embeddings_norm_hist": norm_hist_q,
+        "events_dow_chi2": dow_chi2_q,
+        "part_name_top_tokens": part_tokens_q,
         "part_ship_burstiness_hist": burstiness_q,
         "source_token_simpson": token_simpson_q,
         "customer_acctbal_health": acctbal_health_q,
@@ -9778,6 +9860,50 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "embeddings_norm_hist": """
+-- squared-norm census: s2 = sum(floor(1000x)^2) per vector,
+-- log2 bins of s2 // 1e6 + 1 (unit vectors -> bin 0)
+WITH q AS (
+  SELECT vec_id,
+         CAST(floor(1000.0 * CAST(unnest(embedding) AS DOUBLE))
+              AS BIGINT) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL),
+s AS (SELECT vec_id, SUM(qv * qv) AS s2 FROM q GROUP BY 1)
+SELECT CAST(LENGTH(bin(s2 // 1000000 + 1)) - 1 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM s GROUP BY 1 ORDER BY 1
+""",
+        "events_dow_chi2": """
+-- weekly-seasonality strength per type: chi2 numerator
+-- sum((7*c_d - n)^2) over ALL 7 weekday cells (zero-filled)
+WITH e AS (
+  SELECT event_type AS et,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+c AS (SELECT et, dow, COUNT(*) AS c FROM e GROUP BY 1, 2),
+t AS (SELECT et, SUM(c) AS n FROM c GROUP BY 1),
+spine AS (SELECT t.et, d.range AS dow, t.n FROM t
+          CROSS JOIN range(7) d),
+f AS (SELECT spine.et, spine.n, COALESCE(c.c, 0) AS c
+      FROM spine LEFT JOIN c ON c.et = spine.et
+                            AND c.dow = spine.dow)
+SELECT et AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM((7 * c - n) * (7 * c - n)) AS BIGINT) AS chi2_num
+FROM f GROUP BY 1 ORDER BY 1
+""",
+        "part_name_top_tokens": """
+-- catalog-vocabulary census: top-10 part-name tokens by count,
+-- tie -> token asc
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(p_name, ' ')) AS tok
+  FROM part WHERE p_name IS NOT NULL),
+c AS (SELECT tok, COUNT(*) AS n FROM w GROUP BY 1),
+r AS (SELECT tok, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rn
+      FROM c)
+SELECT tok, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 10 ORDER BY rn
+""",
         "part_ship_burstiness_hist": """
 -- per-part interarrival burstiness over DISTINCT ship days:
 -- band = 1000*n_g*sum(g^2) // sum(g)^2 (>= 1000 by Cauchy-Schwarz),

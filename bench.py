@@ -281,7 +281,9 @@ def bench_queries() -> dict[str, float]:
              "docs_quality_decile_dup_rate", "nation_ltv_quantiles",
              "nation_top3_months",
              "part_ship_burstiness_hist", "source_token_simpson",
-             "customer_acctbal_health"]
+             "customer_acctbal_health",
+             "embeddings_norm_hist", "events_dow_chi2",
+             "part_name_top_tokens"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -291,3 +291,68 @@ def test_oracle_acctbal_health(ray_session):
                         tables=("customer",))
     assert (out.n_neg <= out.n).all()
     assert (out.min_cents <= out.max_cents).all()
+
+
+def test_oracle_norm_hist(ray_session):
+    out = _oracle_check("embeddings_norm_hist",
+                        tables=("embeddings",))
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL").fetchone()[0]
+    assert out.n_vecs.sum() == n
+
+
+def test_norm_hist_hand_vectors(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.similarity import norm_log_hist
+
+    # unit-ish vec [1.0, 0.0]: q=(1000,0), s2=1e6 -> k=2, bin 1
+    # zero vec: s2=0 -> k=1, bin 0
+    # big vec [3.0, 0.0]: s2=9e6 -> k=10, bin 3
+    ds = rd.from_arrow(pa.table({
+        "embedding": pa.array([[1.0, 0.0], [0.0, 0.0], [3.0, 0.0]],
+                              type=pa.list_(pa.float32())),
+    })).materialize()
+    out = norm_log_hist(ds).set_index("bin")
+    assert out.loc[0].n_vecs == 1
+    assert out.loc[1].n_vecs == 1
+    assert out.loc[3].n_vecs == 1
+
+
+def test_oracle_dow_chi2(ray_session):
+    out = _oracle_check("events_dow_chi2", tables=("events",))
+    # chi2_num is 0 iff counts are perfectly uniform (n % 7 == 0)
+    assert (out.chi2_num >= 0).all()
+    assert (out.n > 0).all()
+
+
+def test_dow_chi2_zero_cells_counted(ray_session):
+    # a type concentrated on ONE weekday must score the maximal
+    # chi2_num 6*n^2 + (7n-n)^2 = 42n^2... verify the exact formula:
+    # cells: one day has c=n -> (7n-n)^2 = 36n^2; six days c=0 ->
+    # 6*n^2; total 42n^2
+    import __ray_entry__ as e
+    import duckdb as dk
+    import ray.data as rd
+
+    con = dk.connect()
+    con.execute("CREATE TABLE events (event_type VARCHAR, "
+                "ts TIMESTAMP, event_id BIGINT, user_id BIGINT, "
+                "value DOUBLE, props VARCHAR)")
+    # 3 events, all on day 19723 ((19723+4)%7 = same dow)
+    con.execute("INSERT INTO events VALUES "
+                "('x', epoch_ms(CAST(19723 AS BIGINT)*86400000), 1, 1, 0.0, ''),"
+                "('x', epoch_ms(CAST(19723 AS BIGINT)*86400000), 2, 1, 0.0, ''),"
+                "('x', epoch_ms(CAST(19723 AS BIGINT)*86400000), 3, 1, 0.0, '')")
+    orc = con.execute(e.oracle_sql()["events_dow_chi2"]).df()
+    assert orc.iloc[0].chi2_num == 42 * 9
+
+
+def test_oracle_part_tokens(ray_session):
+    out = _oracle_check("part_name_top_tokens", tables=("part",))
+    assert len(out) <= 10
+    # ranks are contiguous from 1 and counts non-increasing
+    assert list(out.rn) == list(range(1, len(out) + 1))
+    assert (np.diff(out.n.to_numpy()) <= 0).all()

@@ -1488,3 +1488,43 @@ def centroid_margin_stats(ds, emb_col: str = "embedding",
                 min_margin=("min_margin", "min")))
     return (out.sort_values("label").reset_index(drop=True)
             .astype("int64"))
+
+
+def norm_log_hist(ds, emb_col: str = "embedding") -> pd.DataFrame:
+    """Embedding NORM census — the dead/exploded-vector audit run
+    before trusting cosine math downstream: per vector, the exact
+    integer squared norm ``s2 = Σ q_d²`` of quantized coordinates
+    ``q = floor(1000·x)`` (unit vectors land near 10⁶), log2-binned
+    at ``bin = floor(log2(s2 // 10⁶ + 1))`` so bin 0 holds healthy
+    unit-ish vectors and higher bins the exploded tail.  Null
+    embeddings drop.
+
+    Scale shape: pure streaming map — each batch emits per-bin count
+    partials (histogram-sized), no shuffle.  The bit length uses
+    exact float64 exponent extraction (``np.frexp``).
+    Returns ``(bin, n_vecs)`` sorted by bin.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[emb_col]))
+        if b.num_rows == 0:
+            e = np.empty(0, np.int64)
+            return pa.table({"bin": pa.array(e), "n_vecs": pa.array(e)})
+        q = np.floor(1000.0 * _emb_matrix(b, emb_col)).astype(np.int64)
+        s2 = (q * q).sum(axis=1)
+        k = s2 // 1_000_000 + 1
+        bins = (np.frexp(k.astype(np.float64))[1] - 1).astype(np.int64)
+        ub, cnt = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(ub.astype(np.int64)),
+                         "n_vecs": pa.array(cnt.astype(np.int64))})
+
+    out = (ds.select_columns([emb_col])
+           .map_batches(part, batch_format="pyarrow").to_pandas())
+    if not len(out):
+        return pd.DataFrame({"bin": pd.Series(dtype="int64"),
+                             "n_vecs": pd.Series(dtype="int64")})
+    out = out.groupby("bin", as_index=False)["n_vecs"].sum()
+    return (out.sort_values("bin").reset_index(drop=True)
+            .astype("int64"))
