@@ -8107,8 +8107,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.reset_index(drop=True)
                 .astype({"n": "int64", "rn": "int64"}))
 
+    def domain_holes_q(sf):
+        # domain-continuity audit: per event type, the largest hole
+        # between consecutive distinct value cents (clamping / unit
+        # mix-up detector)
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["event_type"]),
+                        pc.is_valid(b["value"]))
+            b = b.filter(m)
+            cents = np.rint(100.0 * b["value"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({"event_type": b["event_type"],
+                             "cents": pa.array(cents)})
+
+        return analytics.domain_hole_audit(
+            _read(sf, "events", columns=["event_type", "value"])
+            .map_batches(prep, batch_format="pyarrow"),
+            "event_type", "cents")
+
+    def saturation_q(sf):
+        # clipping/saturation census over lineitem numerics (rows
+        # with any null among the four columns excluded: row-complete
+        # scope, so all four columns share one population)
+        from verify_ray.pipelines.profile import saturation_audit
+
+        def prep(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("l_quantity", "l_discount", "l_tax",
+                      "l_extendedprice"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+
+            def cents(col, scale):
+                return pa.array(np.rint(
+                    scale * b[col].to_numpy(zero_copy_only=False))
+                    .astype(np.int64))
+
+            return pa.table({"qty": cents("l_quantity", 1.0),
+                             "disc_pct": cents("l_discount", 100.0),
+                             "tax_pct": cents("l_tax", 100.0),
+                             "cents": cents("l_extendedprice",
+                                            100.0)})
+
+        return saturation_audit(
+            _read(sf, "lineitem",
+                  columns=["l_quantity", "l_discount", "l_tax",
+                           "l_extendedprice"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["qty", "disc_pct", "tax_pct", "cents"])
+
+    def ks_census_q(sf):
+        # per-source exact KS-vs-global census over doc lengths
+        # (which slices deviate most from the corpus distribution)
+        return analytics.ks_census_vs_global(
+            _read(sf, "documents", columns=["source", "n_chars"]),
+            "source", "n_chars")
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_value_domain_holes": domain_holes_q,
+        "lineitem_saturation_audit": saturation_q,
+        "source_length_ks_census": ks_census_q,
         "embeddings_norm_hist": norm_hist_q,
         "events_dow_chi2": dow_chi2_q,
         "part_name_top_tokens": part_tokens_q,
@@ -9860,6 +9920,93 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "events_value_domain_holes": """
+-- domain-continuity audit: per type, largest gap between
+-- consecutive DISTINCT value cents (tie -> smallest left value)
+WITH d AS (
+  SELECT DISTINCT event_type AS et,
+         CAST(round(100 * value) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+g AS (SELECT et, v,
+             LEAD(v) OVER (PARTITION BY et ORDER BY v) - v AS gap
+      FROM d),
+agg AS (SELECT et, COUNT(*) AS n_distinct, MIN(v) AS lo,
+               MAX(v) AS hi
+        FROM d GROUP BY 1),
+mg AS (SELECT et, MAX(gap) AS max_gap FROM g
+       WHERE gap IS NOT NULL GROUP BY 1),
+pick AS (SELECT g.et, MIN(v) AS gap_left
+         FROM g JOIN mg ON g.et = mg.et AND g.gap = mg.max_gap
+         GROUP BY 1)
+SELECT a.et AS event_type,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+       CAST(COALESCE(mg.max_gap, 0) AS BIGINT) AS max_gap,
+       CAST(COALESCE(pick.gap_left, a.lo) AS BIGINT) AS gap_left
+FROM agg a LEFT JOIN mg ON mg.et = a.et
+LEFT JOIN pick ON pick.et = a.et ORDER BY 1
+""",
+        "lineitem_saturation_audit": """
+-- clipping census over lineitem numerics (row-complete scope)
+WITH li AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(100 * l_discount) AS BIGINT) AS disc_pct,
+         CAST(round(100 * l_tax) AS BIGINT) AS tax_pct,
+         CAST(round(100 * l_extendedprice) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_tax IS NOT NULL AND l_extendedprice IS NOT NULL),
+u AS (
+  SELECT 'cents' AS col, cents AS v FROM li
+  UNION ALL SELECT 'disc_pct', disc_pct FROM li
+  UNION ALL SELECT 'qty', qty FROM li
+  UNION ALL SELECT 'tax_pct', tax_pct FROM li),
+b AS (SELECT col, MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n
+      FROM u GROUP BY 1)
+SELECT u.col, CAST(b.n AS BIGINT) AS n,
+       CAST(b.mn AS BIGINT) AS min_v, CAST(b.mx AS BIGINT) AS max_v,
+       CAST(SUM(CASE WHEN u.v = b.mn THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_at_min,
+       CAST(SUM(CASE WHEN u.v = b.mx THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_at_max,
+       CAST(1000 * SUM(CASE WHEN u.v = b.mn THEN 1 ELSE 0 END)
+            // b.n AS BIGINT) AS at_min_pm
+FROM u JOIN b USING (col)
+GROUP BY u.col, b.n, b.mn, b.mx ORDER BY u.col
+""",
+        "source_length_ks_census": """
+-- per-source exact KS vs the GLOBAL length distribution:
+-- ks_num = max_x |N*C_s(x) - n_s*C(x)|, at the smallest such x
+WITH d AS (
+  SELECT source AS g, n_chars AS v FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+c AS (SELECT g, v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+xs AS (SELECT DISTINCT v FROM d),
+tot AS (SELECT g, COUNT(*) AS ng FROM d GROUP BY 1),
+bign AS (SELECT COUNT(*) AS nn FROM d),
+gc AS (SELECT v, SUM(COUNT(*)) OVER (ORDER BY v) AS cg
+       FROM d GROUP BY v),
+spine AS (SELECT t.g, x.v, t.ng FROM tot t CROSS JOIN xs x),
+cum AS (SELECT spine.g, spine.v, spine.ng,
+               SUM(COALESCE(c.c, 0)) OVER (PARTITION BY spine.g
+                                           ORDER BY spine.v) AS cs
+        FROM spine LEFT JOIN c ON c.g = spine.g AND c.v = spine.v),
+sc AS (SELECT cum.g, cum.v, cum.ng, nn,
+              ABS(nn * cs - ng * gc.cg) AS diff
+       FROM cum JOIN gc ON gc.v = cum.v CROSS JOIN bign),
+mx AS (SELECT g, MAX(diff) AS ks FROM sc GROUP BY 1),
+pick AS (SELECT sc.g, MIN(v) AS at_value
+         FROM sc JOIN mx ON sc.g = mx.g AND sc.diff = mx.ks
+         GROUP BY 1)
+SELECT t.g AS source, CAST(t.ng AS BIGINT) AS n,
+       CAST(mx.ks AS BIGINT) AS ks_num,
+       CAST(pick.at_value AS BIGINT) AS at_value,
+       CAST(1000 * mx.ks // (t.ng * (SELECT nn FROM bign))
+            AS BIGINT) AS ks_pm
+FROM tot t JOIN mx ON mx.g = t.g JOIN pick ON pick.g = t.g
+ORDER BY 1
+""",
         "embeddings_norm_hist": """
 -- squared-norm census: s2 = sum(floor(1000x)^2) per vector,
 -- log2 bins of s2 // 1e6 + 1 (unit vectors -> bin 0)

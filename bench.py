@@ -283,7 +283,9 @@ def bench_queries() -> dict[str, float]:
              "part_ship_burstiness_hist", "source_token_simpson",
              "customer_acctbal_health",
              "embeddings_norm_hist", "events_dow_chi2",
-             "part_name_top_tokens"]
+             "part_name_top_tokens",
+             "events_value_domain_holes", "lineitem_saturation_audit",
+             "source_length_ks_census"]
     out = {}
     for name in names:
         t0 = time.time()

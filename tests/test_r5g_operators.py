@@ -356,3 +356,78 @@ def test_oracle_part_tokens(ray_session):
     # ranks are contiguous from 1 and counts non-increasing
     assert list(out.rn) == list(range(1, len(out) + 1))
     assert (np.diff(out.n.to_numpy()) <= 0).all()
+
+
+def test_oracle_domain_holes(ray_session):
+    out = _oracle_check("events_value_domain_holes",
+                        tables=("events",))
+    assert (out.max_gap >= 0).all()
+    assert (out.lo <= out.gap_left).all()
+    assert (out.gap_left <= out.hi).all()
+
+
+def test_domain_hole_hand_values(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import domain_hole_audit
+
+    # group x: distinct {1, 2, 10, 11} -> max gap 8 at left=2
+    # group y: single value -> max_gap 0
+    # two equal max gaps: z {0, 5, 10} -> gap 5 twice, left=0 wins
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["x"] * 5 + ["y"] + ["z"] * 3),
+        "v": pa.array([1, 2, 10, 11, 2, 7, 0, 5, 10],
+                      type=pa.int64())})).materialize()
+    out = domain_hole_audit(ds, "g", "v").set_index("g")
+    x = out.loc["x"]
+    assert (x.n_distinct, x.max_gap, x.gap_left) == (4, 8, 2)
+    y = out.loc["y"]
+    assert (y.n_distinct, y.max_gap, y.gap_left) == (1, 0, 7)
+    z = out.loc["z"]
+    assert (z.max_gap, z.gap_left) == (5, 0)
+
+
+def test_oracle_saturation(ray_session):
+    out = _oracle_check("lineitem_saturation_audit",
+                        tables=("lineitem",))
+    assert set(out.col) == {"cents", "disc_pct", "qty", "tax_pct"}
+    assert (out.n_at_min >= 1).all() and (out.n_at_max >= 1).all()
+
+
+def test_saturation_split_batches(ray_session):
+    # global min lives in one batch, max in another; counts must
+    # come only from the batches holding the global bound
+    import ray.data as rd
+
+    from verify_ray.pipelines.profile import saturation_audit
+
+    t1 = pa.table({"a": pa.array([5, 5, 9], type=pa.int64())})
+    t2 = pa.table({"a": pa.array([7, 9, 9, None], type=pa.int64())})
+    ds = rd.from_arrow([t1, t2]).materialize()
+    r = saturation_audit(ds, ["a"]).iloc[0]
+    assert (r.n, r.min_v, r.max_v, r.n_at_min, r.n_at_max) == \
+        (6, 5, 9, 2, 3)
+
+
+def test_oracle_ks_census(ray_session):
+    out = _oracle_check("source_length_ks_census",
+                        tables=("documents",))
+    assert (out.ks_pm <= 1000).all() and (out.ks_num >= 0).all()
+
+
+def test_ks_census_agrees_with_pair_surface(ray_session):
+    # one-group-vs-global with TWO groups relates to the pair KS:
+    # |N*Ca - na*C| = |(na+nb)*Ca - na*(Ca+Cb)| = |nb*Ca - na*Cb|
+    # so ks_num (vs global) == d_x (pair) for both groups
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import (ks_census_vs_global,
+                                                ks_surface)
+
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["a"] * 5 + ["b"] * 7),
+        "v": pa.array([1, 2, 2, 3, 9, 1, 1, 4, 5, 5, 6, 9],
+                      type=pa.int64())})).materialize()
+    census = ks_census_vs_global(ds, "g", "v")
+    pair = ks_surface(ds, "g", "v", "a", "b").iloc[0]
+    assert set(census.ks_num) == {int(pair.d_x)}

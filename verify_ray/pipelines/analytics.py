@@ -4786,3 +4786,150 @@ def burstiness_log_hist(ds, key_col: str, day_col: str,
           ["n_keys"].sum())
     return (df.sort_values("bin").reset_index(drop=True)
             .astype("int64"))
+
+
+def ks_census_vs_global(ds, group_col: str, value_col: str
+                        ) -> pd.DataFrame:
+    """Per-slice EXACT Kolmogorov–Smirnov census against the GLOBAL
+    distribution — "which sources' length (value) distribution
+    deviates most from the corpus?" (:func:`ks_surface` compares one
+    chosen pair; this audits every slice at once): per slice ``g``,
+    ``ks_num = max_x |N·C_g(x) − n_g·C(x)|`` over the union of
+    observed values (cross-multiplied integers; the true D is
+    ``ks_num/(n_g·N)``, reported as ``ks_pm`` via Python-int division
+    — n_g·N exceeds int64 at web scale), and ``at_value``, the
+    smallest value attaining the max.  Null group/value rows drop.
+
+    Scale shape: per-batch partial counts collapse to (group, value)
+    pairs through the cardinality-guarded ``grouped_stats`` merge;
+    the driver fold is a (slices × distinct values) surface — the
+    same discrete/bounded-value contract as ``ks_surface``.
+    Returns ``(group_col, n, ks_num, at_value, ks_pm)``.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b[group_col]),
+                    pc.is_valid(b[value_col]))
+        b2 = pa.table({"g": pc.cast(b[group_col], pa.string()),
+                       "v": b[value_col]}).filter(m)
+        return b2.append_column(
+            "__one", pa.array(np.ones(b2.num_rows, np.int64)))
+
+    counts = grouped_stats(
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["g", "v"], {"__one": ["sum"]}).rename(
+            columns={"__one_sum": "c"})
+    cols = [group_col, "n", "ks_num", "at_value", "ks_pm"]
+    if counts.empty:
+        return pd.DataFrame({c: pd.Series(
+            dtype="string" if c == group_col else "int64")
+            for c in cols})
+    piv = (counts.pivot_table(index="v", columns="g", values="c",
+                              fill_value=0, aggfunc="sum")
+           .sort_index())
+    mat = piv.to_numpy(np.int64).cumsum(axis=0)  # per-slice cum
+    glob = mat.sum(axis=1)                       # global cum
+    n_g = mat[-1, :]
+    big_n = int(glob[-1])
+    rows = []
+    vals = piv.index.to_numpy()
+    for j, g in enumerate(piv.columns):
+        diff = np.abs(big_n * mat[:, j] - int(n_g[j]) * glob)
+        i = int(np.argmax(diff))                 # first max
+        ks = int(diff[i])
+        rows.append((g, int(n_g[j]), ks, int(vals[i]),
+                     1000 * ks // (int(n_g[j]) * big_n)
+                     if n_g[j] else 0))
+    out = pd.DataFrame(rows, columns=cols)
+    return (out.sort_values(group_col).reset_index(drop=True)
+            .astype({"n": "int64", "ks_num": "int64",
+                     "at_value": "int64", "ks_pm": "int64"}))
+
+
+def domain_hole_audit(ds, group_col: str, val_col: str,
+                      num_buckets: int = 32) -> pd.DataFrame:
+    """Per-group DOMAIN-CONTINUITY audit over an integer value
+    column — "does this type's value domain have a hole?" (clamping,
+    unit mix-ups, and dropped subranges show up as an abnormally
+    large gap between consecutive DISTINCT values): per group, the
+    sorted distinct values' largest adjacent gap and its left
+    endpoint (tie -> smallest left value), plus the domain bounds.
+    Groups with one distinct value report ``max_gap = 0``.
+
+    Scale shape: batches pre-dedupe (group, value) map-side, ONE
+    group-keyed exchange folds each group's distinct-value set
+    exactly once — bounded by the value DOMAIN, not the row count
+    (the discrete/bounded-value contract shared with the KS ops).
+    Returns ``(group_col, n_distinct, lo, hi, max_gap, gap_left)``.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b[group_col]),
+                    pc.is_valid(b[val_col]))
+        b = b.filter(m)
+        g = pc.cast(b[group_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        v = pc.cast(b[val_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((v, g.astype(str)))
+        g, v = g[order], v[order]
+        keep = np.ones(len(v), dtype=bool)
+        gs = g.astype(str)
+        keep[1:] = (gs[1:] != gs[:-1]) | (v[1:] != v[:-1])
+        g, v = g[keep], v[keep]
+        h = md5_u64le(pa.array(g.astype(str).astype(object),
+                               type=pa.string()))
+        return pa.table({"g": pa.array(g, type=pa.string()),
+                         "v": pa.array(v),
+                         "__b": pa.array(
+                             (h % np.uint64(num_buckets))
+                             .astype(np.int64))})
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False).astype(str)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, g))
+        g, v = g[order], v[order]
+        keep = np.ones(len(v), dtype=bool)       # re-dedupe partials
+        keep[1:] = (g[1:] != g[:-1]) | (v[1:] != v[:-1])
+        g, v = g[keep], v[keep]
+        st = np.flatnonzero(np.r_[True, g[1:] != g[:-1]]) \
+            if len(g) else np.empty(0, np.int64)
+        n = np.diff(np.append(st, len(g)))
+        gaps = np.diff(v).astype(np.int64)
+        gaps[st[1:] - 1] = -1 if len(st) > 1 else gaps[:0]
+        rows = []
+        for s, c in zip(st, n):
+            seg = gaps[s:s + c - 1]
+            if len(seg):
+                i = int(np.argmax(seg))          # first max: min left
+                rows.append((g[s], int(c), int(v[s]),
+                             int(v[s + c - 1]), int(seg[i]),
+                             int(v[s + i])))
+            else:
+                rows.append((g[s], 1, int(v[s]), int(v[s]), 0,
+                             int(v[s])))
+        return pa.table({
+            "g": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_distinct": pa.array([r[1] for r in rows],
+                                   type=pa.int64()),
+            "lo": pa.array([r[2] for r in rows], type=pa.int64()),
+            "hi": pa.array([r[3] for r in rows], type=pa.int64()),
+            "max_gap": pa.array([r[4] for r in rows],
+                                type=pa.int64()),
+            "gap_left": pa.array([r[5] for r in rows],
+                                 type=pa.int64())})
+
+    out = grouped_exchange(ds.map_batches(tag, batch_format="pyarrow"),
+                           "__b", num_buckets, fold)
+    cols = [group_col, "n_distinct", "lo", "hi", "max_gap",
+            "gap_left"]
+    if out is None or out.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(
+            dtype="string" if c == group_col else "int64")
+            for c in cols})
+    df = out.to_pandas().rename(columns={"g": group_col})
+    return (df.sort_values(group_col).reset_index(drop=True)
+            .astype({c: "int64" for c in cols[1:]}))

@@ -159,3 +159,68 @@ def infer_spec(ds, key: str, enum_max: int = 16,
             c.enum = sorted(distinct_sets.get(r["column"], ()))
         cols.append(c)
     return ConstraintSpec(key=key, columns=cols, table=table)
+
+
+def saturation_audit(ds, cols: list[str]) -> pd.DataFrame:
+    """SATURATION / CLIPPING census — "is this column's mass piling
+    up against its observed bounds?" (sensor clipping, value caps,
+    quantizer saturation and truncated exports all present as
+    abnormally many rows AT the min or max): per numeric column, the
+    exact global ``min_v / max_v`` plus ``n_at_min / n_at_max`` row
+    counts, all integers.  Nulls are excluded per column
+    (nullability is ``non_null``'s business).
+
+    Scale shape: one streaming pass; each batch emits per-column
+    (batch_min, batch_max, count_at_each, n) partials — columns-
+    sized — and the driver merge recomputes the global bounds and
+    sums counts only from batches whose local bound EQUALS the
+    global one (exact because a batch's count-at-min is reusable iff
+    its min is the global min).  Returns one row per column:
+    ``(col, n, min_v, max_v, n_at_min, n_at_max, at_min_pm)``.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            v = pc.cast(as_array(b[c]), pa.int64()).to_numpy(
+                zero_copy_only=False, writable=False)
+            valid = pc.is_valid(b[c]).to_numpy(zero_copy_only=False)
+            v = v[valid]
+            if not len(v):
+                continue
+            mn, mx = int(v.min()), int(v.max())
+            rows.append((c, len(v), mn, mx,
+                         int((v == mn).sum()), int((v == mx).sum())))
+        if not rows:
+            return pa.table({
+                "col": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "mn": pa.array([], type=pa.int64()),
+                "mx": pa.array([], type=pa.int64()),
+                "cmn": pa.array([], type=pa.int64()),
+                "cmx": pa.array([], type=pa.int64())})
+        return pa.table({
+            "col": pa.array([r[0] for r in rows], type=pa.string()),
+            "n": pa.array([r[1] for r in rows], type=pa.int64()),
+            "mn": pa.array([r[2] for r in rows], type=pa.int64()),
+            "mx": pa.array([r[3] for r in rows], type=pa.int64()),
+            "cmn": pa.array([r[4] for r in rows], type=pa.int64()),
+            "cmx": pa.array([r[5] for r in rows], type=pa.int64())})
+
+    parts = (ds.select_columns(cols)
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    out_cols = ["col", "n", "min_v", "max_v", "n_at_min", "n_at_max",
+                "at_min_pm"]
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series(
+            dtype="string" if c == "col" else "int64")
+            for c in out_cols})
+    rows = []
+    for c, sub in parts.groupby("col", sort=True):
+        n = int(sub.n.sum())
+        gmn, gmx = int(sub.mn.min()), int(sub.mx.max())
+        n_mn = int(sub.cmn[sub.mn == gmn].sum())
+        n_mx = int(sub.cmx[sub.mx == gmx].sum())
+        rows.append((c, n, gmn, gmx, n_mn, n_mx,
+                     1000 * n_mn // n if n else 0))
+    return pd.DataFrame(rows, columns=out_cols)
