@@ -7634,7 +7634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "l_linestatus": b["l_linestatus"],
                              "qty": pa.array(qty)})
 
-        out = analytics.grouped_mode(
+        out = analytics.grouped_mode_multi(
             _read(sf, "lineitem",
                   columns=["l_returnflag", "l_linestatus",
                            "l_quantity"])

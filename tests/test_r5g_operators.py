@@ -42,13 +42,13 @@ def test_oracle_quantity_mode(ray_session):
 def test_grouped_mode_tie_smallest_value(ray_session):
     import ray.data as rd
 
-    from verify_ray.pipelines.analytics import grouped_mode
+    from verify_ray.pipelines.analytics import grouped_mode_multi
 
     ds = rd.from_arrow(pa.table({
         "g": pa.array(["a"] * 4 + ["b"] * 3 + [None]),
         "v": pa.array([7, 3, 7, 3, 5, None, 5, 1],
                       type=pa.int64())})).materialize()
-    out = grouped_mode(ds, ["g"], "v")
+    out = grouped_mode_multi(ds, ["g"], "v")
     # group a: 3 and 7 both count 2 -> tie resolves to 3
     a = out[out.g == "a"].iloc[0]
     assert a.mode_v == 3 and a.mode_count == 2 and a.n_rows == 4

@@ -4593,11 +4593,13 @@ def fact_count_histogram_by_dim(fact_ds, fact_key: str, dim_ds,
             .reset_index(drop=True))
 
 
-def grouped_mode(ds, keys: list[str], col: str) -> pd.DataFrame:
-    """Per-group EXACT mode of a bounded-cardinality value column
-    (deterministic tie rule: highest count, then SMALLEST value) —
-    the categorical-profile primitive behind "dominant quantity /
-    status / bucket per segment" audits.
+def grouped_mode_multi(ds, keys: list[str], col: str) -> pd.DataFrame:
+    """Per-group EXACT mode of a bounded-cardinality NUMERIC value
+    column over MULTIPLE group keys (deterministic tie rule: highest
+    count, then SMALLEST value in the value's NUMERIC order) — the
+    multi-key numeric companion to :func:`grouped_mode` (single key,
+    string tie order, exchange-resident merge), adding the group
+    total ``n_rows``.
 
     Scale shape: counting rides ``grouped_stats`` (map-side combiner,
     cardinality-guarded merge), so the driver only ever sees the
