@@ -8164,8 +8164,121 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["source", "n_chars"]),
             "source", "n_chars")
 
+    def qq_deciles_q(sf):
+        # quantile-alignment surface: per source, exact quantile_disc
+        # deciles of doc length vs the GLOBAL deciles (counts pivot —
+        # bounded length domain, one grouped_stats pass)
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["source"]),
+                        pc.is_valid(b["n_chars"]))
+            b = b.filter(m)
+            return pa.table({"source": b["source"],
+                             "v": pc.cast(b["n_chars"], pa.int64()),
+                             "__one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+
+        counts = analytics.grouped_stats(
+            _read(sf, "documents", columns=["source", "n_chars"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["source", "v"], {"__one": ["sum"]})
+        cols = ["source", "dec", "q_src", "q_all", "diff"]
+        if not len(counts):
+            return pd.DataFrame({c: pd.Series(
+                dtype="string" if c == "source" else "int64")
+                for c in cols})
+        piv = (counts.pivot_table(index="v", columns="source",
+                                  values="__one_sum", fill_value=0,
+                                  aggfunc="sum").sort_index())
+        vals = piv.index.to_numpy(np.int64)
+        mat = piv.to_numpy(np.int64).cumsum(axis=0)
+        glob = mat.sum(axis=1)
+
+        def qdisc(cum, q):
+            n = int(cum[-1])
+            r = max(1, -(-q * n // 1000))        # ceil(q*n/1000)
+            return int(vals[np.searchsorted(cum, r)])
+
+        rows = []
+        for j, s in enumerate(piv.columns):
+            for d in range(1, 10):
+                qs = qdisc(mat[:, j], 100 * d)
+                qa = qdisc(glob, 100 * d)
+                rows.append((s, d, qs, qa, qs - qa))
+        out = pd.DataFrame(rows, columns=cols)
+        return (out.sort_values(["source", "dec"])
+                .reset_index(drop=True)
+                .astype({"dec": "int64", "q_src": "int64",
+                         "q_all": "int64", "diff": "int64"}))
+
+    def day_fill_q(sf):
+        # engagement-density census: per user, active-days / lifespan
+        # permille, banded histogram (one user-keyed exchange)
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["user_id"]),
+                        pc.is_valid(b["ts"]))
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            return pa.table({"k": pc.cast(b["user_id"], pa.int64()),
+                             "d": pa.array(day)})
+
+        return analytics.day_fill_hist(
+            _read(sf, "events", columns=["user_id", "ts"])
+            .map_batches(prep, batch_format="pyarrow"), "k", "d")
+
+    def rank_shift_q(sf):
+        # mix-stability audit: per source, doc-count rank in the
+        # even- vs odd-doc_id half (rank: count DESC, source ASC)
+        # and the displacement between them
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["doc_id"]),
+                        pc.is_valid(b["source"]))
+            b = b.filter(m)
+            ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({"source": b["source"],
+                             "par": pa.array(ids % 2),
+                             "__one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+
+        surf = analytics.grouped_stats(
+            _read(sf, "documents", columns=["doc_id", "source"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["source", "par"], {"__one": ["sum"]})
+        cols = ["source", "n_even", "n_odd", "rank_even",
+                "rank_odd", "shift"]
+        if not len(surf):
+            return pd.DataFrame({c: pd.Series(
+                dtype="string" if c == "source" else "int64")
+                for c in cols})
+        piv = (surf.pivot_table(index="source", columns="par",
+                                values="__one_sum", fill_value=0,
+                                aggfunc="sum")
+               .reindex(columns=[0, 1], fill_value=0))
+        out = pd.DataFrame({
+            "source": piv.index.to_numpy(),
+            "n_even": piv[0].to_numpy(np.int64),
+            "n_odd": piv[1].to_numpy(np.int64)})
+
+        def rank_of(col):
+            o = out.sort_values([col, "source"],
+                                ascending=[False, True])
+            r = pd.Series(np.arange(1, len(o) + 1, dtype=np.int64),
+                          index=o.index)
+            return r.sort_index()
+
+        out["rank_even"] = rank_of("n_even")
+        out["rank_odd"] = rank_of("n_odd")
+        out["shift"] = out.rank_even - out.rank_odd
+        return (out.sort_values("source").reset_index(drop=True)
+                .astype({c: "int64" for c in cols[1:]}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "source_qq_deciles": qq_deciles_q,
+        "users_day_fill_hist": day_fill_q,
+        "source_epoch_rank_shift": rank_shift_q,
         "events_value_domain_holes": domain_holes_q,
         "lineitem_saturation_audit": saturation_q,
         "source_length_ks_census": ks_census_q,
@@ -9920,6 +10033,70 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "source_qq_deciles": """
+-- quantile-alignment surface: per-source exact deciles of doc
+-- length vs the global deciles (rank rule: smallest v with
+-- 10*cum >= dec*n — float-free quantile_disc)
+WITH d AS (
+  SELECT source, n_chars AS v FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+decs AS (SELECT range AS dec FROM range(1, 10)),
+c AS (SELECT source, v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+cum AS (SELECT source, v,
+               SUM(c) OVER (PARTITION BY source ORDER BY v) AS cs,
+               SUM(c) OVER (PARTITION BY source) AS n
+        FROM c),
+qse AS (SELECT source, dec, MIN(v) AS q_src
+        FROM cum CROSS JOIN decs
+        WHERE 10 * cs >= dec * n GROUP BY 1, 2),
+gc AS (SELECT v, SUM(COUNT(*)) OVER (ORDER BY v) AS cs,
+              SUM(COUNT(*)) OVER () AS n
+       FROM d GROUP BY v),
+gae AS (SELECT dec, MIN(v) AS q_all
+        FROM gc CROSS JOIN decs
+        WHERE 10 * cs >= dec * n GROUP BY 1)
+SELECT qse.source, CAST(qse.dec AS BIGINT) AS dec,
+       CAST(q_src AS BIGINT) AS q_src,
+       CAST(q_all AS BIGINT) AS q_all,
+       CAST(q_src - q_all AS BIGINT) AS diff
+FROM qse JOIN gae USING (dec) ORDER BY source, dec
+""",
+        "users_day_fill_hist": """
+-- engagement-density census: per user 1000*active_days // span,
+-- banded by 100 (single-day users -> band 10)
+WITH e AS (
+  SELECT DISTINCT user_id AS u,
+         epoch_us(ts) // 86400000000 AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+s AS (SELECT u, COUNT(*) AS nd, MAX(d) - MIN(d) + 1 AS span
+      FROM e GROUP BY 1)
+SELECT CAST((1000 * nd // span) // 100 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM s GROUP BY 1 ORDER BY 1
+""",
+        "source_epoch_rank_shift": """
+-- mix-stability audit: per source, doc-count rank in the even vs
+-- odd doc_id half (rank: count DESC, source ASC)
+WITH d AS (
+  SELECT source, doc_id % 2 AS par FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+c AS (SELECT source,
+             SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS n_even,
+             SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS n_odd
+      FROM d GROUP BY 1),
+r AS (SELECT source, n_even, n_odd,
+             ROW_NUMBER() OVER (ORDER BY n_even DESC, source ASC)
+               AS rank_even,
+             ROW_NUMBER() OVER (ORDER BY n_odd DESC, source ASC)
+               AS rank_odd
+      FROM c)
+SELECT source, CAST(n_even AS BIGINT) AS n_even,
+       CAST(n_odd AS BIGINT) AS n_odd,
+       CAST(rank_even AS BIGINT) AS rank_even,
+       CAST(rank_odd AS BIGINT) AS rank_odd,
+       CAST(rank_even - rank_odd AS BIGINT) AS shift
+FROM r ORDER BY source
+""",
         "events_value_domain_holes": """
 -- domain-continuity audit: per type, largest gap between
 -- consecutive DISTINCT value cents (tie -> smallest left value)

@@ -285,7 +285,9 @@ def bench_queries() -> dict[str, float]:
              "embeddings_norm_hist", "events_dow_chi2",
              "part_name_top_tokens",
              "events_value_domain_holes", "lineitem_saturation_audit",
-             "source_length_ks_census"]
+             "source_length_ks_census",
+             "source_qq_deciles", "users_day_fill_hist",
+             "source_epoch_rank_shift"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -431,3 +431,43 @@ def test_ks_census_agrees_with_pair_surface(ray_session):
     census = ks_census_vs_global(ds, "g", "v")
     pair = ks_surface(ds, "g", "v", "a", "b").iloc[0]
     assert set(census.ks_num) == {int(pair.d_x)}
+
+
+def test_oracle_qq_deciles(ray_session):
+    out = _oracle_check("source_qq_deciles", tables=("documents",))
+    # deciles are monotone within each source and diff is exact
+    for _, g in out.groupby("source"):
+        assert (np.diff(g.q_src.to_numpy()) >= 0).all()
+        assert (g["diff"] == g.q_src - g.q_all).all()
+
+
+def test_oracle_day_fill(ray_session):
+    out = _oracle_check("users_day_fill_hist", tables=("events",))
+    assert (out.band >= 0).all() and (out.band <= 10).all()
+
+
+def test_day_fill_hand_users(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import day_fill_hist
+
+    # user 1: days 0..4 of span 5 -> fill 1000, band 10
+    # user 2: days 0 and 9 -> 2/10 -> 200, band 2
+    # user 3: single day -> 1000, band 10
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1]*5 + [2, 2, 3], type=pa.int64()),
+        "d": pa.array([0, 1, 2, 3, 4, 0, 9, 7], type=pa.int64()),
+    })).materialize()
+    out = day_fill_hist(ds, "k", "d").set_index("band")
+    assert out.loc[10].n_keys == 2
+    assert out.loc[2].n_keys == 1
+
+
+def test_oracle_rank_shift(ray_session):
+    out = _oracle_check("source_epoch_rank_shift",
+                        tables=("documents",))
+    n = len(out)
+    # each rank column is a permutation of 1..n
+    assert sorted(out.rank_even) == list(range(1, n + 1))
+    assert sorted(out.rank_odd) == list(range(1, n + 1))
+    assert out["shift"].sum() == 0  # displacements sum to zero

@@ -4935,3 +4935,67 @@ def domain_hole_audit(ds, group_col: str, val_col: str,
     df = out.to_pandas().rename(columns={"g": group_col})
     return (df.sort_values(group_col).reset_index(drop=True)
             .astype({c: "int64" for c in cols[1:]}))
+
+
+def day_fill_hist(ds, key_col: str, day_col: str,
+                  num_buckets: int = 64) -> pd.DataFrame:
+    """Per-key calendar-FILL census — "do users (parts, docs) stay
+    active across their lifetime, or appear then vanish?" the density
+    companion to :func:`burstiness_log_hist` (shape): per key, over
+    its DISTINCT active days, ``fill_pm = 1000 * n_days // span``
+    with ``span = last - first + 1`` (1000 = active every day of its
+    life), bucketed into 11 bands ``band = fill_pm // 100`` (0..10;
+    single-day keys land in band 10).
+
+    Scale shape: batches pre-dedupe (key, day) map-side, ONE
+    key-keyed exchange folds each key's day set exactly once and
+    emits per-band count partials — 11 rows per bucket, never
+    key-sized.  Returns ``(band, n_keys)`` sorted by band.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b[key_col]), pc.is_valid(b[day_col]))
+        b = b.filter(m)
+        k = pc.cast(b[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = pc.cast(b[day_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        keep = np.ones(len(k), dtype=bool)
+        keep[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        k, d = k[keep], d[keep]
+        return pa.table({"k": pa.array(k), "d": pa.array(d),
+                         "__b": pa.array(k % num_buckets)})
+
+    def fold(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        keep = np.ones(len(k), dtype=bool)       # re-dedupe partials
+        keep[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        k, d = k[keep], d[keep]
+        st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+            if len(k) else np.empty(0, np.int64)
+        n = np.diff(np.append(st, len(k)))
+        last = st + n - 1
+        span = d[last] - d[st] + 1
+        fill = 1000 * n // span
+        band = fill // 100
+        ub, cnt = np.unique(band, return_counts=True)
+        return pa.table({"band": pa.array(ub.astype(np.int64)),
+                         "n_keys": pa.array(cnt.astype(np.int64))})
+
+    out = grouped_exchange(ds.map_batches(tag, batch_format="pyarrow"),
+                           "__b", num_buckets, fold)
+    if out is None or out.num_rows == 0:
+        return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                             "n_keys": pd.Series(dtype="int64")})
+    df = (out.to_pandas().groupby("band", as_index=False)
+          ["n_keys"].sum())
+    return (df.sort_values("band").reset_index(drop=True)
+            .astype("int64"))
