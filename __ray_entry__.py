@@ -8274,8 +8274,111 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values("source").reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def rank_footrule_q(sf):
+        # rank-churn time series: per day, Spearman footrule between
+        # today's and tomorrow's event-type count ranking (rank:
+        # count DESC, type ASC; types absent on a day rank after
+        # present ones by type ASC) — day x type surface
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["ts"]),
+                        pc.is_valid(b["event_type"]))
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            return pa.table({"event_type": b["event_type"],
+                             "day": pa.array(day),
+                             "__one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+
+        surf = analytics.grouped_stats(
+            _read(sf, "events", columns=["ts", "event_type"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["event_type", "day"], {"__one": ["sum"]})
+        cols = ["day", "footrule"]
+        if not len(surf):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        piv = (surf.pivot_table(index="day", columns="event_type",
+                                values="__one_sum", fill_value=0,
+                                aggfunc="sum").sort_index())
+        types = np.array(sorted(piv.columns))
+        piv = piv[types]
+        c = piv.to_numpy(np.int64)
+
+        def ranks(row):
+            # count DESC, type ASC -> rank 1..k
+            order = np.lexsort((types, -row))
+            r = np.empty(len(row), np.int64)
+            r[order] = np.arange(1, len(row) + 1)
+            return r
+
+        days = piv.index.to_numpy(np.int64)
+        rows = []
+        rprev = ranks(c[0])
+        for i in range(1, len(days)):
+            rcur = ranks(c[i])
+            if days[i] == days[i - 1] + 1:
+                rows.append((int(days[i - 1]),
+                             int(np.abs(rprev - rcur).sum())))
+            rprev = rcur
+        return pd.DataFrame(rows, columns=cols).astype("int64")
+
+    def octant_q(sf):
+        # embedding-space coverage: sign-pattern cell of the first 8
+        # dims (256 cells) occupancy census — zero shuffle
+        from verify_ray.pipelines.similarity import _emb_matrix
+
+        def part(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["embedding"]))
+            e = np.empty(0, np.int64)
+            if b.num_rows == 0:
+                return pa.table({"cell": pa.array(e),
+                                 "n_vecs": pa.array(e)})
+            q = np.floor(1000.0 * _emb_matrix(b, "embedding")) \
+                .astype(np.int64)[:, :8]
+            bits = (q > 0).astype(np.int64)
+            cell = (bits << np.arange(8)).sum(axis=1)
+            uc, cnt = np.unique(cell, return_counts=True)
+            return pa.table({"cell": pa.array(uc.astype(np.int64)),
+                             "n_vecs": pa.array(
+                                 cnt.astype(np.int64))})
+
+        df = (_read(sf, "embeddings", columns=["embedding"])
+              .map_batches(part, batch_format="pyarrow").to_pandas())
+        if not len(df):
+            return pd.DataFrame({"cell": pd.Series(dtype="int64"),
+                                 "n_vecs": pd.Series(dtype="int64")})
+        out = df.groupby("cell", as_index=False)["n_vecs"].sum()
+        return (out.sort_values("cell").reset_index(drop=True)
+                .astype("int64"))
+
+    def cents_residue_q(sf):
+        # round-number-bias audit (synthetic/fraud detector): order
+        # value cents mod 100 residue profile — enum-bounded partials
+        def part(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["o_totalprice"]))
+            cents = np.rint(100.0 * b["o_totalprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            res = cents % 100
+            ur, cnt = np.unique(res, return_counts=True)
+            return pa.table({"residue": pa.array(ur.astype(np.int64)),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+        df = (_read(sf, "orders", columns=["o_totalprice"])
+              .map_batches(part, batch_format="pyarrow").to_pandas())
+        if not len(df):
+            return pd.DataFrame({"residue": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        out = df.groupby("residue", as_index=False)["n"].sum()
+        return (out.sort_values("residue").reset_index(drop=True)
+                .astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_daily_rank_footrule": rank_footrule_q,
+        "embeddings_octant_occupancy": octant_q,
+        "orders_cents_residue_profile": cents_residue_q,
         "source_qq_deciles": qq_deciles_q,
         "users_day_fill_hist": day_fill_q,
         "source_epoch_rank_shift": rank_shift_q,
@@ -10033,6 +10136,54 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "events_daily_rank_footrule": """
+-- rank churn: per day, Spearman footrule between today's and
+-- tomorrow's type ranking (count DESC, type ASC; zero-filled spine)
+WITH e AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS d
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+c AS (SELECT et, d, COUNT(*) AS c FROM e GROUP BY 1, 2),
+days AS (SELECT DISTINCT d FROM e),
+types AS (SELECT DISTINCT et FROM e),
+spine AS (SELECT d, et FROM days CROSS JOIN types),
+f AS (SELECT spine.d, spine.et, COALESCE(c.c, 0) AS c
+      FROM spine LEFT JOIN c USING (d, et)),
+r AS (SELECT d, et,
+             ROW_NUMBER() OVER (PARTITION BY d
+                                ORDER BY c DESC, et ASC) AS rk
+      FROM f),
+p AS (SELECT a.d, SUM(ABS(a.rk - b.rk)) AS footrule
+      FROM r a JOIN r b ON b.et = a.et AND b.d = a.d + 1
+      GROUP BY 1)
+SELECT CAST(d AS BIGINT) AS day,
+       CAST(footrule AS BIGINT) AS footrule
+FROM p ORDER BY 1
+""",
+        "embeddings_octant_occupancy": """
+-- embedding-space coverage: sign-pattern cell over the first 8
+-- quantized dims (bit i set iff floor(1000*x_i) > 0)
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(1000.0 * CAST(unnest(embedding) AS DOUBLE))
+              AS BIGINT) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL),
+cells AS (
+  SELECT vec_id,
+         SUM(CASE WHEN qv > 0
+             THEN CAST(1 AS BIGINT) << (dim - 1) ELSE 0 END) AS cell
+  FROM q WHERE dim <= 8 GROUP BY 1)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM cells GROUP BY 1 ORDER BY 1
+""",
+        "orders_cents_residue_profile": """
+-- round-number-bias audit: order value cents mod 100
+SELECT CAST(CAST(round(100 * o_totalprice) AS BIGINT) % 100
+            AS BIGINT) AS residue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_totalprice IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""",
         "source_qq_deciles": """
 -- quantile-alignment surface: per-source exact deciles of doc
 -- length vs the global deciles (rank rule: smallest v with

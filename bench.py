@@ -287,7 +287,9 @@ def bench_queries() -> dict[str, float]:
              "events_value_domain_holes", "lineitem_saturation_audit",
              "source_length_ks_census",
              "source_qq_deciles", "users_day_fill_hist",
-             "source_epoch_rank_shift"]
+             "source_epoch_rank_shift",
+             "events_daily_rank_footrule", "embeddings_octant_occupancy",
+             "orders_cents_residue_profile"]
     out = {}
     for name in names:
         t0 = time.time()

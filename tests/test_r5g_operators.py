@@ -471,3 +471,28 @@ def test_oracle_rank_shift(ray_session):
     assert sorted(out.rank_even) == list(range(1, n + 1))
     assert sorted(out.rank_odd) == list(range(1, n + 1))
     assert out["shift"].sum() == 0  # displacements sum to zero
+
+
+def test_oracle_rank_footrule(ray_session):
+    out = _oracle_check("events_daily_rank_footrule",
+                        tables=("events",))
+    # footrule is even (sum of rank displacements of a permutation)
+    assert (out.footrule % 2 == 0).all()
+    assert (out.footrule >= 0).all()
+
+
+def test_oracle_octant(ray_session):
+    out = _oracle_check("embeddings_octant_occupancy",
+                        tables=("embeddings",))
+    assert (out.cell >= 0).all() and (out.cell <= 255).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL").fetchone()[0]
+    assert out.n_vecs.sum() == n
+
+
+def test_oracle_cents_residue(ray_session):
+    out = _oracle_check("orders_cents_residue_profile",
+                        tables=("orders",))
+    assert (out.residue >= 0).all() and (out.residue <= 99).all()
