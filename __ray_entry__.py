@@ -8374,8 +8374,168 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values("residue").reset_index(drop=True)
                 .astype("int64"))
 
+    def survivor_bias_q(sf):
+        # dedup-bias audit: does exact dedup (keep min doc_id per
+        # md5(text) group) skew the surviving length distribution?
+        # ONE fingerprint-keyed exchange, two-row status surface
+        from verify_ray.functions.hashing import md5_hex, md5_u64le
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("doc_id", "text", "n_chars"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            h = md5_hex(pc.cast(b["text"], pa.string()))
+            hb = md5_u64le(pc.cast(b["text"], pa.string()))
+            return pa.table({
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "len": pc.cast(b["n_chars"], pa.int64()),
+                "h": h,
+                "__b": pa.array((hb % np.uint64(32))
+                                .astype(np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            ln = t.column("len").to_numpy(zero_copy_only=False)
+            h = np.asarray(t.column("h").to_pylist(), dtype=object)
+            order = np.lexsort((ids, h))
+            ids, ln, h = ids[order], ln[order], h[order]
+            st = np.flatnonzero(np.r_[True, h[1:] != h[:-1]]) \
+                if len(h) else np.empty(0, np.int64)
+            kept = np.zeros(len(h), dtype=bool)
+            kept[st] = True                  # min doc_id per group
+            rows = []
+            for status, msk in (("dropped", ~kept), ("kept", kept)):
+                if msk.any():
+                    sub = ln[msk]
+                    rows.append((status, int(msk.sum()),
+                                 int(sub.sum()), int(sub.min()),
+                                 int(sub.max())))
+            return pa.table({
+                "status": pa.array([r[0] for r in rows],
+                                   type=pa.string()),
+                "n": pa.array([r[1] for r in rows], type=pa.int64()),
+                "sum_len": pa.array([r[2] for r in rows],
+                                    type=pa.int64()),
+                "min_len": pa.array([r[3] for r in rows],
+                                    type=pa.int64()),
+                "max_len": pa.array([r[4] for r in rows],
+                                    type=pa.int64())})
+
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "text", "n_chars"])
+        out = grouped_exchange(
+            docs.map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["status", "n", "sum_len", "min_len", "max_len"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(
+                dtype="string" if c == "status" else "int64")
+                for c in cols})
+        df = (out.to_pandas().groupby("status", as_index=False)
+              .agg(n=("n", "sum"), sum_len=("sum_len", "sum"),
+                   min_len=("min_len", "min"),
+                   max_len=("max_len", "max")))
+        return (df.sort_values("status").reset_index(drop=True)
+                .astype({c: "int64" for c in cols[1:]}))
+
+    def brand_dispersion_q(sf):
+        # price-consistency rank per brand: integer dispersion
+        # surface m2_x = n*Σx² - (Σx)² over retail-price cents,
+        # ranked (m2_x DESC, brand ASC)
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["p_brand"]),
+                        pc.is_valid(b["p_retailprice"]))
+            b = b.filter(m)
+            cents = np.rint(100.0 * b["p_retailprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({"p_brand": b["p_brand"],
+                             "c": pa.array(cents),
+                             "c2": pa.array(cents * cents)})
+
+        surf = analytics.grouped_stats(
+            _read(sf, "part", columns=["p_brand", "p_retailprice"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["p_brand"], {"c": ["sum", "count"], "c2": ["sum"]})
+        cols = ["p_brand", "n", "sum_cents", "m2_x", "rank"]
+        if not len(surf):
+            return pd.DataFrame({c: pd.Series(
+                dtype="string" if c == "p_brand" else "int64")
+                for c in cols})
+        out = pd.DataFrame({
+            "p_brand": surf.p_brand,
+            "n": surf.c_count.astype(np.int64),
+            "sum_cents": surf.c_sum.astype(np.int64)})
+        out["m2_x"] = (out.n * surf.c2_sum.astype(np.int64)
+                       - out.sum_cents * out.sum_cents)
+        o = out.sort_values(["m2_x", "p_brand"],
+                            ascending=[False, True])
+        rk = pd.Series(np.arange(1, len(o) + 1, dtype=np.int64),
+                       index=o.index)
+        out["rank"] = rk.sort_index()
+        return (out.sort_values("p_brand").reset_index(drop=True)
+                .astype({c: "int64" for c in cols[1:]}))
+
+    def benford_trend_q(sf):
+        # Benford-drift trend: per order month, L1 distance of the
+        # first-digit profile to the GLOBAL profile, cross-multiplied
+        # integers (month x 9-digit surface)
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_orderdate"]),
+                        pc.is_valid(b["o_totalprice"]))
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mon = (day.astype("datetime64[D]")
+                   .astype("datetime64[M]").astype(np.int64))
+            cents = np.rint(100.0 * b["o_totalprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            pos = cents > 0
+            cents, mon = cents[pos], mon[pos]
+            # first digit: repeated divide via log10-free loop on
+            # the magnitude (vectorized: divide by 10 while >= 10)
+            d = cents.copy()
+            while (d >= 10).any():
+                d = np.where(d >= 10, d // 10, d)
+            return pa.table({"mon": pa.array(mon),
+                             "digit": pa.array(d),
+                             "__one": pa.array(
+                                 np.ones(len(d), np.int64))})
+
+        surf = analytics.grouped_stats(
+            _read(sf, "orders",
+                  columns=["o_orderdate", "o_totalprice"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["mon", "digit"], {"__one": ["sum"]})
+        cols = ["mon", "n", "l1_x"]
+        if not len(surf):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        piv = (surf.pivot_table(index="mon", columns="digit",
+                                values="__one_sum", fill_value=0,
+                                aggfunc="sum")
+               .reindex(columns=range(1, 10), fill_value=0)
+               .sort_index())
+        c = piv.to_numpy(np.int64)
+        n_m = c.sum(axis=1)
+        glob = c.sum(axis=0)
+        big_n = int(glob.sum())
+        l1 = np.abs(big_n * c - n_m[:, None] * glob[None, :]) \
+            .sum(axis=1)
+        out = pd.DataFrame({"mon": piv.index.to_numpy(np.int64),
+                            "n": n_m, "l1_x": l1})
+        return (out.sort_values("mon").reset_index(drop=True)
+                .astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "dedup_survivor_length_bias": survivor_bias_q,
+        "brand_price_dispersion": brand_dispersion_q,
+        "orders_benford_monthly_l1": benford_trend_q,
         "events_daily_rank_footrule": rank_footrule_q,
         "embeddings_octant_occupancy": octant_q,
         "orders_cents_residue_profile": cents_residue_q,
@@ -10136,6 +10296,68 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "dedup_survivor_length_bias": """
+-- dedup-bias audit: length stats of kept (min doc_id per md5(text)
+-- group) vs dropped docs
+WITH d AS (
+  SELECT doc_id, n_chars, md5(text) AS h FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    AND n_chars IS NOT NULL),
+k AS (SELECT h, MIN(doc_id) AS keep FROM d GROUP BY 1)
+SELECT CASE WHEN d.doc_id = k.keep THEN 'kept' ELSE 'dropped' END
+         AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_len,
+       CAST(MIN(n_chars) AS BIGINT) AS min_len,
+       CAST(MAX(n_chars) AS BIGINT) AS max_len
+FROM d JOIN k USING (h) GROUP BY 1 ORDER BY 1
+""",
+        "brand_price_dispersion": """
+-- price-consistency rank per brand: m2_x = n*sum(c^2) - sum(c)^2
+-- over retail cents, rank (m2_x DESC, brand ASC)
+WITH p AS (
+  SELECT p_brand, CAST(round(100 * p_retailprice) AS BIGINT) AS c
+  FROM part
+  WHERE p_brand IS NOT NULL AND p_retailprice IS NOT NULL),
+s AS (SELECT p_brand, COUNT(*) AS n, SUM(c) AS sc,
+             SUM(c * c) AS sc2
+      FROM p GROUP BY 1),
+r AS (SELECT p_brand, n, sc, n * sc2 - sc * sc AS m2,
+             ROW_NUMBER() OVER (ORDER BY n * sc2 - sc * sc DESC,
+                                p_brand ASC) AS rk
+      FROM s)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       CAST(sc AS BIGINT) AS sum_cents,
+       CAST(m2 AS BIGINT) AS m2_x, CAST(rk AS BIGINT) AS "rank"
+FROM r ORDER BY p_brand
+""",
+        "orders_benford_monthly_l1": """
+-- Benford drift trend: per month, cross-multiplied L1 distance of
+-- the first-digit profile to the global profile (9-cell spine)
+WITH o AS (
+  SELECT (EXTRACT(year FROM o_orderdate) - 1970) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS mon,
+         CAST(round(100 * o_totalprice) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+f AS (SELECT mon,
+             CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit
+      FROM o WHERE cents > 0),
+c AS (SELECT mon, digit, COUNT(*) AS c FROM f GROUP BY 1, 2),
+months AS (SELECT DISTINCT mon FROM f),
+digits AS (SELECT range AS digit FROM range(1, 10)),
+spine AS (SELECT mon, digit FROM months CROSS JOIN digits),
+ff AS (SELECT spine.mon, spine.digit, COALESCE(c.c, 0) AS c
+       FROM spine LEFT JOIN c USING (mon, digit)),
+nm AS (SELECT mon, SUM(c) AS n FROM ff GROUP BY 1),
+g AS (SELECT digit, SUM(c) AS gc FROM ff GROUP BY 1),
+nn AS (SELECT SUM(c) AS bign FROM ff)
+SELECT ff.mon AS mon, CAST(MAX(nm.n) AS BIGINT) AS n,
+       CAST(SUM(ABS(bign * ff.c - nm.n * g.gc)) AS BIGINT) AS l1_x
+FROM ff JOIN nm USING (mon) JOIN g USING (digit) CROSS JOIN nn
+GROUP BY ff.mon ORDER BY 1
+""",
         "events_daily_rank_footrule": """
 -- rank churn: per day, Spearman footrule between today's and
 -- tomorrow's type ranking (count DESC, type ASC; zero-filled spine)

@@ -289,7 +289,9 @@ def bench_queries() -> dict[str, float]:
              "source_qq_deciles", "users_day_fill_hist",
              "source_epoch_rank_shift",
              "events_daily_rank_footrule", "embeddings_octant_occupancy",
-             "orders_cents_residue_profile"]
+             "orders_cents_residue_profile",
+             "dedup_survivor_length_bias", "brand_price_dispersion",
+             "orders_benford_monthly_l1"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -496,3 +496,50 @@ def test_oracle_cents_residue(ray_session):
     out = _oracle_check("orders_cents_residue_profile",
                         tables=("orders",))
     assert (out.residue >= 0).all() and (out.residue <= 99).all()
+
+
+def test_oracle_survivor_bias(ray_session):
+    out = _oracle_check("dedup_survivor_length_bias",
+                        tables=("documents",))
+    assert set(out.status) <= {"kept", "dropped"}
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet' "
+        "WHERE doc_id IS NOT NULL AND text IS NOT NULL "
+        "AND n_chars IS NOT NULL").fetchone()[0]
+    assert out.n.sum() == n
+    # kept >= number of distinct fingerprints implies dropped exists
+    # iff there are dup groups (just shape-check both rows coherent)
+    k = out[out.status == "kept"].iloc[0]
+    assert k.min_len <= k.max_len
+
+
+def test_oracle_brand_dispersion(ray_session):
+    out = _oracle_check("brand_price_dispersion", tables=("part",))
+    n = len(out)
+    assert sorted(out["rank"]) == list(range(1, n + 1))
+    assert (out.m2_x >= 0).all()  # n*sum(c^2) >= sum(c)^2
+
+
+def test_oracle_benford_monthly(ray_session):
+    out = _oracle_check("orders_benford_monthly_l1",
+                        tables=("orders",))
+    assert (out.l1_x >= 0).all() and (out.n > 0).all()
+
+
+def test_benford_monthly_uniform_is_zero(ray_session):
+    # a month whose digit profile equals the global profile exactly
+    # must score l1_x = 0: single month -> global == month
+    import __ray_entry__ as e
+    import duckdb as dk
+
+    con = dk.connect()
+    con.execute("CREATE TABLE orders (o_orderkey BIGINT, o_custkey "
+                "BIGINT, o_orderstatus VARCHAR, o_totalprice DOUBLE,"
+                " o_orderdate TIMESTAMP, o_orderpriority VARCHAR)")
+    con.execute("INSERT INTO orders VALUES "
+                "(1, 1, 'O', 1.00, TIMESTAMP '1995-01-01', 'X'),"
+                "(2, 1, 'O', 2.00, TIMESTAMP '1995-01-02', 'X'),"
+                "(3, 1, 'O', 9.00, TIMESTAMP '1995-01-03', 'X')")
+    orc = con.execute(e.oracle_sql()["orders_benford_monthly_l1"]).df()
+    assert len(orc) == 1 and orc.iloc[0].l1_x == 0
