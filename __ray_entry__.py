@@ -8531,8 +8531,156 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values("mon").reset_index(drop=True)
                 .astype("int64"))
 
+    def dominant_dow_q(sf):
+        # habitual-weekday persona census: per customer the modal
+        # order weekday (count DESC, dow ASC), histogrammed —
+        # key-sized mode table never materializes
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_custkey"]),
+                        pc.is_valid(b["o_orderdate"]))
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            return pa.table({"k": pc.cast(b["o_custkey"], pa.int64()),
+                             "dow": pa.array((day + 4) % 7)})
+
+        return analytics.dominant_value_hist(
+            _read(sf, "orders", columns=["o_custkey", "o_orderdate"])
+            .map_batches(prep, batch_format="pyarrow"), "k", "dow")
+
+    def session_position_q(sf):
+        # monetization-by-position audit: event value mass at the
+        # session entry / exit / middle / singleton positions (30-min
+        # gap rule; ONE user-keyed exchange, 4-row surface)
+        from verify_ray.functions.hashing import md5_u64le
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("user_id", "ts", "event_id", "value"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            h = md5_u64le(pc.cast(b["user_id"], pa.string()))
+            cents = np.rint(100.0 * b["value"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({
+                "u": pc.cast(b["user_id"], pa.int64()),
+                "ts": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                              pa.int64()),
+                "eid": pc.cast(b["event_id"], pa.int64()),
+                "cents": pa.array(cents),
+                "__b": pa.array((h % np.uint64(32))
+                                .astype(np.int64))})
+
+        GAP = 1_800_000_000
+
+        def fold(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            eid = t.column("eid").to_numpy(zero_copy_only=False)
+            cents = t.column("cents").to_numpy(zero_copy_only=False)
+            o = np.lexsort((eid, ts, u))
+            u, ts, eid, cents = u[o], ts[o], eid[o], cents[o]
+            new = np.ones(len(u), dtype=bool)
+            if len(u) > 1:
+                new[1:] = (u[1:] != u[:-1]) | \
+                    (ts[1:] - ts[:-1] > GAP)
+            sid = np.cumsum(new) - 1
+            st = np.flatnonzero(new)
+            n = np.diff(np.append(st, len(u)))
+            size = np.repeat(n, n)
+            pos = np.arange(len(u)) - np.repeat(st, n)
+            cls = np.where(size == 1, 0,
+                           np.where(pos == 0, 1,
+                                    np.where(pos == size - 1, 2, 3)))
+            nc = np.bincount(cls, minlength=4).astype(np.int64)
+            sc = np.zeros(4, np.int64)
+            np.add.at(sc, cls, cents)
+            names = np.array(["only", "first", "last", "middle"])
+            return pa.table({
+                "position": pa.array(names, type=pa.string()),
+                "n_events": pa.array(nc),
+                "sum_cents": pa.array(sc)})
+
+        ev = _read(sf, "events",
+                   columns=["user_id", "ts", "event_id", "value"])
+        out = grouped_exchange(
+            ev.map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["position", "n_events", "sum_cents"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(
+                dtype="string" if c == "position" else "int64")
+                for c in cols})
+        df = (out.to_pandas().groupby("position", as_index=False)
+              [["n_events", "sum_cents"]].sum())
+        df = df[df.n_events > 0]
+        return (df.sort_values("position").reset_index(drop=True)
+                .astype({"n_events": "int64", "sum_cents": "int64"}))
+
+    def frontload_q(sf):
+        # value-timing census: share of each user's lifetime value
+        # earned in their FIRST 7 days, banded histogram (one
+        # user-keyed exchange, 11-row surface)
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("user_id", "ts", "value"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            cents = np.rint(100.0 * b["value"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            k = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({"k": pa.array(k), "d": pa.array(day),
+                             "c": pa.array(cents),
+                             "__b": pa.array(k % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            o = np.lexsort((d, k))
+            k, d, c = k[o], d[o], c[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            tot = np.add.reduceat(c, st) if len(st) else \
+                np.empty(0, np.int64)
+            d0 = np.repeat(d[st], np.diff(np.append(st, len(k))))
+            first7 = np.add.reduceat(
+                np.where(d < d0 + 7, c, 0), st) if len(st) else \
+                np.empty(0, np.int64)
+            band = (1000 * first7 // tot) // 100
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({"band": pa.array(ub.astype(np.int64)),
+                             "n_users": pa.array(
+                                 cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events", columns=["user_id", "ts", "value"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              ["n_users"].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "customers_dominant_dow_hist": dominant_dow_q,
+        "events_value_by_session_position": session_position_q,
+        "users_frontload_hist": frontload_q,
         "dedup_survivor_length_bias": survivor_bias_q,
         "brand_price_dispersion": brand_dispersion_q,
         "orders_benford_monthly_l1": benford_trend_q,
@@ -10296,6 +10444,75 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "customers_dominant_dow_hist": """
+-- habitual-weekday personas: per customer the modal order weekday
+-- (count DESC, dow ASC), histogrammed over customers
+WITH o AS (
+  SELECT o_custkey AS k,
+         (epoch_us(o_orderdate) // 86400000000 + 4) % 7 AS v
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+c AS (SELECT k, v, COUNT(*) AS c FROM o GROUP BY 1, 2),
+r AS (SELECT k, v,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY c DESC, v ASC) AS rn
+      FROM c)
+SELECT CAST(v AS BIGINT) AS dow, CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1
+""",
+        "events_value_by_session_position": """
+-- value mass by session position (30-min gap sessions per user,
+-- order ts, event_id): only / first / last / middle
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_id AS eid,
+         CAST(round(100 * value) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL),
+lagd AS (
+  SELECT *, LAG(t) OVER (PARTITION BY u ORDER BY t, eid) AS prev
+  FROM e),
+marked AS (
+  SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800000000
+                 THEN 1 ELSE 0 END AS new
+  FROM lagd),
+sess AS (
+  SELECT *, SUM(new) OVER (PARTITION BY u ORDER BY t, eid
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+pos AS (
+  SELECT u, sid, t, eid, cents,
+         ROW_NUMBER() OVER (PARTITION BY u, sid
+                            ORDER BY t, eid) AS rn,
+         COUNT(*) OVER (PARTITION BY u, sid) AS sz
+  FROM sess),
+cls AS (
+  SELECT CASE WHEN sz = 1 THEN 'only'
+              WHEN rn = 1 THEN 'first'
+              WHEN rn = sz THEN 'last'
+              ELSE 'middle' END AS position,
+         cents
+  FROM pos)
+SELECT position, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM cls GROUP BY 1 ORDER BY 1
+""",
+        "users_frontload_hist": """
+-- value-timing census: permille of lifetime value cents earned in
+-- the user's first 7 active-calendar days, banded by 100
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d,
+         CAST(round(100 * value) AS BIGINT) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+f AS (SELECT u, MIN(d) AS d0, SUM(c) AS tot FROM e GROUP BY 1),
+w AS (SELECT e.u, SUM(e.c) AS first7
+      FROM e JOIN f ON f.u = e.u AND e.d < f.d0 + 7 GROUP BY 1)
+SELECT CAST((1000 * first7 // tot) // 100 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM w JOIN f USING (u) GROUP BY 1 ORDER BY 1
+""",
         "dedup_survivor_length_bias": """
 -- dedup-bias audit: length stats of kept (min doc_id per md5(text)
 -- group) vs dropped docs

@@ -291,7 +291,9 @@ def bench_queries() -> dict[str, float]:
              "events_daily_rank_footrule", "embeddings_octant_occupancy",
              "orders_cents_residue_profile",
              "dedup_survivor_length_bias", "brand_price_dispersion",
-             "orders_benford_monthly_l1"]
+             "orders_benford_monthly_l1",
+             "customers_dominant_dow_hist",
+             "events_value_by_session_position", "users_frontload_hist"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -543,3 +543,49 @@ def test_benford_monthly_uniform_is_zero(ray_session):
                 "(3, 1, 'O', 9.00, TIMESTAMP '1995-01-03', 'X')")
     orc = con.execute(e.oracle_sql()["orders_benford_monthly_l1"]).df()
     assert len(orc) == 1 and orc.iloc[0].l1_x == 0
+
+
+def test_oracle_dominant_dow(ray_session):
+    out = _oracle_check("customers_dominant_dow_hist",
+                        tables=("orders",))
+    assert (out.dow >= 0).all() and (out.dow <= 6).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM "
+        f"'{SF}/orders.parquet' WHERE o_custkey IS NOT NULL "
+        "AND o_orderdate IS NOT NULL").fetchone()[0]
+    assert out.n_keys.sum() == n  # every customer gets one persona
+
+
+def test_dominant_value_hist_tie_rule(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import dominant_value_hist
+
+    # key 1: {3: 2, 7: 2} tie -> 3; key 2: {7: 1} -> 7
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "v": pa.array([3, 7, 3, 7, 7], type=pa.int64()),
+    })).materialize()
+    out = dominant_value_hist(ds, "k", "v").set_index("v")
+    assert out.loc[3].n_keys == 1 and out.loc[7].n_keys == 1
+
+
+def test_oracle_session_position(ray_session):
+    out = _oracle_check("events_value_by_session_position",
+                        tables=("events",))
+    p = out.set_index("position")
+    # every session has exactly one first and one last (size >= 2)
+    if "first" in p.index and "last" in p.index:
+        assert p.loc["first"].n_events == p.loc["last"].n_events
+
+
+def test_oracle_frontload(ray_session):
+    out = _oracle_check("users_frontload_hist", tables=("events",))
+    assert (out.band >= 0).all() and (out.band <= 10).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF}/events.parquet' "
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+        "AND value IS NOT NULL").fetchone()[0]
+    assert out.n_users.sum() == n

@@ -4999,3 +4999,74 @@ def day_fill_hist(ds, key_col: str, day_col: str,
           ["n_keys"].sum())
     return (df.sort_values("band").reset_index(drop=True)
             .astype("int64"))
+
+
+def dominant_value_hist(ds, key_col: str, val_col: str,
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """Per-entity DOMINANT-value census — "what is each customer's
+    habitual weekday (each user's home type, each part's usual
+    supplier), histogrammed over the population?": per key, the mode
+    of an integer value column (tie -> highest count, then SMALLEST
+    value), reduced to a ``(value, n_keys)`` histogram — the
+    scale-safe alternative to materializing a per-key mode table
+    when only the population mix is needed.
+
+    Scale shape: batches pre-aggregate (key, value) counts map-side,
+    ONE key-keyed exchange finalizes each key's counts exactly once,
+    argmaxes in the bucket and emits per-VALUE key-count partials —
+    value-domain-sized, never key-sized.  Null key/value rows drop.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b[key_col]), pc.is_valid(b[val_col]))
+        b = b.filter(m)
+        k = pc.cast(b[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = pc.cast(b[val_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        first = np.ones(len(k), dtype=bool)
+        first[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+        st = np.flatnonzero(first)
+        cnt = np.diff(np.append(st, len(k))).astype(np.int64)
+        k, v = k[st], v[st]
+        return pa.table({"k": pa.array(k), "v": pa.array(v),
+                         "c": pa.array(cnt),
+                         "__b": pa.array(k % num_buckets)})
+
+    def fold(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        k, v, c = k[order], v[order], c[order]
+        first = np.ones(len(k), dtype=bool)      # merge partials
+        first[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+        st = np.flatnonzero(first)
+        cs = np.add.reduceat(c, st) if len(st) else \
+            np.empty(0, np.int64)
+        k, v = k[st], v[st]
+        # per-key argmax: count DESC then value ASC — lexsort by
+        # (key, -count, value) and take each key's first row
+        order2 = np.lexsort((v, -cs, k))
+        k, v, cs = k[order2], v[order2], cs[order2]
+        kst = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+            if len(k) else np.empty(0, np.int64)
+        winners = v[kst]
+        uv, cnt = np.unique(winners, return_counts=True)
+        return pa.table({"v": pa.array(uv.astype(np.int64)),
+                         "n_keys": pa.array(cnt.astype(np.int64))})
+
+    out = grouped_exchange(ds.map_batches(tag, batch_format="pyarrow"),
+                           "__b", num_buckets, fold)
+    if out is None or out.num_rows == 0:
+        return pd.DataFrame({val_col: pd.Series(dtype="int64"),
+                             "n_keys": pd.Series(dtype="int64")})
+    df = (out.to_pandas().groupby("v", as_index=False)
+          ["n_keys"].sum().rename(columns={"v": val_col}))
+    return (df.sort_values(val_col).reset_index(drop=True)
+            .astype("int64"))
