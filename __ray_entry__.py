@@ -8676,8 +8676,178 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("band").reset_index(drop=True)
                 .astype("int64"))
 
+    def new_value_share_q(sf):
+        # acquisition-quality trend: per day, value cents from users
+        # on their FIRST active day vs returning users (one
+        # user-keyed exchange, day x 2 surface)
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("user_id", "ts", "value"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            cents = np.rint(100.0 * b["value"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            k = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({"k": pa.array(k), "d": pa.array(day),
+                             "c": pa.array(cents),
+                             "__b": pa.array(k % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            o = np.lexsort((d, k))
+            k, d, c = k[o], d[o], c[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(k)))
+            d0 = np.repeat(d[st], n)
+            isnew = (d == d0).astype(np.int64)
+            cell = d * 2 + isnew
+            uc, inv = np.unique(cell, return_inverse=True)
+            cnt = np.bincount(inv, minlength=len(uc))
+            s = np.zeros(len(uc), np.int64)
+            np.add.at(s, inv, c)
+            return pa.table({
+                "day": pa.array((uc // 2).astype(np.int64)),
+                "is_new": pa.array((uc % 2).astype(np.int64)),
+                "n_events": pa.array(cnt.astype(np.int64)),
+                "sum_cents": pa.array(s)})
+
+        out = grouped_exchange(
+            _read(sf, "events", columns=["user_id", "ts", "value"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["day", "is_new", "n_events", "sum_cents"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (out.to_pandas().groupby(["day", "is_new"],
+                                      as_index=False)
+              [["n_events", "sum_cents"]].sum())
+        return (df.sort_values(["day", "is_new"])
+                .reset_index(drop=True).astype("int64"))
+
+    def ship_span_q(sf):
+        # fulfillment-spread census: per multi-line order, days
+        # between first and last ship day, log2-banded histogram
+        # (orderkey exchange, histogram-sized partials)
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_orderkey"]),
+                        pc.is_valid(b["l_shipdate"]))
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["l_shipdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            k = pc.cast(b["l_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            # pre-reduce map-side: per order (min, max) day
+            o = np.argsort(k, kind="stable")
+            k, day = k[o], day[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            mn = np.minimum.reduceat(day, st) if len(st) else \
+                np.empty(0, np.int64)
+            mx = np.maximum.reduceat(day, st) if len(st) else \
+                np.empty(0, np.int64)
+            kk = k[st]
+            return pa.table({"k": pa.array(kk), "mn": pa.array(mn),
+                             "mx": pa.array(mx),
+                             "__b": pa.array(kk % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            mn = t.column("mn").to_numpy(zero_copy_only=False)
+            mx = t.column("mx").to_numpy(zero_copy_only=False)
+            o = np.argsort(k, kind="stable")
+            k, mn, mx = k[o], mn[o], mx[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            gmn = np.minimum.reduceat(mn, st) if len(st) else \
+                np.empty(0, np.int64)
+            gmx = np.maximum.reduceat(mx, st) if len(st) else \
+                np.empty(0, np.int64)
+            span = gmx - gmn
+            band = (np.frexp((span + 1).astype(np.float64))[1] - 1) \
+                .astype(np.int64)
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({"band": pa.array(ub.astype(np.int64)),
+                             "n_orders": pa.array(
+                                 cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "lineitem",
+                  columns=["l_orderkey", "l_shipdate"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "n_orders": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              ["n_orders"].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
+    def props_moments_q(sf):
+        # payload-consistency surface: exact integer correlation
+        # moments between the JSON props field k and the value cents,
+        # per event type (parse through the oracle's own TRY_CAST
+        # kernel; zero shuffle)
+        from verify_ray.functions.jsonx import parse_json_fields
+
+        ev = _read(sf, "events",
+                   columns=["event_type", "props", "value"])
+        parsed = parse_json_fields(ev, "props",
+                                   int_fields={"k": "$.k"})
+
+        def part(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("event_type", "k", "value"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            kv = pc.cast(b["k"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            cents = np.rint(100.0 * b["value"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({
+                "event_type": b["event_type"],
+                "kk": pa.array(kv), "vv": pa.array(cents),
+                "k2": pa.array(kv * kv),
+                "v2": pa.array(cents * cents),
+                "kv": pa.array(kv * cents),
+                "__one": pa.array(np.ones(b.num_rows, np.int64))})
+
+        out = analytics.grouped_stats(
+            parsed.map_batches(part, batch_format="pyarrow"),
+            ["event_type"],
+            {"kk": ["sum"], "vv": ["sum"], "k2": ["sum"],
+             "v2": ["sum"], "kv": ["sum"], "__one": ["sum"]})
+        out = out.rename(columns={
+            "kk_sum": "sum_k", "vv_sum": "sum_v", "k2_sum": "sum_k2",
+            "v2_sum": "sum_v2", "kv_sum": "sum_kv",
+            "__one_sum": "n"})
+        out = out[["event_type", "n", "sum_k", "sum_v", "sum_k2",
+                   "sum_v2", "sum_kv"]]
+        return (out.sort_values("event_type")
+                .reset_index(drop=True)
+                .astype({c: "int64" for c in out.columns[1:]}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_new_value_share_daily": new_value_share_q,
+        "orders_ship_span_hist": ship_span_q,
+        "events_props_value_moments": props_moments_q,
         "customers_dominant_dow_hist": dominant_dow_q,
         "events_value_by_session_position": session_position_q,
         "users_frontload_hist": frontload_q,
@@ -10444,6 +10614,55 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "events_new_value_share_daily": """
+-- acquisition-quality trend: per day, events and value cents from
+-- first-day vs returning users
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d,
+         CAST(round(100 * value) AS BIGINT) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+f AS (SELECT u, MIN(d) AS d0 FROM e GROUP BY 1)
+SELECT CAST(e.d AS BIGINT) AS day,
+       CAST(CASE WHEN e.d = f.d0 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_new,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(e.c) AS BIGINT) AS sum_cents
+FROM e JOIN f USING (u) GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "orders_ship_span_hist": """
+-- fulfillment spread: per order, last - first ship day, log2 bands
+-- of span + 1 (same-day orders -> band 0)
+WITH s AS (
+  SELECT l_orderkey,
+         MAX(epoch_us(l_shipdate) // 86400000000)
+           - MIN(epoch_us(l_shipdate) // 86400000000) AS span
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+  GROUP BY 1)
+SELECT CAST(LENGTH(bin(span + 1)) - 1 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM s GROUP BY 1 ORDER BY 1
+""",
+        "events_props_value_moments": """
+-- payload-consistency surface: exact integer correlation moments
+-- between props.k and value cents per event type
+WITH e AS (
+  SELECT event_type,
+         TRY_CAST(json_extract(TRY_CAST(props AS JSON), '$.k')
+                  AS BIGINT) AS k,
+         CAST(round(100 * value) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(k * k) AS BIGINT) AS sum_k2,
+       CAST(SUM(v * v) AS BIGINT) AS sum_v2,
+       CAST(SUM(k * v) AS BIGINT) AS sum_kv
+FROM e WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1
+""",
         "customers_dominant_dow_hist": """
 -- habitual-weekday personas: per customer the modal order weekday
 -- (count DESC, dow ASC), histogrammed over customers

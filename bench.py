@@ -293,7 +293,9 @@ def bench_queries() -> dict[str, float]:
              "dedup_survivor_length_bias", "brand_price_dispersion",
              "orders_benford_monthly_l1",
              "customers_dominant_dow_hist",
-             "events_value_by_session_position", "users_frontload_hist"]
+             "events_value_by_session_position", "users_frontload_hist",
+             "events_new_value_share_daily", "orders_ship_span_hist",
+             "events_props_value_moments"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -589,3 +589,32 @@ def test_oracle_frontload(ray_session):
         "WHERE user_id IS NOT NULL AND ts IS NOT NULL "
         "AND value IS NOT NULL").fetchone()[0]
     assert out.n_users.sum() == n
+
+
+def test_oracle_new_value_share(ray_session):
+    out = _oracle_check("events_new_value_share_daily",
+                        tables=("events",))
+    assert set(out.is_new) <= {0, 1}
+    # the first observed day has only new users
+    d0 = out.day.min()
+    assert (out[out.day == d0].is_new == 1).all()
+
+
+def test_oracle_ship_span(ray_session):
+    out = _oracle_check("orders_ship_span_hist",
+                        tables=("lineitem",))
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(DISTINCT l_orderkey) FROM "
+        f"'{SF}/lineitem.parquet' WHERE l_orderkey IS NOT NULL "
+        "AND l_shipdate IS NOT NULL").fetchone()[0]
+    assert out.n_orders.sum() == n
+
+
+def test_oracle_props_moments(ray_session):
+    out = _oracle_check("events_props_value_moments",
+                        tables=("events",))
+    # Cauchy-Schwarz on the integer moment surface
+    for _, r in out.iterrows():
+        assert r.n * r.sum_k2 >= r.sum_k ** 2
+        assert r.n * r.sum_v2 >= r.sum_v ** 2
