@@ -8843,8 +8843,246 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in out.columns[1:]}))
 
+    def backlog_series_q(sf):
+        # open-order backlog day series: an order opens on its order
+        # day and closes on max(order day, FIRST ship day); orders
+        # with no lines never close.  ONE orderkey-keyed tagged-union
+        # exchange emits day-level (starts, closes) histograms;
+        # the driver cumsums over the small day spine.
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def li_part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_orderkey"]),
+                        pc.is_valid(b["l_shipdate"]))
+            b = b.filter(m)
+            k = pc.cast(b["l_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            d = (pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+                 // 86_400_000_000)
+            o = np.argsort(k, kind="stable")
+            k, d = k[o], d[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            mins = (np.minimum.reduceat(d, st) if len(st)
+                    else np.empty(0, np.int64))
+            kk = k[st]
+            return pa.table({"__b": pa.array(kk % 64),
+                             "k": pa.array(kk), "val": pa.array(mins),
+                             "tag": pa.array(np.zeros(len(kk),
+                                                      np.int64))})
+
+        def o_side(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_orderkey"]),
+                        pc.is_valid(b["o_orderdate"]))
+            b = b.filter(m)
+            k = pc.cast(b["o_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            d = (pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+                 // 86_400_000_000)
+            return pa.table({"__b": pa.array(k % 64),
+                             "k": pa.array(k), "val": pa.array(d),
+                             "tag": pa.array(np.ones(len(k),
+                                                     np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            val = t.column("val").to_numpy(zero_copy_only=False)
+            tag = t.column("tag").to_numpy(zero_copy_only=False)
+            o = np.lexsort((tag, k))
+            k, val, tag = k[o], val[o], tag[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(k)))
+            last = st + n - 1
+            has_order = tag[last] == 1
+            od = val[last][has_order]
+            has_line = (np.add.reduceat((tag == 0).astype(np.int64),
+                                        st) if len(st)
+                        else np.empty(0, np.int64))[has_order] > 0
+            minship = (np.minimum.reduceat(
+                np.where(tag == 0, val, np.iinfo(np.int64).max), st)
+                if len(st) else np.empty(0, np.int64))[has_order]
+            close = np.maximum(od, minship)[has_line]
+            sd_, sc_ = np.unique(od, return_counts=True)
+            cd_, cc_ = np.unique(close, return_counts=True)
+            day = np.concatenate([sd_, cd_])
+            return pa.table({
+                "day": pa.array(day.astype(np.int64)),
+                "s": pa.array(np.concatenate(
+                    [sc_, np.zeros(len(cd_), np.int64)])
+                    .astype(np.int64)),
+                "c": pa.array(np.concatenate(
+                    [np.zeros(len(sd_), np.int64), cc_])
+                    .astype(np.int64))})
+
+        li = (_read(sf, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"])
+              .map_batches(li_part, batch_format="pyarrow"))
+        od = (_read(sf, "orders",
+                    columns=["o_orderkey", "o_orderdate"])
+              .map_batches(o_side, batch_format="pyarrow"))
+        res = grouped_exchange(li.union(od), "__b", 64, fold)
+        if res is None or res.num_rows == 0:
+            return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                                 "n_open": pd.Series(dtype="int64")})
+        df = (res.to_pandas().groupby("day", as_index=False)
+              [["s", "c"]].sum())
+        # spine covers order days only; closes beyond it don't affect
+        # in-spine backlog (close >= its order day)
+        smask = df.s.to_numpy(np.int64) > 0
+        lo = int(df.day[smask].min())
+        hi = int(df.day[smask].max())
+        spine = np.arange(lo, hi + 1, dtype=np.int64)
+        s = np.zeros(len(spine), np.int64)
+        c = np.zeros(len(spine), np.int64)
+        dsel = df[(df.day >= lo) & (df.day <= hi)]
+        idx = dsel.day.to_numpy(np.int64) - lo
+        s[idx] = dsel.s.to_numpy(np.int64)
+        c[idx] = dsel.c.to_numpy(np.int64)
+        return pd.DataFrame({"day": spine,
+                             "n_open": (s - c).cumsum()})
+
+    def monthly_repeat_q(sf):
+        # retention-quality trend: per calendar month, active
+        # customers split into repeat (also active the PREVIOUS
+        # month) and first-ever; custkey-keyed exchange over
+        # map-side-deduped (customer, month) pairs
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_custkey"]),
+                        pc.is_valid(b["o_orderdate"]))
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mi = (day.astype("datetime64[D]")
+                  .astype("datetime64[M]").astype(np.int64))
+            k = pc.cast(b["o_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            code = np.unique(k * 1_000_000 + mi)
+            kk = code // 1_000_000
+            return pa.table({"code": pa.array(code),
+                             "__b": pa.array(kk % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            code = np.unique(
+                t.column("code").to_numpy(zero_copy_only=False))
+            k, mi = code // 1_000_000, code % 1_000_000
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            isfirst = np.zeros(len(k), bool)
+            isfirst[st] = True
+            isrep = np.zeros(len(k), bool)
+            isrep[1:] = (k[1:] == k[:-1]) & (mi[1:] == mi[:-1] + 1)
+            um, inv = np.unique(mi, return_inverse=True)
+            tot = np.bincount(inv, minlength=len(um))
+            rep = np.bincount(inv, weights=isrep, minlength=len(um))
+            fst = np.bincount(inv, weights=isfirst, minlength=len(um))
+            return pa.table({
+                "month_idx": pa.array(um.astype(np.int64)),
+                "n_customers": pa.array(tot.astype(np.int64)),
+                "n_repeat": pa.array(rep.astype(np.int64)),
+                "n_first": pa.array(fst.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "orders", columns=["o_custkey", "o_orderdate"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["month_idx", "n_customers", "n_repeat", "n_first"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (out.to_pandas().groupby("month_idx", as_index=False)
+              [cols[1:]].sum())
+        return (df.sort_values("month_idx").reset_index(drop=True)
+                .astype("int64"))
+
+    def type_concentration_q(sf):
+        # engagement-diversity census: per user the event-type
+        # concentration (Simpson permille of sum c_i^2 / n^2), banded
+        # by 100-permille deciles; map-side (user, type) pre-counts
+        # meet in ONE user-keyed exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["user_id"]),
+                        pc.is_valid(b["event_type"]))
+            b = b.filter(m)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            enc = pc.dictionary_encode(
+                pc.cast(b["event_type"], pa.string()))
+            arr = enc.combine_chunks() if isinstance(
+                enc, pa.ChunkedArray) else enc
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.chunk(0) if arr.num_chunks else None
+            idx = np.asarray(arr.indices, dtype=np.int64) \
+                if arr is not None and len(arr) else \
+                np.empty(0, np.int64)
+            dic = arr.dictionary.to_pylist() if arr is not None \
+                else []
+            o = np.lexsort((idx, u))
+            u, idx = u[o], idx[o]
+            key = np.flatnonzero(
+                np.r_[True, (u[1:] != u[:-1]) | (idx[1:] != idx[:-1])]) \
+                if len(u) else np.empty(0, np.int64)
+            cnt = np.diff(np.append(key, len(u)))
+            uu, ii = u[key], idx[key]
+            return pa.table({
+                "u": pa.array(uu),
+                "t": pa.array([dic[j] for j in ii], type=pa.string()),
+                "c": pa.array(cnt.astype(np.int64)),
+                "__b": pa.array(uu % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            enc = pc.dictionary_encode(t.column("t"))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            o = np.lexsort((idx, u))
+            u, idx, c = u[o], idx[o], c[o]
+            key = np.flatnonzero(
+                np.r_[True, (u[1:] != u[:-1]) | (idx[1:] != idx[:-1])]) \
+                if len(u) else np.empty(0, np.int64)
+            cs = np.add.reduceat(c, key) if len(key) else \
+                np.empty(0, np.int64)
+            uu = u[key]
+            st = np.flatnonzero(np.r_[True, uu[1:] != uu[:-1]]) \
+                if len(uu) else np.empty(0, np.int64)
+            s2 = np.add.reduceat(cs * cs, st) if len(st) else \
+                np.empty(0, np.int64)
+            n = np.add.reduceat(cs, st) if len(st) else \
+                np.empty(0, np.int64)
+            band = (1000 * s2 // (n * n)) // 100
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({"band": pa.array(ub.astype(np.int64)),
+                             "n_users": pa.array(
+                                 cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events", columns=["user_id", "event_type"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              ["n_users"].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "orders_daily_backlog_series": backlog_series_q,
+        "customers_monthly_repeat_share": monthly_repeat_q,
+        "users_type_concentration_hist": type_concentration_q,
         "events_new_value_share_daily": new_value_share_q,
         "orders_ship_span_hist": ship_span_q,
         "events_props_value_moments": props_moments_q,
@@ -10614,6 +10852,72 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "orders_daily_backlog_series": """
+-- open-order backlog day series: open at order day, close at
+-- max(order day, FIRST ship day); never closes without lines.
+-- NULL-guarded CASE before GREATEST (GREATEST skips nulls).
+WITH o AS (
+  SELECT o_orderkey AS k, epoch_us(o_orderdate) // 86400000000 AS od
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL),
+fs AS (
+  SELECT l_orderkey AS k,
+         MIN(epoch_us(l_shipdate) // 86400000000) AS sd
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+  GROUP BY 1),
+j AS (
+  SELECT o.od, CASE WHEN fs.sd IS NULL THEN NULL
+                    ELSE GREATEST(o.od, fs.sd) END AS cd
+  FROM o LEFT JOIN fs USING (k)),
+h AS (
+  SELECT day, SUM(s) AS s, SUM(c) AS c FROM (
+    SELECT od AS day, 1 AS s, 0 AS c FROM j
+    UNION ALL
+    SELECT cd AS day, 0 AS s, 1 AS c FROM j WHERE cd IS NOT NULL)
+  GROUP BY 1),
+sp AS (
+  SELECT unnest(generate_series((SELECT MIN(od) FROM j),
+                                (SELECT MAX(od) FROM j))) AS day)
+SELECT CAST(sp.day AS BIGINT) AS day,
+       CAST(SUM(COALESCE(h.s, 0) - COALESCE(h.c, 0))
+            OVER (ORDER BY sp.day) AS BIGINT) AS n_open
+FROM sp LEFT JOIN h ON sp.day = h.day ORDER BY 1
+""",
+        "customers_monthly_repeat_share": """
+-- retention-quality trend: per month, active customers who were
+-- also active the previous calendar month, and first-ever actives
+WITH o AS (
+  SELECT DISTINCT o_custkey AS k,
+         (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+           AS m
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+l AS (
+  SELECT k, m, LAG(m) OVER (PARTITION BY k ORDER BY m) AS pm,
+         MIN(m) OVER (PARTITION BY k) AS m0
+  FROM o)
+SELECT CAST(m AS BIGINT) AS month_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN pm = m - 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       CAST(SUM(CASE WHEN m = m0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_first
+FROM l GROUP BY 1 ORDER BY 1
+""",
+        "users_type_concentration_hist": """
+-- engagement-diversity census: per-user Simpson concentration of
+-- event types (permille), banded by 100-permille deciles
+WITH c AS (
+  SELECT user_id AS u, event_type AS t, COUNT(*) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+a AS (SELECT u, SUM(c * c) AS s2, SUM(c) AS n FROM c GROUP BY 1)
+SELECT CAST((1000 * s2 // (n * n)) // 100 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1 ORDER BY 1
+""",
         "events_new_value_share_daily": """
 -- acquisition-quality trend: per day, events and value cents from
 -- first-day vs returning users

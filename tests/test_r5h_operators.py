@@ -1,0 +1,120 @@
+"""Round-5 batch H: open-order backlog day series, monthly
+repeat-customer share, per-user event-type concentration census —
+oracle parity at sf0.001 plus hand-built semantic checks."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle_check(name, tables):
+    import __ray_entry__ as e
+
+    mine = e.queries()[name](SF)
+    if not isinstance(mine, pd.DataFrame):
+        mine = mine.to_pandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    orc = con.execute(e.oracle_sql()[name]).df()
+    assert list(mine.columns) == list(orc.columns)
+    assert len(mine) == len(orc)
+    for c in mine.columns:
+        a, b = mine[c].to_numpy(), orc[c].to_numpy()
+        if a.dtype == object or b.dtype == object:
+            assert list(map(str, a)) == list(map(str, b)), c
+        else:
+            assert np.array_equal(a, b), c
+    return mine
+
+
+def test_oracle_backlog_series(ray_session):
+    out = _oracle_check("orders_daily_backlog_series",
+                        tables=("orders", "lineitem"))
+    # backlog is a running open-count: never negative, contiguous spine
+    assert (out.n_open >= 0).all()
+    days = out.day.to_numpy(np.int64)
+    assert np.array_equal(days, np.arange(days[0], days[-1] + 1))
+    # orders with no lineitem never close: terminal backlog equals them
+    con = duckdb.connect()
+    nolines = con.execute(f"""
+        SELECT COUNT(*) FROM '{SF}/orders.parquet' o
+        WHERE NOT EXISTS (SELECT 1 FROM '{SF}/lineitem.parquet' l
+                          WHERE l.l_orderkey = o.o_orderkey)
+    """).fetchone()[0]
+    # closes beyond the spine keep the tail >= the never-closing floor
+    assert out.n_open.iloc[-1] >= nolines
+
+
+def test_backlog_hand_case(ray_session, tmp_path):
+    # two orders: A opens d10 ships d12 (close 12); B opens d11, no
+    # lines (never closes); C opens d10, ships d9 (close at max=10)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def d2us(d):
+        return d * 86_400_000_000
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([d2us(10), d2us(11), d2us(10)],
+                                pa.timestamp("us")),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 3], pa.int64()),
+        "l_shipdate": pa.array([d2us(13), d2us(12), d2us(9)],
+                               pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["orders_daily_backlog_series"](str(tmp_path))
+    # d10: A,C open, C closes same day -> 1 open (A); d11: +B -> 2;
+    # spine ends at max order day 11 (A's close at 12 is off-spine)
+    assert out.day.tolist() == [10, 11]
+    assert out.n_open.tolist() == [1, 2]
+
+
+def test_oracle_monthly_repeat(ray_session):
+    out = _oracle_check("customers_monthly_repeat_share",
+                        tables=("orders",))
+    assert (out.n_repeat <= out.n_customers).all()
+    assert (out.n_first <= out.n_customers).all()
+    # every customer is first exactly once: firsts sum to distinct custs
+    con = duckdb.connect()
+    nc = con.execute(f"SELECT COUNT(DISTINCT o_custkey) FROM "
+                     f"'{SF}/orders.parquet'").fetchone()[0]
+    assert out.n_first.sum() == nc
+    # first month has zero repeats
+    assert out.n_repeat.iloc[0] == 0
+
+
+def test_oracle_type_concentration(ray_session):
+    out = _oracle_check("users_type_concentration_hist",
+                        tables=("events",))
+    # bands live in [0, 10]; single-type users land in band 10
+    assert out.band.between(0, 10).all()
+    con = duckdb.connect()
+    nu = con.execute(f"SELECT COUNT(DISTINCT user_id) FROM "
+                     f"'{SF}/events.parquet'").fetchone()[0]
+    assert out.n_users.sum() == nu
+
+
+def test_type_concentration_hand_case(ray_session, tmp_path):
+    # user 1: 4 events of one type -> permille 1000 -> band 10
+    # user 2: 2+2 of two types -> 1000*8/16 = 500 -> band 5
+    # user 3: 3+1 -> 1000*10/16 = 625 -> band 6
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "user_id": pa.array([1] * 4 + [2] * 4 + [3] * 4, pa.int64()),
+        "event_type": pa.array(
+            ["a"] * 4 + ["a", "a", "b", "b"] + ["a", "a", "a", "b"]),
+    }), tmp_path / "events.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["users_type_concentration_hist"](str(tmp_path))
+    assert dict(zip(out.band, out.n_users)) == {5: 1, 6: 1, 10: 1}
