@@ -9078,8 +9078,150 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("band").reset_index(drop=True)
                 .astype("int64"))
 
+    def pingpong_q(sf):
+        # habit-loop census: per user the A-B-A alternation rate over
+        # event-type trigrams along the (ts, event_id) timeline,
+        # banded permille; full rows meet in ONE user-keyed exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("user_id", "ts", "event_id", "event_type"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "u": pa.array(u),
+                "ts": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                              pa.int64()),
+                "eid": pc.cast(b["event_id"], pa.int64()),
+                "t": pc.cast(b["event_type"], pa.string()),
+                "__b": pa.array(u % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            eid = t.column("eid").to_numpy(zero_copy_only=False)
+            enc = pc.dictionary_encode(t.column("t"))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            o = np.lexsort((eid, ts, u))
+            u, idx = u[o], idx[o]
+            if len(u) < 3:
+                return pa.table({
+                    "band": pa.array([], type=pa.int64()),
+                    "n_users": pa.array([], type=pa.int64())})
+            same3 = u[:-2] == u[2:]
+            pp = (same3 & (idx[:-2] == idx[2:])
+                  & (idx[:-2] != idx[1:-1])).astype(np.int64)
+            slot = same3.astype(np.int64)
+            st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+            st = st[st < len(slot)]
+            slots = np.add.reduceat(slot, st) if len(st) else \
+                np.empty(0, np.int64)
+            pps = np.add.reduceat(pp, st) if len(st) else \
+                np.empty(0, np.int64)
+            keep = slots > 0
+            band = (1000 * pps[keep] // slots[keep]) // 100
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({"band": pa.array(ub.astype(np.int64)),
+                             "n_users": pa.array(
+                                 cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_id", "event_type"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              ["n_users"].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
+    def hubness_q(sf):
+        # embedding hubness audit: in-degree histogram of the exact
+        # quantized-dot 1-NN graph (anti-hubs included at degree 0)
+        from verify_ray.pipelines.similarity import \
+            nn_indegree_histogram
+
+        return nn_indegree_histogram(
+            _read(sf, "embeddings", columns=["vec_id", "embedding"]))
+
+    def retention_drop_q(sf):
+        # retention-policy what-if: keep each user's newest 10 events
+        # (ts DESC, event_id DESC); per event type, how many rows the
+        # policy would drop — ONE user-keyed exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("user_id", "ts", "event_id", "event_type"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "u": pa.array(u),
+                "ts": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                              pa.int64()),
+                "eid": pc.cast(b["event_id"], pa.int64()),
+                "t": pc.cast(b["event_type"], pa.string()),
+                "__b": pa.array(u % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            eid = t.column("eid").to_numpy(zero_copy_only=False)
+            enc = pc.dictionary_encode(t.column("t"))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dic = enc.dictionary.to_pylist() if len(enc) else []
+            o = np.lexsort((-eid, -ts, u))
+            u, idx = u[o], idx[o]
+            st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
+                if len(u) else np.empty(0, np.int64)
+            pos = np.arange(len(u)) - np.repeat(st, np.diff(
+                np.append(st, len(u))))
+            dropped = (pos >= 10).astype(np.int64)
+            k = len(dic)
+            tot = np.bincount(idx, minlength=k)
+            drp = np.bincount(idx, weights=dropped, minlength=k)
+            return pa.table({
+                "event_type": pa.array(dic, type=pa.string()),
+                "n_events": pa.array(tot.astype(np.int64)),
+                "n_dropped": pa.array(drp.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_id", "event_type"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["event_type", "n_events", "n_dropped"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "n_events": pd.Series(dtype="int64"),
+                "n_dropped": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("event_type", as_index=False)
+              [["n_events", "n_dropped"]].sum())
+        return (df.sort_values("event_type").reset_index(drop=True)
+                .astype({"n_events": "int64", "n_dropped": "int64"}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_pingpong_rate_hist": pingpong_q,
+        "embeddings_hubness_hist": hubness_q,
+        "events_retention_drop_census": retention_drop_q,
         "orders_daily_backlog_series": backlog_series_q,
         "customers_monthly_repeat_share": monthly_repeat_q,
         "users_type_concentration_hist": type_concentration_q,
@@ -10852,6 +10994,72 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "events_pingpong_rate_hist": """
+-- habit-loop census: per user the A-B-A alternation rate over
+-- event-type trigrams on the (ts, event_id) timeline, permille bands
+WITH e AS (
+  SELECT user_id AS u, event_type AS t, ts, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL),
+l AS (
+  SELECT u, t,
+         LEAD(t, 1) OVER w AS t1, LEAD(t, 2) OVER w AS t2
+  FROM e WINDOW w AS (PARTITION BY u ORDER BY ts, event_id)),
+a AS (
+  SELECT u, COUNT(*) AS n,
+         SUM(CASE WHEN t2 IS NOT NULL AND t = t2 AND t <> t1
+                  THEN 1 ELSE 0 END) AS pp
+  FROM l GROUP BY 1)
+SELECT CAST((1000 * pp // (n - 2)) // 100 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a WHERE n >= 3 GROUP BY 1 ORDER BY 1
+""",
+        "embeddings_hubness_hist": """
+-- hubness audit: in-degree histogram of the exact quantized-dot
+-- 1-NN graph (ties dot DESC then id ASC; self excluded; degree-0
+-- anti-hubs included)
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding,
+           x -> CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+           AS q
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+d AS (
+  SELECT a.id, b.id AS bid,
+         list_sum(list_transform(list_zip(a.q, b.q),
+                                 z -> z[1] * z[2])) AS dot
+  FROM v a JOIN v b ON a.id <> b.id),
+nn AS (
+  SELECT id, bid,
+         ROW_NUMBER() OVER (PARTITION BY id
+                            ORDER BY dot DESC, bid) AS rk
+  FROM d),
+deg AS (
+  SELECT v.id, COUNT(nn.bid) AS indeg
+  FROM v LEFT JOIN (SELECT bid FROM nn WHERE rk = 1) nn
+    ON nn.bid = v.id
+  GROUP BY 1)
+SELECT CAST(indeg AS BIGINT) AS indegree,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM deg GROUP BY 1 ORDER BY 1
+""",
+        "events_retention_drop_census": """
+-- retention-policy what-if: keep each user's newest 10 events
+-- (ts DESC, event_id DESC); dropped rows per event type
+WITH r AS (
+  SELECT event_type AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL)
+SELECT t AS event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN rk > 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped
+FROM r GROUP BY 1 ORDER BY 1
+""",
         "orders_daily_backlog_series": """
 -- open-order backlog day series: open at order day, close at
 -- max(order day, FIRST ship day); never closes without lines.

@@ -118,3 +118,82 @@ def test_type_concentration_hand_case(ray_session, tmp_path):
 
     out = e.queries()["users_type_concentration_hist"](str(tmp_path))
     assert dict(zip(out.band, out.n_users)) == {5: 1, 6: 1, 10: 1}
+
+
+def test_oracle_pingpong(ray_session):
+    out = _oracle_check("events_pingpong_rate_hist",
+                        tables=("events",))
+    assert out.band.between(0, 10).all()
+    con = duckdb.connect()
+    nu = con.execute(f"""
+        SELECT COUNT(*) FROM (SELECT user_id FROM
+        '{SF}/events.parquet' GROUP BY 1 HAVING COUNT(*) >= 3)
+    """).fetchone()[0]
+    assert out.n_users.sum() == nu
+
+
+def test_pingpong_hand_case(ray_session, tmp_path):
+    # user 1: a b a b -> trigrams (aba), (bab) both pingpong -> 1000
+    # user 2: a a a  -> 1 trigram, not pingpong (t == t1) -> 0
+    # user 3: a b    -> no trigram, excluded
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2, 3, 3], pa.int64()),
+        "ts": pa.array(list(range(9)), pa.timestamp("us")),
+        "event_id": pa.array(list(range(9)), pa.int64()),
+        "event_type": pa.array(
+            ["a", "b", "a", "b", "a", "a", "a", "a", "b"]),
+    }), tmp_path / "events.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["events_pingpong_rate_hist"](str(tmp_path))
+    assert dict(zip(out.band, out.n_users)) == {0: 1, 10: 1}
+
+
+def test_oracle_hubness(ray_session):
+    out = _oracle_check("embeddings_hubness_hist",
+                        tables=("embeddings",))
+    # every vector is counted exactly once across degree rows, and
+    # total in-degree mass equals the number of 1-NN edges (= n_vecs)
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM "
+                    f"'{SF}/embeddings.parquet'").fetchone()[0]
+    assert out.n_vecs.sum() == n
+    assert (out.indegree * out.n_vecs).sum() == n
+
+
+def test_hubness_hand_case(ray_session, tmp_path):
+    # 0 and 1 identical (mutual NN); 2 close to them; 3 far away:
+    # nn(0)=1, nn(1)=0, nn(2)=0 (tie dot -> min id), nn(3)=0 (dot 0
+    # beats negatives? no -- all dots equal 0 for 3; tie -> id 0)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0, 1], pa.int32()),
+    }), tmp_path / "embeddings.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["embeddings_hubness_hist"](str(tmp_path))
+    # nn(0)=1, nn(1)=0, nn(2)=0, nn(3)=0 -> indeg: 0:3, 1:1 -> hist:
+    # degree 0 x2 (vec 2,3), degree 1 x1 (vec 1), degree 3 x1 (vec 0)
+    assert dict(zip(out.indegree, out.n_vecs)) == {0: 2, 1: 1, 3: 1}
+
+
+def test_oracle_retention_drop(ray_session):
+    out = _oracle_check("events_retention_drop_census",
+                        tables=("events",))
+    assert (out.n_dropped <= out.n_events).all()
+    con = duckdb.connect()
+    total, over = con.execute(f"""
+        SELECT SUM(n), SUM(CASE WHEN n > 10 THEN n - 10 ELSE 0 END)
+        FROM (SELECT COUNT(*) AS n FROM '{SF}/events.parquet'
+              GROUP BY user_id)
+    """).fetchone()
+    assert out.n_events.sum() == total
+    assert out.n_dropped.sum() == over

@@ -1528,3 +1528,109 @@ def norm_log_hist(ds, emb_col: str = "embedding") -> pd.DataFrame:
     out = out.groupby("bin", as_index=False)["n_vecs"].sum()
     return (out.sort_values("bin").reset_index(drop=True)
             .astype("int64"))
+
+
+def nn_indegree_histogram(ds, emb_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          quant: int = 1000,
+                          concurrency: int = 4) -> "pd.DataFrame":
+    """HUBNESS audit over the exact 1-NN graph: for every vector find
+    its single most-similar OTHER vector by EXACT integer quantized
+    dot (``q = floor(quant*x)``, ties dot DESC then id ASC — the
+    :func:`knn_label_agreement` contract) and histogram the resulting
+    in-degrees, INCLUDING the degree-0 row (anti-hubs).  A heavy tail
+    of high in-degree "hub" vectors marks degenerate embeddings that
+    poison kNN-based dedup/curation (Radovanovic et al., JMLR 2010).
+
+    Scale shape: quantized corpus chunks stay in the object store and
+    each scoring actor fetches them once in ``__init__``
+    (ray.wait-before-pool deadlock guard, pool <= CPUs-1); one
+    streaming pass folds each row's running (dot, id) best across
+    chunks and emits per-batch (nn_id, count) partials — only
+    id-keyed counts leave the workers, never pairs.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    @ray.remote
+    def prep_chunk(t: pa.Table):
+        t = t.filter(pc.and_(pc.is_valid(t[id_col]),
+                             pc.is_valid(t[emb_col])))
+        if t.num_rows == 0:
+            return None
+        ids = np.asarray(t.column(id_col).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")  # argmax tie => min id
+        q = np.floor(quant * _emb_matrix(t, emb_col))[order]
+        return q, ids[order]
+
+    chunk_refs = [prep_chunk.remote(r) for r in
+                  ds.select_columns([id_col, emb_col])
+                  .to_arrow_refs()]
+    ray.wait(chunk_refs, num_returns=len(chunk_refs))
+    avail = int(ray.cluster_resources().get("CPU", 8))
+    concurrency = max(1, min(concurrency, avail - 1))
+    NEG = np.iinfo(np.int64).min
+
+    class _Best:
+        def __init__(self):
+            self.chunks = [c for c in ray.get(chunk_refs)
+                           if c is not None]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b[id_col]),
+                                 pc.is_valid(b[emb_col])))
+            empty = pa.table({
+                "nn_id": pa.array([], type=pa.int64()),
+                "c": pa.array([], type=pa.int64()),
+                "n_rows": pa.array([], type=pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            qb = np.floor(quant * _emb_matrix(b, emb_col))
+            rid = np.asarray(b.column(id_col).to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            best = np.full(len(rid), NEG, np.int64)
+            best_id = np.full(len(rid), np.iinfo(np.int64).max,
+                              np.int64)
+            for m, ids in self.chunks:
+                d = np.rint(qb @ m.T).astype(np.int64)
+                d[rid[:, None] == ids[None, :]] = NEG  # exclude self
+                c = np.argmax(d, axis=1)  # first max = min id (sorted)
+                rows = np.arange(len(rid))
+                dot, cid = d[rows, c], ids[c]
+                upd = (dot > best) | ((dot == best) & (cid < best_id))
+                upd &= dot != NEG
+                best[upd], best_id[upd] = dot[upd], cid[upd]
+            has_nn = best != NEG
+            un, cnt = np.unique(best_id[has_nn], return_counts=True)
+            n_rows = np.zeros(len(un), np.int64)
+            if len(n_rows):
+                n_rows[0] = len(rid)
+            elif len(rid):  # batch had rows but no neighbors anywhere
+                return pa.table({
+                    "nn_id": pa.array([np.iinfo(np.int64).max]),
+                    "c": pa.array([0], type=pa.int64()),
+                    "n_rows": pa.array([len(rid)], type=pa.int64())})
+            return pa.table({"nn_id": pa.array(un),
+                             "c": pa.array(cnt.astype(np.int64)),
+                             "n_rows": pa.array(n_rows)})
+
+    parts = (ds.select_columns([id_col, emb_col])
+             .map_batches(_Best, batch_format="pyarrow",
+                          concurrency=concurrency)
+             .to_pandas())
+    cols = ("indegree", "n_vecs")
+    if not len(parts) or parts.n_rows.sum() == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    n_total = int(parts.n_rows.sum())
+    deg = (parts[parts.c > 0].groupby("nn_id")["c"].sum()
+           .to_numpy(np.int64))
+    ud, dc = np.unique(deg, return_counts=True)
+    n_zero = n_total - len(deg)
+    if n_zero > 0:
+        ud = np.concatenate([[0], ud])
+        dc = np.concatenate([[n_zero], dc])
+    return pd.DataFrame({"indegree": ud.astype(np.int64),
+                         "n_vecs": dc.astype(np.int64)})
