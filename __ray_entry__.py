@@ -9217,8 +9217,172 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("event_type").reset_index(drop=True)
                 .astype({"n_events": "int64", "n_dropped": "int64"}))
 
+    def ship_gap_median_q(sf):
+        # replenishment-cadence census: per part the LOWER-median gap
+        # between consecutive DISTINCT ship days; map-side-deduped
+        # (part, day) pairs meet in ONE part-keyed exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_partkey"]),
+                        pc.is_valid(b["l_shipdate"]))
+            b = b.filter(m)
+            k = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            d = (pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+                 // 86_400_000_000)
+            code = np.unique(k * 1_000_000 + d)
+            return pa.table({"code": pa.array(code),
+                             "__b": pa.array(
+                                 (code // 1_000_000) % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            code = np.unique(
+                t.column("code").to_numpy(zero_copy_only=False))
+            k, d = code // 1_000_000, code % 1_000_000
+            same = k[1:] == k[:-1] if len(k) else \
+                np.empty(0, bool)
+            g = (d[1:] - d[:-1])[same]
+            kg = k[1:][same]
+            if not len(g):
+                return pa.table({
+                    "median_gap": pa.array([], type=pa.int64()),
+                    "n_parts": pa.array([], type=pa.int64())})
+            o = np.lexsort((g, kg))
+            kg, g = kg[o], g[o]
+            st = np.flatnonzero(np.r_[True, kg[1:] != kg[:-1]])
+            n = np.diff(np.append(st, len(kg)))
+            med = g[st + (n + 1) // 2 - 1]  # lower median
+            um, cnt = np.unique(med, return_counts=True)
+            return pa.table({
+                "median_gap": pa.array(um.astype(np.int64)),
+                "n_parts": pa.array(cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "lineitem", columns=["l_partkey", "l_shipdate"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"median_gap": pd.Series(dtype="int64"),
+                                 "n_parts": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("median_gap", as_index=False)
+              ["n_parts"].sum())
+        return (df.sort_values("median_gap").reset_index(drop=True)
+                .astype("int64"))
+
+    def word_stutter_q(sf):
+        # copy-paste hygiene: adjacent repeated words ("the the") per
+        # source — arrow split + one vectorized shifted-equality per
+        # batch; zero shuffle, source-sized partials
+        def part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["text"]),
+                        pc.is_valid(b["source"]))
+            b = b.filter(m)
+            src = pc.cast(b["source"], pa.string())
+            # mirror DuckDB trim(): strip SPACES only, then \s+ split
+            words = pc.split_pattern_regex(
+                pc.utf8_trim(pc.cast(b["text"], pa.string()),
+                             characters=" "), pattern=r"\s+")
+            wa = words.combine_chunks() if isinstance(
+                words, pa.ChunkedArray) else words
+            offs = np.asarray(wa.offsets, dtype=np.int64)
+            flat = wa.flatten()
+            nlen = np.diff(offs)
+            if len(flat) > 1:
+                eq = (pc.equal(flat.slice(0, len(flat) - 1),
+                               flat.slice(1))
+                      .to_numpy(zero_copy_only=False).astype(bool))
+                # zero out cross-document boundaries
+                eq[offs[1:-1] - 1] = False
+            else:
+                eq = np.empty(0, bool)
+            stut = np.zeros(b.num_rows, np.int64)
+            if len(eq):
+                # cumsum gather (reduceat mishandles empty segments)
+                cs = np.concatenate([[0], np.cumsum(eq)])
+                lo = np.minimum(offs[:-1], len(eq))
+                hi = np.minimum(np.maximum(offs[1:] - 1, lo),
+                                len(eq))
+                stut = cs[hi] - cs[lo]
+            pairs = np.maximum(nlen - 1, 0)
+            enc = pc.dictionary_encode(src)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            sidx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dic = enc.dictionary.to_pylist() if len(enc) else []
+            kk = len(dic)
+            return pa.table({
+                "source": pa.array(dic, type=pa.string()),
+                "n_docs": pa.array(np.bincount(
+                    sidx, minlength=kk).astype(np.int64)),
+                "n_pairs": pa.array(np.bincount(
+                    sidx, weights=pairs,
+                    minlength=kk).astype(np.int64)),
+                "n_stutter": pa.array(np.bincount(
+                    sidx, weights=stut,
+                    minlength=kk).astype(np.int64))})
+
+        parts = (_read(sf, "documents", columns=["text", "source"])
+                 .map_batches(part, batch_format="pyarrow")
+                 .to_pandas())
+        if not len(parts):
+            return pd.DataFrame({
+                "source": pd.Series(dtype=object),
+                "n_docs": pd.Series(dtype="int64"),
+                "n_pairs": pd.Series(dtype="int64"),
+                "n_stutter": pd.Series(dtype="int64")})
+        df = (parts.groupby("source", as_index=False)
+              [["n_docs", "n_pairs", "n_stutter"]].sum())
+        return (df.sort_values("source").reset_index(drop=True)
+                .astype({c: "int64" for c in
+                         ("n_docs", "n_pairs", "n_stutter")}))
+
+    def sign_agreement_q(sf):
+        # representation-geometry audit: sign agreement counts for
+        # dimension pairs i<j over the first 8 dims (>= 0 counts as
+        # positive); one 8x8 integer partial per batch, zero shuffle
+        from verify_ray.pipelines.similarity import _emb_matrix
+
+        K = 8
+
+        def part(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["embedding"]))
+            if b.num_rows == 0:
+                z = np.empty(0, np.int64)
+                return pa.table({"dim_i": pa.array(z),
+                                 "dim_j": pa.array(z),
+                                 "n_agree": pa.array(z),
+                                 "n": pa.array(z)})
+            m = _emb_matrix(b, "embedding")[:, :K]
+            pos = (m >= 0.0).astype(np.int64)
+            agree = pos.T @ pos + (1 - pos).T @ (1 - pos)
+            ii, jj = np.triu_indices(K, k=1)
+            return pa.table({
+                "dim_i": pa.array(ii.astype(np.int64)),
+                "dim_j": pa.array(jj.astype(np.int64)),
+                "n_agree": pa.array(agree[ii, jj].astype(np.int64)),
+                "n": pa.array(np.full(len(ii), b.num_rows,
+                                      np.int64))})
+
+        parts = (_read(sf, "embeddings", columns=["embedding"])
+                 .map_batches(part, batch_format="pyarrow")
+                 .to_pandas())
+        cols = ["dim_i", "dim_j", "n_agree", "n"]
+        if not len(parts):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (parts.groupby(["dim_i", "dim_j"], as_index=False)
+              [["n_agree", "n"]].sum())
+        return (df.sort_values(["dim_i", "dim_j"])
+                .reset_index(drop=True).astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "part_ship_gap_median_hist": ship_gap_median_q,
+        "docs_adjacent_word_stutter": word_stutter_q,
+        "embeddings_sign_agreement": sign_agreement_q,
         "events_pingpong_rate_hist": pingpong_q,
         "embeddings_hubness_hist": hubness_q,
         "events_retention_drop_census": retention_drop_q,
@@ -10994,6 +11158,54 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "part_ship_gap_median_hist": """
+-- replenishment-cadence census: per part the LOWER-median gap
+-- between consecutive DISTINCT ship days, histogrammed over parts
+WITH d AS (
+  SELECT DISTINCT l_partkey AS k,
+         epoch_us(l_shipdate) // 86400000000 AS d
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL),
+g AS (
+  SELECT k, d - LAG(d) OVER (PARTITION BY k ORDER BY d) AS gap
+  FROM d),
+m AS (
+  SELECT k, CAST(quantile_disc(gap, 0.5) AS BIGINT) AS mg
+  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+SELECT mg AS median_gap, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM m GROUP BY 1 ORDER BY 1
+""",
+        "docs_adjacent_word_stutter": """
+-- copy-paste hygiene: adjacent repeated words per source
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL),
+p AS (
+  SELECT source, GREATEST(len(ws) - 1, 0) AS np,
+         len([i FOR i IN range(1, GREATEST(len(ws) - 1, 0) + 1)
+              IF ws[i] = ws[i + 1]]) AS ns
+  FROM toks)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(np) AS BIGINT) AS n_pairs,
+       CAST(SUM(ns) AS BIGINT) AS n_stutter
+FROM p GROUP BY 1 ORDER BY 1
+""",
+        "embeddings_sign_agreement": """
+-- representation-geometry audit: sign agreement (>= 0 is positive)
+-- for dimension pairs i < j over the first 8 dims
+WITH v AS (
+  SELECT embedding AS e FROM embeddings
+  WHERE embedding IS NOT NULL),
+pr AS (
+  SELECT t1.i AS i, t2.j AS j
+  FROM range(8) t1(i), range(8) t2(j) WHERE t1.i < t2.j)
+SELECT CAST(pr.i AS BIGINT) AS dim_i, CAST(pr.j AS BIGINT) AS dim_j,
+       CAST(SUM(CASE WHEN (e[pr.i + 1] >= 0) = (e[pr.j + 1] >= 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM v, pr GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "events_pingpong_rate_hist": """
 -- habit-loop census: per user the A-B-A alternation rate over
 -- event-type trigrams on the (ts, event_id) timeline, permille bands

@@ -197,3 +197,82 @@ def test_oracle_retention_drop(ray_session):
     """).fetchone()
     assert out.n_events.sum() == total
     assert out.n_dropped.sum() == over
+
+
+def test_oracle_ship_gap_median(ray_session):
+    out = _oracle_check("part_ship_gap_median_hist",
+                        tables=("lineitem",))
+    assert (out.median_gap >= 1).all()
+    # parts counted = parts with >= 2 distinct ship days
+    con = duckdb.connect()
+    np2 = con.execute(f"""
+        SELECT COUNT(*) FROM (
+          SELECT l_partkey FROM (
+            SELECT DISTINCT l_partkey,
+                   epoch_us(l_shipdate) // 86400000000 AS d
+            FROM '{SF}/lineitem.parquet')
+          GROUP BY 1 HAVING COUNT(*) >= 2)
+    """).fetchone()[0]
+    assert out.n_parts.sum() == np2
+
+
+def test_ship_gap_median_hand_case(ray_session, tmp_path):
+    # part 1 ships days [0,3,4,10] (dup day 3 collapses):
+    # gaps [3,1,6] -> lower median 3; part 2 days [5,7]: gap 2
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def d2us(d):
+        return d * 86_400_000_000
+
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+        "l_shipdate": pa.array(
+            [d2us(0), d2us(3), d2us(3), d2us(4), d2us(10),
+             d2us(5), d2us(7)], pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["part_ship_gap_median_hist"](str(tmp_path))
+    assert dict(zip(out.median_gap, out.n_parts)) == {2: 1, 3: 1}
+
+
+def test_oracle_word_stutter(ray_session):
+    out = _oracle_check("docs_adjacent_word_stutter",
+                        tables=("documents",))
+    assert (out.n_stutter <= out.n_pairs).all()
+    con = duckdb.connect()
+    nd = con.execute(f"SELECT COUNT(*) FROM "
+                     f"'{SF}/documents.parquet'").fetchone()[0]
+    assert out.n_docs.sum() == nd
+
+
+def test_word_stutter_hand_case(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the the cat", "a b a", "  x  "]),
+        "source": pa.array(["s1", "s1", "s2"]),
+    }), tmp_path / "documents.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["docs_adjacent_word_stutter"](str(tmp_path))
+    s1 = out[out.source == "s1"].iloc[0]
+    # doc1: pairs 2 stutter 1; doc2: pairs 2 stutter 0
+    assert (s1.n_docs, s1.n_pairs, s1.n_stutter) == (2, 4, 1)
+    s2 = out[out.source == "s2"].iloc[0]
+    # "  x  " -> trim spaces -> "x" -> 1 word, 0 pairs
+    assert (s2.n_docs, s2.n_pairs, s2.n_stutter) == (1, 0, 0)
+
+
+def test_oracle_sign_agreement(ray_session):
+    out = _oracle_check("embeddings_sign_agreement",
+                        tables=("embeddings",))
+    assert len(out) == 28  # C(8,2) dimension pairs
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM "
+                    f"'{SF}/embeddings.parquet'").fetchone()[0]
+    assert (out.n == n).all()
+    assert (out.n_agree <= out.n).all()
