@@ -9378,8 +9378,212 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values(["dim_i", "dim_j"])
                 .reset_index(drop=True).astype("int64"))
 
+    def daily_user_overlap_q(sf):
+        # audience-churn smoothness: day-over-day active-user overlap
+        # (|A(d-1) ∩ A(d)| and |A(d-1) ∪ A(d)|) — per-user sorted
+        # distinct days in ONE user-keyed exchange; day-sized partials
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["user_id"]),
+                        pc.is_valid(b["ts"]))
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            code = np.unique(u * 1_000_000 + day)
+            return pa.table({"code": pa.array(code),
+                             "__b": pa.array(
+                                 (code // 1_000_000) % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            code = np.unique(
+                t.column("code").to_numpy(zero_copy_only=False))
+            u, d = code // 1_000_000, code % 1_000_000
+            ud_, uc_ = np.unique(d, return_counts=True)
+            adj = (u[1:] == u[:-1]) & (d[1:] == d[:-1] + 1) \
+                if len(u) else np.empty(0, bool)
+            id_, ic_ = np.unique(d[1:][adj], return_counts=True)
+            day = np.concatenate([ud_, id_])
+            return pa.table({
+                "day": pa.array(day.astype(np.int64)),
+                "n_active": pa.array(np.concatenate(
+                    [uc_, np.zeros(len(id_), np.int64)])
+                    .astype(np.int64)),
+                "n_inter": pa.array(np.concatenate(
+                    [np.zeros(len(ud_), np.int64), ic_])
+                    .astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events", columns=["user_id", "ts"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["day", "n_inter", "n_union"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (out.to_pandas().groupby("day", as_index=False)
+              [["n_active", "n_inter"]].sum())
+        lo, hi = int(df.day.min()), int(df.day.max())
+        spine = np.arange(lo, hi + 1, dtype=np.int64)
+        act = np.zeros(len(spine), np.int64)
+        itr = np.zeros(len(spine), np.int64)
+        idx = df.day.to_numpy(np.int64) - lo
+        act[idx] = df.n_active.to_numpy(np.int64)
+        itr[idx] = df.n_inter.to_numpy(np.int64)
+        return pd.DataFrame({
+            "day": spine[1:],
+            "n_inter": itr[1:],
+            "n_union": act[:-1] + act[1:] - itr[1:]})
+
+    def trimmed_mean_q(sf):
+        # robust per-type value profile: 10%-trimmed mass (drop
+        # floor(n/10) cents-ranked rows at each end; tie order
+        # irrelevant to the kept SUM).  Map-side (type, cents)
+        # pre-counts meet in ONE cents-keyed exchange; the driver
+        # folds a value-counts frame (cents-cardinality-bounded,
+        # the whale-curve precedent)
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["event_type"]),
+                        pc.is_valid(b["value"]))
+            b = b.filter(m)
+            cents = np.rint(100.0 * b["value"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            enc = pc.dictionary_encode(
+                pc.cast(b["event_type"], pa.string()))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dic = enc.dictionary.to_pylist() if len(enc) else []
+            o = np.lexsort((cents, idx))
+            idx, cents = idx[o], cents[o]
+            key = np.flatnonzero(
+                np.r_[True, (idx[1:] != idx[:-1])
+                      | (cents[1:] != cents[:-1])]) \
+                if len(idx) else np.empty(0, np.int64)
+            cnt = np.diff(np.append(key, len(idx)))
+            return pa.table({
+                "t": pa.array([dic[j] for j in idx[key]],
+                              type=pa.string()),
+                "c": pa.array(cents[key]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "__b": pa.array(cents[key] % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            df = t.select(["t", "c", "cnt"]).to_pandas()
+            g = df.groupby(["t", "c"], as_index=False)["cnt"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        out = grouped_exchange(
+            _read(sf, "events", columns=["event_type", "value"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["event_type", "n", "n_kept", "sum_kept_cents"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+                "n_kept": pd.Series(dtype="int64"),
+                "sum_kept_cents": pd.Series(dtype="int64")})
+        vc = (out.to_pandas().groupby(["t", "c"], as_index=False)
+              ["cnt"].sum())
+        rows = []
+        for tname, sub in vc.groupby("t"):
+            sub = sub.sort_values("c")
+            c = sub.c.to_numpy(np.int64)
+            n_ = sub.cnt.to_numpy(np.int64)
+            n = int(n_.sum())
+            k = n // 10
+            cum = n_.cumsum()
+            # kept ranks are (k, n-k]: clip each value-run to that band
+            lo_r = np.concatenate([[0], cum[:-1]])
+            kept = (np.minimum(cum, n - k)
+                    - np.maximum(lo_r, k)).clip(min=0)
+            rows.append((tname, n, int(kept.sum()),
+                         int((kept * c).sum())))
+        res = pd.DataFrame(rows, columns=cols)
+        return (res.sort_values("event_type").reset_index(drop=True)
+                .astype({c: "int64" for c in cols[1:]}))
+
+    def first_line_dup_q(sf):
+        # boilerplate-title audit: docs whose FIRST LINE is shared by
+        # >= 2 docs globally, per source (planted positives: doc_id <
+        # 20 re-published with a new tail — the prefix_dup_docs
+        # contract).  First-line strings route by md5 bucket, counts
+        # resolve per line in ONE exchange grouped by the STRING.
+        from verify_ray.pipelines.sample import _hash_buckets
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def plant(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["doc_id"]),
+                        pc.and_(pc.is_valid(b["text"]),
+                                pc.is_valid(b["source"])))
+            b = b.filter(m)
+            first = pc.list_element(
+                pc.split_pattern(pc.cast(b["text"], pa.string()),
+                                 pattern="\n", max_splits=1), 0)
+            src = pc.cast(b["source"], pa.string())
+            sel = pc.less(pc.cast(b["doc_id"], pa.int64()), 20)
+            t1 = pa.table({"fl": first, "src": src})
+            t2 = pa.table({"fl": first.filter(sel),
+                           "src": src.filter(sel)})
+            t = pa.concat_tables([t1, t2])
+            bk = _hash_buckets(t.column("fl"))
+            return pa.table({"fl": t.column("fl"),
+                             "src": t.column("src"),
+                             "__b": pa.array(
+                                 (bk % 32).astype(np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            enc = pc.dictionary_encode(t.column("fl"))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            fidx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            senc = pc.dictionary_encode(t.column("src"))
+            if isinstance(senc, pa.ChunkedArray):
+                senc = senc.combine_chunks()
+            sidx = np.asarray(senc.indices, dtype=np.int64) \
+                if len(senc) else np.empty(0, np.int64)
+            sdic = senc.dictionary.to_pylist() if len(senc) else []
+            nfl = int(fidx.max()) + 1 if len(fidx) else 0
+            total = np.bincount(fidx, minlength=nfl)
+            isdup = total[fidx] >= 2
+            k = len(sdic)
+            return pa.table({
+                "source": pa.array(sdic, type=pa.string()),
+                "n_docs": pa.array(np.bincount(
+                    sidx, minlength=k).astype(np.int64)),
+                "n_dup_firstline": pa.array(np.bincount(
+                    sidx, weights=isdup,
+                    minlength=k).astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "documents",
+                  columns=["doc_id", "text", "source"])
+            .map_batches(plant, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({
+                "source": pd.Series(dtype=object),
+                "n_docs": pd.Series(dtype="int64"),
+                "n_dup_firstline": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("source", as_index=False)
+              [["n_docs", "n_dup_firstline"]].sum())
+        return (df.sort_values("source").reset_index(drop=True)
+                .astype({"n_docs": "int64",
+                         "n_dup_firstline": "int64"}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_daily_user_overlap": daily_user_overlap_q,
+        "events_value_trimmed_by_type": trimmed_mean_q,
+        "docs_first_line_dup": first_line_dup_q,
         "part_ship_gap_median_hist": ship_gap_median_q,
         "docs_adjacent_word_stutter": word_stutter_q,
         "embeddings_sign_agreement": sign_agreement_q,
@@ -11158,6 +11362,72 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "events_daily_user_overlap": """
+-- audience-churn smoothness: day-over-day active-user intersection
+-- and union over the contiguous day spine
+WITH ud AS (
+  SELECT DISTINCT user_id AS u,
+         epoch_us(ts) // 86400000000 AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+n AS (SELECT d, COUNT(*) AS n FROM ud GROUP BY 1),
+i AS (
+  SELECT a.d + 1 AS d, COUNT(*) AS inter
+  FROM ud a JOIN ud b ON b.u = a.u AND b.d = a.d + 1
+  GROUP BY 1),
+sp AS (
+  SELECT unnest(generate_series((SELECT MIN(d) + 1 FROM ud),
+                                (SELECT MAX(d) FROM ud))) AS day)
+SELECT CAST(sp.day AS BIGINT) AS day,
+       CAST(COALESCE(i.inter, 0) AS BIGINT) AS n_inter,
+       CAST(COALESCE(np.n, 0) + COALESCE(nc.n, 0)
+            - COALESCE(i.inter, 0) AS BIGINT) AS n_union
+FROM sp LEFT JOIN i ON i.d = sp.day
+        LEFT JOIN n np ON np.d = sp.day - 1
+        LEFT JOIN n nc ON nc.d = sp.day
+ORDER BY 1
+""",
+        "events_value_trimmed_by_type": """
+-- robust per-type value profile: 10%-trimmed kept mass (drop
+-- floor(n/10) cents-ranked rows at each end; ties safe for SUM)
+WITH e AS (
+  SELECT event_type AS t, CAST(round(100 * value) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT t, c,
+         ROW_NUMBER() OVER (PARTITION BY t ORDER BY c) AS rn,
+         COUNT(*) OVER (PARTITION BY t) AS n
+  FROM e)
+SELECT t AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                     THEN c ELSE 0 END) AS BIGINT)
+         AS sum_kept_cents
+FROM r GROUP BY 1 ORDER BY 1
+""",
+        "docs_first_line_dup": """
+-- boilerplate-title audit: docs whose FIRST LINE is shared by >= 2
+-- docs globally, per source (planted: doc_id < 20 re-published
+-- with a new tail under the same first line)
+WITH all_docs AS (
+  SELECT text, source FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    AND source IS NOT NULL
+  UNION ALL
+  SELECT split_part(text, chr(10), 1) || chr(10) || 'planted tail',
+         source
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    AND source IS NOT NULL AND doc_id < 20),
+f AS (SELECT source, split_part(text, chr(10), 1) AS fl
+      FROM all_docs),
+c AS (SELECT fl, COUNT(*) AS c FROM f GROUP BY 1)
+SELECT f.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_firstline
+FROM f JOIN c USING (fl) GROUP BY 1 ORDER BY 1
+""",
         "part_ship_gap_median_hist": """
 -- replenishment-cadence census: per part the LOWER-median gap
 -- between consecutive DISTINCT ship days, histogrammed over parts

@@ -276,3 +276,66 @@ def test_oracle_sign_agreement(ray_session):
                     f"'{SF}/embeddings.parquet'").fetchone()[0]
     assert (out.n == n).all()
     assert (out.n_agree <= out.n).all()
+
+
+def test_oracle_daily_user_overlap(ray_session):
+    out = _oracle_check("events_daily_user_overlap",
+                        tables=("events",))
+    assert (out.n_inter <= out.n_union).all()
+    days = out.day.to_numpy(np.int64)
+    assert np.array_equal(days, np.arange(days[0], days[-1] + 1))
+
+
+def test_daily_user_overlap_hand_case(ray_session, tmp_path):
+    # d0: {1,2}; d1: {2,3}; d2: {3}
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def d2us(d):
+        return d * 86_400_000_000
+
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 2, 2, 3, 3], pa.int64()),
+        "ts": pa.array([d2us(0), d2us(0), d2us(1), d2us(1), d2us(2)],
+                       pa.timestamp("us")),
+    }), tmp_path / "events.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["events_daily_user_overlap"](str(tmp_path))
+    assert out.day.tolist() == [1, 2]
+    assert out.n_inter.tolist() == [1, 1]   # {2}, {3}
+    assert out.n_union.tolist() == [3, 2]   # {1,2,3}, {2,3}
+
+
+def test_oracle_trimmed_by_type(ray_session):
+    out = _oracle_check("events_value_trimmed_by_type",
+                        tables=("events",))
+    assert (out.n_kept == out.n - 2 * (out.n // 10)).all()
+
+
+def test_trimmed_hand_case(ray_session, tmp_path):
+    # type a: cents [1..10]*100 -> n=10, k=1, keep ranks 2..9
+    # -> kept sum = (2+..+9)*100 = 4400
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "event_type": pa.array(["a"] * 10),
+        "value": pa.array([float(i) for i in range(1, 11)]),
+    }), tmp_path / "events.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["events_value_trimmed_by_type"](str(tmp_path))
+    r = out.iloc[0]
+    assert (r.n, r.n_kept, r.sum_kept_cents) == (10, 8, 4400)
+
+
+def test_oracle_first_line_dup(ray_session):
+    out = _oracle_check("docs_first_line_dup",
+                        tables=("documents",))
+    # planted: 20 originals + 20 republished copies are all dups
+    assert out.n_dup_firstline.sum() >= 40
+    con = duckdb.connect()
+    nd = con.execute(f"SELECT COUNT(*) FROM "
+                     f"'{SF}/documents.parquet'").fetchone()[0]
+    assert out.n_docs.sum() == nd + 20
