@@ -9579,8 +9579,196 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .astype({"n_docs": "int64",
                          "n_dup_firstline": "int64"}))
 
+    def acctbal_outliers_q(sf):
+        # exact 2-sigma outlier census per nation, all-integer
+        # ((n*x - s)^2 > 4*(n*s2 - s^2), cents; no float sigma):
+        # moments pass -> broadcast nation moments -> flag pass.
+        # int64-safe while |n*x - s| < 3e9 (true far beyond sf1).
+        ds = _read(sf, "supplier",
+                   columns=["s_nationkey", "s_acctbal"])
+
+        def moments(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["s_nationkey"]),
+                        pc.is_valid(b["s_acctbal"]))
+            b = b.filter(m)
+            nk = pc.cast(b["s_nationkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            x = np.rint(100.0 * b["s_acctbal"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            u, inv = np.unique(nk, return_inverse=True)
+            return pa.table({
+                "nk": pa.array(u),
+                "n": pa.array(np.bincount(
+                    inv, minlength=len(u)).astype(np.int64)),
+                "s": pa.array(np.bincount(
+                    inv, weights=x, minlength=len(u))
+                    .astype(np.int64)),
+                "s2": pa.array(np.bincount(
+                    inv, weights=x * x, minlength=len(u))
+                    .astype(np.int64))})
+
+        mom = (ds.map_batches(moments, batch_format="pyarrow")
+               .to_pandas())
+        cols = ["nationkey", "n_suppliers", "n_outliers"]
+        if not len(mom):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        mom = mom.groupby("nk", as_index=False).sum()
+        import ray as _ray
+
+        ref = _ray.put({int(r.nk): (int(r.n), int(r.s), int(r.s2))
+                        for r in mom.itertuples()})
+
+        def flag(b: pa.Table) -> pa.Table:
+            mm = _ray.get(ref)
+            m = pc.and_(pc.is_valid(b["s_nationkey"]),
+                        pc.is_valid(b["s_acctbal"]))
+            b = b.filter(m)
+            nk = pc.cast(b["s_nationkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            x = np.rint(100.0 * b["s_acctbal"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            n = np.array([mm[int(k)][0] for k in nk], np.int64)
+            s = np.array([mm[int(k)][1] for k in nk], np.int64)
+            s2 = np.array([mm[int(k)][2] for k in nk], np.int64)
+            d = n * x - s
+            out = (d * d > 4 * (n * s2 - s * s)).astype(np.int64)
+            u, inv = np.unique(nk, return_inverse=True)
+            return pa.table({
+                "nationkey": pa.array(u),
+                "n_suppliers": pa.array(np.bincount(
+                    inv, minlength=len(u)).astype(np.int64)),
+                "n_outliers": pa.array(np.bincount(
+                    inv, weights=out, minlength=len(u))
+                    .astype(np.int64))})
+
+        parts = (ds.map_batches(flag, batch_format="pyarrow")
+                 .to_pandas())
+        df = (parts.groupby("nationkey", as_index=False)
+              [["n_suppliers", "n_outliers"]].sum())
+        return (df.sort_values("nationkey").reset_index(drop=True)
+                .astype("int64"))
+
+    def linenumber_integrity_q(sf):
+        # key-integrity audit: per order, do linenumbers form an
+        # exact 1..n sequence?  Classes ok / dup / gap / dup+gap
+        # (the synthetic lineitem is KNOWN to carry dup pairs);
+        # ONE orderkey-keyed exchange over (k, ln) rows
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_orderkey"]),
+                        pc.is_valid(b["l_linenumber"]))
+            b = b.filter(m)
+            k = pc.cast(b["l_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "k": pa.array(k),
+                "ln": pc.cast(b["l_linenumber"], pa.int64()),
+                "__b": pa.array(k % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            ln = t.column("ln").to_numpy(zero_copy_only=False)
+            o = np.lexsort((ln, k))
+            k, ln = k[o], ln[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(k)))
+            newv = np.r_[True, (k[1:] != k[:-1])
+                         | (ln[1:] != ln[:-1])] \
+                if len(k) else np.empty(0, bool)
+            dcnt = np.add.reduceat(newv.astype(np.int64), st) \
+                if len(st) else np.empty(0, np.int64)
+            mn = np.minimum.reduceat(ln, st) if len(st) else \
+                np.empty(0, np.int64)
+            mx = np.maximum.reduceat(ln, st) if len(st) else \
+                np.empty(0, np.int64)
+            dup = n > dcnt
+            gap = ~((mn == 1) & (mx == dcnt))
+            cls = dup.astype(np.int64) * 2 + gap.astype(np.int64)
+            names = np.array(["ok", "gap", "dup", "dup+gap"])
+            u, cnt = np.unique(cls, return_counts=True)
+            return pa.table({
+                "anomaly": pa.array(names[u], type=pa.string()),
+                "n_orders": pa.array(cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "lineitem",
+                  columns=["l_orderkey", "l_linenumber"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({
+                "anomaly": pd.Series(dtype=object),
+                "n_orders": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("anomaly", as_index=False)
+              ["n_orders"].sum())
+        return (df.sort_values("anomaly").reset_index(drop=True)
+                .astype({"n_orders": "int64"}))
+
+    def weekend_share_q(sf):
+        # lifestyle-mix census: per user the weekend share of events
+        # (Sunday=0 / Saturday=6 by the epoch-day rule), permille
+        # deciles; map-side (u, n, we) partials, ONE user exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["user_id"]),
+                        pc.is_valid(b["ts"]))
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            dow = (day + 4) % 7
+            we = ((dow == 0) | (dow == 6)).astype(np.int64)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            uu, inv = np.unique(u, return_inverse=True)
+            return pa.table({
+                "u": pa.array(uu),
+                "n": pa.array(np.bincount(
+                    inv, minlength=len(uu)).astype(np.int64)),
+                "we": pa.array(np.bincount(
+                    inv, weights=we, minlength=len(uu))
+                    .astype(np.int64)),
+                "__b": pa.array(uu % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            we = t.column("we").to_numpy(zero_copy_only=False)
+            o = np.argsort(u, kind="stable")
+            u, n, we = u[o], n[o], we[o]
+            st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
+                if len(u) else np.empty(0, np.int64)
+            ns = np.add.reduceat(n, st) if len(st) else \
+                np.empty(0, np.int64)
+            ws = np.add.reduceat(we, st) if len(st) else \
+                np.empty(0, np.int64)
+            band = (1000 * ws // ns) // 100
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({"band": pa.array(ub.astype(np.int64)),
+                             "n_users": pa.array(
+                                 cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events", columns=["user_id", "ts"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              ["n_users"].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "supplier_acctbal_outliers": acctbal_outliers_q,
+        "lineitem_linenumber_integrity": linenumber_integrity_q,
+        "users_weekend_share_hist": weekend_share_q,
         "events_daily_user_overlap": daily_user_overlap_q,
         "events_value_trimmed_by_type": trimmed_mean_q,
         "docs_first_line_dup": first_line_dup_q,
@@ -11362,6 +11550,59 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "supplier_acctbal_outliers": """
+-- exact 2-sigma outlier census per nation, all-integer cents:
+-- outlier iff (n*x - s)^2 > 4*(n*s2 - s^2)
+WITH s AS (
+  SELECT s_nationkey AS nk,
+         CAST(round(100 * s_acctbal) AS BIGINT) AS x
+  FROM supplier
+  WHERE s_nationkey IS NOT NULL AND s_acctbal IS NOT NULL),
+m AS (
+  SELECT nk, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS s2
+  FROM s GROUP BY 1)
+SELECT CAST(m.nk AS BIGINT) AS nationkey,
+       CAST(m.n AS BIGINT) AS n_suppliers,
+       CAST(SUM(CASE WHEN CAST(m.n * s.x - m.s AS HUGEINT)
+                          * CAST(m.n * s.x - m.s AS HUGEINT)
+                     > 4 * CAST(m.n * m.s2 - m.s * m.s AS HUGEINT)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM s JOIN m USING (nk) GROUP BY m.nk, m.n ORDER BY 1
+""",
+        "lineitem_linenumber_integrity": """
+-- key-integrity audit: per order, is l_linenumber an exact 1..n
+-- sequence?  Classes ok / dup / gap / dup+gap
+WITH a AS (
+  SELECT l_orderkey AS k, COUNT(*) AS n,
+         COUNT(DISTINCT l_linenumber) AS d,
+         MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+  GROUP BY 1),
+c AS (
+  SELECT CASE WHEN n > d AND NOT (mn = 1 AND mx = d) THEN 'dup+gap'
+              WHEN n > d THEN 'dup'
+              WHEN NOT (mn = 1 AND mx = d) THEN 'gap'
+              ELSE 'ok' END AS cls
+  FROM a)
+SELECT cls AS anomaly, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM c GROUP BY 1 ORDER BY 1
+""",
+        "users_weekend_share_hist": """
+-- lifestyle-mix census: per-user weekend share of events
+-- (epoch-day dow: Sunday=0, Saturday=6), permille deciles
+WITH e AS (
+  SELECT user_id AS u,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+a AS (
+  SELECT u, COUNT(*) AS n,
+         SUM(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END) AS we
+  FROM e GROUP BY 1)
+SELECT CAST((1000 * we // n) // 100 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1 ORDER BY 1
+""",
         "events_daily_user_overlap": """
 -- audience-churn smoothness: day-over-day active-user intersection
 -- and union over the contiguous day spine

@@ -339,3 +339,67 @@ def test_oracle_first_line_dup(ray_session):
     nd = con.execute(f"SELECT COUNT(*) FROM "
                      f"'{SF}/documents.parquet'").fetchone()[0]
     assert out.n_docs.sum() == nd + 20
+
+
+def test_oracle_acctbal_outliers(ray_session):
+    out = _oracle_check("supplier_acctbal_outliers",
+                        tables=("supplier",))
+    assert (out.n_outliers <= out.n_suppliers).all()
+    # Chebyshev: at most 1/4 of any group can sit beyond 2 sigma
+    assert (4 * out.n_outliers <= out.n_suppliers).all()
+
+
+def test_acctbal_outliers_hand_case(ray_session, tmp_path):
+    # nation 0: five zeros + one spike x: (x-mu)^2 = (5x/6)^2 =
+    # 25/36 x^2 > 4*sigma^2 = 20/36 x^2 -> the spike IS an outlier
+    # (with n=5 the two sides are exactly equal -> not an outlier)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "s_nationkey": pa.array([0] * 6, pa.int32()),
+        "s_acctbal": pa.array([0.0] * 5 + [1.01]),
+    }), tmp_path / "supplier.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["supplier_acctbal_outliers"](str(tmp_path))
+    assert out.n_suppliers.tolist() == [6]
+    assert out.n_outliers.tolist() == [1]
+
+
+def test_oracle_linenumber_integrity(ray_session):
+    out = _oracle_check("lineitem_linenumber_integrity",
+                        tables=("lineitem",))
+    con = duckdb.connect()
+    no = con.execute(f"SELECT COUNT(DISTINCT l_orderkey) FROM "
+                     f"'{SF}/lineitem.parquet'").fetchone()[0]
+    assert out.n_orders.sum() == no
+
+
+def test_linenumber_integrity_hand_case(ray_session, tmp_path):
+    # order 1: [1,2,3] ok; order 2: [1,1,2] dup (distinct {1,2}
+    # contiguous); order 3: [1,3] gap; order 4: [2,2] dup+gap
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 2, 2, 3, 3, 4, 4],
+                               pa.int64()),
+        "l_linenumber": pa.array([1, 2, 3, 1, 1, 2, 1, 3, 2, 2],
+                                 pa.int32()),
+    }), tmp_path / "lineitem.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["lineitem_linenumber_integrity"](str(tmp_path))
+    assert dict(zip(out.anomaly, out.n_orders)) == {
+        "ok": 1, "dup": 1, "gap": 1, "dup+gap": 1}
+
+
+def test_oracle_weekend_share(ray_session):
+    out = _oracle_check("users_weekend_share_hist",
+                        tables=("events",))
+    assert out.band.between(0, 10).all()
+    con = duckdb.connect()
+    nu = con.execute(f"SELECT COUNT(DISTINCT user_id) FROM "
+                     f"'{SF}/events.parquet'").fetchone()[0]
+    assert out.n_users.sum() == nu
