@@ -9764,8 +9764,200 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("band").reset_index(drop=True)
                 .astype("int64"))
 
+    def dim_deciles_q(sf):
+        # per-dimension exact disc deciles of quantized values
+        # (q = floor(1000*x), first 8 dims): (dim, q) pre-counts in
+        # ONE dim-keyed exchange, rank pick pos = ceil(p*n)
+        from verify_ray.pipelines.similarity import _emb_matrix
+        from verify_ray.stages.exchange import grouped_exchange
+
+        K = 8
+
+        def tag(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["embedding"]))
+            if b.num_rows == 0:
+                z = np.empty(0, np.int64)
+                return pa.table({"dim": pa.array(z),
+                                 "q": pa.array(z),
+                                 "cnt": pa.array(z),
+                                 "__b": pa.array(z)})
+            m = np.floor(1000.0 * _emb_matrix(b, "embedding")[:, :K]) \
+                .astype(np.int64)
+            dims, qs, cnts = [], [], []
+            for j in range(K):
+                u, c = np.unique(m[:, j], return_counts=True)
+                dims.append(np.full(len(u), j, np.int64))
+                qs.append(u)
+                cnts.append(c.astype(np.int64))
+            dim = np.concatenate(dims)
+            return pa.table({"dim": pa.array(dim),
+                             "q": pa.array(np.concatenate(qs)),
+                             "cnt": pa.array(np.concatenate(cnts)),
+                             "__b": pa.array(dim % K)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            dim = t.column("dim").to_numpy(zero_copy_only=False)
+            q = t.column("q").to_numpy(zero_copy_only=False)
+            c = t.column("cnt").to_numpy(zero_copy_only=False)
+            o = np.lexsort((q, dim))
+            dim, q, c = dim[o], q[o], c[o]
+            key = np.flatnonzero(
+                np.r_[True, (dim[1:] != dim[:-1])
+                      | (q[1:] != q[:-1])]) \
+                if len(dim) else np.empty(0, np.int64)
+            cs = np.add.reduceat(c, key) if len(key) else \
+                np.empty(0, np.int64)
+            dim, q = dim[key], q[key]
+            st = np.flatnonzero(np.r_[True, dim[1:] != dim[:-1]]) \
+                if len(dim) else np.empty(0, np.int64)
+            out_d, out_p, out_v = [], [], []
+            for si, ei in zip(st, np.append(st[1:], len(dim))):
+                vals, cnts = q[si:ei], cs[si:ei]
+                cum = cnts.cumsum()
+                n = int(cum[-1])
+                for dec in range(1, 10):
+                    pos = (dec * n + 9) // 10  # ceil, 1-based
+                    out_d.append(dim[si])
+                    out_p.append(dec)
+                    out_v.append(vals[np.searchsorted(cum, pos)])
+            return pa.table({
+                "dim": pa.array(np.array(out_d, np.int64)),
+                "decile": pa.array(np.array(out_p, np.int64)),
+                "val": pa.array(np.array(out_v, np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "embeddings", columns=["embedding"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", K, fold)
+        cols = ["dim", "decile", "val"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = out.to_pandas()
+        return (df.sort_values(["dim", "decile"])
+                .reset_index(drop=True).astype("int64"))
+
+    def value_magnitude_priority_q(sf):
+        # order-size personality: log2 magnitude band of total price
+        # cents x priority contingency; pure map-side partials
+        def part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_totalprice"]),
+                        pc.is_valid(b["o_orderpriority"]))
+            b = b.filter(m)
+            cents = np.rint(100.0 * b["o_totalprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            band = (np.frexp(cents.astype(np.float64))[1] - 1) \
+                .astype(np.int64)
+            enc = pc.dictionary_encode(
+                pc.cast(b["o_orderpriority"], pa.string()))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dic = enc.dictionary.to_pylist() if len(enc) else []
+            k = max(len(dic), 1)
+            cell = band * k + idx
+            uc, cnt = np.unique(cell, return_counts=True)
+            return pa.table({
+                "band": pa.array((uc // k).astype(np.int64)),
+                "o_orderpriority": pa.array(
+                    [dic[j] for j in (uc % k)], type=pa.string()),
+                "n_orders": pa.array(cnt.astype(np.int64))})
+
+        parts = (_read(sf, "orders",
+                       columns=["o_totalprice", "o_orderpriority"])
+                 .map_batches(part, batch_format="pyarrow")
+                 .to_pandas())
+        if not len(parts):
+            return pd.DataFrame({
+                "band": pd.Series(dtype="int64"),
+                "o_orderpriority": pd.Series(dtype=object),
+                "n_orders": pd.Series(dtype="int64")})
+        df = (parts.groupby(["band", "o_orderpriority"],
+                            as_index=False)["n_orders"].sum())
+        return (df.sort_values(["band", "o_orderpriority"])
+                .reset_index(drop=True)
+                .astype({"band": "int64", "n_orders": "int64"}))
+
+    def cross_lang_dups_q(sf):
+        # translation-mislabel audit: docs whose EXACT text appears
+        # under >= 2 distinct langs, per lang (planted: doc_id < 25
+        # republished verbatim under lang 'xx').  Text routes by md5
+        # bucket; per-text lang spread resolves in ONE exchange.
+        from verify_ray.pipelines.sample import _hash_buckets
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def plant(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["doc_id"]),
+                        pc.and_(pc.is_valid(b["text"]),
+                                pc.is_valid(b["lang"])))
+            b = b.filter(m)
+            txt = pc.cast(b["text"], pa.string())
+            lang = pc.cast(b["lang"], pa.string())
+            sel = pc.less(pc.cast(b["doc_id"], pa.int64()), 25)
+            t = pa.table({
+                "txt": pa.concat_arrays(
+                    [txt.combine_chunks(),
+                     txt.filter(sel).combine_chunks()]),
+                "lang": pa.concat_arrays(
+                    [lang.combine_chunks(),
+                     pa.array(["xx"] * int(pc.sum(
+                         pc.cast(sel, pa.int64())).as_py() or 0),
+                         type=pa.string())])})
+            bk = _hash_buckets(t.column("txt"))
+            return pa.table({"txt": t.column("txt"),
+                             "lang": t.column("lang"),
+                             "__b": pa.array(
+                                 (bk % 32).astype(np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            tenc = pc.dictionary_encode(t.column("txt"))
+            if isinstance(tenc, pa.ChunkedArray):
+                tenc = tenc.combine_chunks()
+            ti = np.asarray(tenc.indices, dtype=np.int64) \
+                if len(tenc) else np.empty(0, np.int64)
+            lenc = pc.dictionary_encode(t.column("lang"))
+            if isinstance(lenc, pa.ChunkedArray):
+                lenc = lenc.combine_chunks()
+            li = np.asarray(lenc.indices, dtype=np.int64) \
+                if len(lenc) else np.empty(0, np.int64)
+            ldic = lenc.dictionary.to_pylist() if len(lenc) else []
+            nl = max(len(ldic), 1)
+            # distinct langs per text
+            pair = np.unique(ti * nl + li)
+            nlang = np.bincount(pair // nl,
+                                minlength=int(ti.max()) + 1
+                                if len(ti) else 0)
+            isx = nlang[ti] >= 2
+            k = len(ldic)
+            return pa.table({
+                "lang": pa.array(ldic, type=pa.string()),
+                "n_docs": pa.array(np.bincount(
+                    li, minlength=k).astype(np.int64)),
+                "n_cross_lang_dup": pa.array(np.bincount(
+                    li, weights=isx, minlength=k).astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "documents",
+                  columns=["doc_id", "text", "lang"])
+            .map_batches(plant, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({
+                "lang": pd.Series(dtype=object),
+                "n_docs": pd.Series(dtype="int64"),
+                "n_cross_lang_dup": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("lang", as_index=False)
+              [["n_docs", "n_cross_lang_dup"]].sum())
+        return (df.sort_values("lang").reset_index(drop=True)
+                .astype({"n_docs": "int64",
+                         "n_cross_lang_dup": "int64"}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "embeddings_dim_deciles": dim_deciles_q,
+        "orders_value_magnitude_priority": value_magnitude_priority_q,
+        "docs_cross_lang_dups": cross_lang_dups_q,
         "supplier_acctbal_outliers": acctbal_outliers_q,
         "lineitem_linenumber_integrity": linenumber_integrity_q,
         "users_weekend_share_hist": weekend_share_q,
@@ -11550,6 +11742,60 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "embeddings_dim_deciles": """
+-- per-dimension exact disc deciles of quantized values (first 8
+-- dims; rank pick at pos = ceil(p*n), 1-based)
+WITH v AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+           AS q
+  FROM embeddings WHERE embedding IS NOT NULL),
+d AS (
+  SELECT t1.i AS dim, v.q[t1.i + 1] AS val
+  FROM v, range(8) t1(i)),
+r AS (
+  SELECT dim, val,
+         ROW_NUMBER() OVER (PARTITION BY dim ORDER BY val) AS rn,
+         COUNT(*) OVER (PARTITION BY dim) AS n
+  FROM d)
+SELECT CAST(r.dim AS BIGINT) AS dim,
+       CAST(t2.dec AS BIGINT) AS decile,
+       CAST(MAX(CASE WHEN rn = (t2.dec * n + 9) // 10
+                     THEN val END) AS BIGINT) AS val
+FROM r, range(1, 10) t2(dec)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "orders_value_magnitude_priority": """
+-- order-size personality: log2 magnitude band of total price cents
+-- x priority contingency
+WITH o AS (
+  SELECT CAST(round(100 * o_totalprice) AS BIGINT) AS c,
+         o_orderpriority
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL)
+SELECT CAST(LENGTH(bin(c)) - 1 AS BIGINT) AS band, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM o GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "docs_cross_lang_dups": """
+-- translation-mislabel audit: docs whose EXACT text appears under
+-- >= 2 distinct langs, per lang (planted: doc_id < 25 republished
+-- verbatim under lang 'xx')
+WITH all_docs AS (
+  SELECT text, lang FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    AND lang IS NOT NULL
+  UNION ALL
+  SELECT text, 'xx' FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    AND lang IS NOT NULL AND doc_id < 25),
+c AS (SELECT text, COUNT(DISTINCT lang) AS nl
+      FROM all_docs GROUP BY 1)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.nl >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_lang_dup
+FROM all_docs d JOIN c USING (text) GROUP BY 1 ORDER BY 1
+""",
         "supplier_acctbal_outliers": """
 -- exact 2-sigma outlier census per nation, all-integer cents:
 -- outlier iff (n*x - s)^2 > 4*(n*s2 - s^2)

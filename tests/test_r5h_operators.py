@@ -403,3 +403,53 @@ def test_oracle_weekend_share(ray_session):
     nu = con.execute(f"SELECT COUNT(DISTINCT user_id) FROM "
                      f"'{SF}/events.parquet'").fetchone()[0]
     assert out.n_users.sum() == nu
+
+
+def test_oracle_dim_deciles(ray_session):
+    out = _oracle_check("embeddings_dim_deciles",
+                        tables=("embeddings",))
+    assert len(out) == 72  # 8 dims x 9 deciles
+    # deciles are monotone within each dim
+    for _, sub in out.groupby("dim"):
+        v = sub.sort_values("decile").val.to_numpy()
+        assert (np.diff(v) >= 0).all()
+
+
+def test_dim_deciles_hand_case(ray_session, tmp_path):
+    # dim 0 values i/1024 (float32-EXACT; i/1000 is not: the
+    # float32(0.005)*1000 -> 4.9999999 floor trap) -> q = floor(
+    # 1000*i/1024); decile d picks rank d -> val of element d-1
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = [[i / 1024.0] + [0.0] * 7 for i in range(10)]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(list(range(10)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    }), tmp_path / "embeddings.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["embeddings_dim_deciles"](str(tmp_path))
+    d0 = out[out.dim == 0].sort_values("decile")
+    exp = [int(1000 * i // 1024) for i in range(9)]
+    assert d0.val.tolist() == exp
+
+
+def test_oracle_value_magnitude(ray_session):
+    out = _oracle_check("orders_value_magnitude_priority",
+                        tables=("orders",))
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM "
+                    f"'{SF}/orders.parquet'").fetchone()[0]
+    assert out.n_orders.sum() == n
+    # min price ~1000 -> cents >= 1e5 -> band >= 16
+    assert (out.band >= 16).all()
+
+
+def test_oracle_cross_lang_dups(ray_session):
+    out = _oracle_check("docs_cross_lang_dups",
+                        tables=("documents",))
+    # the 25 planted 'xx' copies + their originals are all dups
+    assert out.n_cross_lang_dup.sum() >= 50
+    xx = out[out.lang == "xx"].iloc[0]
+    assert xx.n_docs == 25 and xx.n_cross_lang_dup == 25
