@@ -9953,8 +9953,205 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .astype({"n_docs": "int64",
                          "n_cross_lang_dup": "int64"}))
 
+    def nchars_reconcile_q(sf):
+        # metadata-integrity audit: does n_chars match the actual
+        # unicode length of text?  (planted: doc_id < 15 re-published
+        # with n_chars + 7.)  Pure map-side partials, zero shuffle.
+        def part(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("doc_id", "text", "source", "n_chars"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            ln = pc.utf8_length(pc.cast(b["text"], pa.string())) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            nc = pc.cast(b["n_chars"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            sel = (pc.less(pc.cast(b["doc_id"], pa.int64()), 15)
+                   .to_numpy(zero_copy_only=False).astype(bool))
+            enc = pc.dictionary_encode(
+                pc.cast(b["source"], pa.string()))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            sidx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dic = enc.dictionary.to_pylist() if len(enc) else []
+            # planted rows: same doc with corrupted n_chars
+            sidx = np.concatenate([sidx, sidx[sel]])
+            diff = np.concatenate([nc - ln, (nc - ln)[sel] + 7])
+            bad = (diff != 0).astype(np.int64)
+            k = len(dic)
+            mx = np.zeros(k, np.int64)
+            np.maximum.at(mx, sidx, np.abs(diff))
+            return pa.table({
+                "source": pa.array(dic, type=pa.string()),
+                "n_docs": pa.array(np.bincount(
+                    sidx, minlength=k).astype(np.int64)),
+                "n_mismatch": pa.array(np.bincount(
+                    sidx, weights=bad, minlength=k)
+                    .astype(np.int64)),
+                "max_abs_diff": pa.array(mx)})
+
+        parts = (_read(sf, "documents",
+                       columns=["doc_id", "text", "source",
+                                "n_chars"])
+                 .map_batches(part, batch_format="pyarrow")
+                 .to_pandas())
+        if not len(parts):
+            return pd.DataFrame({
+                "source": pd.Series(dtype=object),
+                "n_docs": pd.Series(dtype="int64"),
+                "n_mismatch": pd.Series(dtype="int64"),
+                "max_abs_diff": pd.Series(dtype="int64")})
+        g = parts.groupby("source", as_index=False)
+        df = g.agg(n_docs=("n_docs", "sum"),
+                   n_mismatch=("n_mismatch", "sum"),
+                   max_abs_diff=("max_abs_diff", "max"))
+        return (df.sort_values("source").reset_index(drop=True)
+                .astype({c: "int64" for c in
+                         ("n_docs", "n_mismatch", "max_abs_diff")}))
+
+    def exploration_speed_q(sf):
+        # onboarding-breadth census: 1-based timeline position where
+        # each user first reaches 3 DISTINCT event types (users that
+        # never do are excluded); ONE user-keyed exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("user_id", "ts", "event_id", "event_type"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "u": pa.array(u),
+                "ts": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                              pa.int64()),
+                "eid": pc.cast(b["event_id"], pa.int64()),
+                "t": pc.cast(b["event_type"], pa.string()),
+                "__b": pa.array(u % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            eid = t.column("eid").to_numpy(zero_copy_only=False)
+            enc = pc.dictionary_encode(t.column("t"))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            if not len(u):
+                return pa.table({
+                    "pos": pa.array([], type=pa.int64()),
+                    "n_users": pa.array([], type=pa.int64())})
+            o = np.lexsort((eid, ts, u))
+            u, ts, eid, idx = u[o], ts[o], eid[o], idx[o]
+            st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+            seg = np.repeat(st, np.diff(np.append(st, len(u))))
+            pos = np.arange(len(u)) - seg + 1
+            # first occurrence of (u, type): sort by (u, t, pos)
+            o2 = np.lexsort((pos, idx, u))
+            u2, i2 = u[o2], idx[o2]
+            isnew2 = np.r_[True, (u2[1:] != u2[:-1])
+                           | (i2[1:] != i2[:-1])]
+            isnew = np.zeros(len(u), bool)
+            isnew[o2] = isnew2
+            cg = np.cumsum(isnew.astype(np.int64))
+            base = cg[st] - isnew[st].astype(np.int64)
+            cum = cg - np.repeat(base, np.diff(
+                np.append(st, len(u))))
+            hit = isnew & (cum == 3)
+            p3 = pos[hit]
+            up, cnt = np.unique(p3, return_counts=True)
+            return pa.table({
+                "pos": pa.array(up.astype(np.int64)),
+                "n_users": pa.array(cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_id", "event_type"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"pos": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("pos", as_index=False)
+              ["n_users"].sum())
+        return (df.sort_values("pos").reset_index(drop=True)
+                .astype("int64"))
+
+    def value_momentum_q(sf):
+        # spend-momentum matrix: per customer, consecutive order
+        # value deltas sign (+1/0/-1) along (orderdate, orderkey);
+        # count sign-pair transitions — ONE custkey-keyed exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("o_custkey", "o_orderkey", "o_orderdate",
+                      "o_totalprice"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            k = pc.cast(b["o_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            cents = np.rint(100.0 * b["o_totalprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            d = pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+            ok = pc.cast(b["o_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({"k": pa.array(k), "d": pa.array(d),
+                             "ok": pa.array(ok),
+                             "c": pa.array(cents),
+                             "__b": pa.array(k % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            ok = t.column("ok").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            o = np.lexsort((ok, d, k))
+            k, c = k[o], c[o]
+            if len(k) < 3:
+                z = np.empty(0, np.int64)
+                return pa.table({"prev_sign": pa.array(z),
+                                 "next_sign": pa.array(z),
+                                 "n": pa.array(z)})
+            same = k[1:] == k[:-1]
+            s = np.sign(c[1:] - c[:-1])
+            ok3 = same[:-1] & same[1:]
+            ps, ns = s[:-1][ok3], s[1:][ok3]
+            cell = (ps + 1) * 3 + (ns + 1)
+            uc, cnt = np.unique(cell, return_counts=True)
+            return pa.table({
+                "prev_sign": pa.array((uc // 3 - 1).astype(np.int64)),
+                "next_sign": pa.array((uc % 3 - 1).astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "orders",
+                  columns=["o_custkey", "o_orderkey", "o_orderdate",
+                           "o_totalprice"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["prev_sign", "next_sign", "n"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (out.to_pandas()
+              .groupby(["prev_sign", "next_sign"], as_index=False)
+              ["n"].sum())
+        return (df.sort_values(["prev_sign", "next_sign"])
+                .reset_index(drop=True).astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_nchars_reconcile": nchars_reconcile_q,
+        "users_exploration_speed_hist": exploration_speed_q,
+        "customers_order_value_momentum": value_momentum_q,
         "embeddings_dim_deciles": dim_deciles_q,
         "orders_value_magnitude_priority": value_magnitude_priority_q,
         "docs_cross_lang_dups": cross_lang_dups_q,
@@ -11742,6 +11939,71 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "docs_nchars_reconcile": """
+-- metadata-integrity audit: n_chars vs actual unicode text length
+-- (planted: doc_id < 15 re-published with n_chars + 7)
+WITH all_docs AS (
+  SELECT source, n_chars, text FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    AND source IS NOT NULL AND n_chars IS NOT NULL
+  UNION ALL
+  SELECT source, n_chars + 7, text FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    AND source IS NOT NULL AND n_chars IS NOT NULL
+    AND doc_id < 15),
+a AS (SELECT source, n_chars - LENGTH(text) AS diff FROM all_docs)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN diff <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatch,
+       CAST(MAX(ABS(diff)) AS BIGINT) AS max_abs_diff
+FROM a GROUP BY 1 ORDER BY 1
+""",
+        "users_exploration_speed_hist": """
+-- onboarding-breadth census: 1-based timeline position where each
+-- user first reaches 3 distinct event types
+WITH e AS (
+  SELECT user_id AS u, event_type AS t, ts, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL),
+o AS (
+  SELECT u,
+         ROW_NUMBER() OVER (PARTITION BY u
+                            ORDER BY ts, event_id) AS pos,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY u, t
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS isnew
+  FROM e),
+c AS (
+  SELECT u, pos,
+         SUM(isnew) OVER (PARTITION BY u ORDER BY pos) AS ndist
+  FROM o),
+f AS (SELECT u, MIN(pos) AS p3 FROM c WHERE ndist >= 3 GROUP BY 1)
+SELECT CAST(p3 AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM f GROUP BY 1 ORDER BY 1
+""",
+        "customers_order_value_momentum": """
+-- spend-momentum matrix: consecutive order-value delta signs per
+-- customer along (orderdate, orderkey); sign-pair transition counts
+WITH o AS (
+  SELECT o_custkey AS k,
+         CAST(round(100 * o_totalprice) AS BIGINT) AS c,
+         o_orderdate AS d, o_orderkey AS ok
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+    AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+l AS (
+  SELECT k, ROW_NUMBER() OVER w AS rn,
+         CAST(SIGN(c - LAG(c) OVER w) AS BIGINT) AS s
+  FROM o WINDOW w AS (PARTITION BY k ORDER BY d, ok)),
+p AS (
+  SELECT s, LAG(s) OVER (PARTITION BY k ORDER BY rn) AS ps
+  FROM l)
+SELECT ps AS prev_sign, s AS next_sign,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM p WHERE ps IS NOT NULL AND s IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "embeddings_dim_deciles": """
 -- per-dimension exact disc deciles of quantized values (first 8
 -- dims; rank pick at pos = ceil(p*n), 1-based)

@@ -453,3 +453,57 @@ def test_oracle_cross_lang_dups(ray_session):
     assert out.n_cross_lang_dup.sum() >= 50
     xx = out[out.lang == "xx"].iloc[0]
     assert xx.n_docs == 25 and xx.n_cross_lang_dup == 25
+
+
+def test_oracle_nchars_reconcile(ray_session):
+    out = _oracle_check("docs_nchars_reconcile",
+                        tables=("documents",))
+    # the 15 planted corruptions are the only mismatches (diff 7)
+    assert out.n_mismatch.sum() == 15
+    assert out[out.n_mismatch > 0].max_abs_diff.max() == 7
+    con = duckdb.connect()
+    nd = con.execute(f"SELECT COUNT(*) FROM "
+                     f"'{SF}/documents.parquet'").fetchone()[0]
+    assert out.n_docs.sum() == nd + 15
+
+
+def test_oracle_exploration_speed(ray_session):
+    out = _oracle_check("users_exploration_speed_hist",
+                        tables=("events",))
+    # reaching 3 distinct types takes at least 3 events
+    assert (out.pos >= 3).all()
+
+
+def test_exploration_hand_case(ray_session, tmp_path):
+    # user 1: a a b a c -> 3rd distinct at pos 5
+    # user 2: a b c     -> pos 3; user 3: a b a b -> never
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    types = ["a", "a", "b", "a", "c", "a", "b", "c", "a", "b",
+             "a", "b"]
+    pq.write_table(pa.table({
+        "user_id": pa.array([1] * 5 + [2] * 3 + [3] * 4, pa.int64()),
+        "ts": pa.array(list(range(12)), pa.timestamp("us")),
+        "event_id": pa.array(list(range(12)), pa.int64()),
+        "event_type": pa.array(types),
+    }), tmp_path / "events.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["users_exploration_speed_hist"](str(tmp_path))
+    assert dict(zip(out.pos, out.n_users)) == {3: 1, 5: 1}
+
+
+def test_oracle_value_momentum(ray_session):
+    out = _oracle_check("customers_order_value_momentum",
+                        tables=("orders",))
+    assert out.prev_sign.isin([-1, 0, 1]).all()
+    assert out.next_sign.isin([-1, 0, 1]).all()
+    # transition count = sum over customers of max(n_orders - 2, 0)
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        SELECT SUM(GREATEST(n - 2, 0)) FROM (
+          SELECT COUNT(*) AS n FROM '{SF}/orders.parquet'
+          GROUP BY o_custkey)
+    """).fetchone()[0]
+    assert out.n.sum() == exp
