@@ -10147,8 +10147,209 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values(["prev_sign", "next_sign"])
                 .reset_index(drop=True).astype("int64"))
 
+    def peak_hour_q(sf):
+        # load-shape audit: per event type the peak hour of day
+        # (count DESC, hour ASC) and its permille share; map-side
+        # (type, hour) partials, driver argmax over a 24*k frame
+        def part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["event_type"]),
+                        pc.is_valid(b["ts"]))
+            b = b.filter(m)
+            hr = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+                  // 3_600_000_000) % 24
+            enc = pc.dictionary_encode(
+                pc.cast(b["event_type"], pa.string()))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dic = enc.dictionary.to_pylist() if len(enc) else []
+            cell = idx * 24 + hr
+            uc, cnt = np.unique(cell, return_counts=True)
+            return pa.table({
+                "t": pa.array([dic[j] for j in uc // 24],
+                              type=pa.string()),
+                "hour": pa.array((uc % 24).astype(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64))})
+
+        parts = (_read(sf, "events", columns=["event_type", "ts"])
+                 .map_batches(part, batch_format="pyarrow")
+                 .to_pandas())
+        cols = ["event_type", "peak_hour", "peak_n", "total",
+                "share_pm"]
+        if not len(parts):
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                **{c: pd.Series(dtype="int64") for c in cols[1:]}})
+        g = (parts.groupby(["t", "hour"], as_index=False)
+             ["cnt"].sum())
+        rows = []
+        for tname, sub in g.groupby("t"):
+            sub = sub.sort_values(["cnt", "hour"],
+                                  ascending=[False, True])
+            total = int(sub.cnt.sum())
+            rows.append((tname, int(sub.hour.iloc[0]),
+                         int(sub.cnt.iloc[0]), total,
+                         1000 * int(sub.cnt.iloc[0]) // total))
+        df = pd.DataFrame(rows, columns=cols)
+        return (df.sort_values("event_type").reset_index(drop=True)
+                .astype({c: "int64" for c in cols[1:]}))
+
+    def length_by_freq_band_q(sf):
+        # Zipf abbreviation-law audit: word types grouped by log2
+        # frequency band — type count, token mass and summed type
+        # length per band; word-keyed exchange (md5 routing)
+        from verify_ray.pipelines.sample import _hash_buckets
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["text"]))
+            words = pc.split_pattern_regex(
+                pc.utf8_trim(pc.cast(b["text"], pa.string()),
+                             characters=" "), pattern=r"\s+")
+            wa = words.combine_chunks() if isinstance(
+                words, pa.ChunkedArray) else words
+            flat = wa.flatten()
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dic = enc.dictionary
+            cnt = np.bincount(idx, minlength=len(dic)) \
+                if len(dic) else np.empty(0, np.int64)
+            bk = _hash_buckets(dic)
+            return pa.table({
+                "w": dic,
+                "c": pa.array(cnt.astype(np.int64)),
+                "__b": pa.array((bk % 32).astype(np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            enc = pc.dictionary_encode(t.column("w"))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dic = enc.dictionary
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            tot = np.zeros(len(dic), np.int64)
+            np.add.at(tot, idx, c)
+            wlen = pc.utf8_length(dic).to_numpy(
+                zero_copy_only=False).astype(np.int64) \
+                if len(dic) else np.empty(0, np.int64)
+            band = (np.frexp(tot.astype(np.float64))[1] - 1) \
+                .astype(np.int64)
+            ub, inv = np.unique(band, return_inverse=True)
+            return pa.table({
+                "band": pa.array(ub.astype(np.int64)),
+                "n_types": pa.array(np.bincount(
+                    inv, minlength=len(ub)).astype(np.int64)),
+                "sum_count": pa.array(np.bincount(
+                    inv, weights=tot, minlength=len(ub))
+                    .astype(np.int64)),
+                "sum_len": pa.array(np.bincount(
+                    inv, weights=wlen, minlength=len(ub))
+                    .astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "documents", columns=["text"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["band", "n_types", "sum_count", "sum_len"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              [cols[1:]].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
+    def whale_share_q(sf):
+        # revenue-concentration trend: per month the spend share of
+        # the top ceil(n/10) customers (value-rank ties are SUM-safe);
+        # custkey exchange completes (month, cust) spends, spend-value
+        # counts fold on the driver (whale-curve precedent)
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("o_custkey", "o_orderdate", "o_totalprice"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mi = (day.astype("datetime64[D]")
+                  .astype("datetime64[M]").astype(np.int64))
+            k = pc.cast(b["o_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            cents = np.rint(100.0 * b["o_totalprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            code = k * 1_000_000 + mi
+            uc, inv = np.unique(code, return_inverse=True)
+            s = np.zeros(len(uc), np.int64)
+            np.add.at(s, inv, cents)
+            return pa.table({"code": pa.array(uc),
+                             "c": pa.array(s),
+                             "__b": pa.array(
+                                 (uc // 1_000_000) % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            code = t.column("code").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            uc, inv = np.unique(code, return_inverse=True)
+            s = np.zeros(len(uc), np.int64)
+            np.add.at(s, inv, c)
+            m = uc % 1_000_000
+            # (month, spend) value counts
+            o = np.lexsort((s, m))
+            m, s = m[o], s[o]
+            key = np.flatnonzero(
+                np.r_[True, (m[1:] != m[:-1]) | (s[1:] != s[:-1])]) \
+                if len(m) else np.empty(0, np.int64)
+            cnt = np.diff(np.append(key, len(m)))
+            return pa.table({
+                "m": pa.array(m[key].astype(np.int64)),
+                "c": pa.array(s[key]),
+                "cnt": pa.array(cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "orders",
+                  columns=["o_custkey", "o_orderdate",
+                           "o_totalprice"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["month_idx", "n_customers", "total_cents",
+                "top_decile_cents"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        vc = (out.to_pandas().groupby(["m", "c"], as_index=False)
+              ["cnt"].sum())
+        rows = []
+        for mi, sub in vc.groupby("m"):
+            sub = sub.sort_values("c", ascending=False)
+            cv = sub.c.to_numpy(np.int64)
+            n_ = sub.cnt.to_numpy(np.int64)
+            n = int(n_.sum())
+            kk = (n + 9) // 10
+            cum = n_.cumsum()
+            lo_r = np.concatenate([[0], cum[:-1]])
+            take = (np.minimum(cum, kk) - lo_r).clip(min=0)
+            rows.append((int(mi), n, int((n_ * cv).sum()),
+                         int((take * cv).sum())))
+        df = pd.DataFrame(rows, columns=cols)
+        return (df.sort_values("month_idx").reset_index(drop=True)
+                .astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_peak_hour_share": peak_hour_q,
+        "tokens_length_by_freq_band": length_by_freq_band_q,
+        "orders_monthly_whale_share": whale_share_q,
         "docs_nchars_reconcile": nchars_reconcile_q,
         "users_exploration_speed_hist": exploration_speed_q,
         "customers_order_value_momentum": value_momentum_q,
@@ -11939,6 +12140,64 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "events_peak_hour_share": """
+-- load-shape audit: per event type the peak hour of day
+-- (count DESC, hour ASC) and its permille share
+WITH h AS (
+  SELECT event_type AS t,
+         (epoch_us(ts) // 3600000000) % 24 AS hour,
+         COUNT(*) AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT t, hour, c, SUM(c) OVER (PARTITION BY t) AS total,
+         ROW_NUMBER() OVER (PARTITION BY t
+                            ORDER BY c DESC, hour) AS rk
+  FROM h)
+SELECT t AS event_type, CAST(hour AS BIGINT) AS peak_hour,
+       CAST(c AS BIGINT) AS peak_n, CAST(total AS BIGINT) AS total,
+       CAST(1000 * c // total AS BIGINT) AS share_pm
+FROM r WHERE rk = 1 ORDER BY 1
+""",
+        "tokens_length_by_freq_band": """
+-- Zipf abbreviation-law audit: word types by log2 frequency band —
+-- type count, token mass, summed type length
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE text IS NOT NULL),
+w AS (SELECT unnest(ws) AS w FROM toks),
+c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1)
+SELECT CAST(LENGTH(bin(c)) - 1 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS sum_count,
+       CAST(SUM(LENGTH(w)) AS BIGINT) AS sum_len
+FROM c GROUP BY 1 ORDER BY 1
+""",
+        "orders_monthly_whale_share": """
+-- revenue-concentration trend: per month, spend share of the top
+-- ceil(n/10) customers (rank ties SUM-safe)
+WITH mc AS (
+  SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+           AS m,
+         o_custkey AS k,
+         SUM(CAST(round(100 * o_totalprice) AS BIGINT)) AS c
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT m, c, ROW_NUMBER() OVER (PARTITION BY m
+                                  ORDER BY c DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY m) AS n
+  FROM mc)
+SELECT CAST(m AS BIGINT) AS month_idx,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(SUM(c) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN rn <= (n + 9) // 10 THEN c ELSE 0 END)
+            AS BIGINT) AS top_decile_cents
+FROM r GROUP BY 1 ORDER BY 1
+""",
         "docs_nchars_reconcile": """
 -- metadata-integrity audit: n_chars vs actual unicode text length
 -- (planted: doc_id < 15 re-published with n_chars + 7)

@@ -507,3 +507,51 @@ def test_oracle_value_momentum(ray_session):
           GROUP BY o_custkey)
     """).fetchone()[0]
     assert out.n.sum() == exp
+
+
+def test_oracle_peak_hour(ray_session):
+    out = _oracle_check("events_peak_hour_share",
+                        tables=("events",))
+    assert out.peak_hour.between(0, 23).all()
+    assert (out.peak_n <= out.total).all()
+    # the peak hour holds at least the uniform share
+    assert (24 * out.peak_n >= out.total).all()
+
+
+def test_oracle_length_by_freq_band(ray_session):
+    out = _oracle_check("tokens_length_by_freq_band",
+                        tables=("documents",))
+    # band b holds counts in [2^b, 2^(b+1)): mass bounds per band
+    b = out.band.to_numpy(np.int64)
+    assert ((out.sum_count >= out.n_types * (1 << b)).all())
+    assert ((out.sum_count < out.n_types * (1 << (b + 1))).all())
+
+
+def test_oracle_whale_share(ray_session):
+    out = _oracle_check("orders_monthly_whale_share",
+                        tables=("orders",))
+    assert (out.top_decile_cents <= out.total_cents).all()
+    # the top decile's average is >= the overall average (per month)
+    k = (out.n_customers + 9) // 10
+    assert ((out.top_decile_cents * out.n_customers
+             >= out.total_cents * k)).all()
+
+
+def test_whale_share_hand_case(ray_session, tmp_path):
+    # one month, 10 customers spending 1..10 -> k=1, top = 10
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(10)), pa.int64()),
+        "o_custkey": pa.array(list(range(10)), pa.int64()),
+        "o_orderdate": pa.array([86_400_000_000] * 10,
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([float(i) for i in range(1, 11)]),
+    }), tmp_path / "orders.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["orders_monthly_whale_share"](str(tmp_path))
+    r = out.iloc[0]
+    assert (r.n_customers, r.total_cents, r.top_decile_cents) == \
+        (10, 5500, 1000)
