@@ -10345,8 +10345,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("month_idx").reset_index(drop=True)
                 .astype("int64"))
 
+    def knn_confusion_q(sf):
+        # which classes bleed into each other under exact 1-NN
+        from verify_ray.pipelines.similarity import knn_confusion
+
+        return knn_confusion(
+            _read(sf, "embeddings",
+                  columns=["vec_id", "embedding", "label"]))
+
+    def jaccard_topk_q(sf):
+        # strongest co-purchase affinities: top-10 part pairs by
+        # exact basket-Jaccard permille (support >= 2, ties x, y)
+        from verify_ray.pipelines.graph import association_rules
+
+        rules = association_rules(
+            _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"],
+                  filter=pc.bit_wise_and(pc.field("l_partkey"), 3)
+                  == 0),
+            "l_orderkey", "l_partkey", min_support=2, num_buckets=8)
+        cols = ["x", "y", "c_ab", "jac_pm"]
+        if not len(rules):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        un = (rules.c_x + rules.c_y - rules.c_ab).to_numpy(np.int64)
+        rules = rules.assign(
+            jac_pm=1000 * rules.c_ab.to_numpy(np.int64) // un)
+        rules = rules.sort_values(
+            ["jac_pm", "x", "y"],
+            ascending=[False, True, True]).head(10)
+        return (rules[cols].reset_index(drop=True).astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "validate_embeddings": vq.validate_embeddings,
+        "embeddings_knn_confusion": knn_confusion_q,
+        "copurchase_jaccard_topk": jaccard_topk_q,
         "events_peak_hour_share": peak_hour_q,
         "tokens_length_by_freq_band": length_by_freq_band_q,
         "orders_monthly_whale_share": whale_share_q,
@@ -12140,6 +12173,51 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "validate_embeddings": vq.EMBEDDINGS_ORACLE,
+        "embeddings_knn_confusion": """
+-- 1-NN label confusion matrix: nearest OTHER vector by exact
+-- integer quantized dot (ties dot DESC, vec_id ASC)
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, label,
+         list_transform(embedding,
+           x -> CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+           AS q
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND label IS NOT NULL),
+d AS (
+  SELECT a.id, a.label AS la, b.label AS lb, b.id AS bid,
+         list_sum(list_transform(list_zip(a.q, b.q),
+                                 z -> z[1] * z[2])) AS dot
+  FROM v a JOIN v b ON a.id <> b.id),
+nn AS (
+  SELECT id, la, lb,
+         ROW_NUMBER() OVER (PARTITION BY id
+                            ORDER BY dot DESC, bid) AS rk
+  FROM d)
+SELECT CAST(la AS BIGINT) AS label, CAST(lb AS BIGINT) AS nn_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nn WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "copurchase_jaccard_topk": """
+-- strongest co-purchase affinities: top-10 part pairs by exact
+-- basket-Jaccard permille (support >= 2; ties jac DESC, x, y)
+WITH gi AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+  WHERE (l_partkey & 3) = 0),
+ic AS (SELECT i, COUNT(*) AS c FROM gi GROUP BY i),
+p AS (
+  SELECT a.i AS x, b.i AS y, COUNT(*) AS c_ab
+  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+j AS (
+  SELECT p.x, p.y, CAST(c_ab AS BIGINT) AS c_ab,
+         CAST((1000 * c_ab) // (cx.c + cy.c - c_ab) AS BIGINT)
+           AS jac_pm
+  FROM p JOIN ic cx ON cx.i = p.x JOIN ic cy ON cy.i = p.y)
+SELECT x, y, c_ab, jac_pm FROM j
+ORDER BY jac_pm DESC, x, y LIMIT 10
+""",
         "events_peak_hour_share": """
 -- load-shape audit: per event type the peak hour of day
 -- (count DESC, hour ASC) and its permille share

@@ -555,3 +555,41 @@ def test_whale_share_hand_case(ray_session, tmp_path):
     r = out.iloc[0]
     assert (r.n_customers, r.total_cents, r.top_decile_cents) == \
         (10, 5500, 1000)
+
+
+def test_oracle_validate_embeddings(ray_session):
+    out = _oracle_check("validate_embeddings",
+                        tables=("embeddings",))
+    # both the enum arm and the element arm fire on the testdata
+    assert (out.rule_id == "invalid_enum_value").sum() > 0
+    assert (out.rule_id == "element_out_of_bounds").sum() > 0
+    # element spans carry the dotted index convention
+    el = out[out.rule_id == "element_out_of_bounds"].span
+    assert el.str.match(r"^embedding\.\d+$").all()
+
+
+def test_oracle_knn_confusion(ray_session):
+    out = _oracle_check("embeddings_knn_confusion",
+                        tables=("embeddings",))
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM "
+                    f"'{SF}/embeddings.parquet'").fetchone()[0]
+    # every vector has exactly one NN edge
+    assert out.n.sum() == n
+    # the confusion diagonal reproduces knn_label_agreement
+    import __ray_entry__ as e
+
+    ag = e.queries()["embeddings_knn_label_agreement"](SF)
+    diag = (out[out.label == out.nn_label]
+            .set_index("label").n.to_dict())
+    for r in ag.itertuples():
+        assert diag.get(r.label, 0) == r.n_agree
+
+
+def test_oracle_jaccard_topk(ray_session):
+    out = _oracle_check("copurchase_jaccard_topk",
+                        tables=("lineitem",))
+    assert len(out) <= 10
+    assert (out.jac_pm <= 1000).all() and (out.c_ab >= 2).all()
+    # descending jaccard order
+    assert (np.diff(out.jac_pm.to_numpy(np.int64)) <= 0).all()

@@ -1634,3 +1634,105 @@ def nn_indegree_histogram(ds, emb_col: str = "embedding",
         dc = np.concatenate([[n_zero], dc])
     return pd.DataFrame({"indegree": ud.astype(np.int64),
                          "n_vecs": dc.astype(np.int64)})
+
+
+def knn_confusion(ds, emb_col: str = "embedding",
+                  id_col: str = "vec_id",
+                  label_col: str = "label",
+                  quant: int = 1000,
+                  concurrency: int = 4) -> "pd.DataFrame":
+    """Full 1-NN label CONFUSION MATRIX (label, nn_label, n) — the
+    matrix companion to :func:`knn_label_agreement`, which only
+    reports the diagonal rate: which class pairs bleed into each
+    other under the exact quantized-dot 1-NN rule (ties dot DESC,
+    id ASC; self excluded; null rows drop from both sides).
+
+    Same scale shape as the agreement op: quantized corpus chunks in
+    the object store, fetched once per actor in ``__init__``
+    (ray.wait-before-pool guard, pool <= CPUs-1); each batch folds a
+    running best across chunks and emits labels^2-bounded partials.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    @ray.remote
+    def prep_chunk(t: pa.Table):
+        t = t.filter(pc.and_(pc.is_valid(t[id_col]),
+                             pc.and_(pc.is_valid(t[emb_col]),
+                                     pc.is_valid(t[label_col]))))
+        if t.num_rows == 0:
+            return None
+        ids = np.asarray(t.column(id_col).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")  # argmax tie => min id
+        q = np.floor(quant * _emb_matrix(t, emb_col))[order]
+        labels = np.asarray(t.column(label_col).to_numpy(
+            zero_copy_only=False), dtype=np.int64)[order]
+        return q, ids[order], labels
+
+    chunk_refs = [prep_chunk.remote(r) for r in
+                  ds.select_columns([id_col, emb_col, label_col])
+                  .to_arrow_refs()]
+    ray.wait(chunk_refs, num_returns=len(chunk_refs))
+    avail = int(ray.cluster_resources().get("CPU", 8))
+    concurrency = max(1, min(concurrency, avail - 1))
+    NEG = np.iinfo(np.int64).min
+
+    class _Conf:
+        def __init__(self):
+            self.chunks = [c for c in ray.get(chunk_refs)
+                           if c is not None]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.is_valid(b[id_col]),
+                                 pc.and_(pc.is_valid(b[emb_col]),
+                                         pc.is_valid(b[label_col]))))
+            empty = pa.table({
+                "label": pa.array([], type=pa.int64()),
+                "nn_label": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            qb = np.floor(quant * _emb_matrix(b, emb_col))
+            rid = np.asarray(b.column(id_col).to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            rlab = np.asarray(b.column(label_col).to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            best = np.full(len(rid), NEG, np.int64)
+            best_id = np.full(len(rid), np.iinfo(np.int64).max,
+                              np.int64)
+            best_lab = np.zeros(len(rid), np.int64)
+            for m, ids, labels in self.chunks:
+                d = np.rint(qb @ m.T).astype(np.int64)
+                d[rid[:, None] == ids[None, :]] = NEG
+                c = np.argmax(d, axis=1)
+                rows = np.arange(len(rid))
+                dot, cid, clab = d[rows, c], ids[c], labels[c]
+                upd = (dot > best) | ((dot == best) & (cid < best_id))
+                upd &= dot != NEG
+                best[upd], best_id[upd] = dot[upd], cid[upd]
+                best_lab[upd] = clab[upd]
+            has_nn = best != NEG
+            la, lb = rlab[has_nn], best_lab[has_nn]
+            # labels fit small ints: dense 2-D cell encoding
+            width = int(max(la.max(), lb.max())) + 1 if len(la) else 1
+            cell = la * width + lb
+            uc, cnt = np.unique(cell, return_counts=True)
+            return pa.table({
+                "label": pa.array((uc // width).astype(np.int64)),
+                "nn_label": pa.array((uc % width).astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64))})
+
+    parts = (ds.select_columns([id_col, emb_col, label_col])
+             .map_batches(_Conf, batch_format="pyarrow",
+                          concurrency=concurrency)
+             .to_pandas())
+    cols = ("label", "nn_label", "n")
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in cols})
+    out = (parts.groupby(["label", "nn_label"], as_index=False)
+           ["n"].sum())
+    return (out.sort_values(["label", "nn_label"])
+            .reset_index(drop=True).astype("int64"))

@@ -654,3 +654,49 @@ WITH w AS (
 )
 SELECT * FROM v ORDER BY doc_id, rule_id, span
 """
+
+
+# embeddings-table spec (S1 element bounds over list<float32>, K3 int
+# enum, W1 uniqueness): thresholds sit inside the data range so the
+# element arm produces non-trivial spans `embedding.<i>`
+# (span.rs:101-103 dotted-keys convention).
+EMBEDDINGS_SPEC = {
+    "table": "embeddings",
+    "key": "vec_id",
+    "columns": {
+        "vec_id": {"dtype": "int64", "non_null": True, "unique": True},
+        "embedding": {"dtype": "list<float32>", "non_null": True,
+                      "min_items": 64, "max_items": 64,
+                      "element_min": -0.45, "element_max": 0.42},
+        "label": {"dtype": "int32", "non_null": True,
+                  "enum": [0, 1, 2, 3, 4, 5, 6, 7]},  # flags 8, 9
+    },
+}
+
+
+def validate_embeddings(sf_dir: str) -> pd.DataFrame:
+    spec = ConstraintSpec.from_dict(EMBEDDINGS_SPEC)
+    rep = validate(f"{sf_dir}/embeddings.parquet", spec)
+    return _viol_result(rep)
+
+
+EMBEDDINGS_ORACLE = """
+WITH v AS (
+  SELECT CAST(vec_id AS VARCHAR) AS doc_id,
+         'invalid_enum_value' AS rule_id, 'label' AS span
+    FROM embeddings
+    WHERE label IS NOT NULL AND label NOT IN (0,1,2,3,4,5,6,7)
+  UNION ALL
+  SELECT CAST(vec_id AS VARCHAR), 'element_out_of_bounds',
+         'embedding.' || CAST(i - 1 AS VARCHAR)
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE embedding IS NOT NULL)
+    WHERE x < -0.45 OR x > 0.42
+  UNION ALL
+  SELECT CAST(vec_id AS VARCHAR), 'not_unique', 'vec_id'
+    FROM (SELECT vec_id FROM embeddings
+          GROUP BY vec_id HAVING COUNT(*) > 1)
+)
+SELECT * FROM v ORDER BY doc_id, rule_id, span
+"""
