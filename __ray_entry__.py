@@ -10375,8 +10375,200 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ascending=[False, True, True]).head(10)
         return (rules[cols].reset_index(drop=True).astype("int64"))
 
+    def completeness_curve_q(sf):
+        # fulfillment-completeness curve: share of lineitems shipped
+        # within 7/30/60/90 days of the order date; orderkey-keyed
+        # tagged-union exchange, 4-row partials
+        from verify_ray.stages.exchange import grouped_exchange
+
+        OFFS = np.array([7, 30, 60, 90], np.int64)
+
+        def li_part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_orderkey"]),
+                        pc.is_valid(b["l_shipdate"]))
+            b = b.filter(m)
+            k = pc.cast(b["l_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            d = (pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+                 // 86_400_000_000)
+            return pa.table({"__b": pa.array(k % 64),
+                             "k": pa.array(k), "val": pa.array(d),
+                             "tag": pa.array(np.zeros(len(k),
+                                                      np.int64))})
+
+        def o_side(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_orderkey"]),
+                        pc.is_valid(b["o_orderdate"]))
+            b = b.filter(m)
+            k = pc.cast(b["o_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            d = (pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+                 // 86_400_000_000)
+            return pa.table({"__b": pa.array(k % 64),
+                             "k": pa.array(k), "val": pa.array(d),
+                             "tag": pa.array(np.ones(len(k),
+                                                     np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            val = t.column("val").to_numpy(zero_copy_only=False)
+            tag = t.column("tag").to_numpy(zero_copy_only=False)
+            o = np.lexsort((tag, k))
+            k, val, tag = k[o], val[o], tag[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(k)))
+            last = st + n - 1
+            has_order = tag[last] == 1
+            od_per_seg = np.where(has_order, val[last], -1)
+            seg = np.repeat(np.arange(len(st)), n)
+            odr = od_per_seg[seg]
+            isline = (tag == 0) & (odr >= 0)
+            lat = val[isline] - odr[isline]
+            nlines = int(isline.sum())
+            within = np.array([(lat <= o_).sum() for o_ in OFFS],
+                              np.int64)
+            return pa.table({
+                "offset_days": pa.array(OFFS),
+                "n_lines": pa.array(np.full(4, nlines, np.int64)),
+                "n_shipped_within": pa.array(within)})
+
+        li = (_read(sf, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"])
+              .map_batches(li_part, batch_format="pyarrow"))
+        od = (_read(sf, "orders",
+                    columns=["o_orderkey", "o_orderdate"])
+              .map_batches(o_side, batch_format="pyarrow"))
+        res = grouped_exchange(li.union(od), "__b", 64, fold)
+        cols = ["offset_days", "n_lines", "n_shipped_within"]
+        if res is None or res.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (res.to_pandas().groupby("offset_days", as_index=False)
+              [["n_lines", "n_shipped_within"]].sum())
+        return (df.sort_values("offset_days").reset_index(drop=True)
+                .astype("int64"))
+
+    def value_per_day_q(sf):
+        # monetization-intensity census: per user total cents per
+        # ACTIVE day (integer rate), log2-banded; ONE user exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("user_id", "ts", "value"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            day = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            cents = np.rint(100.0 * b["value"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            code = u * 1_000_000 + day
+            uc, inv = np.unique(code, return_inverse=True)
+            s = np.zeros(len(uc), np.int64)
+            np.add.at(s, inv, cents)
+            return pa.table({"code": pa.array(uc), "c": pa.array(s),
+                             "__b": pa.array(
+                                 (uc // 1_000_000) % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            code = t.column("code").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            uc, inv = np.unique(code, return_inverse=True)
+            s = np.zeros(len(uc), np.int64)
+            np.add.at(s, inv, c)
+            u = uc // 1_000_000
+            st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
+                if len(u) else np.empty(0, np.int64)
+            days = np.diff(np.append(st, len(u)))
+            cents = np.add.reduceat(s, st) if len(st) else \
+                np.empty(0, np.int64)
+            rate = cents // days
+            band = (np.frexp((rate + 1).astype(np.float64))[1] - 1) \
+                .astype(np.int64)
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({"band": pa.array(ub.astype(np.int64)),
+                             "n_users": pa.array(
+                                 cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events", columns=["user_id", "ts", "value"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              ["n_users"].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
+    def hour_l1_matrix_q(sf):
+        # load-shape distance: cross-multiplied integer L1 between
+        # hourly profiles of every type pair (a < b); map-side
+        # (type, hour) partials, driver math on a types-x-24 frame
+        def part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["event_type"]),
+                        pc.is_valid(b["ts"]))
+            b = b.filter(m)
+            hr = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+                  // 3_600_000_000) % 24
+            enc = pc.dictionary_encode(
+                pc.cast(b["event_type"], pa.string()))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dic = enc.dictionary.to_pylist() if len(enc) else []
+            cell = idx * 24 + hr
+            uc, cnt = np.unique(cell, return_counts=True)
+            return pa.table({
+                "t": pa.array([dic[j] for j in uc // 24],
+                              type=pa.string()),
+                "hour": pa.array((uc % 24).astype(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64))})
+
+        parts = (_read(sf, "events", columns=["event_type", "ts"])
+                 .map_batches(part, batch_format="pyarrow")
+                 .to_pandas())
+        cols = ["type_a", "type_b", "n_a", "n_b", "l1_cross"]
+        if not len(parts):
+            return pd.DataFrame({
+                "type_a": pd.Series(dtype=object),
+                "type_b": pd.Series(dtype=object),
+                **{c: pd.Series(dtype="int64") for c in cols[2:]}})
+        g = (parts.groupby(["t", "hour"], as_index=False)
+             ["cnt"].sum())
+        types = sorted(g.t.unique())
+        prof = np.zeros((len(types), 24), np.int64)
+        pos = {t: i for i, t in enumerate(types)}
+        prof[[pos[t] for t in g.t], g.hour.to_numpy(np.int64)] = \
+            g.cnt.to_numpy(np.int64)
+        tot = prof.sum(axis=1)
+        rows = []
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                l1 = int(np.abs(prof[i] * tot[j]
+                                - prof[j] * tot[i]).sum())
+                rows.append((types[i], types[j], int(tot[i]),
+                             int(tot[j]), l1))
+        df = pd.DataFrame(rows, columns=cols)
+        return (df.sort_values(["type_a", "type_b"])
+                .reset_index(drop=True)
+                .astype({c: "int64" for c in cols[2:]}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "orders_shipment_completeness": completeness_curve_q,
+        "users_value_per_day_hist": value_per_day_q,
+        "events_hour_profile_l1": hour_l1_matrix_q,
         "validate_embeddings": vq.validate_embeddings,
         "embeddings_knn_confusion": knn_confusion_q,
         "copurchase_jaccard_topk": jaccard_topk_q,
@@ -12173,6 +12365,67 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "orders_shipment_completeness": """
+-- fulfillment-completeness curve: lineitems shipped within
+-- 7/30/60/90 days of the order date
+WITH j AS (
+  SELECT epoch_us(l_shipdate) // 86400000000
+         - epoch_us(o_orderdate) // 86400000000 AS lat
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+    AND o_orderdate IS NOT NULL)
+SELECT CAST(off AS BIGINT) AS offset_days,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN lat <= off THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shipped_within
+FROM j, (VALUES (7), (30), (60), (90)) t(off)
+GROUP BY 1 ORDER BY 1
+""",
+        "users_value_per_day_hist": """
+-- monetization-intensity census: per-user cents per ACTIVE day
+-- (integer rate), log2 bands of rate + 1
+WITH d AS (
+  SELECT user_id AS u, epoch_us(ts) // 86400000000 AS day,
+         SUM(CAST(round(100 * value) AS BIGINT)) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL
+  GROUP BY 1, 2),
+a AS (SELECT u, COUNT(*) AS days, SUM(c) AS cents
+      FROM d GROUP BY 1)
+SELECT CAST(LENGTH(bin(cents // days + 1)) - 1 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1 ORDER BY 1
+""",
+        "events_hour_profile_l1": """
+-- load-shape distance: cross-multiplied integer L1 between hourly
+-- profiles of every type pair (a < b), zero-filled 24-hour grid
+WITH h AS (
+  SELECT event_type AS t,
+         (epoch_us(ts) // 3600000000) % 24 AS hh, COUNT(*) AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (SELECT t, SUM(c) AS tc FROM h GROUP BY 1),
+sp AS (SELECT a.t AS ta, b.t AS tb
+       FROM tot a JOIN tot b ON a.t < b.t),
+grid AS (SELECT sp.ta, sp.tb, g.hh
+         FROM sp, range(24) g(hh)),
+v AS (
+  SELECT grid.ta, grid.tb, grid.hh,
+         COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+  FROM grid
+  LEFT JOIN h ca ON ca.t = grid.ta AND ca.hh = grid.hh
+  LEFT JOIN h cb ON cb.t = grid.tb AND cb.hh = grid.hh)
+SELECT v.ta AS type_a, v.tb AS type_b,
+       CAST(MAX(a_tot.tc) AS BIGINT) AS n_a,
+       CAST(MAX(b_tot.tc) AS BIGINT) AS n_b,
+       CAST(SUM(ABS(v.ca * b_tot.tc - v.cb * a_tot.tc)) AS BIGINT)
+         AS l1_cross
+FROM v JOIN tot a_tot ON a_tot.t = v.ta
+       JOIN tot b_tot ON b_tot.t = v.tb
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "validate_embeddings": vq.EMBEDDINGS_ORACLE,
         "embeddings_knn_confusion": """
 -- 1-NN label confusion matrix: nearest OTHER vector by exact

@@ -593,3 +593,54 @@ def test_oracle_jaccard_topk(ray_session):
     assert (out.jac_pm <= 1000).all() and (out.c_ab >= 2).all()
     # descending jaccard order
     assert (np.diff(out.jac_pm.to_numpy(np.int64)) <= 0).all()
+
+
+def test_oracle_completeness_curve(ray_session):
+    out = _oracle_check("orders_shipment_completeness",
+                        tables=("lineitem", "orders"))
+    assert out.offset_days.tolist() == [7, 30, 60, 90]
+    # curve is monotone in the offset
+    w = out.n_shipped_within.to_numpy(np.int64)
+    assert (np.diff(w) >= 0).all()
+    assert (out.n_shipped_within <= out.n_lines).all()
+    assert out.n_lines.nunique() == 1
+
+
+def test_oracle_value_per_day(ray_session):
+    out = _oracle_check("users_value_per_day_hist",
+                        tables=("events",))
+    con = duckdb.connect()
+    nu = con.execute(f"SELECT COUNT(DISTINCT user_id) FROM "
+                     f"'{SF}/events.parquet'").fetchone()[0]
+    assert out.n_users.sum() == nu
+    assert (out.band >= 0).all()
+
+
+def test_oracle_hour_l1(ray_session):
+    out = _oracle_check("events_hour_profile_l1",
+                        tables=("events",))
+    # pair count = C(k, 2) over distinct types
+    con = duckdb.connect()
+    k = con.execute(f"SELECT COUNT(DISTINCT event_type) FROM "
+                    f"'{SF}/events.parquet'").fetchone()[0]
+    assert len(out) == k * (k - 1) // 2
+    # L1 of cross-multiplied profiles is bounded by 2 * n_a * n_b
+    assert (out.l1_cross <= 2 * out.n_a * out.n_b).all()
+
+
+def test_hour_l1_hand_case(ray_session, tmp_path):
+    # type a: all at hour 0 (2 events); type b: all at hour 1
+    # (3 events) -> disjoint profiles -> L1 = 2 * 2 * 3 = 12
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    H = 3_600_000_000
+    pq.write_table(pa.table({
+        "event_type": pa.array(["a", "a", "b", "b", "b"]),
+        "ts": pa.array([0, 0, H, H, H], pa.timestamp("us")),
+    }), tmp_path / "events.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["events_hour_profile_l1"](str(tmp_path))
+    r = out.iloc[0]
+    assert (r.n_a, r.n_b, r.l1_cross) == (2, 3, 12)
