@@ -10564,8 +10564,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({c: "int64" for c in cols[2:]}))
 
+    def wav_dynamics_q(sf):
+        # REAL WAV decode proven sample-exact: the oracle recomputes
+        # near-rail counts and min/max from the synth closed form
+        df = (multimodal.wav_dynamics_stats(
+                  _read(sf, "documents", columns=["doc_id", "n_chars"]))
+              .to_pandas())
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    def png_hist_q(sf):
+        # REAL PNG decode proven pixel-exact via the 4-bin histogram
+        df = (multimodal.png_pixel_histogram(
+                  _read(sf, "documents", columns=["doc_id", "n_chars"]))
+              .to_pandas())
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    def session_count_q(sf):
+        # engagement-fragmentation census: sessions per user (30-min
+        # gap rule: a gap > 1800 s opens a new session); ONE
+        # user-keyed exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("user_id", "ts", "event_id"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "u": pa.array(u),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                              pa.int64()),
+                "eid": pc.cast(b["event_id"], pa.int64()),
+                "__b": pa.array(u % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            us = t.column("us").to_numpy(zero_copy_only=False)
+            eid = t.column("eid").to_numpy(zero_copy_only=False)
+            o = np.lexsort((eid, us, u))
+            u, us = u[o], us[o]
+            if not len(u):
+                return pa.table({
+                    "n_sessions": pa.array([], type=pa.int64()),
+                    "n_users": pa.array([], type=pa.int64())})
+            same = u[1:] == u[:-1]
+            brk = same & ((us[1:] - us[:-1]) > 1_800_000_000)
+            st = np.flatnonzero(np.r_[True, ~same])
+            # sessions per user = 1 + breaks within the user segment
+            cb = np.concatenate([[0], np.cumsum(brk)])
+            lo = st
+            hi = np.append(st[1:], len(u)) - 1
+            ns = 1 + (cb[hi] - cb[lo])
+            un, cnt = np.unique(ns, return_counts=True)
+            return pa.table({
+                "n_sessions": pa.array(un.astype(np.int64)),
+                "n_users": pa.array(cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_id"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({
+                "n_sessions": pd.Series(dtype="int64"),
+                "n_users": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("n_sessions", as_index=False)
+              ["n_users"].sum())
+        return (df.sort_values("n_sessions").reset_index(drop=True)
+                .astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "media_wav_dynamics": wav_dynamics_q,
+        "media_png_pixel_hist": png_hist_q,
+        "users_session_count_hist": session_count_q,
         "orders_shipment_completeness": completeness_curve_q,
         "users_value_per_day_hist": value_per_day_q,
         "events_hour_profile_l1": hour_l1_matrix_q,
@@ -12365,6 +12441,63 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "media_wav_dynamics": """
+-- REAL WAV decode proven sample-exact: recompute each odd doc's 256
+-- samples from the synth closed form s[i] = (id*13 + i*5) % 4096
+-- - 2048 and restate count/near-rail/min/max
+WITH od AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    AND doc_id % 2 = 1),
+s AS (
+  SELECT doc_id,
+         ((doc_id * 13 + i.i * 5) % 4096) - 2048 AS v
+  FROM od, range(256) i(i))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN ABS(v) >= 1900 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_near_rail,
+       CAST(MIN(v) AS BIGINT) AS smin,
+       CAST(MAX(v) AS BIGINT) AS smax
+FROM s GROUP BY 1 ORDER BY 1
+""",
+        "media_png_pixel_hist": """
+-- REAL PNG decode proven pixel-exact: recompute each even doc's 64
+-- pixels from px[i] = (id*31 + i*7 + n_chars) % 256, 4-bin histogram
+WITH ed AS (
+  SELECT doc_id, n_chars FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    AND doc_id % 2 = 0),
+p AS (
+  SELECT doc_id,
+         ((doc_id * 31 + i.i * 7 + n_chars) % 256) // 64 AS b
+  FROM ed, range(64) i(i))
+SELECT doc_id,
+       CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+       CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+       CAST(SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+       CAST(SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+FROM p GROUP BY 1 ORDER BY 1
+""",
+        "users_session_count_hist": """
+-- engagement-fragmentation census: sessions per user (gap > 1800 s
+-- opens a new session)
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL),
+g AS (
+  SELECT u, us - LAG(us) OVER (PARTITION BY u
+                               ORDER BY us, event_id) AS gap
+  FROM e),
+a AS (
+  SELECT u, 1 + SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+           AS ns
+  FROM g GROUP BY 1)
+SELECT CAST(ns AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1 ORDER BY 1
+""",
         "orders_shipment_completeness": """
 -- fulfillment-completeness curve: lineitems shipped within
 -- 7/30/60/90 days of the order date

@@ -644,3 +644,57 @@ def test_hour_l1_hand_case(ray_session, tmp_path):
     out = e.queries()["events_hour_profile_l1"](str(tmp_path))
     r = out.iloc[0]
     assert (r.n_a, r.n_b, r.l1_cross) == (2, 3, 12)
+
+
+def test_oracle_wav_dynamics(ray_session):
+    out = _oracle_check("media_wav_dynamics",
+                        tables=("documents",))
+    con = duckdb.connect()
+    nodd = con.execute(f"SELECT COUNT(*) FROM "
+                       f"'{SF}/documents.parquet' "
+                       f"WHERE doc_id % 2 = 1").fetchone()[0]
+    assert len(out) == nodd
+    assert (out.n_samples == 256).all()
+    assert (out.smin >= -2048).all() and (out.smax <= 2047).all()
+    # decode is real: near-rail counts are nontrivial somewhere
+    assert out.n_near_rail.sum() > 0
+
+
+def test_oracle_png_pixel_hist(ray_session):
+    out = _oracle_check("media_png_pixel_hist",
+                        tables=("documents",))
+    con = duckdb.connect()
+    nev = con.execute(f"SELECT COUNT(*) FROM "
+                      f"'{SF}/documents.parquet' "
+                      f"WHERE doc_id % 2 = 0").fetchone()[0]
+    assert len(out) == nev
+    # every image decodes all 64 pixels
+    assert ((out.b0 + out.b1 + out.b2 + out.b3) == 64).all()
+
+
+def test_oracle_session_count(ray_session):
+    out = _oracle_check("users_session_count_hist",
+                        tables=("events",))
+    con = duckdb.connect()
+    nu = con.execute(f"SELECT COUNT(DISTINCT user_id) FROM "
+                     f"'{SF}/events.parquet'").fetchone()[0]
+    assert out.n_users.sum() == nu
+    assert (out.n_sessions >= 1).all()
+
+
+def test_session_count_hand_case(ray_session, tmp_path):
+    # user 1: events at 0s, 60s, 4000s -> 2 sessions (gap 3940 > 1800)
+    # user 2: single event -> 1 session
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    S = 1_000_000
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 60 * S, 4000 * S, 0], pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+    }), tmp_path / "events.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["users_session_count_hist"](str(tmp_path))
+    assert dict(zip(out.n_sessions, out.n_users)) == {1: 1, 2: 1}

@@ -555,3 +555,91 @@ def image_ahash_pairs(ds, id_col: str = "doc_id",
         concurrency=concurrency).materialize()
     return hamming_pairs_from_hashes(
         hashes, "ahash", id_col="doc_id", max_hamming=max_hamming)
+
+
+class WavDynamics:
+    """Actor-pool REAL WAV decode -> per-clip dynamics audit: sample
+    count, near-rail count (|s| >= ``rail``), min and max sample.
+    Proves sample-exact decode: the oracle recomputes every decoded
+    value from the synth closed form ((doc_id*13 + i*5) % 4096 -
+    2048) and the thresholded counts must match bit-for-bit."""
+
+    def __init__(self, rail: int = 1900):
+        self.rail = rail
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ns, nr, mn, mx = [], [], [], [], []
+        for did, mt, payload in zip(
+                batch["doc_id"].to_pylist(),
+                batch["media_type"].to_pylist(),
+                batch["payload"].to_pylist()):
+            if mt != "audio/wav":
+                continue
+            samples, _rate = decode_wav(payload)
+            s = samples.astype(np.int64)
+            ids.append(did)
+            ns.append(int(s.size))
+            nr.append(int((np.abs(s) >= self.rail).sum()))
+            mn.append(int(s.min()))
+            mx.append(int(s.max()))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_samples": pa.array(ns, type=pa.int64()),
+            "n_near_rail": pa.array(nr, type=pa.int64()),
+            "smin": pa.array(mn, type=pa.int64()),
+            "smax": pa.array(mx, type=pa.int64()),
+        })
+
+
+def wav_dynamics_stats(ds, id_col: str = "doc_id",
+                       nchars_col: str = "n_chars", rail: int = 1900,
+                       concurrency=2, batch_size: int = 512):
+    """documents -> synthesized WAV payloads (odd doc_ids) -> REAL
+    decode -> per-clip dynamics (actor pool, codec state per actor)."""
+    payloads = ds.map_batches(
+        lambda b: synth_media_batch(b, id_col, nchars_col),
+        batch_format="pyarrow")
+    return payloads.map_batches(
+        WavDynamics, fn_constructor_args=(rail,),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+class PngPixelHistogram:
+    """Actor-pool REAL PNG decode -> coarse 4-bin pixel histogram per
+    image (bins pixel // 64).  Full-histogram parity (not just sums)
+    proves every pixel decoded right."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, bins = [], [[], [], [], []]
+        for did, mt, payload in zip(
+                batch["doc_id"].to_pylist(),
+                batch["media_type"].to_pylist(),
+                batch["payload"].to_pylist()):
+            if not (mt and mt.startswith("image/")):
+                continue
+            arr = decode_image(payload).astype(np.int64).ravel()
+            ids.append(did)
+            h = np.bincount(arr // 64, minlength=4)
+            for j in range(4):
+                bins[j].append(int(h[j]))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "b0": pa.array(bins[0], type=pa.int64()),
+            "b1": pa.array(bins[1], type=pa.int64()),
+            "b2": pa.array(bins[2], type=pa.int64()),
+            "b3": pa.array(bins[3], type=pa.int64()),
+        })
+
+
+def png_pixel_histogram(ds, id_col: str = "doc_id",
+                        nchars_col: str = "n_chars",
+                        concurrency=2, batch_size: int = 512):
+    """documents -> synthesized PNG payloads (even doc_ids) -> REAL
+    decode -> 4-bin pixel histogram per image (actor pool)."""
+    payloads = ds.map_batches(
+        lambda b: synth_media_batch(b, id_col, nchars_col),
+        batch_format="pyarrow")
+    return payloads.map_batches(
+        PngPixelHistogram, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)
