@@ -10637,8 +10637,181 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("n_sessions").reset_index(drop=True)
                 .astype("int64"))
 
+    def minute_collision_q(sf):
+        # bot-burst audit: same-type events inside one wall-clock
+        # minute; (type, minute) pre-counts meet in ONE minute-keyed
+        # exchange (identical minutes co-locate by construction)
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["event_type"]),
+                        pc.is_valid(b["ts"]))
+            b = b.filter(m)
+            mn = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+                  // 60_000_000)
+            enc = pc.dictionary_encode(
+                pc.cast(b["event_type"], pa.string()))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dic = enc.dictionary.to_pylist() if len(enc) else []
+            o = np.lexsort((mn, idx))
+            idx, mn = idx[o], mn[o]
+            key = np.flatnonzero(
+                np.r_[True, (idx[1:] != idx[:-1])
+                      | (mn[1:] != mn[:-1])]) \
+                if len(idx) else np.empty(0, np.int64)
+            cnt = np.diff(np.append(key, len(idx)))
+            return pa.table({
+                "t": pa.array([dic[j] for j in idx[key]],
+                              type=pa.string()),
+                "mn": pa.array(mn[key]),
+                "c": pa.array(cnt.astype(np.int64)),
+                "__b": pa.array(mn[key] % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            df = t.select(["t", "mn", "c"]).to_pandas()
+            g = df.groupby(["t", "mn"], as_index=False)["c"].sum()
+            c = g.c.to_numpy(np.int64)
+            coll = c >= 2
+            agg = g.assign(coll_ev=np.where(coll, c, 0),
+                           coll_gp=coll.astype(np.int64))
+            out = (agg.groupby("t", as_index=False)
+                   .agg(n_events=("c", "sum"),
+                        n_in_collision=("coll_ev", "sum"),
+                        n_collision_groups=("coll_gp", "sum")))
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        out = grouped_exchange(
+            _read(sf, "events", columns=["event_type", "ts"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["event_type", "n_events", "n_in_collision",
+                "n_collision_groups"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                **{c: pd.Series(dtype="int64") for c in cols[1:]}})
+        df = (out.to_pandas().rename(columns={"t": "event_type"})
+              .groupby("event_type", as_index=False)
+              [cols[1:]].sum())
+        return (df.sort_values("event_type").reset_index(drop=True)
+                .astype({c: "int64" for c in cols[1:]}))
+
+    def dominant_line_q(sf):
+        # order-composition skew: per order the largest line's share
+        # of extended-price cents, permille-decile census; ONE
+        # orderkey-keyed exchange over map-side (sum, max) partials
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_orderkey"]),
+                        pc.is_valid(b["l_extendedprice"]))
+            b = b.filter(m)
+            k = pc.cast(b["l_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            cents = np.rint(100.0 * b["l_extendedprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            o = np.argsort(k, kind="stable")
+            k, cents = k[o], cents[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            s = np.add.reduceat(cents, st) if len(st) else \
+                np.empty(0, np.int64)
+            mx = np.maximum.reduceat(cents, st) if len(st) else \
+                np.empty(0, np.int64)
+            return pa.table({"k": pa.array(k[st]), "s": pa.array(s),
+                             "mx": pa.array(mx),
+                             "__b": pa.array(k[st] % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            mx = t.column("mx").to_numpy(zero_copy_only=False)
+            o = np.argsort(k, kind="stable")
+            k, s, mx = k[o], s[o], mx[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            ss = np.add.reduceat(s, st) if len(st) else \
+                np.empty(0, np.int64)
+            mm = np.maximum.reduceat(mx, st) if len(st) else \
+                np.empty(0, np.int64)
+            band = (1000 * mm // ss) // 100
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({"band": pa.array(ub.astype(np.int64)),
+                             "n_orders": pa.array(
+                                 cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "n_orders": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              ["n_orders"].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
+    def nation_priority_l1_q(sf):
+        # demand-mix divergence: cross-multiplied integer L1 between
+        # each nation's order-priority mix and the global mix
+        # (big-big hash_join on custkey, 25-nation driver surface)
+        from verify_ray.pipelines.joins import hash_join
+
+        joined = hash_join(
+            _read(sf, "orders",
+                  columns=["o_custkey", "o_orderpriority"]),
+            _read(sf, "customer",
+                  columns=["c_custkey", "c_nationkey"]),
+            key="o_custkey", right_key="c_custkey",
+            left_values=["o_orderpriority"],
+            right_values=["c_nationkey"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_orderpriority"]),
+                        pc.is_valid(b["c_nationkey"]))
+            b = b.filter(m)
+            return pa.table({
+                "nk": pc.cast(b["c_nationkey"], pa.int64()),
+                "pri": b["o_orderpriority"],
+                "__one": pa.array(np.ones(b.num_rows, np.int64))})
+
+        c = analytics.grouped_stats(
+            joined.map_batches(prep, batch_format="pyarrow"),
+            ["nk", "pri"], {"__one": ["sum"]})
+        c = c.rename(columns={"__one_sum": "n"})
+        cols = ["nationkey", "n_orders", "l1_cross"]
+        if not len(c):
+            return pd.DataFrame({cc: pd.Series(dtype="int64")
+                                 for cc in cols})
+        c["n"] = c.n.astype("int64")
+        total = int(c.n.sum())
+        pris = sorted(c.pri.unique())
+        nats = sorted(c.nk.unique())
+        mat = np.zeros((len(nats), len(pris)), np.int64)
+        ni = {v: i for i, v in enumerate(nats)}
+        pi = {v: i for i, v in enumerate(pris)}
+        mat[[ni[v] for v in c.nk], [pi[v] for v in c.pri]] = \
+            c.n.to_numpy(np.int64)
+        tn = mat.sum(axis=1)
+        gp = mat.sum(axis=0)
+        l1 = np.abs(mat * total - gp[None, :] * tn[:, None]) \
+            .sum(axis=1)
+        df = pd.DataFrame({"nationkey": np.array(nats, np.int64),
+                           "n_orders": tn, "l1_cross": l1})
+        return (df.sort_values("nationkey").reset_index(drop=True)
+                .astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_minute_collision_audit": minute_collision_q,
+        "orders_dominant_line_share": dominant_line_q,
+        "nation_priority_mix_l1": nation_priority_l1_q,
         "media_wav_dynamics": wav_dynamics_q,
         "media_png_pixel_hist": png_hist_q,
         "users_session_count_hist": session_count_q,
@@ -12441,6 +12614,57 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "events_minute_collision_audit": """
+-- bot-burst audit: same-type events inside one wall-clock minute
+WITH c AS (
+  SELECT event_type AS t, epoch_us(ts) // 60000000 AS mn,
+         COUNT(*) AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2)
+SELECT t AS event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+         AS n_in_collision,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_collision_groups
+FROM c GROUP BY 1 ORDER BY 1
+""",
+        "orders_dominant_line_share": """
+-- order-composition skew: largest line's share of extended-price
+-- cents per order, permille deciles
+WITH a AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(100 * l_extendedprice) AS BIGINT)) AS s,
+         MAX(CAST(round(100 * l_extendedprice) AS BIGINT)) AS mx
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1)
+SELECT CAST((1000 * mx // s) // 100 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM a GROUP BY 1 ORDER BY 1
+""",
+        "nation_priority_mix_l1": """
+-- demand-mix divergence: cross-multiplied integer L1 between each
+-- nation's priority mix and the global mix (zero-filled grid)
+WITH j AS (
+  SELECT c_nationkey AS nk, o_orderpriority AS p
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderpriority IS NOT NULL AND c_nationkey IS NOT NULL),
+c AS (SELECT nk, p, COUNT(*) AS c FROM j GROUP BY 1, 2),
+g AS (SELECT p, SUM(c) AS g FROM c GROUP BY 1),
+nt AS (SELECT nk, SUM(c) AS tn FROM c GROUP BY 1),
+t AS (SELECT SUM(c) AS tt FROM c),
+grid AS (SELECT nt.nk, nt.tn, g.p, g.g FROM nt, g),
+v AS (
+  SELECT grid.nk, grid.tn,
+         ABS(COALESCE(c.c, 0) * (SELECT tt FROM t)
+             - grid.g * grid.tn) AS a
+  FROM grid LEFT JOIN c ON c.nk = grid.nk AND c.p = grid.p)
+SELECT CAST(nk AS BIGINT) AS nationkey,
+       CAST(MAX(tn) AS BIGINT) AS n_orders,
+       CAST(SUM(a) AS BIGINT) AS l1_cross
+FROM v GROUP BY 1 ORDER BY 1
+""",
         "media_wav_dynamics": """
 -- REAL WAV decode proven sample-exact: recompute each odd doc's 256
 -- samples from the synth closed form s[i] = (id*13 + i*5) % 4096

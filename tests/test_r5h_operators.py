@@ -698,3 +698,52 @@ def test_session_count_hand_case(ray_session, tmp_path):
 
     out = e.queries()["users_session_count_hist"](str(tmp_path))
     assert dict(zip(out.n_sessions, out.n_users)) == {1: 1, 2: 1}
+
+
+def test_oracle_minute_collision(ray_session):
+    out = _oracle_check("events_minute_collision_audit",
+                        tables=("events",))
+    assert (out.n_in_collision <= out.n_events).all()
+    assert (2 * out.n_collision_groups <= out.n_in_collision).all()
+
+
+def test_minute_collision_hand_case(ray_session, tmp_path):
+    # type a: 3 events in one minute + 1 alone -> 1 group, 3 inside
+    # type b: 2 events in different minutes -> 0 groups
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    M = 60_000_000
+    pq.write_table(pa.table({
+        "event_type": pa.array(["a", "a", "a", "a", "b", "b"]),
+        "ts": pa.array([0, 10_000_000, 50_000_000, 2 * M,
+                        0, 3 * M], pa.timestamp("us")),
+    }), tmp_path / "events.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["events_minute_collision_audit"](str(tmp_path))
+    a = out[out.event_type == "a"].iloc[0]
+    assert (a.n_events, a.n_in_collision,
+            a.n_collision_groups) == (4, 3, 1)
+    b = out[out.event_type == "b"].iloc[0]
+    assert (b.n_events, b.n_in_collision,
+            b.n_collision_groups) == (2, 0, 0)
+
+
+def test_oracle_dominant_line(ray_session):
+    out = _oracle_check("orders_dominant_line_share",
+                        tables=("lineitem",))
+    assert out.band.between(0, 10).all()
+    con = duckdb.connect()
+    no = con.execute(f"SELECT COUNT(DISTINCT l_orderkey) FROM "
+                     f"'{SF}/lineitem.parquet'").fetchone()[0]
+    assert out.n_orders.sum() == no
+
+
+def test_oracle_nation_priority_l1(ray_session):
+    out = _oracle_check("nation_priority_mix_l1",
+                        tables=("orders", "customer"))
+    # L1 of cross-multiplied mixes is bounded by 2 * tn * total
+    total = out.n_orders.sum()
+    assert (out.l1_cross <= 2 * out.n_orders * total).all()
+    assert len(out) == 25
