@@ -10807,8 +10807,186 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("nationkey").reset_index(drop=True)
                 .astype("int64"))
 
+    def return_by_discount_q(sf):
+        # discount-abuse audit: return rate by discount percent band;
+        # pure map-side (band, flag) partials, zero shuffle
+        def part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_discount"]),
+                        pc.is_valid(b["l_returnflag"]))
+            b = b.filter(m)
+            disc = np.rint(100.0 * b["l_discount"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            ret = pc.equal(b["l_returnflag"], "R").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            u, inv = np.unique(disc, return_inverse=True)
+            return pa.table({
+                "disc_pct": pa.array(u),
+                "n_lines": pa.array(np.bincount(
+                    inv, minlength=len(u)).astype(np.int64)),
+                "n_returned": pa.array(np.bincount(
+                    inv, weights=ret, minlength=len(u))
+                    .astype(np.int64))})
+
+        parts = (_read(sf, "lineitem",
+                       columns=["l_discount", "l_returnflag"])
+                 .map_batches(part, batch_format="pyarrow")
+                 .to_pandas())
+        cols = ["disc_pct", "n_lines", "n_returned"]
+        if not len(parts):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (parts.groupby("disc_pct", as_index=False)
+              [["n_lines", "n_returned"]].sum())
+        return (df.sort_values("disc_pct").reset_index(drop=True)
+                .astype("int64"))
+
+    def norm2_deciles_q(sf):
+        # per-label geometry spread: exact disc deciles of the
+        # integer squared norm (sum of floor(1000x)^2); label-keyed
+        # exchange (per-label rows fit a task at this table's scale;
+        # the bisection path in select.py is the unbounded-label
+        # alternative)
+        from verify_ray.pipelines.similarity import _emb_matrix
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["embedding"]),
+                        pc.is_valid(b["label"]))
+            b = b.filter(m)
+            if b.num_rows == 0:
+                z = np.empty(0, np.int64)
+                return pa.table({"label": pa.array(z),
+                                 "n2": pa.array(z),
+                                 "__b": pa.array(z)})
+            q = np.floor(1000.0 * _emb_matrix(b, "embedding")) \
+                .astype(np.int64)
+            n2 = (q * q).sum(axis=1)
+            lab = pc.cast(b["label"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({"label": pa.array(lab),
+                             "n2": pa.array(n2),
+                             "__b": pa.array(lab % 8)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            lab = t.column("label").to_numpy(zero_copy_only=False)
+            n2 = t.column("n2").to_numpy(zero_copy_only=False)
+            o = np.lexsort((n2, lab))
+            lab, n2 = lab[o], n2[o]
+            st = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]]) \
+                if len(lab) else np.empty(0, np.int64)
+            out_l, out_d, out_v = [], [], []
+            for si, ei in zip(st, np.append(st[1:], len(lab))):
+                seg = n2[si:ei]
+                n = len(seg)
+                for dec in range(1, 10):
+                    out_l.append(lab[si])
+                    out_d.append(dec)
+                    out_v.append(seg[(dec * n + 9) // 10 - 1])
+            return pa.table({
+                "label": pa.array(np.array(out_l, np.int64)),
+                "decile": pa.array(np.array(out_d, np.int64)),
+                "n2_val": pa.array(np.array(out_v, np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "embeddings", columns=["embedding", "label"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 8, fold)
+        cols = ["label", "decile", "n2_val"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        return (out.to_pandas().sort_values(["label", "decile"])
+                .reset_index(drop=True).astype("int64"))
+
+    def balance_activity_corr_q(sf):
+        # wallet-vs-engagement surface: per segment the exact integer
+        # correlation moments between customer balance cents and
+        # order count (customers without orders count as 0) — ONE
+        # custkey-keyed tagged-union exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def o_part(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["o_custkey"]))
+            k = pc.cast(b["o_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            u, cnt = np.unique(k, return_counts=True)
+            return pa.table({
+                "__b": pa.array(u % 32), "k": pa.array(u),
+                "val": pa.array(cnt.astype(np.int64)),
+                "seg": pa.array([""] * len(u), type=pa.string()),
+                "tag": pa.array(np.zeros(len(u), np.int64))})
+
+        def c_part(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("c_custkey", "c_mktsegment", "c_acctbal"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            k = pc.cast(b["c_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            bal = np.rint(100.0 * b["c_acctbal"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({
+                "__b": pa.array(k % 32), "k": pa.array(k),
+                "val": pa.array(bal),
+                "seg": pc.cast(b["c_mktsegment"], pa.string()),
+                "tag": pa.array(np.ones(len(k), np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            val = t.column("val").to_numpy(zero_copy_only=False)
+            tag = t.column("tag").to_numpy(zero_copy_only=False)
+            seg = np.asarray(t.column("seg").to_pylist(),
+                             dtype=object)
+            o = np.lexsort((tag, k))
+            k, val, tag, seg = k[o], val[o], tag[o], seg[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(k)))
+            last = st + n - 1
+            iscust = tag[last] == 1
+            bal = val[last][iscust]
+            sg = seg[last][iscust]
+            nord = (np.add.reduceat(
+                np.where(tag == 0, val, 0), st) if len(st)
+                else np.empty(0, np.int64))[iscust]
+            us, inv = np.unique(sg, return_inverse=True)
+            def bc(w):
+                return np.bincount(inv, weights=w,
+                                   minlength=len(us)).astype(np.int64)
+            return pa.table({
+                "c_mktsegment": pa.array(list(us), type=pa.string()),
+                "n_customers": pa.array(np.bincount(
+                    inv, minlength=len(us)).astype(np.int64)),
+                "sum_x": pa.array(bc(bal)),
+                "sum_y": pa.array(bc(nord)),
+                "sum_x2": pa.array(bc(bal * bal)),
+                "sum_y2": pa.array(bc(nord * nord)),
+                "sum_xy": pa.array(bc(bal * nord))})
+
+        oc = (_read(sf, "orders", columns=["o_custkey"])
+              .map_batches(o_part, batch_format="pyarrow"))
+        cu = (_read(sf, "customer",
+                    columns=["c_custkey", "c_mktsegment",
+                             "c_acctbal"])
+              .map_batches(c_part, batch_format="pyarrow"))
+        out = grouped_exchange(oc.union(cu), "__b", 32, fold)
+        cols = ["c_mktsegment", "n_customers", "sum_x", "sum_y",
+                "sum_x2", "sum_y2", "sum_xy"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({
+                "c_mktsegment": pd.Series(dtype=object),
+                **{c: pd.Series(dtype="int64") for c in cols[1:]}})
+        df = (out.to_pandas().groupby("c_mktsegment", as_index=False)
+              [cols[1:]].sum())
+        return (df.sort_values("c_mktsegment").reset_index(drop=True)
+                .astype({c: "int64" for c in cols[1:]}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "lineitem_return_by_discount": return_by_discount_q,
+        "embeddings_norm2_deciles": norm2_deciles_q,
+        "segment_balance_activity_corr": balance_activity_corr_q,
         "events_minute_collision_audit": minute_collision_q,
         "orders_dominant_line_share": dominant_line_q,
         "nation_priority_mix_l1": nation_priority_l1_q,
@@ -12614,6 +12792,63 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "lineitem_return_by_discount": """
+-- discount-abuse audit: return rate by discount percent band
+WITH a AS (
+  SELECT CAST(round(100 * l_discount) AS BIGINT) AS d,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem
+  WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL)
+SELECT d AS disc_pct, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(r) AS BIGINT) AS n_returned
+FROM a GROUP BY 1 ORDER BY 1
+""",
+        "embeddings_norm2_deciles": """
+-- per-label geometry spread: exact disc deciles of the integer
+-- squared norm (sum of floor(1000x)^2), rank pick ceil(p*n)
+WITH v AS (
+  SELECT label,
+         list_sum(list_transform(embedding,
+           x -> CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT)
+                * CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT)))
+           AS n2
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+r AS (
+  SELECT label, n2,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY n2) AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS n
+  FROM v)
+SELECT CAST(r.label AS BIGINT) AS label,
+       CAST(t2.dec AS BIGINT) AS decile,
+       CAST(MAX(CASE WHEN rn = (t2.dec * n + 9) // 10
+                     THEN n2 END) AS BIGINT) AS n2_val
+FROM r, range(1, 10) t2(dec)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "segment_balance_activity_corr": """
+-- wallet-vs-engagement surface: integer correlation moments between
+-- balance cents and order count per segment (no-order customers = 0)
+WITH oc AS (
+  SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+  WHERE o_custkey IS NOT NULL GROUP BY 1),
+c AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(round(100 * c_acctbal) AS BIGINT) AS bal
+  FROM customer
+  WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+    AND c_acctbal IS NOT NULL),
+j AS (SELECT seg, bal, COALESCE(oc.n, 0) AS n
+      FROM c LEFT JOIN oc USING (k))
+SELECT seg AS c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bal) AS BIGINT) AS sum_x,
+       CAST(SUM(n) AS BIGINT) AS sum_y,
+       CAST(SUM(bal * bal) AS BIGINT) AS sum_x2,
+       CAST(SUM(n * n) AS BIGINT) AS sum_y2,
+       CAST(SUM(bal * n) AS BIGINT) AS sum_xy
+FROM j GROUP BY 1 ORDER BY 1
+""",
         "events_minute_collision_audit": """
 -- bot-burst audit: same-type events inside one wall-clock minute
 WITH c AS (

@@ -747,3 +747,48 @@ def test_oracle_nation_priority_l1(ray_session):
     total = out.n_orders.sum()
     assert (out.l1_cross <= 2 * out.n_orders * total).all()
     assert len(out) == 25
+
+
+def test_oracle_return_by_discount(ray_session):
+    out = _oracle_check("lineitem_return_by_discount",
+                        tables=("lineitem",))
+    assert (out.n_returned <= out.n_lines).all()
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM "
+                    f"'{SF}/lineitem.parquet'").fetchone()[0]
+    assert out.n_lines.sum() == n
+
+
+def test_oracle_norm2_deciles(ray_session):
+    out = _oracle_check("embeddings_norm2_deciles",
+                        tables=("embeddings",))
+    assert len(out) == 10 * 9  # 10 labels x 9 deciles
+    for _, sub in out.groupby("label"):
+        v = sub.sort_values("decile").n2_val.to_numpy()
+        assert (np.diff(v) >= 0).all()
+    assert (out.n2_val >= 0).all()
+
+
+def test_oracle_balance_activity_corr(ray_session):
+    out = _oracle_check("segment_balance_activity_corr",
+                        tables=("orders", "customer"))
+    con = duckdb.connect()
+    nc = con.execute(f"SELECT COUNT(*) FROM "
+                     f"'{SF}/customer.parquet'").fetchone()[0]
+    no = con.execute(f"SELECT COUNT(*) FROM "
+                     f"'{SF}/orders.parquet' WHERE o_custkey IN "
+                     f"(SELECT c_custkey FROM "
+                     f"'{SF}/customer.parquet')").fetchone()[0]
+    assert out.n_customers.sum() == nc
+    # sum_y counts each customer's orders once
+    assert out.sum_y.sum() == no
+    # Cauchy-Schwarz on the moments
+    n = out.n_customers.to_numpy(np.int64)
+    vx = n * out.sum_x2.to_numpy(np.int64) \
+        - out.sum_x.to_numpy(np.int64) ** 2
+    vy = n * out.sum_y2.to_numpy(np.int64) \
+        - out.sum_y.to_numpy(np.int64) ** 2
+    cxy = n * out.sum_xy.to_numpy(np.int64) \
+        - out.sum_x.to_numpy(np.int64) * out.sum_y.to_numpy(np.int64)
+    assert (cxy.astype(float) ** 2 <=
+            vx.astype(float) * vy.astype(float) * (1 + 1e-12)).all()
