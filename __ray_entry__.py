@@ -10982,8 +10982,153 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("c_mktsegment").reset_index(drop=True)
                 .astype({c: "int64" for c in cols[1:]}))
 
+    def qoq_growth_q(sf):
+        # quarterly revenue momentum: per quarter cents + delta vs
+        # the previous observed quarter; map partials, tiny driver
+        # series (first delta = 0)
+        def part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_orderdate"]),
+                        pc.is_valid(b["o_totalprice"]))
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mi = (day.astype("datetime64[D]")
+                  .astype("datetime64[M]").astype(np.int64))
+            qi = mi // 3  # quarters since 1970-Q1 (mi >= 0 here)
+            cents = np.rint(100.0 * b["o_totalprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            u, inv = np.unique(qi, return_inverse=True)
+            return pa.table({
+                "qi": pa.array(u),
+                "n": pa.array(np.bincount(
+                    inv, minlength=len(u)).astype(np.int64)),
+                "c": pa.array(np.bincount(
+                    inv, weights=cents, minlength=len(u))
+                    .astype(np.int64))})
+
+        parts = (_read(sf, "orders",
+                       columns=["o_orderdate", "o_totalprice"])
+                 .map_batches(part, batch_format="pyarrow")
+                 .to_pandas())
+        cols = ["quarter_idx", "n_orders", "revenue_cents",
+                "delta_cents"]
+        if not len(parts):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        g = (parts.groupby("qi", as_index=False)[["n", "c"]].sum()
+             .sort_values("qi"))
+        c = g.c.to_numpy(np.int64)
+        delta = np.diff(c, prepend=c[0])
+        return pd.DataFrame({
+            "quarter_idx": g.qi.to_numpy(np.int64),
+            "n_orders": g.n.to_numpy(np.int64),
+            "revenue_cents": c,
+            "delta_cents": delta}).reset_index(drop=True)
+
+    def lang_purity_q(sf):
+        # labeling-consistency audit: per source the dominant lang
+        # (count DESC, lang ASC) and its permille purity
+        def part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["source"]),
+                        pc.is_valid(b["lang"]))
+            b = b.filter(m)
+            return pa.table({
+                "source": b["source"], "lang": b["lang"],
+                "__one": pa.array(np.ones(b.num_rows, np.int64))})
+
+        c = analytics.grouped_stats(
+            _read(sf, "documents", columns=["source", "lang"])
+            .map_batches(part, batch_format="pyarrow"),
+            ["source", "lang"], {"__one": ["sum"]})
+        c = c.rename(columns={"__one_sum": "c"})
+        cols = ["source", "top_lang", "top_n", "n_docs",
+                "purity_pm"]
+        if not len(c):
+            return pd.DataFrame({
+                "source": pd.Series(dtype=object),
+                "top_lang": pd.Series(dtype=object),
+                **{cc: pd.Series(dtype="int64") for cc in cols[2:]}})
+        rows = []
+        for src, sub in c.groupby("source"):
+            sub = sub.sort_values(["c", "lang"],
+                                  ascending=[False, True])
+            n = int(sub.c.sum())
+            rows.append((src, sub.lang.iloc[0], int(sub.c.iloc[0]),
+                         n, 1000 * int(sub.c.iloc[0]) // n))
+        df = pd.DataFrame(rows, columns=cols)
+        return (df.sort_values("source").reset_index(drop=True)
+                .astype({cc: "int64" for cc in cols[2:]}))
+
+    def first_last_type_q(sf):
+        # journey-shape matrix: per user the (first, last) event-type
+        # pair along (ts, event_id); ONE user-keyed exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("user_id", "ts", "event_id", "event_type"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "u": pa.array(u),
+                "ts": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                              pa.int64()),
+                "eid": pc.cast(b["event_id"], pa.int64()),
+                "t": pc.cast(b["event_type"], pa.string()),
+                "__b": pa.array(u % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            eid = t.column("eid").to_numpy(zero_copy_only=False)
+            ty = np.asarray(t.column("t").to_pylist(), dtype=object)
+            if not len(u):
+                return pa.table({
+                    "first_type": pa.array([], type=pa.string()),
+                    "last_type": pa.array([], type=pa.string()),
+                    "n_users": pa.array([], type=pa.int64())})
+            o = np.lexsort((eid, ts, u))
+            u, ty = u[o], ty[o]
+            st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+            en = np.append(st[1:], len(u)) - 1
+            pair = np.array([a + "\x1f" + b
+                             for a, b in zip(ty[st], ty[en])],
+                            dtype=object)
+            up, cnt = np.unique(pair, return_counts=True)
+            fs = [p.split("\x1f")[0] for p in up]
+            ls = [p.split("\x1f")[1] for p in up]
+            return pa.table({
+                "first_type": pa.array(fs, type=pa.string()),
+                "last_type": pa.array(ls, type=pa.string()),
+                "n_users": pa.array(cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_id", "event_type"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({
+                "first_type": pd.Series(dtype=object),
+                "last_type": pd.Series(dtype=object),
+                "n_users": pd.Series(dtype="int64")})
+        df = (out.to_pandas()
+              .groupby(["first_type", "last_type"], as_index=False)
+              ["n_users"].sum())
+        return (df.sort_values(["first_type", "last_type"])
+                .reset_index(drop=True)
+                .astype({"n_users": "int64"}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "orders_qoq_growth": qoq_growth_q,
+        "docs_source_lang_purity": lang_purity_q,
+        "users_first_last_type_matrix": first_last_type_q,
         "lineitem_return_by_discount": return_by_discount_q,
         "embeddings_norm2_deciles": norm2_deciles_q,
         "segment_balance_activity_corr": balance_activity_corr_q,
@@ -12792,6 +12937,62 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "orders_qoq_growth": """
+-- quarterly revenue momentum: per quarter cents + delta vs the
+-- previous observed quarter (first delta = 0)
+WITH q AS (
+  SELECT (year(o_orderdate) - 1970) * 4 + (month(o_orderdate) - 1)
+           // 3 AS qi,
+         COUNT(*) AS n,
+         SUM(CAST(round(100 * o_totalprice) AS BIGINT)) AS c
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1)
+SELECT CAST(qi AS BIGINT) AS quarter_idx,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(c AS BIGINT) AS revenue_cents,
+       CAST(COALESCE(c - LAG(c) OVER (ORDER BY qi), 0) AS BIGINT)
+         AS delta_cents
+FROM q ORDER BY 1
+""",
+        "docs_source_lang_purity": """
+-- labeling-consistency audit: dominant lang per source
+-- (count DESC, lang ASC) with permille purity
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT source, lang, c,
+         SUM(c) OVER (PARTITION BY source) AS n,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY c DESC, lang) AS rk
+  FROM c)
+SELECT source, lang AS top_lang, CAST(c AS BIGINT) AS top_n,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(1000 * c // n AS BIGINT) AS purity_pm
+FROM r WHERE rk = 1 ORDER BY source
+""",
+        "users_first_last_type_matrix": """
+-- journey-shape matrix: (first, last) event type per user along
+-- (ts, event_id)
+WITH e AS (
+  SELECT user_id AS u, event_type AS t, ts, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL),
+o AS (
+  SELECT u, t,
+         ROW_NUMBER() OVER (PARTITION BY u
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY u) AS n
+  FROM e)
+SELECT f.t AS first_type, l.t AS last_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (SELECT u, t FROM o WHERE rn = 1) f
+JOIN (SELECT u, t FROM o WHERE rn = n) l USING (u)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "lineitem_return_by_discount": """
 -- discount-abuse audit: return rate by discount percent band
 WITH a AS (

@@ -792,3 +792,55 @@ def test_oracle_balance_activity_corr(ray_session):
         - out.sum_x.to_numpy(np.int64) * out.sum_y.to_numpy(np.int64)
     assert (cxy.astype(float) ** 2 <=
             vx.astype(float) * vy.astype(float) * (1 + 1e-12)).all()
+
+
+def test_oracle_qoq_growth(ray_session):
+    out = _oracle_check("orders_qoq_growth", tables=("orders",))
+    # deltas telescope: sum of deltas = last - first revenue
+    c = out.revenue_cents.to_numpy(np.int64)
+    d = out.delta_cents.to_numpy(np.int64)
+    assert d[0] == 0
+    assert d[1:].sum() == c[-1] - c[0]
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM "
+                    f"'{SF}/orders.parquet'").fetchone()[0]
+    assert out.n_orders.sum() == n
+
+
+def test_oracle_lang_purity(ray_session):
+    out = _oracle_check("docs_source_lang_purity",
+                        tables=("documents",))
+    assert (out.top_n <= out.n_docs).all()
+    assert (out.purity_pm <= 1000).all()
+    con = duckdb.connect()
+    nd = con.execute(f"SELECT COUNT(*) FROM "
+                     f"'{SF}/documents.parquet'").fetchone()[0]
+    assert out.n_docs.sum() == nd
+
+
+def test_oracle_first_last_matrix(ray_session):
+    out = _oracle_check("users_first_last_type_matrix",
+                        tables=("events",))
+    con = duckdb.connect()
+    nu = con.execute(f"SELECT COUNT(DISTINCT user_id) FROM "
+                     f"'{SF}/events.parquet'").fetchone()[0]
+    assert out.n_users.sum() == nu
+
+
+def test_first_last_hand_case(ray_session, tmp_path):
+    # user 1: a..b; user 2: c only (first == last == c)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 1, 2, 0], pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "event_type": pa.array(["a", "c", "b", "c"]),
+    }), tmp_path / "events.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["users_first_last_type_matrix"](str(tmp_path))
+    got = {(r.first_type, r.last_type): r.n_users
+           for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("c", "c"): 1}
