@@ -295,7 +295,50 @@ def bench_queries() -> dict[str, float]:
              "customers_dominant_dow_hist",
              "events_value_by_session_position", "users_frontload_hist",
              "events_new_value_share_daily", "orders_ship_span_hist",
-             "events_props_value_moments"]
+             "events_props_value_moments",
+             "orders_daily_backlog_series",
+             "customers_monthly_repeat_share",
+             "users_type_concentration_hist",
+             "events_pingpong_rate_hist",
+             "embeddings_hubness_hist",
+             "events_retention_drop_census",
+             "part_ship_gap_median_hist",
+             "docs_adjacent_word_stutter",
+             "embeddings_sign_agreement",
+             "events_daily_user_overlap",
+             "events_value_trimmed_by_type",
+             "docs_first_line_dup",
+             "supplier_acctbal_outliers",
+             "lineitem_linenumber_integrity",
+             "users_weekend_share_hist",
+             "embeddings_dim_deciles",
+             "orders_value_magnitude_priority",
+             "docs_cross_lang_dups",
+             "docs_nchars_reconcile",
+             "users_exploration_speed_hist",
+             "customers_order_value_momentum",
+             "events_peak_hour_share",
+             "tokens_length_by_freq_band",
+             "orders_monthly_whale_share",
+             "validate_embeddings",
+             "embeddings_knn_confusion",
+             "copurchase_jaccard_topk",
+             "orders_shipment_completeness",
+             "users_value_per_day_hist",
+             "events_hour_profile_l1",
+             "media_wav_dynamics",
+             "media_png_pixel_hist",
+             "users_session_count_hist",
+             "events_minute_collision_audit",
+             "orders_dominant_line_share",
+             "nation_priority_mix_l1",
+             "lineitem_return_by_discount",
+             "embeddings_norm2_deciles",
+             "segment_balance_activity_corr",
+             "orders_qoq_growth",
+             "docs_source_lang_purity",
+             "users_first_last_type_matrix",
+             ]
     out = {}
     for name in names:
         t0 = time.time()
