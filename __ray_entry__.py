@@ -11124,8 +11124,170 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({"n_users": "int64"}))
 
+    def weekly_rhythm_q(sf):
+        # habit-periodicity census: per user the share of active days
+        # that repeat exactly one week later (lag-7 pairs permille of
+        # active days); ONE user-keyed exchange of deduped (u, day)
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["user_id"]),
+                        pc.is_valid(b["ts"]))
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            code = np.unique(u * 1_000_000 + day)
+            return pa.table({"code": pa.array(code),
+                             "__b": pa.array(
+                                 (code // 1_000_000) % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            code = np.unique(
+                t.column("code").to_numpy(zero_copy_only=False))
+            u, d = code // 1_000_000, code % 1_000_000
+            st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
+                if len(u) else np.empty(0, np.int64)
+            days = np.diff(np.append(st, len(u)))
+            # lag-7 pairs per user via searchsorted on the sorted codes
+            hit = np.isin(code + 7, code)  # same user iff +7 < 1e6 gap
+            pairs = np.add.reduceat(hit.astype(np.int64), st) \
+                if len(st) else np.empty(0, np.int64)
+            band = (1000 * pairs // days) // 100
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({"band": pa.array(ub.astype(np.int64)),
+                             "n_users": pa.array(
+                                 cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events", columns=["user_id", "ts"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              ["n_users"].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
+    def unsold_parts_q(sf):
+        # dead-stock audit: catalog parts never appearing in a
+        # lineitem, per brand (planted: p_partkey < 30 re-listed as
+        # key + 10M — genuinely unsold).  ONE partkey-keyed
+        # tagged-union anti-join exchange.
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def li_part(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["l_partkey"]))
+            k = np.unique(pc.cast(b["l_partkey"], pa.int64())
+                          .to_numpy(zero_copy_only=False))
+            return pa.table({
+                "__b": pa.array(k % 32), "k": pa.array(k),
+                "brand": pa.array([""] * len(k), type=pa.string()),
+                "tag": pa.array(np.zeros(len(k), np.int64))})
+
+        def p_part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["p_partkey"]),
+                        pc.is_valid(b["p_brand"]))
+            b = b.filter(m)
+            k = pc.cast(b["p_partkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            br = np.asarray(b["p_brand"].to_pylist(), dtype=object)
+            sel = k < 30
+            k = np.concatenate([k, k[sel] + 10_000_000])
+            br = np.concatenate([br, br[sel]])
+            return pa.table({
+                "__b": pa.array(k % 32), "k": pa.array(k),
+                "brand": pa.array(list(br), type=pa.string()),
+                "tag": pa.array(np.ones(len(k), np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            tag = t.column("tag").to_numpy(zero_copy_only=False)
+            br = np.asarray(t.column("brand").to_pylist(),
+                            dtype=object)
+            o = np.lexsort((tag, k))
+            k, tag, br = k[o], tag[o], br[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(k)))
+            last = st + n - 1
+            ispart = tag[last] == 1
+            sold = (np.add.reduceat((tag == 0).astype(np.int64), st)
+                    if len(st) else np.empty(0, np.int64)) > 0
+            brands = br[last][ispart]
+            unsold = (~sold[ispart]).astype(np.int64)
+            ub, inv = np.unique(brands, return_inverse=True)
+            return pa.table({
+                "p_brand": pa.array(list(ub), type=pa.string()),
+                "n_parts": pa.array(np.bincount(
+                    inv, minlength=len(ub)).astype(np.int64)),
+                "n_unsold": pa.array(np.bincount(
+                    inv, weights=unsold, minlength=len(ub))
+                    .astype(np.int64))})
+
+        li = (_read(sf, "lineitem", columns=["l_partkey"])
+              .map_batches(li_part, batch_format="pyarrow"))
+        pp = (_read(sf, "part", columns=["p_partkey", "p_brand"])
+              .map_batches(p_part, batch_format="pyarrow"))
+        out = grouped_exchange(li.union(pp), "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({
+                "p_brand": pd.Series(dtype=object),
+                "n_parts": pd.Series(dtype="int64"),
+                "n_unsold": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("p_brand", as_index=False)
+              [["n_parts", "n_unsold"]].sum())
+        return (df.sort_values("p_brand").reset_index(drop=True)
+                .astype({"n_parts": "int64", "n_unsold": "int64"}))
+
+    def supplier_concentration_q(sf):
+        # revenue-dependence audit: per supplier the top customer's
+        # share of its lines, permille-decile census (hash_join on
+        # orderkey, then a (supp, cust)-count frame on the driver)
+        from verify_ray.pipelines.joins import hash_join
+
+        joined = hash_join(
+            _read(sf, "lineitem",
+                  columns=["l_orderkey", "l_suppkey"]),
+            _read(sf, "orders", columns=["o_orderkey", "o_custkey"]),
+            key="l_orderkey", right_key="o_orderkey",
+            left_values=["l_suppkey"], right_values=["o_custkey"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_suppkey"]),
+                        pc.is_valid(b["o_custkey"]))
+            b = b.filter(m)
+            return pa.table({
+                "s": pc.cast(b["l_suppkey"], pa.int64()),
+                "c": pc.cast(b["o_custkey"], pa.int64()),
+                "__one": pa.array(np.ones(b.num_rows, np.int64))})
+
+        sc = analytics.grouped_stats(
+            joined.map_batches(prep, batch_format="pyarrow"),
+            ["s", "c"], {"__one": ["sum"]})
+        sc = sc.rename(columns={"__one_sum": "n"})
+        if not len(sc):
+            return pd.DataFrame({
+                "band": pd.Series(dtype="int64"),
+                "n_suppliers": pd.Series(dtype="int64")})
+        sc["n"] = sc.n.astype("int64")
+        a = sc.groupby("s").n.agg(["sum", "max"])
+        band = (1000 * a["max"].to_numpy(np.int64)
+                // a["sum"].to_numpy(np.int64)) // 100
+        ub, cnt = np.unique(band, return_counts=True)
+        return pd.DataFrame({
+            "band": ub.astype(np.int64),
+            "n_suppliers": cnt.astype(np.int64)})
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "users_weekly_rhythm_hist": weekly_rhythm_q,
+        "parts_unsold_census": unsold_parts_q,
+        "supplier_top_customer_share": supplier_concentration_q,
         "orders_qoq_growth": qoq_growth_q,
         "docs_source_lang_purity": lang_purity_q,
         "users_first_last_type_matrix": first_last_type_q,
@@ -12937,6 +13099,55 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "users_weekly_rhythm_hist": """
+-- habit-periodicity census: per user the lag-7 active-day pairs
+-- permille of active days, decile bands
+WITH ud AS (
+  SELECT DISTINCT user_id AS u,
+         epoch_us(ts) // 86400000000 AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+a AS (
+  SELECT ud.u, COUNT(*) AS days,
+         SUM(CASE WHEN nxt.d IS NOT NULL THEN 1 ELSE 0 END)
+           AS pairs
+  FROM ud LEFT JOIN ud nxt
+    ON nxt.u = ud.u AND nxt.d = ud.d + 7
+  GROUP BY 1)
+SELECT CAST((1000 * pairs // days) // 100 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1 ORDER BY 1
+""",
+        "parts_unsold_census": """
+-- dead-stock audit: parts never sold, per brand (planted:
+-- p_partkey < 30 re-listed as key + 10000000)
+WITH all_parts AS (
+  SELECT p_partkey AS k, p_brand FROM part
+  WHERE p_partkey IS NOT NULL AND p_brand IS NOT NULL
+  UNION ALL
+  SELECT p_partkey + 10000000, p_brand FROM part
+  WHERE p_partkey IS NOT NULL AND p_brand IS NOT NULL
+    AND p_partkey < 30),
+sold AS (SELECT DISTINCT l_partkey FROM lineitem
+         WHERE l_partkey IS NOT NULL)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN sold.l_partkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unsold
+FROM all_parts LEFT JOIN sold ON sold.l_partkey = all_parts.k
+GROUP BY 1 ORDER BY 1
+""",
+        "supplier_top_customer_share": """
+-- revenue-dependence audit: per supplier the top customer's share
+-- of its lines, permille deciles
+WITH j AS (
+  SELECT l_suppkey AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_suppkey IS NOT NULL AND o_custkey IS NOT NULL),
+sc AS (SELECT s, c, COUNT(*) AS n FROM j GROUP BY 1, 2),
+a AS (SELECT s, SUM(n) AS tot, MAX(n) AS mx FROM sc GROUP BY 1)
+SELECT CAST((1000 * mx // tot) // 100 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM a GROUP BY 1 ORDER BY 1
+""",
         "orders_qoq_growth": """
 -- quarterly revenue momentum: per quarter cents + delta vs the
 -- previous observed quarter (first delta = 0)

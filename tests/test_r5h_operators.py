@@ -844,3 +844,58 @@ def test_first_last_hand_case(ray_session, tmp_path):
     got = {(r.first_type, r.last_type): r.n_users
            for r in out.itertuples()}
     assert got == {("a", "b"): 1, ("c", "c"): 1}
+
+
+def test_oracle_weekly_rhythm(ray_session):
+    out = _oracle_check("users_weekly_rhythm_hist",
+                        tables=("events",))
+    assert out.band.between(0, 10).all()
+    con = duckdb.connect()
+    nu = con.execute(f"SELECT COUNT(DISTINCT user_id) FROM "
+                     f"'{SF}/events.parquet'").fetchone()[0]
+    assert out.n_users.sum() == nu
+    # lag-7 pairs exist in the synthetic (non-vacuous)
+    assert (out.band > 0).any()
+
+
+def test_weekly_rhythm_hand_case(ray_session, tmp_path):
+    # user 1: days [0, 7, 14] -> pairs 2 of 3 days -> 666 -> band 6
+    # user 2: days [0, 3] -> 0 pairs -> band 0
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    D = 86_400_000_000
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([0, 7 * D, 14 * D, 0, 3 * D],
+                       pa.timestamp("us")),
+    }), tmp_path / "events.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["users_weekly_rhythm_hist"](str(tmp_path))
+    assert dict(zip(out.band, out.n_users)) == {0: 1, 6: 1}
+
+
+def test_oracle_unsold_parts(ray_session):
+    out = _oracle_check("parts_unsold_census",
+                        tables=("part", "lineitem"))
+    # exactly the 30 planted re-listings are unsold
+    assert out.n_unsold.sum() == 30
+    con = duckdb.connect()
+    np_ = con.execute(f"SELECT COUNT(*) FROM "
+                      f"'{SF}/part.parquet'").fetchone()[0]
+    assert out.n_parts.sum() == np_ + 30
+
+
+def test_oracle_supplier_concentration(ray_session):
+    out = _oracle_check("supplier_top_customer_share",
+                        tables=("lineitem", "orders"))
+    assert out.band.between(0, 10).all()
+    con = duckdb.connect()
+    ns = con.execute(f"""
+        SELECT COUNT(DISTINCT l_suppkey) FROM
+        '{SF}/lineitem.parquet' l
+        WHERE EXISTS (SELECT 1 FROM '{SF}/orders.parquet' o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    """).fetchone()[0]
+    assert out.n_suppliers.sum() == ns
