@@ -11283,8 +11283,151 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "band": ub.astype(np.int64),
             "n_suppliers": cnt.astype(np.int64)})
 
+    def prefix_depth_q(sf):
+        # template-boilerplate census: per doc the deepest prefix
+        # length L in {4, 8, 16, 32} shared with >= 2 docs (0 if not
+        # even 4 chars shared).  Docs route by md5 of the 4-char
+        # prefix — any deeper shared prefix implies the same 4-prefix,
+        # so bucket-local counting is global.
+        from verify_ray.pipelines.sample import _hash_buckets
+        from verify_ray.stages.exchange import grouped_exchange
+
+        LEVELS = (4, 8, 16, 32)
+
+        def tag(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["text"]))
+            txt = pc.cast(b["text"], pa.string())
+            p4 = pc.utf8_slice_codeunits(txt, 0, 4)
+            bk = _hash_buckets(p4)
+            return pa.table({"txt": txt,
+                             "__b": pa.array(
+                                 (bk % 32).astype(np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            txt = t.column("txt")
+            n = len(txt)
+            depth = np.zeros(n, np.int64)
+            for L in LEVELS:
+                pre = pc.utf8_slice_codeunits(txt, 0, L)
+                enc = pc.dictionary_encode(pre)
+                if isinstance(enc, pa.ChunkedArray):
+                    enc = enc.combine_chunks()
+                idx = np.asarray(enc.indices, dtype=np.int64) \
+                    if n else np.empty(0, np.int64)
+                cnt = np.bincount(idx, minlength=len(enc.dictionary)
+                                  if n else 0)
+                shared = cnt[idx] >= 2 if n else \
+                    np.empty(0, bool)
+                depth[shared] = L
+            ud, dc = np.unique(depth, return_counts=True)
+            return pa.table({"depth": pa.array(ud.astype(np.int64)),
+                             "n_docs": pa.array(
+                                 dc.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "documents", columns=["text"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"depth": pd.Series(dtype="int64"),
+                                 "n_docs": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("depth", as_index=False)
+              ["n_docs"].sum())
+        return (df.sort_values("depth").reset_index(drop=True)
+                .astype("int64"))
+
+    def discount_spread_q(sf):
+        # pricing-consistency audit: per multi-line order the spread
+        # (max - min) of discount percent; census over orders
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_orderkey"]),
+                        pc.is_valid(b["l_discount"]))
+            b = b.filter(m)
+            k = pc.cast(b["l_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            d = np.rint(100.0 * b["l_discount"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            o = np.argsort(k, kind="stable")
+            k, d = k[o], d[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            mn = np.minimum.reduceat(d, st) if len(st) else \
+                np.empty(0, np.int64)
+            mx = np.maximum.reduceat(d, st) if len(st) else \
+                np.empty(0, np.int64)
+            return pa.table({"k": pa.array(k[st]),
+                             "mn": pa.array(mn), "mx": pa.array(mx),
+                             "__b": pa.array(k[st] % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            mn = t.column("mn").to_numpy(zero_copy_only=False)
+            mx = t.column("mx").to_numpy(zero_copy_only=False)
+            o = np.argsort(k, kind="stable")
+            k, mn, mx = k[o], mn[o], mx[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            gmn = np.minimum.reduceat(mn, st) if len(st) else \
+                np.empty(0, np.int64)
+            gmx = np.maximum.reduceat(mx, st) if len(st) else \
+                np.empty(0, np.int64)
+            spread = gmx - gmn
+            us, cnt = np.unique(spread, return_counts=True)
+            return pa.table({
+                "spread_pct": pa.array(us.astype(np.int64)),
+                "n_orders": pa.array(cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "lineitem",
+                  columns=["l_orderkey", "l_discount"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({
+                "spread_pct": pd.Series(dtype="int64"),
+                "n_orders": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("spread_pct", as_index=False)
+              ["n_orders"].sum())
+        return (df.sort_values("spread_pct").reset_index(drop=True)
+                .astype("int64"))
+
+    def quant_digit_q(sf):
+        # quantizer-health audit: last-decimal-digit uniformity of
+        # q = floor(1000*x) over every dimension (a skewed digit
+        # distribution marks value clumping); map partials only
+        from verify_ray.pipelines.similarity import _emb_matrix
+
+        def part(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["embedding"]))
+            if b.num_rows == 0:
+                z = np.empty(0, np.int64)
+                return pa.table({"digit": pa.array(z),
+                                 "n": pa.array(z)})
+            q = np.floor(1000.0 * _emb_matrix(b, "embedding")) \
+                .astype(np.int64).ravel()
+            dig = q % 10  # numpy % is non-negative for positive mod
+            cnt = np.bincount(dig, minlength=10)
+            return pa.table({
+                "digit": pa.array(np.arange(10, dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64))})
+
+        parts = (_read(sf, "embeddings", columns=["embedding"])
+                 .map_batches(part, batch_format="pyarrow")
+                 .to_pandas())
+        if not len(parts):
+            return pd.DataFrame({"digit": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        df = parts.groupby("digit", as_index=False)["n"].sum()
+        return (df.sort_values("digit").reset_index(drop=True)
+                .astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "docs_prefix_depth_census": prefix_depth_q,
+        "orders_discount_spread_hist": discount_spread_q,
+        "embeddings_quant_digit_uniformity": quant_digit_q,
         "users_weekly_rhythm_hist": weekly_rhythm_q,
         "parts_unsold_census": unsold_parts_q,
         "supplier_top_customer_share": supplier_concentration_q,
@@ -13099,6 +13242,47 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "docs_prefix_depth_census": """
+-- template-boilerplate census: deepest shared prefix length per doc
+-- over levels 4/8/16/32 (0 if not even 4 chars shared)
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL),
+lv AS (
+  SELECT doc_id, substr(text, 1, l) AS pre, l
+  FROM d, (VALUES (4), (8), (16), (32)) t(l)),
+c AS (SELECT l, pre, COUNT(*) AS n FROM lv GROUP BY 1, 2),
+m AS (
+  SELECT lv.doc_id,
+         MAX(CASE WHEN c.n >= 2 THEN lv.l ELSE 0 END) AS depth
+  FROM lv JOIN c ON c.l = lv.l AND c.pre = lv.pre
+  GROUP BY 1)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM m GROUP BY 1 ORDER BY 1
+""",
+        "orders_discount_spread_hist": """
+-- pricing-consistency audit: per order the discount percent spread
+WITH a AS (
+  SELECT l_orderkey,
+         MAX(CAST(round(100 * l_discount) AS BIGINT))
+           - MIN(CAST(round(100 * l_discount) AS BIGINT)) AS s
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_discount IS NOT NULL
+  GROUP BY 1)
+SELECT s AS spread_pct, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM a GROUP BY 1 ORDER BY 1
+""",
+        "embeddings_quant_digit_uniformity": """
+-- quantizer-health audit: last-decimal-digit counts of
+-- floor(1000*x) over all dims (non-negative mod)
+WITH q AS (
+  SELECT unnest(list_transform(embedding,
+           x -> ((CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT)
+                  % 10) + 10) % 10)) AS d
+  FROM embeddings WHERE embedding IS NOT NULL)
+SELECT CAST(d AS BIGINT) AS digit, CAST(COUNT(*) AS BIGINT) AS n
+FROM q GROUP BY 1 ORDER BY 1
+""",
         "users_weekly_rhythm_hist": """
 -- habit-periodicity census: per user the lag-7 active-day pairs
 -- permille of active days, decile bands

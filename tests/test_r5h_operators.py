@@ -899,3 +899,53 @@ def test_oracle_supplier_concentration(ray_session):
                       WHERE o.o_orderkey = l.l_orderkey)
     """).fetchone()[0]
     assert out.n_suppliers.sum() == ns
+
+
+def test_oracle_prefix_depth(ray_session):
+    out = _oracle_check("docs_prefix_depth_census",
+                        tables=("documents",))
+    assert set(out.depth).issubset({0, 4, 8, 16, 32})
+    con = duckdb.connect()
+    nd = con.execute(f"SELECT COUNT(*) FROM "
+                     f"'{SF}/documents.parquet'").fetchone()[0]
+    assert out.n_docs.sum() == nd
+    # synthetic template text shares prefixes (non-vacuous)
+    assert out[out.depth > 0].n_docs.sum() > 0
+
+
+def test_prefix_depth_hand_case(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["aaaabbbbccccdddd000", "aaaabbbbccccdddd111",
+             "aaaaZZZZ", "zzzz"]
+    # docs 0,1 share 16-prefix; doc 2 shares only 4 with them;
+    # doc 3 shares nothing
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(texts),
+    }), tmp_path / "documents.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["docs_prefix_depth_census"](str(tmp_path))
+    assert dict(zip(out.depth, out.n_docs)) == {0: 1, 4: 1, 16: 2}
+
+
+def test_oracle_discount_spread(ray_session):
+    out = _oracle_check("orders_discount_spread_hist",
+                        tables=("lineitem",))
+    assert (out.spread_pct >= 0).all()
+    con = duckdb.connect()
+    no = con.execute(f"SELECT COUNT(DISTINCT l_orderkey) FROM "
+                     f"'{SF}/lineitem.parquet'").fetchone()[0]
+    assert out.n_orders.sum() == no
+
+
+def test_oracle_quant_digit(ray_session):
+    out = _oracle_check("embeddings_quant_digit_uniformity",
+                        tables=("embeddings",))
+    assert out.digit.tolist() == list(range(10))
+    con = duckdb.connect()
+    n = con.execute(f"SELECT SUM(len(embedding)) FROM "
+                    f"'{SF}/embeddings.parquet'").fetchone()[0]
+    assert out.n.sum() == n
