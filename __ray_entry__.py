@@ -11423,8 +11423,245 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("digit").reset_index(drop=True)
                 .astype("int64"))
 
+    def negative_latency_q(sf):
+        # clock-integrity audit: lineitems shipped BEFORE their order
+        # date (the synthetic plants thousands), per order month —
+        # orderkey tagged-union exchange, month-sized partials
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def li_part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_orderkey"]),
+                        pc.is_valid(b["l_shipdate"]))
+            b = b.filter(m)
+            k = pc.cast(b["l_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            d = (pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+                 // 86_400_000_000)
+            return pa.table({"__b": pa.array(k % 64),
+                             "k": pa.array(k), "val": pa.array(d),
+                             "tag": pa.array(np.zeros(len(k),
+                                                      np.int64))})
+
+        def o_side(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_orderkey"]),
+                        pc.is_valid(b["o_orderdate"]))
+            b = b.filter(m)
+            k = pc.cast(b["o_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            d = (pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+                 // 86_400_000_000)
+            return pa.table({"__b": pa.array(k % 64),
+                             "k": pa.array(k), "val": pa.array(d),
+                             "tag": pa.array(np.ones(len(k),
+                                                     np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            val = t.column("val").to_numpy(zero_copy_only=False)
+            tag = t.column("tag").to_numpy(zero_copy_only=False)
+            o = np.lexsort((tag, k))
+            k, val, tag = k[o], val[o], tag[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(k)))
+            last = st + n - 1
+            has_order = tag[last] == 1
+            od_seg = np.where(has_order, val[last], -1)
+            seg = np.repeat(np.arange(len(st)), n)
+            odr = od_seg[seg]
+            isline = (tag == 0) & (odr >= 0)
+            lat = val[isline] - odr[isline]
+            mi = (odr[isline].astype("datetime64[D]")
+                  .astype("datetime64[M]").astype(np.int64))
+            um, inv = np.unique(mi, return_inverse=True)
+            neg = (lat < 0).astype(np.int64)
+            mn = np.full(len(um), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(mn, inv, lat)
+            return pa.table({
+                "month_idx": pa.array(um.astype(np.int64)),
+                "n_lines": pa.array(np.bincount(
+                    inv, minlength=len(um)).astype(np.int64)),
+                "n_negative": pa.array(np.bincount(
+                    inv, weights=neg, minlength=len(um))
+                    .astype(np.int64)),
+                "min_latency": pa.array(mn)})
+
+        li = (_read(sf, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"])
+              .map_batches(li_part, batch_format="pyarrow"))
+        od = (_read(sf, "orders",
+                    columns=["o_orderkey", "o_orderdate"])
+              .map_batches(o_side, batch_format="pyarrow"))
+        res = grouped_exchange(li.union(od), "__b", 64, fold)
+        cols = ["month_idx", "n_lines", "n_negative", "min_latency"]
+        if res is None or res.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        g = res.to_pandas().groupby("month_idx", as_index=False)
+        df = g.agg(n_lines=("n_lines", "sum"),
+                   n_negative=("n_negative", "sum"),
+                   min_latency=("min_latency", "min"))
+        return (df.sort_values("month_idx").reset_index(drop=True)
+                .astype("int64"))
+
+    def median_gap_q(sf):
+        # cadence-robustness census: per user the LOWER-median
+        # inter-event gap in seconds ((ts, event_id) order), log2
+        # bands of gap + 1; ONE user-keyed exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("user_id", "ts", "event_id"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "u": pa.array(u),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                              pa.int64()),
+                "eid": pc.cast(b["event_id"], pa.int64()),
+                "__b": pa.array(u % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            us = t.column("us").to_numpy(zero_copy_only=False)
+            eid = t.column("eid").to_numpy(zero_copy_only=False)
+            o = np.lexsort((eid, us, u))
+            u, us = u[o], us[o]
+            same = u[1:] == u[:-1] if len(u) else np.empty(0, bool)
+            g = ((us[1:] - us[:-1]) // 1_000_000)[same]
+            kg = u[1:][same]
+            if not len(g):
+                return pa.table({
+                    "band": pa.array([], type=pa.int64()),
+                    "n_users": pa.array([], type=pa.int64())})
+            o2 = np.lexsort((g, kg))
+            kg, g = kg[o2], g[o2]
+            st = np.flatnonzero(np.r_[True, kg[1:] != kg[:-1]])
+            n = np.diff(np.append(st, len(kg)))
+            med = g[st + (n + 1) // 2 - 1]
+            band = (np.frexp((med + 1).astype(np.float64))[1] - 1) \
+                .astype(np.int64)
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({"band": pa.array(ub.astype(np.int64)),
+                             "n_users": pa.array(
+                                 cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_id"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              ["n_users"].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
+    def hapax_presence_q(sf):
+        # rarity-exposure census: docs containing >= 1 corpus-hapax
+        # word, by log2 doc-length band.  Word counts resolve in a
+        # hash exchange; the hapax set broadcasts once via ray.put
+        # (Bloom-filter at corpus scale, exact set here).
+        import ray as _ray
+        from verify_ray.pipelines.sample import _hash_buckets
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def words_of(b: pa.Table):
+            return pc.split_pattern_regex(
+                pc.utf8_trim(pc.cast(b["text"], pa.string()),
+                             characters=" "), pattern=r"\s+")
+
+        def tag(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["text"]))
+            wa = words_of(b)
+            if isinstance(wa, pa.ChunkedArray):
+                wa = wa.combine_chunks()
+            flat = wa.flatten()
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dic = enc.dictionary
+            cnt = np.bincount(idx, minlength=len(dic)) \
+                if len(dic) else np.empty(0, np.int64)
+            bk = _hash_buckets(dic)
+            return pa.table({"w": dic,
+                             "c": pa.array(cnt.astype(np.int64)),
+                             "__b": pa.array(
+                                 (bk % 32).astype(np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            enc = pc.dictionary_encode(t.column("w"))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dic = enc.dictionary
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            tot = np.zeros(len(dic), np.int64)
+            np.add.at(tot, idx, c)
+            keep = tot == 1
+            return pa.table({"w": dic.filter(
+                pa.array(keep)) if len(dic) else dic})
+
+        docs = _read(sf, "documents", columns=["text"])
+        hap = grouped_exchange(
+            docs.map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        haparr = (hap.column("w").combine_chunks()
+                  if hap is not None and hap.num_rows
+                  else pa.array([], type=pa.string()))
+        ref = _ray.put(haparr)
+
+        def census(b: pa.Table) -> pa.Table:
+            hs = _ray.get(ref)
+            b = b.filter(pc.is_valid(b["text"]))
+            wa = words_of(b)
+            if isinstance(wa, pa.ChunkedArray):
+                wa = wa.combine_chunks()
+            offs = np.asarray(wa.offsets, dtype=np.int64)
+            nlen = np.diff(offs)
+            flat = wa.flatten()
+            ishap = (pc.is_in(flat, value_set=hs)
+                     .to_numpy(zero_copy_only=False).astype(bool)
+                     if len(flat) and len(hs)
+                     else np.zeros(len(flat), bool))
+            cs = np.concatenate([[0], np.cumsum(ishap)])
+            has = (cs[offs[1:]] - cs[offs[:-1]]) > 0
+            band = (np.frexp((nlen + 1).astype(np.float64))[1] - 1) \
+                .astype(np.int64)
+            cell = band * 2 + has.astype(np.int64)
+            uc, cnt = np.unique(cell, return_counts=True)
+            return pa.table({
+                "band": pa.array((uc // 2).astype(np.int64)),
+                "has_hapax": pa.array((uc % 2).astype(np.int64)),
+                "n_docs": pa.array(cnt.astype(np.int64))})
+
+        parts = (docs.map_batches(census, batch_format="pyarrow")
+                 .to_pandas())
+        cols = ["band", "has_hapax", "n_docs"]
+        if not len(parts):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (parts.groupby(["band", "has_hapax"], as_index=False)
+              ["n_docs"].sum())
+        return (df.sort_values(["band", "has_hapax"])
+                .reset_index(drop=True).astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "lineitem_negative_latency": negative_latency_q,
+        "users_median_gap_hist": median_gap_q,
+        "docs_hapax_presence_by_length": hapax_presence_q,
         "docs_prefix_depth_census": prefix_depth_q,
         "orders_discount_spread_hist": discount_spread_q,
         "embeddings_quant_digit_uniformity": quant_digit_q,
@@ -13242,6 +13479,64 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "lineitem_negative_latency": """
+-- clock-integrity audit: lines shipped BEFORE the order date,
+-- per order month
+WITH j AS (
+  SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+           AS m,
+         epoch_us(l_shipdate) // 86400000000
+           - epoch_us(o_orderdate) // 86400000000 AS lat
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL)
+SELECT CAST(m AS BIGINT) AS month_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN lat < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       CAST(MIN(lat) AS BIGINT) AS min_latency
+FROM j GROUP BY 1 ORDER BY 1
+""",
+        "users_median_gap_hist": """
+-- cadence-robustness census: per-user LOWER-median inter-event gap
+-- (seconds, (ts, event_id) order), log2 bands of gap + 1
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL),
+g AS (
+  SELECT u, (us - LAG(us) OVER (PARTITION BY u
+                                ORDER BY us, event_id)) // 1000000
+           AS gap
+  FROM e),
+m AS (
+  SELECT u, CAST(quantile_disc(gap, 0.5) AS BIGINT) AS med
+  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+SELECT CAST(LENGTH(bin(med + 1)) - 1 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM m GROUP BY 1 ORDER BY 1
+""",
+        "docs_hapax_presence_by_length": """
+-- rarity-exposure census: docs containing >= 1 corpus-hapax word,
+-- by log2 word-count band
+WITH toks AS (
+  SELECT doc_id AS rid,
+         regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE text IS NOT NULL),
+w AS (SELECT rid, unnest(ws) AS w FROM toks),
+c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1),
+hx AS (SELECT w FROM c WHERE c = 1),
+d AS (
+  SELECT toks.rid, len(ws) AS nw,
+         EXISTS (SELECT 1 FROM w JOIN hx USING (w)
+                 WHERE w.rid = toks.rid) AS has
+  FROM toks)
+SELECT CAST(LENGTH(bin(nw + 1)) - 1 AS BIGINT) AS band,
+       CAST(CASE WHEN has THEN 1 ELSE 0 END AS BIGINT)
+         AS has_hapax,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "docs_prefix_depth_census": """
 -- template-boilerplate census: deepest shared prefix length per doc
 -- over levels 4/8/16/32 (0 if not even 4 chars shared)

@@ -949,3 +949,53 @@ def test_oracle_quant_digit(ray_session):
     n = con.execute(f"SELECT SUM(len(embedding)) FROM "
                     f"'{SF}/embeddings.parquet'").fetchone()[0]
     assert out.n.sum() == n
+
+
+def test_oracle_negative_latency(ray_session):
+    out = _oracle_check("lineitem_negative_latency",
+                        tables=("lineitem", "orders"))
+    assert (out.n_negative <= out.n_lines).all()
+    # the synthetic genuinely ships before order dates somewhere
+    assert out.n_negative.sum() > 0
+    assert out.min_latency.min() < 0
+
+
+def test_oracle_median_gap(ray_session):
+    out = _oracle_check("users_median_gap_hist",
+                        tables=("events",))
+    con = duckdb.connect()
+    nu = con.execute(f"""
+        SELECT COUNT(*) FROM (SELECT user_id FROM
+        '{SF}/events.parquet' GROUP BY 1 HAVING COUNT(*) >= 2)
+    """).fetchone()[0]
+    assert out.n_users.sum() == nu
+    assert (out.band >= 0).all()
+
+
+def test_median_gap_hand_case(ray_session, tmp_path):
+    # user 1 gaps [10s, 30s, 1000s] -> lower median 30 -> band 4
+    # (bin(31) has 5 digits); user 2 single event excluded
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    S = 1_000_000
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 10 * S, 40 * S, 1040 * S, 0],
+                       pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    }), tmp_path / "events.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["users_median_gap_hist"](str(tmp_path))
+    assert dict(zip(out.band, out.n_users)) == {4: 1}
+
+
+def test_oracle_hapax_presence(ray_session):
+    out = _oracle_check("docs_hapax_presence_by_length",
+                        tables=("documents",))
+    con = duckdb.connect()
+    nd = con.execute(f"SELECT COUNT(*) FROM "
+                     f"'{SF}/documents.parquet'").fetchone()[0]
+    assert out.n_docs.sum() == nd
+    assert out.has_hapax.isin([0, 1]).all()
