@@ -11657,8 +11657,179 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values(["band", "has_hapax"])
                 .reset_index(drop=True).astype("int64"))
 
+    def name_key_reconcile_q(sf):
+        # surrogate-key integrity: c_name must be
+        # Customer#%09d(c_custkey) (planted: c_custkey < 10
+        # re-published with suffix + 1).  Map partials, zero shuffle.
+        def part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["c_custkey"]),
+                        pc.is_valid(b["c_name"]))
+            b = b.filter(m)
+            k = pc.cast(b["c_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            nm = np.asarray(b["c_name"].to_pylist(), dtype=object)
+            sel = k < 10
+            k = np.concatenate([k, k[sel]])
+            nm = np.concatenate([nm, np.array(
+                [f"Customer#{v + 1:09d}" for v in k[len(nm):]],
+                dtype=object)])
+            ok_fmt = np.array(
+                [bool(len(s) == 18 and s.startswith("Customer#")
+                      and s[9:].isdigit()) for s in nm], dtype=bool)
+            suffix = np.array(
+                [int(s[9:]) if f else -1
+                 for s, f in zip(nm, ok_fmt)], dtype=np.int64)
+            match = ok_fmt & (suffix == k)
+            return pa.table({
+                "n": pa.array([len(k)], type=pa.int64()),
+                "n_format_bad": pa.array(
+                    [int((~ok_fmt).sum())], type=pa.int64()),
+                "n_suffix_mismatch": pa.array(
+                    [int((ok_fmt & ~match).sum())],
+                    type=pa.int64())})
+
+        parts = (_read(sf, "customer",
+                       columns=["c_custkey", "c_name"])
+                 .map_batches(part, batch_format="pyarrow")
+                 .to_pandas())
+        cols = ["n", "n_format_bad", "n_suffix_mismatch"]
+        if not len(parts):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        return pd.DataFrame([parts[cols].sum().astype("int64")]) \
+            .reset_index(drop=True).astype("int64")
+
+    def pair_novelty_q(sf):
+        # supply-graph growth accounting: per ship month the active
+        # (supplier, part) pairs and the first-ever-seen pairs; ONE
+        # pair-keyed exchange over map-side-deduped (pair, month)
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("l_suppkey", "l_partkey", "l_shipdate"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            day = (pc.cast(pc.cast(b["l_shipdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mi = (day.astype("datetime64[D]")
+                  .astype("datetime64[M]").astype(np.int64))
+            s = pc.cast(b["l_suppkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            p = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            pair = s * 10_000_000 + p  # partkey < 1e7 at every sf
+            code = np.unique(pair * 1_000 + (mi % 1_000))
+            # month fits 3 digits only if < 1000 months since 1970
+            # (year < 2053) — true for this corpus; restated in SQL
+            return pa.table({"code": pa.array(code),
+                             "__b": pa.array((code // 1_000) % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            code = np.unique(
+                t.column("code").to_numpy(zero_copy_only=False))
+            pair, mi = code // 1_000, code % 1_000
+            st = np.flatnonzero(np.r_[True, pair[1:] != pair[:-1]]) \
+                if len(pair) else np.empty(0, np.int64)
+            isfirst = np.zeros(len(pair), bool)
+            isfirst[st] = True
+            um, inv = np.unique(mi, return_inverse=True)
+            tot = np.bincount(inv, minlength=len(um))
+            new = np.bincount(inv, weights=isfirst,
+                              minlength=len(um))
+            return pa.table({
+                "month_idx": pa.array(um.astype(np.int64)),
+                "n_pairs_active": pa.array(tot.astype(np.int64)),
+                "n_pairs_new": pa.array(new.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "lineitem",
+                  columns=["l_suppkey", "l_partkey", "l_shipdate"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["month_idx", "n_pairs_active", "n_pairs_new"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (out.to_pandas().groupby("month_idx", as_index=False)
+              [cols[1:]].sum())
+        return (df.sort_values("month_idx").reset_index(drop=True)
+                .astype("int64"))
+
+    def first_session_share_q(sf):
+        # onboarding-monetization census: share of a user's lifetime
+        # value cents earned in their FIRST session (gap > 1800 s
+        # breaks); permille deciles; ONE user-keyed exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("user_id", "ts", "event_id", "value"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            cents = np.rint(100.0 * b["value"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({
+                "u": pa.array(u),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                              pa.int64()),
+                "eid": pc.cast(b["event_id"], pa.int64()),
+                "c": pa.array(cents),
+                "__b": pa.array(u % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            us = t.column("us").to_numpy(zero_copy_only=False)
+            eid = t.column("eid").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            o = np.lexsort((eid, us, u))
+            u, us, c = u[o], us[o], c[o]
+            if not len(u):
+                return pa.table({
+                    "band": pa.array([], type=pa.int64()),
+                    "n_users": pa.array([], type=pa.int64())})
+            same = u[1:] == u[:-1]
+            brk = same & ((us[1:] - us[:-1]) > 1_800_000_000)
+            # in-first-session = before the user's first break
+            newseg = np.r_[True, ~same | brk]
+            segid = np.cumsum(newseg) - 1
+            st = np.flatnonzero(np.r_[True, ~same])
+            seg_at_start = segid[st]
+            n_per = np.diff(np.append(st, len(u)))
+            infirst = segid == np.repeat(seg_at_start, n_per)
+            tot = np.add.reduceat(c, st)
+            fst = np.add.reduceat(np.where(infirst, c, 0), st)
+            keep = tot > 0
+            band = (1000 * fst[keep] // tot[keep]) // 100
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({"band": pa.array(ub.astype(np.int64)),
+                             "n_users": pa.array(
+                                 cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_id", "value"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              ["n_users"].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "customer_name_key_reconcile": name_key_reconcile_q,
+        "partsupp_pair_novelty_monthly": pair_novelty_q,
+        "users_first_session_value_share": first_session_share_q,
         "lineitem_negative_latency": negative_latency_q,
         "users_median_gap_hist": median_gap_q,
         "docs_hapax_presence_by_length": hapax_presence_q,
@@ -13479,6 +13650,75 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "customer_name_key_reconcile": """
+-- surrogate-key integrity: c_name must be Customer#%09d(c_custkey)
+-- (planted: c_custkey < 10 re-published with suffix + 1)
+WITH all_c AS (
+  SELECT c_custkey AS k, c_name AS nm FROM customer
+  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+  UNION ALL
+  SELECT c_custkey,
+         'Customer#' || lpad(CAST(c_custkey + 1 AS VARCHAR), 9, '0')
+  FROM customer
+  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+    AND c_custkey < 10),
+a AS (
+  SELECT k, nm,
+         regexp_matches(nm, '^Customer#[0-9]{9}$') AS ok
+  FROM all_c)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_format_bad,
+       CAST(SUM(CASE WHEN ok AND CAST(substr(nm, 10) AS BIGINT)
+                          <> k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suffix_mismatch
+FROM a
+""",
+        "partsupp_pair_novelty_monthly": """
+-- supply-graph growth: per ship month the active (supplier, part)
+-- pairs and the first-ever-seen pairs
+WITH pm AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p,
+         (year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1
+           AS m
+  FROM lineitem
+  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+    AND l_shipdate IS NOT NULL),
+f AS (SELECT s, p, m, MIN(m) OVER (PARTITION BY s, p) AS m0
+      FROM pm)
+SELECT CAST(m AS BIGINT) AS month_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs_active,
+       CAST(SUM(CASE WHEN m = m0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs_new
+FROM f GROUP BY 1 ORDER BY 1
+""",
+        "users_first_session_value_share": """
+-- onboarding monetization: share of lifetime value cents earned in
+-- the FIRST session (gap > 1800 s breaks), permille deciles
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, event_id,
+         CAST(round(100 * value) AS BIGINT) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL),
+g AS (
+  SELECT u, us, event_id, c,
+         CASE WHEN us - LAG(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY u ORDER BY us, event_id)),
+s AS (
+  SELECT u, c,
+         SUM(brk) OVER (PARTITION BY u ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+a AS (
+  SELECT u, SUM(c) AS tot,
+         SUM(CASE WHEN sid = 0 THEN c ELSE 0 END) AS fst
+  FROM s GROUP BY 1)
+SELECT CAST((1000 * fst // tot) // 100 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a WHERE tot > 0 GROUP BY 1 ORDER BY 1
+""",
         "lineitem_negative_latency": """
 -- clock-integrity audit: lines shipped BEFORE the order date,
 -- per order month

@@ -999,3 +999,60 @@ def test_oracle_hapax_presence(ray_session):
                      f"'{SF}/documents.parquet'").fetchone()[0]
     assert out.n_docs.sum() == nd
     assert out.has_hapax.isin([0, 1]).all()
+
+
+def test_oracle_name_key_reconcile(ray_session):
+    out = _oracle_check("customer_name_key_reconcile",
+                        tables=("customer",))
+    r = out.iloc[0]
+    con = duckdb.connect()
+    nc = con.execute(f"SELECT COUNT(*) FROM "
+                     f"'{SF}/customer.parquet'").fetchone()[0]
+    # exactly the 10 planted rows mismatch; formats are all valid
+    assert (r.n, r.n_format_bad, r.n_suffix_mismatch) == \
+        (nc + 10, 0, 10)
+
+
+def test_oracle_pair_novelty(ray_session):
+    out = _oracle_check("partsupp_pair_novelty_monthly",
+                        tables=("lineitem",))
+    assert (out.n_pairs_new <= out.n_pairs_active).all()
+    con = duckdb.connect()
+    np_ = con.execute(f"""
+        SELECT COUNT(*) FROM (SELECT DISTINCT l_suppkey, l_partkey
+        FROM '{SF}/lineitem.parquet')
+    """).fetchone()[0]
+    # every pair is new exactly once
+    assert out.n_pairs_new.sum() == np_
+    # the first observed month is all-new
+    assert out.n_pairs_new.iloc[0] == out.n_pairs_active.iloc[0]
+
+
+def test_oracle_first_session_share(ray_session):
+    out = _oracle_check("users_first_session_value_share",
+                        tables=("events",))
+    assert out.band.between(0, 10).all()
+    con = duckdb.connect()
+    nu = con.execute(f"SELECT COUNT(DISTINCT user_id) FROM "
+                     f"'{SF}/events.parquet'").fetchone()[0]
+    assert out.n_users.sum() == nu
+
+
+def test_first_session_share_hand_case(ray_session, tmp_path):
+    # user 1: session A value 3.00, then gap 1h, session B 1.00
+    # -> 300/400 = 750 -> band 7; user 2 all in one session -> 10
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    S = 1_000_000
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 60 * S, 4000 * S, 0], pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "value": pa.array([1.0, 2.0, 1.0, 5.0]),
+    }), tmp_path / "events.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["users_first_session_value_share"](
+        str(tmp_path))
+    assert dict(zip(out.band, out.n_users)) == {7: 1, 10: 1}
