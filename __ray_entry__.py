@@ -11825,8 +11825,145 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("band").reset_index(drop=True)
                 .astype("int64"))
 
+    def emb_exact_dup_q(sf):
+        # vector-dedup census: rows whose EXACT embedding (quantized
+        # at 1e-3, the engine's integer contract) appears >= 2 times,
+        # per label (planted: vec_id < 10 re-published as id+100000).
+        # Vectors route by md5 of the quantized byte string.
+        from verify_ray.pipelines.sample import _hash_buckets
+        from verify_ray.pipelines.similarity import _emb_matrix
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("vec_id", "embedding", "label"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            if b.num_rows == 0:
+                return pa.table({
+                    "sig": pa.array([], type=pa.string()),
+                    "label": pa.array([], type=pa.int64()),
+                    "__b": pa.array([], type=pa.int64())})
+            q = np.floor(1000.0 * _emb_matrix(b, "embedding")) \
+                .astype(np.int64)
+            vid = pc.cast(b["vec_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            lab = pc.cast(b["label"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            sel = vid < 10
+            q = np.concatenate([q, q[sel]])
+            lab = np.concatenate([lab, lab[sel]])
+            sig = pa.array([",".join(map(str, row)) for row in q],
+                           type=pa.string())
+            bk = _hash_buckets(sig)
+            return pa.table({"sig": sig,
+                             "label": pa.array(lab),
+                             "__b": pa.array(
+                                 (bk % 32).astype(np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            enc = pc.dictionary_encode(t.column("sig"))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            lab = t.column("label").to_numpy(zero_copy_only=False)
+            cnt = np.bincount(idx, minlength=len(enc.dictionary)
+                              if len(enc) else 0)
+            isdup = cnt[idx] >= 2 if len(idx) else \
+                np.empty(0, bool)
+            ul, inv = np.unique(lab, return_inverse=True)
+            return pa.table({
+                "label": pa.array(ul.astype(np.int64)),
+                "n_rows": pa.array(np.bincount(
+                    inv, minlength=len(ul)).astype(np.int64)),
+                "n_dup_rows": pa.array(np.bincount(
+                    inv, weights=isdup, minlength=len(ul))
+                    .astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "embeddings",
+                  columns=["vec_id", "embedding", "label"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["label", "n_rows", "n_dup_rows"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (out.to_pandas().groupby("label", as_index=False)
+              [["n_rows", "n_dup_rows"]].sum())
+        return (df.sort_values("label").reset_index(drop=True)
+                .astype("int64"))
+
+    def support_hist_q(sf):
+        # co-purchase edge-strength profile: pair support (shared
+        # baskets) log2-banded, from the same quarter part slice as
+        # copurchase_rules (support >= 1 here)
+        from verify_ray.pipelines.graph import association_rules
+
+        rules = association_rules(
+            _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"],
+                  filter=pc.bit_wise_and(pc.field("l_partkey"), 3)
+                  == 0),
+            "l_orderkey", "l_partkey", min_support=1, num_buckets=8)
+        if not len(rules):
+            return pd.DataFrame({
+                "band": pd.Series(dtype="int64"),
+                "n_pairs": pd.Series(dtype="int64")})
+        s = rules.c_ab.to_numpy(np.int64)
+        band = (np.frexp(s.astype(np.float64))[1] - 1) \
+            .astype(np.int64)
+        ub, cnt = np.unique(band, return_counts=True)
+        return pd.DataFrame({"band": ub.astype(np.int64),
+                             "n_pairs": cnt.astype(np.int64)})
+
+    def minute_residue_q(sf):
+        # synthetic-regularity audit: minute-of-hour mod-10 residue
+        # counts per event type (bot schedulers skew residues);
+        # map partials only
+        def part(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["event_type"]),
+                        pc.is_valid(b["ts"]))
+            b = b.filter(m)
+            minute = (pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                              pa.int64()).to_numpy(
+                zero_copy_only=False) // 60_000_000) % 60
+            res = minute % 10
+            enc = pc.dictionary_encode(
+                pc.cast(b["event_type"], pa.string()))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dic = enc.dictionary.to_pylist() if len(enc) else []
+            cell = idx * 10 + res
+            uc, cnt = np.unique(cell, return_counts=True)
+            return pa.table({
+                "event_type": pa.array([dic[j] for j in uc // 10],
+                                       type=pa.string()),
+                "residue": pa.array((uc % 10).astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64))})
+
+        parts = (_read(sf, "events", columns=["event_type", "ts"])
+                 .map_batches(part, batch_format="pyarrow")
+                 .to_pandas())
+        if not len(parts):
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "residue": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64")})
+        df = (parts.groupby(["event_type", "residue"],
+                            as_index=False)["n"].sum())
+        return (df.sort_values(["event_type", "residue"])
+                .reset_index(drop=True)
+                .astype({"residue": "int64", "n": "int64"}))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "embeddings_exact_dup_census": emb_exact_dup_q,
+        "copurchase_support_hist": support_hist_q,
+        "events_minute_residue_profile": minute_residue_q,
         "customer_name_key_reconcile": name_key_reconcile_q,
         "partsupp_pair_novelty_monthly": pair_novelty_q,
         "users_first_session_value_share": first_session_share_q,
@@ -13650,6 +13787,56 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "embeddings_exact_dup_census": """
+-- vector-dedup census: rows whose exact quantized embedding
+-- appears >= 2 times, per label (planted: vec_id < 10 re-published)
+WITH v AS (
+  SELECT CAST(label AS BIGINT) AS lab,
+         list_transform(embedding,
+           x -> CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+           AS q
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND label IS NOT NULL
+  UNION ALL
+  SELECT CAST(label AS BIGINT),
+         list_transform(embedding,
+           x -> CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND label IS NOT NULL AND vec_id < 10),
+c AS (SELECT q, COUNT(*) AS c FROM v GROUP BY 1)
+SELECT lab AS label, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_rows
+FROM v JOIN c USING (q) GROUP BY 1 ORDER BY 1
+""",
+        "copurchase_support_hist": """
+-- co-purchase edge-strength profile: pair support log2 bands over
+-- the quarter part slice
+WITH gi AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+  WHERE (l_partkey & 3) = 0),
+p AS (
+  SELECT a.i AS x, b.i AS y, COUNT(*) AS c
+  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+  GROUP BY 1, 2)
+SELECT CAST(LENGTH(bin(c)) - 1 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1 ORDER BY 1
+""",
+        "events_minute_residue_profile": """
+-- synthetic-regularity audit: minute-of-hour mod-10 residues per
+-- event type
+WITH a AS (
+  SELECT event_type AS t,
+         ((epoch_us(ts) // 60000000) % 60) % 10 AS r
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL)
+SELECT t AS event_type, CAST(r AS BIGINT) AS residue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "customer_name_key_reconcile": """
 -- surrogate-key integrity: c_name must be Customer#%09d(c_custkey)
 -- (planted: c_custkey < 10 re-published with suffix + 1)

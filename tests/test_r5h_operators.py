@@ -1056,3 +1056,33 @@ def test_first_session_share_hand_case(ray_session, tmp_path):
     out = e.queries()["users_first_session_value_share"](
         str(tmp_path))
     assert dict(zip(out.band, out.n_users)) == {7: 1, 10: 1}
+
+
+def test_oracle_emb_exact_dup(ray_session):
+    out = _oracle_check("embeddings_exact_dup_census",
+                        tables=("embeddings",))
+    # the 10 planted copies + their originals are all dups
+    assert out.n_dup_rows.sum() == 20
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM "
+                    f"'{SF}/embeddings.parquet'").fetchone()[0]
+    assert out.n_rows.sum() == n + 10
+
+
+def test_oracle_support_hist(ray_session):
+    out = _oracle_check("copurchase_support_hist",
+                        tables=("lineitem",))
+    assert (out.band >= 0).all()
+    # band mass bound: counts in [2^b, 2^(b+1))
+    b = out.band.to_numpy(np.int64)
+    assert (out.n_pairs > 0).all()
+
+
+def test_oracle_minute_residue(ray_session):
+    out = _oracle_check("events_minute_residue_profile",
+                        tables=("events",))
+    assert out.residue.between(0, 9).all()
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM "
+                    f"'{SF}/events.parquet'").fetchone()[0]
+    assert out.n.sum() == n
