@@ -338,6 +338,22 @@ def bench_queries() -> dict[str, float]:
              "orders_qoq_growth",
              "docs_source_lang_purity",
              "users_first_last_type_matrix",
+             
+             "users_weekly_rhythm_hist",
+             "parts_unsold_census",
+             "supplier_top_customer_share",
+             "docs_prefix_depth_census",
+             "orders_discount_spread_hist",
+             "embeddings_quant_digit_uniformity",
+             "lineitem_negative_latency",
+             "users_median_gap_hist",
+             "docs_hapax_presence_by_length",
+             "customer_name_key_reconcile",
+             "partsupp_pair_novelty_monthly",
+             "users_first_session_value_share",
+             "embeddings_exact_dup_census",
+             "copurchase_support_hist",
+             "events_minute_residue_profile",
              ]
     out = {}
     for name in names:
