@@ -11959,8 +11959,198 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .reset_index(drop=True)
                 .astype({"residue": "int64", "n": "int64"}))
 
+    def max_gap_share_q(sf):
+        # dormancy-depth census: per user the largest inter-event gap
+        # as a permille of the activity span (users with span 0
+        # excluded); ONE user-keyed exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("user_id", "ts", "event_id"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "u": pa.array(u),
+                "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                              pa.int64()),
+                "eid": pc.cast(b["event_id"], pa.int64()),
+                "__b": pa.array(u % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            us = t.column("us").to_numpy(zero_copy_only=False)
+            eid = t.column("eid").to_numpy(zero_copy_only=False)
+            o = np.lexsort((eid, us, u))
+            u, us = u[o], us[o]
+            if not len(u):
+                return pa.table({
+                    "band": pa.array([], type=pa.int64()),
+                    "n_users": pa.array([], type=pa.int64())})
+            same = u[1:] == u[:-1]
+            gap = np.where(same, us[1:] - us[:-1], 0)
+            st = np.flatnonzero(np.r_[True, ~same])
+            en = np.append(st[1:], len(u)) - 1
+            span = us[en] - us[st]
+            mg = np.zeros(len(st), np.int64)
+            if len(gap):
+                # per-segment max: reduceat over gap (break gaps are
+                # zeroed, so slice overlap at boundaries is harmless)
+                st2 = np.minimum(st, len(gap) - 1)
+                mg = np.maximum.reduceat(gap, st2)
+            keep = span > 0
+            band = (1000 * mg[keep] // span[keep]) // 100
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({"band": pa.array(ub.astype(np.int64)),
+                             "n_users": pa.array(
+                                 cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_id"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              ["n_users"].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
+    def priority_diversity_q(sf):
+        # behavioral-breadth census: distinct order priorities used
+        # per customer; custkey exchange of map-side-deduped pairs
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_custkey"]),
+                        pc.is_valid(b["o_orderpriority"]))
+            b = b.filter(m)
+            k = pc.cast(b["o_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            enc = pc.dictionary_encode(
+                pc.cast(b["o_orderpriority"], pa.string()))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dic = enc.dictionary.to_pylist() if len(enc) else []
+            code = np.unique(k * 64 + idx)  # <= 64 priorities
+            return pa.table({
+                "k": pa.array(code // 64),
+                "p": pa.array([dic[j] for j in code % 64],
+                              type=pa.string()),
+                "__b": pa.array((code // 64) % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            enc = pc.dictionary_encode(t.column("p"))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            pair = np.unique(k * 64 + idx)
+            kk = pair // 64
+            st = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]]) \
+                if len(kk) else np.empty(0, np.int64)
+            nd = np.diff(np.append(st, len(kk)))
+            un, cnt = np.unique(nd, return_counts=True)
+            return pa.table({
+                "n_priorities": pa.array(un.astype(np.int64)),
+                "n_customers": pa.array(cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "orders",
+                  columns=["o_custkey", "o_orderpriority"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({
+                "n_priorities": pd.Series(dtype="int64"),
+                "n_customers": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("n_priorities", as_index=False)
+              ["n_customers"].sum())
+        return (df.sort_values("n_priorities").reset_index(drop=True)
+                .astype("int64"))
+
+    def df_bands_q(sf):
+        # stopword-spectrum census: word types by log2
+        # DOCUMENT-frequency band (df, not tf) — per-doc-unique words
+        # counted in a word-keyed exchange
+        from verify_ray.pipelines.sample import _hash_buckets
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["text"]))
+            words = pc.split_pattern_regex(
+                pc.utf8_trim(pc.cast(b["text"], pa.string()),
+                             characters=" "), pattern=r"\s+")
+            wa = words.combine_chunks() if isinstance(
+                words, pa.ChunkedArray) else words
+            offs = np.asarray(wa.offsets, dtype=np.int64)
+            flat = wa.flatten()
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dic = enc.dictionary
+            # per-doc unique (doc, word) pairs -> df partials
+            doc = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                            np.diff(offs))
+            pair = np.unique(doc * (len(dic) + 1) + idx) \
+                if len(idx) else np.empty(0, np.int64)
+            widx = pair % (len(dic) + 1)
+            dfc = np.bincount(widx, minlength=len(dic)) \
+                if len(dic) else np.empty(0, np.int64)
+            bk = _hash_buckets(dic)
+            return pa.table({
+                "w": dic,
+                "df": pa.array(dfc.astype(np.int64)),
+                "__b": pa.array((bk % 32).astype(np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            enc = pc.dictionary_encode(t.column("w"))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            dfp = t.column("df").to_numpy(zero_copy_only=False)
+            tot = np.zeros(len(enc.dictionary), np.int64)
+            np.add.at(tot, idx, dfp)
+            band = (np.frexp(tot.astype(np.float64))[1] - 1) \
+                .astype(np.int64)
+            ub, inv = np.unique(band, return_inverse=True)
+            return pa.table({
+                "band": pa.array(ub.astype(np.int64)),
+                "n_types": pa.array(np.bincount(
+                    inv, minlength=len(ub)).astype(np.int64)),
+                "sum_df": pa.array(np.bincount(
+                    inv, weights=tot, minlength=len(ub))
+                    .astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "documents", columns=["text"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["band", "n_types", "sum_df"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              [cols[1:]].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "users_max_gap_share_hist": max_gap_share_q,
+        "customers_priority_diversity": priority_diversity_q,
+        "tokens_df_bands": df_bands_q,
         "embeddings_exact_dup_census": emb_exact_dup_q,
         "copurchase_support_hist": support_hist_q,
         "events_minute_residue_profile": minute_residue_q,
@@ -13787,6 +13977,52 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "users_max_gap_share_hist": """
+-- dormancy-depth census: largest inter-event gap as permille of
+-- the activity span, per user (span 0 excluded)
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL),
+g AS (
+  SELECT u, us - LAG(us) OVER (PARTITION BY u
+                               ORDER BY us, event_id) AS gap
+  FROM e),
+a AS (
+  SELECT e.u, MAX(e.us) - MIN(e.us) AS span
+  FROM e GROUP BY 1),
+m AS (SELECT u, MAX(gap) AS mg FROM g WHERE gap IS NOT NULL
+      GROUP BY 1)
+SELECT CAST((1000 * m.mg // a.span) // 100 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN m USING (u) WHERE a.span > 0
+GROUP BY 1 ORDER BY 1
+""",
+        "customers_priority_diversity": """
+-- behavioral-breadth census: distinct order priorities per customer
+WITH d AS (
+  SELECT o_custkey AS k, COUNT(DISTINCT o_orderpriority) AS nd
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1)
+SELECT CAST(nd AS BIGINT) AS n_priorities,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM d GROUP BY 1 ORDER BY 1
+""",
+        "tokens_df_bands": """
+-- stopword-spectrum census: word types by log2 DOCUMENT-frequency
+-- band (df, not tf)
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE text IS NOT NULL),
+dw AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM toks),
+c AS (SELECT w, COUNT(*) AS df FROM dw GROUP BY 1)
+SELECT CAST(LENGTH(bin(df)) - 1 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(df) AS BIGINT) AS sum_df
+FROM c GROUP BY 1 ORDER BY 1
+""",
         "embeddings_exact_dup_census": """
 -- vector-dedup census: rows whose exact quantized embedding
 -- appears >= 2 times, per label (planted: vec_id < 10 re-published)

@@ -1086,3 +1086,56 @@ def test_oracle_minute_residue(ray_session):
     n = con.execute(f"SELECT COUNT(*) FROM "
                     f"'{SF}/events.parquet'").fetchone()[0]
     assert out.n.sum() == n
+
+
+def test_oracle_max_gap_share(ray_session):
+    out = _oracle_check("users_max_gap_share_hist",
+                        tables=("events",))
+    # max gap is at least span/(n-1) >= span/n but never above span
+    assert out.band.between(0, 10).all()
+    con = duckdb.connect()
+    nu = con.execute(f"""
+        SELECT COUNT(*) FROM (
+          SELECT user_id FROM '{SF}/events.parquet' GROUP BY 1
+          HAVING COUNT(*) >= 2 AND MAX(ts) > MIN(ts))
+    """).fetchone()[0]
+    assert out.n_users.sum() == nu
+
+
+def test_max_gap_share_hand_case(ray_session, tmp_path):
+    # user 1: ts [0, 10, 100] -> span 100, max gap 90 -> band 9
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    S = 1_000_000
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([0, 10 * S, 100 * S], pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+    }), tmp_path / "events.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["users_max_gap_share_hist"](str(tmp_path))
+    assert dict(zip(out.band, out.n_users)) == {9: 1}
+
+
+def test_oracle_priority_diversity(ray_session):
+    out = _oracle_check("customers_priority_diversity",
+                        tables=("orders",))
+    assert out.n_priorities.between(1, 5).all()
+    con = duckdb.connect()
+    nc = con.execute(f"SELECT COUNT(DISTINCT o_custkey) FROM "
+                     f"'{SF}/orders.parquet'").fetchone()[0]
+    assert out.n_customers.sum() == nc
+
+
+def test_oracle_df_bands(ray_session):
+    out = _oracle_check("tokens_df_bands", tables=("documents",))
+    b = out.band.to_numpy(np.int64)
+    assert (out.sum_df >= out.n_types * (1 << b)).all()
+    assert (out.sum_df < out.n_types * (1 << (b + 1))).all()
+    con = duckdb.connect()
+    nd = con.execute(f"SELECT COUNT(*) FROM "
+                     f"'{SF}/documents.parquet'").fetchone()[0]
+    # no word appears in more docs than exist
+    assert (1 << int(out.band.max())) <= nd
