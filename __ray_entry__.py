@@ -12146,8 +12146,202 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("band").reset_index(drop=True)
                 .astype("int64"))
 
+    def value_cv_q(sf):
+        # spend-volatility census: per user the integer CV^2 permille
+        # (1000*(n*S2 - S^2) // S^2, cents); map-side moment partials
+        # meet in ONE user-keyed exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["user_id"]),
+                        pc.is_valid(b["value"]))
+            b = b.filter(m)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            c = np.rint(100.0 * b["value"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            uu, inv = np.unique(u, return_inverse=True)
+            return pa.table({
+                "u": pa.array(uu),
+                "n": pa.array(np.bincount(
+                    inv, minlength=len(uu)).astype(np.int64)),
+                "s": pa.array(np.bincount(
+                    inv, weights=c, minlength=len(uu))
+                    .astype(np.int64)),
+                "s2": pa.array(np.bincount(
+                    inv, weights=c * c, minlength=len(uu))
+                    .astype(np.int64)),
+                "__b": pa.array(uu % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            s2 = t.column("s2").to_numpy(zero_copy_only=False)
+            o = np.argsort(u, kind="stable")
+            u, n, s, s2 = u[o], n[o], s[o], s2[o]
+            st = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
+                if len(u) else np.empty(0, np.int64)
+            ns = np.add.reduceat(n, st) if len(st) else \
+                np.empty(0, np.int64)
+            ss = np.add.reduceat(s, st) if len(st) else \
+                np.empty(0, np.int64)
+            s2s = np.add.reduceat(s2, st) if len(st) else \
+                np.empty(0, np.int64)
+            keep = ss > 0
+            cv2 = 1000 * (ns[keep] * s2s[keep] - ss[keep] ** 2) \
+                // (ss[keep] ** 2)
+            band = (np.frexp((cv2 + 1).astype(np.float64))[1] - 1) \
+                .astype(np.int64)
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({"band": pa.array(ub.astype(np.int64)),
+                             "n_users": pa.array(
+                                 cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events", columns=["user_id", "value"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              ["n_users"].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
+    def price_qty_inversions_q(sf):
+        # pricing-monotonicity audit: within a part, line pairs where
+        # MORE quantity costs LESS (extended-price inversion) — exact
+        # pair counts, partkey-keyed exchange, per-part O(k^2) with
+        # k = lines per part (bounded in this corpus; cap upstream at
+        # web scale, the kendall_trend contract)
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("l_partkey", "l_quantity", "l_extendedprice"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            k = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            q = np.rint(b["l_quantity"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            ep = np.rint(100.0 * b["l_extendedprice"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({"k": pa.array(k), "q": pa.array(q),
+                             "ep": pa.array(ep),
+                             "__b": pa.array(k % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            q = t.column("q").to_numpy(zero_copy_only=False)
+            ep = t.column("ep").to_numpy(zero_copy_only=False)
+            o = np.lexsort((ep, q, k))
+            k, q, ep = k[o], q[o], ep[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            tot_pairs = 0
+            tot_inv = 0
+            for si, ei in zip(st, np.append(st[1:], len(k))):
+                qq, ee = q[si:ei], ep[si:ei]
+                nn = ei - si
+                if nn < 2:
+                    continue
+                lt_q = qq[:, None] < qq[None, :]
+                gt_e = ee[:, None] > ee[None, :]
+                tot_pairs += int(lt_q.sum())
+                tot_inv += int((lt_q & gt_e).sum())
+            return pa.table({
+                "n_pairs": pa.array([tot_pairs], type=pa.int64()),
+                "n_inversions": pa.array([tot_inv],
+                                         type=pa.int64())})
+
+        out = grouped_exchange(
+            _read(sf, "lineitem",
+                  columns=["l_partkey", "l_quantity",
+                           "l_extendedprice"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["n_pairs", "n_inversions"]
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = out.to_pandas()[cols].sum()
+        return pd.DataFrame([df]).reset_index(drop=True) \
+            .astype("int64")
+
+    def dominant_type_value_q(sf):
+        # monetization-focus census: per user the dominant event
+        # type's share of value cents (max type cents, ties safe:
+        # share uses the MAX, not which type), permille deciles
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = None
+            for c in ("user_id", "event_type", "value"):
+                v = pc.is_valid(b[c])
+                m = v if m is None else pc.and_(m, v)
+            b = b.filter(m)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            c = np.rint(100.0 * b["value"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({"u": pa.array(u),
+                             "t": pc.cast(b["event_type"],
+                                          pa.string()),
+                             "c": pa.array(c),
+                             "__b": pa.array(u % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            enc = pc.dictionary_encode(t.column("t"))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            idx = np.asarray(enc.indices, dtype=np.int64) \
+                if len(enc) else np.empty(0, np.int64)
+            o = np.lexsort((idx, u))
+            u, idx, c = u[o], idx[o], c[o]
+            key = np.flatnonzero(
+                np.r_[True, (u[1:] != u[:-1])
+                      | (idx[1:] != idx[:-1])]) \
+                if len(u) else np.empty(0, np.int64)
+            cs = np.add.reduceat(c, key) if len(key) else \
+                np.empty(0, np.int64)
+            uu = u[key]
+            st = np.flatnonzero(np.r_[True, uu[1:] != uu[:-1]]) \
+                if len(uu) else np.empty(0, np.int64)
+            tot = np.add.reduceat(cs, st) if len(st) else \
+                np.empty(0, np.int64)
+            mx = np.maximum.reduceat(cs, st) if len(st) else \
+                np.empty(0, np.int64)
+            keep = tot > 0
+            band = (1000 * mx[keep] // tot[keep]) // 100
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({"band": pa.array(ub.astype(np.int64)),
+                             "n_users": pa.array(
+                                 cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "events",
+                  columns=["user_id", "event_type", "value"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              ["n_users"].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "users_value_cv_hist": value_cv_q,
+        "lineitem_price_qty_inversions": price_qty_inversions_q,
+        "users_dominant_type_value_share": dominant_type_value_q,
         "users_max_gap_share_hist": max_gap_share_q,
         "customers_priority_diversity": priority_diversity_q,
         "tokens_df_bands": df_bands_q,
@@ -13977,6 +14171,50 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "users_value_cv_hist": """
+-- spend-volatility census: integer CV^2 permille per user
+-- (1000*(n*S2 - S^2) // S^2, cents), log2 bands of cv2 + 1
+WITH e AS (
+  SELECT user_id AS u, CAST(round(100 * value) AS BIGINT) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+a AS (
+  SELECT u, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS s2
+  FROM e GROUP BY 1)
+SELECT CAST(LENGTH(bin(1000 * (n * s2 - s * s) // (s * s) + 1)) - 1
+            AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a WHERE s > 0 GROUP BY 1 ORDER BY 1
+""",
+        "lineitem_price_qty_inversions": """
+-- pricing-monotonicity audit: same-part line pairs where MORE
+-- quantity costs LESS extended price
+WITH l AS (
+  SELECT l_partkey AS k, CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(100 * l_extendedprice) AS BIGINT) AS ep
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN a.ep > b.ep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inversions
+FROM l a JOIN l b ON a.k = b.k AND a.q < b.q
+""",
+        "users_dominant_type_value_share": """
+-- monetization-focus census: dominant event type's share of value
+-- cents per user, permille deciles
+WITH tc AS (
+  SELECT user_id AS u, event_type AS t,
+         SUM(CAST(round(100 * value) AS BIGINT)) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND value IS NOT NULL
+  GROUP BY 1, 2),
+a AS (SELECT u, SUM(c) AS tot, MAX(c) AS mx FROM tc GROUP BY 1)
+SELECT CAST((1000 * mx // tot) // 100 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a WHERE tot > 0 GROUP BY 1 ORDER BY 1
+""",
         "users_max_gap_share_hist": """
 -- dormancy-depth census: largest inter-event gap as permille of
 -- the activity span, per user (span 0 excluded)

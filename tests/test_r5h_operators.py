@@ -1139,3 +1139,48 @@ def test_oracle_df_bands(ray_session):
                      f"'{SF}/documents.parquet'").fetchone()[0]
     # no word appears in more docs than exist
     assert (1 << int(out.band.max())) <= nd
+
+
+def test_oracle_value_cv(ray_session):
+    out = _oracle_check("users_value_cv_hist", tables=("events",))
+    con = duckdb.connect()
+    nu = con.execute(f"SELECT COUNT(DISTINCT user_id) FROM "
+                     f"'{SF}/events.parquet'").fetchone()[0]
+    assert out.n_users.sum() == nu
+    assert (out.band >= 0).all()
+
+
+def test_oracle_price_qty_inversions(ray_session):
+    out = _oracle_check("lineitem_price_qty_inversions",
+                        tables=("lineitem",))
+    r = out.iloc[0]
+    assert 0 <= r.n_inversions <= r.n_pairs
+    assert r.n_pairs > 0
+
+
+def test_inversions_hand_case(ray_session, tmp_path):
+    # part 1: (q=1, ep=100), (q=2, ep=50), (q=3, ep=200):
+    # pairs with q< : (1,2) inv, (1,3) ok, (2,3) ok -> 3 pairs 1 inv
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1], pa.int64()),
+        "l_quantity": pa.array([1.0, 2.0, 3.0]),
+        "l_extendedprice": pa.array([1.0, 0.5, 2.0]),
+    }), tmp_path / "lineitem.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["lineitem_price_qty_inversions"](str(tmp_path))
+    r = out.iloc[0]
+    assert (r.n_pairs, r.n_inversions) == (3, 1)
+
+
+def test_oracle_dominant_type_value(ray_session):
+    out = _oracle_check("users_dominant_type_value_share",
+                        tables=("events",))
+    assert out.band.between(0, 10).all()
+    con = duckdb.connect()
+    nu = con.execute(f"SELECT COUNT(DISTINCT user_id) FROM "
+                     f"'{SF}/events.parquet'").fetchone()[0]
+    assert out.n_users.sum() == nu
