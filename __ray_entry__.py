@@ -12337,8 +12337,176 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("band").reset_index(drop=True)
                 .astype("int64"))
 
+    def lines_per_order_monthly_q(sf):
+        # order-complexity trend: per order month, orders and their
+        # lineitems (orderkey tagged-union exchange, month partials)
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def li_part(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["l_orderkey"]))
+            k = pc.cast(b["l_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            u, cnt = np.unique(k, return_counts=True)
+            return pa.table({"__b": pa.array(u % 64),
+                             "k": pa.array(u),
+                             "val": pa.array(cnt.astype(np.int64)),
+                             "tag": pa.array(np.zeros(len(u),
+                                                      np.int64))})
+
+        def o_side(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["o_orderkey"]),
+                        pc.is_valid(b["o_orderdate"]))
+            b = b.filter(m)
+            k = pc.cast(b["o_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            day = (pc.cast(pc.cast(b["o_orderdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mi = (day.astype("datetime64[D]")
+                  .astype("datetime64[M]").astype(np.int64))
+            return pa.table({"__b": pa.array(k % 64),
+                             "k": pa.array(k), "val": pa.array(mi),
+                             "tag": pa.array(np.ones(len(k),
+                                                     np.int64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            val = t.column("val").to_numpy(zero_copy_only=False)
+            tag = t.column("tag").to_numpy(zero_copy_only=False)
+            o = np.lexsort((tag, k))
+            k, val, tag = k[o], val[o], tag[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(k)))
+            last = st + n - 1
+            has_order = tag[last] == 1
+            mi = val[last][has_order]
+            nlines = (np.add.reduceat(
+                np.where(tag == 0, val, 0), st) if len(st)
+                else np.empty(0, np.int64))[has_order]
+            um, inv = np.unique(mi, return_inverse=True)
+            return pa.table({
+                "month_idx": pa.array(um.astype(np.int64)),
+                "n_orders": pa.array(np.bincount(
+                    inv, minlength=len(um)).astype(np.int64)),
+                "n_lines": pa.array(np.bincount(
+                    inv, weights=nlines, minlength=len(um))
+                    .astype(np.int64))})
+
+        li = (_read(sf, "lineitem", columns=["l_orderkey"])
+              .map_batches(li_part, batch_format="pyarrow"))
+        od = (_read(sf, "orders",
+                    columns=["o_orderkey", "o_orderdate"])
+              .map_batches(o_side, batch_format="pyarrow"))
+        res = grouped_exchange(li.union(od), "__b", 64, fold)
+        cols = ["month_idx", "n_orders", "n_lines"]
+        if res is None or res.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (res.to_pandas().groupby("month_idx", as_index=False)
+              [cols[1:]].sum())
+        return (df.sort_values("month_idx").reset_index(drop=True)
+                .astype("int64"))
+
+    def supplier_volume_cv_q(sf):
+        # fulfillment-steadiness census: per supplier the CV^2
+        # permille of monthly line counts over its ACTIVE months,
+        # log2-banded; (supp, month) pre-counts, ONE supp exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b["l_suppkey"]),
+                        pc.is_valid(b["l_shipdate"]))
+            b = b.filter(m)
+            s = pc.cast(b["l_suppkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            day = (pc.cast(pc.cast(b["l_shipdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            mi = (day.astype("datetime64[D]")
+                  .astype("datetime64[M]").astype(np.int64))
+            code = s * 1_000 + (mi % 1_000)
+            uc, inv = np.unique(code, return_inverse=True)
+            cnt = np.bincount(inv, minlength=len(uc))
+            return pa.table({"code": pa.array(uc),
+                             "c": pa.array(cnt.astype(np.int64)),
+                             "__b": pa.array((uc // 1_000) % 32)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            code = t.column("code").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            uc, inv = np.unique(code, return_inverse=True)
+            cc = np.zeros(len(uc), np.int64)
+            np.add.at(cc, inv, c)
+            s = uc // 1_000
+            st = np.flatnonzero(np.r_[True, s[1:] != s[:-1]]) \
+                if len(s) else np.empty(0, np.int64)
+            n = np.diff(np.append(st, len(s)))
+            ss = np.add.reduceat(cc, st) if len(st) else \
+                np.empty(0, np.int64)
+            s2 = np.add.reduceat(cc * cc, st) if len(st) else \
+                np.empty(0, np.int64)
+            cv2 = 1000 * (n * s2 - ss * ss) // (ss * ss)
+            band = (np.frexp((cv2 + 1).astype(np.float64))[1] - 1) \
+                .astype(np.int64)
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({"band": pa.array(ub.astype(np.int64)),
+                             "n_suppliers": pa.array(
+                                 cnt.astype(np.int64))})
+
+        out = grouped_exchange(
+            _read(sf, "lineitem",
+                  columns=["l_suppkey", "l_shipdate"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        if out is None or out.num_rows == 0:
+            return pd.DataFrame({
+                "band": pd.Series(dtype="int64"),
+                "n_suppliers": pd.Series(dtype="int64")})
+        df = (out.to_pandas().groupby("band", as_index=False)
+              ["n_suppliers"].sum())
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
+    def alphabet_coverage_q(sf):
+        # character-diversity census: per doc the number of distinct
+        # a-z letters present (26 vectorized substring passes per
+        # batch; zero shuffle)
+        LETTERS = [chr(ord("a") + i) for i in range(26)]
+
+        def part(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["text"]))
+            txt = pc.cast(b["text"], pa.string())
+            n = len(txt)
+            cov = np.zeros(n, np.int64)
+            for ch in LETTERS:
+                has = pc.match_substring(txt, ch).to_numpy(
+                    zero_copy_only=False).astype(bool)
+                cov += has
+            uc, cnt = np.unique(cov, return_counts=True)
+            return pa.table({
+                "n_letters": pa.array(uc.astype(np.int64)),
+                "n_docs": pa.array(cnt.astype(np.int64))})
+
+        parts = (_read(sf, "documents", columns=["text"])
+                 .map_batches(part, batch_format="pyarrow")
+                 .to_pandas())
+        if not len(parts):
+            return pd.DataFrame({
+                "n_letters": pd.Series(dtype="int64"),
+                "n_docs": pd.Series(dtype="int64")})
+        df = (parts.groupby("n_letters", as_index=False)
+              ["n_docs"].sum())
+        return (df.sort_values("n_letters").reset_index(drop=True)
+                .astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "orders_lines_per_order_monthly": lines_per_order_monthly_q,
+        "supplier_volume_cv_hist": supplier_volume_cv_q,
+        "docs_alphabet_coverage": alphabet_coverage_q,
         "users_value_cv_hist": value_cv_q,
         "lineitem_price_qty_inversions": price_qty_inversions_q,
         "users_dominant_type_value_share": dominant_type_value_q,
@@ -14171,6 +14339,55 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "orders_lines_per_order_monthly": """
+-- order-complexity trend: per order month, orders and lineitems
+WITH lc AS (
+  SELECT l_orderkey AS k, COUNT(*) AS nl FROM lineitem
+  WHERE l_orderkey IS NOT NULL GROUP BY 1),
+o AS (
+  SELECT o_orderkey AS k,
+         (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+           AS m
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL)
+SELECT CAST(m AS BIGINT) AS month_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(COALESCE(lc.nl, 0)) AS BIGINT) AS n_lines
+FROM o LEFT JOIN lc USING (k) GROUP BY 1 ORDER BY 1
+""",
+        "supplier_volume_cv_hist": """
+-- fulfillment-steadiness census: CV^2 permille of monthly line
+-- counts per supplier over ACTIVE months, log2 bands of cv2 + 1
+WITH sm AS (
+  SELECT l_suppkey AS s,
+         (year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1
+           AS m,
+         COUNT(*) AS c
+  FROM lineitem
+  WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+  GROUP BY 1, 2),
+a AS (
+  SELECT s, COUNT(*) AS n, SUM(c) AS ss, SUM(c * c) AS s2
+  FROM sm GROUP BY 1)
+SELECT CAST(LENGTH(bin(1000 * (n * s2 - ss * ss) // (ss * ss) + 1))
+            - 1 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM a GROUP BY 1 ORDER BY 1
+""",
+        "docs_alphabet_coverage": """
+-- character-diversity census: distinct a-z letters per doc
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL),
+g AS (
+  SELECT doc_id,
+         SUM(CASE WHEN contains(text,
+                                chr(CAST(97 + t.i AS INTEGER)))
+                  THEN 1 ELSE 0 END) AS nl
+  FROM d, range(26) t(i) GROUP BY doc_id)
+SELECT CAST(nl AS BIGINT) AS n_letters,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM g GROUP BY 1 ORDER BY 1
+""",
         "users_value_cv_hist": """
 -- spend-volatility census: integer CV^2 permille per user
 -- (1000*(n*S2 - S^2) // S^2, cents), log2 bands of cv2 + 1

@@ -1184,3 +1184,51 @@ def test_oracle_dominant_type_value(ray_session):
     nu = con.execute(f"SELECT COUNT(DISTINCT user_id) FROM "
                      f"'{SF}/events.parquet'").fetchone()[0]
     assert out.n_users.sum() == nu
+
+
+def test_oracle_lines_per_order_monthly(ray_session):
+    out = _oracle_check("orders_lines_per_order_monthly",
+                        tables=("lineitem", "orders"))
+    con = duckdb.connect()
+    no = con.execute(f"SELECT COUNT(*) FROM "
+                     f"'{SF}/orders.parquet'").fetchone()[0]
+    nl = con.execute(f"""
+        SELECT COUNT(*) FROM '{SF}/lineitem.parquet' l
+        WHERE EXISTS (SELECT 1 FROM '{SF}/orders.parquet' o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    """).fetchone()[0]
+    assert out.n_orders.sum() == no
+    assert out.n_lines.sum() == nl
+
+
+def test_oracle_supplier_volume_cv(ray_session):
+    out = _oracle_check("supplier_volume_cv_hist",
+                        tables=("lineitem",))
+    con = duckdb.connect()
+    ns = con.execute(f"SELECT COUNT(DISTINCT l_suppkey) FROM "
+                     f"'{SF}/lineitem.parquet'").fetchone()[0]
+    assert out.n_suppliers.sum() == ns
+
+
+def test_oracle_alphabet_coverage(ray_session):
+    out = _oracle_check("docs_alphabet_coverage",
+                        tables=("documents",))
+    assert out.n_letters.between(0, 26).all()
+    con = duckdb.connect()
+    nd = con.execute(f"SELECT COUNT(*) FROM "
+                     f"'{SF}/documents.parquet'").fetchone()[0]
+    assert out.n_docs.sum() == nd
+
+
+def test_alphabet_coverage_hand_case(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["abcabc", "zzz", "123 !"]),
+    }), tmp_path / "documents.parquet")
+    import __ray_entry__ as e
+
+    out = e.queries()["docs_alphabet_coverage"](str(tmp_path))
+    assert dict(zip(out.n_letters, out.n_docs)) == {0: 1, 1: 1, 3: 1}
