@@ -354,6 +354,16 @@ def bench_queries() -> dict[str, float]:
              "embeddings_exact_dup_census",
              "copurchase_support_hist",
              "events_minute_residue_profile",
+             
+             "users_max_gap_share_hist",
+             "customers_priority_diversity",
+             "tokens_df_bands",
+             "users_value_cv_hist",
+             "lineitem_price_qty_inversions",
+             "users_dominant_type_value_share",
+             "orders_lines_per_order_monthly",
+             "supplier_volume_cv_hist",
+             "docs_alphabet_coverage",
              ]
     out = {}
     for name in names:
