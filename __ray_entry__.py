@@ -12502,8 +12502,260 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("n_letters").reset_index(drop=True)
                 .astype("int64"))
 
+    def ewma_alarms_q(sf):
+        # EWMA control chart per event type over daily counts
+        # (alpha=1/8 scale-1000 fixed point, cusum_alarms' smoothed
+        # sibling) — the full floored recurrence is pinned by a
+        # recursive-CTE oracle
+        def day_of(b: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.is_valid(b["event_type"]),
+                           pc.is_valid(b["ts"]))
+            b = b.filter(keep)
+            day = (pc.cast(b["ts"], pa.int64())
+                   .to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            return pa.table({"event_type": b["event_type"],
+                             "day": pa.array(day),
+                             "event_id": b["event_id"]})
+
+        ev = _read(sf, "events",
+                   columns=["event_type", "ts", "event_id"]
+                   ).map_batches(day_of, batch_format="pyarrow")
+        daily = analytics.grouped_stats(ev, ["event_type", "day"],
+                                        {"event_id": ["count"]})
+        daily = daily.rename(columns={"event_id_count": "n"})
+        daily["n"] = daily["n"].astype("int64")
+        daily["day"] = daily["day"].astype("int64")
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.Table.from_pandas(
+            daily, preserve_index=False))
+        return analytics.ewma_alarms(ds, "event_type", "day", "n",
+                                     num_buckets=8)
+
+    def dow_anova_q(sf):
+        # weekday-seasonality strength per event type: exact-integer
+        # one-way ANOVA components (SST/SSW/SSB at scale 1000, floor
+        # per weekday group on both sides) over daily counts
+        def day_of(b: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.is_valid(b["event_type"]),
+                           pc.is_valid(b["ts"]))
+            b = b.filter(keep)
+            day = (pc.cast(b["ts"], pa.int64())
+                   .to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            return pa.table({"event_type": b["event_type"],
+                             "day": pa.array(day),
+                             "event_id": b["event_id"]})
+
+        ev = _read(sf, "events",
+                   columns=["event_type", "ts", "event_id"]
+                   ).map_batches(day_of, batch_format="pyarrow")
+        daily = analytics.grouped_stats(ev, ["event_type", "day"],
+                                        {"event_id": ["count"]})
+        x = daily["event_id_count"].to_numpy(np.int64)
+        day = daily["day"].to_numpy(np.int64)
+        typ = daily["event_type"].to_numpy(object)
+        dow = (day + 4) % 7  # DuckDB dayofweek parity (Sunday=0)
+        df = pd.DataFrame({"t": typ, "w": dow, "x": x})
+        per_w = (df.groupby(["t", "w"])
+                 .agg(sw=("x", "sum"), nw=("x", "size"))
+                 .reset_index())
+        per_w["q"] = (1000 * per_w.sw * per_w.sw) // per_w.nw
+        per_t = (df.groupby("t")
+                 .agg(n_days=("x", "size"), s=("x", "sum"),
+                      s2=("x", lambda v: int(
+                          (v.to_numpy(np.int64) ** 2).sum())))
+                 .reset_index())
+        qq = per_w.groupby("t")["q"].sum().reset_index()
+        out = per_t.merge(qq, on="t")
+        gm = (1000 * out.s * out.s) // out.n_days
+        out["sst_milli"] = 1000 * out.s2 - gm
+        out["ssw_milli"] = 1000 * out.s2 - out.q
+        out["ssb_milli"] = out.q - gm
+        res = out.rename(columns={"t": "event_type"})[
+            ["event_type", "n_days", "sst_milli", "ssw_milli",
+             "ssb_milli"]]
+        return (res.sort_values("event_type")
+                .reset_index(drop=True)
+                .astype({c: "int64" for c in res.columns[1:]}))
+
+    def kruskal_nchars_q(sf):
+        # Kruskal-Wallis rank machinery across sources: per-source
+        # sum of DOUBLED global midranks of n_chars (2*avg-rank is an
+        # exact integer under ties) — the k-sample rank-test sibling
+        # of docs_mannwhitney_u; distinct-value histogram travels,
+        # never rows
+        per = analytics.grouped_stats(
+            _read(sf, "documents", columns=["source", "n_chars"]),
+            ["source", "n_chars"], {"n_chars": ["count"]})
+        per = per.rename(columns={"n_chars_count": "cs"})
+        per["cs"] = per.cs.astype("int64")
+        per["n_chars"] = per.n_chars.astype("int64")
+        g = (per.groupby("n_chars", as_index=False)["cs"].sum()
+             .rename(columns={"cs": "c"}).sort_values("n_chars"))
+        g["cumlt"] = g.c.cumsum() - g.c
+        g["mr2"] = 2 * g.cumlt + g.c + 1
+        per = per.merge(g[["n_chars", "mr2"]], on="n_chars")
+        out = (per.assign(rs2=per.cs * per.mr2)
+               .groupby("source", as_index=False)
+               .agg(n_docs=("cs", "sum"), rank_sum2=("rs2", "sum")))
+        return (out.sort_values("source").reset_index(drop=True)
+                .astype({"n_docs": "int64", "rank_sum2": "int64"}))
+
+    def viol_by_file_q(sf):
+        # per-input-file violation lineage (W4/W6): documents
+        # resharded 4 ways by doc_id % 4 into /tmp parquet files
+        # (fingerprint-cached), validated as a FILE source, violation
+        # counts attributed to shards via partition_map lineage; the
+        # oracle recomputes the counts from doc_id % 4 directly, so
+        # the hash match proves per-file attribution is exact.
+        # Global not_unique rows (partition -1) excluded on both
+        # sides.
+        import hashlib
+        import os
+
+        from verify_ray.engine import validate
+        from verify_ray.sources.parquet import partition_map
+        from verify_ray.spec import ConstraintSpec
+
+        src = f"{sf}/documents.parquet"
+        fp = (f"violfile-v1:{src}:{os.path.getsize(src)}"
+              f":{os.path.getmtime(src)}")
+        root = ("/tmp/verify_ray_violfile/"
+                + hashlib.md5(fp.encode()).hexdigest()[:12])
+        if not os.path.exists(os.path.join(root, "_COMPLETE")):
+            for sid in range(4):
+                def pick(b: pa.Table, sid=sid) -> pa.Table:
+                    ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(
+                        zero_copy_only=False)
+                    return b.filter(pa.array(ids % 4 == sid))
+
+                (_read(sf, "documents")
+                 .map_batches(pick, batch_format="pyarrow")
+                 .repartition(1)
+                 .write_parquet(os.path.join(root, f"shard={sid}")))
+            open(os.path.join(root, "_COMPLETE"), "w").write("ok")
+
+        files = sorted(
+            os.path.join(r, f) for r, _, fs in os.walk(root)
+            for f in fs if f.endswith(".parquet"))
+        rep = validate(files,
+                       ConstraintSpec.from_dict(vq.DOCUMENTS_SPEC))
+        pid_to_shard = {
+            pid: int(p.split("shard=")[1].split("/")[0])
+            for p, pid in partition_map(files).items()}
+        v = (rep.violations.select(["partition_id", "rule_id"])
+             .to_pandas())
+        v = v[v.partition_id >= 0]
+        v["shard"] = v.partition_id.map(pid_to_shard)
+        out = (v.groupby(["shard", "rule_id"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        return (out.sort_values(["shard", "rule_id"])
+                .reset_index(drop=True)
+                .astype({"shard": "int64", "n": "int64"}))
+
+    def repeated_part_q(sf):
+        # duplicate-line-entry audit: per order the max multiplicity
+        # of a single part across its lines, order census by that
+        # max — (order, part) pre-counts per batch, ONE order-keyed
+        # exchange, only the census leaves the tasks
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.is_valid(b["l_orderkey"]),
+                           pc.is_valid(b["l_partkey"]))
+            b = b.filter(keep)
+            k = pc.cast(b["l_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            p = pc.cast(b["l_partkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            df = (pd.DataFrame({"k": k, "p": p})
+                  .groupby(["k", "p"], as_index=False).size())
+            return pa.table({
+                "k": pa.array(df.k.to_numpy(np.int64)),
+                "p": pa.array(df.p.to_numpy(np.int64)),
+                "c": pa.array(df["size"].to_numpy(np.int64)),
+                "__b": pa.array((df.k.to_numpy(np.int64) % 64))})
+
+        def fold(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            p = t.column("p").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            df = (pd.DataFrame({"k": k, "p": p, "c": c})
+                  .groupby(["k", "p"], as_index=False)["c"].sum())
+            mx = df.groupby("k")["c"].max()
+            ub, cnt = np.unique(mx.to_numpy(np.int64),
+                                return_counts=True)
+            return pa.table({
+                "max_part_lines": pa.array(ub.astype(np.int64)),
+                "n_orders": pa.array(cnt.astype(np.int64))})
+
+        res = grouped_exchange(
+            _read(sf, "lineitem",
+                  columns=["l_orderkey", "l_partkey"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 64, fold)
+        if res is None or res.num_rows == 0:
+            return pd.DataFrame({
+                "max_part_lines": pd.Series(dtype="int64"),
+                "n_orders": pd.Series(dtype="int64")})
+        df = (res.to_pandas()
+              .groupby("max_part_lines", as_index=False)
+              ["n_orders"].sum())
+        return (df.sort_values("max_part_lines")
+                .reset_index(drop=True).astype("int64"))
+
+    def ttr_census_q(sf):
+        # lexical-diversity census: per-doc type-token ratio permille
+        # ((1000*distinct)//total words), banded by 50 permille —
+        # per-doc distinct is batch-local (factorize + keyed unique),
+        # zero shuffle; trim(" ") matches DuckDB trim()
+        def part(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["text"]))
+            txt = pc.utf8_trim(pc.cast(b["text"], pa.string()),
+                               characters=" ")
+            keep = pc.not_equal(txt, "")
+            txt = txt.filter(keep)
+            toks = pc.split_pattern_regex(txt, r"\s+")
+            par = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False)
+            words = pc.list_flatten(toks).to_numpy(
+                zero_copy_only=False)
+            codes, uniq = pd.factorize(words)
+            nrows = len(txt)
+            key = par.astype(np.int64) * (len(uniq) + 1) + codes
+            ukey = np.unique(key)
+            d = np.bincount(
+                (ukey // (len(uniq) + 1)).astype(np.int64),
+                minlength=nrows)
+            n = np.bincount(par, minlength=nrows)
+            perm = (1000 * d) // n
+            band = perm // 50
+            ub, cnt = np.unique(band, return_counts=True)
+            return pa.table({
+                "band": pa.array(ub.astype(np.int64)),
+                "n_docs": pa.array(cnt.astype(np.int64))})
+
+        parts = (_read(sf, "documents", columns=["text"])
+                 .map_batches(part, batch_format="pyarrow")
+                 .to_pandas())
+        if not len(parts):
+            return pd.DataFrame({
+                "band": pd.Series(dtype="int64"),
+                "n_docs": pd.Series(dtype="int64")})
+        df = parts.groupby("band", as_index=False)["n_docs"].sum()
+        return (df.sort_values("band").reset_index(drop=True)
+                .astype("int64"))
+
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "events_ewma_alarms": ewma_alarms_q,
+        "events_dow_anova": dow_anova_q,
+        "docs_kruskal_nchars": kruskal_nchars_q,
+        "validate_violations_by_file": viol_by_file_q,
+        "orders_repeated_part_lines": repeated_part_q,
+        "docs_ttr_census": ttr_census_q,
         "orders_lines_per_order_monthly": lines_per_order_monthly_q,
         "supplier_volume_cv_hist": supplier_volume_cv_q,
         "docs_alphabet_coverage": alphabet_coverage_q,
@@ -14339,6 +14591,143 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "events_ewma_alarms": """
+-- EWMA control chart per event type over daily counts (alpha=1/8,
+-- scale-1000 fixed point): e_1 = 1000*x_1,
+-- e_t = (7*e_{t-1} + 1000*x_t)//8; alarm when 1000*x_t > 2*e_{t-1}
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS x
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+d AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+           AS rn
+  FROM daily),
+r AS (
+  SELECT event_type, rn, 1000 * x AS e, 0 AS alarms
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.rn,
+         (7 * r.e + 1000 * d.x) // 8,
+         r.alarms + CASE WHEN 1000 * d.x > 2 * r.e
+                         THEN 1 ELSE 0 END
+  FROM r JOIN d ON d.event_type = r.event_type
+              AND d.rn = r.rn + 1),
+last AS (
+  SELECT event_type, MAX(rn) AS mrn FROM r GROUP BY 1)
+SELECT r.event_type,
+       CAST(r.rn AS BIGINT) AS n_days,
+       CAST(r.alarms AS BIGINT) AS n_alarms,
+       CAST(r.e AS BIGINT) AS ewma_final
+FROM r JOIN last ON r.event_type = last.event_type
+               AND r.rn = last.mrn
+ORDER BY r.event_type
+""",
+        "events_dow_anova": """
+-- weekday seasonality strength per event type: exact-integer one-way
+-- ANOVA components over daily counts grouped by day-of-week
+-- (scale-1000; Q = sum_w (1000*s_w^2)//n_w floored per group on both
+-- sides)
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS x
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+w AS (
+  SELECT event_type, (day + 4) % 7 AS dow,
+         SUM(x) AS sw, COUNT(*) AS nw
+  FROM daily GROUP BY 1, 2),
+qs AS (
+  SELECT event_type, SUM((1000 * sw * sw) // nw) AS q
+  FROM w GROUP BY 1),
+t AS (
+  SELECT event_type, COUNT(*) AS n_days, SUM(x) AS s,
+         SUM(x * x) AS s2
+  FROM daily GROUP BY 1)
+SELECT t.event_type,
+       CAST(t.n_days AS BIGINT) AS n_days,
+       CAST(1000 * t.s2 - (1000 * t.s * t.s) // t.n_days AS BIGINT)
+         AS sst_milli,
+       CAST(1000 * t.s2 - qs.q AS BIGINT) AS ssw_milli,
+       CAST(qs.q - (1000 * t.s * t.s) // t.n_days AS BIGINT)
+         AS ssb_milli
+FROM t JOIN qs USING (event_type)
+ORDER BY t.event_type
+""",
+        "docs_kruskal_nchars": """
+-- Kruskal-Wallis rank machinery: per-source sum of DOUBLED global
+-- midranks of n_chars (2*avg-rank is exact integer under ties)
+WITH d AS (
+  SELECT source, n_chars FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+g AS (SELECT n_chars, COUNT(*) AS c FROM d GROUP BY 1),
+r AS (
+  SELECT n_chars,
+         2 * (SUM(c) OVER (ORDER BY n_chars) - c) + c + 1 AS mr2
+  FROM g),
+s AS (SELECT source, n_chars, COUNT(*) AS cs FROM d GROUP BY 1, 2)
+SELECT s.source,
+       CAST(SUM(s.cs) AS BIGINT) AS n_docs,
+       CAST(SUM(s.cs * r.mr2) AS BIGINT) AS rank_sum2
+FROM s JOIN r USING (n_chars)
+GROUP BY 1 ORDER BY 1
+""",
+        "validate_violations_by_file": """
+-- per-input-file violation lineage: the engine validates 4 parquet
+-- shards (doc_id %% 4) and attributes counts via partition_map; the
+-- oracle recomputes from doc_id %% 4 on the source view, so the
+-- match proves the engine's file attribution is exact.  Global
+-- not_unique rows (partition -1) excluded on both sides.
+WITH f AS (
+  SELECT doc_id % 4 AS shard, lang, source, n_chars
+  FROM documents),
+v AS (
+  SELECT shard, 'invalid_enum_value' AS rule_id FROM f
+   WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+  UNION ALL
+  SELECT shard, 'no_pattern_match' FROM f
+   WHERE source IS NOT NULL
+     AND NOT regexp_matches(source, '^src[0-9]$')
+  UNION ALL
+  SELECT shard, 'less_than_expected' FROM f WHERE n_chars < 100
+  UNION ALL
+  SELECT shard, 'more_than_expected' FROM f WHERE n_chars > 500
+)
+SELECT CAST(shard AS BIGINT) AS shard, rule_id,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM v GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "orders_repeated_part_lines": """
+-- duplicate-line-entry audit: per order the max multiplicity of a
+-- single part across its lines, order census by that max
+WITH pc AS (
+  SELECT l_orderkey AS k, l_partkey AS p, COUNT(*) AS c
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+  GROUP BY 1, 2),
+m AS (SELECT k, MAX(c) AS mx FROM pc GROUP BY 1)
+SELECT CAST(mx AS BIGINT) AS max_part_lines,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM m GROUP BY 1 ORDER BY 1
+""",
+        "docs_ttr_census": """
+-- lexical-diversity census: per-doc type-token ratio permille
+-- ((1000*distinct)//total words), banded by 50 permille
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+t AS (
+  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT word) AS d
+  FROM w GROUP BY 1)
+SELECT CAST(((1000 * d) // n) // 50 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM t GROUP BY 1 ORDER BY 1
+""",
         "orders_lines_per_order_monthly": """
 -- order-complexity trend: per order month, orders and lineitems
 WITH lc AS (

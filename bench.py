@@ -364,6 +364,10 @@ def bench_queries() -> dict[str, float]:
              "orders_lines_per_order_monthly",
              "supplier_volume_cv_hist",
              "docs_alphabet_coverage",
+             # round-5 session-6 additions
+             "events_ewma_alarms", "events_dow_anova",
+             "docs_kruskal_nchars", "validate_violations_by_file",
+             "orders_repeated_part_lines", "docs_ttr_census",
              ]
     out = {}
     for name in names:

@@ -1,0 +1,125 @@
+"""Round-5 batch I: EWMA control chart, weekday ANOVA components,
+Kruskal-Wallis rank sums, per-file violation lineage, repeated-part
+audit, type-token-ratio census — oracle parity at sf0.001 plus
+hand-built semantic checks."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle_check(name, tables):
+    import __ray_entry__ as e
+
+    mine = e.queries()[name](SF)
+    if not isinstance(mine, pd.DataFrame):
+        mine = mine.to_pandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    orc = con.execute(e.oracle_sql()[name]).df()
+    assert list(mine.columns) == list(orc.columns)
+    assert len(mine) == len(orc)
+    for c in mine.columns:
+        a, b = mine[c].to_numpy(), orc[c].to_numpy()
+        if a.dtype == object or b.dtype == object:
+            assert list(map(str, a)) == list(map(str, b)), c
+        else:
+            assert np.array_equal(a, b), c
+    return mine
+
+
+def test_oracle_ewma_alarms(ray_session):
+    out = _oracle_check("events_ewma_alarms", tables=("events",))
+    assert len(out) >= 2
+    # the EWMA level is a convex combination of 1000x terms: it stays
+    # within [1000*min_daily, 1000*max_daily] per type
+    assert (out.ewma_final > 0).all()
+    assert (out.n_alarms <= out.n_days - 1).all()
+
+
+def test_ewma_hand_case(ray_session):
+    import ray.data as rd
+
+    from verify_ray.pipelines.analytics import ewma_alarms
+
+    # x = [4, 4, 100, 4]: e1=4000; day2 1000*4 < 2*4000 no alarm,
+    # e2=(7*4000+4000)//8=4000; day3 100000 > 8000 ALARM,
+    # e3=(28000+100000)//8=16000; day4 4000 < 32000 no alarm,
+    # e4=(112000+4000)//8=14500
+    t = pa.table({"k": ["a"] * 4, "o": [1, 2, 3, 4],
+                  "x": [4, 4, 100, 4]})
+    out = ewma_alarms(rd.from_arrow(t), "k", "o", "x",
+                      num_buckets=2)
+    assert out.n_days.tolist() == [4]
+    assert out.n_alarms.tolist() == [1]
+    assert out.ewma_final.tolist() == [14500]
+
+
+def test_oracle_dow_anova(ray_session):
+    out = _oracle_check("events_dow_anova", tables=("events",))
+    assert len(out) >= 2
+    # partition identity: SST = SSW + SSB exactly (shared floored Q
+    # term cancels), and both components are non-negative
+    assert (out.sst_milli == out.ssw_milli + out.ssb_milli).all()
+    assert (out.ssw_milli >= 0).all()
+    # floored group terms can push ssb a hair negative only by the
+    # flooring of the grand-mean term; allow >= -1000 (one unit/day)
+    assert (out.ssb_milli >= -1000).all()
+
+
+def test_oracle_kruskal_nchars(ray_session):
+    out = _oracle_check("docs_kruskal_nchars", tables=("documents",))
+    # rank-sum invariant: sum over sources of rank_sum2 equals
+    # N*(N+1) (doubled total of ranks 1..N)
+    n = int(out.n_docs.sum())
+    assert int(out.rank_sum2.sum()) == n * (n + 1)
+
+
+def test_oracle_violations_by_file(ray_session):
+    out = _oracle_check("validate_violations_by_file",
+                        tables=("documents",))
+    assert set(out.shard.unique()) == {0, 1, 2, 3}
+    assert (out.n > 0).all()
+
+
+def test_oracle_repeated_part_lines(ray_session):
+    out = _oracle_check("orders_repeated_part_lines",
+                        tables=("lineitem",))
+    # every order with lines appears exactly once in the census
+    con = duckdb.connect()
+    n_orders = con.execute(
+        f"SELECT COUNT(DISTINCT l_orderkey) FROM "
+        f"'{SF}/lineitem.parquet' WHERE l_partkey IS NOT NULL"
+    ).fetchone()[0]
+    assert int(out.n_orders.sum()) == n_orders
+
+
+def test_oracle_ttr_census(ray_session):
+    out = _oracle_check("docs_ttr_census", tables=("documents",))
+    assert (out.band >= 0).all() and (out.band <= 20).all()
+    assert out.n_docs.sum() > 0
+
+
+def test_ttr_hand_case(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    # doc1: 4 words, 2 distinct -> ttr 500 -> band 10
+    # doc2: 5 words, 5 distinct -> ttr 1000 -> band 20
+    # doc3: 3 words, 1 distinct -> 333 -> band 6
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a b", "v w x y z", "q q q"],
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = e.queries()["docs_ttr_census"](str(d))
+    assert out.band.tolist() == [6, 10, 20]
+    assert out.n_docs.tolist() == [1, 1, 1]

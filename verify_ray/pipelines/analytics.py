@@ -5070,3 +5070,81 @@ def dominant_value_hist(ds, key_col: str, val_col: str,
           ["n_keys"].sum().rename(columns={"v": val_col}))
     return (df.sort_values(val_col).reset_index(drop=True)
             .astype("int64"))
+
+
+def ewma_alarms(ds, key_col: str, order_col: str, value_col: str,
+                num_buckets: int = 16) -> pd.DataFrame:
+    """Per-key EWMA control chart over an ordered integer series —
+    the smoothed-level sibling of :func:`cusum_alarms` (Roberts 1959;
+    same monitoring role as the reference's drift checks,
+    verify.rs-style accumulate-don't-abort semantics): with alpha =
+    1/8 in scale-1000 fixed point, ``e_1 = 1000*x_1`` and ``e_t =
+    (7*e_{t-1} + 1000*x_t) // 8``; an alarm fires at t >= 2 when
+    ``1000*x_t > 2*e_{t-1}`` (the raw value spikes above twice the
+    smoothed level BEFORE the spike is absorbed).  Exact integers
+    throughout — every register is restatable in SQL (recursive CTE),
+    so the oracle pins the full recurrence, floor division included.
+
+    Unlike CUSUM there is no cumsum/running-min identity for a
+    floored linear recurrence, so each key runs a sequential loop —
+    over its ORDER GRAIN (e.g. days), never rows; callers
+    pre-aggregate to the grain first.  Distributed shape: ONE
+    key-keyed exchange; alarms/level merge never leaves the bucket.
+
+    Returns (key, n_days, n_alarms, ewma_final) sorted by key.
+    """
+    from ..functions.hashing import md5_u64le
+    from ..stages.exchange import grouped_exchange
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(b[key_col]),
+                               pc.is_valid(b[order_col])),
+                       pc.is_valid(b[value_col]))
+        b = b.select([key_col, order_col, value_col]).filter(keep)
+        hv = md5_u64le(pc.cast(b[key_col], pa.string()))
+        return b.append_column(
+            "__b", pa.array((hv % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def stat(t: pa.Table) -> pa.Table:
+        g = pc.cast(t[key_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)
+        o = pc.cast(t[order_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        x = pc.cast(t[value_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        srt = np.lexsort((o, g))
+        gs, xs = g[srt], x[srt]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        start = np.flatnonzero(first)
+        cnt = np.diff(np.append(start, len(gs)))
+        keys, n_alarm, e_fin, n_days = [], [], [], []
+        for s0, c0 in zip(start, cnt):
+            seq = xs[s0:s0 + c0]
+            e = 1000 * int(seq[0])
+            al = 0
+            for v in seq[1:]:
+                if 1000 * int(v) > 2 * e:
+                    al += 1
+                e = (7 * e + 1000 * int(v)) // 8
+            keys.append(gs[s0])
+            n_alarm.append(al)
+            e_fin.append(e)
+            n_days.append(int(c0))
+        return pa.table({
+            key_col: pa.array(keys, pa.string()),
+            "n_days": pa.array(np.array(n_days, np.int64)),
+            "n_alarms": pa.array(np.array(n_alarm, np.int64)),
+            "ewma_final": pa.array(np.array(e_fin, np.int64))})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    res = grouped_exchange(tagged, "__b", num_buckets, stat)
+    cols = [key_col, "n_days", "n_alarms", "ewma_final"]
+    if res is None or res.num_rows == 0:
+        return pd.DataFrame({cols[0]: pd.Series(dtype=object),
+                             **{c: pd.Series(dtype="int64")
+                                for c in cols[1:]}})
+    return (res.to_pandas()[cols].sort_values(key_col)
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in cols[1:]}))
