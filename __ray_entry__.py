@@ -12502,6 +12502,248 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("n_letters").reset_index(drop=True)
                 .astype("int64"))
 
+    def sampled_validate_q(sf):
+        # sample-first validation screen: run the full documents spec
+        # on the 1/8 md5(doc_id) bucket sample (the sample.py hash
+        # contract) — the cheap pre-pass that prices a full validation
+        # run; not_unique stays sample-consistent because equal
+        # doc_ids share a bucket
+        from verify_ray.engine import validate
+        from verify_ray.functions.hashing import md5_u64le
+        from verify_ray.spec import ConstraintSpec
+
+        def pick(b: pa.Table) -> pa.Table:
+            h = md5_u64le(pc.cast(b["doc_id"], pa.string()))
+            return b.filter(pa.array(h % np.uint64(8) == 0))
+
+        ds = (_read(sf, "documents")
+              .map_batches(pick, batch_format="pyarrow"))
+        rep = validate(ds,
+                       ConstraintSpec.from_dict(vq.DOCUMENTS_SPEC))
+        rc = rep.rule_counts()
+        out = pd.DataFrame(
+            {"rule_id": list(rc), "n_sampled": list(rc.values())})
+        return (out.sort_values("rule_id").reset_index(drop=True)
+                .astype({"n_sampled": "int64"}))
+
+    def quarantine_q(sf):
+        # quarantine-split round trip (W5): rows violating any
+        # ROW-LOCAL rule of the documents spec stream to a quarantine
+        # parquet, the rest to clean — the compiled plan's own
+        # mask_fn kernels decide membership batch-locally (cross-row
+        # not_unique excluded by construction); counts read BACK from
+        # the written files prove the split is lossless
+        import hashlib
+        import os
+
+        import ray.data as rd
+
+        from verify_ray.spec import ConstraintSpec
+
+        plan = ConstraintSpec.from_dict(vq.DOCUMENTS_SPEC).compile()
+        rules = list(plan.row_rules)
+
+        src = f"{sf}/documents.parquet"
+        fp = (f"quarantine-v1:{src}:{os.path.getsize(src)}"
+              f":{os.path.getmtime(src)}")
+        root = ("/tmp/verify_ray_quarantine/"
+                + hashlib.md5(fp.encode()).hexdigest()[:12])
+        if not os.path.exists(os.path.join(root, "_COMPLETE")):
+            def split(which):
+                def fn(b: pa.Table) -> pa.Table:
+                    bad = np.zeros(b.num_rows, bool)
+                    for rule in rules:
+                        bad |= np.asarray(
+                            rule.mask_fn(b)).astype(bool)
+                    keep = bad if which == "quarantine" else ~bad
+                    return b.filter(pa.array(keep))
+                return fn
+
+            for which in ("clean", "quarantine"):
+                (_read(sf, "documents")
+                 .map_batches(split(which), batch_format="pyarrow")
+                 .write_parquet(os.path.join(root, which)))
+            open(os.path.join(root, "_COMPLETE"), "w").write("ok")
+
+        frames = []
+        for which in ("clean", "quarantine"):
+            back = rd.read_parquet(os.path.join(root, which),
+                                   columns=["lang"])
+
+            def cnt(b: pa.Table, which=which) -> pa.Table:
+                lang = pc.fill_null(
+                    pc.cast(b["lang"], pa.string()), "∅")
+                df = (pd.DataFrame(
+                    {"lang": lang.to_numpy(zero_copy_only=False)})
+                    .groupby("lang", as_index=False).size())
+                return pa.table({
+                    "bucket": pa.array([which] * len(df)),
+                    "lang": pa.array(df.lang.to_numpy(object),
+                                     pa.string()),
+                    "n_docs": pa.array(
+                        df["size"].to_numpy(np.int64))})
+
+            frames.append(back.map_batches(
+                cnt, batch_format="pyarrow").to_pandas())
+        out = (pd.concat(frames)
+               .groupby(["bucket", "lang"], as_index=False)
+               ["n_docs"].sum())
+        return (out.sort_values(["bucket", "lang"])
+                .reset_index(drop=True).astype({"n_docs": "int64"}))
+
+    def type_pmi_q(sf):
+        # behavioral co-occurrence PMI counts: for each unordered
+        # event-type pair the users with both, marginals, and the
+        # user total — exact integer PMI numerators/denominators;
+        # (user,type) dedups map-side, ONE user-keyed exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.is_valid(b["user_id"]),
+                           pc.is_valid(b["event_type"]))
+            b = b.filter(keep)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            t = pc.cast(b["event_type"], pa.string()).to_numpy(
+                zero_copy_only=False).astype(object)
+            df = pd.DataFrame({"u": u, "t": t}).drop_duplicates()
+            return pa.table({
+                "u": pa.array(df.u.to_numpy(np.int64)),
+                "t": pa.array(df.t.to_numpy(object), pa.string()),
+                "__b": pa.array(df.u.to_numpy(np.int64) % 32)})
+
+        def fold(tbl: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "u": tbl.column("u").to_numpy(zero_copy_only=False),
+                "t": tbl.column("t").to_numpy(
+                    zero_copy_only=False).astype(object),
+            }).drop_duplicates()
+            m = df.merge(df, on="u")
+            m = m[m.t_x < m.t_y]
+            pairs = m.groupby(["t_x", "t_y"], as_index=False).size()
+            return pa.table({
+                "type_a": pa.array(pairs.t_x.to_numpy(object),
+                                   pa.string()),
+                "type_b": pa.array(pairs.t_y.to_numpy(object),
+                                   pa.string()),
+                "n_both": pa.array(
+                    pairs["size"].to_numpy(np.int64))})
+
+        ev = _read(sf, "events", columns=["user_id", "event_type"])
+        pairs = grouped_exchange(
+            ev.map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        pdf = (pairs.to_pandas()
+               .groupby(["type_a", "type_b"], as_index=False)
+               ["n_both"].sum()) if pairs is not None else \
+            pd.DataFrame({"type_a": [], "type_b": [], "n_both": []})
+
+        per_type = analytics.grouped_count_distinct(
+            ev, "event_type", "user_id")
+        per_type.columns = ["t", "n_users_t"]
+        total = int(analytics.grouped_count_distinct(
+            ev.map_batches(
+                lambda b: pa.table(
+                    {"one": pa.array(np.zeros(b.num_rows, np.int64)),
+                     "user_id": b["user_id"]}),
+                batch_format="pyarrow"),
+            "one", "user_id").iloc[0, 1])
+        out = (pdf.merge(per_type.rename(
+            columns={"t": "type_a", "n_users_t": "n_a"}),
+            on="type_a")
+            .merge(per_type.rename(
+                columns={"t": "type_b", "n_users_t": "n_b"}),
+                on="type_b"))
+        out["n_users"] = total
+        cols = ["type_a", "type_b", "n_both", "n_a", "n_b",
+                "n_users"]
+        return (out[cols].sort_values(["type_a", "type_b"])
+                .reset_index(drop=True)
+                .astype({c: "int64" for c in cols[2:]}))
+
+    def target_encoding_q(sf):
+        # leave-one-out target encoding census: per event row the LOO
+        # mean of cents within its event type, binned by 1000 cents —
+        # phase 1 tiny grouped (sum, count), phase 2 broadcast lookup
+        # per batch; cents are non-negative so floor == truncation
+        def cents(b: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.is_valid(b["event_type"]),
+                           pc.is_valid(b["value"]))
+            b = b.filter(keep)
+            c = np.round(
+                100.0 * pc.cast(b["value"], pa.float64()).to_numpy(
+                    zero_copy_only=False)).astype(np.int64)
+            return pa.table({"event_type": b["event_type"],
+                             "c": pa.array(c)})
+
+        ev = _read(sf, "events", columns=["event_type", "value"]
+                   ).map_batches(cents, batch_format="pyarrow"
+                                 ).materialize()
+        stats = analytics.grouped_stats(ev, ["event_type"],
+                                        {"c": ["count", "sum"]})
+        lut = {r.event_type: (int(r.c_sum), int(r.c_count))
+               for r in stats.itertuples()}
+
+        def census(b: pa.Table) -> pa.Table:
+            t = pc.cast(b["event_type"], pa.string()).to_numpy(
+                zero_copy_only=False).astype(object)
+            c = b.column("c").to_numpy(zero_copy_only=False)
+            s = np.array([lut[x][0] for x in t], np.int64)
+            n = np.array([lut[x][1] for x in t], np.int64)
+            ok = n > 1
+            t, c, s, n = t[ok], c[ok], s[ok], n[ok]
+            loo = (s - c) // (n - 1)
+            band = loo // 1000
+            df = (pd.DataFrame({"event_type": t, "band": band})
+                  .groupby(["event_type", "band"], as_index=False)
+                  .size())
+            return pa.table({
+                "event_type": pa.array(
+                    df.event_type.to_numpy(object), pa.string()),
+                "band": pa.array(df.band.to_numpy(np.int64)),
+                "n_rows": pa.array(df["size"].to_numpy(np.int64))})
+
+        out = analytics.grouped_stats(
+            ev.map_batches(census, batch_format="pyarrow"),
+            ["event_type", "band"], {"n_rows": ["sum"]})
+        out = out.rename(columns={"n_rows_sum": "n_rows"})
+        return (out.sort_values(["event_type", "band"])
+                .reset_index(drop=True)
+                .astype({"band": "int64", "n_rows": "int64"}))
+
+    def longest_word_q(sf):
+        # tokenization-damage screen: census of per-doc LONGEST word
+        # (unbroken runs shift mass to extreme lengths); zero shuffle
+        def part(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b["text"]))
+            txt = pc.utf8_trim(pc.cast(b["text"], pa.string()),
+                               characters=" ")
+            keep = pc.not_equal(txt, "")
+            txt = txt.filter(keep)
+            toks = pc.split_pattern_regex(txt, r"\s+")
+            par = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False)
+            ln = pc.cast(pc.utf8_length(pc.list_flatten(toks)),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            mx = np.zeros(len(txt), np.int64)
+            np.maximum.at(mx, par, ln)
+            ub, cnt = np.unique(mx, return_counts=True)
+            return pa.table({
+                "max_wordlen": pa.array(ub.astype(np.int64)),
+                "n_docs": pa.array(cnt.astype(np.int64))})
+
+        parts = (_read(sf, "documents", columns=["text"])
+                 .map_batches(part, batch_format="pyarrow")
+                 .to_pandas())
+        if not len(parts):
+            return pd.DataFrame({
+                "max_wordlen": pd.Series(dtype="int64"),
+                "n_docs": pd.Series(dtype="int64")})
+        df = (parts.groupby("max_wordlen", as_index=False)
+              ["n_docs"].sum())
+        return (df.sort_values("max_wordlen")
+                .reset_index(drop=True).astype("int64"))
+
     def ewma_alarms_q(sf):
         # EWMA control chart per event type over daily counts
         # (alpha=1/8 scale-1000 fixed point, cusum_alarms' smoothed
@@ -12750,6 +12992,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "validate_sampled_extrapolate": sampled_validate_q,
+        "validate_quarantine_roundtrip": quarantine_q,
+        "events_type_pmi_users": type_pmi_q,
+        "events_target_encoding_loo": target_encoding_q,
+        "docs_longest_word_hist": longest_word_q,
         "events_ewma_alarms": ewma_alarms_q,
         "events_dow_anova": dow_anova_q,
         "docs_kruskal_nchars": kruskal_nchars_q,
@@ -14591,6 +14838,105 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         # round-5 additions
+        "validate_sampled_extrapolate": """
+-- sample-first validation screen: rule violation counts on the 1/8
+-- md5(doc_id) bucket sample (sample.py hash contract); not_unique
+-- is sample-consistent because equal doc_ids share a bucket
+WITH s AS (
+  SELECT * FROM documents
+  WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 8 = 0),
+v AS (
+  SELECT 'invalid_enum_value' AS rule_id FROM s
+   WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+  UNION ALL
+  SELECT 'no_pattern_match' FROM s
+   WHERE source IS NOT NULL
+     AND NOT regexp_matches(source, '^src[0-9]$')
+  UNION ALL
+  SELECT 'less_than_expected' FROM s WHERE n_chars < 100
+  UNION ALL
+  SELECT 'more_than_expected' FROM s WHERE n_chars > 500
+  UNION ALL
+  SELECT 'not_unique' FROM (
+    SELECT doc_id FROM s GROUP BY doc_id HAVING COUNT(*) > 1)
+)
+SELECT rule_id, CAST(COUNT(*) AS BIGINT) AS n_sampled
+FROM v GROUP BY 1 ORDER BY 1
+""",
+        "validate_quarantine_roundtrip": """
+-- quarantine-split round trip: rows violating any ROW-LOCAL rule of
+-- the documents spec stream to /tmp/quarantine, the rest to clean;
+-- counts read BACK from the written parquet match the predicates
+-- recomputed on the source view (cross-row not_unique excluded —
+-- membership is row-local by design)
+WITH f AS (
+  SELECT COALESCE(lang, '∅') AS lang,
+         ((lang IS NOT NULL AND lang NOT IN ('en','de','fr','es'))
+          OR (source IS NOT NULL
+              AND NOT regexp_matches(source, '^src[0-9]$'))
+          OR n_chars < 100 OR n_chars > 500) AS bad
+  FROM documents)
+SELECT CASE WHEN bad THEN 'quarantine' ELSE 'clean' END AS bucket,
+       lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM f GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_type_pmi_users": """
+-- behavioral co-occurrence PMI counts: for each unordered event-type
+-- pair, users with both, each marginal, and the user total — the
+-- exact integer numerators/denominators of PMI(a,b)
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+m AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT user_id) AS nu FROM ut)
+SELECT p.type_a, p.type_b,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(ma.n AS BIGINT) AS n_a,
+       CAST(mb.n AS BIGINT) AS n_b,
+       CAST(tot.nu AS BIGINT) AS n_users
+FROM p JOIN m ma ON ma.event_type = p.type_a
+       JOIN m mb ON mb.event_type = p.type_b, tot
+ORDER BY p.type_a, p.type_b
+""",
+        "events_target_encoding_loo": """
+-- leave-one-out target encoding census: per event row the LOO mean
+-- of cents within its type ((S_c - x_i) // (n_c - 1)), binned by
+-- 1000 cents; cents are non-negative so floor == truncation
+WITH e AS (
+  SELECT event_type,
+         CAST(round(100 * value) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+w AS (
+  SELECT event_type, c,
+         SUM(c) OVER (PARTITION BY event_type) AS s,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e)
+SELECT event_type,
+       CAST(((s - c) // (n - 1)) // 1000 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM w WHERE n > 1
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "docs_longest_word_hist": """
+-- tokenization-damage screen: census of per-doc LONGEST word (runs
+-- of unbroken text shift mass to extreme lengths)
+WITH w AS (
+  SELECT doc_id,
+         length(unnest(regexp_split_to_array(trim(text), '\\s+')))
+           AS ln
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+m AS (SELECT doc_id, MAX(ln) AS mx FROM w GROUP BY 1)
+SELECT CAST(mx AS BIGINT) AS max_wordlen,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM m GROUP BY 1 ORDER BY 1
+""",
         "events_ewma_alarms": """
 -- EWMA control chart per event type over daily counts (alpha=1/8,
 -- scale-1000 fixed point): e_1 = 1000*x_1,

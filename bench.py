@@ -368,6 +368,10 @@ def bench_queries() -> dict[str, float]:
              "events_ewma_alarms", "events_dow_anova",
              "docs_kruskal_nchars", "validate_violations_by_file",
              "orders_repeated_part_lines", "docs_ttr_census",
+             "validate_sampled_extrapolate",
+             "validate_quarantine_roundtrip",
+             "events_type_pmi_users", "events_target_encoding_loo",
+             "docs_longest_word_hist",
              ]
     out = {}
     for name in names:

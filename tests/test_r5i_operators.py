@@ -123,3 +123,71 @@ def test_ttr_hand_case(ray_session, tmp_path):
     out = e.queries()["docs_ttr_census"](str(d))
     assert out.band.tolist() == [6, 10, 20]
     assert out.n_docs.tolist() == [1, 1, 1]
+
+
+def test_oracle_sampled_extrapolate(ray_session):
+    out = _oracle_check("validate_sampled_extrapolate",
+                        tables=("documents",))
+    assert len(out) >= 3
+    assert (out.n_sampled > 0).all()
+
+
+def test_oracle_quarantine_roundtrip(ray_session):
+    out = _oracle_check("validate_quarantine_roundtrip",
+                        tables=("documents",))
+    # split is lossless: clean + quarantine == corpus
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert int(out.n_docs.sum()) == n
+    assert set(out.bucket.unique()) == {"clean", "quarantine"}
+
+
+def test_oracle_type_pmi_users(ray_session):
+    out = _oracle_check("events_type_pmi_users", tables=("events",))
+    # co-occurrence never exceeds either marginal, marginals never
+    # exceed the user total
+    assert (out.n_both <= out.n_a).all()
+    assert (out.n_both <= out.n_b).all()
+    assert (out.n_a <= out.n_users).all()
+
+
+def test_oracle_target_encoding_loo(ray_session):
+    out = _oracle_check("events_target_encoding_loo",
+                        tables=("events",))
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/events.parquet' "
+        f"WHERE event_type IS NOT NULL AND value IS NOT NULL"
+    ).fetchone()[0]
+    assert int(out.n_rows.sum()) == n
+
+
+def test_target_encoding_hand_case(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    # type a: cents [100, 300, 500] -> LOO means (800//2, 600//2,
+    # 400//2) = 400, 300, 200 -> bands 0,0,0
+    # type b: cents [100000, 200000] -> LOO = other value ->
+    # bands 200 and 100
+    t = pa.table({
+        "event_type": ["a", "a", "a", "b", "b"],
+        "value": [1.0, 3.0, 5.0, 1000.0, 2000.0],
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = e.queries()["events_target_encoding_loo"](str(d))
+    got = {(r.event_type, int(r.band)): int(r.n_rows)
+           for r in out.itertuples()}
+    assert got == {("a", 0): 3, ("b", 100): 1, ("b", 200): 1}
+
+
+def test_oracle_longest_word_hist(ray_session):
+    out = _oracle_check("docs_longest_word_hist",
+                        tables=("documents",))
+    assert (out.max_wordlen > 0).all()
+    assert out.n_docs.sum() > 0
