@@ -12502,6 +12502,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("n_letters").reset_index(drop=True)
                 .astype("int64"))
 
+    def kmeans_clusters_q(sf):
+        # integer-exact distributed k-means (2 Lloyd assignments, 1
+        # floored-mean update): per-cluster size + inertia; the whole
+        # trajectory is oracle-pinned (similarity.kmeans_assign_ds)
+        out = similarity.kmeans_assign_ds(
+            _read(sf, "embeddings",
+                  columns=["vec_id", "embedding", "label"])
+        ).to_pandas()
+        g = (out.groupby("cluster", as_index=False)
+             .agg(n_vecs=("id", "size"), inertia=("dist2", "sum")))
+        return (g.sort_values("cluster").reset_index(drop=True)
+                .astype("int64"))
+
+    def kmeans_purity_q(sf):
+        # cluster x label cross-tab from the SAME k-means trajectory
+        # — the cluster-quality diagnostic (label purity)
+        out = similarity.kmeans_assign_ds(
+            _read(sf, "embeddings",
+                  columns=["vec_id", "embedding", "label"])
+        ).to_pandas()
+        g = (out.groupby(["cluster", "label"], as_index=False)
+             .agg(n_vecs=("id", "size")))
+        return (g.sort_values(["cluster", "label"])
+                .reset_index(drop=True).astype("int64"))
+
+    def dow_outliers_q(sf):
+        # seasonally-adjusted anomalies: days deviating > 2 sigma
+        # from THEIR WEEKDAY's mean within the type (exact integers:
+        # (n*x - s)^2 > 4*(n*s2 - s^2)) — the dow-aware sibling of
+        # events_daily_anomalies
+        def day_of(b: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.is_valid(b["event_type"]),
+                           pc.is_valid(b["ts"]))
+            b = b.filter(keep)
+            day = (pc.cast(b["ts"], pa.int64())
+                   .to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+            return pa.table({"event_type": b["event_type"],
+                             "day": pa.array(day),
+                             "event_id": b["event_id"]})
+
+        ev = _read(sf, "events",
+                   columns=["event_type", "ts", "event_id"]
+                   ).map_batches(day_of, batch_format="pyarrow")
+        daily = analytics.grouped_stats(ev, ["event_type", "day"],
+                                        {"event_id": ["count"]})
+        x = daily["event_id_count"].to_numpy(np.int64)
+        day = daily["day"].to_numpy(np.int64)
+        typ = daily["event_type"].to_numpy(object)
+        dow = (day + 4) % 7
+        df = pd.DataFrame({"t": typ, "w": dow, "x": x})
+        g = (df.groupby(["t", "w"])
+             .agg(nw=("x", "size"), sw=("x", "sum"),
+                  s2w=("x", lambda v: int(
+                      (v.to_numpy(np.int64) ** 2).sum())))
+             .reset_index())
+        m = df.merge(g, on=["t", "w"])
+        lhs = (m.nw * m.x - m.sw) ** 2
+        rhs = 4 * (m.nw * m.s2w - m.sw * m.sw)
+        m["out"] = (lhs > rhs).astype(np.int64)
+        res = (m.groupby("t", as_index=False)
+               .agg(n_days=("x", "size"),
+                    n_outliers=("out", "sum"))
+               .rename(columns={"t": "event_type"}))
+        return (res.sort_values("event_type")
+                .reset_index(drop=True)
+                .astype({"n_days": "int64",
+                         "n_outliers": "int64"}))
+
     def sampled_validate_q(sf):
         # sample-first validation screen: run the full documents spec
         # on the 1/8 md5(doc_id) bucket sample (the sample.py hash
@@ -12992,6 +13061,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "embeddings_kmeans_clusters": kmeans_clusters_q,
+        "embeddings_kmeans_purity": kmeans_purity_q,
+        "events_dow_adjusted_outliers": dow_outliers_q,
         "validate_sampled_extrapolate": sampled_validate_q,
         "validate_quarantine_roundtrip": quarantine_q,
         "events_type_pmi_users": type_pmi_q,
@@ -14836,8 +14908,93 @@ SELECT * FROM (
 def oracle_sql() -> dict[str, str]:
     from verify_ray.pipelines import validation_queries as vq
 
+    _KMEANS_CORE = """
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+           x -> CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+           AS q
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS j, q AS c
+  FROM (SELECT id, q FROM q ORDER BY id LIMIT 8)),
+d1 AS (
+  SELECT q.id, c0.j,
+         list_sum(list_transform(list_zip(q.q, c0.c),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+  FROM q CROSS JOIN c0),
+a1 AS (
+  SELECT id, j FROM (
+    SELECT id, j,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, j) AS rn
+    FROM d1) WHERE rn = 1),
+s1 AS (
+  SELECT a1.j, generate_subscripts(q.q, 1) AS dim,
+         unnest(q.q) AS val
+  FROM a1 JOIN q USING (id)),
+u1 AS (SELECT j, dim, SUM(val) AS s, COUNT(*) AS n
+       FROM s1 GROUP BY 1, 2),
+c1 AS (SELECT j, list(CAST(floor(1.0 * s / n) AS BIGINT)
+                      ORDER BY dim) AS c
+       FROM u1 GROUP BY 1),
+cf AS (SELECT c0.j, COALESCE(c1.c, c0.c) AS c
+       FROM c0 LEFT JOIN c1 USING (j)),
+d2t AS (
+  SELECT q.id, q.label, cf.j,
+         list_sum(list_transform(list_zip(q.q, cf.c),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+  FROM q CROSS JOIN cf),
+a2 AS (
+  SELECT id, label, j, d2 FROM (
+    SELECT id, label, j, d2,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, j) AS rn
+    FROM d2t) WHERE rn = 1)
+"""
+
     return {
         # round-5 additions
+        "embeddings_kmeans_clusters": "-- integer-exact k-means "
+        "(init = 8 smallest ids, assign -> floored-mean update -> "
+        "assign; ties -> smallest cluster): per-cluster size + "
+        "inertia\n" + _KMEANS_CORE + """
+SELECT CAST(j AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(d2) AS BIGINT) AS inertia
+FROM a2 GROUP BY 1 ORDER BY 1
+""",
+        "embeddings_kmeans_purity": "-- cluster x label cross-tab "
+        "from the SAME oracle-pinned k-means trajectory\n"
+        + _KMEANS_CORE + """
+SELECT CAST(j AS BIGINT) AS cluster, label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM a2 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_dow_adjusted_outliers": """
+-- seasonally-adjusted anomaly count: a day is an outlier when its
+-- count deviates > 2 sigma from ITS WEEKDAY's mean within the type
+-- (exact integers: (n*x - s)^2 > 4*(n*s2 - s^2))
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS x
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+d AS (SELECT event_type, (day + 4) % 7 AS dow, x FROM daily),
+g AS (
+  SELECT event_type, dow, COUNT(*) AS nw, SUM(x) AS sw,
+         SUM(x * x) AS s2w
+  FROM d GROUP BY 1, 2)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN (g.nw * d.x - g.sw)
+                          * (g.nw * d.x - g.sw)
+                     > 4 * (g.nw * g.s2w - g.sw * g.sw)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN g USING (event_type, dow)
+GROUP BY 1 ORDER BY 1
+""",
         "validate_sampled_extrapolate": """
 -- sample-first validation screen: rule violation counts on the 1/8
 -- md5(doc_id) bucket sample (sample.py hash contract); not_unique

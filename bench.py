@@ -372,6 +372,8 @@ def bench_queries() -> dict[str, float]:
              "validate_quarantine_roundtrip",
              "events_type_pmi_users", "events_target_encoding_loo",
              "docs_longest_word_hist",
+             "embeddings_kmeans_clusters", "embeddings_kmeans_purity",
+             "events_dow_adjusted_outliers",
              ]
     out = {}
     for name in names:

@@ -191,3 +191,48 @@ def test_oracle_longest_word_hist(ray_session):
                         tables=("documents",))
     assert (out.max_wordlen > 0).all()
     assert out.n_docs.sum() > 0
+
+
+def test_oracle_kmeans_clusters(ray_session):
+    out = _oracle_check("embeddings_kmeans_clusters",
+                        tables=("embeddings",))
+    assert len(out) == 8
+    assert (out.n_vecs > 0).all()
+    assert int(out.n_vecs.sum()) == 500
+
+
+def test_oracle_kmeans_purity(ray_session):
+    out = _oracle_check("embeddings_kmeans_purity",
+                        tables=("embeddings",))
+    assert int(out.n_vecs.sum()) == 500
+    assert out.cluster.nunique() == 8
+
+
+def test_kmeans_hand_case(ray_session):
+    # 1-D style hand case in 2 dims, k=2: ids 1,2 seed the centroids.
+    # points: a=(0,0) b=(10,0) c=(9,0) d=(1,0) (quantized scale 1000)
+    # init c0=a=(0,0), c1=b=(10000,0).  assign1: a,d -> 0; b,c -> 1.
+    # update: c0=(500,0), c1=(9500,0).  assign2 same membership;
+    # dist2: a=250000, d=250000, b=250000, c=250000 -> inertia 500k
+    import ray.data as rd
+
+    from verify_ray.pipelines.similarity import kmeans_assign_ds
+
+    t = pa.table({
+        "vec_id": [1, 2, 3, 4],
+        "embedding": pa.array(
+            [[0.0, 0.0], [10.0, 0.0], [9.0, 0.0], [1.0, 0.0]],
+            type=pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 1, 0], type=pa.int32()),
+    })
+    out = (kmeans_assign_ds(rd.from_arrow(t), k=2).to_pandas()
+           .sort_values("id"))
+    assert out.cluster.tolist() == [0, 1, 1, 0]
+    assert out.dist2.tolist() == [250000] * 4
+
+
+def test_oracle_dow_adjusted_outliers(ray_session):
+    out = _oracle_check("events_dow_adjusted_outliers",
+                        tables=("events",))
+    assert (out.n_outliers <= out.n_days).all()
+    assert len(out) >= 2

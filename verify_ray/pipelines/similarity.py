@@ -1736,3 +1736,108 @@ def knn_confusion(ds, emb_col: str = "embedding",
            ["n"].sum())
     return (out.sort_values(["label", "nn_label"])
             .reset_index(drop=True).astype("int64"))
+
+
+def kmeans_assign_ds(ds, k: int = 8, id_col: str = "vec_id",
+                     emb_col: str = "embedding",
+                     label_col: str = "label"):
+    """Integer-exact distributed k-means (Lloyd 1982), the iterative
+    refinement pattern the IVF quantizer (ivf_train_centroids)
+    approximates in one shot: per-dim ``floor(1000*x)`` int64
+    quantization (the repo-wide quantized-embedding contract), init =
+    the k smallest ids' vectors, then assign -> mean update (floor of
+    the exact rational; an EMPTY cluster keeps its centroid) ->
+    assign.  Every distance, argmin tie rule (smallest cluster index)
+    and the floored update are restatable in SQL, so the full two-
+    assignment trajectory is oracle-pinned.
+
+    Distributed shape: centroids (k x d ints, a few KB) broadcast in
+    the batch closure; per-batch partials are (k x d) component sums
+    + counts — rows never shuffle, the driver folds k*d cells per
+    batch and rebroadcasts.  Returns a Dataset (id, label, cluster,
+    dist2) that stays in the object store; callers aggregate.
+    Assignment distances use the |q|^2 - 2qC' + |c|^2 expansion —
+    one int64 matmul per batch, no (n,k,d) intermediate.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def _quantize(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b[id_col]),
+                       pc.is_valid(b[emb_col]))
+        b = b.filter(keep)
+        emb = b[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        d = len(flat) // max(n, 1)
+        q = np.floor(1000.0 * flat.astype(np.float64)
+                     ).astype(np.int64)
+        return pa.table({
+            "id": pc.cast(b[id_col], pa.int64()),
+            "label": pc.cast(b[label_col], pa.int64()),
+            "q": pa.FixedSizeListArray.from_arrays(pa.array(q), d),
+        })
+
+    def _qmat(t: pa.Table) -> np.ndarray:
+        qcol = t.column("q")
+        if isinstance(qcol, pa.ChunkedArray):
+            qcol = qcol.combine_chunks()
+        flat = pc.list_flatten(qcol).to_numpy(zero_copy_only=False)
+        return flat.reshape(t.num_rows, -1).astype(np.int64)
+
+    qds = ds.map_batches(_quantize, batch_format="pyarrow"
+                         ).materialize()
+
+    def topk(b: pa.Table) -> pa.Table:
+        ids = b.column("id").to_numpy(zero_copy_only=False)
+        idx = np.argsort(ids, kind="stable")[:k]
+        return b.take(pa.array(idx))
+
+    sdf = (qds.map_batches(topk, batch_format="pyarrow")
+           .to_pandas().sort_values("id").head(k))
+    c = np.stack(sdf.q.to_numpy()).astype(np.int64)  # k x d
+
+    def assign(Q, C):
+        d2 = ((Q * Q).sum(1)[:, None]
+              - 2 * Q @ C.T + (C * C).sum(1)[None, :])
+        j = np.argmin(d2, axis=1)  # ties -> smallest cluster index
+        return j, d2[np.arange(len(j)), j]
+
+    def partials(b: pa.Table, C=c) -> pa.Table:
+        Q = _qmat(b)
+        j, _ = assign(Q, C)
+        k_, d_ = C.shape
+        s = np.zeros((k_, d_), np.int64)
+        np.add.at(s, j, Q)
+        n = np.bincount(j, minlength=k_).astype(np.int64)
+        jj = np.repeat(np.arange(k_, dtype=np.int64), d_)
+        dim = np.tile(np.arange(d_, dtype=np.int64), k_)
+        return pa.table({
+            "j": pa.array(jj), "dim": pa.array(dim),
+            "s": pa.array(s.ravel()),
+            "n": pa.array(np.repeat(n, d_))})
+
+    pdf = (qds.map_batches(partials, batch_format="pyarrow")
+           .to_pandas().groupby(["j", "dim"], as_index=False)
+           [["s", "n"]].sum())
+    k_, d_ = c.shape
+    s = np.zeros((k_, d_), np.int64)
+    n = np.zeros(k_, np.int64)
+    s[pdf.j.to_numpy(), pdf.dim.to_numpy()] = pdf.s.to_numpy()
+    n_per = pdf[pdf.dim == 0].set_index("j").n
+    n[n_per.index.to_numpy()] = n_per.to_numpy()
+    c1 = c.copy()
+    nz = n > 0
+    c1[nz] = np.floor_divide(s[nz], n[nz][:, None])
+
+    def final(b: pa.Table, C=c1) -> pa.Table:
+        Q = _qmat(b)
+        j, d2 = assign(Q, C)
+        return pa.table({
+            "id": b["id"], "label": b["label"],
+            "cluster": pa.array(j.astype(np.int64)),
+            "dist2": pa.array(d2.astype(np.int64))})
+
+    return qds.map_batches(final, batch_format="pyarrow")
