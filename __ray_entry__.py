@@ -12502,6 +12502,230 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values("n_letters").reset_index(drop=True)
                 .astype("int64"))
 
+    def _probe_qmat(b, emb_col="embedding"):
+        emb = b[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+        q = np.floor(1000.0 * flat.astype(np.float64)
+                     ).astype(np.int64)
+        return q.reshape(b.num_rows, -1)
+
+    def linear_probe_q(sf):
+        # integer linear probe: one batch-perceptron step from w=0
+        # (the class-sum discriminant) separating labels {0..4} from
+        # {5..9} — phase 1 per-batch gradient partials sum to w,
+        # phase 2 broadcasts the 64-int w and scores every vector;
+        # exact integers end to end
+        ds = _read(sf, "embeddings",
+                   columns=["vec_id", "embedding", "label"]
+                   ).materialize()
+
+        def wpart(b: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.is_valid(b["embedding"]),
+                           pc.is_valid(b["label"]))
+            b = b.filter(keep)
+            Q = _probe_qmat(b)
+            y = np.where(
+                pc.cast(b["label"], pa.int64()).to_numpy(
+                    zero_copy_only=False) < 5, 1, -1
+            ).astype(np.int64)
+            w = (y[:, None] * Q).sum(0)
+            return pa.table({
+                "dim": pa.array(np.arange(len(w), dtype=np.int64)),
+                "w": pa.array(w)})
+
+        wdf = (ds.map_batches(wpart, batch_format="pyarrow")
+               .to_pandas().groupby("dim", as_index=False)
+               ["w"].sum())
+        w = np.zeros(len(wdf), np.int64)
+        w[wdf.dim.to_numpy()] = wdf.w.to_numpy()
+
+        def census(b: pa.Table, w=w) -> pa.Table:
+            keep = pc.and_(pc.is_valid(b["embedding"]),
+                           pc.is_valid(b["label"]))
+            b = b.filter(keep)
+            Q = _probe_qmat(b)
+            lab = pc.cast(b["label"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            score = Q @ w
+            pred_pos = score > 0
+            y_pos = lab < 5
+            df = pd.DataFrame({
+                "label": lab,
+                "pos": pred_pos.astype(np.int64),
+                "correct": (pred_pos == y_pos).astype(np.int64)})
+            g = (df.groupby("label", as_index=False)
+                 .agg(n=("pos", "size"),
+                      n_pred_pos=("pos", "sum"),
+                      n_correct=("correct", "sum")))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        out = (ds.map_batches(census, batch_format="pyarrow")
+               .to_pandas().groupby("label", as_index=False)
+               [["n", "n_pred_pos", "n_correct"]].sum())
+        return (out.sort_values("label").reset_index(drop=True)
+                .astype("int64"))
+
+    def rules_per_doc_q(sf):
+        # violation-depth census: docs by the number of DISTINCT
+        # rules they violate (the triage view: multi-rule docs first)
+        from verify_ray.engine import validate
+        from verify_ray.spec import ConstraintSpec
+
+        rep = validate(f"{sf}/documents.parquet",
+                       ConstraintSpec.from_dict(vq.DOCUMENTS_SPEC))
+        v = rep.violations.select(["doc_id", "rule_id"]).to_pandas()
+        v = v[v.doc_id.astype(str) != ""]
+        per = (v.groupby("doc_id")["rule_id"].nunique()
+               .rename("n_rules").reset_index())
+        out = (per.groupby("n_rules", as_index=False).size()
+               .rename(columns={"size": "n_docs"}))
+        return (out.sort_values("n_rules").reset_index(drop=True)
+                .astype("int64"))
+
+    def transition_dwell_q(sf):
+        # dwell-time matrix: per (from, to) event-type transition
+        # within a user (ts then event_id order), exact-integer gap
+        # sum/max — the timing companion of events_transitions; ONE
+        # user-keyed exchange
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.and_(pc.is_valid(b["user_id"]),
+                                   pc.is_valid(b["ts"])),
+                           pc.is_valid(b["event_type"]))
+            b = b.filter(keep)
+            u = pc.cast(b["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "u": pa.array(u),
+                "ts": pc.cast(b["ts"], pa.int64()),
+                "eid": pc.cast(b["event_id"], pa.int64()),
+                "t": b["event_type"],
+                "__b": pa.array(u % 32)})
+
+        def fold(tbl: pa.Table) -> pa.Table:
+            u = tbl.column("u").to_numpy(zero_copy_only=False)
+            ts = tbl.column("ts").to_numpy(zero_copy_only=False)
+            eid = tbl.column("eid").to_numpy(zero_copy_only=False)
+            t = tbl.column("t").to_numpy(
+                zero_copy_only=False).astype(object)
+            srt = np.lexsort((eid, ts, u))
+            u, ts, t = u[srt], ts[srt], t[srt]
+            same = np.zeros(len(u), bool)
+            same[1:] = u[1:] == u[:-1]
+            idx = np.flatnonzero(same)
+            if not len(idx):
+                return pa.table({
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_gap_us": pa.array([], pa.int64()),
+                    "max_gap_us": pa.array([], pa.int64())})
+            gap = ts[idx] - ts[idx - 1]
+            df = pd.DataFrame({"a": t[idx - 1], "b": t[idx],
+                               "g": gap})
+            g = (df.groupby(["a", "b"], as_index=False)
+                 .agg(n=("g", "size"), sum_gap_us=("g", "sum"),
+                      max_gap_us=("g", "max")))
+            return pa.table({
+                "from_type": pa.array(g.a.to_numpy(object),
+                                      pa.string()),
+                "to_type": pa.array(g.b.to_numpy(object),
+                                    pa.string()),
+                "n": pa.array(g.n.to_numpy(np.int64)),
+                "sum_gap_us": pa.array(
+                    g.sum_gap_us.to_numpy(np.int64)),
+                "max_gap_us": pa.array(
+                    g.max_gap_us.to_numpy(np.int64))})
+
+        res = grouped_exchange(
+            _read(sf, "events",
+                  columns=["user_id", "ts", "event_id",
+                           "event_type"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["from_type", "to_type", "n", "sum_gap_us",
+                "max_gap_us"]
+        if res is None or res.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (res.to_pandas()
+              .groupby(["from_type", "to_type"], as_index=False)
+              .agg(n=("n", "sum"),
+                   sum_gap_us=("sum_gap_us", "sum"),
+                   max_gap_us=("max_gap_us", "max")))
+        return (df.sort_values(["from_type", "to_type"])
+                .reset_index(drop=True)
+                .astype({c: "int64" for c in cols[2:]}))
+
+    def new_repeat_q(sf):
+        # acquisition-quality split: monthly orders + revenue cents
+        # from FIRST-ever orders (min by orderdate then orderkey) vs
+        # repeat — ONE customer-keyed exchange, census leaves tasks
+        from verify_ray.stages.exchange import grouped_exchange
+
+        def tag(b: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.and_(pc.is_valid(b["o_custkey"]),
+                                   pc.is_valid(b["o_orderdate"])),
+                           pc.is_valid(b["o_totalprice"]))
+            b = b.filter(keep)
+            c = pc.cast(b["o_custkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            day = (pc.cast(b["o_orderdate"], pa.int64()).to_numpy(
+                zero_copy_only=False) // 86_400_000_000)
+            cents = np.round(100.0 * pc.cast(
+                b["o_totalprice"], pa.float64()).to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            return pa.table({
+                "c": pa.array(c),
+                "day": pa.array(day),
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "cents": pa.array(cents),
+                "__b": pa.array(c % 32)})
+
+        def fold(tbl: pa.Table) -> pa.Table:
+            c = tbl.column("c").to_numpy(zero_copy_only=False)
+            day = tbl.column("day").to_numpy(zero_copy_only=False)
+            k = tbl.column("k").to_numpy(zero_copy_only=False)
+            cents = tbl.column("cents").to_numpy(
+                zero_copy_only=False)
+            srt = np.lexsort((k, day, c))
+            c, day, cents = c[srt], day[srt], cents[srt]
+            first = np.ones(len(c), bool)
+            first[1:] = c[1:] != c[:-1]
+            mi = (day.astype("datetime64[D]")
+                  .astype("datetime64[M]").astype(np.int64))
+            df = pd.DataFrame({
+                "month_idx": mi,
+                "bucket": np.where(first, "new", "repeat"),
+                "cents": cents})
+            g = (df.groupby(["month_idx", "bucket"],
+                            as_index=False)
+                 .agg(n_orders=("cents", "size"),
+                      revenue_cents=("cents", "sum")))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        res = grouped_exchange(
+            _read(sf, "orders",
+                  columns=["o_custkey", "o_orderdate",
+                           "o_orderkey", "o_totalprice"])
+            .map_batches(tag, batch_format="pyarrow"),
+            "__b", 32, fold)
+        cols = ["month_idx", "bucket", "n_orders", "revenue_cents"]
+        if res is None or res.num_rows == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        df = (res.to_pandas()
+              .groupby(["month_idx", "bucket"], as_index=False)
+              [["n_orders", "revenue_cents"]].sum())
+        return (df.sort_values(["month_idx", "bucket"])
+                .reset_index(drop=True)
+                .astype({"month_idx": "int64",
+                         "n_orders": "int64",
+                         "revenue_cents": "int64"}))
+
     def kmeans_clusters_q(sf):
         # integer-exact distributed k-means (2 Lloyd assignments, 1
         # floored-mean update): per-cluster size + inertia; the whole
@@ -13061,6 +13285,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return _rotate_unchecked_first({
         # round-5 additions (unchecked-first rotation applies)
+        "embeddings_linear_probe": linear_probe_q,
+        "validate_rules_per_doc_census": rules_per_doc_q,
+        "events_transition_dwell": transition_dwell_q,
+        "orders_new_vs_repeat_revenue_monthly": new_repeat_q,
         "embeddings_kmeans_clusters": kmeans_clusters_q,
         "embeddings_kmeans_purity": kmeans_purity_q,
         "events_dow_adjusted_outliers": dow_outliers_q,
@@ -14955,6 +15183,109 @@ a2 AS (
 
     return {
         # round-5 additions
+        "embeddings_linear_probe": """
+-- integer linear probe (one batch-perceptron step from w=0, the
+-- class-sum discriminant): w = sum_i y_i q_i with y = +1 for
+-- label < 5 else -1; per label the count predicted positive
+-- (score > 0) and correct
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         CAST(label AS BIGINT) AS label,
+         CASE WHEN label < 5 THEN 1 ELSE -1 END AS y,
+         list_transform(embedding,
+           x -> CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+           AS q
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+u AS (
+  SELECT generate_subscripts(q, 1) AS dim, unnest(q) AS val, y
+  FROM q),
+wv AS (SELECT dim, SUM(y * val) AS w FROM u GROUP BY 1),
+wl AS (SELECT list(w ORDER BY dim) AS w FROM wv),
+sc AS (
+  SELECT q.label,
+         list_sum(list_transform(list_zip(q.q, wl.w),
+                  z -> z[1] * z[2])) AS score
+  FROM q CROSS JOIN wl)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pred_pos,
+       CAST(SUM(CASE WHEN (score > 0) = (label < 5)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM sc GROUP BY 1 ORDER BY 1
+""",
+        "validate_rules_per_doc_census": """
+-- violation-depth census: docs by the number of DISTINCT rules they
+-- violate (doc identity is the doc_id VALUE, matching the engine's
+-- violation rows)
+WITH v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS d, 'invalid_enum_value' AS r
+    FROM documents
+   WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'no_pattern_match'
+    FROM documents
+   WHERE source IS NOT NULL
+     AND NOT regexp_matches(source, '^src[0-9]$')
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'less_than_expected'
+    FROM documents WHERE n_chars < 100
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'more_than_expected'
+    FROM documents WHERE n_chars > 500
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'not_unique'
+    FROM (SELECT doc_id FROM documents GROUP BY doc_id
+          HAVING COUNT(*) > 1)
+),
+per AS (SELECT d, COUNT(DISTINCT r) AS n_rules FROM v GROUP BY 1)
+SELECT CAST(n_rules AS BIGINT) AS n_rules,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM per GROUP BY 1 ORDER BY 1
+""",
+        "events_transition_dwell": """
+-- dwell-time matrix: per (from, to) event-type transition within a
+-- user (order by ts then event_id), pair count + exact-integer gap
+-- sum and max in microseconds
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_id, event_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+p AS (
+  SELECT event_type AS a,
+         LEAD(event_type) OVER w AS b,
+         LEAD(ts) OVER w - ts AS g
+  FROM e WINDOW w AS (PARTITION BY user_id
+                      ORDER BY ts, event_id))
+SELECT a AS from_type, b AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(g) AS BIGINT) AS sum_gap_us,
+       CAST(MAX(g) AS BIGINT) AS max_gap_us
+FROM p WHERE b IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "orders_new_vs_repeat_revenue_monthly": """
+-- acquisition-quality split: monthly orders + revenue cents from a
+-- customer's FIRST-ever order (min by orderdate then orderkey) vs
+-- repeat orders
+WITH o AS (
+  SELECT o_custkey AS c, o_orderkey AS k, o_orderdate AS d,
+         CAST(round(100 * o_totalprice) AS BIGINT) AS cents,
+         (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+           AS mi,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL)
+SELECT CAST(mi AS BIGINT) AS month_idx,
+       CASE WHEN rn = 1 THEN 'new' ELSE 'repeat' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM o GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "embeddings_kmeans_clusters": "-- integer-exact k-means "
         "(init = 8 smallest ids, assign -> floored-mean update -> "
         "assign; ties -> smallest cluster): per-cluster size + "

@@ -374,6 +374,10 @@ def bench_queries() -> dict[str, float]:
              "docs_longest_word_hist",
              "embeddings_kmeans_clusters", "embeddings_kmeans_purity",
              "events_dow_adjusted_outliers",
+             "embeddings_linear_probe",
+             "validate_rules_per_doc_census",
+             "events_transition_dwell",
+             "orders_new_vs_repeat_revenue_monthly",
              ]
     out = {}
     for name in names:

@@ -236,3 +236,39 @@ def test_oracle_dow_adjusted_outliers(ray_session):
                         tables=("events",))
     assert (out.n_outliers <= out.n_days).all()
     assert len(out) >= 2
+
+
+def test_oracle_linear_probe(ray_session):
+    out = _oracle_check("embeddings_linear_probe",
+                        tables=("embeddings",))
+    assert len(out) == 10
+    assert (out.n_correct <= out.n).all()
+    # the class-sum discriminant must beat chance on its OWN
+    # training data overall
+    assert int(out.n_correct.sum()) > int(out.n.sum()) // 2
+
+
+def test_oracle_rules_per_doc(ray_session):
+    out = _oracle_check("validate_rules_per_doc_census",
+                        tables=("documents",))
+    assert (out.n_rules >= 1).all()
+    assert out.n_docs.sum() > 0
+
+
+def test_oracle_transition_dwell(ray_session):
+    out = _oracle_check("events_transition_dwell",
+                        tables=("events",))
+    assert (out.sum_gap_us >= 0).all()
+    assert (out.max_gap_us * out.n >= out.sum_gap_us).all()
+
+
+def test_oracle_new_vs_repeat(ray_session):
+    out = _oracle_check("orders_new_vs_repeat_revenue_monthly",
+                        tables=("orders",))
+    # every customer contributes exactly one 'new' order overall
+    con = duckdb.connect()
+    ncust = con.execute(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM "
+        f"'{SF}/orders.parquet' WHERE o_custkey IS NOT NULL"
+    ).fetchone()[0]
+    assert int(out[out.bucket == "new"].n_orders.sum()) == ncust
