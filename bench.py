@@ -378,6 +378,9 @@ def bench_queries() -> dict[str, float]:
              "validate_rules_per_doc_census",
              "events_transition_dwell",
              "orders_new_vs_repeat_revenue_monthly",
+             "validate_referential_scorecard",
+             "docs_hashed_features_probe",
+             "embeddings_jl_projection_audit",
              ]
     out = {}
     for name in names:

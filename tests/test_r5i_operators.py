@@ -272,3 +272,35 @@ def test_oracle_new_vs_repeat(ray_session):
         f"'{SF}/orders.parquet' WHERE o_custkey IS NOT NULL"
     ).fetchone()[0]
     assert int(out[out.bucket == "new"].n_orders.sum()) == ncust
+
+
+def test_oracle_referential_scorecard(ray_session):
+    out = _oracle_check(
+        "validate_referential_scorecard",
+        tables=("orders", "customer", "lineitem", "part",
+                "supplier", "nation", "region"))
+    assert len(out) == 7
+    assert (out.n_missing <= out.n_rows).all()
+    # the synthetic data plants orphan custkeys but keeps the dim
+    # chain (nation -> region) intact
+    nr = out.set_index("relationship")
+    assert nr.loc["nation.n_regionkey->region", "n_missing"] == 0
+
+
+def test_oracle_hashed_features_probe(ray_session):
+    out = _oracle_check("docs_hashed_features_probe",
+                        tables=("documents",))
+    assert (out.n_correct <= out.n).all()
+    assert int(out.n_correct.sum()) > int(out.n.sum()) // 2
+
+
+def test_oracle_jl_projection_audit(ray_session):
+    out = _oracle_check("embeddings_jl_projection_audit",
+                        tables=("embeddings",))
+    # JL concentration: the ratio census must put most mass near
+    # 1000 permille (bands 2-5 of 250), never at wild extremes
+    assert (out.band >= 0).all()
+    total = int(out.n_pairs.sum())
+    near = int(out[(out.band >= 1) & (out.band <= 7)]
+               .n_pairs.sum())
+    assert near * 2 > total
