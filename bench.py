@@ -381,6 +381,8 @@ def bench_queries() -> dict[str, float]:
              "validate_referential_scorecard",
              "docs_hashed_features_probe",
              "embeddings_jl_projection_audit",
+             "embeddings_pq_codebook", "events_daily_ohlc",
+             "tokens_branching_census",
              ]
     out = {}
     for name in names:

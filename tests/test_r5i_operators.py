@@ -304,3 +304,53 @@ def test_oracle_jl_projection_audit(ray_session):
     near = int(out[(out.band >= 1) & (out.band <= 7)]
                .n_pairs.sum())
     assert near * 2 > total
+
+
+def test_oracle_pq_codebook(ray_session):
+    out = _oracle_check("embeddings_pq_codebook",
+                        tables=("embeddings",))
+    assert len(out) == 8  # 2 subspaces x 4 codes
+    assert int(out.n_vecs.sum()) == 1000  # 500 vecs x 2 subspaces
+    assert (out.sq_err >= 0).all()
+
+
+def test_oracle_daily_ohlc(ray_session):
+    out = _oracle_check("events_daily_ohlc", tables=("events",))
+    assert (out.low <= out.high).all()
+    assert (out.open >= out.low).all()
+    assert (out.open <= out.high).all()
+    assert (out.close >= out.low).all()
+    assert (out.close <= out.high).all()
+
+
+def test_ohlc_hand_case(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    # one type, one day; ties on ts broken by event_id
+    us = 86_400_000_000
+    t = pa.table({
+        "event_id": [3, 1, 2, 4],
+        "ts": pa.array([us + 5, us + 5, us + 9, us + 1],
+                       type=pa.timestamp("us")),
+        "event_type": ["x"] * 4,
+        "value": [7.0, 2.0, 3.0, 9.0],
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = e.queries()["events_daily_ohlc"](str(d))
+    assert len(out) == 1
+    r = out.iloc[0]
+    # order by (ts,eid): (us+1,4,900) (us+5,1,200) (us+5,3,700)
+    # (us+9,2,300) -> open 900, close 300
+    assert (int(r.open), int(r.high), int(r.low), int(r.close),
+            int(r.volume)) == (900, 900, 200, 300, 4)
+
+
+def test_oracle_branching_census(ray_session):
+    out = _oracle_check("tokens_branching_census",
+                        tables=("documents",))
+    assert (out.n_successors >= 1).all()
+    assert out.n_words.sum() > 0

@@ -1740,7 +1740,8 @@ def knn_confusion(ds, emb_col: str = "embedding",
 
 def kmeans_assign_ds(ds, k: int = 8, id_col: str = "vec_id",
                      emb_col: str = "embedding",
-                     label_col: str = "label"):
+                     label_col: str = "label",
+                     dim_slice: tuple[int, int] | None = None):
     """Integer-exact distributed k-means (Lloyd 1982), the iterative
     refinement pattern the IVF quantizer (ivf_train_centroids)
     approximates in one shot: per-dim ``floor(1000*x)`` int64
@@ -1774,6 +1775,12 @@ def kmeans_assign_ds(ds, k: int = 8, id_col: str = "vec_id",
         d = len(flat) // max(n, 1)
         q = np.floor(1000.0 * flat.astype(np.float64)
                      ).astype(np.int64)
+        if dim_slice is not None:
+            # product-quantization subspace: cluster only dims
+            # [lo, hi) — the PQ codebook path (Jegou et al. 2011)
+            lo, hi = dim_slice
+            q = q.reshape(n, d)[:, lo:hi].ravel()
+            d = hi - lo
         return pa.table({
             "id": pc.cast(b[id_col], pa.int64()),
             "label": pc.cast(b[label_col], pa.int64()),
