@@ -383,6 +383,8 @@ def bench_queries() -> dict[str, float]:
              "embeddings_jl_projection_audit",
              "embeddings_pq_codebook", "events_daily_ohlc",
              "tokens_branching_census",
+             "docs_sample_bias_ks", "orders_rank_revenue_curve",
+             "lineitem_cross_moments", "customers_cadence_trend",
              ]
     out = {}
     for name in names:

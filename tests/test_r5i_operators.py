@@ -354,3 +354,37 @@ def test_oracle_branching_census(ray_session):
                         tables=("documents",))
     assert (out.n_successors >= 1).all()
     assert out.n_words.sum() > 0
+
+
+def test_oracle_sample_bias_ks(ray_session):
+    out = _oracle_check("docs_sample_bias_ks",
+                        tables=("documents",))
+    assert (out.n_sample <= out.n_full).all()
+    # terminal identity: at the last value 8*cum_s - cum differs by
+    # exactly |8*n_sample - n_full| <= max dev
+    assert (out.ks_dev8 >=
+            (8 * out.n_sample - out.n_full).abs()).all()
+
+
+def test_oracle_rank_revenue_curve(ray_session):
+    out = _oracle_check("orders_rank_revenue_curve",
+                        tables=("orders",))
+    # rank-k cohort can never outnumber rank-(k-1)
+    n = out.sort_values("rank").n_orders.to_numpy()
+    assert (np.diff(n) <= 0).all()
+
+
+def test_oracle_cross_moments(ray_session):
+    out = _oracle_check("lineitem_cross_moments",
+                        tables=("lineitem",))
+    r = out.iloc[0]
+    # Cauchy-Schwarz on raw moments: (sum xy)^2 <= sum x^2 * sum y^2
+    assert r.s_qe * r.s_qe <= r.s_qq * r.s_ee
+    assert r.s_dt * r.s_dt <= r.s_dd * r.s_tt
+
+
+def test_oracle_cadence_trend(ray_session):
+    out = _oracle_check("customers_cadence_trend",
+                        tables=("orders",))
+    assert set(out.trend) <= {"speeding", "slowing", "steady"}
+    assert out.n_customers.sum() > 0
