@@ -385,6 +385,8 @@ def bench_queries() -> dict[str, float]:
              "tokens_branching_census",
              "docs_sample_bias_ks", "orders_rank_revenue_curve",
              "lineitem_cross_moments", "customers_cadence_trend",
+             "profile_all_tables", "lineitem_candidate_keys",
+             "validate_resumable_counts",
              ]
     out = {}
     for name in names:

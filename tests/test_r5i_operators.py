@@ -388,3 +388,34 @@ def test_oracle_cadence_trend(ray_session):
                         tables=("orders",))
     assert set(out.trend) <= {"speeding", "slowing", "steady"}
     assert out.n_customers.sum() > 0
+
+
+def test_oracle_profile_all_tables(ray_session):
+    out = _oracle_check(
+        "profile_all_tables",
+        tables=("region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "documents",
+                "embeddings"))
+    assert len(out) == 50
+    assert (out.n_distinct <= out.n_rows - out.n_null).all()
+    r = out[(out.table_name == "region")
+            & (out.column == "r_regionkey")].iloc[0]
+    assert r.n_distinct == r.n_rows  # pk column
+
+
+def test_oracle_candidate_keys(ray_session):
+    out = _oracle_check("lineitem_candidate_keys",
+                        tables=("lineitem",))
+    nd = out.set_index("key_set").n_distinct
+    # superset keys can only be MORE distinct
+    assert (nd["l_orderkey,l_linenumber,l_partkey"]
+            >= nd["l_orderkey,l_linenumber"])
+    assert (nd["l_orderkey,l_partkey,l_suppkey"]
+            >= nd["l_orderkey,l_partkey"])
+
+
+def test_oracle_resumable_counts(ray_session):
+    out = _oracle_check("validate_resumable_counts",
+                        tables=("documents",))
+    assert "not_unique" in set(out.rule_id)
+    assert (out.n >= 0).all()
