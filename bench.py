@@ -387,6 +387,8 @@ def bench_queries() -> dict[str, float]:
              "lineitem_cross_moments", "customers_cadence_trend",
              "profile_all_tables", "lineitem_candidate_keys",
              "validate_resumable_counts",
+             "embeddings_twonn_ratio", "embeddings_sign_quant_error",
+             "orders_status_consistency", "docs_null_pattern_census",
              ]
     out = {}
     for name in names:

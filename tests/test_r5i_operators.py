@@ -419,3 +419,39 @@ def test_oracle_resumable_counts(ray_session):
                         tables=("documents",))
     assert "not_unique" in set(out.rule_id)
     assert (out.n >= 0).all()
+
+
+def test_oracle_twonn_ratio(ray_session):
+    out = _oracle_check("embeddings_twonn_ratio",
+                        tables=("embeddings",))
+    # d2nd >= d1 always: ratio >= 1000 -> band >= 0
+    assert (out.band >= 0).all()
+    assert out.n_vecs.sum() > 0
+
+
+def test_oracle_sign_quant_error(ray_session):
+    out = _oracle_check("embeddings_sign_quant_error",
+                        tables=("embeddings",))
+    assert int(out.n_vecs.sum()) == 500
+    assert (out.band >= 0).all()
+
+
+def test_oracle_status_consistency(ray_session):
+    out = _oracle_check("orders_status_consistency",
+                        tables=("orders", "lineitem"))
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/orders.parquet' "
+        f"WHERE o_orderkey IS NOT NULL "
+        f"AND o_orderstatus IS NOT NULL").fetchone()[0]
+    assert int(out.n_orders.sum()) == n
+    assert set(out.line_mix) <= {"all_open", "all_final", "mixed",
+                                 "no_lines"}
+
+
+def test_oracle_null_pattern_census(ray_session):
+    out = _oracle_check("docs_null_pattern_census",
+                        tables=("documents",))
+    # all 8 patterns occur with moduli 7/11/13 over a dense id range
+    assert len(out) == 8
+    assert out.n_docs.sum() > 0
