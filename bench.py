@@ -389,6 +389,8 @@ def bench_queries() -> dict[str, float]:
              "validate_resumable_counts",
              "embeddings_twonn_ratio", "embeddings_sign_quant_error",
              "orders_status_consistency", "docs_null_pattern_census",
+             "events_peak_to_mean", "orders_first_dow_ltv",
+             "docs_enum_share_gate",
              ]
     out = {}
     for name in names:

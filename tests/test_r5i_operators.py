@@ -379,8 +379,9 @@ def test_oracle_cross_moments(ray_session):
                         tables=("lineitem",))
     r = out.iloc[0]
     # Cauchy-Schwarz on raw moments: (sum xy)^2 <= sum x^2 * sum y^2
-    assert r.s_qe * r.s_qe <= r.s_qq * r.s_ee
-    assert r.s_dt * r.s_dt <= r.s_dd * r.s_tt
+    # (python ints: the squares overflow int64)
+    assert int(r.s_qe) ** 2 <= int(r.s_qq) * int(r.s_ee)
+    assert int(r.s_dt) ** 2 <= int(r.s_dd) * int(r.s_tt)
 
 
 def test_oracle_cadence_trend(ray_session):
@@ -455,3 +456,32 @@ def test_oracle_null_pattern_census(ray_session):
     # all 8 patterns occur with moduli 7/11/13 over a dense id range
     assert len(out) == 8
     assert out.n_docs.sum() > 0
+
+
+def test_oracle_peak_to_mean(ray_session):
+    out = _oracle_check("events_peak_to_mean", tables=("events",))
+    # the peak is at least the mean: permille >= 1000
+    assert (out.peak_to_mean_pm >= 1000).all()
+
+
+def test_oracle_first_dow_ltv(ray_session):
+    out = _oracle_check("orders_first_dow_ltv", tables=("orders",))
+    con = duckdb.connect()
+    ncust = con.execute(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM "
+        f"'{SF}/orders.parquet' WHERE o_custkey IS NOT NULL"
+    ).fetchone()[0]
+    assert int(out.n_customers.sum()) == ncust
+    assert (out.dow >= 0).all() and (out.dow <= 6).all()
+
+
+def test_oracle_enum_share_gate(ray_session):
+    out = _oracle_check("docs_enum_share_gate",
+                        tables=("documents",))
+    known = out[out.lang.isin(["en", "de", "fr", "es"])]
+    unknown = out[~out.lang.isin(["en", "de", "fr", "es"])]
+    # gate definition: known langs pass iff within 250 +- 100
+    # permille (sf0.001's mix is skewed, so some fail — the point)
+    expect = ((known.share_pm - 250).abs() <= 100).astype(int)
+    assert known.ok.tolist() == expect.tolist()
+    assert (unknown.ok == 0).all()     # planted bad langs fail
