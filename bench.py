@@ -391,6 +391,9 @@ def bench_queries() -> dict[str, float]:
              "orders_status_consistency", "docs_null_pattern_census",
              "events_peak_to_mean", "orders_first_dow_ltv",
              "docs_enum_share_gate",
+             "embeddings_centroid_stability",
+             "tokens_initial_bias_topk",
+             "customers_repurchase_windows",
              ]
     out = {}
     for name in names:

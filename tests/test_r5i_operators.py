@@ -485,3 +485,30 @@ def test_oracle_enum_share_gate(ray_session):
     expect = ((known.share_pm - 250).abs() <= 100).astype(int)
     assert known.ok.tolist() == expect.tolist()
     assert (unknown.ok == 0).all()     # planted bad langs fail
+
+
+def test_oracle_centroid_stability(ray_session):
+    out = _oracle_check("embeddings_centroid_stability",
+                        tables=("embeddings",))
+    assert len(out) == 10
+    assert (out.shift_sq >= 0).all()
+    assert int((out.n_even + out.n_odd).sum()) == 500
+
+
+def test_oracle_initial_bias_topk(ray_session):
+    out = _oracle_check("tokens_initial_bias_topk",
+                        tables=("documents",))
+    assert len(out) == 20
+    assert (out.n_first <= out.n_total).all()
+    # sorted by n_first DESC
+    nf = out.n_first.to_numpy()
+    assert (np.diff(nf) <= 0).all()
+
+
+def test_oracle_repurchase_windows(ray_session):
+    out = _oracle_check("customers_repurchase_windows",
+                        tables=("orders",))
+    assert out.window_days.tolist() == [7, 30, 90]
+    n = out.set_index("window_days").n_repurchased
+    # monotone in the window size
+    assert n[7] <= n[30] <= n[90]
