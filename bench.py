@@ -394,6 +394,8 @@ def bench_queries() -> dict[str, float]:
              "embeddings_centroid_stability",
              "tokens_initial_bias_topk",
              "customers_repurchase_windows",
+             "media_corrupt_quarantine",
+             "region_nation_revenue_share", "events_type_lifecycle",
              ]
     out = {}
     for name in names:

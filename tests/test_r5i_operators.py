@@ -512,3 +512,30 @@ def test_oracle_repurchase_windows(ray_session):
     n = out.set_index("window_days").n_repurchased
     # monotone in the window size
     assert n[7] <= n[30] <= n[90]
+
+
+def test_oracle_media_corrupt_quarantine(ray_session):
+    out = _oracle_check("media_corrupt_quarantine",
+                        tables=("documents",))
+    assert set(out.status) == {"ok", "corrupt"}
+    piv = out.pivot_table(index="media_type", columns="status",
+                          values="n", aggfunc="first")
+    # corruption hits every 5th id: far fewer corrupt than ok
+    assert (piv["corrupt"] < piv["ok"]).all()
+
+
+def test_oracle_region_nation_share(ray_session):
+    out = _oracle_check(
+        "region_nation_revenue_share",
+        tables=("orders", "customer", "nation", "region"))
+    # floored shares within each region sum to <= 1000 and > 900
+    s = out.groupby("region")["share_pm"].sum()
+    assert (s <= 1000).all() and (s > 900).all()
+
+
+def test_oracle_type_lifecycle(ray_session):
+    out = _oracle_check("events_type_lifecycle",
+                        tables=("events",))
+    assert (out.first_day <= out.last_day).all()
+    assert (out.coverage_pm <= 1000).all()
+    assert (out.coverage_pm > 0).all()
