@@ -396,6 +396,9 @@ def bench_queries() -> dict[str, float]:
              "customers_repurchase_windows",
              "media_corrupt_quarantine",
              "region_nation_revenue_share", "events_type_lifecycle",
+             "orders_tenure_revenue_curve",
+             "supplier_smoothed_return_rate",
+             "tokens_universal_vocab",
              ]
     out = {}
     for name in names:

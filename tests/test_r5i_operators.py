@@ -539,3 +539,36 @@ def test_oracle_type_lifecycle(ray_session):
     assert (out.first_day <= out.last_day).all()
     assert (out.coverage_pm <= 1000).all()
     assert (out.coverage_pm > 0).all()
+
+
+def test_oracle_tenure_revenue_curve(ray_session):
+    out = _oracle_check("orders_tenure_revenue_curve",
+                        tables=("orders",))
+    assert (out.tenure_months >= 0).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/orders.parquet' "
+        f"WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL "
+        f"AND o_totalprice IS NOT NULL").fetchone()[0]
+    assert int(out.n_orders.sum()) == n
+
+
+def test_oracle_smoothed_return_rate(ray_session):
+    out = _oracle_check("supplier_smoothed_return_rate",
+                        tables=("lineitem",))
+    # Laplace smoothing keeps every rate strictly inside (0, 1000)
+    assert (out.band >= 0).all() and (out.band < 40).all()
+    assert out.n_suppliers.sum() > 0
+
+
+def test_oracle_universal_vocab(ray_session):
+    out = _oracle_check("tokens_universal_vocab",
+                        tables=("documents",))
+    con = duckdb.connect()
+    ns = con.execute(
+        f"SELECT COUNT(DISTINCT source) FROM "
+        f"'{SF}/documents.parquet' WHERE source IS NOT NULL"
+    ).fetchone()[0]
+    assert (out.n_sources <= ns).all()
+    # the shared core exists: some words appear in every source
+    assert (out.n_sources == ns).any()
