@@ -399,6 +399,8 @@ def bench_queries() -> dict[str, float]:
              "orders_tenure_revenue_curve",
              "supplier_smoothed_return_rate",
              "tokens_universal_vocab",
+             "events_srm_audit", "source_token_doc_share_skew",
+             "orders_size_value_curve",
              ]
     out = {}
     for name in names:

@@ -572,3 +572,29 @@ def test_oracle_universal_vocab(ray_session):
     assert (out.n_sources <= ns).all()
     # the shared core exists: some words appear in every source
     assert (out.n_sources == ns).any()
+
+
+def test_oracle_srm_audit(ray_session):
+    out = _oracle_check("events_srm_audit", tables=("events",))
+    assert out.arm.tolist() == [0, 1]
+    assert (out.n_users <= out.n_events).all()
+
+
+def test_oracle_share_skew(ray_session):
+    out = _oracle_check("source_token_doc_share_skew",
+                        tables=("documents",))
+    # skews are deviations around zero: floored shares keep the sum
+    # of skews within the rounding slack of +-(n_sources)
+    assert abs(int(out.skew_pm.sum())) <= len(out)
+    assert (out.n_tokens >= out.n_docs).all()
+
+
+def test_oracle_size_value_curve(ray_session):
+    out = _oracle_check("orders_size_value_curve",
+                        tables=("orders", "lineitem"))
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/orders.parquet' "
+        f"WHERE o_orderkey IS NOT NULL "
+        f"AND o_totalprice IS NOT NULL").fetchone()[0]
+    assert int(out.n_orders.sum()) == n
