@@ -401,6 +401,8 @@ def bench_queries() -> dict[str, float]:
              "tokens_universal_vocab",
              "events_srm_audit", "source_token_doc_share_skew",
              "orders_size_value_curve",
+             "events_ab_value_deciles", "docs_multispace_audit",
+             "docs_fold_moment_balance",
              ]
     out = {}
     for name in names:

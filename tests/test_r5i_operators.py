@@ -598,3 +598,33 @@ def test_oracle_size_value_curve(ray_session):
         f"WHERE o_orderkey IS NOT NULL "
         f"AND o_totalprice IS NOT NULL").fetchone()[0]
     assert int(out.n_orders.sum()) == n
+
+
+def test_oracle_ab_value_deciles(ray_session):
+    out = _oracle_check("events_ab_value_deciles",
+                        tables=("events",))
+    assert len(out) == 18
+    # per arm the decile curve is monotone
+    for _, sub in out.groupby("arm"):
+        v = sub.sort_values("decile").cents.to_numpy()
+        assert (np.diff(v) >= 0).all()
+
+
+def test_oracle_multispace_audit(ray_session):
+    out = _oracle_check("docs_multispace_audit",
+                        tables=("documents",))
+    assert len(out) == 5
+    assert (out.n_docs >= 0).all()
+
+
+def test_oracle_fold_moment_balance(ray_session):
+    out = _oracle_check("docs_fold_moment_balance",
+                        tables=("documents",))
+    assert len(out) == 5
+    assert (out.var_milli >= 0).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet' "
+        f"WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL"
+    ).fetchone()[0]
+    assert int(out.n.sum()) == n
