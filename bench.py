@@ -403,6 +403,8 @@ def bench_queries() -> dict[str, float]:
              "orders_size_value_curve",
              "events_ab_value_deciles", "docs_multispace_audit",
              "docs_fold_moment_balance",
+             "stats_retractable_delta", "orders_queue_backlog_sim",
+             "events_haar_energy",
              ]
     out = {}
     for name in names:

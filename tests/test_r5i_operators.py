@@ -628,3 +628,40 @@ def test_oracle_fold_moment_balance(ray_session):
         f"WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL"
     ).fetchone()[0]
     assert int(out.n.sum()) == n
+
+
+def test_oracle_retractable_delta(ray_session):
+    out = _oracle_check("stats_retractable_delta",
+                        tables=("documents",))
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet' "
+        f"WHERE doc_id IS NOT NULL AND lang IS NOT NULL "
+        f"AND n_chars IS NOT NULL").fetchone()[0]
+    # retract+insert keeps cardinality
+    assert int(out.n.sum()) == n
+
+
+def test_oracle_queue_backlog_sim(ray_session):
+    out = _oracle_check("orders_queue_backlog_sim",
+                        tables=("orders",))
+    assert (out.band >= 0).all()
+    assert out.n_days.sum() > 0
+
+
+def test_queue_sim_hand_case():
+    # arrivals [5,0,1], k=2 -> c=[3,1,0]; run_min=[3,1,0];
+    # min(0,...)=0 -> backlog=[3,1,0] -> bands log2+1: [2,1,0]
+    import numpy as np
+
+    a = np.array([5, 0, 1], np.int64)
+    k = 2
+    c = np.cumsum(a - k)
+    backlog = c - np.minimum(0, np.minimum.accumulate(c))
+    assert backlog.tolist() == [3, 1, 0]
+
+
+def test_oracle_haar_energy(ray_session):
+    out = _oracle_check("events_haar_energy", tables=("events",))
+    assert set(out.level) == {1, 2, 3, 4, 5, 6}
+    assert (out.energy >= 0).all()
