@@ -405,6 +405,8 @@ def bench_queries() -> dict[str, float]:
              "docs_fold_moment_balance",
              "stats_retractable_delta", "orders_queue_backlog_sim",
              "events_haar_energy",
+             "embeddings_pairwise_separability",
+             "users_first_session_return", "events_type_comovement",
              ]
     out = {}
     for name in names:

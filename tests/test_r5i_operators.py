@@ -665,3 +665,27 @@ def test_oracle_haar_energy(ray_session):
     out = _oracle_check("events_haar_energy", tables=("events",))
     assert set(out.level) == {1, 2, 3, 4, 5, 6}
     assert (out.energy >= 0).all()
+
+
+def test_oracle_pairwise_separability(ray_session):
+    out = _oracle_check("embeddings_pairwise_separability",
+                        tables=("embeddings",))
+    assert len(out) == 45
+    assert (out.n_correct <= out.n).all()
+    # centroid classifier beats chance overall on its own data
+    assert int(out.n_correct.sum()) > int(out.n.sum()) // 2
+
+
+def test_oracle_first_session_return(ray_session):
+    out = _oracle_check("users_first_session_return",
+                        tables=("events",))
+    assert (out.n_returned <= out.n_users).all()
+    assert (out.first_session_size >= 1).all()
+    assert (out.first_session_size <= 10).all()
+
+
+def test_oracle_type_comovement(ray_session):
+    out = _oracle_check("events_type_comovement",
+                        tables=("events",))
+    assert len(out) == 10
+    assert (out.n_concordant <= out.n_days).all()
