@@ -407,6 +407,9 @@ def bench_queries() -> dict[str, float]:
              "events_haar_energy",
              "embeddings_pairwise_separability",
              "users_first_session_return", "events_type_comovement",
+             "tokens_bigram_generalization",
+             "docs_rare_word_position_census",
+             "events_error_recovery",
              ]
     out = {}
     for name in names:

@@ -689,3 +689,31 @@ def test_oracle_type_comovement(ray_session):
                         tables=("events",))
     assert len(out) == 10
     assert (out.n_concordant <= out.n_days).all()
+
+
+def test_oracle_bigram_generalization(ray_session):
+    out = _oracle_check("tokens_bigram_generalization",
+                        tables=("documents",))
+    r = out.iloc[0]
+    assert r.n_test_seen <= r.n_test_occ
+    assert r.n_test_types_seen <= r.n_test_types
+
+
+def test_oracle_rare_word_position(ray_session):
+    out = _oracle_check("docs_rare_word_position_census",
+                        tables=("documents",))
+    assert (out.decile >= 0).all() and (out.decile <= 9).all()
+    assert out.n_hapax.sum() > 0
+
+
+def test_oracle_error_recovery(ray_session):
+    out = _oracle_check("events_error_recovery",
+                        tables=("events",))
+    assert set(out.status) <= {"recovered_1h", "recovered_late",
+                               "unrecovered"}
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/events.parquet' "
+        f"WHERE event_type = 'error' AND user_id IS NOT NULL "
+        f"AND ts IS NOT NULL").fetchone()[0]
+    assert int(out.n.sum()) == n
