@@ -410,6 +410,8 @@ def bench_queries() -> dict[str, float]:
              "tokens_bigram_generalization",
              "docs_rare_word_position_census",
              "events_error_recovery",
+             "embeddings_probe_calibration", "orders_variance_trend",
+             "orders_weekend_mwu",
              ]
     out = {}
     for name in names:

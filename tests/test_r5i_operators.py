@@ -717,3 +717,27 @@ def test_oracle_error_recovery(ray_session):
         f"WHERE event_type = 'error' AND user_id IS NOT NULL "
         f"AND ts IS NOT NULL").fetchone()[0]
     assert int(out.n.sum()) == n
+
+
+def test_oracle_probe_calibration(ray_session):
+    out = _oracle_check("embeddings_probe_calibration",
+                        tables=("embeddings",))
+    assert len(out) == 10
+    assert int(out.n.sum()) == 500
+    # ranking lifts positives: top decile beats bottom decile
+    assert (out[out.decile == 9].n_pos.iloc[0]
+            > out[out.decile == 0].n_pos.iloc[0])
+
+
+def test_oracle_variance_trend(ray_session):
+    out = _oracle_check("orders_variance_trend",
+                        tables=("orders",))
+    r = out.iloc[0]
+    pairs = r.n_months * (r.n_months - 1) // 2
+    assert r.n_concordant + r.n_discordant <= pairs
+
+
+def test_oracle_weekend_mwu(ray_session):
+    out = _oracle_check("orders_weekend_mwu", tables=("orders",))
+    n = int(out.n.sum())
+    assert int(out.rank_sum2.sum()) == n * (n + 1)
