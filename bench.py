@@ -412,6 +412,9 @@ def bench_queries() -> dict[str, float]:
              "events_error_recovery",
              "embeddings_probe_calibration", "orders_variance_trend",
              "orders_weekend_mwu",
+             "tokens_doc_cooccurrence_pmi",
+             "users_adoption_quartile_days",
+             "events_peak_cell_share",
              ]
     out = {}
     for name in names:

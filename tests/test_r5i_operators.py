@@ -741,3 +741,29 @@ def test_oracle_weekend_mwu(ray_session):
     out = _oracle_check("orders_weekend_mwu", tables=("orders",))
     n = int(out.n.sum())
     assert int(out.rank_sum2.sum()) == n * (n + 1)
+
+
+def test_oracle_doc_cooccurrence(ray_session):
+    out = _oracle_check("tokens_doc_cooccurrence_pmi",
+                        tables=("documents",))
+    assert len(out) == 30
+    n = out.n_docs_both.to_numpy()
+    assert (np.diff(n) <= 0).all()
+
+
+def test_oracle_adoption_quartiles(ray_session):
+    out = _oracle_check("users_adoption_quartile_days",
+                        tables=("events",))
+    assert out.quartile_pm.tolist() == [250, 500, 750, 1000]
+    d = out.day.to_numpy()
+    assert (np.diff(d) >= 0).all()
+
+
+def test_oracle_peak_cell_share(ray_session):
+    out = _oracle_check("events_peak_cell_share",
+                        tables=("events",))
+    assert (out.peak_dow >= 0).all() and (out.peak_dow <= 6).all()
+    assert (out.peak_hour >= 0).all() and (out.peak_hour
+                                           <= 23).all()
+    # a peak cell of a 7x24 grid holds at least 1/168 of the mass
+    assert (out.share_pm >= 5).all()
