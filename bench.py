@@ -415,6 +415,9 @@ def bench_queries() -> dict[str, float]:
              "tokens_doc_cooccurrence_pmi",
              "users_adoption_quartile_days",
              "events_peak_cell_share",
+             "lineitem_volume_discount_curve",
+             "embeddings_quant_nn_agreement",
+             "events_dow_value_lift",
              ]
     out = {}
     for name in names:

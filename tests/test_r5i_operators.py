@@ -767,3 +767,26 @@ def test_oracle_peak_cell_share(ray_session):
                                            <= 23).all()
     # a peak cell of a 7x24 grid holds at least 1/168 of the mass
     assert (out.share_pm >= 5).all()
+
+
+def test_oracle_volume_discount_curve(ray_session):
+    out = _oracle_check("lineitem_volume_discount_curve",
+                        tables=("lineitem",))
+    assert (out.mean_disc_pm >= 0).all()
+    assert out.n_inversions_total.nunique() == 1
+
+
+def test_oracle_quant_nn_agreement(ray_session):
+    out = _oracle_check("embeddings_quant_nn_agreement",
+                        tables=("embeddings",))
+    r = out.iloc[0]
+    assert r.n_vecs == 500
+    assert 0 <= r.n_same_nn <= r.n_vecs
+
+
+def test_oracle_dow_value_lift(ray_session):
+    out = _oracle_check("events_dow_value_lift",
+                        tables=("events",))
+    assert len(out) == 35
+    # floored lifts hug 1000 permille
+    assert (out.lift_pm > 500).all() and (out.lift_pm < 2000).all()
