@@ -418,6 +418,8 @@ def bench_queries() -> dict[str, float]:
              "lineitem_volume_discount_curve",
              "embeddings_quant_nn_agreement",
              "events_dow_value_lift",
+             "orders_overlapping_fulfillment",
+             "events_time_to_peak", "nation_share_stability",
              ]
     out = {}
     for name in names:

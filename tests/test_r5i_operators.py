@@ -790,3 +790,33 @@ def test_oracle_dow_value_lift(ray_session):
     assert len(out) == 35
     # floored lifts hug 1000 permille
     assert (out.lift_pm > 500).all() and (out.lift_pm < 2000).all()
+
+
+def test_oracle_overlapping_fulfillment(ray_session):
+    out = _oracle_check("orders_overlapping_fulfillment",
+                        tables=("orders", "lineitem"))
+    assert (out.n_overlaps >= 0).all()
+    con = duckdb.connect()
+    ncust = con.execute(f"""
+        SELECT COUNT(DISTINCT o_custkey) FROM
+        '{SF}/orders.parquet' o
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          AND EXISTS (SELECT 1 FROM '{SF}/lineitem.parquet' l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate IS NOT NULL)
+    """).fetchone()[0]
+    assert int(out.n_customers.sum()) == ncust
+
+
+def test_oracle_time_to_peak(ray_session):
+    out = _oracle_check("events_time_to_peak", tables=("events",))
+    assert (out.days_to_peak >= 0).all()
+    assert (out.peak_count > 0).all()
+
+
+def test_oracle_nation_share_stability(ray_session):
+    out = _oracle_check("nation_share_stability",
+                        tables=("orders", "customer", "nation"))
+    assert len(out) == 25
+    assert (out.swing_pm ==
+            out.max_share_pm - out.min_share_pm).all()
