@@ -420,6 +420,8 @@ def bench_queries() -> dict[str, float]:
              "events_dow_value_lift",
              "orders_overlapping_fulfillment",
              "events_time_to_peak", "nation_share_stability",
+             "docs_template_slots", "customers_brand_loyalty_census",
+             "region_supply_coverage",
              ]
     out = {}
     for name in names:

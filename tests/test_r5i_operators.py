@@ -820,3 +820,27 @@ def test_oracle_nation_share_stability(ray_session):
     assert len(out) == 25
     assert (out.swing_pm ==
             out.max_share_pm - out.min_share_pm).all()
+
+
+def test_oracle_template_slots(ray_session):
+    out = _oracle_check("docs_template_slots",
+                        tables=("documents",))
+    assert len(out) == 200  # 20 sources x 10 positions
+    assert (out.n_distinct_words >= 1).all()
+    assert (out.n_distinct_words <= out.n_docs).all()
+
+
+def test_oracle_brand_loyalty(ray_session):
+    out = _oracle_check("customers_brand_loyalty_census",
+                        tables=("lineitem", "orders", "part"))
+    assert (out.loyalty_band >= 0).all()
+    assert (out.loyalty_band <= 10).all()
+    assert out.n_customers.sum() > 0
+
+
+def test_oracle_region_supply_coverage(ray_session):
+    out = _oracle_check("region_supply_coverage",
+                        tables=("lineitem", "supplier", "nation",
+                                "region"))
+    assert len(out) == 5
+    assert (out.n_parts > 0).all()
