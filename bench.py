@@ -422,6 +422,9 @@ def bench_queries() -> dict[str, float]:
              "events_time_to_peak", "nation_share_stability",
              "docs_template_slots", "customers_brand_loyalty_census",
              "region_supply_coverage",
+             "events_newcomer_share_daily",
+             "docs_vowel_density_census",
+             "media_png_gradient_energy",
              ]
     out = {}
     for name in names:

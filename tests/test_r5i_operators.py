@@ -844,3 +844,27 @@ def test_oracle_region_supply_coverage(ray_session):
                                 "region"))
     assert len(out) == 5
     assert (out.n_parts > 0).all()
+
+
+def test_oracle_newcomer_share(ray_session):
+    out = _oracle_check("events_newcomer_share_daily",
+                        tables=("events",))
+    assert (out.n_newcomer_events <= out.n_events).all()
+    # the first day is all newcomers
+    first = out.sort_values("day").iloc[0]
+    assert first.n_newcomer_events == first.n_events
+
+
+def test_oracle_vowel_density(ray_session):
+    out = _oracle_check("docs_vowel_density_census",
+                        tables=("documents",))
+    assert (out.band >= 0).all() and (out.band <= 20).all()
+    assert out.n_docs.sum() > 0
+
+
+def test_oracle_png_gradient(ray_session):
+    out = _oracle_check("media_png_gradient_energy",
+                        tables=("documents",))
+    assert (out.n_images > 0).all()
+    assert (out.sum_raw >= 0).all()
+    assert (out.sum_grad >= 0).all()
