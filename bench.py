@@ -425,6 +425,9 @@ def bench_queries() -> dict[str, float]:
              "events_newcomer_share_daily",
              "docs_vowel_density_census",
              "media_png_gradient_energy",
+             "tokens_length_transition_matrix",
+             "validate_table_ratio_gate",
+             "orders_lead_time_by_priority",
              ]
     out = {}
     for name in names:

@@ -868,3 +868,26 @@ def test_oracle_png_gradient(ray_session):
     assert (out.n_images > 0).all()
     assert (out.sum_raw >= 0).all()
     assert (out.sum_grad >= 0).all()
+
+
+def test_oracle_length_transition(ray_session):
+    out = _oracle_check("tokens_length_transition_matrix",
+                        tables=("documents",))
+    assert len(out) == 9
+    assert (out.n >= 0).all()
+
+
+def test_oracle_table_ratio_gate(ray_session):
+    out = _oracle_check("validate_table_ratio_gate",
+                        tables=("lineitem", "orders", "customer",
+                                "events"))
+    assert len(out) == 3
+    assert ((out.ratio_pm * out.denominator
+             <= 1000 * out.numerator)).all()
+
+
+def test_oracle_lead_by_priority(ray_session):
+    out = _oracle_check("orders_lead_time_by_priority",
+                        tables=("orders", "lineitem"))
+    assert len(out) == 5
+    assert (out.max_days * out.n_orders >= out.sum_days).all()
