@@ -428,6 +428,8 @@ def bench_queries() -> dict[str, float]:
              "tokens_length_transition_matrix",
              "validate_table_ratio_gate",
              "orders_lead_time_by_priority",
+             "orders_dark_days", "embeddings_dim_covariance_topk",
+             "validate_shard_key_invariant",
              ]
     out = {}
     for name in names:

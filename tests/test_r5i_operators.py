@@ -891,3 +891,28 @@ def test_oracle_lead_by_priority(ray_session):
                         tables=("orders", "lineitem"))
     assert len(out) == 5
     assert (out.max_days * out.n_orders >= out.sum_days).all()
+
+
+def test_oracle_dark_days(ray_session):
+    out = _oracle_check("orders_dark_days", tables=("orders",))
+    assert (out.dow >= 0).all() and (out.dow <= 6).all()
+    assert (out.n_dark_days > 0).all()
+
+
+def test_oracle_dim_covariance_topk(ray_session):
+    out = _oracle_check("embeddings_dim_covariance_topk",
+                        tables=("embeddings",))
+    assert len(out) == 10
+    v = out.cov_num_abs.to_numpy()
+    assert (np.diff(v) <= 0).all()
+
+
+def test_oracle_shard_key_invariant(ray_session):
+    out = _oracle_check("validate_shard_key_invariant",
+                        tables=("documents",))
+    assert (out.n_misplaced == 0).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet' "
+        f"WHERE doc_id IS NOT NULL").fetchone()[0]
+    assert int(out.n_rows.sum()) == n
