@@ -430,6 +430,9 @@ def bench_queries() -> dict[str, float]:
              "orders_lead_time_by_priority",
              "orders_dark_days", "embeddings_dim_covariance_topk",
              "validate_shard_key_invariant",
+             "lineitem_latency_return_interaction",
+             "part_price_realization",
+             "customers_first_value_ltv_curve",
              ]
     out = {}
     for name in names:

@@ -916,3 +916,29 @@ def test_oracle_shard_key_invariant(ray_session):
         f"SELECT COUNT(*) FROM '{SF}/documents.parquet' "
         f"WHERE doc_id IS NOT NULL").fetchone()[0]
     assert int(out.n_rows.sum()) == n
+
+
+def test_oracle_latency_return_interaction(ray_session):
+    out = _oracle_check("lineitem_latency_return_interaction",
+                        tables=("orders", "lineitem"))
+    assert (out.n_returned <= out.n_lines).all()
+    # planted clock skew: negative latency bands must exist
+    assert (out.lat_band < 0).any()
+
+
+def test_oracle_price_realization(ray_session):
+    out = _oracle_check("part_price_realization",
+                        tables=("lineitem", "part"))
+    assert len(out) == 25
+    assert (out.realization_pm > 0).all()
+
+
+def test_oracle_first_value_ltv(ray_session):
+    out = _oracle_check("customers_first_value_ltv_curve",
+                        tables=("orders",))
+    con = duckdb.connect()
+    ncust = con.execute(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM "
+        f"'{SF}/orders.parquet' WHERE o_custkey IS NOT NULL"
+    ).fetchone()[0]
+    assert int(out.n_customers.sum()) == ncust
