@@ -433,6 +433,8 @@ def bench_queries() -> dict[str, float]:
              "lineitem_latency_return_interaction",
              "part_price_realization",
              "customers_first_value_ltv_curve",
+             "events_weekly_type_l1", "orders_priority_value_lift",
+             "lineitem_qty_parity",
              ]
     out = {}
     for name in names:

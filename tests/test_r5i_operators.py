@@ -942,3 +942,24 @@ def test_oracle_first_value_ltv(ray_session):
         f"'{SF}/orders.parquet' WHERE o_custkey IS NOT NULL"
     ).fetchone()[0]
     assert int(out.n_customers.sum()) == ncust
+
+
+def test_oracle_weekly_type_l1(ray_session):
+    out = _oracle_check("events_weekly_type_l1",
+                        tables=("events",))
+    assert (out.l1_cross >= 0).all()
+    assert out.n_events.sum() > 0
+
+
+def test_oracle_priority_value_lift(ray_session):
+    out = _oracle_check("orders_priority_value_lift",
+                        tables=("orders",))
+    assert len(out) == 5
+    assert (out.lift_pm > 500).all() and (out.lift_pm < 2000).all()
+
+
+def test_oracle_qty_parity(ray_session):
+    out = _oracle_check("lineitem_qty_parity",
+                        tables=("lineitem",))
+    assert len(out) == 3
+    assert (out.n_odd <= out.n).all()
