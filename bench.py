@@ -435,6 +435,8 @@ def bench_queries() -> dict[str, float]:
              "customers_first_value_ltv_curve",
              "events_weekly_type_l1", "orders_priority_value_lift",
              "lineitem_qty_parity",
+             "orders_month_end_loading",
+             "orders_shipment_fragmentation", "source_wordlen_lift",
              ]
     out = {}
     for name in names:

@@ -963,3 +963,29 @@ def test_oracle_qty_parity(ray_session):
                         tables=("lineitem",))
     assert len(out) == 3
     assert (out.n_odd <= out.n).all()
+
+
+def test_oracle_month_end_loading(ray_session):
+    out = _oracle_check("orders_month_end_loading",
+                        tables=("orders",))
+    assert (out.n_last3 <= out.n_orders).all()
+    assert (out.last3_share_pm <= 1000).all()
+
+
+def test_oracle_shipment_fragmentation(ray_session):
+    out = _oracle_check("orders_shipment_fragmentation",
+                        tables=("lineitem",))
+    assert (out.n_ship_days >= 1).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(DISTINCT l_orderkey) FROM "
+        f"'{SF}/lineitem.parquet' WHERE l_shipdate IS NOT NULL"
+    ).fetchone()[0]
+    assert int(out.n_orders.sum()) == n
+
+
+def test_oracle_source_wordlen_lift(ray_session):
+    out = _oracle_check("source_wordlen_lift",
+                        tables=("documents",))
+    assert len(out) == 20
+    assert (out.lift_pm > 500).all() and (out.lift_pm < 2000).all()
