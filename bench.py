@@ -437,6 +437,9 @@ def bench_queries() -> dict[str, float]:
              "lineitem_qty_parity",
              "orders_month_end_loading",
              "orders_shipment_fragmentation", "source_wordlen_lift",
+             "sessions_midnight_span_census",
+             "users_entry_type_value_lift",
+             "users_personal_outlier_census",
              ]
     out = {}
     for name in names:

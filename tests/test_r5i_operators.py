@@ -989,3 +989,28 @@ def test_oracle_source_wordlen_lift(ray_session):
                         tables=("documents",))
     assert len(out) == 20
     assert (out.lift_pm > 500).all() and (out.lift_pm < 2000).all()
+
+
+def test_oracle_midnight_span(ray_session):
+    out = _oracle_check("sessions_midnight_span_census",
+                        tables=("events",))
+    assert (out.days_spanned >= 0).all()
+    assert out.n_sessions.sum() > 0
+
+
+def test_oracle_entry_type_lift(ray_session):
+    out = _oracle_check("users_entry_type_value_lift",
+                        tables=("events",))
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(DISTINCT user_id) FROM "
+        f"'{SF}/events.parquet' WHERE user_id IS NOT NULL"
+    ).fetchone()[0]
+    assert int(out.n_users.sum()) == n
+
+
+def test_oracle_personal_outlier(ray_session):
+    out = _oracle_check("users_personal_outlier_census",
+                        tables=("events",))
+    assert (out.n_outlier_events >= 0).all()
+    assert out.n_users.sum() > 0
