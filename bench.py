@@ -440,6 +440,8 @@ def bench_queries() -> dict[str, float]:
              "sessions_midnight_span_census",
              "users_entry_type_value_lift",
              "users_personal_outlier_census",
+             "customers_same_day_multi_orders", "events_hourly_fano",
+             "orders_priority_dow_l1",
              ]
     out = {}
     for name in names:

@@ -1014,3 +1014,29 @@ def test_oracle_personal_outlier(ray_session):
                         tables=("events",))
     assert (out.n_outlier_events >= 0).all()
     assert out.n_users.sum() > 0
+
+
+def test_oracle_same_day_multi(ray_session):
+    out = _oracle_check("customers_same_day_multi_orders",
+                        tables=("orders",))
+    assert (out.orders_that_day >= 1).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/orders.parquet' "
+        f"WHERE o_custkey IS NOT NULL "
+        f"AND o_orderdate IS NOT NULL").fetchone()[0]
+    assert int((out.orders_that_day
+                * out.n_customer_days).sum()) == n
+
+
+def test_oracle_hourly_fano(ray_session):
+    out = _oracle_check("events_hourly_fano", tables=("events",))
+    assert len(out) == 5
+    assert (out.fano_milli >= 0).all()
+
+
+def test_oracle_priority_dow_l1(ray_session):
+    out = _oracle_check("orders_priority_dow_l1",
+                        tables=("orders",))
+    assert len(out) == 7
+    assert (out.l1_cross >= 0).all()
