@@ -442,6 +442,8 @@ def bench_queries() -> dict[str, float]:
              "users_personal_outlier_census",
              "customers_same_day_multi_orders", "events_hourly_fano",
              "orders_priority_dow_l1",
+             "lineitem_discount_trend", "docs_bigram_ttr_census",
+             "part_size_price_matrix",
              ]
     out = {}
     for name in names:

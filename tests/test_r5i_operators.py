@@ -1040,3 +1040,30 @@ def test_oracle_priority_dow_l1(ray_session):
                         tables=("orders",))
     assert len(out) == 7
     assert (out.l1_cross >= 0).all()
+
+
+def test_oracle_discount_trend(ray_session):
+    out = _oracle_check("lineitem_discount_trend",
+                        tables=("lineitem",))
+    r = out.iloc[0]
+    pairs = r.n_months * (r.n_months - 1) // 2
+    assert r.n_concordant + r.n_discordant <= pairs
+
+
+def test_oracle_bigram_ttr(ray_session):
+    out = _oracle_check("docs_bigram_ttr_census",
+                        tables=("documents",))
+    assert (out.band >= 0).all() and (out.band <= 20).all()
+    assert out.n_docs.sum() > 0
+
+
+def test_oracle_size_price_matrix(ray_session):
+    out = _oracle_check("part_size_price_matrix",
+                        tables=("part",))
+    assert len(out) == 16
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/part.parquet' "
+        f"WHERE p_size IS NOT NULL "
+        f"AND p_retailprice IS NOT NULL").fetchone()[0]
+    assert int(out.n_parts.sum()) == n
