@@ -444,6 +444,8 @@ def bench_queries() -> dict[str, float]:
              "orders_priority_dow_l1",
              "lineitem_discount_trend", "docs_bigram_ttr_census",
              "part_size_price_matrix",
+             "suppliers_brand_specialization",
+             "docs_longest_word_position", "users_gap_persistence",
              ]
     out = {}
     for name in names:

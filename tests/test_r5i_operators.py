@@ -1067,3 +1067,24 @@ def test_oracle_size_price_matrix(ray_session):
         f"WHERE p_size IS NOT NULL "
         f"AND p_retailprice IS NOT NULL").fetchone()[0]
     assert int(out.n_parts.sum()) == n
+
+
+def test_oracle_brand_specialization(ray_session):
+    out = _oracle_check("suppliers_brand_specialization",
+                        tables=("lineitem", "part"))
+    assert (out.dominance_band >= 0).all()
+    assert out.n_suppliers.sum() > 0
+
+
+def test_oracle_longest_word_position(ray_session):
+    out = _oracle_check("docs_longest_word_position",
+                        tables=("documents",))
+    assert len(out) == 10
+    assert (out.decile >= 0).all() and (out.decile <= 9).all()
+
+
+def test_oracle_gap_persistence(ray_session):
+    out = _oracle_check("users_gap_persistence",
+                        tables=("events",))
+    r = out.iloc[0]
+    assert r.n_both_high + r.n_both_low + r.n_mixed == r.n_pairs
