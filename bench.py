@@ -446,6 +446,8 @@ def bench_queries() -> dict[str, float]:
              "part_size_price_matrix",
              "suppliers_brand_specialization",
              "docs_longest_word_position", "users_gap_persistence",
+             "sessions_intersession_gap_census",
+             "orders_ship_dow_matrix", "events_weekly_dominant_type",
              ]
     out = {}
     for name in names:

@@ -1088,3 +1088,24 @@ def test_oracle_gap_persistence(ray_session):
                         tables=("events",))
     r = out.iloc[0]
     assert r.n_both_high + r.n_both_low + r.n_mixed == r.n_pairs
+
+
+def test_oracle_intersession_gaps(ray_session):
+    out = _oracle_check("sessions_intersession_gap_census",
+                        tables=("events",))
+    assert (out.band >= 0).all()
+    assert out.n_gaps.sum() > 0
+
+
+def test_oracle_ship_dow_matrix(ray_session):
+    out = _oracle_check("orders_ship_dow_matrix",
+                        tables=("orders", "lineitem"))
+    assert (out.order_dow <= 6).all()
+    assert (out.ship_dow <= 6).all()
+    assert out.n_orders.sum() > 0
+
+
+def test_oracle_weekly_dominant(ray_session):
+    out = _oracle_check("events_weekly_dominant_type",
+                        tables=("events",))
+    assert (out.share_pm >= 200).all()  # 5 types -> >= 1/5
