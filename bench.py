@@ -450,6 +450,8 @@ def bench_queries() -> dict[str, float]:
              "orders_ship_dow_matrix", "events_weekly_dominant_type",
              "part_brand_price_elasticity",
              "docs_stopword_share_census", "events_top3_day_share",
+             "events_daily_turbulence", "docs_mean_wordlen_census",
+             "supplier_customer_region_spread",
              ]
     out = {}
     for name in names:

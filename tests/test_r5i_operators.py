@@ -1134,3 +1134,25 @@ def test_oracle_top3_day_share(ray_session):
     # top-3 of n days holds at least 3/n of the mass
     assert ((out.top3_share_pm * out.n_days)
             >= 3 * 1000 - 3 * out.n_days).all()
+
+
+def test_oracle_daily_turbulence(ray_session):
+    out = _oracle_check("events_daily_turbulence",
+                        tables=("events",))
+    assert len(out) == 5
+    assert (out.turbulence_pm >= 0).all()
+
+
+def test_oracle_mean_wordlen(ray_session):
+    out = _oracle_check("docs_mean_wordlen_census",
+                        tables=("documents",))
+    assert (out.mean_len_centi > 0).all()
+    assert out.n_docs.sum() > 0
+
+
+def test_oracle_supplier_region_spread(ray_session):
+    out = _oracle_check("supplier_customer_region_spread",
+                        tables=("lineitem", "orders", "customer",
+                                "nation"))
+    assert (out.n_regions >= 1).all()
+    assert (out.n_regions <= 5).all()
