@@ -452,6 +452,9 @@ def bench_queries() -> dict[str, float]:
              "docs_stopword_share_census", "events_top3_day_share",
              "events_daily_turbulence", "docs_mean_wordlen_census",
              "supplier_customer_region_spread",
+             "orders_revenue_pareto_days",
+             "events_transition_asymmetry",
+             "customers_segment_value_deciles",
              ]
     out = {}
     for name in names:

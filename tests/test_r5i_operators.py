@@ -1156,3 +1156,27 @@ def test_oracle_supplier_region_spread(ray_session):
                                 "nation"))
     assert (out.n_regions >= 1).all()
     assert (out.n_regions <= 5).all()
+
+
+def test_oracle_revenue_pareto_days(ray_session):
+    out = _oracle_check("orders_revenue_pareto_days",
+                        tables=("orders",))
+    nd = out.sort_values("threshold_pm").n_days.to_numpy()
+    assert (np.diff(nd) >= 0).all()
+    assert (out.n_days <= out.n_days_total).all()
+
+
+def test_oracle_transition_asymmetry(ray_session):
+    out = _oracle_check("events_transition_asymmetry",
+                        tables=("events",))
+    assert len(out) == 10
+    assert (out.type_a < out.type_b).all()
+
+
+def test_oracle_segment_value_deciles(ray_session):
+    out = _oracle_check("customers_segment_value_deciles",
+                        tables=("orders", "customer"))
+    assert len(out) == 15
+    for _, sub in out.groupby("segment"):
+        v = sub.sort_values("decile").cents.to_numpy()
+        assert (np.diff(v) >= 0).all()
