@@ -455,6 +455,9 @@ def bench_queries() -> dict[str, float]:
              "orders_revenue_pareto_days",
              "events_transition_asymmetry",
              "customers_segment_value_deciles",
+             "customers_span_count_matrix",
+             "lineitem_unit_price_census",
+             "tokens_final_char_by_lang",
              ]
     out = {}
     for name in names:

@@ -1180,3 +1180,30 @@ def test_oracle_segment_value_deciles(ray_session):
     for _, sub in out.groupby("segment"):
         v = sub.sort_values("decile").cents.to_numpy()
         assert (np.diff(v) >= 0).all()
+
+
+def test_oracle_span_count_matrix(ray_session):
+    out = _oracle_check("customers_span_count_matrix",
+                        tables=("orders",))
+    assert (out.span_years <= 9).all()
+    assert (out.count_band <= 9).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM "
+        f"'{SF}/orders.parquet' WHERE o_custkey IS NOT NULL "
+        f"AND o_orderdate IS NOT NULL").fetchone()[0]
+    assert int(out.n_customers.sum()) == n
+
+
+def test_oracle_unit_price_census(ray_session):
+    out = _oracle_check("lineitem_unit_price_census",
+                        tables=("lineitem",))
+    assert (out.band >= 0).all()
+    assert out.n_lines.sum() > 0
+
+
+def test_oracle_final_char_by_lang(ray_session):
+    out = _oracle_check("tokens_final_char_by_lang",
+                        tables=("documents",))
+    assert out.lang.nunique() == 5
+    assert (out.ch.str.len() == 1).all()
