@@ -458,6 +458,9 @@ def bench_queries() -> dict[str, float]:
              "customers_span_count_matrix",
              "lineitem_unit_price_census",
              "tokens_final_char_by_lang",
+             "orders_dow_revenue_profile",
+             "docs_repeat_distance_census",
+             "supplier_balance_volume_grid",
              ]
     out = {}
     for name in names:

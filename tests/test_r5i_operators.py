@@ -1207,3 +1207,25 @@ def test_oracle_final_char_by_lang(ray_session):
                         tables=("documents",))
     assert out.lang.nunique() == 5
     assert (out.ch.str.len() == 1).all()
+
+
+def test_oracle_dow_revenue_profile(ray_session):
+    out = _oracle_check("orders_dow_revenue_profile",
+                        tables=("orders",))
+    assert len(out) == 7
+    s = int(out.revenue_share_pm.sum())
+    assert 993 <= s <= 1000  # floored shares
+
+
+def test_oracle_repeat_distance(ray_session):
+    out = _oracle_check("docs_repeat_distance_census",
+                        tables=("documents",))
+    assert (out.min_gap >= 1).all()
+    assert (out.min_gap <= 20).all()
+
+
+def test_oracle_balance_volume_grid(ray_session):
+    out = _oracle_check("supplier_balance_volume_grid",
+                        tables=("lineitem", "supplier"))
+    assert (out.balance_band <= 2).all()
+    assert out.n_suppliers.sum() > 0
