@@ -461,6 +461,8 @@ def bench_queries() -> dict[str, float]:
              "orders_dow_revenue_profile",
              "docs_repeat_distance_census",
              "supplier_balance_volume_grid",
+             "events_value_gap_interaction",
+             "orders_line_order_value_bias", "sessions_value_census",
              ]
     out = {}
     for name in names:

@@ -1229,3 +1229,26 @@ def test_oracle_balance_volume_grid(ray_session):
                         tables=("lineitem", "supplier"))
     assert (out.balance_band <= 2).all()
     assert out.n_suppliers.sum() > 0
+
+
+def test_oracle_value_gap_interaction(ray_session):
+    out = _oracle_check("events_value_gap_interaction",
+                        tables=("events",))
+    r = out.iloc[0]
+    assert (r.n_vh_gh + r.n_vh_gl + r.n_vl_gh + r.n_vl_gl
+            == r.n_pairs)
+
+
+def test_oracle_line_order_bias(ray_session):
+    out = _oracle_check("orders_line_order_value_bias",
+                        tables=("lineitem",))
+    r = out.iloc[0]
+    assert (r.n_first_higher + r.n_last_higher + r.n_equal
+            == r.n_orders)
+
+
+def test_oracle_session_value_census(ray_session):
+    out = _oracle_check("sessions_value_census",
+                        tables=("events",))
+    assert (out.band >= 0).all()
+    assert out.n_sessions.sum() > 0
