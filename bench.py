@@ -463,6 +463,8 @@ def bench_queries() -> dict[str, float]:
              "supplier_balance_volume_grid",
              "events_value_gap_interaction",
              "orders_line_order_value_bias", "sessions_value_census",
+             "orders_status_value_profile",
+             "users_value_dynamic_range", "docs_text_hash_profile",
              ]
     out = {}
     for name in names:

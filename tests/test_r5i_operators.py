@@ -1252,3 +1252,33 @@ def test_oracle_session_value_census(ray_session):
                         tables=("events",))
     assert (out.band >= 0).all()
     assert out.n_sessions.sum() > 0
+
+
+def test_oracle_status_value_profile(ray_session):
+    out = _oracle_check("orders_status_value_profile",
+                        tables=("orders",))
+    assert len(out) == 3
+    assert 993 <= int(out.revenue_share_pm.sum()) <= 1000
+
+
+def test_oracle_value_dynamic_range(ray_session):
+    out = _oracle_check("users_value_dynamic_range",
+                        tables=("events",))
+    assert (out.range_bands >= 0).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(DISTINCT user_id) FROM "
+        f"'{SF}/events.parquet' WHERE user_id IS NOT NULL "
+        f"AND value IS NOT NULL").fetchone()[0]
+    assert int(out.n_users.sum()) == n
+
+
+def test_oracle_text_hash_profile(ray_session):
+    out = _oracle_check("docs_text_hash_profile",
+                        tables=("documents",))
+    assert len(out) == 16
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet' "
+        f"WHERE text IS NOT NULL").fetchone()[0]
+    assert int(out.n_docs.sum()) == n
