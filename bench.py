@@ -465,6 +465,8 @@ def bench_queries() -> dict[str, float]:
              "orders_line_order_value_bias", "sessions_value_census",
              "orders_status_value_profile",
              "users_value_dynamic_range", "docs_text_hash_profile",
+             "users_night_owl_census", "docs_head_tail_overlap",
+             "events_dow_peak_hour",
              ]
     out = {}
     for name in names:

@@ -1282,3 +1282,24 @@ def test_oracle_text_hash_profile(ray_session):
         f"SELECT COUNT(*) FROM '{SF}/documents.parquet' "
         f"WHERE text IS NOT NULL").fetchone()[0]
     assert int(out.n_docs.sum()) == n
+
+
+def test_oracle_night_owl(ray_session):
+    out = _oracle_check("users_night_owl_census",
+                        tables=("events",))
+    assert (out.night_share_band <= 10).all()
+    assert out.n_users.sum() > 0
+
+
+def test_oracle_head_tail_overlap(ray_session):
+    out = _oracle_check("docs_head_tail_overlap",
+                        tables=("documents",))
+    assert (out.band >= 0).all() and (out.band <= 10).all()
+    assert out.n_docs.sum() > 0
+
+
+def test_oracle_dow_peak_hour(ray_session):
+    out = _oracle_check("events_dow_peak_hour",
+                        tables=("events",))
+    assert len(out) == 7
+    assert (out.peak_hour <= 23).all()
