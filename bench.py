@@ -467,6 +467,8 @@ def bench_queries() -> dict[str, float]:
              "users_value_dynamic_range", "docs_text_hash_profile",
              "users_night_owl_census", "docs_head_tail_overlap",
              "events_dow_peak_hour",
+             "lineitem_zero_discount_share", "users_spend_momentum",
+             "part_type_size_breadth",
              ]
     out = {}
     for name in names:

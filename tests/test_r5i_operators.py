@@ -1303,3 +1303,25 @@ def test_oracle_dow_peak_hour(ray_session):
                         tables=("events",))
     assert len(out) == 7
     assert (out.peak_hour <= 23).all()
+
+
+def test_oracle_zero_discount_share(ray_session):
+    out = _oracle_check("lineitem_zero_discount_share",
+                        tables=("lineitem", "part"))
+    assert len(out) == 25
+    assert (out.zero_share_pm <= 1000).all()
+
+
+def test_oracle_spend_momentum(ray_session):
+    out = _oracle_check("users_spend_momentum",
+                        tables=("events",))
+    assert set(out.trend) <= {"accelerating", "decelerating",
+                              "flat"}
+    assert out.n_users.sum() > 0
+
+
+def test_oracle_type_size_breadth(ray_session):
+    out = _oracle_check("part_type_size_breadth",
+                        tables=("part",))
+    assert (out.n_sizes >= 1).all()
+    assert out.n_types.sum() > 0
