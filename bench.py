@@ -469,6 +469,9 @@ def bench_queries() -> dict[str, float]:
              "events_dow_peak_hour",
              "lineitem_zero_discount_share", "users_spend_momentum",
              "part_type_size_breadth",
+             "orders_first_order_percentile_census",
+             "lineitem_brand_return_rate",
+             "events_click_purchase_mwu",
              ]
     out = {}
     for name in names:

@@ -1325,3 +1325,30 @@ def test_oracle_type_size_breadth(ray_session):
                         tables=("part",))
     assert (out.n_sizes >= 1).all()
     assert out.n_types.sum() > 0
+
+
+def test_oracle_first_order_percentile(ray_session):
+    out = _oracle_check("orders_first_order_percentile_census",
+                        tables=("orders",))
+    assert (out.global_decile <= 9).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM "
+        f"'{SF}/orders.parquet' WHERE o_custkey IS NOT NULL "
+        f"AND o_orderdate IS NOT NULL "
+        f"AND o_totalprice IS NOT NULL").fetchone()[0]
+    assert int(out.n_customers.sum()) == n
+
+
+def test_oracle_brand_return_rate(ray_session):
+    out = _oracle_check("lineitem_brand_return_rate",
+                        tables=("lineitem", "part"))
+    assert len(out) == 25
+    assert (out.return_pm <= 1000).all()
+
+
+def test_oracle_click_purchase_mwu(ray_session):
+    out = _oracle_check("events_click_purchase_mwu",
+                        tables=("events",))
+    n = int(out.n.sum())
+    assert int(out.rank_sum2.sum()) == n * (n + 1)
