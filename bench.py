@@ -472,6 +472,8 @@ def bench_queries() -> dict[str, float]:
              "orders_first_order_percentile_census",
              "lineitem_brand_return_rate",
              "events_click_purchase_mwu",
+             "docs_lang_vowel_lift", "orders_peak_revenue_day",
+             "parts_ship_month_breadth",
              ]
     out = {}
     for name in names:

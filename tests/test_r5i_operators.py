@@ -1352,3 +1352,24 @@ def test_oracle_click_purchase_mwu(ray_session):
                         tables=("events",))
     n = int(out.n.sum())
     assert int(out.rank_sum2.sum()) == n * (n + 1)
+
+
+def test_oracle_lang_vowel_lift(ray_session):
+    out = _oracle_check("docs_lang_vowel_lift",
+                        tables=("documents",))
+    assert len(out) == 5
+    assert (out.vowel_pm > 0).all() and (out.vowel_pm < 1000).all()
+
+
+def test_oracle_peak_revenue_day(ray_session):
+    out = _oracle_check("orders_peak_revenue_day",
+                        tables=("orders",))
+    r = out.iloc[0]
+    assert 0 < r.share_pm <= 1000
+
+
+def test_oracle_ship_month_breadth(ray_session):
+    out = _oracle_check("parts_ship_month_breadth",
+                        tables=("lineitem",))
+    assert (out.n_months >= 1).all()
+    assert out.n_parts.sum() > 0
