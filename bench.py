@@ -474,6 +474,8 @@ def bench_queries() -> dict[str, float]:
              "events_click_purchase_mwu",
              "docs_lang_vowel_lift", "orders_peak_revenue_day",
              "parts_ship_month_breadth",
+             "orders_latency_trend", "part_price_ending_profile",
+             "customers_negative_balance_by_nation",
              ]
     out = {}
     for name in names:

@@ -1373,3 +1373,25 @@ def test_oracle_ship_month_breadth(ray_session):
                         tables=("lineitem",))
     assert (out.n_months >= 1).all()
     assert out.n_parts.sum() > 0
+
+
+def test_oracle_latency_trend(ray_session):
+    out = _oracle_check("orders_latency_trend",
+                        tables=("orders", "lineitem"))
+    r = out.iloc[0]
+    pairs = r.n_months * (r.n_months - 1) // 2
+    assert r.n_concordant + r.n_discordant <= pairs
+
+
+def test_oracle_price_ending_profile(ray_session):
+    out = _oracle_check("part_price_ending_profile",
+                        tables=("part",))
+    assert (out.ending >= 0).all() and (out.ending <= 99).all()
+    assert out.n_parts.sum() > 0
+
+
+def test_oracle_negative_balance_by_nation(ray_session):
+    out = _oracle_check("customers_negative_balance_by_nation",
+                        tables=("customer", "nation"))
+    assert len(out) == 25
+    assert (out.negative_pm <= 1000).all()
