@@ -476,6 +476,8 @@ def bench_queries() -> dict[str, float]:
              "parts_ship_month_breadth",
              "orders_latency_trend", "part_price_ending_profile",
              "customers_negative_balance_by_nation",
+             "users_hour_breadth_census", "nation_value_lift",
+             "source_ttr_profile",
              ]
     out = {}
     for name in names:

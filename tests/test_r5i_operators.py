@@ -1395,3 +1395,23 @@ def test_oracle_negative_balance_by_nation(ray_session):
                         tables=("customer", "nation"))
     assert len(out) == 25
     assert (out.negative_pm <= 1000).all()
+
+
+def test_oracle_hour_breadth(ray_session):
+    out = _oracle_check("users_hour_breadth_census",
+                        tables=("events",))
+    assert (out.n_hours >= 1).all() and (out.n_hours <= 24).all()
+
+
+def test_oracle_nation_value_lift(ray_session):
+    out = _oracle_check("nation_value_lift",
+                        tables=("orders", "customer", "nation"))
+    assert len(out) == 25
+    assert (out.lift_pm > 500).all() and (out.lift_pm < 2000).all()
+
+
+def test_oracle_source_ttr_profile(ray_session):
+    out = _oracle_check("source_ttr_profile",
+                        tables=("documents",))
+    assert len(out) == 20
+    assert (out.n_distinct <= out.n_words).all()
