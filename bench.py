@@ -478,6 +478,8 @@ def bench_queries() -> dict[str, float]:
              "customers_negative_balance_by_nation",
              "users_hour_breadth_census", "nation_value_lift",
              "source_ttr_profile",
+             "nation_repeat_rate", "users_peak_day_alignment",
+             "events_top1_value_share_by_type",
              ]
     out = {}
     for name in names:

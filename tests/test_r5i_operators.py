@@ -1415,3 +1415,24 @@ def test_oracle_source_ttr_profile(ray_session):
                         tables=("documents",))
     assert len(out) == 20
     assert (out.n_distinct <= out.n_words).all()
+
+
+def test_oracle_nation_repeat_rate(ray_session):
+    out = _oracle_check("nation_repeat_rate",
+                        tables=("orders", "customer", "nation"))
+    assert len(out) == 25
+    assert (out.repeat_pm <= 1000).all()
+
+
+def test_oracle_peak_day_alignment(ray_session):
+    out = _oracle_check("users_peak_day_alignment",
+                        tables=("events",))
+    r = out.iloc[0]
+    assert 0 <= r.n_aligned <= r.n_users
+
+
+def test_oracle_top1_value_share(ray_session):
+    out = _oracle_check("events_top1_value_share_by_type",
+                        tables=("events",))
+    assert len(out) == 5
+    assert (out.top1_share_ppm <= 1_000_000).all()
